@@ -1,13 +1,119 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Core
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Core.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (Core.q1PricingSummary _),
+    "q6_filter_agg"      -> (Core.q6FilterAgg _),
+    "q3_join_agg"        -> (Core.q3JoinAgg _),
+    "q5_multi_join"      -> (Core.q5MultiJoin _),
+    "q_topk"             -> (Core.qTopK _),
+    "q_window_rank"      -> (Core.qWindowRank _),
+    "q_semi_join"        -> (Core.qSemiJoin _),
+    "q_anti_join"        -> (Core.qAntiJoin _),
+    "q_distinct_agg"     -> (Core.qDistinctAgg _),
+    "q_rollup"           -> (Core.qRollup _),
+    "q_conditional_agg"  -> (Core.qConditionalAgg _),
+    "q_scalar_subquery"  -> (Core.qScalarSubquery _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),4) AS sum_qty,
+        | round(sum(l_extendedprice),4) AS sum_base_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)),4) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_filter_agg" ->
+      """SELECT round(sum(l_extendedprice*l_discount),4) AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        | AND l_shipdate < TIMESTAMP '1997-01-01'
+        | AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT o_orderpriority,
+        | round(sum(l_extendedprice*(1.0-l_discount)),4) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey=o_orderkey
+        |JOIN customer ON o_custkey=c_custkey
+        |WHERE c_mktsegment='BUILDING'
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q5_multi_join" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice*(1.0-l_discount)),4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey=o_orderkey
+        |JOIN customer ON o_custkey=c_custkey
+        |JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey
+        |JOIN nation ON s_nationkey=n_nationkey
+        |JOIN region ON n_regionkey=r_regionkey
+        |WHERE r_name='ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "q_topk" ->
+      """SELECT o_custkey, round(sum(o_totalprice),4) AS total_spent,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY total_spent DESC, o_custkey LIMIT 10""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,4) AS price, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+    "q_semi_join" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | round(sum(o_totalprice),4) AS total_price
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey=o_orderkey AND l_returnflag='R')
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        | round(sum(c_acctbal),4) AS sum_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        | count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        | round(sum(c_acctbal),4) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey=n_nationkey
+        |JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT o_orderpriority,
+        | round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0.0 END),4) AS total_f,
+        | round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice ELSE 0.0 END),4) AS total_o,
+        | round(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice ELSE 0.0 END),4) AS total_p,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT s_suppkey, s_name, round(s_acctbal,4) AS acctbal
+        |FROM supplier
+        |WHERE s_acctbal > (SELECT avg(s_acctbal) FROM supplier)""".stripMargin,
+  )
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the graft engine.
+  *
+  * Mirrors the reference's table-per-signal layout
+  * (/root/reference/README.md "Schema" section): the exporter produces
+  * flat parquet tables which downstream engines scan. Here the scan is a
+  * plain `spark.read.parquet` so Catalyst handles column pruning and
+  * predicate pushdown into the parquet reader.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. We read it as a raw long (legacy conf) and truncate
+    * to microseconds — Spark's native timestamp precision. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(col("ts") / 1000L cast "long"))
+      case _ => df
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

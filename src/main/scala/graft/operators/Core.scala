@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Core relational operators — the downstream analytic query surface over
+  * the tables the reference exporter produces (SURVEY.md §2.1).
+  *
+  * Design notes (100 TB scale):
+  *  - Dimension tables (region/nation/supplier/part) are broadcast
+  *    explicitly; fact-fact joins shuffle on the join key and rely on AQE
+  *    for skew handling.
+  *  - All aggregates are plain `groupBy().agg()` → partial (map-side)
+  *    aggregation for free.
+  *  - Floating-point outputs are rounded to 4 decimals on BOTH the Spark
+  *    and oracle side so cross-engine summation-order drift (~1e-9 rel)
+  *    cannot flip a hash compare.
+  */
+object Core {
+
+  /** TPC-H Q1 shape: scan → filter → hash aggregate with multiple
+    * aggregate functions. Whole-stage codegen end-to-end. */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 4).as("sum_qty"),
+        round(sum($"l_extendedprice"), 4).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q6 shape: tight filter (pushed to parquet) → single-row agg. */
+  def q6FilterAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1997-01-01").cast("timestamp") &&
+              $"l_discount".between(0.02, 0.06) &&
+              $"l_quantity" < 24)
+      .agg(round(sum($"l_extendedprice" * $"l_discount"), 4).as("revenue"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-H Q3 shape: dim-filtered customer ⋈ orders ⋈ lineitem, agg.
+    * customer is broadcast (small relative to facts at any SF). */
+  def q3JoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, sfDir).filter($"c_mktsegment" === "BUILDING")
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q5 shape: 6-way join; all dims broadcast, facts shuffle once. */
+  def q5MultiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val region = Tables.region(spark, sfDir).filter($"r_name" === "ASIA")
+    val nation = Tables.nation(spark, sfDir)
+    val cust   = Tables.customer(spark, sfDir)
+    val supp   = Tables.supplier(spark, sfDir)
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey" &&
+                             $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+  }
+
+  /** Global top-k with deterministic tie-break — sort+limit is a
+    * TakeOrderedAndProject in the physical plan (no full sort shuffle). */
+  def qTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 4).as("total_spent"),
+           count(lit(1)).as("n_orders"))
+      .orderBy($"total_spent".desc, $"o_custkey".asc)
+      .limit(10)
+  }
+
+  /** Window function: top-3 orders per customer by price. */
+  def qWindowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey",
+              round($"o_totalprice", 4).as("price"), $"rn")
+  }
+
+  /** Left-semi join: orders that have at least one returned lineitem. */
+  def qSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val returned = Tables.lineitem(spark, sfDir).filter($"l_returnflag" === "R")
+    Tables.orders(spark, sfDir)
+      .join(returned, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum($"o_totalprice"), 4).as("total_price"))
+  }
+
+  /** Left-anti join: customers that placed no orders. */
+  def qAntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+           round(sum($"c_acctbal"), 4).as("sum_acctbal"))
+  }
+
+  /** count(distinct) per group — Spark expands to a two-phase agg. */
+  def qDistinctAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"),
+           count(lit(1)).as("n_events"))
+  }
+
+  /** ROLLUP(region, nation) hierarchical aggregate over customers. */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, sfDir)), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"),
+           round(sum($"c_acctbal"), 4).as("sum_acctbal"))
+  }
+
+  /** Pivot-style conditional aggregation (sum(case when …)). */
+  def qConditionalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        round(sum(when($"o_orderstatus" === "F", $"o_totalprice").otherwise(0.0)), 4).as("total_f"),
+        round(sum(when($"o_orderstatus" === "O", $"o_totalprice").otherwise(0.0)), 4).as("total_o"),
+        round(sum(when($"o_orderstatus" === "P", $"o_totalprice").otherwise(0.0)), 4).as("total_p"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Filter against a scalar subquery (average account balance). */
+  def qScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val supp = Tables.supplier(spark, sfDir)
+    val avgBal = supp.agg(avg($"s_acctbal").as("a"))
+    supp.join(broadcast(avgBal))
+      .filter($"s_acctbal" > $"a")
+      .select($"s_suppkey", $"s_name", round($"s_acctbal", 4).as("acctbal"))
+  }
+}
