@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.Core
+import graft.telemetry.Telemetry
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -25,22 +26,33 @@ object SparkEntry {
     "q_rollup"           -> (Core.qRollup _),
     "q_conditional_agg"  -> (Core.qConditionalAgg _),
     "q_scalar_subquery"  -> (Core.qScalarSubquery _),
+    "tel_partition_cols" -> (Telemetry.partitionCols _),
+    "tel_json_props"     -> (Telemetry.jsonProps _),
+    "tel_dedup_latest"   -> (Telemetry.dedupLatest _),
+    "tel_sessionize"     -> (Telemetry.sessionize _),
+    "tel_tumbling_window" -> (Telemetry.tumblingWindow _),
+    "tel_error_rate"     -> (Telemetry.errorRate _),
+    "tel_value_stats"    -> (Telemetry.valueStats _),
+    "tel_histogram"      -> (Telemetry.histogram _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity),4) AS sum_qty,
-        | round(sum(l_extendedprice),4) AS sum_base_price,
-        | round(sum(l_extendedprice*(1.0-l_discount)),4) AS sum_disc_price,
-        | round(avg(l_quantity),4) AS avg_qty,
-        | round(avg(l_discount),4) AS avg_disc,
-        | count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+      """SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+        | sum_disc_price, sum_disc, count_order,
+        | CAST(round(CAST(CAST(sum_qty/count_order AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS avg_qty,
+        | CAST(round(CAST(CAST(sum_disc/count_order AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS avg_disc
+        |FROM (SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity),4) AS sum_qty,
+        |  round(sum(l_extendedprice),4) AS sum_base_price,
+        |  round(sum(l_extendedprice*(1.0-l_discount)),4) AS sum_disc_price,
+        |  round(sum(l_discount),4) AS sum_disc,
+        |  count(*) AS count_order
+        | FROM lineitem
+        | WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        | GROUP BY l_returnflag, l_linestatus) t""".stripMargin,
     "q6_filter_agg" ->
       """SELECT round(sum(l_extendedprice*l_discount),4) AS revenue,
         | count(*) AS n_rows
@@ -115,5 +127,66 @@ object SparkEntry {
       """SELECT s_suppkey, s_name, round(s_acctbal,4) AS acctbal
         |FROM supplier
         |WHERE s_acctbal > (SELECT avg(s_acctbal) FROM supplier)""".stripMargin,
+    "tel_partition_cols" ->
+      """SELECT strftime(ts,'%Y') AS year, strftime(ts,'%m') AS month,
+        | strftime(ts,'%d') AS day, strftime(ts,'%H') AS hour,
+        | count(*) AS n_events, round(sum(value),4) AS sum_value
+        |FROM events GROUP BY 1,2,3,4""".stripMargin,
+    "tel_json_props" ->
+      """SELECT event_type, n, sum_k, min_k, max_k,
+        | CAST(round(CAST(CAST(sum_k*1.0/n AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS avg_k
+        |FROM (SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS max_k
+        | FROM events GROUP BY event_type) t""".stripMargin,
+    "tel_dedup_latest" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        | SELECT user_id, event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t WHERE rn = 1""".stripMargin,
+    "tel_sessionize" ->
+      """WITH w AS (
+        | SELECT user_id, ts, event_id, value,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |s AS (
+        | SELECT *, CASE WHEN prev_ts IS NULL
+        |   OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        | FROM w),
+        |s2 AS (
+        | SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        | FROM s)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        | min(event_id) AS first_event_id, round(sum(value),4) AS sum_value
+        |FROM s2 GROUP BY user_id, session_idx""".stripMargin,
+    "tel_tumbling_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+        |   '%Y-%m-%d %H:%M:%S') AS hour_start,
+        | event_type, count(*) AS n_events, round(sum(value),4) AS sum_value
+        |FROM events GROUP BY 1,2""".stripMargin,
+    "tel_error_rate" ->
+      """SELECT hour_start, n_errors, n_total,
+        | CAST(round(CAST(CAST(n_errors*1.0/n_total AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS error_rate FROM (
+        | SELECT strftime(date_trunc('hour',ts),'%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_errors,
+        |  count(*) AS n_total
+        | FROM events GROUP BY 1) t""".stripMargin,
+    "tel_value_stats" ->
+      """SELECT event_type, day, n, min_value, max_value, sum_value,
+        | CAST(round(CAST(CAST(sum_value/n AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS avg_value
+        |FROM (SELECT event_type, strftime(ts,'%Y-%m-%d') AS day, count(*) AS n,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  round(sum(value),4) AS sum_value
+        | FROM events GROUP BY 1,2) t""".stripMargin,
+    "tel_histogram" ->
+      """SELECT event_type,
+        | CASE WHEN value<50 THEN '0_lt50' WHEN value<100 THEN '1_lt100'
+        |      WHEN value<200 THEN '2_lt200' WHEN value<500 THEN '3_lt500'
+        |      ELSE '4_ge500' END AS bucket,
+        | count(*) AS bucket_count
+        |FROM events GROUP BY 1,2""".stripMargin,
   )
 }

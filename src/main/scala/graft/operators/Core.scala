@@ -32,9 +32,12 @@ object Core {
         round(sum($"l_quantity"), 4).as("sum_qty"),
         round(sum($"l_extendedprice"), 4).as("sum_base_price"),
         round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
-        round(avg($"l_quantity"), 4).as("avg_qty"),
-        round(avg($"l_discount"), 4).as("avg_disc"),
+        round(sum($"l_discount"), 4).as("sum_disc"),
         count(lit(1)).as("count_order"))
+      // avg derived from the rounded sum: both engines then divide
+      // bit-identical doubles, so the result is engine-independent.
+      .withColumn("avg_qty", round($"sum_qty" / $"count_order", 4))
+      .withColumn("avg_disc", round($"sum_disc" / $"count_order", 4))
   }
 
   /** TPC-H Q6 shape: tight filter (pushed to parquet) → single-row agg. */

@@ -1,0 +1,137 @@
+package graft.telemetry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Telemetry-pipeline operators — the reference exporter's own data
+  * semantics re-expressed over the `events` table (SURVEY.md §2.2).
+  *
+  * The reference flattens OTLP batches and partitions them by event time
+  * (internal/iceberg/partition.go:73-98); downstream consumers then run
+  * exactly these shapes: partition rollups, JSON-attribute extraction
+  * (internal/arrow/attributes.go), at-least-once dedup, sessionization,
+  * tumbling windows, error-rate and gauge/histogram rollups
+  * (internal/arrow/metrics.go).
+  *
+  * Scale notes: every query is a single shuffle (groupBy on its natural
+  * key, or a window partitioned by a high-cardinality key). Dedup-latest
+  * deliberately uses max(struct(...)) — a partial-aggregating hash agg —
+  * instead of window+filter, which would sort every partition.
+  */
+object Telemetry {
+
+  /** year/month/day/hour partition-value derivation at hourly
+    * granularity, as the reference's PathGenerator does (partition.go). */
+  def partitionCols(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(
+        date_format($"ts", "yyyy").as("year"),
+        date_format($"ts", "MM").as("month"),
+        date_format($"ts", "dd").as("day"),
+        date_format($"ts", "HH").as("hour"),
+        $"value")
+      .groupBy($"year", $"month", $"day", $"hour")
+      .agg(count(lit(1)).as("n_events"),
+           round(sum($"value"), 4).as("sum_value"))
+  }
+
+  /** JSON attribute extraction — the reference JSON-encodes all attr maps
+    * (attributes.go); consumers pull keys back out. */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+           sum($"k").as("sum_k"),
+           min($"k").as("min_k"),
+           max($"k").as("max_k"))
+      .withColumn("avg_k", round($"sum_k" / $"n", 4))
+  }
+
+  /** At-least-once dedup: keep the latest row per (user_id, event_type).
+    * max(struct(ts, event_id, value)) = argmax by (ts, event_id) with the
+    * payload riding along — one hash agg with map-side combine, no sort. */
+  def dedupLatest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id", $"event_type")
+      .agg(max(struct($"ts", $"event_id", $"value")).as("m"))
+      .select($"user_id", $"event_type",
+              $"m.event_id".as("event_id"), $"m.value".as("value"))
+  }
+
+  /** Gap-based sessionization (30 min): per-user ordered scan via window
+    * functions — shuffles once on user_id (keys ≪ rows). */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+             unix_micros($"ts") - unix_micros($"prev_ts") > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum($"new_session").over(byUser))
+      .groupBy($"user_id", $"session_idx")
+      .agg(count(lit(1)).as("n_events"),
+           min($"event_id").as("first_event_id"),
+           round(sum($"value"), 4).as("sum_value"))
+  }
+
+  /** Tumbling 1-hour window aggregate — the batch equivalent of the
+    * streaming windowed ingest (streaming variant in graft.streaming). */
+  def tumblingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+           round(sum($"value"), 4).as("sum_value"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+              $"event_type", $"n_events", $"sum_value")
+  }
+
+  /** Per-hour error-rate — conditional aggregation over severity-like
+    * event classes. */
+  def errorRate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour_start"))
+      .agg(sum(when($"event_type" === "error", 1L).otherwise(0L)).as("n_errors"),
+           count(lit(1)).as("n_total"))
+      .withColumn("error_rate", round($"n_errors" / $"n_total", 4))
+  }
+
+  /** Gauge-style rollup: min/max/sum/count per metric stream per day —
+    * the shape consumers run on otel_metrics_gauge (metrics.go). */
+  def valueStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+           min($"value").as("min_value"),
+           max($"value").as("max_value"),
+           round(sum($"value"), 4).as("sum_value"))
+      .withColumn("avg_value", round($"sum_value" / $"n", 4))
+  }
+
+  /** Explicit-bounds histogram (bounds 50/100/200/500) — the reference's
+    * histogram metric shape (metrics.go explicit_bounds/bucket_counts)
+    * computed from raw values. */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bucket =
+      when($"value" < 50, "0_lt50")
+        .when($"value" < 100, "1_lt100")
+        .when($"value" < 200, "2_lt200")
+        .when($"value" < 500, "3_lt500")
+        .otherwise("4_ge500")
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type", bucket.as("bucket"))
+      .agg(count(lit(1)).as("bucket_count"))
+  }
+}
