@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.Core
 import graft.telemetry.Telemetry
+import graft.llm.{Dedup, Multimodal, SimOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -34,6 +35,17 @@ object SparkEntry {
     "tel_error_rate"     -> (Telemetry.errorRate _),
     "tel_value_stats"    -> (Telemetry.valueStats _),
     "tel_histogram"      -> (Telemetry.histogram _),
+    "dedup_exact"        -> (TextOps.dedupExact _),
+    "text_fingerprint"   -> (TextOps.fingerprint _),
+    "text_tokens"        -> (TextOps.tokenStats _),
+    "text_quality"       -> (TextOps.quality _),
+    "text_langid"        -> (TextOps.langId _),
+    "dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash"      -> (Dedup.simhash _),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "sim_topk_bruteforce" -> ((s, d) => SimOps.simTopkBruteforce(s, d)),
+    "sim_lsh_ann"        -> ((s, d) => SimOps.lshAnn(s, d)),
+    "mm_binary_meta"     -> (Multimodal.binaryMeta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -188,5 +200,74 @@ object SparkEntry {
         |      ELSE '4_ge500' END AS bucket,
         | count(*) AS bucket_count
         |FROM events GROUP BY 1,2""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT lang, count(*) AS n_docs,
+        | count(DISTINCT md5(lower(trim(regexp_replace(text,'\s+',' ','g'))))) AS n_distinct_fp
+        |FROM documents GROUP BY lang""".stripMargin,
+    "text_tokens" ->
+      """SELECT source, count(*) AS n_docs,
+        | sum(len(string_split_regex(trim(text),'\s+'))) AS sum_tokens,
+        | sum(CAST(ceil(length(text)/4.0) AS BIGINT)) AS sum_tokens_bpe,
+        | max(len(string_split_regex(trim(text),'\s+'))) AS max_tokens
+        |FROM documents GROUP BY source""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, n_chars_txt, n_tokens, n_stopwords,
+        | CAST(round(CAST(CAST(n_stopwords*1.0/n_tokens AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS stop_ratio,
+        | CAST(round(CAST(CAST(n_nospace*1.0/n_tokens AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS mean_token_len
+        |FROM (SELECT doc_id,
+        |  length(text) AS n_chars_txt,
+        |  len(string_split_regex(trim(text),'\s+')) AS n_tokens,
+        |  len(list_filter(string_split_regex(trim(text),'\s+'),
+        |      x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stopwords,
+        |  length(regexp_replace(trim(text),'\s+','','g')) AS n_nospace
+        | FROM documents) t""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |   THEN [array_to_string(t[i:i+2],' ') for i in generate_series(1,len(t)-2)]
+        |   ELSE [array_to_string(t,' ')] END) AS s
+        | FROM toks),
+        |post AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+        |  count(*) AS inter
+        | FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1,2,3,4)
+        |SELECT doc_a, doc_b, inter, jaccard FROM (
+        | SELECT doc_a, doc_b, inter,
+        |  CAST(round(CAST(CAST(inter*1.0/(na+nb-inter) AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS jaccard
+        | FROM pairs) p
+        |WHERE jaccard >= 0.2""".stripMargin,
+    "sim_topk_bruteforce" ->
+      """WITH n AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        | FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm
+        |      FROM n WHERE vec_id < 8),
+        |p AS (
+        | SELECT query_id, n.vec_id AS neighbor_id,
+        |  round(list_dot_product(n.vec, q.qvec)/(n.norm*q.qnorm), 6) AS cosine
+        | FROM n, q WHERE n.vec_id != q.query_id),
+        |r AS (
+        | SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rnk
+        | FROM p)
+        |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        | lower(hex(encode(substr(text,1,4)))) AS magic_hex,
+        | 64 + ascii(substr(text,1,1)) % 192 AS fake_width,
+        | 64 + ascii(substr(text,2,1)) % 192 AS fake_height,
+        | 1 + octet_length(encode(text)) % 4 AS fake_channels
+        |FROM documents""".stripMargin,
   )
 }

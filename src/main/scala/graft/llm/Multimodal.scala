@@ -1,0 +1,51 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2.3): treat media as opaque
+  * `binary` columns with typed metadata extracted by a per-partition
+  * decoder.
+  *
+  * The Spark-side plumbing is real — binary column, typed Dataset,
+  * mapPartitions batch shape, schema — while the actual media decode is
+  * STUBBED (this container has no image/audio codecs): `stubDecode`
+  * derives deterministic fake dimensions from the bytes. Swapping in a
+  * real decoder (e.g. TwelveMonkeys/JavaCV on the executor classpath)
+  * changes only that one function.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media: Array[Byte])
+  case class MediaMeta(doc_id: Long, byte_len: Long, magic_hex: String,
+                       fake_width: Long, fake_height: Long, fake_channels: Long)
+
+  /** STUB decoder — deterministic fake in place of a real image decode.
+    * Real implementation would parse the container header / decode the
+    * frame; here we derive stable pseudo-metadata from the first bytes. */
+  def stubDecode(bytes: Array[Byte]): (Long, Long, Long) = {
+    val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+    val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+    (64L + b0 % 192, 64L + b1 % 192, 1L + (bytes.length % 4))
+  }
+
+  /** Binary metadata pipeline: documents' text re-encoded as a stand-in
+    * binary media column, then decoded per-partition. mapPartitions (not
+    * map) so a real decoder could amortize codec init per batch — the
+    * same batch shape `mapInPandas`/Arrow would give a Python decoder. */
+  def binaryMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = Tables.documents(spark, sfDir)
+      .select($"doc_id", encode($"text", "UTF-8").as("media"))
+      .as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, c) = stubDecode(r.media)
+        val magic = r.media.take(4).map(b => f"${b & 0xff}%02x").mkString
+        MediaMeta(r.doc_id, r.media.length.toLong, magic, w, h, c)
+      }
+    }.toDF()
+  }
+}

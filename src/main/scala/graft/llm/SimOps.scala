@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over embedding columns (SURVEY.md §2.3).
+  *
+  * `simTopkBruteforce` is the correctness baseline: exact cosine top-k
+  * with the (small) query set broadcast against the full corpus — one
+  * pass over the data, no shuffle of the big side. `lshAnn` is the scale
+  * path: random-hyperplane buckets turn the cross product into an
+  * equi-join on bucket id.
+  *
+  * Dot products use native higher-order expressions
+  * (`zip_with`/`aggregate`) on double arrays — no UDF serialization.
+  */
+object SimOps {
+
+  /** float[] -> double[] plus L2 norm. */
+  private def withVec(df: DataFrame): DataFrame = {
+    val vec = transform(col("embedding"), x => x.cast("double"))
+    df.withColumn("vec", vec)
+      .withColumn("norm", sqrt(aggregate(col("vec"), lit(0.0), (a, x) => a + x * x)))
+  }
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Exact cosine top-k: queries (vec_id < nQueries) broadcast against
+    * every candidate. Ranking uses the 6-decimal-rounded cosine with
+    * vec_id tie-break so ordering is engine-stable. */
+  def simTopkBruteforce(spark: SparkSession, sfDir: String,
+                        nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val emb = withVec(Tables.embeddings(spark, sfDir))
+    val q = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"), $"norm".as("qnorm"))
+    val ranked = emb.select($"vec_id", $"vec", $"norm")
+      .crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos6", round(dot($"vec", $"qvec") / ($"norm" * $"qnorm"), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos6".desc, $"vec_id".asc)))
+    ranked.filter($"rnk" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"cos6".as("cosine"),
+              $"rnk".cast("long").as("rnk"))
+  }
+
+  private val MIX = 2654435761L
+
+  /** Deterministic pseudo-random hyperplane coefficient for (plane j,
+    * dim d): integer mix → value in [-1, 1]. Pure arithmetic so the
+    * whole signature stays a codegen-friendly expression. */
+  private def coef(j: Column, d: Column): Column =
+    (pmod((j * 64 + d + 1) * lit(MIX), lit(97L)) - 48L) / 48.0
+
+  /** Random-hyperplane LSH ANN: 16 sign bits → bucket id; query joins
+    * its bucket only (equi-join replaces the cross product at scale).
+    * Exact cosine re-ranking within the bucket. */
+  def lshAnn(spark: SparkSession, sfDir: String,
+             nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val dim = 64
+    val bucket = aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) => {
+      val dotJ = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+        (s, d) => s + element_at($"vec", d.cast("int") + 1) * coef(j, d))
+      acc.bitwiseOR(call_function("shiftleft",
+        when(dotJ > 0, 1L).otherwise(0L), j.cast("int")))
+    })
+    val emb = withVec(Tables.embeddings(spark, sfDir)).withColumn("bucket", bucket)
+    val q = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"),
+              $"norm".as("qnorm"), $"bucket")
+    val ranked = emb.select($"vec_id", $"vec", $"norm", $"bucket")
+      .join(broadcast(q), "bucket")
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos6", round(dot($"vec", $"qvec") / ($"norm" * $"qnorm"), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos6".desc, $"vec_id".asc)))
+    ranked.filter($"rnk" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"cos6".as("cosine"),
+              $"rnk".cast("long").as("rnk"))
+  }
+}

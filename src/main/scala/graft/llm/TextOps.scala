@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY.md §2.3): exact dedup, fingerprinting, token statistics,
+  * quality scoring, and language ID.
+  *
+  * Everything is built from native `functions._` (codegen'd or native
+  * higher-order expressions) — no UDFs — so the operators stay inside
+  * whole-stage codegen and distribute trivially: each is a narrow map
+  * followed by one hash aggregate.
+  */
+object TextOps {
+
+  /** Whitespace tokenization shared by all operators. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  private val stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Exact deduplication: hash-groupBy on md5(text), keep the smallest
+    * doc_id as canonical. One shuffle on the hash; at 100 TB the md5
+    * spreads keys uniformly so no skew. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .groupBy(md5($"text").as("text_hash"))
+      .agg(min($"doc_id").as("keep_doc_id"),
+           count(lit(1)).as("n_copies"))
+  }
+
+  /** Normalized document fingerprint (lower + whitespace collapse + md5)
+    * and per-language duplicate-cluster stats. */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("fp", md5(lower(trim(regexp_replace($"text", "\\s+", " ")))))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct($"fp").as("n_distinct_fp"))
+  }
+
+  /** Token counting per source: whitespace tokens + a chars/4 BPE-style
+    * estimate (the standard ~4-chars-per-token heuristic). */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"source",
+              size(tokens($"text")).cast("long").as("n_tokens"),
+              ceil(length($"text") / lit(4.0)).as("n_tokens_bpe"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_tokens").as("sum_tokens"),
+           sum($"n_tokens_bpe").as("sum_tokens_bpe"),
+           max($"n_tokens").as("max_tokens"))
+  }
+
+  /** Per-document quality metrics: length, token count, mean token
+    * length, stopword ratio — the length/punct/stopword heuristics used
+    * to filter web-scale corpora. */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(spark, sfDir)
+      .withColumn("n_chars_txt", length($"text").cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_stopwords",
+        size(filter(toks, t => array_contains(stopArr, t))).cast("long"))
+      .withColumn("stop_ratio", round($"n_stopwords" / $"n_tokens", 4))
+      .withColumn("mean_token_len",
+        round(length(regexp_replace(trim($"text"), "\\s+", "")) / $"n_tokens", 4))
+      .select($"doc_id", $"n_chars_txt", $"n_tokens", $"n_stopwords",
+              $"stop_ratio", $"mean_token_len")
+  }
+
+  private val langLexicons: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "una"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"))
+
+  /** Stopword-profile language ID: score each language lexicon by token
+    * hits, pick the argmax (ties broken by language code, descending via
+    * struct ordering). A narrow map — no shuffle at all. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens(lower($"text"))
+    val scored = langLexicons.toSeq.sortBy(_._1).map { case (langCode, lex) =>
+      val lexArr = array(lex.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(lexArr, t))).as("score"),
+             lit(langCode).as("lang_code"))
+    }
+    Tables.documents(spark, sfDir)
+      .withColumn("best", array_max(array(scored: _*)))
+      .select($"doc_id", $"best.lang_code".as("pred_lang"),
+              $"best.score".cast("long").as("score"))
+  }
+}
