@@ -1,0 +1,77 @@
+package graft.sink
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Time-partitioned parquet sink — the Spark-native counterpart of the
+  * reference's write path (writer.go + internal/iceberg/partition.go).
+  *
+  * The reference buffers rows per (table, partition) and writes one
+  * parquet file per partition per flush with a configured codec; here the
+  * same layout falls out of `partitionBy(year[,month[,day[,hour]]])`,
+  * which at 100 TB also gives downstream readers file-listing-level
+  * partition pruning on time predicates.
+  *
+  * Granularities mirror partition.go:73-98: monthly → year/month,
+  * daily → +day, hourly → +hour. Partition values are rendered in the
+  * configured timezone like the reference's PathGenerator.
+  */
+object PartitionedParquetSink {
+
+  case class SinkConfig(
+      basePath: String,
+      table: String,
+      tsColumn: String = "time_unix_nano",
+      granularity: String = "hourly",
+      timezone: String = "UTC",
+      compression: String = "snappy")
+
+  /** Partition column names for a granularity (partition.go ToMap). */
+  def partitionColumns(granularity: String): Seq[String] = granularity match {
+    case "monthly" => Seq("year", "month")
+    case "daily"   => Seq("year", "month", "day")
+    case _         => Seq("year", "month", "day", "hour") // hourly default
+  }
+
+  /** Derive string partition values from the timestamp in the sink
+    * timezone — zero-padded like the reference ("01", "08"). */
+  def withPartitionValues(df: DataFrame, cfg: SinkConfig): DataFrame = {
+    val local: Column = from_utc_timestamp(col(cfg.tsColumn), cfg.timezone)
+    val all = Map(
+      "year"  -> date_format(local, "yyyy"),
+      "month" -> date_format(local, "MM"),
+      "day"   -> date_format(local, "dd"),
+      "hour"  -> date_format(local, "HH"))
+    partitionColumns(cfg.granularity).foldLeft(df) {
+      case (d, name) => d.withColumn(name, all(name))
+    }
+  }
+
+  def tablePath(cfg: SinkConfig): String = s"${cfg.basePath}/${cfg.table}"
+
+  /** Batch write: append one partitioned parquet dataset. */
+  def writeBatch(df: DataFrame, cfg: SinkConfig): Unit =
+    withPartitionValues(df, cfg)
+      .write
+      .partitionBy(partitionColumns(cfg.granularity): _*)
+      .option("compression", cfg.compression)
+      .mode("append")
+      .parquet(tablePath(cfg))
+
+  /** Streaming write: same layout via Structured Streaming's parquet
+    * sink (exactly-once per partition via the checkpoint + file log —
+    * stronger than the reference's at-least-once delivery). */
+  def writeStream(df: DataFrame, cfg: SinkConfig,
+                  checkpoint: String): DataStreamWriter[Row] =
+    withPartitionValues(df, cfg)
+      .writeStream
+      .format("parquet")
+      .partitionBy(partitionColumns(cfg.granularity): _*)
+      .option("path", tablePath(cfg))
+      .option("compression", cfg.compression)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+}

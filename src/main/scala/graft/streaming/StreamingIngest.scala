@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+import graft.sink.PartitionedParquetSink
+import graft.sink.PartitionedParquetSink.SinkConfig
+
+/** Structured-Streaming ingestion — the streaming counterpart of the
+  * reference exporter's receive → flatten → partition → write loop
+  * (exporter.go + writer.go), with Spark's checkpointed file sink
+  * giving exactly-once output where the reference is at-least-once.
+  *
+  * Source here is a file stream (new parquet files appearing in a
+  * directory, e.g. dropped by an upstream collector); swapping in a
+  * Kafka/OTLP source changes only `readEvents`.
+  */
+object StreamingIngest {
+
+  /** Tail a directory of parquet files as a stream. */
+  def readEvents(spark: SparkSession, srcDir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(srcDir)
+
+  /** Continuous ingest into the time-partitioned table layout. */
+  def ingest(events: DataFrame, cfg: SinkConfig, checkpoint: String): StreamingQuery =
+    PartitionedParquetSink.writeStream(events, cfg, checkpoint).start()
+
+  /** Watermarked tumbling-window aggregate (1h windows, 10 min late
+    * data) — the streaming version of Telemetry.tumblingWindow. */
+  def windowedCounts(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, "10 minutes")
+      .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+}

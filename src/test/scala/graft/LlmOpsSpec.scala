@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, SimOps, TextOps}
+
+class LlmOpsSpec extends SparkSpec {
+
+  test("dedup_exact: every doc accounted for, hash groups consistent") {
+    val df = TextOps.dedupExact(spark, sf)
+    val total = df.agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(total === Tables.documents(spark, sf).count())
+  }
+
+  test("minhash LSH candidates agree with exact n-gram jaccard at threshold") {
+    val lsh = Dedup.minhashLsh(spark, sf, threshold = 0.2)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccard(spark, sf, threshold = 0.2)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH verifies candidates with exact jaccard → subset of exact pairs;
+    // recall on this corpus should be high (bands catch >=0.2 pairs).
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty) assert(lsh.size.toDouble / exact.size >= 0.5)
+  }
+
+  test("simhash is deterministic and near-identical docs share prefixes") {
+    val a = Dedup.simhash(spark, sf).orderBy("doc_id").limit(5).collect()
+    val b = Dedup.simhash(spark, sf).orderBy("doc_id").limit(5).collect()
+    assert(a.map(_.getLong(1)).sameElements(b.map(_.getLong(1))))
+    assert(a.forall(r => r.getLong(2) == (r.getLong(1) >>> 48)))
+  }
+
+  test("brute-force cosine top-k: ranks dense, cosine within [-1,1]") {
+    val rows = SimOps.simTopkBruteforce(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size === 8)
+    byQ.values.foreach { g =>
+      assert(g.map(_.getAs[Long]("rnk")).sorted.sameElements(1L to 5L))
+      g.foreach { r =>
+        val c = r.getAs[Double]("cosine")
+        assert(c >= -1.0001 && c <= 1.0001)
+        assert(r.getAs[Long]("neighbor_id") !== r.getAs[Long]("query_id"))
+      }
+    }
+  }
+
+  test("LSH ANN returns bucket-local results consistent with brute force") {
+    val ann = SimOps.lshAnn(spark, sf).collect()
+    // every ANN hit must carry a sane cosine and exclude self
+    ann.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") !== r.getAs[Long]("query_id"))
+      assert(math.abs(r.getAs[Double]("cosine")) <= 1.0001)
+    }
+  }
+
+  test("language ID picks the lexicon argmax deterministically") {
+    val df = TextOps.langId(spark, sf)
+    assert(df.count() === 500)
+    assert(df.filter(col("pred_lang").isin("en", "es", "fr", "de")).count() === 500)
+  }
+
+  test("binary metadata pipeline: byte lengths match text encoding") {
+    val meta = Multimodal.binaryMeta(spark, sf)
+    val joined = meta.join(Tables.documents(spark, sf), "doc_id")
+      .select(col("byte_len"), length(col("text")).cast("long").as("txt_len"))
+    assert(joined.filter(col("byte_len") =!= col("txt_len")).count() === 0)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.otel.{OtelLogs, OtelMetrics, OtelTraces}
+
+// Top-level case classes so Spark can derive encoders.
+case class TResource(attributes: Map[String, String], dropped_attributes_count: Int)
+case class TScope(name: String, version: String,
+                  attributes: Map[String, String], dropped_attributes_count: Int)
+case class TEvent(time_unix_nano: Long, name: String,
+                  attributes: Map[String, String], dropped_attributes_count: Int)
+case class TLink(trace_id: String, span_id: String, trace_state: String,
+                 attributes: Map[String, String], dropped_attributes_count: Int,
+                 flags: Int)
+case class TStatus(code: Int, message: String)
+case class TSpan(trace_id: String, span_id: String, trace_state: String,
+                 parent_span_id: String, flags: Int, name: String, kind: Int,
+                 start_time_unix_nano: Long, end_time_unix_nano: Long,
+                 attributes: Map[String, String], dropped_attributes_count: Int,
+                 events: Seq[TEvent], dropped_events_count: Int,
+                 links: Seq[TLink], dropped_links_count: Int, status: TStatus)
+case class TraceBatch(resource: TResource, scope: TScope, spans: Seq[TSpan])
+
+case class LogRecord(time_unix_nano: Long, observed_time_unix_nano: Long,
+                     severity_number: Int, severity_text: String, body: String,
+                     attributes: Map[String, String],
+                     dropped_attributes_count: Int, flags: Int,
+                     trace_id: String, span_id: String, event_name: String)
+case class LogBatch(resource: TResource, scope: TScope, records: Seq[LogRecord])
+
+case class MMetric(name: String, description: String, unit: String,
+                   metadata: Map[String, String],
+                   aggregation_temporality: Int, is_monotonic: Boolean)
+case class GPoint(time_unix_nano: Long, start_time_unix_nano: Long,
+                  attributes: Map[String, String], flags: Int,
+                  as_double: Option[Double], as_int: Option[Long])
+case class GaugeBatch(resource: TResource, scope: TScope, metric: MMetric,
+                      points: Seq[GPoint])
+
+class OtelSpec extends SparkSpec {
+
+  private val res = TResource(Map("service.name" -> "svc-a", "host" -> "h1"), 0)
+  private val scope = TScope("lib", "1.0", Map.empty, 0)
+
+  test("traces flatten: duration, kind/status names, service_name, JSON attrs") {
+    import spark.implicits._
+    val t0 = 1700000000000000000L
+    val span = TSpan("abc123", "def456", "", "", 1, "GET /x", 2,
+      t0, t0 + 1500000000L, Map("http.method" -> "GET"), 0,
+      Seq(TEvent(t0 + 1000, "ev1", Map("k" -> "v"), 0)), 0,
+      Seq(TLink("ltrace", "lspan", "", Map.empty, 0, 0)), 0, TStatus(2, "boom"))
+    val out = OtelTraces.flatten(Seq(TraceBatch(res, scope, Seq(span))).toDF())
+    val r = out.collect()(0)
+    // duration = end - start in ns (traces.go:219)
+    assert(r.getAs[Long]("duration") === 1500000000L)
+    assert(r.getAs[String]("span_kind") === "SERVER")
+    assert(r.getAs[String]("status_code") === "ERROR")
+    assert(r.getAs[String]("service_name") === "svc-a")
+    assert(r.getAs[String]("span_attributes").contains("\"http.method\":\"GET\""))
+    assert(r.getAs[Seq[String]]("events_name") === Seq("ev1"))
+    assert(r.getAs[Seq[String]]("links_trace_id") === Seq("ltrace"))
+    // 33 columns in the reference traces schema (README Traces Schema)
+    assert(out.columns.length === 33)
+  }
+
+  test("logs flatten: severity, correlation ids, JSON body") {
+    import spark.implicits._
+    val rec = LogRecord(1700000000000000000L, 1700000000000000001L,
+      17, "ERROR", "it broke", Map("k" -> "v"), 0, 0, "tid", "sid", "evt")
+    val out = OtelLogs.flatten(Seq(LogBatch(res, scope, Seq(rec))).toDF())
+    val r = out.collect()(0)
+    assert(r.getAs[Int]("severity_number") === 17)
+    assert(r.getAs[String]("trace_id") === "tid")
+    assert(r.getAs[String]("body").contains("it broke"))
+    assert(r.getAs[String]("service_name") === "svc-a")
+    assert(out.columns.length === 18)
+  }
+
+  test("gauge flatten: envelope + typed values, nullable as_int/as_double") {
+    import spark.implicits._
+    val m = MMetric("cpu.load", "load", "1", Map.empty, 2, false)
+    val pts = Seq(
+      GPoint(1700000000000000000L, 1699999000000000000L, Map("core" -> "0"), 0,
+             Some(0.75), None),
+      GPoint(1700000001000000000L, 1699999000000000000L, Map("core" -> "1"), 0,
+             None, Some(42L)))
+    val out = OtelMetrics.flattenGauge(Seq(GaugeBatch(res, scope, m, pts)).toDF())
+    assert(out.count() === 2)
+    val rows = out.collect()
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("as_double")) &&
+                            r.getAs[Double]("as_double") === 0.75))
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("as_int")) &&
+                            r.getAs[Long]("as_int") === 42L))
+    assert(rows.forall(_.getAs[String]("metric_name") === "cpu.load"))
+  }
+
+  test("sum flatten carries monotonicity and temporality names") {
+    import spark.implicits._
+    val m = MMetric("requests", "req count", "1", Map.empty, 2, true)
+    val pts = Seq(GPoint(1700000000000000000L, 1699999000000000000L,
+                         Map.empty, 0, None, Some(100L)))
+    val out = OtelMetrics.flattenSum(Seq(GaugeBatch(res, scope, m, pts)).toDF())
+    val r = out.collect()(0)
+    assert(r.getAs[Boolean]("is_monotonic"))
+    assert(r.getAs[String]("aggregation_temporality") === "CUMULATIVE")
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.recovery.Recovery
+import graft.sink.PartitionedParquetSink
+import graft.sink.PartitionedParquetSink.SinkConfig
+
+class SinkRecoverySpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sink").toString
+
+  private def eventsDf = Tables.events(spark, sf)
+
+  test("batch sink lays out hourly year/month/day/hour partitions") {
+    val base = tmp()
+    val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "hourly")
+    PartitionedParquetSink.writeBatch(eventsDf, cfg)
+    val back = spark.read.parquet(s"$base/events")
+    assert(back.count() === eventsDf.count())
+    // partition columns materialize in the path and survive the roundtrip
+    assert(back.columns.toSet.intersect(Set("year", "month", "day", "hour")).size === 4)
+    val dirs = new java.io.File(s"$base/events").listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("year=2024")))
+    val hourDirs = new java.io.File(s"$base/events/year=2024/month=01/day=01").listFiles()
+    assert(hourDirs.exists(_.getName.startsWith("hour=")))
+  }
+
+  test("monthly granularity only derives year/month (partition.go ToMap)") {
+    val base = tmp()
+    val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "monthly")
+    PartitionedParquetSink.writeBatch(eventsDf, cfg)
+    val sub = new java.io.File(s"$base/events/year=2024").listFiles().map(_.getName)
+    assert(sub.contains("month=01"))
+    val monthly = new java.io.File(s"$base/events/year=2024/month=01").listFiles()
+    assert(monthly.forall(f => !f.getName.startsWith("day=")))
+  }
+
+  test("timezone shifts partition values like the reference PathGenerator") {
+    val base = tmp()
+    // UTC 2024-01-01 00:09 → Tokyo (+9) 2024-01-01 09:09
+    val cfg = SinkConfig(base, "events", tsColumn = "ts",
+                         granularity = "hourly", timezone = "Asia/Tokyo")
+    val one = eventsDf.orderBy("event_id").limit(1)
+    PartitionedParquetSink.writeBatch(one, cfg)
+    // zero-padded partition value rendered in the sink timezone, on disk
+    val dayDir = new java.io.File(s"$base/events/year=2024/month=01/day=01")
+    assert(dayDir.listFiles().exists(_.getName === "hour=09"))
+  }
+
+  test("repartition rewrites hourly layout as daily (repartitioner.go)") {
+    val base = tmp()
+    val hourly = SinkConfig(base, "events_hourly", tsColumn = "ts", granularity = "hourly")
+    PartitionedParquetSink.writeBatch(eventsDf, hourly)
+    val daily = SinkConfig(base, "events_daily", tsColumn = "ts", granularity = "daily")
+    Recovery.repartition(spark, hourly, daily)
+    val back = spark.read.parquet(s"$base/events_daily")
+    assert(back.count() === eventsDf.count())
+    val dayDirs = new java.io.File(s"$base/events_daily/year=2024/month=01").listFiles()
+    assert(dayDirs.exists(_.getName.startsWith("day=")))
+    assert(!back.columns.contains("hour"))
+  }
+
+  test("scanner finds orphans; reconcile registers them idempotently") {
+    val base = tmp()
+    val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "monthly")
+    PartitionedParquetSink.writeBatch(eventsDf, cfg)
+    val tablePath = s"$base/events"
+    val manifestPath = s"$base/_manifest"
+
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long)].toDF("file_path", "file_size")
+    val orphans = Recovery.scanOrphans(spark, tablePath, empty)
+    assert(orphans.count() > 0)
+
+    // materialize the count now — the second reconcile overwrites the
+    // manifest files this DataFrame's plan points at
+    val c1 = Recovery.reconcile(spark, tablePath, manifestPath).count()
+    assert(c1 === orphans.count())
+    // second run registers nothing new (idempotent re-register)
+    val m2 = Recovery.reconcile(spark, tablePath, manifestPath)
+    assert(m2.count() === c1)
+    // and a fresh scan against the manifest is clean
+    assert(Recovery.scanOrphans(spark, tablePath, m2).count() === 0)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sink.PartitionedParquetSink.SinkConfig
+import graft.streaming.StreamingIngest
+
+class StreamingSpec extends SparkSpec {
+
+  test("file-stream ingest writes the partitioned layout exactly once") {
+    val base = Files.createTempDirectory("graft-stream").toString
+    val batch = Tables.events(spark, sf)
+    val srcDir = s"$base/src"
+    batch.write.parquet(srcDir)
+
+    val stream = StreamingIngest.readEvents(spark, srcDir, batch.schema)
+    val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "daily")
+    val q = StreamingIngest.ingest(stream, cfg, s"$base/chk")
+    q.awaitTermination()
+
+    val out = spark.read.parquet(s"$base/events")
+    assert(out.count() === batch.count())
+    assert(out.columns.contains("day") && !out.columns.contains("hour"))
+
+    // restart with no new data → no duplicates (checkpointed file log)
+    val q2 = StreamingIngest.ingest(
+      StreamingIngest.readEvents(spark, srcDir, batch.schema), cfg, s"$base/chk")
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$base/events").count() === batch.count())
+  }
+
+  test("watermarked windowed aggregate matches the batch tumbling window") {
+    val base = Files.createTempDirectory("graft-stream-agg").toString
+    val batch = Tables.events(spark, sf)
+    val srcDir = s"$base/src"
+    batch.write.parquet(srcDir)
+
+    val stream = StreamingIngest.readEvents(spark, srcDir, batch.schema)
+    val agg = StreamingIngest.windowedCounts(stream)
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.sql("select sum(n_events) from win_agg").collect()(0).getLong(0)
+    assert(streamed === batch.count())
+    val nWindows = spark.sql("select count(distinct window_start) from win_agg")
+      .collect()(0).getLong(0)
+    val batchWindows = batch.select(window(col("ts"), "1 hour")).distinct().count()
+    assert(nWindows === batchWindows)
+  }
+}
