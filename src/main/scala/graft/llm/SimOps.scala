@@ -57,20 +57,45 @@ object SimOps {
   private def coef(j: Column, d: Column): Column =
     (pmod((j * 64 + d + 1) * lit(MIX), lit(97L)) - 48L) / 48.0
 
+  /** Hyperplane signature in plain JIT'd Scala — the 16×dim dot-product
+    * loop is exactly the hot per-row math that typed mapPartitions beats
+    * interpreted higher-order expressions at. Same formula as [[coef]]. */
+  private def bucketOf(vec: Array[Double]): Long = {
+    var bucket = 0L
+    var j = 0
+    while (j < 16) {
+      var dotJ = 0.0
+      var d = 0
+      while (d < vec.length) {
+        val c = (java.lang.Math.floorMod((j * 64L + d + 1) * MIX, 97L) - 48L) / 48.0
+        dotJ += vec(d) * c
+        d += 1
+      }
+      if (dotJ > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
   /** Random-hyperplane LSH ANN: 16 sign bits → bucket id; query joins
     * its bucket only (equi-join replaces the cross product at scale).
     * Exact cosine re-ranking within the bucket. */
   def lshAnn(spark: SparkSession, sfDir: String,
              nQueries: Int = 8, k: Int = 5): DataFrame = {
     import spark.implicits._
-    val dim = 64
-    val bucket = aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) => {
-      val dotJ = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
-        (s, d) => s + element_at($"vec", d.cast("int") + 1) * coef(j, d))
-      acc.bitwiseOR(call_function("shiftleft",
-        when(dotJ > 0, 1L).otherwise(0L), j.cast("int")))
-    })
-    val emb = withVec(Tables.embeddings(spark, sfDir)).withColumn("bucket", bucket)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        rows.map { case (id, e) =>
+          val vec = e.map(_.toDouble)
+          var n2 = 0.0
+          var i = 0
+          while (i < vec.length) { n2 += vec(i) * vec(i); i += 1 }
+          (id, vec, math.sqrt(n2), bucketOf(vec))
+        }
+      }
+      .toDF("vec_id", "vec", "norm", "bucket")
     val q = emb.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"vec".as("qvec"),
               $"norm".as("qnorm"), $"bucket")
