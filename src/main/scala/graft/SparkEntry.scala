@@ -43,6 +43,7 @@ object SparkEntry {
     "dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"      -> (Dedup.simhash _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "sim_topk_bruteforce" -> ((s, d) => SimOps.simTopkBruteforce(s, d)),
     "sim_lsh_ann"        -> ((s, d) => SimOps.lshAnn(s, d)),
     "mm_binary_meta"     -> (Multimodal.binaryMeta _),
@@ -245,6 +246,16 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(inter*1.0/(na+nb-inter) AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS jaccard
         | FROM pairs) p
         |WHERE jaccard >= 0.2""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH n AS (
+        | SELECT vec_id, label, embedding::DOUBLE[] AS vec,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        | FROM embeddings)
+        |SELECT vec_a, vec_b, label, cosine FROM (
+        | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+        |  round(list_dot_product(a.vec, b.vec)/(a.nrm*b.nrm), 6) AS cosine
+        | FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id) p
+        |WHERE cosine >= 0.35""".stripMargin,
     "sim_topk_bruteforce" ->
       """WITH n AS (
         | SELECT vec_id, embedding::DOUBLE[] AS vec,

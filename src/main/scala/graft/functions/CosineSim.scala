@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression: cosine similarity of two double arrays.
+  *
+  * Per the engine's extension ladder (SURVEY.md §3), a scalar function
+  * that Spark lacks gets a custom `Expression` with `doGenCode` — it
+  * stays inside whole-stage codegen (one fused loop over the unsafe
+  * array data, no boxing), which a Scala UDF cannot do.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Callers pass array<double> columns (cast upstream); the expression
+  // reads through ArrayData.getDouble either way.
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var n1 = 0.0; var n2 = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; n1 += xi * xi; n2 += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(n1) * math.sqrt(n2))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val n1 = ctx.freshName("n1")
+      val n2 = ctx.freshName("n2")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0, $n1 = 0.0, $n2 = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double xi = $x.getDouble($i);
+         |  double yi = $y.getDouble($i);
+         |  $dot += xi * yi; $n1 += xi * xi; $n2 += yi * yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($n1) * java.lang.Math.sqrt($n2));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration for driver-created sessions (idempotent). With
+  * session-construction control, the same builder can be injected via
+  * `SparkSessionExtensions.injectFunction` instead. */
+object GraftFunctions {
+  val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+    (children: Seq[Expression]) => CosineSim(children(0), children(1)))
+
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = cosineSimDescriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}

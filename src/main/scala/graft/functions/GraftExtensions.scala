@@ -1,0 +1,12 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions entry point, for sessions built with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * — registers graft's native expressions at session construction.
+  * Driver-owned sessions use [[GraftFunctions.register]] instead. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.cosineSimDescriptor)
+}

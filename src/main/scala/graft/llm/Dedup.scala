@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.GraftFunctions
 
 /** Near-duplicate detection for training-data pipelines (SURVEY.md §2.3):
   * MinHash+LSH, SimHash, and exact n-gram Jaccard.
@@ -132,6 +133,25 @@ object Dedup {
         }
       }
       .toDF("doc_id", "simhash64", "band16")
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked on `label` (the
+    * cluster/bucket a scale pipeline would block on — full pairwise at
+    * 100 TB is never an option; within-block pairs are). Cosine runs
+    * through the native codegen expression [[graft.functions.CosineSim]]. */
+  def embeddingCosine(spark: SparkSession, sfDir: String,
+                      threshold: Double = 0.35): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label",
+              $"embedding".cast("array<double>").as("vec"))
+    val a = emb.select($"label", $"vec_id".as("vec_a"), $"vec".as("va"))
+    val b = emb.select($"label", $"vec_id".as("vec_b"), $"vec".as("vb"))
+    a.join(b, "label").filter($"vec_a" < $"vec_b")
+      .withColumn("cosine", round(call_function("cosine_sim", $"va", $"vb"), 6))
+      .filter($"cosine" >= threshold)
+      .select($"vec_a", $"vec_b", $"label", $"cosine")
   }
 
   /** Exact n-gram Jaccard via a distributed shingle inverted index:

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.GraftFunctions
 
 /** Similarity search over embedding columns (SURVEY.md §2.3).
   *
@@ -14,34 +15,27 @@ import graft.Tables
   * path: random-hyperplane buckets turn the cross product into an
   * equi-join on bucket id.
   *
-  * Dot products use native higher-order expressions
-  * (`zip_with`/`aggregate`) on double arrays — no UDF serialization.
+  * Cosines run through the native codegen expression
+  * [[graft.functions.CosineSim]] — one fused loop inside whole-stage
+  * codegen, no UDF serialization.
   */
 object SimOps {
 
-  /** float[] -> double[] plus L2 norm. */
-  private def withVec(df: DataFrame): DataFrame = {
-    val vec = transform(col("embedding"), x => x.cast("double"))
-    df.withColumn("vec", vec)
-      .withColumn("norm", sqrt(aggregate(col("vec"), lit(0.0), (a, x) => a + x * x)))
-  }
-
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
   /** Exact cosine top-k: queries (vec_id < nQueries) broadcast against
-    * every candidate. Ranking uses the 6-decimal-rounded cosine with
-    * vec_id tie-break so ordering is engine-stable. */
+    * every candidate — one codegen'd pass over the corpus, no shuffle of
+    * the big side. Ranking uses the 6-decimal-rounded cosine with vec_id
+    * tie-break so ordering is engine-stable. */
   def simTopkBruteforce(spark: SparkSession, sfDir: String,
                         nQueries: Int = 8, k: Int = 5): DataFrame = {
     import spark.implicits._
-    val emb = withVec(Tables.embeddings(spark, sfDir))
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
     val q = emb.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"vec".as("qvec"), $"norm".as("qnorm"))
-    val ranked = emb.select($"vec_id", $"vec", $"norm")
-      .crossJoin(broadcast(q))
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"))
+    val ranked = emb.crossJoin(broadcast(q))
       .filter($"vec_id" =!= $"query_id")
-      .withColumn("cos6", round(dot($"vec", $"qvec") / ($"norm" * $"qnorm"), 6))
+      .withColumn("cos6", round(call_function("cosine_sim", $"vec", $"qvec"), 6))
       .withColumn("rnk", row_number().over(
         Window.partitionBy($"query_id").orderBy($"cos6".desc, $"vec_id".asc)))
     ranked.filter($"rnk" <= k)
@@ -83,26 +77,23 @@ object SimOps {
   def lshAnn(spark: SparkSession, sfDir: String,
              nQueries: Int = 8, k: Int = 5): DataFrame = {
     import spark.implicits._
+    GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding")
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
         rows.map { case (id, e) =>
           val vec = e.map(_.toDouble)
-          var n2 = 0.0
-          var i = 0
-          while (i < vec.length) { n2 += vec(i) * vec(i); i += 1 }
-          (id, vec, math.sqrt(n2), bucketOf(vec))
+          (id, vec, bucketOf(vec))
         }
       }
-      .toDF("vec_id", "vec", "norm", "bucket")
+      .toDF("vec_id", "vec", "bucket")
     val q = emb.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"vec".as("qvec"),
-              $"norm".as("qnorm"), $"bucket")
-    val ranked = emb.select($"vec_id", $"vec", $"norm", $"bucket")
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"), $"bucket")
+    val ranked = emb.select($"vec_id", $"vec", $"bucket")
       .join(broadcast(q), "bucket")
       .filter($"vec_id" =!= $"query_id")
-      .withColumn("cos6", round(dot($"vec", $"qvec") / ($"norm" * $"qnorm"), 6))
+      .withColumn("cos6", round(call_function("cosine_sim", $"vec", $"qvec"), 6))
       .withColumn("rnk", row_number().over(
         Window.partitionBy($"query_id").orderBy($"cos6".desc, $"vec_id".asc)))
     ranked.filter($"rnk" <= k)
