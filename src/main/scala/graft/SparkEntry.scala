@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Core
+import graft.operators.{AsofJoin, Core, SkewOps}
 import graft.telemetry.Telemetry
 import graft.llm.{Dedup, Multimodal, SimOps, TextOps}
 
@@ -27,7 +27,10 @@ object SparkEntry {
     "q_rollup"           -> (Core.qRollup _),
     "q_conditional_agg"  -> (Core.qConditionalAgg _),
     "q_scalar_subquery"  -> (Core.qScalarSubquery _),
+    "q_asof_join"        -> (AsofJoin.qAsofJoin _),
+    "q_salted_agg"       -> (SkewOps.qSaltedAgg _),
     "tel_partition_cols" -> (Telemetry.partitionCols _),
+    "tel_value_percentiles" -> (Telemetry.valuePercentiles _),
     "tel_json_props"     -> (Telemetry.jsonProps _),
     "tel_dedup_latest"   -> (Telemetry.dedupLatest _),
     "tel_sessionize"     -> (Telemetry.sessionize _),
@@ -140,6 +143,26 @@ object SparkEntry {
       """SELECT s_suppkey, s_name, round(s_acctbal,4) AS acctbal
         |FROM supplier
         |WHERE s_acctbal > (SELECT avg(s_acctbal) FROM supplier)""".stripMargin,
+    "q_asof_join" ->
+      """WITH r AS (
+        | SELECT o_custkey, o_orderdate,
+        |  max(o_orderkey) AS o_orderkey,
+        |  arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        | FROM orders GROUP BY 1,2)
+        |SELECT e.event_id, e.user_id, r.o_orderkey AS last_order_key,
+        | round(r.o_totalprice, 4) AS last_order_price
+        |FROM events e ASOF LEFT JOIN r
+        | ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        | round(sum(value),4) AS sum_value
+        |FROM events GROUP BY user_id""".stripMargin,
+    "tel_value_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(round(CAST(CAST(quantile_cont(value, 0.5) AS VARCHAR) AS DECIMAL(38,18)),6) AS DOUBLE) AS p50,
+        | CAST(round(CAST(CAST(quantile_cont(value, 0.95) AS VARCHAR) AS DECIMAL(38,18)),6) AS DOUBLE) AS p95,
+        | CAST(round(CAST(CAST(quantile_cont(value, 0.99) AS VARCHAR) AS DECIMAL(38,18)),6) AS DOUBLE) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
     "tel_partition_cols" ->
       """SELECT strftime(ts,'%Y') AS year, strftime(ts,'%m') AS month,
         | strftime(ts,'%d') AS day, strftime(ts,'%H') AS hour,

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed as-of join — "for each left row, the latest right row at
+  * or before its timestamp, per key".
+  *
+  * Spark has no native as-of join; the scalable composition (SURVEY.md
+  * §3 ladder step (a)) is the union-and-window pattern: tag both sides,
+  * union, then one window pass per key ordered by (time, side) carrying
+  * the last right-side payload forward. Exactly one shuffle on the key —
+  * no range cross product, no per-key collect — which is the shape that
+  * survives 100 TB fact/fact as-of joins.
+  */
+object AsofJoin {
+
+  /** Left as-of join: every left row keeps the payload of the latest
+    * right row with rightTime <= leftTime (right rows at the exact same
+    * timestamp count as matched). Right side must be unique per
+    * (key, time) — pre-aggregate it otherwise. */
+  def leftAsof(left: DataFrame, right: DataFrame,
+               leftKey: Column, rightKey: Column,
+               leftTime: Column, rightTime: Column,
+               payload: Seq[(String, Column)]): DataFrame = {
+    val leftCols = left.columns
+    val payloadStruct = struct(payload.map { case (n, c) => c.as(n) }: _*)
+    val r = right
+      .select(rightKey.as("_k"), rightTime.as("_t"), payloadStruct.as("_payload"))
+      .withColumn("_side", lit(1))
+    val l = left
+      .withColumn("_k", leftKey).withColumn("_t", leftTime)
+      .withColumn("_side", lit(0))
+      .withColumn("_payload", lit(null).cast(r.schema("_payload").dataType))
+    val rAligned = l.columns.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
+    }.select(l.columns.map(col): _*)
+
+    // right rows sort before left rows at the same instant (_side desc)
+    // so "at or before" includes exact-timestamp matches.
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc, col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(rAligned)
+      .withColumn("_asof", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select(leftCols.map(col) :+ col("_asof"): _*)
+  }
+
+  /** events as-of orders per user: annotate each event with the user's
+    * most recent order at event time (null if none yet). */
+  def qAsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts")
+    // unique per (custkey, orderdate): keep the max orderkey and its price
+    val orders = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max(struct($"o_orderkey", $"o_totalprice")).as("m"))
+      .select($"o_custkey", $"o_orderdate",
+              $"m.o_orderkey".as("o_orderkey"), $"m.o_totalprice".as("o_totalprice"))
+    leftAsof(events, orders,
+      $"user_id", $"o_custkey", $"ts", $"o_orderdate",
+      Seq("o_orderkey" -> $"o_orderkey", "price" -> $"o_totalprice"))
+      .select($"event_id", $"user_id",
+              $"_asof.o_orderkey".as("last_order_key"),
+              round($"_asof.price", 4).as("last_order_price"))
+  }
+}

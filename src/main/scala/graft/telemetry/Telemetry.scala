@@ -119,6 +119,24 @@ object Telemetry {
       .withColumn("avg_value", round($"sum_value" / $"n", 4))
   }
 
+  /** Exact percentiles of the gauge value per metric stream — the
+    * summary-metric shape (metrics.go summary quantile_values) computed
+    * from raw points. Exact sort-based percentile; at 100 TB swap in
+    * approx_percentile for a one-pass sketch. */
+  def valuePercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50_raw"),
+           expr("percentile(value, 0.95)").as("p95_raw"),
+           expr("percentile(value, 0.99)").as("p99_raw"),
+           count(lit(1)).as("n"))
+      .select($"event_type", $"n",
+              round($"p50_raw", 6).as("p50"),
+              round($"p95_raw", 6).as("p95"),
+              round($"p99_raw", 6).as("p99"))
+  }
+
   /** Explicit-bounds histogram (bounds 50/100/200/500) — the reference's
     * histogram metric shape (metrics.go explicit_bounds/bucket_counts)
     * computed from raw values. */
