@@ -50,6 +50,10 @@ object SparkEntry {
     "sim_topk_bruteforce" -> ((s, d) => SimOps.simTopkBruteforce(s, d)),
     "sim_lsh_ann"        -> ((s, d) => SimOps.lshAnn(s, d)),
     "mm_binary_meta"     -> (Multimodal.binaryMeta _),
+    "mm_frame_sample"    -> ((s, d) => Multimodal.frameSample(s, d).toDF()),
+    "mm_resize_meta"     -> ((s, d) => Multimodal.resizeMeta(s, d).toDF()),
+    "text_winnow"        -> ((s, d) => TextOps.winnowFingerprints(s, d)),
+    "tel_approx_distinct" -> (Telemetry.approxDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -31,6 +31,54 @@ object Multimodal {
     (64L + b0 % 192, 64L + b1 % 192, 1L + (bytes.length % 4))
   }
 
+  case class FrameRow(doc_id: Long, frame_idx: Long, frame_len: Long,
+                      frame_hash: Long)
+  case class ResizedMeta(doc_id: Long, src_width: Long, src_height: Long,
+                         out_width: Long, out_height: Long, out_bytes: Long)
+
+  /** "Video" frame sampling: split the binary payload into fixed-size
+    * frame chunks (STUB for container demux) and keep every `stride`-th
+    * frame. Shows the explode/one-to-many batch shape a real frame
+    * sampler has — per input row, a variable number of typed frame rows. */
+  def frameSample(spark: SparkSession, sfDir: String,
+                  frameBytes: Int = 64, stride: Int = 4): Dataset[FrameRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", encode($"text", "UTF-8").as("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val nFrames = (r.media.length + frameBytes - 1) / frameBytes
+          (0 until nFrames by stride).iterator.map { i =>
+            val frame = r.media.slice(i * frameBytes, (i + 1) * frameBytes)
+            var h = 0xcbf29ce484222325L
+            frame.foreach { b => h ^= (b & 0xff).toLong; h *= 0x100000001b3L }
+            FrameRow(r.doc_id, i.toLong, frame.length.toLong, h)
+          }
+        }
+      }
+  }
+
+  /** STUB resize: computes the output geometry + byte size a real
+    * resizer would produce, preserving aspect ratio against a target
+    * box. The decode is [[stubDecode]]; only the math is real. */
+  def resizeMeta(spark: SparkSession, sfDir: String,
+                 maxW: Long = 128, maxH: Long = 128): Dataset[ResizedMeta] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", encode($"text", "UTF-8").as("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, c) = stubDecode(r.media)
+          val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+          val ow = math.max(1L, math.round(w * scale))
+          val oh = math.max(1L, math.round(h * scale))
+          ResizedMeta(r.doc_id, w, h, ow, oh, ow * oh * c)
+        }
+      }
+  }
+
   /** Binary metadata pipeline: documents' text re-encoded as a stand-in
     * binary media column, then decoded per-partition. mapPartitions (not
     * map) so a real decoder could amortize codec init per batch — the

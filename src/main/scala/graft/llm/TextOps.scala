@@ -78,6 +78,58 @@ object TextOps {
               $"stop_ratio", $"mean_token_len")
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03): Rabin-Karp rolling hash over character k-grams, keep
+    * the minimum hash of each sliding window — the standard local
+    * plagiarism/near-dup fingerprint. Tight per-row loop → typed
+    * mapPartitions; no shuffle. */
+  def winnowFingerprints(spark: SparkSession, sfDir: String,
+                         k: Int = 8, window: Int = 4): DataFrame = {
+    import spark.implicits._
+    val B = 1000003L
+    val M = 2147483647L
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (docId, text) =>
+          val s = text.trim.toLowerCase
+          val n = math.max(0, s.length - k + 1)
+          val hashes = new Array[Long](n)
+          if (n > 0) {
+            // rolling hash: h_i = h_{i-1}*B - s(i-1)*B^k + s(i+k-1) (mod M)
+            var bk = 1L
+            var i = 0
+            while (i < k) { bk = bk * B % M; i += 1 }
+            var h = 0L
+            i = 0
+            while (i < k) { h = (h * B + s.charAt(i)) % M; i += 1 }
+            hashes(0) = h
+            i = 1
+            while (i < n) {
+              h = java.lang.Math.floorMod(
+                h * B - s.charAt(i - 1) * bk + s.charAt(i + k - 1), M)
+              hashes(i) = h
+              i += 1
+            }
+          }
+          // winnow: min hash per window (rightmost min), dedup adjacents
+          val fps = scala.collection.mutable.LinkedHashSet.empty[Long]
+          var w0 = 0
+          while (w0 + window <= hashes.length) {
+            var mn = Long.MaxValue
+            var j = w0
+            while (j < w0 + window) { if (hashes(j) <= mn) mn = hashes(j); j += 1 }
+            fps += mn
+            w0 += 1
+          }
+          (docId, fps.size.toLong,
+           if (fps.isEmpty) 0L else fps.min, if (fps.isEmpty) 0L else fps.max)
+        }
+      }
+      .toDF("doc_id", "n_fingerprints", "min_fp", "max_fp")
+  }
+
   private val langLexicons: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "for"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "una"),

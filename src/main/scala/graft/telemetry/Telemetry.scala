@@ -137,6 +137,18 @@ object Telemetry {
               round($"p99_raw", 6).as("p99"))
   }
 
+  /** Approximate distinct users per event type (HyperLogLog++ sketch) —
+    * the one-pass cardinality path for 100 TB where exact
+    * count(distinct) would shuffle every key. rsd 2%; spec asserts the
+    * estimate lands within 5% of exact. */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", rsd = 0.02).as("n_users_approx"),
+           count(lit(1)).as("n_events"))
+  }
+
   /** Explicit-bounds histogram (bounds 50/100/200/500) — the reference's
     * histogram metric shape (metrics.go explicit_bounds/bucket_counts)
     * computed from raw values. */
