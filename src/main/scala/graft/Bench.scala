@@ -35,9 +35,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Ingest throughput — the reference exporter's core function:
+    // events → hourly-partitioned parquet (writer.go's write path).
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-bench-sink").toString
+    val tSink = System.nanoTime()
+    val sinkTime =
+      try {
+        graft.sink.PartitionedParquetSink.writeBatch(
+          Tables.events(spark, sfDir),
+          graft.sink.PartitionedParquetSink.SinkConfig(
+            sinkDir, "events", tsColumn = "ts", granularity = "hourly"))
+        (System.nanoTime() - tSink) / 1e9
+      } catch { case _: Throwable => -1.0 }
+
+    val all = results :+ ("sink_ingest_hourly" -> sinkTime)
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = all.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -51,14 +51,24 @@ object PartitionedParquetSink {
 
   def tablePath(cfg: SinkConfig): String = s"${cfg.basePath}/${cfg.table}"
 
-  /** Batch write: append one partitioned parquet dataset. */
-  def writeBatch(df: DataFrame, cfg: SinkConfig): Unit =
+  /** Batch write: append one partitioned parquet dataset.
+    *
+    * Rows are shuffled onto their partition values first so each
+    * year/month/day/hour directory is written by one task — without
+    * this, every input task opens a writer per directory it touches and
+    * a 1000-executor job emits millions of KB-sized files. (A single
+    * pathologically hot partition can be split further with
+    * `spark.sql.files.maxRecordsPerFile`.) */
+  def writeBatch(df: DataFrame, cfg: SinkConfig): Unit = {
+    val cols = partitionColumns(cfg.granularity)
     withPartitionValues(df, cfg)
+      .repartition(cols.map(col): _*)
       .write
-      .partitionBy(partitionColumns(cfg.granularity): _*)
+      .partitionBy(cols: _*)
       .option("compression", cfg.compression)
       .mode("append")
       .parquet(tablePath(cfg))
+  }
 
   /** Streaming write: same layout via Structured Streaming's parquet
     * sink (exactly-once per partition via the checkpoint + file log —
