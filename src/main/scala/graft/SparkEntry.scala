@@ -54,6 +54,7 @@ object SparkEntry {
     "mm_resize_meta"     -> ((s, d) => Multimodal.resizeMeta(s, d).toDF()),
     "text_winnow"        -> ((s, d) => TextOps.winnowFingerprints(s, d)),
     "tel_approx_distinct" -> (Telemetry.approxDistinct _),
+    "tel_sample_users"   -> (Telemetry.sampleUsers _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -228,6 +229,12 @@ object SparkEntry {
         |      ELSE '4_ge500' END AS bucket,
         | count(*) AS bucket_count
         |FROM events GROUP BY 1,2""".stripMargin,
+    "tel_sample_users" ->
+      """SELECT event_type, list_sort(l[1:3]) AS sampled FROM (
+        | SELECT event_type,
+        |  list(user_id ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS l
+        | FROM (SELECT DISTINCT event_type, user_id FROM events) t
+        | GROUP BY event_type) s""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
         | count(*) AS n_copies

@@ -69,8 +69,17 @@ object GraftFunctions {
     new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
     (children: Seq[Expression]) => CosineSim(children(0), children(1)))
 
+  val bottomKDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bottomk_by_hash"),
+    new ExpressionInfo(classOf[BottomKByHash].getName, "bottomk_by_hash"),
+    (children: Seq[Expression]) => BottomKByHash(
+      children(0),
+      children(1).eval(null).asInstanceOf[Number].intValue)
+      .toAggregateExpression())
+
   def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = cosineSimDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(cosineSimDescriptor, bottomKDescriptor).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
   }
 }

@@ -7,6 +7,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   * — registers graft's native expressions at session construction.
   * Driver-owned sessions use [[GraftFunctions.register]] instead. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
+    ext.injectFunction(GraftFunctions.bottomKDescriptor)
+  }
 }

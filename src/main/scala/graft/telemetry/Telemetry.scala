@@ -149,6 +149,19 @@ object Telemetry {
            count(lit(1)).as("n_events"))
   }
 
+  /** Deterministic 3-user consistent sample per event type via the
+    * custom bottom-k-by-hash sketch aggregate (bounded memory,
+    * mergeable, partition-order-independent — the sampling primitive a
+    * training pipeline uses to draw stable subsets at 100 TB). */
+  def sampleUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Tables.events(spark, sfDir)
+      .select($"event_type", $"user_id").distinct()
+      .groupBy($"event_type")
+      .agg(call_function("bottomk_by_hash", $"user_id", lit(3)).as("sampled"))
+  }
+
   /** Explicit-bounds histogram (bounds 50/100/200/500) — the reference's
     * histogram metric shape (metrics.go explicit_bounds/bucket_counts)
     * computed from raw values. */
