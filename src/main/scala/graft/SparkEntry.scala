@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsofJoin, Core, SkewOps}
+import graft.operators.{AsofJoin, Core, RangeJoin, SkewOps}
 import graft.telemetry.Telemetry
 import graft.llm.{Dedup, Multimodal, SimOps, TextOps}
 
@@ -29,6 +29,7 @@ object SparkEntry {
     "q_scalar_subquery"  -> (Core.qScalarSubquery _),
     "q_asof_join"        -> (AsofJoin.qAsofJoin _),
     "q_salted_agg"       -> (SkewOps.qSaltedAgg _),
+    "q_range_join"       -> ((s, d) => RangeJoin.qRangeJoin(s, d)),
     "tel_partition_cols" -> (Telemetry.partitionCols _),
     "tel_value_percentiles" -> (Telemetry.valuePercentiles _),
     "tel_json_props"     -> (Telemetry.jsonProps _),
@@ -158,6 +159,13 @@ object SparkEntry {
         | round(r.o_totalprice, 4) AS last_order_price
         |FROM events e ASOF LEFT JOIN r
         | ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin,
+    "q_range_join" ->
+      """SELECT e.event_id, e.user_id, count(r.event_id) AS n_prior
+        |FROM (SELECT * FROM events WHERE event_type='error') e
+        |LEFT JOIN events r ON r.user_id = e.user_id
+        | AND epoch_us(r.ts) >= epoch_us(e.ts) - 300000000
+        | AND epoch_us(r.ts) < epoch_us(e.ts)
+        |GROUP BY e.event_id, e.user_id""".stripMargin,
     "q_salted_agg" ->
       """SELECT user_id, count(*) AS n_events,
         | round(sum(value),4) AS sum_value

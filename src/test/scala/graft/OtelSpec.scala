@@ -36,6 +36,24 @@ case class GPoint(time_unix_nano: Long, start_time_unix_nano: Long,
 case class GaugeBatch(resource: TResource, scope: TScope, metric: MMetric,
                       points: Seq[GPoint])
 
+case class EHBuckets(offset: Int, bucket_counts: Seq[Long])
+case class EHPoint(time_unix_nano: Long, start_time_unix_nano: Long,
+                   attributes: Map[String, String], flags: Int,
+                   count: Long, sum: Option[Double], min: Option[Double],
+                   max: Option[Double], scale: Int, zero_count: Long,
+                   zero_threshold: Double, positive: EHBuckets,
+                   negative: EHBuckets)
+case class EHBatch(resource: TResource, scope: TScope, metric: MMetric,
+                   points: Seq[EHPoint])
+
+case class QuantileValue(quantile: Double, value: Double)
+case class SPoint(time_unix_nano: Long, start_time_unix_nano: Long,
+                  attributes: Map[String, String], flags: Int,
+                  count: Long, sum: Double,
+                  quantile_values: Seq[QuantileValue])
+case class SummaryBatch(resource: TResource, scope: TScope, metric: MMetric,
+                        points: Seq[SPoint])
+
 class OtelSpec extends SparkSpec {
 
   private val res = TResource(Map("service.name" -> "svc-a", "host" -> "h1"), 0)
@@ -91,6 +109,37 @@ class OtelSpec extends SparkSpec {
     assert(rows.exists(r => !r.isNullAt(r.fieldIndex("as_int")) &&
                             r.getAs[Long]("as_int") === 42L))
     assert(rows.forall(_.getAs[String]("metric_name") === "cpu.load"))
+  }
+
+  test("exponential histogram flatten: scale, zero bucket, pos/neg buckets") {
+    import spark.implicits._
+    val m = MMetric("latency", "lat", "ms", Map.empty, 1, false)
+    val p = EHPoint(1700000000000000000L, 1699999000000000000L, Map.empty, 0,
+      count = 10, sum = Some(55.5), min = Some(0.1), max = Some(20.0),
+      scale = 2, zero_count = 1, zero_threshold = 1e-9,
+      positive = EHBuckets(3, Seq(4L, 3L, 2L)), negative = EHBuckets(0, Seq.empty))
+    val out = OtelMetrics.flattenExponentialHistogram(
+      Seq(EHBatch(res, scope, m, Seq(p))).toDF())
+    val r = out.collect()(0)
+    assert(r.getAs[Int]("scale") === 2)
+    assert(r.getAs[Long]("zero_count") === 1L)
+    assert(r.getAs[Int]("positive_offset") === 3)
+    assert(r.getAs[Seq[Long]]("positive_buckets") === Seq(4L, 3L, 2L))
+    assert(r.getAs[String]("aggregation_temporality") === "DELTA")
+  }
+
+  test("summary flatten: parallel quantile/value lists") {
+    import spark.implicits._
+    val m = MMetric("gc.pause", "gc", "ms", Map.empty, 0, false)
+    val p = SPoint(1700000000000000000L, 1699999000000000000L, Map.empty, 0,
+      count = 100, sum = 1234.5,
+      quantile_values = Seq(QuantileValue(0.5, 3.0), QuantileValue(0.99, 17.0)))
+    val out = OtelMetrics.flattenSummary(
+      Seq(SummaryBatch(res, scope, m, Seq(p))).toDF())
+    val r = out.collect()(0)
+    assert(r.getAs[Seq[Double]]("quantile_values_quantile") === Seq(0.5, 0.99))
+    assert(r.getAs[Seq[Double]]("quantile_values_value") === Seq(3.0, 17.0))
+    assert(r.getAs[Long]("count") === 100L)
   }
 
   test("sum flatten carries monotonicity and temporality names") {
