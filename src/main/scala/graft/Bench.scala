@@ -48,6 +48,10 @@ object Bench {
             sinkDir, "events", tsColumn = "ts", granularity = "hourly"))
         (System.nanoTime() - tSink) / 1e9
       } catch { case _: Throwable => -1.0 }
+      finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(sinkDir)).deleteRecursively()
+      }
 
     val all = results :+ ("sink_ingest_hourly" -> sinkTime)
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -30,6 +30,9 @@ object SparkEntry {
     "q_asof_join"        -> (AsofJoin.qAsofJoin _),
     "q_salted_agg"       -> (SkewOps.qSaltedAgg _),
     "q_range_join"       -> ((s, d) => RangeJoin.qRangeJoin(s, d)),
+    "q_pivot"            -> (Core.qPivot _),
+    "q_set_ops"          -> (Core.qSetOps _),
+    "tel_cumulative_delta" -> (Telemetry.cumulativeDelta _),
     "tel_partition_cols" -> (Telemetry.partitionCols _),
     "tel_value_percentiles" -> (Telemetry.valuePercentiles _),
     "tel_json_props"     -> (Telemetry.jsonProps _),
@@ -159,6 +162,23 @@ object SparkEntry {
         | round(r.o_totalprice, 4) AS last_order_price
         |FROM events e ASOF LEFT JOIN r
         | ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        | round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END),4) AS "F",
+        | round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END),4) AS "O",
+        | round(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice END),4) AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_set_ops" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type='purchase'
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events WHERE event_type='error'
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 0""".stripMargin,
+    "tel_cumulative_delta" ->
+      """SELECT event_id, user_id, round(value - prev, 4) AS delta FROM (
+        | SELECT event_id, user_id, value,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events) t WHERE prev IS NOT NULL""".stripMargin,
     "q_range_join" ->
       """SELECT e.event_id, e.user_id, count(r.event_id) AS n_prior
         |FROM (SELECT * FROM events WHERE event_type='error') e

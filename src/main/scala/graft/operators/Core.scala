@@ -160,6 +160,27 @@ object Core {
         count(lit(1)).as("n_orders"))
   }
 
+  /** Relational pivot (groupBy().pivot() with a known value list —
+    * Catalyst rewrites it to conditional aggregates, no extra pass). */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum($"o_totalprice"), 4))
+  }
+
+  /** Set operations: users who purchased AND hit an error, minus
+    * customers in good standing (INTERSECT + EXCEPT, hash-deduped). */
+  def qSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    def users(t: String) = ev.filter($"event_type" === t).select($"user_id").distinct()
+    val goodStanding = Tables.customer(spark, sfDir)
+      .filter($"c_acctbal" > 0).select($"c_custkey".as("user_id"))
+    users("purchase").intersect(users("error")).except(goodStanding)
+  }
+
   /** Filter against a scalar subquery (average account balance). */
   def qScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

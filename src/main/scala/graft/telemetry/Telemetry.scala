@@ -149,6 +149,19 @@ object Telemetry {
            count(lit(1)).as("n_events"))
   }
 
+  /** Cumulative→delta temporality conversion (metrics.go
+    * aggregation_temporality): per series (user_id here), the
+    * difference from the previous point in event-time order. One
+    * shuffle on the series key. */
+  def cumulativeDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bySeries = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("prev", lag($"value", 1).over(bySeries))
+      .filter($"prev".isNotNull)
+      .select($"event_id", $"user_id", round($"value" - $"prev", 4).as("delta"))
+  }
+
   /** Deterministic 3-user consistent sample per event type via the
     * custom bottom-k-by-hash sketch aggregate (bounded memory,
     * mergeable, partition-order-independent — the sampling primitive a

@@ -31,6 +31,29 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/events").count() === batch.count())
   }
 
+  test("stream-static join enriches streaming events with a dimension") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-join").toString
+    val batch = Tables.events(spark, sf)
+    batch.write.parquet(s"$base/src")
+
+    // static per-user dimension derived once, broadcast into each batch
+    val dim = batch.groupBy("user_id")
+      .agg(count(lit(1)).as("lifetime_events"))
+    val enriched = StreamingIngest.readEvents(spark, s"$base/src", batch.schema)
+      .join(broadcast(dim), "user_id")
+    val q = enriched.writeStream.format("memory").queryName("enriched_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val n = spark.sql("select count(*) from enriched_out").collect()(0).getLong(0)
+    assert(n === batch.count()) // inner join keeps all (every user in dim)
+    val bad = spark.sql(
+      "select count(*) from enriched_out where lifetime_events < 1").collect()(0).getLong(0)
+    assert(bad === 0L)
+  }
+
   test("watermarked windowed aggregate matches the batch tumbling window") {
     val base = Files.createTempDirectory("graft-stream-agg").toString
     val batch = Tables.events(spark, sf)
