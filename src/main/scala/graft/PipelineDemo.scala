@@ -31,8 +31,15 @@ object PipelineDemo {
     // source tails a directory (as an upstream collector would fill);
     // stage the normalized events there first.
     events.write.mode("overwrite").parquet(s"$outDir/_src")
-    val cfg = SinkConfig(outDir, "events", tsColumn = "ts",
-                         granularity = "hourly", compression = "zstd")
+    // Resolve sink settings through the exporter-config surface, as a
+    // reference user's YAML would (filesystem backend, hourly, zstd).
+    val exporterCfg = graft.config.ExporterConfig.Config(
+      graft.config.ExporterConfig.Filesystem(outDir, compression = "zstd"),
+      graft.config.ExporterConfig.Catalog("none"))
+    require(exporterCfg.validate.isEmpty, exporterCfg.validate.mkString("; "))
+    val cfg = exporterCfg.sinkFor("events", tsColumn = "ts")
+      .copy(basePath = outDir) // local path without file:// for the demo dirs
+    println(s"[demo] config-resolved sink: table=${cfg.table} codec=${cfg.compression}")
     val q = StreamingIngest.ingest(
       StreamingIngest.readEvents(spark, s"$outDir/_src", events.schema),
       cfg, s"$outDir/_chk")

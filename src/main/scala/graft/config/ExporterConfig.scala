@@ -1,0 +1,120 @@
+package graft.config
+
+/** Exporter configuration surface — API parity with the reference's
+  * config model (/root/reference/config.go,
+  * internal/iceberg/catalog.go:167-223 table naming,
+  * internal/iceberg/fileio.go:139-199 storage validation).
+  *
+  * A user of the reference exporter configures storage backend, catalog,
+  * per-signal table names, partition granularity/timezone, compression,
+  * and verbosity; this model accepts the same shape, applies the same
+  * defaults, and enforces the same validation rules, then resolves to
+  * the Spark-side sink settings (Hadoop FS URI + SinkConfig).
+  */
+object ExporterConfig {
+
+  sealed trait Storage { def compression: String }
+  /** storage.s3 — requires bucket and region-or-endpoint. */
+  case class S3(bucket: String, region: String = "", endpoint: String = "",
+                accessKeyId: String = "", secretAccessKey: String = "",
+                compression: String = "snappy") extends Storage
+  /** storage.r2 — requires account_id, bucket, and both keys. */
+  case class R2(accountId: String, bucket: String,
+                accessKeyId: String, secretAccessKey: String,
+                compression: String = "snappy") extends Storage
+  /** storage.filesystem — requires base_path. */
+  case class Filesystem(basePath: String,
+                        compression: String = "snappy") extends Storage
+
+  case class Catalog(catalogType: String, // "rest" | "none"; must be set
+                     namespace: String = "default",
+                     restUri: String = "", warehouse: String = "",
+                     token: String = "")
+
+  /** Per-signal table names with the reference's prefix-default scheme. */
+  case class TableNames(traces: String = "", logs: String = "",
+                        metrics: String = "", metricsGauge: String = "",
+                        metricsSum: String = "", metricsHistogram: String = "",
+                        metricsExponentialHistogram: String = "",
+                        metricsSummary: String = "") {
+    private def metricsPrefix = if (metrics.nonEmpty) metrics else "otel_metrics"
+    /** catalog.go GetTableName: explicit override beats prefix default. */
+    def tableFor(signal: String): String = signal match {
+      case "traces" => if (traces.nonEmpty) traces else "otel_traces"
+      case "logs"   => if (logs.nonEmpty) logs else "otel_logs"
+      case "metrics" => metricsPrefix
+      case "metrics_gauge" =>
+        if (metricsGauge.nonEmpty) metricsGauge else s"${metricsPrefix}_gauge"
+      case "metrics_sum" =>
+        if (metricsSum.nonEmpty) metricsSum else s"${metricsPrefix}_sum"
+      case "metrics_histogram" =>
+        if (metricsHistogram.nonEmpty) metricsHistogram
+        else s"${metricsPrefix}_histogram"
+      case "metrics_exponential_histogram" =>
+        if (metricsExponentialHistogram.nonEmpty) metricsExponentialHistogram
+        else s"${metricsPrefix}_exponential_histogram"
+      case "metrics_summary" =>
+        if (metricsSummary.nonEmpty) metricsSummary
+        else s"${metricsPrefix}_summary"
+      case other => other
+    }
+  }
+
+  case class Partition(granularity: String = "hourly", timezone: String = "UTC")
+
+  case class Config(storage: Storage, catalog: Catalog,
+                    tables: TableNames = TableNames(),
+                    partition: Partition = Partition(),
+                    verbosity: String = "normal") {
+
+    /** All validation failures, reference-equivalent messages. */
+    def validate: Seq[String] = {
+      val errs = Seq.newBuilder[String]
+      storage match {
+        case s: S3 =>
+          if (s.bucket.isEmpty) errs += "s3.bucket is required"
+          if (s.region.isEmpty && s.endpoint.isEmpty)
+            errs += "s3.region or s3.endpoint is required"
+        case r: R2 =>
+          if (r.accountId.isEmpty) errs += "r2.account_id is required"
+          if (r.bucket.isEmpty) errs += "r2.bucket is required"
+          if (r.accessKeyId.isEmpty) errs += "r2.access_key_id is required"
+          if (r.secretAccessKey.isEmpty) errs += "r2.secret_access_key is required"
+        case f: Filesystem =>
+          if (f.basePath.isEmpty) errs += "filesystem.base_path is required"
+      }
+      if (!Set("", "none", "gzip", "zstd", "snappy")(storage.compression))
+        errs += "compression must be one of: none, gzip, zstd, snappy"
+      if (!Set("rest", "none")(catalog.catalogType))
+        errs += "catalog.type must be set to rest or none"
+      else if (catalog.catalogType == "rest" && catalog.restUri.isEmpty)
+        errs += "catalog.rest.uri is required"
+      if (!Set("", "hourly", "daily", "monthly")(partition.granularity))
+        errs += "partition.granularity must be one of: hourly, daily, monthly"
+      if (!Set("basic", "normal", "detailed")(verbosity))
+        errs += "verbosity level is not supported, supported levels are: basic, normal, detailed"
+      errs.result()
+    }
+
+    /** Hadoop FS base URI for the configured backend (S3A covers both
+      * AWS S3 and R2's S3-compatible endpoint in Spark). */
+    def baseUri: String = storage match {
+      case s: S3 => s"s3a://${s.bucket}"
+      case r: R2 => s"s3a://${r.bucket}"
+      case f: Filesystem => s"file://${f.basePath}"
+    }
+
+    /** Resolve the sink settings for one signal's table. */
+    def sinkFor(signal: String, tsColumn: String = "time_unix_nano")
+        : graft.sink.PartitionedParquetSink.SinkConfig =
+      graft.sink.PartitionedParquetSink.SinkConfig(
+        basePath = baseUri,
+        table = tables.tableFor(signal),
+        tsColumn = tsColumn,
+        granularity = if (partition.granularity.isEmpty) "hourly"
+                      else partition.granularity,
+        timezone = partition.timezone,
+        compression = if (storage.compression.isEmpty) "snappy"
+                      else storage.compression)
+  }
+}
