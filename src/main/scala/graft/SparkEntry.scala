@@ -31,6 +31,8 @@ object SparkEntry {
     "q_salted_agg"       -> (SkewOps.qSaltedAgg _),
     "q_range_join"       -> ((s, d) => RangeJoin.qRangeJoin(s, d)),
     "q_pivot"            -> (Core.qPivot _),
+    "q_cube"             -> (Core.qCube _),
+    "text_ngram_freq"    -> (TextOps.ngramFreq _),
     "q_set_ops"          -> (Core.qSetOps _),
     "tel_cumulative_delta" -> (Telemetry.cumulativeDelta _),
     "tel_partition_cols" -> (Telemetry.partitionCols _),
@@ -168,6 +170,21 @@ object SparkEntry {
         | round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END),4) AS "O",
         | round(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice END),4) AS "P"
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_cube" ->
+      """SELECT r_name, c_mktsegment, count(*) AS n_customers,
+        | round(sum(c_acctbal),4) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey=n_nationkey
+        |JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY CUBE(r_name, c_mktsegment)""".stripMargin,
+    "text_ngram_freq" ->
+      """SELECT ngram, count(*) AS n FROM (
+        | SELECT unnest([t[i] || ' ' || t[i+1]
+        |   for i in generate_series(1, len(t)-1)]) AS ngram
+        | FROM (SELECT string_split_regex(trim(lower(text)),'\s+') AS t
+        |       FROM documents) s
+        | WHERE len(t) >= 2) g
+        |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
     "q_set_ops" ->
       """SELECT DISTINCT user_id FROM events WHERE event_type='purchase'
         |INTERSECT

@@ -78,6 +78,29 @@ object TextOps {
               $"stop_ratio", $"mean_token_len")
   }
 
+  /** Corpus-wide top-20 token bigrams — the heavy-hitter n-gram count
+    * behind vocabulary/contamination analysis. Explode is narrow; the
+    * count is one partial-aggregated shuffle; top-k is
+    * TakeOrderedAndProject (no global sort). */
+  def ngramFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"text")
+      .as[String]
+      .mapPartitions { docs =>
+        docs.flatMap { text =>
+          val t = text.trim.toLowerCase.split("\\s+")
+          if (t.length < 2) Iterator.empty
+          else Iterator.range(0, t.length - 1).map(i => s"${t(i)} ${t(i + 1)}")
+        }
+      }
+      .toDF("ngram")
+      .groupBy($"ngram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"ngram".asc)
+      .limit(20)
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     * SIGMOD'03): Rabin-Karp rolling hash over character k-grams, keep
     * the minimum hash of each sliding window — the standard local

@@ -160,6 +160,18 @@ object Core {
         count(lit(1)).as("n_orders"))
   }
 
+  /** CUBE over region/nation/segment — all 2^3 grouping combinations in
+    * one pass (expand + single shuffle). */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, sfDir)), $"n_regionkey" === $"r_regionkey")
+      .cube($"r_name", $"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+           round(sum($"c_acctbal"), 4).as("sum_acctbal"))
+  }
+
   /** Relational pivot (groupBy().pivot() with a known value list —
     * Catalyst rewrites it to conditional aggregates, no extra pass). */
   def qPivot(spark: SparkSession, sfDir: String): DataFrame = {
