@@ -92,15 +92,19 @@ object Dedup {
                  threshold: Double = 0.2): DataFrame = {
     import spark.implicits._
     val docs = signatures(spark, sfDir).toDF()
-    val bands = docs.select($"doc_id", $"sh",
+    val bands = docs.select($"doc_id",
         posexplode($"bands").as(Seq("band_idx", "band_hash")))
-    val a = bands.select($"band_idx", $"band_hash",
-                         $"doc_id".as("doc_a"), $"sh".as("sh_a"))
-    val b = bands.select($"band_idx", $"band_hash",
-                         $"doc_id".as("doc_b"), $"sh".as("sh_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
+    val a = bands.select($"band_idx", $"band_hash", $"doc_id".as("doc_a"))
+    val b = bands.select($"band_idx", $"band_hash", $"doc_id".as("doc_b"))
+    // dedupe candidate PAIRS before touching the shingle arrays — a pair
+    // colliding in many bands would otherwise drag its arrays through
+    // the shuffle once per band.
+    val candidates = a.join(b, Seq("band_idx", "band_hash"))
       .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", $"sh_a", $"sh_b").distinct()
+      .select($"doc_a", $"doc_b").distinct()
+    val shA = docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
+    val shB = docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    candidates.join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("jaccard", round(
         size(array_intersect($"sh_a", $"sh_b")) /
         size(array_union($"sh_a", $"sh_b")), 4))
