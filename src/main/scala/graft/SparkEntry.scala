@@ -305,6 +305,24 @@ object SparkEntry {
         |      x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stopwords,
         |  length(regexp_replace(trim(text),'\s+','','g')) AS n_nospace
         | FROM documents) t""".stripMargin,
+    "text_langid" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
+        | FROM documents),
+        |scores AS (
+        | SELECT doc_id, 'de' AS lang_code, len(list_filter(t,
+        |   x -> x IN ('der','die','und','das','ist','nicht','ein','mit'))) AS score FROM toks
+        | UNION ALL SELECT doc_id, 'en', len(list_filter(t,
+        |   x -> x IN ('the','and','of','to','is','in','that','for'))) FROM toks
+        | UNION ALL SELECT doc_id, 'es', len(list_filter(t,
+        |   x -> x IN ('el','la','de','que','y','en','los','una'))) FROM toks
+        | UNION ALL SELECT doc_id, 'fr', len(list_filter(t,
+        |   x -> x IN ('le','la','de','et','les','des','un','une'))) FROM toks),
+        |r AS (
+        | SELECT doc_id, lang_code, score, row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY score DESC, lang_code DESC) AS rn
+        | FROM scores)
+        |SELECT doc_id, lang_code AS pred_lang, score FROM r WHERE rn = 1""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
