@@ -41,7 +41,8 @@ object PipelineDemo {
       .copy(basePath = outDir) // local path without file:// for the demo dirs
     println(s"[demo] config-resolved sink: table=${cfg.table} codec=${cfg.compression}")
     val q = StreamingIngest.ingest(
-      StreamingIngest.readEvents(spark, s"$outDir/_src", events.schema),
+      StreamingIngest.dedupStream(
+        StreamingIngest.readEvents(spark, s"$outDir/_src", events.schema)),
       cfg, s"$outDir/_chk")
     q.awaitTermination()
     val ingested = spark.read.parquet(s"$outDir/events")

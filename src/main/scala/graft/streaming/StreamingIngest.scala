@@ -27,6 +27,16 @@ object StreamingIngest {
   def ingest(events: DataFrame, cfg: SinkConfig, checkpoint: String): StreamingQuery =
     PartitionedParquetSink.writeStream(events, cfg, checkpoint).start()
 
+  /** Streaming dedup on the record id within the watermark horizon —
+    * turns an at-least-once upstream (the reference's delivery model,
+    * exporter.go retry path) into exactly-once rows downstream. State
+    * is one key per id and ages out with the watermark. */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+                  tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, "1 hour")
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Watermarked tumbling-window aggregate (1h windows, 10 min late
     * data) — the streaming version of Telemetry.tumblingWindow. */
   def windowedCounts(events: DataFrame, tsCol: String = "ts"): DataFrame =

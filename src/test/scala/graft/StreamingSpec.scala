@@ -31,6 +31,27 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/events").count() === batch.count())
   }
 
+  test("streaming dedup collapses an at-least-once duplicated source") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-dedup").toString
+    val batch = Tables.events(spark, sf).limit(200)
+    // simulate at-least-once delivery: every record arrives twice
+    batch.unionAll(batch).write.parquet(s"$base/src")
+
+    val deduped = StreamingIngest.dedupStream(
+      StreamingIngest.readEvents(spark, s"$base/src", batch.schema))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val n = spark.sql("select count(*) from dedup_out").collect()(0).getLong(0)
+    val distinct = spark.sql("select count(distinct event_id) from dedup_out")
+      .collect()(0).getLong(0)
+    assert(n === batch.count())
+    assert(distinct === n)
+  }
+
   test("stream-static join enriches streaming events with a dimension") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream-join").toString
