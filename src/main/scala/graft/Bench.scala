@@ -23,18 +23,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm-up: JIT/codegen paths + parquet footers, untimed.
+    // Warm-up: JIT/codegen paths + parquet footers, untimed. `events`
+    // needs the nanos-ts legacy conf, so it only warms via Tables.events.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    Tables.all.foreach { t =>
+    Tables.all.filterNot(_ == "events").foreach { t =>
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    val failed = timed.collect { case (name, _, false) => name }
+    val results = timed.collect { case (name, sec, true) => name -> sec }
 
     // Ingest throughput — the reference exporter's core function:
     // events → hourly-partitioned parquet (writer.go's write path).
@@ -53,11 +56,13 @@ object Bench {
         new Directory(new java.io.File(sinkDir)).deleteRecursively()
       }
 
-    val all = results :+ ("sink_ingest_hourly" -> sinkTime)
+    val all = results ++ (if (sinkTime >= 0) Seq("sink_ingest_hourly" -> sinkTime) else Nil)
+    val allFailed = failed ++ (if (sinkTime < 0) Seq("sink_ingest_hourly") else Nil)
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = allFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

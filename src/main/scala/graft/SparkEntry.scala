@@ -275,7 +275,7 @@ object SparkEntry {
         | count(*) AS bucket_count
         |FROM events GROUP BY 1,2""".stripMargin,
     "tel_sample_users" ->
-      """SELECT event_type, list_sort(l[1:3]) AS sampled FROM (
+      """SELECT event_type, array_to_string(list_sort(l[1:3]), ',') AS sampled FROM (
         | SELECT event_type,
         |  list(user_id ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS l
         | FROM (SELECT DISTINCT event_type, user_id FROM events) t

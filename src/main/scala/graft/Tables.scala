@@ -34,7 +34,10 @@ object Tables {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(col("ts") / 1000L cast "long"))
+        // Exact integer truncation: `/` on longs is double division in
+        // Spark (ulp at 2024-era ns epochs is 256ns, so ~13% of rows land
+        // 1us off after the cast). `div` keeps it in integer math.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
   }

@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression: cosine similarity of two double arrays.
   *
@@ -17,8 +18,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Callers pass array<double> columns (cast upstream); the expression
-  // reads through ArrayData.getDouble either way.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
@@ -29,11 +39,17 @@ case class CosineSim(left: Expression, right: Expression)
     var dot = 0.0; var n1 = 0.0; var n2 = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getDouble(i); val yi = y.getDouble(i)
-      dot += xi * yi; n1 += xi * xi; n2 += yi * yi
+      // null elements contribute nothing (treated as 0)
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xi = x.getDouble(i); val yi = y.getDouble(i)
+        dot += xi * yi; n1 += xi * xi; n2 += yi * yi
+      }
       i += 1
     }
-    dot / (math.sqrt(n1) * math.sqrt(n2))
+    // zero vector: define similarity as 0.0 rather than NaN so
+    // `>= threshold` filters stay well-behaved
+    if (n1 == 0.0 || n2 == 0.0) 0.0
+    else dot / (math.sqrt(n1) * math.sqrt(n2))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -47,11 +63,14 @@ case class CosineSim(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0, $n1 = 0.0, $n2 = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double xi = $x.getDouble($i);
-         |  double yi = $y.getDouble($i);
-         |  $dot += xi * yi; $n1 += xi * xi; $n2 += yi * yi;
+         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+         |    double xi = $x.getDouble($i);
+         |    double yi = $y.getDouble($i);
+         |    $dot += xi * yi; $n1 += xi * xi; $n2 += yi * yi;
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($n1) * java.lang.Math.sqrt($n2));
+         |${ev.value} = ($n1 == 0.0 || $n2 == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($n1) * java.lang.Math.sqrt($n2));
        """.stripMargin
     })
 

@@ -172,7 +172,11 @@ object Telemetry {
     Tables.events(spark, sfDir)
       .select($"event_type", $"user_id").distinct()
       .groupBy($"event_type")
-      .agg(call_function("bottomk_by_hash", $"user_id", lit(3)).as("sampled"))
+      .agg(call_function("bottomk_by_hash", $"user_id", lit(3)).as("sample_arr"))
+      // comma-joined string (sorted ascending by the aggregate's eval):
+      // scalar output keeps the driver's hash compare applicable
+      .select($"event_type",
+              concat_ws(",", $"sample_arr".cast("array<string>")).as("sampled"))
   }
 
   /** Explicit-bounds histogram (bounds 50/100/200/500) — the reference's
