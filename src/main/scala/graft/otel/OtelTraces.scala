@@ -32,19 +32,31 @@ import org.apache.spark.sql.functions._
   */
 object OtelTraces {
 
-  /** proto SpanKind enum → string (traces.go kind mapping). */
+  /** proto SpanKind enum → string (traces.go:300 spanKindToString). */
   def kindName(kind: Column): Column =
-    when(kind === 1, "INTERNAL").when(kind === 2, "SERVER")
-      .when(kind === 3, "CLIENT").when(kind === 4, "PRODUCER")
-      .when(kind === 5, "CONSUMER").otherwise("UNSPECIFIED")
+    when(kind === 0, "UNSPECIFIED").when(kind === 1, "INTERNAL")
+      .when(kind === 2, "SERVER").when(kind === 3, "CLIENT")
+      .when(kind === 4, "PRODUCER").when(kind === 5, "CONSUMER")
+      .otherwise("UNKNOWN")
 
-  /** proto StatusCode enum → string. */
+  /** proto StatusCode enum → string; UNSET stores NULL
+    * (traces.go:319 statusCodeToString returns "" → AppendNull). */
   def statusName(code: Column): Column =
-    when(code === 1, "OK").when(code === 2, "ERROR").otherwise("UNSET")
+    when(code === 1, "OK").when(code === 2, "ERROR").otherwise(lit(null))
+
+  /** Reference appendNullableString semantics: "" stores NULL. */
+  def emptyToNull(c: Column): Column = nullif(c, lit(""))
+
+  /** Trace/span ids: "" and the proto all-zeros sentinel store NULL
+    * (traces.go:130, logs.go:133-146). */
+  def idOrNull(c: Column, width: Int): Column =
+    when(c === "" || c === "0" * width, lit(null)).otherwise(c)
 
   /** ns-epoch long → microsecond timestamp (schemas use Timestamp(us)
-    * for Iceberg v1/v2 compatibility — README "Schema"). */
-  def nsToTimestamp(ns: Column): Column = timestamp_micros((ns / 1000L).cast("long"))
+    * for Iceberg v1/v2 compatibility — README "Schema"). Exact integer
+    * truncation — double division drifts 1us at 2024-era epochs. */
+  def nsToTimestamp(ns: Column): Column =
+    timestamp_micros(call_function("div", ns.cast("long"), lit(1000L)))
 
   def flatten(nested: DataFrame): DataFrame =
     nested
@@ -52,8 +64,8 @@ object OtelTraces {
       .select(
         col("span.trace_id").as("trace_id"),
         col("span.span_id").as("span_id"),
-        col("span.trace_state").as("trace_state"),
-        col("span.parent_span_id").as("parent_span_id"),
+        emptyToNull(col("span.trace_state")).as("trace_state"),
+        idOrNull(col("span.parent_span_id"), 16).as("parent_span_id"),
         col("span.flags").as("span_flags"),
         col("span.name").as("span_name"),
         kindName(col("span.kind")).as("span_kind"),
@@ -79,14 +91,15 @@ object OtelTraces {
         transform(col("span.links"), l => l.getField("flags")).as("links_flags"),
         col("span.dropped_links_count").as("dropped_links_count"),
         statusName(col("span.status.code")).as("status_code"),
-        col("span.status.message").as("status_message"),
+        emptyToNull(col("span.status.message")).as("status_message"),
         (col("span.end_time_unix_nano") - col("span.start_time_unix_nano"))
           .as("duration"),
-        element_at(col("resource.attributes"), "service.name").as("service_name"),
+        emptyToNull(element_at(col("resource.attributes"), "service.name"))
+          .as("service_name"),
         to_json(col("resource.attributes")).as("resource_attributes"),
         col("resource.dropped_attributes_count").as("resource_dropped_attributes_count"),
-        col("scope.name").as("scope_name"),
-        col("scope.version").as("scope_version"),
+        emptyToNull(col("scope.name")).as("scope_name"),
+        emptyToNull(col("scope.version")).as("scope_version"),
         to_json(col("scope.attributes")).as("scope_attributes"),
         col("scope.dropped_attributes_count").as("scope_dropped_attributes_count"))
 }

@@ -30,9 +30,13 @@ case class LogBatch(resource: TResource, scope: TScope, records: Seq[LogRecord])
 case class MMetric(name: String, description: String, unit: String,
                    metadata: Map[String, String],
                    aggregation_temporality: Int, is_monotonic: Boolean)
+case class MExemplar(time_unix_nano: Long, as_double: Option[Double],
+                     as_int: Option[Long], span_id: String, trace_id: String,
+                     filtered_attributes: Map[String, String])
 case class GPoint(time_unix_nano: Long, start_time_unix_nano: Long,
                   attributes: Map[String, String], flags: Int,
-                  as_double: Option[Double], as_int: Option[Long])
+                  as_double: Option[Double], as_int: Option[Long],
+                  exemplars: Seq[MExemplar] = Seq.empty)
 case class GaugeBatch(resource: TResource, scope: TScope, metric: MMetric,
                       points: Seq[GPoint])
 
@@ -137,9 +141,57 @@ class OtelSpec extends SparkSpec {
     val out = OtelMetrics.flattenSummary(
       Seq(SummaryBatch(res, scope, m, Seq(p))).toDF())
     val r = out.collect()(0)
-    assert(r.getAs[Seq[Double]]("quantile_values_quantile") === Seq(0.5, 0.99))
-    assert(r.getAs[Seq[Double]]("quantile_values_value") === Seq(3.0, 17.0))
+    assert(r.getAs[Seq[Double]]("quantile_values.quantile") === Seq(0.5, 0.99))
+    assert(r.getAs[Seq[Double]]("quantile_values.value") === Seq(3.0, 17.0))
     assert(r.getAs[Long]("count") === 100L)
+  }
+
+  test("gauge exemplars flatten to parallel lists; empty slice stores NULL") {
+    import spark.implicits._
+    val m = MMetric("cpu.load", "load", "1", Map.empty, 2, false)
+    val ex = Seq(
+      MExemplar(1700000000500000000L, Some(1.5), None, "s1", "t1", Map("u" -> "1")),
+      MExemplar(1700000000600000000L, None, Some(7L), "s2", "t2", Map.empty))
+    val pts = Seq(
+      GPoint(1700000000000000000L, 0L, Map.empty, 0, Some(0.75), None, ex),
+      GPoint(1700000001000000000L, 0L, Map.empty, 0, Some(0.80), None))
+    val out = OtelMetrics.flattenGauge(Seq(GaugeBatch(res, scope, m, pts)).toDF())
+    val rows = out.orderBy("time_unix_nano").collect()
+    val withEx = rows(0)
+    // value-type switch: unset half of the pair stores 0 (metrics.go:456-467)
+    assert(withEx.getAs[Seq[Double]]("exemplars_as_double") === Seq(1.5, 0.0))
+    assert(withEx.getAs[Seq[Long]]("exemplars_as_int") === Seq(0L, 7L))
+    assert(withEx.getAs[Seq[String]]("exemplars_span_id") === Seq("s1", "s2"))
+    assert(withEx.getAs[Seq[String]]("exemplars_filtered_attributes")
+      .head.contains("\"u\":\"1\""))
+    // empty exemplar slice → NULL lists, and start_time 0 → NULL
+    val noEx = rows(1)
+    assert(noEx.isNullAt(noEx.fieldIndex("exemplars_time_unix_nano")))
+    assert(noEx.isNullAt(noEx.fieldIndex("start_time_unix_nano")))
+  }
+
+  test("reference null semantics: empty strings and zero ids store NULL") {
+    import spark.implicits._
+    // log with UNSET severity text, zero trace/span ids, zero observed ts
+    val rec = LogRecord(1700000000000000000L, 0L, 0, "", "plain body",
+      Map.empty, 0, 0, "0" * 32, "0" * 16, "")
+    val lr = OtelLogs.flatten(
+      Seq(LogBatch(res, TScope("", "", Map.empty, 0), Seq(rec))).toDF()).collect()(0)
+    // body is the raw scalar, not JSON-wrapped (logs.go:190 logValueToJSON)
+    assert(lr.getAs[String]("body") === "plain body")
+    Seq("severity_text", "trace_id", "span_id", "observed_time_unix_nano",
+        "event_name", "scope_name", "scope_version").foreach { c =>
+      assert(lr.isNullAt(lr.fieldIndex(c)), s"$c should be NULL")
+    }
+    // span with UNSET status → NULL status_code (traces.go:319)
+    val span = TSpan("abc", "def", "", "0" * 16, 0, "op", 9,
+      1L, 2L, Map.empty, 0, Seq.empty, 0, Seq.empty, 0, TStatus(0, ""))
+    val tr = OtelTraces.flatten(Seq(TraceBatch(res, scope, Seq(span))).toDF()).collect()(0)
+    assert(tr.isNullAt(tr.fieldIndex("status_code")))
+    assert(tr.isNullAt(tr.fieldIndex("status_message")))
+    assert(tr.isNullAt(tr.fieldIndex("parent_span_id")))
+    assert(tr.isNullAt(tr.fieldIndex("trace_state")))
+    assert(tr.getAs[String]("span_kind") === "UNKNOWN")
   }
 
   test("sum flatten carries monotonicity and temporality names") {
