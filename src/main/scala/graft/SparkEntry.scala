@@ -61,6 +61,15 @@ object SparkEntry {
     "text_winnow"        -> ((s, d) => TextOps.winnowFingerprints(s, d)),
     "tel_approx_distinct" -> (Telemetry.approxDistinct _),
     "tel_sample_users"   -> (Telemetry.sampleUsers _),
+    "q_full_outer"       -> (Core.qFullOuter _),
+    "q_grouping_sets"    -> (Core.qGroupingSets _),
+    "q_incremental_merge" -> (Core.qIncrementalMerge _),
+    "q_topk_per_group"   -> (Core.qTopKPerGroup _),
+    "tel_moving_avg"     -> (Telemetry.movingAvg _),
+    "tel_counter_rate"   -> (Telemetry.counterRate _),
+    "text_contamination" -> ((s, d) => TextOps.contamination(s, d)),
+    "mm_frame_meta"      -> ((s, d) => Multimodal.frameSample(s, d).toDF()
+                               .select("doc_id", "frame_idx", "frame_len")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -377,5 +386,102 @@ object SparkEntry {
         | 64 + ascii(substr(text,2,1)) % 192 AS fake_height,
         | 1 + octet_length(encode(text)) % 4 AS fake_channels
         |FROM documents""".stripMargin,
+    "q_full_outer" ->
+      """SELECT coalesce(o.o_custkey, e.user_id) AS key_id,
+        | o.n_orders, o.order_total, e.n_events
+        |FROM (SELECT o_custkey, count(*) AS n_orders,
+        |       round(sum(o_totalprice),4) AS order_total
+        |      FROM orders GROUP BY 1) o
+        |FULL OUTER JOIN (SELECT user_id, count(*) AS n_events
+        |      FROM events GROUP BY 1) e
+        | ON o.o_custkey = e.user_id""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT r_name, c_mktsegment,
+        | CAST(GROUPING(r_name, c_mktsegment) AS BIGINT) AS gid,
+        | count(*) AS n_customers, round(sum(c_acctbal),4) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey=n_nationkey
+        |JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())""".stripMargin,
+    "q_incremental_merge" ->
+      """WITH merged AS (
+        | SELECT o_orderkey,
+        |  arg_max(o_totalprice, version) AS price,
+        |  arg_max(o_orderpriority, version) AS prio,
+        |  max(version) AS version
+        | FROM (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice, 1 AS version FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice*1.05, 2
+        |  FROM orders WHERE o_orderkey % 5 = 0) u
+        | GROUP BY o_orderkey)
+        |SELECT prio AS o_orderpriority, count(*) AS n_orders,
+        | sum(CASE WHEN version=2 THEN 1 ELSE 0 END) AS n_updated,
+        | round(sum(price),4) AS merged_total
+        |FROM merged GROUP BY 1""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,4) AS price, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+    "tel_moving_avg" ->
+      """SELECT event_id, user_id, mov_sum, n_win,
+        | CAST(round(CAST(CAST(mov_sum/n_win AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS mov_avg
+        |FROM (SELECT event_id, user_id,
+        |  round(sum(value) OVER w, 4) AS mov_sum,
+        |  count(*) OVER w AS n_win
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) t""".stripMargin,
+    "tel_counter_rate" ->
+      """SELECT user_id, count(*) AS n_samples,
+        | sum(CASE WHEN value < prev THEN 1 ELSE 0 END) AS n_resets,
+        | round(sum(CASE WHEN value >= prev THEN value - prev ELSE value END),4)
+        |   AS total_increase
+        |FROM (SELECT user_id, value,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events) t
+        |WHERE prev IS NOT NULL GROUP BY user_id""".stripMargin,
+    "text_contamination" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |   THEN [array_to_string(t[i:i+2],' ') for i in generate_series(1,len(t)-2)]
+        |   ELSE [array_to_string(t,' ')] END) AS s
+        | FROM toks),
+        |bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 50 = 0),
+        |train AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 50 != 0),
+        |hits AS (SELECT t.doc_id, count(*) AS n_hit
+        |         FROM train t JOIN bench b ON t.shingle = b.shingle GROUP BY 1)
+        |SELECT s.doc_id, len(s.s) AS n_shingles,
+        | coalesce(h.n_hit, 0) AS n_contaminated,
+        | CAST(round(CAST(CAST(coalesce(h.n_hit,0)*1.0/len(s.s) AS VARCHAR)
+        |   AS DECIMAL(38,18)),4) AS DOUBLE) AS contamination
+        |FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        |WHERE s.doc_id % 50 != 0""".stripMargin,
+    "mm_frame_meta" ->
+      """SELECT doc_id, i AS frame_idx,
+        | least(64, blen - i*64) AS frame_len
+        |FROM (SELECT doc_id, blen,
+        |  unnest(generate_series(0, CAST(ceil(blen/64.0) AS BIGINT)-1, 4)) AS i
+        | FROM (SELECT doc_id, octet_length(encode(text)) AS blen
+        |       FROM documents) b) t""".stripMargin,
+    "mm_resize_meta" ->
+      """SELECT doc_id, w AS src_width, h AS src_height,
+        | greatest(1, CAST(round(w*scale) AS BIGINT)) AS out_width,
+        | greatest(1, CAST(round(h*scale) AS BIGINT)) AS out_height,
+        | greatest(1, CAST(round(w*scale) AS BIGINT))
+        |   * greatest(1, CAST(round(h*scale) AS BIGINT)) * c AS out_bytes
+        |FROM (SELECT doc_id, w, h, c,
+        |  least(1.0, least(128.0/w, 128.0/h)) AS scale
+        | FROM (SELECT doc_id,
+        |   64 + ascii(substr(text,1,1)) % 192 AS w,
+        |   64 + ascii(substr(text,2,1)) % 192 AS h,
+        |   1 + octet_length(encode(text)) % 4 AS c
+        |  FROM documents) d) s""".stripMargin,
   )
 }

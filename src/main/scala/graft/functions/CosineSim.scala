@@ -96,9 +96,18 @@ object GraftFunctions {
       children(1).eval(null).asInstanceOf[Number].intValue)
       .toAggregateExpression())
 
+  val topKDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("top_k_structs"),
+    new ExpressionInfo(classOf[TopKStructs].getName, "top_k_structs"),
+    (children: Seq[Expression]) => TopKStructs(
+      children(0),
+      children(1).eval(null).asInstanceOf[Number].intValue)
+      .toAggregateExpression())
+
   def register(spark: SparkSession): Unit = {
-    Seq(cosineSimDescriptor, bottomKDescriptor).foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(cosineSimDescriptor, bottomKDescriptor, topKDescriptor).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
   }
 }

@@ -10,5 +10,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
     ext.injectFunction(GraftFunctions.bottomKDescriptor)
+    ext.injectFunction(GraftFunctions.topKDescriptor)
   }
 }

@@ -153,6 +153,31 @@ object TextOps {
       .toDF("doc_id", "n_fingerprints", "min_fp", "max_fp")
   }
 
+  /** Benchmark-contamination check: fraction of each training doc's
+    * distinct 3-gram shingles that appear anywhere in a held-out
+    * "benchmark" slice (doc_id % 50 == 0 stands in for the eval set).
+    * The shape every training pipeline runs before release. Shingle
+    * hashes ride the shuffle (8 bytes, not strings); the benchmark side
+    * is a distinct-shingle set, so the join counts each training shingle
+    * at most once. */
+  def contamination(spark: SparkSession, sfDir: String,
+                    modulus: Long = 50): DataFrame = {
+    import spark.implicits._
+    val sigs = Dedup.signatures(spark, sfDir).toDF().select($"doc_id", $"sh")
+    val bench = sigs.filter($"doc_id" % modulus === 0)
+      .select(explode($"sh").as("shingle")).distinct()
+    val train = sigs.filter($"doc_id" % modulus =!= 0)
+    val hits = train.select($"doc_id", explode($"sh").as("shingle"))
+      .join(bench, "shingle")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+    train.select($"doc_id", size($"sh").cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_contaminated", coalesce($"n_hit", lit(0L)))
+      .select($"doc_id", $"n_shingles", $"n_contaminated",
+              round($"n_contaminated" / $"n_shingles", 4).as("contamination"))
+  }
+
   private val langLexicons: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "for"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "una"),

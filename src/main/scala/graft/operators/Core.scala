@@ -202,4 +202,83 @@ object Core {
       .filter($"s_acctbal" > $"a")
       .select($"s_suppkey", $"s_name", round($"s_acctbal", 4).as("acctbal"))
   }
+
+  /** Full outer join: per-customer order totals vs per-user event
+    * activity — keys on either side may be absent (customers who never
+    * ordered, event users who aren't customers). Both sides pre-aggregate
+    * before the join, so the shuffle carries one row per key. */
+  def qFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orderStats = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum($"o_totalprice"), 4).as("order_total"))
+    val eventStats = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"))
+    orderStats.join(eventStats, $"o_custkey" === $"user_id", "full_outer")
+      .select(coalesce($"o_custkey", $"user_id").as("key_id"),
+              $"n_orders", $"order_total", $"n_events")
+  }
+
+  /** Explicit GROUPING SETS — (region), (segment), and grand total in
+    * one pass with a grouping_id disambiguator (the general form behind
+    * rollup/cube; Expand + one shuffle, no multi-pass union). */
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, sfDir)), $"n_regionkey" === $"r_regionkey")
+      .groupingSets(Seq(Seq($"r_name"), Seq($"c_mktsegment"), Seq()),
+                    $"r_name", $"c_mktsegment")
+      .agg(grouping_id().cast("long").as("gid"),
+           count(lit(1)).as("n_customers"),
+           round(sum($"c_acctbal"), 4).as("sum_acctbal"))
+      .select($"r_name", $"c_mktsegment", $"gid", $"n_customers", $"sum_acctbal")
+  }
+
+  /** Top-3 orders per customer via the bounded [[graft.functions.TopKStructs]]
+    * aggregate — the scale path for per-key top-k. Unlike the window
+    * variant ([[qWindowRank]]), which sorts every shuffle partition in
+    * full, this keeps a k-row buffer per key with map-side partial
+    * aggregation: the shuffle carries ≤ k rows per key per map task.
+    * Ordering (o_totalprice DESC, o_orderkey ASC) is encoded in the
+    * struct as (price, -orderkey). */
+  def qTopKPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(call_function("top_k_structs",
+        struct($"o_totalprice", (-$"o_orderkey").as("neg_ok"), $"o_orderkey"),
+        lit(3)).as("top"))
+      .select($"o_custkey", posexplode($"top"))
+      .select($"o_custkey", $"col.o_orderkey".as("o_orderkey"),
+              round($"col.o_totalprice", 4).as("price"),
+              ($"pos" + 1).cast("long").as("rn"))
+  }
+
+  /** Incremental snapshot merge — the at-least-once re-delivery upsert
+    * the reference's idempotent re-register implies (README "exactly
+    * once"): base snapshot ∪ update snapshot, latest version wins per
+    * key. argmax via max(struct(version, payload)) = one hash agg with
+    * map-side combine — no window sort, no join back. */
+  def qIncrementalMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
+              lit(1L).as("version"))
+    // deterministic "re-delivered with correction" slice: every 5th key
+    val updates = Tables.orders(spark, sfDir)
+      .filter($"o_orderkey" % 5 === 0)
+      .select($"o_orderkey", $"o_orderpriority",
+              ($"o_totalprice" * 1.05).as("o_totalprice"), lit(2L).as("version"))
+    base.unionByName(updates)
+      .groupBy($"o_orderkey")
+      .agg(max(struct($"version", $"o_totalprice", $"o_orderpriority")).as("m"))
+      .groupBy($"m.o_orderpriority".as("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(when($"m.version" === 2, 1L).otherwise(0L)).as("n_updated"),
+           round(sum($"m.o_totalprice"), 4).as("merged_total"))
+  }
 }

@@ -179,6 +179,40 @@ object Telemetry {
               concat_ws(",", $"sample_arr".cast("array<string>")).as("sampled"))
   }
 
+  /** Rolling 5-point moving average per series (window frame ROWS 4
+    * PRECEDING) — the smoothing pass dashboards run over gauge streams.
+    * One shuffle on the series key; the frame is evaluated in a single
+    * per-partition ordered scan. */
+  def movingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val frame = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-4, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("mov_sum", round(sum($"value").over(frame), 4))
+      .withColumn("n_win", count(lit(1)).over(frame))
+      .select($"event_id", $"user_id", $"mov_sum", $"n_win",
+              round($"mov_sum" / $"n_win", 4).as("mov_avg"))
+  }
+
+  /** Reset-aware counter rate (PromQL increase() semantics): per series,
+    * delta from the previous sample, treating a decrease as a counter
+    * reset (the increase is the raw value). The exporter's CUMULATIVE
+    * sums need exactly this before rates are meaningful (metrics.go
+    * aggregation_temporality). */
+  def counterRate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bySeries = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("prev", lag($"value", 1).over(bySeries))
+      .filter($"prev".isNotNull)
+      .withColumn("inc",
+        when($"value" >= $"prev", $"value" - $"prev").otherwise($"value"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_samples"),
+           sum(when($"value" < $"prev", 1L).otherwise(0L)).as("n_resets"),
+           round(sum($"inc"), 4).as("total_increase"))
+  }
+
   /** Explicit-bounds histogram (bounds 50/100/200/500) — the reference's
     * histogram metric shape (metrics.go explicit_bounds/bucket_counts)
     * computed from raw values. */
