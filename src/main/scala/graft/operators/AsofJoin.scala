@@ -56,12 +56,14 @@ object AsofJoin {
     import spark.implicits._
     val events = Tables.events(spark, sfDir)
       .select($"event_id", $"user_id", $"ts")
-    // unique per (custkey, orderdate): keep the max orderkey and its price
+    // unique per (custkey, orderdate): keep the max orderkey and its
+    // price. max + max_by over primitives stay in HashAggregate
+    // (max(struct) would force sort-based aggregation); o_orderkey is
+    // globally unique so max_by is deterministic.
     val orders = Tables.orders(spark, sfDir)
       .groupBy($"o_custkey", $"o_orderdate")
-      .agg(max(struct($"o_orderkey", $"o_totalprice")).as("m"))
-      .select($"o_custkey", $"o_orderdate",
-              $"m.o_orderkey".as("o_orderkey"), $"m.o_totalprice".as("o_totalprice"))
+      .agg(max($"o_orderkey").as("o_orderkey"),
+           max_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))
     leftAsof(events, orders,
       $"user_id", $"o_custkey", $"ts", $"o_orderdate",
       Seq("o_orderkey" -> $"o_orderkey", "price" -> $"o_totalprice"))

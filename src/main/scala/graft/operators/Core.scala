@@ -274,11 +274,17 @@ object Core {
       .select($"o_orderkey", $"o_orderpriority",
               ($"o_totalprice" * 1.05).as("o_totalprice"), lit(2L).as("version"))
     base.unionByName(updates)
-      .groupBy($"o_orderkey")
-      .agg(max(struct($"version", $"o_totalprice", $"o_orderpriority")).as("m"))
-      .groupBy($"m.o_orderpriority".as("o_orderpriority"))
+      // primitive-only aggregation buffers keep this in HashAggregate
+      // (max over a struct — or a string — falls back to sort-based
+      // aggregation); o_orderpriority is functionally dependent on the
+      // key, so it rides in the grouping key instead of an agg buffer
+      .groupBy($"o_orderkey", $"o_orderpriority")
+      .agg(max(when($"version" === 2, $"o_totalprice")).as("p2"),
+           max(when($"version" === 1, $"o_totalprice")).as("p1"),
+           max($"version").as("version"))
+      .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
-           sum(when($"m.version" === 2, 1L).otherwise(0L)).as("n_updated"),
-           round(sum($"m.o_totalprice"), 4).as("merged_total"))
+           sum(when($"version" === 2, 1L).otherwise(0L)).as("n_updated"),
+           round(sum(coalesce($"p2", $"p1")), 4).as("merged_total"))
   }
 }

@@ -53,14 +53,18 @@ object Telemetry {
       .withColumn("avg_k", round($"sum_k" / $"n", 4))
   }
 
-  /** At-least-once dedup: keep the latest row per (user_id, event_type).
-    * max(struct(ts, event_id, value)) = argmax by (ts, event_id) with the
-    * payload riding along — one hash agg with map-side combine, no sort. */
+  /** At-least-once dedup: keep the latest row per (user_id, event_type),
+    * argmax by (ts, event_id) with the payload riding along. Uses the
+    * bounded [[graft.functions.TopKStructs]] sketch with k=1 →
+    * ObjectHashAggregate with map-side combine (a max(struct) argmax
+    * would fall to sort-based aggregation, sorting every partition). */
   def dedupLatest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     Tables.events(spark, sfDir)
       .groupBy($"user_id", $"event_type")
-      .agg(max(struct($"ts", $"event_id", $"value")).as("m"))
+      .agg(element_at(call_function("top_k_structs",
+        struct($"ts", $"event_id", $"value"), lit(1)), 1).as("m"))
       .select($"user_id", $"event_type",
               $"m.event_id".as("event_id"), $"m.value".as("value"))
   }
