@@ -46,4 +46,27 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n_events"), col("sum_value"))
+
+  /** Stream-stream interval join: correlate each error event with the
+    * purchases the same user made in the preceding 30 minutes. Both
+    * sides are watermarked so the join state is bounded — Spark retains
+    * purchase state only for the interval horizon + watermark, the shape
+    * that holds at any throughput. The range predicate is the streaming
+    * twin of the batch `q_range_join`. */
+  def errorPurchaseJoin(errors: DataFrame, purchases: DataFrame): DataFrame = {
+    val e = errors
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+              col("ts").as("err_ts"))
+    val p = purchases
+      .withWatermark("ts", "40 minutes")
+      .select(col("event_id").as("buy_id"), col("user_id").as("buy_user"),
+              col("ts").as("buy_ts"), col("value").as("buy_value"))
+    e.join(p,
+      col("err_user") === col("buy_user") &&
+        col("buy_ts") >= col("err_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("buy_ts") < col("err_ts"))
+      .select(col("err_id"), col("err_user"), col("buy_id"),
+              col("buy_ts"), col("buy_value"))
+  }
 }

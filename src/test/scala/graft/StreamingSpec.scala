@@ -75,6 +75,32 @@ class StreamingSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("stream-stream interval join matches the equivalent batch join") {
+    val base = Files.createTempDirectory("graft-stream-ssjoin").toString
+    val batch = Tables.events(spark, sf)
+    batch.filter(col("event_type") === "error").write.parquet(s"$base/err")
+    batch.filter(col("event_type") === "purchase").write.parquet(s"$base/buy")
+
+    val joined = StreamingIngest.errorPurchaseJoin(
+      StreamingIngest.readEvents(spark, s"$base/err", batch.schema),
+      StreamingIngest.readEvents(spark, s"$base/buy", batch.schema))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.sql("select count(*) from ss_join").collect()(0).getLong(0)
+    val batchExpected = batch.filter(col("event_type") === "error")
+      .select(col("user_id").as("u"), col("ts").as("err_ts"))
+      .join(batch.filter(col("event_type") === "purchase"),
+        col("user_id") === col("u") &&
+          col("ts") >= col("err_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("ts") < col("err_ts"))
+      .count()
+    assert(streamed === batchExpected && streamed > 0)
+  }
+
   test("watermarked windowed aggregate matches the batch tumbling window") {
     val base = Files.createTempDirectory("graft-stream-agg").toString
     val batch = Tables.events(spark, sf)
