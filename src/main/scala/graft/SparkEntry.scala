@@ -65,6 +65,7 @@ object SparkEntry {
     "q_grouping_sets"    -> (Core.qGroupingSets _),
     "q_incremental_merge" -> (Core.qIncrementalMerge _),
     "q_topk_per_group"   -> (Core.qTopKPerGroup _),
+    "q_window_topk_rewrite" -> (Core.qWindowTopkRewrite _),
     "tel_moving_avg"     -> (Telemetry.movingAvg _),
     "tel_counter_rate"   -> (Telemetry.counterRate _),
     "text_contamination" -> ((s, d) => TextOps.contamination(s, d)),
@@ -420,6 +421,13 @@ object SparkEntry {
         | round(sum(price),4) AS merged_total
         |FROM merged GROUP BY 1""".stripMargin,
     "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,4) AS price, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+    "q_window_topk_rewrite" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice,4) AS price, rn
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey

@@ -109,5 +109,10 @@ object GraftFunctions {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    // optimizer rewrite (conf-gated, default off) — idempotent add
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKWindowRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TopKWindowRewrite
+    }
   }
 }

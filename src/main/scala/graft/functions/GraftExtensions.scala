@@ -11,5 +11,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
     ext.injectFunction(GraftFunctions.bottomKDescriptor)
     ext.injectFunction(GraftFunctions.topKDescriptor)
+    ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
   }
 }

@@ -10,33 +10,70 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
 
-/** Bounded per-group top-k: keep the k LARGEST struct values under the
-  * struct's natural (lexicographic) ordering, returned in descending
-  * order.
+/** Bounded per-group top-k over struct values.
+  *
+  * Semantics: keep the k FIRST struct values under the configured sort
+  * order, returned in that order. The sort order compares the first
+  * `ascending.length` struct fields with the given per-field direction
+  * and null placement; remaining fields are payload (never compared —
+  * ties among them are resolved arbitrarily, exactly like
+  * `row_number()` on tied keys). With `ascending` empty (the 2-arg SQL
+  * function `top_k_structs(struct, k)`), every field is compared
+  * descending with nulls last — "k largest, largest first".
   *
   * This is the scale-path alternative to `row_number() OVER (...) <= k`:
-  * a window function sorts every partition's full row set (O(n log n)
-  * per key group and a sort of the whole shuffle output), while this
-  * aggregate keeps a k-element buffer per key with map-side partial
-  * aggregation — the shuffle carries at most k rows per key per map
-  * task, never the raw rows. Same extension-ladder rung as
-  * [[BottomKByHash]] (TypedImperativeAggregate sketch).
-  *
-  * Ordering direction is encoded by the caller in the struct fields
-  * (negate a numeric field for "smallest wins" on that component), so
-  * one aggregate covers every (ORDER BY a DESC, b ASC, ...) shape.
+  * a window function sorts every partition's full row set and shuffles
+  * every raw row, while this aggregate keeps a k-element buffer per key
+  * with map-side partial aggregation — the shuffle carries at most k
+  * rows per key per map task. Same extension-ladder rung as
+  * [[BottomKByHash]] (TypedImperativeAggregate sketch); the
+  * [[graft.plans.TopKWindowRewrite]] optimizer rule targets it.
   */
 case class TopKStructs(
     child: Expression,
     k: Int,
+    ascending: Seq[Boolean] = Nil,
+    nullsFirst: Seq[Boolean] = Nil,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[ArrayBuffer[InternalRow]] {
 
   private def structType: StructType = child.dataType.asInstanceOf[StructType]
 
-  @transient private lazy val ordering: Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(child.dataType)
+  @transient private lazy val fieldTypes: Array[DataType] =
+    structType.fields.map(_.dataType)
+
+  @transient private lazy val fieldOrds: Array[Ordering[Any]] =
+    fieldTypes.map(TypeUtils.getInterpretedOrdering)
+
+  @transient private lazy val nCompare: Int =
+    if (ascending.isEmpty) fieldTypes.length else ascending.length
+
+  @transient private lazy val asc: Array[Boolean] =
+    if (ascending.isEmpty) Array.fill(fieldTypes.length)(false) else ascending.toArray
+
+  @transient private lazy val nFirst: Array[Boolean] =
+    if (ascending.isEmpty) Array.fill(fieldTypes.length)(false) else nullsFirst.toArray
+
+  /** SQL ORDER BY comparison over the leading fields. */
+  private def lessThan(a: InternalRow, b: InternalRow): Boolean = {
+    var i = 0
+    while (i < nCompare) {
+      val av = a.get(i, fieldTypes(i))
+      val bv = b.get(i, fieldTypes(i))
+      val c =
+        if (av == null && bv == null) 0
+        else if (av == null) { if (nFirst(i)) -1 else 1 }
+        else if (bv == null) { if (nFirst(i)) 1 else -1 }
+        else {
+          val n = fieldOrds(i).compare(av, bv)
+          if (asc(i)) n else -n
+        }
+      if (c != 0) return c < 0
+      i += 1
+    }
+    false
+  }
 
   @transient private lazy val toUnsafe: UnsafeProjection =
     UnsafeProjection.create(structType)
@@ -44,11 +81,11 @@ case class TopKStructs(
   override def createAggregationBuffer(): ArrayBuffer[InternalRow] =
     ArrayBuffer.empty[InternalRow]
 
-  /** Sort descending, trim to k. Amortized: only invoked when the buffer
-    * reaches 2k, so each input row costs O(log k) amortized. */
+  /** Sort by the configured order, trim to k. Amortized: only invoked
+    * when the buffer reaches 2k, so each row costs O(log k) amortized. */
   private def compact(buf: ArrayBuffer[InternalRow]): ArrayBuffer[InternalRow] = {
     if (buf.length > k) {
-      val sorted = buf.sortWith((a, b) => ordering.compare(a, b) > 0)
+      val sorted = buf.sortWith(lessThan)
       buf.clear()
       buf ++= sorted.take(k)
     }
@@ -70,8 +107,7 @@ case class TopKStructs(
   }
 
   override def eval(buf: ArrayBuffer[InternalRow]): Any =
-    new GenericArrayData(
-      buf.sortWith((a, b) => ordering.compare(a, b) > 0).take(k).toArray[Any])
+    new GenericArrayData(buf.sortWith(lessThan).take(k).toArray[Any])
 
   override def serialize(buf: ArrayBuffer[InternalRow]): Array[Byte] = {
     compact(buf)

@@ -258,6 +258,29 @@ object Core {
               ($"pos" + 1).cast("long").as("rn"))
   }
 
+  /** The same top-3-per-customer query as [[qWindowRank]], written in the
+    * window formulation but optimized by [[graft.plans.TopKWindowRewrite]]
+    * into the bounded TopKStructs aggregate — the end-to-end proof that
+    * the ladder-(c) optimizer rule preserves semantics (shares
+    * qWindowRank's oracle). The flag is restored after the optimized
+    * plan is forced, so other queries keep the stock planner. */
+  def qWindowTopkRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    spark.conf.set(graft.plans.TopKWindowRewrite.ENABLED_KEY, "true")
+    try {
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      val df = Tables.orders(spark, sfDir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey",
+                round($"o_totalprice", 4).as("price"), $"rn".cast("long").as("rn"))
+      df.queryExecution.optimizedPlan // force + memoize the rewrite
+      df
+    } finally spark.conf.set(graft.plans.TopKWindowRewrite.ENABLED_KEY, "false")
+  }
+
   /** Incremental snapshot merge — the at-least-once re-delivery upsert
     * the reference's idempotent re-register implies (README "exactly
     * once"): base snapshot ∪ update snapshot, latest version wins per
