@@ -71,6 +71,8 @@ object SparkEntry {
     "text_contamination" -> ((s, d) => TextOps.contamination(s, d)),
     "mm_frame_meta"      -> ((s, d) => Multimodal.frameSample(s, d).toDF()
                                .select("doc_id", "frame_idx", "frame_len")),
+    "tel_gap_fill"       -> (Telemetry.gapFill _),
+    "dedup_clusters"     -> ((s, d) => Dedup.dedupClusters(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -478,6 +480,55 @@ object SparkEntry {
         |  unnest(generate_series(0, CAST(ceil(blen/64.0) AS BIGINT)-1, 4)) AS i
         | FROM (SELECT doc_id, octet_length(encode(text)) AS blen
         |       FROM documents) b) t""".stripMargin,
+    "tel_gap_fill" ->
+      """WITH hourly AS (
+        | SELECT user_id, date_trunc('hour', ts) AS h,
+        |  count(*) AS n, round(sum(value),4) AS sv
+        | FROM events GROUP BY 1,2),
+        |grid AS (
+        | SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        | FROM (SELECT user_id, min(h) AS h0, max(h) AS h1
+        |       FROM hourly GROUP BY 1) s)
+        |SELECT g.user_id, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        | coalesce(hourly.n, 0) AS n_events,
+        | last_value(hourly.sv IGNORE NULLS) OVER (
+        |   PARTITION BY g.user_id ORDER BY g.h
+        |   ROWS UNBOUNDED PRECEDING) AS filled_sum
+        |FROM grid g LEFT JOIN hourly
+        |  ON g.user_id = hourly.user_id AND g.h = hourly.h""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |   THEN [array_to_string(t[i:i+2],' ') for i in generate_series(1,len(t)-2)]
+        |   ELSE [array_to_string(t,' ')] END) AS s
+        | FROM toks),
+        |post AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+        |cand AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+        |  count(*) AS inter
+        | FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1,2,3,4),
+        |pairs AS (
+        | SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |   CAST(round(CAST(CAST(inter*1.0/(na+nb-inter) AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS jaccard
+        |  FROM cand) p
+        | WHERE jaccard >= 0.2),
+        |edges AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (
+        | SELECT src AS doc_id, least(src, min(dst)) AS label
+        | FROM reach GROUP BY src)
+        |SELECT label AS cluster_id, count(*) AS n_docs, max(doc_id) AS max_doc_id
+        |FROM lab GROUP BY 1""".stripMargin,
     "mm_resize_meta" ->
       """SELECT doc_id, w AS src_width, h AS src_height,
         | greatest(1, CAST(round(w*scale) AS BIGINT)) AS out_width,

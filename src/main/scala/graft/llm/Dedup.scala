@@ -158,6 +158,50 @@ object Dedup {
       .select($"vec_a", $"vec_b", $"label", $"cosine")
   }
 
+  /** Near-duplicate clusters: connected components over the exact-Jaccard
+    * pair graph ([[ngramJaccard]]), labels = min doc_id per component —
+    * the step that turns pair lists into per-document keep/drop
+    * decisions. Iterative min-label propagation (the standard large-scale
+    * connected-components algorithm — GraphX/Pregel shape): each round is
+    * one join + one aggregate, and the round count is bounded by the
+    * component diameter (≤ log n rounds with doubling in practice; near-
+    * dup clusters are tiny cliques, so 2-3 rounds). The per-round
+    * `count()` action is loop control, not data movement. */
+  def dedupClusters(spark: SparkSession, sfDir: String,
+                    threshold: Double = 0.2, maxIters: Int = 20): DataFrame = {
+    import spark.implicits._
+    val pairs = ngramJaccard(spark, sfDir, threshold)
+      .select($"doc_a", $"doc_b")
+    val edges = pairs
+      .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("src", "dst")
+      .cache()
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .withColumn("label", $"doc_id")
+      .cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy($"dst".as("doc_id"))
+        .agg(min($"label").as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select($"doc_id", least($"label", $"nmin").as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter($"label" =!= $"old").count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    val out = labels.groupBy($"label".as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max($"doc_id").as("max_doc_id"))
+    edges.unpersist()
+    out
+  }
+
   /** Exact n-gram Jaccard via a distributed shingle inverted index:
     * posting lists join on the 64-bit shingle hash (cheap shuffle key),
     * |A∪B| = |A|+|B|-|A∩B|. */

@@ -217,6 +217,32 @@ object Telemetry {
            round(sum($"inc"), 4).as("total_increase"))
   }
 
+  /** Hourly gap-fill + forward-fill per series: materialize every hour
+    * between a series' first and last sample (sequence + explode — no
+    * driver-side loop), left-join the actual hourly rollup, and carry
+    * the last observed sum forward across gaps. The resample shape
+    * behind every dashboard that draws continuous lines from sparse
+    * telemetry. Grid generation is narrow; the join and the fill window
+    * each shuffle once on the series key. */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy($"user_id", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sv"))
+    val grid = hourly
+      .groupBy($"user_id")
+      .agg(min($"hour").as("h0"), max($"hour").as("h1"))
+      .select($"user_id",
+              explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("hour"))
+    val fill = Window.partitionBy($"user_id").orderBy($"hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select($"user_id",
+              date_format($"hour", "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+              coalesce($"n", lit(0L)).as("n_events"),
+              last($"sv", ignoreNulls = true).over(fill).as("filled_sum"))
+  }
+
   /** Explicit-bounds histogram (bounds 50/100/200/500) — the reference's
     * histogram metric shape (metrics.go explicit_bounds/bucket_counts)
     * computed from raw values. */
