@@ -172,13 +172,19 @@ object Dedup {
     import spark.implicits._
     val pairs = ngramJaccard(spark, sfDir, threshold)
       .select($"doc_a", $"doc_b")
+    // localCheckpoint truncates lineage every round — without it each
+    // iteration's logical plan nests the previous one and Catalyst
+    // re-optimization dominates the loop.
     val edges = pairs
       .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
       .toDF("src", "dst")
-      .cache()
+      .localCheckpoint()
     var labels = edges.select($"src".as("doc_id")).distinct()
       .withColumn("label", $"doc_id")
-      .cache()
+      .localCheckpoint()
+    // sum(label) is monotone non-increasing under min-propagation and
+    // stalls exactly at convergence — one tiny agg replaces a join+count
+    var prevSum = labels.agg(sum($"label")).first().getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -186,20 +192,16 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy($"dst".as("doc_id"))
         .agg(min($"label").as("nmin"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+      labels = labels.join(neighborMin, Seq("doc_id"), "left")
         .select($"doc_id", least($"label", $"nmin").as("label"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter($"label" =!= $"old").count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+        .localCheckpoint()
+      val s = labels.agg(sum($"label")).first().getLong(0)
+      converged = s == prevSum
+      prevSum = s
       i += 1
     }
-    val out = labels.groupBy($"label".as("cluster_id"))
+    labels.groupBy($"label".as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), max($"doc_id").as("max_doc_id"))
-    edges.unpersist()
-    out
   }
 
   /** Exact n-gram Jaccard via a distributed shingle inverted index:
