@@ -29,6 +29,7 @@ object SparkEntry {
     "q_scalar_subquery"  -> (Core.qScalarSubquery _),
     "q_asof_join"        -> (AsofJoin.qAsofJoin _),
     "q_salted_agg"       -> (SkewOps.qSaltedAgg _),
+    "q_salted_join"      -> (SkewOps.qSaltedJoin _),
     "q_range_join"       -> ((s, d) => RangeJoin.qRangeJoin(s, d)),
     "q_pivot"            -> (Core.qPivot _),
     "q_cube"             -> (Core.qCube _),
@@ -219,6 +220,11 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
         | round(sum(value),4) AS sum_value
         |FROM events GROUP BY user_id""".stripMargin,
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        | round(sum(value),4) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "tel_value_percentiles" ->
       """SELECT event_type, count(*) AS n,
         | CAST(round(CAST(CAST(quantile_cont(value, 0.5) AS VARCHAR) AS DECIMAL(38,18)),6) AS DOUBLE) AS p50,

@@ -36,4 +36,35 @@ object SkewOps {
       .select($"_key".as("user_id"), $"_n".as("n_events"),
               round($"_sum", 4).as("sum_value"))
   }
+
+  /** Skew-safe salted shuffle join: the fact side salts its key with a
+    * deterministic spread (uncorrelated unique id mod S); the build side
+    * replicates each row S times, one per salt. A hot join key's rows
+    * then land on S reducers instead of one. Every (fact, build) key
+    * match still pairs exactly once, so results are identical to the
+    * plain join — the oracle IS the unsalted SQL. The shuffle-hash hint
+    * keeps the demo honest (broadcast would bypass the skew problem;
+    * salting is the lever when the build side is too big to broadcast
+    * AND a key is hot — the case AQE's skew handling misses when the
+    * hot key sits in one reducer of a hash join). */
+  def saltedJoin(fact: DataFrame, factKey: Column, build: DataFrame,
+                 buildKey: Column, saltBy: Column, salts: Int = 8): DataFrame = {
+    val saltedFact = fact.withColumn("_salt", pmod(hash(saltBy), lit(salts)))
+    val replicatedBuild = build
+      .withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(replicatedBuild.hint("shuffle_hash"),
+      factKey === buildKey && saltedFact("_salt") === replicatedBuild("_salt"))
+  }
+
+  /** Events ⋈ customer with an 8-way salt, rolled up per market segment;
+    * oracle is the plain unsalted join. */
+  def qSaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val out = saltedJoin(
+      Tables.events(spark, sfDir), $"user_id",
+      Tables.customer(spark, sfDir).select($"c_custkey", $"c_mktsegment"),
+      $"c_custkey", $"event_id")
+    out.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
+  }
 }
