@@ -74,6 +74,8 @@ object SparkEntry {
                                .select("doc_id", "frame_idx", "frame_len")),
     "tel_gap_fill"       -> (Telemetry.gapFill _),
     "dedup_clusters"     -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "sim_ivf_ann"        -> ((s, d) => SimOps.ivfAnn(s, d)),
+    "text_balanced_sample" -> ((s, d) => TextOps.balancedSample(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -479,6 +481,37 @@ object SparkEntry {
         |   AS DECIMAL(38,18)),4) AS DOUBLE) AS contamination
         |FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
         |WHERE s.doc_id % 50 != 0""".stripMargin,
+    "sim_ivf_ann" ->
+      """WITH v AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        | FROM embeddings),
+        |c AS (SELECT vec_id AS cid, vec AS cvec, nrm AS cnrm FROM v WHERE vec_id < 4),
+        |scored AS (
+        | SELECT v.vec_id, c.cid,
+        |  row_number() OVER (PARTITION BY v.vec_id
+        |    ORDER BY round(list_dot_product(v.vec, c.cvec)/(v.nrm*c.cnrm), 6) DESC,
+        |             c.cid) AS rn
+        | FROM v, c WHERE v.vec_id >= 4),
+        |assign AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+        |idx AS (SELECT a.vec_id, a.cid, v.vec, v.nrm
+        |        FROM assign a JOIN v USING (vec_id)),
+        |q AS (SELECT vec_id AS query_id, cid, vec AS qvec, nrm AS qnrm
+        |      FROM idx WHERE vec_id < 12),
+        |p AS (
+        | SELECT q.query_id, i.vec_id AS neighbor_id,
+        |  round(list_dot_product(i.vec, q.qvec)/(i.nrm*q.qnrm), 6) AS cosine
+        | FROM idx i JOIN q ON i.cid = q.cid AND i.vec_id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
+        |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "text_balanced_sample" ->
+      """SELECT doc_id, lang, rk FROM (
+        | SELECT doc_id, lang, row_number() OVER (
+        |   PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        | FROM documents) t
+        |WHERE rk <= 50""".stripMargin,
     "mm_frame_meta" ->
       """SELECT doc_id, i AS frame_idx,
         | least(64, blen - i*64) AS frame_len

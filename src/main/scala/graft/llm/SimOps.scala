@@ -43,6 +43,42 @@ object SimOps {
               $"rnk".cast("long").as("rnk"))
   }
 
+  /** IVF-style ANN: partition the corpus into inverted lists by nearest
+    * centroid (deterministic centroid set: the first `nCentroids`
+    * vectors stand in for a k-means codebook), then each query probes
+    * only its own centroid's list (nprobe=1) with exact re-ranking
+    * inside. The scale shape of FAISS-IVF on Spark: assignment is one
+    * broadcast pass, the probe is an equi-join on centroid id — the
+    * corpus is never cross-joined. Argmax assignment runs through
+    * [[graft.functions.TopKStructs]] k=1 (hash agg, no sort). */
+  def ivfAnn(spark: SparkSession, sfDir: String, nCentroids: Int = 4,
+             nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    val cents = emb.filter($"vec_id" < nCentroids)
+      .select($"vec_id".as("cid"), $"vec".as("cvec"))
+    val assign = emb.filter($"vec_id" >= nCentroids)
+      .crossJoin(broadcast(cents))
+      .withColumn("cos6", round(call_function("cosine_sim", $"vec", $"cvec"), 6))
+      .groupBy($"vec_id")
+      .agg(element_at(call_function("top_k_structs",
+        struct($"cos6", (-$"cid").as("ncid"), $"cid"), lit(1)), 1)
+        .getField("cid").as("cid"))
+    val indexed = assign.join(emb, "vec_id")
+    val q = indexed.filter($"vec_id" < nCentroids + nQueries)
+      .select($"vec_id".as("query_id"), $"cid", $"vec".as("qvec"))
+    indexed.join(broadcast(q), Seq("cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos6", round(call_function("cosine_sim", $"vec", $"qvec"), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos6".desc, $"vec_id".asc)))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"cos6".as("cosine"),
+              $"rnk".cast("long").as("rnk"))
+  }
+
   private val MIX = 2654435761L
 
   /** Deterministic pseudo-random hyperplane coefficient for (plane j,

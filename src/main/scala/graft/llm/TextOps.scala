@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -176,6 +177,22 @@ object TextOps {
       .withColumn("n_contaminated", coalesce($"n_hit", lit(0L)))
       .select($"doc_id", $"n_shingles", $"n_contaminated",
               round($"n_contaminated" / $"n_shingles", 4).as("contamination"))
+  }
+
+  /** Deterministic class-balanced sampling: keep at most `perGroup` docs
+    * per language, chosen by md5(doc_id) order — the consistent-hash
+    * "data mixing" step that rebalances source/language proportions in a
+    * training corpus. Same sample regardless of partitioning or history;
+    * one shuffle on the group key. */
+  def balancedSample(spark: SparkSession, sfDir: String,
+                     perGroup: Int = 50): DataFrame = {
+    import spark.implicits._
+    val byHash = Window.partitionBy($"lang")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang")
+      .withColumn("rk", row_number().over(byHash).cast("long"))
+      .filter($"rk" <= perGroup)
   }
 
   private val langLexicons: Map[String, Seq[String]] = Map(
