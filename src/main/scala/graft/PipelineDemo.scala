@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -26,6 +28,24 @@ object PipelineDemo {
 
     val events = Tables.events(spark, sfDir)
     println(s"[demo] source events: ${events.count()}")
+
+    // 0. The reference's own path: OTLP/JSON (collector output) →
+    // flatten → time-partitioned flat table.
+    val otlpDir = java.nio.file.Paths.get(s"$outDir/_otlp")
+    Files.createDirectories(otlpDir)
+    val otlpLines = (0 until 3).map { i =>
+      val t0 = 1700000000000000000L + i * 3600000000000L
+      s"""{"resourceSpans":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"svc-$i"}}]},"scopeSpans":[{"scope":{"name":"lib","version":"1.0"},"spans":[{"traceId":"trace$i","spanId":"span$i","name":"op-$i","kind":2,"startTimeUnixNano":"$t0","endTimeUnixNano":"${t0 + 5000000L}","status":{"code":1}}]}]}]}"""
+    }
+    Files.writeString(otlpDir.resolve("traces.json"), otlpLines.mkString("\n"))
+    val traceTable = graft.otel.OtelTraces.flatten(
+      graft.sources.OtelJsonSource.traces(spark, otlpDir.toString))
+    PartitionedParquetSink.writeBatch(traceTable,
+      SinkConfig(outDir, "otel_traces", tsColumn = "start_time_unix_nano",
+                 granularity = "daily"))
+    val traceRows = spark.read.parquet(s"$outDir/otel_traces")
+    println(s"[demo] OTLP/JSON → otel_traces rows: ${traceRows.count()} " +
+      s"services: ${traceRows.select("service_name").distinct().count()}")
 
     // 1. Streaming ingest into an hourly-partitioned table. The file
     // source tails a directory (as an upstream collector would fill);

@@ -72,16 +72,22 @@ object PartitionedParquetSink {
 
   /** Streaming write: same layout via Structured Streaming's parquet
     * sink (exactly-once per partition via the checkpoint + file log —
-    * stronger than the reference's at-least-once delivery). */
+    * stronger than the reference's at-least-once delivery). Like the
+    * batch path, each micro-batch shuffles rows onto their partition
+    * values first — otherwise every task writes a file per directory it
+    * touches and a steady stream accretes small files quadratically. */
   def writeStream(df: DataFrame, cfg: SinkConfig,
-                  checkpoint: String): DataStreamWriter[Row] =
+                  checkpoint: String): DataStreamWriter[Row] = {
+    val cols = partitionColumns(cfg.granularity)
     withPartitionValues(df, cfg)
+      .repartition(cols.map(col): _*)
       .writeStream
       .format("parquet")
-      .partitionBy(partitionColumns(cfg.granularity): _*)
+      .partitionBy(cols: _*)
       .option("path", tablePath(cfg))
       .option("compression", cfg.compression)
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
+  }
 }
