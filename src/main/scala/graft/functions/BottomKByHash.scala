@@ -30,8 +30,12 @@ case class BottomKByHash(
   override def createAggregationBuffer(): Buf =
     scala.collection.mutable.TreeMap.empty[(String, Long), Unit]
 
+  // MessageDigest.digest() resets the instance, so one per aggregate
+  // (i.e. per task) is safe to reuse — no per-row allocation.
+  @transient private lazy val md5 = MessageDigest.getInstance("MD5")
+
   private def md5hex(v: Long): String = {
-    val d = MessageDigest.getInstance("MD5").digest(v.toString.getBytes("UTF-8"))
+    val d = md5.digest(v.toString.getBytes("UTF-8"))
     d.map(b => f"${b & 0xff}%02x").mkString
   }
 

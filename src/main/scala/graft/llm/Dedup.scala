@@ -216,6 +216,13 @@ object Dedup {
     val a = posting.select($"shingle", $"doc_id".as("doc_a"), $"n_sh".as("na"))
     val b = posting.select($"shingle", $"doc_id".as("doc_b"), $"n_sh".as("nb"))
     a.join(b, "shingle").filter($"doc_a" < $"doc_b")
+      // size-ratio prune: I ≤ min(na,nb) so J = I/(na+nb-I) ≤ min/max;
+      // J ≥ t therefore forces max·t ≤ min — pairs beyond the ratio can
+      // never reach the threshold and drop before the pair-count shuffle.
+      // Slack of 1e-4 keeps pairs whose ROUNDED jaccard (the downstream
+      // filter) could still equal t from just below it.
+      .filter($"na" * (threshold - 1e-4) <= $"nb" &&
+              $"nb" * (threshold - 1e-4) <= $"na")
       .groupBy($"doc_a", $"doc_b", $"na", $"nb")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 4))
