@@ -59,6 +59,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(df.filter(col("pred_lang").isin("en", "es", "fr", "de")).count() === 500)
   }
 
+  test("IVF ANN: bucket-local hits are brute-force-consistent with fair recall") {
+    val bf = SimOps.simTopkBruteforce(spark, sf, nQueries = 12, k = 5).collect()
+      .filter(_.getAs[Long]("query_id") >= 4) // ivf queries are ids 4..11
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = SimOps.ivfAnn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    ivf.foreach { case (q, n) => assert(q !== n) }
+    // nprobe=1 over 4 pseudo-centroids: deterministic data → deterministic
+    // recall; must find a sane fraction of the true top-5 neighbors
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+  }
+
+  test("balanced sample caps every language at the quota, deterministically") {
+    val s1 = TextOps.balancedSample(spark, sf).collect()
+    val s2 = TextOps.balancedSample(spark, sf).collect()
+    assert(s1.map(r => (r.getLong(0), r.getLong(2))).toSet ===
+           s2.map(r => (r.getLong(0), r.getLong(2))).toSet)
+    val perLang = s1.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    assert(perLang.values.forall(_ <= 50))
+  }
+
   test("binary metadata pipeline: byte lengths match text encoding") {
     val meta = Multimodal.binaryMeta(spark, sf)
     val joined = meta.join(Tables.documents(spark, sf), "doc_id")
