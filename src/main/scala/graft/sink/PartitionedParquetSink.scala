@@ -3,6 +3,7 @@ package graft.sink
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types.MetadataBuilder
 import org.apache.spark.sql.Row
 
 /** Time-partitioned parquet sink — the Spark-native counterpart of the
@@ -51,6 +52,20 @@ object PartitionedParquetSink {
 
   def tablePath(cfg: SinkConfig): String = s"${cfg.basePath}/${cfg.table}"
 
+  /** Attach Iceberg field IDs (sequential, 1-based — schema.go's
+    * auto-assignment) as `parquet.field.id` column metadata. Spark's
+    * parquet writer emits them into the file footer
+    * (`spark.sql.parquet.fieldId.write.enabled`, default on), which is
+    * what lets an Iceberg catalog adopt the files without a rewrite —
+    * the reference's "Iceberg field IDs" feature (README Features). */
+  def withIcebergFieldIds(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      col(f.name).as(f.name, new MetadataBuilder().withMetadata(f.metadata)
+        .putLong("parquet.field.id", i + 1L).build())
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   /** Batch write: append one partitioned parquet dataset.
     *
     * Rows are shuffled onto their partition values first so each
@@ -61,7 +76,7 @@ object PartitionedParquetSink {
     * `spark.sql.files.maxRecordsPerFile`.) */
   def writeBatch(df: DataFrame, cfg: SinkConfig): Unit = {
     val cols = partitionColumns(cfg.granularity)
-    withPartitionValues(df, cfg)
+    withIcebergFieldIds(withPartitionValues(df, cfg))
       .repartition(cols.map(col): _*)
       .write
       .partitionBy(cols: _*)
@@ -79,7 +94,7 @@ object PartitionedParquetSink {
   def writeStream(df: DataFrame, cfg: SinkConfig,
                   checkpoint: String): DataStreamWriter[Row] = {
     val cols = partitionColumns(cfg.granularity)
-    withPartitionValues(df, cfg)
+    withIcebergFieldIds(withPartitionValues(df, cfg))
       .repartition(cols.map(col): _*)
       .writeStream
       .format("parquet")

@@ -29,6 +29,29 @@ class SinkRecoverySpec extends SparkSpec {
     assert(hourDirs.exists(_.getName.startsWith("hour=")))
   }
 
+  test("sink parquet footers carry Iceberg field IDs (README Features)") {
+    val base = tmp()
+    val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "monthly")
+    PartitionedParquetSink.writeBatch(eventsDf.limit(100), cfg)
+    val file = Files.walk(java.nio.file.Paths.get(s"$base/events")).iterator()
+    val parquetFile = scala.jdk.CollectionConverters.IteratorHasAsScala(file).asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(parquetFile.toString),
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      val fields = reader.getFooter.getFileMetaData.getSchema.getFields
+      import scala.jdk.CollectionConverters._
+      val ids = fields.asScala.map(f => f.getName -> Option(f.getId).map(_.intValue))
+      // every data column (partition cols live in the directory path) has
+      // a stable, unique, positive field id
+      assert(ids.forall(_._2.isDefined), s"missing field ids in $ids")
+      val vals = ids.flatMap(_._2)
+      assert(vals.distinct.size === vals.size && vals.forall(_ > 0))
+    } finally reader.close()
+  }
+
   test("monthly granularity only derives year/month (partition.go ToMap)") {
     val base = tmp()
     val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "monthly")
