@@ -52,6 +52,7 @@ object SparkEntry {
     "text_langid"        -> (TextOps.langId _),
     "dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"      -> (Dedup.simhash _),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "sim_topk_bruteforce" -> ((s, d) => SimOps.simTopkBruteforce(s, d)),

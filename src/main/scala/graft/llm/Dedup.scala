@@ -139,6 +139,23 @@ object Dedup {
       .toDF("doc_id", "simhash64", "band16")
   }
 
+  /** SimHash near-dup pairs: candidates collide on the 16-bit band
+    * prefix (equi-join — never all-pairs), then verify Hamming distance
+    * over the full 64-bit signature with bit_count(xor). The
+    * complete simhash dedup loop: [[simhash]] signatures are the index,
+    * this is the detection pass. */
+  def simhashPairs(spark: SparkSession, sfDir: String,
+                   maxHamming: Int = 6): DataFrame = {
+    import spark.implicits._
+    val sigs = simhash(spark, sfDir)
+    val a = sigs.select($"band16", $"doc_id".as("doc_a"), $"simhash64".as("sim_a"))
+    val b = sigs.select($"band16", $"doc_id".as("doc_b"), $"simhash64".as("sim_b"))
+    a.join(b, "band16").filter($"doc_a" < $"doc_b")
+      .withColumn("hamming", bit_count($"sim_a".bitwiseXOR($"sim_b")).cast("long"))
+      .filter($"hamming" <= maxHamming)
+      .select($"doc_a", $"doc_b", $"hamming")
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked on `label` (the
     * cluster/bucket a scale pipeline would block on — full pairwise at
     * 100 TB is never an option; within-block pairs are). Cosine runs

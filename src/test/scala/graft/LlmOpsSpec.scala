@@ -59,6 +59,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(df.filter(col("pred_lang").isin("en", "es", "fr", "de")).count() === 500)
   }
 
+  test("simhash pairs: band-collision candidates verified by hamming bound") {
+    val pairs = Dedup.simhashPairs(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("hamming") <= 6L)
+    }
+    // high-overlap jaccard pairs should mostly be rediscovered by simhash
+    val jacc = Dedup.ngramJaccard(spark, sf, threshold = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    if (jacc.nonEmpty)
+      assert(jacc.intersect(sh).size.toDouble / jacc.size >= 0.5,
+        s"simhash missed most strong near-dups: ${jacc.size} vs ${jacc.intersect(sh).size}")
+  }
+
   test("IVF ANN: bucket-local hits are brute-force-consistent with fair recall") {
     val bf = SimOps.simTopkBruteforce(spark, sf, nQueries = 12, k = 5).collect()
       .filter(_.getAs[Long]("query_id") >= 4) // ivf queries are ids 4..11
