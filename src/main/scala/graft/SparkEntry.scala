@@ -62,6 +62,7 @@ object SparkEntry {
     "mm_resize_meta"     -> ((s, d) => Multimodal.resizeMeta(s, d).toDF()),
     "text_winnow"        -> ((s, d) => TextOps.winnowFingerprints(s, d)),
     "tel_approx_distinct" -> (Telemetry.approxDistinct _),
+    "tel_approx_percentiles" -> (Telemetry.approxPercentiles _),
     "tel_sample_users"   -> (Telemetry.sampleUsers _),
     "q_full_outer"       -> (Core.qFullOuter _),
     "q_grouping_sets"    -> (Core.qGroupingSets _),

@@ -141,6 +141,22 @@ object Telemetry {
               round($"p99_raw", 6).as("p99"))
   }
 
+  /** One-pass approximate percentiles (KLL-style sketch behind Spark's
+    * approx_percentile) — the 100 TB path where the exact sort-based
+    * percentile ([[valuePercentiles]]) would need a full shuffle+sort
+    * per group. Mergeable sketch → map-side partials; spec bounds the
+    * error against the exact quantiles. */
+  def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+           expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)").as("ap"))
+      .select($"event_type", $"n",
+              $"ap".getItem(0).as("p50"), $"ap".getItem(1).as("p95"),
+              $"ap".getItem(2).as("p99"))
+  }
+
   /** Approximate distinct users per event type (HyperLogLog++ sketch) —
     * the one-pass cardinality path for 100 TB where exact
     * count(distinct) would shuffle every key. rsd 2%; spec asserts the
