@@ -244,7 +244,7 @@ object SparkEntry {
       """SELECT event_type, n, sum_k, min_k, max_k,
         | CAST(round(CAST(CAST(sum_k*1.0/n AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS avg_k
         |FROM (SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS max_k
         | FROM events GROUP BY event_type) t""".stripMargin,
@@ -264,8 +264,8 @@ object SparkEntry {
         |   OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
         | FROM w),
         |s2 AS (
-        | SELECT *, sum(new_session) OVER (PARTITION BY user_id
-        |   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        | SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         | FROM s)
         |SELECT user_id, session_idx, count(*) AS n_events,
         | min(event_id) AS first_event_id, round(sum(value),4) AS sum_value
@@ -279,7 +279,7 @@ object SparkEntry {
       """SELECT hour_start, n_errors, n_total,
         | CAST(round(CAST(CAST(n_errors*1.0/n_total AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS error_rate FROM (
         | SELECT strftime(date_trunc('hour',ts),'%Y-%m-%d %H:%M:%S') AS hour_start,
-        |  sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_errors,
+        |  CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
         |  count(*) AS n_total
         | FROM events GROUP BY 1) t""".stripMargin,
     "tel_value_stats" ->
@@ -312,8 +312,8 @@ object SparkEntry {
         |FROM documents GROUP BY lang""".stripMargin,
     "text_tokens" ->
       """SELECT source, count(*) AS n_docs,
-        | sum(len(string_split_regex(trim(text),'\s+'))) AS sum_tokens,
-        | sum(CAST(ceil(length(text)/4.0) AS BIGINT)) AS sum_tokens_bpe,
+        | CAST(sum(len(string_split_regex(trim(text),'\s+'))) AS BIGINT) AS sum_tokens,
+        | CAST(sum(CAST(ceil(length(text)/4.0) AS BIGINT)) AS BIGINT) AS sum_tokens_bpe,
         | max(len(string_split_regex(trim(text),'\s+'))) AS max_tokens
         |FROM documents GROUP BY source""".stripMargin,
     "text_quality" ->
@@ -429,7 +429,7 @@ object SparkEntry {
         |  FROM orders WHERE o_orderkey % 5 = 0) u
         | GROUP BY o_orderkey)
         |SELECT prio AS o_orderpriority, count(*) AS n_orders,
-        | sum(CASE WHEN version=2 THEN 1 ELSE 0 END) AS n_updated,
+        | CAST(sum(CASE WHEN version=2 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
         | round(sum(price),4) AS merged_total
         |FROM merged GROUP BY 1""".stripMargin,
     "q_topk_per_group" ->
@@ -457,7 +457,7 @@ object SparkEntry {
         |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) t""".stripMargin,
     "tel_counter_rate" ->
       """SELECT user_id, count(*) AS n_samples,
-        | sum(CASE WHEN value < prev THEN 1 ELSE 0 END) AS n_resets,
+        | CAST(sum(CASE WHEN value < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
         | round(sum(CASE WHEN value >= prev THEN value - prev ELSE value END),4)
         |   AS total_increase
         |FROM (SELECT user_id, value,

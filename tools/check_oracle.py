@@ -15,11 +15,19 @@ import pyarrow.parquet as pq
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
+import decimal
+
 def norm(v):
+    # EXACT compare: the driver hashes values, so doubles must be
+    # bit-identical between Spark and DuckDB, and TYPES must agree
+    # (DuckDB sum(int) -> HUGEINT -> decimal128/float64 driver-side
+    # hash-mismatches Spark int64 even when values are equal).
     if v is None: return None
+    if isinstance(v, bool): return ("b", v)
     if isinstance(v, float):
         if math.isnan(v): return "NaN"
-        return round(v, 9)
+        return v.hex()
+    if isinstance(v, decimal.Decimal): return ("dec", str(v))
     if isinstance(v, bytes): return v.hex()
     if isinstance(v, list): return tuple(norm(x) for x in v)
     return v
@@ -52,12 +60,13 @@ def main(sf_dir, out_dir):
         if name not in oracle:
             results[name] = f"ROWS_ONLY rows={len(s_rows)}"; continue
         try:
-            cur = con.execute(oracle[name])
-            data = cur.fetchall()
-            o_names = [d0[0] for d0 in cur.description]
+            # .arrow() preserves DuckDB's real output types (HUGEINT ->
+            # decimal128 etc.), replicating the driver's hash compare.
+            ot = con.execute(oracle[name]).arrow()
+            o_names = ot.column_names
         except Exception as e:
             results[name] = f"ORACLE_ERROR {e}"; continue
-        o_cols = [list(c) for c in zip(*data)] if data else [[] for _ in o_names]
+        o_cols = [ot.column(i).to_pylist() for i in range(ot.num_columns)]
         o_rows, o_names_sorted = rows_of(o_names, o_cols)
         if s_names != o_names_sorted:
             results[name] = f"SCHEMA_MISMATCH spark={s_names} oracle={o_names_sorted}"
