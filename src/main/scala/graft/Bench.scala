@@ -38,9 +38,12 @@ object Bench {
     // best-of-2 per query: steady-state time, insulated from transient
     // machine-load spikes that would otherwise skew a single sample
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val confs = SparkEntry.queryConfs.getOrElse(name, Map.empty)
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val ok = try {
+          SparkEntry.withConfs(spark, confs) { fn(spark, sfDir).count() }; true
+        } catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val (t1, ok1) = once()

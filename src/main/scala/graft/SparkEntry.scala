@@ -80,6 +80,30 @@ object SparkEntry {
     "text_balanced_sample" -> ((s, d) => TextOps.balancedSample(s, d)),
   )
 
+  /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
+    * these around both plan construction and the action (write/count):
+    * each action builds a fresh QueryExecution, so a conf set-and-restored
+    * inside the query builder would silently not apply to the re-optimized
+    * plan (round-2 ADVICE: the topk rewrite was never exercised). */
+  def queryConfs: Map[String, Map[String, String]] = Map(
+    "q_window_topk_rewrite" ->
+      Map(graft.plans.TopKWindowRewrite.ENABLED_KEY -> "true"),
+  )
+
+  /** Set `confs`, run `body`, restore previous values. */
+  def withConfs[T](spark: SparkSession, confs: Map[String, String])(body: => T): T = {
+    if (confs.isEmpty) body
+    else {
+      val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(

@@ -99,10 +99,21 @@ object GraftFunctions {
   val topKDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("top_k_structs"),
     new ExpressionInfo(classOf[TopKStructs].getName, "top_k_structs"),
-    (children: Seq[Expression]) => TopKStructs(
-      children(0),
-      children(1).eval(null).asInstanceOf[Number].intValue)
-      .toAggregateExpression())
+    // top_k_structs(struct, k[, ascending_array[, nulls_first_array]]):
+    // with directions given, only the leading |ascending| fields are
+    // compared — the rest is payload (may be unorderable, e.g. maps)
+    (children: Seq[Expression]) => {
+      def boolSeq(e: Expression): Seq[Boolean] =
+        e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toBooleanArray().toSeq
+      val asc = if (children.length > 2) boolSeq(children(2)) else Nil
+      val nf  = if (children.length > 3) boolSeq(children(3)) else asc.map(_ => false)
+      TopKStructs(
+        children(0),
+        children(1).eval(null).asInstanceOf[Number].intValue,
+        ascending = asc, nullsFirst = nf)
+        .toAggregateExpression()
+    })
 
   def register(spark: SparkSession): Unit = {
     Seq(cosineSimDescriptor, bottomKDescriptor, topKDescriptor).foreach {

@@ -38,16 +38,21 @@ case class TopKStructs(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[ArrayBuffer[InternalRow]] {
 
+  require(ascending.isEmpty || nullsFirst.length == ascending.length,
+    s"nullsFirst (${nullsFirst.length}) must match ascending (${ascending.length})")
+
   private def structType: StructType = child.dataType.asInstanceOf[StructType]
 
   @transient private lazy val fieldTypes: Array[DataType] =
     structType.fields.map(_.dataType)
 
-  @transient private lazy val fieldOrds: Array[Ordering[Any]] =
-    fieldTypes.map(TypeUtils.getInterpretedOrdering)
-
   @transient private lazy val nCompare: Int =
     if (ascending.isEmpty) fieldTypes.length else ascending.length
+
+  // Orderings only for the compared prefix: payload fields may be
+  // unorderable (MapType attrs etc.) and are never compared.
+  @transient private lazy val fieldOrds: Array[Ordering[Any]] =
+    fieldTypes.take(nCompare).map(TypeUtils.getInterpretedOrdering)
 
   @transient private lazy val asc: Array[Boolean] =
     if (ascending.isEmpty) Array.fill(fieldTypes.length)(false) else ascending.toArray
@@ -139,6 +144,27 @@ case class TopKStructs(
     }
     buf
   }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case st: StructType =>
+        val cmp = if (ascending.isEmpty) st.fields.length else ascending.length
+        if (cmp > st.fields.length)
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"top_k_structs: $cmp sort directions but only ${st.fields.length} struct fields")
+        else {
+          val bad = st.fields.take(cmp).filterNot(f =>
+            org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+          if (bad.isEmpty)
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+          else
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+              s"top_k_structs: unorderable sort field(s) ${bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}")
+        }
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"top_k_structs requires a struct input, got ${other.simpleString}")
+    }
 
   override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
   override def nullable: Boolean = false

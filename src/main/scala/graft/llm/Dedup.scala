@@ -200,8 +200,12 @@ object Dedup {
       .withColumn("label", $"doc_id")
       .localCheckpoint()
     // sum(label) is monotone non-increasing under min-propagation and
-    // stalls exactly at convergence — one tiny agg replaces a join+count
-    var prevSum = labels.agg(sum($"label")).first().getLong(0)
+    // stalls exactly at convergence — one tiny agg replaces a join+count.
+    // coalesce: sum over zero rows is NULL (empty pair graph at a high
+    // threshold must yield an empty result, not an NPE).
+    def labelSum(): Long =
+      labels.agg(coalesce(sum($"label"), lit(0L))).first().getLong(0)
+    var prevSum = labelSum()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -212,7 +216,7 @@ object Dedup {
       labels = labels.join(neighborMin, Seq("doc_id"), "left")
         .select($"doc_id", least($"label", $"nmin").as("label"))
         .localCheckpoint()
-      val s = labels.agg(sum($"label")).first().getLong(0)
+      val s = labelSum()
       converged = s == prevSum
       prevSum = s
       i += 1

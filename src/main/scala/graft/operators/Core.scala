@@ -266,19 +266,18 @@ object Core {
     * plan is forced, so other queries keep the stock planner. */
   def qWindowTopkRewrite(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // The rewrite flag (TopKWindowRewrite.ENABLED_KEY) is NOT set here:
+    // every action re-optimizes, so it must be active at action time —
+    // SparkEntry.queryConfs supplies it and Verify/Bench scope it around
+    // the write/count (round-2 ADVICE fix).
     graft.functions.GraftFunctions.register(spark)
-    spark.conf.set(graft.plans.TopKWindowRewrite.ENABLED_KEY, "true")
-    try {
-      val w = Window.partitionBy($"o_custkey")
-        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
-      val df = Tables.orders(spark, sfDir)
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 3)
-        .select($"o_custkey", $"o_orderkey",
-                round($"o_totalprice", 4).as("price"), $"rn".cast("long").as("rn"))
-      df.queryExecution.optimizedPlan // force + memoize the rewrite
-      df
-    } finally spark.conf.set(graft.plans.TopKWindowRewrite.ENABLED_KEY, "false")
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey",
+              round($"o_totalprice", 4).as("price"), $"rn".cast("long").as("rn"))
   }
 
   /** Incremental snapshot merge — the at-least-once re-delivery upsert

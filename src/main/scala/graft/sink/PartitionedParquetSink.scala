@@ -53,15 +53,45 @@ object PartitionedParquetSink {
   def tablePath(cfg: SinkConfig): String = s"${cfg.basePath}/${cfg.table}"
 
   /** Attach Iceberg field IDs (sequential, 1-based — schema.go's
-    * auto-assignment) as `parquet.field.id` column metadata. Spark's
-    * parquet writer emits them into the file footer
-    * (`spark.sql.parquet.fieldId.write.enabled`, default on), which is
-    * what lets an Iceberg catalog adopt the files without a rewrite —
-    * the reference's "Iceberg field IDs" feature (README Features). */
+    * auto-assignment) as `parquet.field.id` metadata on EVERY struct
+    * field, nested ones included (pre-order: a parent's id precedes its
+    * children's, matching Iceberg's fresh-id assignment). Spark's parquet
+    * writer emits them into file footers
+    * (`spark.sql.parquet.fieldId.write.enabled`, default on) at all
+    * nesting levels, which is what lets an Iceberg catalog adopt the
+    * files without a rewrite — the reference's "Iceberg field IDs"
+    * feature (README Features). Applied via `Dataset.to`, which carries
+    * metadata without parsing column names — names containing dots
+    * (e.g. the summary table's "quantile_values.quantile") are safe.
+    * Limitation: primitive list elements / map keys can't carry Spark
+    * metadata, so only struct fields receive ids. */
   def withIcebergFieldIds(df: DataFrame): DataFrame = {
-    val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
-      col(f.name).as(f.name, new MetadataBuilder().withMetadata(f.metadata)
-        .putLong("parquet.field.id", i + 1L).build())
+    import org.apache.spark.sql.types.StructType
+    var nextId = 0
+    def idMeta(f: org.apache.spark.sql.types.StructField) = {
+      nextId += 1
+      new MetadataBuilder().withMetadata(f.metadata)
+        .putLong("parquet.field.id", nextId.toLong).build()
+    }
+    // Explicit Alias(_, name, metadata): the one construct whose metadata
+    // provably survives optimization into the writer's output attributes
+    // (Dataset.to's schema-level metadata is stripped before the parquet
+    // writer sees it). Struct columns are rebuilt field-by-field so the
+    // nested StructFields carry ids inside the column's dataType — the
+    // parquet schema converter reads nested ids from there. getField with
+    // a literal name (no parsing) keeps dotted names safe.
+    def rebuild(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+      case st: StructType =>
+        val inner = struct(st.fields.map { f =>
+          val meta = idMeta(f)
+          rebuild(c.getField(f.name), f.dataType).as(f.name, meta)
+        }.toIndexedSeq: _*)
+        when(c.isNotNull, inner) // null structs stay null, not struct-of-nulls
+      case _ => c
+    }
+    val cols = df.schema.fields.map { f =>
+      val meta = idMeta(f)
+      rebuild(df.col(s"`${f.name.replace("`", "``")}`"), f.dataType).as(f.name, meta)
     }
     df.select(cols.toIndexedSeq: _*)
   }

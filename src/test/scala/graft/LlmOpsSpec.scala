@@ -104,4 +104,11 @@ class LlmOpsSpec extends SparkSpec {
       .select(col("byte_len"), length(col("text")).cast("long").as("txt_len"))
     assert(joined.filter(col("byte_len") =!= col("txt_len")).count() === 0)
   }
+
+  test("dedupClusters with an empty pair graph returns empty, no NPE") {
+    // threshold > 1 admits no pairs — sum(label) over zero rows is NULL
+    // and must not crash the convergence check (round-2 ADVICE)
+    val out = Dedup.dedupClusters(spark, sf, threshold = 1.1)
+    assert(out.count() === 0)
+  }
 }

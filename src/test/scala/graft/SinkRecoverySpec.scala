@@ -52,6 +52,37 @@ class SinkRecoverySpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("field ids survive dotted column names and cover nested struct fields") {
+    val base = tmp()
+    // "quantile_values.quantile" mirrors the summary table's dotted
+    // names (round-2 ADVICE: col(name) parsed the dot as nested access)
+    val df = eventsDf.limit(20)
+      .select(col("ts"), col("value").as("quantile_values.quantile"),
+              struct(col("event_id").as("id"), col("user_id").as("uid")).as("env"))
+    val cfg = SinkConfig(base, "dotted", tsColumn = "ts", granularity = "monthly")
+    PartitionedParquetSink.writeBatch(df, cfg)
+    val file = Files.walk(java.nio.file.Paths.get(s"$base/dotted")).iterator()
+    val parquetFile = scala.jdk.CollectionConverters.IteratorHasAsScala(file).asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(parquetFile.toString),
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      import scala.jdk.CollectionConverters._
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val top = schema.getFields.asScala
+      assert(top.exists(_.getName == "quantile_values.quantile"))
+      assert(top.forall(f => Option(f.getId).exists(_.intValue > 0)))
+      // nested struct fields carry fresh ids too (Iceberg adoption parity)
+      val env = top.find(_.getName == "env").get.asGroupType()
+      val nestedIds = env.getFields.asScala.map(f => Option(f.getId).map(_.intValue))
+      assert(nestedIds.forall(_.exists(_ > 0)), s"nested ids missing: $nestedIds")
+      val allIds = top.flatMap(f => Option(f.getId).map(_.intValue)) ++ nestedIds.flatten
+      assert(allIds.distinct.size === allIds.size, s"duplicate ids: $allIds")
+    } finally reader.close()
+  }
+
   test("monthly granularity only derives year/month (partition.go ToMap)") {
     val base = tmp()
     val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "monthly")

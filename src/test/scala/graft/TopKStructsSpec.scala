@@ -41,4 +41,37 @@ class TopKStructsSpec extends SparkSpec {
     assert(out(1L).map(_.getDouble(0)) === Seq(9.0, 5.0))
     assert(out(2L).map(_.getDouble(0)) === Seq(3.0))
   }
+
+  test("unorderable payload fields (maps) are fine; unorderable sort fields fail fast") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // map payload after the compared prefix: orderings are only built
+    // for the compared fields, so this must work (round-2 ADVICE)
+    val df = spark.range(0, 100, 1, 4)
+      .select(($"id" % 5).as("grp"), ($"id" % 17).as("score"),
+              map(lit("k"), $"id".cast("string")).as("attrs"))
+    val top = df.groupBy($"grp")
+      .agg(expr("top_k_structs(struct(score, attrs), 2, array(false), array(false))").as("t"))
+      .select($"grp", explode($"t").as("s"))
+      .select($"grp", $"s.score", $"s.attrs")
+      .collect()
+    assert(top.length === 10)
+    assert(top.forall(_.getMap[String, String](2).nonEmpty))
+    // a map IN the compared prefix must fail analysis, not mid-task
+    val err = intercept[Exception] {
+      df.groupBy($"grp")
+        .agg(expr("top_k_structs(struct(attrs, score), 2, array(false), array(false))"))
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("orderable") ||
+           err.getMessage.contains("top_k_structs"))
+  }
+
+  test("mismatched ascending/nullsFirst lengths are rejected at construction") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    intercept[IllegalArgumentException] {
+      graft.functions.TopKStructs(Literal(1), 3,
+        ascending = Seq(true, false), nullsFirst = Seq(true))
+    }
+  }
 }

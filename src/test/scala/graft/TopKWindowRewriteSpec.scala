@@ -74,6 +74,43 @@ class TopKWindowRewriteSpec extends SparkSpec {
     } finally spark.conf.set(TopKWindowRewrite.ENABLED_KEY, "false")
   }
 
+  test("rewrite survives unorderable payload columns (map attrs)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // OTel rows carry map-typed attribute columns; those ride along as
+    // payload and must not be given orderings (round-2 ADVICE)
+    val df = testDf.withColumn("attrs", map(lit("k"), $"id".cast("string")))
+    val w = Window.partitionBy($"grp").orderBy($"score".desc, $"id".asc)
+    def q = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+    val expected = q.select($"grp", $"score", $"id", $"rn").collect().toSet
+    spark.conf.set(TopKWindowRewrite.ENABLED_KEY, "true")
+    try {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"expected rewrite to fire in:\n$plan")
+      val got = q.select($"grp", $"score", $"id", $"rn").collect().toSet
+      assert(got === expected)
+      assert(q.collect().forall(_.getMap[String, String](3).nonEmpty))
+    } finally spark.conf.set(TopKWindowRewrite.ENABLED_KEY, "false")
+  }
+
+  test("queryConfs drives the rewrite at action time (Verify/Bench path)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // the round-2 bug: the flag was restored before the action's fresh
+    // QueryExecution, so write()/count() ran the plain window plan
+    val confs = SparkEntry.queryConfs("q_window_topk_rewrite")
+    SparkEntry.withConfs(spark, confs) {
+      val df = graft.operators.Core.qWindowTopkRewrite(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"rewrite must be active at action time:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"))
+      assert(df.count() > 0)
+    }
+    // and outside the scope the same builder yields the window baseline
+    val baseline = graft.operators.Core.qWindowTopkRewrite(spark, sf)
+    assert(baseline.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("rewrite handles nulls in the sort key like the window plan") {
     import spark.implicits._
     GraftFunctions.register(spark)
