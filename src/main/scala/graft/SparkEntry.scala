@@ -594,6 +594,104 @@ object SparkEntry {
         | FROM reach GROUP BY src)
         |SELECT label AS cluster_id, count(*) AS n_docs, max(doc_id) AS max_doc_id
         |FROM lab GROUP BY 1""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, i AS frame_idx,
+        | least(64, blen - i*64) AS frame_len,
+        | md5(substr(text, CAST(i*64+1 AS BIGINT), 64)) AS frame_md5
+        |FROM (SELECT doc_id, text, blen,
+        |  unnest(generate_series(0, CAST(ceil(blen/64.0) AS BIGINT)-1, 4)) AS i
+        | FROM (SELECT doc_id, text, octet_length(encode(text)) AS blen
+        |       FROM documents) b) t""".stripMargin,
+    "dedup_simhash" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\s+')) AS t
+        | FROM documents),
+        |hl AS (
+        | SELECT doc_id,
+        |  ('0x'||substr(md5(t),1,8))::BIGINT AS hi,
+        |  ('0x'||substr(md5(t),9,8))::BIGINT AS lo
+        | FROM toks),
+        |votes AS (
+        | SELECT doc_id, j,
+        |  CASE WHEN sum(CASE WHEN
+        |    (CASE WHEN j < 32 THEN (lo >> j) ELSE (hi >> (j-32)) END) & 1 = 1
+        |    THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS sb
+        | FROM hl, (SELECT unnest(generate_series(0,63)) AS j) js
+        | GROUP BY doc_id, j),
+        |sim AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN s >= 9223372036854775808
+        |    THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS simhash64,
+        |  CAST(b16 AS BIGINT) AS band16
+        | FROM (SELECT doc_id,
+        |   sum(CAST(sb AS HUGEINT) * (CAST(1 AS HUGEINT) << j)) AS s,
+        |   sum(CASE WHEN j >= 48 THEN CAST(sb AS BIGINT) << (j-48) ELSE 0 END) AS b16
+        |  FROM votes GROUP BY doc_id) q)
+        |SELECT doc_id, simhash64, band16 FROM sim""".stripMargin,
+    "dedup_simhash_pairs" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split_regex(trim(lower(text)),'\s+')) AS t
+        | FROM documents),
+        |hl AS (
+        | SELECT doc_id,
+        |  ('0x'||substr(md5(t),1,8))::BIGINT AS hi,
+        |  ('0x'||substr(md5(t),9,8))::BIGINT AS lo
+        | FROM toks),
+        |votes AS (
+        | SELECT doc_id, j,
+        |  CASE WHEN sum(CASE WHEN
+        |    (CASE WHEN j < 32 THEN (lo >> j) ELSE (hi >> (j-32)) END) & 1 = 1
+        |    THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS sb
+        | FROM hl, (SELECT unnest(generate_series(0,63)) AS j) js
+        | GROUP BY doc_id, j),
+        |sim AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN s >= 9223372036854775808
+        |    THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS simhash64,
+        |  CAST(b16 AS BIGINT) AS band16
+        | FROM (SELECT doc_id,
+        |   sum(CAST(sb AS HUGEINT) * (CAST(1 AS HUGEINT) << j)) AS s,
+        |   sum(CASE WHEN j >= 48 THEN CAST(sb AS BIGINT) << (j-48) ELSE 0 END) AS b16
+        |  FROM votes GROUP BY doc_id) q)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(bit_count(xor(a.simhash64, b.simhash64)) AS BIGINT) AS hamming
+        |FROM sim a JOIN sim b ON a.band16 = b.band16 AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 6""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |   THEN [array_to_string(t[i:i+2],' ') for i in generate_series(1,len(t)-2)]
+        |   ELSE [array_to_string(t,' ')] END) AS s
+        | FROM toks),
+        |hv AS (
+        | SELECT doc_id,
+        |  list_distinct([('0x'||substr(md5(g),1,15))::BIGINT for g in s]) AS hs
+        | FROM sh),
+        |mh AS (
+        | SELECT doc_id, i,
+        |  min(((h % 2147483647) * (2*i+1) + i*2654435761) % 2147483647) AS v
+        | FROM (SELECT doc_id, unnest(hs) AS h FROM hv),
+        |      (SELECT unnest(generate_series(0,63)) AS i) g
+        | GROUP BY doc_id, i),
+        |bk AS (
+        | SELECT doc_id, i//4 AS band_idx,
+        |  md5(string_agg(v::VARCHAR, '-' ORDER BY i)) AS band_key
+        | FROM mh GROUP BY doc_id, i//4),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM bk a JOIN bk b ON a.band_idx = b.band_idx
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |jc AS (
+        | SELECT c.doc_a, c.doc_b,
+        |  CAST(round(CAST(CAST(len(list_intersect(x.hs, y.hs))*1.0
+        |    / len(list_distinct(x.hs || y.hs)) AS VARCHAR)
+        |    AS DECIMAL(38,18)),4) AS DOUBLE) AS jaccard
+        | FROM cand c JOIN hv x ON c.doc_a = x.doc_id
+        |             JOIN hv y ON c.doc_b = y.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM jc WHERE jaccard >= 0.2""".stripMargin,
     "mm_resize_meta" ->
       """SELECT doc_id, w AS src_width, h AS src_height,
         | greatest(1, CAST(round(w*scale) AS BIGINT)) AS out_width,

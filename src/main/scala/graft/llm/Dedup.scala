@@ -28,17 +28,27 @@ object Dedup {
   private val BANDS = 16
   private val ROWS_PER_BAND = PERMS / BANDS
 
-  /** FNV-1a 64-bit — deterministic shingle hash (library-local; only
-    * self-consistency matters, not parity with any SQL hash). */
-  private def fnv1a64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-    h
+  /** md5-hex of a UTF-8 string. md5 is the one hash both this engine and
+    * ANSI SQL oracles (DuckDB included) compute bit-identically, which
+    * makes every signature below hash-oracle-checkable end-to-end. */
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach { b =>
+      sb.append(Character.forDigit((b >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(b & 0xf, 16))
+    }
+    sb.toString
   }
 
-  /** doc_id, distinct shingle hashes, MinHash signature, LSH band hashes. */
-  case class DocSig(doc_id: Long, sh: Array[Long], bands: Array[Long])
+  /** 60-bit shingle hash: the first 15 md5-hex nibbles parsed base-16 —
+    * positive, fits a long, and SQL-side is `('0x'||substr(md5(g),1,15))
+    * ::BIGINT`. */
+  private def hash60(md: java.security.MessageDigest, s: String): Long =
+    java.lang.Long.parseLong(md5Hex(md, s).substring(0, 15), 16)
+
+  /** doc_id, distinct shingle hashes, MinHash signature, LSH band keys. */
+  case class DocSig(doc_id: Long, sh: Array[Long], bands: Array[String])
 
   /** Tokenize → 3-gram shingles → distinct 64-bit hashes → 64-perm
     * MinHash → 16 band hashes, in one JIT'd pass per partition. */
@@ -48,13 +58,14 @@ object Dedup {
       .select($"doc_id", $"text")
       .as[(Long, String)]
       .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (docId, text) =>
           val toks = text.trim.toLowerCase.split("\\s+")
           val grams =
             if (toks.length >= 3)
               Array.tabulate(toks.length - 2)(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
             else Array(toks.mkString(" "))
-          val sh = grams.map(fnv1a64).distinct
+          val sh = grams.map(hash60(md, _)).distinct
           // MinHash: perm_i(h) = (a_i*(h mod P) + b_i) mod P, a_i = 2i+1
           val sig = new Array[Long](PERMS)
           var i = 0
@@ -62,24 +73,18 @@ object Dedup {
             var mn = Long.MaxValue
             var j = 0
             while (j < sh.length) {
-              val hm = java.lang.Math.floorMod(sh(j), P)
-              val v = java.lang.Math.floorMod(hm * (2L * i + 1) + i * MIX, P)
+              val hm = sh(j) % P // hash60 is non-negative
+              val v = (hm * (2L * i + 1) + i * MIX) % P
               if (v < mn) mn = v
               j += 1
             }
             sig(i) = mn
             i += 1
           }
+          // band key = md5 of the band's sig values as "v1-v2-v3-v4" —
+          // string-identical to SQL md5(string_agg(v,'-' ORDER BY i))
           val bands = Array.tabulate(BANDS) { b =>
-            var h = 0xcbf29ce484222325L
-            var r = 0
-            while (r < ROWS_PER_BAND) {
-              val v = sig(b * ROWS_PER_BAND + r)
-              var k = 0
-              while (k < 8) { h ^= (v >>> (k * 8)) & 0xff; h *= 0x100000001b3L; k += 1 }
-              r += 1
-            }
-            h
+            md5Hex(md, sig.slice(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND).mkString("-"))
           }
           DocSig(docId, sh, bands)
         }
@@ -120,10 +125,17 @@ object Dedup {
       .select($"doc_id", $"text")
       .as[(Long, String)]
       .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (docId, text) =>
           val counts = new Array[Int](64)
           text.trim.toLowerCase.split("\\s+").foreach { t =>
-            val h = fnv1a64(t)
+            // token hash = first 16 md5-hex nibbles as unsigned 64-bit
+            // (big-endian) — bit j recoverable in SQL from two 32-bit
+            // halves: hi = hex[1..8], lo = hex[9..16]
+            val hx = md5Hex(md, t)
+            val hi = java.lang.Long.parseLong(hx.substring(0, 8), 16)
+            val lo = java.lang.Long.parseLong(hx.substring(8, 16), 16)
+            val h = (hi << 32) | lo
             var j = 0
             while (j < 64) {
               if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1

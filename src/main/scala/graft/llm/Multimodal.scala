@@ -32,7 +32,7 @@ object Multimodal {
   }
 
   case class FrameRow(doc_id: Long, frame_idx: Long, frame_len: Long,
-                      frame_hash: Long)
+                      frame_md5: String)
   case class ResizedMeta(doc_id: Long, src_width: Long, src_height: Long,
                          out_width: Long, out_height: Long, out_bytes: Long)
 
@@ -47,13 +47,20 @@ object Multimodal {
       .select($"doc_id", encode($"text", "UTF-8").as("media"))
       .as[MediaRow]
       .mapPartitions { rows =>
+        // md5 frame digests: content-addressable AND oracle-checkable —
+        // DuckDB's md5 over the same byte slice yields the same hex
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { r =>
           val nFrames = (r.media.length + frameBytes - 1) / frameBytes
           (0 until nFrames by stride).iterator.map { i =>
             val frame = r.media.slice(i * frameBytes, (i + 1) * frameBytes)
-            var h = 0xcbf29ce484222325L
-            frame.foreach { b => h ^= (b & 0xff).toLong; h *= 0x100000001b3L }
-            FrameRow(r.doc_id, i.toLong, frame.length.toLong, h)
+            val d = md.digest(frame)
+            val sb = new java.lang.StringBuilder(32)
+            d.foreach { b =>
+              sb.append(Character.forDigit((b >> 4) & 0xf, 16))
+              sb.append(Character.forDigit(b & 0xf, 16))
+            }
+            FrameRow(r.doc_id, i.toLong, frame.length.toLong, sb.toString)
           }
         }
       }
