@@ -78,6 +78,10 @@ object SparkEntry {
     "dedup_clusters"     -> ((s, d) => Dedup.dedupClusters(s, d)),
     "sim_ivf_ann"        -> ((s, d) => SimOps.ivfAnn(s, d)),
     "text_balanced_sample" -> ((s, d) => TextOps.balancedSample(s, d)),
+    "tel_exp_histogram"  -> (Telemetry.expHistogram _),
+    "tel_session_window" -> (Telemetry.sessionWindowAgg _),
+    "text_gopher_quality" -> (TextOps.gopherQuality _),
+    "text_mix_weights"   -> (TextOps.mixWeights _),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -594,6 +598,89 @@ object SparkEntry {
         | FROM reach GROUP BY src)
         |SELECT label AS cluster_id, count(*) AS n_docs, max(doc_id) AS max_doc_id
         |FROM lab GROUP BY 1""".stripMargin,
+    "tel_exp_histogram" ->
+      """SELECT event_type, bucket_idx, bucket_count, min_value, max_value,
+        | pow(2, bucket_idx)/100 AS bucket_lo,
+        | pow(2, bucket_idx+1)/100 AS bucket_hi
+        |FROM (
+        | SELECT event_type,
+        |  CAST(length(bin(CAST(round(value*100) AS BIGINT)))-1 AS BIGINT) AS bucket_idx,
+        |  count(*) AS bucket_count,
+        |  round(min(value),4) AS min_value, round(max(value),4) AS max_value
+        | FROM events WHERE value > 0 GROUP BY 1,2) t""".stripMargin,
+    "tel_session_window" ->
+      """WITH w AS (
+        | SELECT user_id, ts, event_id, value,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |s AS (
+        | SELECT *, CASE WHEN prev_ts IS NULL
+        |   OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+        | FROM w),
+        |s2 AS (
+        | SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        | FROM s)
+        |SELECT user_id,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        | count(*) AS n_events, min(event_id) AS first_event_id,
+        | round(sum(value),4) AS sum_value
+        |FROM s2 GROUP BY user_id, sid""".stripMargin,
+    "text_gopher_quality" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS tk,
+        |  length(regexp_replace(trim(text),'\s+','','g')) AS n_nospace
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(tk, x -> regexp_matches(x,'[a-z]'))) AS BIGINT) AS n_alpha_words,
+        |  CAST(len(list_intersect(list_distinct(tk),
+        |    ['the','a','of','and','to','in','is','on','for','with'])) AS BIGINT) AS n_stop_distinct,
+        |  n_nospace
+        | FROM t),
+        |r AS (
+        | SELECT doc_id, n_words, n_alpha_words, n_stop_distinct,
+        |  CAST(round(CAST(CAST(n_nospace*1.0/n_words AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS mean_word_len,
+        |  CAST(round(CAST(CAST(n_alpha_words*1.0/n_words AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS alpha_frac
+        | FROM c)
+        |SELECT doc_id, n_words, n_alpha_words, n_stop_distinct,
+        | mean_word_len, alpha_frac,
+        | CAST(CASE WHEN n_words >= 5 AND n_words <= 100000
+        |   AND mean_word_len >= 3 AND mean_word_len <= 10
+        |   AND alpha_frac >= 0.8 AND n_stop_distinct >= 2
+        |  THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM r""".stripMargin,
+    "text_mix_weights" ->
+      """WITH pl AS (
+        | SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text),'\s+'))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY lang),
+        |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM pl)
+        |SELECT lang, n_docs, n_tokens,
+        | CAST(round(CAST(CAST(n_tokens/CAST(total AS DOUBLE) AS VARCHAR) AS DECIMAL(38,18)),6) AS DOUBLE) AS token_share,
+        | CAST(round(CAST(CAST(sqrt(CAST(n_tokens AS DOUBLE))/sqrt(CAST(total AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,18)),6) AS DOUBLE) AS weight
+        |FROM pl, tt""".stripMargin,
+    "text_winnow" ->
+      """WITH hl AS (
+        | SELECT doc_id, trim(lower(text)) AS s,
+        |  length(trim(lower(text))) AS ln FROM documents),
+        |hs AS (
+        | SELECT doc_id,
+        |  [list_reduce([unicode(s[p+j])::BIGINT for j in generate_series(0,7)],
+        |     (h, c) -> (h*1000003 + c) % 2147483647)
+        |   for p in generate_series(1, ln-7)] AS hh
+        | FROM hl),
+        |fp AS (
+        | SELECT doc_id,
+        |  list_distinct([list_min(hh[w:w+3])
+        |    for w in generate_series(1, len(hh)-3)]) AS fps
+        | FROM hs)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+        | CAST(coalesce(list_min(fps), 0) AS BIGINT) AS min_fp,
+        | CAST(coalesce(list_max(fps), 0) AS BIGINT) AS max_fp
+        |FROM fp""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, i AS frame_idx,
         | least(64, blen - i*64) AS frame_len,

@@ -217,4 +217,53 @@ object TextOps {
       .select($"doc_id", $"best.lang_code".as("pred_lang"),
               $"best.score".cast("long").as("score"))
   }
+
+  /** Gopher-style per-document quality filter (Rae et al. 2021 §A.1
+    * rules, the standard pretraining heuristics): word count bounds,
+    * mean-word-length window, minimum alphabetic-word fraction, minimum
+    * distinct-stopword hits. Pure narrow column ops — no shuffle at all;
+    * at 100 TB this is a free map over the corpus scan. */
+  def gopherQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens(lower($"text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(spark, sfDir)
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("n_alpha_words",
+        size(filter(toks, t => t.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_stop_distinct",
+        size(array_intersect(array_distinct(toks), stopArr)).cast("long"))
+      .withColumn("mean_word_len",
+        round(length(regexp_replace(trim($"text"), "\\s+", "")) / $"n_words", 4))
+      .withColumn("alpha_frac", round($"n_alpha_words" / $"n_words", 4))
+      .withColumn("keep",
+        (($"n_words" >= 5) && ($"n_words" <= 100000) &&
+         ($"mean_word_len" >= 3) && ($"mean_word_len" <= 10) &&
+         ($"alpha_frac" >= 0.8) && ($"n_stop_distinct" >= 2)).cast("long"))
+      .select($"doc_id", $"n_words", $"n_alpha_words", $"n_stop_distinct",
+              $"mean_word_len", $"alpha_frac", $"keep")
+  }
+
+  /** Temperature-based data-mixing weights (the multinomial sampling
+    * exponent from multilingual pretraining, α = 0.5): per language,
+    * raw sampling weight √(share of corpus tokens). sqrt is IEEE
+    * correctly-rounded — bit-identical in every engine — which is why
+    * α is 0.5 and not an arbitrary pow() exponent. One tiny agg; the
+    * token totals come from a map-side-combined sum over the scan. */
+  def mixWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perLang = Tables.documents(spark, sfDir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(tokens($"text")).cast("long")).as("n_tokens"))
+    // total via broadcast cross join, not a driver collect — the plan
+    // stays one job and the total is computed once, map-side combined
+    val total = perLang.agg(sum($"n_tokens").as("total_tokens"))
+    perLang.crossJoin(broadcast(total))
+      .withColumn("token_share",
+        round($"n_tokens" / $"total_tokens".cast("double"), 6))
+      .withColumn("weight",
+        round(sqrt($"n_tokens".cast("double")) / sqrt($"total_tokens".cast("double")), 6))
+      .drop("total_tokens")
+  }
 }

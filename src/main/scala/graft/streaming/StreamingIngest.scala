@@ -47,6 +47,19 @@ object StreamingIngest {
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n_events"), col("sum_value"))
 
+  /** Watermarked native session-window aggregate (30-min gap): the
+    * streaming twin of Telemetry.sessionWindowAgg. Sessions merge in
+    * the stateful aggregation and emit (append mode) once the watermark
+    * passes session end — bounded state per active key, no per-user
+    * sort. */
+  def sessionCounts(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, "10 minutes")
+      .groupBy(session_window(col(tsCol), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+              col("user_id"), col("n_events"), col("sum_value"))
+
   /** Stream-stream interval join: correlate each error event with the
     * purchases the same user made in the preceding 30 minutes. Both
     * sides are watermarked so the join state is bounded — Spark retains

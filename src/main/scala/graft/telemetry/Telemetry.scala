@@ -274,4 +274,47 @@ object Telemetry {
       .groupBy($"event_type", bucket.as("bucket"))
       .agg(count(lit(1)).as("bucket_count"))
   }
+
+  /** OTel exponential-histogram bucketing (metrics.go's
+    * exponential_histogram table): base-2 buckets over the positive
+    * range, per metric stream. The bucket index is
+    * floor(log2(round(value*100))) computed EXACTLY as the binary-digit
+    * count of the scaled integer (`length(bin(v))-1`) — libm log2 is
+    * correctly rounded in one engine and log(x)/log(2) in another, which
+    * flips floor() at exact powers of two; the string length of the
+    * binary representation is engine-portable. Bounds are 2^idx/100 —
+    * one exact pow, one division, bit-identical everywhere. */
+  def expHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .filter($"value" > 0)
+      .withColumn("v100", round($"value" * 100, 0).cast("long"))
+      .withColumn("bucket_idx", (length(bin($"v100")) - 1).cast("long"))
+      .groupBy($"event_type", $"bucket_idx")
+      .agg(count(lit(1)).as("bucket_count"),
+           round(min($"value"), 4).as("min_value"),
+           round(max($"value"), 4).as("max_value"))
+      .withColumn("bucket_lo", pow(lit(2.0), $"bucket_idx".cast("double")) / 100)
+      .withColumn("bucket_hi", pow(lit(2.0), ($"bucket_idx" + 1).cast("double")) / 100)
+  }
+
+  /** Native session-window aggregation (30-min gap) — Spark's
+    * `session_window`, the same operator the streaming pipeline uses.
+    * Unlike [[sessionize]] (lag + running sum over a per-user sort
+    * window), the session merge happens inside the aggregate: partial
+    * aggregation merges overlapping per-key sessions map-side, so the
+    * shuffle carries merged session ranges, not every raw row. Session
+    * end = last event + gap (streaming watermark-eviction semantics). */
+  def sessionWindowAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+           min($"event_id").as("first_event_id"),
+           round(sum($"value"), 4).as("sum_value"))
+      .select($"user_id",
+              date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+              date_format($"w.end", "yyyy-MM-dd HH:mm:ss").as("session_end"),
+              $"n_events", $"first_event_id", $"sum_value")
+  }
 }

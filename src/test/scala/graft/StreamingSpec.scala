@@ -122,4 +122,36 @@ class StreamingSpec extends SparkSpec {
     val batchWindows = batch.select(window(col("ts"), "1 hour")).distinct().count()
     assert(nWindows === batchWindows)
   }
+
+  test("streaming session_window sessions agree with the batch operator") {
+    val base = Files.createTempDirectory("graft-stream-sess").toString
+    val batch = Tables.events(spark, sf)
+    val srcDir = s"$base/src"
+    batch.write.parquet(srcDir)
+
+    val stream = StreamingIngest.readEvents(spark, srcDir, batch.schema)
+    val q = StreamingIngest.sessionCounts(stream)
+      .writeStream.format("memory").queryName("sess_agg")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // append mode only emits sessions the final watermark has passed —
+    // every emitted session must match the batch operator exactly, and
+    // most sessions (all but the watermark tail) must have been emitted
+    val streamed = spark.sql(
+      """select user_id, date_format(session_start,'yyyy-MM-dd HH:mm:ss') ss,
+        | date_format(session_end,'yyyy-MM-dd HH:mm:ss') se, n_events, sum_value
+        |from sess_agg""".stripMargin).collect().toSet
+    val batchSessions = graft.telemetry.Telemetry.sessionWindowAgg(spark, sf)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+              col("n_events"), col("sum_value")).collect()
+      .map(r => org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), r.get(3), r.get(4)))
+      .toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batchSessions),
+      s"streamed sessions not found in batch: ${streamed.diff(batchSessions).take(3)}")
+    assert(streamed.size >= batchSessions.size / 2)
+  }
 }
