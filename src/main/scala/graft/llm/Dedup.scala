@@ -201,12 +201,26 @@ object Dedup {
     import spark.implicits._
     val pairs = ngramJaccard(spark, sfDir, threshold)
       .select($"doc_a", $"doc_b")
-    // localCheckpoint truncates lineage every round — without it each
-    // iteration's logical plan nests the previous one and Catalyst
-    // re-optimization dominates the loop.
-    val edges = pairs
-      .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .toDF("src", "dst")
+    connectedComponents(pairs, maxIters)
+      .groupBy($"label".as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max($"doc_id").as("max_doc_id"))
+  }
+
+  /** Min-label propagation with POINTER JUMPING: each round propagates
+    * neighbor minima (one hop) and then shortcuts `label ← label(label)`
+    * (doubling the effective reach), so convergence takes O(log diameter)
+    * rounds instead of O(diameter) — the difference between 8 and 10 000
+    * shuffles on a pathological chain at 100 TB. Near-dup clusters are
+    * tiny cliques (1-3 rounds) either way; the jump is what makes the
+    * worst case safe. Labels/edges are near-dup docs only — orders of
+    * magnitude smaller than the corpus — and every round localCheckpoints
+    * to stop Catalyst from re-optimizing an ever-deeper plan. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = pairs.toDF("src", "dst")
+    val edges = p
+      .union(p.select($"dst".as("src"), $"src".as("dst")))
       .localCheckpoint()
     var labels = edges.select($"src".as("doc_id")).distinct()
       .withColumn("label", $"doc_id")
@@ -225,16 +239,21 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy($"dst".as("doc_id"))
         .agg(min($"label").as("nmin"))
-      labels = labels.join(neighborMin, Seq("doc_id"), "left")
+      val propagated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select($"doc_id", least($"label", $"nmin").as("label"))
+      // pointer jump: follow the label's own label one step
+      val parents = propagated
+        .select($"doc_id".as("label"), $"label".as("plabel"))
+      labels = propagated.join(parents, Seq("label"), "left")
+        .select($"doc_id",
+                coalesce(least($"plabel", $"label"), $"label").as("label"))
         .localCheckpoint()
       val s = labelSum()
       converged = s == prevSum
       prevSum = s
       i += 1
     }
-    labels.groupBy($"label".as("cluster_id"))
-      .agg(count(lit(1)).as("n_docs"), max($"doc_id").as("max_doc_id"))
+    labels
   }
 
   /** Exact n-gram Jaccard via a distributed shingle inverted index:

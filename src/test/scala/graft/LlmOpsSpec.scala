@@ -105,6 +105,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(joined.filter(col("byte_len") =!= col("txt_len")).count() === 0)
   }
 
+  test("connectedComponents converges in O(log diameter) rounds on a chain") {
+    import spark.implicits._
+    // a 65-node chain has diameter 64: one-hop propagation alone needs
+    // ~64 rounds; with pointer jumping 12 must be plenty
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain, maxIters = 12)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length === 65)
+    assert(out.forall(_._2 === 0L), s"unconverged labels: ${out.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
   test("dedupClusters with an empty pair graph returns empty, no NPE") {
     // threshold > 1 admits no pairs — sum(label) over zero rows is NULL
     // and must not crash the convergence check (round-2 ADVICE)
