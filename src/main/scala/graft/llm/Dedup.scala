@@ -241,13 +241,19 @@ object Dedup {
         .agg(min($"label").as("nmin"))
       val propagated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select($"doc_id", least($"label", $"nmin").as("label"))
-      // pointer jump: follow the label's own label one step
-      val parents = propagated
-        .select($"doc_id".as("label"), $"label".as("plabel"))
-      labels = propagated.join(parents, Seq("label"), "left")
-        .select($"doc_id",
-                coalesce(least($"plabel", $"label"), $"label").as("label"))
-        .localCheckpoint()
+      // Adaptive pointer jump (label ← label(label)): near-dup graphs
+      // are overwhelmingly tiny cliques that converge in ≤2 one-hop
+      // rounds — the jump join would be pure overhead there. Surviving
+      // past round 2 means a deeper component, so start shortcutting
+      // and reach grows geometrically from then on.
+      labels = (if (i < 2) propagated
+                else {
+                  val parents = propagated
+                    .select($"doc_id".as("label"), $"label".as("plabel"))
+                  propagated.join(parents, Seq("label"), "left")
+                    .select($"doc_id",
+                            coalesce(least($"plabel", $"label"), $"label").as("label"))
+                }).localCheckpoint()
       val s = labelSum()
       converged = s == prevSum
       prevSum = s

@@ -256,10 +256,14 @@ object TextOps {
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
            sum(size(tokens($"text")).cast("long")).as("n_tokens"))
-    // total via broadcast cross join, not a driver collect — the plan
-    // stays one job and the total is computed once, map-side combined
-    val total = perLang.agg(sum($"n_tokens").as("total_tokens"))
-    perLang.crossJoin(broadcast(total))
+    // total via an unpartitioned window over the AGGREGATED rows (one
+    // row per language) — no second scan of the corpus, no driver
+    // collect; the single-partition window holds #languages rows only.
+    // Long sum is exact, so merge order can't perturb the total.
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    perLang
+      .withColumn("total_tokens", sum($"n_tokens").over(all))
       .withColumn("token_share",
         round($"n_tokens" / $"total_tokens".cast("double"), 6))
       .withColumn("weight",
