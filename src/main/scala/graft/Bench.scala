@@ -62,7 +62,9 @@ object Bench {
         graft.sink.PartitionedParquetSink.writeBatch(
           Tables.events(spark, sfDir),
           graft.sink.PartitionedParquetSink.SinkConfig(
-            sinkDir, "events", tsColumn = "ts", granularity = "hourly"))
+            sinkDir, "events", tsColumn = "ts", granularity = "hourly",
+            // local FS: write throughput saturates around half the cores
+            writeTasks = Some(math.max(4, cpus.toInt / 2))))
         (System.nanoTime() - tSink) / 1e9
       } catch { case _: Throwable => -1.0 }
       finally {

@@ -27,7 +27,12 @@ object PartitionedParquetSink {
       tsColumn: String = "time_unix_nano",
       granularity: String = "hourly",
       timezone: String = "UTC",
-      compression: String = "snappy")
+      compression: String = "snappy",
+      // Write-task parallelism. Files-per-commit is fixed by the
+      // partition layout, so the knob that matters is how many tasks
+      // share the writing: a local FS saturates below core count, an
+      // object store wants many more. None = spark.sql.shuffle.partitions.
+      writeTasks: Option[Int] = None)
 
   /** Partition column names for a granularity (partition.go ToMap). */
   def partitionColumns(granularity: String): Seq[String] = granularity match {
@@ -106,8 +111,10 @@ object PartitionedParquetSink {
     * `spark.sql.files.maxRecordsPerFile`.) */
   def writeBatch(df: DataFrame, cfg: SinkConfig): Unit = {
     val cols = partitionColumns(cfg.granularity)
-    withIcebergFieldIds(withPartitionValues(df, cfg))
-      .repartition(cols.map(col): _*)
+    val prepared = withIcebergFieldIds(withPartitionValues(df, cfg))
+    cfg.writeTasks.fold(prepared.repartition(cols.map(col): _*)) { n =>
+        prepared.repartition(n, cols.map(col): _*)
+      }
       .write
       .partitionBy(cols: _*)
       .option("compression", cfg.compression)
