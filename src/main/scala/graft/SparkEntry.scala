@@ -82,6 +82,7 @@ object SparkEntry {
     "tel_session_window" -> (Telemetry.sessionWindowAgg _),
     "text_gopher_quality" -> (TextOps.gopherQuality _),
     "text_mix_weights"   -> (TextOps.mixWeights _),
+    "sim_int8_topk"      -> ((s, d) => SimOps.int8Topk(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -535,6 +536,29 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, cosine,
         |  row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
+        |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "sim_int8_topk" ->
+      """WITH v AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |mx AS (
+        | SELECT vec_id, e, list_max([abs(x) for x in e]) AS m FROM v),
+        |q8 AS (
+        | SELECT vec_id,
+        |  [CAST(CAST(round(x*127/m, 0) AS BIGINT) AS DOUBLE) for x in e] AS q
+        | FROM mx WHERE m > 0),
+        |n AS (
+        | SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nrm FROM q8),
+        |qs AS (SELECT vec_id AS query_id, q AS qq, nrm AS qnrm
+        |       FROM n WHERE vec_id < 8),
+        |p AS (
+        | SELECT qs.query_id, n.vec_id AS neighbor_id,
+        |  round(list_dot_product(n.q, qs.qq)/(n.nrm*qs.qnrm), 6) AS cosine
+        | FROM n, qs WHERE n.vec_id != qs.query_id),
+        |r AS (
+        | SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rnk
+        | FROM p)
         |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "text_balanced_sample" ->
       """SELECT doc_id, lang, rk FROM (

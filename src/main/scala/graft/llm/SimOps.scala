@@ -136,4 +136,37 @@ object SimOps {
       .select($"query_id", $"vec_id".as("neighbor_id"), $"cos6".as("cosine"),
               $"rnk".cast("long").as("rnk"))
   }
+
+  /** Int8-quantized cosine top-k — the storage/bandwidth scale path
+    * (at 100 TB the embedding column is the bulk of the bytes; int8
+    * cuts the scan 4-8× and SIMD dot products run on the quantized
+    * codes, exactly FAISS's SQ8). Per-vector symmetric quantization
+    * q_i = round(x_i·127/max|x|); the quantized cosine is an ALL-EXACT
+    * computation (integer products summed far below 2^53, IEEE sqrt and
+    * divide correctly rounded), so the approximation is reproducible
+    * bit-for-bit in any engine — unlike libm-dependent float kernels.
+    * Re-uses the codegen'd [[graft.functions.CosineSim]] over the
+    * integer-valued arrays. */
+  def int8Topk(spark: SparkSession, sfDir: String,
+               nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+      .withColumn("m", array_max(transform($"vec", x => abs(x))))
+      .filter($"m" > 0)
+      .withColumn("q", transform($"vec",
+        x => round(x * lit(127) / $"m", 0).cast("long").cast("double")))
+      .select($"vec_id", $"q")
+    val q = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"q".as("qq"))
+    emb.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos6", round(call_function("cosine_sim", $"q", $"qq"), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos6".desc, $"vec_id".asc)))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"cos6".as("cosine"),
+              $"rnk".cast("long").as("rnk"))
+  }
 }

@@ -105,6 +105,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(joined.filter(col("byte_len") =!= col("txt_len")).count() === 0)
   }
 
+  test("int8-quantized top-k attains high recall vs exact brute force") {
+    val exact = SimOps.simTopkBruteforce(spark, sf)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimOps.int8Topk(spark, sf)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall $recall below 0.8")
+  }
+
   test("connectedComponents converges in O(log diameter) rounds on a chain") {
     import spark.implicits._
     // a 65-node chain has diameter 64: one-hop propagation alone needs
