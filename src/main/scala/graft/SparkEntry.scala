@@ -83,6 +83,7 @@ object SparkEntry {
     "text_gopher_quality" -> (TextOps.gopherQuality _),
     "text_mix_weights"   -> (TextOps.mixWeights _),
     "sim_int8_topk"      -> ((s, d) => SimOps.int8Topk(s, d)),
+    "q_bloom_join"       -> (Core.qBloomJoin _),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -93,6 +94,13 @@ object SparkEntry {
   def queryConfs: Map[String, Map[String, String]] = Map(
     "q_window_topk_rewrite" ->
       Map(graft.plans.TopKWindowRewrite.ENABLED_KEY -> "true"),
+    // force the shuffled-join shape (no broadcast) and let the runtime
+    // bloom filter inject at local test sizes
+    "q_bloom_join" -> Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB"),
   )
 
   /** Set `confs`, run `body`, restore previous values. */
@@ -437,6 +445,13 @@ object SparkEntry {
         |FULL OUTER JOIN (SELECT user_id, count(*) AS n_events
         |      FROM events GROUP BY 1) e
         | ON o.o_custkey = e.user_id""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | round(sum(l_extendedprice),4) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY o_orderpriority""".stripMargin,
     "q_grouping_sets" ->
       """SELECT r_name, c_mktsegment,
         | CAST(GROUPING(r_name, c_mktsegment) AS BIGINT) AS gid,

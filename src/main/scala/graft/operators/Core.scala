@@ -285,6 +285,25 @@ object Core {
     * once"): base snapshot ∪ update snapshot, latest version wins per
     * key. argmax via max(struct(version, payload)) = one hash agg with
     * map-side combine — no window sort, no join back. */
+  /** Shuffle join accelerated by a RUNTIME BLOOM FILTER: the selective
+    * orders-side predicate builds a bloom filter that prunes lineitem
+    * rows BEFORE the shuffle — at 100 TB that's the difference between
+    * shuffling the whole fact table and shuffling the ~5% that can
+    * match. Catalyst injects it (InjectRuntimeFilter) under the confs in
+    * SparkEntry.queryConfs — broadcast is disabled there to exercise the
+    * big-fact shape where the bloom filter matters; semantics are a
+    * plain inner join either way, which is what the oracle checks. */
+  def qBloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1996-04-01")
+    Tables.lineitem(spark, sfDir)
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+           round(sum($"l_extendedprice"), 4).as("rev"))
+  }
+
   def qIncrementalMerge(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.orders(spark, sfDir)

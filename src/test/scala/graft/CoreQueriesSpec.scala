@@ -57,4 +57,17 @@ class CoreQueriesSpec extends SparkSpec {
       .agg(sum("n_events")).collect()(0).getLong(0)
     assert(summed === total)
   }
+
+  test("runtime bloom filter injects on q_bloom_join under its queryConfs") {
+    val confs = SparkEntry.queryConfs("q_bloom_join")
+    val (withBloom, result) = SparkEntry.withConfs(spark, confs) {
+      val df = graft.operators.Core.qBloomJoin(spark, sf)
+      (df.queryExecution.executedPlan.toString, df.collect().toSet)
+    }
+    assert(withBloom.toLowerCase.contains("bloom_filter"),
+      s"no bloom filter in plan:\n${withBloom.take(1500)}")
+    // semantics unchanged vs the un-filtered plan
+    val plain = graft.operators.Core.qBloomJoin(spark, sf).collect().toSet
+    assert(result === plain && result.nonEmpty)
+  }
 }
