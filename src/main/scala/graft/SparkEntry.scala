@@ -84,6 +84,7 @@ object SparkEntry {
     "text_mix_weights"   -> (TextOps.mixWeights _),
     "sim_int8_topk"      -> ((s, d) => SimOps.int8Topk(s, d)),
     "q_bloom_join"       -> (Core.qBloomJoin _),
+    "tel_grid_percentiles" -> (Telemetry.gridPercentiles _),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -552,6 +553,29 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
         |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "sim_lsh_ann" ->
+      """WITH v AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |bk AS (
+        | SELECT vec_id, e,
+        |  sqrt(list_dot_product(e, e)) AS nrm,
+        |  CAST(list_sum([CASE WHEN
+        |     list_reduce([e[d] * ((((j*64 + d)*2654435761) % 97 - 48)/48.0)
+        |                  for d in generate_series(1, len(e))], (a,b) -> a+b) > 0
+        |     THEN 1 << j ELSE 0 END for j in generate_series(0,15)]) AS BIGINT) AS bucket
+        | FROM v),
+        |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qnrm, bucket
+        |      FROM bk WHERE vec_id < 8),
+        |p AS (
+        | SELECT q.query_id, bk.vec_id AS neighbor_id,
+        |  round(list_dot_product(bk.e, q.qe)/(bk.nrm*q.qnrm), 6) AS cosine
+        | FROM bk JOIN q ON bk.bucket = q.bucket AND bk.vec_id != q.query_id),
+        |r AS (
+        | SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rnk
+        | FROM p)
+        |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "sim_int8_topk" ->
       """WITH v AS (
         | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -637,6 +661,22 @@ object SparkEntry {
         | FROM reach GROUP BY src)
         |SELECT label AS cluster_id, count(*) AS n_docs, max(doc_id) AS max_doc_id
         |FROM lab GROUP BY 1""".stripMargin,
+    "tel_grid_percentiles" ->
+      """WITH g AS (
+        | SELECT event_type, CAST(round(value*100) AS BIGINT) AS v100,
+        |  count(*) AS c
+        | FROM events GROUP BY 1,2),
+        |w AS (
+        | SELECT event_type, v100, c,
+        |  sum(c) OVER (PARTITION BY event_type) AS n,
+        |  sum(c) OVER (PARTITION BY event_type ORDER BY v100
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM g)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        | min(CASE WHEN cum >= ceil(0.5*n) THEN v100 END)/100.0 AS p50,
+        | min(CASE WHEN cum >= ceil(0.95*n) THEN v100 END)/100.0 AS p95,
+        | min(CASE WHEN cum >= ceil(0.99*n) THEN v100 END)/100.0 AS p99
+        |FROM w GROUP BY event_type""".stripMargin,
     "tel_exp_histogram" ->
       """SELECT event_type, bucket_idx, bucket_count, min_value, max_value,
         | pow(2, bucket_idx)/100 AS bucket_lo,

@@ -157,6 +157,33 @@ object Telemetry {
               $"ap".getItem(2).as("p99"))
   }
 
+  /** Deterministic mergeable percentile sketch: integer-grid histogram.
+    * Values quantize to a fixed 0.01 grid; the per-group sketch is the
+    * grid-cell count map — one pass, map-side combined, memory bounded
+    * by grid cardinality — and quantiles read off the cumulative counts
+    * at nearest rank. Error is bounded by the grid step and, unlike
+    * GK/KLL ([[approxPercentiles]]), the result is INDEPENDENT of merge
+    * order — the property that makes it reproducible across engines and
+    * across reruns of a 1000-executor job. */
+  def gridPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val grid = Tables.events(spark, sfDir)
+      .withColumn("v100", round($"value" * 100, 0).cast("long"))
+      .groupBy($"event_type", $"v100")
+      .agg(count(lit(1)).as("c"))
+    val whole = Window.partitionBy($"event_type")
+    val cumW = Window.partitionBy($"event_type").orderBy($"v100")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def q(p: Double) =
+      min(when($"cum" >= ceil(lit(p) * $"n"), $"v100")) / lit(100.0)
+    grid
+      .withColumn("n", sum($"c").over(whole))
+      .withColumn("cum", sum($"c").over(cumW))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"),
+           q(0.5).as("p50"), q(0.95).as("p95"), q(0.99).as("p99"))
+  }
+
   /** Approximate distinct users per event type (HyperLogLog++ sketch) —
     * the one-pass cardinality path for 100 TB where exact
     * count(distinct) would shuffle every key. rsd 2%; spec asserts the

@@ -57,4 +57,23 @@ class BucketedJoinSpec extends SparkSpec {
         s"$k: approx p50 $v vs exact $e")
     }
   }
+
+  test("grid-sketch percentiles equal exact nearest-rank quantiles (0.01 grid, 2dp data)") {
+    // the grid is lossless for 2-decimal values, so the sketch must
+    // reproduce the exact nearest-rank quantile, not just approximate it
+    val grid = graft.telemetry.Telemetry.gridPercentiles(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4))).toMap
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(grid.keySet === byType.keySet)
+    def nearestRank(vs: Array[Double], p: Double): Double =
+      vs(math.ceil(p * vs.length).toInt - 1)
+    grid.foreach { case (k, (p50, p99)) =>
+      val vs = byType(k)
+      assert(math.abs(p50 - nearestRank(vs, 0.5)) < 0.005, s"$k p50 $p50")
+      assert(math.abs(p99 - nearestRank(vs, 0.99)) < 0.005, s"$k p99 $p99")
+    }
+  }
 }
