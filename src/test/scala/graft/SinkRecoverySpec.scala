@@ -126,6 +126,27 @@ class SinkRecoverySpec extends SparkSpec {
     assert(monthly.forall(f => !f.getName.startsWith("day=")))
   }
 
+  test("sink honors every reference codec (writer.go none/snappy/gzip/zstd)") {
+    for (codec <- Seq("none", "snappy", "gzip", "zstd")) {
+      val base = tmp()
+      val cfg = SinkConfig(base, "events", tsColumn = "ts",
+                           granularity = "monthly", compression = codec)
+      val in = eventsDf.limit(50)
+      PartitionedParquetSink.writeBatch(in, cfg)
+      val files = Files.walk(java.nio.file.Paths.get(s"$base/events")).iterator()
+      val names = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+      assert(names.nonEmpty)
+      val marker = codec match {
+        case "none"   => names.forall(n => !n.contains("snappy") && !n.contains(".gz.") && !n.contains("zstd"))
+        case "gzip"   => names.forall(_.contains(".gz."))
+        case other    => names.forall(_.contains(s".$other."))
+      }
+      assert(marker, s"$codec not reflected in $names")
+      assert(spark.read.parquet(s"$base/events").count() === in.count())
+    }
+  }
+
   test("timezone shifts partition values like the reference PathGenerator") {
     val base = tmp()
     // UTC 2024-01-01 00:09 → Tokyo (+9) 2024-01-01 09:09
