@@ -85,6 +85,8 @@ object SparkEntry {
     "sim_int8_topk"      -> ((s, d) => SimOps.int8Topk(s, d)),
     "q_bloom_join"       -> (Core.qBloomJoin _),
     "tel_grid_percentiles" -> (Telemetry.gridPercentiles _),
+    "q_lateral_topn"     -> (Core.qLateralTopN _),
+    "tel_exp_hist_pctl"  -> (Telemetry.expHistPercentiles _),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -446,6 +448,12 @@ object SparkEntry {
         |FULL OUTER JOIN (SELECT user_id, count(*) AS n_events
         |      FROM events GROUP BY 1) e
         | ON o.o_custkey = e.user_id""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT c_custkey, o.o_orderkey, o.price
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, round(o_totalprice, 4) AS price
+        |  FROM orders WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o""".stripMargin,
     "q_bloom_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         | round(sum(l_extendedprice),4) AS rev
@@ -677,6 +685,31 @@ object SparkEntry {
         | min(CASE WHEN cum >= ceil(0.95*n) THEN v100 END)/100.0 AS p95,
         | min(CASE WHEN cum >= ceil(0.99*n) THEN v100 END)/100.0 AS p99
         |FROM w GROUP BY event_type""".stripMargin,
+    "tel_exp_hist_pctl" ->
+      """WITH b AS (
+        | SELECT event_type,
+        |  CAST(length(bin(CAST(round(value*100) AS BIGINT)))-1 AS BIGINT) AS idx,
+        |  count(*) AS c
+        | FROM events WHERE value > 0 GROUP BY 1,2),
+        |w AS (
+        | SELECT event_type, idx, c,
+        |  sum(c) OVER (PARTITION BY event_type) AS n,
+        |  sum(c) OVER (PARTITION BY event_type ORDER BY idx
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM b),
+        |w2 AS (
+        | SELECT *, cum - c AS cumb,
+        |  CAST(ceil(0.5*n) AS BIGINT) AS r50,
+        |  CAST(ceil(0.95*n) AS BIGINT) AS r95
+        | FROM w)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        | min(CASE WHEN cum >= r50 AND cumb < r50 THEN
+        |   pow(2,idx)/100 + (pow(2,idx+1)/100 - pow(2,idx)/100)
+        |     * (CAST(r50 - cumb AS DOUBLE)/c) END) AS p50_est,
+        | min(CASE WHEN cum >= r95 AND cumb < r95 THEN
+        |   pow(2,idx)/100 + (pow(2,idx+1)/100 - pow(2,idx)/100)
+        |     * (CAST(r95 - cumb AS DOUBLE)/c) END) AS p95_est
+        |FROM w2 GROUP BY event_type""".stripMargin,
     "tel_exp_histogram" ->
       """SELECT event_type, bucket_idx, bucket_count, min_value, max_value,
         | pow(2, bucket_idx)/100 AS bucket_lo,

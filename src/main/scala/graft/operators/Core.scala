@@ -304,6 +304,22 @@ object Core {
            round(sum($"l_extendedprice"), 4).as("rev"))
   }
 
+  /** Correlated LATERAL subquery (each customer's single most expensive
+    * order) — the SQL-surface form of per-key top-1. Catalyst
+    * decorrelates the correlated LIMIT into a windowed/aggregated join
+    * (DecorrelateInnerQuery), so it executes as one shuffle, not a
+    * nested loop per outer row. */
+  def qLateralTopN(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c_custkey, o.o_orderkey, o.price
+        |FROM customer_v, LATERAL (
+        |  SELECT o_orderkey, round(o_totalprice, 4) AS price
+        |  FROM orders_v WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o""".stripMargin)
+  }
+
   def qIncrementalMerge(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.orders(spark, sfDir)

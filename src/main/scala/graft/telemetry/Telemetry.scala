@@ -325,6 +325,38 @@ object Telemetry {
       .withColumn("bucket_hi", pow(lit(2.0), ($"bucket_idx" + 1).cast("double")) / 100)
   }
 
+  /** Percentile estimation FROM the exponential histogram — the query
+    * OTel exponential histograms exist to answer: log-linear
+    * interpolation inside the base-2 bucket containing the target rank.
+    * Composes [[expHistogram]]'s exact bucketing; every arithmetic step
+    * (pow of integer exponent, subtract, multiply, divide) is
+    * IEEE-correctly-rounded, so the estimate reproduces bit-for-bit in
+    * the oracle — no libm, no merge-order dependence. */
+  def expHistPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val b = Tables.events(spark, sfDir).filter($"value" > 0)
+      .withColumn("v100", round($"value" * 100, 0).cast("long"))
+      .withColumn("idx", (length(bin($"v100")) - 1).cast("long"))
+      .groupBy($"event_type", $"idx").agg(count(lit(1)).as("c"))
+    val whole = Window.partitionBy($"event_type")
+    val cumW = Window.partitionBy($"event_type").orderBy($"idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def lo(i: org.apache.spark.sql.Column) = pow(lit(2.0), i.cast("double")) / lit(100.0)
+    def est(rank: org.apache.spark.sql.Column) = {
+      val l = lo($"idx")
+      val h = lo($"idx" + 1)
+      min(when($"cum" >= rank && $"cumb" < rank,
+        l + (h - l) * ((rank - $"cumb").cast("double") / $"c")))
+    }
+    b.withColumn("n", sum($"c").over(whole))
+      .withColumn("cum", sum($"c").over(cumW))
+      .withColumn("cumb", $"cum" - $"c")
+      .withColumn("r50", ceil(lit(0.5) * $"n"))
+      .withColumn("r95", ceil(lit(0.95) * $"n"))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"), est($"r50").as("p50_est"), est($"r95").as("p95_est"))
+  }
+
   /** Native session-window aggregation (30-min gap) — Spark's
     * `session_window`, the same operator the streaming pipeline uses.
     * Unlike [[sessionize]] (lag + running sum over a per-user sort
