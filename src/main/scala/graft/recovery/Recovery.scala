@@ -66,6 +66,78 @@ object Recovery {
     spark.read.parquet(manifestPath)
   }
 
+  /** File-level column statistics (zone map) harvested from parquet
+    * FOOTERS — the per-file min/max metrics an Iceberg catalog keeps,
+    * reconstructed from storage alone. Metadata-only: footers are read,
+    * row data never is. Returns one row per file with the column's
+    * min/max (as raw int64 for timestamp/long columns) and row count;
+    * files without stats surface as nulls (never pruned). */
+  def fileStats(spark: SparkSession, tablePath: String,
+                column: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new Path(tablePath)
+    val fs = path.getFileSystem(conf)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Option[Long], Option[Long], Long)]
+    if (fs.exists(path)) {
+      val it = fs.listFiles(path, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) {
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+          try {
+            import scala.jdk.CollectionConverters._
+            var mn: Option[Long] = None
+            var mx: Option[Long] = None
+            var rows = 0L
+            var ok = true
+            reader.getFooter.getBlocks.asScala.foreach { block =>
+              rows += block.getRowCount
+              block.getColumns.asScala
+                .find(_.getPath.toDotString == column) match {
+                case Some(cc) if cc.getStatistics != null &&
+                                 !cc.getStatistics.isEmpty =>
+                  (cc.getStatistics.genericGetMin, cc.getStatistics.genericGetMax) match {
+                    case (lo: java.lang.Long, hi: java.lang.Long) =>
+                      mn = Some(mn.fold(lo.longValue)(math.min(_, lo.longValue)))
+                      mx = Some(mx.fold(hi.longValue)(math.max(_, hi.longValue)))
+                    case _ => ok = false
+                  }
+                case _ => ok = false
+              }
+            }
+            out += ((f.getPath.toString,
+                     if (ok) mn else None, if (ok) mx else None, rows))
+          } finally reader.close()
+        }
+      }
+    }
+    out.toSeq.toDF("file_path", "min_val", "max_val", "n_rows")
+  }
+
+  /** Time-sliced read with ZONE-MAP SKIPPING: prune files whose footer
+    * [min,max] can't overlap [startUs, endUs) before Spark ever lists
+    * them — Iceberg's metadata-level data skipping, at 100 TB the
+    * difference between scanning the slice and scanning the table. A
+    * residual filter keeps exactness; files without stats are read.
+    * (Timestamps compare as parquet's int64 micros.) */
+  def readSlice(spark: SparkSession, tablePath: String, tsColumn: String,
+                startUs: Long, endUs: Long): DataFrame = {
+    val stats = fileStats(spark, tablePath, tsColumn)
+    val keep = stats
+      .filter(col("min_val").isNull ||
+              (col("max_val") >= startUs && col("min_val") < endUs))
+      .select("file_path").collect().map(_.getString(0))
+    val base = if (keep.isEmpty)
+      spark.read.parquet(tablePath).limit(0)
+    else
+      spark.read.option("basePath", tablePath).parquet(keep.toIndexedSeq: _*)
+    base.filter(unix_micros(col(tsColumn)) >= startUs &&
+                unix_micros(col(tsColumn)) < endUs)
+  }
+
   /** Rewrite a partitioned table at a new granularity
     * (repartitioner.go). Reads through the partition layout, drops the
     * old partition value columns, re-derives at the target granularity. */

@@ -112,14 +112,27 @@ object PartitionedParquetSink {
   def writeBatch(df: DataFrame, cfg: SinkConfig): Unit = {
     val cols = partitionColumns(cfg.granularity)
     val prepared = withIcebergFieldIds(withPartitionValues(df, cfg))
-    cfg.writeTasks.fold(prepared.repartition(cols.map(col): _*)) { n =>
-        prepared.repartition(n, cols.map(col): _*)
-      }
-      .write
-      .partitionBy(cols: _*)
-      .option("compression", cfg.compression)
-      .mode("append")
-      .parquet(tablePath(cfg))
+    // Iceberg's spec has no INT96: timestamps must land as int64 micros
+    // (also the only encoding parquet exposes min/max footer stats for,
+    // which Recovery.fileStats' zone maps depend on). Spark's default is
+    // still legacy INT96 — override for the duration of the write.
+    val spark = df.sparkSession
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try {
+      cfg.writeTasks.fold(prepared.repartition(cols.map(col): _*)) { n =>
+          prepared.repartition(n, cols.map(col): _*)
+        }
+        .write
+        .partitionBy(cols: _*)
+        .option("compression", cfg.compression)
+        .mode("append")
+        .parquet(tablePath(cfg))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** Streaming write: same layout via Structured Streaming's parquet
@@ -131,6 +144,11 @@ object PartitionedParquetSink {
   def writeStream(df: DataFrame, cfg: SinkConfig,
                   checkpoint: String): DataStreamWriter[Row] = {
     val cols = partitionColumns(cfg.granularity)
+    // int64-micros timestamps (Iceberg spec; footer stats) — the conf is
+    // read at micro-batch execution, so it must stay set while the
+    // stream runs; no restore here.
+    df.sparkSession.conf.set(
+      "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     withIcebergFieldIds(withPartitionValues(df, cfg))
       .repartition(cols.map(col): _*)
       .writeStream

@@ -172,6 +172,31 @@ class SinkRecoverySpec extends SparkSpec {
     assert(!back.columns.contains("hour"))
   }
 
+  test("zone-map file stats skip non-overlapping files in readSlice") {
+    val base = tmp()
+    val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "daily")
+    PartitionedParquetSink.writeBatch(eventsDf, cfg)
+    val table = s"$base/events"
+
+    val stats = Recovery.fileStats(spark, table, "ts")
+    val nFiles = stats.count()
+    assert(nFiles > 5)
+    assert(stats.filter(col("min_val").isNull).count() === 0, "footer stats missing")
+    assert(stats.agg(sum(col("n_rows"))).collect()(0).getLong(0) === eventsDf.count())
+
+    // a 3-day slice must read only the overlapping files and return
+    // exactly the rows a full-scan filter returns
+    val startUs = java.time.Instant.parse("2024-01-03T00:00:00Z").toEpochMilli * 1000
+    val endUs   = java.time.Instant.parse("2024-01-06T00:00:00Z").toEpochMilli * 1000
+    val slice = Recovery.readSlice(spark, table, "ts", startUs, endUs)
+    val expected = spark.read.parquet(table)
+      .filter(unix_micros(col("ts")) >= startUs && unix_micros(col("ts")) < endUs)
+    assert(slice.count() === expected.count())
+    assert(slice.count() > 0)
+    assert(slice.inputFiles.length < nFiles,
+      s"no skipping: ${slice.inputFiles.length} of $nFiles files read")
+  }
+
   test("scanner finds orphans; reconcile registers them idempotently") {
     val base = tmp()
     val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "monthly")
