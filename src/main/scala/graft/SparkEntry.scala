@@ -87,6 +87,8 @@ object SparkEntry {
     "tel_grid_percentiles" -> (Telemetry.gridPercentiles _),
     "q_lateral_topn"     -> (Core.qLateralTopN _),
     "tel_exp_hist_pctl"  -> (Telemetry.expHistPercentiles _),
+    "tel_range_frame"    -> (Telemetry.rangeFrame _),
+    "q_unpivot"          -> (Core.qUnpivot _),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -454,6 +456,21 @@ object SparkEntry {
         |  SELECT o_orderkey, round(o_totalprice, 4) AS price
         |  FROM orders WHERE o_custkey = c_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o""".stripMargin,
+    "q_unpivot" ->
+      """SELECT o_orderpriority, status, total FROM (
+        | SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0.0 END),4) AS total_f,
+        |  round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice ELSE 0.0 END),4) AS total_o,
+        |  round(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice ELSE 0.0 END),4) AS total_p
+        | FROM orders GROUP BY o_orderpriority) p
+        |UNPIVOT (total FOR status IN (total_f, total_o, total_p))""".stripMargin,
+    "tel_range_frame" ->
+      """SELECT event_id, user_id,
+        | CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        | round(sum(value) OVER w, 4) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_bloom_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         | round(sum(l_extendedprice),4) AS rev

@@ -304,6 +304,22 @@ object Core {
            round(sum($"l_extendedprice"), 4).as("rev"))
   }
 
+  /** UNPIVOT (melt): wide per-status totals back to long form — the
+    * inverse of [[qPivot]], a narrow zero-shuffle reshape after the
+    * aggregate. */
+  def qUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        round(sum(when($"o_orderstatus" === "F", $"o_totalprice").otherwise(0.0)), 4).as("total_f"),
+        round(sum(when($"o_orderstatus" === "O", $"o_totalprice").otherwise(0.0)), 4).as("total_o"),
+        round(sum(when($"o_orderstatus" === "P", $"o_totalprice").otherwise(0.0)), 4).as("total_p"))
+      .unpivot(Array($"o_orderpriority"),
+               Array($"total_f", $"total_o", $"total_p"),
+               "status", "total")
+  }
+
   /** Correlated LATERAL subquery (each customer's single most expensive
     * order) — the SQL-surface form of per-key top-1. Catalyst
     * decorrelates the correlated LIMIT into a windowed/aggregated join

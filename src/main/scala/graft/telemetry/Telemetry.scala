@@ -325,6 +325,21 @@ object Telemetry {
       .withColumn("bucket_hi", pow(lit(2.0), ($"bucket_idx" + 1).cast("double")) / 100)
   }
 
+  /** Time-RANGE window frame: per-series rolling sum/count over the
+    * PRECEDING HOUR of event time (not the preceding N rows — the frame
+    * is defined by the timestamp distance, so it is sparse-data-correct
+    * where a ROWS frame is not). One shuffle on the series key. */
+  def rangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+      .rangeBetween(-3600L * 1000000, 0)
+    Tables.events(spark, sfDir)
+      .withColumn("ts_us", unix_micros($"ts"))
+      .select($"event_id", $"user_id",
+              count(lit(1)).over(w).as("n_1h"),
+              round(sum($"value").over(w), 4).as("sum_1h"))
+  }
+
   /** Percentile estimation FROM the exponential histogram — the query
     * OTel exponential histograms exist to answer: log-linear
     * interpolation inside the base-2 bucket containing the target rank.

@@ -29,6 +29,13 @@ class StreamingSpec extends SparkSpec {
       StreamingIngest.readEvents(spark, srcDir, batch.schema), cfg, s"$base/chk")
     q2.awaitTermination()
     assert(spark.read.parquet(s"$base/events").count() === batch.count())
+
+    // restart after NEW files land → exactly the delta is ingested once
+    batch.limit(500).write.mode("append").parquet(srcDir)
+    val q3 = StreamingIngest.ingest(
+      StreamingIngest.readEvents(spark, srcDir, batch.schema), cfg, s"$base/chk")
+    q3.awaitTermination()
+    assert(spark.read.parquet(s"$base/events").count() === batch.count() + 500)
   }
 
   test("streaming dedup collapses an at-least-once duplicated source") {
