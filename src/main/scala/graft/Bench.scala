@@ -55,9 +55,11 @@ object Bench {
 
     // Ingest throughput — the reference exporter's core function:
     // events → hourly-partitioned parquet (writer.go's write path).
-    val sinkDir = java.nio.file.Files.createTempDirectory("graft-bench-sink").toString
-    val tSink = System.nanoTime()
-    val sinkTime =
+    // Best-of-2 like the queries: a single local-FS write sample is
+    // noisy (page cache, committer fsyncs).
+    def sinkOnce(): Double = {
+      val sinkDir = java.nio.file.Files.createTempDirectory("graft-bench-sink").toString
+      val t0 = System.nanoTime()
       try {
         graft.sink.PartitionedParquetSink.writeBatch(
           Tables.events(spark, sfDir),
@@ -65,12 +67,15 @@ object Bench {
             sinkDir, "events", tsColumn = "ts", granularity = "hourly",
             // local FS: write throughput saturates around half the cores
             writeTasks = Some(math.max(4, cpus.toInt / 2))))
-        (System.nanoTime() - tSink) / 1e9
+        (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
       finally {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(sinkDir)).deleteRecursively()
       }
+    }
+    val s1 = sinkOnce()
+    val sinkTime = if (s1 < 0) s1 else { val s2 = sinkOnce(); if (s2 < 0) s1 else math.min(s1, s2) }
 
     val all = results ++ (if (sinkTime >= 0) Seq("sink_ingest_hourly" -> sinkTime) else Nil)
     val allFailed = failed ++ (if (sinkTime < 0) Seq("sink_ingest_hourly") else Nil)
