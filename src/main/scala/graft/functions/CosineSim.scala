@@ -120,10 +120,13 @@ object GraftFunctions {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
-    // optimizer rewrite (conf-gated, default off) — idempotent add
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKWindowRewrite)) {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.TopKWindowRewrite
-    }
+    // optimizer rewrites (conf-gated, default off) — idempotent add
+    Seq(graft.plans.TopKWindowRewrite, graft.plans.ApproxDistinctRewrite)
+      .foreach { rule =>
+        if (!spark.experimental.extraOptimizations.contains(rule)) {
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ rule
+        }
+      }
   }
 }

@@ -12,5 +12,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.bottomKDescriptor)
     ext.injectFunction(GraftFunctions.topKDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
   }
 }

@@ -27,6 +27,28 @@ object StreamingIngest {
   def ingest(events: DataFrame, cfg: SinkConfig, checkpoint: String): StreamingQuery =
     PartitionedParquetSink.writeStream(events, cfg, checkpoint).start()
 
+  /** The reference exporter's full loop — write files, then register
+    * them with the catalog (exporter.go: write parquet → Iceberg REST
+    * register) — as a foreachBatch pipeline: each micro-batch lands in
+    * the partitioned layout and the manifest is reconciled to cover
+    * every file on storage. Registration is idempotent (reconcile
+    * dedups on path), so foreachBatch's at-least-once replay after a
+    * crash re-registers harmlessly — the reference's own recovery
+    * semantics. */
+  def ingestWithManifest(events: DataFrame, cfg: SinkConfig,
+                         checkpoint: String,
+                         manifestPath: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        PartitionedParquetSink.writeBatch(batch, cfg)
+        graft.recovery.Recovery.reconcile(
+          batch.sparkSession, PartitionedParquetSink.tablePath(cfg), manifestPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming dedup on the record id within the watermark horizon —
     * turns an at-least-once upstream (the reference's delivery model,
     * exporter.go retry path) into exactly-once rows downstream. State

@@ -38,6 +38,28 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/events").count() === batch.count() + 500)
   }
 
+  test("foreachBatch ingest registers every written file in the manifest") {
+    val base = Files.createTempDirectory("graft-stream-man").toString
+    val batch = Tables.events(spark, sf)
+    val srcDir = s"$base/src"
+    batch.write.parquet(srcDir)
+
+    val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "daily")
+    val q = StreamingIngest.ingestWithManifest(
+      StreamingIngest.readEvents(spark, srcDir, batch.schema),
+      cfg, s"$base/chk", s"$base/manifest")
+    q.awaitTermination()
+
+    // catalog (manifest) covers storage exactly: zero orphans, and the
+    // manifest lists precisely the files on disk
+    val manifest = spark.read.parquet(s"$base/manifest")
+    val orphans = graft.recovery.Recovery.scanOrphans(spark, s"$base/events", manifest)
+    assert(orphans.count() === 0)
+    val onDisk = graft.recovery.Recovery.listDataFiles(spark, s"$base/events").count()
+    assert(manifest.count() === onDisk && onDisk > 0)
+    assert(spark.read.parquet(s"$base/events").count() === batch.count())
+  }
+
   test("streaming dedup collapses an at-least-once duplicated source") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream-dedup").toString
