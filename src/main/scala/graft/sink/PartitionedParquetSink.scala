@@ -121,9 +121,16 @@ object PartitionedParquetSink {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "TIMESTAMP_MICROS")
     try {
+      // Sort by (partition cols, ts) within each write task: the dynamic
+      // partition writer needs the partition-col prefix anyway (so this
+      // costs nothing extra), and the ts suffix clusters rows so every
+      // parquet ROW GROUP carries a tight min/max — readers skip row
+      // groups inside a file, not just whole files.
+      val sortCols = (cols :+ cfg.tsColumn).map(col)
       cfg.writeTasks.fold(prepared.repartition(cols.map(col): _*)) { n =>
           prepared.repartition(n, cols.map(col): _*)
         }
+        .sortWithinPartitions(sortCols: _*)
         .write
         .partitionBy(cols: _*)
         .option("compression", cfg.compression)
@@ -149,6 +156,9 @@ object PartitionedParquetSink {
     // stream runs; no restore here.
     df.sparkSession.conf.set(
       "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // (no sortWithinPartitions here: sorting is unsupported on streaming
+    // DataFrames — the dynamic partition writer's own sort still groups
+    // rows by partition directory)
     withIcebergFieldIds(withPartitionValues(df, cfg))
       .repartition(cols.map(col): _*)
       .writeStream
