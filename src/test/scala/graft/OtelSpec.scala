@@ -1,6 +1,6 @@
 package graft
 
-import graft.otel.{OtelLogs, OtelMetrics, OtelTraces}
+import graft.otel.{OtelAnalytics, OtelLogs, OtelMetrics, OtelTraces}
 
 // Top-level case classes so Spark can derive encoders.
 case class TResource(attributes: Map[String, String], dropped_attributes_count: Int)
@@ -192,6 +192,38 @@ class OtelSpec extends SparkSpec {
     assert(tr.isNullAt(tr.fieldIndex("parent_span_id")))
     assert(tr.isNullAt(tr.fieldIndex("trace_state")))
     assert(tr.getAs[String]("span_kind") === "UNKNOWN")
+  }
+
+  test("spanmetrics RED + trace summary over the flat trace table") {
+    import spark.implicits._
+    val t0 = 1700000000000000000L
+    def span(traceId: String, spanId: String, parent: String, name: String,
+             startNs: Long, durNs: Long, statusCode: Int) =
+      TSpan(traceId, spanId, "", parent, 1, name, 2,
+        startNs, startNs + durNs, Map.empty, 0, Nil, 0, Nil, 0,
+        TStatus(statusCode, ""))
+    val spans = Seq(
+      span("t1", "a", "",  "GET /x", t0,         10000000L, 1), // root, ok
+      span("t1", "b", "a", "db.q",   t0 + 1000L, 20000000L, 2), // child, error
+      span("t2", "c", "",  "GET /x", t0,         40000000L, 1)) // root, ok
+    val flat = OtelTraces.flatten(Seq(TraceBatch(res, scope, spans)).toDF())
+
+    val red = OtelAnalytics.spanMetrics(flat).collect()
+      .map(r => r.getAs[String]("span_name") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_errors"),
+         r.getAs[Double]("p95_ms"), r.getAs[Double]("error_rate"))).toMap
+    assert(red("GET /x") === ((2L, 0L, 38.5, 0.0))) // interpolated p95 of {10,40}
+    assert(red("db.q") === ((1L, 1L, 20.0, 1.0)))
+
+    val ts = OtelAnalytics.traceSummary(flat).collect()
+      .map(r => r.getAs[String]("trace_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[String]("root_span"),
+         r.getAs[Long]("has_error"))).toMap
+    assert(ts("t1") === ((2L, "GET /x", 1L)))
+    assert(ts("t2") === ((1L, "GET /x", 0L)))
+    // plan hygiene: the string argmax must hash-aggregate, not sort
+    val plan = OtelAnalytics.traceSummary(flat).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), s"SortAggregate in:\n${plan.take(1200)}")
   }
 
   test("sum flatten carries monotonicity and temporality names") {
