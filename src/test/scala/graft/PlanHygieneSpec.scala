@@ -1,0 +1,34 @@
+package graft
+
+/** Locks in the plan-quality invariants SURVEY §4 promises, across the
+  * ENTIRE query catalog: no sort-based aggregation anywhere, no
+  * cartesian products, and nested-loop broadcast joins only where they
+  * are the intended shape (scalar-subquery broadcast, ANN brute-force
+  * scoring against a broadcast query set). A regression in any future
+  * operator fails here by name. */
+class PlanHygieneSpec extends SparkSpec {
+
+  private val bnljIntended = Set(
+    "q_scalar_subquery",    // single-row subquery broadcast
+    "sim_topk_bruteforce",  // corpus × broadcast query set (by design)
+    "sim_int8_topk",
+    "sim_ivf_ann",
+    "text_mix_weights")     // 5-row agg × 1-row total broadcast
+
+  test("every query plans hash aggregation, no cartesians, whitelisted BNLJ only") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val confs = SparkEntry.queryConfs.getOrElse(name, Map.empty)
+      SparkEntry.withConfs(spark, confs) {
+        val plan =
+          try fn(spark, sf).queryExecution.executedPlan.toString
+          catch { case e: Throwable => offenders += s"$name: plan failed ${e.getMessage}"; "" }
+        if (plan.contains("SortAggregate")) offenders += s"$name: SortAggregate"
+        if (plan.contains("CartesianProduct")) offenders += s"$name: CartesianProduct"
+        if (plan.contains("BroadcastNestedLoop") && !bnljIntended(name))
+          offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+      }
+    }
+    assert(offenders.isEmpty, s"plan hygiene violations:\n${offenders.mkString("\n")}")
+  }
+}
