@@ -89,6 +89,7 @@ object SparkEntry {
     "tel_exp_hist_pctl"  -> (Telemetry.expHistPercentiles _),
     "tel_range_frame"    -> (Telemetry.rangeFrame _),
     "q_unpivot"          -> (Core.qUnpivot _),
+    "text_pii_scrub"     -> (TextOps.piiScrubStats _),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -791,6 +792,19 @@ object SparkEntry {
         | CAST(round(CAST(CAST(n_tokens/CAST(total AS DOUBLE) AS VARCHAR) AS DECIMAL(38,18)),6) AS DOUBLE) AS token_share,
         | CAST(round(CAST(CAST(sqrt(CAST(n_tokens AS DOUBLE))/sqrt(CAST(total AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,18)),6) AS DOUBLE) AS weight
         |FROM pl, tt""".stripMargin,
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text,
+        |   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        | CAST(len(regexp_extract_all(text,
+        |   '\+?[0-9][0-9 ()-]{7,}[0-9]')) AS BIGINT) AS n_phones,
+        | md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |   '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g')) AS clean_hash
+        |FROM documents""".stripMargin,
     "text_winnow" ->
       """WITH hl AS (
         | SELECT doc_id, trim(lower(text)) AS s,

@@ -244,6 +244,33 @@ object TextOps {
               $"mean_word_len", $"alpha_frac", $"keep")
   }
 
+  /** PII scrubbing — the redaction pass every training pipeline runs
+    * before tokenization: emails, international-ish phone numbers and
+    * IPv4 addresses replaced with typed placeholder tokens. Pure
+    * regexp_replace chain: narrow, codegen'd, zero shuffle. The oracle
+    * over the (PII-free) corpus doubles as a false-positive check —
+    * every count must be zero and every text unchanged. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+  val ipv4Re  = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  def piiScrubStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(regexp_extract_all($"text", lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all($"text", lit(ipv4Re), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all($"text", lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        md5(piiScrub($"text")).as("clean_hash"))
+  }
+
   /** Temperature-based data-mixing weights (the multinomial sampling
     * exponent from multilingual pretraining, α = 0.5): per language,
     * raw sampling weight √(share of corpus tokens). sqrt is IEEE

@@ -7,6 +7,20 @@ import graft.telemetry.Telemetry
 
 class MultimodalTextSpec extends SparkSpec {
 
+  test("pii scrub redacts emails, phones and IPs; leaves clean text alone") {
+    import spark.implicits._
+    import graft.llm.TextOps
+    val df = Seq(
+      (1L, "contact bob@example.com or +1 (555) 123-4567 now"),
+      (2L, "server at 10.0.0.1 responded"),
+      (3L, "nothing sensitive here at all")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextOps.piiScrub($"text").as("clean"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "contact <EMAIL> or <PHONE> now")
+    assert(out(2L) === "server at <IP> responded")
+    assert(out(3L) === "nothing sensitive here at all")
+  }
+
   test("frame sampling emits every 4th 64-byte frame per document") {
     val frames = Multimodal.frameSample(spark, sf).collect()
     val byDoc = frames.groupBy(_.doc_id)

@@ -28,6 +28,19 @@ class OtelJsonSourceSpec extends SparkSpec {
     assert(out.columns.length === 33)
   }
 
+  test("OTLP/JSON spans flow end-to-end into spanmetrics RED output") {
+    val path = writeLines(
+      """{"resourceSpans":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"svc-red"}}]},"scopeSpans":[{"scope":{"name":"lib"},"spans":[{"traceId":"t1","spanId":"a","name":"GET /y","kind":2,"startTimeUnixNano":"1700000000000000000","endTimeUnixNano":"1700000000010000000","attributes":[],"events":[],"links":[],"status":{"code":1}},{"traceId":"t1","spanId":"b","parentSpanId":"a","name":"GET /y","kind":2,"startTimeUnixNano":"1700000000000000000","endTimeUnixNano":"1700000000030000000","attributes":[],"events":[],"links":[],"status":{"code":2}}]}]}]}""")
+    val red = graft.otel.OtelAnalytics.spanMetrics(
+      OtelTraces.flatten(OtelJsonSource.traces(spark, path))).collect()
+    assert(red.length === 1)
+    val r = red(0)
+    assert(r.getAs[String]("service_name") === "svc-red")
+    assert(r.getAs[Long]("n_spans") === 2L)
+    assert(r.getAs[Long]("n_errors") === 1L)
+    assert(r.getAs[Double]("error_rate") === 0.5)
+  }
+
   test("OTLP/JSON logs parse with proto3 string int64s and raw scalar body") {
     val path = writeLines(
       """{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"svc-j"}}]},"scopeLogs":[{"scope":{"name":"lib"},"logRecords":[{"timeUnixNano":"1700000000000000000","observedTimeUnixNano":"1700000000000000100","severityNumber":17,"severityText":"ERROR","body":{"stringValue":"it broke"},"attributes":[{"key":"k","value":{"intValue":"7"}}],"traceId":"0af7651916cd43dd8448eb211c80319c","spanId":"b7ad6b7169203331"}]}]}]}""")
