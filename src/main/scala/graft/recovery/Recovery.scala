@@ -45,6 +45,29 @@ object Recovery {
     listDataFiles(spark, tablePath)
       .join(manifest.select(col("file_path")), Seq("file_path"), "left_anti")
 
+  /** Reverse orphans: manifest entries whose backing file no longer
+    * exists in storage (deleted out-of-band). The catalog must drop
+    * these or every scan over it fails on a missing file. */
+  def scanMissing(spark: SparkSession, tablePath: String,
+                  manifest: DataFrame): DataFrame =
+    manifest.join(listDataFiles(spark, tablePath).select(col("file_path")),
+                  Seq("file_path"), "left_anti")
+
+  /** Drop manifest entries with no backing file; returns the pruned
+    * manifest (written back idempotently, like [[reconcile]]). */
+  def pruneMissing(spark: SparkSession, tablePath: String,
+                   manifestPath: String): DataFrame = {
+    val existing = spark.read.parquet(manifestPath)
+    val live = existing.join(
+      listDataFiles(spark, tablePath).select(col("file_path")),
+      Seq("file_path"), "left_semi")
+    val rows = live.collect().toIndexedSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), live.schema)
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath)
+    spark.catalog.refreshByPath(manifestPath)
+    spark.read.parquet(manifestPath)
+  }
+
   /** Register orphans into the manifest; dedup on path makes re-runs
     * idempotent (reconciler.go's re-register semantics). */
   def reconcile(spark: SparkSession, tablePath: String,

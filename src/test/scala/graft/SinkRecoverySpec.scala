@@ -218,5 +218,17 @@ class SinkRecoverySpec extends SparkSpec {
     assert(m2.count() === c1)
     // and a fresh scan against the manifest is clean
     assert(Recovery.scanOrphans(spark, tablePath, m2).count() === 0)
+
+    // reverse orphans: delete a data file out-of-band → scanMissing
+    // flags exactly it, pruneMissing heals the manifest
+    val victim = Recovery.listDataFiles(spark, tablePath)
+      .collect()(0).getString(0)
+    new java.io.File(new java.net.URI(victim).getPath).delete()
+    val missing = Recovery.scanMissing(spark, tablePath, m2)
+    assert(missing.count() === 1)
+    assert(missing.collect()(0).getString(0) === victim)
+    val pruned = Recovery.pruneMissing(spark, tablePath, manifestPath)
+    assert(pruned.count() === c1 - 1)
+    assert(Recovery.scanMissing(spark, tablePath, pruned).count() === 0)
   }
 }
