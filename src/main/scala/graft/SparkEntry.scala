@@ -90,6 +90,7 @@ object SparkEntry {
     "tel_range_frame"    -> (Telemetry.rangeFrame _),
     "q_unpivot"          -> (Core.qUnpivot _),
     "text_pii_scrub"     -> (TextOps.piiScrubStats _),
+    "sim_ivf_nprobe2"    -> ((s, d) => SimOps.ivfAnn(s, d, nprobe = 2)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -624,6 +625,33 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, neighbor_id) AS rnk
         | FROM p)
+        |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "sim_ivf_nprobe2" ->
+      """WITH v AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        | FROM embeddings),
+        |c AS (SELECT vec_id AS cid, vec AS cvec, nrm AS cnrm FROM v WHERE vec_id < 4),
+        |scored AS (
+        | SELECT v.vec_id, c.cid,
+        |  row_number() OVER (PARTITION BY v.vec_id
+        |    ORDER BY round(list_dot_product(v.vec, c.cvec)/(v.nrm*c.cnrm), 6) DESC,
+        |             c.cid) AS rn
+        | FROM v, c WHERE v.vec_id >= 4),
+        |assign AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+        |idx AS (SELECT a.vec_id, a.cid, v.vec, v.nrm
+        |        FROM assign a JOIN v USING (vec_id)),
+        |qp AS (SELECT vec_id AS query_id, cid FROM scored
+        |       WHERE vec_id < 12 AND rn <= 2),
+        |q AS (SELECT qp.query_id, qp.cid, v.vec AS qvec, v.nrm AS qnrm
+        |      FROM qp JOIN v ON v.vec_id = qp.query_id),
+        |p AS (
+        | SELECT q.query_id, i.vec_id AS neighbor_id,
+        |  round(list_dot_product(i.vec, q.qvec)/(i.nrm*q.qnrm), 6) AS cosine
+        | FROM idx i JOIN q ON i.cid = q.cid AND i.vec_id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
         |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "text_balanced_sample" ->
       """SELECT doc_id, lang, rk FROM (

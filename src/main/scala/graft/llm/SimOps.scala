@@ -52,23 +52,31 @@ object SimOps {
     * corpus is never cross-joined. Argmax assignment runs through
     * [[graft.functions.TopKStructs]] k=1 (hash agg, no sort). */
   def ivfAnn(spark: SparkSession, sfDir: String, nCentroids: Int = 4,
-             nQueries: Int = 8, k: Int = 5): DataFrame = {
+             nQueries: Int = 8, k: Int = 5, nprobe: Int = 1): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
     val cents = emb.filter($"vec_id" < nCentroids)
       .select($"vec_id".as("cid"), $"vec".as("cvec"))
-    val assign = emb.filter($"vec_id" >= nCentroids)
+    val scored = emb.filter($"vec_id" >= nCentroids)
       .crossJoin(broadcast(cents))
       .withColumn("cos6", round(call_function("cosine_sim", $"vec", $"cvec"), 6))
+    val assign = scored
       .groupBy($"vec_id")
       .agg(element_at(call_function("top_k_structs",
         struct($"cos6", (-$"cid").as("ncid"), $"cid"), lit(1)), 1)
         .getField("cid").as("cid"))
     val indexed = assign.join(emb, "vec_id")
-    val q = indexed.filter($"vec_id" < nCentroids + nQueries)
-      .select($"vec_id".as("query_id"), $"cid", $"vec".as("qvec"))
+    // queries probe their top-`nprobe` centroid lists (the FAISS recall
+    // knob): inverted lists are disjoint, so probing more lists only
+    // adds candidates — no dedup needed
+    val q = scored.filter($"vec_id" < nCentroids + nQueries)
+      .groupBy($"vec_id")
+      .agg(call_function("top_k_structs",
+        struct($"cos6", (-$"cid").as("ncid"), $"cid"), lit(nprobe)).as("top"))
+      .select($"vec_id".as("query_id"), explode($"top.cid").as("cid"))
+      .join(emb.select($"vec_id".as("query_id"), $"vec".as("qvec")), "query_id")
     indexed.join(broadcast(q), Seq("cid"))
       .filter($"vec_id" =!= $"query_id")
       .withColumn("cos6", round(call_function("cosine_sim", $"vec", $"qvec"), 6))
