@@ -91,6 +91,7 @@ object SparkEntry {
     "q_unpivot"          -> (Core.qUnpivot _),
     "text_pii_scrub"     -> (TextOps.piiScrubStats _),
     "sim_ivf_nprobe2"    -> ((s, d) => SimOps.ivfAnn(s, d, nprobe = 2)),
+    "q_recursive_cte"    -> (Core.qRecursiveCte _),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -458,6 +459,16 @@ object SparkEntry {
         |  SELECT o_orderkey, round(o_totalprice, 4) AS price
         |  FROM orders WHERE o_custkey = c_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o""".stripMargin,
+    "q_recursive_cte" ->
+      """WITH RECURSIVE spine(d) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL SELECT d + INTERVAL 1 DAY FROM spine WHERE d < DATE '1995-03-01'
+        |)
+        |SELECT strftime(s.d, '%Y-%m-%d') AS day,
+        |       count(o.o_orderkey) AS n_orders,
+        |       round(coalesce(sum(o.o_totalprice), 0.0), 4) AS day_total
+        |FROM spine s LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = CAST(s.d AS DATE)
+        |GROUP BY s.d""".stripMargin,
     "q_unpivot" ->
       """SELECT o_orderpriority, status, total FROM (
         | SELECT o_orderpriority,

@@ -304,6 +304,25 @@ object Core {
            round(sum($"l_extendedprice"), 4).as("rev"))
   }
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): transitive closure of
+    * the customer→order→priority chain is overkill here, so the demo is
+    * the canonical recursion — a date spine generated in-engine and
+    * joined against per-day order counts (gap-filled calendar, the
+    * reporting shape). Recursion depth = days, each step a tiny union. */
+  def qRecursiveCte(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_rc")
+    spark.sql(
+      """WITH RECURSIVE spine(d) AS (
+        |  SELECT DATE'1995-01-01'
+        |  UNION ALL SELECT date_add(d, 1) FROM spine WHERE d < DATE'1995-03-01'
+        |)
+        |SELECT CAST(s.d AS STRING) AS day,
+        |       count(o.o_orderkey) AS n_orders,
+        |       round(coalesce(sum(o.o_totalprice), 0.0), 4) AS day_total
+        |FROM spine s LEFT JOIN orders_rc o ON CAST(o.o_orderdate AS DATE) = s.d
+        |GROUP BY s.d""".stripMargin)
+  }
+
   /** UNPIVOT (melt): wide per-status totals back to long form — the
     * inverse of [[qPivot]], a narrow zero-shuffle reshape after the
     * aggregate. */

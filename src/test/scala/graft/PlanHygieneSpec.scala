@@ -13,6 +13,7 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_topk_bruteforce",  // corpus × broadcast query set (by design)
     "sim_int8_topk",
     "sim_ivf_ann",
+    "sim_ivf_nprobe2",
     "text_mix_weights")     // 5-row agg × 1-row total broadcast
 
   test("every query plans hash aggregation, no cartesians, whitelisted BNLJ only") {
