@@ -92,6 +92,9 @@ object SparkEntry {
     "text_pii_scrub"     -> (TextOps.piiScrubStats _),
     "sim_ivf_nprobe2"    -> ((s, d) => SimOps.ivfAnn(s, d, nprobe = 2)),
     "q_recursive_cte"    -> (Core.qRecursiveCte _),
+    "q_set_ops_all"      -> (Core.qSetOpsAll _),
+    "q_ntile"            -> (Core.qNtile _),
+    "q_nullsafe_join"    -> (Core.qNullsafeJoin _),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -459,6 +462,30 @@ object SparkEntry {
         |  SELECT o_orderkey, round(o_totalprice, 4) AS price
         |  FROM orders WHERE o_custkey = c_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o""".stripMargin,
+    "q_set_ops_all" ->
+      """SELECT user_id, count(*) AS multiplicity FROM (
+        | SELECT user_id FROM events WHERE event_type='purchase'
+        | INTERSECT ALL
+        | SELECT user_id FROM events WHERE event_type='error'
+        | EXCEPT ALL
+        | SELECT user_id FROM events WHERE event_type='signup') t
+        |GROUP BY user_id""".stripMargin,
+    "q_ntile" ->
+      """SELECT decile, count(*) AS n_orders,
+        | round(min(o_totalprice),4) AS lo, round(max(o_totalprice),4) AS hi
+        |FROM (SELECT o_totalprice,
+        |  CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+        | FROM orders) t
+        |GROUP BY decile""".stripMargin,
+    "q_nullsafe_join" ->
+      """SELECT coalesce(b.nk, -1) AS nation_key, count(*) AS n_rows,
+        | round(sum(a.c_acctbal),4) AS bal
+        |FROM (SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL
+        |        ELSE c_nationkey END AS nk, c_acctbal FROM customer) a
+        |JOIN (SELECT CASE WHEN n_nationkey = 0 THEN NULL
+        |        ELSE n_nationkey END AS nk, n_name FROM nation) b
+        | ON a.nk IS NOT DISTINCT FROM b.nk
+        |GROUP BY coalesce(b.nk, -1)""".stripMargin,
     "q_recursive_cte" ->
       """WITH RECURSIVE spine(d) AS (
         |  SELECT DATE '1995-01-01'

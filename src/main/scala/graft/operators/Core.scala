@@ -193,6 +193,51 @@ object Core {
     users("purchase").intersect(users("error")).except(goodStanding)
   }
 
+  /** Bag-semantics set operations: INTERSECT ALL / EXCEPT ALL keep
+    * multiplicities (a user appearing 3× in purchases and 2× in errors
+    * intersects 2×) — a different operator than the distinct variants
+    * in [[qSetOps]]. */
+  def qSetOpsAll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    def users(t: String) = ev.filter($"event_type" === t).select($"user_id")
+    users("purchase").intersectAll(users("error"))
+      .exceptAll(users("signup"))
+      .groupBy($"user_id").agg(count(lit(1)).as("multiplicity"))
+  }
+
+  /** NTILE equi-depth bucketing: decile assignment over order totals —
+    * the quantile-bucket window operator (distinct from rank: buckets
+    * are equal-SIZED, not equal-width). */
+  def qNtile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_orders"),
+           round(min($"o_totalprice"), 4).as("lo"),
+           round(max($"o_totalprice"), 4).as("hi"))
+  }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of dropping — the semantics dimension
+    * tables with unknown members need. */
+  def qNullsafeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // ~10% of keys nulled on both sides: plain equi-join drops them,
+    // null-safe join pairs them
+    val a = Tables.customer(spark, sfDir)
+      .select(when($"c_custkey" % 10 === 0, null).otherwise($"c_nationkey").as("nk"),
+              $"c_acctbal")
+    val b = Tables.nation(spark, sfDir)
+      .select(when($"n_nationkey" === 0, null).otherwise($"n_nationkey").as("nk"),
+              $"n_name")
+    a.join(b, a("nk") <=> b("nk"))
+      .groupBy(coalesce(b("nk"), lit(-1L)).as("nation_key"))
+      .agg(count(lit(1)).as("n_rows"), round(sum($"c_acctbal"), 4).as("bal"))
+  }
+
   /** Filter against a scalar subquery (average account balance). */
   def qScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
