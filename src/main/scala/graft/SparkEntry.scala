@@ -471,12 +471,13 @@ object SparkEntry {
         | SELECT user_id FROM events WHERE event_type='signup') t
         |GROUP BY user_id""".stripMargin,
     "q_ntile" ->
-      """SELECT decile, count(*) AS n_orders,
+      """SELECT o_orderpriority, decile, count(*) AS n_orders,
         | round(min(o_totalprice),4) AS lo, round(max(o_totalprice),4) AS hi
-        |FROM (SELECT o_totalprice,
-        |  CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+        |FROM (SELECT o_orderpriority, o_totalprice,
+        |  CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
         | FROM orders) t
-        |GROUP BY decile""".stripMargin,
+        |GROUP BY o_orderpriority, decile""".stripMargin,
     "q_nullsafe_join" ->
       """SELECT coalesce(b.nk, -1) AS nation_key, count(*) AS n_rows,
         | round(sum(a.c_acctbal),4) AS bal

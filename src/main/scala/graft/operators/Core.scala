@@ -206,15 +206,20 @@ object Core {
       .groupBy($"user_id").agg(count(lit(1)).as("multiplicity"))
   }
 
-  /** NTILE equi-depth bucketing: decile assignment over order totals —
-    * the quantile-bucket window operator (distinct from rank: buckets
-    * are equal-SIZED, not equal-width). */
+  /** NTILE equi-depth bucketing: decile assignment over order totals
+    * WITHIN each priority class — the quantile-bucket window operator
+    * (equal-SIZED buckets, not equal-width). Partitioned by priority on
+    * purpose: a global (unpartitioned) NTILE funnels every row through
+    * one task — the global total order that does not survive scale-up;
+    * global deciles at 100 TB come from approx-percentile cutpoints +
+    * range bucketing instead. */
   def qNtile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
     Tables.orders(spark, sfDir)
       .withColumn("decile", ntile(10).over(w).cast("long"))
-      .groupBy($"decile")
+      .groupBy($"o_orderpriority", $"decile")
       .agg(count(lit(1)).as("n_orders"),
            round(min($"o_totalprice"), 4).as("lo"),
            round(max($"o_totalprice"), 4).as("hi"))
