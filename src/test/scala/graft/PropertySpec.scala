@@ -1,0 +1,75 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.llm.Dedup
+
+/** Property-based checks (ScalaCheck) for the custom operators whose
+  * correctness depends on algebra, not on any one fixture:
+  *  - TopKStructs must agree with sort-take-k on arbitrary data
+  *    (partial aggregation + merge across partitions included);
+  *  - connectedComponents must agree with a sequential union-find on
+  *    arbitrary graphs (pointer jumping included).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("top_k_structs equals sort-take-k on arbitrary (group, score, id) data") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rowsGen = Gen.nonEmptyListOf(for {
+      g <- Gen.choose(0L, 6L)
+      s <- Gen.choose(-100L, 100L)
+      i <- Gen.choose(0L, 1000L)
+    } yield (g, s, i))
+    check("topk", Prop.forAll(rowsGen, Gen.choose(1, 5)) { (rows, k) =>
+      val df = rows.toDF("g", "s", "i").repartition(4)
+      val got = df.groupBy($"g")
+        .agg(expr(s"top_k_structs(struct(s, i), $k, array(false, true), array(false, false))").as("t"))
+        .select($"g", explode($"t").as("x"))
+        .select($"g", $"x.s", $"x.i").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toList).toMap
+      val expected = rows.groupBy(_._1).view.mapValues {
+        _.map(t => (t._2, t._3)).sortBy { case (s, i) => (-s, i) }.take(k)
+      }.toMap
+      got == expected
+    })
+  }
+
+  test("connectedComponents equals sequential union-find on arbitrary graphs") {
+    import spark.implicits._
+    val edgesGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 30L)
+      b <- Gen.choose(0L, 30L)
+      if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    check("cc", Prop.forAll(edgesGen) { edges =>
+      val labels = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"), maxIters = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // sequential union-find reference
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // same components ⟺ identical min-label per node
+      val expected = nodes.map { n =>
+        val root = find(n)
+        n -> nodes.filter(m => find(m) == root).min
+      }.toMap
+      labels == expected
+    })
+  }
+}
