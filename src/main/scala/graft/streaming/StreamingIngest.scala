@@ -82,6 +82,51 @@ object StreamingIngest {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
               col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Streaming MATERIALIZED VIEW maintenance: the hourly rollup kept
+    * current by update-mode emission + foreachBatch upsert. Each
+    * micro-batch emits only the (window, event_type) rows it changed;
+    * the upsert anti-joins them against the snapshot and rewrites —
+    * new values win, replay is idempotent (re-emitting the same rows
+    * converges), which is the at-least-once-safe incremental-view
+    * contract. Watermark bounds the aggregation state; the snapshot
+    * swap is write-tmp-then-rename (an object store would write
+    * versioned dirs + a pointer, Iceberg-style). */
+  def materializedWindowCounts(events: DataFrame, snapshotPath: String,
+                               checkpoint: String,
+                               tsCol: String = "ts",
+                               watermark: String = "24 hours"): StreamingQuery =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val updates = batch
+        val existing =
+          try spark.read.parquet(snapshotPath)
+          catch { case _: Throwable => updates.limit(0) }
+        val merged = existing
+          .join(updates.select("window_start", "event_type"),
+                Seq("window_start", "event_type"), "left_anti")
+          .unionByName(updates)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val tmp = new org.apache.hadoop.fs.Path(snapshotPath + ".tmp")
+        val dst = new org.apache.hadoop.fs.Path(snapshotPath)
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        val fs = dst.getFileSystem(conf)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        fs.rename(tmp, dst)
+        spark.catalog.refreshByPath(snapshotPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Stream-stream interval join: correlate each error event with the
     * purchases the same user made in the preceding 30 minutes. Both
     * sides are watermarked so the join state is bounded — Spark retains

@@ -60,6 +60,30 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/events").count() === batch.count())
   }
 
+  test("update-mode materialized view converges to the batch rollup") {
+    val base = Files.createTempDirectory("graft-stream-mv").toString
+    val batch = Tables.events(spark, sf)
+    // several source files + maxFilesPerTrigger=2 → multiple micro-batches,
+    // so the upsert path (not just a single emission) is exercised
+    batch.repartition(6).write.parquet(s"$base/src")
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "2").parquet(s"$base/src")
+
+    // files arrive in scrambled event-time order and the data spans 30
+    // days — the watermark must cover the span or late files are
+    // (correctly) dropped; equality needs the full-span setting
+    val q = StreamingIngest.materializedWindowCounts(
+      stream, s"$base/mv", s"$base/chk", watermark = "720 hours")
+    q.awaitTermination()
+
+    val mv = spark.read.parquet(s"$base/mv")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+              col("event_type"), col("n_events"), col("sum_value"))
+      .collect().toSet
+    val expected = graft.telemetry.Telemetry.tumblingWindow(spark, sf).collect().toSet
+    assert(mv === expected)
+  }
+
   test("streaming dedup collapses an at-least-once duplicated source") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream-dedup").toString
