@@ -95,6 +95,7 @@ object SparkEntry {
     "q_set_ops_all"      -> (Core.qSetOpsAll _),
     "q_ntile"            -> (Core.qNtile _),
     "q_nullsafe_join"    -> (Core.qNullsafeJoin _),
+    "tel_heavy_hitters"  -> ((s, d) => Telemetry.heavyHitters(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -754,6 +755,11 @@ object SparkEntry {
         | FROM reach GROUP BY src)
         |SELECT label AS cluster_id, count(*) AS n_docs, max(doc_id) AS max_doc_id
         |FROM lab GROUP BY 1""".stripMargin,
+    "tel_heavy_hitters" ->
+      """SELECT item, cnt FROM (
+        | SELECT CAST(floor(value) AS BIGINT) AS item, count(*) AS cnt
+        | FROM events GROUP BY 1) t
+        |WHERE cnt > (SELECT count(*) FROM events) * 0.01""".stripMargin,
     "tel_grid_percentiles" ->
       """WITH g AS (
         | SELECT event_type, CAST(round(value*100) AS BIGINT) AS v100,

@@ -115,8 +115,17 @@ object GraftFunctions {
         .toAggregateExpression()
     })
 
+  val frequentItemsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("frequent_items"),
+    new ExpressionInfo(classOf[FrequentItems].getName, "frequent_items"),
+    (children: Seq[Expression]) => FrequentItems(
+      children(0),
+      children(1).eval(null).asInstanceOf[Number].intValue)
+      .toAggregateExpression())
+
   def register(spark: SparkSession): Unit = {
-    Seq(cosineSimDescriptor, bottomKDescriptor, topKDescriptor).foreach {
+    Seq(cosineSimDescriptor, bottomKDescriptor, topKDescriptor,
+        frequentItemsDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

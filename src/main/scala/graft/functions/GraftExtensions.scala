@@ -11,6 +11,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
     ext.injectFunction(GraftFunctions.bottomKDescriptor)
     ext.injectFunction(GraftFunctions.topKDescriptor)
+    ext.injectFunction(GraftFunctions.frequentItemsDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
   }

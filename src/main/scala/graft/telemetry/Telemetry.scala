@@ -372,6 +372,32 @@ object Telemetry {
       .agg(max($"n").as("n"), est($"r50").as("p50_est"), est($"r95").as("p95_est"))
   }
 
+  /** EXACT heavy hitters via the two-pass sketch pattern: pass 1 is the
+    * bounded-memory Misra-Gries summary ([[graft.functions.FrequentItems]],
+    * k counters, mergeable — its superset guarantee means no true
+    * hitter is missed); pass 2 exactly counts only the candidate set
+    * (tiny, broadcast) and filters on the true threshold. At 100 TB the
+    * sketch pass shuffles k counters per map task instead of every
+    * distinct key; the result is exact, so it hash-checks against the
+    * plain GROUP BY/HAVING oracle. */
+  def heavyHitters(spark: SparkSession, sfDir: String,
+                   k: Int = 100, thresholdFrac: Double = 0.01): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val ev = Tables.events(spark, sfDir)
+      .select(floor($"value").cast("long").as("item"))
+    val cand = ev
+      .agg(call_function("frequent_items", $"item", lit(k)).as("c"))
+      .select(explode($"c.item").as("item"))
+    val total = ev.agg(count(lit(1)).as("n"))
+    ev.join(broadcast(cand), "item")
+      .groupBy($"item")
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter($"cnt" > $"n" * thresholdFrac)
+      .select($"item", $"cnt")
+  }
+
   /** Native session-window aggregation (30-min gap) — Spark's
     * `session_window`, the same operator the streaming pipeline uses.
     * Unlike [[sessionize]] (lag + running sum over a per-user sort
