@@ -96,6 +96,7 @@ object SparkEntry {
     "q_ntile"            -> (Core.qNtile _),
     "q_nullsafe_join"    -> (Core.qNullsafeJoin _),
     "tel_heavy_hitters"  -> ((s, d) => Telemetry.heavyHitters(s, d)),
+    "text_repetition"    -> (TextOps.repetition _),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -865,6 +866,22 @@ object SparkEntry {
         | CAST(round(CAST(CAST(n_tokens/CAST(total AS DOUBLE) AS VARCHAR) AS DECIMAL(38,18)),6) AS DOUBLE) AS token_share,
         | CAST(round(CAST(CAST(sqrt(CAST(n_tokens AS DOUBLE))/sqrt(CAST(total AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,18)),6) AS DOUBLE) AS weight
         |FROM pl, tt""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS tk
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, CASE WHEN len(tk) >= 2
+        |   THEN [tk[i] || ' ' || tk[i+1] for i in generate_series(1, len(tk)-1)]
+        |   ELSE [] END AS grams
+        | FROM t)
+        |SELECT doc_id,
+        | CAST(len(grams) AS BIGINT) AS n_2grams,
+        | CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        | CASE WHEN len(grams) = 0 THEN 0.0 ELSE
+        |  CAST(round(CAST(CAST((len(grams)-len(list_distinct(grams)))*1.0/len(grams)
+        |    AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) END AS rep_frac
+        |FROM g""".stripMargin,
     "text_pii_scrub" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text,

@@ -244,6 +244,27 @@ object TextOps {
               $"mean_word_len", $"alpha_frac", $"keep")
   }
 
+  /** Repetition ratio (the other Gopher-family filter): fraction of a
+    * document's word 2-grams that are duplicates — high values flag
+    * boilerplate/spam/degenerate generations. Narrow map with array
+    * ops, no shuffle. */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("t", tokens(lower($"text")))
+      .withColumn("grams", expr(
+        """CASE WHEN size(t) >= 2
+          |THEN transform(sequence(0, size(t)-2),
+          |               i -> concat(element_at(t, i+1), ' ', element_at(t, i+2)))
+          |ELSE array() END""".stripMargin))
+      .select($"doc_id",
+        size($"grams").cast("long").as("n_2grams"),
+        size(array_distinct($"grams")).cast("long").as("n_distinct"))
+      .withColumn("rep_frac",
+        when($"n_2grams" === 0, 0.0)
+          .otherwise(round(($"n_2grams" - $"n_distinct") / $"n_2grams", 4)))
+  }
+
   /** PII scrubbing — the redaction pass every training pipeline runs
     * before tokenization: emails, international-ish phone numbers and
     * IPv4 addresses replaced with typed placeholder tokens. Pure
