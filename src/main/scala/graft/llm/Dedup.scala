@@ -264,13 +264,28 @@ object Dedup {
 
   /** Exact n-gram Jaccard via a distributed shingle inverted index:
     * posting lists join on the 64-bit shingle hash (cheap shuffle key),
-    * |A∪B| = |A|+|B|-|A∩B|. */
+    * |A∪B| = |A|+|B|-|A∩B|.
+    *
+    * `maxDocFreq` (off by default, so the oracle stays exact) is the
+    * scale valve: a shingle appearing in f documents generates O(f²)
+    * candidate pairs, so one boilerplate shingle shared by 10⁶ docs
+    * detonates the join. Capping document frequency drops only
+    * near-stopword shingles — they carry almost no Jaccard signal but
+    * all of the quadratic cost. Results become a slight underestimate;
+    * the spec quantifies recall vs exact. */
   def ngramJaccard(spark: SparkSession, sfDir: String,
-                   threshold: Double = 0.2): DataFrame = {
+                   threshold: Double = 0.2,
+                   maxDocFreq: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val docs = signatures(spark, sfDir).toDF()
       .select($"doc_id", $"sh", size($"sh").cast("long").as("n_sh"))
-    val posting = docs.select($"doc_id", $"n_sh", explode($"sh").as("shingle"))
+    val allPosting = docs.select($"doc_id", $"n_sh", explode($"sh").as("shingle"))
+    val posting = maxDocFreq.fold(allPosting) { cap =>
+      val rare = allPosting.groupBy($"shingle")
+        .agg(count(lit(1)).as("df")).filter($"df" <= cap)
+        .select($"shingle")
+      allPosting.join(rare, "shingle")
+    }
     val a = posting.select($"shingle", $"doc_id".as("doc_a"), $"n_sh".as("na"))
     val b = posting.select($"shingle", $"doc_id".as("doc_b"), $"n_sh".as("nb"))
     a.join(b, "shingle").filter($"doc_a" < $"doc_b")

@@ -128,6 +128,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.forall(_._2 === 0L), s"unconverged labels: ${out.filter(_._2 != 0L).take(5).toSeq}")
   }
 
+  test("ngramJaccard doc-frequency cap keeps high recall at a fraction of the pairs") {
+    val exact = Dedup.ngramJaccard(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ngramJaccard(spark, sf, maxDocFreq = Some(25L))
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // capping only removes evidence, never invents pairs above threshold
+    assert(capped.subsetOf(exact))
+    val recall = capped.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall with df cap")
+  }
+
   test("dedupClusters with an empty pair graph returns empty, no NPE") {
     // threshold > 1 admits no pairs — sum(label) over zero rows is NULL
     // and must not crash the convergence check (round-2 ADVICE)
