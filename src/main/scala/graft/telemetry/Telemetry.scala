@@ -386,14 +386,15 @@ object Telemetry {
     graft.functions.GraftFunctions.register(spark)
     val ev = Tables.events(spark, sfDir)
       .select(floor($"value").cast("long").as("item"))
-    val cand = ev
-      .agg(call_function("frequent_items", $"item", lit(k)).as("c"))
-      .select(explode($"c.item").as("item"))
-    val total = ev.agg(count(lit(1)).as("n"))
+    // pass 1 computes the sketch AND the total in one scan; n rides the
+    // broadcast candidate set into pass 2 (no third scan, no cross join)
+    val pass1 = ev.agg(
+      call_function("frequent_items", $"item", lit(k)).as("c"),
+      count(lit(1)).as("n"))
+    val cand = pass1.select($"n", explode($"c.item").as("item"))
     ev.join(broadcast(cand), "item")
-      .groupBy($"item")
+      .groupBy($"item", $"n")
       .agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
       .filter($"cnt" > $"n" * thresholdFrac)
       .select($"item", $"cnt")
   }

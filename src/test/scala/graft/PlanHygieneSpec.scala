@@ -14,8 +14,7 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_int8_topk",
     "sim_ivf_ann",
     "sim_ivf_nprobe2",
-    "text_mix_weights",     // 5-row agg × 1-row total broadcast
-    "tel_heavy_hitters")    // candidate counts × 1-row total broadcast
+    "text_mix_weights")     // 5-row agg × 1-row total broadcast
 
   test("every query plans hash aggregation, no cartesians, whitelisted BNLJ only") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
