@@ -197,6 +197,32 @@ class SinkRecoverySpec extends SparkSpec {
       s"no skipping: ${slice.inputFiles.length} of $nFiles files read")
   }
 
+  test("versioned manifest gives snapshot isolation and time travel") {
+    import graft.recovery.VersionedManifest
+    val base = tmp()
+    val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "monthly")
+    val tablePath = s"$base/events"
+    val manDir = s"$base/_snapshots"
+
+    val batch1 = eventsDf.limit(300)
+    PartitionedParquetSink.writeBatch(batch1, cfg)
+    val v1 = VersionedManifest.commit(spark, tablePath, manDir)
+    assert(v1 === 1L)
+
+    val batch2 = eventsDf.orderBy(col("event_id").desc).limit(200)
+    PartitionedParquetSink.writeBatch(batch2, cfg)
+    val v2 = VersionedManifest.commit(spark, tablePath, manDir)
+    assert(v2 === 2L && VersionedManifest.currentVersion(spark, manDir) === 2L)
+
+    // snapshot 1 still reads exactly the pre-append state
+    assert(VersionedManifest.readAt(spark, tablePath, manDir, Some(1L)).count() === 300L)
+    // the pointer resolves to the full current state
+    assert(VersionedManifest.readAt(spark, tablePath, manDir).count() === 500L)
+    // snapshots are immutable file lists
+    assert(VersionedManifest.filesAt(spark, manDir, Some(1L)).count() <
+           VersionedManifest.filesAt(spark, manDir, Some(2L)).count())
+  }
+
   test("scanner finds orphans; reconcile registers them idempotently") {
     val base = tmp()
     val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "monthly")
