@@ -97,6 +97,7 @@ object SparkEntry {
     "q_nullsafe_join"    -> (Core.qNullsafeJoin _),
     "tel_heavy_hitters"  -> ((s, d) => Telemetry.heavyHitters(s, d)),
     "text_repetition"    -> (TextOps.repetition _),
+    "mm_audio_windows"   -> ((s, d) => Multimodal.audioWindows(s, d).toDF()),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -914,6 +915,14 @@ object SparkEntry {
         | CAST(coalesce(list_min(fps), 0) AS BIGINT) AS min_fp,
         | CAST(coalesce(list_max(fps), 0) AS BIGINT) AS max_fp
         |FROM fp""".stripMargin,
+    "mm_audio_windows" ->
+      """SELECT doc_id, o AS win_off,
+        | least(64, blen - o) AS win_len,
+        | md5(substr(text, CAST(o+1 AS BIGINT), 64)) AS win_md5
+        |FROM (SELECT doc_id, text, blen,
+        |  unnest(generate_series(0, blen-1, 32)) AS o
+        | FROM (SELECT doc_id, text, octet_length(encode(text)) AS blen
+        |       FROM documents) b) t""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, i AS frame_idx,
         | least(64, blen - i*64) AS frame_len,

@@ -66,6 +66,37 @@ object Multimodal {
       }
   }
 
+  case class AudioWindow(doc_id: Long, win_off: Long, win_len: Long,
+                         win_md5: String)
+
+  /** "Audio" windowing: OVERLAPPING fixed-size windows with a hop
+    * (stride < window — the STFT/feature-extraction batch shape, as
+    * opposed to [[frameSample]]'s disjoint frames). Decode is stubbed
+    * like the other media ops; the window geometry, per-window digests
+    * and the one-to-many typed output are real. */
+  def audioWindows(spark: SparkSession, sfDir: String,
+                   winBytes: Int = 64, hopBytes: Int = 32): Dataset[AudioWindow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", encode($"text", "UTF-8").as("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          Iterator.range(0, math.max(r.media.length, 0), hopBytes).map { off =>
+            val w = r.media.slice(off, off + winBytes)
+            val d = md.digest(w)
+            val sb = new java.lang.StringBuilder(32)
+            d.foreach { b =>
+              sb.append(Character.forDigit((b >> 4) & 0xf, 16))
+              sb.append(Character.forDigit(b & 0xf, 16))
+            }
+            AudioWindow(r.doc_id, off.toLong, w.length.toLong, sb.toString)
+          }
+        }
+      }
+  }
+
   /** STUB resize: computes the output geometry + byte size a real
     * resizer would produce, preserving aspect ratio against a target
     * box. The decode is [[stubDecode]]; only the math is real. */
