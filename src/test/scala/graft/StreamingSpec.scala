@@ -82,6 +82,18 @@ class StreamingSpec extends SparkSpec {
       .collect().toSet
     val expected = graft.telemetry.Telemetry.tumblingWindow(spark, sf).collect().toSet
     assert(mv === expected)
+
+    // restart from the same checkpoint after MORE source data lands:
+    // the resumed stream must fold the delta in and converge again
+    Tables.events(spark, sf).limit(777).write.mode("append").parquet(s"$base/src")
+    val q2 = StreamingIngest.materializedWindowCounts(
+      spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$base/src"),
+      s"$base/mv", s"$base/chk", watermark = "720 hours")
+    q2.awaitTermination()
+    val total2 = spark.read.parquet(s"$base/mv")
+      .agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(total2 === batch.count() + 777)
   }
 
   test("streaming dedup collapses an at-least-once duplicated source") {
