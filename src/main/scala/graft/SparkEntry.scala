@@ -98,6 +98,7 @@ object SparkEntry {
     "tel_heavy_hitters"  -> ((s, d) => Telemetry.heavyHitters(s, d)),
     "text_repetition"    -> (TextOps.repetition _),
     "mm_audio_windows"   -> ((s, d) => Multimodal.audioWindows(s, d).toDF()),
+    "sim_pq_ann"         -> ((s, d) => SimOps.pqAnn(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -645,6 +646,40 @@ object SparkEntry {
         |    ORDER BY cosine DESC, neighbor_id) AS rnk
         | FROM p)
         |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "sim_pq_ann" ->
+      """WITH v AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |tr AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+        |sc AS (
+        | SELECT v.vec_id, tr.cid, sp.s,
+        |  list_reduce([0.0] || [ (v.e[i]-tr.ce[i])*(v.e[i]-tr.ce[i])
+        |    for i in generate_series(sp.s*16+1, sp.s*16+16) ],
+        |    (x,y) -> x+y) AS dist
+        | FROM v, tr, (SELECT unnest(generate_series(0,3)) AS s) sp
+        | WHERE v.vec_id >= 8),
+        |codes AS (
+        | SELECT vec_id, s, cid AS code FROM (
+        |  SELECT vec_id, s, cid,
+        |   row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+        |  FROM sc) t WHERE rn = 1),
+        |lut AS (SELECT vec_id AS query_id, s, cid AS code, dist AS qdist
+        |        FROM sc WHERE vec_id < 16),
+        |adc AS (
+        | SELECT l.query_id, c.vec_id,
+        |  sum(CASE WHEN c.s=0 THEN l.qdist ELSE 0.0 END) AS d0,
+        |  sum(CASE WHEN c.s=1 THEN l.qdist ELSE 0.0 END) AS d1,
+        |  sum(CASE WHEN c.s=2 THEN l.qdist ELSE 0.0 END) AS d2,
+        |  sum(CASE WHEN c.s=3 THEN l.qdist ELSE 0.0 END) AS d3
+        | FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+        |  AND c.vec_id != l.query_id
+        | GROUP BY 1,2),
+        |r AS (
+        | SELECT query_id, vec_id AS neighbor_id,
+        |  CAST(round(CAST(CAST(d0+d1+d2+d3 AS VARCHAR) AS DECIMAL(38,18)),6) AS DOUBLE) AS adist,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY d0+d1+d2+d3, vec_id) AS rnk
+        | FROM adc)
+        |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "sim_int8_topk" ->
       """WITH v AS (
         | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

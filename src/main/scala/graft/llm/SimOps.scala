@@ -155,6 +155,72 @@ object SimOps {
     * bit-for-bit in any engine — unlike libm-dependent float kernels.
     * Re-uses the codegen'd [[graft.functions.CosineSim]] over the
     * integer-valued arrays. */
+  /** Product-quantization ANN (PQ + asymmetric distance computation —
+    * FAISS's memory-compression workhorse): vectors compress to M=4
+    * subspace codes (here 3 bits each against an 8-entry codebook built
+    * from the first 8 vectors' subvectors), queries stay raw, and the
+    * approximate L2² is the sum of M lookup-table entries. At 100 TB
+    * the index is M bytes per vector instead of 4·D — the candidate
+    * scan reads codes, not floats. Every arithmetic step is an ORDERED
+    * fold of IEEE basic ops (no aggregation-order dependence: the four
+    * subspace terms come back as conditional single-element sums and
+    * add in fixed order), so the scores reproduce bit-for-bit in the
+    * oracle.
+    *
+    * Honesty note: the codebook is UNTRAINED (first-nTrain subvectors —
+    * k-means iterations would make centroid means aggregation-order-
+    * dependent and break reproducibility), and the synthetic embeddings
+    * are uniform-random — PQ's worst case (pairwise distances
+    * concentrate, so coarse codes barely order candidates; measured
+    * recall@5 ≈ 0.1-0.3 at any codebook size). This entry demonstrates
+    * the compression/ADC MACHINERY exactly; ranking quality on real
+    * clustered embeddings needs trained codebooks. */
+  def pqAnn(spark: SparkSession, sfDir: String, nTrain: Int = 8,
+            nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val subDim = 16 // 64 dims / M=4 subspaces
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    val train = emb.filter($"vec_id" < nTrain)
+      .select($"vec_id".as("cid"), $"vec".as("cvec"))
+    // per-subspace L2², folded left in dim order (deterministic)
+    def subDists(a: Column, b: Column): Column =
+      transform(sequence(lit(0), lit(3)), s =>
+        aggregate(sequence(s * subDim, s * subDim + (subDim - 1)), lit(0.0),
+          (acc, i) => acc +
+            (element_at(a, i + 1) - element_at(b, i + 1)) *
+            (element_at(a, i + 1) - element_at(b, i + 1))))
+    val scored = emb.filter($"vec_id" >= nTrain)
+      .crossJoin(broadcast(train))
+      .withColumn("ds", subDists($"vec", $"cvec"))
+      .select($"vec_id", $"cid", posexplode($"ds").as(Seq("s", "dist")))
+    val codes = scored.groupBy($"vec_id", $"s")
+      .agg(element_at(call_function("top_k_structs",
+        struct($"dist", $"cid"), lit(1),
+        array(lit(true), lit(true)), array(lit(false), lit(false))), 1)
+        .getField("cid").as("code"))
+    // query lookup tables: raw subvector → every codebook entry
+    val lut = scored.filter($"vec_id" < nTrain + nQueries)
+      .select($"vec_id".as("query_id"), $"s", $"cid".as("code"),
+              $"dist".as("qdist"))
+    codes.join(broadcast(lut), Seq("s", "code"))
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id")
+      .agg(
+        sum(when($"s" === 0, $"qdist").otherwise(0.0)).as("d0"),
+        sum(when($"s" === 1, $"qdist").otherwise(0.0)).as("d1"),
+        sum(when($"s" === 2, $"qdist").otherwise(0.0)).as("d2"),
+        sum(when($"s" === 3, $"qdist").otherwise(0.0)).as("d3"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy(($"d0" + $"d1" + $"d2" + $"d3").asc, $"vec_id".asc)))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+              round($"d0" + $"d1" + $"d2" + $"d3", 6).as("adist"),
+              $"rnk".cast("long").as("rnk"))
+  }
+
   def int8Topk(spark: SparkSession, sfDir: String,
                nQueries: Int = 8, k: Int = 5): DataFrame = {
     import spark.implicits._

@@ -128,6 +128,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.forall(_._2 === 0L), s"unconverged labels: ${out.filter(_._2 != 0L).take(5).toSeq}")
   }
 
+  test("PQ-ADC produces a complete, rank-consistent shortlist per query") {
+    val rows = SimOps.pqAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size === 8)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L), s"ranks for $q")
+      // approximate distances are non-negative and non-decreasing in rank
+      val byRank = rs.sortBy(_._4).map(_._3)
+      assert(byRank.forall(_ >= 0.0))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b }, s"order for $q")
+      assert(!rs.map(_._2).contains(q)) // never returns the query itself
+    }
+  }
+
   test("ngramJaccard doc-frequency cap keeps high recall at a fraction of the pairs") {
     val exact = Dedup.ngramJaccard(spark, sf)
       .select(col("doc_a"), col("doc_b")).collect()
