@@ -14,6 +14,7 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_int8_topk",
     "sim_ivf_ann",
     "sim_ivf_nprobe2",
+    "sim_pq_ann",           // codebook-scoring cross (broadcast train set)
     "text_mix_weights")     // 5-row agg × 1-row total broadcast
 
   test("every query plans hash aggregation, no cartesians, whitelisted BNLJ only") {
