@@ -99,6 +99,7 @@ object SparkEntry {
     "text_repetition"    -> (TextOps.repetition _),
     "mm_audio_windows"   -> ((s, d) => Multimodal.audioWindows(s, d).toDF()),
     "sim_pq_ann"         -> ((s, d) => SimOps.pqAnn(s, d)),
+    "q_window_dist"      -> (Core.qWindowDist _),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -474,6 +475,13 @@ object SparkEntry {
         | EXCEPT ALL
         | SELECT user_id FROM events WHERE event_type='signup') t
         |GROUP BY user_id""".stripMargin,
+    "q_window_dist" ->
+      """SELECT o_orderpriority, o_orderkey, round(o_totalprice,4) AS price,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     "q_ntile" ->
       """SELECT o_orderpriority, decile, count(*) AS n_orders,
         | round(min(o_totalprice),4) AS lo, round(max(o_totalprice),4) AS hi

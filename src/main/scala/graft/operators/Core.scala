@@ -225,6 +225,22 @@ object Core {
            round(max($"o_totalprice"), 4).as("hi"))
   }
 
+  /** Distribution window functions: percent_rank and cume_dist per
+    * priority class — relative-position statistics whose values are
+    * exact integer ratios ((rank-1)/(n-1), peers/n), so they reproduce
+    * bit-for-bit across engines with no rounding emulation. */
+  def qWindowDist(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    Tables.orders(spark, sfDir)
+      .filter($"o_custkey" < 50) // keep the checked output compact
+      .select($"o_orderpriority", $"o_orderkey",
+              round($"o_totalprice", 4).as("price"),
+              percent_rank().over(w).as("pct_rank"),
+              cume_dist().over(w).as("cume"))
+  }
+
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
     * match each other instead of dropping — the semantics dimension
     * tables with unknown members need. */
