@@ -133,7 +133,8 @@ object StreamingIngest {
     * purchase state only for the interval horizon + watermark, the shape
     * that holds at any throughput. The range predicate is the streaming
     * twin of the batch `q_range_join`. */
-  def errorPurchaseJoin(errors: DataFrame, purchases: DataFrame): DataFrame = {
+  def errorPurchaseJoin(errors: DataFrame, purchases: DataFrame,
+                        joinType: String = "inner"): DataFrame = {
     val e = errors
       .withWatermark("ts", "10 minutes")
       .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
@@ -142,10 +143,14 @@ object StreamingIngest {
       .withWatermark("ts", "40 minutes")
       .select(col("event_id").as("buy_id"), col("user_id").as("buy_user"),
               col("ts").as("buy_ts"), col("value").as("buy_value"))
+    // joinType "leftOuter": errors with no purchase in the window emit
+    // null-padded ONCE the watermark proves no match can still arrive —
+    // the delayed-negative-result semantics only streaming state gives
     e.join(p,
       col("err_user") === col("buy_user") &&
         col("buy_ts") >= col("err_ts") - expr("INTERVAL 30 MINUTES") &&
-        col("buy_ts") < col("err_ts"))
+        col("buy_ts") < col("err_ts"),
+      joinType)
       .select(col("err_id"), col("err_user"), col("buy_id"),
               col("buy_ts"), col("buy_value"))
   }

@@ -166,6 +166,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batchExpected && streamed > 0)
   }
 
+  test("stream-stream LEFT OUTER interval join emits null-padded non-matches") {
+    val base = Files.createTempDirectory("graft-stream-loj").toString
+    val batch = Tables.events(spark, sf)
+    batch.filter(col("event_type") === "error").write.parquet(s"$base/err")
+    batch.filter(col("event_type") === "purchase").write.parquet(s"$base/buy")
+
+    val joined = StreamingIngest.errorPurchaseJoin(
+      StreamingIngest.readEvents(spark, s"$base/err", batch.schema),
+      StreamingIngest.readEvents(spark, s"$base/buy", batch.schema),
+      joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("ss_loj")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val matched = spark.sql(
+      "select count(*) from ss_loj where buy_id is not null").collect()(0).getLong(0)
+    val unmatched = spark.sql(
+      "select count(distinct err_id) from ss_loj where buy_id is null").collect()(0).getLong(0)
+    // matched rows equal the inner batch join; null-padded rows appear
+    // only for errors with no in-window purchase
+    val batchInner = batch.filter(col("event_type") === "error")
+      .select(col("event_id").as("eid"), col("user_id").as("u"), col("ts").as("err_ts"))
+      .join(batch.filter(col("event_type") === "purchase"),
+        col("user_id") === col("u") &&
+          col("ts") >= col("err_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("ts") < col("err_ts"))
+    assert(matched === batchInner.count())
+    val matchedErrs = batchInner.select("eid").distinct().count()
+    val totalErrs = batch.filter(col("event_type") === "error").count()
+    // every unmatched error the watermark closed out is null-padded; the
+    // stream tail past the final watermark may remain unemitted
+    assert(unmatched > 0 && unmatched <= totalErrs - matchedErrs)
+  }
+
   test("watermarked windowed aggregate matches the batch tumbling window") {
     val base = Files.createTempDirectory("graft-stream-agg").toString
     val batch = Tables.events(spark, sf)
