@@ -43,6 +43,34 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("winnow fingerprints equal a reference implementation on random ASCII text") {
+    import spark.implicits._
+    val textGen = Gen.nonEmptyListOf(
+      Gen.frequency(8 -> Gen.alphaLowerChar, 2 -> Gen.const(' ')))
+      .map(_.mkString)
+    check("winnow", Prop.forAll(Gen.nonEmptyListOf(textGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "src") }
+        .toDF("doc_id", "text", "lang", "source")
+      val tmp = java.nio.file.Files.createTempDirectory("winnow-prop")
+      docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = graft.llm.TextOps.winnowFingerprints(spark, tmp.toString)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      // reference: direct Rabin-Karp + window-min in plain Scala
+      val (b, m, k, w) = (1000003L, 2147483647L, 8, 4)
+      val expected = texts.zipWithIndex.map { case (text, i) =>
+        val s = text.trim.toLowerCase
+        val n = math.max(0, s.length - k + 1)
+        val hs = (0 until n).map { p =>
+          s.substring(p, p + k).foldLeft(0L)((h, c) => (h * b + c) % m)
+        }
+        val fps = (0 to hs.length - w).map(p => hs.slice(p, p + w).min).distinct
+        i.toLong -> ((fps.size.toLong,
+          if (fps.isEmpty) 0L else fps.min, if (fps.isEmpty) 0L else fps.max))
+      }.toMap
+      got == expected
+    })
+  }
+
   test("connectedComponents equals sequential union-find on arbitrary graphs") {
     import spark.implicits._
     val edgesGen = Gen.nonEmptyListOf(for {
