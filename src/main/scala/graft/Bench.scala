@@ -79,11 +79,44 @@ object Bench {
 
     val all = results ++ (if (sinkTime >= 0) Seq("sink_ingest_hourly" -> sinkTime) else Nil)
     val allFailed = failed ++ (if (sinkTime < 0) Seq("sink_ingest_hourly") else Nil)
-    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def r3(v: Double): String = f"$v%.3f"
+    def jsonMap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val failedJson = allFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+
+    // The driver keeps only the LAST ~2000 chars of stdout and parses the
+    // JSON line out of that tail — the full 85-query map doesn't fit, so
+    // the FINAL line must be compact: total + a representative headline
+    // subset + per-group subtotals (nothing hidden: group sums cover every
+    // query). The complete per-query map goes to an earlier line (humans /
+    // full logs) and to BENCH_full.json next to the working dir.
+    val headline = Seq(
+      "q1_pricing_summary", "q3_join_agg", "q5_multi_join", "q6_filter_agg",
+      "q_topk_per_group", "q_window_rank", "q_salted_join", "q_bloom_join",
+      "q_asof_join", "q_range_join",
+      "tel_sessionize", "tel_gap_fill", "tel_heavy_hitters",
+      "tel_exp_histogram", "tel_moving_avg",
+      "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
+      "sim_topk_bruteforce", "sim_ivf_ann",
+      "text_contamination", "text_winnow", "text_gopher_quality",
+      "mm_audio_windows", "sink_ingest_hourly")
+    val allMap = all.toMap
+    val head = headline.flatMap(k => allMap.get(k).map(k -> _))
+    def group(k: String): String = k match {
+      case _ if k.startsWith("q") => "core"
+      case _ if k.startsWith("tel") => "tel"
+      case _ if k.startsWith("sink") => "sink"
+      case _ => "llm"
+    }
+    val groups = all.groupBy { case (k, _) => group(k) }.toSeq.sortBy(_._1)
+      .map { case (g, xs) => g -> xs.map(_._2).sum }
+    val fullLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jsonMap(all)},"failed":$failedJson,"sf":"$sfDir"}"""
+    println(fullLine)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+      fullLine.getBytes("UTF-8")) catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jsonMap(head)},"groups":${jsonMap(groups)},"n_queries":${all.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -824,7 +824,7 @@ object SparkEntry {
     "tel_exp_hist_pctl" ->
       """WITH b AS (
         | SELECT event_type,
-        |  CAST(length(bin(CAST(round(value*100) AS BIGINT)))-1 AS BIGINT) AS idx,
+        |  CAST(length(bin(greatest(CAST(round(value*100) AS BIGINT), 1)))-1 AS BIGINT) AS idx,
         |  count(*) AS c
         | FROM events WHERE value > 0 GROUP BY 1,2),
         |w AS (
@@ -852,7 +852,7 @@ object SparkEntry {
         | pow(2, bucket_idx+1)/100 AS bucket_hi
         |FROM (
         | SELECT event_type,
-        |  CAST(length(bin(CAST(round(value*100) AS BIGINT)))-1 AS BIGINT) AS bucket_idx,
+        |  CAST(length(bin(greatest(CAST(round(value*100) AS BIGINT), 1)))-1 AS BIGINT) AS bucket_idx,
         |  count(*) AS bucket_count,
         |  round(min(value),4) AS min_value, round(max(value),4) AS max_value
         | FROM events WHERE value > 0 GROUP BY 1,2) t""".stripMargin,

@@ -43,10 +43,16 @@ object OtelAnalytics {
         count(lit(1)).as("n_spans"),
         min(col("start_time_unix_nano")).as("trace_start"),
         max(col("end_time_unix_nano")).as("trace_end"),
+        // tie-break: prefer root-ness, then earliest start, then span_id —
+        // multi-root traces (or orphaned subtrees with no parentless span)
+        // get a DETERMINISTIC root_span instead of an arbitrary one.
         element_at(call_function("top_k_structs",
           struct(when(col("parent_span_id").isNull, 1L).otherwise(0L).as("is_root"),
+                 col("start_time_unix_nano").as("tb_start"),
+                 col("span_id").as("tb_span_id"),
                  col("span_name")),
-          lit(1), array(lit(false)), array(lit(false))), 1)
+          lit(1), array(lit(false), lit(true), lit(true)),
+          array(lit(false), lit(false), lit(false))), 1)
           .getField("span_name").as("root_span"),
         max(when(col("status_code") === "ERROR", 1L).otherwise(0L))
           .as("has_error"))

@@ -89,55 +89,64 @@ object Recovery {
     spark.read.parquet(manifestPath)
   }
 
+  /** One file's footer → (min, max, rows) for `column`. Runs on
+    * executors (see [[fileStats]]); pure function of (path, conf). */
+  private def harvestFooter(pathStr: String, conf: org.apache.hadoop.conf.Configuration,
+                            column: String): (String, Option[Long], Option[Long], Long) = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(pathStr), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      var mn: Option[Long] = None
+      var mx: Option[Long] = None
+      var rows = 0L
+      var ok = true
+      reader.getFooter.getBlocks.asScala.foreach { block =>
+        rows += block.getRowCount
+        block.getColumns.asScala
+          .find(_.getPath.toDotString == column) match {
+          case Some(cc) if cc.getStatistics != null &&
+                           !cc.getStatistics.isEmpty =>
+            (cc.getStatistics.genericGetMin, cc.getStatistics.genericGetMax) match {
+              case (lo: java.lang.Long, hi: java.lang.Long) =>
+                mn = Some(mn.fold(lo.longValue)(math.min(_, lo.longValue)))
+                mx = Some(mx.fold(hi.longValue)(math.max(_, hi.longValue)))
+              case _ => ok = false
+            }
+          case _ => ok = false
+        }
+      }
+      (pathStr, if (ok) mn else None, if (ok) mx else None, rows)
+    } finally reader.close()
+  }
+
   /** File-level column statistics (zone map) harvested from parquet
     * FOOTERS — the per-file min/max metrics an Iceberg catalog keeps,
     * reconstructed from storage alone. Metadata-only: footers are read,
-    * row data never is. Returns one row per file with the column's
-    * min/max (as raw int64 for timestamp/long columns) and row count;
-    * files without stats surface as nulls (never pruned). */
+    * row data never is. The harvest runs as a DISTRIBUTED Spark job over
+    * the file list (a 100 TB table has ~10^5-10^6 footers; a sequential
+    * driver sweep would dominate every query — see also
+    * [[VersionedManifest.commit]] which persists these stats so readers
+    * prune from cached metadata without touching footers at all).
+    * Returns one row per file with the column's min/max (as raw int64
+    * for timestamp/long columns) and row count; files without stats
+    * surface as nulls (never pruned). */
   def fileStats(spark: SparkSession, tablePath: String,
                 column: String): DataFrame = {
     import spark.implicits._
-    val conf = spark.sparkContext.hadoopConfiguration
-    val path = new Path(tablePath)
-    val fs = path.getFileSystem(conf)
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Option[Long], Option[Long], Long)]
-    if (fs.exists(path)) {
-      val it = fs.listFiles(path, true)
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) {
-          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
-          try {
-            import scala.jdk.CollectionConverters._
-            var mn: Option[Long] = None
-            var mx: Option[Long] = None
-            var rows = 0L
-            var ok = true
-            reader.getFooter.getBlocks.asScala.foreach { block =>
-              rows += block.getRowCount
-              block.getColumns.asScala
-                .find(_.getPath.toDotString == column) match {
-                case Some(cc) if cc.getStatistics != null &&
-                                 !cc.getStatistics.isEmpty =>
-                  (cc.getStatistics.genericGetMin, cc.getStatistics.genericGetMax) match {
-                    case (lo: java.lang.Long, hi: java.lang.Long) =>
-                      mn = Some(mn.fold(lo.longValue)(math.min(_, lo.longValue)))
-                      mx = Some(mx.fold(hi.longValue)(math.max(_, hi.longValue)))
-                    case _ => ok = false
-                  }
-                case _ => ok = false
-              }
-            }
-            out += ((f.getPath.toString,
-                     if (ok) mn else None, if (ok) mx else None, rows))
-          } finally reader.close()
-        }
+    val paths = listDataFiles(spark, tablePath)
+      .select("file_path").as[String].collect().toIndexedSeq
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val slices = math.max(1, math.min(paths.length,
+      spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(paths, slices)
+      .mapPartitions { it =>
+        val conf = confB.value.value
+        it.map(p => harvestFooter(p, conf, column))
       }
-    }
-    out.toSeq.toDF("file_path", "min_val", "max_val", "n_rows")
+      .toDF("file_path", "min_val", "max_val", "n_rows")
   }
 
   /** Time-sliced read with ZONE-MAP SKIPPING: prune files whose footer

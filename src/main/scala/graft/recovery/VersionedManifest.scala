@@ -1,6 +1,6 @@
 package graft.recovery
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,10 +20,25 @@ object VersionedManifest {
 
   private def versionPath(dir: String) = new Path(s"$dir/VERSION")
 
+  /** Highest manifest-v{N} present in the log directory (0 if none) —
+    * the self-healing fallback when the VERSION pointer is missing or
+    * unreadable: manifests are immutable and numbered, so the max is
+    * always a consistent snapshot to resume from. */
+  private def maxManifestVersion(spark: SparkSession, manifestDir: String): Long = {
+    val dir = new Path(manifestDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("manifest-v") =>
+        n.stripPrefix("manifest-v").takeWhile(_.isDigit) }
+      .collect { case s if s.nonEmpty => s.toLong }
+      .foldLeft(0L)(math.max)
+  }
+
   def currentVersion(spark: SparkSession, manifestDir: String): Long = {
     val p = versionPath(manifestDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
+    if (!fs.exists(p)) maxManifestVersion(spark, manifestDir)
     else {
       val in = fs.open(p)
       try new String(in.readAllBytes(), "UTF-8").trim.toLong
@@ -33,10 +48,21 @@ object VersionedManifest {
 
   /** Commit the CURRENT storage state as the next snapshot: lists the
     * table's data files, writes manifest-v{N}, swaps the pointer.
-    * Returns the new version. */
-  def commit(spark: SparkSession, tablePath: String, manifestDir: String): Long = {
+    * Returns the new version.
+    *
+    * With `statsColumn` set, the manifest also carries per-file zone-map
+    * stats (min/max/n_rows for that column, harvested once, distributed
+    * — [[Recovery.fileStats]]); [[readSliceAt]] then prunes time slices
+    * from this cached metadata alone, never re-reading footers — the
+    * Iceberg manifest-metrics pattern. */
+  def commit(spark: SparkSession, tablePath: String, manifestDir: String,
+             statsColumn: Option[String] = None): Long = {
     val next = currentVersion(spark, manifestDir) + 1
-    Recovery.listDataFiles(spark, tablePath)
+    val files = Recovery.listDataFiles(spark, tablePath)
+    val entries = statsColumn.fold(files) { c =>
+      files.join(Recovery.fileStats(spark, tablePath, c), Seq("file_path"), "left")
+    }
+    entries
       .withColumn("snapshot_id", lit(next))
       .coalesce(1)
       .write.mode(SaveMode.ErrorIfExists)
@@ -46,8 +72,14 @@ object VersionedManifest {
     val tmp = new Path(s"$manifestDir/VERSION.tmp")
     val out = fs.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(versionPath(manifestDir))) fs.delete(versionPath(manifestDir), false)
-    fs.rename(tmp, versionPath(manifestDir))
+    // Single-step overwriting rename (FileContext honors
+    // Options.Rename.OVERWRITE and throws on failure) — never a
+    // delete-then-rename window where no pointer exists. If the
+    // filesystem can't do it (rare), currentVersion's
+    // max(manifest-vN) fallback still recovers the log.
+    val fc = FileContext.getFileContext(tmp.toUri, conf)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(versionPath(manifestDir)),
+              Options.Rename.OVERWRITE)
     next
   }
 
@@ -65,5 +97,30 @@ object VersionedManifest {
       .select("file_path").collect().map(_.getString(0))
     if (files.isEmpty) spark.read.parquet(tablePath).limit(0)
     else spark.read.option("basePath", tablePath).parquet(files.toIndexedSeq: _*)
+  }
+
+  /** Time-sliced snapshot read pruned from MANIFEST-CACHED zone maps —
+    * no footer is opened: the min/max stats persisted by a
+    * stats-carrying [[commit]] decide which files can overlap
+    * [startUs, endUs). A residual filter keeps exactness; entries
+    * without stats are read (never silently skipped). This is the 100 TB
+    * read path: pruning cost is one scan of a tiny manifest, constant in
+    * data size. */
+  def readSliceAt(spark: SparkSession, tablePath: String, manifestDir: String,
+                  tsColumn: String, startUs: Long, endUs: Long,
+                  version: Option[Long] = None): DataFrame = {
+    val m = filesAt(spark, manifestDir, version)
+    require(m.columns.contains("min_val"),
+      s"manifest at $manifestDir has no zone-map stats; commit with statsColumn")
+    val keep = m
+      .filter(col("min_val").isNull ||
+              (col("max_val") >= startUs && col("min_val") < endUs))
+      .select("file_path").collect().map(_.getString(0))
+    val base = if (keep.isEmpty)
+      spark.read.parquet(tablePath).limit(0)
+    else
+      spark.read.option("basePath", tablePath).parquet(keep.toIndexedSeq: _*)
+    base.filter(unix_micros(col(tsColumn)) >= startUs &&
+                unix_micros(col(tsColumn)) < endUs)
   }
 }

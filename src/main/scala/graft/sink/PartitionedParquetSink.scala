@@ -2,7 +2,7 @@ package graft.sink
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.MetadataBuilder
 import org.apache.spark.sql.Row
 
@@ -151,11 +151,6 @@ object PartitionedParquetSink {
   def writeStream(df: DataFrame, cfg: SinkConfig,
                   checkpoint: String): DataStreamWriter[Row] = {
     val cols = partitionColumns(cfg.granularity)
-    // int64-micros timestamps (Iceberg spec; footer stats) — the conf is
-    // read at micro-batch execution, so it must stay set while the
-    // stream runs; no restore here.
-    df.sparkSession.conf.set(
-      "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // (no sortWithinPartitions here: sorting is unsupported on streaming
     // DataFrames — the dynamic partition writer's own sort still groups
     // rows by partition directory)
@@ -169,5 +164,49 @@ object PartitionedParquetSink {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
+  }
+
+  /** Start the streaming write with int64-micros timestamps (Iceberg
+    * spec; footer stats) scoped to the QUERY LIFETIME: FileStreamSink
+    * reads `spark.sql.parquet.outputTimestampType` from the session it
+    * captured at creation on EVERY addBatch (a cloned-session or
+    * writer-option scoping is ignored — ParquetOptions only knows
+    * compression/mergeSchema), so the conf must stay set while the
+    * stream runs. A self-removing StreamingQueryListener restores the
+    * caller's previous value when THIS query terminates — merely
+    * building the writer no longer mutates anything, and the mutation
+    * that start() makes is undone at termination (round-3 ADVICE).
+    * Concurrent graft streams on one session both want MICROS, so
+    * overlapping restores are benign. */
+  def startStream(df: DataFrame, cfg: SinkConfig,
+                  checkpoint: String): StreamingQuery = {
+    val spark = df.sparkSession
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    val query = try writeStream(df, cfg, checkpoint).start()
+    catch { case e: Throwable =>
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      throw e
+    }
+    val listener: org.apache.spark.sql.streaming.StreamingQueryListener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            prev match {
+              case Some(v) => spark.conf.set(key, v)
+              case None    => spark.conf.unset(key)
+            }
+            spark.streams.removeListener(this)
+          }
+      }
+    spark.streams.addListener(listener)
+    query
   }
 }

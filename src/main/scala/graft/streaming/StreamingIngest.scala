@@ -25,7 +25,7 @@ object StreamingIngest {
 
   /** Continuous ingest into the time-partitioned table layout. */
   def ingest(events: DataFrame, cfg: SinkConfig, checkpoint: String): StreamingQuery =
-    PartitionedParquetSink.writeStream(events, cfg, checkpoint).start()
+    PartitionedParquetSink.startStream(events, cfg, checkpoint)
 
   /** The reference exporter's full loop — write files, then register
     * them with the catalog (exporter.go: write parquet → Iceberg REST

@@ -315,7 +315,10 @@ object Telemetry {
     import spark.implicits._
     Tables.events(spark, sfDir)
       .filter($"value" > 0)
-      .withColumn("v100", round($"value" * 100, 0).cast("long"))
+      // clamp: values in (0, 0.005) would scale to v100=0, landing in
+      // bucket 0 whose declared bounds are [0.01, 0.02) — clamping to 1
+      // keeps every row inside its bucket's [lo, hi) range.
+      .withColumn("v100", greatest(round($"value" * 100, 0).cast("long"), lit(1L)))
       .withColumn("bucket_idx", (length(bin($"v100")) - 1).cast("long"))
       .groupBy($"event_type", $"bucket_idx")
       .agg(count(lit(1)).as("bucket_count"),
@@ -350,7 +353,8 @@ object Telemetry {
   def expHistPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val b = Tables.events(spark, sfDir).filter($"value" > 0)
-      .withColumn("v100", round($"value" * 100, 0).cast("long"))
+      // same sub-grid clamp as [[expHistogram]] (see comment there)
+      .withColumn("v100", greatest(round($"value" * 100, 0).cast("long"), lit(1L)))
       .withColumn("idx", (length(bin($"v100")) - 1).cast("long"))
       .groupBy($"event_type", $"idx").agg(count(lit(1)).as("c"))
     val whole = Window.partitionBy($"event_type")

@@ -223,6 +223,50 @@ class SinkRecoverySpec extends SparkSpec {
            VersionedManifest.filesAt(spark, manDir, Some(2L)).count())
   }
 
+  test("manifest self-heals a lost VERSION pointer and keeps committing") {
+    import graft.recovery.VersionedManifest
+    val base = tmp()
+    val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "monthly")
+    val tablePath = s"$base/events"
+    val manDir = s"$base/_snapshots"
+    PartitionedParquetSink.writeBatch(eventsDf.limit(100), cfg)
+    assert(VersionedManifest.commit(spark, tablePath, manDir) === 1L)
+    assert(VersionedManifest.commit(spark, tablePath, manDir) === 2L)
+
+    // simulate a crash that lost the pointer between delete and rename:
+    // currentVersion must fall back to max(manifest-vN), not 0 — and the
+    // next commit must succeed (v3), not collide with manifest-v1 forever
+    new java.io.File(s"$manDir/VERSION").delete()
+    assert(VersionedManifest.currentVersion(spark, manDir) === 2L)
+    assert(VersionedManifest.commit(spark, tablePath, manDir) === 3L)
+    assert(VersionedManifest.currentVersion(spark, manDir) === 3L)
+    assert(VersionedManifest.readAt(spark, tablePath, manDir).count() === 100L)
+  }
+
+  test("stats-carrying manifest prunes time slices from cached metadata") {
+    import graft.recovery.VersionedManifest
+    val base = tmp()
+    val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "daily")
+    val tablePath = s"$base/events"
+    val manDir = s"$base/_snapshots"
+    PartitionedParquetSink.writeBatch(eventsDf, cfg)
+    VersionedManifest.commit(spark, tablePath, manDir, statsColumn = Some("ts"))
+
+    val man = VersionedManifest.filesAt(spark, manDir)
+    val nFiles = man.count()
+    assert(man.columns.toSet.contains("min_val"))
+    assert(man.filter(col("min_val").isNull).count() === 0, "stats missing")
+
+    val startUs = java.time.Instant.parse("2024-01-03T00:00:00Z").toEpochMilli * 1000
+    val endUs   = java.time.Instant.parse("2024-01-06T00:00:00Z").toEpochMilli * 1000
+    val slice = VersionedManifest.readSliceAt(spark, tablePath, manDir, "ts", startUs, endUs)
+    val expected = spark.read.parquet(tablePath)
+      .filter(unix_micros(col("ts")) >= startUs && unix_micros(col("ts")) < endUs)
+    assert(slice.count() === expected.count() && slice.count() > 0)
+    assert(slice.inputFiles.length < nFiles,
+      s"no metadata pruning: ${slice.inputFiles.length} of $nFiles files read")
+  }
+
   test("scanner finds orphans; reconcile registers them idempotently") {
     val base = tmp()
     val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "monthly")

@@ -38,6 +38,35 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/events").count() === batch.count() + 500)
   }
 
+  test("stream sink writes int64-micros timestamps without mutating the session") {
+    val base = Files.createTempDirectory("graft-stream-ts").toString
+    val batch = Tables.events(spark, sf).limit(200)
+    val srcDir = s"$base/src"
+    batch.write.parquet(srcDir)
+
+    val key = "spark.sql.parquet.outputTimestampType"
+    val before = spark.conf.getOption(key)
+    val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "monthly")
+    StreamingIngest.ingest(
+      StreamingIngest.readEvents(spark, srcDir, batch.schema),
+      cfg, s"$base/chk").awaitTermination()
+
+    // the timestamp conf is scoped to the query lifetime: a listener
+    // restores it at termination (round-3 ADVICE: building a stream
+    // writer permanently changed every later batch write). Listener
+    // events are async — poll briefly.
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (spark.conf.getOption(key) != before && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(spark.conf.getOption(key) === before)
+    // and the files really are int64 micros: footer min/max stats decode
+    // as Long (INT96 would carry Binary stats and surface as null here)
+    val stats = graft.recovery.Recovery.fileStats(spark, s"$base/events", "ts")
+    assert(stats.count() > 0)
+    assert(stats.filter(col("min_val").isNull).count() === 0,
+      "streaming parquet lost int64-micros timestamp encoding")
+  }
+
   test("foreachBatch ingest registers every written file in the manifest") {
     val base = Files.createTempDirectory("graft-stream-man").toString
     val batch = Tables.events(spark, sf)
