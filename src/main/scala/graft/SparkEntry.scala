@@ -100,6 +100,13 @@ object SparkEntry {
     "mm_audio_windows"   -> ((s, d) => Multimodal.audioWindows(s, d).toDF()),
     "sim_pq_ann"         -> ((s, d) => SimOps.pqAnn(s, d)),
     "q_window_dist"      -> (Core.qWindowDist _),
+    "q_median"           -> (Core.qMedian _),
+    "q_listagg"          -> (Core.qListagg _),
+    "tel_hopping_window" -> (Telemetry.hoppingWindow _),
+    "tel_ewma"           -> ((s, d) => Telemetry.ewma(s, d)),
+    "text_chunking"      -> ((s, d) => TextOps.chunking(s, d)),
+    "text_doc_freq"      -> ((s, d) => TextOps.docFreq(s, d)),
+    "sim_range_search"   -> ((s, d) => SimOps.rangeSearch(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1077,5 +1084,57 @@ object SparkEntry {
         |   64 + ascii(substr(text,2,1)) % 192 AS h,
         |   1 + octet_length(encode(text)) % 4 AS c
         |  FROM documents) d) s""".stripMargin,
+    "q_median" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | quantile_cont(l_quantity, 0.25) AS q1_qty,
+        | quantile_cont(l_quantity, 0.5) AS med_qty,
+        | quantile_cont(l_quantity, 0.75) AS q3_qty,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS med_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_listagg" ->
+      """SELECT r_name, count(*) AS n_nations,
+        | string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+    "tel_hopping_window" ->
+      """SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        | event_type, count(*) AS n_events, round(sum(value),4) AS sum_value
+        |FROM (SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |        - to_minutes(k*15) AS win_start,
+        |       event_type, value
+        |      FROM events, (SELECT unnest(range(4)) AS k) ks) h
+        |GROUP BY 1,2""".stripMargin,
+    "tel_ewma" ->
+      """SELECT event_type, count(*) AS n,
+        | list_reduce(list(value ORDER BY ts, event_id),
+        |             (acc,x) -> acc*0.75 + x*0.25) AS ewma
+        |FROM events GROUP BY 1""".stripMargin,
+    "text_chunking" ->
+      """SELECT doc_id, (start//80)::BIGINT AS chunk_idx,
+        | start::BIGINT AS chunk_start,
+        | length(substr(text, (start+1)::INT, 120))::BIGINT AS chunk_len,
+        | substr(text, (start+1)::INT, 120) AS chunk_text
+        |FROM (SELECT doc_id, text, unnest(range(0, length(text), 80)) AS start
+        |      FROM documents WHERE length(text) > 0) t""".stripMargin,
+    "text_doc_freq" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS term
+        | FROM documents),
+        |d AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT term, df, n_docs, CAST(df AS DOUBLE)/n_docs AS df_frac
+        |FROM d, n ORDER BY df DESC, term LIMIT 30""".stripMargin,
+    "sim_range_search" ->
+      """WITH n AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        | FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm
+        |      FROM n WHERE vec_id < 8)
+        |SELECT query_id, n.vec_id AS neighbor_id,
+        | round(list_dot_product(n.vec, q.qvec)/(n.norm*q.qnorm), 6) AS cosine
+        |FROM n, q WHERE n.vec_id != q.query_id
+        | AND round(list_dot_product(n.vec, q.qvec)/(n.norm*q.qnorm), 6) >= 0.3""".stripMargin,
   )
 }

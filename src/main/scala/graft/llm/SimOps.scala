@@ -243,4 +243,25 @@ object SimOps {
       .select($"query_id", $"vec_id".as("neighbor_id"), $"cos6".as("cosine"),
               $"rnk".cast("long").as("rnk"))
   }
+
+  /** Range search (radius query): ALL neighbors with cosine ≥ `tau`,
+    * not a fixed k — the dedup-oriented sibling of top-k (near-dup
+    * mining wants "everything above the threshold", however many). Same
+    * broadcast-queries shape as [[simTopkBruteforce]]: one codegen'd
+    * pass, result size data-dependent. No window/sort at all — the
+    * filter replaces ranking, so this is strictly cheaper than top-k. */
+  def rangeSearch(spark: SparkSession, sfDir: String,
+                  nQueries: Int = 8, tau: Double = 0.3): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    val q = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"))
+    emb.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos6", round(call_function("cosine_sim", $"vec", $"qvec"), 6))
+      .filter($"cos6" >= tau)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"cos6".as("cosine"))
+  }
 }

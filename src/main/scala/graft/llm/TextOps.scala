@@ -318,4 +318,43 @@ object TextOps {
         round(sqrt($"n_tokens".cast("double")) / sqrt($"total_tokens".cast("double")), 6))
       .drop("total_tokens")
   }
+
+  /** Overlapping fixed-window chunking: split each document into
+    * `size`-char chunks every `stride` chars (stride < size ⇒ adjacent
+    * chunks overlap — the training-example windowing every LLM data
+    * pipeline runs before tokenization). sequence + posexplode is a
+    * narrow per-row expansion: no shuffle, no UDF, and the expansion
+    * factor is len/stride, bounded per row. */
+  def chunking(spark: SparkSession, sfDir: String,
+               size: Int = 120, stride: Int = 80): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(length($"text") > 0)
+      .select($"doc_id", $"text",
+              posexplode(sequence(lit(0), length($"text") - 1, lit(stride)))
+                .as(Seq("chunk_idx", "start")))
+      .withColumn("chunk_text", expr(s"substring(text, start + 1, $size)"))
+      .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+              $"start".cast("long").as("chunk_start"),
+              length($"chunk_text").cast("long").as("chunk_len"),
+              $"chunk_text")
+  }
+
+  /** Document frequency of terms (the IDF building block): how many
+    * DISTINCT documents contain each term. array_distinct before the
+    * explode keeps the shuffle at one row per (doc, term) instead of one
+    * per occurrence; df_frac = df/N is a single exact double division. */
+  def docFreq(spark: SparkSession, sfDir: String, topN: Int = 30): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val terms = docs
+      .select($"doc_id",
+              explode(array_distinct(split(trim(lower($"text")), "\\s+"))).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+    terms.crossJoin(broadcast(totals))
+      .withColumn("df_frac", $"df".cast("double") / $"n_docs")
+      .orderBy($"df".desc, $"term".asc)
+      .limit(topN)
+  }
 }

@@ -445,4 +445,40 @@ object Core {
            sum(when($"version" === 2, 1L).otherwise(0L)).as("n_updated"),
            round(sum(coalesce($"p2", $"p1")), 4).as("merged_total"))
   }
+
+  /** Exact interpolated percentiles (PERCENTILE_CONT) per group — the
+    * continuous-quantile operator. Per-group exact percentiles sort
+    * within hash-aggregate buffers (fine: group sizes are bounded);
+    * GLOBAL percentiles at 100 TB go through the sketches
+    * (Telemetry.gridPercentiles / approxPercentiles) instead. Quartiles
+    * of the integer quantity column are exact binary fractions
+    * (lo + (hi-lo)*q with q ∈ {0, .25, .5, .75} on ≤2^52 integers), so
+    * they reproduce bit-for-bit cross-engine regardless of each
+    * engine's interpolation formula; the double price median is rounded
+    * like every other fp aggregate. */
+  def qMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           expr("percentile(l_quantity, 0.25)").as("q1_qty"),
+           expr("percentile(l_quantity, 0.5)").as("med_qty"),
+           expr("percentile(l_quantity, 0.75)").as("q3_qty"),
+           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("med_price"))
+  }
+
+  /** Ordered string aggregation (LISTAGG / string_agg): concatenate a
+    * deterministic ordered list per group. collect_list's arrival order
+    * is nondeterministic under parallel merge, so the total order comes
+    * from array_sort AFTER collection — the only merge-order-independent
+    * formulation (an "ordered aggregate" does not distribute). */
+  def qListagg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir),
+            $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_nations"),
+           array_join(array_sort(collect_list($"n_name")), ",").as("nations"))
+  }
 }

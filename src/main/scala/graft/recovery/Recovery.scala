@@ -179,4 +179,47 @@ object Recovery {
       .foldLeft(df)((d, c) => d.drop(c))
     PartitionedParquetSink.writeBatch(bare, to)
   }
+
+  /** Small-file compaction: rewrite a table into files near
+    * `targetFileBytes` — THE steady-state maintenance job for any
+    * streaming-ingested table (every micro-batch commit emits a file
+    * per touched partition; a day of 1-minute batches is 1440 files per
+    * partition, and at 100 TB scan cost is dominated by file-open
+    * overhead long before bytes). Rows shuffle onto their partition
+    * values (writeBatch — one writer per directory), and a
+    * rows-per-file cap derived from the table's observed bytes/row
+    * splits hot partitions near the target. Returns
+    * (filesBefore, filesAfter).
+    * Writes to `to` — compact-then-swap (or commit the new file list
+    * via [[VersionedManifest]]) keeps readers consistent; compacting
+    * in place would race them. */
+  def compact(spark: SparkSession, from: SinkConfig, to: SinkConfig,
+              targetFileBytes: Long = 128L << 20): (Long, Long) = {
+    val files = listDataFiles(spark, PartitionedParquetSink.tablePath(from))
+      .agg(count(col("file_path")), coalesce(sum(col("file_size")), lit(0L)))
+      .collect()(0)
+    val (nBefore, totalBytes) = (files.getLong(0), files.getLong(1))
+    val df = spark.read.parquet(PartitionedParquetSink.tablePath(from))
+    val bare = PartitionedParquetSink.partitionColumns(from.granularity)
+      .foldLeft(df)((d, c) => d.drop(c))
+    // writeBatch routes every row of a partition value to ONE task (the
+    // small-file guarantee), so within-partition file splitting must come
+    // from maxRecordsPerFile: rows-per-file sized from the table's
+    // observed bytes/row — a hot partition larger than the target still
+    // splits into ~target-sized files.
+    val nRows = bare.count()
+    val maxRecords =
+      if (nRows == 0 || totalBytes == 0) 0L // 0 = unlimited
+      else math.max(1L, targetFileBytes * nRows / totalBytes)
+    val key = "spark.sql.files.maxRecordsPerFile"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, maxRecords.toString)
+    try PartitionedParquetSink.writeBatch(bare, to)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    val nAfter = listDataFiles(spark, PartitionedParquetSink.tablePath(to)).count()
+    (nBefore, nAfter)
+  }
 }

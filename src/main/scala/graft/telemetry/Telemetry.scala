@@ -422,4 +422,45 @@ object Telemetry {
               date_format($"w.end", "yyyy-MM-dd HH:mm:ss").as("session_end"),
               $"n_events", $"first_event_id", $"sum_value")
   }
+
+  /** Hopping (sliding) window aggregate: 1-hour windows advancing every
+    * 15 minutes — each event lands in 4 overlapping windows. Spark's
+    * `window(ts, length, slide)` explodes the row into its windows
+    * BEFORE partial aggregation, so the shuffle carries per-window
+    * partial aggregates (4× the tumbling shuffle, not 4× the data) —
+    * the batch shape of the streaming smoothed-dashboard query. */
+  def hoppingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+           round(sum($"value"), 4).as("sum_value"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
+              $"event_type", $"n_events", $"sum_value")
+  }
+
+  /** EWMA smoothing per metric stream (alpha=0.25): s_0 = x_0,
+    * s_t = 0.75*s_{t-1} + 0.25*x_t, folded over the series in
+    * (ts, event_id) order. The recursion is inherently sequential, so it
+    * runs as collect_list → sort_array → `aggregate` fold INSIDE each
+    * group — one shuffle on the series key, each series folded by one
+    * task (the per-key state pattern; keys ≪ rows at scale). Every fold
+    * step is two IEEE multiplies and an add applied in a fixed total
+    * order, so the result reproduces bit-for-bit in any engine with an
+    * ordered fold (DuckDB list_reduce). */
+  def ewma(spark: SparkSession, sfDir: String, alpha: Double = 0.25): DataFrame = {
+    import spark.implicits._
+    val a = lit(alpha)
+    val one = lit(1.0 - alpha)
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"ts", $"event_id", $"value"))).as("rs"),
+           count(lit(1)).as("n"))
+      .select($"event_type", $"n",
+        transform($"rs", r => r.getField("value")).as("vals"))
+      .select($"event_type", $"n",
+        aggregate(slice($"vals", lit(2), size($"vals") - 1),
+                  element_at($"vals", 1),
+                  (acc, x) => acc * one + x * a).as("ewma"))
+  }
 }

@@ -15,7 +15,9 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_ivf_ann",
     "sim_ivf_nprobe2",
     "sim_pq_ann",           // codebook-scoring cross (broadcast train set)
-    "text_mix_weights")     // 5-row agg × 1-row total broadcast
+    "sim_range_search",     // corpus × broadcast query set (by design)
+    "text_mix_weights",     // 5-row agg × 1-row total broadcast
+    "text_doc_freq")        // term aggregates × 1-row doc-count broadcast
 
   test("every query plans hash aggregation, no cartesians, whitelisted BNLJ only") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{SimOps, TextOps}
+import graft.operators.Core
+import graft.telemetry.Telemetry
+
+/** Semantic properties of the round-4 operators (oracle hash-parity is
+  * the driver's job; these pin the invariants a hash can't express). */
+class Round4OpsSpec extends SparkSpec {
+
+  test("ewma equals a direct sequential fold per series") {
+    import spark.implicits._
+    val got = Telemetry.ewma(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("ewma")).toMap
+    // reference: collect the series and fold on the driver
+    val series = Tables.events(spark, sf)
+      .select($"event_type", $"ts", $"event_id", $"value")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime * 1000 + r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    series.foreach { case (et, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      val expect = ordered.tail.foldLeft(ordered.head)((acc, x) => acc * 0.75 + x * 0.25)
+      assert(got(et) === expect, s"series $et")
+    }
+  }
+
+  test("hopping windows assign every event to exactly 4 windows") {
+    import spark.implicits._
+    val n = Tables.events(spark, sf).count()
+    val windowed = Telemetry.hoppingWindow(spark, sf)
+    assert(windowed.agg(sum($"n_events")).collect()(0).getLong(0) === n * 4)
+    // window starts are 15-minute aligned and each covers 1 hour:
+    // per (event_type, window) sums re-aggregate to the tumbling total
+    val starts = windowed.select($"win_start").distinct().collect().map(_.getString(0))
+    assert(starts.forall(s => Set("00", "15", "30", "45").contains(s.substring(14, 16))))
+  }
+
+  test("chunking covers every character with stride-overlap") {
+    import spark.implicits._
+    val chunks = TextOps.chunking(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", length($"text").cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === docs.filter(_._2 > 0).keySet)
+    byDoc.foreach { case (id, cs) =>
+      val len = docs(id)
+      // starts are exactly 0, 80, ... < len, so chunk count is fixed
+      assert(cs.length === ((len - 1) / 80 + 1), s"doc $id")
+      // every chunk is non-empty and at most `size`
+      assert(cs.forall(c => { val l = c.getAs[Long]("chunk_len"); l > 0 && l <= 120 }))
+      // last chunk reaches the end of the document
+      val last = cs.maxBy(_.getAs[Long]("chunk_start"))
+      assert(last.getAs[Long]("chunk_start") + last.getAs[Long]("chunk_len") === len)
+    }
+  }
+
+  test("doc_freq counts distinct-document occurrences") {
+    import spark.implicits._
+    val rows = TextOps.docFreq(spark, sf).collect()
+    assert(rows.length === 30)
+    val n = Tables.documents(spark, sf).count()
+    rows.foreach { r =>
+      val df = r.getAs[Long]("df")
+      assert(df > 0 && df <= n)
+      assert(r.getAs[Double]("df_frac") === df.toDouble / n)
+    }
+    // spot-check one term against a direct count
+    val term = rows.head.getAs[String]("term")
+    val direct = Tables.documents(spark, sf)
+      .filter(array_contains(split(trim(lower($"text")), "\\s+"), term)).count()
+    assert(rows.head.getAs[Long]("df") === direct)
+  }
+
+  test("range search returns all-and-only neighbors above the threshold") {
+    import spark.implicits._
+    val got = SimOps.rangeSearch(spark, sf, tau = 0.25).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // brute-force reference with a much larger k: every returned pair is
+    // above tau, and every top-k pair above tau is returned
+    val ref = SimOps.simTopkBruteforce(spark, sf, k = Int.MaxValue)
+    val above = ref.filter($"cosine" >= 0.25)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === above)
+    assert(got.nonEmpty)
+  }
+
+  test("median quartiles are ordered and bracket the group range") {
+    val rows = Core.qMedian(spark, sf).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val (q1, m, q3) = (r.getAs[Double]("q1_qty"), r.getAs[Double]("med_qty"),
+                         r.getAs[Double]("q3_qty"))
+      assert(q1 <= m && m <= q3)
+      assert(q1 >= 1 && q3 <= 50) // TPC-H quantity domain
+    }
+  }
+
+  test("listagg emits sorted, complete nation lists per region") {
+    val rows = Core.qListagg(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val names = r.getAs[String]("nations").split(",")
+      assert(names.length === r.getAs[Long]("n_nations"))
+      assert(names.sameElements(names.sorted))
+    }
+    assert(rows.map(_.getAs[Long]("n_nations")).sum === 25)
+  }
+
+  test("compaction merges a fragmented table and preserves rows") {
+    import graft.sink.PartitionedParquetSink
+    import graft.sink.PartitionedParquetSink.SinkConfig
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val events = Tables.events(spark, sf)
+    val frag = SinkConfig(base, "frag", tsColumn = "ts", granularity = "monthly")
+    // fragment: 40 tiny appends, like 40 micro-batch commits
+    val key = "spark.sql.files.maxRecordsPerFile"
+    spark.conf.set(key, "25")
+    try PartitionedParquetSink.writeBatch(events, frag)
+    finally spark.conf.unset(key)
+    val nFrag = graft.recovery.Recovery
+      .listDataFiles(spark, s"$base/frag").count()
+    assert(nFrag > 20, s"fragmentation setup produced only $nFrag files")
+
+    val tidy = SinkConfig(base, "tidy", tsColumn = "ts", granularity = "monthly")
+    val (before, after) = graft.recovery.Recovery
+      .compact(spark, frag, tidy, targetFileBytes = 8L << 20)
+    assert(before === nFrag)
+    assert(after < before / 2, s"no compaction: $before -> $after")
+    val back = spark.read.parquet(s"$base/tidy")
+    assert(back.count() === events.count())
+    // layout contract unchanged: partition dirs survive
+    assert(back.columns.contains("month"))
+  }
+}
