@@ -35,9 +35,14 @@ object Bench {
     }
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
 
+    // optional comma-separated filter (dev loop): time only these queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     // best-of-2 per query: steady-state time, insulated from transient
     // machine-load spikes that would otherwise skew a single sample
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, fn) =>
       val confs = SparkEntry.queryConfs.getOrElse(name, Map.empty)
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
@@ -74,11 +79,14 @@ object Bench {
         new Directory(new java.io.File(sinkDir)).deleteRecursively()
       }
     }
-    val s1 = sinkOnce()
-    val sinkTime = if (s1 < 0) s1 else { val s2 = sinkOnce(); if (s2 < 0) s1 else math.min(s1, s2) }
+    val doSink = only.isEmpty || only("sink_ingest_hourly")
+    val sinkTime = if (!doSink) -1.0 else {
+      val s1 = sinkOnce()
+      if (s1 < 0) s1 else { val s2 = sinkOnce(); if (s2 < 0) s1 else math.min(s1, s2) }
+    }
 
     val all = results ++ (if (sinkTime >= 0) Seq("sink_ingest_hourly" -> sinkTime) else Nil)
-    val allFailed = failed ++ (if (sinkTime < 0) Seq("sink_ingest_hourly") else Nil)
+    val allFailed = failed ++ (if (doSink && sinkTime < 0) Seq("sink_ingest_hourly") else Nil)
     def r3(v: Double): String = f"$v%.3f"
     def jsonMap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")

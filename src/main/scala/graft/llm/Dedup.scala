@@ -50,8 +50,36 @@ object Dedup {
   /** doc_id, distinct shingle hashes, MinHash signature, LSH band keys. */
   case class DocSig(doc_id: Long, sh: Array[Long], bands: Array[String])
 
-  /** Tokenize → 3-gram shingles → distinct 64-bit hashes → 64-perm
-    * MinHash → 16 band hashes, in one JIT'd pass per partition. */
+  /** doc_id + distinct shingle hashes only (no MinHash). */
+  case class DocShingles(doc_id: Long, sh: Array[Long])
+
+  /** Tokenize → 3-gram shingles → distinct 60-bit hashes (shared by the
+    * full-signature and shingles-only paths). */
+  private def shinglesOf(md: java.security.MessageDigest, text: String): Array[Long] = {
+    val toks = text.trim.toLowerCase.split("\\s+")
+    val grams =
+      if (toks.length >= 3)
+        Array.tabulate(toks.length - 2)(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+      else Array(toks.mkString(" "))
+    grams.map(hash60(md, _)).distinct
+  }
+
+  /** Shingle sets WITHOUT the MinHash pass — exact-Jaccard consumers
+    * (ngram inverted index, contamination) only need `sh`, and the
+    * 64-permutation sweep is ~100× the hashing cost at scale. */
+  def shingles(spark: SparkSession, sfDir: String): Dataset[DocShingles] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (docId, text) => DocShingles(docId, shinglesOf(md, text)) }
+      }
+  }
+
+  /** Shingles → 64-perm MinHash → 16 band hashes, one JIT'd pass per
+    * partition. */
   def signatures(spark: SparkSession, sfDir: String): Dataset[DocSig] = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
@@ -60,12 +88,7 @@ object Dedup {
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (docId, text) =>
-          val toks = text.trim.toLowerCase.split("\\s+")
-          val grams =
-            if (toks.length >= 3)
-              Array.tabulate(toks.length - 2)(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
-            else Array(toks.mkString(" "))
-          val sh = grams.map(hash60(md, _)).distinct
+          val sh = shinglesOf(md, text)
           // MinHash: perm_i(h) = (a_i*(h mod P) + b_i) mod P, a_i = 2i+1
           val sig = new Array[Long](PERMS)
           var i = 0
@@ -96,7 +119,10 @@ object Dedup {
   def minhashLsh(spark: SparkSession, sfDir: String,
                  threshold: Double = 0.2): DataFrame = {
     import spark.implicits._
-    val docs = signatures(spark, sfDir).toDF()
+    // materialize once: `docs` feeds three subtrees (band explode + both
+    // shingle-verify sides) and the 64-perm MinHash pass would otherwise
+    // run three times
+    val docs = signatures(spark, sfDir).toDF().localCheckpoint()
     val bands = docs.select($"doc_id",
         posexplode($"bands").as(Seq("band_idx", "band_hash")))
     val a = bands.select($"band_idx", $"band_hash", $"doc_id".as("doc_a"))
@@ -277,15 +303,19 @@ object Dedup {
                    threshold: Double = 0.2,
                    maxDocFreq: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    val docs = signatures(spark, sfDir).toDF()
+    val docs = shingles(spark, sfDir).toDF()
       .select($"doc_id", $"sh", size($"sh").cast("long").as("n_sh"))
     val allPosting = docs.select($"doc_id", $"n_sh", explode($"sh").as("shingle"))
-    val posting = maxDocFreq.fold(allPosting) { cap =>
+    val posting0 = maxDocFreq.fold(allPosting) { cap =>
       val rare = allPosting.groupBy($"shingle")
         .agg(count(lit(1)).as("df")).filter($"df" <= cap)
         .select($"shingle")
       allPosting.join(rare, "shingle")
     }
+    // materialize the posting list once — the self-join's two sides are
+    // the same subtree, and Spark recomputes (tokenize + md5 the whole
+    // corpus twice) without an explicit cut
+    val posting = posting0.localCheckpoint()
     val a = posting.select($"shingle", $"doc_id".as("doc_a"), $"n_sh".as("na"))
     val b = posting.select($"shingle", $"doc_id".as("doc_b"), $"n_sh".as("nb"))
     a.join(b, "shingle").filter($"doc_a" < $"doc_b")

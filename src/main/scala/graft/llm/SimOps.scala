@@ -180,45 +180,98 @@ object SimOps {
     import spark.implicits._
     GraftFunctions.register(spark)
     val subDim = 16 // 64 dims / M=4 subspaces
+    val M = 4
     val emb = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
-    val train = emb.filter($"vec_id" < nTrain)
-      .select($"vec_id".as("cid"), $"vec".as("cvec"))
-    // per-subspace L2², folded left in dim order (deterministic)
-    def subDists(a: Column, b: Column): Column =
-      transform(sequence(lit(0), lit(3)), s =>
-        aggregate(sequence(s * subDim, s * subDim + (subDim - 1)), lit(0.0),
-          (acc, i) => acc +
-            (element_at(a, i + 1) - element_at(b, i + 1)) *
-            (element_at(a, i + 1) - element_at(b, i + 1))))
-    val scored = emb.filter($"vec_id" >= nTrain)
-      .crossJoin(broadcast(train))
-      .withColumn("ds", subDists($"vec", $"cvec"))
-      .select($"vec_id", $"cid", posexplode($"ds").as(Seq("s", "dist")))
-    val codes = scored.groupBy($"vec_id", $"s")
-      .agg(element_at(call_function("top_k_structs",
-        struct($"dist", $"cid"), lit(1),
-        array(lit(true), lit(true)), array(lit(false), lit(false))), 1)
-        .getField("cid").as("code"))
-    // query lookup tables: raw subvector → every codebook entry
-    val lut = scored.filter($"vec_id" < nTrain + nQueries)
-      .select($"vec_id".as("query_id"), $"s", $"cid".as("code"),
-              $"dist".as("qdist"))
-    codes.join(broadcast(lut), Seq("s", "code"))
-      .filter($"vec_id" =!= $"query_id")
-      .groupBy($"query_id", $"vec_id")
-      .agg(
-        sum(when($"s" === 0, $"qdist").otherwise(0.0)).as("d0"),
-        sum(when($"s" === 1, $"qdist").otherwise(0.0)).as("d1"),
-        sum(when($"s" === 2, $"qdist").otherwise(0.0)).as("d2"),
-        sum(when($"s" === 3, $"qdist").otherwise(0.0)).as("d3"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy($"query_id")
-          .orderBy(($"d0" + $"d1" + $"d2" + $"d3").asc, $"vec_id".asc)))
-      .filter($"rnk" <= k)
-      .select($"query_id", $"vec_id".as("neighbor_id"),
-              round($"d0" + $"d1" + $"d2" + $"d3", 6).as("adist"),
-              $"rnk".cast("long").as("rnk"))
+      .as[(Long, Array[Double])]
+    // Codebook + query vectors are bounded, metadata-sized sets (nTrain
+    // and nQueries rows) — collected and broadcast exactly like a dim
+    // table, never scaling with the corpus.
+    val cb: Array[Array[Double]] =
+      emb.where($"vec_id" < nTrain).collect().sortBy(_._1).map(_._2)
+    val qs: Array[(Long, Array[Double])] =
+      emb.where($"vec_id" >= nTrain && $"vec_id" < nTrain + nQueries)
+        .collect().sortBy(_._1)
+
+    // per-subspace L2², folded left in dim order — the SAME IEEE op
+    // sequence the DuckDB oracle folds, so scores match bit-for-bit
+    def subD(a: Array[Double], b: Array[Double], s: Int): Double = {
+      var d = 0.0
+      var i = s * subDim
+      val end = i + subDim
+      while (i < end) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    // ADC lookup tables, built once on the driver: lut(q)(s)(c)
+    val luts: Array[Array[Array[Double]]] = qs.map { case (_, qv) =>
+      Array.tabulate(M)(s => Array.tabulate(cb.length)(c => subD(qv, cb(c), s)))
+    }
+    val qIds: Array[Long] = qs.map(_._1)
+    val cbB = spark.sparkContext.broadcast(cb)
+    val lutB = spark.sparkContext.broadcast((qIds, luts))
+
+    // ONE narrow JIT'd pass over the corpus (the lshAnn bucketOf
+    // pattern — this is exactly the hot per-row loop typed mapPartitions
+    // exists for): encode each vector to M codes (argmin per subspace,
+    // strict < keeps the lowest cid on ties), ADC-score it against every
+    // query LUT in subspace order, and keep a bounded per-(partition,
+    // query) top-k. The shuffle that follows carries ≤ k rows per query
+    // per partition — no N×queries score table ever exists, no sort, no
+    // wide exchange; at 100 TB this is the only shape that works.
+    val partials = emb.where($"vec_id" >= nTrain).mapPartitions { it =>
+      val cbv = cbB.value
+      val (ids, lut) = lutB.value
+      val nq = ids.length
+      // per-query sorted top-k buffers ((adist, vec_id) asc), k ~ 5
+      val best = Array.fill(nq)(new java.util.TreeSet[(Double, Long)](
+        Ordering.Tuple2[Double, Long]))
+      it.foreach { case (id, vec) =>
+        val codes = new Array[Int](M)
+        var s = 0
+        while (s < M) {
+          var bd = Double.MaxValue
+          var bc = -1
+          var c = 0
+          while (c < cbv.length) {
+            val d = subD(vec, cbv(c), s)
+            if (d < bd) { bd = d; bc = c }
+            c += 1
+          }
+          codes(s) = bc
+          s += 1
+        }
+        var q = 0
+        while (q < nq) {
+          if (ids(q) != id) {
+            var adist = 0.0
+            var s2 = 0
+            while (s2 < M) { adist += lut(q)(s2)(codes(s2)); s2 += 1 }
+            val buf = best(q)
+            if (buf.size < k) buf.add((adist, id))
+            else if (Ordering.Tuple2[Double, Long].lt((adist, id), buf.last)) {
+              buf.pollLast(); buf.add((adist, id))
+            }
+          }
+          q += 1
+        }
+      }
+      best.iterator.zipWithIndex.flatMap { case (buf, q) =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(buf.iterator).asScala
+          .map { case (d, id) => (ids(q), id, d) }
+      }
+    }.toDF("query_id", "neighbor_id", "adist_raw")
+
+    // global merge of the tiny partials: bounded TopKStructs aggregate
+    // ((adist asc, vec_id asc) — identical tie-break to the oracle)
+    partials.groupBy($"query_id")
+      .agg(call_function("top_k_structs",
+        struct($"adist_raw", (-$"neighbor_id").as("neg_id"), $"neighbor_id"),
+        lit(k), array(lit(true), lit(false)),
+        array(lit(false), lit(false))).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", $"col.neighbor_id".as("neighbor_id"),
+              round($"col.adist_raw", 6).as("adist"),
+              ($"pos" + 1).cast("long").as("rnk"))
   }
 
   def int8Topk(spark: SparkSession, sfDir: String,

@@ -164,7 +164,7 @@ object TextOps {
   def contamination(spark: SparkSession, sfDir: String,
                     modulus: Long = 50): DataFrame = {
     import spark.implicits._
-    val sigs = Dedup.signatures(spark, sfDir).toDF().select($"doc_id", $"sh")
+    val sigs = Dedup.shingles(spark, sfDir).toDF().select($"doc_id", $"sh")
     val bench = sigs.filter($"doc_id" % modulus === 0)
       .select(explode($"sh").as("shingle")).distinct()
     val train = sigs.filter($"doc_id" % modulus =!= 0)

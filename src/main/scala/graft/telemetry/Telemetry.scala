@@ -27,16 +27,22 @@ object Telemetry {
     * granularity, as the reference's PathGenerator does (partition.go). */
   def partitionCols(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // group on ONE truncated timestamp (8-byte key), derive the four
+    // string partition values AFTER aggregation — per-row work is a
+    // single date_trunc instead of four formatter calls, and the shuffle
+    // key is a long, not four strings (at 100 TB the formatting and the
+    // wide keys both bill per input row; post-agg there are only
+    // #hours rows to format)
     Tables.events(spark, sfDir)
-      .select(
-        date_format($"ts", "yyyy").as("year"),
-        date_format($"ts", "MM").as("month"),
-        date_format($"ts", "dd").as("day"),
-        date_format($"ts", "HH").as("hour"),
-        $"value")
-      .groupBy($"year", $"month", $"day", $"hour")
+      .groupBy(date_trunc("hour", $"ts").as("h"))
       .agg(count(lit(1)).as("n_events"),
            round(sum($"value"), 4).as("sum_value"))
+      .select(
+        date_format($"h", "yyyy").as("year"),
+        date_format($"h", "MM").as("month"),
+        date_format($"h", "dd").as("day"),
+        date_format($"h", "HH").as("hour"),
+        $"n_events", $"sum_value")
   }
 
   /** JSON attribute extraction — the reference JSON-encodes all attr maps
