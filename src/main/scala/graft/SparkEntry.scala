@@ -104,6 +104,7 @@ object SparkEntry {
     "q_listagg"          -> (Core.qListagg _),
     "tel_hopping_window" -> (Telemetry.hoppingWindow _),
     "tel_ewma"           -> ((s, d) => Telemetry.ewma(s, d)),
+    "tel_anomaly"        -> ((s, d) => Telemetry.anomaly(s, d)),
     "text_chunking"      -> ((s, d) => TextOps.chunking(s, d)),
     "text_doc_freq"      -> ((s, d) => TextOps.docFreq(s, d)),
     "sim_range_search"   -> ((s, d) => SimOps.rangeSearch(s, d)),
@@ -1104,6 +1105,23 @@ object SparkEntry {
         |       event_type, value
         |      FROM events, (SELECT unnest(range(4)) AS k) ks) h
         |GROUP BY 1,2""".stripMargin,
+    "tel_anomaly" ->
+      """WITH v AS (
+        | SELECT event_id, event_type, value,
+        |  CAST(round(value*100) AS BIGINT) AS v100
+        | FROM events),
+        |a AS (
+        | SELECT event_type, count(*) AS n, sum(v100) AS s,
+        |  sum(v100*v100) AS ss
+        | FROM v GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        | (CAST(v100 AS DOUBLE) - CAST(s AS DOUBLE)/n) /
+        |  sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)
+        |       /(n-1)) AS z
+        |FROM v JOIN a USING (event_type)
+        |WHERE abs((CAST(v100 AS DOUBLE) - CAST(s AS DOUBLE)/n) /
+        |  sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)
+        |       /(n-1))) >= 3""".stripMargin,
     "tel_ewma" ->
       """SELECT event_type, count(*) AS n,
         | list_reduce(list(value ORDER BY ts, event_id),

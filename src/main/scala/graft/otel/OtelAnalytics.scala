@@ -57,4 +57,29 @@ object OtelAnalytics {
         max(when(col("status_code") === "ERROR", 1L).otherwise(0L))
           .as("has_error"))
   }
+
+  /** Service dependency graph — the servicegraph-connector shape: join
+    * each span to its parent span and aggregate cross-service
+    * (caller → callee) edges with call counts, error counts, and
+    * duration totals. One shuffle on span_id (the parent lookup), one
+    * partial-aggregated shuffle on the (caller, callee) edge key — at
+    * 100 TB the edge cardinality is #service-pairs, tiny next to the
+    * span table, so the second shuffle carries almost nothing. */
+  def serviceGraph(flatSpans: DataFrame): DataFrame = {
+    val child = flatSpans.select(
+      col("parent_span_id"), col("service_name").as("callee"),
+      col("status_code"), col("duration"))
+      .filter(col("parent_span_id").isNotNull)
+    val parent = flatSpans.select(
+      col("span_id").as("parent_span_id"),
+      col("service_name").as("caller"))
+    child.join(parent, "parent_span_id")
+      .filter(col("caller") =!= col("callee")) // in-service spans aren't edges
+      .groupBy(col("caller"), col("callee"))
+      .agg(
+        count(lit(1)).as("n_calls"),
+        sum(when(col("status_code") === "ERROR", 1L).otherwise(0L))
+          .as("n_errors"),
+        round(sum(col("duration")) / lit(1000000.0), 3).as("total_ms"))
+  }
 }

@@ -445,6 +445,33 @@ object Telemetry {
               $"event_type", $"n_events", $"sum_value")
   }
 
+  /** Z-score anomaly detection per metric stream: flag events more than
+    * 3 standard deviations from their series mean — the alerting query
+    * every telemetry store runs. Two passes, both cheap: a map-side-
+    * combined (n, Σ, Σ²) aggregate (5 rows), broadcast back over the
+    * scan. Statistics accumulate over SCALED-INTEGER values (v100 =
+    * round(value·100)) so the sums are exact longs — mean/stddev/z are
+    * then deterministic functions of exact integers, bit-identical in
+    * any engine, where float Σ/Σ² would be merge-order noise and
+    * Welford-vs-naive stddev would differ in the last bits. */
+  def anomaly(spark: SparkSession, sfDir: String,
+              zThreshold: Double = 3.0): DataFrame = {
+    import spark.implicits._
+    val v = Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type", $"value",
+              round($"value" * 100, 0).cast("long").as("v100"))
+    val stats = v.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v100").as("s"),
+           sum($"v100" * $"v100").as("ss"))
+    val mean = $"s".cast("double") / $"n"
+    val sd = sqrt(($"ss".cast("double") - $"s".cast("double") * $"s".cast("double") / $"n") /
+                  ($"n" - 1))
+    v.join(broadcast(stats), "event_type")
+      .withColumn("z", ($"v100".cast("double") - mean) / sd)
+      .filter(abs($"z") >= zThreshold)
+      .select($"event_id", $"event_type", $"value", $"z")
+  }
+
   /** EWMA smoothing per metric stream (alpha=0.25): s_0 = x_0,
     * s_t = 0.75*s_{t-1} + 0.25*x_t, folded over the series in
     * (ts, event_id) order. The recursion is inherently sequential, so it

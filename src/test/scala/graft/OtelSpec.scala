@@ -226,6 +226,50 @@ class OtelSpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"), s"SortAggregate in:\n${plan.take(1200)}")
   }
 
+  test("service graph aggregates cross-service caller->callee edges") {
+    import spark.implicits._
+    val t0 = 1700000000000000000L
+    def span(traceId: String, spanId: String, parent: String, name: String,
+             durNs: Long, statusCode: Int) =
+      TSpan(traceId, spanId, "", parent, 1, name, 2,
+        t0, t0 + durNs, Map.empty, 0, Nil, 0, Nil, 0, TStatus(statusCode, ""))
+    val svcA = TResource(Map("service.name" -> "frontend"), 0)
+    val svcB = TResource(Map("service.name" -> "backend"), 0)
+    val flat = OtelTraces.flatten(Seq(
+      TraceBatch(svcA, scope, Seq(
+        span("t1", "a", "", "GET /", 10000000L, 1),
+        span("t1", "a2", "a", "render", 1000000L, 1))), // same-service: no edge
+      TraceBatch(svcB, scope, Seq(
+        span("t1", "b", "a", "query", 20000000L, 2),    // frontend -> backend, error
+        span("t1", "b2", "a", "query2", 5000000L, 1)))  // frontend -> backend, ok
+    ).toDF())
+    val edges = OtelAnalytics.serviceGraph(flat).collect()
+    assert(edges.length === 1)
+    val e = edges(0)
+    assert(e.getAs[String]("caller") === "frontend")
+    assert(e.getAs[String]("callee") === "backend")
+    assert(e.getAs[Long]("n_calls") === 2L)
+    assert(e.getAs[Long]("n_errors") === 1L)
+    assert(e.getAs[Double]("total_ms") === 25.0)
+  }
+
+  test("multi-root traces get a deterministic earliest-start root_span") {
+    import spark.implicits._
+    val t0 = 1700000000000000000L
+    def rootAt(spanId: String, name: String, startNs: Long) =
+      TSpan("tm", spanId, "", "", 1, name, 2,
+        startNs, startNs + 1000L, Map.empty, 0, Nil, 0, Nil, 0, TStatus(1, ""))
+    // two parentless spans: the EARLIER start must win, whatever the
+    // partitioning/merge order (round-3 ADVICE: was arbitrary)
+    val flat = OtelTraces.flatten(Seq(TraceBatch(res, scope, Seq(
+      rootAt("z9", "late-root", t0 + 500L),
+      rootAt("a1", "early-root", t0)))).toDF())
+    (1 to 3).foreach { _ =>
+      val r = OtelAnalytics.traceSummary(flat.repartition(7)).collect()(0)
+      assert(r.getAs[String]("root_span") === "early-root")
+    }
+  }
+
   test("sum flatten carries monotonicity and temporality names") {
     import spark.implicits._
     val m = MMetric("requests", "req count", "1", Map.empty, 2, true)
