@@ -32,7 +32,12 @@ object PartitionedParquetSink {
       // partition layout, so the knob that matters is how many tasks
       // share the writing: a local FS saturates below core count, an
       // object store wants many more. None = spark.sql.shuffle.partitions.
-      writeTasks: Option[Int] = None)
+      writeTasks: Option[Int] = None,
+      // Two long columns to Z-ORDER cluster rows by within each write
+      // task (Morton interleave — [[ZOrder.zValue]]) instead of the
+      // default ts clustering: per-file/row-group min/max stats then
+      // prune selective predicates on EITHER column, not just time.
+      zOrderBy: Seq[String] = Nil)
 
   /** Partition column names for a granularity (partition.go ToMap). */
   def partitionColumns(granularity: String): Seq[String] = granularity match {
@@ -121,12 +126,41 @@ object PartitionedParquetSink {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "TIMESTAMP_MICROS")
     try {
-      // Sort by (partition cols, ts) within each write task: the dynamic
-      // partition writer needs the partition-col prefix anyway (so this
-      // costs nothing extra), and the ts suffix clusters rows so every
-      // parquet ROW GROUP carries a tight min/max — readers skip row
-      // groups inside a file, not just whole files.
-      val sortCols = (cols :+ cfg.tsColumn).map(col)
+      // Sort by (partition cols, cluster key) within each write task:
+      // the dynamic partition writer needs the partition-col prefix
+      // anyway (so this costs nothing extra), and the suffix clusters
+      // rows so every parquet ROW GROUP carries a tight min/max —
+      // readers skip row groups inside a file, not just whole files.
+      // Default cluster key is ts; with zOrderBy set it's the Morton
+      // code of the two columns (both get zone-map locality). Raw
+      // values interleave badly when bit widths differ (a 10-bit column
+      // drowns a 4-bit one), so each column is RANGE-SCALED to the
+      // 21-bit Morton domain from the batch's own min/max first — one
+      // tiny extra agg pass, the same range-based normalization
+      // OPTIMIZE ZORDER implementations do.
+      val clusterKey = cfg.zOrderBy match {
+        case Seq(a, b) =>
+          val r = prepared.agg(
+            min(col(a)).cast("long"), max(col(a)).cast("long"),
+            min(col(b)).cast("long"), max(col(b)).cast("long")).collect()(0)
+          def scaled(name: String, lo: Long, hi: Long): Column = {
+            // monotone map onto the 21-bit Morton domain: small ranges
+            // multiply UP (so a 4-bit column's top bit aligns with a
+            // 30-bit column's), large ranges step-divide DOWN — integer
+            // math, overflow-free, ≤ 2^21 either way
+            val domain = (1L << 21) - 1
+            val range = math.max(1L, hi - lo)
+            if (range <= domain)
+              expr(s"CAST((`$name` - $lo) * ${domain / range} AS BIGINT)")
+            else
+              expr(s"CAST((`$name` - $lo) DIV ${range / domain + 1} AS BIGINT)")
+          }
+          if (r.anyNull) col(cfg.tsColumn) // empty batch: nothing to cluster
+          else ZOrder.zValue(scaled(a, r.getLong(0), r.getLong(1)),
+                             scaled(b, r.getLong(2), r.getLong(3)))
+        case _ => col(cfg.tsColumn)
+      }
+      val sortCols = cols.map(col) :+ clusterKey
       cfg.writeTasks.fold(prepared.repartition(cols.map(col): _*)) { n =>
           prepared.repartition(n, cols.map(col): _*)
         }

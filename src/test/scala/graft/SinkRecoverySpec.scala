@@ -267,6 +267,49 @@ class SinkRecoverySpec extends SparkSpec {
       s"no metadata pruning: ${slice.inputFiles.length} of $nFiles files read")
   }
 
+  test("z-order clustering gives zone-map pruning on BOTH columns") {
+    val base = tmp()
+    // one partition dir, many files → pruning comes from clustering only
+    val key = "spark.sql.files.maxRecordsPerFile"
+    def write(table: String, zOrder: Seq[String]): Unit = {
+      val cfg = SinkConfig(base, table, tsColumn = "ts",
+                           granularity = "monthly", writeTasks = Some(1),
+                           zOrderBy = zOrder)
+      spark.conf.set(key, "64")
+      try PartitionedParquetSink.writeBatch(eventsDf, cfg)
+      finally spark.conf.unset(key)
+    }
+    write("zord", Seq("user_id", "event_id"))
+    write("tsorted", Nil)
+
+    // fraction of files a mid-range slice on `column` must read
+    def overlapFrac(table: String, column: String, lo: Long, hi: Long): Double = {
+      val stats = Recovery.fileStats(spark, s"$base/$table", column).collect()
+      assert(stats.forall(!_.isNullAt(1)), s"missing $column stats")
+      val n = stats.length
+      val hit = stats.count(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
+      hit.toDouble / n
+    }
+    val nUsers = eventsDf.agg(org.apache.spark.sql.functions.max(col("user_id")))
+      .collect()(0).getLong(0)
+    val nEvents = eventsDf.count()
+
+    // ts-sorted files: a user_id slice overlaps (nearly) every file —
+    // no pruning on a non-sort column. z-ordered files: the same slice
+    // reads a strict subset, AND an event_id slice does too (locality
+    // on both interleaved dimensions).
+    val uLo = nUsers / 2
+    val uHi = nUsers / 2 + nUsers / 10
+    val zUser = overlapFrac("zord", "user_id", uLo, uHi)
+    val tUser = overlapFrac("tsorted", "user_id", uLo, uHi)
+    assert(zUser < 0.7 && zUser < tUser - 0.2,
+      s"no user_id pruning from z-order: z=$zUser ts-sorted=$tUser")
+    val zEvent = overlapFrac("zord", "event_id", nEvents / 2, nEvents / 2 + nEvents / 10)
+    assert(zEvent < 0.7, s"no event_id pruning from z-order: $zEvent")
+    // correctness: clustering is just a sort — content is unchanged
+    assert(spark.read.parquet(s"$base/zord").count() === eventsDf.count())
+  }
+
   test("scanner finds orphans; reconcile registers them idempotently") {
     val base = tmp()
     val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "monthly")
