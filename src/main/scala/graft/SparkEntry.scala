@@ -105,6 +105,7 @@ object SparkEntry {
     "tel_hopping_window" -> (Telemetry.hoppingWindow _),
     "tel_ewma"           -> ((s, d) => Telemetry.ewma(s, d)),
     "tel_anomaly"        -> ((s, d) => Telemetry.anomaly(s, d)),
+    "tel_cms_counts"     -> ((s, d) => Telemetry.cmsCounts(s, d)),
     "text_chunking"      -> ((s, d) => TextOps.chunking(s, d)),
     "text_doc_freq"      -> ((s, d) => TextOps.docFreq(s, d)),
     "sim_range_search"   -> ((s, d) => SimOps.rangeSearch(s, d)),

@@ -445,6 +445,33 @@ object Telemetry {
               $"event_type", $"n_events", $"sum_value")
   }
 
+  /** Count-min-sketch frequency estimates — the 4th classic sketch in
+    * the engine (HLL cardinality, GK percentiles, Misra-Gries heavy
+    * hitters, CMS frequencies): one pass builds a fixed-size mergeable
+    * sketch of per-user event counts (map-side combined, bytes per
+    * executor instead of a distinct-key shuffle at 100 TB); estimates
+    * for the key set are then read from the broadcast sketch in a
+    * narrow pass. Paired with exact counts so the spec can assert the
+    * CMS guarantee: est ≥ true, est ≤ true + ε·N with prob ≥ δ.
+    * rows-only for the driver (sketch estimates have no SQL oracle). */
+  def cmsCounts(spark: SparkSession, sfDir: String,
+                eps: Double = 0.0001, confidence: Double = 0.99): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val skRow = ev.agg(
+      count_min_sketch($"user_id", lit(eps), lit(confidence), lit(42)).as("cms"),
+      count(lit(1)).as("n")).collect()(0)
+    val (bytes, n) = (skRow.getAs[Array[Byte]]("cms"), skRow.getLong(1))
+    val skB = spark.sparkContext.broadcast(bytes)
+    val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_cnt"))
+    exact.as[(Long, Long)].mapPartitions { it =>
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skB.value))
+      it.map { case (uid, cnt) => (uid, cnt, cms.estimateCount(uid)) }
+    }.toDF("user_id", "exact_cnt", "est_cnt")
+      .withColumn("n_total", lit(n))
+  }
+
   /** Z-score anomaly detection per metric stream: flag events more than
     * 3 standard deviations from their series mean — the alerting query
     * every telemetry store runs. Two passes, both cheap: a map-side-

@@ -111,6 +111,45 @@ class Round4OpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_nations")).sum === 25)
   }
 
+  test("count-min sketch estimates respect the one-sided error bound") {
+    val rows = Telemetry.cmsCounts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.head.getAs[Long]("n_total")
+    val eps = 0.0001
+    rows.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("exact_cnt"), r.getAs[Long]("est_cnt"))
+      // CMS never undercounts; overcount bounded by eps*N (all rows must
+      // hold here — with 99% confidence per query a rare excursion is
+      // possible, but at this scale the margin is enormous)
+      assert(est >= exact, s"CMS undercounted: $est < $exact")
+      assert(est <= exact + math.ceil(eps * n).toLong + 1,
+        s"CMS overcount beyond bound: $est vs $exact (n=$n)")
+    }
+    // totals reconcile: exact counts sum to the stream size
+    assert(rows.map(_.getAs[Long]("exact_cnt")).sum === n)
+  }
+
+  test("anomaly flags are exactly the >=3-sigma events") {
+    import spark.implicits._
+    val flagged = Telemetry.anomaly(spark, sf).collect()
+    // reference: compute per-series stats on the driver
+    val all = Tables.events(spark, sf)
+      .select($"event_type", $"event_id", $"value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byType = all.groupBy(_._1)
+    val expect = byType.toSeq.flatMap { case (_, rows) =>
+      val v100 = rows.map(t => math.round(t._3 * 100))
+      val nn = v100.length.toDouble
+      val s = v100.sum.toDouble
+      val ss = v100.map(v => v * v).sum.toDouble
+      val mean = s / nn
+      val sd = math.sqrt((ss - s * s / nn) / (nn - 1))
+      rows.zip(v100).collect { case ((_, id, _), v) if math.abs((v - mean) / sd) >= 3 => id }
+    }.toSet
+    assert(flagged.map(_.getAs[Long]("event_id")).toSet === expect)
+    assert(flagged.nonEmpty)
+  }
+
   test("compaction merges a fragmented table and preserves rows") {
     import graft.sink.PartitionedParquetSink
     import graft.sink.PartitionedParquetSink.SinkConfig
