@@ -109,6 +109,8 @@ object SparkEntry {
     "text_chunking"      -> ((s, d) => TextOps.chunking(s, d)),
     "text_doc_freq"      -> ((s, d) => TextOps.docFreq(s, d)),
     "sim_range_search"   -> ((s, d) => SimOps.rangeSearch(s, d)),
+    "sim_kmeans_centroids" -> ((s, d) => SimOps.kmeansCentroids(s, d)),
+    "sim_ivf_kmeans"     -> ((s, d) => SimOps.ivfKmeansAnn(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1155,5 +1157,87 @@ object SparkEntry {
         | round(list_dot_product(n.vec, q.qvec)/(n.norm*q.qnorm), 6) AS cosine
         |FROM n, q WHERE n.vec_id != q.query_id
         | AND round(list_dot_product(n.vec, q.qvec)/(n.norm*q.qnorm), 6) >= 0.3""".stripMargin,
+    "sim_kmeans_centroids" ->
+      s"""$KmeansCtes,
+        |stf AS (
+        | SELECT af.cid, r.i AS pos,
+        |  CAST(sum(vq[r.i]) AS BIGINT) AS s,
+        |  CAST(sum(vq[r.i]*vq[r.i]) AS BIGINT) AS qs,
+        |  count(*) AS n
+        | FROM af JOIN v USING (vec_id) CROSS JOIN range(1,65) r(i)
+        | GROUP BY 1, 2),
+        |agg AS (
+        | SELECT cid, any_value(n) AS cluster_n,
+        |  list_reduce(
+        |   list(CAST(qs AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n ORDER BY pos),
+        |   (a, b) -> a + b) AS cost
+        | FROM stf GROUP BY cid)
+        |SELECT agg.cid, cluster_n, cost, c2.c[1] AS c_d1, c2.c[2] AS c_d2
+        |FROM agg JOIN c2 USING (cid)""".stripMargin,
+    "sim_ivf_kmeans" ->
+      s"""$KmeansCtes,
+        |w AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        | FROM embeddings),
+        |idx AS (SELECT af.vec_id, af.cid, w.vec, w.nrm FROM af JOIN w USING (vec_id)),
+        |q AS (SELECT vec_id AS query_id, cid, vec AS qvec, nrm AS qnrm
+        |      FROM idx WHERE vec_id < 8),
+        |p AS (
+        | SELECT q.query_id, i.vec_id AS neighbor_id,
+        |  round(list_dot_product(i.vec, q.qvec)/(i.nrm*q.qnrm), 6) AS cosine
+        | FROM idx i JOIN q ON i.cid = q.cid AND i.vec_id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        | row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
+        |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
   )
+
+  /** Two unrolled Lloyd iterations over integer-quantized embeddings —
+    * the SQL mirror of [[graft.llm.SimOps.trainCentroids]] (K=4,
+    * iters=2, dim=64). Exact BIGINT cluster sums, exact IEEE mean
+    * division, fixed-dim-order list_reduce distance folds: every value
+    * matches the Spark side bit-for-bit. `af` = final assignment. */
+  private val KmeansCtes: String =
+    """WITH v AS (
+      | SELECT vec_id,
+      |  list_transform(embedding::DOUBLE[],
+      |                 x -> CAST(round(x*1000000) AS BIGINT)) AS vq
+      | FROM embeddings),
+      |c0 AS (
+      | SELECT vec_id AS cid, list_transform(vq, x -> CAST(x AS DOUBLE)) AS c
+      | FROM v WHERE vec_id < 4),
+      |a1 AS (
+      | SELECT vec_id, cid FROM (
+      |  SELECT v.vec_id, c0.cid,
+      |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |    list_reduce(list_transform(range(1,65),
+      |      i -> (vq[i]-c[i])*(vq[i]-c[i])), (a,b) -> a+b), c0.cid) AS rn
+      |  FROM v, c0) WHERE rn = 1),
+      |s1 AS (
+      | SELECT a1.cid, r.i AS pos, CAST(sum(vq[r.i]) AS BIGINT) AS s, count(*) AS n
+      | FROM a1 JOIN v USING (vec_id) CROSS JOIN range(1,65) r(i)
+      | GROUP BY 1, 2),
+      |c1 AS (
+      | SELECT cid, list(CAST(s AS DOUBLE)/n ORDER BY pos) AS c FROM s1 GROUP BY cid),
+      |a2 AS (
+      | SELECT vec_id, cid FROM (
+      |  SELECT v.vec_id, c1.cid,
+      |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |    list_reduce(list_transform(range(1,65),
+      |      i -> (vq[i]-c[i])*(vq[i]-c[i])), (a,b) -> a+b), c1.cid) AS rn
+      |  FROM v, c1) WHERE rn = 1),
+      |s2 AS (
+      | SELECT a2.cid, r.i AS pos, CAST(sum(vq[r.i]) AS BIGINT) AS s, count(*) AS n
+      | FROM a2 JOIN v USING (vec_id) CROSS JOIN range(1,65) r(i)
+      | GROUP BY 1, 2),
+      |c2 AS (
+      | SELECT cid, list(CAST(s AS DOUBLE)/n ORDER BY pos) AS c FROM s2 GROUP BY cid),
+      |af AS (
+      | SELECT vec_id, cid FROM (
+      |  SELECT v.vec_id, c2.cid,
+      |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |    list_reduce(list_transform(range(1,65),
+      |      i -> (vq[i]-c[i])*(vq[i]-c[i])), (a,b) -> a+b), c2.cid) AS rn
+      |  FROM v, c2) WHERE rn = 1)""".stripMargin
 }

@@ -297,6 +297,172 @@ object SimOps {
               $"rnk".cast("long").as("rnk"))
   }
 
+  /** Integer-quantized vectors for k-means: vq_d = round(x_d·10^6) as
+    * BIGINT. All cluster sums over vq are exact integers (aggregation-
+    * order-free), which is what makes Lloyd training reproducible
+    * bit-for-bit in a SQL oracle — float centroid sums would differ in
+    * the last bits between engines purely from merge order. */
+  private def quantized(spark: SparkSession, sfDir: String) = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        transform($"embedding".cast("array<double>"),
+          x => round(x * 1000000, 0).cast("long")).as("vq"))
+      .as[(Long, Array[Long])]
+  }
+
+  /** Fixed-dim-order L2² fold — the same IEEE op sequence as the
+    * oracle's ordered list_reduce, so distances are bit-identical. */
+  private def l2q(vq: Array[Long], c: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < c.length) { val t = vq(i) - c(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** Argmin centroid index; strict < keeps the lowest cid on ties
+    * (cents is sorted by cid), matching row_number(dist, cid) = 1. */
+  private def nearestIdx(vq: Array[Long], cents: Array[(Long, Array[Double])]): Int = {
+    var bi = 0
+    var bd = Double.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      val d = l2q(vq, cents(i)._2)
+      if (d < bd) { bd = d; bi = i }
+      i += 1
+    }
+    bi
+  }
+
+  /** Lloyd's k-means over the quantized corpus — the training loop that
+    * turns [[ivfAnn]]'s stand-in codebook into real centroids. Each
+    * iteration is ONE narrow pass: executors fold their partition into
+    * K×(count, sumVec) integer partials (map-side combine in code — the
+    * shuffle carries K rows per partition, bytes at any corpus size),
+    * the driver merges the exact integer partials and divides. Centroid
+    * coordinates c_d = S_d/n are single correctly-rounded IEEE
+    * divisions of exact integers, so the whole trajectory is
+    * deterministic and engine-independent: the DuckDB oracle unrolls
+    * the same iterations and hash-matches with zero rounding slack.
+    * Init: the kClusters lowest vec_ids (deterministic, same as the
+    * oracle's `vec_id < K`). Empty clusters keep their old centroid. */
+  private[llm] def trainCentroids(spark: SparkSession,
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+      kClusters: Int, iters: Int): Array[(Long, Array[Double])] = {
+    import spark.implicits._
+    var cents: Array[(Long, Array[Double])] =
+      ds.filter(_._1 < kClusters).collect().sortBy(_._1)
+        .map { case (id, vq) => (id, vq.map(_.toDouble)) }
+    val dim = cents(0)._2.length
+    for (_ <- 1 to iters) {
+      val cB = spark.sparkContext.broadcast(cents)
+      val partials = ds.mapPartitions { rows =>
+        val cs = cB.value
+        val kk = cs.length
+        val cnt = new Array[Long](kk)
+        val sums = Array.ofDim[Long](kk, dim)
+        rows.foreach { case (_, vq) =>
+          val k = nearestIdx(vq, cs)
+          cnt(k) += 1
+          var d = 0
+          while (d < dim) { sums(k)(d) += vq(d); d += 1 }
+        }
+        Iterator.range(0, kk).filter(cnt(_) > 0).map(k => (k, cnt(k), sums(k)))
+      }.collect()
+      val cnt = new Array[Long](cents.length)
+      val sums = Array.ofDim[Long](cents.length, dim)
+      partials.foreach { case (k, c, sv) =>
+        cnt(k) += c
+        var d = 0
+        while (d < dim) { sums(k)(d) += sv(d); d += 1 }
+      }
+      cents = Array.tabulate(cents.length) { k =>
+        (cents(k)._1,
+         if (cnt(k) == 0) cents(k)._2
+         else Array.tabulate(dim)(d => sums(k)(d).toDouble / cnt(k)))
+      }
+    }
+    cents
+  }
+
+  /** Trained-codebook summary: per final cluster its size, within-
+    * cluster L2² cost, and the first two centroid coordinates. The cost
+    * uses the identity Σ|v−c|² = Σ_d (Q_d − S_d²/n) over EXACT integer
+    * aggregates (Q_d = Σ vq_d², S_d = Σ vq_d), folded in dim order —
+    * no order-dependent float sum anywhere, so the oracle (2 unrolled
+    * Lloyd iterations in SQL) matches bit-for-bit. */
+  def kmeansCentroids(spark: SparkSession, sfDir: String,
+                      kClusters: Int = 4, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val ds = quantized(spark, sfDir)
+    val cents = trainCentroids(spark, ds, kClusters, iters)
+    val dim = cents(0)._2.length
+    val cB = spark.sparkContext.broadcast(cents)
+    val partials = ds.mapPartitions { rows =>
+      val cs = cB.value
+      val kk = cs.length
+      val cnt = new Array[Long](kk)
+      val s = Array.ofDim[Long](kk, dim)
+      val q = Array.ofDim[Long](kk, dim)
+      rows.foreach { case (_, vq) =>
+        val k = nearestIdx(vq, cs)
+        cnt(k) += 1
+        var d = 0
+        while (d < dim) { s(k)(d) += vq(d); q(k)(d) += vq(d) * vq(d); d += 1 }
+      }
+      Iterator.range(0, kk).filter(cnt(_) > 0).map(k => (k, cnt(k), s(k), q(k)))
+    }.collect()
+    val cnt = new Array[Long](cents.length)
+    val s = Array.ofDim[Long](cents.length, dim)
+    val q = Array.ofDim[Long](cents.length, dim)
+    partials.foreach { case (k, c, sv, qv) =>
+      cnt(k) += c
+      var d = 0
+      while (d < dim) { s(k)(d) += sv(d); q(k)(d) += qv(d); d += 1 }
+    }
+    val out = cents.indices.map { k =>
+      var cost = 0.0
+      var d = 0
+      while (d < dim) {
+        cost += q(k)(d).toDouble - s(k)(d).toDouble * s(k)(d).toDouble / cnt(k)
+        d += 1
+      }
+      (cents(k)._1, cnt(k), cost, cents(k)._2(0), cents(k)._2(1))
+    }
+    out.toDF("cid", "cluster_n", "cost", "c_d1", "c_d2")
+  }
+
+  /** IVF ANN over the TRAINED codebook — [[ivfAnn]]'s probe shape
+    * (inverted lists = equi-join, never a cross product) with real
+    * Lloyd centroids instead of stand-in vectors. Assignment is one
+    * narrow broadcast pass; each query probes its own list (nprobe=1)
+    * with exact round-6 cosine re-ranking inside. */
+  def ivfKmeansAnn(spark: SparkSession, sfDir: String, kClusters: Int = 4,
+                   iters: Int = 2, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val ds = quantized(spark, sfDir)
+    val cents = trainCentroids(spark, ds, kClusters, iters)
+    val cB = spark.sparkContext.broadcast(cents)
+    val assign = ds.mapPartitions { rows =>
+      val cs = cB.value
+      rows.map { case (id, vq) => (id, cs(nearestIdx(vq, cs))._1) }
+    }.toDF("vec_id", "cid")
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    val idx = assign.join(emb, "vec_id")
+    val q = idx.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"cid", $"vec".as("qvec"))
+    idx.join(broadcast(q), Seq("cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos6", round(call_function("cosine_sim", $"vec", $"qvec"), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos6".desc, $"vec_id".asc)))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"cos6".as("cosine"),
+              $"rnk".cast("long").as("rnk"))
+  }
+
   /** Range search (radius query): ALL neighbors with cosine ≥ `tau`,
     * not a fixed k — the dedup-oriented sibling of top-k (near-dup
     * mining wants "everything above the threshold", however many). Same

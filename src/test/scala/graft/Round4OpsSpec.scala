@@ -175,4 +175,35 @@ class Round4OpsSpec extends SparkSpec {
     // layout contract unchanged: partition dirs survive
     assert(back.columns.contains("month"))
   }
+
+  test("kmeans: Lloyd iterations never increase cost; sizes partition the corpus") {
+    import graft.llm.SimOps
+    val corpus = graft.Tables.embeddings(spark, sf).count()
+    val costs = (0 to 3).map { it =>
+      val rows = SimOps.kmeansCentroids(spark, sf, iters = it).collect()
+      assert(rows.map(_.getAs[Long]("cluster_n")).sum === corpus)
+      rows.map(_.getAs[Double]("cost")).sum
+    }
+    costs.sliding(2).foreach { case Seq(prev, next) =>
+      assert(next <= prev + 1e-6, s"Lloyd cost increased: $prev -> $next")
+    }
+    // training must actually move: iter-1 strictly improves on the
+    // raw-vector init codebook
+    assert(costs(1) < costs(0))
+  }
+
+  test("trained-IVF probe returns k in-list neighbors consistent with assignments") {
+    import graft.llm.SimOps
+    val res = SimOps.ivfKmeansAnn(spark, sf).collect()
+    assert(res.length === 8 * 5)
+    res.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(byRank.map(_.getAs[Long]("rnk")).toSeq === (1L to 5L))
+      // ranking is by descending cosine
+      val cos = byRank.map(_.getAs[Double]("cosine")).toSeq
+      assert(cos === cos.sorted.reverse)
+    }
+    res.foreach(r =>
+      assert(r.getAs[Long]("query_id") !== r.getAs[Long]("neighbor_id")))
+  }
 }
