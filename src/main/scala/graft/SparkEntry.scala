@@ -111,6 +111,9 @@ object SparkEntry {
     "sim_range_search"   -> ((s, d) => SimOps.rangeSearch(s, d)),
     "sim_kmeans_centroids" -> ((s, d) => SimOps.kmeansCentroids(s, d)),
     "sim_ivf_kmeans"     -> ((s, d) => SimOps.ivfKmeansAnn(s, d)),
+    "tel_funnel"         -> (Telemetry.funnel _),
+    "tel_retention"      -> (Telemetry.retention _),
+    "q_corr_regr"        -> (Core.qCorrRegr _),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -146,7 +149,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = FunnelRetentionCorrOracles ++ Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
         | sum_disc_price, sum_disc, count_order,
@@ -1191,6 +1194,48 @@ object SparkEntry {
         | row_number() OVER (PARTITION BY query_id
         |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
         |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
+  )
+
+  private val FunnelRetentionCorrOracles: Map[String, String] = Map(
+    "tel_funnel" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |v AS (SELECT user_id, min(tus) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(tus) AS t2 FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND tus > t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(tus) AS t3 FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND tus > t2 GROUP BY 1),
+        |n AS (SELECT (SELECT count(*) FROM v) AS nv,
+        |             (SELECT count(*) FROM c) AS nc,
+        |             (SELECT count(*) FROM p) AS np)
+        |SELECT '1_view' AS stage, nv AS users, CAST(nv AS DOUBLE)/nv AS conv FROM n
+        |UNION ALL
+        |SELECT '2_click', nc, CAST(nc AS DOUBLE)/nv FROM n
+        |UNION ALL
+        |SELECT '3_purchase', np, CAST(np AS DOUBLE)/nv FROM n""".stripMargin,
+    "tel_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cd FROM act GROUP BY 1),
+        |sz AS (SELECT cd, count(*) AS cohort_n FROM f GROUP BY 1),
+        |r AS (
+        | SELECT cd, CAST(act.d - f.cd AS BIGINT) AS day_offset,
+        |  count(*) AS n_active
+        | FROM act JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT strftime(cd, '%Y-%m-%d') AS cohort_day, day_offset,
+        | n_active, cohort_n, CAST(n_active AS DOUBLE)/cohort_n AS retention
+        |FROM r JOIN sz USING (cd)""".stripMargin,
+    "q_corr_regr" ->
+      """WITH e AS (
+        | SELECT event_type, value,
+        |  (epoch_us(ts) - 1704067200000000) / 86400000000.0 AS days
+        | FROM events)
+        |SELECT event_type, count(*) AS n,
+        | round(corr(value, days), 6) AS corr_vt,
+        | round(regr_slope(value, days), 6) AS slope,
+        | round(regr_intercept(value, days), 6) AS intercept,
+        | round(regr_r2(value, days), 6) AS r2
+        |FROM e GROUP BY 1""".stripMargin,
   )
 
   /** Two unrolled Lloyd iterations over integer-quantized embeddings —

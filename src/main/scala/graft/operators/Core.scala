@@ -481,4 +481,25 @@ object Core {
       .agg(count(lit(1)).as("n_nations"),
            array_join(array_sort(collect_list($"n_name")), ",").as("nations"))
   }
+
+  /** Correlation / linear-regression aggregates — trend detection over
+    * the event stream: per event type, how value drifts with time
+    * (slope per day), plus corr and fit quality. All five are single-
+    * pass co-moment aggregates (map-side combined, one shuffle of five
+    * doubles per group); x is exact integer micros recentred to days so
+    * the slope is O(1) and round-6 kills cross-engine merge-order noise
+    * in the last float bits. */
+  def qCorrRegr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .select($"event_type", $"value",
+        ((unix_micros($"ts") - lit(1704067200000000L)) / lit(86400000000.0))
+          .as("days"))
+    e.groupBy($"event_type").agg(
+      count(lit(1)).as("n"),
+      round(corr($"value", $"days"), 6).as("corr_vt"),
+      round(regr_slope($"value", $"days"), 6).as("slope"),
+      round(regr_intercept($"value", $"days"), 6).as("intercept"),
+      round(regr_r2($"value", $"days"), 6).as("r2"))
+  }
 }

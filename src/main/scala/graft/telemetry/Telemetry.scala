@@ -523,4 +523,58 @@ object Telemetry {
                   element_at($"vals", 1),
                   (acc, x) => acc * one + x * a).as("ewma"))
   }
+
+  /** Ordered conversion funnel view → click → purchase: a user converts
+    * a stage only with an event STRICTLY after their entry into the
+    * previous stage. Computed in ONE shuffle on user_id: running-min
+    * window columns carry "first view so far" / "first qualifying click
+    * so far" down each user's timeline (the three window selects reuse
+    * the same exchange+sort), then a per-user conditional-min aggregate
+    * collapses to stage timestamps — no self-joins, which at 100 TB
+    * would each re-shuffle the full event stream. Comparisons use
+    * integer epoch-micros so the oracle (join formulation — same
+    * semantics, different plan) matches exactly. */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("tus"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"tus")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val s1 = e.withColumn("t1_run",
+      min(when($"event_type" === "view", $"tus")).over(w))
+    val s2 = s1.withColumn("t2_run",
+      min(when($"event_type" === "click" && $"tus" > $"t1_run", $"tus")).over(w))
+    val per = s2.groupBy($"user_id").agg(
+      min(when($"event_type" === "view", $"tus")).as("t1"),
+      min(when($"event_type" === "click" && $"tus" > $"t1_run", $"tus")).as("t2"),
+      min(when($"event_type" === "purchase" && $"tus" > $"t2_run", $"tus")).as("t3"))
+    per.agg(count($"t1").as("nv"), count($"t2").as("nc"), count($"t3").as("np"))
+      .selectExpr("stack(3, '1_view', nv, '2_click', nc, '3_purchase', np) AS (stage, users)",
+                  "nv")
+      .select($"stage", $"users",
+              ($"users".cast("double") / $"nv").as("conv"))
+  }
+
+  /** Daily cohort retention: users grouped by their first-active day;
+    * for each (cohort, day-offset) the fraction of the cohort active
+    * that day. The classic growth-analytics triangle. Shape: distinct
+    * (user, day) then first-day agg and a user-keyed join — all three
+    * hash-partition on user_id so the planner reuses one exchange; the
+    * cohort-size join at the end is on ~date-cardinality rows
+    * (broadcast). */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val act = Tables.events(spark, sfDir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val first = act.groupBy($"user_id").agg(min($"d").as("cd"))
+    val sizes = first.groupBy($"cd").agg(count(lit(1)).as("cohort_n"))
+    act.join(first, "user_id")
+      .groupBy($"cd", datediff($"d", $"cd").cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cd")
+      .select(date_format($"cd", "yyyy-MM-dd").as("cohort_day"),
+              $"day_offset", $"n_active", $"cohort_n",
+              ($"n_active".cast("double") / $"cohort_n").as("retention"))
+  }
 }

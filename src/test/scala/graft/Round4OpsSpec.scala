@@ -206,4 +206,47 @@ class Round4OpsSpec extends SparkSpec {
     res.foreach(r =>
       assert(r.getAs[Long]("query_id") !== r.getAs[Long]("neighbor_id")))
   }
+
+  test("funnel stages shrink monotonically and reuse one user_id exchange") {
+    val df = Telemetry.funnel(spark, sf)
+    val rows = df.collect().sortBy(_.getAs[String]("stage"))
+    val users = rows.map(_.getAs[Long]("users"))
+    assert(rows.map(_.getAs[String]("stage")).toSeq ===
+      Seq("1_view", "2_click", "3_purchase"))
+    assert(users(0) >= users(1) && users(1) >= users(2))
+    assert(users(0) > 0)
+    assert(rows(0).getAs[Double]("conv") === 1.0)
+    // the running-min window formulation must not plan any join — the
+    // naive per-stage self-join pays a full event-stream shuffle per
+    // stage, which is exactly what this operator exists to avoid
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"funnel plan contains a join:\n$plan")
+  }
+
+  test("retention: offset zero covers every cohort fully") {
+    val rows = Telemetry.retention(spark, sf).collect()
+    val day0 = rows.filter(_.getAs[Long]("day_offset") == 0L)
+    // every cohort is 100% active on its own first day
+    day0.foreach(r => assert(r.getAs[Double]("retention") === 1.0))
+    // cohorts partition the user base
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(day0.map(_.getAs[Long]("cohort_n")).sum === users)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_n"))
+      assert(r.getAs[Long]("day_offset") >= 0L)
+    }
+  }
+
+  test("corr/regr aggregates stay in their mathematical ranges") {
+    val rows = graft.operators.Core.qCorrRegr(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (c, r2) = (r.getAs[Double]("corr_vt"), r.getAs[Double]("r2"))
+      assert(c >= -1.0 && c <= 1.0)
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9)
+      // r2 of simple regression == corr² (round-6 slack)
+      assert(math.abs(r2 - c * c) < 1e-5)
+    }
+  }
 }
