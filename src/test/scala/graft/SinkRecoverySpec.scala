@@ -344,4 +344,33 @@ class SinkRecoverySpec extends SparkSpec {
     assert(pruned.count() === c1 - 1)
     assert(Recovery.scanMissing(spark, tablePath, pruned).count() === 0)
   }
+
+  test("schema evolution: widened batches merge, old files read as null") {
+    import spark.implicits._
+    val base = tmp()
+    val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "daily")
+    val day1 = eventsDf.filter(dayofmonth($"ts") === 1)
+    val day2 = eventsDf.filter(dayofmonth($"ts") === 2)
+      .withColumn("source_region", lit("eu-west"))
+    PartitionedParquetSink.writeBatch(day1, cfg)
+    PartitionedParquetSink.writeBatch(day2, cfg)
+
+    // default read resolves the schema from one footer — the evolved
+    // column is invisible unless schema merging is requested
+    spark.catalog.refreshByPath(s"$base/events")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$base/events")
+    assert(merged.columns.contains("source_region"))
+    assert(merged.count() === day1.count() + day2.count())
+    val byRegion = merged.groupBy($"source_region").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // pre-evolution files surface NULL, evolved files their value
+    assert(byRegion(None) === day1.count())
+    assert(byRegion(Some("eu-west")) === day2.count())
+
+    // evolution must not break the sink's pruning contract: partition
+    // dirs are intact and a day filter still prunes to one partition
+    val plan = merged.filter($"day" === "01").queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("day=02"), "day filter failed to prune evolved table")
+  }
 }
