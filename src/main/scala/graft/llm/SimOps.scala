@@ -394,7 +394,9 @@ object SimOps {
   def kmeansCentroids(spark: SparkSession, sfDir: String,
                       kClusters: Int = 4, iters: Int = 2): DataFrame = {
     import spark.implicits._
-    val ds = quantized(spark, sfDir)
+    // iters+1 passes read this frame — materialize once (at cluster
+    // scale: .persist(MEMORY_AND_DISK) across Lloyd iterations)
+    val ds = quantized(spark, sfDir).localCheckpoint()
     val cents = trainCentroids(spark, ds, kClusters, iters)
     val dim = cents(0)._2.length
     val cB = spark.sparkContext.broadcast(cents)
@@ -441,7 +443,7 @@ object SimOps {
                    iters: Int = 2, nQueries: Int = 8, k: Int = 5): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
-    val ds = quantized(spark, sfDir)
+    val ds = quantized(spark, sfDir).localCheckpoint()
     val cents = trainCentroids(spark, ds, kClusters, iters)
     val cB = spark.sparkContext.broadcast(cents)
     val assign = ds.mapPartitions { rows =>
