@@ -114,6 +114,8 @@ object SparkEntry {
     "tel_funnel"         -> (Telemetry.funnel _),
     "tel_retention"      -> (Telemetry.retention _),
     "q_corr_regr"        -> (Core.qCorrRegr _),
+    "tel_concurrency"    -> ((s, d) => Telemetry.concurrency(s, d)),
+    "tel_apdex"          -> ((s, d) => Telemetry.apdex(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1225,6 +1227,44 @@ object SparkEntry {
         |SELECT strftime(cd, '%Y-%m-%d') AS cohort_day, day_offset,
         | n_active, cohort_n, CAST(n_active AS DOUBLE)/cohort_n AS retention
         |FROM r JOIN sz USING (cd)""".stripMargin,
+    "tel_concurrency" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+        |l AS (
+        | SELECT user_id, tus, event_id,
+        |  lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+        | FROM e),
+        |s AS (
+        | SELECT user_id, tus, event_id, CASE WHEN prev IS NULL
+        |   OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+        | FROM l),
+        |s2 AS (
+        | SELECT user_id, tus, sum(ns) OVER (PARTITION BY user_id
+        |   ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM s),
+        |sess AS (
+        | SELECT user_id, sid, min(tus) AS st, max(tus) AS en
+        | FROM s2 GROUP BY 1, 2),
+        |pts AS (
+        | SELECT st AS tus, 1 AS delta FROM sess
+        | UNION ALL SELECT en, -1 FROM sess),
+        |run AS (
+        | SELECT tus, sum(delta) OVER (ORDER BY tus, delta DESC
+        |   ROWS UNBOUNDED PRECEDING) AS conc
+        | FROM pts)
+        |SELECT strftime(make_timestamp(tus), '%Y-%m-%d') AS day,
+        | CAST(max(conc) AS BIGINT) AS max_concurrent,
+        | count(*) AS n_boundaries
+        |FROM run GROUP BY 1""".stripMargin,
+    "tel_apdex" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        | CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_satisfied,
+        | CAST(sum(CASE WHEN value > 50 AND value <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating,
+        | count(*) AS n,
+        | (CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  + CAST(sum(CASE WHEN value > 50 AND value <= 200 THEN 1 ELSE 0 END) AS DOUBLE)/2)
+        |  / count(*) AS apdex
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_corr_regr" ->
       """WITH e AS (
         | SELECT event_type, value,

@@ -556,6 +556,74 @@ object Telemetry {
               ($"users".cast("double") / $"nv").as("conv"))
   }
 
+  /** Max concurrent sessions per day — the sweep-line interval query
+    * (capacity planning's "how many users at once"). Sessions (30-min
+    * gap, as [[sessionize]]) become ±1 boundary points; concurrency is
+    * the global running sum over points ordered by (time, +1 first).
+    * A naive global window = ONE partition for the whole 100 TB sweep,
+    * so this runs as a DISTRIBUTED PREFIX SCAN instead: range-partition
+    * the points by sort key, local prefix sums per partition, then add
+    * each partition's broadcast exclusive offset — every stage parallel,
+    * the driver only ever sees one long per partition. Day-level max is
+    * tie-order-independent (the multiset of prefix values within equal
+    * sort keys is permutation-invariant), so the single-window oracle
+    * matches exactly. */
+  def concurrency(spark: SparkSession, sfDir: String,
+                  gapUs: Long = 1800000000L, nRanges: Int = 8): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val sess = Tables.events(spark, sfDir)
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id")
+      .withColumn("prev", lag($"tus", 1).over(byUser))
+      .withColumn("ns",
+        when($"prev".isNull || $"tus" - $"prev" > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum($"ns").over(byUser))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"tus").as("st"), max($"tus").as("en"))
+    val pts = sess.select(explode(array(
+        struct($"st".as("tus"), lit(1).as("delta")),
+        struct($"en".as("tus"), lit(-1).as("delta")))).as("p"))
+      .select($"p.tus", $"p.delta")
+    // distributed prefix scan: materialize the range partitioning once
+    // (offsets pass + scan pass share it), exclusive offsets are a
+    // partition-count-sized collect
+    val ranged = pts.repartitionByRange(nRanges, $"tus".asc, $"delta".desc)
+      .sortWithinPartitions($"tus".asc, $"delta".desc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val sums = ranged.groupBy($"pid").agg(sum($"delta").as("psum"))
+      .collect().map(r => r.getAs[Int]("pid") -> r.getAs[Long]("psum")).toMap
+    val offsets = (0 until nRanges).scanLeft(0L)((acc, p) =>
+      acc + sums.getOrElse(p, 0L)).init
+    val offDf = offsets.zipWithIndex
+      .map { case (off, p) => (p, off) }.toDF("pid", "off")
+    val wp = Window.partitionBy($"pid").orderBy($"tus".asc, $"delta".desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranged
+      .withColumn("local", sum($"delta").over(wp))
+      .join(broadcast(offDf), "pid")
+      .withColumn("conc", $"local" + $"off")
+      .groupBy(date_format(timestamp_micros($"tus"), "yyyy-MM-dd").as("day"))
+      .agg(max($"conc").as("max_concurrent"), count(lit(1)).as("n_boundaries"))
+  }
+
+  /** Apdex score per (event type, day): satisfied ≤ T, tolerating ≤ 4T,
+    * apdex = (satisfied + tolerating/2) / n — the SLO rollup every
+    * telemetry backend ships. One conditional aggregation pass, integer
+    * counts, exact final division. */
+  def apdex(spark: SparkSession, sfDir: String, t: Double = 50.0): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+               date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(sum(when($"value" <= t, 1L).otherwise(0L)).as("n_satisfied"),
+           sum(when($"value" > t && $"value" <= 4 * t, 1L).otherwise(0L))
+             .as("n_tolerating"),
+           count(lit(1)).as("n"))
+      .withColumn("apdex",
+        ($"n_satisfied".cast("double") + $"n_tolerating".cast("double") / 2) / $"n")
+  }
+
   /** Daily cohort retention: users grouped by their first-active day;
     * for each (cohort, day-offset) the fraction of the cohort active
     * that day. The classic growth-analytics triangle. Shape: distinct

@@ -238,6 +238,50 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("distributed sweep-line concurrency equals a driver-side reference sweep") {
+    import spark.implicits._
+    val got = Telemetry.concurrency(spark, sf).collect()
+      .map(r => r.getAs[String]("day") -> r.getAs[Long]("max_concurrent")).toMap
+    // reference: same 30-min sessions, single sequential sweep
+    val ev = graft.Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("tus")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sessions = ev.groupBy(_._1).values.flatMap { rows =>
+      val ts = rows.map(_._2).sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var st = ts.head; var en = ts.head
+      ts.tail.foreach { t =>
+        if (t - en > 1800000000L) { out += ((st, en)); st = t }
+        en = t
+      }
+      out += ((st, en))
+      out
+    }
+    val pts = sessions.flatMap { case (st, en) => Seq((st, 1), (en, -1)) }
+      .toSeq.sortBy { case (t, d) => (t, -d) }
+    var run = 0L
+    val dayMax = scala.collection.mutable.Map.empty[String, Long]
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .withZone(java.time.ZoneOffset.UTC)
+    pts.foreach { case (t, d) =>
+      run += d
+      val day = fmt.format(java.time.Instant.ofEpochMilli(t / 1000))
+      dayMax(day) = math.max(dayMax.getOrElse(day, Long.MinValue), run)
+    }
+    assert(got === dayMax.toMap)
+  }
+
+  test("apdex stays in [0,1] and its count classes partition each group") {
+    val rows = Telemetry.apdex(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getAs[Double]("apdex")
+      assert(a >= 0.0 && a <= 1.0)
+      assert(r.getAs[Long]("n_satisfied") + r.getAs[Long]("n_tolerating")
+        <= r.getAs[Long]("n"))
+    }
+  }
+
   test("corr/regr aggregates stay in their mathematical ranges") {
     val rows = graft.operators.Core.qCorrRegr(spark, sf).collect()
     assert(rows.length === 5)
