@@ -57,11 +57,23 @@ object VersionedManifest {
     * Iceberg manifest-metrics pattern. */
   def commit(spark: SparkSession, tablePath: String, manifestDir: String,
              statsColumn: Option[String] = None): Long = {
-    val next = currentVersion(spark, manifestDir) + 1
     val files = Recovery.listDataFiles(spark, tablePath)
     val entries = statsColumn.fold(files) { c =>
       files.join(Recovery.fileStats(spark, tablePath, c), Seq("file_path"), "left")
     }
+    commitFiles(spark, manifestDir, entries)
+  }
+
+  /** Commit an EXPLICIT file list as the next snapshot — the rewrite
+    * primitive: a compaction (or any file-replacing maintenance job)
+    * writes its new files, then commits exactly the surviving list.
+    * Superseded files stay on storage, still readable through older
+    * snapshots, until [[expireSnapshots]] collects them — Iceberg's
+    * rewrite-then-expire lifecycle. `entries` needs a `file_path`
+    * column; extra columns (zone-map stats) ride along. */
+  def commitFiles(spark: SparkSession, manifestDir: String,
+                  entries: DataFrame): Long = {
+    val next = currentVersion(spark, manifestDir) + 1
     entries
       .withColumn("snapshot_id", lit(next))
       .coalesce(1)
@@ -81,6 +93,55 @@ object VersionedManifest {
     fc.rename(fc.makeQualified(tmp), fc.makeQualified(versionPath(manifestDir)),
               Options.Rename.OVERWRITE)
     next
+  }
+
+  /** Snapshot versions present in the log, ascending (tolerates gaps
+    * left by earlier expiries). */
+  def versions(spark: SparkSession, manifestDir: String): Seq[Long] = {
+    val dir = new Path(manifestDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("manifest-v") =>
+        n.stripPrefix("manifest-v").takeWhile(_.isDigit) }
+      .collect { case s if s.nonEmpty => s.toLong }
+      .toSeq.sorted
+  }
+
+  /** Expire all but the newest `keepLast` snapshots: drop their
+    * manifests and DELETE data files no retained snapshot references —
+    * the GC half of the rewrite-then-expire lifecycle, without which
+    * every compaction leaks its inputs forever. The reachability set is
+    * a distributed anti-join over the manifests (never collected), and
+    * the deletes run in executors — at 100 TB a rewrite cycle can
+    * orphan millions of files, far beyond a driver loop. Returns
+    * (expired versions, data files deleted). */
+  def expireSnapshots(spark: SparkSession, manifestDir: String,
+                      keepLast: Int = 2): (Seq[Long], Long) = {
+    val keepN = math.max(keepLast, 1)
+    val vs = versions(spark, manifestDir)
+    val expired = vs.dropRight(keepN)
+    if (expired.isEmpty) return (Nil, 0L)
+    val retained = vs.takeRight(keepN)
+    val keep = retained.map(v =>
+      filesAt(spark, manifestDir, Some(v)).select("file_path")).reduce(_ union _)
+    val exp = expired.map(v =>
+      filesAt(spark, manifestDir, Some(v)).select("file_path")).reduce(_ union _)
+    val doomed = exp.distinct().join(keep.distinct(), Seq("file_path"), "left_anti")
+    val acc = spark.sparkContext.longAccumulator("graft.expired.files")
+    doomed.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      // executor-side FS handle; default Configuration resolves the
+      // same scheme the absolute file_path URIs carry
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.foreach { r =>
+        val p = new Path(r.getString(0))
+        if (p.getFileSystem(conf).delete(p, false)) acc.add(1)
+      }
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(manifestDir).getFileSystem(conf)
+    expired.foreach(v => fs.delete(new Path(s"$manifestDir/manifest-v$v"), true))
+    (expired, acc.value)
   }
 
   /** The file list at a snapshot (default: the current pointer). */

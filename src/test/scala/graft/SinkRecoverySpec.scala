@@ -345,6 +345,47 @@ class SinkRecoverySpec extends SparkSpec {
     assert(Recovery.scanMissing(spark, tablePath, pruned).count() === 0)
   }
 
+  test("expire snapshots GCs exactly the files unreachable from retained snapshots") {
+    import graft.recovery.VersionedManifest
+    val base = tmp()
+    val table = s"$base/events"
+    val mDir = s"$base/manifests"
+    val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "daily")
+    val day1 = eventsDf.filter(dayofmonth(col("ts")) === 1).localCheckpoint()
+    PartitionedParquetSink.writeBatch(day1, cfg)
+    val v1 = VersionedManifest.commit(spark, table, mDir)
+    PartitionedParquetSink.writeBatch(
+      eventsDf.filter(dayofmonth(col("ts")) === 2), cfg)
+    val v2 = VersionedManifest.commit(spark, table, mDir)
+    val gen1 = Recovery.listDataFiles(spark, table)
+      .collect().map(_.getString(0)).toSet
+
+    // rewrite: write a compacted second generation into the SAME table,
+    // then commit ONLY the new files — gen1 is now superseded but must
+    // stay readable through v1/v2 until expiry
+    val expect = spark.read.parquet(table).count()
+    val copy = spark.read.parquet(table).localCheckpoint()
+    PartitionedParquetSink.writeBatch(copy.drop("year", "month", "day"), cfg)
+    spark.catalog.refreshByPath(table)
+    val gen2 = Recovery.listDataFiles(spark, table)
+      .filter(!col("file_path").isin(gen1.toSeq: _*))
+    val v3 = VersionedManifest.commitFiles(spark, mDir, gen2)
+    assert(VersionedManifest.readAt(spark, table, mDir, Some(v1)).count()
+      === day1.count())
+
+    val (expired, deleted) = VersionedManifest.expireSnapshots(spark, mDir, keepLast = 1)
+    assert(expired === Seq(v1, v2))
+    assert(deleted === gen1.size, "every superseded gen1 file is deleted, nothing else")
+    gen1.foreach(f =>
+      assert(!new java.io.File(new java.net.URI(f).getPath).exists(), s"not deleted: $f"))
+    assert(VersionedManifest.versions(spark, mDir) === Seq(v3))
+    // current snapshot unharmed: full row count through the pointer
+    spark.catalog.refreshByPath(table)
+    assert(VersionedManifest.readAt(spark, table, mDir).count() === expect)
+    // idempotent: nothing left to expire
+    assert(VersionedManifest.expireSnapshots(spark, mDir, keepLast = 1) === (Nil, 0L))
+  }
+
   test("schema evolution: widened batches merge, old files read as null") {
     import spark.implicits._
     val base = tmp()
