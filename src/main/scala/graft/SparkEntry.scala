@@ -116,6 +116,7 @@ object SparkEntry {
     "q_corr_regr"        -> (Core.qCorrRegr _),
     "tel_concurrency"    -> ((s, d) => Telemetry.concurrency(s, d)),
     "tel_apdex"          -> ((s, d) => Telemetry.apdex(s, d)),
+    "tel_holt"           -> ((s, d) => Telemetry.holt(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1265,6 +1266,28 @@ object SparkEntry {
         |  + CAST(sum(CASE WHEN value > 50 AND value <= 200 THEN 1 ELSE 0 END) AS DOUBLE)/2)
         |  / count(*) AS apdex
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "tel_holt" ->
+      // state rides in a 2-element DOUBLE list [l, b], NOT a struct:
+      // DuckDB 1.0 list_reduce mutates the accumulator field-by-field,
+      // so a struct's second field would see the first field already
+      // overwritten (l_prev lost); list construction evaluates all
+      // elements against the pre-step accumulator
+      """WITH g AS (
+        | SELECT event_type, list(value ORDER BY ts, event_id) AS vs,
+        |  count(*) AS n
+        | FROM events GROUP BY 1),
+        |f AS (
+        | SELECT event_type, n,
+        |  list_reduce(
+        |   list_prepend([vs[1], vs[2] - vs[1]],
+        |                list_transform(vs[3:], x -> [x, 0.0])),
+        |   (acc, e) -> [e[1]*0.3 + (acc[1] + acc[2])*(1.0 - 0.3),
+        |                ((e[1]*0.3 + (acc[1] + acc[2])*(1.0 - 0.3)) - acc[1])*0.1
+        |                + acc[2]*(1.0 - 0.1)]) AS st
+        | FROM g)
+        |SELECT event_type, n, st[1] AS level, st[2] AS trend,
+        | st[1] + st[2] AS forecast
+        |FROM f""".stripMargin,
     "q_corr_regr" ->
       """WITH e AS (
         | SELECT event_type, value,

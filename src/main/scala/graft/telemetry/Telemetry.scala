@@ -1,6 +1,6 @@
 package graft.telemetry
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -554,6 +554,43 @@ object Telemetry {
                   "nv")
       .select($"stage", $"users",
               ($"users".cast("double") / $"nv").as("conv"))
+  }
+
+  /** Holt's linear-trend double exponential smoothing per series —
+    * [[ewma]]'s big sibling: state is (level, trend), init l₀=x₁,
+    * b₀=x₂−x₁, then l=αx+(1−α)(l+b), b=β(l−l_prev)+(1−β)b. Same
+    * distribution shape as ewma (ordered collect + `aggregate` fold,
+    * one shuffle on the series key); the accumulator is a STRUCT
+    * folded through the higher-order function. Every step is a fixed
+    * sequence of IEEE ops ((1−α) computed, not a decimal literal — the
+    * oracle folds the identical expression), so level/trend/forecast
+    * reproduce bit-for-bit in DuckDB's struct list_reduce. */
+  def holt(spark: SparkSession, sfDir: String,
+           alpha: Double = 0.3, beta: Double = 0.1): DataFrame = {
+    import spark.implicits._
+    val a = lit(alpha)
+    val ia = lit(1.0 - alpha)
+    val b = lit(beta)
+    val ib = lit(1.0 - beta)
+    def lvl(acc: Column, x: Column): Column =
+      x * a + (acc.getField("l") + acc.getField("b")) * ia
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"ts", $"event_id", $"value"))).as("rs"),
+           count(lit(1)).as("n"))
+      .select($"event_type", $"n",
+        transform($"rs", r => r.getField("value")).as("vs"))
+      .select($"event_type", $"n",
+        aggregate(
+          slice($"vs", lit(3), greatest(size($"vs") - 2, lit(0))),
+          struct(element_at($"vs", 1).as("l"),
+                 (element_at($"vs", 2) - element_at($"vs", 1)).as("b")),
+          (acc, x) => struct(
+            lvl(acc, x).as("l"),
+            ((lvl(acc, x) - acc.getField("l")) * b + acc.getField("b") * ib).as("b")))
+          .as("st"))
+      .select($"event_type", $"n", $"st.l".as("level"), $"st.b".as("trend"),
+              ($"st.l" + $"st.b").as("forecast"))
   }
 
   /** Max concurrent sessions per day — the sweep-line interval query

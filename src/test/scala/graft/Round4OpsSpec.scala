@@ -238,6 +238,26 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("holt level/trend equal a direct sequential fold per series") {
+    import spark.implicits._
+    val got = Telemetry.holt(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("level"), r.getAs[Double]("trend"))).toMap
+    val raw = graft.Tables.events(spark, sf)
+      .select($"event_type", $"ts", $"event_id", $"value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime * 1000, r.getLong(2), r.getDouble(3)))
+    raw.groupBy(_._1).foreach { case (et, rows) =>
+      val vs = rows.sortBy(t => (t._2, t._3)).map(_._4)
+      var l = vs(0); var b = vs(1) - vs(0)
+      vs.drop(2).foreach { x =>
+        val nl = x * 0.3 + (l + b) * (1.0 - 0.3)
+        b = (nl - l) * 0.1 + b * (1.0 - 0.1)
+        l = nl
+      }
+      assert(got(et) === ((l, b)), s"series $et diverged")
+    }
+  }
+
   test("distributed sweep-line concurrency equals a driver-side reference sweep") {
     import spark.implicits._
     val got = Telemetry.concurrency(spark, sf).collect()
