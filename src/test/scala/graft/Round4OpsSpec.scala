@@ -238,6 +238,34 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("pagerank matches a dense reference iteration and conserves mass") {
+    import spark.implicits._
+    import graft.operators.PageRank
+    // A→B, A→C, B→C, C→A, D→C, C→E; E dangles
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"),
+                    ("D", "C"), ("C", "E")).toDF("src", "dst")
+    val got = PageRank.run(spark, edges, iters = 15).collect()
+      .map(r => r.getAs[String]("vertex") -> r.getAs[Double]("rank")).toMap
+
+    // dense driver-side reference with identical semantics
+    val vs = Seq("A", "B", "C", "D", "E")
+    val out = Map("A" -> Seq("B", "C"), "B" -> Seq("C"),
+                  "C" -> Seq("A", "E"), "D" -> Seq("C"))
+    var r = vs.map(_ -> 1.0 / 5).toMap
+    for (_ <- 1 to 15) {
+      val dangling = vs.filterNot(out.contains).map(r).sum
+      r = vs.map { v =>
+        val in = out.collect { case (s, ds) if ds.contains(v) =>
+          r(s) / ds.size }.sum
+        v -> ((1.0 - 0.85) / 5 + 0.85 * (in + dangling / 5))
+      }.toMap
+    }
+    vs.foreach(v => assert(math.abs(got(v) - r(v)) < 1e-9, s"vertex $v"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // C receives from three nodes — it must outrank everything
+    assert(got.maxBy(_._2)._1 === "C")
+  }
+
   test("holt level/trend equal a direct sequential fold per series") {
     import spark.implicits._
     val got = Telemetry.holt(spark, sf).collect()
