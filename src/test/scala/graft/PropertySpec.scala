@@ -100,4 +100,38 @@ class PropertySpec extends SparkSpec {
       labels == expected
     })
   }
+
+  test("pagerank conserves mass and matches dense iteration on random graphs") {
+    import spark.implicits._
+    import graft.operators.PageRank
+    val edgesGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 8L)
+      b <- Gen.choose(0L, 8L)
+      if a != b
+    } yield (a, b)).map(_.distinct)
+    // fewer cases than the cheap properties: each run is a full
+    // iterative job chain
+    def checkFew(name: String, prop: Prop): Unit = {
+      val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+      assert(res.passed, s"$name: $res")
+    }
+    checkFew("pagerank", Prop.forAll(edgesGen) { edges =>
+      val iters = 8
+      val got = PageRank.run(spark, edges.toDF("src", "dst"), iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var r = vs.map(_ -> 1.0 / vs.size).toMap
+      for (_ <- 1 to iters) {
+        val dangling = vs.filterNot(out.contains).map(r).sum
+        r = vs.map { v =>
+          val in = out.collect { case (s, ds) if ds.contains(v) =>
+            r(s) / ds.size }.sum
+          v -> ((1.0 - 0.85) / vs.size + 0.85 * (in + dangling / vs.size))
+        }.toMap
+      }
+      val close = vs.forall(v => math.abs(got(v) - r(v)) < 1e-9)
+      close && math.abs(got.values.sum - 1.0) < 1e-9
+    })
+  }
 }

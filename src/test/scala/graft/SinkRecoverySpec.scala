@@ -345,6 +345,28 @@ class SinkRecoverySpec extends SparkSpec {
     assert(Recovery.scanMissing(spark, tablePath, pruned).count() === 0)
   }
 
+  test("incremental read returns exactly the rows added between snapshots") {
+    import graft.recovery.VersionedManifest
+    val base = tmp()
+    val table = s"$base/events"
+    val mDir = s"$base/manifests"
+    val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "daily")
+    val day1 = eventsDf.filter(dayofmonth(col("ts")) === 1)
+    val day2 = eventsDf.filter(dayofmonth(col("ts")) === 2)
+    PartitionedParquetSink.writeBatch(day1, cfg)
+    val v1 = VersionedManifest.commit(spark, table, mDir)
+    PartitionedParquetSink.writeBatch(day2, cfg)
+    val v2 = VersionedManifest.commit(spark, table, mDir)
+    val delta = VersionedManifest.readIncremental(spark, table, mDir, v1, Some(v2))
+    assert(delta.count() === day2.count())
+    // only day-2 rows: the day-1 generation is invisible to the delta
+    assert(delta.select(min(dayofmonth(col("ts")))).collect()(0).getInt(0) === 2)
+    // same-version delta is empty; full-range delta is the whole table
+    assert(VersionedManifest.readIncremental(spark, table, mDir, v2).count() === 0)
+    assert(VersionedManifest.readIncremental(spark, table, mDir, 0L).count()
+      === day1.count() + day2.count())
+  }
+
   test("expire snapshots GCs exactly the files unreachable from retained snapshots") {
     import graft.recovery.VersionedManifest
     val base = tmp()
