@@ -670,8 +670,13 @@ object Telemetry {
     * (broadcast). */
   def retention(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // act feeds three consumers (first-day agg, the activity join, and
+    // cohort sizes via first) — materialize the distinct once instead
+    // of three raw scans of the event stream (at cluster scale:
+    // .persist, or the act table is itself a maintained daily rollup)
     val act = Tables.events(spark, sfDir)
       .select($"user_id", to_date($"ts").as("d")).distinct()
+      .localCheckpoint()
     val first = act.groupBy($"user_id").agg(min($"d").as("cd"))
     val sizes = first.groupBy($"cd").agg(count(lit(1)).as("cohort_n"))
     act.join(first, "user_id")
