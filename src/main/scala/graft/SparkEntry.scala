@@ -117,6 +117,7 @@ object SparkEntry {
     "tel_concurrency"    -> ((s, d) => Telemetry.concurrency(s, d)),
     "tel_apdex"          -> ((s, d) => Telemetry.apdex(s, d)),
     "tel_holt"           -> ((s, d) => Telemetry.holt(s, d)),
+    "sim_opq_ann"        -> ((s, d) => SimOps.opqAnn(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -672,39 +673,31 @@ object SparkEntry {
         | FROM p)
         |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "sim_pq_ann" ->
-      """WITH v AS (
+      (s"""WITH v AS (
         | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |tr AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
-        |sc AS (
-        | SELECT v.vec_id, tr.cid, sp.s,
-        |  list_reduce([0.0] || [ (v.e[i]-tr.ce[i])*(v.e[i]-tr.ce[i])
-        |    for i in generate_series(sp.s*16+1, sp.s*16+16) ],
-        |    (x,y) -> x+y) AS dist
-        | FROM v, tr, (SELECT unnest(generate_series(0,3)) AS s) sp
-        | WHERE v.vec_id >= 8),
-        |codes AS (
-        | SELECT vec_id, s, cid AS code FROM (
-        |  SELECT vec_id, s, cid,
-        |   row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
-        |  FROM sc) t WHERE rn = 1),
-        |lut AS (SELECT vec_id AS query_id, s, cid AS code, dist AS qdist
-        |        FROM sc WHERE vec_id < 16),
-        |adc AS (
-        | SELECT l.query_id, c.vec_id,
-        |  sum(CASE WHEN c.s=0 THEN l.qdist ELSE 0.0 END) AS d0,
-        |  sum(CASE WHEN c.s=1 THEN l.qdist ELSE 0.0 END) AS d1,
-        |  sum(CASE WHEN c.s=2 THEN l.qdist ELSE 0.0 END) AS d2,
-        |  sum(CASE WHEN c.s=3 THEN l.qdist ELSE 0.0 END) AS d3
-        | FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
-        |  AND c.vec_id != l.query_id
-        | GROUP BY 1,2),
-        |r AS (
-        | SELECT query_id, vec_id AS neighbor_id,
-        |  CAST(round(CAST(CAST(d0+d1+d2+d3 AS VARCHAR) AS DECIMAL(38,18)),6) AS DOUBLE) AS adist,
-        |  row_number() OVER (PARTITION BY query_id
-        |    ORDER BY d0+d1+d2+d3, vec_id) AS rnk
-        | FROM adc)
-        |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= 5""".stripMargin,
+        |""".stripMargin + PqOracleTail),
+    "sim_opq_ann" ->
+      // Householder reflection R = I − 2uuᵀ applied to every vector
+      // (same deterministic u as SimOps.householderUnit), then the
+      // identical PQ/ADC pipeline over the rotated space
+      (s"""WITH raw AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |hu AS (
+        | SELECT [ CAST(((i*2654435761) % 97) - 48 AS DOUBLE)/48.0
+        |          for i in generate_series(1,64) ] AS ur),
+        |hn AS (
+        | SELECT ur, sqrt(list_reduce([0.0] || [c*c for c in ur],
+        |                 (a,b) -> a+b)) AS nrm FROM hu),
+        |hv AS (SELECT [c / nrm for c in ur] AS vu FROM hn),
+        |v AS (
+        | SELECT vec_id, [ x[j] - sc * vu[j]
+        |                  for j in generate_series(1,64) ] AS e
+        | FROM (
+        |  SELECT vec_id, x, vu,
+        |   2.0 * list_reduce([0.0] || [vu[t]*x[t]
+        |          for t in generate_series(1,64)], (a,b) -> a+b) AS sc
+        |  FROM raw, hv) t),
+        |""".stripMargin + PqOracleTail),
     "sim_int8_topk" ->
       """WITH v AS (
         | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -1300,6 +1293,43 @@ object SparkEntry {
         | round(regr_r2(value, days), 6) AS r2
         |FROM e GROUP BY 1""".stripMargin,
   )
+
+  /** The shared PQ/ADC oracle pipeline (tr → sc → codes → lut → adc →
+    * top-5), parameterized only by the `v(vec_id, e)` CTE that feeds it
+    * — identical for raw ([[oracleSql]] sim_pq_ann) and Householder-
+    * rotated (sim_opq_ann) inputs. */
+  private val PqOracleTail: String =
+    """tr AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+      |sc AS (
+      | SELECT v.vec_id, tr.cid, sp.s,
+      |  list_reduce([0.0] || [ (v.e[i]-tr.ce[i])*(v.e[i]-tr.ce[i])
+      |    for i in generate_series(sp.s*16+1, sp.s*16+16) ],
+      |    (x,y) -> x+y) AS dist
+      | FROM v, tr, (SELECT unnest(generate_series(0,3)) AS s) sp
+      | WHERE v.vec_id >= 8),
+      |codes AS (
+      | SELECT vec_id, s, cid AS code FROM (
+      |  SELECT vec_id, s, cid,
+      |   row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+      |  FROM sc) t WHERE rn = 1),
+      |lut AS (SELECT vec_id AS query_id, s, cid AS code, dist AS qdist
+      |        FROM sc WHERE vec_id < 16),
+      |adc AS (
+      | SELECT l.query_id, c.vec_id,
+      |  sum(CASE WHEN c.s=0 THEN l.qdist ELSE 0.0 END) AS d0,
+      |  sum(CASE WHEN c.s=1 THEN l.qdist ELSE 0.0 END) AS d1,
+      |  sum(CASE WHEN c.s=2 THEN l.qdist ELSE 0.0 END) AS d2,
+      |  sum(CASE WHEN c.s=3 THEN l.qdist ELSE 0.0 END) AS d3
+      | FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+      |  AND c.vec_id != l.query_id
+      | GROUP BY 1,2),
+      |r AS (
+      | SELECT query_id, vec_id AS neighbor_id,
+      |  CAST(round(CAST(CAST(d0+d1+d2+d3 AS VARCHAR) AS DECIMAL(38,18)),6) AS DOUBLE) AS adist,
+      |  row_number() OVER (PARTITION BY query_id
+      |    ORDER BY d0+d1+d2+d3, vec_id) AS rnk
+      | FROM adc)
+      |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= 5""".stripMargin
 
   /** Two unrolled Lloyd iterations over integer-quantized embeddings —
     * the SQL mirror of [[graft.llm.SimOps.trainCentroids]] (K=4,

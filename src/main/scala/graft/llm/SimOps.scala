@@ -176,14 +176,65 @@ object SimOps {
     * the compression/ADC MACHINERY exactly; ranking quality on real
     * clustered embeddings needs trained codebooks. */
   def pqAnn(spark: SparkSession, sfDir: String, nTrain: Int = 8,
-            nQueries: Int = 8, k: Int = 5): DataFrame = {
+            nQueries: Int = 8, k: Int = 5): DataFrame =
+    pqCore(spark, sfDir, nTrain, nQueries, k, rotate = false)
+
+  /** OPQ-style rotated product quantization: a fixed orthonormal
+    * Householder reflection R = I − 2uuᵀ (deterministic unit u from the
+    * integer-mix coefficient pattern) is applied to every vector before
+    * PQ encoding, and queries/codebook rotate identically — rotation
+    * preserves L2, so exact distances are unchanged while the SUBSPACE
+    * DECOMPOSITION the codes quantize is decorrelated across input
+    * dims. This is OPQ's machinery with R fixed rather than learned
+    * (the learned rotation alternates Procrustes solves with codebook
+    * updates — an eigendecomposition per round; on these uniform-random
+    * test embeddings it would converge to an arbitrary rotation anyway).
+    * Reflection = one fused dot + axpy per row inside the same JIT'd
+    * mapPartitions pass — bit-exact against the oracle's list-
+    * comprehension mirror. */
+  def opqAnn(spark: SparkSession, sfDir: String, nTrain: Int = 8,
+             nQueries: Int = 8, k: Int = 5): DataFrame =
+    pqCore(spark, sfDir, nTrain, nQueries, k, rotate = true)
+
+  private val HouseholderMix = 2654435761L
+
+  /** Deterministic unit Householder vector (dim entries): raw
+    * coefficients from the integer mix, normalized with a fixed-order
+    * norm fold — reproducible anywhere. */
+  private[llm] def householderUnit(dim: Int): Array[Double] = {
+    val u = Array.tabulate(dim)(i => ((((i + 1) * HouseholderMix) % 97) - 48) / 48.0)
+    var s = 0.0
+    var i = 0
+    while (i < dim) { s += u(i) * u(i); i += 1 }
+    val n = math.sqrt(s)
+    u.map(_ / n)
+  }
+
+  /** Rx = x − 2u(u·x) — fixed-order dot, then axpy. */
+  private[llm] def reflect(x: Array[Double], u: Array[Double]): Array[Double] = {
+    var dot = 0.0
+    var i = 0
+    while (i < u.length) { dot += u(i) * x(i); i += 1 }
+    val sc = 2.0 * dot
+    Array.tabulate(x.length)(j => x(j) - sc * u(j))
+  }
+
+  private def pqCore(spark: SparkSession, sfDir: String, nTrain: Int,
+                     nQueries: Int, k: Int, rotate: Boolean): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
     val subDim = 16 // 64 dims / M=4 subspaces
     val M = 4
-    val emb = Tables.embeddings(spark, sfDir)
+    val raw = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
       .as[(Long, Array[Double])]
+    val emb = if (!rotate) raw else {
+      val uB = spark.sparkContext.broadcast(householderUnit(64))
+      raw.mapPartitions { it =>
+        val u = uB.value
+        it.map { case (id, x) => (id, reflect(x, u)) }
+      }.toDF("vec_id", "vec").as[(Long, Array[Double])]
+    }
     // Codebook + query vectors are bounded, metadata-sized sets (nTrain
     // and nQueries rows) — collected and broadcast exactly like a dim
     // table, never scaling with the corpus.

@@ -238,6 +238,26 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("householder reflection is an isometric involution") {
+    import graft.llm.SimOps
+    val u = SimOps.householderUnit(64)
+    assert(math.abs(u.map(x => x * x).sum - 1.0) < 1e-12, "u not unit")
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val x = Array.fill(64)(rnd.nextDouble() - 0.5)
+      val rx = SimOps.reflect(x, u)
+      // norm preserved (rotation ⇒ exact distances unchanged)...
+      val n0 = math.sqrt(x.map(v => v * v).sum)
+      val n1 = math.sqrt(rx.map(v => v * v).sum)
+      assert(math.abs(n0 - n1) < 1e-12)
+      // ...and applying R twice returns the original vector
+      val back = SimOps.reflect(rx, u)
+      x.indices.foreach(i => assert(math.abs(back(i) - x(i)) < 1e-12))
+      // R is not the identity: the rotation genuinely mixes dims
+      assert(x.indices.exists(i => math.abs(rx(i) - x(i)) > 1e-6))
+    }
+  }
+
   test("pagerank matches a dense reference iteration and conserves mass") {
     import spark.implicits._
     import graft.operators.PageRank
