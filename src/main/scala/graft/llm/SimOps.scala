@@ -201,7 +201,7 @@ object SimOps {
   /** Deterministic unit Householder vector (dim entries): raw
     * coefficients from the integer mix, normalized with a fixed-order
     * norm fold — reproducible anywhere. */
-  private[llm] def householderUnit(dim: Int): Array[Double] = {
+  private[graft] def householderUnit(dim: Int): Array[Double] = {
     val u = Array.tabulate(dim)(i => ((((i + 1) * HouseholderMix) % 97) - 48) / 48.0)
     var s = 0.0
     var i = 0
@@ -211,7 +211,7 @@ object SimOps {
   }
 
   /** Rx = x − 2u(u·x) — fixed-order dot, then axpy. */
-  private[llm] def reflect(x: Array[Double], u: Array[Double]): Array[Double] = {
+  private[graft] def reflect(x: Array[Double], u: Array[Double]): Array[Double] = {
     var dot = 0.0
     var i = 0
     while (i < u.length) { dot += u(i) * x(i); i += 1 }
