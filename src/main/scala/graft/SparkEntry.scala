@@ -118,6 +118,7 @@ object SparkEntry {
     "tel_apdex"          -> ((s, d) => Telemetry.apdex(s, d)),
     "tel_holt"           -> ((s, d) => Telemetry.holt(s, d)),
     "sim_opq_ann"        -> ((s, d) => SimOps.opqAnn(s, d)),
+    "q_exists_late"      -> (Core.qExistsLate _),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1259,6 +1260,13 @@ object SparkEntry {
         |  + CAST(sum(CASE WHEN value > 50 AND value <= 200 THEN 1 ELSE 0 END) AS DOUBLE)/2)
         |  / count(*) AS apdex
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_exists_late" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders WHERE EXISTS (
+        | SELECT 1 FROM lineitem
+        | WHERE l_orderkey = o_orderkey
+        |   AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
     "tel_holt" ->
       // state rides in a 2-element DOUBLE list [l, b], NOT a struct:
       // DuckDB 1.0 list_reduce mutates the accumulator field-by-field,

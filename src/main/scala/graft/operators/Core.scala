@@ -482,6 +482,24 @@ object Core {
            array_join(array_sort(collect_list($"n_name")), ",").as("nations"))
   }
 
+  /** TPC-H Q4 shape on the available columns: orders with at least one
+    * lineitem shipped > 60 days after the order date, counted per
+    * priority. The EXISTS-correlated subquery plans as ONE left-semi
+    * shuffle join with the non-equi residual evaluated on the joined
+    * rows — no aggregation-then-join double shuffle, and the semi join
+    * short-circuits per order (at 100 TB an order's first late line
+    * settles it; a join+distinct would materialize every late line). */
+  def qExistsLate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    o.join(l, $"l_orderkey" === $"o_orderkey" &&
+             $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+           "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
   /** Correlation / linear-regression aggregates — trend detection over
     * the event stream: per event type, how value drifts with time
     * (slope per day), plus corr and fit quality. All five are single-
