@@ -119,6 +119,7 @@ object SparkEntry {
     "tel_holt"           -> ((s, d) => Telemetry.holt(s, d)),
     "sim_opq_ann"        -> ((s, d) => SimOps.opqAnn(s, d)),
     "q_exists_late"      -> (Core.qExistsLate _),
+    "tel_burn_rate"      -> ((s, d) => Telemetry.burnRate(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1267,6 +1268,23 @@ object SparkEntry {
         | WHERE l_orderkey = o_orderkey
         |   AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY 1""".stripMargin,
+    "tel_burn_rate" ->
+      """WITH h AS (
+        | SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS hus,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+        |  count(*) AS n_tot
+        | FROM events GROUP BY 1),
+        |w AS (
+        | SELECT hus, n_err, n_tot,
+        |  (CAST(n_err AS DOUBLE) / n_tot) / 0.01 AS burn_1h,
+        |  (CAST(sum(n_err) OVER r AS DOUBLE)
+        |   / sum(n_tot) OVER r) / 0.01 AS burn_6h
+        | FROM h
+        | WINDOW r AS (ORDER BY hus RANGE BETWEEN 18000000000 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(make_timestamp(hus), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        | n_err, n_tot, burn_1h, burn_6h,
+        | burn_1h > 1.0 AND burn_6h > 1.0 AS alert
+        |FROM w""".stripMargin,
     "tel_holt" ->
       // state rides in a 2-element DOUBLE list [l, b], NOT a struct:
       // DuckDB 1.0 list_reduce mutates the accumulator field-by-field,

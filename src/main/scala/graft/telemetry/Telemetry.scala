@@ -644,6 +644,34 @@ object Telemetry {
       .agg(max($"conc").as("max_concurrent"), count(lit(1)).as("n_boundaries"))
   }
 
+  /** Multi-window SLO burn rate (the SRE-workbook alert): per hour,
+    * error-budget consumption speed over the hour itself AND a trailing
+    * 6-hour RANGE window; an alert needs BOTH elevated — fast windows
+    * catch onset, slow windows suppress blips. Runs on the hourly
+    * rollup, so the global-ordered window sees #hours rows (~9k/year)
+    * no matter how many raw events feed it — aggregate first, window
+    * the aggregate. Integer counts and exact divisions: bit-identical
+    * in the oracle. */
+  def burnRate(spark: SparkSession, sfDir: String,
+               budget: Double = 0.01): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(unix_micros(date_trunc("hour", $"ts")).as("hus"))
+      .agg(sum(when($"event_type" === "error", 1L).otherwise(0L)).as("n_err"),
+           count(lit(1)).as("n_tot"))
+    val w6 = Window.orderBy($"hus")
+      .rangeBetween(-5L * 3600L * 1000000L, 0L)
+    hourly
+      .withColumn("burn_1h",
+        ($"n_err".cast("double") / $"n_tot") / budget)
+      .withColumn("burn_6h",
+        (sum($"n_err").over(w6).cast("double") / sum($"n_tot").over(w6)) / budget)
+      .select(date_format(timestamp_micros($"hus"), "yyyy-MM-dd HH:mm:ss")
+                .as("hour_start"),
+              $"n_err", $"n_tot", $"burn_1h", $"burn_6h",
+              ($"burn_1h" > 1.0 && $"burn_6h" > 1.0).as("alert"))
+  }
+
   /** Apdex score per (event type, day): satisfied ≤ T, tolerating ≤ 4T,
     * apdex = (satisfied + tolerating/2) / n — the SLO rollup every
     * telemetry backend ships. One conditional aggregation pass, integer
