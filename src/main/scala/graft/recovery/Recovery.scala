@@ -120,6 +120,35 @@ object Recovery {
     } finally reader.close()
   }
 
+  /** Per-file BLOOM FILTER index over a long key column — the point-
+    * lookup complement to zone maps: min/max prunes range predicates,
+    * blooms prune `key = v` needle queries (find one trace / event /
+    * order id in a 100 TB table). One distributed build pass groups
+    * rows by their source file and folds them into a fixed-size sketch;
+    * persisted through a stats-carrying [[VersionedManifest.commit]]
+    * the index lives in the manifest like Iceberg puffin blobs, and
+    * [[VersionedManifest.readPoint]] consults only manifest bytes to
+    * pick the 1+ε files that can contain the key. */
+  def fileBlooms(spark: SparkSession, tablePath: String, column: String,
+                 expectedItems: Long = 100000L,
+                 fpp: Double = 0.03): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(tablePath)
+      .select(input_file_name().as("f"), col(column).cast("long").as("v"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+        it.foreach(t => bf.putLong(t._2))
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        // normalize to Hadoop Path form so the key joins listDataFiles
+        (new Path(f).toString, bos.toByteArray)
+      }
+      .toDF("file_path", "bloom")
+      .withColumn("bloom_col", lit(column))
+  }
+
   /** File-level column statistics (zone map) harvested from parquet
     * FOOTERS — the per-file min/max metrics an Iceberg catalog keeps,
     * reconstructed from storage alone. Metadata-only: footers are read,

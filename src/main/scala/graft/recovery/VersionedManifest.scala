@@ -56,12 +56,47 @@ object VersionedManifest {
     * from this cached metadata alone, never re-reading footers — the
     * Iceberg manifest-metrics pattern. */
   def commit(spark: SparkSession, tablePath: String, manifestDir: String,
-             statsColumn: Option[String] = None): Long = {
+             statsColumn: Option[String] = None,
+             bloomColumn: Option[String] = None): Long = {
     val files = Recovery.listDataFiles(spark, tablePath)
-    val entries = statsColumn.fold(files) { c =>
+    val withStats = statsColumn.fold(files) { c =>
       files.join(Recovery.fileStats(spark, tablePath, c), Seq("file_path"), "left")
     }
+    val entries = bloomColumn.fold(withStats) { c =>
+      withStats.join(Recovery.fileBlooms(spark, tablePath, c),
+                     Seq("file_path"), "left")
+    }
     commitFiles(spark, manifestDir, entries)
+  }
+
+  /** Point-lookup read pruned by MANIFEST-CACHED per-file bloom
+    * filters: only files whose bloom might contain `value` are opened
+    * (plus bloom-less entries, never silently skipped); a residual
+    * filter keeps exactness through false positives. The needle-in-
+    * 100 TB query: cost is one scan of manifest bytes + 1+ε data
+    * files, not a table scan. Bloom membership is checked DISTRIBUTED
+    * over the manifest — a 10^6-file manifest deserializes sketches in
+    * executors, the driver only collects the surviving paths. */
+  def readPoint(spark: SparkSession, tablePath: String, manifestDir: String,
+                value: Long, version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val m = filesAt(spark, manifestDir, version)
+    require(m.columns.contains("bloom"),
+      s"manifest at $manifestDir has no bloom index; commit with bloomColumn")
+    val keyCol = m.filter(col("bloom_col").isNotNull)
+      .select("bloom_col").first().getString(0)
+    val keep = m.select("file_path", "bloom")
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.filter { case (_, b) =>
+          b == null || org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(b))
+            .mightContainLong(value)
+        }.map(_._1)
+      }.collect()
+    val base = if (keep.isEmpty) spark.read.parquet(tablePath).limit(0)
+    else spark.read.option("basePath", tablePath).parquet(keep.toIndexedSeq: _*)
+    base.filter(col(keyCol) === value)
   }
 
   /** Commit an EXPLICIT file list as the next snapshot — the rewrite

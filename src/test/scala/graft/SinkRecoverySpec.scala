@@ -345,6 +345,40 @@ class SinkRecoverySpec extends SparkSpec {
     assert(Recovery.scanMissing(spark, tablePath, pruned).count() === 0)
   }
 
+  test("bloom file index prunes point lookups to a handful of files") {
+    import graft.recovery.VersionedManifest
+    val base = tmp()
+    val table = s"$base/events"
+    val mDir = s"$base/manifests"
+    val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "daily")
+    PartitionedParquetSink.writeBatch(eventsDf, cfg)
+    VersionedManifest.commit(spark, table, mDir,
+      statsColumn = Some("ts"), bloomColumn = Some("event_id"))
+    val nFiles = Recovery.listDataFiles(spark, table).count()
+    assert(nFiles > 10, s"fixture too small to prove pruning: $nFiles files")
+
+    // every event id must be found exactly (no false negatives, ever)
+    val probes = eventsDf.select("event_id").collect().map(_.getLong(0)).take(5)
+    probes.foreach { id =>
+      val got = VersionedManifest.readPoint(spark, table, mDir, id)
+      assert(got.count() === 1, s"event $id not found exactly once")
+      assert(got.collect()(0).getAs[Long]("event_id") === id)
+    }
+
+    // pruning: the bloom check must admit FAR fewer files than the table
+    import spark.implicits._
+    val m = VersionedManifest.filesAt(spark, mDir)
+    val admitted = m.select("bloom").as[Array[Byte]].collect().count { b =>
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(b))
+        .mightContainLong(probes.head)
+    }
+    assert(admitted <= math.max(2, nFiles / 4),
+      s"bloom admitted $admitted of $nFiles files")
+    // a key that never existed reads zero rows through the same path
+    assert(VersionedManifest.readPoint(spark, table, mDir, -987654321L).count() === 0)
+  }
+
   test("incremental read returns exactly the rows added between snapshots") {
     import graft.recovery.VersionedManifest
     val base = tmp()
