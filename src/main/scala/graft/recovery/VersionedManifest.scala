@@ -4,6 +4,8 @@ import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sink.PartitionedParquetSink
+
 /** Iceberg-lite snapshot log: the versioned-manifest + pointer scheme
   * that gives the reference's catalog its snapshot isolation and time
   * travel, reconstructed on plain storage.
@@ -128,6 +130,55 @@ object VersionedManifest {
     fc.rename(fc.makeQualified(tmp), fc.makeQualified(versionPath(manifestDir)),
               Options.Rename.OVERWRITE)
     next
+  }
+
+  /** Copy-on-write MERGE (upsert): rows in `updates` replace current
+    * rows with the same `keyCol`; everything else is untouched. Only
+    * the files that CONTAIN an updated key are rewritten — their
+    * surviving rows and the updates are written as new files, and the
+    * next snapshot is (untouched entries) ∪ (new files) via
+    * [[commitFiles]]. Superseded files stay readable through older
+    * snapshots until [[expireSnapshots]] — Iceberg's copy-on-write
+    * MERGE INTO lifecycle on plain storage. At 100 TB the rewrite cost
+    * is proportional to files-touched, not table size, which is why
+    * the affected-file probe (a broadcast semi-join against the update
+    * keys) matters as much as the rewrite itself. Returns the new
+    * version. */
+  def upsert(spark: SparkSession, tablePath: String, manifestDir: String,
+             updates: DataFrame, keyCol: String,
+             cfg: PartitionedParquetSink.SinkConfig,
+             statsColumn: Option[String] = None): Long = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    val snap = readAt(spark, tablePath, manifestDir)
+    val partCols = PartitionedParquetSink.partitionColumns(cfg.granularity)
+    val dataCols = snap.columns.filterNot(partCols.contains).map(col)
+    val keys = updates.select(col(keyCol)).distinct().localCheckpoint()
+    val withFile = snap.withColumn("_src", input_file_name()).localCheckpoint()
+    // raw input_file_name form for row filtering, Hadoop-Path form for
+    // manifest matching (the two differ in slash count)
+    val affectedRaw = withFile.join(broadcast(keys), Seq(keyCol), "left_semi")
+      .select($"_src").distinct().as[String].collect()
+    val affectedNorm = affectedRaw.map(p => new Path(p).toString).toSet
+    val untouched = filesAt(spark, manifestDir)
+      .filter(!col("file_path").isin(affectedNorm.toSeq: _*))
+    val survivors = withFile
+      .filter(col("_src").isin(affectedRaw.toIndexedSeq: _*))
+      .join(broadcast(keys), Seq(keyCol), "left_anti")
+    val before = Recovery.listDataFiles(spark, tablePath)
+      .select("file_path").as[String].collect().toSet
+    val newData = survivors.select(dataCols: _*)
+      .unionByName(updates.select(dataCols: _*))
+    PartitionedParquetSink.writeBatch(newData, cfg)
+    spark.catalog.refreshByPath(tablePath)
+    val newEntries = Recovery.listDataFiles(spark, tablePath)
+      .filter(!col("file_path").isin(before.toSeq: _*))
+    val newWithStats = statsColumn.fold(newEntries) { c =>
+      newEntries.join(Recovery.fileStats(spark, tablePath, c),
+                      Seq("file_path"), "left")
+    }
+    commitFiles(spark, manifestDir,
+      untouched.unionByName(newWithStats, allowMissingColumns = true))
   }
 
   /** Incremental (CDC-style) read: rows in files ADDED between two

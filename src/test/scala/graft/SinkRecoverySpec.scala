@@ -345,6 +345,53 @@ class SinkRecoverySpec extends SparkSpec {
     assert(Recovery.scanMissing(spark, tablePath, pruned).count() === 0)
   }
 
+  test("copy-on-write upsert rewrites only affected files, keeps time travel") {
+    import graft.recovery.VersionedManifest
+    val base = tmp()
+    val table = s"$base/events"
+    val mDir = s"$base/manifests"
+    val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "daily")
+    PartitionedParquetSink.writeBatch(eventsDf, cfg)
+    val v1 = VersionedManifest.commit(spark, table, mDir, statsColumn = Some("ts"))
+    val v1Files = VersionedManifest.filesAt(spark, mDir, Some(v1))
+      .select("file_path").collect().map(_.getString(0)).toSet
+
+    // update 3 day-1 events' value — only day-1 files should rewrite
+    val ids = eventsDf.filter(dayofmonth(col("ts")) === 1)
+      .select("event_id").limit(3).collect().map(_.getLong(0))
+    val updates = eventsDf.filter(col("event_id").isin(ids.toSeq: _*))
+      .withColumn("value", lit(9999.5))
+    val v2 = VersionedManifest.upsert(spark, table, mDir, updates, "event_id",
+      cfg, statsColumn = Some("ts"))
+    spark.catalog.refreshByPath(table)
+
+    val now = VersionedManifest.readAt(spark, table, mDir, Some(v2))
+    assert(now.count() === eventsDf.count(), "row count must be preserved")
+    val updated = now.filter(col("event_id").isin(ids.toSeq: _*))
+      .select("value").collect().map(_.getDouble(0))
+    assert(updated.length === 3 && updated.forall(_ === 9999.5))
+    // untouched key unchanged
+    val other = now.filter(!col("event_id").isin(ids.toSeq: _*))
+      .agg(sum(col("value"))).collect()(0).getDouble(0)
+    val expOther = eventsDf.filter(!col("event_id").isin(ids.toSeq: _*))
+      .agg(sum(col("value"))).collect()(0).getDouble(0)
+    assert(math.abs(other - expOther) < 1e-6)
+
+    // time travel: v1 still serves the ORIGINAL values
+    val old = VersionedManifest.readAt(spark, table, mDir, Some(v1))
+      .filter(col("event_id") === ids.head).select("value").collect()
+    assert(old.length === 1)
+    assert(old(0).getDouble(0) !== 9999.5)
+
+    // file economy: v2 reuses every untouched v1 file
+    val v2Files = VersionedManifest.filesAt(spark, mDir, Some(v2))
+      .select("file_path").collect().map(_.getString(0)).toSet
+    val reused = (v1Files intersect v2Files).size
+    assert(reused >= v1Files.size - 2,
+      s"upsert rewrote too much: kept $reused of ${v1Files.size}")
+    assert(v2Files != v1Files)
+  }
+
   test("bloom file index prunes point lookups to a handful of files") {
     import graft.recovery.VersionedManifest
     val base = tmp()
