@@ -49,6 +49,36 @@ object StreamingIngest {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming CDC apply: each micro-batch of keyed changes UPSERTS
+    * into the versioned table — the Iceberg copy-on-write MERGE run
+    * from foreachBatch, one snapshot per batch. The first batch
+    * bootstraps the table (plain write + commit); later batches rewrite
+    * only the files containing changed keys
+    * ([[graft.recovery.VersionedManifest.upsert]]), so per-batch cost
+    * scales with the delta, not the table. AvailableNow + the
+    * checkpoint make restarts resume at the next unapplied batch, and
+    * snapshot-per-batch means a consumer can time-travel to any batch
+    * boundary or tail the log with readIncremental. */
+  def cdcApply(changes: DataFrame, cfg: SinkConfig, checkpoint: String,
+               manifestDir: String, keyCol: String): StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val table = PartitionedParquetSink.tablePath(cfg)
+        val delta = batch.localCheckpoint()
+        if (graft.recovery.VersionedManifest.versions(spark, manifestDir).isEmpty) {
+          PartitionedParquetSink.writeBatch(delta, cfg)
+          graft.recovery.VersionedManifest.commit(spark, table, manifestDir)
+        } else {
+          graft.recovery.VersionedManifest.upsert(
+            spark, table, manifestDir, delta, keyCol, cfg)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming dedup on the record id within the watermark horizon —
     * turns an at-least-once upstream (the reference's delivery model,
     * exporter.go retry path) into exactly-once rows downstream. State

@@ -89,6 +89,48 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/events").count() === batch.count())
   }
 
+  test("streaming CDC apply upserts each micro-batch into a new snapshot") {
+    import graft.recovery.VersionedManifest
+    val base = Files.createTempDirectory("graft-stream-cdc").toString
+    val (srcDir, chk, mDir) = (s"$base/src", s"$base/chk", s"$base/manifest")
+    val table = s"$base/events"
+    val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "daily")
+    val ev = Tables.events(spark, sf)
+    val batch1 = ev.filter(dayofmonth(col("ts")) <= 5)
+    batch1.write.parquet(srcDir)
+
+    def run(): Unit = {
+      val q = StreamingIngest.cdcApply(
+        spark.readStream.schema(ev.schema).parquet(srcDir), cfg, chk, mDir,
+        "event_id")
+      q.awaitTermination()
+    }
+    run() // bootstrap snapshot
+    val v1 = VersionedManifest.currentVersion(spark, mDir)
+    assert(VersionedManifest.readAt(spark, table, mDir).count() === batch1.count())
+
+    // change batch: two updates + one brand-new key, appended to the
+    // source — the checkpoint makes run 2 process ONLY this file
+    val ids = batch1.select("event_id").limit(2).collect().map(_.getLong(0))
+    val changes = ev.filter(col("event_id").isin(ids.toSeq: _*))
+      .withColumn("value", lit(111.5))
+      .unionByName(batch1.limit(1).withColumn("event_id", lit(999999999L)))
+    changes.coalesce(1).write.mode("append").parquet(srcDir)
+    run() // resume from checkpoint, apply the delta
+
+    spark.catalog.refreshByPath(table)
+    val now = VersionedManifest.readAt(spark, table, mDir)
+    assert(now.count() === batch1.count() + 1, "insert must add one row")
+    val upd = now.filter(col("event_id").isin(ids.toSeq: _*))
+      .select("value").collect().map(_.getDouble(0))
+    assert(upd.length === 2 && upd.forall(_ === 111.5))
+    assert(now.filter(col("event_id") === 999999999L).count() === 1)
+    // the bootstrap snapshot still serves pre-CDC values
+    val old = VersionedManifest.readAt(spark, table, mDir, Some(v1))
+    assert(old.count() === batch1.count())
+    assert(old.filter(col("event_id") === 999999999L).count() === 0)
+  }
+
   test("update-mode materialized view converges to the batch rollup") {
     val base = Files.createTempDirectory("graft-stream-mv").toString
     val batch = Tables.events(spark, sf)
