@@ -345,6 +345,41 @@ class SinkRecoverySpec extends SparkSpec {
     assert(Recovery.scanMissing(spark, tablePath, pruned).count() === 0)
   }
 
+  test("partition evolution: granularity rewrite commits as a snapshot, old layout expires") {
+    import graft.recovery.VersionedManifest
+    val base = tmp()
+    val mDir = s"$base/manifests"
+    val hourly = SinkConfig(base, "events_hourly", tsColumn = "ts", granularity = "hourly")
+    val daily = SinkConfig(base, "events_daily", tsColumn = "ts", granularity = "daily")
+    PartitionedParquetSink.writeBatch(eventsDf, hourly)
+    val hourlyPath = PartitionedParquetSink.tablePath(hourly)
+    val dailyPath = PartitionedParquetSink.tablePath(daily)
+    val v1 = VersionedManifest.commit(spark, hourlyPath, mDir)
+
+    // evolve: rewrite at daily granularity, commit the NEW layout's
+    // files as the next snapshot of the SAME manifest log — absolute
+    // paths make the log layout-agnostic, exactly like Iceberg metadata
+    Recovery.repartition(spark, hourly, daily)
+    val v2 = VersionedManifest.commitFiles(
+      spark, mDir, Recovery.listDataFiles(spark, dailyPath))
+
+    val n = eventsDf.count()
+    assert(VersionedManifest.readAt(spark, hourlyPath, mDir, Some(v1)).count() === n)
+    val evolved = VersionedManifest.readAt(spark, dailyPath, mDir, Some(v2))
+    assert(evolved.count() === n)
+    // daily layout: no hour partition column survives the rewrite
+    assert(!evolved.columns.contains("hour") && evolved.columns.contains("day"))
+
+    // expiry GCs the ENTIRE hourly generation (cross-directory paths)
+    val hourlyFiles = Recovery.listDataFiles(spark, hourlyPath).count()
+    val (expired, deleted) = VersionedManifest.expireSnapshots(spark, mDir, keepLast = 1)
+    assert(expired === Seq(v1))
+    assert(deleted === hourlyFiles)
+    assert(Recovery.listDataFiles(spark, hourlyPath).count() === 0)
+    spark.catalog.refreshByPath(dailyPath)
+    assert(VersionedManifest.readAt(spark, dailyPath, mDir).count() === n)
+  }
+
   test("copy-on-write upsert rewrites only affected files, keeps time travel") {
     import graft.recovery.VersionedManifest
     val base = tmp()
