@@ -120,6 +120,7 @@ object SparkEntry {
     "sim_opq_ann"        -> ((s, d) => SimOps.opqAnn(s, d)),
     "q_exists_late"      -> (Core.qExistsLate _),
     "tel_burn_rate"      -> ((s, d) => Telemetry.burnRate(s, d)),
+    "tel_heatmap"        -> (Telemetry.heatmap _),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1285,6 +1286,13 @@ object SparkEntry {
         | n_err, n_tot, burn_1h, burn_6h,
         | burn_1h > 1.0 AND burn_6h > 1.0 AS alert
         |FROM w""".stripMargin,
+    "tel_heatmap" ->
+      // Spark dayofweek is 1=Sunday..7; DuckDB dow is 0=Sunday..6
+      """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        | CAST(hour(ts) AS BIGINT) AS hod,
+        | count(*) AS n_events, round(sum(value), 4) AS sum_value,
+        | round(round(sum(value), 4) / count(*), 4) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "tel_holt" ->
       // state rides in a 2-element DOUBLE list [l, b], NOT a struct:
       // DuckDB 1.0 list_reduce mutates the accumulator field-by-field,

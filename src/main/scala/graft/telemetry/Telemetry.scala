@@ -644,6 +644,22 @@ object Telemetry {
       .agg(max($"conc").as("max_concurrent"), count(lit(1)).as("n_boundaries"))
   }
 
+  /** Weekly seasonality heatmap: (day-of-week × hour-of-day) traffic
+    * matrix — the dashboard view behind capacity planning and
+    * "is this dip normal for a Sunday 3am". One hash aggregation onto
+    * a 168-cell key space (map-side combine collapses everything
+    * before the shuffle); avg from an exact integer count and a
+    * round-4 sum, the oracle-parity form. */
+  def heatmap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(dayofweek($"ts").cast("long").as("dow"),
+               hour($"ts").cast("long").as("hod"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum($"value"), 4).as("sum_value"))
+      .withColumn("avg_value", round($"sum_value" / $"n_events", 4))
+  }
+
   /** Multi-window SLO burn rate (the SRE-workbook alert): per hour,
     * error-budget consumption speed over the hour itself AND a trailing
     * 6-hour RANGE window; an alert needs BOTH elevated — fast windows
