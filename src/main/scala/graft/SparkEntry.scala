@@ -121,6 +121,7 @@ object SparkEntry {
     "q_exists_late"      -> (Core.qExistsLate _),
     "tel_burn_rate"      -> ((s, d) => Telemetry.burnRate(s, d)),
     "tel_heatmap"        -> (Telemetry.heatmap _),
+    "dedup_ngram_prefix" -> ((s, d) => Dedup.ngramJaccardPrefix(s, d, threshold = 0.5)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -419,26 +420,7 @@ object SparkEntry {
         |   PARTITION BY doc_id ORDER BY score DESC, lang_code DESC) AS rn
         | FROM scores)
         |SELECT doc_id, lang_code AS pred_lang, score FROM r WHERE rn = 1""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      """WITH toks AS (
-        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
-        | FROM documents),
-        |sh AS (
-        | SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
-        |   THEN [array_to_string(t[i:i+2],' ') for i in generate_series(1,len(t)-2)]
-        |   ELSE [array_to_string(t,' ')] END) AS s
-        | FROM toks),
-        |post AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
-        |pairs AS (
-        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
-        |  count(*) AS inter
-        | FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        | GROUP BY 1,2,3,4)
-        |SELECT doc_a, doc_b, inter, jaccard FROM (
-        | SELECT doc_a, doc_b, inter,
-        |  CAST(round(CAST(CAST(inter*1.0/(na+nb-inter) AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS jaccard
-        | FROM pairs) p
-        |WHERE jaccard >= 0.2""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramJaccardOracle("0.2"),
     "dedup_embedding_cosine" ->
       """WITH n AS (
         | SELECT vec_id, label, embedding::DOUBLE[] AS vec,
@@ -1195,7 +1177,7 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
   )
 
-  private val FunnelRetentionCorrOracles: Map[String, String] = Map(
+  private lazy val FunnelRetentionCorrOracles: Map[String, String] = Map(
     "tel_funnel" ->
       """WITH e AS (
         | SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
@@ -1286,6 +1268,11 @@ object SparkEntry {
         | n_err, n_tot, burn_1h, burn_6h,
         | burn_1h > 1.0 AND burn_6h > 1.0 AS alert
         |FROM w""".stripMargin,
+    "dedup_ngram_prefix" ->
+      // prefix filtering's natural operating point is HIGH thresholds
+      // (prefix length n−⌈t·n⌉+1 shrinks as t grows); the inverted-index
+      // strategy keeps the low-threshold mining regime
+      ngramJaccardOracle("0.5"),
     "tel_heatmap" ->
       // Spark dayofweek is 1=Sunday..7; DuckDB dow is 0=Sunday..6
       """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
@@ -1328,11 +1315,35 @@ object SparkEntry {
         |FROM e GROUP BY 1""".stripMargin,
   )
 
+  /** One logical op, two physical strategies (inverted-index join at
+    * t=0.2 mining, prefix-filtered ssjoin at t=0.5 dup detection) —
+    * each hash-matches this oracle at its own threshold. */
+  private def ngramJaccardOracle(t: String): String =
+    """WITH toks AS (
+      | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
+      | FROM documents),
+      |sh AS (
+      | SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |   THEN [array_to_string(t[i:i+2],' ') for i in generate_series(1,len(t)-2)]
+      |   ELSE [array_to_string(t,' ')] END) AS s
+      | FROM toks),
+      |post AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+      |pairs AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+      |  count(*) AS inter
+      | FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      | GROUP BY 1,2,3,4)
+      |SELECT doc_a, doc_b, inter, jaccard FROM (
+      | SELECT doc_a, doc_b, inter,
+      |  CAST(round(CAST(CAST(inter*1.0/(na+nb-inter) AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS jaccard
+      | FROM pairs) p
+      |WHERE jaccard >= TTT""".stripMargin.replace("TTT", t)
+
   /** The shared PQ/ADC oracle pipeline (tr → sc → codes → lut → adc →
     * top-5), parameterized only by the `v(vec_id, e)` CTE that feeds it
     * — identical for raw ([[oracleSql]] sim_pq_ann) and Householder-
     * rotated (sim_opq_ann) inputs. */
-  private val PqOracleTail: String =
+  private lazy val PqOracleTail: String =
     """tr AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
       |sc AS (
       | SELECT v.vec_id, tr.cid, sp.s,
@@ -1370,7 +1381,7 @@ object SparkEntry {
     * iters=2, dim=64). Exact BIGINT cluster sums, exact IEEE mean
     * division, fixed-dim-order list_reduce distance folds: every value
     * matches the Spark side bit-for-bit. `af` = final assignment. */
-  private val KmeansCtes: String =
+  private lazy val KmeansCtes: String =
     """WITH v AS (
       | SELECT vec_id,
       |  list_transform(embedding::DOUBLE[],

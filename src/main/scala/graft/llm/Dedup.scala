@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -328,6 +329,49 @@ object Dedup {
               $"nb" * (threshold - 1e-4) <= $"na")
       .groupBy($"doc_a", $"doc_b", $"na", $"nb")
       .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 4))
+      .filter($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", $"inter", $"jaccard")
+  }
+
+  /** Prefix-filtered EXACT set-similarity join (ppjoin's prefix filter)
+    * — the same output as [[ngramJaccard]] from a different physical
+    * strategy: under ONE global total shingle order, any pair with
+    * J ≥ t must share a shingle inside BOTH docs' first n−⌈t·n⌉+1
+    * shingles, so only PREFIX postings join; full sets verify just the
+    * surviving candidates via array_intersect. The order here is plain
+    * hash order, making the prefix a NARROW `slice(sort_array(sh))` —
+    * no document-frequency pass, no per-doc window, no extra shuffle
+    * (rarest-first ordering prunes more on boilerplate-heavy corpora
+    * at the price of a df aggregation + rank). The prefix join touches
+    * a fraction of the co-occurrence pairs the full inverted-index
+    * join grinds through when shingles repeat across docs;
+    * [[ngramJaccard]]'s single join wins where they don't. Threshold
+    * is slackened by the same 1e-4 as the size-ratio prune so pairs
+    * whose ROUNDED jaccard reaches t are never pruned — outputs match
+    * bit-for-bit. */
+  def ngramJaccardPrefix(spark: SparkSession, sfDir: String,
+                         threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val docs = shingles(spark, sfDir).toDF()
+      .select($"doc_id", $"sh", size($"sh").cast("long").as("n_sh"))
+      .localCheckpoint()
+    val t = threshold - 1e-4
+    val prefix = docs.select(
+        explode(slice(sort_array($"sh"), lit(1),
+          ($"n_sh" - ceil(lit(t) * $"n_sh") + 1).cast("int"))).as("shingle"),
+        $"doc_id")
+    val cand = prefix.select($"shingle", $"doc_id".as("doc_a"))
+      .join(prefix.select($"shingle", $"doc_id".as("doc_b")), "shingle")
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    cand
+      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"),
+                        $"n_sh".as("na")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"),
+                        $"n_sh".as("nb")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect($"sh_a", $"sh_b")).cast("long"))
       .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 4))
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"inter", $"jaccard")

@@ -238,6 +238,18 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered ssjoin returns exactly the inverted-index join's pairs") {
+    import graft.llm.Dedup
+    for (t <- Seq(0.2, 0.5)) {
+      val a = Dedup.ngramJaccard(spark, sf, threshold = t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val b = Dedup.ngramJaccardPrefix(spark, sf, threshold = t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(a === b, s"strategies disagree at t=$t")
+      assert(a.nonEmpty, s"fixture produced no pairs at t=$t")
+    }
+  }
+
   test("householder reflection is an isometric involution") {
     import graft.llm.SimOps
     val u = SimOps.householderUnit(64)
