@@ -157,22 +157,26 @@ object VersionedManifest {
     val withFile = snap.withColumn("_src", input_file_name()).localCheckpoint()
     // raw input_file_name form for row filtering, Hadoop-Path form for
     // manifest matching (the two differ in slash count)
+    // affected-file sets flow through JOINS, not isin literals — a wide
+    // update can touch 10^5 files and an isin that large is a plan tree,
+    // not a filter
     val affectedRaw = withFile.join(broadcast(keys), Seq(keyCol), "left_semi")
       .select($"_src").distinct().as[String].collect()
-    val affectedNorm = affectedRaw.map(p => new Path(p).toString).toSet
+    val affectedNormDf = affectedRaw.map(p => new Path(p).toString).toSeq
+      .toDF("file_path")
     val untouched = filesAt(spark, manifestDir)
-      .filter(!col("file_path").isin(affectedNorm.toSeq: _*))
+      .join(broadcast(affectedNormDf), Seq("file_path"), "left_anti")
     val survivors = withFile
-      .filter(col("_src").isin(affectedRaw.toIndexedSeq: _*))
+      .join(broadcast(affectedRaw.toSeq.toDF("_src")), Seq("_src"), "left_semi")
       .join(broadcast(keys), Seq(keyCol), "left_anti")
     val before = Recovery.listDataFiles(spark, tablePath)
-      .select("file_path").as[String].collect().toSet
+      .select("file_path").localCheckpoint()
     val newData = survivors.select(dataCols: _*)
       .unionByName(updates.select(dataCols: _*))
     PartitionedParquetSink.writeBatch(newData, cfg)
     spark.catalog.refreshByPath(tablePath)
     val newEntries = Recovery.listDataFiles(spark, tablePath)
-      .filter(!col("file_path").isin(before.toSeq: _*))
+      .join(broadcast(before), Seq("file_path"), "left_anti")
     val newWithStats = statsColumn.fold(newEntries) { c =>
       newEntries.join(Recovery.fileStats(spark, tablePath, c),
                       Seq("file_path"), "left")
