@@ -79,6 +79,32 @@ object StreamingIngest {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming trending top-k: the k most frequent event types per
+    * 1-hour window, emitted when the watermark closes the window — two
+    * CHAINED stateful aggregations (windowed count, then windowed
+    * bounded top-k through the custom
+    * [[graft.functions.TopKStructs]] aggregate), the Spark-4
+    * multiple-stateful-operator pipeline. State stays bounded: counts
+    * per (window, type) in op 1, k structs per window in op 2 — the
+    * raw stream is never buffered. */
+  def trendingTopK(events: DataFrame, k: Int = 3,
+                   tsCol: String = "ts"): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    events
+      .withWatermark(tsCol, "10 minutes")
+      .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("window"))
+      .agg(call_function("top_k_structs",
+        struct(col("n"), col("event_type")), lit(k),
+        array(lit(false), lit(true)), array(lit(false), lit(false)))
+        .as("top"))
+      .select(col("window.start").as("window_start"),
+              posexplode(col("top")))
+      .select(col("window_start"), (col("pos") + 1).as("rnk"),
+              col("col.event_type").as("event_type"), col("col.n").as("n"))
+  }
+
   /** Streaming dedup on the record id within the watermark horizon —
     * turns an at-least-once upstream (the reference's delivery model,
     * exporter.go retry path) into exactly-once rows downstream. State

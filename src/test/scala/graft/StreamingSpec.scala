@@ -89,6 +89,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/events").count() === batch.count())
   }
 
+  test("chained stateful ops emit per-window top-k when the watermark closes") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L // 2024-01-01T00:00:00Z
+    def ts(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val out = StreamingIngest.trendingTopK(
+      input.toDF().toDF("ts", "event_type"), k = 2)
+    val q = out.writeStream.format("memory").queryName("trend_out")
+      .outputMode("append").start()
+    try {
+      // window 00:00-01:00 — x:3, y:2, z:1
+      input.addData(Seq("x", "x", "x", "y", "y", "z").zipWithIndex
+        .map { case (t, i) => (ts(i.toLong), t) }: _*)
+      q.processAllAvailable()
+      assert(spark.sql("select * from trend_out").count() === 0,
+        "window must not emit before the watermark closes it")
+      // advance the watermark far past the window end
+      input.addData((ts(200), "x"))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from trend_out").collect()
+        .map(r => (r.getAs[Long]("rnk"), r.getAs[String]("event_type"),
+                   r.getAs[Long]("n")))
+      assert(rows.toSet === Set((1L, "x", 3L), (2L, "y", 2L)))
+    } finally q.stop()
+  }
+
   test("streaming CDC apply upserts each micro-batch into a new snapshot") {
     import graft.recovery.VersionedManifest
     val base = Files.createTempDirectory("graft-stream-cdc").toString
