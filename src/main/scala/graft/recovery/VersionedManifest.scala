@@ -242,10 +242,13 @@ object VersionedManifest {
       filesAt(spark, manifestDir, Some(v)).select("file_path")).reduce(_ union _)
     val doomed = exp.distinct().join(keep.distinct(), Seq("file_path"), "left_anti")
     val acc = spark.sparkContext.longAccumulator("graft.expired.files")
+    // ship the driver's hadoop conf so executor-side deletes see the
+    // same filesystem credentials/settings (an object store needs them)
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     doomed.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-      // executor-side FS handle; default Configuration resolves the
-      // same scheme the absolute file_path URIs carry
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = confB.value.value
       it.foreach { r =>
         val p = new Path(r.getString(0))
         if (p.getFileSystem(conf).delete(p, false)) acc.add(1)
