@@ -121,6 +121,7 @@ object SparkEntry {
     "q_exists_late"      -> (Core.qExistsLate _),
     "tel_burn_rate"      -> ((s, d) => Telemetry.burnRate(s, d)),
     "tel_heatmap"        -> (Telemetry.heatmap _),
+    "tel_active_users"   -> (Telemetry.activeUsers _),
     "dedup_ngram_prefix" -> ((s, d) => Dedup.ngramJaccardPrefix(s, d, threshold = 0.5)),
   )
 
@@ -1273,6 +1274,15 @@ object SparkEntry {
       // (prefix length n−⌈t·n⌉+1 shrinks as t grows); the inverted-index
       // strategy keeps the low-threshold mining regime
       ngramJaccardOracle("0.5"),
+    "tel_active_users" ->
+      """WITH act AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+        |spine AS (SELECT DISTINCT d AS day FROM act)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        | count(DISTINCT CASE WHEN d = day THEN user_id END) AS dau,
+        | count(DISTINCT CASE WHEN d >= day - 6 THEN user_id END) AS wau,
+        | count(DISTINCT user_id) AS mau
+        |FROM act JOIN spine ON d <= day AND d >= day - 27
+        |GROUP BY spine.day""".stripMargin,
     "tel_heatmap" ->
       // Spark dayofweek is 1=Sunday..7; DuckDB dow is 0=Sunday..6
       """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,

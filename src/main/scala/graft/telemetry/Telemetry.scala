@@ -644,6 +644,31 @@ object Telemetry {
       .agg(max($"conc").as("max_concurrent"), count(lit(1)).as("n_boundaries"))
   }
 
+  /** Rolling active users — DAU / WAU(7d) / MAU(28d) per day, the
+    * growth dashboard's spine. ONE range join of the day spine against
+    * the distinct (user, day) activity (spine is date-cardinality —
+    * broadcast; activity is users×days, already distinct), then three
+    * conditional COUNT DISTINCTs in a single aggregation. At raw-event
+    * scale the distinct-activity rollup is the only pass that touches
+    * the stream; everything after runs on |users|·|days| rows. Exact
+    * integer counts — trivially oracle-parity. */
+  def activeUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val act = Tables.events(spark, sfDir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+      .localCheckpoint()
+    val spine = act.select($"d".as("day")).distinct()
+    act.join(broadcast(spine),
+        $"d" <= $"day" && $"d" >= date_sub($"day", 27))
+      .groupBy($"day")
+      .agg(
+        countDistinct(when($"d" === $"day", $"user_id")).as("dau"),
+        countDistinct(when($"d" >= date_sub($"day", 6), $"user_id")).as("wau"),
+        countDistinct($"user_id").as("mau"))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+              $"dau", $"wau", $"mau")
+  }
+
   /** Weekly seasonality heatmap: (day-of-week × hour-of-day) traffic
     * matrix — the dashboard view behind capacity planning and
     * "is this dip normal for a Sunday 3am". One hash aggregation onto

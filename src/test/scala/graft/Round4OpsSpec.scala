@@ -238,6 +238,24 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("active users: dau <= wau <= mau and dau equals the daily distinct") {
+    import spark.implicits._
+    val rows = Telemetry.activeUsers(spark, sf).collect()
+    assert(rows.length === 30)
+    rows.foreach { r =>
+      val (dau, wau, mau) =
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"), r.getAs[Long]("mau"))
+      assert(dau <= wau && wau <= mau)
+      assert(dau > 0)
+    }
+    val direct = graft.Tables.events(spark, sf)
+      .groupBy(date_format(to_date($"ts"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct($"user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Long]("dau") === direct(r.getAs[String]("day"))))
+  }
+
   test("prefix-filtered ssjoin returns exactly the inverted-index join's pairs") {
     import graft.llm.Dedup
     for (t <- Seq(0.2, 0.5)) {
