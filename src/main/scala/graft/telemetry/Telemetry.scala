@@ -645,21 +645,25 @@ object Telemetry {
   }
 
   /** Rolling active users — DAU / WAU(7d) / MAU(28d) per day, the
-    * growth dashboard's spine. ONE range join of the day spine against
-    * the distinct (user, day) activity (spine is date-cardinality —
-    * broadcast; activity is users×days, already distinct), then three
-    * conditional COUNT DISTINCTs in a single aggregation. At raw-event
-    * scale the distinct-activity rollup is the only pass that touches
-    * the stream; everything after runs on |users|·|days| rows. Exact
-    * integer counts — trivially oracle-parity. */
+    * growth dashboard's spine. NO range join: each distinct (user, day)
+    * activity row EXPLODES into the 28 anchor days it contributes to
+    * (a narrow 28× generate — cheaper than any non-equi join shape),
+    * then one hash aggregation computes three conditional COUNT
+    * DISTINCTs; a broadcast equi-semi-join against the day spine drops
+    * anchors past the data's horizon. At raw-event scale the
+    * distinct-activity rollup is the only pass that touches the
+    * stream; everything after runs on 28·|users|·|days| skinny rows.
+    * Exact integer counts — trivially oracle-parity. */
   def activeUsers(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val act = Tables.events(spark, sfDir)
       .select($"user_id", to_date($"ts").as("d")).distinct()
       .localCheckpoint()
     val spine = act.select($"d".as("day")).distinct()
-    act.join(broadcast(spine),
-        $"d" <= $"day" && $"d" >= date_sub($"day", 27))
+    act
+      .select($"user_id", $"d",
+        explode(expr("sequence(d, date_add(d, 27))")).as("day"))
+      .join(broadcast(spine), Seq("day"), "left_semi")
       .groupBy($"day")
       .agg(
         countDistinct(when($"d" === $"day", $"user_id")).as("dau"),
