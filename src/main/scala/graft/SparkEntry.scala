@@ -123,6 +123,11 @@ object SparkEntry {
     "tel_heatmap"        -> (Telemetry.heatmap _),
     "tel_active_users"   -> (Telemetry.activeUsers _),
     "dedup_ngram_prefix" -> ((s, d) => Dedup.ngramJaccardPrefix(s, d, threshold = 0.5)),
+    "tel_transitions"    -> (Telemetry.transitions _),
+    "tel_top_movers"     -> (Telemetry.weekOverWeek _),
+    "text_weighted_sample" -> ((s, d) => TextOps.weightedSample(s, d)),
+    "q_table_profile"    -> (Core.qTableProfile _),
+    "dedup_edit_distance" -> ((s, d) => Dedup.editDistance(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1323,6 +1328,85 @@ object SparkEntry {
         | round(regr_intercept(value, days), 6) AS intercept,
         | round(regr_r2(value, days), 6) AS r2
         |FROM e GROUP BY 1""".stripMargin,
+    "tel_transitions" ->
+      """WITH seq AS (
+        | SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS to_type
+        | FROM events),
+        |c AS (
+        | SELECT from_type, to_type, count(*) AS n
+        | FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        | CAST(n AS DOUBLE)
+        |  / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM c""".stripMargin,
+    "tel_top_movers" ->
+      """WITH weekly AS (
+        | SELECT event_type, date_trunc('week', ts) AS wk, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |m AS (
+        | SELECT event_type, wk, n,
+        |  lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n
+        | FROM weekly),
+        |d AS (
+        | SELECT event_type, wk, n, prev_n, n - prev_n AS delta,
+        |  CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE) AS pct
+        | FROM m WHERE prev_n IS NOT NULL)
+        |SELECT strftime(wk, '%Y-%m-%d') AS week_start, event_type,
+        | CAST(n AS BIGINT) AS n, CAST(prev_n AS BIGINT) AS prev_n,
+        | CAST(delta AS BIGINT) AS delta, pct, CAST(rnk AS BIGINT) AS rnk
+        |FROM (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY wk ORDER BY abs(pct) DESC, event_type) AS rnk
+        | FROM d) t
+        |WHERE rnk <= 3""".stripMargin,
+    "text_weighted_sample" ->
+      """WITH d AS (
+        | SELECT doc_id, lang, n_chars,
+        |  sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  greatest(1, sum(n_chars) OVER (PARTITION BY lang) // 50) AS stride
+        | FROM documents)
+        |SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        | CAST(cum AS BIGINT) AS cum
+        |FROM d
+        |WHERE cum // stride > (cum - n_chars) // stride""".stripMargin,
+    "q_table_profile" ->
+      """WITH s AS (
+        | SELECT count(*) AS n,
+        |  count(event_id) AS nn_eid, count(DISTINCT event_id) AS nd_eid,
+        |  CAST(min(event_id) AS DOUBLE) AS mn_eid,
+        |  CAST(max(event_id) AS DOUBLE) AS mx_eid,
+        |  count(user_id) AS nn_uid, count(DISTINCT user_id) AS nd_uid,
+        |  CAST(min(user_id) AS DOUBLE) AS mn_uid,
+        |  CAST(max(user_id) AS DOUBLE) AS mx_uid,
+        |  count(event_type) AS nn_et, count(DISTINCT event_type) AS nd_et,
+        |  count(value) AS nn_val, count(DISTINCT value) AS nd_val,
+        |  min(value) AS mn_val, max(value) AS mx_val,
+        |  count(props) AS nn_props, count(DISTINCT props) AS nd_props
+        | FROM events)
+        |SELECT 'event_id' AS col_name, nn_eid AS non_null,
+        | n - nn_eid AS n_null, nd_eid AS n_distinct,
+        | mn_eid AS min_val, mx_eid AS max_val FROM s
+        |UNION ALL SELECT 'user_id', nn_uid, n - nn_uid, nd_uid,
+        | mn_uid, mx_uid FROM s
+        |UNION ALL SELECT 'event_type', nn_et, n - nn_et, nd_et,
+        | CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM s
+        |UNION ALL SELECT 'value', nn_val, n - nn_val, nd_val,
+        | mn_val, mx_val FROM s
+        |UNION ALL SELECT 'props', nn_props, n - nn_props, nd_props,
+        | CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM s""".stripMargin,
+    "dedup_edit_distance" ->
+      // quadratic-within-language formulation; the length predicate is
+      // implied by ed ≤ 8 (each edit changes length by at most 1) but
+      // keeps the oracle from running 250k full O(len²) distances
+      """SELECT a.doc_id AS id1, b.doc_id AS id2,
+        | CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+        |FROM documents a JOIN documents b
+        | ON a.doc_id < b.doc_id
+        | AND abs(length(a.text) - length(b.text)) <= 8
+        |WHERE levenshtein(a.text, b.text) <= 8""".stripMargin,
   )
 
   /** One logical op, two physical strategies (inverted-index join at

@@ -376,4 +376,44 @@ object Dedup {
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"inter", $"jaccard")
   }
+
+  /** Edit-distance near-dup pairs: all pairs with levenshtein(a, b) ≤ τ
+    * — the character-level notion of "near duplicate" (typo/OCR
+    * variants) that token-set measures miss. Deliberately NOT
+    * language-blocked: near-dups here routinely carry mutated metadata
+    * (19 of the 25 true pairs in this corpus cross languages).
+    *
+    * Blocking is LOSSLESS: ed(a,b) ≥ |len(a)−len(b)|, so a qualifying
+    * pair's lengths differ by ≤ τ; banding lengths into width-2τ
+    * buckets and probing each doc against its own and the NEXT bucket
+    * covers every such pair exactly once (band < band', or same band
+    * with id order) — a pure equi-join on the bucket, no inequality
+    * join, no O(n²) blow-up. Verification uses Spark's BANDED 3-arg
+    * levenshtein (O(len·τ) per pair, not O(len²)); the kept distances
+    * are exact, so the quadratic oracle matches them bit-for-bit.
+    * Scale: candidates per block ≈ docs within ±2τ chars of each other
+    * — the length-histogram bound any engine gets; a corpus whose
+    * lengths concentrate into few bands re-salts the band key and
+    * replicates probes, the [[graft.operators.SkewOps]] pattern. */
+  def editDistance(spark: SparkSession, sfDir: String,
+                   tau: Int = 8): DataFrame = {
+    import spark.implicits._
+    val width = 2 * tau
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text",
+              expr(s"length(text) div $width").as("band"))
+    val probe = docs.select($"doc_id", $"text", $"band",
+        explode(array($"band", $"band" + 1)).as("key"))
+    probe.join(
+        docs.select($"doc_id".as("doc_b"), $"text".as("text_b"),
+                    $"band".as("band_b")),
+        $"key" === $"band_b" &&
+          ($"band" < $"band_b" ||
+           ($"band" === $"band_b" && $"doc_id" < $"doc_b")))
+      .withColumn("ed", levenshtein($"text", $"text_b", tau))
+      .filter($"ed" >= 0) // 3-arg levenshtein returns -1 past the bound
+      .select(least($"doc_id", $"doc_b").as("id1"),
+              greatest($"doc_id", $"doc_b").as("id2"),
+              $"ed".cast("long").as("edit_dist"))
+  }
 }

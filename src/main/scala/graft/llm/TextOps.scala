@@ -357,4 +357,36 @@ object TextOps {
       .orderBy($"df".desc, $"term".asc)
       .limit(topN)
   }
+
+  /** Weighted SYSTEMATIC sample, stratified by language: within each
+    * stratum, documents are laid along a deterministic line of cumulative
+    * weight (here n_chars — i.e. sample ∝ content volume, the data-mixing
+    * primitive for byte-budget corpus construction) and one document is
+    * taken every `stride = total/target` weight units — a document is
+    * selected iff its weight interval crosses a stride boundary, so
+    * inclusion probability ∝ weight with zero randomness. All integer
+    * math (running sums + integer division): exactly reproducible in any
+    * engine, no float keys, no RNG parity issues.
+    *
+    * Scale: the running sum is a window per LANGUAGE stratum, so strata
+    * sample in parallel and nothing is single-partition; an unstratified
+    * global variant would use the distributed prefix-scan pattern from
+    * [[graft.telemetry.Telemetry.concurrency]]. */
+  def weightedSample(spark: SparkSession, sfDir: String,
+                     perStratum: Int = 50): DataFrame = {
+    import spark.implicits._
+    val byLang = Window.partitionBy($"lang")
+    val line = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"n_chars")
+      .withColumn("cum", sum($"n_chars").over(line))
+      .withColumn("stride",
+        greatest(lit(1L), expr(s"sum(n_chars) OVER (PARTITION BY lang) div $perStratum")))
+      // crosses a boundary ⇔ floor(cum/stride) advanced over this doc's
+      // weight interval (prev = cum - n_chars ≥ 0, so truncating and
+      // flooring division agree in every engine)
+      .filter(expr("cum div stride") > expr("(cum - n_chars) div stride"))
+      .select($"lang", $"doc_id", $"n_chars", $"cum")
+  }
 }

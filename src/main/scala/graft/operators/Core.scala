@@ -520,4 +520,43 @@ object Core {
       round(regr_intercept($"value", $"days"), 6).as("intercept"),
       round(regr_r2($"value", $"days"), 6).as("r2"))
   }
+
+  /** Table profiling (ANALYZE-style column statistics): per column of the
+    * event stream — non-null count, null count, exact distinct count, and
+    * numeric min/max. ONE scan computes every statistic as a single wide
+    * aggregation row (Spark plans the multiple COUNT(DISTINCT)s as one
+    * expand + two-stage agg, still a single pass over the data), then a
+    * constant-size inline() pivots it to a row per column. min/max ride
+    * as doubles (exact for the int64 ids here and for the value column
+    * itself); string columns profile counts only. At 100 TB the same
+    * shape runs with approx_count_distinct to drop the expand — the
+    * [[graft.plans.ApproxDistinctRewrite]] rule does exactly that,
+    * conf-gated. */
+  def qTableProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wide = Tables.events(spark, sfDir).agg(
+      count(lit(1)).as("n"),
+      count($"event_id").as("nn_eid"), countDistinct($"event_id").as("nd_eid"),
+      min($"event_id").cast("double").as("mn_eid"),
+      max($"event_id").cast("double").as("mx_eid"),
+      count($"user_id").as("nn_uid"), countDistinct($"user_id").as("nd_uid"),
+      min($"user_id").cast("double").as("mn_uid"),
+      max($"user_id").cast("double").as("mx_uid"),
+      count($"event_type").as("nn_et"), countDistinct($"event_type").as("nd_et"),
+      count($"value").as("nn_val"), countDistinct($"value").as("nd_val"),
+      min($"value").as("mn_val"), max($"value").as("mx_val"),
+      count($"props").as("nn_props"), countDistinct($"props").as("nd_props"))
+    def row(name: String, nn: String, nd: String,
+            mn: Option[String], mx: Option[String]) =
+      struct(lit(name).as("col_name"), col(nn).as("non_null"),
+             (col("n") - col(nn)).as("n_null"), col(nd).as("n_distinct"),
+             mn.map(col).getOrElse(lit(null).cast("double")).as("min_val"),
+             mx.map(col).getOrElse(lit(null).cast("double")).as("max_val"))
+    wide.select(inline(array(
+      row("event_id", "nn_eid", "nd_eid", Some("mn_eid"), Some("mx_eid")),
+      row("user_id", "nn_uid", "nd_uid", Some("mn_uid"), Some("mx_uid")),
+      row("event_type", "nn_et", "nd_et", None, None),
+      row("value", "nn_val", "nd_val", Some("mn_val"), Some("mx_val")),
+      row("props", "nn_props", "nd_props", None, None))))
+  }
 }

@@ -760,4 +760,53 @@ object Telemetry {
               $"day_offset", $"n_active", $"cohort_n",
               ($"n_active".cast("double") / $"cohort_n").as("retention"))
   }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next event type | current event type) — the building block behind
+    * next-action prediction and journey analysis. One shuffle on user_id
+    * orders each user's stream (lead window), then the (from, to) pair
+    * counts collapse onto a #types² key space via hash aggregation with
+    * map-side combine. The probability normalization windows the
+    * AGGREGATE (≤ #types² rows), never the raw stream. Integer counts,
+    * one exact double division — bit-identical in the oracle. */
+  def transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        $"n".cast("double") /
+          sum($"n").over(Window.partitionBy($"from_type")).cast("double"))
+  }
+
+  /** Week-over-week movers: per event type, weekly volume vs the prior
+    * week (absolute and relative delta), then the top-3 movers per week
+    * by |relative change|. Aggregate-first shape: the raw stream
+    * collapses to (#types × #weeks) rows in one hash agg; the lag and
+    * ranking windows run on that tiny rollup. Deterministic ranking via
+    * an event_type tie-break. */
+  def weekOverWeek(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val weekly = Tables.events(spark, sfDir)
+      .groupBy($"event_type", date_trunc("week", $"ts").as("wk"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy($"event_type").orderBy($"wk")
+    val moved = weekly
+      .withColumn("prev_n", lag($"n", 1).over(byType))
+      .filter($"prev_n".isNotNull)
+      .withColumn("delta", $"n" - $"prev_n")
+      .withColumn("pct",
+        ($"n" - $"prev_n").cast("double") / $"prev_n".cast("double"))
+    val byWeek = Window.partitionBy($"wk")
+      .orderBy(abs($"pct").desc, $"event_type")
+    moved
+      .withColumn("rnk", row_number().over(byWeek).cast("long"))
+      .filter($"rnk" <= 3)
+      .select(date_format($"wk", "yyyy-MM-dd").as("week_start"),
+              $"event_type", $"n", $"prev_n", $"delta", $"pct", $"rnk")
+  }
 }
