@@ -123,9 +123,15 @@ object GraftFunctions {
       children(1).eval(null).asInstanceOf[Number].intValue)
       .toAggregateExpression())
 
+  val hilbertDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hilbert_index"),
+    new ExpressionInfo(classOf[graft.sink.HilbertIndex].getName, "hilbert_index"),
+    (children: Seq[Expression]) =>
+      graft.sink.HilbertIndex(children(0), children(1)))
+
   def register(spark: SparkSession): Unit = {
     Seq(cosineSimDescriptor, bottomKDescriptor, topKDescriptor,
-        frequentItemsDescriptor).foreach {
+        frequentItemsDescriptor, hilbertDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

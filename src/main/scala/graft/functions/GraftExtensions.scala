@@ -12,6 +12,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.bottomKDescriptor)
     ext.injectFunction(GraftFunctions.topKDescriptor)
     ext.injectFunction(GraftFunctions.frequentItemsDescriptor)
+    ext.injectFunction(GraftFunctions.hilbertDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
   }

@@ -37,7 +37,12 @@ object PartitionedParquetSink {
       // task (Morton interleave — [[ZOrder.zValue]]) instead of the
       // default ts clustering: per-file/row-group min/max stats then
       // prune selective predicates on EITHER column, not just time.
-      zOrderBy: Seq[String] = Nil)
+      zOrderBy: Seq[String] = Nil,
+      // Space-filling curve for zOrderBy: "morton" (bit interleave,
+      // pure column arithmetic) or "hilbert" (jump-free curve — tighter
+      // per-file bounding boxes, via the native [[HilbertIndex]]
+      // expression).
+      curve: String = "morton")
 
   /** Partition column names for a granularity (partition.go ToMap). */
   def partitionColumns(granularity: String): Seq[String] = granularity match {
@@ -156,8 +161,14 @@ object PartitionedParquetSink {
               expr(s"CAST((`$name` - $lo) DIV ${range / domain + 1} AS BIGINT)")
           }
           if (r.anyNull) col(cfg.tsColumn) // empty batch: nothing to cluster
-          else ZOrder.zValue(scaled(a, r.getLong(0), r.getLong(1)),
-                             scaled(b, r.getLong(2), r.getLong(3)))
+          else {
+            val (sa, sb) = (scaled(a, r.getLong(0), r.getLong(1)),
+                            scaled(b, r.getLong(2), r.getLong(3)))
+            if (cfg.curve == "hilbert") {
+              graft.functions.GraftFunctions.register(spark) // idempotent
+              call_function("hilbert_index", sa, sb)
+            } else ZOrder.zValue(sa, sb)
+          }
         case _ => col(cfg.tsColumn)
       }
       val sortCols = cols.map(col) :+ clusterKey
