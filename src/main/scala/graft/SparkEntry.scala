@@ -128,6 +128,9 @@ object SparkEntry {
     "text_weighted_sample" -> ((s, d) => TextOps.weightedSample(s, d)),
     "q_table_profile"    -> (Core.qTableProfile _),
     "dedup_edit_distance" -> ((s, d) => Dedup.editDistance(s, d)),
+    "tel_interpolate"    -> (Telemetry.interpolate _),
+    "tel_mad"            -> ((s, d) => Telemetry.madOutliers(s, d)),
+    "tel_sketch_rollup"  -> (Telemetry.sketchRollup _),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1407,6 +1410,58 @@ object SparkEntry {
         | ON a.doc_id < b.doc_id
         | AND abs(length(a.text) - length(b.text)) <= 8
         |WHERE levenshtein(a.text, b.text) <= 8""".stripMargin,
+    "tel_interpolate" ->
+      """WITH hourly AS (
+        | SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hus,
+        |  round(sum(value), 4) AS v
+        | FROM events GROUP BY 1, 2),
+        |grid AS (
+        | SELECT event_type,
+        |  unnest(generate_series(min(hus), max(hus), 3600000000)) AS hus
+        | FROM hourly GROUP BY event_type),
+        |j AS (
+        | SELECT g.event_type, g.hus, h.v FROM grid g
+        | LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hus = h.hus),
+        |w AS (
+        | SELECT event_type, hus, v,
+        |  last_value(v IGNORE NULLS) OVER p AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN hus END IGNORE NULLS)
+        |    OVER p AS pt,
+        |  first_value(v IGNORE NULLS) OVER f AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN hus END IGNORE NULLS)
+        |    OVER f AS nt
+        | FROM j
+        | WINDOW p AS (PARTITION BY event_type ORDER BY hus
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  f AS (PARTITION BY event_type ORDER BY hus
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type,
+        | strftime(make_timestamp(hus), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        | v IS NULL AS was_missing,
+        | CASE WHEN v IS NOT NULL THEN v
+        |      WHEN pv IS NULL THEN nv
+        |      WHEN nv IS NULL THEN pv
+        |      ELSE pv + (nv - pv)
+        |       * (CAST(hus - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+        | END AS filled
+        |FROM w""".stripMargin,
+    "tel_mad" ->
+      """WITH scaled AS (
+        | SELECT event_id, event_type,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS v100
+        | FROM events),
+        |med AS (
+        | SELECT event_type, quantile_cont(v100, 0.5) AS med
+        | FROM scaled GROUP BY 1),
+        |mad AS (
+        | SELECT s.event_type, any_value(m.med) AS med,
+        |  quantile_cont(abs(s.v100 - m.med), 0.5) AS mad
+        | FROM scaled s JOIN med m USING (event_type) GROUP BY s.event_type)
+        |SELECT s.event_type, s.event_id,
+        | CAST(s.v100 AS DOUBLE) / 100 AS value, d.med, d.mad,
+        | (s.v100 - d.med) / (1.4826 * d.mad) AS score
+        |FROM scaled s JOIN mad d USING (event_type)
+        |WHERE abs((s.v100 - d.med) / (1.4826 * d.mad)) > 3.0""".stripMargin,
   )
 
   /** One logical op, two physical strategies (inverted-index join at

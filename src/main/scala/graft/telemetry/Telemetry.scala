@@ -761,6 +761,95 @@ object Telemetry {
               ($"n_active".cast("double") / $"cohort_n").as("retention"))
   }
 
+  /** Gap filling by LINEAR INTERPOLATION (the PromQL/queryable-metrics
+    * companion to [[gapFill]]'s forward fill): missing hourly points per
+    * series get prev + (next−prev)·(t−t_prev)/(t_next−t_prev). The
+    * bracketing points ride in four window columns (last/first
+    * ignoreNulls over preceding/following frames) — one partitioned sort
+    * per series, no self-joins. All timestamps are integer micros and
+    * the hourly values are round-4 sums, so the interpolation arithmetic
+    * is the same IEEE ops in any engine — bit-exact oracle. */
+  def interpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+               unix_micros(date_trunc("hour", $"ts")).as("hus"))
+      .agg(round(sum($"value"), 4).as("v"))
+    val grid = hourly
+      .groupBy($"event_type")
+      .agg(min($"hus").as("h0"), max($"hus").as("h1"))
+      .select($"event_type",
+              explode(sequence($"h0", $"h1", lit(3600L * 1000000L))).as("hus"))
+    val prec = Window.partitionBy($"event_type").orderBy($"hus")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val foll = Window.partitionBy($"event_type").orderBy($"hus")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(hourly, Seq("event_type", "hus"), "left")
+      .withColumn("pv", last($"v", ignoreNulls = true).over(prec))
+      .withColumn("pt", last(when($"v".isNotNull, $"hus"), ignoreNulls = true).over(prec))
+      .withColumn("nv", first($"v", ignoreNulls = true).over(foll))
+      .withColumn("nt", first(when($"v".isNotNull, $"hus"), ignoreNulls = true).over(foll))
+      .select($"event_type",
+        date_format(timestamp_micros($"hus"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        $"v".isNull.as("was_missing"),
+        when($"v".isNotNull, $"v")
+          .when($"pv".isNull, $"nv")
+          .when($"nv".isNull, $"pv")
+          .otherwise($"pv" + ($"nv" - $"pv") *
+            (($"hus" - $"pt").cast("double") / ($"nt" - $"pt").cast("double")))
+          .as("filled"))
+  }
+
+  /** Robust outliers via MEDIAN ABSOLUTE DEVIATION — the resistant
+    * alternative to [[anomaly]]'s z-score (one wild point can't drag the
+    * threshold, unlike a mean/stddev). Exactness recipe: values scale to
+    * integer centi-units, so both medians interpolate midpoints of
+    * integers (exact halves/quarters in binary) and the 1.4826·MAD
+    * consistency scaling is one exact double product — the oracle
+    * matches without any rounding slack. Two aggregation passes over
+    * the same series partitioning (median, then MAD) + a broadcast join
+    * back to flag rows. */
+  def madOutliers(spark: SparkSession, sfDir: String,
+                  k: Double = 3.0): DataFrame = {
+    import spark.implicits._
+    val scaled = Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type",
+              round($"value" * 100, 0).cast("long").as("v100"))
+    val med = scaled.groupBy($"event_type")
+      .agg(expr("percentile(v100, 0.5)").as("med"))
+    val mad = scaled.join(broadcast(med), "event_type")
+      .groupBy($"event_type")
+      .agg(first($"med").as("med"),
+           expr("percentile(abs(v100 - med), 0.5)").as("mad"))
+    scaled.join(broadcast(mad), "event_type")
+      .withColumn("score", ($"v100" - $"med") / (lit(1.4826) * $"mad"))
+      .filter(abs($"score") > k)
+      .select($"event_type", $"event_id",
+              ($"v100".cast("double") / 100).as("value"),
+              $"med", $"mad", $"score")
+  }
+
+  /** Pre-aggregated HLL sketch rollup — the pattern that makes distinct
+    * counts tractable at 100 TB: hourly jobs persist a SKETCH column
+    * (a few KB) instead of raw ids; any coarser rollup (day, week,
+    * all-time) is a cheap union of sketches, never a re-scan of raw
+    * data. Spark's DataSketches HLL functions (`hll_sketch_agg` /
+    * `hll_union_agg`) are register-wise lossless under union at a fixed
+    * lgK, so the two-level estimate EQUALS the direct one (the spec
+    * asserts it). Estimates are sketch-algorithm-specific → rows-only
+    * driver check; the 5%-of-exact bound lives in the spec. */
+  def sketchRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hourlySketch = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"))
+    hourlySketch
+      .groupBy(date_format($"hour", "yyyy-MM-dd").as("day"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk"))
+             .as("approx_users"),
+           count(lit(1)).as("n_hours"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * P(next event type | current event type) — the building block behind
     * next-action prediction and journey analysis. One shuffle on user_id

@@ -79,6 +79,78 @@ class Round5OpsSpec extends SparkSpec {
     assert(p("event_type").isNullAt(p("event_type").fieldIndex("min_val")))
   }
 
+  test("interpolation brackets: filled values lie between their endpoints") {
+    import spark.implicits._
+    val f = Telemetry.interpolate(spark, sf)
+    // present points pass through untouched: join back to the hourly agg
+    val hourly = Tables.events(spark, sf)
+      .groupBy($"event_type",
+               date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss")
+                 .as("hour_start"))
+      .agg(round(sum($"value"), 4).as("v"))
+    val present = f.filter(!$"was_missing")
+      .join(hourly, Seq("event_type", "hour_start"))
+    assert(present.filter($"filled" =!= $"v").count() === 0)
+    assert(present.count() === hourly.count())
+    // every grid hour appears exactly once per series, and gaps exist
+    val missing = f.filter($"was_missing")
+    assert(missing.count() > 0, "test data has no hourly gaps to fill")
+    assert(f.groupBy($"event_type", $"hour_start").count()
+      .filter($"count" > 1).count() === 0)
+    // interior gaps interpolate BETWEEN neighbors: filled is bounded by
+    // the series' min/max of present values
+    val bounds = hourly.groupBy($"event_type")
+      .agg(min($"v").as("lo"), max($"v").as("hi"))
+    assert(missing.join(bounds, "event_type")
+      .filter($"filled" < $"lo" || $"filled" > $"hi").count() === 0)
+  }
+
+  test("MAD outliers: exactly the rows whose robust score exceeds 3") {
+    import spark.implicits._
+    val out = Telemetry.madOutliers(spark, sf)
+    assert(out.filter(abs($"score") <= 3.0).count() === 0)
+    // reference med/mad per type, computed driver-side
+    val vals = Tables.events(spark, sf)
+      .select($"event_type", round($"value" * 100, 0).cast("long").as("v"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)))
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val expected = vals.map { case (et, vs) =>
+      val med = medianOf(vs.map(_.toDouble))
+      val mad = medianOf(vs.map(v => math.abs(v - med)))
+      et -> vs.count(v => math.abs((v - med) / (1.4826 * mad)) > 3.0)
+    }.toMap
+    val got = out.groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    expected.filter(_._2 > 0).foreach { case (et, n) =>
+      assert(got.getOrElse(et, 0L) === n.toLong, s"series $et")
+    }
+  }
+
+  test("sketch rollup: union-of-hourly equals direct daily, within 5% of exact") {
+    import spark.implicits._
+    val rolled = Telemetry.sketchRollup(spark, sf).collect()
+      .map(r => r.getAs[String]("day") -> r.getAs[Long]("approx_users")).toMap
+    // direct single-level daily sketch (no hourly intermediate): HLL
+    // union at fixed lgK is register-wise lossless, so estimates match
+    val direct = Tables.events(spark, sf)
+      .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", lit(12))).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled === direct)
+    val exact = Tables.events(spark, sf)
+      .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (day, n) =>
+      assert(math.abs(rolled(day) - n).toDouble / n < 0.05,
+        s"$day: approx ${rolled(day)} vs exact $n")
+    }
+  }
+
   test("edit-distance dedup equals the brute-force quadratic on sf0.001") {
     import spark.implicits._
     val got = Dedup.editDistance(spark, sf).collect()
