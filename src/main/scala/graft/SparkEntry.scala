@@ -131,6 +131,7 @@ object SparkEntry {
     "tel_interpolate"    -> (Telemetry.interpolate _),
     "tel_mad"            -> ((s, d) => Telemetry.madOutliers(s, d)),
     "tel_sketch_rollup"  -> (Telemetry.sketchRollup _),
+    "sim_opq_trained"    -> ((s, d) => SimOps.opqTrainedAnn(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set

@@ -219,8 +219,130 @@ object SimOps {
     Array.tabulate(x.length)(j => x(j) - sc * u(j))
   }
 
+  private[graft] def matvec(m: Array[Array[Double]], x: Array[Double]): Array[Double] = {
+    val out = new Array[Double](m.length)
+    var r = 0
+    while (r < m.length) {
+      val row = m(r)
+      var s = 0.0
+      var i = 0
+      while (i < row.length) { s += row(i) * x(i); i += 1 }
+      out(r) = s
+      r += 1
+    }
+    out
+  }
+
+  /** Corpus covariance of the embedding column, as ONE distributed pass:
+    * each partition folds (n, Σx, Σxxᵀ) into a flat primitive buffer,
+    * partials tree-reduce to the driver. The result is d×d — metadata-
+    * sized (64² doubles) no matter how many vectors feed it; this is the
+    * classic "heavy pass distributed, tiny solve on the driver" split
+    * that [[trainCentroids]] also uses. */
+  private[graft] def covariance(spark: SparkSession, sfDir: String): Array[Array[Double]] = {
+    import spark.implicits._
+    val d = 64
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"embedding".cast("array<double>").as("vec"))
+      .as[Array[Double]]
+    val (n, sums, prods) = vecs.rdd
+      .mapPartitions { it =>
+        var cnt = 0L
+        val s = new Array[Double](d)
+        val p = new Array[Double](d * d)
+        it.foreach { x =>
+          cnt += 1
+          var i = 0
+          while (i < d) {
+            s(i) += x(i)
+            val xi = x(i)
+            var j = 0
+            while (j < d) { p(i * d + j) += xi * x(j); j += 1 }
+            i += 1
+          }
+        }
+        Iterator.single((cnt, s, p))
+      }
+      .treeReduce { case ((n1, s1, p1), (n2, s2, p2)) =>
+        var i = 0
+        while (i < d) { s1(i) += s2(i); i += 1 }
+        i = 0
+        while (i < d * d) { p1(i) += p2(i); i += 1 }
+        (n1 + n2, s1, p1)
+      }
+    Array.tabulate(d, d) { (i, j) =>
+      prods(i * d + j) / n - (sums(i) / n) * (sums(j) / n)
+    }
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (the
+    * driver-side solve — 64×64, microseconds): returns eigenvectors as
+    * ROWS, sorted by eigenvalue descending, deterministic (fixed sweep
+    * order, no pivot search ties). */
+  private[graft] def jacobiEigen(aIn: Array[Array[Double]],
+                                 sweeps: Int = 16): (Array[Double], Array[Array[Double]]) = {
+    val d = aIn.length
+    val a = aIn.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < sweeps) {
+      var off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) off += a(p)(q) * a(p)(q)
+      if (off < 1e-22) sweep = sweeps
+      else {
+        for (p <- 0 until d; q <- p + 1 until d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+        }
+        sweep += 1
+      }
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    (order.map(i => a(i)(i)).toArray,
+     order.map(i => Array.tabulate(d)(r => v(r)(i))).toArray)
+  }
+
+  /** OPQ with a LEARNED rotation: PCA of the corpus covariance
+    * (distributed covariance pass → driver Jacobi on the 64×64 matrix)
+    * decorrelates the dimensions before the identical PQ/ADC pipeline —
+    * the data-adaptive step [[opqAnn]]'s fixed Householder reflection
+    * stands in for. Rotation is orthonormal so exact L2 geometry is
+    * unchanged; what improves is how well axis-aligned SUBSPACES
+    * capture the data (on anisotropic corpora; the spec pins the
+    * structural guarantees that hold on any data). Driver-check is
+    * rows-only — replicating an eigensolve in SQL is not meaningful. */
+  def opqTrainedAnn(spark: SparkSession, sfDir: String, nTrain: Int = 8,
+                    nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val (_, rot) = jacobiEigen(covariance(spark, sfDir))
+    pqCore(spark, sfDir, nTrain, nQueries, k, rotate = false,
+           rotation = Some(rot))
+  }
+
   private def pqCore(spark: SparkSession, sfDir: String, nTrain: Int,
-                     nQueries: Int, k: Int, rotate: Boolean): DataFrame = {
+                     nQueries: Int, k: Int, rotate: Boolean,
+                     rotation: Option[Array[Array[Double]]] = None): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
     val subDim = 16 // 64 dims / M=4 subspaces
@@ -228,12 +350,22 @@ object SimOps {
     val raw = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
       .as[(Long, Array[Double])]
-    val emb = if (!rotate) raw else {
-      val uB = spark.sparkContext.broadcast(householderUnit(64))
-      raw.mapPartitions { it =>
-        val u = uB.value
-        it.map { case (id, x) => (id, reflect(x, u)) }
-      }.toDF("vec_id", "vec").as[(Long, Array[Double])]
+    val emb = (rotate, rotation) match {
+      case (_, Some(r)) =>
+        // learned full rotation R (rows orthonormal): x → Rx, one fused
+        // matvec per row in the same JIT'd pass as the Householder path
+        val rB = spark.sparkContext.broadcast(r)
+        raw.mapPartitions { it =>
+          val m = rB.value
+          it.map { case (id, x) => (id, matvec(m, x)) }
+        }.toDF("vec_id", "vec").as[(Long, Array[Double])]
+      case (true, None) =>
+        val uB = spark.sparkContext.broadcast(householderUnit(64))
+        raw.mapPartitions { it =>
+          val u = uB.value
+          it.map { case (id, x) => (id, reflect(x, u)) }
+        }.toDF("vec_id", "vec").as[(Long, Array[Double])]
+      case _ => raw
     }
     // Codebook + query vectors are bounded, metadata-sized sets (nTrain
     // and nQueries rows) — collected and broadcast exactly like a dim

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, TextOps}
+import graft.llm.{Dedup, SimOps, TextOps}
 import graft.operators.Core
 import graft.telemetry.Telemetry
 
@@ -149,6 +149,34 @@ class Round5OpsSpec extends SparkSpec {
       assert(math.abs(rolled(day) - n).toDouble / n < 0.05,
         s"$day: approx ${rolled(day)} vs exact $n")
     }
+  }
+
+  test("trained OPQ rotation: orthonormal, diagonalizing, spectrum sorted") {
+    val cov = SimOps.covariance(spark, sf)
+    val d = cov.length
+    // covariance is symmetric by construction
+    for (i <- 0 until d; j <- 0 until d)
+      assert(math.abs(cov(i)(j) - cov(j)(i)) < 1e-12)
+    val (eig, rot) = SimOps.jacobiEigen(cov)
+    // rows orthonormal: R·Rᵀ = I
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(t => rot(i)(t) * rot(j)(t)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"($i,$j)=$dot")
+    }
+    // eigenvalues descending and R C Rᵀ ≈ diag(eig)
+    assert(eig.zip(eig.tail).forall { case (a, b) => a >= b - 1e-12 })
+    val scale = eig.map(math.abs).max
+    for (i <- 0 until d; j <- 0 until d) {
+      val rcr = (0 until d).map(t =>
+        rot(i)(t) * (0 until d).map(u => cov(t)(u) * rot(j)(u)).sum).sum
+      val want = if (i == j) eig(i) else 0.0
+      assert(math.abs(rcr - want) < 1e-8 * scale, s"RCRt($i,$j)=$rcr vs $want")
+    }
+    // end-to-end: k neighbors per query, deterministic across runs
+    val a = SimOps.opqTrainedAnn(spark, sf).collect().map(_.toString).sorted
+    assert(a.length === 8 * 5)
+    val b = SimOps.opqTrainedAnn(spark, sf).collect().map(_.toString).sorted
+    assert(a === b)
   }
 
   test("edit-distance dedup equals the brute-force quadratic on sf0.001") {
