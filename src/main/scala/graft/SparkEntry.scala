@@ -132,6 +132,15 @@ object SparkEntry {
     "tel_mad"            -> ((s, d) => Telemetry.madOutliers(s, d)),
     "tel_sketch_rollup"  -> (Telemetry.sketchRollup _),
     "sim_opq_trained"    -> ((s, d) => SimOps.opqTrainedAnn(s, d)),
+    "q_mode"             -> (Core.qMode _),
+    "q_gaps_islands"     -> (Core.qGapsIslands _),
+    "q_skyline"          -> (Core.qSkyline _),
+    "tel_attribution"    -> ((s, d) => Telemetry.attribution(s, d)),
+    "tel_changepoint"    -> (Telemetry.changepoint _),
+    "tel_new_vs_returning" -> (Telemetry.newVsReturning _),
+    "text_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
+    "mm_frame_dedup"     -> (Multimodal.frameDedup _),
+    "sim_mrl_rerank"     -> ((s, d) => SimOps.mrlRerank(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1463,6 +1472,154 @@ object SparkEntry {
         | (s.v100 - d.med) / (1.4826 * d.mad) AS score
         |FROM scaled s JOIN mad d USING (event_type)
         |WHERE abs((s.v100 - d.med) / (1.4826 * d.mad)) > 3.0""".stripMargin,
+    "q_mode" ->
+      """WITH c AS (
+        | SELECT user_id, event_type, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |r AS (
+        | SELECT user_id, event_type, n,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY n DESC, event_type) AS rk,
+        |  sum(n) OVER (PARTITION BY user_id) AS n_events
+        | FROM c)
+        |SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n_mode,
+        | CAST(n_events AS BIGINT) AS n_events
+        |FROM r WHERE rk = 1""".stripMargin,
+    "q_gaps_islands" ->
+      """WITH d AS (
+        | SELECT DISTINCT user_id,
+        |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        | FROM events),
+        |r AS (
+        | SELECT user_id, d,
+        |  d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS anchor
+        | FROM d),
+        |s AS (
+        | SELECT user_id, anchor, count(*) AS len, min(d) AS start
+        | FROM r GROUP BY 1, 2),
+        |b AS (
+        | SELECT user_id, len, start,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY len DESC, start) AS rk,
+        |  count(*) OVER (PARTITION BY user_id) AS n_streaks,
+        |  sum(len) OVER (PARTITION BY user_id) AS active_days
+        | FROM s)
+        |SELECT user_id, CAST(n_streaks AS BIGINT) AS n_streaks,
+        | CAST(active_days AS BIGINT) AS active_days,
+        | CAST(len AS BIGINT) AS max_streak,
+        | strftime(DATE '1970-01-01' + start * INTERVAL 1 DAY, '%Y-%m-%d')
+        |   AS max_streak_start
+        |FROM b WHERE rk = 1""".stripMargin,
+    "q_skyline" ->
+      """WITH p AS (
+        | SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |  min(l_extendedprice) AS price, count(*) AS n_at_qty
+        | FROM lineitem GROUP BY 1),
+        |w AS (
+        | SELECT qty, price, n_at_qty,
+        |  min(price) OVER (ORDER BY qty DESC
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_higher
+        | FROM p)
+        |SELECT qty, price, CAST(n_at_qty AS BIGINT) AS n_at_qty
+        |FROM w WHERE best_higher IS NULL OR price < best_higher""".stripMargin,
+    "tel_attribution" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+        | FROM events),
+        |w AS (
+        | SELECT *,
+        |  last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts,
+        |  last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id
+        | FROM e)
+        |SELECT event_id, user_id, ts_us, click_id, click_ts,
+        | ts_us - click_ts AS latency_us,
+        | coalesce(ts_us - click_ts <= 604800000000, false) AS attributed
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    "tel_changepoint" ->
+      """WITH h AS (
+        | SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |s AS (
+        | SELECT event_type, h, n,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS i,
+        |  sum(n) OVER (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(n) OVER (PARTITION BY event_type) AS total,
+        |  count(*) OVER (PARTITION BY event_type) AS cnt
+        | FROM h),
+        |sc AS (
+        | SELECT event_type, h,
+        |  CAST(cum AS DOUBLE) / CAST(i AS DOUBLE) AS left_mean,
+        |  CAST(total - cum AS DOUBLE) / CAST(cnt - i AS DOUBLE) AS right_mean,
+        |  abs(CAST(cum AS DOUBLE) / CAST(i AS DOUBLE)
+        |      - CAST(total - cum AS DOUBLE) / CAST(cnt - i AS DOUBLE)) AS score
+        | FROM s WHERE i < cnt)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS split_after,
+        | left_mean, right_mean, score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY score DESC, h) AS rk FROM sc) t
+        |WHERE rk = 1""".stripMargin,
+    "tel_new_vs_returning" ->
+      """WITH a AS (
+        | SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM a GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        | CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS new_users,
+        | CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS returning_users,
+        | CAST(count(*) AS BIGINT) AS active_users
+        |FROM a JOIN f USING (user_id) GROUP BY day""".stripMargin,
+    "text_bpe_pairs" ->
+      """WITH w AS (
+        | SELECT word, count(*) AS freq FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |  FROM documents) t
+        | WHERE length(word) >= 2 GROUP BY 1),
+        |p AS (
+        | SELECT substr(word, CAST(i AS INT), 2) AS pair, sum(freq) AS n
+        | FROM (SELECT word, freq, unnest(range(1, length(word))) AS i FROM w) x
+        | GROUP BY 1)
+        |SELECT pair, CAST(n AS BIGINT) AS n,
+        | CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rnk
+        |FROM p QUALIFY rnk <= 25""".stripMargin,
+    "mm_frame_dedup" ->
+      """WITH fr AS (
+        | SELECT doc_id, md5(substr(text, CAST(i*64+1 AS BIGINT), 64)) AS frame_md5
+        | FROM (SELECT doc_id, text,
+        |   unnest(generate_series(0,
+        |     CAST(ceil(octet_length(encode(text))/64.0) AS BIGINT)-1, 4)) AS i
+        |  FROM documents) t)
+        |SELECT frame_md5, CAST(count(*) AS BIGINT) AS n_frames,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_videos,
+        | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM fr GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "sim_mrl_rerank" ->
+      """WITH n AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |  (embedding[1:8])::DOUBLE[] AS pvec
+        | FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec, pvec AS qpvec
+        |      FROM n WHERE vec_id < 8),
+        |c AS (
+        | SELECT query_id, n.vec_id,
+        |  round(list_dot_product(n.pvec, q.qpvec)
+        |    / (sqrt(list_dot_product(n.pvec, n.pvec))
+        |       * sqrt(list_dot_product(q.qpvec, q.qpvec))), 6) AS coarse6,
+        |  round(list_dot_product(n.vec, q.qvec)
+        |    / (sqrt(list_dot_product(n.vec, n.vec))
+        |       * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cos6
+        | FROM n, q WHERE n.vec_id != q.query_id),
+        |s AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY coarse6 DESC, vec_id) AS crnk FROM c)
+        |SELECT query_id, vec_id AS neighbor_id, coarse6, cos6,
+        | CAST(row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cos6 DESC, vec_id) AS BIGINT) AS rnk
+        |FROM s WHERE crnk <= 20 QUALIFY rnk <= 5""".stripMargin,
   )
 
   /** One logical op, two physical strategies (inverted-index join at

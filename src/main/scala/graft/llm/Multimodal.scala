@@ -134,4 +134,26 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  /** Cross-video duplicate-frame detection: demux every "video" into
+    * frames ([[frameSample]]'s stub demux), then group by content
+    * digest — frames appearing in more than one place are exact visual
+    * duplicates (the frame-level dedup pass a video-training pipeline
+    * runs before feature extraction).
+    *
+    * The digest IS the shuffle key: 16-byte md5 instead of raw frame
+    * bytes, so the exchange carries hashes + ids, never media. One hash
+    * agg; at 100 TB the dup-cluster table is bounded by the number of
+    * DISTINCT duplicated frames, not total frames. min/max doc ids +
+    * spread make the output deterministic without collecting lists. */
+  def frameDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val frames = frameSample(spark, sfDir).toDF()
+    frames.groupBy(col("frame_md5"))
+      .agg(count(lit(1)).as("n_frames"),
+           countDistinct(col("doc_id")).as("n_videos"),
+           min(col("doc_id")).as("min_doc"),
+           max(col("doc_id")).as("max_doc"))
+      .filter(col("n_frames") > 1)
+  }
 }

@@ -668,4 +668,50 @@ object SimOps {
       .filter($"cos6" >= tau)
       .select($"query_id", $"vec_id".as("neighbor_id"), $"cos6".as("cosine"))
   }
+
+  /** Matryoshka-style two-stage retrieval: a cheap coarse pass scores
+    * every candidate on only the first `prefixDims` dimensions (MRL
+    * embeddings front-load information, so the prefix is a usable
+    * proxy), keeps `shortlist` candidates per query, and only the
+    * shortlist pays the full-dimension exact re-rank.
+    *
+    * Scale shape: the corpus-wide pass touches prefixDims/dims of the
+    * vector bytes (with column pruning to a sliced vector this is an
+    * 8× scan-cost cut at 64→8 dims), and the expensive full cosine
+    * runs on shortlist×queries rows — independent of corpus size. Both
+    * stages are broadcast-query passes over the corpus; the shortlist
+    * bound uses [[graft.functions.TopKStructs]]-free window on the
+    * ALREADY-reduced coarse scores. Both scores are 6-decimal-rounded
+    * with vec_id tie-breaks — deterministic cross-engine.
+    *
+    * Recall caveat (documented, like sim_pq_ann's): the test vectors
+    * are uniform-random, so a dimension prefix carries no front-loaded
+    * signal and truncated-stage recall is near-chance — the pipeline's
+    * exactness is proven by the prefixDims=dims and shortlist=corpus
+    * configurations, which must reproduce brute force bit-for-bit. */
+  def mrlRerank(spark: SparkSession, sfDir: String, nQueries: Int = 8,
+                prefixDims: Int = 8, shortlist: Int = 20, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+      .withColumn("pvec", slice($"vec", 1, prefixDims))
+    val q = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"), $"pvec".as("qpvec"))
+    val coarse = emb.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("coarse6",
+        round(call_function("cosine_sim", $"pvec", $"qpvec"), 6))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"coarse6".desc, $"vec_id".asc)))
+      .filter($"crnk" <= shortlist)
+    coarse
+      .withColumn("cos6", round(call_function("cosine_sim", $"vec", $"qvec"), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos6".desc, $"vec_id".asc))
+        .cast("long"))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"coarse6", $"cos6",
+              $"rnk")
+  }
 }

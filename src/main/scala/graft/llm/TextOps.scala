@@ -389,4 +389,32 @@ object TextOps {
       .filter(expr("cum div stride") > expr("(cum - n_chars) div stride"))
       .select($"lang", $"doc_id", $"n_chars", $"cum")
   }
+
+  /** One BPE merge round, corpus-wide: frequency of every adjacent
+    * character pair inside words, weighted by word frequency — the
+    * counting step a distributed BPE tokenizer trainer repeats per
+    * merge.
+    *
+    * Two-level reduction keeps the explode off the raw corpus: words
+    * aggregate to (word, freq) first — the vocabulary is tiny next to
+    * the token stream — and only DISTINCT words explode into their
+    * len−1 pairs, each carrying its frequency. At 100 TB the pair
+    * explosion is proportional to vocabulary size, not corpus size;
+    * the only full-data shuffle is the word-count hash agg (map-side
+    * combined). Top pairs ranked with a deterministic tie-break. */
+  def bpePairs(spark: SparkSession, sfDir: String, topN: Int = 25): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(trim(lower($"text")), "\\s+")).as("word"))
+      .filter(length($"word") >= 2)
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+    val pairs = words
+      .select($"freq",
+              explode(expr("transform(sequence(1, length(word) - 1), " +
+                           "i -> substring(word, i, 2))")).as("pair"))
+      .groupBy($"pair").agg(sum($"freq").as("n"))
+    val ranked = Window.orderBy($"n".desc, $"pair".asc)
+    pairs.withColumn("rnk", row_number().over(ranked).cast("long"))
+      .filter($"rnk" <= topN)
+  }
 }

@@ -559,4 +559,92 @@ object Core {
       row("value", "nn_val", "nd_val", Some("mn_val"), Some("mx_val")),
       row("props", "nn_props", "nd_props", None, None))))
   }
+
+  /** Per-group MODE with a deterministic tie-break (most frequent
+    * event_type per user; ties → lexicographically smallest type).
+    *
+    * Two chained HASH aggregations — (user, type) counts, then an
+    * argmax per user through [[graft.functions.TopKStructs]] k=1
+    * (count DESC, type ASC tie-break). Never a window: a
+    * window+row_number argmax sorts every user's rows, and a plain
+    * `min(struct(...))` falls back to SortAggregate (struct buffers
+    * aren't hash-mutable) — TopKStructs is an ObjectHashAggregate with
+    * map-side combine, so each task reduces to one candidate per user
+    * before the shuffle. At 100 TB both shuffles carry only group
+    * keys × type cardinality, not raw rows. */
+  def qMode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"user_id")
+      .agg(element_at(call_function("top_k_structs",
+             struct($"n", $"event_type".as("t")), lit(1),
+             array(lit(false), lit(true)), array(lit(false), lit(false))), 1)
+             .as("m"),
+           sum($"n").as("n_events"))
+      .select($"user_id", $"m.t".as("mode_type"), $"m.n".as("n_mode"),
+              $"n_events")
+  }
+
+  /** Gaps-and-islands: consecutive-day activity streaks per user.
+    *
+    * Classic anchor trick — distinct (user, epoch-day), row_number per
+    * user over day order, anchor = day − rn is constant within one
+    * unbroken run. The only per-row shuffle is the distinct on
+    * (user, day) (cardinality ≪ events); the window and the two
+    * follow-up aggs all run on that reduced set, co-partitioned by
+    * user_id, so Catalyst reuses one exchange. Longest-streak argmax
+    * (len DESC, start ASC) rides [[graft.functions.TopKStructs]] k=1 —
+    * hash aggregation, no struct-min SortAggregate fallback. */
+  def qGapsIslands(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val days = Tables.events(spark, sfDir)
+      .select($"user_id",
+              datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("d"))
+      .distinct()
+    val byUser = Window.partitionBy($"user_id").orderBy($"d")
+    val streaks = days
+      .withColumn("anchor", $"d" - row_number().over(byUser))
+      .groupBy($"user_id", $"anchor")
+      .agg(count(lit(1)).as("len"), min($"d").as("start"))
+    streaks.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_streaks"), sum($"len").as("active_days"),
+           element_at(call_function("top_k_structs",
+             struct($"len", $"start".as("s")), lit(1),
+             array(lit(false), lit(true)), array(lit(false), lit(false))), 1)
+             .as("best"))
+      .select($"user_id", $"n_streaks", $"active_days",
+              $"best.len".as("max_streak"),
+              date_format(date_add(lit("1970-01-01").cast("date"),
+                                   $"best.s".cast("int")), "yyyy-MM-dd")
+                .as("max_streak_start"))
+  }
+
+  /** Skyline (Pareto frontier) over (quantity ↑ better, price ↓ better):
+    * lineitems not dominated by any other point.
+    *
+    * Reduce first, skyline second: one hash agg collapses the table to
+    * its ≤ #distinct-quantities candidate points (min price + support
+    * count per quantity) — at 100 TB this is the ONLY pass over raw
+    * data. The domination test is then a single RANGE window over the
+    * tiny candidate set: min(price) across all strictly-larger
+    * quantities (ORDER BY qty DESC, RANGE UNBOUNDED..1 PRECEDING ≡
+    * qty' ≥ qty+1); a point survives iff its price is strictly below
+    * that. The unpartitioned window is safe because its input is
+    * post-aggregation (bounded by the qty domain, ~50 rows), never the
+    * fact table. */
+  def qSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_quantity".cast("long").as("qty"))
+      .agg(min($"l_extendedprice").as("price"), count(lit(1)).as("n_at_qty"))
+    val higher = Window.orderBy($"qty".desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("best_higher", min($"price").over(higher))
+      .filter($"best_higher".isNull || $"price" < $"best_higher")
+      .select($"qty", $"price", $"n_at_qty")
+  }
 }

@@ -898,4 +898,99 @@ object Telemetry {
       .select(date_format($"wk", "yyyy-MM-dd").as("week_start"),
               $"event_type", $"n", $"prev_n", $"delta", $"pct", $"rnk")
   }
+
+  /** Last-touch attribution: each purchase is credited to the latest
+    * PRECEDING click by the same user (conversion-attribution shape).
+    *
+    * One shuffle on user_id: an ignoreNulls `last()` window over the
+    * user's full ordered event stream carries the most recent click's
+    * (ts, event_id) forward to every row; purchases then just read it.
+    * No self-join — the join-formulated equivalent (purchase × click,
+    * argmax per purchase) shuffles the click side a second time and
+    * builds a per-purchase candidate set; the window form is a single
+    * ordered pass per user. All arithmetic in integer epoch-micros so
+    * the 7-day attribution-window test is exact. Ties on ts break by
+    * event_id — deterministic under at-least-once duplication. */
+  def attribution(spark: SparkSession, sfDir: String,
+                  windowDays: Int = 7): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"event_id",
+              unix_micros($"ts").as("ts_us"))
+    val before = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isClick = $"event_type" === "click"
+    ev.withColumn("click_ts", last(when(isClick, $"ts_us"), ignoreNulls = true)
+        .over(before))
+      .withColumn("click_id", last(when(isClick, $"event_id"), ignoreNulls = true)
+        .over(before))
+      .filter($"event_type" === "purchase")
+      .withColumn("latency_us", $"ts_us" - $"click_ts")
+      .withColumn("attributed",
+        coalesce($"latency_us" <= lit(windowDays.toLong * 86400000000L),
+                 lit(false)))
+      .select($"event_id", $"user_id", $"ts_us", $"click_id", $"click_ts",
+              $"latency_us", $"attributed")
+  }
+
+  /** Single change-point detection per series: the hour boundary that
+    * maximizes |mean(left) − mean(right)| of hourly event counts — the
+    * exact-scan analogue of CUSUM, argmax over all candidate splits.
+    *
+    * The raw stream collapses to #series × #hours counts in ONE hash
+    * agg (the only full-data pass); prefix sums over that tiny rollup
+    * give every candidate split's left/right means from one running
+    * window, and a second window picks the argmax. Means are
+    * int/int double divisions — bit-exact cross-engine, no epsilon.
+    * Tie-break: earliest boundary. */
+  def changepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val series = Window.partitionBy($"event_type").orderBy($"h")
+    val scored = hourly
+      .withColumn("i", row_number().over(series).cast("long"))
+      .withColumn("cum", sum($"n").over(
+        series.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum($"n").over(Window.partitionBy($"event_type")))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"event_type")))
+      .filter($"i" < $"cnt") // a split needs a non-empty right side
+      .withColumn("left_mean", $"cum".cast("double") / $"i".cast("double"))
+      .withColumn("right_mean", ($"total" - $"cum").cast("double") /
+        ($"cnt" - $"i").cast("double"))
+      .withColumn("score", abs($"left_mean" - $"right_mean"))
+    val best = Window.partitionBy($"event_type")
+      .orderBy($"score".desc, $"h".asc)
+    scored.withColumn("rnk", row_number().over(best))
+      .filter($"rnk" === 1)
+      .select($"event_type",
+              date_format($"h", "yyyy-MM-dd HH:00").as("split_after"),
+              $"left_mean", $"right_mean", $"score")
+  }
+
+  /** Daily new-vs-returning user split: each day's active users divided
+    * into first-ever-seen-today vs seen-before (growth-accounting view).
+    *
+    * Both inputs derive from ONE distinct (user, day) pass: first-seen
+    * day is a min-aggregate per user, and the daily split is a
+    * conditional count over the activity set joined back to it. The
+    * activity distinct, the first-seen agg, and the join all hash on
+    * user_id — co-partitioned, one exchange of the reduced set. */
+  def newVsReturning(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val activity = Tables.events(spark, sfDir)
+      .select($"user_id", to_date($"ts").as("day"))
+      .distinct()
+    val firstSeen = activity.groupBy($"user_id")
+      .agg(min($"day").as("first_day"))
+    activity.join(firstSeen, Seq("user_id"))
+      .groupBy($"day")
+      .agg(sum(when($"day" === $"first_day", 1L).otherwise(0L)).as("new_users"),
+           sum(when($"day" =!= $"first_day", 1L).otherwise(0L))
+             .as("returning_users"))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+              $"new_users", $"returning_users",
+              ($"new_users" + $"returning_users").as("active_users"))
+  }
 }
