@@ -267,6 +267,19 @@ object VersionedManifest {
     spark.read.parquet(s"$manifestDir/manifest-v$v")
   }
 
+  /** Roll back to an earlier snapshot by committing ITS file list as a
+    * NEW head version — never by moving the pointer backwards
+    * (Iceberg's rollback semantics). History stays append-only: the
+    * bad snapshots remain readable for forensics, [[expireSnapshots]]
+    * reachability still sees every version, and a reader that resolved
+    * the head mid-rollback sees a consistent snapshot either way. */
+  def rollback(spark: SparkSession, manifestDir: String,
+               toVersion: Long): Long = {
+    val entries = filesAt(spark, manifestDir, Some(toVersion))
+      .drop("snapshot_id")
+    commitFiles(spark, manifestDir, entries)
+  }
+
   /** Time-travel read: the table exactly as of snapshot `version`. */
   def readAt(spark: SparkSession, tablePath: String, manifestDir: String,
              version: Option[Long] = None): DataFrame = {

@@ -427,6 +427,40 @@ class SinkRecoverySpec extends SparkSpec {
     assert(v2Files != v1Files)
   }
 
+  test("rollback commits the old file list as a NEW head, history intact") {
+    import graft.recovery.VersionedManifest
+    val base = tmp()
+    val table = s"$base/events"
+    val mDir = s"$base/manifests"
+    val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "daily")
+    PartitionedParquetSink.writeBatch(eventsDf, cfg)
+    val v1 = VersionedManifest.commit(spark, table, mDir)
+
+    // a bad upsert lands as v2
+    val ids = eventsDf.select("event_id").limit(2).collect().map(_.getLong(0))
+    val bad = eventsDf.filter(col("event_id").isin(ids.toSeq: _*))
+      .withColumn("value", lit(-1.0))
+    val v2 = VersionedManifest.upsert(spark, table, mDir, bad, "event_id", cfg)
+    spark.catalog.refreshByPath(table)
+
+    // rollback: head becomes v3 whose content EQUALS v1
+    val v3 = VersionedManifest.rollback(spark, mDir, v1)
+    assert(v3 === v2 + 1)
+    assert(VersionedManifest.currentVersion(spark, mDir) === v3)
+    val head = VersionedManifest.readAt(spark, table, mDir)
+    val orig = VersionedManifest.readAt(spark, table, mDir, Some(v1))
+    assert(head.except(orig).count() === 0L && orig.except(head).count() === 0L)
+    // the bad snapshot is still readable (append-only history)
+    val badRead = VersionedManifest.readAt(spark, table, mDir, Some(v2))
+      .filter(col("event_id") === ids.head).select("value").collect()
+    assert(badRead.head.getDouble(0) === -1.0)
+    // rollback of a rollback is idempotent on content
+    val v4 = VersionedManifest.rollback(spark, mDir, v2)
+    val headAgain = VersionedManifest.readAt(spark, table, mDir, Some(v4))
+    assert(headAgain.filter(col("event_id") === ids.head)
+      .select("value").collect().head.getDouble(0) === -1.0)
+  }
+
   test("bloom file index prunes point lookups to a handful of files") {
     import graft.recovery.VersionedManifest
     val base = tmp()
