@@ -141,6 +141,7 @@ object SparkEntry {
     "text_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
     "mm_frame_dedup"     -> (Multimodal.frameDedup _),
     "sim_mrl_rerank"     -> ((s, d) => SimOps.mrlRerank(s, d)),
+    "dedup_semantic"     -> ((s, d) => Dedup.semantic(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1620,6 +1621,19 @@ object SparkEntry {
         | CAST(row_number() OVER (PARTITION BY query_id
         |   ORDER BY cos6 DESC, vec_id) AS BIGINT) AS rnk
         |FROM s WHERE crnk <= 20 QUALIFY rnk <= 5""".stripMargin,
+    "dedup_semantic" ->
+      s"""$KmeansCtes,
+        |w AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        | FROM embeddings),
+        |idx AS (SELECT af.vec_id, af.cid, w.vec, w.nrm
+        |        FROM af JOIN w USING (vec_id))
+        |SELECT vec_a, vec_b, cid, cosine FROM (
+        | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cid,
+        |  round(list_dot_product(a.vec, b.vec)/(a.nrm*b.nrm), 6) AS cosine
+        | FROM idx a JOIN idx b ON a.cid = b.cid AND a.vec_id < b.vec_id) p
+        |WHERE cosine >= 0.35""".stripMargin,
   )
 
   /** One logical op, two physical strategies (inverted-index join at

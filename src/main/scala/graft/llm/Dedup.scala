@@ -416,4 +416,34 @@ object Dedup {
               greatest($"doc_id", $"doc_b").as("id2"),
               $"ed".cast("long").as("edit_dist"))
   }
+
+  /** SemDeDup-shape semantic dedup: near-duplicate embedding pairs
+    * blocked by LEARNED k-means cluster instead of a given label —
+    * [[embeddingCosine]]'s label blocks replaced by
+    * [[SimOps.clusterAssignments]]' trained partition of the space
+    * (Abbas et al. 2023, "SemDeDup": cluster first, then compare only
+    * within clusters).
+    *
+    * Scale: assignment is a narrow broadcast-centroids pass; the pair
+    * join shuffles on cid only — candidate pairs are Σ|cluster|², the
+    * quadratic confined to clusters. At 100 TB k grows with the corpus
+    * (√N keeps clusters bounded) and oversized clusters re-block by a
+    * second-nearest-centroid key — the standard SemDeDup scaling. The
+    * cosine threshold and 6-decimal rounding match the label-blocked
+    * twin, so the two strategies are directly comparable. */
+  def semantic(spark: SparkSession, sfDir: String,
+               threshold: Double = 0.35): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    val idx = SimOps.clusterAssignments(spark, sfDir).join(emb, "vec_id")
+    val a = idx.select($"cid", $"vec_id".as("vec_a"), $"vec".as("va"))
+    val b = idx.select($"cid", $"vec_id".as("vec_b"), $"vec".as("vb"))
+    a.join(b, Seq("cid"))
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("cosine", round(call_function("cosine_sim", $"va", $"vb"), 6))
+      .filter($"cosine" >= threshold)
+      .select($"vec_a", $"vec_b", $"cid", $"cosine")
+  }
 }

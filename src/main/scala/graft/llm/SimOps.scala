@@ -622,17 +622,28 @@ object SimOps {
     * Lloyd centroids instead of stand-in vectors. Assignment is one
     * narrow broadcast pass; each query probes its own list (nprobe=1)
     * with exact round-6 cosine re-ranking inside. */
+  /** Lloyd-trained cluster assignment (vec_id, cid) — the shared
+    * blocking structure for [[ivfKmeansAnn]] and
+    * [[graft.llm.Dedup.semantic]]: one narrow broadcast-centroids pass
+    * over the corpus, exact integer-quantized distances. */
+  private[graft] def clusterAssignments(spark: SparkSession, sfDir: String,
+                                        kClusters: Int = 4,
+                                        iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val ds = quantized(spark, sfDir).localCheckpoint()
+    val cents = trainCentroids(spark, ds, kClusters, iters)
+    val cB = spark.sparkContext.broadcast(cents)
+    ds.mapPartitions { rows =>
+      val cs = cB.value
+      rows.map { case (id, vq) => (id, cs(nearestIdx(vq, cs))._1) }
+    }.toDF("vec_id", "cid")
+  }
+
   def ivfKmeansAnn(spark: SparkSession, sfDir: String, kClusters: Int = 4,
                    iters: Int = 2, nQueries: Int = 8, k: Int = 5): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
-    val ds = quantized(spark, sfDir).localCheckpoint()
-    val cents = trainCentroids(spark, ds, kClusters, iters)
-    val cB = spark.sparkContext.broadcast(cents)
-    val assign = ds.mapPartitions { rows =>
-      val cs = cB.value
-      rows.map { case (id, vq) => (id, cs(nearestIdx(vq, cs))._1) }
-    }.toDF("vec_id", "cid")
+    val assign = clusterAssignments(spark, sfDir, kClusters, iters)
     val emb = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
     val idx = assign.join(emb, "vec_id")

@@ -162,6 +162,31 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup equals a driver-side within-cluster sweep") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val got = Dedup.semantic(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    // driver recompute: same assignments, brute-force pairs in-cluster
+    val assigns = graft.llm.SimOps.clusterAssignments(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids; j <- ids if i < j && assigns(i) == assigns(j)
+      if cos(vecs(i), vecs(j)) >= 0.35
+    } yield (i, j)).toSet
+    assert(got === expect)
+  }
+
   test("mrl rerank: full-prefix run reproduces exact bruteforce top-k") {
     import spark.implicits._
     // with prefixDims = full dimensionality the coarse pass IS the exact
