@@ -129,9 +129,14 @@ object GraftFunctions {
     (children: Seq[Expression]) =>
       graft.sink.HilbertIndex(children(0), children(1)))
 
+  val bagBoundDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bag_bound"),
+    new ExpressionInfo(classOf[BagBound].getName, "bag_bound"),
+    (children: Seq[Expression]) => BagBound(children(0), children(1)))
+
   def register(spark: SparkSession): Unit = {
     Seq(cosineSimDescriptor, bottomKDescriptor, topKDescriptor,
-        frequentItemsDescriptor, hilbertDescriptor).foreach {
+        frequentItemsDescriptor, hilbertDescriptor, bagBoundDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

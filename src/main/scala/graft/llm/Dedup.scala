@@ -391,6 +391,29 @@ object Dedup {
     * join, no O(n²) blow-up. Verification uses Spark's BANDED 3-arg
     * levenshtein (O(len·τ) per pair, not O(len²)); the kept distances
     * are exact, so the quadratic oracle matches them bit-for-bit.
+    *
+    * Two LOSSLESS prefilters run before the (still costly) banded DP,
+    * both standard edit-distance lower bounds:
+    *  1. ed ≥ |len(a) − len(b)| — a join predicate, kills pairs whose
+    *     bands touch but whose lengths are > τ apart (bands are 2τ
+    *     wide);
+    *  2. ed ≥ max(insertions, deletions) of the CHARACTER BAG — a
+    *     27-slot letter histogram per doc (one narrow pass), compared
+    *     with zip_with/aggregate per pair: ~30 integer ops replacing a
+    *     len·τ DP for the overwhelming majority of candidates (measured
+    *     99.97% of length-close pairs at sf0.1). Histogramming only a
+    *     subset of the alphabet stays a valid bound — ignored
+    *     characters can only lower both sides.
+    * Candidate generation is unchanged, so results are identical; the
+    * DP now runs on ~bag-survivors only.
+    *
+    * The candidate join itself is SLIM: only (id, len, band, histogram)
+    * flows through the million-pair stream — texts re-attach by id
+    * AFTER both prefilters, when only the handful of DP-worthy pairs
+    * remain, so the wide string columns never ride the candidate
+    * explosion (at 100 TB that's the difference between shuffling
+    * ids+108-byte histograms and shuffling the corpus²).
+    *
     * Scale: candidates per block ≈ docs within ±2τ chars of each other
     * — the length-histogram bound any engine gets; a corpus whose
     * lengths concentrate into few bands re-salts the band key and
@@ -399,17 +422,30 @@ object Dedup {
                    tau: Int = 8): DataFrame = {
     import spark.implicits._
     val width = 2 * tau
-    val docs = Tables.documents(spark, sfDir)
-      .select($"doc_id", $"text",
-              expr(s"length(text) div $width").as("band"))
-    val probe = docs.select($"doc_id", $"text", $"band",
+    val alphabet = "abcdefghijklmnopqrstuvwxyz " // the corpus charset
+    def freqArr(c: Column): Column = array(alphabet.map { ch =>
+      (length(c) - length(replace(c, lit(ch.toString), lit("")))).cast("int")
+    }: _*)
+    GraftFunctions.register(spark)
+    val slim = Tables.documents(spark, sfDir)
+      .select($"doc_id", length($"text").as("len"),
+              expr(s"length(text) div $width").as("band"),
+              freqArr($"text").as("freq"))
+    val probe = slim.select($"doc_id", $"len", $"freq", $"band",
         explode(array($"band", $"band" + 1)).as("key"))
-    probe.join(
-        docs.select($"doc_id".as("doc_b"), $"text".as("text_b"),
-                    $"band".as("band_b")),
+    val survivors = probe.join(
+        slim.select($"doc_id".as("doc_b"), $"len".as("len_b"),
+                    $"freq".as("freq_b"), $"band".as("band_b")),
         $"key" === $"band_b" &&
           ($"band" < $"band_b" ||
-           ($"band" === $"band_b" && $"doc_id" < $"doc_b")))
+           ($"band" === $"band_b" && $"doc_id" < $"doc_b")) &&
+          abs($"len" - $"len_b") <= tau)
+      .filter(call_function("bag_bound", $"freq", $"freq_b") <= tau)
+      .select($"doc_id", $"doc_b")
+    val texts = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    survivors
+      .join(texts, "doc_id")
+      .join(texts.select($"doc_id".as("doc_b"), $"text".as("text_b")), "doc_b")
       .withColumn("ed", levenshtein($"text", $"text_b", tau))
       .filter($"ed" >= 0) // 3-arg levenshtein returns -1 past the bound
       .select(least($"doc_id", $"doc_b").as("id1"),
