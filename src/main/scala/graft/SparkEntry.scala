@@ -142,6 +142,9 @@ object SparkEntry {
     "mm_frame_dedup"     -> (Multimodal.frameDedup _),
     "sim_mrl_rerank"     -> ((s, d) => SimOps.mrlRerank(s, d)),
     "dedup_semantic"     -> ((s, d) => Dedup.semantic(s, d)),
+    "tel_twap"           -> (Telemetry.twap _),
+    "text_tfidf"         -> ((s, d) => TextOps.tfidf(s, d)),
+    "text_line_dedup"    -> ((s, d) => TextOps.lineDedup(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1634,6 +1637,61 @@ object SparkEntry {
         |  round(list_dot_product(a.vec, b.vec)/(a.nrm*b.nrm), 6) AS cosine
         | FROM idx a JOIN idx b ON a.cid = b.cid AND a.vec_id < b.vec_id) p
         |WHERE cosine >= 0.35""".stripMargin,
+    "tel_twap" ->
+      """WITH e AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day, epoch_us(ts) AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS v100, event_id
+        | FROM events),
+        |l AS (
+        | SELECT event_type, day, us, v100,
+        |  lead(us) OVER (PARTITION BY event_type, day
+        |    ORDER BY us, event_id) AS next_us
+        | FROM e)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        | CAST(CAST(sum(v100 * (next_us - us)) AS BIGINT) AS DOUBLE)
+        |   / CAST(CAST(sum(next_us - us) AS BIGINT) * 100 AS DOUBLE) AS twap,
+        | CAST(sum(next_us - us) AS BIGINT) AS held_us,
+        | CAST(count(*) AS BIGINT) AS n_intervals
+        |FROM l WHERE next_us IS NOT NULL
+        |GROUP BY event_type, day""".stripMargin,
+    "text_tfidf" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        | FROM documents),
+        |tf AS (
+        | SELECT doc_id, term, count(*) AS cnt,
+        |  sum(count(*)) OVER (PARTITION BY doc_id) AS doc_len
+        | FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        | SELECT tf.doc_id, tf.term, tf.cnt, df.df,
+        |  round((CAST(tf.cnt AS DOUBLE) / CAST(tf.doc_len AS DOUBLE))
+        |   * round(ln(CAST(n.n_docs AS DOUBLE) / df.df), 4), 6) AS score
+        | FROM tf JOIN df USING (term), n
+        | WHERE tf.doc_id < 20)
+        |SELECT doc_id, term, CAST(cnt AS BIGINT) AS cnt,
+        | CAST(df AS BIGINT) AS df, score,
+        | CAST(row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY score DESC, term) AS BIGINT) AS rnk
+        |FROM s QUALIFY rnk <= 5""".stripMargin,
+    "text_line_dedup" ->
+      """WITH c AS (
+        | SELECT doc_id, md5(substr(text, CAST(i*80+1 AS BIGINT), 80)) AS chunk_md5
+        | FROM (SELECT doc_id, text,
+        |   unnest(range(0, ((length(text)-1)//80)+1)) AS i
+        |  FROM documents WHERE length(text) > 0) t),
+        |d AS (
+        | SELECT chunk_md5 FROM c GROUP BY 1
+        | HAVING count(DISTINCT doc_id) > 1)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        | CAST(sum(CASE WHEN d.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_dup_chunks,
+        | CAST(sum(CASE WHEN d.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / count(*) AS dup_frac
+        |FROM c LEFT JOIN d USING (chunk_md5)
+        |GROUP BY c.doc_id""".stripMargin,
   )
 
   /** One logical op, two physical strategies (inverted-index join at

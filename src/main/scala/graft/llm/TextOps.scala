@@ -390,6 +390,74 @@ object TextOps {
       .select($"lang", $"doc_id", $"n_chars", $"cum")
   }
 
+  /** TF-IDF top terms per document (the classic retrieval/keyword
+    * score, built on [[docFreq]]'s df machinery).
+    *
+    * tf = term count / doc length (exact int/int division), idf =
+    * ln(N/df) ROUNDED to 4 decimals before the product — libm natural
+    * logs agree across engines to ~1 ulp, and the 1e-4 grid is twelve
+    * orders of magnitude coarser, so the rounded idf (and hence the
+    * 6-decimal score) is engine-stable. Scale shape: one explode +
+    * two hash aggs sharing the term key; the df side is tiny
+    * (vocabulary) and broadcasts into the per-doc score join; the
+    * per-doc top-k window partitions by doc_id. */
+  def tfidf(spark: SparkSession, sfDir: String, topK: Int = 5,
+            maxDocs: Int = 20): DataFrame = {
+    import spark.implicits._
+    val terms = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+              explode(split(trim(lower($"text")), "\\s+")).as("term"))
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("cnt"))
+      .withColumn("doc_len", sum($"cnt").over(Window.partitionBy($"doc_id")))
+    val df = terms.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val scored = tf.join(broadcast(df), "term")
+      .filter($"doc_id" < maxDocs)
+      .withColumn("idf4", round(log(lit(nDocs.toDouble) / $"df"), 4))
+      .withColumn("score",
+        round(($"cnt".cast("double") / $"doc_len".cast("double")) * $"idf4", 6))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score".desc, $"term".asc))
+        .cast("long"))
+      .filter($"rnk" <= topK)
+      .select($"doc_id", $"term", $"cnt", $"df", $"score", $"rnk")
+  }
+
+  /** Chunk-level cross-document duplication (RefinedWeb/C4 line-dedup
+    * shape, on fixed 80-char chunks): a chunk digest seen in more than
+    * one document marks boilerplate; each doc reports the fraction of
+    * its chunks that are shared.
+    *
+    * The shuffle key is the 16-byte md5, never chunk text; the
+    * dup-chunk set is bounded by DISTINCT duplicated digests. Exact
+    * int/int fraction. At 100 TB this is the standard pre-training
+    * boilerplate-strip pass — one explode, one digest agg, one
+    * co-partitioned join back. */
+  def lineDedup(spark: SparkSession, sfDir: String,
+                chunkChars: Int = 80): DataFrame = {
+    import spark.implicits._
+    val chunks = Tables.documents(spark, sfDir)
+      .filter(length($"text") > 0)
+      .select($"doc_id",
+              explode(expr(
+                s"transform(sequence(0, CAST((length(text)-1) div $chunkChars AS INT)), " +
+                s"i -> md5(substring(text, i*$chunkChars + 1, $chunkChars)))"))
+                .as("chunk_md5"))
+    val dupDigests = chunks.groupBy($"chunk_md5")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" > 1)
+      .select($"chunk_md5")
+    chunks
+      .join(dupDigests.withColumn("is_dup", lit(1L)), Seq("chunk_md5"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(coalesce($"is_dup", lit(0L))).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        $"n_dup_chunks".cast("double") / $"n_chunks".cast("double"))
+  }
+
   /** One BPE merge round, corpus-wide: frequency of every adjacent
     * character pair inside words, weighted by word frequency — the
     * counting step a distributed BPE tokenizer trainer repeats per

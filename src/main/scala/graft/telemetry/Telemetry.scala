@@ -969,6 +969,37 @@ object Telemetry {
               $"left_mean", $"right_mean", $"score")
   }
 
+  /** Time-weighted average (TWAP) per series per day — the correct
+    * rollup for IRREGULARLY-sampled gauges, where a plain avg
+    * over-weights bursts: each sample is held until the next one, so
+    * its weight is that holding duration.
+    *
+    * ALL-INTEGER accumulation: v100 = round(value·100) and Δt in
+    * epoch-micros are longs, so Σ(v100·Δt) and ΣΔt are exact and
+    * ORDER-INDEPENDENT — no float summation drift, no ordered-fold
+    * machinery needed (contrast [[ewma]], whose recurrence forces an
+    * ordered fold); the only float op is one final division. One
+    * shuffle: the lead() window and the groupBy share the
+    * (event_type, day) key, so Catalyst reuses the exchange. */
+  def twap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type", to_date($"ts").as("day"),
+              unix_micros($"ts").as("us"),
+              round($"value" * 100, 0).cast("long").as("v100"), $"event_id")
+    val w = Window.partitionBy($"event_type", $"day").orderBy($"us", $"event_id")
+    ev.withColumn("next_us", lead($"us", 1).over(w))
+      .filter($"next_us".isNotNull) // last sample of the day holds nothing
+      .groupBy($"event_type", $"day")
+      .agg(sum($"v100" * ($"next_us" - $"us")).as("num"),
+           sum($"next_us" - $"us").as("den"),
+           count(lit(1)).as("n_intervals"))
+      .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
+              ($"num".cast("double") / ($"den" * 100L).cast("double"))
+                .as("twap"),
+              $"den".as("held_us"), $"n_intervals")
+  }
+
   /** Daily new-vs-returning user split: each day's active users divided
     * into first-ever-seen-today vs seen-before (growth-accounting view).
     *

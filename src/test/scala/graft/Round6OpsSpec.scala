@@ -162,6 +162,87 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("twap matches a driver-side hold-until-next integration") {
+    import spark.implicits._
+    val got = Telemetry.twap(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
+        (r.getAs[Double]("twap"), r.getAs[Long]("held_us"))).toMap
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", date_format(to_date($"ts"), "yyyy-MM-dd").as("day"),
+              unix_micros($"ts").as("us"), $"value", $"event_id")
+      .collect()
+      .groupBy(r => (r.getAs[String]("event_type"), r.getAs[String]("day")))
+    ev.foreach { case (key, rows) =>
+      val sorted = rows.sortBy(r => (r.getAs[Long]("us"), r.getAs[Long]("event_id")))
+      if (sorted.length >= 2) {
+        var num = 0L; var den = 0L
+        sorted.sliding(2).foreach { case Array(a, b) =>
+          val dt = b.getAs[Long]("us") - a.getAs[Long]("us")
+          num += math.round(a.getAs[Double]("value") * 100) * dt
+          den += dt
+        }
+        assert(got(key) === ((num.toDouble / (den * 100L).toDouble, den)), key)
+      } else assert(!got.contains(key))
+    }
+  }
+
+  test("tfidf: rank-1 term per doc maximizes the driver-recomputed score") {
+    import spark.implicits._
+    import graft.llm.TextOps
+    val nDocs = Tables.documents(spark, sf).count().toDouble
+    val texts = Tables.documents(spark, sf).filter($"doc_id" < 20)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.toLowerCase.split("\\s+").toSeq).toMap
+    val dfMap = Tables.documents(spark, sf).select($"text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+").distinct)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val got = TextOps.tfidf(spark, sf).collect()
+    got.filter(_.getAs[Long]("rnk") == 1L).foreach { r =>
+      val doc = r.getAs[Long]("doc_id")
+      val terms = texts(doc)
+      def score(t: String): Double = {
+        val tf = terms.count(_ == t).toDouble / terms.length
+        val idf = BigDecimal(math.log(nDocs / dfMap(t)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        BigDecimal(tf * idf).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val best = terms.distinct.map(score).max
+      assert(score(r.getAs[String]("term")) === best, s"doc $doc")
+    }
+  }
+
+  test("line dedup matches a driver-side shared-chunk recompute") {
+    import spark.implicits._
+    import graft.llm.TextOps
+    val got = TextOps.lineDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Double]("dup_frac"))).toMap
+    val lens = Tables.documents(spark, sf).select($"doc_id", length($"text"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // chunk count = ceil(len/80)
+    got.foreach { case (id, (n, frac)) =>
+      assert(n === (lens(id) + 79) / 80, s"doc $id chunks")
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // full driver recompute of the shared-chunk fractions
+    val texts = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val chunksOf = texts.map { case (id, t) =>
+      id -> t.grouped(80).toVector
+    }.toMap
+    val docsPerChunk = chunksOf.toSeq
+      .flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    chunksOf.foreach { case (id, cs) =>
+      val dup = cs.count(c => docsPerChunk(c) > 1)
+      assert(got(id) === ((cs.length.toLong, dup.toDouble / cs.length)),
+        s"doc $id")
+    }
+    // shared chunks DO exist in the corpus (the filter has signal)
+    assert(got.values.exists(_._2 > 0.0))
+  }
+
   test("semantic dedup equals a driver-side within-cluster sweep") {
     import spark.implicits._
     import graft.llm.Dedup
