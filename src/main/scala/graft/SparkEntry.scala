@@ -142,6 +142,7 @@ object SparkEntry {
     "mm_frame_dedup"     -> (Multimodal.frameDedup _),
     "sim_mrl_rerank"     -> ((s, d) => SimOps.mrlRerank(s, d)),
     "dedup_semantic"     -> ((s, d) => Dedup.semantic(s, d)),
+    "q_asof_native"      -> (AsofJoin.qAsofNative _),
     "tel_twap"           -> (Telemetry.twap _),
     "text_tfidf"         -> ((s, d) => TextOps.tfidf(s, d)),
     "text_line_dedup"    -> ((s, d) => TextOps.lineDedup(s, d)),
@@ -270,6 +271,18 @@ object SparkEntry {
         |FROM supplier
         |WHERE s_acctbal > (SELECT avg(s_acctbal) FROM supplier)""".stripMargin,
     "q_asof_join" ->
+      """WITH r AS (
+        | SELECT o_custkey, o_orderdate,
+        |  max(o_orderkey) AS o_orderkey,
+        |  arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        | FROM orders GROUP BY 1,2)
+        |SELECT e.event_id, e.user_id, r.o_orderkey AS last_order_key,
+        | round(r.o_totalprice, 4) AS last_order_price
+        |FROM events e ASOF LEFT JOIN r
+        | ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin,
+    // the native-exec twin answers the SAME question — one oracle text,
+    // two physical strategies under test
+    "q_asof_native" ->
       """WITH r AS (
         | SELECT o_custkey, o_orderdate,
         |  max(o_orderkey) AS o_orderkey,

@@ -148,5 +148,10 @@ object GraftFunctions {
             spark.experimental.extraOptimizations :+ rule
         }
       }
+    // planner strategy for the native as-of join (idempotent add)
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
   }
 }

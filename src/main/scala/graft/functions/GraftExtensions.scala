@@ -13,7 +13,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.topKDescriptor)
     ext.injectFunction(GraftFunctions.frequentItemsDescriptor)
     ext.injectFunction(GraftFunctions.hilbertDescriptor)
+    ext.injectFunction(GraftFunctions.bagBoundDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -50,6 +50,50 @@ object AsofJoin {
       .select(leftCols.map(col) :+ col("_asof"): _*)
   }
 
+  /** NATIVE as-of join through the full custom-operator path
+    * ([[graft.plans.AsOfJoinNode]] → [[graft.plans.AsOfJoinStrategy]] →
+    * [[graft.plans.AsOfJoinExec]]): each side shuffles on its own key
+    * and sorts by (key, time) — both injected by EnsureRequirements —
+    * then a per-partition two-pointer merge streams the answer with
+    * O(1) state. Key and time columns are resolved by name from the
+    * ANALYZED child plans; both time columns must evaluate to long
+    * (timestamp-micros or bigint) and be non-null. */
+  def leftAsofNative(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String,
+                     leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${plan.output.map(_.name)}"))
+    org.apache.spark.sql.graft.GraftSql.ofRows(spark,
+      graft.plans.AsOfJoinNode(lPlan, rPlan,
+        Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
+        attr(lPlan, leftTime), attr(rPlan, rightTime)))
+  }
+
+  /** [[qAsofJoin]] re-planned through the native exec — same oracle,
+    * different physical strategy (the custom-operator proof). */
+  def qAsofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts")
+    val orders = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"),
+           max_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))
+      .select($"o_custkey", $"o_orderdate".cast("timestamp").as("o_ts"),
+              $"o_orderkey", $"o_totalprice")
+    leftAsofNative(events, orders, "user_id", "o_custkey", "ts", "o_ts")
+      .select($"event_id", $"user_id",
+              $"o_orderkey".as("last_order_key"),
+              round($"o_totalprice", 4).as("last_order_price"))
+  }
+
   /** events as-of orders per user: annotate each event with the user's
     * most recent order at event time (null if none yet). */
   def qAsofJoin(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1,0 +1,144 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences,
+  Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder,
+  UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** The full custom-operator ladder step (SURVEY §3 step c): an as-of
+  * join as a FIRST-CLASS operator — logical node, planner strategy, and
+  * a merge-based physical exec — instead of the union+window rewrite
+  * ([[graft.operators.AsofJoin.leftAsof]], which remains the
+  * composition-only baseline the two are tested against).
+  *
+  * Why a native exec wins at scale: the window formulation unions both
+  * sides into ONE shuffle whose rows carry a nulled payload struct on
+  * the left side and then runs a window (sort + carry-forward) over the
+  * union. The native plan shuffles each side by its own key, sorts each
+  * side ONCE by (key, time) — both steps injected declaratively by
+  * EnsureRequirements, so AQE still sizes them — and then streams a
+  * per-partition two-pointer merge holding O(1) state (the latest
+  * matching right row), never materializing the union or a window
+  * buffer. Semantics match `leftAsof`: for every left row, the payload
+  * of the latest right row with rightTime ≤ leftTime on the same key;
+  * right side must be unique per (key, time).
+  */
+case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
+                        leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                        leftTime: Expression, rightTime: Expression)
+    extends BinaryNode {
+  // right columns become nullable: unmatched left rows pad with null
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy: one-to-one translation of the logical node. Inject
+  * via `SparkSessionExtensions.injectPlannerStrategy` or
+  * `spark.experimental.extraStrategies` (GraftFunctions.register). */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of merge join.
+  *
+  * Declares `ClusteredDistribution` on each side's keys and a
+  * (key, time) sort order — EnsureRequirements inserts the co-located
+  * exchanges and sorts exactly like it does for SortMergeJoin, so the
+  * operator composes with AQE, reused exchanges, and bucketed inputs
+  * (a pre-bucketed right side skips its shuffle entirely). Execution
+  * is a zipPartitions two-pointer sweep: right rows are consumed at
+  * most once, the only buffered state is the current match (one copied
+  * row) — no hash table, no window buffer, no spill surface. */
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                        leftTime: Expression, rightTime: Expression)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending))
+      :+ SortOrder(leftTime, org.apache.spark.sql.catalyst.expressions.Ascending),
+    rightKeys.map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending))
+      :+ SortOrder(rightTime, org.apache.spark.sql.catalyst.expressions.Ascending))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val lAttrs = left.output
+    val rAttrs = right.output
+    val nRight = rAttrs.size
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lAttrs)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rAttrs)
+      val lTimeBound = BindReferences.bindReference(lTimeExpr, lAttrs)
+      val rTimeBound = BindReferences.bindReference(rTimeExpr, rAttrs)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val nullRight = new GenericInternalRow(nRight)
+      val joined = new JoinedRow
+      val out = UnsafeProjection.create(output, lAttrs ++ rAttrs)
+
+      new Iterator[InternalRow] {
+        private var rCur: InternalRow = _         // un-consumed right row
+        private var rCurKey: InternalRow = _
+        private var matchRow: InternalRow = _     // latest qualifying right
+        private var matchKey: InternalRow = _
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKeyProj(l)
+          val lt = lTimeBound.eval(l).asInstanceOf[Long]
+          var done = false
+          while (!done && (rCur != null || rIter.hasNext)) {
+            if (rCur == null) {
+              rCur = rIter.next()
+              rCurKey = rKeyProj(rCur).copy()
+            }
+            val cmp = keyOrd.compare(rCurKey, lk)
+            if (cmp < 0) {
+              // left keys only grow: this right row can never match again
+              rCur = null
+            } else if (cmp == 0 &&
+                       rTimeBound.eval(rCur).asInstanceOf[Long] <= lt) {
+              // qualifying: later qualifying rows overwrite (latest wins)
+              matchRow = rCur.copy()
+              matchKey = rCurKey
+              rCur = null
+            } else {
+              done = true // right is ahead of this left row; keep it parked
+            }
+          }
+          val m = if (matchKey != null && keyOrd.compare(matchKey, lk) == 0)
+            matchRow else nullRight
+          out(joined(l, m))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}

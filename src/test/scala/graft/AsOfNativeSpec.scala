@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsofJoin
+
+/** The custom-operator path (AsOfJoinNode → AsOfJoinStrategy →
+  * AsOfJoinExec): plan shape, strategy equivalence with the
+  * union+window baseline, and merge edge cases. */
+class AsOfNativeSpec extends SparkSpec {
+
+  test("native as-of plans AsOfJoinExec with injected exchanges and sorts") {
+    val plan = AsofJoin.qAsofNative(spark, sf)
+      .queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix: the node prints "AsOfJoin"
+    assert(plan.contains("AsOfJoin ["), plan)
+    // EnsureRequirements must have inserted the co-located machinery
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("Sort ["), plan)
+  }
+
+  test("native exec and union+window strategy return identical rows") {
+    val native = AsofJoin.qAsofNative(spark, sf)
+    val window = AsofJoin.qAsofJoin(spark, sf)
+    assert(native.count() === window.count())
+    assert(native.except(window).count() === 0L)
+    assert(window.except(native).count() === 0L)
+  }
+
+  test("merge edge cases: exact-ts match, no-match nulls, latest-wins") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, "l1"),  // before any right row for key 1
+      (1L, 200L, "l2"),  // exact-timestamp match (ts == right ts)
+      (1L, 350L, "l3"),  // between rights: latest-at-or-before wins
+      (2L, 500L, "l4"),  // key with no right rows at all
+      (3L, 50L,  "l5")   // right rows exist but all AFTER this ts
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 200L, "r200"),
+      (1L, 300L, "r300"),
+      (1L, 400L, "r400"),
+      (3L, 60L,  "r60")
+    ).toDF("k", "t", "payload")
+    val got = AsofJoin.leftAsofNative(
+        left, right.withColumnRenamed("k", "rk").withColumnRenamed("t", "rt"),
+        "k", "rk", "t", "rt")
+      .select($"tag", $"payload").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got === Map(
+      "l1" -> None,          // nothing at or before 100
+      "l2" -> Some("r200"),  // rightTime == leftTime counts
+      "l3" -> Some("r300"),  // 300 is the latest ≤ 350 (not 200, not 400)
+      "l4" -> None,          // key never appears on the right
+      "l5" -> None))         // right exists only in the future
+  }
+
+  test("native exec survives multi-partition keys and empty partitions") {
+    import spark.implicits._
+    // many keys → rows spread over all 4 test partitions; some keys
+    // right-only, some left-only
+    val left = (0L until 400L).map(i => (i % 40, i, s"L$i")).toDF("k", "t", "tag")
+    val right = (0L until 200L).map(i => (i % 20, i * 2, s"R$i")).toDF("rk", "rt", "payload")
+    val native = AsofJoin.leftAsofNative(left, right, "k", "rk", "t", "rt")
+    // reference: per-row argmax computed on the driver
+    val rights = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expect = left.collect().map { r =>
+      val (k, t, tag) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val best = rights.filter(x => x._1 == k && x._2 <= t)
+        .sortBy(x => (x._2, x._3)).lastOption.map(_._3)
+      tag -> best
+    }.toMap
+    val got = native.select($"tag", $"payload").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got === expect)
+  }
+}
