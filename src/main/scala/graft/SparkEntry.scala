@@ -146,6 +146,8 @@ object SparkEntry {
     "tel_twap"           -> (Telemetry.twap _),
     "text_tfidf"         -> ((s, d) => TextOps.tfidf(s, d)),
     "text_line_dedup"    -> ((s, d) => TextOps.lineDedup(s, d)),
+    "tel_m4_downsample"  -> (Telemetry.m4Downsample _),
+    "mm_scene_cuts"      -> (Multimodal.sceneCuts _),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1705,6 +1707,53 @@ object SparkEntry {
         |   AS DOUBLE) / count(*) AS dup_frac
         |FROM c LEFT JOIN d USING (chunk_md5)
         |GROUP BY c.doc_id""".stripMargin,
+    "tel_m4_downsample" ->
+      """WITH e AS (
+        | SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |  epoch_us(ts) AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS v100, event_id
+        | FROM events),
+        |r AS (
+        | SELECT event_type, bucket, us, v100,
+        |  row_number() OVER (PARTITION BY event_type, bucket
+        |    ORDER BY us, event_id) AS rf,
+        |  row_number() OVER (PARTITION BY event_type, bucket
+        |    ORDER BY us DESC, event_id) AS rl,
+        |  row_number() OVER (PARTITION BY event_type, bucket
+        |    ORDER BY v100, us, event_id) AS rmin,
+        |  row_number() OVER (PARTITION BY event_type, bucket
+        |    ORDER BY v100 DESC, us, event_id) AS rmax,
+        |  count(*) OVER (PARTITION BY event_type, bucket) AS n
+        | FROM e)
+        |SELECT event_type, strftime(bucket, '%Y-%m-%d %H:00') AS bucket,
+        | CAST(max(n) AS BIGINT) AS n_samples,
+        | max(CASE WHEN rf = 1 THEN v100 END) AS first_v,
+        | max(CASE WHEN rl = 1 THEN v100 END) AS last_v,
+        | max(CASE WHEN rmin = 1 THEN v100 END) AS min_v,
+        | max(CASE WHEN rmax = 1 THEN v100 END) AS max_v,
+        | max(CASE WHEN rmin = 1 THEN us END) AS min_ts_us,
+        | max(CASE WHEN rmax = 1 THEN us END) AS max_ts_us
+        |FROM r GROUP BY event_type, bucket""".stripMargin,
+    "mm_scene_cuts" ->
+      """WITH fr AS (
+        | SELECT doc_id, i AS frame_idx,
+        |  md5(substr(text, CAST(i*64+1 AS BIGINT), 64)) AS frame_md5
+        | FROM (SELECT doc_id, text,
+        |   unnest(generate_series(0,
+        |     CAST(ceil(octet_length(encode(text))/64.0) AS BIGINT)-1, 4)) AS i
+        |  FROM documents) t),
+        |l AS (
+        | SELECT doc_id, frame_idx,
+        |  lag(frame_md5) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+        |    AS prev_md5,
+        |  frame_md5
+        | FROM fr)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        | CAST(sum(CASE WHEN prev_md5 IS NOT NULL AND prev_md5 <> frame_md5
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        | min(CASE WHEN prev_md5 IS NOT NULL AND prev_md5 <> frame_md5
+        |   THEN frame_idx END) AS first_cut_idx
+        |FROM l GROUP BY doc_id""".stripMargin,
   )
 
   /** One logical op, two physical strategies (inverted-index join at

@@ -156,4 +156,25 @@ object Multimodal {
            max(col("doc_id")).as("max_doc"))
       .filter(col("n_frames") > 1)
   }
+
+  /** Stub scene-cut detection: a cut wherever consecutive sampled
+    * frames change content digest (a real pipeline compares feature
+    * distances; the Spark plumbing — per-video ordered scan, digest
+    * lag, cut aggregation — is identical). One shuffle on doc_id for
+    * the lag window; per-video cut summaries aggregate on the same
+    * key, so the exchange is reused. */
+  def sceneCuts(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frameSample(spark, sfDir).toDF()
+      .withColumn("prev_md5", lag(col("frame_md5"), 1).over(byDoc))
+      .withColumn("is_cut",
+        when(col("prev_md5").isNotNull &&
+             col("prev_md5") =!= col("frame_md5"), 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+           sum(col("is_cut")).as("n_cuts"),
+           min(when(col("is_cut") === 1L, col("frame_idx"))).as("first_cut_idx"))
+  }
 }

@@ -1000,6 +1000,47 @@ object Telemetry {
               $"den".as("held_us"), $"n_intervals")
   }
 
+  /** M4 downsampling (Jugel et al., VLDB 2014): per series per time
+    * bucket keep exactly the first, last, min-value and max-value
+    * samples — the four points that make a line chart pixel-identical
+    * to the full-resolution series at that bucket width.
+    *
+    * Unlike LTTB this has NO sequential dependency, so it is pure hash
+    * aggregation: four argmin/argmax reductions per (series, bucket),
+    * all through [[graft.functions.TopKStructs]] k=1 (map-side
+    * combine; a window formulation would sort every bucket). Ties are
+    * broken by (ts, event_id) — fully deterministic. Output is one
+    * wide row per bucket; at 100 TB the result is #series × #buckets
+    * rows regardless of input volume. */
+  def m4Downsample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // comparison prefix = ordFields (asc flags per field); trailing
+    // p_us/p_v ride as payload (not compared)
+    def pick(ordFields: Seq[Column], asc: Seq[Boolean]): Column =
+      element_at(call_function("top_k_structs",
+        struct(ordFields ++ Seq($"us".as("p_us"), $"v100".as("p_v")): _*), lit(1),
+        array(asc.map(lit(_)): _*),
+        array(asc.map(_ => lit(false)): _*)), 1)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type", date_trunc("hour", $"ts").as("bucket"),
+              unix_micros($"ts").as("us"),
+              round($"value" * 100, 0).cast("long").as("v100"), $"event_id")
+    ev.groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n_samples"),
+           pick(Seq($"us", $"event_id"), Seq(true, true)).as("first_p"),
+           pick(Seq($"us", $"event_id"), Seq(false, true)).as("last_p"),
+           pick(Seq($"v100", $"us", $"event_id"), Seq(true, true, true)).as("min_p"),
+           pick(Seq($"v100", $"us", $"event_id"), Seq(false, true, true))
+             .as("max_p"))
+      .select($"event_type",
+              date_format($"bucket", "yyyy-MM-dd HH:00").as("bucket"),
+              $"n_samples",
+              $"first_p.p_v".as("first_v"), $"last_p.p_v".as("last_v"),
+              $"min_p.p_v".as("min_v"), $"max_p.p_v".as("max_v"),
+              $"min_p.p_us".as("min_ts_us"), $"max_p.p_us".as("max_ts_us"))
+  }
+
   /** Daily new-vs-returning user split: each day's active users divided
     * into first-ever-seen-today vs seen-before (growth-accounting view).
     *
