@@ -148,6 +148,7 @@ object SparkEntry {
     "text_line_dedup"    -> ((s, d) => TextOps.lineDedup(s, d)),
     "tel_m4_downsample"  -> (Telemetry.m4Downsample _),
     "mm_scene_cuts"      -> (Multimodal.sceneCuts _),
+    "q_percentile_disc"  -> (Core.qPercentileDisc _),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1754,6 +1755,21 @@ object SparkEntry {
         | min(CASE WHEN prev_md5 IS NOT NULL AND prev_md5 <> frame_md5
         |   THEN frame_idx END) AS first_cut_idx
         |FROM l GROUP BY doc_id""".stripMargin,
+    "q_percentile_disc" ->
+      """WITH r AS (
+        | SELECT o_orderpriority AS pri, o_totalprice AS price,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS rn,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS n
+        | FROM orders)
+        |SELECT pri, CAST(max(n) AS BIGINT) AS n,
+        | max(CASE WHEN rn = CAST(ceil(0.25*n) AS BIGINT) THEN price END)
+        |   AS p25_disc,
+        | max(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN price END)
+        |   AS p50_disc,
+        | max(CASE WHEN rn = CAST(ceil(0.75*n) AS BIGINT) THEN price END)
+        |   AS p75_disc
+        |FROM r GROUP BY pri""".stripMargin,
   )
 
   /** One logical op, two physical strategies (inverted-index join at

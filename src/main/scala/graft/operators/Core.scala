@@ -623,6 +623,30 @@ object Core {
                 .as("max_streak_start"))
   }
 
+  /** Discrete percentiles (PERCENTILE_DISC): the quartile VALUES that
+    * actually occur in the data — rank ⌈p·n⌉ of the per-group sorted
+    * order — complementing q_median's interpolating PERCENTILE_CONT.
+    *
+    * One shuffle on the group key: the rank window and the final
+    * pivot-style agg share it. p ∈ {.25, .5, .75} are exact binary
+    * fractions, so ⌈p·n⌉ is fp-identical cross-engine. Tie rows order
+    * by (price, orderkey) — deterministic rn, and any same-rank price
+    * is by definition identical. */
+  def qPercentileDisc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"pri").orderBy($"price", $"o_orderkey")
+    def pick(p: Double): org.apache.spark.sql.Column =
+      max(when($"rn" === ceil(lit(p) * $"n").cast("long"), $"price"))
+    Tables.orders(spark, sfDir)
+      .select($"o_orderpriority".as("pri"), $"o_totalprice".as("price"),
+              $"o_orderkey")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"pri")))
+      .groupBy($"pri")
+      .agg(max($"n").as("n"), pick(0.25).as("p25_disc"),
+           pick(0.5).as("p50_disc"), pick(0.75).as("p75_disc"))
+  }
+
   /** Skyline (Pareto frontier) over (quantity ↑ better, price ↓ better):
     * lineitems not dominated by any other point.
     *

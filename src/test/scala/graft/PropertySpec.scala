@@ -134,4 +134,36 @@ class PropertySpec extends SparkSpec {
       close && math.abs(got.values.sum - 1.0) < 1e-9
     })
   }
+
+  test("bag_bound never exceeds true edit distance on arbitrary strings") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val alphabet = "abcd " // small alphabet maximizes histogram collisions
+    val genStr = for {
+      n <- Gen.choose(0, 30)
+      cs <- Gen.listOfN(n, Gen.oneOf(alphabet.toSeq))
+    } yield cs.mkString
+    def hist(s: String): Seq[Int] = alphabet.map(c => s.count(_ == c))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    check("bag_bound lower-bounds levenshtein", Prop.forAll(genStr, genStr) {
+      (a: String, b: String) =>
+        val got = Seq((hist(a), hist(b))).toDF("fa", "fb")
+          .select(call_function("bag_bound", col("fa"), col("fb")))
+          .first().getInt(0)
+        // the Catalyst expression computes the bag bound exactly...
+        val ins = alphabet.map(c => math.max(0, a.count(_ == c) - b.count(_ == c))).sum
+        val del = alphabet.map(c => math.max(0, b.count(_ == c) - a.count(_ == c))).sum
+        got == math.max(ins, del) &&
+          // ...and that bound never exceeds the true edit distance
+          got <= lev(a, b)
+    })
+  }
 }
