@@ -149,6 +149,7 @@ object SparkEntry {
     "tel_m4_downsample"  -> (Telemetry.m4Downsample _),
     "mm_scene_cuts"      -> (Multimodal.sceneCuts _),
     "q_percentile_disc"  -> (Core.qPercentileDisc _),
+    "sim_knn_graph"      -> ((s, d) => SimOps.knnGraph(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1770,6 +1771,22 @@ object SparkEntry {
         | max(CASE WHEN rn = CAST(ceil(0.75*n) AS BIGINT) THEN price END)
         |   AS p75_disc
         |FROM r GROUP BY pri""".stripMargin,
+    "sim_knn_graph" ->
+      s"""$KmeansCtes,
+        |w AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        | FROM embeddings),
+        |idx AS (SELECT af.vec_id, af.cid, w.vec, w.nrm
+        |        FROM af JOIN w USING (vec_id)),
+        |p AS (
+        | SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |  round(list_dot_product(a.vec, b.vec)/(a.nrm*b.nrm), 6) AS cosine
+        | FROM idx a JOIN idx b ON a.cid = b.cid AND a.vec_id != b.vec_id)
+        |SELECT vec_id, neighbor_id, cosine, rnk FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+        |   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+        | FROM p) t WHERE rnk <= 3""".stripMargin,
   )
 
   /** One logical op, two physical strategies (inverted-index join at

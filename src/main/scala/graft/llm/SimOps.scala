@@ -680,6 +680,38 @@ object SimOps {
       .select($"query_id", $"vec_id".as("neighbor_id"), $"cos6".as("cosine"))
   }
 
+  /** k-NN graph construction blocked by the LEARNED k-means clusters —
+    * the neighbor-graph building pass used by graph-based dedup and
+    * ANN indexes (HNSW layer-0 shape): each vector's top-k neighbors
+    * WITHIN its cluster, so the all-pairs quadratic is confined to
+    * clusters (the [[graft.llm.Dedup.semantic]] blocking, reused).
+    *
+    * The per-node top-k rides [[graft.functions.TopKStructs]] —
+    * bounded state, map-side combine, NO per-node sort; the pair
+    * stream never materializes beyond the aggregate. Output is a
+    * directed edge list (vec_id → neighbor, rank). Same caveats and
+    * knobs as semantic dedup at 100 TB: k-means k grows ~√N, oversized
+    * cells re-block. */
+  def knnGraph(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    val idx = clusterAssignments(spark, sfDir).join(emb, "vec_id")
+    val a = idx.select($"cid", $"vec_id", $"vec")
+    val b = idx.select($"cid", $"vec_id".as("nbr"), $"vec".as("nvec"))
+    a.join(b, Seq("cid"))
+      .filter($"vec_id" =!= $"nbr")
+      .withColumn("cos6", round(call_function("cosine_sim", $"vec", $"nvec"), 6))
+      .groupBy($"vec_id")
+      .agg(call_function("top_k_structs",
+        struct($"cos6", $"nbr"), lit(k),
+        array(lit(false), lit(true)), array(lit(false), lit(false))).as("top"))
+      .select($"vec_id", posexplode($"top"))
+      .select($"vec_id", $"col.nbr".as("neighbor_id"),
+              $"col.cos6".as("cosine"), ($"pos" + 1).cast("long").as("rnk"))
+  }
+
   /** Matryoshka-style two-stage retrieval: a cheap coarse pass scores
     * every candidate on only the first `prefixDims` dimensions (MRL
     * embeddings front-load information, so the prefix is a usable

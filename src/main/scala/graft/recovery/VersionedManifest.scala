@@ -280,6 +280,53 @@ object VersionedManifest {
     commitFiles(spark, manifestDir, entries)
   }
 
+  /** ZERO-COPY shallow clone (Delta SHALLOW CLONE / Iceberg snapshot-ref
+    * semantics): commit the source's file list at `version` (default:
+    * current head) as version 1 of a NEW manifest log. No data moves —
+    * a 100 TB table clones in manifest-write time; the clone then
+    * evolves independently (upserts/compactions write ITS new files).
+    *
+    * Caveat (same as every shallow-clone implementation): data files
+    * are SHARED until the clone rewrites them, so [[expireSnapshots]]
+    * must only ever run on the log that OWNS the files — expiring the
+    * clone could delete files the source still references. */
+  def cloneTo(spark: SparkSession, srcManifestDir: String,
+              dstManifestDir: String, version: Option[Long] = None): Long = {
+    val entries = filesAt(spark, srcManifestDir, version).drop("snapshot_id")
+    commitFiles(spark, dstManifestDir, entries)
+  }
+
+  /** Named snapshot tag (Iceberg tag refs): `tag-<name>` pins a version
+    * so consumers can address "the audited snapshot" instead of a
+    * number. Overwrite-atomic like the VERSION pointer. */
+  def writeTag(spark: SparkSession, manifestDir: String, name: String,
+               version: Long): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid tag name: $name")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(s"$manifestDir/tag-$name")
+    val tmp = new Path(s"$manifestDir/tag-$name.tmp")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(tmp.toUri, conf)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
+              Options.Rename.OVERWRITE)
+  }
+
+  def readTag(spark: SparkSession, manifestDir: String, name: String): Long = {
+    val p = new Path(s"$manifestDir/tag-$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8").trim.toLong
+    finally in.close()
+  }
+
+  /** Read the table as of a named tag. */
+  def readAtTag(spark: SparkSession, tablePath: String, manifestDir: String,
+                name: String): DataFrame =
+    readAt(spark, tablePath, manifestDir,
+           Some(readTag(spark, manifestDir, name)))
+
   /** Time-travel read: the table exactly as of snapshot `version`. */
   def readAt(spark: SparkSession, tablePath: String, manifestDir: String,
              version: Option[Long] = None): DataFrame = {

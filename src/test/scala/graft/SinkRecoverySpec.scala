@@ -461,6 +461,52 @@ class SinkRecoverySpec extends SparkSpec {
       .select("value").collect().head.getDouble(0) === -1.0)
   }
 
+  test("shallow clone shares data files; tags pin named snapshots") {
+    import graft.recovery.VersionedManifest
+    val base = tmp()
+    val table = s"$base/events"
+    val mDir = s"$base/manifests"
+    val cloneDir = s"$base/clone-manifests"
+    val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "daily")
+    PartitionedParquetSink.writeBatch(eventsDf, cfg)
+    val v1 = VersionedManifest.commit(spark, table, mDir)
+    VersionedManifest.writeTag(spark, mDir, "audited", v1)
+
+    // clone: new log, version 1, SAME files (zero copy)
+    val cv = VersionedManifest.cloneTo(spark, mDir, cloneDir)
+    assert(cv === 1L)
+    val srcFiles = VersionedManifest.filesAt(spark, mDir, Some(v1))
+      .select("file_path").collect().map(_.getString(0)).toSet
+    val cloneFiles = VersionedManifest.filesAt(spark, cloneDir, Some(cv))
+      .select("file_path").collect().map(_.getString(0)).toSet
+    assert(cloneFiles === srcFiles)
+    val srcRead = VersionedManifest.readAt(spark, table, mDir, Some(v1))
+    val cloneRead = VersionedManifest.readAt(spark, table, cloneDir, Some(cv))
+    assert(cloneRead.count() === srcRead.count())
+
+    // source evolves (upsert) — the clone must NOT see it
+    val ids = eventsDf.select("event_id").limit(2).collect().map(_.getLong(0))
+    val upd = eventsDf.filter(col("event_id").isin(ids.toSeq: _*))
+      .withColumn("value", lit(123.25))
+    VersionedManifest.upsert(spark, table, mDir, upd, "event_id", cfg)
+    spark.catalog.refreshByPath(table)
+    val cloneAfter = VersionedManifest.readAt(spark, table, cloneDir, Some(cv))
+      .filter(col("event_id") === ids.head).select("value").collect()
+    assert(cloneAfter.head.getDouble(0) !== 123.25)
+
+    // the tag still resolves to the pre-upsert snapshot
+    assert(VersionedManifest.readTag(spark, mDir, "audited") === v1)
+    val tagged = VersionedManifest.readAtTag(spark, table, mDir, "audited")
+      .filter(col("event_id") === ids.head).select("value").collect()
+    assert(tagged.head.getDouble(0) !== 123.25)
+    // tags are overwrite-atomic: repointing works
+    VersionedManifest.writeTag(spark, mDir, "audited",
+      VersionedManifest.currentVersion(spark, mDir))
+    val retagged = VersionedManifest.readAtTag(spark, table, mDir, "audited")
+      .filter(col("event_id") === ids.head).select("value").collect()
+    assert(retagged.head.getDouble(0) === 123.25)
+  }
+
   test("bloom file index prunes point lookups to a handful of files") {
     import graft.recovery.VersionedManifest
     val base = tmp()
