@@ -150,6 +150,9 @@ object SparkEntry {
     "mm_scene_cuts"      -> (Multimodal.sceneCuts _),
     "q_percentile_disc"  -> (Core.qPercentileDisc _),
     "sim_knn_graph"      -> ((s, d) => SimOps.knnGraph(s, d)),
+    // rows-only: sequential LTTB selection has no SQL-window equivalent;
+    // exactness is pinned by a BigInt driver replica in Round6OpsSpec
+    "tel_lttb"           -> ((s, d) => Telemetry.lttb(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set

@@ -1041,6 +1041,85 @@ object Telemetry {
               $"min_p.p_us".as("min_ts_us"), $"max_p.p_us".as("max_ts_us"))
   }
 
+  /** LTTB downsampling (Largest-Triangle-Three-Buckets, Steinarsson
+    * 2013) per (series, day) — the shape-preserving companion to
+    * [[m4Downsample]]: endpoints kept, each middle bucket contributes
+    * the point forming the largest triangle with the PREVIOUSLY
+    * selected point and the next bucket's average.
+    *
+    * The selection is inherently sequential within a series-day, so it
+    * runs as a typed `mapGroups` — the legitimate per-group imperative
+    * case (the same per-key-ordered-scan shape the streaming state
+    * operators use); the shuffle key is (series, day) and each group
+    * is one day of one series, so state is bounded and groups
+    * parallelize. ALL-INTEGER areas: x in seconds-within-day, y in
+    * v100 centi-units, triangle comparison on |cross product| scaled
+    * by the next bucket's size — no float ties, deterministic
+    * (earliest point wins equal areas). Emits (series, day, x, v100)
+    * for each kept point. */
+  def lttb(spark: SparkSession, sfDir: String, nOut: Int = 10): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.events(spark, sfDir)
+      .select($"event_type", date_format(to_date($"ts"), "yyyy-MM-dd").as("day"),
+              expr("(unix_micros(ts) div 1000000) % 86400").as("xs"),
+              round($"value" * 100, 0).cast("long").as("v100"), $"event_id")
+      .as[(String, String, Long, Long, Long)]
+    pts.groupByKey { case (et, day, _, _, _) => (et, day) }
+      .mapGroups { (key: (String, String),
+                    it: Iterator[(String, String, Long, Long, Long)]) =>
+        val sorted = it.toArray.sortBy { case (_, _, xs, _, id) => (xs, id) }
+          .map { case (_, _, xs, v, _) => (xs, v) }
+        (key._1, key._2, lttbSelect(sorted, nOut))
+      }
+      .toDF("event_type", "day", "pts")
+      .select($"event_type", $"day", explode($"pts").as("p"))
+      .select($"event_type", $"day", $"p._1".as("x_sec"), $"p._2".as("v100"))
+  }
+
+  /** Pure LTTB kernel over (x, y) points sorted by x: returns the kept
+    * points. Exact long arithmetic; `2·area·n_next` comparisons. */
+  private[telemetry] def lttbSelect(pts: Array[(Long, Long)],
+                                    nOut: Int): Array[(Long, Long)] = {
+    val n = pts.length
+    if (n <= nOut || nOut < 3) return pts
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)](pts(0))
+    val nMid = nOut - 2
+    // middle points pts(1..n-2) split into nMid equal index buckets
+    def bucketRange(b: Int): (Int, Int) = {
+      val lo = 1 + ((n - 2).toLong * b / nMid).toInt
+      val hi = 1 + ((n - 2).toLong * (b + 1) / nMid).toInt
+      (lo, math.min(hi, n - 1))
+    }
+    var prev = pts(0)
+    var b = 0
+    while (b < nMid) {
+      val (lo, hi) = bucketRange(b)
+      if (lo < hi) {
+        // next anchor: average of the NEXT bucket (or the last point)
+        val (nLo, nHi) = if (b + 1 < nMid) bucketRange(b + 1) else (n - 1, n)
+        var sx = 0L; var sy = 0L
+        var j = nLo
+        while (j < nHi) { sx += pts(j)._1; sy += pts(j)._2; j += 1 }
+        val m = (nHi - nLo).toLong
+        // maximize |(x_prev·m − sx)(y_c − y_prev) − (x_prev − x_c)(sy − m·y_prev)|
+        var best = lo; var bestArea = -1L
+        var i = lo
+        while (i < hi) {
+          val a = (prev._1 * m - sx) * (pts(i)._2 - prev._2) -
+            (prev._1 - pts(i)._1) * (sy - m * prev._2)
+          val area = math.abs(a)
+          if (area > bestArea) { bestArea = area; best = i }
+          i += 1
+        }
+        out += pts(best)
+        prev = pts(best)
+      }
+      b += 1
+    }
+    out += pts(n - 1)
+    out.toArray
+  }
+
   /** Daily new-vs-returning user split: each day's active users divided
     * into first-ever-seen-today vs seen-before (growth-accounting view).
     *

@@ -57,6 +57,38 @@ class AsOfNativeSpec extends SparkSpec {
       "l5" -> None))         // right exists only in the future
   }
 
+  test("bucketed right side feeds the native as-of with NO exchange") {
+    import spark.implicits._
+    // the declarative ClusteredDistribution requirement lets a
+    // pre-bucketed side satisfy the exec without any shuffle — the
+    // 100 TB win: a bucketed quote/dimension history joins as-of with
+    // only the probe side paying an exchange
+    spark.sql("DROP TABLE IF EXISTS asof_right_b")
+    (0L until 100L).map(i => (i % 10, i * 100L, s"R$i"))
+      .toDF("rk", "rt", "payload").write
+      .bucketBy(4, "rk").sortBy("rk", "rt")
+      .mode("overwrite").saveAsTable("asof_right_b")
+    val left = (0L until 300L).map(i => (i % 10, i * 40L, s"L$i"))
+      .toDF("k", "t", "tag")
+    val joined = AsofJoin.leftAsofNative(
+      left, spark.table("asof_right_b"), "k", "rk", "t", "rt")
+    val plan = joined.queryExecution.executedPlan.toString
+    // right side: bucketed scan → (sort if needed) → AsOfJoin, no Exchange
+    assert(!plan.contains("Exchange hashpartitioning(rk"),
+      s"bucketed right side shuffled:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(k"),
+      s"probe side should still shuffle:\n$plan")
+    // correctness unchanged vs the window strategy
+    val viaWindow = AsofJoin.leftAsof(
+        left, spark.table("asof_right_b"),
+        $"k", $"rk", $"t", $"rt", Seq("payload" -> $"payload"))
+      .select($"tag", $"_asof.payload".as("payload"))
+    val viaNative = joined.select($"tag", $"payload")
+    assert(viaNative.except(viaWindow).count() === 0L)
+    assert(viaWindow.except(viaNative).count() === 0L)
+    spark.sql("DROP TABLE IF EXISTS asof_right_b")
+  }
+
   test("native exec survives multi-partition keys and empty partitions") {
     import spark.implicits._
     // many keys → rows spread over all 4 test partitions; some keys

@@ -243,6 +243,56 @@ class Round6OpsSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0.0))
   }
 
+  test("lttb equals a BigInt driver replica; endpoints and bounds hold") {
+    import spark.implicits._
+    val got = Telemetry.lttb(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
+        (r.getAs[Long]("x_sec"), r.getAs[Long]("v100")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toVector).toMap
+    val raw = Tables.events(spark, sf)
+      .select($"event_type", date_format(to_date($"ts"), "yyyy-MM-dd").as("day"),
+              expr("(unix_micros(ts) div 1000000) % 86400").as("xs"),
+              round($"value" * 100, 0).cast("long").as("v100"), $"event_id")
+      .collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+    raw.foreach { case (key, rows) =>
+      val pts = rows.sortBy(r => (r.getAs[Long]("xs"), r.getAs[Long]("event_id")))
+        .map(r => (r.getAs[Long]("xs"), r.getAs[Long]("v100"))).toArray
+      // independent replica with BigInt areas — also proves the long
+      // arithmetic in the operator cannot have overflowed
+      val expect: Vector[(Long, Long)] =
+        if (pts.length <= 10) pts.toVector
+        else {
+          val n = pts.length
+          val nMid = 8
+          def rng(b: Int) = (1 + ((n - 2).toLong * b / nMid).toInt,
+            math.min(1 + ((n - 2).toLong * (b + 1) / nMid).toInt, n - 1))
+          val sel = scala.collection.mutable.ArrayBuffer(pts(0))
+          var prev = pts(0)
+          for (b <- 0 until nMid) {
+            val (lo, hi) = rng(b)
+            if (lo < hi) {
+              val (nl, nh) = if (b + 1 < nMid) rng(b + 1) else (n - 1, n)
+              val m = BigInt(nh - nl)
+              val sx = pts.slice(nl, nh).map(p => BigInt(p._1)).sum
+              val sy = pts.slice(nl, nh).map(p => BigInt(p._2)).sum
+              val best = (lo until hi).maxBy { i =>
+                (((BigInt(prev._1) * m - sx) * BigInt(pts(i)._2 - prev._2)
+                  - BigInt(prev._1 - pts(i)._1) * (sy - m * BigInt(prev._2)))
+                  .abs, -i) // earliest wins ties, matching the operator
+              }
+              sel += pts(best); prev = pts(best)
+            }
+          }
+          sel += pts(n - 1)
+          sel.toVector
+        }
+      assert(got(key) === expect, s"series-day $key")
+      assert(got(key).head === pts.head && got(key).last === pts.last)
+      assert(got(key).size <= 10)
+    }
+  }
+
   test("semantic dedup equals a driver-side within-cluster sweep") {
     import spark.implicits._
     import graft.llm.Dedup
