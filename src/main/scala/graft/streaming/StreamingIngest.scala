@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
@@ -103,6 +103,41 @@ object StreamingIngest {
               posexplode(col("top")))
       .select(col("window_start"), (col("pos") + 1).as("rnk"),
               col("col.event_type").as("event_type"), col("col.n").as("n"))
+  }
+
+  /** Streaming M4 downsampling — the streaming twin of
+    * [[graft.telemetry.Telemetry.m4Downsample]]: per (series, hour
+    * window) keep first/last/min/max samples, each an argmin/argmax
+    * through the mergeable [[graft.functions.TopKStructs]] aggregate
+    * (its TypedImperativeAggregate buffer merges across micro-batches
+    * exactly like across map tasks), emitted append-mode when the
+    * watermark closes the window. State per open window is 4 bounded
+    * struct buffers — a dashboard tier can subscribe to pixel-perfect
+    * downsampled series without ever scanning raw history. */
+  def m4Stream(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    def pick(ordCols: Seq[Column], asc: Seq[Boolean]): Column =
+      element_at(call_function("top_k_structs",
+        struct(ordCols ++ Seq(unix_micros(col(tsCol)).as("p_us"),
+          round(col("value") * 100, 0).cast("long").as("p_v")): _*), lit(1),
+        array(asc.map(lit(_)): _*),
+        array(asc.map(_ => lit(false)): _*)), 1)
+    val us = unix_micros(col(tsCol))
+    val v100 = round(col("value") * 100, 0).cast("long")
+    events
+      .withWatermark(tsCol, "10 minutes")
+      .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_samples"),
+           pick(Seq(us.as("us"), col("event_id")), Seq(true, true)).as("first_p"),
+           pick(Seq(us.as("us"), col("event_id")), Seq(false, true)).as("last_p"),
+           pick(Seq(v100.as("v"), us.as("us"), col("event_id")),
+                Seq(true, true, true)).as("min_p"),
+           pick(Seq(v100.as("v"), us.as("us"), col("event_id")),
+                Seq(false, true, true)).as("max_p"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n_samples"),
+              col("first_p.p_v").as("first_v"), col("last_p.p_v").as("last_v"),
+              col("min_p.p_v").as("min_v"), col("max_p.p_v").as("max_v"))
   }
 
   /** Streaming dedup on the record id within the watermark horizon —

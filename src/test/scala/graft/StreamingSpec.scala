@@ -117,6 +117,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming M4 emits closed windows that match the batch argmaxes") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L // 2024-01-01T00:00:00Z
+    def ts(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val out = StreamingIngest.m4Stream(
+      input.toDF().toDF("event_id", "ts", "event_type", "value"))
+    val q = out.writeStream.format("memory").queryName("m4_out")
+      .outputMode("append").start()
+    try {
+      // one window (00:00-01:00) for series "cpu": first=5.0@t0,
+      // max=9.5@t10, min=-2.25@t20, last=3.0@t50 — all distinct rows
+      input.addData(
+        (1L, ts(0), "cpu", 5.0), (2L, ts(10), "cpu", 9.5),
+        (3L, ts(20), "cpu", -2.25), (4L, ts(50), "cpu", 3.0),
+        (5L, ts(30), "quiet", 1.0))
+      q.processAllAvailable()
+      assert(spark.sql("select * from m4_out").count() === 0,
+        "append mode: nothing before the watermark closes the window")
+      input.addData((9L, ts(200), "cpu", 0.0)) // watermark driver
+      q.processAllAvailable()
+      val rows = spark.sql("select * from m4_out").collect()
+        .map(r => r.getAs[String]("event_type") ->
+          (r.getAs[Long]("n_samples"), r.getAs[Long]("first_v"),
+           r.getAs[Long]("last_v"), r.getAs[Long]("min_v"),
+           r.getAs[Long]("max_v"))).toMap
+      assert(rows("cpu") === ((4L, 500L, 300L, -225L, 950L)))
+      assert(rows("quiet") === ((1L, 100L, 100L, 100L, 100L)))
+    } finally q.stop()
+  }
+
   test("streaming CDC apply upserts each micro-batch into a new snapshot") {
     import graft.recovery.VersionedManifest
     val base = Files.createTempDirectory("graft-stream-cdc").toString
