@@ -39,6 +39,64 @@ object Recovery {
     files.toSeq.toDF("file_path", "file_size")
   }
 
+  /** DISTRIBUTED storage listing for wide tables: the driver expands
+    * only the DIRECTORY tree breadth-first until there are enough
+    * leaf directories to spread (cheap — directories ≪ files), then
+    * executors list their directories in parallel. At 10⁶ files on an
+    * object store this turns the scanner's one sequential LIST stream
+    * into #partitions concurrent ones — the same executor-side FS
+    * pattern as [[VersionedManifest.expireSnapshots]]'s deletes.
+    * Results are identical to [[listDataFiles]]. */
+  def listDataFilesDistributed(spark: SparkSession, tablePath: String,
+                               parallelism: Int = 64): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Seq.empty[(String, Long)].toDF("file_path", "file_size")
+    // breadth-first expansion over UNSCANNED dirs: each round either
+    // hands the pending set to executors (enough fan-out) or scans one
+    // more level driver-side (files → shallow, subdirs → next round)
+    var pending: Seq[Path] = Seq(root)
+    val shallow = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (pending.nonEmpty && pending.size < parallelism) {
+      val next = scala.collection.mutable.ArrayBuffer.empty[Path]
+      pending.foreach { d =>
+        fs.listStatus(d).foreach { c =>
+          if (c.isDirectory) next += c.getPath
+          else {
+            val p = c.getPath.toString
+            if (p.endsWith(".parquet")) shallow += ((p, c.getLen))
+          }
+        }
+      }
+      pending = next.toSeq
+    }
+    val shallowDf = shallow.toSeq.toDF("file_path", "file_size")
+    if (pending.isEmpty) return shallowDf
+    val sConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    val deep = spark.sparkContext
+      .parallelize(pending.map(_.toString),
+        math.min(parallelism, pending.size))
+      .mapPartitions { it =>
+        val c = sConf.value.value
+        it.flatMap { d =>
+          val p = new Path(d)
+          val dfs = p.getFileSystem(c)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+          val files = dfs.listFiles(p, true)
+          while (files.hasNext) {
+            val f = files.next()
+            val fp = f.getPath.toString
+            if (fp.endsWith(".parquet")) out += ((fp, f.getLen))
+          }
+          out
+        }
+      }.toDF("file_path", "file_size")
+    deep.union(shallowDf)
+  }
+
   /** Orphans = files present in storage but absent from the manifest. */
   def scanOrphans(spark: SparkSession, tablePath: String,
                   manifest: DataFrame): DataFrame =

@@ -461,6 +461,27 @@ class SinkRecoverySpec extends SparkSpec {
       .select("value").collect().head.getDouble(0) === -1.0)
   }
 
+  test("distributed listing equals the driver walk at every fan-out") {
+    import graft.recovery.Recovery
+    val base = tmp()
+    val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "hourly")
+    PartitionedParquetSink.writeBatch(eventsDf, cfg)
+    val table = PartitionedParquetSink.tablePath(cfg)
+    val driver = Recovery.listDataFiles(spark, table)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(driver.nonEmpty)
+    // executor path (stops expanding after the first level)...
+    val dist = Recovery.listDataFilesDistributed(spark, table, parallelism = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dist === driver)
+    // ...and the degenerate all-driver path (tree smaller than fan-out)
+    val wide = Recovery.listDataFilesDistributed(spark, table, parallelism = 100000)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(wide === driver)
+    // empty table
+    assert(Recovery.listDataFilesDistributed(spark, s"$base/nope").count() === 0L)
+  }
+
   test("shallow clone shares data files; tags pin named snapshots") {
     import graft.recovery.VersionedManifest
     val base = tmp()
