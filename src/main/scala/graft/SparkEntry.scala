@@ -153,6 +153,8 @@ object SparkEntry {
     // rows-only: sequential LTTB selection has no SQL-window equivalent;
     // exactness is pinned by a BigInt driver replica in Round6OpsSpec
     "tel_lttb"           -> ((s, d) => Telemetry.lttb(s, d)),
+    "tel_capacity_forecast" -> ((s, d) => Telemetry.capacityForecast(s, d)),
+    "tel_downtime"       -> ((s, d) => Telemetry.downtime(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1790,6 +1792,44 @@ object SparkEntry {
         | SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
         |   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
         | FROM p) t WHERE rnk <= 3""".stripMargin,
+    "tel_capacity_forecast" ->
+      """WITH daily AS (
+        | SELECT event_type,
+        |  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+        |  count(*) AS y
+        | FROM events GROUP BY 1, 2),
+        |m AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy,
+        |  CAST(max(x) AS BIGINT) AS xmax
+        | FROM daily GROUP BY 1),
+        |s AS (
+        | SELECT *, CAST(n_days*sxy - sx*sy AS DOUBLE)
+        |   / CAST(n_days*sxx - sx*sx AS DOUBLE) AS slope
+        | FROM m),
+        |i AS (
+        | SELECT *, (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |   / CAST(n_days AS DOUBLE) AS intercept
+        | FROM s)
+        |SELECT event_type, n_days, slope, intercept, xmax,
+        | intercept + slope * CAST(xmax + 30 AS DOUBLE) AS projected
+        |FROM i""".stripMargin,
+    "tel_downtime" ->
+      """WITH hourly AS (
+        | SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+        |  count(*) AS n,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
+        | FROM events GROUP BY 1),
+        |bad AS (SELECT * FROM hourly WHERE errs * 4 > n * 1),
+        |r AS (
+        | SELECT h, errs, h - row_number() OVER (ORDER BY h) AS anchor
+        | FROM bad)
+        |SELECT strftime(to_timestamp(min(h) * 3600), '%Y-%m-%d %H:00')
+        |   AS episode_start,
+        | CAST(count(*) AS BIGINT) AS bad_hours,
+        | CAST(sum(errs) AS BIGINT) AS n_errors
+        |FROM r GROUP BY anchor""".stripMargin,
   )
 
   /** One logical op, two physical strategies (inverted-index join at

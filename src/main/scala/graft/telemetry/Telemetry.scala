@@ -1120,6 +1120,72 @@ object Telemetry {
     out.toArray
   }
 
+  /** Capacity forecasting: fit a per-series linear daily trend and
+    * project 30 days out (the SRE "when do we hit the ceiling" query).
+    *
+    * Slope and intercept are computed from INTEGER co-moment sums
+    * (Σx, Σy, Σx², Σxy over day-index × daily-count longs), so the
+    * only floating-point steps are the final divisions — bit-exact
+    * cross-engine with NO rounding tolerance at all, unlike a direct
+    * regr_slope call whose internal accumulation order is
+    * implementation-defined. Two chained hash aggs (daily rollup,
+    * then per-series moments); everything after the first agg touches
+    * #series × #days rows. */
+  def capacityForecast(spark: SparkSession, sfDir: String,
+                       horizonDays: Int = 30): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+               datediff(to_date($"ts"), lit("2024-01-01")).cast("long").as("x"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+           sum($"x").as("sx"), sum($"y").as("sy"),
+           sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"),
+           max($"x").as("xmax"))
+      .withColumn("slope",
+        ($"n_days" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n_days" * $"sxx" - $"sx" * $"sx").cast("double"))
+      .withColumn("intercept",
+        ($"sy".cast("double") - $"slope" * $"sx".cast("double")) /
+          $"n_days".cast("double"))
+      .withColumn("projected",
+        $"intercept" + $"slope" * ($"xmax" + horizonDays).cast("double"))
+      .select($"event_type", $"n_days", $"slope", $"intercept",
+              $"xmax", $"projected")
+  }
+
+  /** Downtime accounting: consecutive BAD hours (error share above a
+    * threshold) merged into outage episodes — gaps-and-islands over
+    * the hourly health rollup, so episode structure emerges without
+    * any self-join.
+    *
+    * The raw stream collapses to #hours rows in one hash agg (the only
+    * full-data pass); the episode window runs on that tiny rollup.
+    * Badness is an exact integer comparison (errors·denominator vs
+    * threshold numerator — no float division in the predicate). */
+  def downtime(spark: SparkSession, sfDir: String,
+               numBad: Int = 1, denBad: Int = 4): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .as("h"))
+      .agg(count(lit(1)).as("n"),
+           sum(when($"event_type" === "error", 1L).otherwise(0L)).as("errs"))
+      // bad hour ⇔ errs/n > numBad/denBad, tested in integers
+      .filter($"errs" * denBad > $"n" * numBad)
+    val seq = Window.orderBy($"h") // post-agg: ≤ #hours rows
+    hourly
+      .withColumn("anchor", $"h" - row_number().over(seq))
+      .groupBy($"anchor")
+      .agg(count(lit(1)).as("bad_hours"), min($"h").as("start_h"),
+           sum($"errs").as("n_errors"))
+      .select(
+        date_format(timestamp_seconds($"start_h" * 3600L), "yyyy-MM-dd HH:00")
+          .as("episode_start"),
+        $"bad_hours", $"n_errors")
+  }
+
   /** Daily new-vs-returning user split: each day's active users divided
     * into first-ever-seen-today vs seen-before (growth-accounting view).
     *
