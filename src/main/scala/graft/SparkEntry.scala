@@ -155,6 +155,7 @@ object SparkEntry {
     "tel_lttb"           -> ((s, d) => Telemetry.lttb(s, d)),
     "tel_capacity_forecast" -> ((s, d) => Telemetry.capacityForecast(s, d)),
     "tel_downtime"       -> ((s, d) => Telemetry.downtime(s, d)),
+    "text_langid_eval"   -> (TextOps.langIdEval _),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1830,6 +1831,33 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS bad_hours,
         | CAST(sum(errs) AS BIGINT) AS n_errors
         |FROM r GROUP BY anchor""".stripMargin,
+    "text_langid_eval" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
+        | FROM documents),
+        |scores AS (
+        | SELECT doc_id, 'de' AS lang_code, len(list_filter(t,
+        |   x -> x IN ('der','die','und','das','ist','nicht','ein','mit'))) AS score FROM toks
+        | UNION ALL SELECT doc_id, 'en', len(list_filter(t,
+        |   x -> x IN ('the','and','of','to','is','in','that','for'))) FROM toks
+        | UNION ALL SELECT doc_id, 'es', len(list_filter(t,
+        |   x -> x IN ('el','la','de','que','y','en','los','una'))) FROM toks
+        | UNION ALL SELECT doc_id, 'fr', len(list_filter(t,
+        |   x -> x IN ('le','la','de','et','les','des','un','une'))) FROM toks),
+        |r AS (
+        | SELECT doc_id, lang_code, score, row_number() OVER (
+        |   PARTITION BY doc_id ORDER BY score DESC, lang_code DESC) AS rn
+        | FROM scores),
+        |p AS (SELECT doc_id, lang_code AS pred_lang FROM r WHERE rn = 1),
+        |c AS (
+        | SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n
+        | FROM p JOIN documents d USING (doc_id) GROUP BY 1, 2)
+        |SELECT true_lang, pred_lang, CAST(n AS BIGINT) AS n,
+        | CAST(sum(n) OVER (PARTITION BY true_lang) AS BIGINT) AS row_total,
+        | CAST(n AS DOUBLE)
+        |  / CAST(CAST(sum(n) OVER (PARTITION BY true_lang) AS BIGINT) AS DOUBLE)
+        |  AS frac
+        |FROM c""".stripMargin,
   )
 
   /** One logical op, two physical strategies (inverted-index join at

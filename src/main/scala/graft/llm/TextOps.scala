@@ -390,6 +390,23 @@ object TextOps {
       .select($"lang", $"doc_id", $"n_chars", $"cum")
   }
 
+  /** Language-ID evaluation: confusion matrix of [[langId]]'s
+    * stopword-profile predictions against the corpus's labeled `lang`
+    * column, with per-cell fractions — the quality-measurement loop a
+    * production filter pipeline runs before trusting a classifier on
+    * 100 TB. Joins on doc_id (the prediction side is already reduced
+    * to one row per doc); the matrix is #langs² rows. */
+  def langIdEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val truth = Tables.documents(spark, sfDir).select($"doc_id", $"lang")
+    langId(spark, sfDir).join(truth, "doc_id")
+      .groupBy($"lang".as("true_lang"), $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum($"n").over(Window.partitionBy($"true_lang")))
+      .withColumn("frac", $"n".cast("double") / $"row_total".cast("double"))
+  }
+
   /** TF-IDF top terms per document (the classic retrieval/keyword
     * score, built on [[docFreq]]'s df machinery).
     *
