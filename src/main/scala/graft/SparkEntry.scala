@@ -156,6 +156,9 @@ object SparkEntry {
     "tel_capacity_forecast" -> ((s, d) => Telemetry.capacityForecast(s, d)),
     "tel_downtime"       -> ((s, d) => Telemetry.downtime(s, d)),
     "text_langid_eval"   -> (TextOps.langIdEval _),
+    "q_width_bucket"     -> ((s, d) => Core.qWidthBucket(s, d)),
+    "text_ngram_novelty" -> (TextOps.ngramNovelty _),
+    "dedup_threshold_sweep" -> (Dedup.thresholdSweep _),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1858,6 +1861,51 @@ object SparkEntry {
         |  / CAST(CAST(sum(n) OVER (PARTITION BY true_lang) AS BIGINT) AS DOUBLE)
         |  AS frac
         |FROM c""".stripMargin,
+    "q_width_bucket" ->
+      """WITH bnd AS (
+        | SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        | FROM lineitem)
+        |SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 10)), 9)
+        |   AS BIGINT) AS b,
+        | CAST(count(*) AS BIGINT) AS n,
+        | min(l_extendedprice) AS bucket_min,
+        | max(l_extendedprice) AS bucket_max
+        |FROM lineitem, bnd GROUP BY 1""".stripMargin,
+    "text_ngram_novelty" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |   THEN [array_to_string(t[i:i+2],' ') for i in generate_series(1,len(t)-2)]
+        |   ELSE [array_to_string(t,' ')] END) AS s
+        | FROM toks),
+        |post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |f AS (SELECT shingle, min(doc_id) AS first_doc FROM post GROUP BY 1)
+        |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        | CAST(sum(CASE WHEN p.doc_id = f.first_doc THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_novel,
+        | CAST(CAST(sum(CASE WHEN p.doc_id = f.first_doc THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM post p JOIN f USING (shingle) GROUP BY 1""".stripMargin,
+    "dedup_threshold_sweep" ->
+      """WITH n AS (
+        | SELECT vec_id, label, embedding::DOUBLE[] AS vec,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        | FROM embeddings),
+        |p AS (
+        | SELECT round(list_dot_product(a.vec, b.vec)/(a.nrm*b.nrm), 6) AS cos6
+        | FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |bins AS (
+        | SELECT greatest(least(CAST(floor(cos6 * 10) AS BIGINT), 10), -10)
+        |   AS bin, count(*) AS n_pairs
+        | FROM p GROUP BY 1)
+        |SELECT CAST(bin AS DOUBLE) / 10.0 AS tau,
+        | CAST(n_pairs AS BIGINT) AS n_pairs,
+        | CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS pairs_at_or_above
+        |FROM bins""".stripMargin,
   )
 
   /** One logical op, two physical strategies (inverted-index join at

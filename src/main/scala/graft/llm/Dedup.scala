@@ -453,6 +453,36 @@ object Dedup {
               $"ed".cast("long").as("edit_dist"))
   }
 
+  /** Threshold-sweep planning: how many near-dup pairs would each
+    * cosine threshold flag? One pass over the label-blocked pair
+    * stream bins pairs by cosine decile, then a cumulative window
+    * (descending) turns bins into "pairs at or above τ" — the curve a
+    * curation run consults before committing to a dedup threshold,
+    * WITHOUT re-running the pair join per candidate τ.
+    *
+    * Bin ids are exact integers (floor of a 6-rounded cosine × 10,
+    * clamped); the cumulative window runs over ≤ 21 bins. */
+  def thresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("vec"))
+    val a = emb.select($"label", $"vec_id".as("vec_a"), $"vec".as("va"))
+    val b = emb.select($"label", $"vec_id".as("vec_b"), $"vec".as("vb"))
+    val bins = a.join(b, Seq("label"))
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("cos6", round(call_function("cosine_sim", $"va", $"vb"), 6))
+      .withColumn("bin",
+        greatest(least(floor($"cos6" * 10).cast("long"), lit(10L)), lit(-10L)))
+      .groupBy($"bin").agg(count(lit(1)).as("n_pairs"))
+    val cum = Window.orderBy($"bin".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("tau", ($"bin".cast("double")) / 10.0)
+      .withColumn("pairs_at_or_above", sum($"n_pairs").over(cum))
+      .select($"tau", $"n_pairs", $"pairs_at_or_above")
+  }
+
   /** SemDeDup-shape semantic dedup: near-duplicate embedding pairs
     * blocked by LEARNED k-means cluster instead of a given label —
     * [[embeddingCosine]]'s label blocks replaced by

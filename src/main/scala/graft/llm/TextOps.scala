@@ -475,6 +475,32 @@ object TextOps {
         $"n_dup_chunks".cast("double") / $"n_chunks".cast("double"))
   }
 
+  /** N-gram novelty scoring: for each document, the fraction of its
+    * distinct 3-gram shingles that NO earlier document (smaller
+    * doc_id) contains — the data-curation signal for "how much new
+    * content does this doc add to the corpus prefix" (dedup's softer
+    * cousin: streaming corpora drop docs whose novelty falls below a
+    * floor).
+    *
+    * One shingle explode (the corpus pass), one min-aggregate per
+    * shingle (its FIRST holder), one co-partitioned join back: a
+    * shingle is novel for exactly its first holder. All-integer
+    * fraction. */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Dedup.shingles(spark, sfDir).toDF()
+      .select($"doc_id", explode($"sh").as("shingle"))
+    val firstHolder = sh.groupBy($"shingle")
+      .agg(min($"doc_id").as("first_doc"))
+    sh.join(firstHolder, "shingle")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when($"doc_id" === $"first_doc", 1L).otherwise(0L))
+             .as("n_novel"))
+      .withColumn("novelty",
+        $"n_novel".cast("double") / $"n_shingles".cast("double"))
+  }
+
   /** One BPE merge round, corpus-wide: frequency of every adjacent
     * character pair inside words, weighted by word frequency — the
     * counting step a distributed BPE tokenizer trainer repeats per

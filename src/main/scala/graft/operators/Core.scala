@@ -647,6 +647,27 @@ object Core {
            pick(0.5).as("p50_disc"), pick(0.75).as("p75_disc"))
   }
 
+  /** Equi-width histogram (width_bucket semantics) of extended price:
+    * 10 buckets spanning [min, max], exact integer counts per bucket.
+    *
+    * The min/max pass aggregates to ONE row that joins back broadcast
+    * (no second scan shuffle); bucket assignment is a narrow map with
+    * the same float formula in both engines (floor of an exact-operand
+    * division — deterministic), max clamps into the last bucket. */
+  def qWidthBucket(spark: SparkSession, sfDir: String,
+                   nBuckets: Int = 10): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir).select($"l_extendedprice".as("x"))
+    val bounds = li.agg(min($"x").as("lo"), max($"x").as("hi"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("b",
+        least(floor(($"x" - $"lo") / (($"hi" - $"lo") / nBuckets)),
+              lit(nBuckets - 1L)).cast("long"))
+      .groupBy($"b")
+      .agg(count(lit(1)).as("n"), min($"x").as("bucket_min"),
+           max($"x").as("bucket_max"))
+  }
+
   /** Skyline (Pareto frontier) over (quantity ↑ better, price ↓ better):
     * lineitems not dominated by any other point.
     *
