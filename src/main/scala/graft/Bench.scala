@@ -102,11 +102,11 @@ object Bench {
     val headline = Seq(
       "q1_pricing_summary", "q3_join_agg", "q5_multi_join", "q6_filter_agg",
       "q_topk_per_group", "q_window_rank", "q_salted_join", "q_bloom_join",
-      "q_asof_join", "q_range_join",
+      "q_asof_join", "q_asof_native", "q_range_join",
       "tel_sessionize", "tel_gap_fill", "tel_heavy_hitters",
-      "tel_exp_histogram", "tel_moving_avg",
-      "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
-      "sim_topk_bruteforce", "sim_ivf_ann",
+      "tel_exp_histogram", "tel_moving_avg", "tel_m4_downsample",
+      "dedup_exact", "dedup_minhash_lsh", "dedup_clusters", "dedup_semantic",
+      "sim_topk_bruteforce", "sim_ivf_ann", "sim_knn_graph",
       "text_contamination", "text_winnow", "text_gopher_quality",
       "mm_audio_windows", "sink_ingest_hourly")
     val allMap = all.toMap

@@ -18,7 +18,8 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_range_search",     // corpus × broadcast query set (by design)
     "sim_mrl_rerank",       // corpus × broadcast query set (by design)
     "text_mix_weights",     // 5-row agg × 1-row total broadcast
-    "text_doc_freq")        // term aggregates × 1-row doc-count broadcast
+    "text_doc_freq",        // term aggregates × 1-row doc-count broadcast
+    "q_width_bucket")       // scan × 1-row min/max bounds broadcast
 
   test("every query plans hash aggregation, no cartesians, whitelisted BNLJ only") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
