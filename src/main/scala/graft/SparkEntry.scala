@@ -1810,7 +1810,7 @@ object SparkEntry {
         | FROM daily GROUP BY 1),
         |s AS (
         | SELECT *, CAST(n_days*sxy - sx*sy AS DOUBLE)
-        |   / CAST(n_days*sxx - sx*sx AS DOUBLE) AS slope
+        |   / nullif(CAST(n_days*sxx - sx*sx AS DOUBLE), 0.0) AS slope
         | FROM m),
         |i AS (
         | SELECT *, (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
@@ -1865,8 +1865,8 @@ object SparkEntry {
       """WITH bnd AS (
         | SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
         | FROM lineitem)
-        |SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 10)), 9)
-        |   AS BIGINT) AS b,
+        |SELECT CAST(coalesce(least(floor((l_extendedprice - lo)
+        |     / nullif((hi - lo) / 10, 0.0)), 9), 0) AS BIGINT) AS b,
         | CAST(count(*) AS BIGINT) AS n,
         | min(l_extendedprice) AS bucket_min,
         | max(l_extendedprice) AS bucket_max

@@ -660,9 +660,12 @@ object Core {
     val li = Tables.lineitem(spark, sfDir).select($"l_extendedprice".as("x"))
     val bounds = li.agg(min($"x").as("lo"), max($"x").as("hi"))
     li.crossJoin(broadcast(bounds))
+      // nullif guard: a constant column (hi == lo) puts every row in
+      // bucket 0 instead of dividing by zero
       .withColumn("b",
-        least(floor(($"x" - $"lo") / (($"hi" - $"lo") / nBuckets)),
-              lit(nBuckets - 1L)).cast("long"))
+        coalesce(least(floor(($"x" - $"lo") /
+                   nullif(($"hi" - $"lo") / nBuckets, lit(0.0))),
+                 lit(nBuckets - 1L)).cast("long"), lit(0L)))
       .groupBy($"b")
       .agg(count(lit(1)).as("n"), min($"x").as("bucket_min"),
            max($"x").as("bucket_max"))

@@ -1143,9 +1143,11 @@ object Telemetry {
            sum($"x").as("sx"), sum($"y").as("sy"),
            sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"),
            max($"x").as("xmax"))
+      // nullif guard: a single-day series has zero x-variance — slope,
+      // intercept and projection degrade to NULL instead of NaN/∞
       .withColumn("slope",
         ($"n_days" * $"sxy" - $"sx" * $"sy").cast("double") /
-          ($"n_days" * $"sxx" - $"sx" * $"sx").cast("double"))
+          nullif(($"n_days" * $"sxx" - $"sx" * $"sx").cast("double"), lit(0.0)))
       .withColumn("intercept",
         ($"sy".cast("double") - $"slope" * $"sx".cast("double")) /
           $"n_days".cast("double"))
