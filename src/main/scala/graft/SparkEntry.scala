@@ -157,6 +157,7 @@ object SparkEntry {
     "tel_downtime"       -> ((s, d) => Telemetry.downtime(s, d)),
     "text_langid_eval"   -> (TextOps.langIdEval _),
     "q_width_bucket"     -> ((s, d) => Core.qWidthBucket(s, d)),
+    "dedup_apply"        -> ((s, d) => Dedup.dedupApply(s, d)),
     "text_ngram_novelty" -> (TextOps.ngramNovelty _),
     "dedup_threshold_sweep" -> (Dedup.thresholdSweep _),
   )
@@ -844,6 +845,42 @@ object SparkEntry {
         | FROM reach GROUP BY src)
         |SELECT label AS cluster_id, count(*) AS n_docs, max(doc_id) AS max_doc_id
         |FROM lab GROUP BY 1""".stripMargin,
+    "dedup_apply" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |   THEN [array_to_string(t[i:i+2],' ') for i in generate_series(1,len(t)-2)]
+        |   ELSE [array_to_string(t,' ')] END) AS s
+        | FROM toks),
+        |post AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+        |cand AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+        |  count(*) AS inter
+        | FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1,2,3,4),
+        |pairs AS (
+        | SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |   CAST(round(CAST(CAST(inter*1.0/(na+nb-inter) AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS jaccard
+        |  FROM cand) p
+        | WHERE jaccard >= 0.2),
+        |edges AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (
+        | SELECT src AS doc_id, least(src, min(dst)) AS label
+        | FROM reach GROUP BY src)
+        |SELECT d.doc_id,
+        | CAST(coalesce(l.label, d.doc_id) AS BIGINT) AS cluster_id,
+        | (l.label IS NULL OR l.label = d.doc_id) AS keep,
+        | CAST(d.n_chars AS BIGINT) AS n_chars
+        |FROM documents d LEFT JOIN lab l USING (doc_id)""".stripMargin,
     "tel_heavy_hitters" ->
       """SELECT item, cnt FROM (
         | SELECT CAST(floor(value) AS BIGINT) AS item, count(*) AS cnt

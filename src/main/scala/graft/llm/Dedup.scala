@@ -233,6 +233,31 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), max($"doc_id").as("max_doc_id"))
   }
 
+  /** The APPLY step that completes the dedup story: materialize the
+    * per-document keep/drop verdict — every near-dup cluster keeps its
+    * smallest doc_id as the canonical representative, everything else
+    * drops; unclustered documents keep trivially. Downstream the
+    * surviving corpus is `filter($"keep")` — the rewrite a curation
+    * pipeline actually ships, not just the cluster report.
+    *
+    * Same machinery as [[dedupClusters]] (pair mining + pointer-jump
+    * CC) plus ONE left join back to the corpus; docs without pairs
+    * never enter the label frame, so the join's right side is bounded
+    * by near-dup membership, orders of magnitude below corpus size. */
+  def dedupApply(spark: SparkSession, sfDir: String,
+                 threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val pairs = ngramJaccard(spark, sfDir, threshold)
+      .select($"doc_a", $"doc_b")
+    val labels = connectedComponents(pairs)
+    Tables.documents(spark, sfDir).select($"doc_id", $"n_chars")
+      .join(labels.select($"doc_id", $"label"), Seq("doc_id"), "left")
+      .select($"doc_id",
+              coalesce($"label", $"doc_id").as("cluster_id"),
+              ($"label".isNull || $"label" === $"doc_id").as("keep"),
+              $"n_chars")
+  }
+
   /** Min-label propagation with POINTER JUMPING: each round propagates
     * neighbor minima (one hop) and then shortcuts `label ← label(label)`
     * (doubling the effective reach), so convergence takes O(log diameter)
