@@ -158,6 +158,7 @@ object SparkEntry {
     "text_langid_eval"   -> (TextOps.langIdEval _),
     "q_width_bucket"     -> ((s, d) => Core.qWidthBucket(s, d)),
     "dedup_apply"        -> ((s, d) => Dedup.dedupApply(s, d)),
+    "sim_recall_at_k"    -> ((s, d) => SimOps.recallAtK(s, d)),
     "text_ngram_novelty" -> (TextOps.ngramNovelty _),
     "dedup_threshold_sweep" -> (Dedup.thresholdSweep _),
   )
@@ -1261,6 +1262,37 @@ object SparkEntry {
         | row_number() OVER (PARTITION BY query_id
         |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
         |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "sim_recall_at_k" ->
+      s"""$KmeansCtes,
+        |w AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        | FROM embeddings),
+        |idx AS (SELECT af.vec_id, af.cid, w.vec, w.nrm FROM af JOIN w USING (vec_id)),
+        |q AS (SELECT vec_id AS query_id, cid, vec AS qvec, nrm AS qnrm
+        |      FROM idx WHERE vec_id < 8),
+        |ip AS (
+        | SELECT q.query_id, i.vec_id AS neighbor_id,
+        |  round(list_dot_product(i.vec, q.qvec)/(i.nrm*q.qnrm), 6) AS cosine
+        | FROM idx i JOIN q ON i.cid = q.cid AND i.vec_id != q.query_id),
+        |ivf AS (SELECT query_id, neighbor_id FROM (
+        | SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM ip) t WHERE rnk <= 5),
+        |bp AS (
+        | SELECT wq.vec_id AS query_id, w.vec_id AS neighbor_id,
+        |  round(list_dot_product(w.vec, wq.vec)/(w.nrm*wq.nrm), 6) AS cosine
+        | FROM w, (SELECT * FROM w WHERE vec_id < 8) wq
+        | WHERE w.vec_id != wq.vec_id),
+        |brute AS (SELECT query_id, neighbor_id FROM (
+        | SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM bp) t WHERE rnk <= 5)
+        |SELECT b.query_id, CAST(count(*) AS BIGINT) AS k,
+        | CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS hits,
+        | CAST(CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+        |FROM brute b LEFT JOIN ivf i USING (query_id, neighbor_id)
+        |GROUP BY b.query_id""".stripMargin,
   )
 
   private lazy val FunnelRetentionCorrOracles: Map[String, String] = Map(

@@ -712,6 +712,26 @@ object SimOps {
               $"col.cos6".as("cosine"), ($"pos" + 1).cast("long").as("rnk"))
   }
 
+  /** ANN quality evaluation as a query: recall@k of the IVF index
+    * against exact brute force, per query — the measurement loop that
+    * decides nprobe/k-means parameters before a 100 TB index build
+    * (the retrieval analogue of [[graft.llm.TextOps.langIdEval]]).
+    * Both result sets are tiny (queries × k); the join is trivial
+    * next to the two retrieval passes. */
+  def recallAtK(spark: SparkSession, sfDir: String,
+                nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val brute = simTopkBruteforce(spark, sfDir, nQueries, k)
+      .select($"query_id", $"neighbor_id")
+    val ivf = ivfKmeansAnn(spark, sfDir, nQueries = nQueries, k = k)
+      .select($"query_id", $"neighbor_id").withColumn("hit", lit(1L))
+    brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("k"),
+           sum(coalesce($"hit", lit(0L))).as("hits"))
+      .withColumn("recall", $"hits".cast("double") / $"k".cast("double"))
+  }
+
   /** Matryoshka-style two-stage retrieval: a cheap coarse pass scores
     * every candidate on only the first `prefixDims` dimensions (MRL
     * embeddings front-load information, so the prefix is a usable
