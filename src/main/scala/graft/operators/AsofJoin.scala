@@ -70,10 +70,18 @@ object AsofJoin {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not found in ${plan.output.map(_.name)}"))
+    val (lt, rt) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
+    // the exec reads times as raw longs — catch type misuse at plan
+    // time, not as an executor ClassCastException
+    Seq(lt, rt).foreach { t =>
+      require(t.dataType == org.apache.spark.sql.types.TimestampType ||
+              t.dataType == org.apache.spark.sql.types.LongType,
+        s"as-of time column ${t.name} must be timestamp or bigint, " +
+          s"got ${t.dataType.simpleString}")
+    }
     org.apache.spark.sql.graft.GraftSql.ofRows(spark,
       graft.plans.AsOfJoinNode(lPlan, rPlan,
-        Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
-        attr(lPlan, leftTime), attr(rPlan, rightTime)))
+        Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)), lt, rt))
   }
 
   /** [[qAsofJoin]] re-planned through the native exec — same oracle,
