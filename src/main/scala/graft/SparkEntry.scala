@@ -161,6 +161,7 @@ object SparkEntry {
     "sim_recall_at_k"    -> ((s, d) => SimOps.recallAtK(s, d)),
     "text_ngram_novelty" -> (TextOps.ngramNovelty _),
     "dedup_threshold_sweep" -> (Dedup.thresholdSweep _),
+    "tel_hourly_percentiles" -> (Telemetry.hourlyPercentiles _),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1293,6 +1294,22 @@ object SparkEntry {
         |   AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
         |FROM brute b LEFT JOIN ivf i USING (query_id, neighbor_id)
         |GROUP BY b.query_id""".stripMargin,
+    "tel_hourly_percentiles" ->
+      """WITH g AS (
+        | SELECT event_type, date_trunc('hour', ts) AS h,
+        |  CAST(round(value*100) AS BIGINT) AS v100, count(*) AS c
+        | FROM events GROUP BY 1, 2, 3),
+        |w AS (
+        | SELECT event_type, h, v100, c,
+        |  sum(c) OVER (PARTITION BY event_type, h) AS n,
+        |  sum(c) OVER (PARTITION BY event_type, h ORDER BY v100
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM g)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS hour,
+        | CAST(max(n) AS BIGINT) AS n,
+        | min(CASE WHEN cum >= ceil(0.5*n) THEN v100 END)/100.0 AS p50,
+        | min(CASE WHEN cum >= ceil(0.95*n) THEN v100 END)/100.0 AS p95
+        |FROM w GROUP BY event_type, h""".stripMargin,
   )
 
   private lazy val FunnelRetentionCorrOracles: Map[String, String] = Map(

@@ -190,6 +190,33 @@ object Telemetry {
            q(0.5).as("p50"), q(0.95).as("p95"), q(0.99).as("p99"))
   }
 
+  /** Hourly percentile SERIES — [[gridPercentiles]] windowed by hour:
+    * the materialized p50/p95 time series a latency dashboard reads
+    * (the reference's summary-metric shape, metrics.go, continuously
+    * rolled up). Same deterministic integer-grid nearest-rank design,
+    * keyed by (series, hour); the grid agg, both windows, and the
+    * final agg all share one (event_type, hour) exchange. Output is
+    * #series × #hours rows however large the input. */
+  def hourlyPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val grid = Tables.events(spark, sfDir)
+      .withColumn("v100", round($"value" * 100, 0).cast("long"))
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"), $"v100")
+      .agg(count(lit(1)).as("c"))
+    val whole = Window.partitionBy($"event_type", $"h")
+    val cumW = Window.partitionBy($"event_type", $"h").orderBy($"v100")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def q(p: Double) =
+      min(when($"cum" >= ceil(lit(p) * $"n"), $"v100")) / lit(100.0)
+    grid
+      .withColumn("n", sum($"c").over(whole))
+      .withColumn("cum", sum($"c").over(cumW))
+      .groupBy($"event_type", $"h")
+      .agg(max($"n").as("n"), q(0.5).as("p50"), q(0.95).as("p95"))
+      .select($"event_type", date_format($"h", "yyyy-MM-dd HH:00").as("hour"),
+              $"n", $"p50", $"p95")
+  }
+
   /** Approximate distinct users per event type (HyperLogLog++ sketch) —
     * the one-pass cardinality path for 100 TB where exact
     * count(distinct) would shuffle every key. rsd 2%; spec asserts the
