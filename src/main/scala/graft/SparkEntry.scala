@@ -162,6 +162,8 @@ object SparkEntry {
     "text_ngram_novelty" -> (TextOps.ngramNovelty _),
     "dedup_threshold_sweep" -> (Dedup.thresholdSweep _),
     "tel_hourly_percentiles" -> (Telemetry.hourlyPercentiles _),
+    "tel_cardinality_guard" -> (Telemetry.cardinalityGuard _),
+    "q_skew_diagnose"    -> ((s, d) => Core.qSkewDiagnose(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1310,6 +1312,38 @@ object SparkEntry {
         | min(CASE WHEN cum >= ceil(0.5*n) THEN v100 END)/100.0 AS p50,
         | min(CASE WHEN cum >= ceil(0.95*n) THEN v100 END)/100.0 AS p95
         |FROM w GROUP BY event_type, h""".stripMargin,
+    "tel_cardinality_guard" ->
+      """WITH d AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_distinct
+        | FROM (SELECT DISTINCT event_type, CAST(ts AS DATE) AS ts, props
+        |       FROM events) t
+        | GROUP BY 1, 2)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        | CAST(n_distinct AS BIGINT) AS n_distinct,
+        | CAST(lag(n_distinct) OVER (PARTITION BY event_type ORDER BY day)
+        |   AS BIGINT) AS prev,
+        | CASE WHEN lag(n_distinct) OVER (PARTITION BY event_type ORDER BY day)
+        |        IS NOT NULL
+        |  THEN CAST(n_distinct AS DOUBLE)
+        |   / CAST(lag(n_distinct) OVER (PARTITION BY event_type ORDER BY day)
+        |       AS DOUBLE) END AS growth
+        |FROM d""".stripMargin,
+    "q_skew_diagnose" ->
+      """WITH f AS (
+        | SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1),
+        |s AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(n) AS BIGINT) AS n_rows, CAST(max(n) AS BIGINT) AS max_n
+        | FROM f),
+        |t AS (
+        | SELECT row_number() OVER (ORDER BY n DESC, l_orderkey) AS rnk,
+        |  l_orderkey AS key, n
+        | FROM f)
+        |SELECT CAST(t.rnk AS BIGINT) AS rnk, t.key, CAST(t.n AS BIGINT) AS n,
+        | CAST(t.n AS DOUBLE) / CAST(s.n_rows AS DOUBLE) AS share,
+        | CAST(s.max_n AS DOUBLE) * CAST(s.n_keys AS DOUBLE)
+        |   / CAST(s.n_rows AS DOUBLE) AS skew_factor
+        |FROM t, s WHERE t.rnk <= 10""".stripMargin,
   )
 
   private lazy val FunnelRetentionCorrOracles: Map[String, String] = Map(

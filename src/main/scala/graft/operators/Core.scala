@@ -647,6 +647,38 @@ object Core {
            pick(0.5).as("p50_disc"), pick(0.75).as("p75_disc"))
   }
 
+  /** Join-key skew diagnosis: the per-key frequency report that decides
+    * whether a join needs salting/AQE skew handling — top-10 heaviest
+    * keys of the lineitem⋈orders key with each key's share and the
+    * global max/avg skew factor. The operational precursor to
+    * [[graft.operators.SkewOps]]: run this first, salt if the factor
+    * says so.
+    *
+    * One hash agg over the fact (the only raw-data pass); the global
+    * stats ride a one-row broadcast join; the top-k rides TopKStructs
+    * (no global sort). */
+  def qSkewDiagnose(spark: SparkSession, sfDir: String,
+                    topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val freq = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("n"))
+    val stats = freq.agg(count(lit(1)).as("n_keys"), sum($"n").as("n_rows"),
+                         max($"n").as("max_n"))
+    val top = freq
+      .agg(call_function("top_k_structs",
+        struct($"n", $"l_orderkey"), lit(topK),
+        array(lit(false), lit(true)), array(lit(false), lit(false))).as("t"))
+      .select(posexplode($"t"))
+      .select(($"pos" + 1).cast("long").as("rnk"),
+              $"col.l_orderkey".as("key"), $"col.n".as("n"))
+    top.crossJoin(broadcast(stats))
+      .select($"rnk", $"key", $"n",
+              ($"n".cast("double") / $"n_rows".cast("double")).as("share"),
+              ($"max_n".cast("double") * $"n_keys".cast("double") /
+                 $"n_rows".cast("double")).as("skew_factor"))
+  }
+
   /** Equi-width histogram (width_bucket semantics) of extended price:
     * 10 buckets spanning [min, max], exact integer counts per bucket.
     *

@@ -217,6 +217,33 @@ object Telemetry {
               $"n", $"p50", $"p95")
   }
 
+  /** Cardinality-explosion guard: distinct attribute-value count per
+    * series per day, with day-over-day growth — the watchdog every
+    * metrics pipeline points at its label space (a runaway label takes
+    * down TSDB index and storage alike; the reference's JSON attr maps
+    * are exactly where it happens, attributes.go).
+    *
+    * One distinct pass (the only full-data shuffle), then counts and a
+    * lag window over #series × #days rows. At 100 TB the distinct
+    * swaps to approx_count_distinct via the same
+    * [[graft.plans.ApproxDistinctRewrite]] knob as profiling. */
+  def cardinalityGuard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .select($"event_type", to_date($"ts").as("day"), $"props")
+      .distinct()
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n_distinct"))
+    val series = Window.partitionBy($"event_type").orderBy($"day")
+    daily
+      .withColumn("prev", lag($"n_distinct", 1).over(series))
+      .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
+              $"n_distinct", $"prev",
+              when($"prev".isNotNull,
+                   $"n_distinct".cast("double") / $"prev".cast("double"))
+                .as("growth"))
+  }
+
   /** Approximate distinct users per event type (HyperLogLog++ sketch) —
     * the one-pass cardinality path for 100 TB where exact
     * count(distinct) would shuffle every key. rsd 2%; spec asserts the

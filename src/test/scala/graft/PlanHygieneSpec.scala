@@ -20,7 +20,8 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_recall_at_k",      // composes the bruteforce pass (same shape)
     "text_mix_weights",     // 5-row agg × 1-row total broadcast
     "text_doc_freq",        // term aggregates × 1-row doc-count broadcast
-    "q_width_bucket")       // scan × 1-row min/max bounds broadcast
+    "q_width_bucket",       // scan × 1-row min/max bounds broadcast
+    "q_skew_diagnose")      // top-k rows × 1-row global-stats broadcast
 
   test("every query plans hash aggregation, no cartesians, whitelisted BNLJ only") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
