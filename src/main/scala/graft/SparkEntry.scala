@@ -164,6 +164,7 @@ object SparkEntry {
     "tel_hourly_percentiles" -> (Telemetry.hourlyPercentiles _),
     "tel_cardinality_guard" -> (Telemetry.cardinalityGuard _),
     "q_skew_diagnose"    -> ((s, d) => Core.qSkewDiagnose(s, d)),
+    "q_share_of_parent"  -> (Core.qShareOfParent _),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1344,6 +1345,20 @@ object SparkEntry {
         | CAST(s.max_n AS DOUBLE) * CAST(s.n_keys AS DOUBLE)
         |   / CAST(s.n_rows AS DOUBLE) AS skew_factor
         |FROM t, s WHERE t.rnk <= 10""".stripMargin,
+    "q_share_of_parent" ->
+      """WITH g AS (
+        | SELECT r_name, n_name, round(sum(c_acctbal), 4) AS bal
+        | FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY 1, 2),
+        |w AS (
+        | SELECT r_name, n_name, bal,
+        |  round(sum(bal) OVER (PARTITION BY r_name), 4) AS region_bal
+        | FROM g)
+        |SELECT r_name, n_name, bal, region_bal,
+        | round(bal / region_bal, 6) AS share
+        |FROM w""".stripMargin,
   )
 
   private lazy val FunnelRetentionCorrOracles: Map[String, String] = Map(

@@ -647,6 +647,26 @@ object Core {
            pick(0.5).as("p50_disc"), pick(0.75).as("p75_disc"))
   }
 
+  /** Share-of-parent analytics: each nation's revenue share within its
+    * region (the drill-down ratio every BI rollup shows). One hash agg
+    * to (region, nation) totals, then the parent share is a window
+    * over the TINY aggregate — sum-of-rounded on both sides so the
+    * ratio's operands are identical cross-engine. */
+  def qShareOfParent(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val joined = Tables.customer(spark, sfDir)
+      .join(Tables.nation(spark, sfDir),
+            $"c_nationkey" === $"n_nationkey")
+      .join(Tables.region(spark, sfDir), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(round(sum($"c_acctbal"), 4).as("bal"))
+    joined
+      .withColumn("region_bal",
+        round(sum($"bal").over(Window.partitionBy($"r_name")), 4))
+      .withColumn("share", round($"bal" / $"region_bal", 6))
+      .select($"r_name", $"n_name", $"bal", $"region_bal", $"share")
+  }
+
   /** Join-key skew diagnosis: the per-key frequency report that decides
     * whether a join needs salting/AQE skew handling — top-10 heaviest
     * keys of the lineitem⋈orders key with each key's share and the
