@@ -165,6 +165,7 @@ object SparkEntry {
     "tel_cardinality_guard" -> (Telemetry.cardinalityGuard _),
     "q_skew_diagnose"    -> ((s, d) => Core.qSkewDiagnose(s, d)),
     "q_share_of_parent"  -> (Core.qShareOfParent _),
+    "tel_freshness"      -> (Telemetry.freshness _),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1359,6 +1360,17 @@ object SparkEntry {
         |SELECT r_name, n_name, bal, region_bal,
         | round(bal / region_bal, 6) AS share
         |FROM w""".stripMargin,
+    "tel_freshness" ->
+      """WITH s AS (
+        | SELECT event_type, max(epoch_us(ts)) AS last_us,
+        |  count(*) AS n_events
+        | FROM events GROUP BY 1)
+        |SELECT event_type,
+        | strftime(to_timestamp(last_us // 1000000), '%Y-%m-%d %H:%M:%S')
+        |   AS last_seen,
+        | CAST(max(last_us) OVER () - last_us AS BIGINT) AS lag_us,
+        | CAST(n_events AS BIGINT) AS n_events
+        |FROM s""".stripMargin,
   )
 
   private lazy val FunnelRetentionCorrOracles: Map[String, String] = Map(

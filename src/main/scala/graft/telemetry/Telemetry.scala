@@ -217,6 +217,23 @@ object Telemetry {
               $"n", $"p50", $"p95")
   }
 
+  /** Data-freshness monitor: per-series last-seen timestamp and its lag
+    * behind the freshest series — the first page of any ingestion
+    * dashboard (a stuck exporter shows up as one series' lag growing
+    * while the others advance). One max-aggregate pass; the global max
+    * is a window over #series rows; integer-micros lag. */
+  def freshness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(max(unix_micros($"ts")).as("last_us"), count(lit(1)).as("n_events"))
+      .withColumn("global_last_us", max($"last_us").over(Window.partitionBy()))
+      .select($"event_type",
+              date_format(timestamp_micros($"last_us"), "yyyy-MM-dd HH:mm:ss")
+                .as("last_seen"),
+              ($"global_last_us" - $"last_us").as("lag_us"), $"n_events")
+  }
+
   /** Cardinality-explosion guard: distinct attribute-value count per
     * series per day, with day-over-day growth — the watchdog every
     * metrics pipeline points at its label space (a runaway label takes
