@@ -134,9 +134,16 @@ object GraftFunctions {
     new ExpressionInfo(classOf[BagBound].getName, "bag_bound"),
     (children: Seq[Expression]) => BagBound(children(0), children(1)))
 
+  val sortedIntersectDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sorted_intersect_count"),
+    new ExpressionInfo(classOf[SortedIntersectCount].getName,
+      "sorted_intersect_count"),
+    (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
+
   def register(spark: SparkSession): Unit = {
     Seq(cosineSimDescriptor, bottomKDescriptor, topKDescriptor,
-        frequentItemsDescriptor, hilbertDescriptor, bagBoundDescriptor).foreach {
+        frequentItemsDescriptor, hilbertDescriptor, bagBoundDescriptor,
+        sortedIntersectDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

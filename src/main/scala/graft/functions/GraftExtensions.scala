@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.frequentItemsDescriptor)
     ext.injectFunction(GraftFunctions.hilbertDescriptor)
     ext.injectFunction(GraftFunctions.bagBoundDescriptor)
+    ext.injectFunction(GraftFunctions.sortedIntersectDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

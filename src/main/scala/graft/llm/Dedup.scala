@@ -54,15 +54,19 @@ object Dedup {
   /** doc_id + distinct shingle hashes only (no MinHash). */
   case class DocShingles(doc_id: Long, sh: Array[Long])
 
-  /** Tokenize → 3-gram shingles → distinct 60-bit hashes (shared by the
-    * full-signature and shingles-only paths). */
+  /** Tokenize → 3-gram shingles → distinct SORTED 60-bit hashes (shared
+    * by the full-signature and shingles-only paths). Sorting at the
+    * source costs one tiny per-doc sort and lets every set operation
+    * downstream run as a codegen'd two-pointer merge
+    * ([[graft.functions.SortedIntersectCount]]) instead of interpreted
+    * array_intersect/array_union hash sets. */
   private def shinglesOf(md: java.security.MessageDigest, text: String): Array[Long] = {
     val toks = text.trim.toLowerCase.split("\\s+")
     val grams =
       if (toks.length >= 3)
         Array.tabulate(toks.length - 2)(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
       else Array(toks.mkString(" "))
-    grams.map(hash60(md, _)).distinct
+    grams.map(hash60(md, _)).distinct.sorted
   }
 
   /** Shingle sets WITHOUT the MinHash pass — exact-Jaccard consumers
@@ -136,10 +140,14 @@ object Dedup {
       .select($"doc_a", $"doc_b").distinct()
     val shA = docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
     val shB = docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    GraftFunctions.register(spark)
     candidates.join(shA, "doc_a").join(shB, "doc_b")
+      // shingle arrays are sorted at the source → codegen'd two-pointer
+      // intersect; |A∪B| = |A|+|B|−|A∩B| (arrays are distinct)
+      .withColumn("inter",
+        call_function("sorted_intersect_count", $"sh_a", $"sh_b"))
       .withColumn("jaccard", round(
-        size(array_intersect($"sh_a", $"sh_b")) /
-        size(array_union($"sh_a", $"sh_b")), 4))
+        $"inter" / (size($"sh_a") + size($"sh_b") - $"inter"), 4))
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"jaccard")
   }
@@ -364,8 +372,9 @@ object Dedup {
     * strategy: under ONE global total shingle order, any pair with
     * J ≥ t must share a shingle inside BOTH docs' first n−⌈t·n⌉+1
     * shingles, so only PREFIX postings join; full sets verify just the
-    * surviving candidates via array_intersect. The order here is plain
-    * hash order, making the prefix a NARROW `slice(sort_array(sh))` —
+    * surviving candidates via a codegen'd two-pointer merge over the
+    * source-sorted arrays. The global shingle order is plain
+    * hash order, making the prefix a NARROW `slice(sh)` —
     * no document-frequency pass, no per-doc window, no extra shuffle
     * (rarest-first ordering prunes more on boilerplate-heavy corpora
     * at the price of a df aggregation + rank). The prefix join touches
@@ -382,8 +391,10 @@ object Dedup {
       .select($"doc_id", $"sh", size($"sh").cast("long").as("n_sh"))
       .localCheckpoint()
     val t = threshold - 1e-4
+    GraftFunctions.register(spark)
+    // `sh` is sorted at the source, so the prefix is a plain slice
     val prefix = docs.select(
-        explode(slice(sort_array($"sh"), lit(1),
+        explode(slice($"sh", lit(1),
           ($"n_sh" - ceil(lit(t) * $"n_sh") + 1).cast("int"))).as("shingle"),
         $"doc_id")
     val cand = prefix.select($"shingle", $"doc_id".as("doc_a"))
@@ -396,7 +407,7 @@ object Dedup {
       .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"),
                         $"n_sh".as("nb")), "doc_b")
       .withColumn("inter",
-        size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+        call_function("sorted_intersect_count", $"sh_a", $"sh_b").cast("long"))
       .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 4))
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"inter", $"jaccard")

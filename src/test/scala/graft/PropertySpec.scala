@@ -135,6 +135,19 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("sorted_intersect_count equals set intersection on sorted arrays") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val genSet = Gen.listOf(Gen.choose(0L, 40L)).map(_.distinct.sorted)
+    check("sorted merge == set intersect", Prop.forAll(genSet, genSet) {
+      (a: List[Long], b: List[Long]) =>
+        val got = Seq((a, b)).toDF("a", "b")
+          .select(call_function("sorted_intersect_count", col("a"), col("b")))
+          .first().getInt(0)
+        got == (a.toSet intersect b.toSet).size
+    })
+  }
+
   test("bag_bound never exceeds true edit distance on arbitrary strings") {
     import spark.implicits._
     GraftFunctions.register(spark)
