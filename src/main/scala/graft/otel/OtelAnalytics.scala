@@ -82,4 +82,45 @@ object OtelAnalytics {
           .as("n_errors"),
         round(sum(col("duration")) / lit(1000000.0), 3).as("total_ms"))
   }
+
+  /** Critical path per trace — the span chain whose summed self-time
+    * dominates end-to-end latency (the APM "where did the time go"
+    * view). Bottom-up tree DP as an ITERATIVE co-partitioned join (the
+    * PageRank loop shape): each round folds children's best subtree
+    * totals into their parents, so round k has every subtree of height
+    * ≤ k correct; rounds are bounded by tree DEPTH (≪ span count —
+    * telemetry traces are shallow and wide). The per-round sum of
+    * totals is monotone and stalls exactly at the fixpoint — one tiny
+    * agg as loop control, same convergence trick as
+    * [[graft.llm.Dedup.connectedComponents]]. localCheckpoint keeps
+    * the growing plan from re-optimizing each round. */
+  def criticalPath(flatSpans: DataFrame, maxDepth: Int = 30): DataFrame = {
+    val spark = flatSpans.sparkSession
+    val spans = flatSpans
+      .select(col("trace_id"), col("span_id"), col("parent_span_id"),
+              col("duration").cast("long").as("dur"))
+      .localCheckpoint()
+    var dp = spans.withColumn("total", col("dur")).localCheckpoint()
+    def totalSum(): Long =
+      dp.agg(coalesce(sum(col("total")), lit(0L))).first().getLong(0)
+    var prev = totalSum()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxDepth) {
+      val childBest = dp.filter(col("parent_span_id").isNotNull)
+        .groupBy(col("trace_id"), col("parent_span_id").as("span_id"))
+        .agg(max(col("total")).as("child_max"))
+      dp = spans.join(childBest, Seq("trace_id", "span_id"), "left")
+        .withColumn("total", col("dur") + coalesce(col("child_max"), lit(0L)))
+        .select("trace_id", "span_id", "parent_span_id", "dur", "total")
+        .localCheckpoint()
+      val s = totalSum()
+      converged = s == prev
+      prev = s
+      i += 1
+    }
+    dp.filter(col("parent_span_id").isNull)
+      .groupBy(col("trace_id"))
+      .agg(max(col("total")).as("critical_ns"))
+  }
 }

@@ -280,4 +280,41 @@ class OtelSpec extends SparkSpec {
     assert(r.getAs[Boolean]("is_monotonic"))
     assert(r.getAs[String]("aggregation_temporality") === "CUMULATIVE")
   }
+
+  test("critical path equals a driver-side tree DP on deep and random traces") {
+    import spark.implicits._
+    val t0 = 1700000000000000000L
+    def span(traceId: String, spanId: String, parent: String, durNs: Long) =
+      TSpan(traceId, spanId, "", parent, 1, s"s-$spanId", 2,
+        t0, t0 + durNs, Map.empty, 0, Nil, 0, Nil, 0, TStatus(1, ""))
+    // t1: root(10) → {b(5) → d(3)}, {c(20)} → critical = 10+20 = 30
+    // t2: a 6-deep chain of 1s → critical = 6 (exercises the loop depth)
+    val fixed = Seq(
+      span("t1", "a", "", 10), span("t1", "b", "a", 5),
+      span("t1", "d", "b", 3), span("t1", "c", "a", 20)) ++
+      (0 until 6).map(i => span("t2", s"n$i", if (i == 0) "" else s"n${i - 1}", 1))
+    // t3: pseudo-random 40-span tree (deterministic seed)
+    val rnd = new scala.util.Random(7)
+    val random = span("t3", "r0", "", rnd.nextInt(100) + 1L) +: (1 until 40).map {
+      i => span("t3", s"r$i", s"r${rnd.nextInt(i)}", rnd.nextInt(100) + 1L)
+    }
+    val all = fixed ++ random
+    val flat = OtelTraces.flatten(Seq(TraceBatch(res, scope, all)).toDF())
+    val got = OtelAnalytics.criticalPath(flat).collect()
+      .map(r => r.getAs[String]("trace_id") -> r.getAs[Long]("critical_ns")).toMap
+    // driver DP reference
+    def expect(spans: Seq[TSpan]): Long = {
+      val children = spans.groupBy(_.parent_span_id)
+      def dp(id: String, dur: Long): Long =
+        dur + children.getOrElse(id, Nil).map(c =>
+          dp(c.span_id, c.end_time_unix_nano - c.start_time_unix_nano))
+          .foldLeft(0L)(math.max)
+      spans.filter(_.parent_span_id.isEmpty)
+        .map(s => dp(s.span_id, s.end_time_unix_nano - s.start_time_unix_nano))
+        .max
+    }
+    assert(got("t1") === 30L)
+    assert(got("t2") === 6L)
+    assert(got("t3") === expect(random))
+  }
 }
