@@ -166,6 +166,8 @@ object SparkEntry {
     "q_skew_diagnose"    -> ((s, d) => Core.qSkewDiagnose(s, d)),
     "q_share_of_parent"  -> (Core.qShareOfParent _),
     "tel_freshness"      -> (Telemetry.freshness _),
+    "tel_error_budget"   -> ((s, d) => Telemetry.errorBudget(s, d)),
+    "text_vocab_growth"  -> ((s, d) => TextOps.vocabGrowth(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1371,6 +1373,40 @@ object SparkEntry {
         | CAST(max(last_us) OVER () - last_us AS BIGINT) AS lag_us,
         | CAST(n_events AS BIGINT) AS n_events
         |FROM s""".stripMargin,
+    "tel_error_budget" ->
+      """WITH hourly AS (
+        | SELECT date_trunc('month', ts) AS month, date_trunc('hour', ts) AS h,
+        |  count(*) AS n,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
+        | FROM events GROUP BY 1, 2),
+        |m AS (
+        | SELECT month, CAST(count(*) AS BIGINT) AS total_hours,
+        |  CAST(sum(CASE WHEN errs * 4 > n * 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS bad_hours
+        | FROM hourly GROUP BY 1)
+        |SELECT strftime(month, '%Y-%m') AS month, total_hours, bad_hours,
+        | CAST(total_hours * 1 AS DOUBLE) / 100.0 AS budget_hours,
+        | CAST(bad_hours * 100 AS DOUBLE)
+        |   / CAST(total_hours * 1 AS DOUBLE) AS budget_used_frac
+        |FROM m""".stripMargin,
+    "text_vocab_growth" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        | FROM documents),
+        |toks AS (SELECT doc_id, count(*) AS toks FROM t GROUP BY 1),
+        |fh AS (
+        | SELECT doc_id, count(*) AS new_terms FROM (
+        |  SELECT term, min(doc_id) AS doc_id FROM (
+        |   SELECT DISTINCT doc_id, term FROM t) d GROUP BY 1) f
+        | GROUP BY 1)
+        |SELECT doc_id,
+        | CAST(sum(toks) OVER (ORDER BY doc_id
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        | CAST(sum(coalesce(new_terms, 0)) OVER (ORDER BY doc_id
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+        |FROM toks LEFT JOIN fh USING (doc_id)
+        |QUALIFY (doc_id + 1) % 50 = 0""".stripMargin,
   )
 
   private lazy val FunnelRetentionCorrOracles: Map[String, String] = Map(

@@ -407,6 +407,33 @@ object TextOps {
       .withColumn("frac", $"n".cast("double") / $"row_total".cast("double"))
   }
 
+  /** Vocabulary-growth curve (Heaps' law): cumulative distinct terms vs
+    * cumulative tokens as the corpus is consumed in doc_id order — the
+    * diversity diagnostic that says whether more data still buys new
+    * vocabulary. Per doc: tokens contributed and NEW terms introduced
+    * (terms whose first-holding doc this is — the [[ngramNovelty]]
+    * min-agg at term level); running sums are windows over #docs rows,
+    * reported every `stride` docs. */
+  def vocabGrowth(spark: SparkSession, sfDir: String,
+                  stride: Long = 50L): DataFrame = {
+    import spark.implicits._
+    val terms = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+              explode(split(trim(lower($"text")), "\\s+")).as("term"))
+    val perDocTokens = terms.groupBy($"doc_id").agg(count(lit(1)).as("toks"))
+    val firstHolder = terms.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(min($"doc_id").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("new_terms"))
+    val line = Window.orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDocTokens.join(firstHolder, Seq("doc_id"), "left")
+      .withColumn("new_terms", coalesce($"new_terms", lit(0L)))
+      .withColumn("cum_tokens", sum($"toks").over(line))
+      .withColumn("cum_vocab", sum($"new_terms").over(line))
+      .filter(($"doc_id" + 1) % stride === 0)
+      .select($"doc_id", $"cum_tokens", $"cum_vocab")
+  }
+
   /** TF-IDF top terms per document (the classic retrieval/keyword
     * score, built on [[docFreq]]'s df machinery).
     *

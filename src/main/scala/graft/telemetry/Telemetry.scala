@@ -217,6 +217,37 @@ object Telemetry {
               $"n", $"p50", $"p95")
   }
 
+  /** Error-budget accounting — the third leg of the SLO triple
+    * ([[burnRate]] = how fast, [[downtime]] = when, this = how much is
+    * LEFT): per month, bad hours consumed against the budget a
+    * 99%-target allows. All-integer arithmetic: the budget comparison
+    * is hours·denominator vs numerator — the only doubles are final
+    * exact divisions of small ints. */
+  def errorBudget(spark: SparkSession, sfDir: String,
+                  numBad: Int = 1, denBad: Int = 4,
+                  sloNum: Int = 99, sloDen: Int = 100): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("month", $"ts").as("month"),
+               date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("n"),
+           sum(when($"event_type" === "error", 1L).otherwise(0L)).as("errs"))
+    hourly
+      .groupBy($"month")
+      .agg(count(lit(1)).as("total_hours"),
+           sum(when($"errs" * denBad > $"n" * numBad, 1L).otherwise(0L))
+             .as("bad_hours"))
+      // budget hours = total · (1 − slo) — kept integer-scaled
+      .withColumn("budget_hours",
+        ($"total_hours" * (sloDen - sloNum)).cast("double") / sloDen.toDouble)
+      .withColumn("budget_used_frac",
+        ($"bad_hours" * sloDen).cast("double") /
+          ($"total_hours" * (sloDen - sloNum)).cast("double"))
+      .select(date_format($"month", "yyyy-MM").as("month"),
+              $"total_hours", $"bad_hours", $"budget_hours",
+              $"budget_used_frac")
+  }
+
   /** Data-freshness monitor: per-series last-seen timestamp and its lag
     * behind the freshest series — the first page of any ingestion
     * dashboard (a stuck exporter shows up as one series' lag growing
