@@ -563,22 +563,24 @@ object Dedup {
     * within clusters).
     *
     * Scale: assignment is a narrow broadcast-centroids pass; the pair
-    * join shuffles on cid only — candidate pairs are Σ|cluster|², the
-    * quadratic confined to clusters. At 100 TB k grows with the corpus
-    * (√N keeps clusters bounded) and oversized clusters re-block by a
-    * second-nearest-centroid key — the standard SemDeDup scaling. The
-    * cosine threshold and 6-decimal rounding match the label-blocked
-    * twin, so the two strategies are directly comparable. */
+    * join shuffles on (cid, salt) — candidate pairs are Σ|cluster|²,
+    * the quadratic confined to clusters, and since r5 the WORST cluster
+    * is task-bounded too: [[SimOps.cappedClusterPairs]] salts any
+    * cluster above `cap` into size-capped blocks that preserve the pair
+    * set exactly (one mega-cluster fans out instead of stalling a
+    * task). At 100 TB k grows with the corpus (√N keeps clusters
+    * bounded); the recall-trading second-nearest-centroid re-block from
+    * the SemDeDup paper changes results and stays a knob. The cosine
+    * threshold and 6-decimal rounding match the label-blocked twin, so
+    * the two strategies are directly comparable. */
   def semantic(spark: SparkSession, sfDir: String,
-               threshold: Double = 0.35): DataFrame = {
+               threshold: Double = 0.35, cap: Int = 64): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
     val idx = SimOps.clusterAssignments(spark, sfDir).join(emb, "vec_id")
-    val a = idx.select($"cid", $"vec_id".as("vec_a"), $"vec".as("va"))
-    val b = idx.select($"cid", $"vec_id".as("vec_b"), $"vec".as("vb"))
-    a.join(b, Seq("cid"))
+    SimOps.cappedClusterPairs(idx, cap, "vec_a", "va", "vec_b", "vb")
       .filter($"vec_a" < $"vec_b")
       .withColumn("cosine", round(call_function("cosine_sim", $"va", $"vb"), 6))
       .filter($"cosine" >= threshold)

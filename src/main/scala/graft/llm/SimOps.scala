@@ -639,6 +639,46 @@ object SimOps {
     }.toDF("vec_id", "cid")
   }
 
+  /** Within-cluster self-join with a PER-TASK pair-volume cap — the
+    * r5 fix for the unbounded-largest-cluster quadratic in
+    * [[knnGraph]] and [[graft.llm.Dedup.semantic]].
+    *
+    * Clusters larger than `cap` split into ⌈n/cap⌉ salt blocks: the
+    * probe (A) side takes `salt = hash(id) % nsalt`, the build (B)
+    * side replicates across every salt, and the join key becomes
+    * (cid, salt). Every ordered pair (a, b) still meets in EXACTLY one
+    * block — the one holding a's salt — so results are bit-identical
+    * to the plain (cid)-join; what changes is that a mega-cluster fans
+    * out across nsalt tasks with ≤ cap probe rows each instead of one
+    * O(n²) straggler. Replication cost is nsalt× on the build side of
+    * the oversized clusters only (`nsalt` is per-cluster, 1 for every
+    * cluster under the cap).
+    *
+    * The recall-trading alternative — re-blocking an oversized cluster
+    * by second-nearest centroid, the SemDeDup paper's choice at web
+    * scale — DROPS cross-sub-block pairs and so changes results; it
+    * stays a documented knob, not the default.
+    *
+    * `idx` must carry (cid, vec_id, vec); the output keeps (cid, salt)
+    * plus the pair payloads renamed to the caller's four names, with
+    * salt retained so specs can assert block-size bounds. */
+  private[graft] def cappedClusterPairs(idx: DataFrame, cap: Int,
+      aId: String, aVec: String, bId: String, bVec: String): DataFrame = {
+    val sizes = idx.groupBy(col("cid")).agg(count(lit(1)).as("cluster_n"))
+    val sized = idx.join(broadcast(sizes), "cid")
+      .withColumn("nsalt",
+        greatest(ceil(col("cluster_n") / lit(cap.toDouble)), lit(1L)).cast("int"))
+    val a = sized
+      .withColumn("salt", pmod(hash(col("vec_id")), col("nsalt")))
+      .select(col("cid"), col("salt"),
+              col("vec_id").as(aId), col("vec").as(aVec))
+    val b = sized
+      .withColumn("salt", explode(sequence(lit(0), col("nsalt") - 1)))
+      .select(col("cid"), col("salt"),
+              col("vec_id").as(bId), col("vec").as(bVec))
+    a.join(b, Seq("cid", "salt"))
+  }
+
   def ivfKmeansAnn(spark: SparkSession, sfDir: String, kClusters: Int = 4,
                    iters: Int = 2, nQueries: Int = 8, k: Int = 5): DataFrame = {
     import spark.implicits._
@@ -689,18 +729,21 @@ object SimOps {
     * The per-node top-k rides [[graft.functions.TopKStructs]] —
     * bounded state, map-side combine, NO per-node sort; the pair
     * stream never materializes beyond the aggregate. Output is a
-    * directed edge list (vec_id → neighbor, rank). Same caveats and
-    * knobs as semantic dedup at 100 TB: k-means k grows ~√N, oversized
-    * cells re-block. */
-  def knnGraph(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    * directed edge list (vec_id → neighbor, rank).
+    *
+    * 100 TB: k-means k grows ~√N to keep mean cluster size bounded, and
+    * the WORST cluster is bounded too — the pair join runs through
+    * [[cappedClusterPairs]], which salts any cluster above `cap` into
+    * size-capped blocks without changing the pair set (r5; previously
+    * one skewed cluster re-opened the all-pairs blow-up). */
+  def knnGraph(spark: SparkSession, sfDir: String, k: Int = 3,
+               cap: Int = 64): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
     val idx = clusterAssignments(spark, sfDir).join(emb, "vec_id")
-    val a = idx.select($"cid", $"vec_id", $"vec")
-    val b = idx.select($"cid", $"vec_id".as("nbr"), $"vec".as("nvec"))
-    a.join(b, Seq("cid"))
+    cappedClusterPairs(idx, cap, "vec_id", "vec", "nbr", "nvec")
       .filter($"vec_id" =!= $"nbr")
       .withColumn("cos6", round(call_function("cosine_sim", $"vec", $"nvec"), 6))
       .groupBy($"vec_id")

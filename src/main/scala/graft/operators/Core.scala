@@ -53,13 +53,29 @@ object Core {
   }
 
   /** TPC-H Q3 shape: dim-filtered customer ⋈ orders ⋈ lineitem, agg.
-    * customer is broadcast (small relative to facts at any SF). */
+    * customer is broadcast (small relative to facts at any SF).
+    *
+    * Join order matters at scale: orders ⋈ broadcast(cust) runs FIRST as
+    * a map-side broadcast join, so the o_orderkey shuffle feeding the
+    * fact-fact join carries only the ~1/5 of orders whose customer is in
+    * the BUILDING segment — shuffling all orders and filtering after
+    * (the r4 shape) wastes the dominant shuffle at 100 TB.
+    *
+    * The lineitem side cannot be runtime-bloom-pruned the way
+    * q_bloom_join's is: InjectRuntimeFilter's creation-side extraction
+    * only credits a selective Filter node on the path the join-key
+    * attribute originates from, and here orders' selectivity arrives via
+    * the customer JOIN, which the rule cannot see. A hand-rolled bloom
+    * (stat.bloomFilter + UDF) would leave codegen and broadcast an
+    * unbounded sketch, so the shuffle of lineitem is accepted and AQE
+    * right-sizes its partitions. */
   def q3JoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val cust = Tables.customer(spark, sfDir).filter($"c_mktsegment" === "BUILDING")
-    Tables.lineitem(spark, sfDir)
-      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+    val buildingOrders = Tables.orders(spark, sfDir)
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+    Tables.lineitem(spark, sfDir)
+      .join(buildingOrders, $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_orderpriority")
       .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"),
            count(lit(1)).as("n_items"))

@@ -58,6 +58,25 @@ class CoreQueriesSpec extends SparkSpec {
     assert(summed === total)
   }
 
+  test("q3_join_agg applies the customer broadcast filter BELOW the fact shuffle") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = Core.q3JoinAgg(spark, sf)
+    val lp = df.queryExecution.optimizedPlan
+    // the orderkey (fact-fact) join must have the custkey (broadcast
+    // filter) join inside one of its children — i.e. orders are pruned
+    // by segment BEFORE they shuffle on o_orderkey
+    val orderkeyJoins = lp.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "o_orderkey")) => j
+    }
+    assert(orderkeyJoins.nonEmpty, s"no orderkey join in:\n$lp")
+    val broadcastBelowShuffle = orderkeyJoins.exists(_.children.exists(
+      _.collectFirst {
+        case j: Join if j.condition.exists(_.references.exists(_.name == "c_custkey")) => j
+      }.isDefined))
+    assert(broadcastBelowShuffle,
+      s"custkey join is not below the orderkey join:\n$lp")
+  }
+
   test("runtime bloom filter injects on q_bloom_join under its queryConfs") {
     val confs = SparkEntry.queryConfs("q_bloom_join")
     val (withBloom, result) = SparkEntry.withConfs(spark, confs) {
