@@ -79,9 +79,22 @@ object AsofJoin {
         s"as-of time column ${t.name} must be timestamp or bigint, " +
           s"got ${t.dataType.simpleString}")
     }
+    // both times must carry the SAME unit: timestamp-micros on one side
+    // vs a raw bigint on the other passes the per-column check above but
+    // compares micros against arbitrary longs
+    require(lt.dataType == rt.dataType,
+      s"as-of time columns must share a type: ${lt.name} is " +
+        s"${lt.dataType.simpleString}, ${rt.name} is ${rt.dataType.simpleString}")
+    // the exec orders right-key rows with an ordering built from the
+    // LEFT key types — a dtype mismatch would read garbage bytes and
+    // silently return wrong joins, so fail at plan time instead
+    val (lkAttr, rkAttr) = (attr(lPlan, leftKey), attr(rPlan, rightKey))
+    require(lkAttr.dataType == rkAttr.dataType,
+      s"as-of key columns must share a type: ${lkAttr.name} is " +
+        s"${lkAttr.dataType.simpleString}, ${rkAttr.name} is " +
+        s"${rkAttr.dataType.simpleString}")
     org.apache.spark.sql.graft.GraftSql.ofRows(spark,
-      graft.plans.AsOfJoinNode(lPlan, rPlan,
-        Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)), lt, rt))
+      graft.plans.AsOfJoinNode(lPlan, rPlan, Seq(lkAttr), Seq(rkAttr), lt, rt))
   }
 
   /** [[qAsofJoin]] re-planned through the native exec — same oracle,

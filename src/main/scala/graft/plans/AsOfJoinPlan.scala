@@ -116,10 +116,20 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         private var matchRow: InternalRow = _     // latest qualifying right
         private var matchKey: InternalRow = _
         override def hasNext: Boolean = lIter.hasNext
+        // a null time would silently unbox to 0L (join as epoch-0 /
+        // match everything) — raise instead; the documented contract is
+        // non-null times and wrong-but-plausible joins are worse than a
+        // loud failure
+        private def timeOf(e: Expression, row: InternalRow, side: String): Long = {
+          val v = e.eval(row)
+          if (v == null) throw new NullPointerException(
+            s"as-of $side time evaluated to null; as-of join requires non-null times")
+          v.asInstanceOf[Long]
+        }
         override def next(): InternalRow = {
           val l = lIter.next()
           val lk = lKeyProj(l)
-          val lt = lTimeBound.eval(l).asInstanceOf[Long]
+          val lt = timeOf(lTimeBound, l, "left")
           var done = false
           while (!done && (rCur != null || rIter.hasNext)) {
             if (rCur == null) {
@@ -131,7 +141,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               // left keys only grow: this right row can never match again
               rCur = null
             } else if (cmp == 0 &&
-                       rTimeBound.eval(rCur).asInstanceOf[Long] <= lt) {
+                       timeOf(rTimeBound, rCur, "right") <= lt) {
               // qualifying: later qualifying rows overwrite (latest wins)
               matchRow = rCur.copy()
               matchKey = rCurKey

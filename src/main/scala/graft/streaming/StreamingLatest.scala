@@ -57,7 +57,15 @@ object StreamingLatest {
           best = Some(cand)
       }
       if (best != prev) { latest.update(best.get); Iterator.single(best.get) }
-      else Iterator.empty
+      else {
+        // winner unchanged, but the key IS seeing traffic: re-write the
+        // state so a configured TTL refreshes. Otherwise a key receiving
+        // only duplicate/stale re-sends would expire despite ongoing
+        // traffic, and the next stale replay would emit as a "new"
+        // winner — regressing the served value (never-regress contract).
+        if (ttl != null && best.isDefined) latest.update(best.get)
+        Iterator.empty
+      }
     }
   }
 

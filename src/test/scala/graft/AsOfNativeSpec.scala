@@ -89,6 +89,39 @@ class AsOfNativeSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS asof_right_b")
   }
 
+  test("plan-time validation: mismatched key or time types fail fast") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "l")).toDF("k", "t", "tag")
+    // int key vs long key — RowOrdering over the left types would read
+    // garbage bytes from the right rows (r5 ADVICE)
+    val rightIntKey = Seq((1, 100L, "r")).toDF("rk", "rt", "payload")
+    val e1 = intercept[IllegalArgumentException] {
+      AsofJoin.leftAsofNative(left, rightIntKey, "k", "rk", "t", "rt")
+    }
+    assert(e1.getMessage.contains("key columns must share a type"))
+    // timestamp-micros vs raw bigint — same-unit requirement
+    val rightTsTime = Seq((1L, new Timestamp(100L), "r")).toDF("rk", "rt", "payload")
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.leftAsofNative(left, rightTsTime, "k", "rk", "t", "rt")
+    }
+    assert(e2.getMessage.contains("time columns must share a type"))
+  }
+
+  test("null time raises instead of silently joining as epoch-0") {
+    import spark.implicits._
+    val left = Seq((1L, Some(100L), "l1"), (1L, None, "l2"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 50L, "r")).toDF("rk", "rt", "payload")
+    val err = intercept[Exception] {
+      AsofJoin.leftAsofNative(left, right, "k", "rk", "t", "rt").collect()
+    }
+    def rootChain(t: Throwable): List[Throwable] =
+      t :: Option(t.getCause).map(rootChain).getOrElse(Nil)
+    assert(rootChain(err).exists(c =>
+        Option(c.getMessage).exists(_.contains("requires non-null times"))),
+      s"unexpected failure: $err")
+  }
+
   test("native exec survives multi-partition keys and empty partitions") {
     import spark.implicits._
     // many keys → rows spread over all 4 test partitions; some keys
