@@ -97,19 +97,49 @@ object Recovery {
     deep.union(shallowDf)
   }
 
-  /** Orphans = files present in storage but absent from the manifest. */
+  /** Orphans = files present in storage but absent from the manifest.
+    * `distributedListing` swaps in [[listDataFilesDistributed]] for
+    * tables whose file count warrants executor-side listing. */
   def scanOrphans(spark: SparkSession, tablePath: String,
-                  manifest: DataFrame): DataFrame =
-    listDataFiles(spark, tablePath)
-      .join(manifest.select(col("file_path")), Seq("file_path"), "left_anti")
+                  manifest: DataFrame,
+                  distributedListing: Boolean = false): DataFrame = {
+    val files = if (distributedListing) listDataFilesDistributed(spark, tablePath)
+                else listDataFiles(spark, tablePath)
+    files.join(manifest.select(col("file_path")), Seq("file_path"), "left_anti")
+  }
 
   /** Reverse orphans: manifest entries whose backing file no longer
     * exists in storage (deleted out-of-band). The catalog must drop
     * these or every scan over it fails on a missing file. */
   def scanMissing(spark: SparkSession, tablePath: String,
-                  manifest: DataFrame): DataFrame =
-    manifest.join(listDataFiles(spark, tablePath).select(col("file_path")),
-                  Seq("file_path"), "left_anti")
+                  manifest: DataFrame,
+                  distributedListing: Boolean = false): DataFrame = {
+    val files = if (distributedListing) listDataFilesDistributed(spark, tablePath)
+                else listDataFiles(spark, tablePath)
+    manifest.join(files.select(col("file_path")), Seq("file_path"), "left_anti")
+  }
+
+  /** Overwrite a manifest WE ARE READING FROM without materializing it
+    * on the driver (r5 — was a `collect()` + re-parallelize, a driver
+    * heap risk at the reference's 10⁶-file scenario): the merged frame
+    * is written DISTRIBUTED to a temp sibling directory, then swapped
+    * into place with a metadata rename. The single shuffle to one
+    * writer task handles metadata-scale rows (a 10⁶-file manifest is
+    * tens of MB); the anti-join/dedup upstream keeps its parallelism. */
+  private def overwriteManifest(spark: SparkSession, manifestPath: String,
+                                merged: DataFrame): DataFrame = {
+    val tmp = manifestPath + ".tmp-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    merged.repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val p = new Path(manifestPath)
+    val t = new Path(tmp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(t, p)
+    // Drop the stale FileStatusCache listing for the overwritten path.
+    spark.catalog.refreshByPath(manifestPath)
+    spark.read.parquet(manifestPath)
+  }
 
   /** Drop manifest entries with no backing file; returns the pruned
     * manifest (written back idempotently, like [[reconcile]]). */
@@ -119,32 +149,40 @@ object Recovery {
     val live = existing.join(
       listDataFiles(spark, tablePath).select(col("file_path")),
       Seq("file_path"), "left_semi")
-    val rows = live.collect().toIndexedSeq
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), live.schema)
-      .write.mode(SaveMode.Overwrite).parquet(manifestPath)
-    spark.catalog.refreshByPath(manifestPath)
-    spark.read.parquet(manifestPath)
+    overwriteManifest(spark, manifestPath, live)
   }
 
   /** Register orphans into the manifest; dedup on path makes re-runs
-    * idempotent (reconciler.go's re-register semantics). */
+    * idempotent (reconciler.go's re-register semantics). The merge is a
+    * distributed anti-join + dropDuplicates end-to-end; only counts (at
+    * call sites) and the swap rename touch the driver. */
   def reconcile(spark: SparkSession, tablePath: String,
-                manifestPath: String): DataFrame = {
+                manifestPath: String,
+                distributedListing: Boolean = false): DataFrame = {
     import spark.implicits._
     val existing =
       try spark.read.parquet(manifestPath)
       catch { case _: Throwable => Seq.empty[(String, Long)].toDF("file_path", "file_size") }
     val merged = existing
-      .unionByName(scanOrphans(spark, tablePath, existing))
+      .unionByName(scanOrphans(spark, tablePath, existing, distributedListing))
       .dropDuplicates("file_path")
-    // Materialize before overwriting the same path we read from (the
-    // manifest is file metadata — tiny relative to the data it tracks).
-    val rows = merged.collect().toIndexedSeq
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), merged.schema)
-      .write.mode(SaveMode.Overwrite).parquet(manifestPath)
-    // Drop the stale FileStatusCache listing for the overwritten path.
-    spark.catalog.refreshByPath(manifestPath)
-    spark.read.parquet(manifestPath)
+    overwriteManifest(spark, manifestPath, merged)
+  }
+
+  /** Register an EXPLICIT file set into the manifest — reconcile with a
+    * caller-filtered candidate list (e.g. [[RecoveryCli]]'s
+    * `--after`/`--before` partition-time window). Same idempotent
+    * dedup-on-path semantics as [[reconcile]]. */
+  def registerFiles(spark: SparkSession, manifestPath: String,
+                    files: DataFrame): DataFrame = {
+    import spark.implicits._
+    val existing =
+      try spark.read.parquet(manifestPath)
+      catch { case _: Throwable => Seq.empty[(String, Long)].toDF("file_path", "file_size") }
+    val merged = existing
+      .unionByName(files.select(col("file_path"), col("file_size")))
+      .dropDuplicates("file_path")
+    overwriteManifest(spark, manifestPath, merged)
   }
 
   /** One file's footer → (min, max, rows) for `column`. Runs on

@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.recovery.{Recovery, RecoveryCli}
+import graft.sink.PartitionedParquetSink
+import graft.sink.PartitionedParquetSink.SinkConfig
+
+/** Drives the RecoveryCli main-equivalent (`run`) with argv on a temp
+  * sink layout — parity with the reference's user-facing recovery binary
+  * (cmd/recovery/main.go: flags, dry-run, report, exit codes). */
+class RecoveryCliSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("graft-cli").toString
+
+  private def runCli(args: String*): (Int, String) = {
+    val sb = new StringBuilder
+    val code = RecoveryCli.run(spark, args.toArray, s => { sb ++= s; sb += '\n' })
+    (code, sb.toString)
+  }
+
+  private def freshLayout(): (String, String) = {
+    val base = tmp()
+    val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "hourly")
+    PartitionedParquetSink.writeBatch(Tables.events(spark, sf), cfg)
+    (base, s"$base/_manifests")
+  }
+
+  test("bad usage exits 2 with a usage message") {
+    assert(runCli("frobnicate", "--base-path", "/x")._1 === 2)
+    assert(runCli("scan", "--base-path", "/x", "--bogus-flag")._1 === 2)
+    val (code, msg) = runCli("scan")
+    assert(code === 2 && msg.contains("--base-path is required"))
+  }
+
+  test("parseTimeFlag accepts RFC3339 and date-only, rejects junk") {
+    assert(RecoveryCli.parseTimeFlag("") === None)
+    assert(RecoveryCli.parseTimeFlag("2024-01-15T06:30:00Z").get.toString
+      === "2024-01-15T06:30:00Z")
+    assert(RecoveryCli.parseTimeFlag("2024-01-15").get.toString
+      === "2024-01-15T00:00:00Z")
+    intercept[IllegalArgumentException] { RecoveryCli.parseTimeFlag("not-a-time") }
+  }
+
+  test("pathPartitionTime reads sink-layout partition values") {
+    assert(RecoveryCli.pathPartitionTime(
+      "/d/t/year=2024/month=03/day=05/hour=07/p.parquet").get.toString
+      === "2024-03-05T07:00:00Z")
+    assert(RecoveryCli.pathPartitionTime(
+      "/d/t/year=2024/month=03/p.parquet").get.toString
+      === "2024-03-01T00:00:00Z")
+    assert(RecoveryCli.pathPartitionTime("/d/t/p.parquet") === None)
+  }
+
+  test("scan reports orphans; reconcile registers; re-run finds none") {
+    val (base, manifests) = freshLayout()
+    val (c1, out1) = runCli("scan", "--base-path", base, "--manifest", manifests)
+    assert(c1 === 0, out1)
+    val total = "Total files found:\\s+(\\d+)".r
+      .findFirstMatchIn(out1).get.group(1).toLong
+    assert(total > 0)
+
+    // dry-run registers nothing
+    val (c2, out2) = runCli("reconcile", "--base-path", base,
+      "--manifest", manifests, "--dry-run")
+    assert(c2 === 0 && out2.contains("Run without --dry-run"), out2)
+    assert(!new java.io.File(s"$manifests/events").exists())
+
+    // real reconcile registers everything, idempotently
+    val (c3, out3) = runCli("reconcile", "--base-path", base, "--manifest", manifests)
+    assert(c3 === 0 && out3.contains(s"Successfully registered: $total"), out3)
+    assert(spark.read.parquet(s"$manifests/events").count() === total)
+    val (c4, out4) = runCli("scan", "--base-path", base, "--manifest", manifests)
+    assert(c4 === 0 && out4.contains("Total files found:    0"), out4)
+  }
+
+  test("after/before window restricts what reconcile registers") {
+    val (base, manifests) = freshLayout()
+    val all = Recovery.listDataFiles(spark, s"$base/events").count()
+    // pick a split point from the partition times present in the layout
+    val times = Recovery.listDataFiles(spark, s"$base/events")
+      .collect().flatMap(r => RecoveryCli.pathPartitionTime(r.getString(0)))
+      .sorted
+    assert(times.distinct.length > 1, "fixture needs multiple partition hours")
+    val cut = times(times.length / 2)
+    val (c1, _) = runCli("reconcile", "--base-path", base, "--manifest", manifests,
+      "--before", cut.toString)
+    assert(c1 === 0)
+    val registered = spark.read.parquet(s"$manifests/events").count()
+    assert(registered === times.count(_.isBefore(cut)))
+    assert(registered < all)
+    // widening the window registers the rest (idempotent union)
+    val (c2, _) = runCli("reconcile", "--base-path", base, "--manifest", manifests)
+    assert(c2 === 0)
+    assert(spark.read.parquet(s"$manifests/events").count() === all)
+  }
+
+  test("prune drops stale manifest entries after out-of-band deletes") {
+    val (base, manifests) = freshLayout()
+    runCli("reconcile", "--base-path", base, "--manifest", manifests)
+    val total = spark.read.parquet(s"$manifests/events").count()
+    val victim = Recovery.listDataFiles(spark, s"$base/events")
+      .collect()(0).getString(0)
+    new java.io.File(new java.net.URI(victim).getPath).delete()
+    val (cd, outd) = runCli("prune", "--base-path", base,
+      "--manifest", manifests, "--dry-run")
+    assert(cd === 0 && outd.contains("1 stale entries (dry-run)"), outd)
+    assert(spark.read.parquet(s"$manifests/events").count() === total)
+    val (cp, outp) = runCli("prune", "--base-path", base, "--manifest", manifests)
+    assert(cp === 0 && outp.contains("pruned 1 stale entries"), outp)
+    assert(spark.read.parquet(s"$manifests/events").count() === total - 1)
+  }
+
+  test("repartition rewrites at the target granularity; dry-run does not") {
+    val (base, _) = freshLayout()
+    val (cd, outd) = runCli("repartition", "--base-path", base,
+      "--tables", "events", "--ts-column", "ts",
+      "--from-granularity", "hourly", "--to-granularity", "daily", "--dry-run")
+    assert(cd === 0 && outd.contains("would rewrite"), outd)
+    assert(!new java.io.File(s"$base/events_daily").exists())
+    val (cr, _) = runCli("repartition", "--base-path", base,
+      "--tables", "events", "--ts-column", "ts",
+      "--from-granularity", "hourly", "--to-granularity", "daily")
+    assert(cr === 0)
+    val daily = s"$base/events_daily"
+    assert(new java.io.File(daily).exists())
+    assert(spark.read.parquet(daily).count()
+      === spark.read.parquet(s"$base/events").count())
+    // daily layout: year/month/day dirs, no hour level
+    val dirs = Recovery.listDataFiles(spark, daily)
+      .collect().map(_.getString(0))
+    assert(dirs.forall(p => p.contains("day=") && !p.contains("hour=")), dirs.take(3).mkString(","))
+  }
+}

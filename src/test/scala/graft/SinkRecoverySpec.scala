@@ -345,6 +345,46 @@ class SinkRecoverySpec extends SparkSpec {
     assert(Recovery.scanMissing(spark, tablePath, pruned).count() === 0)
   }
 
+  test("reconcile stays distributed over a many-files layout (r5: no driver materialize)") {
+    import spark.implicits._
+    // many-files fixture: hundreds of tiny files (the reference's 10^6-
+    // file scenario scaled down) — the merge path must survive without
+    // collecting the file list: since r5 reconcile/pruneMissing write
+    // the merged manifest DISTRIBUTED to a temp dir and swap it in
+    val base = tmp()
+    val tablePath = s"$base/many"
+    (0 until 300).toDF("i").repartition(300)
+      .write.mode("overwrite").parquet(tablePath)
+    val manifestPath = s"$base/_manifest"
+    val nFiles = Recovery.listDataFiles(spark, tablePath).count()
+    // AQE coalesces some of the 300 round-robin partitions; "hundreds"
+    // is what the fixture needs, not an exact count
+    assert(nFiles >= 150, s"fixture produced only $nFiles files")
+
+    // distributed listing path agrees with the driver walk here too
+    val viaDist = Recovery.scanOrphans(spark, tablePath,
+      Seq.empty[(String, Long)].toDF("file_path", "file_size"),
+      distributedListing = true).count()
+    assert(viaDist === nFiles)
+
+    val c1 = Recovery.reconcile(spark, tablePath, manifestPath,
+      distributedListing = true).count()
+    assert(c1 === nFiles)
+    // idempotent on re-run; a fresh scan is clean
+    val m2 = Recovery.reconcile(spark, tablePath, manifestPath)
+    assert(m2.count() === nFiles)
+    assert(Recovery.scanOrphans(spark, tablePath, m2).count() === 0)
+    // the swap left exactly one live manifest directory (no .tmp- residue)
+    val residue = new java.io.File(base).listFiles()
+      .count(_.getName.startsWith("_manifest.tmp-"))
+    assert(residue === 0, s"$residue temp manifest dirs left behind")
+    // prune path survives the same layout: delete 5 files out-of-band
+    Recovery.listDataFiles(spark, tablePath).limit(5).collect().foreach { r =>
+      new java.io.File(new java.net.URI(r.getString(0)).getPath).delete()
+    }
+    assert(Recovery.pruneMissing(spark, tablePath, manifestPath).count() === nFiles - 5)
+  }
+
   test("partition evolution: granularity rewrite commits as a snapshot, old layout expires") {
     import graft.recovery.VersionedManifest
     val base = tmp()
