@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sink.PartitionedParquetSink
+import graft.sink.PartitionedParquetSink.SinkConfig
+
+/** Delivery semantics for the ingest path — the reference exporter's
+  * retry queue made explicit
+  * (`/root/reference/internal/iceberg/errors.go:8-34` permanent-error
+  * taxonomy; `factory.go:48-99` exporterhelper queue + backoff wiring):
+  *
+  *  - [[isPermanent]] classifies a failure as permanent (auth,
+  *    permission, malformed-request/validation, duplicate-resource —
+  *    retrying can never succeed) vs retryable (everything else:
+  *    network blips, throttling, eventual consistency), the same
+  *    default-transient stance as `IsPermanentCatalogError`.
+  *  - [[retry]] is the bounded exponential backoff the collector's
+  *    `configretry.NewDefaultBackOffConfig` provides: transient errors
+  *    retry up to `maxAttempts` with doubling, capped sleeps; permanent
+  *    errors fail FAST (first occurrence, wrapped as
+  *    [[PermanentException]] so callers can `errors.As`-style match).
+  *  - [[ingestWithManifestRetrying]] applies both to the
+  *    write-then-register micro-batch loop: the batch write + manifest
+  *    registration retry as a unit, and because registration dedups on
+  *    path ([[graft.recovery.Recovery.reconcile]]) a replay after a
+  *    mid-flight crash re-registers harmlessly — at-least-once delivery
+  *    with idempotent commit, no duplicate manifest entries.
+  */
+object Delivery {
+
+  /** Non-retryable failure — the reference's PermanentError wrapper
+    * (errors.go:10-31): signals the caller's retry loop to stop. */
+  final class PermanentException(msg: String, cause: Throwable)
+      extends RuntimeException(msg, cause)
+
+  /** Bounded-backoff policy (exporterhelper BackOffConfig shape).
+    * `sleep` is injectable so specs run without wall-clock waits. */
+  case class RetryPolicy(maxAttempts: Int = 5,
+                         initialBackoffMs: Long = 50,
+                         maxBackoffMs: Long = 5000,
+                         multiplier: Double = 2.0,
+                         sleep: Long => Unit = Thread.sleep)
+
+  // errors.go:41-117 pattern groups, lowercased substring match like
+  // IsPermanentCatalogError — credentials, permissions, malformed
+  // requests, and duplicates won't heal between retries
+  private val permanentPatterns: Seq[String] = Seq(
+    // authentication
+    "unauthorized", "unauthenticated", "invalid token", "token expired",
+    "invalid credentials", "authentication failed",
+    // authorization
+    "forbidden", "access denied", "permission denied", "not authorized",
+    "insufficient permissions",
+    // malformed request / validation
+    "bad request", "malformed", "invalid argument", "invalid parameter",
+    "validation failed", "schema mismatch", "incompatible schema",
+    "type mismatch", "invalid schema",
+    // duplicate resource
+    "already exists", "duplicate")
+
+  /** Permanent vs retryable, walking the cause chain (a permanent root
+    * cause wrapped in a SparkException must still fail fast). Spark's
+    * AnalysisException is permanent by TYPE — an invalid plan or
+    * unresolvable schema never succeeds on retry. Unknowns default to
+    * transient, the reference's stance. */
+  def isPermanent(t: Throwable): Boolean = {
+    def chain(x: Throwable): List[Throwable] =
+      if (x == null) Nil else x :: chain(x.getCause)
+    chain(t).exists {
+      case _: PermanentException => true
+      case _: org.apache.spark.sql.AnalysisException => true
+      case e =>
+        val msg = Option(e.getMessage).getOrElse("").toLowerCase
+        permanentPatterns.exists(msg.contains)
+    }
+  }
+
+  /** Run `op`, retrying transients with capped exponential backoff.
+    * Permanent failures rethrow immediately wrapped in
+    * [[PermanentException]]; exhausting `maxAttempts` rethrows the last
+    * transient error as-is (the queue's give-up path). `onRetry` sees
+    * (attempt, error) before each backoff — a metrics hook. */
+  def retry[T](policy: RetryPolicy = RetryPolicy(),
+               onRetry: (Int, Throwable) => Unit = (_, _) => ())(op: => T): T = {
+    require(policy.maxAttempts >= 1, "maxAttempts must be >= 1")
+    var attempt = 1
+    var backoff = policy.initialBackoffMs
+    while (true) {
+      try return op
+      catch {
+        case e: Throwable if isPermanent(e) =>
+          throw new PermanentException(
+            s"permanent failure (attempt $attempt, not retrying): ${e.getMessage}", e)
+        case e: Throwable =>
+          if (attempt >= policy.maxAttempts) throw e
+          onRetry(attempt, e)
+          policy.sleep(backoff)
+          backoff = math.min(
+            (backoff * policy.multiplier).toLong, policy.maxBackoffMs)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** [[StreamingIngest.ingestWithManifest]] with the explicit
+    * retry/error taxonomy: each micro-batch's write + register runs
+    * under [[retry]]. A transient mid-batch failure retries in place
+    * (partial files from the failed attempt are swept up by the SAME
+    * idempotent registration — dedup on path); a permanent failure
+    * fails the query fast so the checkpoint pins the batch for a fixed
+    * deploy, not a hot retry loop. `beforeRegister` is a test/metrics
+    * seam between the two stages (where the reference's process could
+    * die between write and catalog registration). */
+  def ingestWithManifestRetrying(events: DataFrame, cfg: SinkConfig,
+                                 checkpoint: String, manifestPath: String,
+                                 policy: RetryPolicy = RetryPolicy(),
+                                 onRetry: (Int, Throwable) => Unit = (_, _) => (),
+                                 beforeRegister: DataFrame => Unit = _ => ())
+      : StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // stabilize the batch so retries re-write identical rows instead
+        // of re-reading a source that may have advanced
+        val pinned = batch.localCheckpoint()
+        retry(policy, onRetry) {
+          PartitionedParquetSink.writeBatch(pinned, cfg)
+          beforeRegister(pinned)
+          graft.recovery.Recovery.reconcile(
+            pinned.sparkSession, PartitionedParquetSink.tablePath(cfg), manifestPath)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+}
