@@ -150,8 +150,6 @@ object SparkEntry {
     "mm_scene_cuts"      -> (Multimodal.sceneCuts _),
     "q_percentile_disc"  -> (Core.qPercentileDisc _),
     "sim_knn_graph"      -> ((s, d) => SimOps.knnGraph(s, d)),
-    // rows-only: sequential LTTB selection has no SQL-window equivalent;
-    // exactness is pinned by a BigInt driver replica in Round6OpsSpec
     "tel_lttb"           -> ((s, d) => Telemetry.lttb(s, d)),
     "tel_capacity_forecast" -> ((s, d) => Telemetry.capacityForecast(s, d)),
     "tel_downtime"       -> ((s, d) => Telemetry.downtime(s, d)),
@@ -1901,6 +1899,59 @@ object SparkEntry {
         |   AS DOUBLE) / count(*) AS dup_frac
         |FROM c LEFT JOIN d USING (chunk_md5)
         |GROUP BY c.doc_id""".stripMargin,
+    // exact LTTB replica: the selection is sequential per (series, day),
+    // so the oracle folds over the 8 middle buckets with a recursive CTE
+    // carrying (previous pick, selected list); all-integer areas and
+    // first-position argmax reproduce the Scala kernel bit-for-bit
+    "tel_lttb" ->
+      """WITH RECURSIVE pts AS (
+        | SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  (epoch_us(ts) // 1000000) % 86400 AS xs,
+        |  CAST(round(value * 100) AS BIGINT) AS v100, event_id
+        | FROM events),
+        |grp AS (
+        | SELECT event_type, day,
+        |  list(struct_pack(x := xs, v := v100) ORDER BY xs, event_id) AS p,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM pts GROUP BY 1, 2),
+        |iter AS (
+        | SELECT event_type, day, p, n, 0 AS b, [p[1]] AS sel
+        | FROM grp WHERE n > 10
+        | UNION ALL
+        | SELECT event_type, day, p, n, b + 1 AS b,
+        |  CASE WHEN lo0 >= hi0 THEN sel
+        |   ELSE list_append(sel,
+        |     cand[list_position(areas, list_max(areas))]) END AS sel
+        | FROM (
+        |  SELECT event_type, day, p, n, b, sel, lo0, hi0, cand,
+        |   list_transform(cand, q -> abs(
+        |     (prev.x * m - sx) * (q.v - prev.v)
+        |       - (prev.x - q.x) * (sy - m * prev.v))) AS areas
+        |  FROM (
+        |   SELECT *,
+        |    sel[len(sel)] AS prev,
+        |    list_slice(p, lo0 + 1, hi0) AS cand,
+        |    CAST(nhi0 - nlo0 AS BIGINT) AS m,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      list_slice(p, nlo0 + 1, nhi0), q -> q.x)), 0) AS BIGINT) AS sx,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      list_slice(p, nlo0 + 1, nhi0), q -> q.v)), 0) AS BIGINT) AS sy
+        |   FROM (
+        |    SELECT *,
+        |     1 + ((n - 2) * b) // 8 AS lo0,
+        |     least(1 + ((n - 2) * (b + 1)) // 8, n - 1) AS hi0,
+        |     CASE WHEN b + 1 < 8 THEN 1 + ((n - 2) * (b + 1)) // 8
+        |      ELSE n - 1 END AS nlo0,
+        |     CASE WHEN b + 1 < 8 THEN least(1 + ((n - 2) * (b + 2)) // 8, n - 1)
+        |      ELSE n END AS nhi0
+        |    FROM iter WHERE b < 8))) ),
+        |final AS (
+        | SELECT event_type, day, list_append(sel, p[n]) AS sel
+        | FROM iter WHERE b = 8
+        | UNION ALL
+        | SELECT event_type, day, p AS sel FROM grp WHERE n <= 10)
+        |SELECT event_type, day, u.x AS x_sec, u.v AS v100
+        |FROM (SELECT event_type, day, unnest(sel) AS u FROM final)""".stripMargin,
     "tel_m4_downsample" ->
       """WITH e AS (
         | SELECT event_type, date_trunc('hour', ts) AS bucket,

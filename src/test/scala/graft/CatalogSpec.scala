@@ -13,8 +13,7 @@ class CatalogSpec extends SparkSpec {
     "tel_approx_percentiles", // GK sketch (inherently approximate)
     "tel_cms_counts",         // count-min sketch (inherently approximate)
     "tel_sketch_rollup",      // HLL sketch-column union
-    "sim_opq_trained",        // learned rotation (eigensolver ordering)
-    "tel_lttb")               // sequential selection (BigInt-replica spec)
+    "sim_opq_trained")        // learned rotation (eigensolver ordering)
 
   test("every oracle belongs to a query; rows-only set is exactly documented") {
     val qs = SparkEntry.queries.keySet
