@@ -85,7 +85,64 @@ object Bench {
       if (s1 < 0) s1 else { val s2 = sinkOnce(); if (s2 < 0) s1 else math.min(s1, s2) }
     }
 
-    val all = results ++ (if (sinkTime >= 0) Seq("sink_ingest_hourly" -> sinkTime) else Nil)
+    // Metadata-pruning read path — the 100 TB lever measured, not just
+    // spec'd: the SAME logical slice/point query timed as a full scan +
+    // residual filter vs the manifest-pruned read (zone maps for the
+    // 1-hour slice, per-file blooms for the needle lookup). Setup
+    // (write + stats/bloom-carrying commit) is untimed; reads are
+    // best-of-2 like everything else. At sf0.1 the table is hundreds of
+    // hourly files; at 100 TB the full-scan side grows linearly while
+    // the pruned side stays proportional to the slice.
+    val pruneNames = Seq("sink_slice_full", "sink_slice_pruned",
+                         "sink_point_full", "sink_point_bloom")
+    val doPrune = only.isEmpty || pruneNames.exists(only)
+    val pruneResults: Seq[(String, Double)] = if (!doPrune) Nil else {
+      import org.apache.spark.sql.functions.{col, min, unix_micros}
+      import graft.recovery.VersionedManifest
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-prune").toString
+      try {
+        val ev = Tables.events(spark, sfDir)
+        graft.sink.PartitionedParquetSink.writeBatch(ev,
+          graft.sink.PartitionedParquetSink.SinkConfig(
+            dir, "events", tsColumn = "ts", granularity = "hourly",
+            writeTasks = Some(math.max(4, cpus.toInt / 2))))
+        val tablePath = s"$dir/events"
+        val manDir = s"$dir/_snapshots"
+        VersionedManifest.commit(spark, tablePath, manDir,
+          statsColumn = Some("ts"), bloomColumn = Some("event_id"))
+        val r = ev.agg(min(unix_micros(col("ts"))), min("event_id")).collect()(0)
+        val startUs = r.getLong(0)
+        val endUs = startUs + 3600L * 1000000L
+        val needle = r.getLong(1)
+        def best2(f: => Long): Double = {
+          def once(): Double = {
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          val a = once(); math.min(a, once())
+        }
+        Seq(
+          "sink_slice_full" -> best2(
+            spark.read.parquet(tablePath)
+              .filter(unix_micros(col("ts")) >= startUs &&
+                      unix_micros(col("ts")) < endUs).count()),
+          "sink_slice_pruned" -> best2(
+            VersionedManifest.readSliceAt(
+              spark, tablePath, manDir, "ts", startUs, endUs).count()),
+          "sink_point_full" -> best2(
+            spark.read.parquet(tablePath)
+              .filter(col("event_id") === needle).count()),
+          "sink_point_bloom" -> best2(
+            VersionedManifest.readPoint(spark, tablePath, manDir, needle).count()))
+      } catch { case _: Throwable => Nil }
+      finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(dir)).deleteRecursively()
+      }
+    }
+
+    val all = results ++
+      (if (sinkTime >= 0) Seq("sink_ingest_hourly" -> sinkTime) else Nil) ++
+      pruneResults
     val allFailed = failed ++ (if (doSink && sinkTime < 0) Seq("sink_ingest_hourly") else Nil)
     def r3(v: Double): String = f"$v%.3f"
     def jsonMap(m: Seq[(String, Double)]): String =
@@ -108,7 +165,9 @@ object Bench {
       "dedup_exact", "dedup_minhash_lsh", "dedup_clusters", "dedup_semantic",
       "sim_topk_bruteforce", "sim_ivf_ann", "sim_knn_graph",
       "text_contamination", "text_winnow", "text_gopher_quality",
-      "mm_audio_windows", "sink_ingest_hourly")
+      "mm_audio_windows", "sink_ingest_hourly",
+      "sink_slice_full", "sink_slice_pruned",
+      "sink_point_full", "sink_point_bloom")
     val allMap = all.toMap
     val head = headline.flatMap(k => allMap.get(k).map(k -> _))
     def group(k: String): String = k match {

@@ -226,7 +226,6 @@ object Recovery {
     * [[VersionedManifest.readPoint]] consults only manifest bytes to
     * pick the 1+ε files that can contain the key. */
   def fileBlooms(spark: SparkSession, tablePath: String, column: String,
-                 expectedItems: Long = 100000L,
                  fpp: Double = 0.03): DataFrame = {
     import spark.implicits._
     spark.read.parquet(tablePath)
@@ -234,8 +233,15 @@ object Recovery {
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroups { (f, it) =>
-        val bf = org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
-        it.foreach(t => bf.putLong(t._2))
+        // size each sketch to ITS file's key count (one file's keys
+        // buffer in an executor — bounded by parquet file size): a
+        // fixed capacity either over-sizes small files 100× (every
+        // lookup then deserializes megabytes of near-empty sketch from
+        // the manifest) or saturates big ones past the target fpp
+        val vals = it.map(_._2).toArray
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(
+          math.max(vals.length.toLong, 64L), fpp)
+        vals.foreach(bf.putLong)
         val bos = new java.io.ByteArrayOutputStream()
         bf.writeTo(bos)
         // normalize to Hadoop Path form so the key joins listDataFiles

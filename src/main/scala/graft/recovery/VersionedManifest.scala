@@ -85,17 +85,23 @@ object VersionedManifest {
     val m = filesAt(spark, manifestDir, version)
     require(m.columns.contains("bloom"),
       s"manifest at $manifestDir has no bloom index; commit with bloomColumn")
-    val keyCol = m.filter(col("bloom_col").isNotNull)
-      .select("bloom_col").first().getString(0)
-    val keep = m.select("file_path", "bloom")
-      .as[(String, Array[Byte])]
+    // single pass: bloom membership AND the indexed column's name come
+    // back from one job (one path-sized row per file; sketch bytes never
+    // reach the driver)
+    val entries = m.select("file_path", "bloom", "bloom_col")
+      .as[(String, Array[Byte], String)]
       .mapPartitions { it =>
-        it.filter { case (_, b) =>
-          b == null || org.apache.spark.util.sketch.BloomFilter
+        it.map { case (f, b, kc) =>
+          val hit = b == null || org.apache.spark.util.sketch.BloomFilter
             .readFrom(new java.io.ByteArrayInputStream(b))
             .mightContainLong(value)
-        }.map(_._1)
+          (if (hit) f else null, kc)
+        }
       }.collect()
+    val keyCol = entries.collectFirst { case (_, kc) if kc != null => kc }
+      .getOrElse(throw new IllegalStateException(
+        s"manifest at $manifestDir has no bloom_col entry"))
+    val keep = entries.collect { case (f, _) if f != null => f }
     val base = if (keep.isEmpty) spark.read.parquet(tablePath).limit(0)
     else spark.read.option("basePath", tablePath).parquet(keep.toIndexedSeq: _*)
     base.filter(col(keyCol) === value)

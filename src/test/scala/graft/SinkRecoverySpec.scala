@@ -265,6 +265,22 @@ class SinkRecoverySpec extends SparkSpec {
     assert(slice.count() === expected.count() && slice.count() > 0)
     assert(slice.inputFiles.length < nFiles,
       s"no metadata pruning: ${slice.inputFiles.length} of $nFiles files read")
+
+    // the scan-cost claim in bytes, not file counts: the pruned read's
+    // input files are a small fraction of the table (3 of ~14 daily
+    // partitions overlap the slice — require < half as a noise-proof
+    // bound)
+    def bytesOf(paths: Seq[String]): Long = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      paths.map { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).getFileStatus(hp).getLen
+      }.sum
+    }
+    val prunedBytes = bytesOf(slice.inputFiles.toIndexedSeq)
+    val fullBytes = bytesOf(spark.read.parquet(tablePath).inputFiles.toIndexedSeq)
+    assert(prunedBytes > 0 && prunedBytes * 2 < fullBytes,
+      s"pruned read still scans $prunedBytes of $fullBytes bytes")
   }
 
   test("z-order clustering gives zone-map pruning on BOTH columns") {
