@@ -104,6 +104,51 @@ object ExporterConfig {
       case f: Filesystem => s"file://${f.basePath}"
     }
 
+    /** Hadoop configuration wiring the storage credentials into Spark's
+      * S3A filesystem — the auth surface of the reference's
+      * `BuildAWSConfigFromStorageConfig`
+      * (/root/reference/internal/iceberg/auth.go:26-90): static keys
+      * when configured, otherwise fall through to the default provider
+      * chain (env/instance-profile), exactly the reference's fallback;
+      * R2 maps to its S3-compatible account endpoint with region
+      * "auto" and path-style access. Apply with
+      * `spark.conf` / `sparkContext.hadoopConfiguration.set`. */
+    def hadoopStorageConf: Map[String, String] = storage match {
+      case s: S3 =>
+        val b = Map.newBuilder[String, String]
+        if (s.accessKeyId.nonEmpty && s.secretAccessKey.nonEmpty) {
+          b += "fs.s3a.access.key" -> s.accessKeyId
+          b += "fs.s3a.secret.key" -> s.secretAccessKey
+          b += "fs.s3a.aws.credentials.provider" ->
+            "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
+        }
+        if (s.region.nonEmpty) b += "fs.s3a.endpoint.region" -> s.region
+        if (s.endpoint.nonEmpty) {
+          b += "fs.s3a.endpoint" -> s.endpoint
+          b += "fs.s3a.path.style.access" -> "true"
+        }
+        b.result()
+      case r: R2 => Map(
+        "fs.s3a.access.key" -> r.accessKeyId,
+        "fs.s3a.secret.key" -> r.secretAccessKey,
+        "fs.s3a.endpoint" -> s"https://${r.accountId}.r2.cloudflarestorage.com",
+        "fs.s3a.endpoint.region" -> "auto",
+        "fs.s3a.path.style.access" -> "true",
+        "fs.s3a.aws.credentials.provider" ->
+          "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider")
+      case _: Filesystem => Map.empty
+    }
+
+    /** REST catalog client settings for a `catalog.type = rest` config
+      * (the reference's NewRESTCatalog wiring: uri + warehouse + static
+      * bearer token); None when the catalog is disabled. */
+    def catalogSettings: Option[graft.catalog.RestCatalogClient.Settings] =
+      if (catalog.catalogType == "rest" && catalog.restUri.nonEmpty)
+        Some(graft.catalog.RestCatalogClient.Settings(
+          uri = catalog.restUri, warehouse = catalog.warehouse,
+          auth = graft.catalog.RestCatalogClient.CatalogAuth(token = catalog.token)))
+      else None
+
     /** Resolve the sink settings for one signal's table. */
     def sinkFor(signal: String, tsColumn: String = "time_unix_nano")
         : graft.sink.PartitionedParquetSink.SinkConfig =

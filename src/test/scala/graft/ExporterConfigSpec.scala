@@ -67,4 +67,36 @@ class ExporterConfigSpec extends AnyFunSuite {
     assert(Config(S3(bucket = "tel", region = "us-east-1"), okCatalog)
            .baseUri === "s3a://tel")
   }
+
+  test("storage credentials wire to S3A conf (auth.go BuildAWSConfigFromStorageConfig)") {
+    // static S3 keys → SimpleAWSCredentialsProvider; region + custom endpoint
+    val s3 = Config(S3(bucket = "b", region = "us-east-1",
+      endpoint = "http://minio:9000", accessKeyId = "AK",
+      secretAccessKey = "SK"), okCatalog).hadoopStorageConf
+    assert(s3("fs.s3a.access.key") === "AK" && s3("fs.s3a.secret.key") === "SK")
+    assert(s3("fs.s3a.endpoint.region") === "us-east-1")
+    assert(s3("fs.s3a.endpoint") === "http://minio:9000")
+    assert(s3("fs.s3a.path.style.access") === "true")
+    // no static keys → no key entries: fall through to the default chain
+    val chain = Config(S3(bucket = "b", region = "r"), okCatalog).hadoopStorageConf
+    assert(!chain.contains("fs.s3a.access.key") &&
+           !chain.contains("fs.s3a.aws.credentials.provider"))
+    // R2 → account endpoint, region "auto" (auth.go:73-82)
+    val r2 = Config(R2("acct1", "b", "AK", "SK"), okCatalog).hadoopStorageConf
+    assert(r2("fs.s3a.endpoint") === "https://acct1.r2.cloudflarestorage.com")
+    assert(r2("fs.s3a.endpoint.region") === "auto")
+    // filesystem needs nothing
+    assert(Config(Filesystem("/d"), okCatalog).hadoopStorageConf.isEmpty)
+  }
+
+  test("rest catalog config resolves to client settings; none yields no client") {
+    val rest = Config(Filesystem("/d"),
+      Catalog("rest", namespace = "otel", restUri = "http://cat:8181",
+        warehouse = "s3://wh", token = "tok")).catalogSettings
+    assert(rest.isDefined)
+    assert(rest.get.uri === "http://cat:8181")
+    assert(rest.get.warehouse === "s3://wh")
+    assert(rest.get.auth.token === "tok")
+    assert(Config(Filesystem("/d"), Catalog("none")).catalogSettings.isEmpty)
+  }
 }

@@ -1,0 +1,322 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.collection.mutable
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.json4s._
+import org.json4s.jackson.JsonMethods.{compact, parse, render}
+
+import graft.catalog.RestCatalogClient
+import graft.catalog.RestCatalogClient.{CatalogAuth, DataFile, Settings}
+import graft.streaming.Delivery.{PermanentException, RetryPolicy}
+
+/** Drives [[RestCatalogClient]] against an in-JVM loopback HTTP server
+  * implementing the Iceberg REST catalog protocol (config+prefix,
+  * OAuth2 client-credentials, namespace/table CRUD, optimistic commit
+  * with `assert-ref-snapshot-id`). The server is written from the
+  * protocol spec, independent of the client, so a client-side
+  * misreading of the API shows up as a failure here, not a silent
+  * agreement. */
+class RestCatalogSpec extends SparkSpec {
+  private implicit val formats: Formats = DefaultFormats
+
+  /** In-memory REST catalog with auth + fault injection. */
+  private class FakeCatalog {
+    val tokenIssued = new AtomicInteger(0)
+    val failNext503 = new AtomicInteger(0)
+    @volatile var validToken: String = "tok-0"
+    val namespaces = mutable.LinkedHashSet.empty[String]
+    // (ns, table) -> (location, snapshots as (id, manifestList), currentId)
+    case class Tbl(location: String,
+                   snapshots: mutable.ArrayBuffer[(Long, String)] = mutable.ArrayBuffer(),
+                   var currentId: Option[Long] = None,
+                   var schemaJson: JValue = JNothing,
+                   var specJson: JValue = JNothing)
+    val tables = mutable.LinkedHashMap.empty[(String, String), Tbl]
+    val requests = mutable.ArrayBuffer.empty[String]
+    @volatile var warehouseDir: String = ""
+
+    private def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+
+    val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      try handle(ex)
+      catch { case t: Throwable => reply(ex, 500, s"""{"error":"${t.getMessage}"}""") }
+    })
+    server.start()
+    def uri: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+
+    private def handle(ex: HttpExchange): Unit = {
+      val path = ex.getRequestURI.getPath
+      val method = ex.getRequestMethod
+      requests += s"$method $path"
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+
+      if (method == "POST" && path == "/v1/oauth/tokens") {
+        val form = body.split("&").map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+        if (form.get("grant_type").contains("client_credentials") &&
+            form.get("client_id").contains("svc") &&
+            form.get("client_secret").contains("hunter2")) {
+          validToken = s"tok-${tokenIssued.incrementAndGet()}"
+          reply(ex, 200,
+            s"""{"access_token":"$validToken","token_type":"bearer","expires_in":3600}""")
+        } else reply(ex, 401, """{"error":"invalid_client"}""")
+        return
+      }
+
+      if (failNext503.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+        reply(ex, 503, """{"error":"service unavailable"}"""); return
+      }
+
+      // all non-token endpoints require the CURRENT bearer
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      if (auth != s"Bearer $validToken") { reply(ex, 401, """{"error":"unauthorized"}"""); return }
+
+      val parts = path.stripPrefix("/").split("/").toList
+      (method, parts) match {
+        case ("GET", List("v1", "config")) =>
+          reply(ex, 200, """{"defaults":{},"overrides":{"prefix":"demo"}}""")
+
+        case ("GET", List("v1", "demo", "namespaces")) =>
+          val ns = namespaces.map(n => s"""["$n"]""").mkString(",")
+          reply(ex, 200, s"""{"namespaces":[$ns]}""")
+
+        case ("GET", List("v1", "demo", "namespaces", ns)) =>
+          if (namespaces.contains(ns))
+            reply(ex, 200, s"""{"namespace":["$ns"],"properties":{}}""")
+          else reply(ex, 404, """{"error":"namespace not found"}""")
+
+        case ("POST", List("v1", "demo", "namespaces")) =>
+          val ns = (parse(body) \ "namespace").extract[Seq[String]].mkString(".")
+          if (namespaces.contains(ns)) reply(ex, 409, """{"error":"already exists"}""")
+          else { namespaces += ns; reply(ex, 200, body) }
+
+        case ("GET", List("v1", "demo", "namespaces", ns, "tables", t)) =>
+          tables.get((ns, t)) match {
+            case None => reply(ex, 404, """{"error":"table not found"}""")
+            case Some(tbl) =>
+              val snaps = tbl.snapshots.map { case (id, ml) =>
+                s"""{"snapshot-id":$id,"manifest-list":"$ml"}"""
+              }.mkString(",")
+              reply(ex, 200,
+                s"""{"metadata-location":"${tbl.location}/metadata/v1.json",
+                   |"metadata":{"table-uuid":"u-$ns-$t","location":"${tbl.location}",
+                   |"current-snapshot-id":${tbl.currentId.getOrElse(-1L)},
+                   |"last-sequence-number":${tbl.snapshots.size},
+                   |"snapshots":[$snaps]}}""".stripMargin.replace("\n", ""))
+          }
+
+        case ("POST", List("v1", "demo", "namespaces", ns, "tables")) =>
+          if (!namespaces.contains(ns)) { reply(ex, 404, """{"error":"namespace not found"}"""); return }
+          val j = parse(body)
+          val name = (j \ "name").extract[String]
+          if (tables.contains((ns, name))) reply(ex, 409, """{"error":"already exists"}""")
+          else {
+            val tbl = Tbl(s"$warehouseDir/$ns/$name")
+            tbl.schemaJson = j \ "schema"
+            tbl.specJson = j \ "partition-spec"
+            tables((ns, name)) = tbl
+            reply(ex, 200,
+              s"""{"metadata-location":"${tbl.location}/metadata/v1.json",
+                 |"metadata":{"location":"${tbl.location}","current-snapshot-id":-1,
+                 |"last-sequence-number":0,"snapshots":[]}}""".stripMargin.replace("\n", ""))
+          }
+
+        case ("POST", List("v1", "demo", "namespaces", ns, "tables", t)) =>
+          tables.get((ns, t)) match {
+            case None => reply(ex, 404, """{"error":"table not found"}""")
+            case Some(tbl) =>
+              val j = parse(body)
+              // enforce assert-ref-snapshot-id (the optimistic lock)
+              val required = (j \ "requirements").extract[Seq[JValue]]
+                .find(r => (r \ "type").extract[String] == "assert-ref-snapshot-id")
+                .map(r => (r \ "snapshot-id").toOption.collect {
+                  case JInt(n) if n >= 0 => n.toLong
+                })
+              val matches = required.forall(_ == tbl.currentId)
+              if (!matches) { reply(ex, 409, """{"error":"commit conflict: branch main has moved"}"""); return }
+              (j \ "updates").extract[Seq[JValue]].foreach { u =>
+                (u \ "action").extract[String] match {
+                  case "add-snapshot" =>
+                    val s = u \ "snapshot"
+                    tbl.snapshots += (((s \ "snapshot-id").extract[Long],
+                      (s \ "manifest-list").extract[String]))
+                  case "set-snapshot-ref" =>
+                    tbl.currentId = Some((u \ "snapshot-id").extract[Long])
+                  case _ => ()
+                }
+              }
+              reply(ex, 200, s"""{"metadata-location":"${tbl.location}/metadata/v2.json","metadata":{}}""")
+          }
+
+        case _ => reply(ex, 404, s"""{"error":"no route: $method $path"}""")
+      }
+    }
+  }
+
+  private def fastRetry = RetryPolicy(maxAttempts = 4, initialBackoffMs = 1, sleep = _ => ())
+
+  private def withCatalog(f: (FakeCatalog, RestCatalogClient) => Unit): Unit = {
+    val fake = new FakeCatalog
+    fake.warehouseDir = "file://" + Files.createTempDirectory("graft-restcat").toString
+    try {
+      val client = new RestCatalogClient(Settings(fake.uri,
+        warehouse = fake.warehouseDir,
+        auth = CatalogAuth(clientId = "svc", clientSecret = "hunter2"),
+        retry = fastRetry))
+      f(fake, client)
+    } finally fake.stop()
+  }
+
+  test("oauth client-credentials: token fetched on 401 and replayed; bad secret is permanent") {
+    withCatalog { (fake, client) =>
+      // first call hits 401 (client has no token yet), refreshes, replays
+      client.ensureNamespace("otel")
+      assert(fake.tokenIssued.get() === 1)
+      assert(fake.namespaces.toSet === Set("otel"))
+
+      val bad = new RestCatalogClient(Settings(fake.uri,
+        auth = CatalogAuth(clientId = "svc", clientSecret = "wrong"),
+        retry = fastRetry))
+      intercept[PermanentException](bad.listNamespaces())
+    }
+  }
+
+  test("static bearer token path works without the oauth endpoint") {
+    withCatalog { (fake, _) =>
+      fake.validToken = "static-tok"
+      val client = new RestCatalogClient(Settings(fake.uri,
+        auth = CatalogAuth(token = "static-tok"), retry = fastRetry))
+      client.ensureNamespace("ns1")
+      assert(client.listNamespaces() === Seq("ns1"))
+      // wrong static token cannot refresh → permanent
+      val bad = new RestCatalogClient(Settings(fake.uri,
+        auth = CatalogAuth(token = "nope"), retry = fastRetry))
+      intercept[PermanentException](bad.listNamespaces())
+    }
+  }
+
+  test("ensureNamespace/ensureTable are idempotent and tolerate create races") {
+    withCatalog { (fake, client) =>
+      client.ensureNamespace("otel")
+      client.ensureNamespace("otel") // second call: GET hit, no POST
+      // simulate a lost race: namespace exists server-side but client GETs 404 first
+      // (direct 409 path) — pre-insert then call through a fresh client
+      fake.namespaces += "raced"
+      client.ensureNamespace("raced")
+
+      val schema = Tables.events(spark, sf).limit(1).schema
+      client.ensureTable("otel", "events", schema, partitionCols = Seq("event_type"))
+      val before = fake.requests.size
+      client.ensureTable("otel", "events", schema) // cache hit: zero requests
+      assert(fake.requests.size === before)
+      // server got the fresh-id schema and the identity spec
+      val tbl = fake.tables(("otel", "events"))
+      val ids = (tbl.schemaJson \ "fields").extract[Seq[JValue]]
+        .map(f => ((f \ "name").extract[String], (f \ "id").extract[Int]))
+      assert(ids.map(_._2) === (1 to ids.size)) // sequential fresh ids
+      val spec = (tbl.specJson \ "fields").extract[Seq[JValue]]
+      assert(spec.map(f => (f \ "transform").extract[String]) === Seq("identity"))
+      assert(spec.map(f => (f \ "field-id").extract[Int]) === Seq(1000))
+      assert(spec.map(f => (f \ "source-id").extract[Int]) ===
+             Seq(ids.toMap.apply("event_type")))
+    }
+  }
+
+  test("appendDataFiles commits snapshots; listDataFiles unions all snapshots") {
+    withCatalog { (fake, client) =>
+      client.ensureNamespace("otel")
+      client.ensureTable("otel", "events", Tables.events(spark, sf).limit(1).schema)
+      client.appendDataFiles("otel", "events", Seq(
+        DataFile("s3a://b/t/f1.parquet", 100, 10),
+        DataFile("s3a://b/t/f2.parquet", 200, 20)))
+      client.appendDataFiles("otel", "events", Seq(
+        DataFile("s3a://b/t/f3.parquet", 300, 30),
+        DataFile("s3a://b/t/f1.parquet", 100, 10))) // re-register dedups
+      val files = client.listDataFiles("otel", "events")
+      assert(files.toSet === Set("s3a://b/t/f1.parquet", "s3a://b/t/f2.parquet",
+                                 "s3a://b/t/f3.parquet"))
+      assert(fake.tables(("otel", "events")).snapshots.size === 2)
+      // missing table → empty, not an error
+      assert(client.listDataFiles("otel", "absent") === Seq.empty)
+    }
+  }
+
+  test("commit conflict (409) retries optimistically against the new head") {
+    withCatalog { (fake, client) =>
+      client.ensureNamespace("otel")
+      client.ensureTable("otel", "t", Tables.events(spark, sf).limit(1).schema)
+      client.appendDataFiles("otel", "t", Seq(DataFile("f1", 1, 1)))
+      // a concurrent writer moves main between our load and commit:
+      // the fake flips currentId right after the next table GET
+      val tbl = fake.tables(("otel", "t"))
+      val realId = tbl.currentId
+      tbl.currentId = Some(999999L) // client will load this and assert on it...
+      // ...but a "concurrent" commit resets it before our POST lands
+      val t2 = new Thread(() => { Thread.sleep(30); tbl.currentId = realId })
+      t2.start()
+      // first attempt asserts 999999 → by commit time main is back at realId → 409 → retry
+      client.appendDataFiles("otel", "t", Seq(DataFile("f2", 2, 2)))
+      t2.join()
+      assert(client.listDataFiles("otel", "t").toSet === Set("f1", "f2"))
+    }
+  }
+
+  test("5xx is transient (retried); 403 is permanent (fail fast)") {
+    withCatalog { (fake, client) =>
+      client.ensureNamespace("otel")
+      fake.failNext503.set(2)
+      assert(client.listNamespaces() === Seq("otel")) // survived 2×503
+
+      // bad static token → 401 with no refresh path → permanent, fail fast
+      fake.failNext503.set(0)
+      val bad = new RestCatalogClient(Settings(fake.uri,
+        auth = CatalogAuth(token = "evil"), retry = RetryPolicy(
+          maxAttempts = 5, initialBackoffMs = 1, sleep = _ => ())))
+      val before = fake.requests.size
+      intercept[PermanentException](bad.listNamespaces())
+      // permanent at the first request (config discovery 401s): exactly
+      // one request hit the server, no retry spin
+      assert(fake.requests.size === before + 1)
+      assert(fake.requests.last === "GET /v1/config")
+    }
+  }
+
+  test("end-to-end: sink-written parquet registered and listed through the catalog") {
+    withCatalog { (fake, client) =>
+      import graft.sink.PartitionedParquetSink
+      import graft.sink.PartitionedParquetSink.SinkConfig
+      val base = Files.createTempDirectory("graft-restcat-e2e").toString
+      val batch = Tables.events(spark, sf).limit(500)
+      val cfg = SinkConfig(base, "events", tsColumn = "ts", granularity = "daily")
+      PartitionedParquetSink.writeBatch(batch, cfg)
+      val tablePath = PartitionedParquetSink.tablePath(cfg)
+
+      client.ensureNamespace("otel")
+      client.ensureTable("otel", "events", batch.schema,
+        partitionCols = Seq("event_type"))
+      val files = graft.recovery.Recovery.listDataFiles(spark, tablePath)
+        .collect().map(r => DataFile(r.getString(0), r.getLong(1), 0L)).toSeq
+      client.appendDataFiles("otel", "events", files)
+
+      val registered = client.listDataFiles("otel", "events")
+      assert(registered.toSet === files.map(_.path).toSet && registered.nonEmpty)
+      // the registered list reads back to exactly the written rows
+      val back = spark.read.option("basePath", tablePath)
+        .parquet(registered: _*)
+      assert(back.count() === batch.count())
+    }
+  }
+}
