@@ -136,4 +136,49 @@ object Delivery {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** The reference exporter's full loop: micro-batch → partitioned
+    * parquet → REST CATALOG append commit (writer.go write path +
+    * catalog_rest.go AppendDataFiles), under the same retry taxonomy.
+    * Idempotence comes from registering the DIFF — files on storage but
+    * not yet in any catalog snapshot — so a replay after a mid-flight
+    * crash (files written, commit lost; or commit landed, checkpoint
+    * lost) re-registers nothing twice: at-least-once delivery,
+    * exactly-once catalog registration. The table is created on first
+    * batch with the sink's partition-value columns as an identity spec
+    * (buildIcebergPartitionSpec's shape). File listings here are
+    * catalog-metadata scale (the distributed path is Recovery). */
+  def ingestWithCatalogRetrying(events: DataFrame, cfg: SinkConfig,
+                                checkpoint: String,
+                                client: graft.catalog.RestCatalogClient,
+                                namespace: String, table: String,
+                                policy: RetryPolicy = RetryPolicy(),
+                                onRetry: (Int, Throwable) => Unit = (_, _) => ())
+      : StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pinned = batch.localCheckpoint()
+        val spark = pinned.sparkSession
+        retry(policy, onRetry) {
+          PartitionedParquetSink.writeBatch(pinned, cfg)
+          client.ensureNamespace(namespace)
+          val partCols = PartitionedParquetSink.partitionColumns(cfg.granularity)
+          val tableSchema = org.apache.spark.sql.types.StructType(
+            pinned.schema.fields ++ partCols.map(c =>
+              org.apache.spark.sql.types.StructField(
+                c, org.apache.spark.sql.types.StringType, nullable = false)))
+          client.ensureTable(namespace, table, tableSchema, partCols)
+          val live = graft.recovery.Recovery.listDataFiles(
+            spark, PartitionedParquetSink.tablePath(cfg))
+            .collect().map(r => graft.catalog.RestCatalogClient.DataFile(
+              r.getString(0), r.getLong(1), 0L))
+          val registered = client.listDataFiles(namespace, table).toSet
+          client.appendDataFiles(namespace, table,
+            live.filterNot(f => registered(f.path)).toSeq)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }
