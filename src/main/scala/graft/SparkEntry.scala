@@ -108,6 +108,7 @@ object SparkEntry {
     "tel_cms_counts"     -> ((s, d) => Telemetry.cmsCounts(s, d)),
     "text_chunking"      -> ((s, d) => TextOps.chunking(s, d)),
     "text_doc_freq"      -> ((s, d) => TextOps.docFreq(s, d)),
+    "text_unigram_surprisal" -> ((s, d) => TextOps.unigramSurprisal(s, d)),
     "sim_range_search"   -> ((s, d) => SimOps.rangeSearch(s, d)),
     "sim_kmeans_centroids" -> ((s, d) => SimOps.kmeansCentroids(s, d)),
     "sim_ivf_kmeans"     -> ((s, d) => SimOps.ivfKmeansAnn(s, d)),
@@ -1213,6 +1214,22 @@ object SparkEntry {
         | substr(text, (start+1)::INT, 120) AS chunk_text
         |FROM (SELECT doc_id, text, unnest(range(0, length(text), 80)) AS start
         |      FROM documents WHERE length(text) > 0) t""".stripMargin,
+    // exact-integer surprisal (bits(total) - bits(count)) — no libm, no
+    // rounding tolerance; the single final division is IEEE-exact
+    "text_unigram_surprisal" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        | FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS total FROM t)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        | CAST(sum(length(bin(n.total)) - length(bin(c.cnt))) AS BIGINT)
+        |   AS sum_surprisal,
+        | CAST(CAST(sum(length(bin(n.total)) - length(bin(c.cnt))) AS BIGINT)
+        |   AS DOUBLE) / count(*) AS mean_surprisal
+        |FROM t JOIN c USING (term), n
+        |GROUP BY t.doc_id""".stripMargin,
     "text_doc_freq" ->
       """WITH t AS (
         | SELECT doc_id,

@@ -358,6 +358,37 @@ object TextOps {
       .limit(topN)
   }
 
+  /** CCNet-style fluency filter (Wenzek et al., LREC 2020 shape): rank
+    * documents by how SURPRISING their tokens are under the corpus's
+    * own unigram distribution — the cheap stand-in for the KenLM
+    * perplexity ranking used to split web text into head/middle/tail.
+    * Instead of float log-probabilities (whose summation order and libm
+    * rounding differ across engines), per-token surprisal is the EXACT
+    * integer `bits(total_tokens) − bits(count(token))` (bits = length
+    * of the binary representation, the same exact-log2 trick as
+    * [[graft.telemetry.Telemetry.expHistogram]]) — rare tokens score
+    * high, stopwords near zero, and sums/means are bit-exact in any
+    * engine. Shuffles: one term-count aggregate, one term join (key
+    * reused from the aggregate), one doc rollup — no windows, no
+    * collects; vocab and corpus size only enter as broadcast scalars. */
+  def unigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+              explode(split(trim(lower($"text")), "\\s+")).as("term"))
+    val counts = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(counts, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("surprisal",
+        (length(bin($"total")) - length(bin($"cnt"))).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum($"surprisal").as("sum_surprisal"))
+      .withColumn("mean_surprisal",
+        $"sum_surprisal".cast("double") / $"n_tokens")
+  }
+
   /** Weighted SYSTEMATIC sample, stratified by language: within each
     * stratum, documents are laid along a deterministic line of cumulative
     * weight (here n_chars — i.e. sample ∝ content volume, the data-mixing

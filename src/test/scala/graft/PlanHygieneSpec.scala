@@ -20,6 +20,7 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_recall_at_k",      // composes the bruteforce pass (same shape)
     "text_mix_weights",     // 5-row agg × 1-row total broadcast
     "text_doc_freq",        // term aggregates × 1-row doc-count broadcast
+    "text_unigram_surprisal", // token stream × 1-row corpus-total broadcast
     "q_width_bucket",       // scan × 1-row min/max bounds broadcast
     "q_skew_diagnose")      // top-k rows × 1-row global-stats broadcast
 
