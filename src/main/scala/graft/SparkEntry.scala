@@ -109,6 +109,7 @@ object SparkEntry {
     "text_chunking"      -> ((s, d) => TextOps.chunking(s, d)),
     "text_doc_freq"      -> ((s, d) => TextOps.docFreq(s, d)),
     "text_unigram_surprisal" -> ((s, d) => TextOps.unigramSurprisal(s, d)),
+    "text_surprisal_buckets" -> ((s, d) => TextOps.surprisalBuckets(s, d)),
     "sim_range_search"   -> ((s, d) => SimOps.rangeSearch(s, d)),
     "sim_kmeans_centroids" -> ((s, d) => SimOps.kmeansCentroids(s, d)),
     "sim_ivf_kmeans"     -> ((s, d) => SimOps.ivfKmeansAnn(s, d)),
@@ -1230,6 +1231,35 @@ object SparkEntry {
         |   AS DOUBLE) / count(*) AS mean_surprisal
         |FROM t JOIN c USING (term), n
         |GROUP BY t.doc_id""".stripMargin,
+    // head/middle/tail terciles per language over the exact surprisal
+    // ordering; bucket stats from integer sums, one exact division
+    "text_surprisal_buckets" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        | FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS total FROM t),
+        |s AS (
+        | SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(bin(n.total)) - length(bin(c.cnt))) AS BIGINT)
+        |    AS sum_surprisal
+        | FROM t JOIN c USING (term), n GROUP BY t.doc_id),
+        |r AS (
+        | SELECT d.lang, s.n_tokens, s.sum_surprisal,
+        |  ntile(3) OVER (PARTITION BY d.lang
+        |    ORDER BY CAST(s.sum_surprisal AS DOUBLE)/s.n_tokens, s.doc_id)
+        |    AS tercile
+        | FROM s JOIN documents d USING (doc_id))
+        |SELECT lang,
+        | CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |  ELSE 'tail' END AS bucket,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        | CAST(sum(sum_surprisal) AS BIGINT) AS sum_surprisal,
+        | CAST(CAST(sum(sum_surprisal) AS BIGINT) AS DOUBLE) /
+        |   CAST(sum(n_tokens) AS BIGINT) AS pooled_mean_surprisal
+        |FROM r GROUP BY lang, bucket""".stripMargin,
     "text_doc_freq" ->
       """WITH t AS (
         | SELECT doc_id,

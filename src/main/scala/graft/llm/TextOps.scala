@@ -389,6 +389,34 @@ object TextOps {
         $"sum_surprisal".cast("double") / $"n_tokens")
   }
 
+  /** CCNet's head/middle/tail split completed: per language, rank
+    * documents by [[unigramSurprisal]] and cut into fluency TERCILES —
+    * head = most-predictable third (keep for pretraining), tail = most
+    * surprising (noise/garble candidates). ntile over an exact-double
+    * ordering (mean surprisal is an exact integer ratio, so ranks are
+    * engine-independent; doc_id breaks ties) in a per-language window;
+    * bucket rollups aggregate INTEGER sums and divide once, keeping the
+    * pooled mean bit-exact. Languages partition the window, so strata
+    * rank in parallel — no global sort. */
+  def surprisalBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val scored = unigramSurprisal(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select($"doc_id", $"lang"), "doc_id")
+    val byLang = Window.partitionBy($"lang")
+      .orderBy($"mean_surprisal", $"doc_id")
+    scored
+      .withColumn("tercile", ntile(3).over(byLang))
+      .withColumn("bucket",
+        when($"tercile" === 1, "head")
+          .when($"tercile" === 2, "middle").otherwise("tail"))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_tokens").as("sum_tokens"),
+           sum($"sum_surprisal").as("sum_surprisal"))
+      .withColumn("pooled_mean_surprisal",
+        $"sum_surprisal".cast("double") / $"sum_tokens")
+  }
+
   /** Weighted SYSTEMATIC sample, stratified by language: within each
     * stratum, documents are laid along a deterministic line of cumulative
     * weight (here n_chars — i.e. sample ∝ content volume, the data-mixing

@@ -21,6 +21,7 @@ class PlanHygieneSpec extends SparkSpec {
     "text_mix_weights",     // 5-row agg × 1-row total broadcast
     "text_doc_freq",        // term aggregates × 1-row doc-count broadcast
     "text_unigram_surprisal", // token stream × 1-row corpus-total broadcast
+    "text_surprisal_buckets", // composes unigram_surprisal (same shape)
     "q_width_bucket",       // scan × 1-row min/max bounds broadcast
     "q_skew_diagnose")      // top-k rows × 1-row global-stats broadcast
 
