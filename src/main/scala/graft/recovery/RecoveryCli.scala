@@ -36,6 +36,10 @@ object RecoveryCli {
                   basePath: String = "",
                   tables: Seq[String] = Nil,
                   manifest: String = "",
+                  catalogUri: String = "",
+                  catalogWarehouse: String = "",
+                  catalogToken: String = "",
+                  namespace: String = "default",
                   tsColumn: String = "ts",
                   fromGranularity: String = "hourly",
                   toGranularity: String = "daily",
@@ -93,6 +97,10 @@ object RecoveryCli {
         case "--base-path"        => a = a.copy(basePath = value("--base-path"))
         case "--tables"           => a = a.copy(tables = value("--tables").split(",").toSeq)
         case "--manifest"         => a = a.copy(manifest = value("--manifest"))
+        case "--catalog-uri"      => a = a.copy(catalogUri = value("--catalog-uri"))
+        case "--catalog-warehouse" => a = a.copy(catalogWarehouse = value("--catalog-warehouse"))
+        case "--catalog-token"    => a = a.copy(catalogToken = value("--catalog-token"))
+        case "--namespace"        => a = a.copy(namespace = value("--namespace"))
         case "--ts-column"        => a = a.copy(tsColumn = value("--ts-column"))
         case "--from-granularity" => a = a.copy(fromGranularity = value("--from-granularity"))
         case "--to-granularity"   => a = a.copy(toGranularity = value("--to-granularity"))
@@ -116,6 +124,10 @@ object RecoveryCli {
       |  reconcile   --manifest PATH [--tables a,b] [--after T] [--before T] [--dry-run] [--distributed]
       |  prune       --manifest PATH [--tables a,b] [--dry-run]
       |  repartition --tables a,b --ts-column C --from-granularity G --to-granularity G [--dry-run]
+      |
+      |scan/reconcile work against the local versioned manifest (--manifest)
+      |OR an Iceberg REST catalog (the reference CLI's target):
+      |  --catalog-uri URI [--catalog-warehouse W] [--catalog-token T] [--namespace NS]
       |
       |Times accept RFC3339 (2024-01-15T00:00:00Z) or YYYY-MM-DD (UTC midnight).
       |""".stripMargin
@@ -157,28 +169,56 @@ object RecoveryCli {
       a.cmd match {
         case "scan" | "reconcile" =>
           val tables = resolveTables(spark, a)
-          require(a.manifest.nonEmpty, s"--manifest is required\n$usage")
+          require(a.manifest.nonEmpty || a.catalogUri.nonEmpty,
+            s"--manifest or --catalog-uri is required\n$usage")
+          // catalog mode: the registered set comes from the REST catalog
+          // and reconcile commits an append snapshot — exactly the
+          // reference CLI's recovery target (cmd/recovery/main.go drives
+          // AppendDataFiles); manifest mode is the sandbox stand-in
+          val client = if (a.catalogUri.isEmpty) None else Some(
+            new graft.catalog.RestCatalogClient(
+              graft.catalog.RestCatalogClient.Settings(
+                uri = a.catalogUri, warehouse = a.catalogWarehouse,
+                auth = graft.catalog.RestCatalogClient.CatalogAuth(
+                  token = a.catalogToken)),
+              spark.sparkContext.hadoopConfiguration))
           out("=== Recovery Results ===")
           var total = 0L
           val perTable = tables.map { t =>
             val tablePath = s"${a.basePath}/$t"
-            val manifestPath = s"${a.manifest}/$t"
-            val existing =
-              try spark.read.parquet(manifestPath)
-              catch { case _: Throwable =>
+            val orphansAll = client match {
+              case Some(c) =>
                 import spark.implicits._
-                Seq.empty[(String, Long)].toDF("file_path", "file_size")
-              }
-            val orphans = timeFiltered(
-              Recovery.scanOrphans(spark, tablePath, existing, a.distributed), a)
+                val registered = c.listDataFiles(a.namespace, t).toDF("file_path")
+                Recovery.listDataFiles(spark, tablePath)
+                  .join(registered, Seq("file_path"), "left_anti")
+              case None =>
+                val manifestPath = s"${a.manifest}/$t"
+                val existing =
+                  try spark.read.parquet(manifestPath)
+                  catch { case _: Throwable =>
+                    import spark.implicits._
+                    Seq.empty[(String, Long)].toDF("file_path", "file_size")
+                  }
+                Recovery.scanOrphans(spark, tablePath, existing, a.distributed)
+            }
+            val orphans = timeFiltered(orphansAll, a)
             val n = orphans.count()
             total += n
             if (a.verbose) orphans.collect().foreach(r =>
               out(s"  ${r.getString(0)} (${r.getLong(1)} bytes)"))
             // register only the time-window survivors (idempotent); with
             // no window this is exactly reconcile's candidate set
-            if (a.cmd == "reconcile" && !a.dryRun && n > 0)
-              Recovery.registerFiles(spark, manifestPath, orphans)
+            if (a.cmd == "reconcile" && !a.dryRun && n > 0) client match {
+              case Some(c) =>
+                if (c.loadTable(a.namespace, t).isEmpty)
+                  out(s"  $t: not in catalog — create the table first, skipping")
+                else c.appendDataFiles(a.namespace, t, orphans.collect().map(r =>
+                  graft.catalog.RestCatalogClient.DataFile(
+                    r.getString(0), r.getLong(1), 0L)).toSeq)
+              case None =>
+                Recovery.registerFiles(spark, s"${a.manifest}/$t", orphans)
+            }
             t -> n
           }
           out(s"Total files found:    $total")

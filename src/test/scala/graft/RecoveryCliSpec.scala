@@ -131,4 +131,37 @@ class RecoveryCliSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(dirs.forall(p => p.contains("day=") && !p.contains("hour=")), dirs.take(3).mkString(","))
   }
+
+  test("catalog mode: scan diffs against the REST catalog, reconcile commits the orphans") {
+    val fake = new FakeRestCatalog
+    fake.warehouseDir = "file://" + tmp()
+    try {
+      val (base, _) = freshLayout()
+      fake.validToken = "cli-tok"
+      val catFlags = Seq("--catalog-uri", fake.uri, "--catalog-token", "cli-tok",
+        "--namespace", "otel")
+
+      // table not in catalog yet: everything is an orphan, reconcile skips
+      val (c1, out1) = runCli(Seq("scan", "--base-path", base) ++ catFlags: _*)
+      assert(c1 === 0, out1)
+      val nFiles = Recovery.listDataFiles(spark, s"$base/events").count()
+      assert(out1.contains(s"Total files found:    $nFiles") && nFiles > 0)
+      val (c2, out2) = runCli(Seq("reconcile", "--base-path", base) ++ catFlags: _*)
+      assert(c2 === 0 && out2.contains("not in catalog"))
+
+      // create the table, then reconcile registers exactly the orphans
+      val client = new graft.catalog.RestCatalogClient(
+        graft.catalog.RestCatalogClient.Settings(fake.uri,
+          auth = graft.catalog.RestCatalogClient.CatalogAuth(token = "cli-tok")))
+      client.ensureNamespace("otel")
+      client.ensureTable("otel", "events", Tables.events(spark, sf).limit(1).schema)
+      val (c3, out3) = runCli(Seq("reconcile", "--base-path", base) ++ catFlags: _*)
+      assert(c3 === 0 && out3.contains(s"Successfully registered: $nFiles"))
+      assert(client.listDataFiles("otel", "events").size === nFiles)
+
+      // idempotent: a second scan finds nothing left to recover
+      val (c4, out4) = runCli(Seq("scan", "--base-path", base) ++ catFlags: _*)
+      assert(c4 === 0 && out4.contains("Total files found:    0"))
+    } finally fake.stop()
+  }
 }
