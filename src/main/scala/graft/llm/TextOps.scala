@@ -370,7 +370,11 @@ object TextOps {
     * high, stopwords near zero, and sums/means are bit-exact in any
     * engine. Shuffles: one term-count aggregate, one term join (key
     * reused from the aggregate), one doc rollup — no windows, no
-    * collects; vocab and corpus size only enter as broadcast scalars. */
+    * collects; vocab and corpus size only enter as broadcast scalars.
+    * (A (doc, term, tf) pre-aggregation that collapses repeated tokens
+    * before the join was measured 2× SLOWER at sf0.1 — the extra
+    * shuffle outweighs the occurrence collapse on web-length docs; it
+    * only pays when documents carry very high per-doc repetition.) */
   def unigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val toks = Tables.documents(spark, sfDir)
