@@ -123,4 +123,40 @@ object OtelAnalytics {
       .groupBy(col("trace_id"))
       .agg(max(col("total")).as("critical_ns"))
   }
+
+  /** Exemplar → trace pivot: the "metric spike → which request" jump
+    * every OTel backend implements. Explodes the flat metric table's
+    * exemplar arrays ([[OtelMetrics.flattenGauge]]'s parallel
+    * `exemplars_*` columns, internal/arrow/metrics.go's exemplar lists)
+    * into one row per exemplar and resolves each against the flat span
+    * table. Exemplars are SAMPLED by construction (a handful per series
+    * per window), so the exploded side is tiny and broadcast — the span
+    * table is never shuffled, at any scale. Left join: an exemplar
+    * whose trace wasn't ingested (sampled out) survives with
+    * `span_found = false` instead of disappearing. */
+  def exemplarTraces(flatMetrics: DataFrame, flatSpans: DataFrame): DataFrame = {
+    val ex = flatMetrics
+      .filter(col("exemplars_trace_id").isNotNull)
+      .select(col("metric_name"),
+        arrays_zip(col("exemplars_time_unix_nano").as("ts"),
+                   col("exemplars_as_double").as("value"),
+                   col("exemplars_span_id").as("span_id"),
+                   col("exemplars_trace_id").as("trace_id")).as("exs"))
+      .select(col("metric_name"), explode(col("exs")).as("e"))
+      .select(col("metric_name"),
+        col("e.ts").as("exemplar_time"),
+        col("e.value").as("exemplar_value"),
+        col("e.span_id").as("span_id"),
+        col("e.trace_id").as("trace_id"))
+      .filter(col("trace_id") =!= "")
+    flatSpans
+      .select(col("trace_id"), col("span_id"),
+        col("service_name"), col("span_name"), col("status_code"),
+        round(col("duration") / lit(1000000.0), 3).as("duration_ms"))
+      .join(broadcast(ex), Seq("trace_id", "span_id"), "right")
+      .withColumn("span_found", col("service_name").isNotNull)
+      .select("metric_name", "exemplar_time", "exemplar_value", "trace_id",
+        "span_id", "service_name", "span_name", "status_code", "duration_ms",
+        "span_found")
+  }
 }

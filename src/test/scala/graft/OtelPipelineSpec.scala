@@ -49,4 +49,40 @@ class OtelPipelineSpec extends SparkSpec {
     assert(rows.forall(_.getAs[String]("status_code") === "ERROR"))
     assert(rows.forall(_.getAs[String]("service_name") === "checkout"))
   }
+
+  test("exemplar -> trace pivot resolves sampled exemplars against the span table") {
+    import spark.implicits._
+    import graft.otel.{OtelAnalytics, OtelMetrics}
+    val res = TResource(Map("service.name" -> "checkout"), 0)
+    val scope = TScope("lib", "1.0", Map.empty, 0)
+    val t0 = 1709623800000000000L
+    def span(tid: String, sid: String, name: String, durNs: Long, code: Int) =
+      TSpan(tid, sid, "", "", 0, name, 2, t0, t0 + durNs, Map.empty, 0,
+            Seq.empty, 0, Seq.empty, 0, TStatus(code, ""))
+    val spans = OtelTraces.flatten(Seq(TraceBatch(res, scope, Seq(
+      span("t1", "s1", "GET /cart", 5000000L, 0),
+      span("t1", "s2", "SELECT", 2000000L, 0),
+      span("t2", "s3", "GET /pay", 9000000L, 2)))).toDF())
+
+    // two exemplars resolve (one to the slow error span), one points at a
+    // trace that was sampled out of ingestion
+    val metrics = OtelMetrics.flattenGauge(Seq(GaugeBatch(res, scope,
+      MMetric("http.latency", "", "ms", Map.empty, 0, false), Seq(
+        GPoint(t0, t0, Map.empty, 0, Some(1.0), None, Seq(
+          MExemplar(t0 + 1, Some(5.0), None, "s1", "t1", Map.empty),
+          MExemplar(t0 + 2, Some(9.0), None, "s3", "t2", Map.empty))),
+        GPoint(t0 + 10, t0, Map.empty, 0, Some(2.0), None, Seq(
+          MExemplar(t0 + 3, Some(7.0), None, "sX", "tX", Map.empty)))))).toDF())
+
+    val out = OtelAnalytics.exemplarTraces(metrics, spans).collect()
+    assert(out.length === 3)
+    val byTrace = out.map(r => r.getAs[String]("trace_id") -> r).toMap
+    assert(byTrace("t1").getAs[String]("span_name") === "GET /cart")
+    assert(byTrace("t1").getAs[Double]("duration_ms") === 5.0)
+    assert(byTrace("t2").getAs[String]("status_code") === "ERROR" &&
+           byTrace("t2").getAs[Boolean]("span_found"))
+    assert(!byTrace("tX").getAs[Boolean]("span_found") &&
+           byTrace("tX").getAs[String]("service_name") == null)
+    assert(out.forall(_.getAs[String]("metric_name") === "http.latency"))
+  }
 }
