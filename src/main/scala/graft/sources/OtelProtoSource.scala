@@ -94,7 +94,12 @@ object OtelProtoSource {
     def skip(wire: Int): Unit = wire match {
       case 0 => readVarint()
       case 1 => pos += 8
-      case 2 => pos += readVarint().toInt
+      case 2 =>
+        // read the length BEFORE touching pos: `pos += readVarint()`
+        // evaluates the old pos first, silently dropping the length
+        // byte's own advancement (caught by the field-order fuzz test)
+        val len = readVarint().toInt
+        pos += len
       case 5 => pos += 4
       case w => throw new IllegalArgumentException(s"unsupported wire type $w")
     }

@@ -78,6 +78,51 @@ class OtelProtoSourceSpec extends SparkSpec {
     Files.write(d.resolve(name), bytes); dir
   }
 
+  test("decoder is field-ORDER-insensitive and skips unknown fields (fuzz)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import OtelProtoSource.{PbSpan, PbStatus}
+    // a span's wire fields as independent (writer-fragment, expectation)
+    // pairs; serializing them in ANY permutation — with unknown fields
+    // interleaved — must decode to the same span. Proto3 serializers are
+    // free to reorder fields, so order-insensitivity is a protocol
+    // requirement, not a nicety.
+    val idGen = Gen.listOfN(8, Gen.choose(0, 255))
+      .map(_.map(b => f"$b%02x").mkString)
+    val spanGen = for {
+      tid <- idGen; sid <- idGen
+      name <- Gen.alphaNumStr.map(_.take(12))
+      kind <- Gen.choose(0, 5)
+      start <- Gen.choose(1L, Long.MaxValue / 2)
+      dur <- Gen.choose(0L, 1000000000L)
+      code <- Gen.choose(0, 2)
+      flags <- Gen.choose(0, 1 << 20)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (tid, sid, name, kind, start, dur, code, flags, seed)
+    val prop = Prop.forAll(spanGen) {
+      case (tid, sid, name, kind, start, dur, code, flags, seed) =>
+        val fragments: List[(W => W)] = List(
+          _.hex(1, tid), _.hex(2, sid), _.str(5, name), _.vint(6, kind.toLong),
+          _.fixed64(7, start), _.fixed64(8, start + dur),
+          _.msg(15, new W().str(2, "m").vint(3, code.toLong)),
+          _.fixed32(16, flags),
+          // unknown fields the decoder must skip: varint, fixed64,
+          // length-delimited, fixed32 at unassigned tag numbers
+          _.vint(900, 42L), _.fixed64(901, 7L),
+          _.str(902, "future-proto-field"), _.fixed32(903, 9))
+        val shuffled = new scala.util.Random(seed).shuffle(fragments)
+        val w = shuffled.foldLeft(new W())((acc, f) => f(acc))
+        val req = new W().msg(1, new W()
+          .msg(2, new W().msg(2, w)))
+        val out = OtelProtoSource.decodeTraces(req.toBytes)
+        val expected = PbSpan(tid, sid, "", "", flags, name, kind, start,
+          start + dur, Map.empty, 0, Seq.empty, 0, Seq.empty, 0,
+          PbStatus(code, "m"))
+        out.length == 1 && out.head.spans == Seq(expected)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.toString)
+  }
+
   test("trace wire bytes and OTLP/JSON decode to identical batches and flattens") {
     val base = Files.createTempDirectory("graft-otlp-pb").toString
 
