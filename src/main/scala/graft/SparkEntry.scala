@@ -113,6 +113,7 @@ object SparkEntry {
     "sim_range_search"   -> ((s, d) => SimOps.rangeSearch(s, d)),
     "sim_kmeans_centroids" -> ((s, d) => SimOps.kmeansCentroids(s, d)),
     "sim_ivf_kmeans"     -> ((s, d) => SimOps.ivfKmeansAnn(s, d)),
+    "sim_ivf_stats"      -> ((s, d) => SimOps.ivfStats(s, d)),
     "tel_funnel"         -> (Telemetry.funnel _),
     "tel_retention"      -> (Telemetry.retention _),
     "q_corr_regr"        -> (Core.qCorrRegr _),
@@ -1297,6 +1298,23 @@ object SparkEntry {
         | FROM stf GROUP BY cid)
         |SELECT agg.cid, cluster_n, cost, c2.c[1] AS c_d1, c2.c[2] AS c_d2
         |FROM agg JOIN c2 USING (cid)""".stripMargin,
+    // IVF health report over the trained assignments; every ratio is a
+    // single IEEE op on exact integer aggregates (bit-exact)
+    "sim_ivf_stats" ->
+      s"""$KmeansCtes,
+        |g AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_n
+        |      FROM af GROUP BY cid),
+        |t AS (SELECT CAST(sum(cluster_n) AS BIGINT) AS total,
+        |             CAST(count(*) AS BIGINT) AS k,
+        |             CAST(max(cluster_n) AS BIGINT) AS max_n,
+        |             CAST(sum(cluster_n*cluster_n) AS BIGINT) AS sum_sq
+        |      FROM g)
+        |SELECT g.cid, g.cluster_n,
+        | CAST(g.cluster_n AS DOUBLE)/t.total AS frac,
+        | CAST(t.max_n AS DOUBLE)*t.k/t.total AS peak_imbalance,
+        | CAST(t.sum_sq AS DOUBLE)*t.k/(CAST(t.total AS DOUBLE)*t.total)
+        |   AS scan_imbalance
+        |FROM g, t""".stripMargin,
     "sim_ivf_kmeans" ->
       s"""$KmeansCtes,
         |w AS (

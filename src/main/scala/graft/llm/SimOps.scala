@@ -736,6 +736,33 @@ object SimOps {
     * [[cappedClusterPairs]], which salts any cluster above `cap` into
     * size-capped blocks without changing the pair set (r5; previously
     * one skewed cluster re-opened the all-pairs blow-up). */
+  /** IVF index HEALTH report — the "do I need to retrain" check every
+    * ANN deployment runs: per-centroid list size, corpus share, and two
+    * imbalance factors — `peak_imbalance` (k·max/N: worst-case probe
+    * cost vs a perfectly balanced index) and `scan_imbalance`
+    * (k·Σn²/N²: EXPECTED scan multiplier when queries land in lists
+    * proportionally to their size — 1.0 is perfectly balanced). All
+    * ratios are single IEEE operations over exact integer aggregates,
+    * so the report is bit-exact cross-engine. One tiny shuffle (the cid
+    * count); the unpartitioned window holds k rows. */
+  def ivfStats(spark: SparkSession, sfDir: String, kClusters: Int = 4,
+               iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val g = clusterAssignments(spark, sfDir, kClusters, iters)
+      .groupBy($"cid").agg(count(lit(1)).as("cluster_n"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    g.withColumn("total", sum($"cluster_n").over(all))
+      .withColumn("k", count(lit(1)).over(all))
+      .withColumn("max_n", max($"cluster_n").over(all))
+      .withColumn("sum_sq", sum($"cluster_n" * $"cluster_n").over(all))
+      .select($"cid", $"cluster_n",
+        ($"cluster_n".cast("double") / $"total").as("frac"),
+        (($"max_n".cast("double") * $"k") / $"total").as("peak_imbalance"),
+        (($"sum_sq".cast("double") * $"k") /
+          ($"total".cast("double") * $"total")).as("scan_imbalance"))
+  }
+
   def knnGraph(spark: SparkSession, sfDir: String, k: Int = 3,
                cap: Int = 64): DataFrame = {
     import spark.implicits._
