@@ -54,6 +54,7 @@ object SparkEntry {
     "dedup_simhash"      -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_lsh_recall"   -> ((s, d) => Dedup.lshRecall(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "sim_topk_bruteforce" -> ((s, d) => SimOps.simTopkBruteforce(s, d)),
     "sim_lsh_ann"        -> ((s, d) => SimOps.lshAnn(s, d)),
@@ -204,6 +205,45 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** MinHash-LSH oracle (64 SQL-replicated perms, banded buckets,
+    * exact verify) — shared by dedup_minhash_lsh and the
+    * dedup_lsh_recall S-curve composition. */
+  private val MinhashLshOracle: String =
+    """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |   THEN [array_to_string(t[i:i+2],' ') for i in generate_series(1,len(t)-2)]
+        |   ELSE [array_to_string(t,' ')] END) AS s
+        | FROM toks),
+        |hv AS (
+        | SELECT doc_id,
+        |  list_distinct([('0x'||substr(md5(g),1,15))::BIGINT for g in s]) AS hs
+        | FROM sh),
+        |mh AS (
+        | SELECT doc_id, i,
+        |  min(((h % 2147483647) * (2*i+1) + i*2654435761) % 2147483647) AS v
+        | FROM (SELECT doc_id, unnest(hs) AS h FROM hv),
+        |      (SELECT unnest(generate_series(0,63)) AS i) g
+        | GROUP BY doc_id, i),
+        |bk AS (
+        | SELECT doc_id, i//4 AS band_idx,
+        |  md5(string_agg(v::VARCHAR, '-' ORDER BY i)) AS band_key
+        | FROM mh GROUP BY doc_id, i//4),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM bk a JOIN bk b ON a.band_idx = b.band_idx
+        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |jc AS (
+        | SELECT c.doc_a, c.doc_b,
+        |  CAST(round(CAST(CAST(len(list_intersect(x.hs, y.hs))*1.0
+        |    / len(list_distinct(x.hs || y.hs)) AS VARCHAR)
+        |    AS DECIMAL(38,18)),4) AS DOUBLE) AS jaccard
+        | FROM cand c JOIN hv x ON c.doc_a = x.doc_id
+        |             JOIN hv y ON c.doc_b = y.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM jc WHERE jaccard >= 0.2""".stripMargin
+
   def oracleSql: Map[String, String] = FunnelRetentionCorrOracles ++ Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
@@ -1119,41 +1159,21 @@ object SparkEntry {
         | CAST(bit_count(xor(a.simhash64, b.simhash64)) AS BIGINT) AS hamming
         |FROM sim a JOIN sim b ON a.band16 = b.band16 AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 6""".stripMargin,
-    "dedup_minhash_lsh" ->
-      """WITH toks AS (
-        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
-        | FROM documents),
-        |sh AS (
-        | SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
-        |   THEN [array_to_string(t[i:i+2],' ') for i in generate_series(1,len(t)-2)]
-        |   ELSE [array_to_string(t,' ')] END) AS s
-        | FROM toks),
-        |hv AS (
-        | SELECT doc_id,
-        |  list_distinct([('0x'||substr(md5(g),1,15))::BIGINT for g in s]) AS hs
-        | FROM sh),
-        |mh AS (
-        | SELECT doc_id, i,
-        |  min(((h % 2147483647) * (2*i+1) + i*2654435761) % 2147483647) AS v
-        | FROM (SELECT doc_id, unnest(hs) AS h FROM hv),
-        |      (SELECT unnest(generate_series(0,63)) AS i) g
-        | GROUP BY doc_id, i),
-        |bk AS (
-        | SELECT doc_id, i//4 AS band_idx,
-        |  md5(string_agg(v::VARCHAR, '-' ORDER BY i)) AS band_key
-        | FROM mh GROUP BY doc_id, i//4),
-        |cand AS (
-        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        | FROM bk a JOIN bk b ON a.band_idx = b.band_idx
-        |  AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        |jc AS (
-        | SELECT c.doc_a, c.doc_b,
-        |  CAST(round(CAST(CAST(len(list_intersect(x.hs, y.hs))*1.0
-        |    / len(list_distinct(x.hs || y.hs)) AS VARCHAR)
-        |    AS DECIMAL(38,18)),4) AS DOUBLE) AS jaccard
-        | FROM cand c JOIN hv x ON c.doc_a = x.doc_id
-        |             JOIN hv y ON c.doc_b = y.doc_id)
-        |SELECT doc_a, doc_b, jaccard FROM jc WHERE jaccard >= 0.2""".stripMargin,
+    "dedup_minhash_lsh" -> MinhashLshOracle,
+    // empirical LSH S-curve: exact pairs bucketed by true similarity,
+    // fraction captured by the banded MinHash index per bucket
+    "dedup_lsh_recall" ->
+      s"""WITH exact AS (SELECT * FROM (${ngramJaccardOracle("0.2")}) e0),
+        |lshp AS (SELECT doc_a, doc_b FROM ($MinhashLshOracle) l0)
+        |SELECT CAST(floor(e.jaccard*10) AS BIGINT) AS bucket10,
+        | CAST(count(*) AS BIGINT) AS n_exact,
+        | CAST(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_captured,
+        | CAST(CAST(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS DOUBLE) / count(*) AS recall
+        |FROM exact e LEFT JOIN lshp l
+        | ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+        |GROUP BY 1""".stripMargin,
     "mm_resize_meta" ->
       """SELECT doc_id, w AS src_width, h AS src_height,
         | greatest(1, CAST(round(w*scale) AS BIGINT)) AS out_width,

@@ -152,6 +152,30 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"jaccard")
   }
 
+  /** LSH quality evaluation — the empirical S-CURVE every banded-LSH
+    * deployment should publish: bucket the EXACT near-dup pairs
+    * ([[ngramJaccard]] ground truth) by true similarity decile and
+    * measure what fraction the MinHash index ([[minhashLsh]]) captured.
+    * Low-similarity buckets are EXPECTED to leak (that's the bands'
+    * threshold curve doing its job); a leak in a high bucket means the
+    * band/row geometry no longer matches the dedup threshold. Both
+    * inputs are the already-proven pipelines; the comparison is one
+    * left join on the pair key + a 10-row rollup — evaluation cost is
+    * dominated by the two candidate generations themselves. */
+  def lshRecall(spark: SparkSession, sfDir: String,
+                threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val exact = ngramJaccard(spark, sfDir, threshold)
+    val lsh = minhashLsh(spark, sfDir, threshold)
+      .select($"doc_a", $"doc_b").withColumn("captured", lit(1L))
+    exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+      .withColumn("bucket10", floor($"jaccard" * 10).cast("long"))
+      .groupBy($"bucket10")
+      .agg(count(lit(1)).as("n_exact"),
+           sum(coalesce($"captured", lit(0L))).as("n_captured"))
+      .withColumn("recall", $"n_captured".cast("double") / $"n_exact")
+  }
+
   /** 64-bit SimHash over token hashes: per bit, sum +1/-1 and keep the
     * sign. Same mapPartitions shape as [[signatures]]. */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
