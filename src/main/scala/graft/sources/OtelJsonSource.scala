@@ -118,6 +118,25 @@ object OtelJsonSource {
   def traces(spark: SparkSession, path: String): DataFrame =
     toTraceBatches(spark.read.schema(traceSchema).json(path))
 
+  /** STREAMING twin: tail a collector-written OTLP/JSON directory (file
+    * source — exactly-once via the checkpointed file log, the same
+    * guarantee [[graft.streaming.StreamingIngest.readEvents]] rides) into
+    * the identical batch contract. Every transform here and in the
+    * flattens is narrow, so the whole
+    * `tracesStream → flatten → partitioned sink` pipeline runs as one
+    * stateless streaming stage — the reference exporter's continuous
+    * ingest loop, file-fed. */
+  def tracesStream(spark: SparkSession, path: String): DataFrame =
+    toTraceBatches(spark.readStream.schema(traceSchema).json(path))
+
+  /** Streaming twin of [[logs]] (same contract, file-tail source). */
+  def logsStream(spark: SparkSession, path: String): DataFrame =
+    toLogBatches(spark.readStream.schema(logSchema).json(path))
+
+  /** Streaming twin of [[metricsGauge]]. */
+  def metricsGaugeStream(spark: SparkSession, path: String): DataFrame =
+    gaugeBatches(spark.readStream.schema(metricSchema).json(path))
+
   def toTraceBatches(raw: DataFrame): DataFrame =
     raw.select(explode(col("resourceSpans")).as("rs"))
       .select(col("rs.resource").as("res"), explode(col("rs.scopeSpans")).as("ss"))
@@ -208,9 +227,11 @@ object OtelJsonSource {
       exemplarsCol(p.getField("exemplars")).as("exemplars")))
 
   /** OTLP/JSON metric lines → [[graft.otel.OtelMetrics.flattenGauge]] input. */
-  def metricsGauge(spark: SparkSession, path: String): DataFrame = {
-    val m = explodeMetrics(spark.read.schema(metricSchema).json(path))
-      .filter(col("m.gauge").isNotNull)
+  def metricsGauge(spark: SparkSession, path: String): DataFrame =
+    gaugeBatches(spark.read.schema(metricSchema).json(path))
+
+  private def gaugeBatches(raw: DataFrame): DataFrame = {
+    val m = explodeMetrics(raw).filter(col("m.gauge").isNotNull)
     m.select(resourceCol(col("res")).as("resource"), scopeCol(col("sc")).as("scope"),
       metricCol(col("m"), lit(0), lit(false)).as("metric"),
       numPoints(col("m.gauge.dataPoints")).as("points"))
