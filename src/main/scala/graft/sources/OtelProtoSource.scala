@@ -597,7 +597,7 @@ object OtelProtoSource {
 
   /** Decoded (metric, oneof-case) pair: exactly one of the five payloads
     * is non-null, mirroring Metric's `data` oneof. */
-  private case class DecodedMetric(info: PbMetricInfo,
+  private[graft] case class DecodedMetric(info: PbMetricInfo,
                                    num: Seq[PbNumPoint],
                                    hist: Seq[PbHistPoint],
                                    exp: Seq[PbExpHistPoint],
@@ -680,7 +680,7 @@ object OtelProtoSource {
       num, hist, exp, summary, kind)
   }
 
-  private def decodeMetricScopes(bytes: Array[Byte]): Seq[(PbResource, PbScope, DecodedMetric)] = {
+  private[graft] def decodeMetricScopes(bytes: Array[Byte]): Seq[(PbResource, PbScope, DecodedMetric)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(PbResource, PbScope, DecodedMetric)]
     val root = new Reader(bytes, 0, bytes.length)
     while (root.hasMore) {

@@ -123,6 +123,46 @@ class OtelProtoSourceSpec extends SparkSpec {
     assert(res.passed, res.toString)
   }
 
+  test("exp-histogram point decode survives field order, packed/unpacked repeats, zigzag extremes (fuzz)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import OtelProtoSource.{PbBuckets, PbExpHistPoint}
+    val prop = Prop.forAll(
+      for {
+        scale <- Gen.choose(-20, 20)
+        offP <- Gen.choose(-100, 100); offN <- Gen.choose(-100, 100)
+        cntsP <- Gen.listOf(Gen.choose(0L, 1L << 40)).map(_.take(6))
+        cntsN <- Gen.listOf(Gen.choose(0L, 1L << 40)).map(_.take(6))
+        count <- Gen.choose(0L, Long.MaxValue)
+        packed <- Gen.oneOf(true, false)
+        seed <- Gen.choose(0L, Long.MaxValue)
+      } yield (scale, offP, offN, cntsP, cntsN, count, packed, seed)) {
+      case (scale, offP, offN, cntsP, cntsN, count, packed, seed) =>
+        def buckets(off: Int, cnts: Seq[Long]): W = {
+          val w = new W().sint32(1, off)
+          if (packed) w.packedVarints(2, cnts)
+          else { cnts.foreach(c => w.vint(2, c)); w }
+        }
+        val fragments: List[(W => W)] = List(
+          _.sint32(6, scale), _.fixed64(4, count),
+          _.msg(8, buckets(offP, cntsP)), _.msg(9, buckets(offN, cntsN)),
+          _.fixed64(3, 77L), _.dbl(14, 0.5),
+          _.str(800, "unknown"), _.vint(801, 3L))
+        val shuffled = new scala.util.Random(seed).shuffle(fragments)
+        val point = shuffled.foldLeft(new W())((acc, f) => f(acc))
+        val req = new W().msg(1, new W().msg(2, new W().msg(2,
+          new W().str(1, "m").msg(10, new W().msg(1, point).vint(2, 1)))))
+        val bytes = req.toBytes
+        val got = OtelProtoSource.decodeMetricScopes(bytes)
+          .collect { case (_, _, m) if m.kind == 3 => m.exp }.flatten
+        val expected = PbExpHistPoint(77L, 0L, Map.empty, 0, count, None,
+          None, None, scale, 0L, 0.5, PbBuckets(offP, cntsP),
+          PbBuckets(offN, cntsN), Seq.empty)
+        got == Seq(expected)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.toString)
+  }
+
   test("trace wire bytes and OTLP/JSON decode to identical batches and flattens") {
     val base = Files.createTempDirectory("graft-otlp-pb").toString
 
