@@ -126,6 +126,38 @@ class RestCatalogSpec extends SparkSpec {
     }
   }
 
+  test("concurrent appenders all land: the optimistic loop converges under contention") {
+    withCatalog { (fake, client) =>
+      client.ensureNamespace("otel")
+      client.ensureTable("otel", "t", Tables.events(spark, sf).limit(1).schema)
+      // 4 threads × 5 appends racing on the same branch: every commit
+      // asserts the head it loaded, losers 409 and replay — all 20 file
+      // sets must land, nothing lost, nothing double-registered. The
+      // racing client gets a deep retry budget: a 4-way conflict storm
+      // can 409 the same commit several times in a row legitimately.
+      val racer = new RestCatalogClient(Settings(fake.uri,
+        warehouse = fake.warehouseDir,
+        auth = CatalogAuth(clientId = "svc", clientSecret = "hunter2"),
+        retry = RetryPolicy(maxAttempts = 30, initialBackoffMs = 1,
+          sleep = _ => ())))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 4).map { t =>
+        new Thread(() => {
+          try (0 until 5).foreach { i =>
+            racer.appendDataFiles("otel", "t",
+              Seq(DataFile(s"f-$t-$i", 1, 1)))
+          } catch { case e: Throwable => errs.add(e) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, errs)
+      val files = client.listDataFiles("otel", "t")
+      assert(files.size === 20 && files.distinct.size === 20)
+      assert(files.toSet === (for (t <- 0 until 4; i <- 0 until 5)
+        yield s"f-$t-$i").toSet)
+    }
+  }
+
   test("5xx is transient (retried); 403 is permanent (fail fast)") {
     withCatalog { (fake, client) =>
       client.ensureNamespace("otel")
