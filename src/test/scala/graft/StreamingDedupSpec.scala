@@ -57,6 +57,37 @@ class StreamingDedupSpec extends SparkSpec {
     }
   }
 
+  test("seen-set survives a checkpointed restart: replayed content stays deduped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val ckpt = java.nio.file.Files.createTempDirectory("dedup-restart").toString
+      val input = MemoryStream[Doc]
+      val emitted = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      def start() = StreamingDedup.dedupStream(input.toDS())
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Kept], _: Long) =>
+          batch.collect().foreach(k => emitted.add(k.doc_id)); ()
+        }
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      try {
+        input.addData(Doc(1L, "payload one"), Doc(2L, "payload two"))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      assert(emitted.contains(1L) && emitted.contains(2L))
+      emitted.clear()
+      // restart: the RocksDB seen-set must carry — old content under a
+      // NEW id stays suppressed, genuinely new content emits
+      val q2 = start()
+      try {
+        input.addData(Doc(50L, "payload one"), Doc(51L, "payload three"))
+        q2.processAllAvailable()
+        assert(!emitted.contains(50L) && emitted.contains(51L))
+      } finally q2.stop()
+    }
+  }
+
   test("streaming keep-set equals the batch dedup_exact canonical set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
