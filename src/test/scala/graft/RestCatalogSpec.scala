@@ -32,6 +32,42 @@ class RestCatalogSpec extends SparkSpec {
     } finally fake.stop()
   }
 
+  test("icebergSchemaJson: fresh ids are unique, sequential, pre-order; nested types covered") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("attrs", MapType(StringType, StringType)),
+      StructField("tags", ArrayType(StringType)),
+      StructField("nested", StructType(Seq(
+        StructField("a", IntegerType),
+        StructField("b", ArrayType(StructType(Seq(
+          StructField("c", DoubleType)))))))),
+      StructField("ts", TimestampType)))
+    val (json, topIds) = RestCatalogClient.icebergSchemaJson(schema)
+    // every id in the document (field ids + element/key/value ids) is
+    // unique and the set is exactly 1..N — Iceberg's fresh-assignment
+    // contract, matching the sink's footer ids
+    def ids(j: JValue): Seq[BigInt] = j match {
+      case JObject(fields) => fields.flatMap {
+        // field/element/key/value ids — NOT schema-id (a version number)
+        case (k, JInt(n)) if k == "id" || k == "element-id" ||
+          k == "key-id" || k == "value-id" => Seq(n)
+        case (_, v) => ids(v)
+      }
+      case JArray(vs) => vs.flatMap(ids)
+      case _ => Nil
+    }
+    val all = ids(json)
+    assert(all.distinct.size === all.size)
+    assert(all.map(_.toInt).sorted === (1 to all.size))
+    // top-level ids are in declaration order (pre-order: parent precedes
+    // children), and the map resolves partition sources correctly
+    assert(topIds("id") === 1)
+    val declOrder = schema.fieldNames.toSeq.map(topIds)
+    assert(declOrder === declOrder.sorted, "ids not pre-order by declaration")
+    assert((json \ "type") === JString("struct"))
+  }
+
   test("oauth client-credentials: token fetched on 401 and replayed; bad secret is permanent") {
     withCatalog { (fake, client) =>
       // first call hits 401 (client has no token yet), refreshes, replays
