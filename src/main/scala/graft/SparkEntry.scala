@@ -2289,19 +2289,23 @@ object SparkEntry {
       |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= 5""".stripMargin
 
   /** Two unrolled Lloyd iterations over integer-quantized embeddings —
-    * the SQL mirror of [[graft.llm.SimOps.trainCentroids]] (K=4,
-    * iters=2, dim=64). Exact BIGINT cluster sums, exact IEEE mean
-    * division, fixed-dim-order list_reduce distance folds: every value
-    * matches the Spark side bit-for-bit. `af` = final assignment. */
+    * the SQL mirror of [[graft.llm.SimOps.trainCentroids]] (iters=2,
+    * dim=64, K auto-derived as max(4, ceil(N/64)) exactly like
+    * [[graft.llm.SimOps.autoK]]). Exact BIGINT cluster sums, exact IEEE
+    * mean division, fixed-dim-order list_reduce distance folds: every
+    * value matches the Spark side bit-for-bit. `af` = final
+    * assignment. */
   private lazy val KmeansCtes: String =
     """WITH v AS (
       | SELECT vec_id,
       |  list_transform(embedding::DOUBLE[],
       |                 x -> CAST(round(x*1000000) AS BIGINT)) AS vq
       | FROM embeddings),
+      |kk AS (
+      | SELECT greatest(4, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k FROM v),
       |c0 AS (
       | SELECT vec_id AS cid, list_transform(vq, x -> CAST(x AS DOUBLE)) AS c
-      | FROM v WHERE vec_id < 4),
+      | FROM v, kk WHERE vec_id < kk.k),
       |a1 AS (
       | SELECT vec_id, cid FROM (
       |  SELECT v.vec_id, c0.cid,

@@ -592,8 +592,10 @@ object Dedup {
     * is task-bounded too: [[SimOps.cappedClusterPairs]] salts any
     * cluster above `cap` into size-capped blocks that preserve the pair
     * set exactly (one mega-cluster fans out instead of stalling a
-    * task). At 100 TB k grows with the corpus (√N keeps clusters
-    * bounded); the recall-trading second-nearest-centroid re-block from
+    * task). Since r6, k itself is data-dependent BY DEFAULT
+    * ([[SimOps.autoK]]: k = max(4, ⌈N/cap⌉)), so Σ|cluster|² ≈ N·cap —
+    * linear in the corpus by construction, not by caller discipline.
+    * The recall-trading second-nearest-centroid re-block from
     * the SemDeDup paper changes results and stays a knob. The cosine
     * threshold and 6-decimal rounding match the label-blocked twin, so
     * the two strategies are directly comparable. */

@@ -517,6 +517,19 @@ object SimOps {
     bi
   }
 
+  /** Data-dependent cluster count: k = max(4, ⌈N / targetClusterSize⌉).
+    * With `targetClusterSize` tied to the pair cap, the within-cluster
+    * quadratic is linear in the corpus BY CONSTRUCTION: Σ|cluster|² ≈
+    * (N/target)·target² = N·target, so SemDeDup / kNN-graph candidate
+    * volume grows O(N·cap) instead of O(N²/k) with a fixed k (r6 — the
+    * fixed kClusters=4 default was the remaining scale hole: at 100 TB
+    * nothing enforced the "k grows with the corpus" doc note, and at
+    * sf0.1 every cluster overflowed the cap, replicating the build side
+    * ~8×). Callers can still pass an explicit k > 0; `k <= 0` means
+    * auto. */
+  private[graft] def autoK(n: Long, targetClusterSize: Int = 64): Int =
+    math.max(4L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+
   /** Lloyd's k-means over the quantized corpus — the training loop that
     * turns [[ivfAnn]]'s stand-in codebook into real centroids. Each
     * iteration is ONE narrow pass: executors fold their partition into
@@ -529,7 +542,7 @@ object SimOps {
     * the same iterations and hash-matches with zero rounding slack.
     * Init: the kClusters lowest vec_ids (deterministic, same as the
     * oracle's `vec_id < K`). Empty clusters keep their old centroid. */
-  private[llm] def trainCentroids(spark: SparkSession,
+  private[graft] def trainCentroids(spark: SparkSession,
       ds: org.apache.spark.sql.Dataset[(Long, Array[Long])],
       kClusters: Int, iters: Int): Array[(Long, Array[Double])] = {
     import spark.implicits._
@@ -575,12 +588,13 @@ object SimOps {
     * no order-dependent float sum anywhere, so the oracle (2 unrolled
     * Lloyd iterations in SQL) matches bit-for-bit. */
   def kmeansCentroids(spark: SparkSession, sfDir: String,
-                      kClusters: Int = 4, iters: Int = 2): DataFrame = {
+                      kClusters: Int = 0, iters: Int = 2): DataFrame = {
     import spark.implicits._
     // iters+1 passes read this frame — materialize once (at cluster
     // scale: .persist(MEMORY_AND_DISK) across Lloyd iterations)
     val ds = quantized(spark, sfDir).localCheckpoint()
-    val cents = trainCentroids(spark, ds, kClusters, iters)
+    val k = if (kClusters > 0) kClusters else autoK(ds.count())
+    val cents = trainCentroids(spark, ds, k, iters)
     val dim = cents(0)._2.length
     val cB = spark.sparkContext.broadcast(cents)
     val partials = ds.mapPartitions { rows =>
@@ -627,11 +641,12 @@ object SimOps {
     * [[graft.llm.Dedup.semantic]]: one narrow broadcast-centroids pass
     * over the corpus, exact integer-quantized distances. */
   private[graft] def clusterAssignments(spark: SparkSession, sfDir: String,
-                                        kClusters: Int = 4,
+                                        kClusters: Int = 0,
                                         iters: Int = 2): DataFrame = {
     import spark.implicits._
     val ds = quantized(spark, sfDir).localCheckpoint()
-    val cents = trainCentroids(spark, ds, kClusters, iters)
+    val k = if (kClusters > 0) kClusters else autoK(ds.count())
+    val cents = trainCentroids(spark, ds, k, iters)
     val cB = spark.sparkContext.broadcast(cents)
     ds.mapPartitions { rows =>
       val cs = cB.value
@@ -662,8 +677,13 @@ object SimOps {
     * `idx` must carry (cid, vec_id, vec); the output keeps (cid, salt)
     * plus the pair payloads renamed to the caller's four names, with
     * salt retained so specs can assert block-size bounds. */
-  private[graft] def cappedClusterPairs(idx: DataFrame, cap: Int,
+  private[graft] def cappedClusterPairs(idx0: DataFrame, cap: Int,
       aId: String, aVec: String, bId: String, bVec: String): DataFrame = {
+    // idx feeds THREE consumers (size census, probe side, build side);
+    // materialize once instead of re-running the assignment pass + vector
+    // join per consumer (r6 — at cluster scale this is persist(MEMORY_AND_
+    // DISK) of (cid, id, vec), reused across all three)
+    val idx = idx0.localCheckpoint()
     val sizes = idx.groupBy(col("cid")).agg(count(lit(1)).as("cluster_n"))
     val sized = idx.join(broadcast(sizes), "cid")
       .withColumn("nsalt",
@@ -679,7 +699,7 @@ object SimOps {
     a.join(b, Seq("cid", "salt"))
   }
 
-  def ivfKmeansAnn(spark: SparkSession, sfDir: String, kClusters: Int = 4,
+  def ivfKmeansAnn(spark: SparkSession, sfDir: String, kClusters: Int = 0,
                    iters: Int = 2, nQueries: Int = 8, k: Int = 5): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
@@ -731,11 +751,13 @@ object SimOps {
     * stream never materializes beyond the aggregate. Output is a
     * directed edge list (vec_id → neighbor, rank).
     *
-    * 100 TB: k-means k grows ~√N to keep mean cluster size bounded, and
-    * the WORST cluster is bounded too — the pair join runs through
-    * [[cappedClusterPairs]], which salts any cluster above `cap` into
-    * size-capped blocks without changing the pair set (r5; previously
-    * one skewed cluster re-opened the all-pairs blow-up). */
+    * 100 TB: k-means k tracks the corpus BY DEFAULT ([[autoK]]:
+    * k = max(4, ⌈N/cap⌉), so mean cluster size ≈ cap and total pair
+    * volume is O(N·cap) — r6), and the WORST cluster is bounded too —
+    * the pair join runs through [[cappedClusterPairs]], which salts any
+    * cluster above `cap` into size-capped blocks without changing the
+    * pair set (r5; previously one skewed cluster re-opened the
+    * all-pairs blow-up). */
   /** IVF index HEALTH report — the "do I need to retrain" check every
     * ANN deployment runs: per-centroid list size, corpus share, and two
     * imbalance factors — `peak_imbalance` (k·max/N: worst-case probe
@@ -745,7 +767,7 @@ object SimOps {
     * ratios are single IEEE operations over exact integer aggregates,
     * so the report is bit-exact cross-engine. One tiny shuffle (the cid
     * count); the unpartitioned window holds k rows. */
-  def ivfStats(spark: SparkSession, sfDir: String, kClusters: Int = 4,
+  def ivfStats(spark: SparkSession, sfDir: String, kClusters: Int = 0,
                iters: Int = 2): DataFrame = {
     import spark.implicits._
     val g = clusterAssignments(spark, sfDir, kClusters, iters)
