@@ -38,16 +38,16 @@ import graft.streaming.Delivery.{PermanentException, RetryPolicy}
   * 400 / 422 fail permanent; 409 on commit, 429, and 5xx are transient
   * and retried with the bounded backoff policy.
   *
-  * Manifest encoding: a real Iceberg append writes Avro manifest +
-  * manifest-list files that the SERVER never dereferences (they live in
-  * object storage; only engines reading the table parse them). With no
-  * Iceberg/Avro libraries in this environment the client writes its
-  * manifest list as JSON-lines at the `manifest-list` URI it commits —
-  * protocol-conformant commits and self-consistent reads via
-  * [[listDataFiles]]; cross-engine manifest READS would need the Avro
-  * writer (documented gap). Metadata ops stay driver-side (file lists
-  * here are catalog-metadata scale; the distributed listing/reconcile
-  * path is [[graft.recovery.Recovery]]).
+  * Manifest encoding (r6): commits write REAL Iceberg v2 metadata — an
+  * Avro OCF manifest (one ADDED `manifest_entry` per data file) plus an
+  * Avro OCF manifest list (`manifest_file` records), both via the
+  * hand-rolled [[AvroOcf]] writer with the spec's field-ids — so a
+  * second engine (Trino, Spark-Iceberg) can read the committed table.
+  * [[listDataFiles]] decodes the same format schema-driven (and still
+  * reads this client's pre-r6 JSON-lines lists, sniffed by magic).
+  * Metadata ops stay driver-side (file lists here are catalog-metadata
+  * scale; the distributed listing/reconcile path is
+  * [[graft.recovery.Recovery]]).
   */
 object RestCatalogClient {
 
@@ -61,9 +61,13 @@ object RestCatalogClient {
 
   case class DataFile(path: String, sizeBytes: Long, recordCount: Long)
 
-  /** Loaded table state needed by commits and listings. */
+  /** Loaded table state needed by commits and listings. `schemaJson` is
+    * the CURRENT table schema (compact JSON) — embedded into manifest
+    * file metadata so manifest readers can resolve columns without a
+    * catalog round-trip, as the Iceberg spec requires. */
   case class TableInfo(location: String, currentSnapshotId: Option[Long],
-                       lastSequenceNumber: Long, manifestLists: Seq[String])
+                       lastSequenceNumber: Long, manifestLists: Seq[String],
+                       schemaJson: String = "{}")
 
   /** Spark StructType → Iceberg schema JSON with FRESH sequential field
     * ids assigned pre-order (parents before children) — the same
@@ -237,6 +241,17 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
       manifestLists = (md \ "snapshots").toOption.toSeq.flatMap {
         case JArray(ss) => ss.map(s => (s \ "manifest-list").extract[String])
         case _ => Nil
+      },
+      schemaJson = {
+        val currentId = (md \ "current-schema-id").toOption
+          .collect { case JInt(n) => n.toInt }
+        val fromList = (md \ "schemas").toOption.collect { case JArray(ss) =>
+          currentId.flatMap(id => ss.find(s =>
+              (s \ "schema-id").toOption.contains(JInt(id))))
+            .orElse(ss.headOption)
+        }.flatten
+        fromList.orElse((md \ "schema").toOption)
+          .map(s => compact(render(s))).getOrElse("{}")
       })
   }
 
@@ -294,16 +309,36 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
       val info = loadTableOnce(namespace, table).getOrElse(
         throw new PermanentException(s"validation failed: table $namespace.$table does not exist", null))
       val snapId = System.nanoTime() // unique, monotone enough per-process
-      val listPath = s"${info.location}/metadata/graft-m-$snapId.json"
-      val p = new Path(listPath)
-      val fs = p.getFileSystem(hadoopConf)
-      val out = fs.create(p, true)
-      try files.foreach { f =>
-        out.write((compact(render(JObject(
-          "file_path" -> JString(f.path),
-          "file_size_bytes" -> JInt(f.sizeBytes),
-          "record_count" -> JInt(f.recordCount)))) + "\n").getBytes("UTF-8"))
-      } finally out.close()
+      val seqNum = info.lastSequenceNumber + 1
+      val fs = new Path(info.location).getFileSystem(hadoopConf)
+      def writeFile(path: String, bytes: Array[Byte]): Unit = {
+        val out = fs.create(new Path(path), true)
+        try out.write(bytes) finally out.close()
+      }
+      // Real Iceberg v2 metadata: an Avro manifest with one ADDED entry
+      // per data file, then an Avro manifest list pointing at it — the
+      // layout iceberg-go's transaction append produces
+      // (catalog_rest.go:292,345-358), so a second engine (Trino, real
+      // Spark-Iceberg) can read the committed table. Hand-rolled OCF:
+      // [[AvroOcf]].
+      val manifestPath = s"${info.location}/metadata/graft-m-$snapId.avro"
+      val manifestBytes = AvroOcf.write(
+        AvroOcf.ManifestEntrySchema,
+        Map("schema" -> info.schemaJson, "schema-id" -> "0",
+            "partition-spec" -> "[]", "partition-spec-id" -> "0",
+            "format-version" -> "2", "content" -> "data"),
+        files.map(f => AvroOcf.manifestEntry(snapId, f)))
+      writeFile(manifestPath, manifestBytes)
+      val listPath = s"${info.location}/metadata/snap-$snapId-1-graft.avro"
+      writeFile(listPath, AvroOcf.write(
+        AvroOcf.ManifestListSchema,
+        Map("snapshot-id" -> snapId.toString,
+            "parent-snapshot-id" ->
+              info.currentSnapshotId.map(_.toString).getOrElse("null"),
+            "sequence-number" -> seqNum.toString,
+            "format-version" -> "2"),
+        Seq(AvroOcf.manifestListEntry(manifestPath, manifestBytes.length.toLong,
+          seqNum, snapId, files.size, files.map(_.recordCount).sum))))
       val summary = JObject(
         "operation" -> JString("append"),
         "otel.exporter" -> JString("iceberg"),
@@ -314,7 +349,7 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
         "snapshot-id" -> JInt(BigInt(snapId)),
         "parent-snapshot-id" -> info.currentSnapshotId
           .map(v => JInt(BigInt(v)): JValue).getOrElse(JNull),
-        "sequence-number" -> JInt(BigInt(info.lastSequenceNumber + 1)),
+        "sequence-number" -> JInt(BigInt(seqNum)),
         "timestamp-ms" -> JInt(BigInt(System.currentTimeMillis())),
         "manifest-list" -> JString(listPath),
         "summary" -> summary)
@@ -340,21 +375,55 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
   /** All data files across ALL snapshots (time-travel-aware: files
     * superseded by rewrites but still referenced by old snapshots count
     * as registered — catalog_rest.go:369-470), deduplicated. A missing
-    * table is an empty list, not an error. */
+    * table is an empty list, not an error.
+    *
+    * Reads REAL Iceberg metadata: each snapshot's manifest list is an
+    * Avro OCF of `manifest_file` records; each manifest is an OCF of
+    * `manifest_entry` records — decoded schema-driven by [[AvroOcf]],
+    * so manifests written by OTHER engines (different field order,
+    * deflate codec, extra stats columns) parse too. Entries with
+    * status=2 (DELETED) are skipped, matching iceberg-go's
+    * `FetchEntries(fileIO, true)` (catalog_rest.go:436). Pre-r6
+    * JSON-lines manifest lists written by this client remain readable
+    * (format sniffed by magic). */
   def listDataFiles(namespace: String, table: String): Seq[String] =
     loadTable(namespace, table) match {
       case None => Seq.empty
       case Some(info) =>
         val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-        info.manifestLists.foreach { ml =>
-          val p = new Path(ml)
+        def readAll(path: String): Option[Array[Byte]] = {
+          val p = new Path(path)
           val fs = p.getFileSystem(hadoopConf)
-          if (fs.exists(p)) {
+          if (!fs.exists(p)) None
+          else {
             val in = fs.open(p)
-            try new String(in.readAllBytes(), "UTF-8").split("\n")
-              .filter(_.nonEmpty)
-              .foreach(line => seen += (parse(line) \ "file_path").extract[String])
-            finally in.close()
+            try Some(in.readAllBytes()) finally in.close()
+          }
+        }
+        def isAvro(b: Array[Byte]): Boolean =
+          b.length > 4 && b(0) == 'O' && b(1) == 'b' && b(2) == 'j' && b(3) == 1
+        info.manifestLists.foreach { ml =>
+          readAll(ml).foreach { bytes =>
+            if (isAvro(bytes)) {
+              val (_, manifests) = AvroOcf.read(bytes)
+              manifests.foreach { case m: Map[String, Any] @unchecked =>
+                val mpath = m("manifest_path").asInstanceOf[String]
+                readAll(mpath).foreach { mb =>
+                  val (_, entries) = AvroOcf.read(mb)
+                  entries.foreach { case e: Map[String, Any] @unchecked =>
+                    val deleted = e.get("status").contains(2)
+                    if (!deleted) e.get("data_file").foreach {
+                      case df: Map[String, Any] @unchecked =>
+                        seen += df("file_path").asInstanceOf[String]
+                    }
+                  }
+                }
+              }
+            } else {
+              // pre-r6 JSON-lines manifest list (documented legacy format)
+              new String(bytes, "UTF-8").split("\n").filter(_.nonEmpty)
+                .foreach(line => seen += (parse(line) \ "file_path").extract[String])
+            }
           }
         }
         seen.toSeq

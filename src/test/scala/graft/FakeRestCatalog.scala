@@ -97,12 +97,17 @@ import org.json4s.jackson.JsonMethods.parse
               val snaps = tbl.snapshots.map { case (id, ml) =>
                 s"""{"snapshot-id":$id,"manifest-list":"$ml"}"""
               }.mkString(",")
+              val schemas =
+                if (tbl.schemaJson == JNothing) ""
+                else s""""current-schema-id":0,"schemas":[${
+                  org.json4s.jackson.JsonMethods.compact(
+                    org.json4s.jackson.JsonMethods.render(tbl.schemaJson))}],"""
               reply(ex, 200,
                 s"""{"metadata-location":"${tbl.location}/metadata/v1.json",
                    |"metadata":{"table-uuid":"u-$ns-$t","location":"${tbl.location}",
                    |"current-snapshot-id":${tbl.currentId.getOrElse(-1L)},
                    |"last-sequence-number":${tbl.snapshots.size},
-                   |"snapshots":[$snaps]}}""".stripMargin.replace("\n", ""))
+                   |$schemas"snapshots":[$snaps]}}""".stripMargin.replace("\n", ""))
           }
 
         case ("POST", List("v1", "demo", "namespaces", ns, "tables")) =>

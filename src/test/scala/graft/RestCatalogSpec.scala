@@ -282,4 +282,133 @@ class RestCatalogSpec extends SparkSpec {
       assert(back.count() === batch.count())
     }
   }
+
+  /** r6: the commit writes REAL Iceberg v2 Avro metadata. The
+    * INDEPENDENT reader here is org.apache.avro's GenericDatumReader
+    * (the reference Avro implementation, from the Spark classpath) —
+    * if the hand-rolled [[graft.catalog.AvroOcf]] writer deviates from
+    * the Avro spec in any byte, this decode fails. */
+  test("commit round-trips through the reference Avro implementation") {
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import scala.jdk.CollectionConverters._
+
+    def avroRecords(path: String): (Seq[GenericRecord], Map[String, String]) = {
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(new java.net.URI(path)))
+      val rdr = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
+      val recs = rdr.iterator().asScala.toList
+      val meta = rdr.getMetaKeys.asScala.toList
+        .map(k => k -> rdr.getMetaString(k)).toMap
+      rdr.close()
+      (recs, meta)
+    }
+
+    withCatalog { (fake, client) =>
+      client.ensureNamespace("otel")
+      client.ensureTable("otel", "events", Tables.events(spark, sf).limit(1).schema)
+      client.appendDataFiles("otel", "events", Seq(
+        DataFile("s3a://b/t/f1.parquet", 100, 10),
+        DataFile("s3a://b/t/f2.parquet", 200, 20)))
+
+      val (_, listPath) = fake.tables(("otel", "events")).snapshots.head
+      val (manifests, listMeta) = avroRecords(listPath)
+      assert(listMeta("format-version") === "2")
+      assert(manifests.size === 1)
+      val mf = manifests.head
+      assert(mf.get("added_data_files_count").asInstanceOf[Int] === 2)
+      assert(mf.get("added_rows_count").asInstanceOf[Long] === 30L)
+      assert(mf.get("sequence_number").asInstanceOf[Long] === 1L)
+      assert(mf.get("content").asInstanceOf[Int] === 0)
+
+      val manifestPath = mf.get("manifest_path").toString
+      // manifest_length matches the actual file byte length
+      val realLen = java.nio.file.Files.size(
+        java.nio.file.Paths.get(new java.net.URI(manifestPath)))
+      assert(mf.get("manifest_length").asInstanceOf[Long] === realLen)
+
+      val (entries, mMeta) = avroRecords(manifestPath)
+      assert(mMeta("format-version") === "2" && mMeta("content") === "data")
+      // the embedded table schema is the catalog's current schema
+      assert(mMeta("schema").contains("\"fields\""))
+      assert(entries.size === 2)
+      val byPath = entries.map { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        df.get("file_path").toString ->
+          (e.get("status").asInstanceOf[Int],
+           df.get("record_count").asInstanceOf[Long],
+           df.get("file_size_in_bytes").asInstanceOf[Long],
+           df.get("file_format").toString)
+      }.toMap
+      assert(byPath("s3a://b/t/f1.parquet") === ((1, 10L, 100L, "PARQUET")))
+      assert(byPath("s3a://b/t/f2.parquet") === ((1, 20L, 200L, "PARQUET")))
+      // every manifest field carries its spec field-id (readers resolve
+      // columns by id, not name — the cross-engine contract)
+      val schemaJson = org.json4s.jackson.JsonMethods.parse(listMeta("avro.schema"))
+      val ids = (schemaJson \ "fields").children
+        .map(f => (f \ "field-id").extract[Int])
+      assert(ids.take(7) === Seq(500, 501, 502, 517, 515, 516, 503))
+
+      // and the client's own schema-driven reader agrees
+      assert(client.listDataFiles("otel", "events").toSet ===
+        Set("s3a://b/t/f1.parquet", "s3a://b/t/f2.parquet"))
+    }
+  }
+
+  /** The schema-driven [[graft.catalog.AvroOcf]] READER must also decode
+    * manifests produced by OTHER writers: different field order and the
+    * `deflate` codec, both exercised by writing with the reference Avro
+    * implementation and reading with ours. */
+  test("AvroOcf reader decodes reference-written files (deflate, reordered fields)") {
+    import org.apache.avro.{Schema => ASchema}
+    import org.apache.avro.file.{CodecFactory, DataFileWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+    // field order differs from our writer's (file_path before status),
+    // and ints/longs/unions/arrays are all present
+    val schemaStr =
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"split_offsets","type":["null",{"type":"array","items":"long"}],"default":null}]}},
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null}
+        |]}""".stripMargin
+    val schema = new ASchema.Parser().parse(schemaStr)
+    val out = new java.io.ByteArrayOutputStream()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.setCodec(CodecFactory.deflateCodec(6))
+    w.setMeta("content", "data")
+    w.create(schema, out)
+    (0 until 3).foreach { i =>
+      val df = new GenericData.Record(schema.getField("data_file").schema())
+      df.put("file_path", s"f$i.parquet")
+      df.put("record_count", i.toLong * 10)
+      df.put("split_offsets",
+        if (i == 0) null
+        else java.util.Arrays.asList(Long.box(4L), Long.box(8L)))
+      val rec = new GenericData.Record(schema)
+      rec.put("data_file", df)
+      rec.put("status", 1)
+      rec.put("snapshot_id", if (i == 2) Long.box(99L) else null)
+      w.append(rec)
+    }
+    w.close()
+
+    val (meta, records) = graft.catalog.AvroOcf.read(out.toByteArray)
+    assert(meta("avro.codec") === "deflate" && meta("content") === "data")
+    assert(records.size === 3)
+    val r2 = records(2).asInstanceOf[Map[String, Any]]
+    assert(r2("status") === 1)
+    assert(r2("snapshot_id") === 99L)
+    val df2 = r2("data_file").asInstanceOf[Map[String, Any]]
+    assert(df2("file_path") === "f2.parquet")
+    assert(df2("record_count") === 20L)
+    assert(df2("split_offsets") === Seq(4L, 8L))
+    val df0 = records(0).asInstanceOf[Map[String, Any]]
+      .apply("data_file").asInstanceOf[Map[String, Any]]
+    assert(df0("split_offsets") === null)
+  }
 }
