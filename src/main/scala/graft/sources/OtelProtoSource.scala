@@ -726,6 +726,61 @@ object OtelProtoSource {
     spark.read.format("binaryFile").load(path).select("content").as[Array[Byte]]
   }
 
+  /** binaryFile's fixed schema, needed explicitly for streaming reads. */
+  private val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.BinaryType)))
+
+  /** STREAMING twin of [[contents]]: tail a spool directory of proto
+    * files (e.g. [[OtlpHttpReceiver]]'s) — exactly-once via the
+    * checkpointed file log, decode on executors. */
+  private def streamContents(spark: SparkSession,
+                             path: String): Dataset[Array[Byte]] = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile").schema(binaryFileSchema)
+      .load(path).select("content").as[Array[Byte]]
+  }
+
+  /** Streaming OTLP/protobuf traces — the push-ingest read side:
+    * [[OtlpHttpReceiver]] spools `ExportTraceServiceRequest` bodies,
+    * this source tails them into the [[graft.otel.OtelTraces.flatten]]
+    * batch contract. Narrow (per-file decode), so
+    * `receiver → tracesStream → flatten → partitioned sink` is one
+    * stateless streaming stage — the reference's consumeTraces loop
+    * (`/root/reference/exporter.go:101`) re-expressed pull-side. */
+  def tracesStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    streamContents(spark, path).flatMap(decodeTraces(_)).toDF()
+  }
+
+  /** Streaming twin of [[logs]] (consumeLogs, exporter.go:175). */
+  def logsStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    streamContents(spark, path).flatMap(decodeLogs(_)).toDF()
+  }
+
+  /** Streaming twin of [[metricsGauge]] (consumeMetrics, exporter.go:130). */
+  def metricsGaugeStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    streamContents(spark, path).flatMap(decodeMetricScopes(_).collect {
+      case (res, sc, m) if m.kind == 0 => PbNumBatch(res, sc, m.info, m.num)
+    }).toDF()
+  }
+
+  /** Streaming twin of [[metricsSum]]. */
+  def metricsSumStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    streamContents(spark, path).flatMap(decodeMetricScopes(_).collect {
+      case (res, sc, m) if m.kind == 1 => PbNumBatch(res, sc, m.info, m.num)
+    }).toDF()
+  }
+
   /** OTLP/protobuf trace files → the [[graft.otel.OtelTraces.flatten]]
     * input (one serialized ExportTraceServiceRequest per file). */
   def traces(spark: SparkSession, path: String): DataFrame = {
