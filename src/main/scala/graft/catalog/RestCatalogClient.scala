@@ -67,7 +67,19 @@ object RestCatalogClient {
     * catalog round-trip, as the Iceberg spec requires. */
   case class TableInfo(location: String, currentSnapshotId: Option[Long],
                        lastSequenceNumber: Long, manifestLists: Seq[String],
-                       schemaJson: String = "{}")
+                       schemaJson: String = "{}",
+                       defaultSpec: Option[JValue] = None)
+
+  /** Granularity → Iceberg TIME-TRANSFORM partition field, matching the
+    * reference's OTELPartitionSpec
+    * (`/root/reference/internal/iceberg/partition.go:74-98`, unknown
+    * values default to hourly). Returns (partition name, transform). */
+  def granularityTransform(granularity: String): (String, String) =
+    granularity match {
+      case "monthly" => ("month", "month")
+      case "daily"   => ("day", "day")
+      case _         => ("hour", "hour")
+    }
 
   /** Spark StructType → Iceberg schema JSON with FRESH sequential field
     * ids assigned pre-order (parents before children) — the same
@@ -252,6 +264,15 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
         }.flatten
         fromList.orElse((md \ "schema").toOption)
           .map(s => compact(render(s))).getOrElse("{}")
+      },
+      defaultSpec = {
+        val specId = (md \ "default-spec-id").toOption
+          .collect { case JInt(n) => n.toInt }
+        (md \ "partition-specs").toOption.collect { case JArray(ss) =>
+          specId.flatMap(id => ss.find(s =>
+              (s \ "spec-id").toOption.contains(JInt(id))))
+            .orElse(ss.lastOption)
+        }.flatten
       })
   }
 
@@ -371,6 +392,52 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
       ()
     }
   }
+
+  /** PARTITION-SPEC EVOLUTION commit: register a new default spec with
+    * the granularity's time transform on `tsColumn` — the catalog side
+    * of a granularity rewrite, matching the reference repartitioner's
+    * re-registration (`/root/reference/internal/recovery/repartitioner.go`
+    * always writes hourly; `internal/iceberg/partition.go:74` maps
+    * granularity → transform). Iceberg semantics: old manifests keep
+    * their original spec-id — only FUTURE writes use the new spec, so
+    * this is metadata-only and instant at any table size. The commit is
+    * `add-spec` + `set-default-spec` (spec-id -1 = "the spec just
+    * added", per the REST API's last-added convention) under the same
+    * optimistic retry loop as appends. */
+  def updatePartitionSpec(namespace: String, table: String,
+                          tsColumn: String, granularity: String): Unit =
+    Delivery.retry(settings.retry) {
+      val info = loadTableOnce(namespace, table).getOrElse(
+        throw new PermanentException(
+          s"validation failed: table $namespace.$table does not exist", null))
+      val srcId = (parse(info.schemaJson) \ "fields").toOption
+        .collect { case JArray(fs) =>
+          fs.collectFirst {
+            case f if (f \ "name").toOption.contains(JString(tsColumn)) =>
+              (f \ "id") match { case JInt(n) => n.toInt; case _ => -1 }
+          }
+        }.flatten.filter(_ >= 0).getOrElse(
+          throw new PermanentException(
+            s"validation failed: column $tsColumn not in $namespace.$table schema", null))
+      val (name, transform) = granularityTransform(granularity)
+      val body = compact(render(JObject(
+        "identifier" -> JObject(
+          "namespace" -> JArray(List(JString(namespace))),
+          "name" -> JString(table)),
+        "requirements" -> JArray(Nil),
+        "updates" -> JArray(List(
+          JObject("action" -> JString("add-spec"),
+            "spec" -> JObject(
+              "fields" -> JArray(List(JObject(
+                "name" -> JString(name),
+                "transform" -> JString(transform),
+                "source-id" -> JInt(srcId),
+                "field-id" -> JInt(1000)))))),
+          JObject("action" -> JString("set-default-spec"),
+            "spec-id" -> JInt(-1)))))))
+      call("POST", s"$prefix/namespaces/$namespace/tables/$table", Some(body))
+      ()
+    }
 
   /** All data files across ALL snapshots (time-travel-aware: files
     * superseded by rewrites but still referenced by old snapshots count

@@ -203,9 +203,14 @@ object RecoveryCli {
                 Recovery.scanOrphans(spark, tablePath, existing, a.distributed)
             }
             val orphans = timeFiltered(orphansAll, a)
-            val n = orphans.count()
+            // ONE job materializes the orphan list (metadata-scale);
+            // count, verbose print, and the catalog append all reuse it
+            // (r6 — was a count() + up to two collect()s per table)
+            val cached = orphans.localCheckpoint()
+            val rows = cached.collect()
+            val n = rows.length.toLong
             total += n
-            if (a.verbose) orphans.collect().foreach(r =>
+            if (a.verbose) rows.foreach(r =>
               out(s"  ${r.getString(0)} (${r.getLong(1)} bytes)"))
             // register only the time-window survivors (idempotent); with
             // no window this is exactly reconcile's candidate set
@@ -213,11 +218,17 @@ object RecoveryCli {
               case Some(c) =>
                 if (c.loadTable(a.namespace, t).isEmpty)
                   out(s"  $t: not in catalog — create the table first, skipping")
-                else c.appendDataFiles(a.namespace, t, orphans.collect().map(r =>
-                  graft.catalog.RestCatalogClient.DataFile(
-                    r.getString(0), r.getLong(1), 0L)).toSeq)
+                else {
+                  // real per-file record counts from the footers — the
+                  // snapshot summary the reference exporter publishes
+                  val counts = Recovery.fileRowCounts(spark, rows.map(_.getString(0)).toSeq)
+                  c.appendDataFiles(a.namespace, t, rows.map(r =>
+                    graft.catalog.RestCatalogClient.DataFile(
+                      r.getString(0), r.getLong(1),
+                      counts.getOrElse(r.getString(0), 0L))).toSeq)
+                }
               case None =>
-                Recovery.registerFiles(spark, s"${a.manifest}/$t", orphans)
+                Recovery.registerFiles(spark, s"${a.manifest}/$t", cached)
             }
             t -> n
           }
@@ -267,6 +278,17 @@ object RecoveryCli {
 
         case "repartition" =>
           require(a.tables.nonEmpty, s"repartition needs --tables\n$usage")
+          // catalog mode: a granularity rewrite also EVOLVES the table's
+          // server-side partition spec (reference repartitioner +
+          // partition.go:74 — without this, repartitioned tables keep
+          // their original identity spec in the catalog, r5 gap #3)
+          val cliClient = if (a.catalogUri.isEmpty) None else Some(
+            new graft.catalog.RestCatalogClient(
+              graft.catalog.RestCatalogClient.Settings(
+                uri = a.catalogUri, warehouse = a.catalogWarehouse,
+                auth = graft.catalog.RestCatalogClient.CatalogAuth(
+                  token = a.catalogToken)),
+              spark.sparkContext.hadoopConfiguration))
           a.tables.foreach { t =>
             val from = SinkConfig(a.basePath, t, tsColumn = a.tsColumn,
               granularity = a.fromGranularity)
@@ -279,6 +301,14 @@ object RecoveryCli {
             } else {
               Recovery.repartition(spark, from, to)
               out(s"  $t: rewritten at ${a.toGranularity} -> ${t}_${a.toGranularity}")
+              cliClient.foreach { c =>
+                if (c.loadTable(a.namespace, t).isEmpty)
+                  out(s"  $t: not in catalog — spec unchanged")
+                else {
+                  c.updatePartitionSpec(a.namespace, t, a.tsColumn, a.toGranularity)
+                  out(s"  $t: catalog default spec -> ${a.toGranularity}")
+                }
+              }
             }
           }
           0

@@ -170,11 +170,19 @@ object Delivery {
           client.ensureTable(namespace, table, tableSchema, partCols)
           val live = graft.recovery.Recovery.listDataFiles(
             spark, PartitionedParquetSink.tablePath(cfg))
-            .collect().map(r => graft.catalog.RestCatalogClient.DataFile(
-              r.getString(0), r.getLong(1), 0L))
+            .collect().map(r => (r.getString(0), r.getLong(1)))
           val registered = client.listDataFiles(namespace, table).toSet
+          val fresh = live.filterNot { case (p, _) => registered(p) }
+          // real record counts from the fresh files' footers, so the
+          // snapshot summary matches the reference exporter's
+          // otel.record_count (r6 — was hardcoded 0)
+          val counts = graft.recovery.Recovery.fileRowCounts(
+            spark, fresh.map(_._1).toSeq)
           client.appendDataFiles(namespace, table,
-            live.filterNot(f => registered(f.path)).toSeq)
+            fresh.map { case (p, sz) =>
+              graft.catalog.RestCatalogClient.DataFile(
+                p, sz, counts.getOrElse(p, 0L))
+            }.toSeq)
         }
         ()
       }

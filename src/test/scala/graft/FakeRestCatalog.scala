@@ -20,7 +20,9 @@ import org.json4s.jackson.JsonMethods.parse
                    snapshots: mutable.ArrayBuffer[(Long, String)] = mutable.ArrayBuffer(),
                    var currentId: Option[Long] = None,
                    var schemaJson: JValue = JNothing,
-                   var specJson: JValue = JNothing)
+                   var specJson: JValue = JNothing,
+                   specs: mutable.ArrayBuffer[JValue] = mutable.ArrayBuffer(),
+                   var defaultSpecId: Int = 0)
     val tables = mutable.LinkedHashMap.empty[(String, String), Tbl]
     val requests = mutable.ArrayBuffer.empty[String]
     @volatile var warehouseDir: String = ""
@@ -102,12 +104,17 @@ import org.json4s.jackson.JsonMethods.parse
                 else s""""current-schema-id":0,"schemas":[${
                   org.json4s.jackson.JsonMethods.compact(
                     org.json4s.jackson.JsonMethods.render(tbl.schemaJson))}],"""
+              val specsJson =
+                if (tbl.specs.isEmpty) ""
+                else s""""default-spec-id":${tbl.defaultSpecId},"partition-specs":[${
+                  tbl.specs.map(s => org.json4s.jackson.JsonMethods.compact(
+                    org.json4s.jackson.JsonMethods.render(s))).mkString(",")}],"""
               reply(ex, 200,
                 s"""{"metadata-location":"${tbl.location}/metadata/v1.json",
                    |"metadata":{"table-uuid":"u-$ns-$t","location":"${tbl.location}",
                    |"current-snapshot-id":${tbl.currentId.getOrElse(-1L)},
                    |"last-sequence-number":${tbl.snapshots.size},
-                   |$schemas"snapshots":[$snaps]}}""".stripMargin.replace("\n", ""))
+                   |$schemas$specsJson"snapshots":[$snaps]}}""".stripMargin.replace("\n", ""))
           }
 
         case ("POST", List("v1", "demo", "namespaces", ns, "tables")) =>
@@ -119,6 +126,8 @@ import org.json4s.jackson.JsonMethods.parse
             val tbl = Tbl(s"$warehouseDir/$ns/$name")
             tbl.schemaJson = j \ "schema"
             tbl.specJson = j \ "partition-spec"
+            if (tbl.specJson != JNothing)
+              tbl.specs += tbl.specJson.merge(JObject("spec-id" -> JInt(0)))
             tables((ns, name)) = tbl
             reply(ex, 200,
               s"""{"metadata-location":"${tbl.location}/metadata/v1.json",
@@ -147,6 +156,12 @@ import org.json4s.jackson.JsonMethods.parse
                       (s \ "manifest-list").extract[String]))
                   case "set-snapshot-ref" =>
                     tbl.currentId = Some((u \ "snapshot-id").extract[Long])
+                  case "add-spec" =>
+                    val assigned = tbl.specs.size
+                    tbl.specs += (u \ "spec").merge(JObject("spec-id" -> JInt(assigned)))
+                  case "set-default-spec" =>
+                    val id = (u \ "spec-id").extract[Int]
+                    tbl.defaultSpecId = if (id == -1) tbl.specs.size - 1 else id
                   case _ => ()
                 }
               }

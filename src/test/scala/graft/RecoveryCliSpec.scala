@@ -164,4 +164,120 @@ class RecoveryCliSpec extends SparkSpec {
       assert(c4 === 0 && out4.contains("Total files found:    0"))
     } finally fake.stop()
   }
+
+  test("reconcile: one collect per table, and real record counts reach the snapshot") {
+    val fake = new FakeRestCatalog
+    fake.warehouseDir = "file://" + tmp()
+    try {
+      val (base, _) = freshLayout()
+      fake.validToken = "cli-tok"
+      val catFlags = Seq("--catalog-uri", fake.uri, "--catalog-token", "cli-tok",
+        "--namespace", "otel")
+      val client = new graft.catalog.RestCatalogClient(
+        graft.catalog.RestCatalogClient.Settings(fake.uri,
+          auth = graft.catalog.RestCatalogClient.CatalogAuth(token = "cli-tok")))
+      client.ensureNamespace("otel")
+      client.ensureTable("otel", "events", Tables.events(spark, sf).limit(1).schema)
+
+      // r6 (VERDICT r5 wrong #2): the orphan frame is materialized ONCE —
+      // count/verbose/append all reuse one collect; the old double-collect
+      // showed up here as a second "collect" action per table
+      val actions = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]())
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = { actions.add(funcName); () }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      val (c, out0) =
+        try {
+          val r = runCli(Seq("reconcile", "--base-path", base, "--verbose") ++ catFlags: _*)
+          // the listener bus is async; drain before reading
+          Thread.sleep(1500)
+          r
+        } finally spark.listenerManager.unregister(listener)
+      assert(c === 0, out0)
+      import scala.jdk.CollectionConverters._
+      val funcs = actions.asScala.toList
+      assert(funcs.count(_ == "collect") <= 1,
+        s"reconcile ran ${funcs.count(_ == "collect")} collects for one table: $funcs")
+      assert(!funcs.contains("count"),
+        s"reconcile still runs a separate count job: $funcs")
+
+      // record counts in the committed Avro manifest are the REAL parquet
+      // row counts (r6 — were hardcoded 0), summing to the table total
+      val (_, listPath) = fake.tables(("otel", "events")).snapshots.head
+      val listBytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(new java.net.URI(listPath)))
+      val (_, manifests) = graft.catalog.AvroOcf.read(listBytes)
+      val manifestPath = manifests.head.asInstanceOf[Map[String, Any]]
+        .apply("manifest_path").asInstanceOf[String]
+      val mBytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(new java.net.URI(manifestPath)))
+      val (_, entries) = graft.catalog.AvroOcf.read(mBytes)
+      val totalRows = entries.map(_.asInstanceOf[Map[String, Any]]
+        .apply("data_file").asInstanceOf[Map[String, Any]]
+        .apply("record_count").asInstanceOf[Long]).sum
+      assert(totalRows === spark.read.parquet(s"$base/events").count())
+      assert(entries.forall(_.asInstanceOf[Map[String, Any]]
+        .apply("data_file").asInstanceOf[Map[String, Any]]
+        .apply("record_count").asInstanceOf[Long] > 0L))
+    } finally fake.stop()
+  }
+
+  test("repartition in catalog mode evolves the server-side partition spec") {
+    val fake = new FakeRestCatalog
+    fake.warehouseDir = "file://" + tmp()
+    try {
+      val (base, _) = freshLayout()
+      fake.validToken = "cli-tok"
+      val catFlags = Seq("--catalog-uri", fake.uri, "--catalog-token", "cli-tok",
+        "--namespace", "otel")
+      val client = new graft.catalog.RestCatalogClient(
+        graft.catalog.RestCatalogClient.Settings(fake.uri,
+          auth = graft.catalog.RestCatalogClient.CatalogAuth(token = "cli-tok")))
+      client.ensureNamespace("otel")
+      client.ensureTable("otel", "events", Tables.events(spark, sf).limit(1).schema)
+
+      val specBefore = client.loadTable("otel", "events").get.defaultSpec
+      val (c, out0) = runCli(Seq("repartition", "--base-path", base,
+        "--tables", "events", "--ts-column", "ts",
+        "--from-granularity", "hourly", "--to-granularity", "daily") ++ catFlags: _*)
+      assert(c === 0 && out0.contains("catalog default spec -> daily"), out0)
+
+      // the re-read DEFAULT spec is the daily time transform on ts
+      // (reference partition.go:74: daily → day/day)
+      import org.json4s._
+      val spec = client.loadTable("otel", "events").get.defaultSpec.get
+      assert(spec !== specBefore.orNull)
+      val fields = (spec \ "fields").asInstanceOf[JArray].children
+      assert(fields.size === 1)
+      assert((fields.head \ "name") === JString("day"))
+      assert((fields.head \ "transform") === JString("day"))
+      // source-id resolves to the ts column's schema field id
+      val schemaJson = org.json4s.jackson.JsonMethods.parse(
+        client.loadTable("otel", "events").get.schemaJson)
+      val tsId = (schemaJson \ "fields").children.collectFirst {
+        case f if (f \ "name") == JString("ts") => (f \ "id")
+      }.get
+      assert((fields.head \ "source-id") === tsId)
+
+      // old data remains valid: spec evolution is metadata-only
+      assert(spark.read.parquet(s"$base/events").count() > 0)
+
+      // dry-run must NOT touch the catalog
+      val (c2, _) = runCli(Seq("repartition", "--base-path", base,
+        "--tables", "events", "--ts-column", "ts",
+        "--from-granularity", "hourly", "--to-granularity", "monthly",
+        "--dry-run") ++ catFlags: _*)
+      assert(c2 === 0)
+      val still = client.loadTable("otel", "events").get.defaultSpec.get
+      assert((((still \ "fields").asInstanceOf[JArray].children.head) \ "name")
+        === JString("day"))
+    } finally fake.stop()
+  }
 }
