@@ -38,25 +38,36 @@ object Bench {
     // optional comma-separated filter (dev loop): time only these queries
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    // best-of-2 per query: steady-state time, insulated from transient
-    // machine-load spikes that would otherwise skew a single sample
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+    // INTERLEAVED best-of-3 (r6 — was consecutive best-of-2): rounds run
+    // A,B,C,A,B,C,… so a transient machine-load spike degrades one
+    // SAMPLE of many queries instead of both samples of a few — on a
+    // shared box this is what makes a regression attributable to code
+    // rather than ambient load. Per-query relative spread
+    // (max-min)/min is emitted so the consumer can see which numbers
+    // were noisy.
+    val rounds = 3
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
-      .map { case (name, fn) =>
+    val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    val failedSet = scala.collection.mutable.LinkedHashSet[String]()
+    for (_ <- 1 to rounds; (name, fn) <- queryList if !failedSet.contains(name)) {
       val confs = SparkEntry.queryConfs.getOrElse(name, Map.empty)
-      def once(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        val ok = try {
-          SparkEntry.withConfs(spark, confs) { fn(spark, sfDir).count() }; true
-        } catch { case _: Throwable => false }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
-      val (t1, ok1) = once()
-      if (!ok1) (name, t1, false)
-      else { val (t2, _) = once(); (name, math.min(t1, t2), true) }
+      val t0 = System.nanoTime()
+      val ok = try {
+        SparkEntry.withConfs(spark, confs) { fn(spark, sfDir).count() }; true
+      } catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (!ok) failedSet += name
+      else samples(name) = samples.getOrElse(name, Nil) :+ sec
     }
-    val failed = timed.collect { case (name, _, false) => name }
-    val results = timed.collect { case (name, sec, true) => name -> sec }
+    val failed = failedSet.toSeq
+    val results = queryList.collect {
+      case (n, _) if samples.get(n).exists(_.nonEmpty) => n -> samples(n).min
+    }
+    val spreads: Map[String, Double] = samples.collect {
+      case (n, ss) if ss.nonEmpty && ss.min > 0 =>
+        n -> ((ss.max - ss.min) / ss.min)
+    }.toMap
 
     // Ingest throughput — the reference exporter's core function:
     // events → hourly-partitioned parquet (writer.go's write path).
@@ -81,8 +92,8 @@ object Bench {
     }
     val doSink = only.isEmpty || only("sink_ingest_hourly")
     val sinkTime = if (!doSink) -1.0 else {
-      val s1 = sinkOnce()
-      if (s1 < 0) s1 else { val s2 = sinkOnce(); if (s2 < 0) s1 else math.min(s1, s2) }
+      val ss = Seq.fill(rounds)(sinkOnce()).filter(_ >= 0)
+      if (ss.isEmpty) -1.0 else ss.min
     }
 
     // Metadata-pruning read path — the 100 TB lever measured, not just
@@ -114,24 +125,24 @@ object Bench {
         val startUs = r.getLong(0)
         val endUs = startUs + 3600L * 1000000L
         val needle = r.getLong(1)
-        def best2(f: => Long): Double = {
+        def best(f: => Long): Double = {
           def once(): Double = {
             val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
           }
-          val a = once(); math.min(a, once())
+          Seq.fill(rounds)(once()).min
         }
         Seq(
-          "sink_slice_full" -> best2(
+          "sink_slice_full" -> best(
             spark.read.parquet(tablePath)
               .filter(unix_micros(col("ts")) >= startUs &&
                       unix_micros(col("ts")) < endUs).count()),
-          "sink_slice_pruned" -> best2(
+          "sink_slice_pruned" -> best(
             VersionedManifest.readSliceAt(
               spark, tablePath, manDir, "ts", startUs, endUs).count()),
-          "sink_point_full" -> best2(
+          "sink_point_full" -> best(
             spark.read.parquet(tablePath)
               .filter(col("event_id") === needle).count()),
-          "sink_point_bloom" -> best2(
+          "sink_point_bloom" -> best(
             VersionedManifest.readPoint(spark, tablePath, manDir, needle).count()))
       } catch { case _: Throwable => Nil }
       finally {
@@ -178,12 +189,21 @@ object Bench {
     }
     val groups = all.groupBy { case (k, _) => group(k) }.toSeq.sortBy(_._1)
       .map { case (g, xs) => g -> xs.map(_._2).sum }
+    // spread summary scalars for the compact line (the full per-query
+    // spread map lives in BENCH_full.json; the final stdout line must
+    // stay under the driver's ~2000-char tail window)
+    val spreadVals = spreads.values.toSeq.sorted
+    def pct(p: Double): Double =
+      if (spreadVals.isEmpty) 0.0
+      else spreadVals(math.min(spreadVals.size - 1, (p * spreadVals.size).toInt))
+    val sf1Json = Sf1Scale.maybeRun(spark)
+    val sf1Field = sf1Json.map(j => s""","sf1":$j""").getOrElse("")
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jsonMap(all)},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","rounds":$rounds,"queries":${jsonMap(all)},"spread":${jsonMap(spreads.toSeq.sortBy(_._1))},"failed":$failedJson$sf1Field,"sf":"$sfDir"}"""
     println(fullLine)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
       fullLine.getBytes("UTF-8")) catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jsonMap(head)},"groups":${jsonMap(groups)},"n_queries":${all.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","rounds":$rounds,"queries":${jsonMap(head)},"groups":${jsonMap(groups)},"spread_med":${r3(pct(0.5))},"spread_p90":${r3(pct(0.9))},"n_queries":${all.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -81,49 +81,89 @@ object RestCatalogClient {
       case _         => ("hour", "hour")
     }
 
-  /** Spark StructType → Iceberg schema JSON with FRESH sequential field
-    * ids assigned pre-order (parents before children) — the same
-    * assignment [[graft.sink.PartitionedParquetSink.withIcebergFieldIds]]
-    * stamps into parquet footers, so catalog schema and file metadata
-    * agree. Returns (schema JSON, top-level name → id). */
+  /** Spark StructType → Iceberg schema JSON whose field ids AGREE with
+    * the parquet footer ids
+    * [[graft.sink.PartitionedParquetSink.withIcebergFieldIds]] stamps —
+    * Iceberg resolves columns by id, so any divergence makes a
+    * conforming reader misresolve columns of a committed table.
+    *
+    * Two-phase numbering (r6 — previously container element/key/value
+    * ids were interleaved into the sequence, so every field after the
+    * first array/map column disagreed with its footer id):
+    *
+    *  1. struct fields reachable WITHOUT crossing an array/map get
+    *     sequential pre-order ids — exactly the sink's walk, which can
+    *     only stamp `parquet.field.id` metadata on StructFields;
+    *  2. everything the sink cannot stamp — list element-ids, map
+    *     key/value-ids, and struct fields nested under a container —
+    *     continues the counter afterwards, in pre-order.
+    *
+    * Every id the footers carry matches phase 1; phase-2 ids exist only
+    * in the catalog schema (Iceberg requires them but parquet files
+    * resolve those nodes structurally). Returns (schema JSON, top-level
+    * name → id). */
   def icebergSchemaJson(schema: StructType): (JValue, Map[String, Int]) = {
     var nextId = 0
     def fresh(): Int = { nextId += 1; nextId }
-    def typeJson(dt: DataType): JValue = dt match {
-      case st: StructType =>
-        JObject("type" -> JString("struct"),
-          "fields" -> JArray(st.fields.map(fieldJson).toList))
-      case ArrayType(et, containsNull) =>
-        val id = fresh()
-        JObject("type" -> JString("list"), "element-id" -> JInt(id),
-          "element" -> typeJson(et), "element-required" -> JBool(!containsNull))
-      case MapType(kt, vt, valueContainsNull) =>
-        val kid = fresh(); val vid = fresh()
-        JObject("type" -> JString("map"), "key-id" -> JInt(kid),
-          "key" -> typeJson(kt), "value-id" -> JInt(vid),
-          "value" -> typeJson(vt), "value-required" -> JBool(!valueContainsNull))
-      case LongType => JString("long")
-      case IntegerType | ShortType | ByteType => JString("int")
-      case StringType => JString("string")
-      case DoubleType => JString("double")
-      case FloatType => JString("float")
-      case BooleanType => JString("boolean")
-      case BinaryType => JString("binary")
-      case DateType => JString("date")
-      case TimestampType => JString("timestamptz")
-      case TimestampNTZType => JString("timestamp")
-      case d: DecimalType => JString(s"decimal(${d.precision}, ${d.scale})")
-      case other =>
-        throw new IllegalArgumentException(s"unsupported Iceberg type: $other")
-    }
-    def fieldJson(f: StructField): JValue = {
-      val id = fresh()
+
+    // phase 1: ids for the sink-stampable struct fields, pre-order
+    val structIds = scala.collection.mutable.HashMap.empty[Seq[String], Int]
+    def number(st: StructType, path: Seq[String]): Unit =
+      st.fields.foreach { f =>
+        val p = path :+ f.name
+        structIds(p) = fresh()
+        f.dataType match {
+          case nested: StructType => number(nested, p)
+          case _ => () // containers and their children wait for phase 2
+        }
+      }
+    number(schema, Nil)
+
+    // phase 2: container ids + container-nested fields, pre-order
+    def typeJson(dt: DataType, path: Seq[String], underContainer: Boolean): JValue =
+      dt match {
+        case st: StructType =>
+          JObject("type" -> JString("struct"),
+            "fields" -> JArray(st.fields.map(f =>
+              fieldJson(f, path, underContainer)).toList))
+        case ArrayType(et, containsNull) =>
+          val id = fresh()
+          JObject("type" -> JString("list"), "element-id" -> JInt(id),
+            "element" -> typeJson(et, path :+ "element", underContainer = true),
+            "element-required" -> JBool(!containsNull))
+        case MapType(kt, vt, valueContainsNull) =>
+          val kid = fresh()
+          val kj = typeJson(kt, path :+ "key", underContainer = true)
+          val vid = fresh()
+          JObject("type" -> JString("map"), "key-id" -> JInt(kid),
+            "key" -> kj, "value-id" -> JInt(vid),
+            "value" -> typeJson(vt, path :+ "value", underContainer = true),
+            "value-required" -> JBool(!valueContainsNull))
+        case LongType => JString("long")
+        case IntegerType | ShortType | ByteType => JString("int")
+        case StringType => JString("string")
+        case DoubleType => JString("double")
+        case FloatType => JString("float")
+        case BooleanType => JString("boolean")
+        case BinaryType => JString("binary")
+        case DateType => JString("date")
+        case TimestampType => JString("timestamptz")
+        case TimestampNTZType => JString("timestamp")
+        case d: DecimalType => JString(s"decimal(${d.precision}, ${d.scale})")
+        case other =>
+          throw new IllegalArgumentException(s"unsupported Iceberg type: $other")
+      }
+    def fieldJson(f: StructField, path: Seq[String],
+                  underContainer: Boolean): JValue = {
+      val p = path :+ f.name
+      val id = if (underContainer) fresh() else structIds(p)
       JObject("id" -> JInt(id), "name" -> JString(f.name),
-        "required" -> JBool(!f.nullable), "type" -> typeJson(f.dataType))
+        "required" -> JBool(!f.nullable),
+        "type" -> typeJson(f.dataType, p, underContainer))
     }
     val topIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val fields = schema.fields.map { f =>
-      val j = fieldJson(f)
+      val j = fieldJson(f, Nil, underContainer = false)
       topIds(f.name) = (j \ "id").asInstanceOf[JInt].num.toInt
       j
     }

@@ -130,10 +130,19 @@ object OtelAnalytics {
     * `exemplars_*` columns, internal/arrow/metrics.go's exemplar lists)
     * into one row per exemplar and resolves each against the flat span
     * table. Exemplars are SAMPLED by construction (a handful per series
-    * per window), so the exploded side is tiny and broadcast — the span
-    * table is never shuffled, at any scale. Left join: an exemplar
-    * whose trace wasn't ingested (sampled out) survives with
-    * `span_found = false` instead of disappearing. */
+    * per window), so the exploded side is tiny and broadcast. An
+    * exemplar whose trace wasn't ingested (sampled out) survives with
+    * `span_found = false` instead of disappearing.
+    *
+    * Join shape (r6 — ADVICE): an outer join can only broadcast the
+    * side OPPOSITE its preserved one, so the old
+    * `right-outer + broadcast(right)` hint was ignored and the span
+    * table went through a full sort-merge shuffle. Decomposed instead:
+    * an inner broadcast-hash join (exemplars build, spans streamed)
+    * carries the matches, and the not-found remainder comes from two
+    * more broadcast joins over the 2-column key projection. The span
+    * table is SCANNED twice (once full-width, once pruned to the join
+    * keys) and never shuffled, at any scale. */
   def exemplarTraces(flatMetrics: DataFrame, flatSpans: DataFrame): DataFrame = {
     val ex = flatMetrics
       .filter(col("exemplars_trace_id").isNotNull)
@@ -149,14 +158,28 @@ object OtelAnalytics {
         col("e.span_id").as("span_id"),
         col("e.trace_id").as("trace_id"))
       .filter(col("trace_id") =!= "")
-    flatSpans
+    val spans = flatSpans
       .select(col("trace_id"), col("span_id"),
         col("service_name"), col("span_name"), col("status_code"),
         round(col("duration") / lit(1000000.0), 3).as("duration_ms"))
-      .join(broadcast(ex), Seq("trace_id", "span_id"), "right")
-      .withColumn("span_found", col("service_name").isNotNull)
-      .select("metric_name", "exemplar_time", "exemplar_value", "trace_id",
-        "span_id", "service_name", "span_name", "status_code", "duration_ms",
-        "span_found")
+    val keys = Seq("trace_id", "span_id")
+    val found = spans.join(broadcast(ex), keys)
+      .withColumn("span_found", lit(true))
+    // span keys that matched any exemplar: left-semi with the exemplar
+    // side as the broadcast build — tiny output by construction
+    val matchedKeys = spans.select(keys.map(col): _*)
+      .join(broadcast(ex.select(keys.map(col): _*)), keys, "left_semi")
+    val missing = ex.join(broadcast(matchedKeys), keys, "left_anti")
+      .withColumn("service_name", lit(null).cast("string"))
+      .withColumn("span_name", lit(null).cast("string"))
+      .withColumn("status_code",
+        lit(null).cast(spans.schema("status_code").dataType))
+      .withColumn("duration_ms", lit(null).cast("double"))
+      .withColumn("span_found", lit(false))
+    val outCols = Seq("metric_name", "exemplar_time", "exemplar_value",
+      "trace_id", "span_id", "service_name", "span_name", "status_code",
+      "duration_ms", "span_found")
+    found.select(outCols.map(col): _*)
+      .unionByName(missing.select(outCols.map(col): _*))
   }
 }

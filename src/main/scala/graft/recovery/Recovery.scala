@@ -134,8 +134,26 @@ object Recovery {
     val p = new Path(manifestPath)
     val t = new Path(tmp)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-    fs.rename(t, p)
+    // Swap with the loss window NARROWED and every rename CHECKED (r6 —
+    // delete-then-rename ignored rename's boolean result, and a false
+    // return — the typical object-store failure mode — or a crash
+    // between the two steps silently lost the manifest; the next read
+    // would fall back to an empty one). Old manifest moves ASIDE first,
+    // so at any crash point either the old or the new copy is at a
+    // known path; the aside copy is removed only after the new one is
+    // in place.
+    val aside = new Path(manifestPath + ".old-" + t.getName.takeRight(8))
+    val hadOld = fs.exists(p)
+    if (hadOld && !fs.rename(p, aside))
+      throw new java.io.IOException(
+        s"manifest swap: failed to move $p aside to $aside")
+    if (!fs.rename(t, p)) {
+      // restore the old manifest before failing — no silent loss
+      if (hadOld) fs.rename(aside, p)
+      throw new java.io.IOException(
+        s"manifest swap: failed to move $t into place at $p")
+    }
+    if (hadOld) fs.delete(aside, true)
     // Drop the stale FileStatusCache listing for the overwritten path.
     spark.catalog.refreshByPath(manifestPath)
     spark.read.parquet(manifestPath)

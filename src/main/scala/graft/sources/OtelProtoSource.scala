@@ -31,10 +31,22 @@ object OtelProtoSource {
   private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
 
+    // Every read is bounds-checked against THIS scope's end (r6 —
+    // unchecked reads trusted decoded lengths, so truncated or corrupt
+    // input could read past a sub-message into sibling bytes — silently
+    // wrong rows — throw a raw ArrayIndexOutOfBounds, or, with a length
+    // that overflowed to a negative Int, move pos BACKWARDS and spin an
+    // executor forever). Malformed input now fails loudly and cheaply.
+    private def need(n: Int): Unit =
+      if (n < 0 || n > end - pos)
+        throw new IllegalArgumentException(
+          s"malformed protobuf: need $n bytes at $pos of $end")
+
     def readVarint(): Long = {
       var shift = 0
       var out = 0L
       while (shift < 64) {
+        need(1)
         val b = buf(pos)
         pos += 1
         out |= (b & 0x7fL) << shift
@@ -44,7 +56,17 @@ object OtelProtoSource {
       throw new IllegalArgumentException("malformed varint")
     }
 
+    /** Length prefix: non-negative and within this scope. */
+    private def readLen(): Int = {
+      val len = readVarint()
+      if (len < 0 || len > end - pos)
+        throw new IllegalArgumentException(
+          s"malformed protobuf: length $len at $pos of $end")
+      len.toInt
+    }
+
     def readFixed64(): Long = {
+      need(8)
       var out = 0L
       var i = 0
       while (i < 8) { out |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
@@ -53,6 +75,7 @@ object OtelProtoSource {
     }
 
     def readFixed32(): Int = {
+      need(4)
       var out = 0
       var i = 0
       while (i < 4) { out |= (buf(pos + i) & 0xff) << (8 * i); i += 1 }
@@ -64,21 +87,21 @@ object OtelProtoSource {
 
     /** Sub-reader over the next length-delimited value. */
     def readMessage(): Reader = {
-      val len = readVarint().toInt
+      val len = readLen()
       val r = new Reader(buf, pos, pos + len)
       pos += len
       r
     }
 
     def readString(): String = {
-      val len = readVarint().toInt
+      val len = readLen()
       val s = new String(buf, pos, len, "UTF-8")
       pos += len
       s
     }
 
     def readBytesHex(): String = {
-      val len = readVarint().toInt
+      val len = readLen()
       val sb = new java.lang.StringBuilder(len * 2)
       var i = 0
       while (i < len) {
@@ -93,14 +116,14 @@ object OtelProtoSource {
 
     def skip(wire: Int): Unit = wire match {
       case 0 => readVarint()
-      case 1 => pos += 8
+      case 1 => need(8); pos += 8
       case 2 =>
         // read the length BEFORE touching pos: `pos += readVarint()`
         // evaluates the old pos first, silently dropping the length
         // byte's own advancement (caught by the field-order fuzz test)
-        val len = readVarint().toInt
+        val len = readLen()
         pos += len
-      case 5 => pos += 4
+      case 5 => need(4); pos += 4
       case w => throw new IllegalArgumentException(s"unsupported wire type $w")
     }
   }

@@ -333,4 +333,40 @@ class OtelProtoSourceSpec extends SparkSpec {
       assert(pb === js, s"$name mismatch:\n  pb=$pb\n  js=$js")
     }
   }
+
+  /** r6 (ADVICE): the Reader must fail LOUDLY on malformed input — a
+    * truncated buffer or a hostile length must raise the decoder's own
+    * IllegalArgumentException, never a raw ArrayIndexOutOfBounds, a
+    * silent misread into sibling bytes, or (negative length moving pos
+    * backwards) a non-terminating loop on an executor. */
+  test("malformed input: every truncation and hostile length fails loudly") {
+    val good = new W().msg(1, new W()
+      .msg(1, resourceW)
+      .msg(2, new W().msg(1, scopeW).msg(2, new W()
+        .hex(1, "0102030405060708090a0b0c0d0e0f10").hex(2, "1112131415161718")
+        .str(5, "GET /").vint(6, 2L)
+        .fixed64(7, 1700000000000000000L).fixed64(8, 1700000001000000000L))))
+      .toBytes
+    assert(OtelProtoSource.decodeTraces(good).nonEmpty)
+    // every strict prefix decodes to SOMETHING or raises IAE — nothing else
+    (0 until good.length).foreach { cut =>
+      try { OtelProtoSource.decodeTraces(good.take(cut)); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        // any other throwable (AIOOBE, NPE) propagates and fails the test
+      }
+    }
+    // length varint that is negative as a Long (10×0xFF + 0x01 = -1):
+    // previously pos += -1 walked BACKWARDS — an infinite loop
+    val negLen = Array[Byte](0x0a) ++ Array.fill(9)(0xff.toByte) :+ 0x01.toByte
+    intercept[IllegalArgumentException] { OtelProtoSource.decodeTraces(negLen) }
+    // length far past the buffer end
+    val overLen = Array[Byte](0x0a, 0x7f, 0x01)
+    intercept[IllegalArgumentException] { OtelProtoSource.decodeTraces(overLen) }
+    // logs and metrics go through the same Reader
+    intercept[IllegalArgumentException] { OtelProtoSource.decodeLogs(negLen) }
+    intercept[IllegalArgumentException] {
+      OtelProtoSource.decodeMetricScopes(negLen)
+    }
+  }
 }

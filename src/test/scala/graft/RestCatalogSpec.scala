@@ -283,6 +283,86 @@ class RestCatalogSpec extends SparkSpec {
     }
   }
 
+  /** r6 (ADVICE): Iceberg resolves columns by field id, so the ids the
+    * SINK stamps into parquet footers and the ids the catalog schema
+    * declares must agree for every field that exists in both — with
+    * arrays and maps in the schema (every OTel flat table has them),
+    * the old interleaved numbering diverged after the first container. */
+  test("parquet footer field ids match the catalog schema ids (arrays+maps)") {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("attrs", MapType(StringType, StringType)),
+      StructField("tags", ArrayType(StringType)),
+      StructField("nested", StructType(Seq(
+        StructField("a", IntegerType),
+        StructField("b", ArrayType(StructType(Seq(
+          StructField("c", DoubleType)))))))),
+      StructField("ts", TimestampType)))
+    val row = org.apache.spark.sql.Row(
+      1L, Map("k" -> "v"), Seq("t1"),
+      org.apache.spark.sql.Row(7, Seq(org.apache.spark.sql.Row(1.5))),
+      java.sql.Timestamp.valueOf("2024-03-05 07:30:00"))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(row), schema)
+
+    val dir = Files.createTempDirectory("graft-fieldid").toString
+    graft.sink.PartitionedParquetSink.withIcebergFieldIds(df)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+    // harvest (dotted path → field id) from the written footer
+    val file = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    val footerIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def walk(t: org.apache.parquet.schema.Type, path: Seq[String]): Unit = {
+      val p = path :+ t.getName
+      if (t.getId != null) footerIds(p.mkString(".")) = t.getId.intValue()
+      t match {
+        case g: org.apache.parquet.schema.GroupType =>
+          g.getFields.asScala.foreach(walk(_, p))
+        case _ => ()
+      }
+    }
+    try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .foreach(walk(_, Nil))
+    finally reader.close()
+    assert(footerIds.nonEmpty)
+
+    // harvest (dotted path → id) from the catalog schema JSON
+    val (json, _) = RestCatalogClient.icebergSchemaJson(schema)
+    val catalogIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def walkJson(j: JValue, path: Seq[String]): Unit = j match {
+      case JObject(fields) =>
+        val name = fields.collectFirst { case ("name", JString(n)) => n }
+        val id = fields.collectFirst { case ("id", JInt(n)) => n.toInt }
+        val p = name.map(path :+ _).getOrElse(path)
+        (name, id) match {
+          case (Some(n), Some(i)) => catalogIds(p.mkString(".")) = i
+          case _ => ()
+        }
+        fields.foreach { case (_, v) => walkJson(v, p) }
+      case JArray(vs) => vs.foreach(walkJson(_, path))
+      case _ => ()
+    }
+    walkJson(json, Nil)
+
+    // every footer id resolves to the SAME id in the catalog schema
+    footerIds.foreach { case (path, fid) =>
+      assert(catalogIds.get(path).contains(fid),
+        s"field $path: footer id $fid vs catalog id ${catalogIds.get(path)}")
+    }
+    // and all sink-stampable fields made it to the footer (both walks
+    // cover exactly the non-container-nested struct fields)
+    val stampable = Set("id", "attrs", "tags", "nested", "nested.a",
+      "nested.b", "ts")
+    assert(footerIds.keySet === stampable)
+  }
+
   /** r6: the commit writes REAL Iceberg v2 Avro metadata. The
     * INDEPENDENT reader here is org.apache.avro's GenericDatumReader
     * (the reference Avro implementation, from the Spark classpath) —
