@@ -114,6 +114,7 @@ object SparkEntry {
     "sim_range_search"   -> ((s, d) => SimOps.rangeSearch(s, d)),
     "sim_kmeans_centroids" -> ((s, d) => SimOps.kmeansCentroids(s, d)),
     "sim_ivf_kmeans"     -> ((s, d) => SimOps.ivfKmeansAnn(s, d)),
+    "sim_ivf_persisted"  -> ((s, d) => SimOps.ivfPersisted(s, d)),
     "sim_ivf_stats"      -> ((s, d) => SimOps.ivfStats(s, d)),
     "tel_funnel"         -> (Telemetry.funnel _),
     "tel_retention"      -> (Telemetry.retention _),
@@ -170,6 +171,7 @@ object SparkEntry {
     "tel_freshness"      -> (Telemetry.freshness _),
     "tel_error_budget"   -> ((s, d) => Telemetry.errorBudget(s, d)),
     "text_vocab_growth"  -> ((s, d) => TextOps.vocabGrowth(s, d)),
+    "text_char_entropy"  -> ((s, d) => TextOps.charEntropy(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1335,6 +1337,25 @@ object SparkEntry {
         | CAST(t.sum_sq AS DOUBLE)*t.k/(CAST(t.total AS DOUBLE)*t.total)
         |   AS scan_imbalance
         |FROM g, t""".stripMargin,
+    // persisted-index probe is bit-identical to the train-inline IVF
+    // (same autoK + Lloyd trajectory), so it shares the same replica
+    "sim_ivf_persisted" ->
+      s"""$KmeansCtes,
+        |w AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        | FROM embeddings),
+        |idx AS (SELECT af.vec_id, af.cid, w.vec, w.nrm FROM af JOIN w USING (vec_id)),
+        |q AS (SELECT vec_id AS query_id, cid, vec AS qvec, nrm AS qnrm
+        |      FROM idx WHERE vec_id < 8),
+        |p AS (
+        | SELECT q.query_id, i.vec_id AS neighbor_id,
+        |  round(list_dot_product(i.vec, q.qvec)/(i.nrm*q.qnrm), 6) AS cosine
+        | FROM idx i JOIN q ON i.cid = q.cid AND i.vec_id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        | row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
+        |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "sim_ivf_kmeans" ->
       s"""$KmeansCtes,
         |w AS (
@@ -1472,6 +1493,29 @@ object SparkEntry {
         | CAST(bad_hours * 100 AS DOUBLE)
         |   / CAST(total_hours * 1 AS DOUBLE) AS budget_used_frac
         |FROM m""".stripMargin,
+    "text_char_entropy" ->
+      """WITH d AS (
+        | SELECT lang, CAST(length(text) AS BIGINT) AS n,
+        |  CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT) AS c_lower,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS c_upper,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS c_digit,
+        |  CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS c_space
+        | FROM documents WHERE length(text) > 0),
+        |e AS (
+        | SELECT lang, CAST(round(10000.0 * (
+        |   CASE WHEN c_lower > 0 THEN -(c_lower/CAST(n AS DOUBLE))*log2(c_lower/CAST(n AS DOUBLE)) ELSE 0 END +
+        |   CASE WHEN c_upper > 0 THEN -(c_upper/CAST(n AS DOUBLE))*log2(c_upper/CAST(n AS DOUBLE)) ELSE 0 END +
+        |   CASE WHEN c_digit > 0 THEN -(c_digit/CAST(n AS DOUBLE))*log2(c_digit/CAST(n AS DOUBLE)) ELSE 0 END +
+        |   CASE WHEN c_space > 0 THEN -(c_space/CAST(n AS DOUBLE))*log2(c_space/CAST(n AS DOUBLE)) ELSE 0 END +
+        |   CASE WHEN c_other > 0 THEN -(c_other/CAST(n AS DOUBLE))*log2(c_other/CAST(n AS DOUBLE)) ELSE 0 END)) AS BIGINT) AS e4
+        | FROM (SELECT lang, n, c_lower, c_upper, c_digit, c_space,
+        |        n - c_lower - c_upper - c_digit - c_space AS c_other FROM d) x)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(min(e4) AS DOUBLE)/10000.0 AS min_entropy,
+        | CAST(max(e4) AS DOUBLE)/10000.0 AS max_entropy,
+        | CAST(sum(CASE WHEN e4 < 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_entropy,
+        | round(CAST(sum(e4) AS DOUBLE) / (10000.0 * count(*)), 4) AS avg_entropy
+        |FROM e GROUP BY lang""".stripMargin,
     "text_vocab_growth" ->
       """WITH t AS (
         | SELECT doc_id,

@@ -618,4 +618,46 @@ object TextOps {
     pairs.withColumn("rnk", row_number().over(ranked).cast("long"))
       .filter($"rnk" <= topN)
   }
+
+  /** Character-class ENTROPY quality signal (r8): per document, the
+    * Shannon entropy of the {lower, upper, digit, space, other}
+    * character distribution. Machine-generated or template spam
+    * collapses to 1-2 classes (low entropy); healthy prose sits near
+    * the corpus mode — the cheap single-pass complement to
+    * [[repetition]]'s n-gram signal, used as a pre-filter before the
+    * expensive dedup stages. Narrow map (5 regex counts per row, no
+    * shuffle until the final per-language rollup); entropy is
+    * round(·, 4)-stabilized like [[tfidf]]'s idf so cross-engine libm
+    * drift can't flip the hash. */
+  def charEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def cnt(re: String): Column =
+      length(regexp_replace($"text", re, "")).cast("long")
+    val d = Tables.documents(spark, sfDir)
+      .filter(length($"text") > 0)
+      .withColumn("n", length($"text").cast("long"))
+      .withColumn("c_lower", $"n" - cnt("[a-z]"))
+      .withColumn("c_upper", $"n" - cnt("[A-Z]"))
+      .withColumn("c_digit", $"n" - cnt("[0-9]"))
+      .withColumn("c_space", $"n" - cnt("\\s"))
+      .withColumn("c_other",
+        $"n" - $"c_lower" - $"c_upper" - $"c_digit" - $"c_space")
+    def term(c: Column): Column =
+      when(c > 0, -(c / $"n") * log2(c / $"n")).otherwise(lit(0.0))
+    // per-doc entropy quantized to integer 1e-4 units: every aggregate
+    // below is EXACT integer math (no order-dependent float sums), and
+    // only the per-doc log2 carries the rounded-once libm value
+    d.withColumn("e4", round(lit(10000.0) * (
+        term($"c_lower") + term($"c_upper") + term($"c_digit") +
+        term($"c_space") + term($"c_other")), 0).cast("long"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"e4").as("sum_e4"),
+           (min($"e4") / 10000.0).as("min_entropy"),
+           (max($"e4") / 10000.0).as("max_entropy"),
+           sum(when($"e4" < 10000L, 1L).otherwise(0L)).as("n_low_entropy"))
+      .withColumn("avg_entropy",
+        round($"sum_e4" / (lit(10000.0) * $"n_docs"), 4))
+      .drop("sum_e4")
+  }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{SimOps, TextOps}
+
+/** r8 additions: persisted-index IVF and the char-entropy quality
+  * signal. */
+class Round8OpsSpec extends SparkSpec {
+
+  test("ivfPersisted probe equals the train-inline IVF bit-for-bit") {
+    val inline0 = SimOps.ivfKmeansAnn(spark, sf).collect().map(_.toString).sorted
+    val persisted = SimOps.ivfPersisted(spark, sf).collect().map(_.toString).sorted
+    assert(persisted.sameElements(inline0))
+    // the index was materialized once and is reused: a second probe hits
+    // the same registry entry (no second training run / temp dir)
+    val dir1 = SimOps.ivfIndexCache.get(sf)
+    assert(dir1 != null)
+    val again = SimOps.ivfPersisted(spark, sf).collect().map(_.toString).sorted
+    assert(again.sameElements(inline0))
+    assert(SimOps.ivfIndexCache.get(sf) === dir1)
+    // the persisted index is a plain parquet table any engine can read
+    val assignments = spark.read.parquet(s"$dir1/assignments")
+    assert(assignments.columns.toSet === Set("vec_id", "cid"))
+    assert(assignments.count() === Tables.embeddings(spark, sf).count())
+  }
+
+  test("charEntropy: bounds, exact integer aggregates, and a driver recompute") {
+    import spark.implicits._
+    val out = TextOps.charEntropy(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (mn, mx, avg) = (r.getAs[Double]("min_entropy"),
+        r.getAs[Double]("max_entropy"), r.getAs[Double]("avg_entropy"))
+      // 5 classes → entropy ∈ [0, log2 5]
+      assert(mn >= 0.0 && mx <= math.log(5) / math.log(2) + 1e-9)
+      assert(mn <= avg + 1e-9 && avg <= mx + 1e-9)
+    }
+    assert(out.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf).filter(length($"text") > 0).count())
+    // driver recompute of one language's average from raw text
+    val docs = Tables.documents(spark, sf)
+      .filter(length($"text") > 0)
+      .select($"lang", $"text").collect()
+    def e4(text: String): Long = {
+      val n = text.length.toDouble
+      val counts = Seq(
+        text.count(c => c >= 'a' && c <= 'z'),
+        text.count(c => c >= 'A' && c <= 'Z'),
+        text.count(c => c >= '0' && c <= '9'),
+        text.count(_.isWhitespace))
+      val other = text.length - counts.sum
+      val h = (counts :+ other).filter(_ > 0).map { c =>
+        -(c / n) * (math.log(c / n) / math.log(2.0))
+      }.sum
+      math.round(10000.0 * h)
+    }
+    val lang = docs.head.getString(0)
+    val mine = docs.filter(_.getString(0) == lang).map(r => e4(r.getString(1)))
+    val expect = BigDecimal(mine.sum) / (10000 * mine.length)
+    val got = out.find(_.getString(0) == lang).get.getAs[Double]("avg_entropy")
+    assert(math.abs(got - expect.toDouble) < 1e-3,
+      s"lang=$lang got=$got expect=$expect")
+  }
+}
