@@ -162,6 +162,7 @@ object SparkEntry {
     "q_width_bucket"     -> ((s, d) => Core.qWidthBucket(s, d)),
     "dedup_apply"        -> ((s, d) => Dedup.dedupApply(s, d)),
     "sim_recall_at_k"    -> ((s, d) => SimOps.recallAtK(s, d)),
+    "sim_nprobe_sweep"   -> ((s, d) => SimOps.nprobeSweep(s, d)),
     "text_ngram_novelty" -> (TextOps.ngramNovelty _),
     "dedup_threshold_sweep" -> (Dedup.thresholdSweep _),
     "tel_hourly_percentiles" -> (Telemetry.hourlyPercentiles _),
@@ -1373,6 +1374,53 @@ object SparkEntry {
         | row_number() OVER (PARTITION BY query_id
         |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
         |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "sim_nprobe_sweep" ->
+      s"""$KmeansCtes,
+        |qc AS (
+        | SELECT v.vec_id AS query_id, c2.cid,
+        |  list_reduce(list_transform(range(1,65),
+        |    i -> (vq[i]-c[i])*(vq[i]-c[i])), (a,b) -> a+b) AS dist
+        | FROM v, c2 WHERE v.vec_id < 8),
+        |qr AS (
+        | SELECT query_id, cid,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY dist, cid) AS crnk
+        | FROM qc),
+        |np AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe),
+        |w AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        | FROM embeddings),
+        |cand AS (
+        | SELECT np.nprobe, qr.query_id, af.vec_id AS neighbor_id
+        | FROM np, qr JOIN af ON af.cid = qr.cid
+        | WHERE qr.crnk <= np.nprobe AND af.vec_id != qr.query_id),
+        |scored AS (
+        | SELECT c.nprobe, c.query_id, c.neighbor_id,
+        |  round(list_dot_product(nw.vec, qw.vec)/(nw.nrm*qw.nrm), 6) AS cos6
+        | FROM cand c
+        | JOIN w nw ON nw.vec_id = c.neighbor_id
+        | JOIN w qw ON qw.vec_id = c.query_id),
+        |topk AS (
+        | SELECT nprobe, query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY nprobe, query_id
+        |    ORDER BY cos6 DESC, neighbor_id) AS rnk
+        | FROM scored QUALIFY rnk <= 5),
+        |bs AS (
+        | SELECT qw.vec_id AS query_id, nw.vec_id AS neighbor_id,
+        |  round(list_dot_product(nw.vec, qw.vec)/(nw.nrm*qw.nrm), 6) AS cos6
+        | FROM w qw, w nw
+        | WHERE qw.vec_id < 8 AND nw.vec_id != qw.vec_id),
+        |brute AS (
+        | SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos6 DESC, neighbor_id) AS rnk
+        | FROM bs QUALIFY rnk <= 5)
+        |SELECT t.nprobe, t.query_id,
+        | CAST(sum(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        | CAST(sum(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/5.0 AS recall
+        |FROM topk t LEFT JOIN brute b
+        |  ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+        |GROUP BY t.nprobe, t.query_id""".stripMargin,
     "sim_recall_at_k" ->
       s"""$KmeansCtes,
         |w AS (

@@ -846,6 +846,67 @@ object SimOps {
     * (the retrieval analogue of [[graft.llm.TextOps.langIdEval]]).
     * Both result sets are tiny (queries × k); the join is trivial
     * next to the two retrieval passes. */
+  /** Recall-vs-NPROBE sweep (r8): the IVF recall knob MEASURED — for
+    * each nprobe in `nprobes`, queries probe their nprobe nearest
+    * centroids (exact quantized-L2 ranking, the training metric) and
+    * the probe's top-k is scored against brute force. This is the curve
+    * an operator reads before fixing nprobe for a 100 TB index: recall
+    * rises with nprobe while probe cost grows ~linearly in lists
+    * scanned. Candidate generation stays an equi-join on cid (inverted
+    * lists are disjoint, so multi-probe adds candidates without dedup);
+    * the sweep multiplies only the TINY query side (queries × nprobe
+    * rows), never the corpus. */
+  def nprobeSweep(spark: SparkSession, sfDir: String, nQueries: Int = 8,
+                  k: Int = 5, nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val ds = quantized(spark, sfDir).localCheckpoint()
+    val kk = autoK(ds.count())
+    val cents = trainCentroids(spark, ds, kk, 2)
+    val cB = spark.sparkContext.broadcast(cents)
+    val assign = ds.mapPartitions { rows =>
+      val cs = cB.value
+      rows.map { case (id, vq) => (id, cs(nearestIdx(vq, cs))._1) }
+    }.toDF("vec_id", "cid")
+    // query → centroid distance ranking, same fold as the assignment
+    val probeRank = ds.filter(_._1 < nQueries).mapPartitions { rows =>
+      val cs = cB.value
+      rows.flatMap { case (id, vq) =>
+        cs.iterator.map { case (cid, c) => (id, cid, l2q(vq, c)) }
+      }
+    }.toDF("query_id", "cid", "dist")
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"dist".asc, $"cid".asc)))
+      .filter($"crnk" <= nprobes.max)
+      .select($"query_id", $"cid", $"crnk")
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    val idx = assign.join(emb, "vec_id")
+    val qvecs = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"))
+    val sweep = nprobes.map(_.toLong).toDF("nprobe")
+      .crossJoin(probeRank)
+      .filter($"crnk" <= $"nprobe")
+      .join(broadcast(qvecs), "query_id")
+    val ranked = idx.join(
+        broadcast(sweep.select($"nprobe", $"query_id", $"cid", $"qvec")),
+        Seq("cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos6", round(call_function("cosine_sim", $"vec", $"qvec"), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"nprobe", $"query_id")
+          .orderBy($"cos6".desc, $"vec_id".asc)))
+      .filter($"rnk" <= k)
+      .select($"nprobe".cast("long").as("nprobe"), $"query_id",
+              $"vec_id".as("neighbor_id"))
+    val brute = simTopkBruteforce(spark, sfDir, nQueries, k)
+      .select($"query_id", $"neighbor_id").withColumn("hit", lit(1L))
+    ranked.join(brute, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"nprobe", $"query_id")
+      .agg(sum(coalesce($"hit", lit(0L))).as("hits"))
+      .withColumn("recall", $"hits".cast("double") / k.toDouble)
+  }
+
   def recallAtK(spark: SparkSession, sfDir: String,
                 nQueries: Int = 8, k: Int = 5): DataFrame = {
     import spark.implicits._

@@ -25,6 +25,28 @@ class Round8OpsSpec extends SparkSpec {
     assert(assignments.count() === Tables.embeddings(spark, sf).count())
   }
 
+  test("nprobeSweep: recall is monotone in nprobe and hits brute force at full probe") {
+    import spark.implicits._
+    val k = 5
+    val out = SimOps.nprobeSweep(spark, sf, k = k).collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("query_id"),
+                 r.getAs[Double]("recall")))
+    assert(out.nonEmpty)
+    // probing MORE lists can only add candidates: per query, recall is
+    // non-decreasing in nprobe
+    out.groupBy(_._2).foreach { case (q, rows) =>
+      val byProbe = rows.sortBy(_._1).map(_._3)
+      assert(byProbe.zip(byProbe.tail).forall { case (a, b) => a <= b + 1e-9 },
+        s"query $q recall not monotone: ${byProbe.toSeq}")
+    }
+    // probing EVERY list is brute force: recall == 1 for all queries
+    val kk = SimOps.autoK(Tables.embeddings(spark, sf).count())
+    val full = SimOps.nprobeSweep(spark, sf, k = k, nprobes = Seq(kk)).collect()
+    assert(full.nonEmpty)
+    full.foreach(r => assert(r.getAs[Double]("recall") === 1.0,
+      s"query ${r.getAs[Long]("query_id")} full-probe recall ${r.getAs[Double]("recall")}"))
+  }
+
   test("charEntropy: bounds, exact integer aggregates, and a driver recompute") {
     import spark.implicits._
     val out = TextOps.charEntropy(spark, sf).collect()
