@@ -147,6 +147,7 @@ object SparkEntry {
     "mm_frame_dedup"     -> (Multimodal.frameDedup _),
     "sim_mrl_rerank"     -> ((s, d) => SimOps.mrlRerank(s, d)),
     "dedup_semantic"     -> ((s, d) => Dedup.semantic(s, d)),
+    "dedup_semantic_apply" -> ((s, d) => Dedup.semanticApply(s, d)),
     "q_asof_native"      -> (AsofJoin.qAsofNative _),
     "tel_twap"           -> (Telemetry.twap _),
     "text_tfidf"         -> ((s, d) => TextOps.tfidf(s, d)),
@@ -2008,6 +2009,35 @@ object SparkEntry {
         | CAST(row_number() OVER (PARTITION BY query_id
         |   ORDER BY cos6 DESC, vec_id) AS BIGINT) AS rnk
         |FROM s WHERE crnk <= 20 QUALIFY rnk <= 5""".stripMargin,
+    // SemDeDup keep-list: same pair predicate as dedup_semantic, then a
+    // recursive-CTE transitive closure (dedup_clusters' pattern) and a
+    // min-label per component joined back to the corpus
+    "dedup_semantic_apply" ->
+      s"""${KmeansCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |w AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        | FROM embeddings),
+        |idx AS (SELECT af.vec_id, af.cid, w.vec, w.nrm
+        |        FROM af JOIN w USING (vec_id)),
+        |pairs AS (
+        | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        | FROM idx a JOIN idx b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        | WHERE round(list_dot_product(a.vec, b.vec)/(a.nrm*b.nrm), 6) >= 0.35),
+        |edges AS (
+        | SELECT vec_a AS src, vec_b AS dst FROM pairs
+        | UNION SELECT vec_b, vec_a FROM pairs),
+        |reach AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (
+        | SELECT src AS vec_id, least(src, min(dst)) AS label
+        | FROM reach GROUP BY src)
+        |SELECT e.vec_id,
+        | coalesce(l.label, e.vec_id) AS cluster_id,
+        | (l.label IS NULL OR l.label = e.vec_id) AS keep
+        |FROM embeddings e LEFT JOIN lab l USING (vec_id)""".stripMargin,
     "dedup_semantic" ->
       s"""$KmeansCtes,
         |w AS (

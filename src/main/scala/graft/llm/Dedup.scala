@@ -599,6 +599,30 @@ object Dedup {
     * the SemDeDup paper changes results and stays a knob. The cosine
     * threshold and 6-decimal rounding match the label-blocked twin, so
     * the two strategies are directly comparable. */
+  /** SemDeDup APPLY (r8): the per-vector keep/drop verdict — semantic
+    * near-dup pairs ([[semantic]]) → connected components
+    * ([[adaptiveComponents]], pointer-jumping at scale) → every
+    * component keeps its smallest vec_id, everything else drops;
+    * vectors without a near-dup keep trivially. The embedding twin of
+    * [[dedupApply]] and the output a curation pipeline actually ships
+    * (`filter($"keep")`): Abbas et al. 2023 report ~50% web-corpus
+    * drops at this stage. The label frame holds only near-dup members —
+    * orders of magnitude below corpus size — so the final left join is
+    * corpus-scan-dominated. */
+  def semanticApply(spark: SparkSession, sfDir: String,
+                    threshold: Double = 0.35, cap: Int = 64): DataFrame = {
+    import spark.implicits._
+    val pairs = semantic(spark, sfDir, threshold, cap)
+      .select($"vec_a", $"vec_b").localCheckpoint()
+    val labels = adaptiveComponents(pairs)
+    Tables.embeddings(spark, sfDir).select($"vec_id")
+      .join(labels.select($"doc_id".as("vec_id"), $"label"),
+        Seq("vec_id"), "left")
+      .select($"vec_id",
+              coalesce($"label", $"vec_id").as("cluster_id"),
+              ($"label".isNull || $"label" === $"vec_id").as("keep"))
+  }
+
   def semantic(spark: SparkSession, sfDir: String,
                threshold: Double = 0.35, cap: Int = 64): DataFrame = {
     import spark.implicits._

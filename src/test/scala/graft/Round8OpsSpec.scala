@@ -47,6 +47,27 @@ class Round8OpsSpec extends SparkSpec {
       s"query ${r.getAs[Long]("query_id")} full-probe recall ${r.getAs[Double]("recall")}"))
   }
 
+  test("semanticApply: one keeper per cluster, drops only pair members, corpus covered") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val out = Dedup.semanticApply(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+                 r.getAs[Boolean]("keep")))
+    assert(out.length === Tables.embeddings(spark, sf).count())
+    // exactly one keeper per cluster, and it is the cluster's min id
+    out.groupBy(_._2).foreach { case (cid, rows) =>
+      val keepers = rows.filter(_._3).map(_._1)
+      assert(keepers.length === 1, s"cluster $cid keepers: ${keepers.toSeq}")
+      assert(keepers.head === rows.map(_._1).min && keepers.head === cid)
+    }
+    // every dropped vector appears in some near-dup pair
+    val inPairs = Dedup.semantic(spark, sf).collect()
+      .flatMap(r => Seq(r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    out.filter(!_._3).foreach { case (v, _, _) =>
+      assert(inPairs(v), s"dropped $v has no near-dup pair")
+    }
+  }
+
   test("charEntropy: bounds, exact integer aggregates, and a driver recompute") {
     import spark.implicits._
     val out = TextOps.charEntropy(spark, sf).collect()
