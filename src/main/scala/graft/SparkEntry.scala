@@ -28,6 +28,8 @@ object SparkEntry {
     "q_conditional_agg"  -> (Core.qConditionalAgg _),
     "q_scalar_subquery"  -> (Core.qScalarSubquery _),
     "q_asof_join"        -> (AsofJoin.qAsofJoin _),
+    "q_asof_forward"     -> (AsofJoin.qAsofForward _),
+    "q_asof_tolerance"   -> (AsofJoin.qAsofTolerance _),
     "q_salted_agg"       -> (SkewOps.qSaltedAgg _),
     "q_salted_join"      -> (SkewOps.qSaltedJoin _),
     "q_range_join"       -> ((s, d) => RangeJoin.qRangeJoin(s, d)),
@@ -347,6 +349,29 @@ object SparkEntry {
         | round(r.o_totalprice, 4) AS last_order_price
         |FROM events e ASOF LEFT JOIN r
         | ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin,
+    "q_asof_forward" ->
+      """WITH r AS (
+        | SELECT o_custkey, o_orderdate,
+        |  max(o_orderkey) AS o_orderkey,
+        |  arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        | FROM orders GROUP BY 1,2)
+        |SELECT e.event_id, e.user_id, r.o_orderkey AS next_order_key,
+        | round(r.o_totalprice, 4) AS next_order_price
+        |FROM events e ASOF LEFT JOIN r
+        | ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate""".stripMargin,
+    "q_asof_tolerance" ->
+      """WITH r AS (
+        | SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS o_ts,
+        |  max(o_orderkey) AS o_orderkey,
+        |  arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        | FROM orders GROUP BY 1,2)
+        |SELECT e.event_id, e.user_id,
+        | CASE WHEN epoch_us(e.ts) - epoch_us(r.o_ts) <= 2592000000000
+        |   THEN r.o_orderkey END AS recent_order_key,
+        | CASE WHEN epoch_us(e.ts) - epoch_us(r.o_ts) <= 2592000000000
+        |   THEN round(r.o_totalprice, 4) END AS recent_order_price
+        |FROM events e ASOF LEFT JOIN r
+        | ON e.user_id = r.o_custkey AND e.ts >= r.o_ts""".stripMargin,
     // the native-exec twin answers the SAME question — one oracle text,
     // two physical strategies under test
     "q_asof_native" ->

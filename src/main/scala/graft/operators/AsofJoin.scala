@@ -50,6 +50,83 @@ object AsofJoin {
       .select(leftCols.map(col) :+ col("_asof"): _*)
   }
 
+  /** FORWARD as-of join (r8): every left row keeps the payload of the
+    * EARLIEST right row with rightTime >= leftTime — pandas
+    * `merge_asof(direction="forward")` / QuestDB's forward variant, the
+    * "what happened next" join (event → next order, alert → next
+    * deploy). Mirror image of [[leftAsof]]: same tag-union-window
+    * single shuffle, but the frame scans FORWARD (first following
+    * right payload). At equal timestamps the right row counts as
+    * matched (left sorts before right via `_side asc`). */
+  def leftAsofForward(left: DataFrame, right: DataFrame,
+                      leftKey: Column, rightKey: Column,
+                      leftTime: Column, rightTime: Column,
+                      payload: Seq[(String, Column)]): DataFrame = {
+    val leftCols = left.columns
+    val payloadStruct = struct(payload.map { case (n, c) => c.as(n) }: _*)
+    val r = right
+      .select(rightKey.as("_k"), rightTime.as("_t"), payloadStruct.as("_payload"))
+      .withColumn("_side", lit(1))
+    val l = left
+      .withColumn("_k", leftKey).withColumn("_t", leftTime)
+      .withColumn("_side", lit(0))
+      .withColumn("_payload", lit(null).cast(r.schema("_payload").dataType))
+    val rAligned = l.columns.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
+    }.select(l.columns.map(col): _*)
+    // left rows sort before right rows at the same instant (_side asc)
+    // so "at or after" includes exact-timestamp matches
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(rAligned)
+      .withColumn("_asof", first(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select(leftCols.map(col) :+ col("_asof"): _*)
+  }
+
+  /** Backward as-of with a TOLERANCE bound (r8): like [[leftAsof]], but
+    * a match older than `toleranceUs` microseconds nulls out — pandas
+    * `merge_asof(tolerance=...)`. The staleness guard every "join
+    * latest state" pipeline needs: a reading from last month is worse
+    * than no reading. Same single-shuffle window; the carried payload
+    * smuggles the matched right time, and one post-window comparison
+    * applies the bound — no extra shuffle. Time columns must be
+    * timestamps (micros comparison). */
+  def leftAsofTolerance(left: DataFrame, right: DataFrame,
+                        leftKey: Column, rightKey: Column,
+                        leftTime: Column, rightTime: Column,
+                        payload: Seq[(String, Column)],
+                        toleranceUs: Long): DataFrame = {
+    val leftCols = left.columns
+    val payloadStruct = struct(
+      (payload.map { case (n, c) => c.as(n) } :+
+        unix_micros(rightTime).as("_mt")): _*)
+    val r = right
+      .select(rightKey.as("_k"), rightTime.as("_t"), payloadStruct.as("_payload"))
+      .withColumn("_side", lit(1))
+    val l = left
+      .withColumn("_k", leftKey).withColumn("_t", leftTime)
+      .withColumn("_side", lit(0))
+      .withColumn("_payload", lit(null).cast(r.schema("_payload").dataType))
+    val rAligned = l.columns.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
+    }.select(l.columns.map(col): _*)
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc, col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(rAligned)
+      .withColumn("_m", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+    val inTol = col("_m").isNotNull &&
+      (unix_micros(col("_t")) - col("_m").getField("_mt") <= toleranceUs)
+    val cleaned = struct(payload.map { case (n, _) =>
+      col("_m").getField(n).as(n) }: _*)
+    matched
+      .withColumn("_asof", when(inTol, cleaned))
+      .select(leftCols.map(col) :+ col("_asof"): _*)
+  }
+
   /** NATIVE as-of join through the full custom-operator path
     * ([[graft.plans.AsOfJoinNode]] → [[graft.plans.AsOfJoinStrategy]] →
     * [[graft.plans.AsOfJoinExec]]): each side shuffles on its own key
@@ -113,6 +190,45 @@ object AsofJoin {
       .select($"event_id", $"user_id",
               $"o_orderkey".as("last_order_key"),
               round($"o_totalprice", 4).as("last_order_price"))
+  }
+
+  /** events FORWARD-as-of orders per user: annotate each event with the
+    * user's NEXT order at or after event time (null if none follows) —
+    * the attribution-window question ("did this session convert?"). */
+  def qAsofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts")
+    val orders = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"),
+           max_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))
+    leftAsofForward(events, orders,
+      $"user_id", $"o_custkey", $"ts", $"o_orderdate",
+      Seq("o_orderkey" -> $"o_orderkey", "price" -> $"o_totalprice"))
+      .select($"event_id", $"user_id",
+              $"_asof.o_orderkey".as("next_order_key"),
+              round($"_asof.price", 4).as("next_order_price"))
+  }
+
+  /** [[qAsofJoin]] with a 30-day staleness bound: orders older than 30
+    * days at event time null out instead of matching. */
+  def qAsofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts")
+    val orders = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"),
+           max_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))
+      .withColumn("o_ts", $"o_orderdate".cast("timestamp"))
+    leftAsofTolerance(events, orders,
+      $"user_id", $"o_custkey", $"ts", $"o_ts",
+      Seq("o_orderkey" -> $"o_orderkey", "price" -> $"o_totalprice"),
+      toleranceUs = 30L * 86400L * 1000000L)
+      .select($"event_id", $"user_id",
+              $"_asof.o_orderkey".as("recent_order_key"),
+              round($"_asof.price", 4).as("recent_order_price"))
   }
 
   /** events as-of orders per user: annotate each event with the user's
