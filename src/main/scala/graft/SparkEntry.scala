@@ -29,6 +29,7 @@ object SparkEntry {
     "q_scalar_subquery"  -> (Core.qScalarSubquery _),
     "q_asof_join"        -> (AsofJoin.qAsofJoin _),
     "q_asof_forward"     -> (AsofJoin.qAsofForward _),
+    "q_asof_forward_native" -> (AsofJoin.qAsofForwardNative _),
     "q_asof_tolerance"   -> (AsofJoin.qAsofTolerance _),
     "q_salted_agg"       -> (SkewOps.qSaltedAgg _),
     "q_salted_join"      -> (SkewOps.qSaltedJoin _),
@@ -350,6 +351,17 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN r
         | ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin,
     "q_asof_forward" ->
+      """WITH r AS (
+        | SELECT o_custkey, o_orderdate,
+        |  max(o_orderkey) AS o_orderkey,
+        |  arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        | FROM orders GROUP BY 1,2)
+        |SELECT e.event_id, e.user_id, r.o_orderkey AS next_order_key,
+        | round(r.o_totalprice, 4) AS next_order_price
+        |FROM events e ASOF LEFT JOIN r
+        | ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate""".stripMargin,
+    // native forward merge answers the same question as q_asof_forward
+    "q_asof_forward_native" ->
       """WITH r AS (
         | SELECT o_custkey, o_orderdate,
         |  max(o_orderkey) AS o_orderkey,

@@ -137,7 +137,8 @@ object AsofJoin {
     * (timestamp-micros or bigint) and be non-null. */
   def leftAsofNative(left: DataFrame, right: DataFrame,
                      leftKey: String, rightKey: String,
-                     leftTime: String, rightTime: String): DataFrame = {
+                     leftTime: String, rightTime: String,
+                     forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val lPlan = left.queryExecution.analyzed
@@ -171,7 +172,8 @@ object AsofJoin {
         s"${lkAttr.dataType.simpleString}, ${rkAttr.name} is " +
         s"${rkAttr.dataType.simpleString}")
     org.apache.spark.sql.graft.GraftSql.ofRows(spark,
-      graft.plans.AsOfJoinNode(lPlan, rPlan, Seq(lkAttr), Seq(rkAttr), lt, rt))
+      graft.plans.AsOfJoinNode(lPlan, rPlan, Seq(lkAttr), Seq(rkAttr), lt, rt,
+        forward))
   }
 
   /** [[qAsofJoin]] re-planned through the native exec — same oracle,
@@ -190,6 +192,25 @@ object AsofJoin {
       .select($"event_id", $"user_id",
               $"o_orderkey".as("last_order_key"),
               round($"o_totalprice", 4).as("last_order_price"))
+  }
+
+  /** [[qAsofForward]] re-planned through the native exec's FORWARD
+    * merge — same oracle, third physical strategy under test. */
+  def qAsofForwardNative(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts")
+    val orders = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"),
+           max_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))
+      .select($"o_custkey", $"o_orderdate".cast("timestamp").as("o_ts"),
+              $"o_orderkey", $"o_totalprice")
+    leftAsofNative(events, orders, "user_id", "o_custkey", "ts", "o_ts",
+      forward = true)
+      .select($"event_id", $"user_id",
+              $"o_orderkey".as("next_order_key"),
+              round($"o_totalprice", 4).as("next_order_price"))
   }
 
   /** events FORWARD-as-of orders per user: annotate each event with the

@@ -30,7 +30,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
                         leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-                        leftTime: Expression, rightTime: Expression)
+                        leftTime: Expression, rightTime: Expression,
+                        forward: Boolean = false)
     extends BinaryNode {
   // right columns become nullable: unmatched left rows pad with null
   override def output: Seq[Attribute] =
@@ -45,8 +46,8 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
   * `spark.experimental.extraStrategies` (GraftFunctions.register). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -63,7 +64,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   * row) — no hash table, no window buffer, no spill surface. */
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-                        leftTime: Expression, rightTime: Expression)
+                        leftTime: Expression, rightTime: Expression,
+                        forward: Boolean = false)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -95,6 +97,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rKeyExprs = rightKeys
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
+    val isForward = forward
     val lAttrs = left.output
     val rAttrs = right.output
     val nRight = rAttrs.size
@@ -148,7 +151,41 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val lTimeOf = timeGetter(lTimeBound, "left")
       val rTimeOf = timeGetter(rTimeBound, "right")
 
-      new Iterator[InternalRow] {
+      if (isForward) new Iterator[InternalRow] {
+        // FORWARD merge (r8): per left row, the FIRST right row with
+        // rightTime >= leftTime on the same key. Right rows are not
+        // consumed by matching (several lefts can share one next-row);
+        // they are discarded only once provably dead — key passed, or
+        // same key with rightTime < the current (ascending) left time.
+        // State is just the parked right row: no match buffer at all.
+        private var rCur: InternalRow = _
+        private var rCurKey: InternalRow = _
+        private var keyBuf: UnsafeRow = _
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKeyProj(l)
+          val lt = lTimeOf(l)
+          var done = false
+          while (!done && (rCur != null || rIter.hasNext)) {
+            if (rCur == null) {
+              rCur = rIter.next()
+              val k = rKeyProj(rCur)
+              if (keyBuf == null) keyBuf = k.copy() else keyBuf.copyFrom(k)
+              rCurKey = keyBuf
+            }
+            val cmp = keyOrd.compare(rCurKey, lk)
+            if (cmp < 0) rCur = null            // key passed: dead
+            else if (cmp == 0 && rTimeOf(rCur) < lt) rCur = null // too early forever
+            else done = true                    // candidate (==) or ahead (>)
+          }
+          val hasMatch = rCur != null && keyOrd.compare(rCurKey, lk) == 0
+          if (hasMatch) matched += 1
+          outRows += 1
+          out(joined(l, if (hasMatch) rCur else nullRight))
+        }
+      }
+      else new Iterator[InternalRow] {
         private var rCur: InternalRow = _         // un-consumed right row
         private var rCurKey: InternalRow = _
         private var matchRow: InternalRow = _     // latest qualifying right

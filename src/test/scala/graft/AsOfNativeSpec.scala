@@ -141,4 +141,30 @@ class AsOfNativeSpec extends SparkSpec {
       .map(r => r.getString(0) -> Option(r.getString(1))).toMap
     assert(got === expect)
   }
+
+  test("FORWARD native merge equals the forward window composition and a driver argmin") {
+    import spark.implicits._
+    // the three-strategy cross-check on the real tables
+    val native = AsofJoin.qAsofForwardNative(spark, sf)
+    val window = AsofJoin.qAsofForward(spark, sf)
+    assert(native.count() === window.count())
+    assert(native.except(window).count() === 0L)
+    assert(window.except(native).count() === 0L)
+    // synthetic multi-partition fixture vs driver reference: earliest
+    // at-or-after wins; right rows are shared by several lefts
+    val left = (0L until 400L).map(i => (i % 40, i, s"L$i")).toDF("k", "t", "tag")
+    val right = (0L until 200L).map(i => (i % 20, i * 2, s"R$i")).toDF("rk", "rt", "payload")
+    val fwd = AsofJoin.leftAsofNative(left, right, "k", "rk", "t", "rt",
+      forward = true)
+    val rights = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expect = left.collect().map { r =>
+      val (k, t, tag) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val best = rights.filter(x => x._1 == k && x._2 >= t)
+        .sortBy(x => (x._2, x._3)).headOption.map(_._3)
+      tag -> best
+    }.toMap
+    val got = fwd.select($"tag", $"payload").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got === expect)
+  }
 }
