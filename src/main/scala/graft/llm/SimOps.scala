@@ -884,8 +884,11 @@ object SimOps {
     val idx = assign.join(emb, "vec_id")
     val qvecs = emb.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"vec".as("qvec"))
-    val sweep = nprobes.map(_.toLong).toDF("nprobe")
-      .crossJoin(probeRank)
+    // fan the sweep out with a literal-array explode — no join shape at
+    // all (a crossJoin here planned a BroadcastNestedLoopJoin, which the
+    // plan-hygiene gate rightly rejects)
+    val sweep = probeRank
+      .withColumn("nprobe", explode(array(nprobes.map(n => lit(n.toLong)): _*)))
       .filter($"crnk" <= $"nprobe")
       .join(broadcast(qvecs), "query_id")
     val ranked = idx.join(
@@ -901,7 +904,7 @@ object SimOps {
               $"vec_id".as("neighbor_id"))
     val brute = simTopkBruteforce(spark, sfDir, nQueries, k)
       .select($"query_id", $"neighbor_id").withColumn("hit", lit(1L))
-    ranked.join(brute, Seq("query_id", "neighbor_id"), "left")
+    ranked.join(broadcast(brute), Seq("query_id", "neighbor_id"), "left")
       .groupBy($"nprobe", $"query_id")
       .agg(sum(coalesce($"hit", lit(0L))).as("hits"))
       .withColumn("recall", $"hits".cast("double") / k.toDouble)

@@ -17,6 +17,7 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_pq_ann",           // codebook-scoring cross (broadcast train set)
     "sim_range_search",     // corpus × broadcast query set (by design)
     "sim_mrl_rerank",       // corpus × broadcast query set (by design)
+    "sim_nprobe_sweep",     // brute-force baseline inside the evaluation
     "sim_recall_at_k",      // composes the bruteforce pass (same shape)
     "text_mix_weights",     // 5-row agg × 1-row total broadcast
     "text_doc_freq",        // term aggregates × 1-row doc-count broadcast
