@@ -26,10 +26,22 @@ object Sf1Scale {
 
   private val MIX = 2654435761L
 
-  /** Uniform in [-1, 1) with 2^11 levels, from an integer mix —
-    * deterministic, no RNG state, parallelizable per element. */
+  /** splitmix64 finalizer — full-avalanche integer mix. A plain
+    * multiply-mod here is NOT random enough: consecutive keys step by a
+    * constant residue, which made every generated document a rotation
+    * of one global word cycle (all docs pairwise ~20%+ overlapping →
+    * the near-dup pair set itself was quadratic, drowning the
+    * scaling measurement in genuinely quadratic OUTPUT). */
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Uniform in [-1, 1) with 2^11 levels, deterministic per element. */
   private def coord(i: Long, d: Int): Float = {
-    val h = java.lang.Math.floorMod((i * 64 + d + 1) * MIX, 4096L)
+    val h = java.lang.Math.floorMod(mix64(i * 64 + d + 1) * MIX, 4096L)
     ((h - 2048L) / 2048.0).toFloat
   }
 
@@ -51,6 +63,44 @@ object Sf1Scale {
     "dedup_semantic", "sim_knn_graph", "sim_topk_bruteforce", "sim_lsh_ann",
     "sim_ivf_kmeans", "sim_kmeans_centroids", "sim_int8_topk",
     "sim_range_search")
+
+  /** Documents-table dedup/text pipelines — the banded-LSH / inverted-
+    * index / prefix-filter scale claims, measured on a text corpus with
+    * ~10% injected near-duplicates. */
+  private val docQueries: Seq[String] = Seq(
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_ngram_prefix", "dedup_clusters", "text_winnow")
+
+  /** Deterministic word from a full-avalanche mix (vocab of 1000):
+    * individual word collisions are common (real corpora repeat words)
+    * but 3-gram shingle collisions between unrelated docs are
+    * vanishingly rare, so candidate pairs come from the INJECTED
+    * near-duplicates, as in a real deduplication run. */
+  private def word(h: Long): String = s"w${java.lang.Math.floorMod(mix64(h), 1000L)}"
+
+  /** Synthetic documents with the testdata schema: ~120 words each from
+    * a 1k vocabulary; every 10th doc is a NEAR-DUPLICATE of the previous
+    * doc (3 word substitutions) so the near-dup pipelines have real
+    * work. All content derives from integer mixes — no RNG state. */
+  private def genDocCorpus(spark: SparkSession, n: Int): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-sf1-docs-$n").toString
+    spark.range(n.toLong).as[Long]
+      .mapPartitions(_.map { i =>
+        val src = if (i % 10 == 9) i - 1 else i // near-dup of predecessor
+        val words = Array.tabulate(120) { j =>
+          // duplicates perturb 3 positions deterministically
+          if (i % 10 == 9 && j % 40 == 7) word(i * 131 + j)
+          else word(src * 131 + j)
+        }
+        val text = words.mkString(" ")
+        (i, text, s"l${i % 3}", s"s${i % 4}", text.length.toLong)
+      })
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
 
   def maybeRun(spark: SparkSession): Option[String] =
     if (!sys.env.get("SPARK_GRAFT_SF1").exists(_.nonEmpty)) None
@@ -76,11 +126,20 @@ object Sf1Scale {
       val b = time(q, dirBig)
       q -> ((s, b, b / math.max(s, 1e-9)))
     }
-    val json = rows.map { case (q, (s, b, r)) =>
-      s""""$q":{"small":${r3(s)},"big":${r3(b)},"ratio":${r3(r)}}"""
-    }.mkString(
-      s"""{"n_small":$nSmall,"n_big":$nBig,"factor":10,"queries":{""",
-      ",", "}}")
+    val docSmall = genDocCorpus(spark, nSmall)
+    val docBig = genDocCorpus(spark, nBig)
+    val docRows = docQueries.map { q =>
+      val s = time(q, docSmall)
+      val b = time(q, docBig)
+      q -> ((s, b, b / math.max(s, 1e-9)))
+    }
+    def entries(rs: Seq[(String, (Double, Double, Double))]): String =
+      rs.map { case (q, (s, b, r)) =>
+        s""""$q":{"small":${r3(s)},"big":${r3(b)},"ratio":${r3(r)}}"""
+      }.mkString(",")
+    val json =
+      s"""{"n_small":$nSmall,"n_big":$nBig,"factor":10,"queries":{${
+        entries(rows)}},"doc_queries":{${entries(docRows)}}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_sf1.json"),
       json.getBytes("UTF-8")) catch { case _: Throwable => () }
     json

@@ -48,6 +48,7 @@ object SparkEntry {
     "tel_error_rate"     -> (Telemetry.errorRate _),
     "tel_value_stats"    -> (Telemetry.valueStats _),
     "tel_histogram"      -> (Telemetry.histogram _),
+    "tel_hist_quantile"  -> ((s, d) => Telemetry.histQuantile(s, d)),
     "dedup_exact"        -> (TextOps.dedupExact _),
     "text_fingerprint"   -> (TextOps.fingerprint _),
     "text_tokens"        -> (TextOps.tokenStats _),
@@ -504,6 +505,24 @@ object SparkEntry {
         |  min(value) AS min_value, max(value) AS max_value,
         |  round(sum(value),4) AS sum_value
         | FROM events GROUP BY 1,2) t""".stripMargin,
+    "tel_hist_quantile" ->
+      """WITH g AS (
+        | SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS total,
+        |  CAST(sum(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |  CAST(sum(CASE WHEN value < 100 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |  CAST(sum(CASE WHEN value < 200 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |  CAST(sum(CASE WHEN value < 500 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+        | FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, 0.9 * total AS rnk FROM g)
+        |SELECT event_type, day, total, round(
+        | CASE
+        |  WHEN rnk <= c1 THEN 50.0 * (rnk / c1)
+        |  WHEN rnk <= c2 THEN 50.0 + 50.0 * ((rnk - c1) / (c2 - c1))
+        |  WHEN rnk <= c3 THEN 100.0 + 100.0 * ((rnk - c2) / (c3 - c2))
+        |  WHEN rnk <= c4 THEN 200.0 + 300.0 * ((rnk - c3) / (c4 - c3))
+        |  ELSE 500.0 END, 6) AS p90
+        |FROM r""".stripMargin,
     "tel_histogram" ->
       """SELECT event_type,
         | CASE WHEN value<50 THEN '0_lt50' WHEN value<100 THEN '1_lt100'

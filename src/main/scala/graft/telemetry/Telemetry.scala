@@ -397,6 +397,40 @@ object Telemetry {
   /** Explicit-bounds histogram (bounds 50/100/200/500) — the reference's
     * histogram metric shape (metrics.go explicit_bounds/bucket_counts)
     * computed from raw values. */
+  /** PromQL `histogram_quantile` on classic le-buckets (r8): cumulative
+    * bucket counts per (event_type, day) from ONE conditional-agg pass
+    * (the le-buckets are cumulative by construction — no window), then
+    * linear interpolation inside the first bucket whose cumulative
+    * count reaches rank = q·total; the +Inf bucket returns its lower
+    * bound, exactly Prometheus' convention. Every branch divides by a
+    * strictly positive width (a zero-width branch is unreachable: rank
+    * ≤ c_i with c_i = c_{i-1} already matched the previous branch).
+    * Arithmetic is the same single IEEE op sequence in the SQL oracle —
+    * no rounding slack needed beyond the final display round. */
+  def histQuantile(spark: SparkSession, sfDir: String,
+                   q: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    val g = Tables.events(spark, sfDir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("total"),
+           sum(when($"value" < 50, 1L).otherwise(0L)).as("c1"),
+           sum(when($"value" < 100, 1L).otherwise(0L)).as("c2"),
+           sum(when($"value" < 200, 1L).otherwise(0L)).as("c3"),
+           sum(when($"value" < 500, 1L).otherwise(0L)).as("c4"))
+    g.withColumn("rank", lit(q) * $"total")
+      .withColumn("p90", round(
+        when($"rank" <= $"c1",
+          lit(50.0) * ($"rank" / $"c1"))
+        .when($"rank" <= $"c2",
+          lit(50.0) + lit(50.0) * (($"rank" - $"c1") / ($"c2" - $"c1")))
+        .when($"rank" <= $"c3",
+          lit(100.0) + lit(100.0) * (($"rank" - $"c2") / ($"c3" - $"c2")))
+        .when($"rank" <= $"c4",
+          lit(200.0) + lit(300.0) * (($"rank" - $"c3") / ($"c4" - $"c3")))
+        .otherwise(lit(500.0)), 6))
+      .select($"event_type", $"day", $"total", $"p90")
+  }
+
   def histogram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val bucket =
