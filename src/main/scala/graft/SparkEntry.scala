@@ -149,6 +149,7 @@ object SparkEntry {
     "tel_new_vs_returning" -> (Telemetry.newVsReturning _),
     "text_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
     "mm_frame_dedup"     -> (Multimodal.frameDedup _),
+    "mm_ahash_pairs"     -> ((s, d) => Multimodal.ahashPairs(s, d)),
     "sim_mrl_rerank"     -> ((s, d) => SimOps.mrlRerank(s, d)),
     "dedup_semantic"     -> ((s, d) => Dedup.semantic(s, d)),
     "dedup_semantic_apply" -> ((s, d) => Dedup.semanticApply(s, d)),
@@ -2032,6 +2033,36 @@ object SparkEntry {
         |SELECT pair, CAST(n AS BIGINT) AS n,
         | CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rnk
         |FROM p QUALIFY rnk <= 25""".stripMargin,
+    "mm_ahash_pairs" ->
+      """WITH fr AS (
+        | SELECT doc_id, CAST(i*64 AS BIGINT) AS off,
+        |  substr(text, CAST(i*64+1 AS BIGINT), 64) AS frame
+        | FROM (SELECT doc_id, text,
+        |   unnest(generate_series(0,
+        |     CAST(ceil(length(text)/64.0) AS BIGINT)-1, 4)) AS i
+        |  FROM documents WHERE length(text) > 0) t
+        | WHERE length(substr(text, CAST(i*64+1 AS BIGINT), 64)) = 64),
+        |hx AS (
+        | SELECT doc_id, off,
+        |  list_reduce(list_transform(range(0, 32), j -> CASE
+        |    WHEN ascii(substr(frame, CAST(j+1 AS BIGINT), 1)) * 32 >
+        |      list_reduce(list_transform(range(1, 33),
+        |        k -> ascii(substr(frame, CAST(k AS BIGINT), 1))), (a,b) -> a+b)
+        |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END), (a,b) -> a+b) AS ahash
+        | FROM fr),
+        |banded AS (
+        | SELECT doc_id, off, ahash, b.band,
+        |  (ahash >> (b.band*8)) & 255 AS band_val
+        | FROM hx CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS doc_a, a.off AS off_a,
+        |  b.doc_id AS doc_b, b.off AS off_b, a.ahash AS ha, b.ahash AS hb
+        | FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.band_val = b.band_val
+        |  AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.off < b.off)))
+        |SELECT doc_a, off_a, doc_b, off_b,
+        | CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
     "mm_frame_dedup" ->
       """WITH fr AS (
         | SELECT doc_id, md5(substr(text, CAST(i*64+1 AS BIGINT), 64)) AS frame_md5

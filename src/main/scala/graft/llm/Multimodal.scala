@@ -157,6 +157,55 @@ object Multimodal {
       .filter(col("n_frames") > 1)
   }
 
+  /** PERCEPTUAL near-dup frames via average-hash (r8): per full frame, a
+    * 32-bit aHash — bit j set iff pixel j is above the frame's mean
+    * (pixels = the frame's first 32 byte values under the stub decode;
+    * a real decoder swaps in luma samples, the hash math is identical).
+    * Near-dup pairs are mined with the [[Dedup]] simhash band trick:
+    * distance ≤ 3 guarantees one of four 8-bit bands is EQUAL
+    * (pigeonhole), so candidates come from a band equi-join — never
+    * all-pairs — and bit_count verifies exactly. This is the perceptual
+    * complement to [[frameDedup]]'s md5: robust to small pixel
+    * perturbations where the digest only catches exact copies.
+    * Integer-only math (px·32 > Σpx avoids the mean division), so the
+    * SQL oracle reproduces every bit. */
+  def ahashPairs(spark: SparkSession, sfDir: String, tau: Int = 3,
+                 frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    val frames = Tables.documents(spark, sfDir)
+      .filter(length($"text") > 0)
+      .select($"doc_id", $"text",
+        explode(sequence(lit(0),
+          ceil(length($"text") / lit(frameBytes.toDouble)).cast("int") - 1,
+          lit(stride))).as("i"))
+      .select($"doc_id", ($"i" * frameBytes).cast("long").as("off"),
+        expr(s"substring(text, i * $frameBytes + 1, $frameBytes)").as("frame"))
+      .filter(length($"frame") === frameBytes)
+      .withColumn("px",
+        expr("transform(sequence(1, 32), j -> ascii(substring(frame, j, 1)))"))
+      .withColumn("psum", expr("aggregate(px, 0, (a, x) -> a + x)"))
+      .withColumn("ahash", expr(
+        "aggregate(sequence(0, 31), 0L, (a, j) -> " +
+          "a + IF(element_at(px, j + 1) * 32 > psum, shiftleft(1L, j), 0L))"))
+      .select($"doc_id", $"off", $"ahash")
+    val banded = frames
+      .withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("band_val",
+        expr("shiftright(ahash, band * 8) & 255"))
+    val a = banded.select($"band", $"band_val", $"doc_id".as("doc_a"),
+      $"off".as("off_a"), $"ahash".as("ha"))
+    val b = banded.select($"band", $"band_val", $"doc_id".as("doc_b"),
+      $"off".as("off_b"), $"ahash".as("hb"))
+    a.join(b, Seq("band", "band_val"))
+      .filter($"doc_a" < $"doc_b" ||
+              ($"doc_a" === $"doc_b" && $"off_a" < $"off_b"))
+      .select($"doc_a", $"off_a", $"doc_b", $"off_b", $"ha", $"hb")
+      .distinct() // a close pair can collide in several bands
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter($"hamming" <= tau)
+      .select($"doc_a", $"off_a", $"doc_b", $"off_b", $"hamming")
+  }
+
   /** Stub scene-cut detection: a cut wherever consecutive sampled
     * frames change content digest (a real pipeline compares feature
     * distances; the Spark plumbing — per-video ordered scan, digest
