@@ -2044,24 +2044,28 @@ object SparkEntry {
         | WHERE length(substr(text, CAST(i*64+1 AS BIGINT), 64)) = 64),
         |hx AS (
         | SELECT doc_id, off,
-        |  list_reduce(list_transform(range(0, 32), j -> CASE
-        |    WHEN ascii(substr(frame, CAST(j+1 AS BIGINT), 1)) * 32 >
-        |      list_reduce(list_transform(range(1, 33),
+        |  list_reduce(list_transform(range(0, 63), j -> CASE
+        |    WHEN ascii(substr(frame, CAST(j+1 AS BIGINT), 1)) * 63 >
+        |      list_reduce(list_transform(range(1, 64),
         |        k -> ascii(substr(frame, CAST(k AS BIGINT), 1))), (a,b) -> a+b)
         |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END), (a,b) -> a+b) AS ahash
         | FROM fr),
+        |grp AS (
+        | SELECT ahash, CAST(count(*) AS BIGINT) AS n_frames,
+        |  min(doc_id) AS min_doc
+        | FROM hx GROUP BY 1),
         |banded AS (
-        | SELECT doc_id, off, ahash, b.band,
-        |  (ahash >> (b.band*8)) & 255 AS band_val
-        | FROM hx CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b),
+        | SELECT ahash, n_frames, min_doc, b.band,
+        |  (ahash >> (b.band*16)) & 65535 AS band_val
+        | FROM grp CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b),
         |cand AS (
-        | SELECT DISTINCT a.doc_id AS doc_a, a.off AS off_a,
-        |  b.doc_id AS doc_b, b.off AS off_b, a.ahash AS ha, b.ahash AS hb
+        | SELECT DISTINCT a.ahash AS ha, b.ahash AS hb,
+        |  a.n_frames AS n_a, b.n_frames AS n_b,
+        |  a.min_doc AS doc_a, b.min_doc AS doc_b
         | FROM banded a JOIN banded b
-        |  ON a.band = b.band AND a.band_val = b.band_val
-        |  AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.off < b.off)))
-        |SELECT doc_a, off_a, doc_b, off_b,
-        | CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |  ON a.band = b.band AND a.band_val = b.band_val AND a.ahash < b.ahash)
+        |SELECT ha, hb, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
+        | n_a, n_b, n_a * n_b AS frame_pairs, doc_a, doc_b
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
     "mm_frame_dedup" ->
       """WITH fr AS (

@@ -158,9 +158,13 @@ object Multimodal {
   }
 
   /** PERCEPTUAL near-dup frames via average-hash (r8): per full frame, a
-    * 32-bit aHash — bit j set iff pixel j is above the frame's mean
-    * (pixels = the frame's first 32 byte values under the stub decode;
-    * a real decoder swaps in luma samples, the hash math is identical).
+    * 63-bit aHash — bit j set iff pixel j is above the frame's mean
+    * (pixels = the frame's first 63 byte values under the stub decode;
+    * a real decoder swaps in luma samples, the hash math is identical;
+    * 63 bits keeps the packed hash positive in engines whose BIGINT
+    * addition traps on overflow, and gives the band join 16-bit bands —
+    * an 8-bit-band first cut collapsed to 256 bucket values and ground
+    * D²/256 candidates).
     * Near-dup pairs are mined with the [[Dedup]] simhash band trick:
     * distance ≤ 3 guarantees one of four 8-bit bands is EQUAL
     * (pigeonhole), so candidates come from a band equi-join — never
@@ -168,42 +172,68 @@ object Multimodal {
     * complement to [[frameDedup]]'s md5: robust to small pixel
     * perturbations where the digest only catches exact copies.
     * Integer-only math (px·32 > Σpx avoids the mean division), so the
-    * SQL oracle reproduces every bit. */
+    * SQL oracle reproduces every bit.
+    *
+    * Scale shape (r8, learned from the sf0.1 bench): media corpora are
+    * dominated by REPEATED frames, so per-frame pair enumeration is
+    * quadratic in every identical-frame group (38 s at sf0.1 — the
+    * first cut did exactly that). The mining therefore runs at the
+    * DISTINCT-HASH level: frames collapse to (ahash, n_frames) groups
+    * first — the same hash agg as [[frameDedup]] — and the band join
+    * pairs distinct hash VALUES (hamming ∈ [1, tau]; hamming-0 pairs
+    * are [[frameDedup]]'s exact-dup job). Output carries the group
+    * sizes and the implied frame-pair count, so candidate volume is
+    * bounded by distinct-hash pairs, never frame pairs. */
   def ahashPairs(spark: SparkSession, sfDir: String, tau: Int = 3,
                  frameBytes: Int = 64, stride: Int = 4): DataFrame = {
     import spark.implicits._
+    // JIT'd per-partition hash kernel (the first cut built the hash from
+    // interpreted transform/aggregate lambdas — 63 substrings per frame
+    // under expression interpretation was 9 s of the query's cost at
+    // sf0.1; this loop is the same integer math at memory speed, and the
+    // same boundary where a real decoder would hand over luma planes)
     val frames = Tables.documents(spark, sfDir)
-      .filter(length($"text") > 0)
-      .select($"doc_id", $"text",
-        explode(sequence(lit(0),
-          ceil(length($"text") / lit(frameBytes.toDouble)).cast("int") - 1,
-          lit(stride))).as("i"))
-      .select($"doc_id", ($"i" * frameBytes).cast("long").as("off"),
-        expr(s"substring(text, i * $frameBytes + 1, $frameBytes)").as("frame"))
-      .filter(length($"frame") === frameBytes)
-      .withColumn("px",
-        expr("transform(sequence(1, 32), j -> ascii(substring(frame, j, 1)))"))
-      .withColumn("psum", expr("aggregate(px, 0, (a, x) -> a + x)"))
-      .withColumn("ahash", expr(
-        "aggregate(sequence(0, 31), 0L, (a, j) -> " +
-          "a + IF(element_at(px, j + 1) * 32 > psum, shiftleft(1L, j), 0L))"))
-      .select($"doc_id", $"off", $"ahash")
-    val banded = frames
+      .select($"doc_id", encode($"text", "UTF-8").as("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val nFrames = (r.media.length + frameBytes - 1) / frameBytes
+          (0 until nFrames by stride).iterator
+            .filter(i => (i + 1) * frameBytes <= r.media.length) // full frames
+            .map { i =>
+              val base = i * frameBytes
+              var sum = 0
+              var j = 0
+              while (j < 63) { sum += r.media(base + j) & 0xff; j += 1 }
+              var h = 0L
+              j = 0
+              while (j < 63) {
+                if ((r.media(base + j) & 0xff) * 63 > sum) h |= 1L << j
+                j += 1
+              }
+              (r.doc_id, base.toLong, h)
+            }
+        }
+      }.toDF("doc_id", "off", "ahash")
+    val groups = frames.groupBy($"ahash")
+      .agg(count(lit(1)).as("n_frames"), min($"doc_id").as("min_doc"))
+    val banded = groups
       .withColumn("band", explode(sequence(lit(0), lit(3))))
       .withColumn("band_val",
-        expr("shiftright(ahash, band * 8) & 255"))
-    val a = banded.select($"band", $"band_val", $"doc_id".as("doc_a"),
-      $"off".as("off_a"), $"ahash".as("ha"))
-    val b = banded.select($"band", $"band_val", $"doc_id".as("doc_b"),
-      $"off".as("off_b"), $"ahash".as("hb"))
+        expr("shiftright(ahash, band * 16) & 65535"))
+    val a = banded.select($"band", $"band_val", $"ahash".as("ha"),
+      $"n_frames".as("n_a"), $"min_doc".as("doc_a"))
+    val b = banded.select($"band", $"band_val", $"ahash".as("hb"),
+      $"n_frames".as("n_b"), $"min_doc".as("doc_b"))
     a.join(b, Seq("band", "band_val"))
-      .filter($"doc_a" < $"doc_b" ||
-              ($"doc_a" === $"doc_b" && $"off_a" < $"off_b"))
-      .select($"doc_a", $"off_a", $"doc_b", $"off_b", $"ha", $"hb")
+      .filter($"ha" < $"hb")
+      .select($"ha", $"hb", $"n_a", $"n_b", $"doc_a", $"doc_b")
       .distinct() // a close pair can collide in several bands
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
-      .filter($"hamming" <= tau)
-      .select($"doc_a", $"off_a", $"doc_b", $"off_b", $"hamming")
+      .filter($"hamming" <= tau) // ha < hb already excludes hamming 0
+      .withColumn("frame_pairs", $"n_a" * $"n_b")
+      .select($"ha", $"hb", $"hamming", $"n_a", $"n_b", $"frame_pairs",
+              $"doc_a", $"doc_b")
   }
 
   /** Stub scene-cut detection: a cut wherever consecutive sampled
