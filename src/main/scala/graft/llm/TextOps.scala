@@ -223,23 +223,32 @@ object TextOps {
     * mean-word-length window, minimum alphabetic-word fraction, minimum
     * distinct-stopword hits. Pure narrow column ops — no shuffle at all;
     * at 100 TB this is a free map over the corpus scan. */
-  def gopherQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val toks = tokens(lower($"text"))
+  /** Column-level Gopher scoring over ANY frame with a `text` column —
+    * shared by the batch query and
+    * [[graft.streaming.StreamingQualityGate]], so the streaming gate
+    * applies the IDENTICAL batch-proven rules (r8). Narrow map, safe in
+    * both planes. */
+  def gopherColumns(df: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
     val stopArr = array(stopwords.map(lit): _*)
-    Tables.documents(spark, sfDir)
+    df
       .withColumn("n_words", size(toks).cast("long"))
       .withColumn("n_alpha_words",
         size(filter(toks, t => t.rlike("[a-z]"))).cast("long"))
       .withColumn("n_stop_distinct",
         size(array_intersect(array_distinct(toks), stopArr)).cast("long"))
       .withColumn("mean_word_len",
-        round(length(regexp_replace(trim($"text"), "\\s+", "")) / $"n_words", 4))
-      .withColumn("alpha_frac", round($"n_alpha_words" / $"n_words", 4))
+        round(length(regexp_replace(trim(col("text")), "\\s+", "")) / col("n_words"), 4))
+      .withColumn("alpha_frac", round(col("n_alpha_words") / col("n_words"), 4))
       .withColumn("keep",
-        (($"n_words" >= 5) && ($"n_words" <= 100000) &&
-         ($"mean_word_len" >= 3) && ($"mean_word_len" <= 10) &&
-         ($"alpha_frac" >= 0.8) && ($"n_stop_distinct" >= 2)).cast("long"))
+        ((col("n_words") >= 5) && (col("n_words") <= 100000) &&
+         (col("mean_word_len") >= 3) && (col("mean_word_len") <= 10) &&
+         (col("alpha_frac") >= 0.8) && (col("n_stop_distinct") >= 2)).cast("long"))
+  }
+
+  def gopherQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    gopherColumns(Tables.documents(spark, sfDir))
       .select($"doc_id", $"n_words", $"n_alpha_words", $"n_stop_distinct",
               $"mean_word_len", $"alpha_frac", $"keep")
   }
