@@ -150,6 +150,7 @@ object SparkEntry {
     "text_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
     "mm_frame_dedup"     -> (Multimodal.frameDedup _),
     "mm_ahash_pairs"     -> ((s, d) => Multimodal.ahashPairs(s, d)),
+    "mm_ahash_clusters"  -> ((s, d) => Multimodal.ahashClusters(s, d)),
     "sim_mrl_rerank"     -> ((s, d) => SimOps.mrlRerank(s, d)),
     "dedup_semantic"     -> ((s, d) => Dedup.semantic(s, d)),
     "dedup_semantic_apply" -> ((s, d) => Dedup.semanticApply(s, d)),
@@ -2033,6 +2034,47 @@ object SparkEntry {
         |SELECT pair, CAST(n AS BIGINT) AS n,
         | CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rnk
         |FROM p QUALIFY rnk <= 25""".stripMargin,
+    "mm_ahash_clusters" ->
+      """WITH RECURSIVE fr AS (
+        | SELECT doc_id, substr(text, CAST(i*64+1 AS BIGINT), 64) AS frame
+        | FROM (SELECT doc_id, text,
+        |   unnest(generate_series(0,
+        |     CAST(ceil(length(text)/64.0) AS BIGINT)-1, 4)) AS i
+        |  FROM documents WHERE length(text) > 0) t
+        | WHERE length(substr(text, CAST(i*64+1 AS BIGINT), 64)) = 64),
+        |hx AS (
+        | SELECT doc_id,
+        |  list_reduce(list_transform(range(0, 63), j -> CASE
+        |    WHEN ascii(substr(frame, CAST(j+1 AS BIGINT), 1)) * 63 >
+        |      list_reduce(list_transform(range(1, 64),
+        |        k -> ascii(substr(frame, CAST(k AS BIGINT), 1))), (a,b) -> a+b)
+        |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END), (a,b) -> a+b) AS ahash
+        | FROM fr),
+        |grp AS (
+        | SELECT ahash, CAST(count(*) AS BIGINT) AS n_frames FROM hx GROUP BY 1),
+        |banded AS (
+        | SELECT ahash, b.band, (ahash >> (b.band*16)) & 65535 AS band_val
+        | FROM grp CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b),
+        |pairs AS (
+        | SELECT DISTINCT a.ahash AS ha, b.ahash AS hb
+        | FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.band_val = b.band_val AND a.ahash < b.ahash
+        | WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+        |edges AS (
+        | SELECT ha AS src, hb AS dst FROM pairs
+        | UNION SELECT hb, ha FROM pairs),
+        |reach AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (
+        | SELECT src AS ahash, least(src, min(dst)) AS label
+        | FROM reach GROUP BY src)
+        |SELECT label AS cluster_id, CAST(count(*) AS BIGINT) AS n_hashes,
+        | CAST(sum(g.n_frames) AS BIGINT) AS n_frames,
+        | max(lab.ahash) AS max_hash
+        |FROM lab JOIN grp g USING (ahash)
+        |GROUP BY label""".stripMargin,
     "mm_ahash_pairs" ->
       """WITH fr AS (
         | SELECT doc_id, CAST(i*64 AS BIGINT) AS off,

@@ -236,6 +236,52 @@ object Multimodal {
               $"doc_a", $"doc_b")
   }
 
+  /** Perceptual frame CLUSTERS (r8): [[ahashPairs]]' near-dup hash
+    * pairs fed through the shared pointer-jumping connected-components
+    * solve ([[Dedup.adaptiveComponents]]) — each cluster is a visually
+    * similar frame family, sized in both distinct hashes and total
+    * frames. The video-frame twin of [[graft.llm.Dedup.dedupClusters]]:
+    * the label graph holds only near-dup hash values, orders of
+    * magnitude below frame count. */
+  def ahashClusters(spark: SparkSession, sfDir: String,
+                    tau: Int = 3): DataFrame = {
+    import spark.implicits._
+    val pairs = ahashPairs(spark, sfDir, tau)
+      .select($"ha", $"hb").localCheckpoint()
+    val labels = Dedup.adaptiveComponents(pairs)
+      .select($"doc_id".as("ahash"), $"label")
+    // re-derive group sizes for the member hashes (narrow passes)
+    val frames = Tables.documents(spark, sfDir)
+      .select($"doc_id", encode($"text", "UTF-8").as("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val nFrames = (r.media.length + 63) / 64
+          (0 until nFrames by 4).iterator
+            .filter(i => (i + 1) * 64 <= r.media.length)
+            .map { i =>
+              val base = i * 64
+              var sum = 0
+              var j = 0
+              while (j < 63) { sum += r.media(base + j) & 0xff; j += 1 }
+              var h = 0L
+              j = 0
+              while (j < 63) {
+                if ((r.media(base + j) & 0xff) * 63 > sum) h |= 1L << j
+                j += 1
+              }
+              (h, 1L)
+            }
+        }
+      }.toDF("ahash", "one")
+      .groupBy($"ahash").agg(count(lit(1)).as("n_frames"))
+    labels.join(frames, Seq("ahash"))
+      .groupBy($"label".as("cluster_id"))
+      .agg(count(lit(1)).as("n_hashes"),
+           sum($"n_frames").as("n_frames"),
+           max($"ahash").as("max_hash"))
+  }
+
   /** Stub scene-cut detection: a cut wherever consecutive sampled
     * frames change content digest (a real pipeline compares feature
     * distances; the Spark plumbing — per-video ordered scan, digest
