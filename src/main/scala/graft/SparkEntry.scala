@@ -129,6 +129,7 @@ object SparkEntry {
     "sim_opq_ann"        -> ((s, d) => SimOps.opqAnn(s, d)),
     "q_exists_late"      -> (Core.qExistsLate _),
     "tel_burn_rate"      -> ((s, d) => Telemetry.burnRate(s, d)),
+    "tel_slo_multiwindow" -> ((s, d) => Telemetry.sloMultiwindow(s, d)),
     "tel_heatmap"        -> (Telemetry.heatmap _),
     "tel_active_users"   -> (Telemetry.activeUsers _),
     "dedup_ngram_prefix" -> ((s, d) => Dedup.ngramJaccardPrefix(s, d, threshold = 0.5)),
@@ -1717,6 +1718,33 @@ object SparkEntry {
         | WHERE l_orderkey = o_orderkey
         |   AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY 1""".stripMargin,
+    "tel_slo_multiwindow" ->
+      """WITH h AS (
+        | SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS hus,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+        |  count(*) AS n_tot
+        | FROM events GROUP BY 1),
+        |w AS (
+        | SELECT hus,
+        |  round((CAST(n_err AS DOUBLE) / n_tot) / 0.01, 4) AS burn_1h,
+        |  round((CAST(sum(n_err) OVER r6 AS DOUBLE)
+        |   / sum(n_tot) OVER r6) / 0.01, 4) AS burn_6h,
+        |  round((CAST(sum(n_err) OVER r24 AS DOUBLE)
+        |   / sum(n_tot) OVER r24) / 0.01, 4) AS burn_24h,
+        |  (CAST(n_err AS DOUBLE) / n_tot) / 0.01 AS rb1,
+        |  (CAST(sum(n_err) OVER r6 AS DOUBLE) / sum(n_tot) OVER r6) / 0.01 AS rb6,
+        |  (CAST(sum(n_err) OVER r24 AS DOUBLE) / sum(n_tot) OVER r24) / 0.01 AS rb24
+        | FROM h
+        | WINDOW r6 AS (ORDER BY hus RANGE BETWEEN 18000000000 PRECEDING AND CURRENT ROW),
+        |        r24 AS (ORDER BY hus RANGE BETWEEN 82800000000 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(make_timestamp(hus), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        | burn_1h, burn_6h, burn_24h,
+        | rb1 >= 14.4 AND rb6 >= 14.4 AS fast_page,
+        | rb6 >= 6.0 AND rb24 >= 6.0 AS slow_ticket,
+        | CASE WHEN rb1 >= 14.4 AND rb6 >= 14.4 THEN 'page'
+        |      WHEN rb6 >= 6.0 AND rb24 >= 6.0 THEN 'ticket'
+        |      ELSE 'ok' END AS severity
+        |FROM w""".stripMargin,
     "tel_burn_rate" ->
       """WITH h AS (
         | SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS hus,

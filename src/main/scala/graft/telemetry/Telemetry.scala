@@ -833,6 +833,44 @@ object Telemetry {
     * no matter how many raw events feed it — aggregate first, window
     * the aggregate. Integer counts and exact divisions: bit-identical
     * in the oracle. */
+  /** MULTIWINDOW multi-burn-rate SLO alerting (r8) — the Google SRE
+    * workbook policy [[burnRate]] is the single-pair building block of:
+    * a FAST page fires only when BOTH a short and a long window burn
+    * above a high factor (1h & 6h ≥ 14.4 — catches a severe burn
+    * quickly, the long window suppresses blips), and a SLOW ticket
+    * fires when 6h & 24h ≥ 6. Both window pairs ride ONE hourly
+    * pre-aggregation and range frames over the integer hour key — the
+    * aggregate-before-window discipline, one shuffle total; severity is
+    * a plain CASE over the four burns. */
+  def sloMultiwindow(spark: SparkSession, sfDir: String,
+                     budget: Double = 0.01): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(unix_micros(date_trunc("hour", $"ts")).as("hus"))
+      .agg(sum(when($"event_type" === "error", 1L).otherwise(0L)).as("n_err"),
+           count(lit(1)).as("n_tot"))
+    def burnOver(hours: Long): Column = {
+      val w = Window.orderBy($"hus")
+        .rangeBetween(-(hours - 1) * 3600L * 1000000L, 0L)
+      (sum($"n_err").over(w).cast("double") / sum($"n_tot").over(w)) / budget
+    }
+    hourly
+      .withColumn("burn_1h", ($"n_err".cast("double") / $"n_tot") / budget)
+      .withColumn("burn_6h", burnOver(6L))
+      .withColumn("burn_24h", burnOver(24L))
+      .withColumn("fast_page", $"burn_1h" >= 14.4 && $"burn_6h" >= 14.4)
+      .withColumn("slow_ticket", $"burn_6h" >= 6.0 && $"burn_24h" >= 6.0)
+      .withColumn("severity",
+        when($"fast_page", "page").when($"slow_ticket", "ticket")
+          .otherwise("ok"))
+      .select(date_format(timestamp_micros($"hus"), "yyyy-MM-dd HH:mm:ss")
+                .as("hour_start"),
+              round($"burn_1h", 4).as("burn_1h"),
+              round($"burn_6h", 4).as("burn_6h"),
+              round($"burn_24h", 4).as("burn_24h"),
+              $"fast_page", $"slow_ticket", $"severity")
+  }
+
   def burnRate(spark: SparkSession, sfDir: String,
                budget: Double = 0.01): DataFrame = {
     import spark.implicits._
