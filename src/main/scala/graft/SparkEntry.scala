@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsofJoin, Core, RangeJoin, SkewOps}
+import graft.operators.{AsofJoin, Core, PageRank, RangeJoin, SkewOps}
 import graft.telemetry.Telemetry
 import graft.llm.{Dedup, Multimodal, SimOps, TextOps}
 
@@ -181,6 +181,12 @@ object SparkEntry {
     "tel_error_budget"   -> ((s, d) => Telemetry.errorBudget(s, d)),
     "text_vocab_growth"  -> ((s, d) => TextOps.vocabGrowth(s, d)),
     "text_char_entropy"  -> ((s, d) => TextOps.charEntropy(s, d)),
+    "text_bm25"          -> ((s, d) => TextOps.bm25(s, d)),
+    "text_pack_sequences" -> ((s, d) => TextOps.packSequences(s, d)),
+    "dedup_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
+    "sim_hybrid_rrf"     -> ((s, d) => SimOps.hybridRrf(s, d)),
+    "q_pagerank"         -> ((s, d) => PageRank.bipartiteExact(s, d)),
+    "text_dsir_weights"  -> ((s, d) => TextOps.dsirWeights(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -255,7 +261,85 @@ object SparkEntry {
         |             JOIN hv y ON c.doc_b = y.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM jc WHERE jaccard >= 0.2""".stripMargin
 
+  /** Unrolled quantized-PageRank oracle: aggregation is not allowed in a
+    * recursive CTE term, so the 6 damped iterations are generated as 6
+    * chained CTEs — each the same integer micro-unit update the Spark
+    * side computes (`round(0.85 * rm * w / out_w)` per edge, summed). */
+  private def pagerankOracleSql(iters: Int = 6, topK: Int = 25): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         | SELECT v.vertex,
+         |  CAST(round(0.15 * 1e6 / nn.n) AS BIGINT) + coalesce(c.s, 0) AS rm
+         | FROM v CROSS JOIN nn
+         | LEFT JOIN (
+         |   SELECT e.dst AS vertex,
+         |    CAST(sum(CAST(round(0.85 * r.rm * e.w / o.out_w) AS BIGINT))
+         |      AS BIGINT) AS s
+         |   FROM e JOIN o USING (src) JOIN r${i - 1} r ON r.vertex = e.src
+         |   GROUP BY 1) c USING (vertex))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH le AS (
+       | SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst,
+       |  count(*) AS w
+       | FROM lineitem GROUP BY 1, 2),
+       |e AS (SELECT src, dst, w FROM le
+       |      UNION ALL SELECT dst, src, w FROM le),
+       |o AS (SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
+       |v AS (SELECT DISTINCT src AS vertex FROM e),
+       |nn AS (SELECT count(*) AS n FROM v),
+       |r0 AS (SELECT vertex, CAST(round(1e6 / nn.n) AS BIGINT) AS rm
+       |       FROM v CROSS JOIN nn),
+       |$steps
+       |SELECT vertex, rm AS rank_micro,
+       | CAST(row_number() OVER (ORDER BY rm DESC, vertex) AS BIGINT) AS rnk
+       |FROM r$iters QUALIFY rnk <= $topK""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = FunnelRetentionCorrOracles ++ Map(
+    "q_pagerank" -> pagerankOracleSql(),
+    // DSIR: hashed-unigram (60-bit md5 prefix % 512) Laplace-smoothed
+    // log-likelihood ratio, ln rounded to 4 decimals then micro-quantized
+    "text_dsir_weights" ->
+      """WITH db AS (
+        | SELECT doc_id, source,
+        |  CAST(('0x' || substr(md5(term), 1, 15))::BIGINT % 512 AS BIGINT)
+        |    AS bucket,
+        |  count(*) AS cnt
+        | FROM (
+        |  SELECT doc_id, source,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents) t
+        | GROUP BY 1, 2, 3),
+        |raw AS (SELECT bucket, sum(cnt) AS cr FROM db GROUP BY 1),
+        |tgt AS (SELECT bucket, sum(cnt) AS ct FROM db
+        |        WHERE source IN ('src7', 'src18') GROUP BY 1),
+        |rt AS (SELECT sum(cr) AS raw_total FROM raw),
+        |tt AS (SELECT sum(ct) AS tgt_total FROM tgt),
+        |llr AS (
+        | SELECT bucket,
+        |  CAST(round(1e6 * round(ln(
+        |   ((coalesce(ct, 0) + 1.0) / (tt.tgt_total + 512.0)) /
+        |   ((cr + 1.0) / (rt.raw_total + 512.0))), 4)) AS BIGINT)
+        |    AS llr_micro
+        | FROM raw LEFT JOIN tgt USING (bucket)
+        |      CROSS JOIN rt CROSS JOIN tt),
+        |lens AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+        |    AS n_tokens
+        | FROM documents),
+        |wts AS (
+        | SELECT db.doc_id,
+        |  CAST(sum(db.cnt * llr.llr_micro) AS BIGINT) AS weight_micro
+        | FROM db JOIN llr USING (bucket) GROUP BY 1)
+        |SELECT w.doc_id, l.n_tokens, w.weight_micro,
+        | CAST(round(1000.0 * w.weight_micro / l.n_tokens) AS BIGINT)
+        |   AS wpk_milli,
+        | CAST(row_number() OVER (
+        |   ORDER BY round(1000.0 * w.weight_micro / l.n_tokens) DESC, w.doc_id)
+        |   AS BIGINT) AS rnk
+        |FROM wts w JOIN lens l USING (doc_id)
+        |QUALIFY rnk <= 100""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
         | sum_disc_price, sum_disc, count_order,
@@ -1624,6 +1708,161 @@ object SparkEntry {
         | CAST(sum(CASE WHEN e4 < 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_entropy,
         | round(CAST(sum(e4) AS DOUBLE) / (10000.0 * count(*)), 4) AS avg_entropy
         |FROM e GROUP BY lang""".stripMargin,
+    // BM25: ln rounded to 4 decimals pre-product; per-term contribution
+    // quantized to integer micro-units so the per-doc sum is exact.
+    // Literals are written as the SAME float expressions Scala computes
+    // ((1.2 + 1.0), not 2.2) so both engines evaluate identical doubles.
+    "text_bm25" ->
+      """WITH lens AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS dl
+        | FROM documents),
+        |hits AS (
+        | SELECT doc_id, term FROM (
+        |  SELECT doc_id,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents) t
+        | WHERE term IN ('dup', 'vector', 'scan')),
+        |tf AS (SELECT doc_id, term, count(*) AS cnt FROM hits GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM lens),
+        |sc AS (
+        | SELECT tf.doc_id,
+        |  CAST(round(1e6
+        |   * round(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)), 4)
+        |   * (tf.cnt * (1.2 + 1.0))
+        |   / (tf.cnt + 1.2 * (0.25 + 0.75 * l.dl
+        |       / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS BIGINT) AS contrib
+        | FROM tf JOIN lens l USING (doc_id) JOIN df USING (term), stats s),
+        |agg AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+        |  CAST(sum(contrib) AS BIGINT) AS score_micro
+        | FROM sc GROUP BY 1)
+        |SELECT doc_id, n_hit_terms, score_micro,
+        | CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+        |   AS BIGINT) AS rnk
+        |FROM agg QUALIFY rnk <= 20""".stripMargin,
+    "text_pack_sequences" ->
+      """WITH d AS (
+        | SELECT source, doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+        |    AS n_tok
+        | FROM documents),
+        |c AS (
+        | SELECT source, doc_id, n_tok,
+        |  sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum_end
+        | FROM d),
+        |e AS (
+        | SELECT source, cum_end, cum_end - n_tok AS cum_start,
+        |  unnest(generate_series(CAST((cum_end - n_tok) // 256 AS BIGINT),
+        |                         CAST((cum_end - 1) // 256 AS BIGINT))) AS seq_id
+        | FROM c)
+        |SELECT source, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN cum_start < seq_id * 256 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_continuations,
+        | CAST(sum(least(cum_end, (seq_id + 1) * 256)
+        |   - greatest(cum_start, seq_id * 256)) AS BIGINT) AS n_tokens
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    "dedup_span_coverage" ->
+      """WITH d AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+        |    AS n_tokens
+        | FROM documents),
+        |sp AS (
+        | SELECT doc_id, i AS pos,
+        |  md5(array_to_string(toks[i + 1 : i + 10], ' ')) AS span_md5
+        | FROM (SELECT doc_id, toks,
+        |        unnest(generate_series(0, n_tokens - 10)) AS i
+        |       FROM d WHERE n_tokens >= 10) t),
+        |dup AS (
+        | SELECT span_md5 FROM sp GROUP BY 1
+        | HAVING count(DISTINCT doc_id) > 1),
+        |j AS (SELECT doc_id, pos, pos + 9 AS span_end
+        |      FROM sp JOIN dup USING (span_md5)),
+        |w AS (
+        | SELECT doc_id, pos, span_end,
+        |  max(span_end) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+        | FROM j),
+        |isl AS (
+        | SELECT doc_id, pos, span_end,
+        |  sum(CASE WHEN prev_max_end IS NULL OR pos > prev_max_end + 1
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        | FROM w),
+        |per_isl AS (
+        | SELECT doc_id, island, max(span_end) - min(pos) + 1 AS island_len,
+        |  count(*) AS n_spans
+        | FROM isl GROUP BY 1, 2),
+        |cov AS (
+        | SELECT doc_id, sum(island_len) AS covered_tokens,
+        |  sum(n_spans) AS n_dup_spans
+        | FROM per_isl GROUP BY 1)
+        |SELECT d.doc_id, d.n_tokens,
+        | CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        | CAST(coalesce(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+        | CAST(coalesce(covered_tokens, 0) AS DOUBLE) / d.n_tokens AS dup_frac
+        |FROM d LEFT JOIN cov USING (doc_id)""".stripMargin,
+    // hybrid RRF: same BM25 pipeline as text_bm25 plus the dense cosine
+    // ranking; per-list reciprocal contributions quantized to integer
+    // micro-units before the (two-element) sum
+    "sim_hybrid_rrf" ->
+      """WITH n AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |    AS norm
+        | FROM embeddings),
+        |q AS (SELECT vec AS qvec, norm AS qnorm FROM n WHERE vec_id = 0),
+        |vr AS (
+        | SELECT vec_id AS item_id,
+        |  CAST(row_number() OVER (ORDER BY cos6 DESC, vec_id) AS BIGINT)
+        |    AS rank_vec
+        | FROM (
+        |  SELECT n.vec_id,
+        |   round(list_dot_product(n.vec, q.qvec) / (n.norm * q.qnorm), 6)
+        |     AS cos6
+        |  FROM n, q WHERE n.vec_id != 0) s
+        | QUALIFY rank_vec <= 30),
+        |lens AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS dl
+        | FROM documents),
+        |hits AS (
+        | SELECT doc_id, term FROM (
+        |  SELECT doc_id,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents) t
+        | WHERE term IN ('dup', 'vector', 'scan')),
+        |tf AS (SELECT doc_id, term, count(*) AS cnt FROM hits GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM lens),
+        |sc AS (
+        | SELECT tf.doc_id,
+        |  CAST(round(1e6
+        |   * round(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)), 4)
+        |   * (tf.cnt * (1.2 + 1.0))
+        |   / (tf.cnt + 1.2 * (0.25 + 0.75 * l.dl
+        |       / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS BIGINT) AS contrib
+        | FROM tf JOIN lens l USING (doc_id) JOIN df USING (term), stats s),
+        |agg AS (
+        | SELECT doc_id, sum(contrib) AS score_micro FROM sc GROUP BY 1),
+        |lr AS (
+        | SELECT doc_id AS item_id,
+        |  CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+        |    AS BIGINT) AS rank_lex
+        | FROM agg QUALIFY rank_lex <= 30),
+        |f AS (
+        | SELECT coalesce(vr.item_id, lr.item_id) AS item_id,
+        |  rank_vec, rank_lex,
+        |  coalesce(CAST(round(1e6 / (60 + rank_vec)) AS BIGINT), 0)
+        |   + coalesce(CAST(round(1e6 / (60 + rank_lex)) AS BIGINT), 0)
+        |    AS rrf_micro
+        | FROM vr FULL OUTER JOIN lr ON vr.item_id = lr.item_id)
+        |SELECT item_id, rank_vec, rank_lex, rrf_micro,
+        | CAST(row_number() OVER (ORDER BY rrf_micro DESC, item_id)
+        |   AS BIGINT) AS rnk
+        |FROM f QUALIFY rnk <= 10""".stripMargin,
     "text_vocab_growth" ->
       """WITH t AS (
         | SELECT doc_id,

@@ -15,8 +15,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** All reads force LTZ timestamp inference: the generated parquet
+    * stamps timestamp columns isAdjustedToUTC=false, which Spark ≥3.4
+    * would otherwise surface as TIMESTAMP_NTZ — a type `unix_micros`/
+    * `date_trunc(tz)` reject and the DuckDB oracle doesn't produce.
+    * With inference off the stored micros are read verbatim as UTC
+    * instants (sessions here run UTC), matching the oracle's naive
+    * reading bit-for-bit. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -636,4 +636,66 @@ object Dedup {
       .filter($"cosine" >= threshold)
       .select($"vec_a", $"vec_b", $"cid", $"cosine")
   }
+
+  /** Duplicated-SPAN coverage (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22 — exact substring dedup at
+    * token-shingle granularity): for every document, the fraction of
+    * its TOKENS covered by at least one `k`-token span that also
+    * appears verbatim in another document. Span-level coverage is the
+    * signal substring dedup cuts on (docs above ~20% cross-doc span
+    * coverage are mostly boilerplate/quotes), and is strictly stronger
+    * than [[graft.llm.TextOps.lineDedup]]'s fixed-chunk version: spans
+    * are position-independent and overlapping.
+    *
+    * Plan: posexplode token positions → md5 over the k-token window
+    * (`array_join(slice(...))` — native expressions, stays in codegen)
+    * → the duplicated-shingle set is one hash aggregate keyed by the
+    * 16-byte digest (never span text) → join back and MERGE the
+    * overlapping [p, p+k-1] intervals per doc with the classic
+    * gaps-and-islands cummax window (partitioned by doc_id, so docs
+    * merge in parallel). Only duplicated positions reach the window —
+    * at 100 TB that's the (small) dirty subset, not the token stream.
+    * All-integer interval arithmetic → engine-exact fractions. */
+  def spanCoverage(spark: SparkSession, sfDir: String,
+                   k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", split(trim(lower($"text")), "\\s+").as("toks"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+    // one row per k-token span start position
+    val spans = docs
+      .filter($"n_tokens" >= k)
+      .select($"doc_id", $"n_tokens",
+              posexplode(expr(
+                s"transform(sequence(0, CAST(n_tokens - $k AS INT)), " +
+                s"i -> md5(array_join(slice(toks, i + 1, $k), ' ')))"))
+                .as(Seq("pos", "span_md5")))
+    val dupSpans = spans.groupBy($"span_md5")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" > 1)
+      .select($"span_md5")
+    // interval union of the duplicated [pos, pos+k-1] windows per doc
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val covered = spans.join(dupSpans, "span_md5")
+      .select($"doc_id", $"pos", ($"pos" + lit(k - 1)).as("span_end"))
+      .withColumn("prev_max_end", max($"span_end").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when($"prev_max_end".isNull || $"pos" > $"prev_max_end" + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum($"new_island").over(byDoc))
+      .groupBy($"doc_id", $"island")
+      .agg((max($"span_end") - min($"pos") + 1).as("island_len"),
+           count(lit(1)).as("n_spans"))
+      .groupBy($"doc_id")
+      .agg(sum($"island_len").as("covered_tokens"),
+           sum($"n_spans").as("n_dup_spans"))
+    docs.select($"doc_id", $"n_tokens")
+      .join(covered, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+              coalesce($"n_dup_spans", lit(0L)).as("n_dup_spans"),
+              coalesce($"covered_tokens", lit(0L)).as("covered_tokens"),
+              (coalesce($"covered_tokens", lit(0L)).cast("double") /
+                $"n_tokens").as("dup_frac"))
+  }
 }

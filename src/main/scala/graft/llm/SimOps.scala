@@ -21,6 +21,52 @@ import graft.functions.GraftFunctions
   */
 object SimOps {
 
+  /** Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.,
+    * SIGIR'09 — the fusion used by every modern lexical+vector search
+    * stack): fuse a dense cosine ranking (query = embedding 0 against
+    * the corpus) with a lexical BM25 ranking
+    * ([[graft.llm.TextOps.bm25Scores]], same fixed query terms as
+    * `text_bm25`) via `RRF(d) = Σ_lists 1/(rrfK + rank_list(d))`.
+    * Documents and embeddings share the id space, so the fusion join
+    * is id = id.
+    *
+    * Scale shape: BOTH rank lists come from [[TopKStructs]] hash
+    * aggregates (map-side k-element buffers — no global sort, no
+    * window over the corpus; rank = position in the sorted k-array via
+    * posexplode). The fusion operates on ≤ 2·kEach rows. Per-list RRF
+    * contributions are quantized to integer micro-units before the
+    * (≤2-element) sum, so scores are engine-exact. */
+  def hybridRrf(spark: SparkSession, sfDir: String, kEach: Int = 30,
+                topK: Int = 10, rrfK: Int = 60): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    val q = emb.filter($"vec_id" === 0)
+      .select($"vec".as("qvec"))
+    val vecRanked = emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos6", round(call_function("cosine_sim", $"vec", $"qvec"), 6))
+      .agg(call_function("top_k_structs",
+        struct($"cos6", (-$"vec_id").as("nid"), $"vec_id"), lit(kEach)).as("top"))
+      .select(posexplode($"top").as(Seq("p", "s")))
+      .select($"s.vec_id".as("item_id"), ($"p" + 1).cast("long").as("rank_vec"))
+    val lexRanked = TextOps.bm25Scores(spark, sfDir, Seq("dup", "vector", "scan"))
+      .agg(call_function("top_k_structs",
+        struct($"score_micro", (-$"doc_id").as("nid"), $"doc_id"), lit(kEach))
+        .as("top"))
+      .select(posexplode($"top").as(Seq("p", "s")))
+      .select($"s.doc_id".as("item_id"), ($"p" + 1).cast("long").as("rank_lex"))
+    def contrib(rank: Column): Column =
+      coalesce(round(lit(1e6) / (lit(rrfK) + rank), 0).cast("long"), lit(0L))
+    vecRanked.join(lexRanked, Seq("item_id"), "full_outer")
+      .withColumn("rrf_micro", contrib($"rank_vec") + contrib($"rank_lex"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"rrf_micro".desc, $"item_id".asc)).cast("long"))
+      .filter($"rnk" <= topK)
+      .select($"item_id", $"rank_vec", $"rank_lex", $"rrf_micro", $"rnk")
+  }
+
   /** Exact cosine top-k: queries (vec_id < nQueries) broadcast against
     * every candidate — one codegen'd pass over the corpus, no shuffle of
     * the big side. Ranking uses the 6-decimal-rounded cosine with vec_id

@@ -669,4 +669,173 @@ object TextOps {
         round($"sum_e4" / (lit(10000.0) * $"n_docs"), 4))
       .drop("sum_e4")
   }
+
+  /** BM25 per-document scores for a fixed query term set (Robertson/
+    * Sparck Jones Okapi weighting, the lexical half of every modern
+    * retrieval stack). Returns ONE row per document that matches at
+    * least one query term.
+    *
+    * Engine-stability: ln is the only libm call and is rounded to 4
+    * decimals before use (same trick as [[tfidf]]); each per-term
+    * contribution is then quantized to integer MICRO-units
+    * (`round(x*1e6)` as long) so the per-document sum is an integer
+    * aggregate — bit-exact in any engine regardless of summation
+    * order. The float work before quantization (tf saturation,
+    * length normalization) is pure IEEE-double `*`/`/`/`+`, which is
+    * exactly specified and engine-independent.
+    *
+    * Scale shape: one token explode pruned to the query terms BEFORE
+    * the (doc, term) aggregate (the filter reaches the scan side of
+    * the shuffle, so the shuffled volume is per-matching-occurrence,
+    * not per-token); doc lengths come from a separate narrow map —
+    * no window over the token stream; df and corpus stats are
+    * broadcast scalars. */
+  def bm25Scores(spark: SparkSession, sfDir: String,
+                 queryTerms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val qTerms = array(queryTerms.map(lit): _*)
+    // doc lengths: narrow map, no explode
+    val lens = docs.select($"doc_id",
+      size(split(trim(lower($"text")), "\\s+")).cast("long").as("dl"))
+    // only query-term occurrences survive to the shuffle
+    val hits = docs
+      .select($"doc_id",
+              explode(split(trim(lower($"text")), "\\s+")).as("term"))
+      .filter(array_contains(qTerms, $"term"))
+    val tf = hits.groupBy($"doc_id", $"term").agg(count(lit(1)).as("cnt"))
+    val df = hits.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    // corpus stats: one tiny row, broadcast
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    tf.join(lens, "doc_id")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf4", round(log(
+        lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))), 4))
+      .withColumn("contrib_micro",
+        round(lit(1e6) * $"idf4" * ($"cnt" * lit(k1 + 1.0)) /
+          ($"cnt" + lit(k1) * (lit(1.0 - b) +
+            lit(b) * $"dl" / ($"sum_dl".cast("double") / $"n_docs"))), 0)
+          .cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hit_terms"),
+           sum($"contrib_micro").as("score_micro"))
+  }
+
+  /** BM25 top-k retrieval as a query entry: rank the corpus for a
+    * fixed 3-term query (one rare + two mid-frequency terms so the
+    * idf spread is visible) and keep the best `topK` documents with a
+    * deterministic doc_id tie-break. Ranking over integer micro-unit
+    * scores — engine-exact. Top-k is TakeOrderedAndProject-shaped
+    * (row_number over one small scored set; at 100 TB the scored set
+    * is already pruned to docs containing a query term). */
+  def bm25(spark: SparkSession, sfDir: String, topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    bm25Scores(spark, sfDir, Seq("dup", "vector", "scan"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"score_micro".desc, $"doc_id".asc)).cast("long"))
+      .filter($"rnk" <= topK)
+      .select($"doc_id", $"n_hit_terms", $"score_micro", $"rnk")
+  }
+
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS'23): score every
+    * document by how much more likely its hashed-unigram bag is under a
+    * TARGET domain's token distribution than under the raw corpus's,
+    * then keep the top `topK` docs per thousand-token-normalized weight
+    * — the standard pretraining-data selection step.
+    *
+    * Features are the paper's hashed n-grams: unigram → 60-bit md5
+    * prefix → `% nBuckets` (the md5-prefix trick shared with MinHash /
+    * fingerprinting, identical in SQL). Both distributions are
+    * Laplace-smoothed bucket counts; the per-bucket log-likelihood
+    * ratio is ln-rounded to 4 decimals and quantized to integer
+    * micro-units, so each document's weight is an integer sum —
+    * engine-exact (same discipline as BM25).
+    *
+    * Scale shape: tokens aggregate to (doc, bucket) counts BEFORE any
+    * join (map-side combine collapses repeated tokens); the two bucket
+    * distributions are ≤ `nBuckets`-row aggregates joined BROADCAST, so
+    * the only wide exchange is the (doc, bucket) hash agg. The final
+    * top-k is a window over docs (TakeOrderedAndProject shape). At
+    * 100 TB the target sample is a tiny fixed domain; the raw
+    * distribution is one map-side-combined pass. */
+  def dsirWeights(spark: SparkSession, sfDir: String,
+                  targetSources: Seq[String] = Seq("src7", "src18"),
+                  nBuckets: Int = 512, topK: Int = 100): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val tgtLit = array(targetSources.map(lit): _*)
+    val docBuckets = docs
+      .select($"doc_id", $"source",
+              explode(split(trim(lower($"text")), "\\s+")).as("term"))
+      .withColumn("bucket",
+        conv(substring(md5($"term"), 1, 15), 16, 10).cast("long") % nBuckets)
+      .groupBy($"doc_id", $"source", $"bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val raw = docBuckets.groupBy($"bucket").agg(sum($"cnt").as("cr"))
+    val tgt = docBuckets.filter(array_contains(tgtLit, $"source"))
+      .groupBy($"bucket").agg(sum($"cnt").as("ct"))
+    val rawTot = raw.agg(sum($"cr").as("raw_total"))
+    val tgtTot = tgt.agg(sum($"ct").as("tgt_total"))
+    val llr = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select($"bucket",
+        round(lit(1e6) * round(log(
+          ((coalesce($"ct", lit(0L)) + lit(1.0)) / ($"tgt_total" + lit(nBuckets.toDouble))) /
+          (($"cr" + lit(1.0)) / ($"raw_total" + lit(nBuckets.toDouble)))), 4))
+          .cast("long").as("llr_micro"))
+    val lens = docs.select($"doc_id",
+      size(split(trim(lower($"text")), "\\s+")).cast("long").as("n_tokens"))
+    docBuckets
+      .join(broadcast(llr), "bucket")
+      .groupBy($"doc_id")
+      .agg(sum($"cnt" * $"llr_micro").as("weight_micro"))
+      .join(lens, "doc_id")
+      .withColumn("wpk_milli",
+        round(lit(1000.0) * $"weight_micro" / $"n_tokens").cast("long"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"wpk_milli".desc, $"doc_id".asc)).cast("long"))
+      .filter($"rnk" <= topK)
+      .select($"doc_id", $"n_tokens", $"weight_micro", $"wpk_milli", $"rnk")
+  }
+
+  /** Sequence packing (concat-and-chunk): the standard LLM pre-training
+    * step that concatenates documents in a deterministic shard order
+    * and slices the token stream into fixed `budget`-token training
+    * sequences; a document whose token interval crosses a boundary
+    * continues into the next sequence. Reports, per (source, seq_id):
+    * how many documents contribute, how many are continuations from an
+    * earlier sequence, and the packed token count (= budget for every
+    * full sequence, < budget only for the shard's last).
+    *
+    * Packing runs PER SOURCE SHARD (window partitioned by `source`,
+    * ordered by doc_id): at 100 TB each input shard packs
+    * independently in parallel — exactly how distributed pre-training
+    * tokenizers shard the work — so no global prefix scan exists
+    * anywhere in the plan. All-integer cumulative sums → engine-exact.
+    * The doc→sequence fan-out is an inclusive `sequence(first_seq,
+    * last_seq)` explode: its volume is tokens/budget, not docs×seqs. */
+  def packSequences(spark: SparkSession, sfDir: String,
+                    budget: Int = 256): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    Tables.documents(spark, sfDir)
+      .select($"source", $"doc_id",
+              size(split(trim(lower($"text")), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("cum_end", sum($"n_tok").over(w))
+      .withColumn("cum_start", $"cum_end" - $"n_tok")
+      .withColumn("seq_id", explode(sequence(
+        expr(s"cum_start div $budget"), expr(s"(cum_end - 1) div $budget"))))
+      .withColumn("tok_in_seq",
+        least($"cum_end", ($"seq_id" + 1) * budget) -
+          greatest($"cum_start", $"seq_id" * budget))
+      .groupBy($"source", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when($"cum_start" < $"seq_id" * budget, 1L).otherwise(0L))
+             .as("n_continuations"),
+           sum($"tok_in_seq").as("n_tokens"))
+  }
 }

@@ -19,6 +19,74 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Oracle-exact PageRank over the supplier–part bipartite graph:
+    * lineitem's (supplier, part) co-occurrence counts become weighted
+    * edges in BOTH directions (so every vertex has out-degree — no
+    * dangling mass), and `iters` damped power iterations run in integer
+    * MICRO-units: each per-edge contribution is
+    * `round(0.85 * rank_micro * w / out_w)` quantized to a long BEFORE
+    * the per-vertex sum, so the fixpoint is bit-identical in any engine
+    * regardless of aggregation order (same trick as BM25 / RRF).
+    *
+    * Scale shape: the heavy lift is the one-pass edge aggregation over
+    * lineitem (hash agg with map-side combine); the iteration then runs
+    * on #vertices + #distinct-pairs rows. Per round: ranks ⋈ edges on
+    * src (both hash-partitioned on the key), groupBy dst — the
+    * constant-lineage `localCheckpoint` loop proven by [[run]]. Output
+    * is the top-25 vertices with a vertex-id tie-break. */
+  def bipartiteExact(spark: SparkSession, sfDir: String, iters: Int = 6,
+                     topK: Int = 25): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // The loop keys on packed LONG ids (supplier → 2k, part → 2k+1):
+    // long hash-joins and aggregates are markedly cheaper than string
+    // keys over millions of edges; the human-readable "s#"/"p#" form is
+    // rendered only in the final |V|-row projection.
+    val le = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(($"l_suppkey" * 2).as("src"),
+               ($"l_partkey" * 2 + 1).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val e = le.select($"src", $"dst", $"w")
+      .union(le.select($"dst".as("src"), $"src".as("dst"), $"w"))
+      .localCheckpoint()
+    val out = e.groupBy($"src").agg(sum($"w").as("out_w")).localCheckpoint()
+    val n = out.count() // both-direction edges ⇒ every vertex has out-edges
+    val base = math.round(0.15 * 1e6 / n) // same round-half-up as the oracle
+    var ranks = out.select($"src".as("vertex"),
+      round(lit(1e6) / lit(n.toDouble)).cast("long").as("rm"))
+    // Ranks and out-degrees are VERTEX-dimension tables (parts +
+    // suppliers — bounded, unlike the edge set), so each iteration
+    // broadcasts them into the one big-edge scan: `e` is never
+    // shuffled, and map-side combine collapses the per-edge
+    // contributions to ≤|V| rows before the only (tiny) exchange.
+    // Because every vertex here has in-edges (each edge carries its
+    // reverse), the new rank frame needs no re-join against a vertex
+    // list. The short fixed loop stays ONE executed plan — identical
+    // broadcast(out) subtrees collapse via ReusedExchange and each
+    // rank level is computed exactly once; [[run]]'s localCheckpoint
+    // pattern is for long/unbounded loops. At a vertex scale where
+    // even the rank vector can't broadcast, pre-partition `e` by src
+    // and swap these for co-partitioned joins.
+    for (_ <- 1 to iters) {
+      ranks = e
+        .join(broadcast(out), "src")
+        .join(broadcast(ranks.withColumnRenamed("vertex", "src")), "src")
+        .select($"dst".as("vertex"),
+          round(lit(0.85) * $"rm" * $"w" / $"out_w").cast("long").as("c"))
+        .groupBy($"vertex").agg((lit(base) + sum($"c")).as("rm"))
+    }
+    ranks
+      .select(when($"vertex" % 2 === 0,
+                   concat(lit("s"), ($"vertex" / 2).cast("long")))
+                .otherwise(concat(lit("p"), (($"vertex" - 1) / 2).cast("long")))
+                .as("vertex"),
+              $"rm")
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"rm".desc, $"vertex".asc)).cast("long"))
+      .filter($"rnk" <= topK)
+      .select($"vertex", $"rm".as("rank_micro"), $"rnk")
+  }
+
   /** `edges` needs string/long columns `src`, `dst`; multi-edges are
     * allowed and weigh contributions naturally. Returns (vertex, rank)
     * after `iters` damped iterations from the uniform start. */

@@ -17,9 +17,12 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_pq_ann",           // codebook-scoring cross (broadcast train set)
     "sim_range_search",     // corpus × broadcast query set (by design)
     "sim_mrl_rerank",       // corpus × broadcast query set (by design)
+    "sim_hybrid_rrf",       // corpus × 1-row broadcast query vector
     "sim_nprobe_sweep",     // brute-force baseline inside the evaluation
     "sim_recall_at_k",      // composes the bruteforce pass (same shape)
     "text_mix_weights",     // 5-row agg × 1-row total broadcast
+    "text_bm25",            // tf rows × 1-row corpus-stats broadcast
+    "text_dsir_weights",    // bucket table × 1-row distribution totals
     "text_doc_freq",        // term aggregates × 1-row doc-count broadcast
     "text_unigram_surprisal", // token stream × 1-row corpus-total broadcast
     "text_surprisal_buckets", // composes unigram_surprisal (same shape)
