@@ -187,6 +187,7 @@ object SparkEntry {
     "sim_hybrid_rrf"     -> ((s, d) => SimOps.hybridRrf(s, d)),
     "q_pagerank"         -> ((s, d) => PageRank.bipartiteExact(s, d)),
     "text_dsir_weights"  -> ((s, d) => TextOps.dsirWeights(s, d)),
+    "text_bigram_surprisal" -> ((s, d) => TextOps.bigramSurprisal(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -297,6 +298,39 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = FunnelRetentionCorrOracles ++ Map(
     "q_pagerank" -> pagerankOracleSql(),
+    // interpolated bigram LM: per-bigram-type surprisal ln-rounded to 4
+    // decimals then micro-quantized; λ literals written as the same float
+    // expressions Scala evaluates
+    "text_bigram_surprisal" ->
+      """WITH d AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        | FROM documents),
+        |uni AS (
+        | SELECT w, count(*) AS cw
+        | FROM (SELECT unnest(toks) AS w FROM d) t GROUP BY 1),
+        |tot AS (SELECT sum(cw) AS total FROM uni),
+        |bi AS (
+        | SELECT doc_id, toks[i - 1] AS w1, toks[i] AS w2
+        | FROM (SELECT doc_id, toks,
+        |        unnest(generate_series(2, len(toks))) AS i
+        |       FROM d) t),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |st AS (
+        | SELECT cb.w1, cb.w2,
+        |  CAST(round(1e6 * round(-ln(
+        |    0.75 * cb.cb / u1.cw +
+        |    0.25 * u2.cw / tot.total) / ln(2.0), 4)) AS BIGINT) AS s_micro
+        | FROM cb
+        | JOIN uni u1 ON u1.w = cb.w1
+        | JOIN uni u2 ON u2.w = cb.w2
+        | CROSS JOIN tot)
+        |SELECT bi.doc_id,
+        | CAST(count(*) AS BIGINT) AS n_bigrams,
+        | CAST(sum(st.s_micro) AS BIGINT) AS sum_s_micro,
+        | round(CAST(sum(st.s_micro) AS DOUBLE)
+        |   / (1e6 * count(*)), 4) AS mean_bits
+        |FROM bi JOIN st USING (w1, w2)
+        |GROUP BY 1""".stripMargin,
     // DSIR: hashed-unigram (60-bit md5 prefix % 512) Laplace-smoothed
     // log-likelihood ratio, ln rounded to 4 decimals then micro-quantized
     "text_dsir_weights" ->

@@ -83,6 +83,39 @@ object Dedup {
       }
   }
 
+  /** Shingle hashes → 64-perm MinHash → 16 band keys. Shared by the
+    * batch [[signatures]] pass and the streaming near-dup processor
+    * ([[graft.streaming.StreamingNearDup]]), so stream and batch band
+    * keys are bit-identical by construction. */
+  private[graft] def bandsOfShingles(md: java.security.MessageDigest,
+                                     sh: Array[Long]): Array[String] = {
+    // MinHash: perm_i(h) = (a_i*(h mod P) + b_i) mod P, a_i = 2i+1
+    val sig = new Array[Long](PERMS)
+    var i = 0
+    while (i < PERMS) {
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < sh.length) {
+        val hm = sh(j) % P // hash60 is non-negative
+        val v = (hm * (2L * i + 1) + i * MIX) % P
+        if (v < mn) mn = v
+        j += 1
+      }
+      sig(i) = mn
+      i += 1
+    }
+    // band key = md5 of the band's sig values as "v1-v2-v3-v4" —
+    // string-identical to SQL md5(string_agg(v,'-' ORDER BY i))
+    Array.tabulate(BANDS) { b =>
+      md5Hex(md, sig.slice(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND).mkString("-"))
+    }
+  }
+
+  /** Text → LSH band keys in one pass (tokenize + shingle + MinHash). */
+  private[graft] def bandsOfText(md: java.security.MessageDigest,
+                                 text: String): Array[String] =
+    bandsOfShingles(md, shinglesOf(md, text))
+
   /** Shingles → 64-perm MinHash → 16 band hashes, one JIT'd pass per
     * partition. */
   def signatures(spark: SparkSession, sfDir: String): Dataset[DocSig] = {
@@ -94,27 +127,7 @@ object Dedup {
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (docId, text) =>
           val sh = shinglesOf(md, text)
-          // MinHash: perm_i(h) = (a_i*(h mod P) + b_i) mod P, a_i = 2i+1
-          val sig = new Array[Long](PERMS)
-          var i = 0
-          while (i < PERMS) {
-            var mn = Long.MaxValue
-            var j = 0
-            while (j < sh.length) {
-              val hm = sh(j) % P // hash60 is non-negative
-              val v = (hm * (2L * i + 1) + i * MIX) % P
-              if (v < mn) mn = v
-              j += 1
-            }
-            sig(i) = mn
-            i += 1
-          }
-          // band key = md5 of the band's sig values as "v1-v2-v3-v4" —
-          // string-identical to SQL md5(string_agg(v,'-' ORDER BY i))
-          val bands = Array.tabulate(BANDS) { b =>
-            md5Hex(md, sig.slice(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND).mkString("-"))
-          }
-          DocSig(docId, sh, bands)
+          DocSig(docId, sh, bandsOfShingles(md, sh))
         }
       }
   }

@@ -740,6 +740,54 @@ object TextOps {
       .select($"doc_id", $"n_hit_terms", $"score_micro", $"rnk")
   }
 
+  /** Interpolated bigram language-model surprisal per document — the
+    * KenLM-style fluency/quality signal one tier above
+    * [[unigramSurprisal]]: mean bits per transition under
+    * `p = λ·p(w₂|w₁) + (1−λ)·p(w₂)` with the corpus itself as the
+    * model. Low = fluent/templated text, high = noise — a standard
+    * perplexity-filter axis for pretraining corpora.
+    *
+    * Engine-stability: per-BIGRAM-TYPE surprisal is ln-computed once,
+    * rounded to 4 decimals, micro-quantized — each document's total is
+    * an integer sum (BM25 discipline). Bigrams come from one
+    * `posexplode(slice(toks, 2, n-1))` + `element_at` — native
+    * codegen'd expressions, no lambda in the hot path.
+    *
+    * Scale shape: bigram/unigram model tables are hash aggregates of
+    * the exploded stream (map-side combine); the stream-to-model join
+    * keys on the bigram pair (uniform) and the corpus total is a 1-row
+    * broadcast. Nothing windows the token stream. */
+  def bigramSurprisal(spark: SparkSession, sfDir: String,
+                      lambda: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", split(trim(lower($"text")), "\\s+").as("toks"))
+    val uni = docs.select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cw"))
+    val tot = uni.agg(sum($"cw").as("total"))
+    val bi = docs
+      .select($"doc_id", $"toks",
+              posexplode(expr("slice(toks, 2, size(toks) - 1)"))
+                .as(Seq("p", "w2")))
+      .select($"doc_id", element_at($"toks", $"p" + 1).as("w1"), $"w2")
+    val cb = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    val st = cb
+      .join(uni.select($"w".as("w1"), $"cw".as("c1")), "w1")
+      .join(uni.select($"w".as("w2"), $"cw".as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select($"w1", $"w2",
+        round(lit(1e6) * round(-log(
+          lit(lambda) * $"cb" / $"c1" +
+          lit(1.0 - lambda) * $"c2" / $"total") / log(lit(2.0)), 4))
+          .cast("long").as("s_micro"))
+    bi.join(st, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum($"s_micro").as("sum_s_micro"))
+      .withColumn("mean_bits",
+        round($"sum_s_micro".cast("double") / (lit(1e6) * $"n_bigrams"), 4))
+  }
+
   /** DSIR importance weights (Xie et al., "Data Selection for Language
     * Models via Importance Resampling", NeurIPS'23): score every
     * document by how much more likely its hashed-unigram bag is under a

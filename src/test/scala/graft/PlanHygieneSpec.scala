@@ -23,6 +23,7 @@ class PlanHygieneSpec extends SparkSpec {
     "text_mix_weights",     // 5-row agg × 1-row total broadcast
     "text_bm25",            // tf rows × 1-row corpus-stats broadcast
     "text_dsir_weights",    // bucket table × 1-row distribution totals
+    "text_bigram_surprisal", // bigram model × 1-row corpus total
     "text_doc_freq",        // term aggregates × 1-row doc-count broadcast
     "text_unigram_surprisal", // token stream × 1-row corpus-total broadcast
     "text_surprisal_buckets", // composes unigram_surprisal (same shape)

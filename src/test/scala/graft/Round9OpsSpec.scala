@@ -146,6 +146,42 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("bigramSurprisal matches a from-scratch interpolated bigram LM exactly") {
+    val lambda = 0.75
+    val toks = docs.map { case (id, t) => id -> t.trim.toLowerCase.split("\\s+") }
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    toks.foreach(_._2.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1))
+    val total = uni.values.sum
+    val cb = scala.collection.mutable.Map.empty[(String, String), Long]
+    toks.foreach { case (_, ts) =>
+      ts.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        cb((a, b)) = cb.getOrElse((a, b), 0L) + 1
+      }
+    }
+    def sMicro(w1: String, w2: String): Long = {
+      val p = lambda * cb((w1, w2)) / uni(w1) +
+        (1.0 - lambda) * uni(w2) / total
+      roundL(1e6 * round4(-math.log(p) / math.log(2.0)))
+    }
+    val want = toks.flatMap { case (id, ts) =>
+      val bigrams = ts.sliding(2).filter(_.length == 2).toSeq
+      if (bigrams.isEmpty) None
+      else {
+        val s = bigrams.map { case Array(a, b) => sMicro(a, b) }.sum
+        val mean = BigDecimal(s.toDouble / (1e6 * bigrams.length))
+          .setScale(4, RoundingMode.HALF_UP).toDouble
+        Some(id -> (bigrams.length.toLong, s, mean))
+      }
+    }.toMap
+    val got = TextOps.bigramSurprisal(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_s_micro"),
+         r.getAs[Double]("mean_bits"))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (id, w) => assert(got(id) === w, s"doc $id") }
+    assert(got.nonEmpty)
+  }
+
   test("quantized PageRank conserves mass and matches a from-scratch power iteration") {
     import spark.implicits._
     // reference: same integer micro-unit update, computed in plain Scala
