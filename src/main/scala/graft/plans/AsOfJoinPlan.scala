@@ -125,6 +125,30 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val joined = new JoinedRow
       val out = UnsafeProjection.create(output, lAttrs ++ rAttrs)
 
+      // Output-row fast path (r9): sorted children always deliver
+      // UnsafeRows, so the concatenated output row can be built by a
+      // codegen'd byte-level copy (GenerateUnsafeRowJoiner — the same
+      // machinery SortMergeJoin's generated code rests on) instead of a
+      // JoinedRow view re-projected field-by-field. The projection path
+      // stays as the fallback for non-Unsafe rows and codegen failure.
+      val joinerOpt =
+        try org.apache.spark.sql.catalyst.expressions.codegen
+          .GenerateUnsafeRowJoiner.create(
+            org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(lAttrs),
+            org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(rAttrs))
+        catch { case scala.util.control.NonFatal(_) => null }
+      val nullRightUnsafe: UnsafeRow =
+        UnsafeProjection.create(rAttrs.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Literal.create(null, a.dataType)))
+          .apply(InternalRow.empty).copy()
+      @inline def emit(l: InternalRow, m: InternalRow,
+                       hasMatch: Boolean): InternalRow =
+        if (joinerOpt != null && l.isInstanceOf[UnsafeRow] &&
+            (!hasMatch || m.isInstanceOf[UnsafeRow]))
+          joinerOpt.join(l.asInstanceOf[UnsafeRow],
+            (if (hasMatch) m else nullRightUnsafe).asInstanceOf[UnsafeRow])
+        else out(joined(l, if (hasMatch) m else nullRight))
+
       // Per-row time read, SPECIALIZED once per partition (r6 — VERDICT
       // r5 wrong #3: the null check and boxing `eval` ran per row in an
       // already interpreted loop). The common case binds to a long/
@@ -151,7 +175,78 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val lTimeOf = timeGetter(lTimeBound, "left")
       val rTimeOf = timeGetter(rTimeBound, "right")
 
-      if (isForward) new Iterator[InternalRow] {
+      // Single-long-key FAST PATH (r9): the overwhelmingly common as-of
+      // shape keys on one long/timestamp column per side. There the
+      // per-left-row UnsafeProjection + codegen'd comparator calls are
+      // pure overhead — a (nullFlag, long) pair compared with primitive
+      // branches does the same job with zero allocation and no virtual
+      // dispatch. Nulls keep the generic ordering's NULLS FIRST rank.
+      val lKeyBound = lKeyExprs.map(BindReferences.bindReference(_, lAttrs))
+      val rKeyBound = rKeyExprs.map(BindReferences.bindReference(_, rAttrs))
+      def asLongKey(bs: Seq[Expression]): Option[BoundReference] = bs match {
+        case Seq(b: BoundReference)
+            if b.dataType == org.apache.spark.sql.types.LongType ||
+               b.dataType == org.apache.spark.sql.types.TimestampType =>
+          Some(b)
+        case _ => None
+      }
+      val fastKeys = (asLongKey(lKeyBound), asLongKey(rKeyBound)) match {
+        case (Some(lb), Some(rb)) => Some((lb, rb))
+        case _ => None
+      }
+
+      if (!isForward && fastKeys.isDefined) new Iterator[InternalRow] {
+        private val (lb, rb) = fastKeys.get
+        private var rCur: InternalRow = _
+        private var rKeyNull = false
+        private var rKeyL = 0L
+        private var hasMatchKey = false
+        private var mKeyNull = false
+        private var mKeyL = 0L
+        private var matchRow: InternalRow = _
+        private var matchBuf: UnsafeRow = _
+        private def stashMatch(r: InternalRow): InternalRow = r match {
+          case u: UnsafeRow =>
+            if (matchBuf == null) matchBuf = u.copy() else matchBuf.copyFrom(u)
+            matchBuf
+          case other => other.copy()
+        }
+        // NULLS FIRST, then long ascending — identical to the generic
+        // codegen'd ordering on a single nullable long
+        private def cmpKeys(aNull: Boolean, a: Long,
+                            bNull: Boolean, b: Long): Int =
+          if (aNull) { if (bNull) 0 else -1 }
+          else if (bNull) 1
+          else java.lang.Long.compare(a, b)
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lkNull = lb.nullable && l.isNullAt(lb.ordinal)
+          val lkL = if (lkNull) 0L else l.getLong(lb.ordinal)
+          val lt = lTimeOf(l)
+          var done = false
+          while (!done && (rCur != null || rIter.hasNext)) {
+            if (rCur == null) {
+              rCur = rIter.next()
+              rKeyNull = rb.nullable && rCur.isNullAt(rb.ordinal)
+              rKeyL = if (rKeyNull) 0L else rCur.getLong(rb.ordinal)
+            }
+            val cmp = cmpKeys(rKeyNull, rKeyL, lkNull, lkL)
+            if (cmp < 0) rCur = null
+            else if (cmp == 0 && rTimeOf(rCur) <= lt) {
+              matchRow = stashMatch(rCur)
+              hasMatchKey = true; mKeyNull = rKeyNull; mKeyL = rKeyL
+              rCur = null
+            } else done = true
+          }
+          val hasMatch =
+            hasMatchKey && cmpKeys(mKeyNull, mKeyL, lkNull, lkL) == 0
+          if (hasMatch) matched += 1
+          outRows += 1
+          emit(l, matchRow, hasMatch)
+        }
+      }
+      else if (isForward) new Iterator[InternalRow] {
         // FORWARD merge (r8): per left row, the FIRST right row with
         // rightTime >= leftTime on the same key. Right rows are not
         // consumed by matching (several lefts can share one next-row);
@@ -182,7 +277,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val hasMatch = rCur != null && keyOrd.compare(rCurKey, lk) == 0
           if (hasMatch) matched += 1
           outRows += 1
-          out(joined(l, if (hasMatch) rCur else nullRight))
+          emit(l, rCur, hasMatch)
         }
       }
       else new Iterator[InternalRow] {
@@ -238,7 +333,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val hasMatch = matchKey != null && keyOrd.compare(matchKey, lk) == 0
           if (hasMatch) matched += 1
           outRows += 1
-          out(joined(l, if (hasMatch) matchRow else nullRight))
+          emit(l, matchRow, hasMatch)
         }
       }
     }
