@@ -69,14 +69,29 @@ object Sf1Scale {
     * ~10% injected near-duplicates. */
   private val docQueries: Seq[String] = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_ngram_prefix", "dedup_clusters", "text_winnow")
+    "dedup_ngram_prefix", "dedup_clusters", "text_winnow",
+    // r9 additions: span-level exact-substring dedup, sequence packing,
+    // bigram-LM scoring, and BM25 retrieval (query terms exist in the
+    // synthetic vocabulary — see [[word]])
+    "dedup_span_coverage", "text_pack_sequences", "text_bigram_surprisal",
+    "text_bm25")
 
   /** Deterministic word from a full-avalanche mix (vocab of 1000):
     * individual word collisions are common (real corpora repeat words)
     * but 3-gram shingle collisions between unrelated docs are
     * vanishingly rare, so candidate pairs come from the INJECTED
     * near-duplicates, as in a real deduplication run. */
-  private def word(h: Long): String = s"w${java.lang.Math.floorMod(mix64(h), 1000L)}"
+  private def word(h: Long): String = {
+    val r = java.lang.Math.floorMod(mix64(h), 1000L)
+    // three vocab slots carry text_bm25's fixed query terms so lexical
+    // retrieval has realistic (~0.1% df each) work at sf1 too
+    r match {
+      case 0L => "dup"
+      case 1L => "vector"
+      case 2L => "scan"
+      case _  => s"w$r"
+    }
+  }
 
   /** Synthetic documents with the testdata schema: ~120 words each from
     * a 1k vocabulary; every 10th doc is a NEAR-DUPLICATE of the previous

@@ -135,6 +135,90 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("packSequences conserves tokens/docs and fills every non-final sequence on random corpora") {
+    import spark.implicits._
+    val budget = 16
+    // small vocab, doc lengths 1..40 so docs regularly span boundaries
+    val docGen = for {
+      n <- Gen.choose(1, 40)
+      ws <- Gen.listOfN(n, Gen.choose(0, 30).map(i => s"w$i"))
+      src <- Gen.oneOf("a", "b")
+    } yield (ws.mkString(" "), src)
+    def checkFew(name: String, prop: Prop): Unit = {
+      val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+      assert(res.passed, s"$name: $res")
+    }
+    checkFew("pack", Prop.forAll(Gen.nonEmptyListOf(docGen)) { docs =>
+      val rows = docs.zipWithIndex.map { case ((t, s), i) => (i.toLong, t, "en", s) }
+      val tmp = java.nio.file.Files.createTempDirectory("pack-prop")
+      rows.toDF("doc_id", "text", "lang", "source")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = graft.llm.TextOps.packSequences(spark, tmp.toString, budget)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val bySrc = rows.groupBy(_._4)
+      bySrc.forall { case (src, ds) =>
+        val lens = ds.sortBy(_._1)
+          .map(_._2.trim.toLowerCase.split("\\s+").length.toLong)
+        val totalToks = lens.sum
+        val seqs = got.filter(_._1._1 == src)
+        val lastSeq = (totalToks - 1) / budget
+        // token conservation, budget-exact non-final sequences, and
+        // continuation counts derived from the prefix-sum intervals
+        val starts = lens.scanLeft(0L)(_ + _).dropRight(1)
+        val contWant = starts.zip(lens).flatMap { case (st, n) =>
+          (st / budget to (st + n - 1) / budget)
+            .filter(seq => st < seq * budget).map(seq => seq)
+        }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        seqs.values.map(_._3).sum == totalToks &&
+          seqs.forall { case ((_, seq), (nd, nc, nt)) =>
+            nd >= 1 &&
+              (if (seq < lastSeq) nt == budget.toLong else nt <= budget.toLong) &&
+              nc == contWant.getOrElse(seq, 0L)
+          } &&
+          seqs.keySet.map(_._2) == (0L to lastSeq).toSet
+      }
+    })
+  }
+
+  test("spanCoverage equals brute-force interval union on random small-vocab corpora") {
+    import spark.implicits._
+    val k = 3
+    // 4-word vocab + short docs: duplicated k-spans arise constantly
+    val docGen = for {
+      n <- Gen.choose(k, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf("x", "y", "z", "q"))
+    } yield ws.mkString(" ")
+    def checkFew(name: String, prop: Prop): Unit = {
+      val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+      assert(res.passed, s"$name: $res")
+    }
+    checkFew("span", Prop.forAll(Gen.nonEmptyListOf(docGen)) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") }
+      val tmp = java.nio.file.Files.createTempDirectory("span-prop")
+      rows.toDF("doc_id", "text", "lang", "source")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = graft.llm.Dedup.spanCoverage(spark, tmp.toString, k)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val toks = rows.map { case (id, t, _, _) => id -> t.split("\\s+") }
+      val holders = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+      toks.foreach { case (id, ts) =>
+        (0 to ts.length - k).foreach { i =>
+          holders.getOrElseUpdate(ts.slice(i, i + k).mkString(" "),
+            scala.collection.mutable.Set.empty) += id
+        }
+      }
+      val dup = holders.filter(_._2.size > 1).keySet
+      toks.forall { case (id, ts) =>
+        val pos = (0 to ts.length - k)
+          .filter(i => dup.contains(ts.slice(i, i + k).mkString(" ")))
+        val covered = pos.flatMap(i => i until i + k).toSet.size.toLong
+        got(id) == ((ts.length.toLong, pos.length.toLong, covered))
+      }
+    })
+  }
+
   test("sorted_intersect_count equals set intersection on sorted arrays") {
     import spark.implicits._
     GraftFunctions.register(spark)
