@@ -188,6 +188,7 @@ object SparkEntry {
     "q_pagerank"         -> ((s, d) => PageRank.bipartiteExact(s, d)),
     "text_dsir_weights"  -> ((s, d) => TextOps.dsirWeights(s, d)),
     "text_bigram_surprisal" -> ((s, d) => TextOps.bigramSurprisal(s, d)),
+    "dedup_span_apply"   -> ((s, d) => Dedup.spanApply(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -295,6 +296,49 @@ object SparkEntry {
        | CAST(row_number() OVER (ORDER BY rm DESC, vertex) AS BIGINT) AS rnk
        |FROM r$iters QUALIFY rnk <= $topK""".stripMargin
   }
+
+  /** Shared by dedup_span_coverage and its apply/filter step. */
+  private val spanCoverageOracle: String =
+      """WITH d AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+        |    AS n_tokens
+        | FROM documents),
+        |sp AS (
+        | SELECT doc_id, i AS pos,
+        |  md5(array_to_string(toks[i + 1 : i + 10], ' ')) AS span_md5
+        | FROM (SELECT doc_id, toks,
+        |        unnest(generate_series(0, n_tokens - 10)) AS i
+        |       FROM d WHERE n_tokens >= 10) t),
+        |dup AS (
+        | SELECT span_md5 FROM sp GROUP BY 1
+        | HAVING count(DISTINCT doc_id) > 1),
+        |j AS (SELECT doc_id, pos, pos + 9 AS span_end
+        |      FROM sp JOIN dup USING (span_md5)),
+        |w AS (
+        | SELECT doc_id, pos, span_end,
+        |  max(span_end) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+        | FROM j),
+        |isl AS (
+        | SELECT doc_id, pos, span_end,
+        |  sum(CASE WHEN prev_max_end IS NULL OR pos > prev_max_end + 1
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        | FROM w),
+        |per_isl AS (
+        | SELECT doc_id, island, max(span_end) - min(pos) + 1 AS island_len,
+        |  count(*) AS n_spans
+        | FROM isl GROUP BY 1, 2),
+        |cov AS (
+        | SELECT doc_id, sum(island_len) AS covered_tokens,
+        |  sum(n_spans) AS n_dup_spans
+        | FROM per_isl GROUP BY 1)
+        |SELECT d.doc_id, d.n_tokens,
+        | CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        | CAST(coalesce(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+        | CAST(coalesce(covered_tokens, 0) AS DOUBLE) / d.n_tokens AS dup_frac
+        |FROM d LEFT JOIN cov USING (doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = FunnelRetentionCorrOracles ++ Map(
     "q_pagerank" -> pagerankOracleSql(),
@@ -1797,47 +1841,11 @@ object SparkEntry {
         | CAST(sum(least(cum_end, (seq_id + 1) * 256)
         |   - greatest(cum_start, seq_id * 256)) AS BIGINT) AS n_tokens
         |FROM e GROUP BY 1, 2""".stripMargin,
-    "dedup_span_coverage" ->
-      """WITH d AS (
-        | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks,
-        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
-        |    AS n_tokens
-        | FROM documents),
-        |sp AS (
-        | SELECT doc_id, i AS pos,
-        |  md5(array_to_string(toks[i + 1 : i + 10], ' ')) AS span_md5
-        | FROM (SELECT doc_id, toks,
-        |        unnest(generate_series(0, n_tokens - 10)) AS i
-        |       FROM d WHERE n_tokens >= 10) t),
-        |dup AS (
-        | SELECT span_md5 FROM sp GROUP BY 1
-        | HAVING count(DISTINCT doc_id) > 1),
-        |j AS (SELECT doc_id, pos, pos + 9 AS span_end
-        |      FROM sp JOIN dup USING (span_md5)),
-        |w AS (
-        | SELECT doc_id, pos, span_end,
-        |  max(span_end) OVER (PARTITION BY doc_id ORDER BY pos
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
-        | FROM j),
-        |isl AS (
-        | SELECT doc_id, pos, span_end,
-        |  sum(CASE WHEN prev_max_end IS NULL OR pos > prev_max_end + 1
-        |      THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        | FROM w),
-        |per_isl AS (
-        | SELECT doc_id, island, max(span_end) - min(pos) + 1 AS island_len,
-        |  count(*) AS n_spans
-        | FROM isl GROUP BY 1, 2),
-        |cov AS (
-        | SELECT doc_id, sum(island_len) AS covered_tokens,
-        |  sum(n_spans) AS n_dup_spans
-        | FROM per_isl GROUP BY 1)
-        |SELECT d.doc_id, d.n_tokens,
-        | CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
-        | CAST(coalesce(covered_tokens, 0) AS BIGINT) AS covered_tokens,
-        | CAST(coalesce(covered_tokens, 0) AS DOUBLE) / d.n_tokens AS dup_frac
-        |FROM d LEFT JOIN cov USING (doc_id)""".stripMargin,
+    "dedup_span_coverage" -> spanCoverageOracle,
+    // the dedup ACTION on the span signal: keep iff coverage <= 0.2
+    "dedup_span_apply" ->
+      s"""SELECT doc_id, n_tokens, dup_frac, dup_frac <= 0.2 AS keep
+         |FROM ($spanCoverageOracle) cov_q""".stripMargin,
     // hybrid RRF: same BM25 pipeline as text_bm25 plus the dense cosine
     // ranking; per-list reciprocal contributions quantized to integer
     // micro-units before the (two-element) sum

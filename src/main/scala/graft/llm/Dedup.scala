@@ -339,6 +339,22 @@ object Dedup {
               $"n_chars")
   }
 
+  /** The ACTION step of exact-substring dedup (Lee et al. ACL'22 §4.2
+    * applied as a document filter): keep a document iff at most
+    * `maxFrac` of its tokens sit inside cross-doc duplicated k-token
+    * spans ([[spanCoverage]]). This is what the span signal is FOR —
+    * RefinedWeb/Dolma-style pipelines cut at 20–50% coverage — and the
+    * keep-decision output mirrors [[dedupApply]]'s shape so downstream
+    * curation composes identically. Same scale shape as spanCoverage
+    * (the decision is a projection over its per-doc aggregate). */
+  def spanApply(spark: SparkSession, sfDir: String, k: Int = 10,
+                maxFrac: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    spanCoverage(spark, sfDir, k)
+      .select($"doc_id", $"n_tokens", $"dup_frac",
+              ($"dup_frac" <= maxFrac).as("keep"))
+  }
+
   /** Min-label propagation with POINTER JUMPING: each round propagates
     * neighbor minima (one hop) and then shortcuts `label ← label(label)`
     * (doubling the effective reach), so convergence takes O(log diameter)

@@ -110,6 +110,17 @@ class Round9OpsSpec extends SparkSpec {
     got.values.foreach { case (n, _, cov, _) => assert(cov <= n) }
   }
 
+  test("spanApply keeps exactly the docs at or under the coverage cutoff") {
+    val cov = Dedup.spanCoverage(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_frac")).toMap
+    val got = Dedup.spanApply(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(got.keySet === cov.keySet)
+    got.foreach { case (id, keep) => assert(keep === (cov(id) <= 0.2), s"doc $id") }
+    // the cutoff bites on the test corpus: both outcomes occur
+    assert(got.values.exists(identity) && got.values.exists(!_))
+  }
+
   test("packSequences: full sequences hold exactly the budget; totals and continuations conserved") {
     import spark.implicits._
     val budget = 256
