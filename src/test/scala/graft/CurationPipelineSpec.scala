@@ -85,4 +85,79 @@ class CurationPipelineSpec extends SparkSpec {
     gateOnce(); dedupOnce()
     assert(spark.read.parquet(s"$base/curated").count() === 3)
   }
+
+  test("curated store → streaming near-dup tail flags rewrites exact dedup admits") {
+    import spark.implicits._
+    import graft.streaming.StreamingNearDup
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = Files.createTempDirectory("graft-curation-nd").toString
+    val srcDir = s"$base/src"
+    Files.createDirectories(Paths.get(srcDir))
+    val original = "the committee reviewed all pending proposals during the morning " +
+      "session and agreed that further analysis would be required before any " +
+      "final decision could reach the board for approval next quarter"
+    val unrelated = "heavy rainfall across the northern valleys filled every " +
+      "reservoir beyond capacity while engineers monitored the dams and " +
+      "prepared controlled releases for the downstream communities that evening"
+    // a REWRITE: two word substitutions — different md5 (exact dedup
+    // admits it) but near-identical shingle set (LSH must catch it)
+    val rewrite = original.replace("morning", "evening")
+      .replace("board", "panel")
+
+    def gateOnce(): Unit =
+      StreamingQualityGate.run(
+        spark.readStream.schema(docSchema).json(srcDir),
+        s"$base/accept", s"$base/reject", s"$base/chk-gate").awaitTermination()
+    def dedupOnce(): Unit = {
+      val accepted = spark.readStream
+        .schema(spark.read.parquet(s"$base/accept").schema)
+        .parquet(s"$base/accept")
+        .select($"doc_id", $"text").as[StreamingDedup.Doc]
+      StreamingDedup.dedupStream(accepted).toDF()
+        .writeStream
+        .option("checkpointLocation", s"$base/chk-dedup")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", s"$base/curated")
+        .start().awaitTermination()
+    }
+    // the near-dup TAIL: tails the ACCEPT stream (the curated store is
+    // a hash view without text) in parallel with exact dedup — edges
+    // flag later docs colliding with any earlier accepted content, and
+    // the corpus view is curated minus flagged
+    def nearDupOnce(): Unit = {
+      val accepted = spark.readStream
+        .schema(spark.read.parquet(s"$base/accept").schema)
+        .parquet(s"$base/accept")
+        .select($"doc_id", $"text").as[StreamingNearDup.Doc]
+      StreamingNearDup.nearDups(accepted).toDF()
+        .writeStream
+        .option("checkpointLocation", s"$base/chk-neardup")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", s"$base/neardup_edges")
+        .start().awaitTermination()
+    }
+
+    writeDocs(srcDir, "b1.json", Seq(1L -> original, 2L -> unrelated))
+    gateOnce(); dedupOnce(); nearDupOnce()
+    assert(spark.read.parquet(s"$base/curated").count() === 2)
+    assert(spark.read.parquet(s"$base/neardup_edges").count() === 0)
+
+    writeDocs(srcDir, "b2.json", Seq(3L -> rewrite))
+    gateOnce(); dedupOnce(); nearDupOnce()
+    // exact dedup admitted the rewrite (content hash differs)...
+    assert(spark.read.parquet(s"$base/curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // ...and the near-dup tail flagged it against the original, so the
+    // final corpus view drops it
+    val edges = spark.read.parquet(s"$base/neardup_edges")
+      .select("doc_id", "first_doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.contains((3L, 1L)), s"rewrite not flagged; edges=$edges")
+    assert(!edges.exists(e => e._1 == 2L || e._2 == 2L))
+    val flagged = edges.map(_._1)
+    val corpus = spark.read.parquet(s"$base/curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet -- flagged
+    assert(corpus === Set(1L, 2L))
+  }
 }
