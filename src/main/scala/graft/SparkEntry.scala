@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsofJoin, Core, PageRank, RangeJoin, SkewOps}
+import graft.operators.{AsofJoin, Core, PageRank, RangeJoin, SkewOps, Triangles}
 import graft.telemetry.Telemetry
 import graft.llm.{Dedup, Multimodal, SimOps, TextOps}
 
@@ -189,6 +189,7 @@ object SparkEntry {
     "text_dsir_weights"  -> ((s, d) => TextOps.dsirWeights(s, d)),
     "text_bigram_surprisal" -> ((s, d) => TextOps.bigramSurprisal(s, d)),
     "dedup_span_apply"   -> ((s, d) => Dedup.spanApply(s, d)),
+    "q_triangle_support" -> ((s, d) => Triangles.triangleSupport(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -342,6 +343,36 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = FunnelRetentionCorrOracles ++ Map(
     "q_pagerank" -> pagerankOracleSql(),
+    // degree-ordered triangle counting: nodes relabeled by (degree, id)
+    // rank, edges oriented low→high, support(s,t) = |N_out(s)∩N_out(t)|
+    // — each triangle counted once at its lowest-rank edge. The oracle
+    // runs the same algorithm relationally (wedge join); integer-exact.
+    "q_triangle_support" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, count(*) AS d FROM (
+        |   SELECT u AS node FROM e UNION ALL SELECT v FROM e) t GROUP BY 1),
+        |rk AS (SELECT node,
+        |        CAST(row_number() OVER (ORDER BY d, node) AS BIGINT) AS r
+        |       FROM deg),
+        |eo AS (SELECT least(ru.r, rv.r) AS s, greatest(ru.r, rv.r) AS t
+        |       FROM e JOIN rk ru ON ru.node = e.u
+        |              JOIN rk rv ON rv.node = e.v),
+        |sup AS (
+        | SELECT b.s, b.t, CAST(count(y.t) AS BIGINT) AS support
+        | FROM eo b
+        | LEFT JOIN eo x ON x.s = b.s
+        | LEFT JOIN eo y ON y.s = b.t AND y.t = x.t
+        | GROUP BY 1, 2)
+        |SELECT rku.node AS part_u, rkv.node AS part_v, support,
+        | (SELECT CAST(sum(support) AS BIGINT) FROM sup) AS total_triangles,
+        | CAST(row_number() OVER (
+        |   ORDER BY support DESC, rku.node, rkv.node) AS BIGINT) AS rnk
+        |FROM sup JOIN rk rku ON rku.r = sup.s
+        |         JOIN rk rkv ON rkv.r = sup.t
+        |QUALIFY rnk <= 20""".stripMargin,
     // interpolated bigram LM: per-bigram-type surprisal ln-rounded to 4
     // decimals then micro-quantized; λ literals written as the same float
     // expressions Scala evaluates

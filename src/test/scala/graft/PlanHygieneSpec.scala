@@ -28,6 +28,7 @@ class PlanHygieneSpec extends SparkSpec {
     "text_unigram_surprisal", // token stream × 1-row corpus-total broadcast
     "text_surprisal_buckets", // composes unigram_surprisal (same shape)
     "q_width_bucket",       // scan × 1-row min/max bounds broadcast
+    "q_triangle_support",   // edge supports × 1-row global-count broadcast
     "q_skew_diagnose")      // top-k rows × 1-row global-stats broadcast
 
   test("every query plans hash aggregation, no cartesians, whitelisted BNLJ only") {

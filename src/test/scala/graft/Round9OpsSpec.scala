@@ -252,6 +252,50 @@ class Round9OpsSpec extends SparkSpec {
       s"target-domain mean $meanTgt below selection mean $meanAll")
   }
 
+  test("triangleSupport matches brute-force triangle enumeration") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)]
+      .collect().distinct
+    val edges = li.groupBy(_._1).values.toSeq.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    // brute force: adjacency sets, count triangles a<b<c by id
+    val nbr = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      nbr.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      nbr.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val nodes = nbr.keys.toSeq.sorted
+    var totalTri = 0L
+    // per-ORIENTED-edge support under the operator's (degree, id) rank:
+    val deg = nodes.map(n => n -> nbr(n).size.toLong).toMap
+    val rank = nodes.sortBy(n => (deg(n), n)).zipWithIndex
+      .map { case (n, i) => n -> (i + 1).toLong }.toMap
+    val supWant = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    edges.foreach { case (a, b) =>
+      val (s, t) = if (rank(a) < rank(b)) (a, b) else (b, a)
+      // common neighbors with rank above BOTH (out-neighbors of each)
+      val cs = nbr(s).filter(c => rank(c) > rank(s) && rank(c) > rank(t) &&
+        nbr(t).contains(c))
+      supWant((s, t)) = cs.size.toLong
+      totalTri += cs.size
+    }
+    val got = graft.operators.Triangles.triangleSupport(spark, sf).collect()
+      .map(r => (r.getAs[Long]("part_u"), r.getAs[Long]("part_v"),
+        r.getAs[Long]("support"), r.getAs[Long]("total_triangles"),
+        r.getAs[Long]("rnk"))).sortBy(_._5)
+    assert(got.nonEmpty && got.forall(_._4 === totalTri),
+      s"global count mismatch: got=${got.headOption.map(_._4)} want=$totalTri")
+    val wantTop = supWant.toSeq
+      .map { case ((s, t), c) => (s, t, c) }
+      .sortBy { case (s, t, c) => (-c, s, t) }.take(20)
+      .zipWithIndex.map { case ((s, t, c), i) => (s, t, c, totalTri, i + 1L) }
+    assert(got.toSeq === wantTop)
+    assert(totalTri > 0L, "test graph has no triangles — fixture too weak")
+  }
+
   test("hybridRrf equals RRF fusion of the two independently-derived rank lists") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
