@@ -484,8 +484,8 @@ object TextOps {
     * diversity diagnostic that says whether more data still buys new
     * vocabulary. Per doc: tokens contributed and NEW terms introduced
     * (terms whose first-holding doc this is — the [[ngramNovelty]]
-    * min-agg at term level); running sums are windows over #docs rows,
-    * reported every `stride` docs. */
+    * min-agg at term level); running sums are windows over #docs/stride
+    * bucket rollup rows, reported every `stride` docs. */
   def vocabGrowth(spark: SparkSession, sfDir: String,
                   stride: Long = 50L): DataFrame = {
     import spark.implicits._
@@ -496,14 +496,23 @@ object TextOps {
     val firstHolder = terms.select($"doc_id", $"term").distinct()
       .groupBy($"term").agg(min($"doc_id").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("new_terms"))
-    val line = Window.orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perDocTokens.join(firstHolder, Seq("doc_id"), "left")
+    // Only stride-boundary docs are reported, and a boundary doc is by
+    // construction the max id of its stride bucket — so per-doc rows
+    // pre-aggregate to one row per bucket BEFORE the cumulative window
+    // (stride× fewer rows through the single-partition running sum;
+    // the curve itself is inherently a global prefix sum).
+    val bucketed = perDocTokens.join(firstHolder, Seq("doc_id"), "left")
       .withColumn("new_terms", coalesce($"new_terms", lit(0L)))
+      .groupBy(expr(s"doc_id div $stride").as("bkt"))
+      .agg(sum($"toks").as("toks"), sum($"new_terms").as("new_terms"),
+           max($"doc_id").as("last_id"))
+    val line = Window.orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
       .withColumn("cum_tokens", sum($"toks").over(line))
       .withColumn("cum_vocab", sum($"new_terms").over(line))
-      .filter(($"doc_id" + 1) % stride === 0)
-      .select($"doc_id", $"cum_tokens", $"cum_vocab")
+      .filter(($"last_id" + 1) % stride === 0)
+      .select($"last_id".as("doc_id"), $"cum_tokens", $"cum_vocab")
   }
 
   /** TF-IDF top terms per document (the classic retrieval/keyword

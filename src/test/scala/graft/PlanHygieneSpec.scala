@@ -31,6 +31,48 @@ class PlanHygieneSpec extends SparkSpec {
     "q_triangle_support",   // edge supports × 1-row global-count broadcast
     "q_skew_diagnose")      // top-k rows × 1-row global-stats broadcast
 
+  /** Queries allowed to rank with an UNPARTITIONED window over a set
+    * that is not limit-bounded in the plan — each is small by
+    * construction (post-aggregate / pre-pruned), documented here (the
+    * round-7 triangle lesson: a global row_number over an |E|-row table
+    * funnels everything through one task at 100×). */
+  private val globalWindowIntended = Set(
+    "text_bm25",       // ranks per-query-term match set, pruned before the agg
+    "sim_hybrid_rrf",  // fuses two ≤k TopKStructs buffers (k=30)
+    "q_skyline",       // ranks the dominance-filtered skyline set (tiny)
+    "dedup_threshold_sweep", // cumulative curve over ≤21 cosine-decile bins
+    "sim_ivf_stats",   // imbalance report over k cluster-count rows
+    "tel_burn_rate",   // range-frame over the hourly rollup (#hours rows)
+    "tel_downtime",    // gaps-and-islands over the hourly rollup
+    "tel_freshness",   // global max over per-event-type rollup (≤10s of rows)
+    "tel_slo_multiwindow", // multi-window burn over the hourly rollup
+    "text_mix_weights",    // √share over the per-language rollup (≤10s of rows)
+    "text_vocab_growth")   // prefix sum over #docs/stride bucket rollup
+                           // (inherently sequential curve; 3-long rows)
+
+  test("no unpartitioned window over an unbounded child (catalog-wide)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, GlobalLimit, Aggregate, LogicalPlan}
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    def bounded(p: LogicalPlan): Boolean =
+      p.collectFirst { case _: GlobalLimit => () }.isDefined
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val confs = SparkEntry.queryConfs.getOrElse(name, Map.empty)
+      SparkEntry.withConfs(spark, confs) {
+        try {
+          val optimized = fn(spark, sf).queryExecution.optimizedPlan
+          optimized.foreach {
+            case w: LWindow if w.partitionSpec.isEmpty &&
+                !bounded(w.child) && !globalWindowIntended(name) =>
+              offenders += s"$name: unpartitioned Window over unbounded child"
+            case _ =>
+          }
+        } catch { case e: Throwable => offenders += s"$name: plan failed ${e.getMessage}" }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"single-partition window risks:\n${offenders.distinct.mkString("\n")}")
+  }
+
   test("every query plans hash aggregation, no cartesians, whitelisted BNLJ only") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
