@@ -21,10 +21,21 @@ object Tables {
     * `date_trunc(tz)` reject and the DuckDB oracle doesn't produce.
     * With inference off the stored micros are read verbatim as UTC
     * instants (sessions here run UTC), matching the oracle's naive
-    * reading bit-for-bit. */
+    * reading bit-for-bit. The conf is saved and RESTORED around the
+    * (eager) schema-inference step — Spark 4.1 has no per-read parquet
+    * option for this, and the inferred schema is frozen into the
+    * relation, so scoping the override to the `spark.read` call leaves
+    * parquet reads outside these loaders with their own NTZ
+    * inference (no global side effect). */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try spark.read.parquet(s"$sfDir/$name.parquet")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -816,8 +816,11 @@ object TextOps {
     * join (map-side combine collapses repeated tokens); the two bucket
     * distributions are ≤ `nBuckets`-row aggregates joined BROADCAST, so
     * the only wide exchange is the (doc, bucket) hash agg. The final
-    * top-k is a window over docs (TakeOrderedAndProject shape). At
-    * 100 TB the target sample is a tiny fixed domain; the raw
+    * top-k `row_number + filter ≤ k` is rewritten by the optimizer
+    * (LimitPushDownThroughWindow) into Window-over-GlobalLimit —
+    * physically TakeOrderedAndProject feeding a ≤`topK`-row window;
+    * PlanHygieneSpec's unpartitioned-window rule asserts this stays
+    * true. At 100 TB the target sample is a tiny fixed domain; the raw
     * distribution is one map-side-combined pass. */
   def dsirWeights(spark: SparkSession, sfDir: String,
                   targetSources: Seq[String] = Seq("src7", "src18"),

@@ -76,9 +76,12 @@ object PageRank {
         .groupBy($"vertex").agg((lit(base) + sum($"c")).as("rm"))
     }
     ranks
+      // integer `div`, not `/`: long `/` is double division in Spark,
+      // exact only below 2^53 — extreme packed ids would silently
+      // corrupt labels (same fix as Tables.events `ts div 1000`)
       .select(when($"vertex" % 2 === 0,
-                   concat(lit("s"), ($"vertex" / 2).cast("long")))
-                .otherwise(concat(lit("p"), (($"vertex" - 1) / 2).cast("long")))
+                   concat(lit("s"), expr("vertex div 2")))
+                .otherwise(concat(lit("p"), expr("(vertex - 1) div 2")))
                 .as("vertex"),
               $"rm")
       .withColumn("rnk", row_number().over(

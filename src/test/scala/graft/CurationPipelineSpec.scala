@@ -28,10 +28,24 @@ class CurationPipelineSpec extends SparkSpec {
     ()
   }
 
+  /** Save/restore the state-store provider around the test body — the
+    * shared session must not leak RocksDB into later suites (same
+    * helper as StreamingNearDupSpec). */
+  private def withRocksDb(f: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("collector drop → quality gate → streaming dedup → curated store") {
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    withRocksDb {
     val base = Files.createTempDirectory("graft-curation").toString
     val srcDir = s"$base/src"
     Files.createDirectories(Paths.get(srcDir))
@@ -84,13 +98,13 @@ class CurationPipelineSpec extends SparkSpec {
     // idle re-run: nothing changes anywhere
     gateOnce(); dedupOnce()
     assert(spark.read.parquet(s"$base/curated").count() === 3)
+    }
   }
 
   test("curated store → streaming near-dup tail flags rewrites exact dedup admits") {
     import spark.implicits._
     import graft.streaming.StreamingNearDup
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    withRocksDb {
     val base = Files.createTempDirectory("graft-curation-nd").toString
     val srcDir = s"$base/src"
     Files.createDirectories(Paths.get(srcDir))
@@ -159,5 +173,6 @@ class CurationPipelineSpec extends SparkSpec {
     val corpus = spark.read.parquet(s"$base/curated")
       .select("doc_id").collect().map(_.getLong(0)).toSet -- flagged
     assert(corpus === Set(1L, 2L))
+    }
   }
 }
