@@ -1463,6 +1463,33 @@ object SparkEntry {
         |       event_type, value
         |      FROM events, (SELECT unnest(range(4)) AS k) ks) h
         |GROUP BY 1,2""".stripMargin,
+    // CMS with md5-row-salted bucket hashes (w=⌈e/1e-4⌉=27183, d=5):
+    // counters are deterministic integers, so the sketch replays
+    // exactly — est = min over rows of the (i, bucket) counter
+    "tel_cms_counts" ->
+      """WITH ev AS (SELECT user_id FROM events),
+        |rows_ AS (SELECT unnest(generate_series(0, 4)) AS i),
+        |h AS (
+        | SELECT user_id, i,
+        |  ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+        |     CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 27183 AS bucket
+        | FROM ev CROSS JOIN rows_),
+        |counters AS (
+        | SELECT i, bucket, CAST(count(*) AS BIGINT) AS c
+        | FROM h GROUP BY 1, 2),
+        |exact AS (
+        | SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        | FROM ev GROUP BY 1),
+        |probes AS (
+        | SELECT e.user_id, e.exact_cnt, r.i,
+        |  ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' ||
+        |     CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT % 27183 AS bucket
+        | FROM exact e CROSS JOIN rows_ r)
+        |SELECT p.user_id, p.exact_cnt,
+        | CAST(min(c.c) AS BIGINT) AS est_cnt,
+        | (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_total
+        |FROM probes p JOIN counters c USING (i, bucket)
+        |GROUP BY 1, 2""".stripMargin,
     "tel_anomaly" ->
       """WITH v AS (
         | SELECT event_id, event_type, value,

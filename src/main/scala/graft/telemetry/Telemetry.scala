@@ -583,29 +583,44 @@ object Telemetry {
 
   /** Count-min-sketch frequency estimates — the 4th classic sketch in
     * the engine (HLL cardinality, GK percentiles, Misra-Gries heavy
-    * hitters, CMS frequencies): one pass builds a fixed-size mergeable
-    * sketch of per-user event counts (map-side combined, bytes per
-    * executor instead of a distinct-key shuffle at 100 TB); estimates
-    * for the key set are then read from the broadcast sketch in a
-    * narrow pass. Paired with exact counts so the spec can assert the
-    * CMS guarantee: est ≥ true, est ≤ true + ε·N with prob ≥ δ.
-    * rows-only for the driver (sketch estimates have no SQL oracle). */
+    * hitters, CMS frequencies): a depth-d × width-w counter matrix of
+    * per-user event counts (w = ⌈e/ε⌉, d = ⌈ln 1/(1−δ)⌉), built as ONE
+    * hash aggregate over the md5-row-hashed stream — map-side combine
+    * collapses to ≤ d·w counter rows per executor instead of a
+    * distinct-key shuffle at 100 TB, the same mergeability the sketch
+    * gives a native engine. Estimates are min-over-rows reads against
+    * the counter table (AQE broadcasts it — d·w is fixed bytes).
+    * Paired with exact counts so the spec can assert the CMS
+    * guarantee: est ≥ true, est ≤ true + ε·N with prob ≥ δ.
+    *
+    * Hash rows are the engine's standard 60-bit md5-prefix trick
+    * (row-salted key), so the counters are DETERMINISTIC integers and
+    * the whole sketch replays exactly in SQL — this query is
+    * hash-oracle-checked, not rows-only (the r3 minhash/simhash play). */
   def cmsCounts(spark: SparkSession, sfDir: String,
                 eps: Double = 0.0001, confidence: Double = 0.99): DataFrame = {
     import spark.implicits._
-    val ev = Tables.events(spark, sfDir)
-    val skRow = ev.agg(
-      count_min_sketch($"user_id", lit(eps), lit(confidence), lit(42)).as("cms"),
-      count(lit(1)).as("n")).collect()(0)
-    val (bytes, n) = (skRow.getAs[Array[Byte]]("cms"), skRow.getLong(1))
-    val skB = spark.sparkContext.broadcast(bytes)
+    val w = math.ceil(math.E / eps).toLong
+    val d = math.ceil(math.log(1.0 / (1.0 - confidence))).toInt
+    val rowsLit = array((0 until d).map(lit): _*)
+    def bucket(key: org.apache.spark.sql.Column, row: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(row.cast("string"), lit(":"),
+        key.cast("string"))), 1, 15), 16, 10).cast("long") % w
+    val ev = Tables.events(spark, sfDir).select($"user_id")
+    val counters = ev
+      .select($"user_id", explode(rowsLit).as("i"))
+      .groupBy($"i", bucket($"user_id", $"i").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val totals = ev.agg(count(lit(1)).as("n_total"))
     val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_cnt"))
-    exact.as[(Long, Long)].mapPartitions { it =>
-      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(skB.value))
-      it.map { case (uid, cnt) => (uid, cnt, cms.estimateCount(uid)) }
-    }.toDF("user_id", "exact_cnt", "est_cnt")
-      .withColumn("n_total", lit(n))
+    exact
+      .select($"user_id", $"exact_cnt", explode(rowsLit).as("i"))
+      .withColumn("bucket", bucket($"user_id", $"i"))
+      .join(counters, Seq("i", "bucket"))
+      .groupBy($"user_id", $"exact_cnt")
+      .agg(min($"c").as("est_cnt"))
+      .crossJoin(broadcast(totals))
+      .select($"user_id", $"exact_cnt", $"est_cnt", $"n_total")
   }
 
   /** Z-score anomaly detection per metric stream: flag events more than

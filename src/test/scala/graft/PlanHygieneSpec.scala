@@ -29,6 +29,7 @@ class PlanHygieneSpec extends SparkSpec {
     "text_surprisal_buckets", // composes unigram_surprisal (same shape)
     "q_width_bucket",       // scan × 1-row min/max bounds broadcast
     "q_triangle_support",   // edge supports × 1-row global-count broadcast
+    "tel_cms_counts",       // estimates × 1-row stream-total broadcast
     "q_skew_diagnose")      // top-k rows × 1-row global-stats broadcast
 
   /** Queries allowed to rank with an UNPARTITIONED window over a set
