@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{AsofJoin, Core, PageRank, RangeJoin, SkewOps, Triangles}
 import graft.telemetry.Telemetry
-import graft.llm.{Dedup, Multimodal, SimOps, TextOps}
+import graft.llm.{Dedup, ImageOps, Multimodal, SimOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -152,6 +152,9 @@ object SparkEntry {
     "mm_frame_dedup"     -> (Multimodal.frameDedup _),
     "mm_ahash_pairs"     -> ((s, d) => Multimodal.ahashPairs(s, d)),
     "mm_ahash_clusters"  -> ((s, d) => Multimodal.ahashClusters(s, d)),
+    "mm_img_meta"        -> (ImageOps.imgMeta _),
+    "mm_img_ahash_pairs" -> ((s, d) => ImageOps.imgAhashPairs(s, d)),
+    "mm_img_downsample"  -> (ImageOps.imgDownsample _),
     "sim_mrl_rerank"     -> ((s, d) => SimOps.mrlRerank(s, d)),
     "dedup_semantic"     -> ((s, d) => Dedup.semantic(s, d)),
     "dedup_semantic_apply" -> ((s, d) => Dedup.semanticApply(s, d)),
@@ -2476,6 +2479,87 @@ object SparkEntry {
         |SELECT ha, hb, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
         | n_a, n_b, n_a * n_b AS frame_pairs, doc_a, doc_b
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
+    // REAL ImageIO decode family: images are generated from the
+    // analytic md5 pixel function px(g,i), encoded to real PNG, and
+    // every query computes from ImageIO-DECODED samples; the oracle
+    // reproduces the integers from the pixel function alone — equality
+    // proves decode∘encode = id on real codec bytes
+    "mm_img_meta" ->
+      """WITH px AS (
+        | SELECT d.doc_id, i.i,
+        |  CASE WHEN i.i < d.doc_id % 3
+        |   THEN (('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT + 128) % 256
+        |   ELSE ('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT
+        |  END AS v
+        | FROM (SELECT doc_id FROM documents) d
+        | CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i)
+        |SELECT doc_id, '89504e47' AS magic_hex,
+        | CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        | CAST(sum(v) AS BIGINT) AS sum_luma
+        |FROM px GROUP BY 1""".stripMargin,
+    "mm_img_ahash_pairs" ->
+      """WITH px AS (
+        | SELECT d.doc_id, i.i,
+        |  CASE WHEN i.i < d.doc_id % 3
+        |   THEN (('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT + 128) % 256
+        |   ELSE ('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT
+        |  END AS v
+        | FROM (SELECT doc_id FROM documents) d
+        | CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS i) i),
+        |s AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS s
+        |      FROM px GROUP BY 1),
+        |hx AS (
+        | SELECT px.doc_id,
+        |  CAST(sum(CASE WHEN px.v * 63 > s.s
+        |    THEN (CAST(1 AS BIGINT) << px.i) ELSE 0 END) AS BIGINT) AS ahash
+        | FROM px JOIN s USING (doc_id) GROUP BY 1),
+        |grp AS (
+        | SELECT ahash, CAST(count(*) AS BIGINT) AS n_imgs,
+        |  min(doc_id) AS min_doc
+        | FROM hx GROUP BY 1),
+        |banded AS (
+        | SELECT ahash, n_imgs, min_doc, b.band,
+        |  (ahash >> (b.band*16)) & 65535 AS band_val
+        | FROM grp CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b),
+        |cand AS (
+        | SELECT DISTINCT a.ahash AS ha, b.ahash AS hb,
+        |  a.n_imgs AS n_a, b.n_imgs AS n_b,
+        |  a.min_doc AS doc_a, b.min_doc AS doc_b
+        | FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.band_val = b.band_val AND a.ahash < b.ahash)
+        |SELECT ha, hb, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
+        | n_a, n_b, doc_a, doc_b
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
+    "mm_img_downsample" ->
+      """WITH px AS (
+        | SELECT d.doc_id, i.i,
+        |  CASE WHEN i.i < d.doc_id % 3
+        |   THEN (('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT + 128) % 256
+        |   ELSE ('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT
+        |  END AS v
+        | FROM (SELECT doc_id FROM documents) d
+        | CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i),
+        |o AS (SELECT a.x, b.y
+        |      FROM (SELECT unnest(generate_series(0, 3)) AS x) a
+        |      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS y) b),
+        |m AS (
+        | SELECT p1.doc_id, o.x, o.y,
+        |  (p1.v + p2.v + p3.v + p4.v) // 4 AS m
+        | FROM o
+        | JOIN px p1 ON p1.i = (2*o.y)*8 + 2*o.x
+        | JOIN px p2 ON p2.doc_id = p1.doc_id AND p2.i = (2*o.y)*8 + 2*o.x + 1
+        | JOIN px p3 ON p3.doc_id = p1.doc_id AND p3.i = (2*o.y+1)*8 + 2*o.x
+        | JOIN px p4 ON p4.doc_id = p1.doc_id AND p4.i = (2*o.y+1)*8 + 2*o.x + 1)
+        |SELECT doc_id, CAST(4 AS BIGINT) AS out_width,
+        | CAST(4 AS BIGINT) AS out_height,
+        | CAST(sum((y*4 + x + 1) * m) AS BIGINT) AS checksum
+        |FROM m GROUP BY 1""".stripMargin,
     "mm_frame_dedup" ->
       """WITH fr AS (
         | SELECT doc_id, md5(substr(text, CAST(i*64+1 AS BIGINT), 64)) AS frame_md5
