@@ -1,0 +1,237 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+
+import io.netty.bootstrap.Bootstrap
+import io.netty.buffer.Unpooled
+import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInitializer, SimpleChannelInboundHandler}
+import io.netty.channel.nio.NioEventLoopGroup
+import io.netty.channel.socket.nio.NioSocketChannel
+import io.netty.handler.codec.http2._
+
+import graft.otel.OtelTraces
+import graft.sources.{OtelProtoSource, OtlpGrpcReceiver}
+
+/** OTLP/gRPC ingestion e2e. The client side is NETTY's own HTTP/2
+  * codec — an independent, spec-complete peer whose HPACK encoder
+  * Huffman-compresses and incrementally indexes headers exactly like a
+  * stock gRPC SDK — driving the hand-rolled h2c server: preface,
+  * SETTINGS exchange, HPACK (static+dynamic table, Huffman), DATA flow
+  * control, gRPC message framing, grpc-status trailers. Spooled bytes
+  * then flow through the SAME streaming decode → flatten pipeline as
+  * the HTTP receiver's. */
+class OtlpGrpcReceiverSpec extends SparkSpec {
+
+  private val TracePath =
+    "/opentelemetry.proto.collector.trace.v1.TraceService/Export"
+
+  /** Minimal proto3 wire writer (same shape as OtelProtoSourceSpec's). */
+  private class W {
+    private val b = new ByteArrayOutputStream()
+    private def rawVarint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { b.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      b.write(v.toInt)
+    }
+    private def tag(f: Int, wire: Int): Unit = rawVarint((f.toLong << 3) | wire)
+    def vint(f: Int, v: Long): W = { tag(f, 0); rawVarint(v); this }
+    def fixed64(f: Int, v: Long): W = {
+      tag(f, 1)
+      (0 until 8).foreach(i => b.write(((v >> (8 * i)) & 0xff).toInt)); this
+    }
+    def str(f: Int, s: String): W = bytes(f, s.getBytes("UTF-8"))
+    def bytes(f: Int, arr: Array[Byte]): W = {
+      tag(f, 2); rawVarint(arr.length.toLong); b.write(arr); this
+    }
+    def hex(f: Int, h: String): W =
+      bytes(f, h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    def msg(f: Int, m: W): W = bytes(f, m.toBytes)
+    def toBytes: Array[Byte] = b.toByteArray
+  }
+
+  private def traceRequest(tid: String, name: String, startNs: Long): Array[Byte] = {
+    val resource = new W().msg(1, new W()
+      .str(1, "service.name").msg(2, new W().str(1, "checkout")))
+    val span = new W()
+      .hex(1, tid).hex(2, "1112131415161718")
+      .str(5, name).vint(6, 2L)
+      .fixed64(7, startNs).fixed64(8, startNs + 5000000L)
+      .msg(15, new W().vint(3, 1L))
+    new W().msg(1, new W()
+      .msg(1, resource)
+      .msg(2, new W().msg(1, new W().str(1, "lib")).msg(2, span)))
+      .toBytes
+  }
+
+  private def grpcFrame(msg: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(0)
+    out.write((msg.length >> 24) & 0xff); out.write((msg.length >> 16) & 0xff)
+    out.write((msg.length >> 8) & 0xff); out.write(msg.length & 0xff)
+    out.write(msg)
+    out.toByteArray
+  }
+
+  /** One unary gRPC call over an existing h2c connection; returns
+    * (response headers, trailer headers, data bytes). */
+  private def call(conn: Channel, path: String, body: Array[Byte],
+                   contentType: String = "application/grpc"):
+      (Map[String, String], Map[String, String], Array[Byte]) = {
+    val events = new LinkedBlockingQueue[(String, AnyRef)]()
+    val bs = new Http2StreamChannelBootstrap(conn)
+    bs.handler(new ChannelInitializer[Channel] {
+      override def initChannel(sc: Channel): Unit = {
+        sc.pipeline().addLast(new SimpleChannelInboundHandler[Http2Frame]() {
+          override def channelRead0(ctx: ChannelHandlerContext, f: Http2Frame): Unit =
+            f match {
+              case h: Http2HeadersFrame =>
+                val m = scala.collection.mutable.Map.empty[String, String]
+                h.headers().forEach(e => m(e.getKey.toString) = e.getValue.toString)
+                events.put((if (h.isEndStream) "trailers" else "headers", m.toMap))
+              case d: Http2DataFrame =>
+                val arr = new Array[Byte](d.content().readableBytes())
+                d.content().readBytes(arr)
+                events.put(("data", arr))
+                if (d.isEndStream) events.put(("end", None))
+              case _ => ()
+            }
+        })
+        ()
+      }
+    })
+    val sch = bs.open().sync().getNow
+    val hdrs = new DefaultHttp2Headers()
+    hdrs.method("POST").scheme("http").authority("localhost").path(path)
+    hdrs.add("content-type", contentType)
+    hdrs.add("te", "trailers")
+    hdrs.add("user-agent", "graft-spec-client/1.0")
+    sch.write(new DefaultHttp2HeadersFrame(hdrs))
+    sch.writeAndFlush(new DefaultHttp2DataFrame(
+      Unpooled.wrappedBuffer(body), true)).sync()
+    var headers = Map.empty[String, String]
+    var trailers = Map.empty[String, String]
+    val data = new ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      val ev = events.poll(10, TimeUnit.SECONDS)
+      assert(ev != null, "timed out waiting for gRPC response")
+      ev match {
+        case ("headers", m: Map[_, _]) =>
+          val mm = m.asInstanceOf[Map[String, String]]
+          // a HEADERS frame with grpc-status and END_STREAM unset never
+          // happens; one WITH end-stream is either trailers or a
+          // trailers-only response
+          headers = headers ++ mm
+        case ("trailers", m: Map[_, _]) =>
+          trailers = m.asInstanceOf[Map[String, String]]; done = true
+        case ("data", arr: Array[Byte]) => data.write(arr)
+        case _ => ()
+      }
+    }
+    (headers, trailers, data.toByteArray)
+  }
+
+  private def withClient(port: Int)(f: Channel => Unit): Unit = {
+    val group = new NioEventLoopGroup(1)
+    try {
+      val conn = new Bootstrap()
+        .group(group).channel(classOf[NioSocketChannel])
+        .handler(new ChannelInitializer[Channel] {
+          override def initChannel(ch: Channel): Unit = {
+            ch.pipeline().addLast(
+              Http2FrameCodecBuilder.forClient().build(),
+              new Http2MultiplexHandler(
+                new SimpleChannelInboundHandler[Http2Frame]() {
+                  override def channelRead0(c: ChannelHandlerContext,
+                                            m: Http2Frame): Unit = ()
+                }))
+            ()
+          }
+        })
+        .connect("127.0.0.1", port).sync().channel()
+      f(conn)
+      conn.close().sync()
+      ()
+    } finally { group.shutdownGracefully(0, 1, TimeUnit.SECONDS); () }
+  }
+
+  test("gRPC unary export over h2c → durable spool → streaming decode → flatten") {
+    val base = Files.createTempDirectory("graft-grpc").toString
+    val rx = new OtlpGrpcReceiver(s"$base/spool")
+    try {
+      val t0 = 1709623800000000000L
+      withClient(rx.grpcPort) { conn =>
+        // two calls multiplexed on ONE connection — separate h2 streams
+        val (h1, t1, d1) = call(conn, TracePath,
+          grpcFrame(traceRequest("0102030405060708090a0b0c0d0e0f10", "GET /", t0)))
+        assert(h1.get(":status").contains("200"))
+        assert(h1.get("content-type").exists(_.startsWith("application/grpc")))
+        assert(t1.get("grpc-status").contains("0"))
+        assert(d1.toSeq === Seq[Byte](0, 0, 0, 0, 0)) // empty ExportResponse
+        val (_, t2, _) = call(conn, TracePath,
+          grpcFrame(traceRequest("0102030405060708090a0b0c0d0e0f11", "POST /checkout", t0 + 1)))
+        assert(t2.get("grpc-status").contains("0"))
+      }
+      assert(rx.accepted("traces").get() === 2)
+      val spool = s"$base/spool/traces"
+      assert(Files.list(Paths.get(spool)).count() === 2)
+
+      // the gRPC spool feeds the SAME executor-side decode → flatten
+      // chain as the HTTP receiver
+      val flat = OtelTraces.flatten(
+        OtelProtoSource.traces(spark, spool))
+      assert(flat.count() === 2)
+      assert(flat.select("span_name").collect().map(_.getString(0)).sorted.toSeq ===
+        Seq("GET /", "POST /checkout"))
+      assert(flat.select("service_name").distinct().collect()
+        .map(_.getString(0)).toSeq === Seq("checkout"))
+    } finally rx.stop()
+  }
+
+  test("flow control: a body larger than the 64 KiB initial window lands byte-exact") {
+    val base = Files.createTempDirectory("graft-grpc-big").toString
+    val rx = new OtlpGrpcReceiver(s"$base/spool")
+    try {
+      // ~200 KiB request: netty MUST split DATA frames and wait for the
+      // server's WINDOW_UPDATEs — a server without replenishment stalls
+      val big = traceRequest("aa02030405060708090a0b0c0d0e0f10",
+        "x" * 200000, 42L)
+      withClient(rx.grpcPort) { conn =>
+        val (_, tr, _) = call(conn, TracePath, grpcFrame(big))
+        assert(tr.get("grpc-status").contains("0"))
+      }
+      val files = Files.list(Paths.get(s"$base/spool/traces")).toArray
+      assert(files.length === 1)
+      val stored = Files.readAllBytes(files(0).asInstanceOf[java.nio.file.Path])
+      assert(stored.toSeq === big.toSeq, "spooled bytes differ from posted bytes")
+    } finally rx.stop()
+  }
+
+  test("protocol edges: unknown service, compressed frame, wrong content-type") {
+    val base = Files.createTempDirectory("graft-grpc-edges").toString
+    val rx = new OtlpGrpcReceiver(s"$base/spool")
+    try {
+      withClient(rx.grpcPort) { conn =>
+        val (_, t1, _) = call(conn,
+          "/opentelemetry.proto.collector.profiles.v1.ProfilesService/Export",
+          grpcFrame(Array[Byte](1)))
+        assert(t1.get("grpc-status").contains("12")) // UNIMPLEMENTED
+
+        val compressed = grpcFrame(traceRequest("bb" * 16, "s", 1L))
+        compressed(0) = 1 // compressed flag with no codec support
+        val (_, t2, _) = call(conn, TracePath, compressed)
+        assert(t2.get("grpc-status").contains("12"))
+
+        val (_, t3, _) = call(conn, TracePath,
+          grpcFrame(traceRequest("cc" * 16, "s", 1L)),
+          contentType = "text/plain")
+        assert(t3.get("grpc-status").contains("3")) // INVALID_ARGUMENT
+      }
+      // nothing spooled by any reject
+      assert(Files.list(Paths.get(s"$base/spool/traces")).count() === 0)
+      assert(rx.accepted("traces").get() === 0)
+    } finally rx.stop()
+  }
+}
