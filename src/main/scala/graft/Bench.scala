@@ -90,10 +90,18 @@ object Bench {
         new Directory(new java.io.File(sinkDir)).deleteRecursively()
       }
     }
+    // sink/prune queries record spread like the main loop — r7 showed
+    // their sub-second numbers are the noise-dominated ones, and a
+    // spread-less entry can't be told apart from a real regression
+    val extraSpreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val doSink = only.isEmpty || only("sink_ingest_hourly")
     val sinkTime = if (!doSink) -1.0 else {
       val ss = Seq.fill(rounds)(sinkOnce()).filter(_ >= 0)
-      if (ss.isEmpty) -1.0 else ss.min
+      if (ss.isEmpty) -1.0
+      else {
+        if (ss.min > 0) extraSpreads("sink_ingest_hourly") = (ss.max - ss.min) / ss.min
+        ss.min
+      }
     }
 
     // Metadata-pruning read path — the 100 TB lever measured, not just
@@ -125,24 +133,26 @@ object Bench {
         val startUs = r.getLong(0)
         val endUs = startUs + 3600L * 1000000L
         val needle = r.getLong(1)
-        def best(f: => Long): Double = {
+        def best(name: String)(f: => Long): Double = {
           def once(): Double = {
             val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
           }
-          Seq.fill(rounds)(once()).min
+          val ss = Seq.fill(rounds)(once())
+          if (ss.min > 0) extraSpreads(name) = (ss.max - ss.min) / ss.min
+          ss.min
         }
         Seq(
-          "sink_slice_full" -> best(
+          "sink_slice_full" -> best("sink_slice_full")(
             spark.read.parquet(tablePath)
               .filter(unix_micros(col("ts")) >= startUs &&
                       unix_micros(col("ts")) < endUs).count()),
-          "sink_slice_pruned" -> best(
+          "sink_slice_pruned" -> best("sink_slice_pruned")(
             VersionedManifest.readSliceAt(
               spark, tablePath, manDir, "ts", startUs, endUs).count()),
-          "sink_point_full" -> best(
+          "sink_point_full" -> best("sink_point_full")(
             spark.read.parquet(tablePath)
               .filter(col("event_id") === needle).count()),
-          "sink_point_bloom" -> best(
+          "sink_point_bloom" -> best("sink_point_bloom")(
             VersionedManifest.readPoint(spark, tablePath, manDir, needle).count()))
       } catch { case _: Throwable => Nil }
       finally {
@@ -192,14 +202,15 @@ object Bench {
     // spread summary scalars for the compact line (the full per-query
     // spread map lives in BENCH_full.json; the final stdout line must
     // stay under the driver's ~2000-char tail window)
-    val spreadVals = spreads.values.toSeq.sorted
+    val allSpreads: Map[String, Double] = spreads ++ extraSpreads
+    val spreadVals = allSpreads.values.toSeq.sorted
     def pct(p: Double): Double =
       if (spreadVals.isEmpty) 0.0
       else spreadVals(math.min(spreadVals.size - 1, (p * spreadVals.size).toInt))
     val sf1Json = Sf1Scale.maybeRun(spark)
     val sf1Field = sf1Json.map(j => s""","sf1":$j""").getOrElse("")
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","rounds":$rounds,"queries":${jsonMap(all)},"spread":${jsonMap(spreads.toSeq.sortBy(_._1))},"failed":$failedJson$sf1Field,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","rounds":$rounds,"queries":${jsonMap(all)},"spread":${jsonMap(allSpreads.toSeq.sortBy(_._1))},"failed":$failedJson$sf1Field,"sf":"$sfDir"}"""
     println(fullLine)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
       fullLine.getBytes("UTF-8")) catch { case _: Throwable => () }

@@ -412,13 +412,19 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard via a distributed shingle inverted index:
-    * posting lists join on the 64-bit shingle hash (cheap shuffle key),
-    * |A∪B| = |A|+|B|-|A∩B|.
+    * postings group to per-shingle doc LISTS and candidate pairs expand
+    * IN PLACE inside each posting list (two nested Generates — codegen,
+    * no join); |A∪B| = |A|+|B|-|A∩B|. One shuffle builds the index and
+    * one aggregates pair intersections — the r7 sf1 sweep showed the
+    * former self-JOIN shape (both sides shuffled + a checkpoint
+    * materialization) cost 6.6× at 10× data on linear candidate counts;
+    * this shape halves the shuffled posting volume and drops the
+    * materialization entirely.
     *
     * `maxDocFreq` (off by default, so the oracle stays exact) is the
     * scale valve: a shingle appearing in f documents generates O(f²)
     * candidate pairs, so one boilerplate shingle shared by 10⁶ docs
-    * detonates the join. Capping document frequency drops only
+    * detonates the expansion. Capping document frequency drops only
     * near-stopword shingles — they carry almost no Jaccard signal but
     * all of the quadratic cost. Results become a slight underestimate;
     * the spec quantifies recall vs exact. */
@@ -428,28 +434,24 @@ object Dedup {
     import spark.implicits._
     val docs = shingles(spark, sfDir).toDF()
       .select($"doc_id", $"sh", size($"sh").cast("long").as("n_sh"))
-    val allPosting = docs.select($"doc_id", $"n_sh", explode($"sh").as("shingle"))
-    val posting0 = maxDocFreq.fold(allPosting) { cap =>
-      val rare = allPosting.groupBy($"shingle")
-        .agg(count(lit(1)).as("df")).filter($"df" <= cap)
-        .select($"shingle")
-      allPosting.join(rare, "shingle")
-    }
-    // materialize the posting list once — the self-join's two sides are
-    // the same subtree, and Spark recomputes (tokenize + md5 the whole
-    // corpus twice) without an explicit cut
-    val posting = posting0.localCheckpoint()
-    val a = posting.select($"shingle", $"doc_id".as("doc_a"), $"n_sh".as("na"))
-    val b = posting.select($"shingle", $"doc_id".as("doc_b"), $"n_sh".as("nb"))
-    a.join(b, "shingle").filter($"doc_a" < $"doc_b")
+    val posting = docs.select($"doc_id", $"n_sh", explode($"sh").as("shingle"))
+    val lists = posting.groupBy($"shingle")
+      .agg(collect_list(struct($"doc_id", $"n_sh")).as("ds"))
+      .filter(size($"ds") > 1)
+    val capped = maxDocFreq.fold(lists)(cap => lists.filter(size($"ds") <= cap))
+    capped
+      .select(explode($"ds").as("a"), $"ds")
+      .select($"a", explode($"ds").as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
       // size-ratio prune: I ≤ min(na,nb) so J = I/(na+nb-I) ≤ min/max;
       // J ≥ t therefore forces max·t ≤ min — pairs beyond the ratio can
       // never reach the threshold and drop before the pair-count shuffle.
       // Slack of 1e-4 keeps pairs whose ROUNDED jaccard (the downstream
       // filter) could still equal t from just below it.
-      .filter($"na" * (threshold - 1e-4) <= $"nb" &&
-              $"nb" * (threshold - 1e-4) <= $"na")
-      .groupBy($"doc_a", $"doc_b", $"na", $"nb")
+      .filter($"a.n_sh" * (threshold - 1e-4) <= $"b.n_sh" &&
+              $"b.n_sh" * (threshold - 1e-4) <= $"a.n_sh")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+               $"a.n_sh".as("na"), $"b.n_sh".as("nb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 4))
       .filter($"jaccard" >= threshold)
