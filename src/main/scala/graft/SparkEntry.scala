@@ -154,6 +154,7 @@ object SparkEntry {
     "mm_ahash_clusters"  -> ((s, d) => Multimodal.ahashClusters(s, d)),
     "mm_img_meta"        -> (ImageOps.imgMeta _),
     "mm_img_ahash_pairs" -> ((s, d) => ImageOps.imgAhashPairs(s, d)),
+    "mm_img_ahash_clusters" -> ((s, d) => ImageOps.imgAhashClusters(s, d)),
     "mm_img_downsample"  -> (ImageOps.imgDownsample _),
     "sim_mrl_rerank"     -> ((s, d) => SimOps.mrlRerank(s, d)),
     "dedup_semantic"     -> ((s, d) => Dedup.semantic(s, d)),
@@ -2534,6 +2535,49 @@ object SparkEntry {
         |SELECT ha, hb, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
         | n_a, n_b, doc_a, doc_b
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
+    "mm_img_ahash_clusters" ->
+      """WITH RECURSIVE px AS (
+        | SELECT d.doc_id, i.i,
+        |  CASE WHEN i.i < d.doc_id % 3
+        |   THEN (('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT + 128) % 256
+        |   ELSE ('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT
+        |  END AS v
+        | FROM (SELECT doc_id FROM documents) d
+        | CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS i) i),
+        |s AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS s
+        |      FROM px GROUP BY 1),
+        |hx AS (
+        | SELECT px.doc_id,
+        |  CAST(sum(CASE WHEN px.v * 63 > s.s
+        |    THEN (CAST(1 AS BIGINT) << px.i) ELSE 0 END) AS BIGINT) AS ahash
+        | FROM px JOIN s USING (doc_id) GROUP BY 1),
+        |grp AS (
+        | SELECT ahash, CAST(count(*) AS BIGINT) AS n_imgs FROM hx GROUP BY 1),
+        |banded AS (
+        | SELECT ahash, b.band, (ahash >> (b.band*16)) & 65535 AS band_val
+        | FROM grp CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b),
+        |pairs AS (
+        | SELECT DISTINCT a.ahash AS ha, b.ahash AS hb
+        | FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.band_val = b.band_val AND a.ahash < b.ahash
+        | WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+        |edges AS (
+        | SELECT ha AS src, hb AS dst FROM pairs
+        | UNION SELECT hb, ha FROM pairs),
+        |reach AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (
+        | SELECT src AS ahash, least(src, min(dst)) AS label
+        | FROM reach GROUP BY src)
+        |SELECT label AS cluster_id, CAST(count(*) AS BIGINT) AS n_hashes,
+        | CAST(sum(g.n_imgs) AS BIGINT) AS n_imgs,
+        | max(lab.ahash) AS max_hash
+        |FROM lab JOIN grp g USING (ahash)
+        |GROUP BY label""".stripMargin,
     "mm_img_downsample" ->
       """WITH px AS (
         | SELECT d.doc_id, i.i,

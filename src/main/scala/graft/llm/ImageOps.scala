@@ -123,15 +123,10 @@ object ImageOps {
       .drop("png_bytes")
   }
 
-  /** Perceptual average-hash over REALLY-decoded pixels: bit j set iff
-    * px_j·63 > Σpx_{0..62} (the integer-exact mean criterion shared
-    * with [[Multimodal.ahashPairs]]), then the same distinct-hash
-    * 16-bit-band pigeonhole join mines hamming ≤ τ pairs — never
-    * all-pairs. */
-  def imgAhashPairs(spark: SparkSession, sfDir: String,
-                    tau: Int = 3): DataFrame = {
+  /** aHash per image, computed from the REALLY-decoded luma plane. */
+  private def hashed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val hashed = images(spark, sfDir).mapPartitions { rows =>
+    images(spark, sfDir).mapPartitions { rows =>
       rows.map { r =>
         val (_, _, px) = decode(r.png)
         var sum = 0
@@ -146,7 +141,17 @@ object ImageOps {
         (r.doc_id, h)
       }
     }.toDF("doc_id", "ahash")
-    val groups = hashed.groupBy($"ahash")
+  }
+
+  /** Perceptual average-hash over REALLY-decoded pixels: bit j set iff
+    * px_j·63 > Σpx_{0..62} (the integer-exact mean criterion shared
+    * with [[Multimodal.ahashPairs]]), then the same distinct-hash
+    * 16-bit-band pigeonhole join mines hamming ≤ τ pairs — never
+    * all-pairs. */
+  def imgAhashPairs(spark: SparkSession, sfDir: String,
+                    tau: Int = 3): DataFrame = {
+    import spark.implicits._
+    val groups = hashed(spark, sfDir).groupBy($"ahash")
       .agg(count(lit(1)).as("n_imgs"), min($"doc_id").as("min_doc"))
     val banded = groups
       .withColumn("band", explode(sequence(lit(0), lit(3))))
@@ -162,6 +167,28 @@ object ImageOps {
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
       .filter($"hamming" <= tau)
       .select($"ha", $"hb", $"hamming", $"n_a", $"n_b", $"doc_a", $"doc_b")
+  }
+
+  /** Visually-similar image FAMILIES over really-decoded pixels:
+    * [[imgAhashPairs]]' near-dup hash pairs through the shared
+    * pointer-jumping connected-components solve
+    * ([[Dedup.adaptiveComponents]]) — the real-decode twin of
+    * [[Multimodal.ahashClusters]]. The label graph holds only near-dup
+    * hash values, orders of magnitude below image count. */
+  def imgAhashClusters(spark: SparkSession, sfDir: String,
+                       tau: Int = 3): DataFrame = {
+    import spark.implicits._
+    val pairs = imgAhashPairs(spark, sfDir, tau)
+      .select($"ha", $"hb").localCheckpoint()
+    val labels = Dedup.adaptiveComponents(pairs)
+      .select($"doc_id".as("ahash"), $"label")
+    val counts = hashed(spark, sfDir)
+      .groupBy($"ahash").agg(count(lit(1)).as("n_imgs"))
+    labels.join(counts, Seq("ahash"))
+      .groupBy($"label".as("cluster_id"))
+      .agg(count(lit(1)).as("n_hashes"),
+           sum($"n_imgs").as("n_imgs"),
+           max($"ahash").as("max_hash"))
   }
 
   /** Feature extraction on decoded pixels: 2×2 integer box downsample

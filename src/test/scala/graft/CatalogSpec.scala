@@ -11,9 +11,10 @@ class CatalogSpec extends SparkSpec {
   private val rowsOnlyDocumented = Set(
     "tel_approx_distinct",    // HLL++ estimate (inherently approximate)
     "tel_approx_percentiles", // GK sketch (inherently approximate)
-    "tel_cms_counts",         // count-min sketch (inherently approximate)
     "tel_sketch_rollup",      // HLL sketch-column union
     "sim_opq_trained")        // learned rotation (eigensolver ordering)
+  // r10: tel_cms_counts left this set — the md5-row-salted CMS is
+  // deterministic and now SQL-hash-verified like minhash/simhash
 
   test("every oracle belongs to a query; rows-only set is exactly documented") {
     val qs = SparkEntry.queries.keySet

@@ -178,15 +178,24 @@ class OtlpGrpcReceiverSpec extends SparkSpec {
       val spool = s"$base/spool/traces"
       assert(Files.list(Paths.get(spool)).count() === 2)
 
-      // the gRPC spool feeds the SAME executor-side decode → flatten
-      // chain as the HTTP receiver
-      val flat = OtelTraces.flatten(
-        OtelProtoSource.traces(spark, spool))
-      assert(flat.count() === 2)
-      assert(flat.select("span_name").collect().map(_.getString(0)).sorted.toSeq ===
+      // the gRPC spool feeds the SAME streaming decode → flatten →
+      // partitioned sink + manifest pipeline as the HTTP receiver
+      import graft.config.ExporterConfig._
+      val cfg = Config(Filesystem(base), Catalog("none"))
+        .sinkFor("traces", tsColumn = "start_time_unix_nano")
+      graft.streaming.StreamingIngest.ingestWithManifest(
+        OtelTraces.flatten(OtelProtoSource.tracesStream(spark, spool)),
+        cfg, s"$base/chk", s"$base/manifest").awaitTermination()
+      val out = spark.read.parquet(s"$base/otel_traces")
+      assert(out.count() === 2)
+      assert(out.select("span_name").collect().map(_.getString(0)).sorted.toSeq ===
         Seq("GET /", "POST /checkout"))
-      assert(flat.select("service_name").distinct().collect()
+      assert(out.select("service_name").distinct().collect()
         .map(_.getString(0)).toSeq === Seq("checkout"))
+      // manifest registration covers storage exactly
+      val manifest = spark.read.parquet(s"$base/manifest")
+      assert(graft.recovery.Recovery.scanOrphans(
+        spark, s"$base/otel_traces", manifest).count() === 0)
     } finally rx.stop()
   }
 
