@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsofJoin, Core, PageRank, RangeJoin, SkewOps, Triangles}
+import graft.operators.{AsofJoin, Core, GraphSim, PageRank, RangeJoin, SkewOps, Triangles}
 import graft.telemetry.Telemetry
 import graft.llm.{Dedup, ImageOps, Multimodal, SimOps, TextOps}
 
@@ -58,6 +58,7 @@ object SparkEntry {
     "dedup_simhash"      -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_containment"  -> ((s, d) => Dedup.containment(s, d)),
     "dedup_lsh_recall"   -> ((s, d) => Dedup.lshRecall(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "sim_topk_bruteforce" -> ((s, d) => SimOps.simTopkBruteforce(s, d)),
@@ -88,6 +89,8 @@ object SparkEntry {
     "text_gopher_quality" -> (TextOps.gopherQuality _),
     "text_mix_weights"   -> (TextOps.mixWeights _),
     "sim_int8_topk"      -> ((s, d) => SimOps.int8Topk(s, d)),
+    "sim_binary_quant"   -> ((s, d) => SimOps.binaryQuantAnn(s, d)),
+    "sim_mmr_diversify"  -> ((s, d) => SimOps.mmrDiversify(s, d)),
     "q_bloom_join"       -> (Core.qBloomJoin _),
     "tel_grid_percentiles" -> (Telemetry.gridPercentiles _),
     "q_lateral_topn"     -> (Core.qLateralTopN _),
@@ -126,6 +129,7 @@ object SparkEntry {
     "tel_concurrency"    -> ((s, d) => Telemetry.concurrency(s, d)),
     "tel_apdex"          -> ((s, d) => Telemetry.apdex(s, d)),
     "tel_holt"           -> ((s, d) => Telemetry.holt(s, d)),
+    "tel_holt_winters"   -> ((s, d) => Telemetry.holtWinters(s, d)),
     "sim_opq_ann"        -> ((s, d) => SimOps.opqAnn(s, d)),
     "q_exists_late"      -> (Core.qExistsLate _),
     "tel_burn_rate"      -> ((s, d) => Telemetry.burnRate(s, d)),
@@ -194,6 +198,7 @@ object SparkEntry {
     "text_bigram_surprisal" -> ((s, d) => TextOps.bigramSurprisal(s, d)),
     "dedup_span_apply"   -> ((s, d) => Dedup.spanApply(s, d)),
     "q_triangle_support" -> ((s, d) => Triangles.triangleSupport(s, d)),
+    "q_jaccard_neighbors" -> ((s, d) => GraphSim.jaccardNeighbors(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -347,6 +352,20 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = FunnelRetentionCorrOracles ++ Map(
     "q_pagerank" -> pagerankOracleSql(),
+    "q_jaccard_neighbors" ->
+      """WITH sp AS (
+        | SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM sp GROUP BY 1),
+        |pairs AS (
+        | SELECT a.s AS supp_a, b.s AS supp_b, CAST(count(*) AS BIGINT) AS common
+        | FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+        | GROUP BY 1,2),
+        |j AS (
+        | SELECT supp_a, supp_b, da.deg AS deg_a, db.deg AS deg_b, common,
+        |  round(common*1.0/(da.deg + db.deg - common), 6) AS jaccard
+        | FROM pairs JOIN deg da ON da.s = supp_a JOIN deg db ON db.s = supp_b)
+        |SELECT supp_a, supp_b, deg_a, deg_b, common, jaccard FROM j
+        |ORDER BY jaccard DESC, supp_a, supp_b LIMIT 20""".stripMargin,
     // degree-ordered triangle counting: nodes relabeled by (degree, id)
     // rank, edges oriented low→high, support(s,t) = |N_out(s)∩N_out(t)|
     // — each triangle counted once at its lowest-rank edge. The oracle
@@ -780,6 +799,27 @@ object SparkEntry {
         | FROM scores)
         |SELECT doc_id, lang_code AS pred_lang, score FROM r WHERE rn = 1""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracle("0.2"),
+    "dedup_containment" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |   THEN [array_to_string(t[i:i+2],' ') for i in generate_series(1,len(t)-2)]
+        |   ELSE [array_to_string(t,' ')] END) AS s
+        | FROM toks),
+        |post AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+        |  CAST(count(*) AS BIGINT) AS inter
+        | FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1,2,3,4)
+        |SELECT doc_a, doc_b, inter, na, nb, containment FROM (
+        | SELECT doc_a, doc_b, inter, na, nb,
+        |  CAST(round(CAST(CAST(inter*1.0/least(na, nb) AS VARCHAR)
+        |    AS DECIMAL(38,18)),4) AS DOUBLE) AS containment
+        | FROM pairs) p
+        |WHERE containment >= 0.6""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH n AS (
         | SELECT vec_id, label, embedding::DOUBLE[] AS vec,
@@ -1042,6 +1082,137 @@ object SparkEntry {
         |          for t in generate_series(1,64)], (a,b) -> a+b) AS sc
         |  FROM raw, hv) t),
         |""".stripMargin + PqOracleTail),
+    "sim_mmr_diversify" ->
+      // 4 unrolled greedy MMR selection steps; each step ranks the
+      // unselected shortlist by the integer score 7·rel − 3·max-sim-to-
+      // selected and takes the argmax (id tie-break) — the same integer
+      // trajectory as the mapGroups kernel
+      """WITH e AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        | FROM embeddings),
+        |qv AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm
+        |       FROM e WHERE vec_id < 8),
+        |sc AS (
+        | SELECT qv.query_id, e.vec_id AS cand_id,
+        |  round(list_dot_product(e.vec, qv.qvec)/(e.nrm*qv.qnrm), 6) AS cos6
+        | FROM e, qv WHERE e.vec_id != qv.query_id),
+        |short AS (
+        | SELECT query_id, cand_id, CAST(round(cos6*1000000, 0) AS BIGINT) AS rel
+        | FROM (SELECT query_id, cand_id, cos6, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cos6 DESC, cand_id) AS rn FROM sc) s
+        | WHERE rn <= 8),
+        |sims AS (
+        | SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+        |  CAST(round(round(list_dot_product(x.vec, y.vec)/(x.nrm*y.nrm), 6)
+        |    *1000000, 0) AS BIGINT) AS simm
+        | FROM short a JOIN short b ON a.query_id = b.query_id
+        |                          AND a.cand_id < b.cand_id
+        | JOIN e x ON x.vec_id = a.cand_id JOIN e y ON y.vec_id = b.cand_id),
+        |p1 AS (
+        | SELECT query_id, cand_id, rel, CAST(7*rel AS BIGINT) AS score10
+        | FROM (SELECT query_id, cand_id, rel, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn FROM short) s
+        | WHERE rn = 1),
+        |p2 AS (
+        | SELECT query_id, cand_id, rel, score10 FROM (
+        |  SELECT g.*, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score10 DESC, cand_id) AS rn
+        |  FROM (
+        |   SELECT s.query_id, s.cand_id, s.rel,
+        |    CAST(7*s.rel - 3*max(m.simm) AS BIGINT) AS score10
+        |   FROM short s
+        |   JOIN p1 t ON t.query_id = s.query_id AND t.cand_id != s.cand_id
+        |   JOIN sims m ON m.query_id = s.query_id
+        |     AND m.ca = least(s.cand_id, t.cand_id)
+        |     AND m.cb = greatest(s.cand_id, t.cand_id)
+        |   WHERE NOT EXISTS (SELECT 1 FROM p1 z
+        |     WHERE z.query_id = s.query_id AND z.cand_id = s.cand_id)
+        |   GROUP BY s.query_id, s.cand_id, s.rel) g) gg
+        | WHERE rn = 1),
+        |sel2 AS (SELECT query_id, cand_id FROM p1
+        |         UNION ALL SELECT query_id, cand_id FROM p2),
+        |p3 AS (
+        | SELECT query_id, cand_id, rel, score10 FROM (
+        |  SELECT g.*, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score10 DESC, cand_id) AS rn
+        |  FROM (
+        |   SELECT s.query_id, s.cand_id, s.rel,
+        |    CAST(7*s.rel - 3*max(m.simm) AS BIGINT) AS score10
+        |   FROM short s
+        |   JOIN sel2 t ON t.query_id = s.query_id AND t.cand_id != s.cand_id
+        |   JOIN sims m ON m.query_id = s.query_id
+        |     AND m.ca = least(s.cand_id, t.cand_id)
+        |     AND m.cb = greatest(s.cand_id, t.cand_id)
+        |   WHERE NOT EXISTS (SELECT 1 FROM sel2 z
+        |     WHERE z.query_id = s.query_id AND z.cand_id = s.cand_id)
+        |   GROUP BY s.query_id, s.cand_id, s.rel) g) gg
+        | WHERE rn = 1),
+        |sel3 AS (SELECT query_id, cand_id FROM sel2
+        |         UNION ALL SELECT query_id, cand_id FROM p3),
+        |p4 AS (
+        | SELECT query_id, cand_id, rel, score10 FROM (
+        |  SELECT g.*, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score10 DESC, cand_id) AS rn
+        |  FROM (
+        |   SELECT s.query_id, s.cand_id, s.rel,
+        |    CAST(7*s.rel - 3*max(m.simm) AS BIGINT) AS score10
+        |   FROM short s
+        |   JOIN sel3 t ON t.query_id = s.query_id AND t.cand_id != s.cand_id
+        |   JOIN sims m ON m.query_id = s.query_id
+        |     AND m.ca = least(s.cand_id, t.cand_id)
+        |     AND m.cb = greatest(s.cand_id, t.cand_id)
+        |   WHERE NOT EXISTS (SELECT 1 FROM sel3 z
+        |     WHERE z.query_id = s.query_id AND z.cand_id = s.cand_id)
+        |   GROUP BY s.query_id, s.cand_id, s.rel) g) gg
+        | WHERE rn = 1)
+        |SELECT query_id, CAST(1 AS BIGINT) AS pick, cand_id AS neighbor_id,
+        |       rel AS rel_micro, score10 FROM p1
+        |UNION ALL SELECT query_id, 2, cand_id, rel, score10 FROM p2
+        |UNION ALL SELECT query_id, 3, cand_id, rel, score10 FROM p3
+        |UNION ALL SELECT query_id, 4, cand_id, rel, score10 FROM p4""".stripMargin,
+    "sim_binary_quant" ->
+      """WITH v AS (
+        | SELECT vec_id,
+        |  [CAST(round(x*1000000, 0) AS BIGINT) for x in embedding::DOUBLE[]] AS vq
+        | FROM embeddings),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |dsum AS (
+        | SELECT d, CAST(sum(vq[d]) AS BIGINT) AS sd
+        | FROM v, generate_series(1,64) t(d) GROUP BY d),
+        |w AS (
+        | SELECT vec_id,
+        |  CAST(sum(CASE WHEN d <= 32 AND vq[d]*n > sd
+        |    THEN 1::BIGINT << (d-1) ELSE 0 END) AS BIGINT) AS w0,
+        |  CAST(sum(CASE WHEN d > 32 AND vq[d]*n > sd
+        |    THEN 1::BIGINT << (d-33) ELSE 0 END) AS BIGINT) AS w1
+        | FROM v, c, dsum GROUP BY vec_id),
+        |qs AS (SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1
+        |       FROM w WHERE vec_id < 8),
+        |h AS (
+        | SELECT qs.query_id, w.vec_id AS neighbor_id,
+        |  CAST(bit_count(xor(w.w0, qs.qw0)) +
+        |       bit_count(xor(w.w1, qs.qw1)) AS BIGINT) AS hamming
+        | FROM w, qs WHERE w.vec_id != qs.query_id),
+        |short AS (
+        | SELECT query_id, neighbor_id, hamming FROM (
+        |  SELECT query_id, neighbor_id, hamming, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rn FROM h) s
+        | WHERE rn <= 20),
+        |e AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        | FROM embeddings),
+        |p AS (
+        | SELECT s.query_id, s.neighbor_id, s.hamming,
+        |  round(list_dot_product(a.vec, b.vec)/(a.nrm*b.nrm), 6) AS cosine
+        | FROM short s JOIN e a ON a.vec_id = s.neighbor_id
+        |              JOIN e b ON b.vec_id = s.query_id),
+        |r AS (
+        | SELECT query_id, neighbor_id, hamming, cosine, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
+        |SELECT query_id, neighbor_id, hamming, cosine, rnk FROM r
+        |WHERE rnk <= 5""".stripMargin,
     "sim_int8_topk" ->
       """WITH v AS (
         | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -2126,6 +2297,50 @@ object SparkEntry {
         | count(*) AS n_events, round(sum(value), 4) AS sum_value,
         | round(round(sum(value), 4) / count(*), 4) AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "tel_holt_winters" ->
+      // additive Holt-Winters over the hourly-count series: state is a
+      // 26-element DOUBLE list [l, b, s1..s24] with the current season
+      // rotated to slot 3 each step (list construction evaluates
+      // against the pre-step accumulator — same caveat as tel_holt)
+      """WITH e AS (
+        | SELECT event_type, epoch_us(ts)//3600000000 AS h FROM events),
+        |bnd AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+        |cnts AS (SELECT event_type, h, count(*) AS c FROM e GROUP BY 1,2),
+        |grid AS (
+        | SELECT et.event_type, b.h0 + u.i AS h
+        | FROM (SELECT DISTINCT event_type FROM e) et, bnd b,
+        |      (SELECT unnest(generate_series(0,
+        |         (SELECT h1 - h0 FROM bnd))) AS i) u),
+        |series AS (
+        | SELECT g.event_type,
+        |  list(CAST(coalesce(c.c, 0) AS DOUBLE) ORDER BY g.h) AS vs,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM grid g LEFT JOIN cnts c ON c.event_type = g.event_type
+        |                             AND c.h = g.h
+        | GROUP BY 1),
+        |ini AS (
+        | SELECT event_type, n, vs,
+        |  list_reduce([0.0] || vs[1:24], (a,x) -> a + x) / 24 AS l0,
+        |  (list_reduce([0.0] || vs[25:48], (a,x) -> a + x) / 24
+        |   - list_reduce([0.0] || vs[1:24], (a,x) -> a + x) / 24) / 24 AS b0
+        | FROM series),
+        |st AS (
+        | SELECT event_type, n,
+        |  list_reduce(
+        |   list_prepend([l0, b0] || [v - l0 for v in vs[1:24]],
+        |                list_transform(vs[25:], x -> [x])),
+        |   (acc, e) ->
+        |    [(e[1] - acc[3])*0.3 + (acc[1] + acc[2])*(1.0 - 0.3),
+        |     (((e[1] - acc[3])*0.3 + (acc[1] + acc[2])*(1.0 - 0.3))
+        |       - acc[1])*0.1 + acc[2]*(1.0 - 0.1)]
+        |    || acc[4:]
+        |    || [(e[1] - ((e[1] - acc[3])*0.3
+        |          + (acc[1] + acc[2])*(1.0 - 0.3)))*0.2
+        |        + acc[3]*(1.0 - 0.2)]) AS s
+        | FROM ini)
+        |SELECT event_type, n, round(s[1], 6) AS level, round(s[2], 6) AS trend,
+        | round(s[3], 6) AS s_next, round(s[1] + s[2] + s[3], 6) AS forecast
+        |FROM st""".stripMargin,
     "tel_holt" ->
       // state rides in a 2-element DOUBLE list [l, b], NOT a struct:
       // DuckDB 1.0 list_reduce mutates the accumulator field-by-field,

@@ -458,6 +458,45 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"inter", $"jaccard")
   }
 
+  /** Asymmetric n-gram CONTAINMENT near-dup pairs: C = |A∩B| / min(|A|,
+    * |B|) — the fraction of the SMALLER document's shingles that also
+    * appear in the larger one. Jaccard misses subset duplication by
+    * construction (a doc quoted whole inside a 10× larger page has
+    * J ≈ 0.1 but C = 1.0), and subset dups are the dominant near-dup
+    * mode in web corpora (boilerplate-wrapped articles, quoted posts,
+    * concatenated shards) — the measure Broder'97 defines alongside
+    * resemblance and the one suffix-style dedup pipelines act on.
+    *
+    * Physical shape is [[ngramJaccard]]'s in-place posting-list pair
+    * expansion (one shuffle builds the inverted index, one aggregates
+    * pair intersections; candidates never leave their posting list).
+    * The size-ratio prune is deliberately ABSENT: containment is
+    * exactly the regime where sizes differ wildly, so the only scale
+    * valve is the document-frequency cap (same trade-off note as
+    * [[ngramJaccard]]). */
+  def containment(spark: SparkSession, sfDir: String,
+                  threshold: Double = 0.6,
+                  maxDocFreq: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val docs = shingles(spark, sfDir).toDF()
+      .select($"doc_id", $"sh", size($"sh").cast("long").as("n_sh"))
+    val posting = docs.select($"doc_id", $"n_sh", explode($"sh").as("shingle"))
+    val lists = posting.groupBy($"shingle")
+      .agg(collect_list(struct($"doc_id", $"n_sh")).as("ds"))
+      .filter(size($"ds") > 1)
+    val capped = maxDocFreq.fold(lists)(cap => lists.filter(size($"ds") <= cap))
+    capped
+      .select(explode($"ds").as("a"), $"ds")
+      .select($"a", explode($"ds").as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+               $"a.n_sh".as("na"), $"b.n_sh".as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", round($"inter" / least($"na", $"nb"), 4))
+      .filter($"containment" >= threshold)
+      .select($"doc_a", $"doc_b", $"inter", $"na", $"nb", $"containment")
+  }
+
   /** Prefix-filtered EXACT set-similarity join (ppjoin's prefix filter)
     * — the same output as [[ngramJaccard]] from a different physical
     * strategy: under ONE global total shingle order, any pair with

@@ -67,6 +67,91 @@ object SimOps {
       .select($"item_id", $"rank_vec", $"rank_lex", $"rrf_micro", $"rnk")
   }
 
+  /** Maximal Marginal Relevance diversified retrieval (Carbonell &
+    * Goldstein, SIGIR'98) — the selection step RAG stacks and
+    * training-data pickers run AFTER similarity search: greedily choose
+    * `k` of the top-`nShort` candidates maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`, trading relevance
+    * against redundancy. First pick is pure relevance (max over the
+    * empty set defined as 0).
+    *
+    * Exactness: relevance and pairwise similarities are 6-decimal
+    * cosines in integer MICRO-units, λ = 0.7 enters as the integer
+    * score `7·rel_micro − 3·maxsim_micro` (×10 the micro scale), so
+    * the greedy trajectory is pure integer argmax with id tie-break —
+    * replayed exactly by the oracle's 4 unrolled selection CTEs.
+    *
+    * Scale shape: the corpus is touched ONCE by the broadcast-query
+    * cosine scan feeding a [[graft.functions.TopKStructs]] k-buffer
+    * (no window over the corpus); the greedy kernel sees `nShort` ≤ 8
+    * rows per query inside `mapGroups` — the O(k·nShort²) pairwise
+    * work is bounded per group and never touches the cluster. */
+  def mmrDiversify(spark: SparkSession, sfDir: String, nQueries: Int = 8,
+                   nShort: Int = 8, k: Int = 4): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    val q = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"))
+    val short = emb.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos6", round(call_function("cosine_sim", $"vec", $"qvec"), 6))
+      .groupBy($"query_id")
+      .agg(call_function("top_k_structs",
+        struct($"cos6", (-$"vec_id").as("nid"), $"vec_id"), lit(nShort)).as("top"))
+      .select($"query_id", explode($"top").as("s"))
+      .select($"query_id", $"s.vec_id".as("cand_id"),
+        round($"s.cos6" * 1000000, 0).cast("long").as("rel_micro"))
+    short.join(emb.select($"vec_id".as("cand_id"), $"vec"), "cand_id")
+      .select($"query_id", $"cand_id", $"rel_micro", $"vec")
+      .as[(Long, Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cands = it.toArray.sortBy(_._2)
+        def cosMicro(a: Array[Double], b: Array[Double]): Long = {
+          var dot = 0.0; var n1 = 0.0; var n2 = 0.0
+          var i = 0
+          while (i < a.length) {
+            dot += a(i) * b(i); n1 += a(i) * a(i); n2 += b(i) * b(i); i += 1
+          }
+          val c = if (n1 == 0.0 || n2 == 0.0) 0.0
+                  else dot / (math.sqrt(n1) * math.sqrt(n2))
+          (BigDecimal(c).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+            * BigDecimal(1000000)).toLongExact
+        }
+        val nc = cands.length
+        val sim = Array.tabulate(nc, nc)((i, j) =>
+          if (i == j) 0L else cosMicro(cands(i)._4, cands(j)._4))
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long)]
+        var pick = 1
+        while (pick <= math.min(k, nc)) {
+          var best = -1
+          var bestScore = Long.MinValue
+          var i = 0
+          while (i < nc) {
+            if (!selected.contains(i)) {
+              val maxSim = if (selected.isEmpty) 0L
+                           else selected.map(sim(i)(_)).max
+              val score = 7L * cands(i)._3 - 3L * maxSim
+              if (score > bestScore ||
+                  (score == bestScore && cands(i)._2 < cands(best)._2)) {
+                best = i; bestScore = score
+              }
+            }
+            i += 1
+          }
+          selected += best
+          out += ((qid, pick.toLong, cands(best)._2, cands(best)._3, bestScore))
+          pick += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "pick", "neighbor_id", "rel_micro", "score10")
+  }
+
   /** Exact cosine top-k: queries (vec_id < nQueries) broadcast against
     * every candidate — one codegen'd pass over the corpus, no shuffle of
     * the big side. Ranking uses the 6-decimal-rounded cosine with vec_id
@@ -524,6 +609,93 @@ object SimOps {
       .filter($"rnk" <= k)
       .select($"query_id", $"vec_id".as("neighbor_id"), $"cos6".as("cosine"),
               $"rnk".cast("long").as("rnk"))
+  }
+
+  /** Binary quantization ANN — the 32×-compression path modern vector
+    * stores ship (1 bit/dim + exact re-rank): each dimension becomes
+    * one sign bit relative to the CORPUS MEAN of that dimension
+    * (centering is what makes BQ informative on non-centered
+    * embeddings), packed into two 32-bit words; candidate generation is
+    * integer Hamming distance `bit_count(xor)` against the broadcast
+    * queries — 2 XORs + 2 popcounts per candidate, no float math — and
+    * only the top-`m` shortlist pays the exact-cosine re-rank.
+    *
+    * Exactness: vectors are micro-quantized to integers
+    * ([[quantized]]), the per-dim mean test is the cross-multiplied
+    * integer compare `vq_d · n > S_d` (S_d = exact integer corpus sum,
+    * merge-order-free), so every bit — and therefore every Hamming
+    * distance, shortlist and final ranking — replays bit-identically
+    * in the SQL oracle. The cross-multiply stays inside a long up to
+    * n·10⁶ < 2⁶³ (n < 9·10¹²); beyond that the compare becomes
+    * `vq_d > S_d/n` with an exact integer division — same valve as the
+    * scaladoc'd quantization bound.
+    *
+    * Scale shape: the corpus never shuffles — sums are one
+    * mapPartitions partial-aggregate (64 longs per partition), words
+    * are a narrow map, the Hamming scan is corpus × broadcast(queries),
+    * and the shortlist is a [[graft.functions.TopKStructs]] map-side
+    * k-buffer (no window over the corpus). Only m·nQueries rows reach
+    * the re-rank join. */
+  def binaryQuantAnn(spark: SparkSession, sfDir: String,
+                     nQueries: Int = 8, m: Int = 20, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val ds = quantized(spark, sfDir)
+    val dim = ds.head()._2.length
+    require(dim <= 64, s"binaryQuantAnn packs 2×32-bit words, got dim=$dim")
+    // exact per-dim integer sums + count: one partial per partition
+    val (n, sums) = ds.mapPartitions { rows =>
+      var cnt = 0L
+      val s = new Array[Long](dim)
+      rows.foreach { case (_, vq) =>
+        cnt += 1
+        var d = 0
+        while (d < dim) { s(d) += vq(d); d += 1 }
+      }
+      if (cnt == 0) Iterator.empty else Iterator.single((cnt, s))
+    }.collect().foldLeft((0L, new Array[Long](dim))) { case ((cn, cs), (pn, ps)) =>
+      var d = 0
+      while (d < dim) { cs(d) += ps(d); d += 1 }
+      (cn + pn, cs)
+    }
+    val sumsB = spark.sparkContext.broadcast(sums)
+    val words = ds.map { case (id, vq) =>
+      val s = sumsB.value
+      var w0 = 0L; var w1 = 0L
+      var d = 0
+      while (d < vq.length) {
+        if (vq(d) * n > s(d)) {
+          if (d < 32) w0 |= (1L << d) else w1 |= (1L << (d - 32))
+        }
+        d += 1
+      }
+      (id, w0, w1)
+    }.toDF("vec_id", "w0", "w1")
+    val q = words.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"w0".as("qw0"), $"w1".as("qw1"))
+    val short = words.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("ham",
+        (bit_count($"w0".bitwiseXOR($"qw0")) +
+         bit_count($"w1".bitwiseXOR($"qw1"))).cast("long"))
+      .groupBy($"query_id")
+      .agg(call_function("top_k_structs",
+        struct((-$"ham").as("nham"), (-$"vec_id").as("nid"),
+               $"vec_id", $"ham"), lit(m)).as("top"))
+      .select($"query_id", explode($"top").as("s"))
+      .select($"query_id", $"s.vec_id".as("neighbor_id"), $"s.ham".as("hamming"))
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    short
+      .join(emb.select($"vec_id".as("neighbor_id"), $"vec"), "neighbor_id")
+      .join(broadcast(emb.filter($"vec_id" < nQueries)
+        .select($"vec_id".as("query_id"), $"vec".as("qvec"))), "query_id")
+      .withColumn("cos6", round(call_function("cosine_sim", $"vec", $"qvec"), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos6".desc, $"neighbor_id".asc)))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"neighbor_id", $"hamming",
+              $"cos6".as("cosine"), $"rnk".cast("long").as("rnk"))
   }
 
   /** Integer-quantized vectors for k-means: vq_d = round(x_d·10^6) as

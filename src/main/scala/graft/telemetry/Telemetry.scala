@@ -716,6 +716,82 @@ object Telemetry {
     * sequence of IEEE ops ((1−α) computed, not a decimal literal — the
     * oracle folds the identical expression), so level/trend/forecast
     * reproduce bit-for-bit in DuckDB's struct list_reduce. */
+  /** Holt-Winters ADDITIVE triple exponential smoothing per series —
+    * [[holt]] plus a period-`p` seasonal component, the classical
+    * capacity-forecast model for daily-cyclic telemetry (p=24 on an
+    * hourly grid). The series is the hourly EVENT COUNT per type,
+    * gap-filled to the dense global hour grid: counts are integers, so
+    * the series is engine-exact by construction (no float sum whose
+    * merge order could drift cross-engine).
+    *
+    * State rides in a (2+p)-element double array `[l, b, s₁..s_p]`
+    * with the CURRENT hour's seasonal index always at slot 3; each
+    * step emits `[l', b', s₄..s_{p+2}, s₃']` (rotate + append), so the
+    * fold is a fixed IEEE op sequence the DuckDB oracle replays
+    * bit-for-bit with list_reduce (list construction evaluates every
+    * element against the pre-step accumulator — the same caveat that
+    * rules out struct state, see the tel_holt oracle note).
+    * Init: l₀ = mean(x₁..x_p), b₀ = (mean(x_{p+1}..x_{2p}) − l₀)/p,
+    * sᵢ = xᵢ − l₀; the fold starts at x_{p+1}.
+    *
+    * Scale shape: ONE hash agg over events builds the hourly counts;
+    * the dense grid is a broadcast-range cross of #types × #hours
+    * rows; the fold runs per series key. Series length is bounded by
+    * the retention window (hours), not the event volume — the state
+    * that matters at 100 TB is per-key and tiny. */
+  def holtWinters(spark: SparkSession, sfDir: String, period: Int = 24,
+                  alpha: Double = 0.3, beta: Double = 0.1,
+                  gamma: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .select($"event_type",
+              expr("unix_micros(ts) div 3600000000").as("h"))
+    val bounds = e.agg(min($"h").as("h0"), max($"h").as("h1"))
+    val counts = e.groupBy($"event_type", $"h").agg(count(lit(1)).as("c"))
+    val grid = e.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(sequence($"h0", $"h1")).as("h"))
+    val series = grid.join(counts, Seq("event_type", "h"), "left")
+      .select($"event_type", $"h",
+              coalesce($"c", lit(0L)).cast("double").as("x"))
+      .groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"h", $"x"))).as("rs"),
+           count(lit(1)).as("n"))
+      .select($"event_type", $"n",
+              transform($"rs", r => r.getField("x")).as("vs"))
+    val p = period
+    val a = lit(alpha); val ia = lit(1.0 - alpha)
+    val b = lit(beta); val ib = lit(1.0 - beta)
+    val g = lit(gamma); val ig = lit(1.0 - gamma)
+    def meanSlice(vs: Column, from: Int): Column =
+      aggregate(slice(vs, lit(from), lit(p)), lit(0.0), (acc, x) => acc + x) / p
+    def lvl(acc: Column, x: Column): Column =
+      (x - element_at(acc, 3)) * a +
+        (element_at(acc, 1) + element_at(acc, 2)) * ia
+    series
+      .withColumn("l0", meanSlice($"vs", 1))
+      .withColumn("b0", (meanSlice($"vs", p + 1) - $"l0") / p)
+      .withColumn("init",
+        concat(array($"l0", $"b0"),
+               transform(slice($"vs", 1, p), x => x - $"l0")))
+      .withColumn("st",
+        aggregate(
+          slice($"vs", lit(p + 1), greatest(size($"vs") - p, lit(0))),
+          $"init",
+          (acc, x) => concat(
+            array(
+              lvl(acc, x),
+              (lvl(acc, x) - element_at(acc, 1)) * b + element_at(acc, 2) * ib),
+            slice(acc, 4, p - 1),
+            array((x - lvl(acc, x)) * g + element_at(acc, 3) * ig))))
+      .select($"event_type", $"n",
+              round(element_at($"st", 1), 6).as("level"),
+              round(element_at($"st", 2), 6).as("trend"),
+              round(element_at($"st", 3), 6).as("s_next"),
+              round(element_at($"st", 1) + element_at($"st", 2) +
+                    element_at($"st", 3), 6).as("forecast"))
+  }
+
   def holt(spark: SparkSession, sfDir: String,
            alpha: Double = 0.3, beta: Double = 0.1): DataFrame = {
     import spark.implicits._

@@ -30,7 +30,10 @@ class PlanHygieneSpec extends SparkSpec {
     "q_width_bucket",       // scan × 1-row min/max bounds broadcast
     "q_triangle_support",   // edge supports × 1-row global-count broadcast
     "tel_cms_counts",       // estimates × 1-row stream-total broadcast
-    "q_skew_diagnose")      // top-k rows × 1-row global-stats broadcast
+    "q_skew_diagnose",      // top-k rows × 1-row global-stats broadcast
+    "sim_binary_quant",     // Hamming scan × broadcast query words (by design)
+    "sim_mmr_diversify",    // corpus × broadcast query set (by design)
+    "tel_holt_winters")     // type×hour grid × 1-row hour-bounds broadcast
 
   /** Queries allowed to rank with an UNPARTITIONED window over a set
     * that is not limit-bounded in the plan — each is small by
