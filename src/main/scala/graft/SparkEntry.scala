@@ -91,6 +91,7 @@ object SparkEntry {
     "sim_int8_topk"      -> ((s, d) => SimOps.int8Topk(s, d)),
     "sim_binary_quant"   -> ((s, d) => SimOps.binaryQuantAnn(s, d)),
     "sim_mmr_diversify"  -> ((s, d) => SimOps.mmrDiversify(s, d)),
+    "sim_ivf_pq"         -> ((s, d) => SimOps.ivfPqAnn(s, d)),
     "q_bloom_join"       -> (Core.qBloomJoin _),
     "tel_grid_percentiles" -> (Telemetry.gridPercentiles _),
     "q_lateral_topn"     -> (Core.qLateralTopN _),
@@ -1082,6 +1083,56 @@ object SparkEntry {
         |          for t in generate_series(1,64)], (a,b) -> a+b) AS sc
         |  FROM raw, hv) t),
         |""".stripMargin + PqOracleTail),
+    "sim_ivf_pq" ->
+      // FAISS-IVFPQ shape: trained coarse quantizer (shared Lloyd CTEs)
+      // -> RESIDUAL space (x − centroid, exact IEEE subtraction of
+      // integer micro-units) -> PQ codes/LUTs/ADC within the query's
+      // own inverted list (nprobe=1: query and candidate residuals
+      // share a centroid frame)
+      s"""$KmeansCtes,
+        |res AS (
+        | SELECT v.vec_id, af.cid,
+        |  [CAST(vq[i] AS DOUBLE) - c2.c[i]
+        |   for i in generate_series(1,64)] AS e
+        | FROM v JOIN af USING (vec_id) JOIN c2 USING (cid)),
+        |tr AS (SELECT vec_id AS ccode, e AS ce FROM res WHERE vec_id < 8),
+        |sc AS (
+        | SELECT r.vec_id, tr.ccode, sp.s,
+        |  list_reduce([0.0] || [ (r.e[i]-tr.ce[i])*(r.e[i]-tr.ce[i])
+        |    for i in generate_series(sp.s*16+1, sp.s*16+16) ],
+        |    (x,y) -> x+y) AS dist
+        | FROM res r, tr, (SELECT unnest(generate_series(0,3)) AS s) sp
+        | WHERE r.vec_id >= 8),
+        |codes AS (
+        | SELECT vec_id, s, ccode AS code FROM (
+        |  SELECT vec_id, s, ccode,
+        |   row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, ccode) AS rn
+        |  FROM sc) t WHERE rn = 1),
+        |lut AS (SELECT vec_id AS query_id, s, ccode AS code, dist AS qdist
+        |        FROM sc WHERE vec_id < 16),
+        |cand AS (
+        | SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id
+        | FROM res q JOIN res r ON r.cid = q.cid AND r.vec_id != q.vec_id
+        | WHERE q.vec_id >= 8 AND q.vec_id < 16 AND r.vec_id >= 8),
+        |adc AS (
+        | SELECT cd.query_id, cd.neighbor_id,
+        |  sum(CASE WHEN c.s=0 THEN l.qdist ELSE 0.0 END) AS d0,
+        |  sum(CASE WHEN c.s=1 THEN l.qdist ELSE 0.0 END) AS d1,
+        |  sum(CASE WHEN c.s=2 THEN l.qdist ELSE 0.0 END) AS d2,
+        |  sum(CASE WHEN c.s=3 THEN l.qdist ELSE 0.0 END) AS d3
+        | FROM cand cd
+        | JOIN codes c ON c.vec_id = cd.neighbor_id
+        | JOIN lut l ON l.query_id = cd.query_id AND l.s = c.s
+        |            AND l.code = c.code
+        | GROUP BY 1,2),
+        |r AS (
+        | SELECT query_id, neighbor_id,
+        |  CAST(round(CAST(CAST((d0+d1+d2+d3)/1000000000000.0 AS VARCHAR)
+        |    AS DECIMAL(38,18)),6) AS DOUBLE) AS adist,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY d0+d1+d2+d3, neighbor_id) AS rnk
+        | FROM adc)
+        |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "sim_mmr_diversify" ->
       // 4 unrolled greedy MMR selection steps; each step ranks the
       // unselected shortlist by the integer score 7·rel − 3·max-sim-to-

@@ -588,6 +588,127 @@ object SimOps {
               ($"pos" + 1).cast("long").as("rnk"))
   }
 
+  /** IVF+PQ with RESIDUAL encoding — the composition FAISS ships as
+    * IVFPQ, its workhorse index at billion scale: the trained coarse
+    * quantizer ([[trainCentroids]], same autoK/Lloyd trajectory as
+    * `sim_ivf_kmeans`) partitions the corpus into inverted lists;
+    * within a list every vector is PQ-encoded in RESIDUAL space
+    * (x − centroid), which concentrates the signal the coarse
+    * quantizer already explained away and is why IVFPQ beats flat PQ.
+    * nprobe=1 means query and candidate residuals share the SAME
+    * centroid frame, so ADC distances compare like-for-like.
+    *
+    * Exactness: vectors are integer micro-units, centroids are exact
+    * IEEE divisions of integer sums, residual = one exact subtraction
+    * per dim — the whole trajectory (assignments, codes, LUTs, ADC
+    * sums in subspace order) replays bit-for-bit in the composed
+    * Lloyd + PQ oracle.
+    *
+    * Scale shape: ONE narrow JIT'd pass computes residual + codes +
+    * per-(partition, query) bounded top-k buffers (only queries whose
+    * list matches the row's list are scored — the IVF prune happens
+    * inside the scan, candidates never materialize); the shuffle
+    * carries ≤ k rows per query per partition into a TopKStructs
+    * merge. Codebook and queries are metadata-sized broadcasts. */
+  def ivfPqAnn(spark: SparkSession, sfDir: String, nTrain: Int = 8,
+               nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val subDim = 16
+    val M = 4
+    val ds = quantized(spark, sfDir).localCheckpoint()
+    val kC = autoK(ds.count())
+    val cents = trainCentroids(spark, ds, kC, 2)
+    val cB = spark.sparkContext.broadcast(cents)
+    val res = ds.mapPartitions { rows =>
+      val cs = cB.value
+      rows.map { case (id, vq) =>
+        val ci = nearestIdx(vq, cs)
+        val c = cs(ci)._2
+        val r = new Array[Double](vq.length)
+        var d = 0
+        while (d < vq.length) { r(d) = vq(d).toDouble - c(d); d += 1 }
+        (id, cs(ci)._1, r)
+      }
+    }
+    def subD(a: Array[Double], b: Array[Double], s: Int): Double = {
+      var d = 0.0
+      var i = s * subDim
+      val end = i + subDim
+      while (i < end) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    // codebook = residuals of the first nTrain ids; queries the next
+    // nQueries — bounded, metadata-sized collects (dim-table shape)
+    val cb: Array[Array[Double]] =
+      res.filter(_._1 < nTrain).collect().sortBy(_._1).map(_._3)
+    val qs: Array[(Long, Long, Array[Double])] =
+      res.filter(t => t._1 >= nTrain && t._1 < nTrain + nQueries)
+        .collect().sortBy(_._1)
+    val luts: Array[Array[Array[Double]]] = qs.map { case (_, _, qr) =>
+      Array.tabulate(M)(s => Array.tabulate(cb.length)(c => subD(qr, cb(c), s)))
+    }
+    val qIds: Array[Long] = qs.map(_._1)
+    val qCids: Array[Long] = qs.map(_._2)
+    val cbB = spark.sparkContext.broadcast(cb)
+    val lutB = spark.sparkContext.broadcast((qIds, qCids, luts))
+    val partials = res.filter(_._1 >= nTrain).mapPartitions { it =>
+      val cbv = cbB.value
+      val (ids, cids, lut) = lutB.value
+      val nq = ids.length
+      val best = Array.fill(nq)(new java.util.TreeSet[(Double, Long)](
+        Ordering.Tuple2[Double, Long]))
+      it.foreach { case (id, cid, r) =>
+        val codes = new Array[Int](M)
+        var s = 0
+        while (s < M) {
+          var bd = Double.MaxValue
+          var bc = -1
+          var c = 0
+          while (c < cbv.length) {
+            val d = subD(r, cbv(c), s)
+            if (d < bd) { bd = d; bc = c }
+            c += 1
+          }
+          codes(s) = bc
+          s += 1
+        }
+        var q = 0
+        while (q < nq) {
+          // IVF prune inside the scan: only the query's own list scores
+          if (cids(q) == cid && ids(q) != id) {
+            var adist = 0.0
+            var s2 = 0
+            while (s2 < M) { adist += lut(q)(s2)(codes(s2)); s2 += 1 }
+            val buf = best(q)
+            if (buf.size < k) buf.add((adist, id))
+            else if (Ordering.Tuple2[Double, Long].lt((adist, id), buf.last)) {
+              buf.pollLast(); buf.add((adist, id))
+            }
+          }
+          q += 1
+        }
+      }
+      best.iterator.zipWithIndex.flatMap { case (buf, q) =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(buf.iterator).asScala
+          .map { case (d, id) => (ids(q), id, d) }
+      }
+    }.toDF("query_id", "neighbor_id", "adist_raw")
+    partials.groupBy($"query_id")
+      .agg(call_function("top_k_structs",
+        struct($"adist_raw", (-$"neighbor_id").as("neg_id"), $"neighbor_id"),
+        lit(k), array(lit(true), lit(false)),
+        array(lit(false), lit(false))).as("top"))
+      .select($"query_id", posexplode($"top"))
+      // report in UNIT² (÷ micro² = 1e12, one exact IEEE division):
+      // raw micro² distances are ~1e12, where a 6-decimal cross-engine
+      // rounding is not faithful (shortest-decimal reprs keep only ~4
+      // fractional digits at that magnitude); ranking uses the raw value
+      .select($"query_id", $"col.neighbor_id".as("neighbor_id"),
+              round($"col.adist_raw" / 1e12, 6).as("adist"),
+              ($"pos" + 1).cast("long").as("rnk"))
+  }
+
   def int8Topk(spark: SparkSession, sfDir: String,
                nQueries: Int = 8, k: Int = 5): DataFrame = {
     import spark.implicits._

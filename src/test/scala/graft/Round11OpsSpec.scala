@@ -272,6 +272,34 @@ class Round11OpsSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  // ---- IVF+PQ ----
+
+  test("ivfPqAnn: neighbors confined to the query's trained list; adist ordered") {
+    import spark.implicits._
+    val cid = SimOps.clusterAssignments(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    val rows = SimOps.ivfPqAnn(spark, sf).collect().map { r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+       r.getAs[Double]("adist"), r.getAs[Long]("rnk"))
+    }
+    assert(rows.nonEmpty)
+    // nprobe=1: every neighbor shares the query's inverted list
+    rows.foreach { case (q, n, _, _) => assert(cid(n) === cid(q)) }
+    // ADC distance non-decreasing in rank within each query
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val byRnk = g.sortBy(_._4).map(_._3)
+      assert(byRnk.zip(byRnk.tail).forall { case (a, b) => a <= b })
+    }
+    // corpus excludes codebook ids and self
+    rows.foreach { case (q, n, _, _) => assert(n >= 8 && n != q) }
+  }
+
+  test("ivfPqAnn is deterministic across runs (stable codes/LUT trajectory)") {
+    val a = SimOps.ivfPqAnn(spark, sf).collect().map(_.toSeq).toSet
+    val b = SimOps.ivfPqAnn(spark, sf).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("binaryQuantAnn recall against exact brute force is reported sane") {
     // BQ is an approximation: just quantify recall@5 vs brute force
     // (it must beat random = k/N by a wide margin; on this corpus the
