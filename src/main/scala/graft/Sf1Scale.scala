@@ -62,7 +62,10 @@ object Sf1Scale {
   private val queries: Seq[String] = Seq(
     "dedup_semantic", "sim_knn_graph", "sim_topk_bruteforce", "sim_lsh_ann",
     "sim_ivf_kmeans", "sim_kmeans_centroids", "sim_int8_topk",
-    "sim_range_search")
+    "sim_range_search",
+    // r11 additions: compressed-index paths (1-bit Hamming shortlist,
+    // IVF+residual-PQ) and the bounded-shortlist MMR selection
+    "sim_binary_quant", "sim_ivf_pq", "sim_mmr_diversify")
 
   /** Documents-table dedup/text pipelines — the banded-LSH / inverted-
     * index / prefix-filter scale claims, measured on a text corpus with
@@ -74,7 +77,9 @@ object Sf1Scale {
     // bigram-LM scoring, and BM25 retrieval (query terms exist in the
     // synthetic vocabulary — see [[word]])
     "dedup_span_coverage", "text_pack_sequences", "text_bigram_surprisal",
-    "text_bm25")
+    "text_bm25",
+    // r11: asymmetric containment shares the inverted-index expansion
+    "dedup_containment")
 
   /** Deterministic word from a full-avalanche mix (vocab of 1000):
     * individual word collisions are common (real corpora repeat words)
@@ -140,7 +145,8 @@ object Sf1Scale {
     dir
   }
 
-  private val graphQueries: Seq[String] = Seq("q_pagerank", "q_triangle_support")
+  private val graphQueries: Seq[String] =
+    Seq("q_pagerank", "q_triangle_support", "q_jaccard_neighbors")
 
   def maybeRun(spark: SparkSession): Option[String] =
     if (!sys.env.get("SPARK_GRAFT_SF1").exists(_.nonEmpty)) None

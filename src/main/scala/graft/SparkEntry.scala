@@ -28,6 +28,7 @@ object SparkEntry {
     "q_conditional_agg"  -> (Core.qConditionalAgg _),
     "q_scalar_subquery"  -> (Core.qScalarSubquery _),
     "q_asof_join"        -> (AsofJoin.qAsofJoin _),
+    "q_asof_nearest"     -> (AsofJoin.qAsofNearest _),
     "q_asof_forward"     -> (AsofJoin.qAsofForward _),
     "q_asof_forward_native" -> (AsofJoin.qAsofForwardNative _),
     "q_asof_tolerance"   -> (AsofJoin.qAsofTolerance _),
@@ -59,6 +60,8 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_containment"  -> ((s, d) => Dedup.containment(s, d)),
+    "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStats(s, d)),
+    "sim_centroid_outliers" -> ((s, d) => SimOps.centroidOutliers(s, d)),
     "dedup_lsh_recall"   -> ((s, d) => Dedup.lshRecall(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "sim_topk_bruteforce" -> ((s, d) => SimOps.simTopkBruteforce(s, d)),
@@ -561,6 +564,44 @@ object SparkEntry {
       """SELECT s_suppkey, s_name, round(s_acctbal,4) AS acctbal
         |FROM supplier
         |WHERE s_acctbal > (SELECT avg(s_acctbal) FROM supplier)""".stripMargin,
+    "q_asof_nearest" ->
+      // nearest = the closer of DuckDB's two directional ASOF joins;
+      // equidistant ties (incl. exact-timestamp matches) go BACKWARD,
+      // matching pandas merge_asof(direction='nearest')
+      """WITH r AS (
+        | SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS o_ts,
+        |  max(o_orderkey) AS o_orderkey,
+        |  arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        | FROM orders GROUP BY 1,2),
+        |b AS (
+        | SELECT e.event_id, e.user_id, e.ts, r.o_ts AS bts,
+        |  r.o_orderkey AS bkey, r.o_totalprice AS bprice
+        | FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_ts),
+        |f AS (
+        | SELECT e.event_id, r.o_ts AS fts,
+        |  r.o_orderkey AS fkey, r.o_totalprice AS fprice
+        | FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts <= r.o_ts),
+        |j AS (
+        | SELECT b.event_id, b.user_id, b.ts, b.bts, b.bkey, b.bprice,
+        |  f.fts, f.fkey, f.fprice,
+        |  CASE
+        |   WHEN b.bkey IS NULL AND f.fkey IS NULL THEN 'none'
+        |   WHEN f.fkey IS NULL THEN 'back'
+        |   WHEN b.bkey IS NULL THEN 'fwd'
+        |   WHEN epoch_us(b.ts) - epoch_us(b.bts)
+        |     <= epoch_us(f.fts) - epoch_us(b.ts) THEN 'back'
+        |   ELSE 'fwd' END AS direction
+        | FROM b JOIN f USING (event_id))
+        |SELECT event_id, user_id,
+        | CASE WHEN direction = 'back' THEN bkey
+        |      WHEN direction = 'fwd' THEN fkey END AS nearest_order_key,
+        | round(CASE WHEN direction = 'back' THEN bprice
+        |            WHEN direction = 'fwd' THEN fprice END, 4)
+        |   AS nearest_order_price,
+        | direction
+        |FROM j""".stripMargin,
     "q_asof_join" ->
       """WITH r AS (
         | SELECT o_custkey, o_orderdate,
@@ -1376,6 +1417,58 @@ object SparkEntry {
         | FROM reach GROUP BY src)
         |SELECT label AS cluster_id, count(*) AS n_docs, max(doc_id) AS max_doc_id
         |FROM lab GROUP BY 1""".stripMargin,
+    "dedup_cluster_stats" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |   THEN [array_to_string(t[i:i+2],' ') for i in generate_series(1,len(t)-2)]
+        |   ELSE [array_to_string(t,' ')] END) AS s
+        | FROM toks),
+        |post AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+        |cand AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+        |  count(*) AS inter
+        | FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1,2,3,4),
+        |pairs AS (
+        | SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |   CAST(round(CAST(CAST(inter*1.0/(na+nb-inter) AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS jaccard
+        |  FROM cand) p
+        | WHERE jaccard >= 0.2),
+        |edges AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (
+        | SELECT src AS doc_id, least(src, min(dst)) AS label
+        | FROM reach GROUP BY src),
+        |cl AS (SELECT label, count(*) AS n_docs FROM lab GROUP BY 1),
+        |hist AS (
+        | SELECT n_docs AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(n_docs) AS BIGINT) AS docs,
+        |  CAST(sum(n_docs - 1) AS BIGINT) AS drop_docs
+        | FROM cl GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS corpus_n FROM documents)
+        |SELECT cluster_size, n_clusters, docs, drop_docs,
+        | round(docs*1.0/corpus_n, 6) AS frac_corpus
+        |FROM hist, tot""".stripMargin,
+    "sim_centroid_outliers" ->
+      s"""$KmeansCtes,
+        |d AS (
+        | SELECT v.vec_id, af.cid,
+        |  list_reduce(list_transform(range(1,65),
+        |    i -> (vq[i]-c[i])*(vq[i]-c[i])), (a,b) -> a+b) AS dist_raw
+        | FROM v JOIN af USING (vec_id) JOIN c2 USING (cid))
+        |SELECT vec_id, cid,
+        | CAST(round(CAST(CAST(dist_raw/1000000000000.0 AS VARCHAR)
+        |   AS DECIMAL(38,18)),6) AS DOUBLE) AS dist
+        |FROM d ORDER BY dist_raw DESC, vec_id LIMIT 20""".stripMargin,
     "dedup_apply" ->
       """WITH RECURSIVE toks AS (
         | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t

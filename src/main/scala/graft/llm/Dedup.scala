@@ -281,6 +281,28 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), max($"doc_id").as("max_doc_id"))
   }
 
+  /** Dedup PLANNING report (r11) — the numbers every dedup run publishes
+    * before anyone green-lights the drop: the cluster-size histogram,
+    * how many docs sit in near-dup families, and how many would be
+    * dropped by a keep-one policy (Σ(size−1) per size), as a fraction
+    * of the corpus. Composes [[dedupClusters]]' component solve with
+    * one tiny rollup (≤ #distinct-sizes rows) and a 1-row corpus-count
+    * broadcast — the report costs one extra agg over the solve. */
+  def clusterStats(spark: SparkSession, sfDir: String,
+                   threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val hist = dedupClusters(spark, sfDir, threshold)
+      .groupBy($"n_docs".as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+           sum($"n_docs").as("docs"),
+           sum($"n_docs" - 1).as("drop_docs"))
+    val tot = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).as("corpus_n"))
+    hist.crossJoin(broadcast(tot))
+      .select($"cluster_size", $"n_clusters", $"docs", $"drop_docs",
+              round($"docs" / $"corpus_n", 6).as("frac_corpus"))
+  }
+
   /** ADAPTIVE component solve: near-dup graphs are usually tiny next to
     * the corpus — below the edge threshold a driver union-find (min
     * root wins every union, so labels are exactly the distributed

@@ -993,6 +993,37 @@ object SimOps {
     }.toDF("vec_id", "cid")
   }
 
+  /** Embedding OUTLIER detection via distance-to-centroid (r11) — the
+    * curation filter that flags mislabeled/noise/out-of-distribution
+    * vectors before they poison a training mix (the "prototypicality"
+    * signal of SemDeDup-adjacent pipelines): quantized L2² from each
+    * vector to its TRAINED centroid, top-`topK` farthest. One narrow
+    * broadcast-centroids pass (assignment and distance in the same
+    * kernel, corpus never shuffles) into `orderBy().limit()` —
+    * TakeOrderedAndProject, no global window. Distances are exact
+    * integer-grid folds ([[l2q]], dim order), reported in unit² (÷
+    * micro² = 1e12) where 6-decimal cross-engine rounding is faithful;
+    * ranking uses the raw value. */
+  def centroidOutliers(spark: SparkSession, sfDir: String,
+                       topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val ds = quantized(spark, sfDir).localCheckpoint()
+    val k = autoK(ds.count())
+    val cents = trainCentroids(spark, ds, k, 2)
+    val cB = spark.sparkContext.broadcast(cents)
+    ds.mapPartitions { rows =>
+      val cs = cB.value
+      rows.map { case (id, vq) =>
+        val ci = nearestIdx(vq, cs)
+        (id, cs(ci)._1, l2q(vq, cs(ci)._2))
+      }
+    }.toDF("vec_id", "cid", "dist_raw")
+      .orderBy($"dist_raw".desc, $"vec_id".asc)
+      .limit(topK)
+      .select($"vec_id", $"cid",
+              round($"dist_raw" / 1e12, 6).as("dist"))
+  }
+
   /** Within-cluster self-join with a PER-TASK pair-volume cap — the
     * r5 fix for the unbounded-largest-cluster quadratic in
     * [[knnGraph]] and [[graft.llm.Dedup.semantic]].

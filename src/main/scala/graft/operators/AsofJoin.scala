@@ -85,6 +85,63 @@ object AsofJoin {
       .select(leftCols.map(col) :+ col("_asof"): _*)
   }
 
+  /** NEAREST as-of join (r11): every left row keeps the payload of the
+    * right row minimizing |rightTime − leftTime| — pandas
+    * `merge_asof(direction="nearest")`, the reconciliation join for
+    * samples that can land on either side of the reference clock
+    * (sensor readings vs control points, trades vs quotes with clock
+    * skew). Ties (equidistant back/forward) resolve BACKWARD, matching
+    * pandas.
+    *
+    * Physical shape: ONE union + ONE shuffle on the key, then two
+    * window passes over the same hash partitioning (backward `last`,
+    * forward `first` — the second window re-sorts but never
+    * re-exchanges); a post-window comparison on the smuggled matched
+    * times picks the nearer side. No range cross product, no per-key
+    * collect — the same 100 TB shape as [[leftAsof]]. */
+  def leftAsofNearest(left: DataFrame, right: DataFrame,
+                      leftKey: Column, rightKey: Column,
+                      leftTime: Column, rightTime: Column,
+                      payload: Seq[(String, Column)]): DataFrame = {
+    val leftCols = left.columns
+    val payloadStruct = struct(
+      (payload.map { case (n, c) => c.as(n) } :+
+        unix_micros(rightTime).as("_mt")): _*)
+    val r = right
+      .select(rightKey.as("_k"), rightTime.as("_t"), payloadStruct.as("_payload"))
+      .withColumn("_side", lit(1))
+    val l = left
+      .withColumn("_k", leftKey).withColumn("_t", leftTime)
+      .withColumn("_side", lit(0))
+      .withColumn("_payload", lit(null).cast(r.schema("_payload").dataType))
+    val rAligned = l.columns.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
+    }.select(l.columns.map(col): _*)
+    val wB = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc, col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val lt = unix_micros(col("_t"))
+    val backCloser = (lt - col("_b._mt")) <= (col("_f._mt") - lt)
+    l.unionByName(rAligned)
+      .withColumn("_b", last(col("_payload"), ignoreNulls = true).over(wB))
+      .withColumn("_f", first(col("_payload"), ignoreNulls = true).over(wF))
+      .filter(col("_side") === 0)
+      .withColumn("_asof",
+        when(col("_b").isNull, col("_f"))
+          .when(col("_f").isNull, col("_b"))
+          .when(backCloser, col("_b"))
+          .otherwise(col("_f")))
+      .withColumn("_dir",
+        when(col("_b").isNull && col("_f").isNull, lit("none"))
+          .when(col("_f").isNull || (col("_b").isNotNull && backCloser),
+                lit("back"))
+          .otherwise(lit("fwd")))
+      .select(leftCols.map(col) :+ col("_asof") :+ col("_dir"): _*)
+  }
+
   /** Backward as-of with a TOLERANCE bound (r8): like [[leftAsof]], but
     * a match older than `toleranceUs` microseconds nulls out — pandas
     * `merge_asof(tolerance=...)`. The staleness guard every "join
@@ -250,6 +307,27 @@ object AsofJoin {
       .select($"event_id", $"user_id",
               $"_asof.o_orderkey".as("recent_order_key"),
               round($"_asof.price", 4).as("recent_order_price"))
+  }
+
+  /** events NEAREST-as-of orders per user: annotate each event with the
+    * user's temporally closest order in EITHER direction (ties go
+    * backward), plus which direction won. */
+  def qAsofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts")
+    val orders = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"),
+           max_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))
+      .withColumn("o_ts", $"o_orderdate".cast("timestamp"))
+    leftAsofNearest(events, orders,
+      $"user_id", $"o_custkey", $"ts", $"o_ts",
+      Seq("o_orderkey" -> $"o_orderkey", "price" -> $"o_totalprice"))
+      .select($"event_id", $"user_id",
+              $"_asof.o_orderkey".as("nearest_order_key"),
+              round($"_asof.price", 4).as("nearest_order_price"),
+              $"_dir".as("direction"))
   }
 
   /** events as-of orders per user: annotate each event with the user's

@@ -3,7 +3,7 @@ package graft
 import scala.math.BigDecimal.RoundingMode
 
 import graft.llm.{Dedup, SimOps}
-import graft.operators.GraphSim
+import graft.operators.{AsofJoin, GraphSim}
 import graft.telemetry.Telemetry
 
 /** r11 additions: asymmetric n-gram containment dedup and binary-
@@ -298,6 +298,97 @@ class Round11OpsSpec extends SparkSpec {
     val a = SimOps.ivfPqAnn(spark, sf).collect().map(_.toSeq).toSet
     val b = SimOps.ivfPqAnn(spark, sf).collect().map(_.toSeq).toSet
     assert(a === b)
+  }
+
+  // ---- nearest as-of ----
+
+  test("qAsofNearest matches brute-force nearest-order per event (ties backward)") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(org.apache.spark.sql.functions.max($"o_orderkey").as("k"),
+           org.apache.spark.sql.functions
+             .max_by($"o_totalprice", $"o_orderkey").as("p"))
+      .selectExpr("o_custkey", "unix_micros(cast(o_orderdate as timestamp)) as t",
+                  "k", "p")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1)
+    val events = Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "unix_micros(ts) as t")
+      .as[(Long, Long, Long)].collect()
+    val want = events.map { case (eid, uid, et) =>
+      val os = orders.getOrElse(uid, Array.empty[(Long, Long, Long, Double)])
+      val back = os.filter(_._2 <= et).sortBy(o => (o._2, o._3)).lastOption
+      val fwd = os.filter(_._2 >= et).sortBy(o => (o._2, -o._3)).headOption
+      val pick = (back, fwd) match {
+        case (None, None) => None
+        case (Some(b), None) => Some((b, "back"))
+        case (None, Some(f)) => Some((f, "fwd"))
+        case (Some(b), Some(f)) =>
+          if (et - b._2 <= f._2 - et) Some((b, "back")) else Some((f, "fwd"))
+      }
+      eid -> pick.map { case (o, d) => (o._3, round4(o._4), d) }
+    }.toMap
+    val got = AsofJoin.qAsofNearest(spark, sf).collect().map { r =>
+      r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("nearest_order_key"))) None
+         else Some((r.getAs[Long]("nearest_order_key"),
+                    r.getAs[Double]("nearest_order_price"),
+                    r.getAs[String]("direction"))))
+    }.toMap
+    val wantNorm = want.map { case (k, v) => k -> v }
+    assert(got.size === wantNorm.size)
+    got.foreach { case (eid, g) =>
+      val w = wantNorm(eid)
+      if (g.isEmpty) assert(w.isEmpty)
+      else assert(g === w, s"event $eid")
+    }
+  }
+
+  // ---- dedup planning stats ----
+
+  test("clusterStats is the exact histogram of dedupClusters") {
+    import spark.implicits._
+    val sizes = Dedup.dedupClusters(spark, sf).collect()
+      .map(_.getAs[Long]("n_docs"))
+    val corpusN = Tables.documents(spark, sf).count()
+    val want = sizes.groupBy(identity).map { case (sz, g) =>
+      sz -> (g.length.toLong, sz * g.length, (sz - 1) * g.length,
+             round6(sz * g.length.toDouble / corpusN))
+    }
+    val got = Dedup.clusterStats(spark, sf).collect().map { r =>
+      r.getAs[Long]("cluster_size") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("docs"),
+         r.getAs[Long]("drop_docs"), r.getAs[Double]("frac_corpus"))
+    }.toMap
+    assert(got === want)
+  }
+
+  // ---- centroid outliers ----
+
+  test("centroidOutliers = brute-force top-20 distance-to-trained-centroid") {
+    import spark.implicits._
+    def q(x: Double): Long =
+      BigDecimal(x * 1000000).setScale(0, RoundingMode.HALF_UP).toLong
+    val vq = vecs.map { case (id, v) => (id, v.map(q)) }
+    val ds = spark.createDataset(vq.toSeq)
+    val cents = SimOps.trainCentroids(spark, ds,
+      SimOps.autoK(vq.length.toLong), 2)
+    def l2(v: Array[Long], c: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < c.length) { val t = v(i) - c(i); d += t * t; i += 1 }
+      d
+    }
+    val want = vq.map { case (id, v) =>
+      val dists = cents.map { case (cid, c) => (cid, l2(v, c)) }
+      val (cid, dd) = dists.minBy { case (cid, d) => (d, cid) }
+      (id, cid, dd)
+    }.sortBy { case (id, _, d) => (-d, id) }.take(20)
+      .map { case (id, cid, d) => (id, cid, round6(d / 1e12)) }
+    val got = SimOps.centroidOutliers(spark, sf).collect().map { r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"), r.getAs[Double]("dist"))
+    }
+    assert(got.toSeq === want.toSeq)
   }
 
   test("binaryQuantAnn recall against exact brute force is reported sane") {
