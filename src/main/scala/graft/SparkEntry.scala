@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_containment"  -> ((s, d) => Dedup.containment(s, d)),
     "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStats(s, d)),
+    "text_shard_overlap" -> ((s, d) => Dedup.shardOverlap(s, d)),
     "sim_centroid_outliers" -> ((s, d) => SimOps.centroidOutliers(s, d)),
     "dedup_lsh_recall"   -> ((s, d) => Dedup.lshRecall(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
@@ -1417,6 +1418,42 @@ object SparkEntry {
         | FROM reach GROUP BY src)
         |SELECT label AS cluster_id, count(*) AS n_docs, max(doc_id) AS max_doc_id
         |FROM lab GROUP BY 1""".stripMargin,
+    "text_shard_overlap" ->
+      """WITH toks AS (
+        | SELECT source, string_split_regex(trim(lower(text)),'\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT source, list_distinct(CASE WHEN len(t) >= 3
+        |   THEN [array_to_string(t[i:i+2],' ') for i in generate_series(1,len(t)-2)]
+        |   ELSE [array_to_string(t,' ')] END) AS s
+        | FROM toks),
+        |ssh AS (
+        | SELECT DISTINCT source, ('0x'||substr(md5(g),1,15))::BIGINT AS h
+        | FROM (SELECT source, unnest(s) AS g FROM sh)),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |          FROM ssh GROUP BY 1),
+        |pairs AS (
+        | SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS inter
+        | FROM ssh a JOIN ssh b ON a.h = b.h AND a.source < b.source
+        | GROUP BY 1,2),
+        |pv AS (
+        | SELECT source, i,
+        |  min(((h % 2147483647) * (2*i+1) + i*2654435761) % 2147483647) AS mn
+        | FROM ssh, (SELECT unnest(generate_series(0,63)) AS i) g GROUP BY 1,2),
+        |agree AS (
+        | SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(sum(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END) AS BIGINT) AS ag
+        | FROM pv a JOIN pv b ON a.i = b.i AND a.source < b.source
+        | GROUP BY 1,2)
+        |SELECT p.source_a, p.source_b, sa.n AS n_a, sb.n AS n_b, p.inter,
+        | round(p.inter*1.0/(sa.n + sb.n - p.inter), 6) AS exact_jaccard,
+        | round(coalesce(ag.ag, 0)/64.0, 6) AS est_jaccard
+        |FROM pairs p
+        |JOIN sizes sa ON sa.source = p.source_a
+        |JOIN sizes sb ON sb.source = p.source_b
+        |LEFT JOIN agree ag ON ag.source_a = p.source_a
+        |                  AND ag.source_b = p.source_b""".stripMargin,
     "dedup_cluster_stats" ->
       """WITH RECURSIVE toks AS (
         | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t

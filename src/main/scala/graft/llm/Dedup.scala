@@ -281,6 +281,85 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), max($"doc_id").as("max_doc_id"))
   }
 
+  /** Cross-SHARD overlap estimation (r11) — the dump-vs-dump planning
+    * question ("how much of crawl N+1 is already in crawl N?") answered
+    * two ways from one pass: EXACT per-shard-pair Jaccard over distinct
+    * shingle hashes, and the MERGEABLE MinHash estimate (per-shard
+    * 64-perm signature = min-per-perm over the shard's shingles, the
+    * same permutation family as [[bandsOfShingles]]; estimate =
+    * fraction of agreeing perms). At 100 TB the sketch is the point:
+    * per-shard signatures are 64 longs regardless of shard size,
+    * min-merge happens map-side, and comparing S shards costs S²·64
+    * integer compares on metadata — while the exact path (kept here as
+    * its own ground truth) needs the full distinct-shingle shuffle.
+    *
+    * Physical shape: ONE distinct (source, hash) shuffle feeds sizes,
+    * the in-place posting-list pair expansion (shingle df across shards
+    * ≤ #shards), and the per-partition running-min signature partials
+    * (#shards × 64 longs each, min-merged on the driver — metadata
+    * scale). Only pairs sharing ≥ 1 shingle are emitted. */
+  def shardOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val srcSh = Tables.documents(spark, sfDir)
+      .select($"source", $"text").as[(String, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (src, text) => shinglesOf(md, text).map(src -> _) }
+      }
+      .toDF("source", "h").distinct()
+      .localCheckpoint() // feeds sizes + pairs + signature partials
+    val sizes = srcSh.groupBy($"source").agg(count(lit(1)).as("n"))
+    val pairs = srcSh.groupBy($"h")
+      .agg(collect_list($"source").as("ss"))
+      .filter(size($"ss") > 1)
+      .select(explode($"ss").as("a"), $"ss")
+      .select($"a", explode($"ss").as("b"))
+      .filter($"a" < $"b")
+      .groupBy($"a".as("source_a"), $"b".as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    // mergeable signatures: running mins per partition, min-merged on
+    // the driver (#shards × 64 longs — metadata scale)
+    val partials = srcSh.as[(String, Long)].mapPartitions { rows =>
+      val mins = scala.collection.mutable.Map.empty[String, Array[Long]]
+      rows.foreach { case (src, h) =>
+        val m = mins.getOrElseUpdate(src, Array.fill(PERMS)(Long.MaxValue))
+        val hm = h % P
+        var i = 0
+        while (i < PERMS) {
+          val v = (hm * (2L * i + 1) + i * MIX) % P
+          if (v < m(i)) m(i) = v
+          i += 1
+        }
+      }
+      mins.iterator
+    }.collect()
+    val sig = scala.collection.mutable.Map.empty[String, Array[Long]]
+    partials.foreach { case (src, m) =>
+      val acc = sig.getOrElseUpdate(src, Array.fill(PERMS)(Long.MaxValue))
+      var i = 0
+      while (i < PERMS) { if (m(i) < acc(i)) acc(i) = m(i); i += 1 }
+    }
+    val est = (for {
+      (a, sa) <- sig.toSeq
+      (b, sb) <- sig.toSeq if a < b
+    } yield {
+      var agree = 0
+      var i = 0
+      while (i < PERMS) { if (sa(i) == sb(i)) agree += 1; i += 1 }
+      (a, b, agree.toLong)
+    }).toDF("source_a", "source_b", "agree")
+    pairs
+      .join(broadcast(sizes.select($"source".as("source_a"), $"n".as("n_a"))),
+            "source_a")
+      .join(broadcast(sizes.select($"source".as("source_b"), $"n".as("n_b"))),
+            "source_b")
+      .join(broadcast(est), Seq("source_a", "source_b"), "left")
+      .select($"source_a", $"source_b", $"n_a", $"n_b", $"inter",
+              round($"inter" / ($"n_a" + $"n_b" - $"inter"), 6)
+                .as("exact_jaccard"),
+              round(coalesce($"agree", lit(0L)) / 64.0, 6).as("est_jaccard"))
+  }
+
   /** Dedup PLANNING report (r11) — the numbers every dedup run publishes
     * before anyone green-lights the drop: the cluster-size histogram,
     * how many docs sit in near-dup families, and how many would be

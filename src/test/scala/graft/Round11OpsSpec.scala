@@ -391,6 +391,50 @@ class Round11OpsSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  // ---- cross-shard overlap ----
+
+  test("shardOverlap matches a from-scratch exact+sketch recompute") {
+    import spark.implicits._
+    val P = 2147483647L; val MIX = 2654435761L
+    def hash60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val bySrc = Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+      .groupBy(_._1)
+      .map { case (src, rows) =>
+        src -> rows.flatMap { case (_, t) =>
+          shingleSet(t).map(hash60)
+        }.toSet
+      }
+    val sig = bySrc.map { case (src, hs) =>
+      src -> Array.tabulate(64) { i =>
+        hs.map(h => ((h % P) * (2L * i + 1) + i * MIX) % P).min
+      }
+    }
+    val want = (for {
+      (a, sa) <- bySrc.toSeq
+      (b, sb) <- bySrc.toSeq if a < b
+      inter = (sa & sb).size
+      if inter > 0
+    } yield {
+      val agree = (0 until 64).count(i => sig(a)(i) == sig(b)(i))
+      (a, b) -> (sa.size.toLong, sb.size.toLong, inter.toLong,
+                 round6(inter.toDouble / (sa.size + sb.size - inter)),
+                 round6(agree / 64.0))
+    }).toMap
+    val got = Dedup.shardOverlap(spark, sf).collect().map { r =>
+      (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("inter"),
+         r.getAs[Double]("exact_jaccard"), r.getAs[Double]("est_jaccard"))
+    }.toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("binaryQuantAnn recall against exact brute force is reported sane") {
     // BQ is an approximation: just quantify recall@5 vs brute force
     // (it must beat random = k/N by a wide margin; on this corpus the
