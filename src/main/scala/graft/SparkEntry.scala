@@ -62,6 +62,8 @@ object SparkEntry {
     "dedup_containment"  -> ((s, d) => Dedup.containment(s, d)),
     "dedup_cluster_stats" -> ((s, d) => Dedup.clusterStats(s, d)),
     "text_shard_overlap" -> ((s, d) => Dedup.shardOverlap(s, d)),
+    "dedup_incremental"  -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "tel_pattern_match"  -> ((s, d) => Telemetry.patternMatch(s, d)),
     "sim_centroid_outliers" -> ((s, d) => SimOps.centroidOutliers(s, d)),
     "dedup_lsh_recall"   -> ((s, d) => Dedup.lshRecall(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
@@ -1418,6 +1420,65 @@ object SparkEntry {
         | FROM reach GROUP BY src)
         |SELECT label AS cluster_id, count(*) AS n_docs, max(doc_id) AS max_doc_id
         |FROM lab GROUP BY 1""".stripMargin,
+    "tel_pattern_match" ->
+      """WITH s AS (
+        | SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  string_agg(substr(event_type,1,1), '' ORDER BY ts, event_id) AS seq
+        | FROM events GROUP BY 1)
+        |SELECT user_id, n_events, seq, CAST(length(seq) AS BIGINT) AS seq_len,
+        | CAST(len(regexp_extract_all(seq,'vcp')) AS BIGINT) AS n_vcp,
+        | CAST(len(regexp_extract_all(seq,'v[^p]*p')) AS BIGINT)
+        |   AS n_view_to_purchase,
+        | CAST(len(regexp_extract_all(seq,'ee')) AS BIGINT) AS n_double_error
+        |FROM s""".stripMargin,
+    "dedup_incremental" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
+        | FROM documents),
+        |shl AS (
+        | SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |   THEN [array_to_string(t[i:i+2],' ') for i in generate_series(1,len(t)-2)]
+        |   ELSE [array_to_string(t,' ')] END) AS s
+        | FROM toks),
+        |hv AS (
+        | SELECT doc_id,
+        |  list_distinct([('0x'||substr(md5(g),1,15))::BIGINT for g in s]) AS hs
+        | FROM shl),
+        |mh AS (
+        | SELECT doc_id, i,
+        |  min(((h % 2147483647) * (2*i+1) + i*2654435761) % 2147483647) AS v
+        | FROM (SELECT doc_id, unnest(hs) AS h FROM hv),
+        |      (SELECT unnest(generate_series(0,63)) AS i) g
+        | GROUP BY doc_id, i),
+        |bk AS (
+        | SELECT doc_id, i//4 AS band_idx,
+        |  md5(string_agg(v::VARCHAR, '-' ORDER BY i)) AS band_key
+        | FROM mh GROUP BY doc_id, i//4),
+        |src AS (SELECT doc_id, source,
+        |        source IN ('src18','src19') AS probe FROM documents),
+        |cand AS (
+        | SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        | FROM bk n JOIN src sn ON sn.doc_id = n.doc_id AND sn.probe
+        | JOIN bk o ON o.band_idx = n.band_idx AND o.band_key = n.band_key
+        | JOIN src so ON so.doc_id = o.doc_id AND NOT so.probe),
+        |ver AS (
+        | SELECT c.new_id, c.old_id,
+        |  CAST(round(CAST(CAST(len(list_intersect(x.hs, y.hs))*1.0
+        |    / len(list_distinct(x.hs || y.hs)) AS VARCHAR)
+        |    AS DECIMAL(38,18)),4) AS DOUBLE) AS jaccard
+        | FROM cand c JOIN hv x ON c.new_id = x.doc_id
+        |             JOIN hv y ON c.old_id = y.doc_id),
+        |agg AS (
+        | SELECT new_id, CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(sum(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dups,
+        |  min(CASE WHEN jaccard >= 0.2 THEN old_id END) AS dup_of
+        | FROM ver GROUP BY 1)
+        |SELECT s.doc_id, s.source,
+        | coalesce(a.n_candidates, 0) AS n_candidates,
+        | coalesce(a.n_dups, 0) > 0 AS is_dup, a.dup_of
+        |FROM src s LEFT JOIN agg a ON a.new_id = s.doc_id
+        |WHERE s.probe""".stripMargin,
     "text_shard_overlap" ->
       """WITH toks AS (
         | SELECT source, string_split_regex(trim(lower(text)),'\s+') AS t

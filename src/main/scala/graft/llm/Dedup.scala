@@ -281,6 +281,60 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), max($"doc_id").as("max_doc_id"))
   }
 
+  /** INCREMENTAL near-dup check (r11) — the nightly-ingest production
+    * shape: a NEW batch of documents probes the EXISTING corpus's
+    * banded MinHash index instead of re-deduplicating the world.
+    * Existing = every source except the probe shards; new = the probe
+    * shards. Build-once/probe-many mirrors [[graft.llm.SimOps
+    * .ivfPersisted]]: at 100 TB the index side is a parquet table of
+    * (band_idx, band_hash, doc_id) maintained across ingests, and each
+    * batch pays only its own band hashing + an equi-join against the
+    * index — never a corpus×corpus pass.
+    *
+    * Per new doc the verdict a curation pipeline acts on: how many
+    * index candidates its bands hit, whether any verified at
+    * `threshold` (exact Jaccard over sorted shingle hashes), and the
+    * smallest matching existing doc id (its canonical predecessor).
+    * New docs with no collisions appear with zeros — absence of
+    * evidence is the common case and must be visible. */
+  def incrementalDedup(spark: SparkSession, sfDir: String,
+                       threshold: Double = 0.2,
+                       probeSources: Seq[String] = Seq("src18", "src19"))
+      : DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val docs = signatures(spark, sfDir).toDF()
+      .join(Tables.documents(spark, sfDir).select($"doc_id", $"source"),
+            "doc_id")
+      .localCheckpoint()
+    val isProbe = $"source".isin(probeSources: _*)
+    val existing = docs.filter(!isProbe)
+    val fresh = docs.filter(isProbe)
+    def bandsOf(df: DataFrame, idCol: String) =
+      df.select(col("doc_id").as(idCol),
+        posexplode($"bands").as(Seq("band_idx", "band_hash")))
+    val candidates = bandsOf(fresh, "new_id")
+      .join(bandsOf(existing, "old_id"), Seq("band_idx", "band_hash"))
+      .select($"new_id", $"old_id").distinct()
+    val verified = candidates
+      .join(fresh.select($"doc_id".as("new_id"), $"sh".as("sh_n")), "new_id")
+      .join(existing.select($"doc_id".as("old_id"), $"sh".as("sh_o")), "old_id")
+      .withColumn("inter",
+        call_function("sorted_intersect_count", $"sh_n", $"sh_o"))
+      .withColumn("jaccard", round(
+        $"inter" / (size($"sh_n") + size($"sh_o") - $"inter"), 4))
+      .groupBy($"new_id")
+      .agg(count(lit(1)).as("n_candidates"),
+           sum(when($"jaccard" >= threshold, 1L).otherwise(0L)).as("n_dups"),
+           min(when($"jaccard" >= threshold, $"old_id")).as("dup_of"))
+    fresh.select($"doc_id", $"source")
+      .join(verified.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id", $"source",
+              coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+              (coalesce($"n_dups", lit(0L)) > 0).as("is_dup"),
+              $"dup_of")
+  }
+
   /** Cross-SHARD overlap estimation (r11) — the dump-vs-dump planning
     * question ("how much of crawl N+1 is already in crawl N?") answered
     * two ways from one pass: EXACT per-shard-pair Jaccard over distinct

@@ -1123,6 +1123,43 @@ object Telemetry {
     * map-side combine. The probability normalization windows the
     * AGGREGATE (≤ #types² rows), never the raw stream. Integer counts,
     * one exact double division — bit-identical in the oracle. */
+  /** Sequence-pattern detection (MATCH_RECOGNIZE's common core) (r11):
+    * each user's event history becomes an ordered initial-letter string
+    * (v/c/p/e/s — first letters are distinct across the five types) and
+    * regex counts detect behavioral patterns: the ADJACENT conversion
+    * `vcp`, the gap-tolerant conversion `v[^p]*p` (view eventually
+    * purchased; `[^p]*` cannot cross a purchase, so leftmost-greedy
+    * matching is engine-independent — no backtracking-vs-RE2 divergence
+    * possible), and the repeated-failure `ee`. Non-overlapping counts,
+    * identical in Spark's regexp_count and DuckDB's
+    * regexp_extract_all.
+    *
+    * Scale shape: ONE groupBy(user) with an ordered collect — the same
+    * per-key-sequence shape as [[ewma]]/[[holt]]; sequence length is
+    * bounded by per-user history, never the corpus. No window, no
+    * self-join, no cross-row regex state outside the key. */
+  def patternMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val seq = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id",
+              substring($"event_type", 1, 1).as("init"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+           sort_array(collect_list(struct($"ts", $"event_id", $"init")))
+             .as("rs"))
+      .select($"user_id", $"n_events",
+        array_join(transform($"rs", r => r.getField("init")), "").as("seqx"))
+    seq
+      .withColumn("seq_len", length($"seqx").cast("long"))
+      .withColumn("n_vcp", regexp_count($"seqx", lit("vcp")).cast("long"))
+      .withColumn("n_view_to_purchase",
+        regexp_count($"seqx", lit("v[^p]*p")).cast("long"))
+      .withColumn("n_double_error",
+        regexp_count($"seqx", lit("ee")).cast("long"))
+      .select($"user_id", $"n_events", $"seqx".as("seq"), $"seq_len",
+              $"n_vcp", $"n_view_to_purchase", $"n_double_error")
+  }
+
   def transitions(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")

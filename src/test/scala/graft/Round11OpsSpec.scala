@@ -435,6 +435,70 @@ class Round11OpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  // ---- sequence pattern match ----
+
+  test("patternMatch matches a from-scratch Java-regex recompute") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) as t", "event_id", "event_type")
+      .as[(Long, Long, Long, String)].collect()
+    def countNonOverlap(seq: String, pat: String): Long = {
+      val m = java.util.regex.Pattern.compile(pat).matcher(seq)
+      var c = 0L
+      while (m.find()) c += 1
+      c
+    }
+    val want = events.groupBy(_._1).map { case (uid, rows) =>
+      val seq = rows.sortBy(r => (r._2, r._3)).map(_._4.head).mkString
+      uid -> (rows.length.toLong, seq, seq.length.toLong,
+              countNonOverlap(seq, "vcp"), countNonOverlap(seq, "v[^p]*p"),
+              countNonOverlap(seq, "ee"))
+    }
+    val got = Telemetry.patternMatch(spark, sf).collect().map { r =>
+      r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[String]("seq"),
+         r.getAs[Long]("seq_len"), r.getAs[Long]("n_vcp"),
+         r.getAs[Long]("n_view_to_purchase"), r.getAs[Long]("n_double_error"))
+    }.toMap
+    assert(got === want)
+  }
+
+  // ---- incremental dedup ----
+
+  test("incrementalDedup verdicts agree with the full-corpus LSH pipeline") {
+    import spark.implicits._
+    val probe = Set("src18", "src19")
+    val srcOf = Tables.documents(spark, sf)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    // cross-side verified pairs from the PROVEN full pipeline
+    val crossPairs = Dedup.minhashLsh(spark, sf).collect().flatMap { r =>
+      val a = r.getAs[Long]("doc_a"); val b = r.getAs[Long]("doc_b")
+      (probe(srcOf(a)), probe(srcOf(b))) match {
+        case (true, false) => Some(a -> b)
+        case (false, true) => Some(b -> a)
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (n, ps) => n -> ps.map(_._2).min }
+    val got = Dedup.incrementalDedup(spark, sf).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Boolean]("is_dup"),
+         if (r.isNullAt(r.fieldIndex("dup_of"))) None
+         else Some(r.getAs[Long]("dup_of")))
+    }.toMap
+    // covers exactly the probe docs
+    assert(got.keySet === srcOf.filter(kv => probe(kv._2)).keySet)
+    // every cross-side LSH dup is flagged with the same canonical id
+    crossPairs.foreach { case (n, minOld) =>
+      val (_, isDup, dupOf) = got(n)
+      assert(isDup, s"doc $n should be flagged")
+      assert(dupOf === Some(minOld), s"doc $n canonical")
+    }
+    // and no false flags: flagged docs must appear in the cross pairs
+    got.foreach { case (n, (nc, isDup, _)) =>
+      if (isDup) { assert(crossPairs.contains(n)); assert(nc >= 1) }
+    }
+  }
+
   test("binaryQuantAnn recall against exact brute force is reported sane") {
     // BQ is an approximation: just quantify recall@5 vs brute force
     // (it must beat random = k/N by a wide margin; on this corpus the
