@@ -64,6 +64,7 @@ object SparkEntry {
     "text_shard_overlap" -> ((s, d) => Dedup.shardOverlap(s, d)),
     "dedup_incremental"  -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "tel_pattern_match"  -> ((s, d) => Telemetry.patternMatch(s, d)),
+    "text_curation_funnel" -> ((s, d) => TextOps.curationFunnel(s, d)),
     "sim_centroid_outliers" -> ((s, d) => SimOps.centroidOutliers(s, d)),
     "dedup_lsh_recall"   -> ((s, d) => Dedup.lshRecall(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
@@ -1420,6 +1421,101 @@ object SparkEntry {
         | FROM reach GROUP BY src)
         |SELECT label AS cluster_id, count(*) AS n_docs, max(doc_id) AS max_doc_id
         |FROM lab GROUP BY 1""".stripMargin,
+    "text_curation_funnel" ->
+      // four proven stage oracles (exact min-id, recursive-CTE near-dup
+      // closure, gopher rules, langid argmax) joined into per-doc
+      // verdicts; sequential attrition counts unpivoted to the funnel
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |   THEN [array_to_string(t[i:i+2],' ') for i in generate_series(1,len(t)-2)]
+        |   ELSE [array_to_string(t,' ')] END) AS s
+        | FROM toks),
+        |post AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+        |cand AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+        |  count(*) AS inter
+        | FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1,2,3,4),
+        |pairs AS (
+        | SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |   CAST(round(CAST(CAST(inter*1.0/(na+nb-inter) AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS jaccard
+        |  FROM cand) p
+        | WHERE jaccard >= 0.2),
+        |edges AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (
+        | SELECT src AS doc_id, least(src, min(dst)) AS label
+        | FROM reach GROUP BY src),
+        |ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |gt AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS tk,
+        |  length(regexp_replace(trim(text),'\s+','','g')) AS n_nospace
+        | FROM documents),
+        |gc AS (
+        | SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(tk, x -> regexp_matches(x,'[a-z]'))) AS BIGINT)
+        |    AS n_alpha_words,
+        |  CAST(len(list_intersect(list_distinct(tk),
+        |    ['the','a','of','and','to','in','is','on','for','with'])) AS BIGINT)
+        |    AS n_stop_distinct,
+        |  n_nospace FROM gt),
+        |gr AS (
+        | SELECT doc_id, n_words, n_alpha_words, n_stop_distinct,
+        |  CAST(round(CAST(CAST(n_nospace*1.0/n_words AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS mean_word_len,
+        |  CAST(round(CAST(CAST(n_alpha_words*1.0/n_words AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS alpha_frac
+        | FROM gc),
+        |gq AS (
+        | SELECT doc_id, (n_words >= 5 AND n_words <= 100000
+        |   AND mean_word_len >= 3 AND mean_word_len <= 10
+        |   AND alpha_frac >= 0.8 AND n_stop_distinct >= 2) AS keep FROM gr),
+        |scores AS (
+        | SELECT doc_id, 'de' AS lang_code, len(list_filter(t,
+        |   x -> x IN ('der','die','und','das','ist','nicht','ein','mit'))) AS score FROM toks
+        | UNION ALL SELECT doc_id, 'en', len(list_filter(t,
+        |   x -> x IN ('the','and','of','to','is','in','that','for'))) FROM toks
+        | UNION ALL SELECT doc_id, 'es', len(list_filter(t,
+        |   x -> x IN ('el','la','de','que','y','en','los','una'))) FROM toks
+        | UNION ALL SELECT doc_id, 'fr', len(list_filter(t,
+        |   x -> x IN ('le','la','de','et','les','des','un','une'))) FROM toks),
+        |li AS (
+        | SELECT doc_id, lang_code AS pred_lang FROM (
+        |  SELECT doc_id, lang_code, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, lang_code DESC) AS rn
+        |  FROM scores) r
+        | WHERE rn = 1),
+        |v AS (
+        | SELECT d.doc_id,
+        |  d.doc_id IN (SELECT doc_id FROM ex) AS s1,
+        |  (l.label IS NULL OR l.label = d.doc_id) AS s2,
+        |  g.keep AS s3,
+        |  li.pred_lang = d.lang AS s4
+        | FROM documents d
+        | LEFT JOIN lab l ON l.doc_id = d.doc_id
+        | JOIN gq g ON g.doc_id = d.doc_id
+        | JOIN li ON li.doc_id = d.doc_id),
+        |a AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN NOT s1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |  CAST(sum(CASE WHEN s1 AND NOT s2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |  CAST(sum(CASE WHEN s1 AND s2 AND NOT s3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+        |  CAST(sum(CASE WHEN s1 AND s2 AND s3 AND NOT s4 THEN 1 ELSE 0 END) AS BIGINT) AS d4
+        | FROM v)
+        |SELECT '1_exact_dedup' AS stage, n AS docs_in, d1 AS dropped,
+        |       n - d1 AS docs_out FROM a
+        |UNION ALL SELECT '2_near_dedup', n - d1, d2, n - d1 - d2 FROM a
+        |UNION ALL SELECT '3_gopher_quality', n - d1 - d2, d3,
+        |       n - d1 - d2 - d3 FROM a
+        |UNION ALL SELECT '4_langid_match', n - d1 - d2 - d3, d4,
+        |       n - d1 - d2 - d3 - d4 FROM a""".stripMargin,
     "tel_pattern_match" ->
       """WITH s AS (
         | SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

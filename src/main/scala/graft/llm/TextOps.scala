@@ -34,6 +34,51 @@ object TextOps {
            count(lit(1)).as("n_copies"))
   }
 
+  /** End-to-end curation FUNNEL report (r11) — the attrition table every
+    * corpus-curation run publishes ("we started with N docs; exact dedup
+    * cut X, near-dedup Y, quality Z, language filtering W"): four
+    * sequential keep-verdicts from ALREADY-PROVEN stages — exact
+    * ([[dedupExact]] min-id canonical), near-dup ([[Dedup.dedupApply]]
+    * component-canonical), Gopher quality ([[gopherColumns]]), language
+    * match ([[langId]] prediction vs label) — joined into one per-doc
+    * verdict frame, then ONE hash aggregate of conditional counts
+    * (each stage's drop counted among the previous stages' survivors)
+    * unpivoted to the 4-stage funnel. The report costs the verdict
+    * subtrees plus a single agg; nothing new shuffles. */
+  def curationFunnel(spark: SparkSession, sfDir: String,
+                     threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text", $"lang")
+    val exactKeep = docs.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id", lit(1L).as("ex"))
+    val near = Dedup.dedupApply(spark, sfDir, threshold)
+      .select($"doc_id", $"keep".as("near_keep"))
+    val gq = gopherColumns(docs).select($"doc_id", ($"keep" === 1).as("gq_keep"))
+    val li = langId(spark, sfDir).select($"doc_id", $"pred_lang")
+    val v = docs.select($"doc_id", $"lang")
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(near, "doc_id")
+      .join(gq, "doc_id")
+      .join(li, "doc_id")
+      .select($"ex".isNotNull.as("s1"), $"near_keep".as("s2"),
+              $"gq_keep".as("s3"), ($"pred_lang" === $"lang").as("s4"))
+    v.agg(
+        count(lit(1)).as("n"),
+        sum(when(!$"s1", 1L).otherwise(0L)).as("d1"),
+        sum(when($"s1" && !$"s2", 1L).otherwise(0L)).as("d2"),
+        sum(when($"s1" && $"s2" && !$"s3", 1L).otherwise(0L)).as("d3"),
+        sum(when($"s1" && $"s2" && $"s3" && !$"s4", 1L).otherwise(0L)).as("d4"))
+      .selectExpr(
+        """stack(4,
+          |'1_exact_dedup', n, d1,
+          |'2_near_dedup', n - d1, d2,
+          |'3_gopher_quality', n - d1 - d2, d3,
+          |'4_langid_match', n - d1 - d2 - d3, d4)
+          |AS (stage, docs_in, dropped)""".stripMargin)
+      .withColumn("docs_out", $"docs_in" - $"dropped")
+  }
+
   /** Normalized document fingerprint (lower + whitespace collapse + md5)
     * and per-language duplicate-cluster stats. */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {

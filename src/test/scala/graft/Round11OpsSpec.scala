@@ -499,6 +499,38 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- curation funnel ----
+
+  test("curationFunnel telescopes and matches per-stage verdict recomputes") {
+    import spark.implicits._
+    import graft.llm.TextOps
+    val rows = TextOps.curationFunnel(spark, sf).collect().map { r =>
+      r.getAs[String]("stage") ->
+        (r.getAs[Long]("docs_in"), r.getAs[Long]("dropped"),
+         r.getAs[Long]("docs_out"))
+    }.toMap
+    assert(rows.keySet === Set("1_exact_dedup", "2_near_dedup",
+      "3_gopher_quality", "4_langid_match"))
+    // telescoping: stage k's docs_out is stage k+1's docs_in
+    assert(rows("1_exact_dedup")._3 === rows("2_near_dedup")._1)
+    assert(rows("2_near_dedup")._3 === rows("3_gopher_quality")._1)
+    assert(rows("3_gopher_quality")._3 === rows("4_langid_match")._1)
+    rows.values.foreach { case (in, d, out) => assert(in - d === out) }
+    // stage-1 recompute from the component APIs
+    val n = Tables.documents(spark, sf).count()
+    val nHashes = TextOps.dedupExact(spark, sf).count()
+    assert(rows("1_exact_dedup") === ((n, n - nHashes, nHashes)))
+    // stage-2 recompute: exact keepers that lose the near-dup vote
+    val exactKeepers = Tables.documents(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.md5($"text"))
+      .agg(org.apache.spark.sql.functions.min($"doc_id").as("k"))
+      .select($"k").as[Long].collect().toSet
+    val nearKeep = Dedup.dedupApply(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val d2 = exactKeepers.count(id => !nearKeep(id))
+    assert(rows("2_near_dedup")._2 === d2.toLong)
+  }
+
   test("binaryQuantAnn recall against exact brute force is reported sane") {
     // BQ is an approximation: just quantify recall@5 vs brute force
     // (it must beat random = k/N by a wide margin; on this corpus the
