@@ -87,7 +87,9 @@ object SimOps {
     * rows per query inside `mapGroups` — the O(k·nShort²) pairwise
     * work is bounded per group and never touches the cluster. */
   def mmrDiversify(spark: SparkSession, sfDir: String, nQueries: Int = 8,
-                   nShort: Int = 8, k: Int = 4): DataFrame = {
+                   nShort: Int = 8, k: Int = 4,
+                   lamTenths: Int = 7): DataFrame = {
+    require(lamTenths >= 0 && lamTenths <= 10, "λ is in tenths, 0..10")
     import spark.implicits._
     GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
@@ -135,7 +137,8 @@ object SimOps {
             if (!selected.contains(i)) {
               val maxSim = if (selected.isEmpty) 0L
                            else selected.map(sim(i)(_)).max
-              val score = 7L * cands(i)._3 - 3L * maxSim
+              val score = lamTenths.toLong * cands(i)._3 -
+                (10L - lamTenths) * maxSim
               if (score > bestScore ||
                   (score == bestScore && cands(i)._2 < cands(best)._2)) {
                 best = i; bestScore = score

@@ -531,6 +531,36 @@ class Round11OpsSpec extends SparkSpec {
     assert(rows("2_near_dedup")._2 === d2.toLong)
   }
 
+  // ---- exactness-composition properties (the mrl_rerank play:
+  // degenerate configs must reproduce brute force bit-for-bit) ----
+
+  test("mmrDiversify with λ=1 degenerates to exact top-k by relevance") {
+    import spark.implicits._
+    val got = SimOps.mmrDiversify(spark, sf, lamTenths = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("pick")) ->
+                r.getAs[Long]("neighbor_id")).toMap
+    val exact = SimOps.simTopkBruteforce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk")) ->
+                r.getAs[Long]("neighbor_id")).toMap
+    // picks 1..4 equal brute-force ranks 1..4 (same ordering, same ties)
+    got.foreach { case ((q, pick), n) =>
+      if (pick <= 4) assert(exact((q, pick)) === n, s"query $q pick $pick")
+    }
+    assert(got.size === 8 * 4)
+  }
+
+  test("binaryQuantAnn with a corpus-wide shortlist equals exact brute force") {
+    import spark.implicits._
+    val m = vecs.length + 1 // shortlist covers everything → rerank IS exact
+    val got = SimOps.binaryQuantAnn(spark, sf, m = m).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    val exact = SimOps.simTopkBruteforce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    assert(got === exact)
+  }
+
   test("binaryQuantAnn recall against exact brute force is reported sane") {
     // BQ is an approximation: just quantify recall@5 vs brute force
     // (it must beat random = k/N by a wide margin; on this corpus the
