@@ -160,12 +160,17 @@ object SparkEntry {
     "tel_attribution"    -> ((s, d) => Telemetry.attribution(s, d)),
     "tel_changepoint"    -> (Telemetry.changepoint _),
     "tel_new_vs_returning" -> (Telemetry.newVsReturning _),
+    "tel_ddsketch"       -> ((s, d) => Telemetry.ddsketch(s, d)),
+    "tel_ddsketch_native" -> ((s, d) => Telemetry.ddsketchNative(s, d)),
+    "tel_psi_drift"      -> ((s, d) => Telemetry.psiDrift(s, d)),
+    "tel_seasonal"       -> ((s, d) => Telemetry.seasonal(s, d)),
     "text_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
     "mm_frame_dedup"     -> (Multimodal.frameDedup _),
     "mm_ahash_pairs"     -> ((s, d) => Multimodal.ahashPairs(s, d)),
     "mm_ahash_clusters"  -> ((s, d) => Multimodal.ahashClusters(s, d)),
     "mm_img_meta"        -> (ImageOps.imgMeta _),
     "mm_img_ahash_pairs" -> ((s, d) => ImageOps.imgAhashPairs(s, d)),
+    "mm_img_dhash_pairs" -> ((s, d) => ImageOps.imgDhashPairs(s, d)),
     "mm_img_ahash_clusters" -> ((s, d) => ImageOps.imgAhashClusters(s, d)),
     "mm_img_downsample"  -> (ImageOps.imgDownsample _),
     "sim_mrl_rerank"     -> ((s, d) => SimOps.mrlRerank(s, d)),
@@ -199,6 +204,7 @@ object SparkEntry {
     "text_char_entropy"  -> ((s, d) => TextOps.charEntropy(s, d)),
     "text_bm25"          -> ((s, d) => TextOps.bm25(s, d)),
     "text_pack_sequences" -> ((s, d) => TextOps.packSequences(s, d)),
+    "text_fasttext_quality" -> ((s, d) => TextOps.fasttextQuality(s, d)),
     "dedup_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
     "sim_hybrid_rrf"     -> ((s, d) => SimOps.hybridRrf(s, d)),
     "q_pagerank"         -> ((s, d) => PageRank.bipartiteExact(s, d)),
@@ -357,6 +363,55 @@ object SparkEntry {
         | CAST(coalesce(covered_tokens, 0) AS BIGINT) AS covered_tokens,
         | CAST(coalesce(covered_tokens, 0) AS DOUBLE) / d.n_tokens AS dup_frac
         |FROM d LEFT JOIN cov USING (doc_id)""".stripMargin
+
+  /** Shared by `tel_ddsketch` (relational pipeline) and
+    * `tel_ddsketch_native` (custom Catalyst aggregate) — one oracle
+    * proving two physical strategies compute the identical sketch. */
+  private val ddsketchOracleSql: String =
+    """WITH b AS (
+      | SELECT event_type,
+      |  CASE WHEN v100 = 1 THEN 0
+      |       ELSE length(bin(v100*v100 - 1)) END AS idx,
+      |  count(*) AS c
+      | FROM (SELECT event_type,
+      |        greatest(CAST(round(value*100) AS BIGINT), 1) AS v100
+      |       FROM events WHERE value > 0)
+      | GROUP BY 1, 2),
+      |r AS (
+      | SELECT *, row_number() OVER (PARTITION BY event_type
+      |   ORDER BY idx DESC) AS rk FROM b),
+      |cut AS (
+      | SELECT event_type, min(CASE WHEN rk <= 12 THEN idx END) AS cutoff,
+      |  CAST(count(*) AS BIGINT) AS n_buckets_raw,
+      |  CAST(sum(CASE WHEN rk > 12 THEN c ELSE 0 END) AS BIGINT)
+      |    AS collapsed_n
+      | FROM r GROUP BY 1),
+      |k AS (
+      | SELECT r.event_type, greatest(idx, cutoff) AS kidx,
+      |  CAST(sum(c) AS BIGINT) AS c
+      | FROM r JOIN cut USING (event_type) GROUP BY 1, 2),
+      |cum AS (
+      | SELECT *, CAST(sum(c) OVER (PARTITION BY event_type
+      |    ORDER BY kidx ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |  CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      | FROM k)
+      |SELECT e.event_type, e.n, cut.n_buckets_raw, e.n_buckets_kept,
+      | cut.collapsed_n, e.p50_est, e.p95_est, e.p99_est, e.max_idx
+      |FROM (
+      | SELECT event_type, max(n) AS n,
+      |  CAST(count(*) AS BIGINT) AS n_buckets_kept,
+      |  min(CASE WHEN cum >= ceil(0.50*n) AND cum - c < ceil(0.50*n)
+      |      THEN round(2*sqrt(pow(2.0, kidx))/(1+sqrt(2.0))/100, 4) END)
+      |    AS p50_est,
+      |  min(CASE WHEN cum >= ceil(0.95*n) AND cum - c < ceil(0.95*n)
+      |      THEN round(2*sqrt(pow(2.0, kidx))/(1+sqrt(2.0))/100, 4) END)
+      |    AS p95_est,
+      |  min(CASE WHEN cum >= ceil(0.99*n) AND cum - c < ceil(0.99*n)
+      |      THEN round(2*sqrt(pow(2.0, kidx))/(1+sqrt(2.0))/100, 4) END)
+      |    AS p99_est,
+      |  max(kidx) AS max_idx
+      | FROM cum GROUP BY 1) e
+      |JOIN cut USING (event_type)""".stripMargin
 
   def oracleSql: Map[String, String] = FunnelRetentionCorrOracles ++ Map(
     "q_pagerank" -> pagerankOracleSql(),
@@ -2391,6 +2446,32 @@ object SparkEntry {
         | CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
         |   AS BIGINT) AS rnk
         |FROM agg QUALIFY rnk <= 20""".stripMargin,
+    "text_fasttext_quality" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        | FROM documents),
+        |f AS (
+        | SELECT doc_id, unnest(t) AS feat FROM toks
+        | UNION ALL
+        | SELECT doc_id, t[i] || '_' || t[i+1] AS feat
+        | FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        |       FROM toks)),
+        |w AS (
+        | SELECT doc_id,
+        |  ('0x' || substr(md5('w:' || bucket), 1, 15))::BIGINT
+        |    % 2000001 - 1000000 AS w_micro
+        | FROM (SELECT doc_id,
+        |        ('0x' || substr(md5(feat), 1, 15))::BIGINT % 4096 AS bucket
+        |       FROM f)),
+        |agg AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |  CAST(round(CAST(sum(w_micro) AS DOUBLE)/count(*)) AS BIGINT)
+        |    AS score_micro
+        | FROM w GROUP BY 1)
+        |SELECT doc_id, n_feats, score_micro,
+        | CAST(score_micro AS DOUBLE)/1e6 AS score,
+        | score_micro > 0 AS keep
+        |FROM agg""".stripMargin,
     "text_pack_sequences" ->
       """WITH d AS (
         | SELECT source, doc_id,
@@ -2945,6 +3026,80 @@ object SparkEntry {
         |   AS returning_users,
         | CAST(count(*) AS BIGINT) AS active_users
         |FROM a JOIN f USING (user_id) GROUP BY day""".stripMargin,
+    "tel_ddsketch" -> ddsketchOracleSql,
+    // the native ddsketch_agg aggregate must reproduce the relational
+    // pipeline bit-for-bit — same oracle checks both paths
+    "tel_ddsketch_native" -> ddsketchOracleSql,
+    "tel_psi_drift" ->
+      """WITH ev AS (
+        | SELECT event_type, epoch_us(ts) AS us,
+        |  greatest(CAST(round(value*100) AS BIGINT), 1) AS v100
+        | FROM events WHERE value > 0),
+        |bounds AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+        |binned AS (
+        | SELECT event_type,
+        |  CASE WHEN v100 = 1 THEN 0
+        |       ELSE length(bin(v100*v100 - 1)) END AS idx,
+        |  CAST(sum(CASE WHEN us < lo + (hi - lo)//2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS c_ref,
+        |  CAST(sum(CASE WHEN us >= lo + (hi - lo)//2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS c_cur
+        | FROM ev CROSS JOIN bounds GROUP BY 1, 2),
+        |t AS (
+        | SELECT *,
+        |  CAST(sum(c_ref) OVER (PARTITION BY event_type) AS BIGINT) AS n_ref,
+        |  CAST(sum(c_cur) OVER (PARTITION BY event_type) AS BIGINT) AS n_cur,
+        |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+        | FROM binned),
+        |terms AS (
+        | SELECT *,
+        |  CAST(round(1e6 *
+        |    (CAST(c_ref+1 AS DOUBLE)/CAST(n_ref+nb AS DOUBLE)
+        |     - CAST(c_cur+1 AS DOUBLE)/CAST(n_cur+nb AS DOUBLE)) *
+        |    round(ln(CAST((c_ref+1)*(n_cur+nb) AS DOUBLE)
+        |           / CAST((c_cur+1)*(n_ref+nb) AS DOUBLE)), 4)) AS BIGINT)
+        |    AS term_micro
+        | FROM t)
+        |SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+        | CAST(count(*) AS BIGINT) AS n_bins,
+        | CAST(sum(term_micro) AS DOUBLE)/1e6 AS psi,
+        | CAST(sum(term_micro) AS DOUBLE)/1e6 >= 0.2 AS drifted
+        |FROM terms GROUP BY 1""".stripMargin,
+    "tel_seasonal" ->
+      """WITH hourly AS (
+        | SELECT event_type, date_trunc('hour', ts) AS h,
+        |  CAST(count(*) AS BIGINT) AS y
+        | FROM events GROUP BY 1, 2),
+        |grid AS (
+        | SELECT event_type,
+        |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        | FROM (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |       FROM hourly GROUP BY 1) s),
+        |dense AS (
+        | SELECT g.event_type, g.h, coalesce(hourly.y, 0) AS y
+        | FROM grid g LEFT JOIN hourly
+        |   ON g.event_type = hourly.event_type AND g.h = hourly.h),
+        |t AS (
+        | SELECT *, CAST(sum(y) OVER w AS BIGINT) AS sum25,
+        |  CAST(count(*) OVER w AS BIGINT) AS cnt25
+        | FROM dense
+        | WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |tr AS (
+        | SELECT *, 40000 * (25*y - sum25) AS detr_micro
+        | FROM t WHERE cnt25 = 25),
+        |s AS (
+        | SELECT event_type, hour(h) AS hod,
+        |  CAST(round(CAST(sum(detr_micro) AS DOUBLE)/count(*)) AS BIGINT)
+        |    AS s_micro
+        | FROM tr GROUP BY 1, 2)
+        |SELECT tr.event_type,
+        | strftime(tr.h, '%Y-%m-%d %H:%M:%S') AS hour_start, tr.y,
+        | CAST(sum25 AS DOUBLE)/25 AS trend,
+        | CAST(s_micro AS DOUBLE)/1e6 AS seasonal,
+        | CAST(detr_micro - s_micro AS DOUBLE)/1e6 AS residual
+        |FROM tr JOIN s
+        |  ON tr.event_type = s.event_type AND hour(tr.h) = s.hod""".stripMargin,
     "text_bpe_pairs" ->
       """WITH w AS (
         | SELECT word, count(*) AS freq FROM (
@@ -3053,6 +3208,42 @@ object SparkEntry {
         | CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
         | CAST(sum(v) AS BIGINT) AS sum_luma
         |FROM px GROUP BY 1""".stripMargin,
+    "mm_img_dhash_pairs" ->
+      """WITH px AS (
+        | SELECT d.doc_id, i.i,
+        |  CASE WHEN i.i < d.doc_id % 3
+        |   THEN (('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT + 128) % 256
+        |   ELSE ('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT
+        |  END AS v
+        | FROM (SELECT doc_id FROM documents) d
+        | CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i),
+        |hx AS (
+        | SELECT p1.doc_id,
+        |  CAST(sum(CASE WHEN p2.v > p1.v
+        |    THEN (CAST(1 AS BIGINT) << (p1.i - p1.i // 8))
+        |    ELSE 0 END) AS BIGINT) AS dhash
+        | FROM px p1 JOIN px p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+        | WHERE p1.i % 8 <> 7
+        | GROUP BY 1),
+        |grp AS (
+        | SELECT dhash, CAST(count(*) AS BIGINT) AS n_imgs,
+        |  min(doc_id) AS min_doc
+        | FROM hx GROUP BY 1),
+        |banded AS (
+        | SELECT dhash, n_imgs, min_doc, b.band,
+        |  (dhash >> (b.band*14)) & 16383 AS band_val
+        | FROM grp CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b),
+        |cand AS (
+        | SELECT DISTINCT a.dhash AS ha, b.dhash AS hb,
+        |  a.n_imgs AS n_a, b.n_imgs AS n_b,
+        |  a.min_doc AS doc_a, b.min_doc AS doc_b
+        | FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.band_val = b.band_val AND a.dhash < b.dhash)
+        |SELECT ha, hb, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
+        | n_a, n_b, doc_a, doc_b
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
     "mm_img_ahash_pairs" ->
       """WITH px AS (
         | SELECT d.doc_id, i.i,

@@ -140,10 +140,18 @@ object GraftFunctions {
       "sorted_intersect_count"),
     (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
 
+  val ddsketchDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("ddsketch_agg"),
+    new ExpressionInfo(classOf[DdsketchAgg].getName, "ddsketch_agg"),
+    (children: Seq[Expression]) => DdsketchAgg(
+      children(0),
+      children(1).eval(null).asInstanceOf[Number].intValue)
+      .toAggregateExpression())
+
   def register(spark: SparkSession): Unit = {
     Seq(cosineSimDescriptor, bottomKDescriptor, topKDescriptor,
         frequentItemsDescriptor, hilbertDescriptor, bagBoundDescriptor,
-        sortedIntersectDescriptor).foreach {
+        sortedIntersectDescriptor, ddsketchDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.hilbertDescriptor)
     ext.injectFunction(GraftFunctions.bagBoundDescriptor)
     ext.injectFunction(GraftFunctions.sortedIntersectDescriptor)
+    ext.injectFunction(GraftFunctions.ddsketchDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

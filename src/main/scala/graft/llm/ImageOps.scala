@@ -191,6 +191,59 @@ object ImageOps {
            max($"ahash").as("max_hash"))
   }
 
+  /** Difference-hash (dHash) per image from the REALLY-decoded luma
+    * plane: bit `y·7+x` is set iff the right neighbor is strictly
+    * brighter — `px[y·8+x+1] > px[y·8+x]` — giving 8 rows × 7
+    * comparisons = 56 gradient bits. dHash is the perceptual hash
+    * robust to global brightness/contrast shifts that defeat aHash
+    * (a uniform offset flips NO gradient sign but moves every
+    * mean-comparison bit), so real curation stacks keep both. */
+  private def dhashed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    images(spark, sfDir).mapPartitions { rows =>
+      rows.map { r =>
+        val (w, _, px) = decode(r.png)
+        var h = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 7) {
+            if (px(y * w + x + 1) > px(y * w + x)) h |= 1L << (y * 7 + x)
+            x += 1
+          }
+          y += 1
+        }
+        (r.doc_id, h)
+      }
+    }.toDF("doc_id", "dhash")
+  }
+
+  /** Gradient-hash near-dup pairs over really-decoded pixels: the
+    * [[imgAhashPairs]] distinct-hash pigeonhole play on the 56-bit
+    * dHash — 4 bands × 14 bits guarantee every hamming ≤ 3 pair
+    * shares a band (never all-pairs; candidate volume is bounded by
+    * band-bucket collision counts, not image pairs). */
+  def imgDhashPairs(spark: SparkSession, sfDir: String,
+                    tau: Int = 3): DataFrame = {
+    import spark.implicits._
+    val groups = dhashed(spark, sfDir).groupBy($"dhash")
+      .agg(count(lit(1)).as("n_imgs"), min($"doc_id").as("min_doc"))
+    val banded = groups
+      .withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("band_val", expr("shiftright(dhash, band * 14) & 16383"))
+    val a = banded.select($"band", $"band_val", $"dhash".as("ha"),
+      $"n_imgs".as("n_a"), $"min_doc".as("doc_a"))
+    val b = banded.select($"band", $"band_val", $"dhash".as("hb"),
+      $"n_imgs".as("n_b"), $"min_doc".as("doc_b"))
+    a.join(b, Seq("band", "band_val"))
+      .filter($"ha" < $"hb")
+      .select($"ha", $"hb", $"n_a", $"n_b", $"doc_a", $"doc_b")
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter($"hamming" <= tau)
+      .select($"ha", $"hb", $"hamming", $"n_a", $"n_b", $"doc_a", $"doc_b")
+  }
+
   /** Feature extraction on decoded pixels: 2×2 integer box downsample
     * (the first pyramid level every vision pipeline builds), reported
     * as a position-weighted checksum so the oracle verifies every

@@ -943,4 +943,56 @@ object TextOps {
              .as("n_continuations"),
            sum($"tok_in_seq").as("n_tokens"))
   }
+
+  /** Model-based quality filtering in the fastText shape (Joulin et al.
+    * "Bag of Tricks for Efficient Text Classification", EACL'17 — the
+    * classifier family CCNet/LLaMA-style pipelines score web documents
+    * with): features are hashed unigrams + word bigrams (the paper's
+    * exact feature set), the document representation is the MEAN of the
+    * feature embeddings, and the score is a linear read-out. Here the
+    * trained weight table is replaced by a deterministic md5-derived
+    * weight per hash bucket — the Spark-side plumbing (feature
+    * explode, hashing trick, mean-pool, threshold gate) is the real
+    * artifact, exactly the stub-the-model discipline the multimodal
+    * demux uses; swapping in trained weights is a broadcast join
+    * against a ≤`nBuckets`-row table.
+    *
+    * Engine-exactness: buckets and weights come from the md5-prefix
+    * idiom (integer everywhere); the mean-pool is one integer sum ÷
+    * integer count, rounded once to integer micro-units — no float
+    * accumulation. Keep = score > 0 on the INTEGER score.
+    *
+    * Scale shape: one narrow explode (unigrams + bigrams ≈ 2× token
+    * stream) into a map-side-combined (doc, sum, count) hash agg — no
+    * join, no window, no weight table to shuffle. */
+  def fasttextQuality(spark: SparkSession, sfDir: String,
+                      nBuckets: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", split(trim(lower($"text")), "\\s+").as("toks"))
+    val uni = toks.select($"doc_id", explode($"toks").as("feat"))
+    val bi = toks
+      .select($"doc_id", $"toks",
+              posexplode(expr("slice(toks, 2, size(toks) - 1)"))
+                .as(Seq("p", "w2")))
+      .select($"doc_id",
+              concat(element_at($"toks", $"p" + 1), lit("_"), $"w2").as("feat"))
+    uni.unionByName(bi)
+      .withColumn("bucket",
+        conv(substring(md5($"feat"), 1, 15), 16, 10).cast("long") % nBuckets)
+      .withColumn("w_micro",
+        conv(substring(md5(concat(lit("w:"), $"bucket")), 1, 15), 16, 10)
+          .cast("long") % 2000001L - 1000000L)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+           round(sum($"w_micro").cast("double") / count(lit(1)), 0)
+             .cast("long").as("score_micro"))
+      // raw exact division, NOT display-rounded: a micro-integer ending
+      // in ...50 is a decimal tie where Spark's string-based round and
+      // DuckDB's binary round disagree (doc 211 found it) — the
+      // division itself is one correctly-rounded IEEE op, bit-identical
+      .select($"doc_id", $"n_feats", $"score_micro",
+              ($"score_micro".cast("double") / 1e6).as("score"),
+              ($"score_micro" > 0).as("keep"))
+  }
 }

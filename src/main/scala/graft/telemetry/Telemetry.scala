@@ -1514,4 +1514,216 @@ object Telemetry {
               $"new_users", $"returning_users",
               ($"new_users" + $"returning_users").as("active_users"))
   }
+
+  /** DDSketch per event_type (Masson et al., "DDSketch: A Fast and
+    * Fully-Mergeable Quantile Sketch with Relative-Error Guarantees",
+    * VLDB'19): log-γ bucket counts with the paper's two defining
+    * properties — a RELATIVE-error quantile guarantee (every estimate
+    * within (γ−1)/(γ+1) of the true value, unlike t-digest/GK's rank
+    * error) and bounded memory via LOWEST-BUCKET COLLAPSE (at most `m`
+    * buckets survive; all lower mass folds into the m-th-highest
+    * bucket, preserving the guarantee for upper quantiles — the ones
+    * telemetry latency SLOs read).
+    *
+    * Engine-exactness: γ = √2 so the bucket index is INTEGER math, no
+    * libm — `i = ⌈log_γ v⌉ = ⌈log2 v²⌉ = bits(v²−1)` on the centi-unit
+    * grid `v100 = round(100·value)` (same grid as [[expHistogram]]);
+    * v100 ≤ ~5e4 keeps v100² well inside int64. The quantile estimate
+    * `2γ^i/(γ+1)` is evaluated as `2·sqrt(2^i)/(1+sqrt 2)` — integer
+    * pow, then sqrt/add/div are all IEEE correctly-rounded, so the
+    * doubles reproduce bit-for-bit in DuckDB (no pow(x, 0.5) libm
+    * divergence). The √2 grid is coarse (α ≈ 17%) by design: the
+    * structure (log buckets, collapse, merge, quantile read-out) is
+    * the operator; DdsketchSpec asserts the α bound against exact
+    * percentiles and shard-merge associativity.
+    *
+    * Scale shape: the only full-data pass is the (event_type, idx)
+    * hash agg — map-side combined, at most ~64 buckets per key ever
+    * reach the exchange (the sketch IS the shuffle payload, the
+    * mergeability DDSketch exists for). Collapse, cumulative scan and
+    * quantile read-out run on ≤ keys×64 rows; every window is
+    * partitioned and post-agg (hygiene rule). */
+  def ddsketch(spark: SparkSession, sfDir: String, m: Int = 12): DataFrame = {
+    import spark.implicits._
+    val b = Tables.events(spark, sfDir)
+      .filter($"value" > 0)
+      .withColumn("v100", greatest(round($"value" * 100, 0).cast("long"), lit(1L)))
+      .withColumn("idx", when($"v100" === 1, lit(0L))
+        .otherwise(length(bin($"v100" * $"v100" - 1)).cast("long")))
+      .groupBy($"event_type", $"idx").agg(count(lit(1)).as("c"))
+    val wKey = Window.partitionBy($"event_type")
+    val wDesc = Window.partitionBy($"event_type").orderBy($"idx".desc)
+    val collapsed = b
+      .withColumn("rk", row_number().over(wDesc))
+      .withColumn("cutoff", min(when($"rk" <= m, $"idx")).over(wKey))
+      .withColumn("n_buckets_raw", count(lit(1)).over(wKey))
+      .withColumn("collapsed_n",
+        sum(when($"rk" > m, $"c").otherwise(lit(0L))).over(wKey))
+      .groupBy($"event_type", greatest($"idx", $"cutoff").as("kidx"))
+      .agg(sum($"c").as("c"),
+           max($"n_buckets_raw").as("n_buckets_raw"),
+           max($"collapsed_n").as("collapsed_n"))
+    val cumW = Window.partitionBy($"event_type").orderBy($"kidx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = collapsed
+      .withColumn("n", sum($"c").over(wKey))
+      .withColumn("cum", sum($"c").over(cumW))
+    // bucket-midpoint read-out 2γ^i/(γ+1), γ=√2 — correctly-rounded ops only
+    def est(rank: Column): Column =
+      min(when($"cum" >= rank && $"cum" - $"c" < rank,
+        round(lit(2) * sqrt(pow(lit(2.0), $"kidx".cast("double"))) /
+          (lit(1) + sqrt(lit(2.0))) / 100, 4)))
+    cum.groupBy($"event_type")
+      .agg(max($"n").as("n"),
+           max($"n_buckets_raw").as("n_buckets_raw"),
+           count(lit(1)).as("n_buckets_kept"),
+           max($"collapsed_n").as("collapsed_n"),
+           est(ceil(lit(0.50) * $"n")).as("p50_est"),
+           est(ceil(lit(0.95) * $"n")).as("p95_est"),
+           est(ceil(lit(0.99) * $"n")).as("p99_est"),
+           max($"kidx").as("max_idx"))
+  }
+
+  /** [[ddsketch]] through the native `ddsketch_agg`
+    * [[graft.functions.DdsketchAgg]] aggregate — identical output, ONE
+    * aggregation pass: the TypedImperativeAggregate's buffer IS the
+    * bucket map (≤ ~64 longs), partial-merged map-side, so the shuffle
+    * carries one map per (task, key) and the collapse/read-out happens
+    * in `eval` — no post-agg window phase at all. Hash-checks against
+    * the SAME DuckDB oracle as the relational twin: the strongest
+    * correctness statement available for a custom Catalyst aggregate
+    * (both its update AND merge paths must be exact to match). */
+  def ddsketchNative(spark: SparkSession, sfDir: String, m: Int = 12): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Tables.events(spark, sfDir)
+      .filter($"value" > 0)
+      .groupBy($"event_type")
+      .agg(call_function("ddsketch_agg", $"value", lit(m)).as("sk"))
+      .select($"event_type", $"sk.n".as("n"),
+        $"sk.n_buckets_raw".as("n_buckets_raw"),
+        $"sk.n_buckets_kept".as("n_buckets_kept"),
+        $"sk.collapsed_n".as("collapsed_n"),
+        $"sk.p50_est".as("p50_est"), $"sk.p95_est".as("p95_est"),
+        $"sk.p99_est".as("p99_est"), $"sk.max_idx".as("max_idx"))
+  }
+
+  /** Population-Stability-Index drift detection per event_type — the
+    * standard model/data-monitoring statistic: split the stream at the
+    * temporal midpoint into a REFERENCE and a CURRENT half, histogram
+    * `value` on the same integer-exact log-√2 grid as [[ddsketch]]
+    * (binned-PSI composes with the sketch the pipeline already keeps),
+    * and score `PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i)` with Laplace
+    * (+1 / +B) smoothing so empty bins are defined. PSI ≥ 0.2 is the
+    * conventional "significant shift" alarm.
+    *
+    * Engine-exactness: the midpoint is integer-micros arithmetic
+    * (`lo + (hi−lo) div 2`); bin counts are integers; each bin's term
+    * is quantized to integer micro-units — the ln of one
+    * exactly-computed integer ratio, ln-rounded to 4 decimals (the
+    * bigram-surprisal discipline), times an IEEE-exact probability
+    * difference, rounded once — so the per-key PSI is an INTEGER sum,
+    * immune to float summation order. (The smoothed cross-products
+    * `(c+1)·(n+B)` stay far inside int64 here; a 100 TB deployment
+    * feeds per-shard bin counts, not raw rows, into this — the counts
+    * that reach the ratio are already sketch-sized.)
+    *
+    * Scale shape: the min/max time bounds are a 1-row broadcast; the
+    * (event_type, bin, half) hash agg is map-side combined — at most
+    * keys×64×2 rows ever shuffle; everything after is sketch-sized. */
+  def psiDrift(spark: SparkSession, sfDir: String,
+               alarm: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir).filter($"value" > 0)
+      .select($"event_type", unix_micros($"ts").as("us"),
+        greatest(round($"value" * 100, 0).cast("long"), lit(1L)).as("v100"))
+    val bounds = ev.agg(min($"us").as("lo"), max($"us").as("hi"))
+    val binned = ev.crossJoin(broadcast(bounds))
+      .select($"event_type",
+        when($"v100" === 1, lit(0L))
+          .otherwise(length(bin($"v100" * $"v100" - 1)).cast("long")).as("idx"),
+        when($"us" < $"lo" + expr("(hi - lo) div 2"), lit(0))
+          .otherwise(lit(1)).as("half"))
+      .groupBy($"event_type", $"idx")
+      .agg(sum(when($"half" === 0, 1L).otherwise(0L)).as("c_ref"),
+           sum(when($"half" === 1, 1L).otherwise(0L)).as("c_cur"))
+    val wKey = Window.partitionBy($"event_type")
+    val terms = binned
+      .withColumn("n_ref", sum($"c_ref").over(wKey))
+      .withColumn("n_cur", sum($"c_cur").over(wKey))
+      .withColumn("nb", count(lit(1)).over(wKey))
+      .withColumn("lnr", round(log(
+        (($"c_ref" + 1) * ($"n_cur" + $"nb")).cast("double") /
+        (($"c_cur" + 1) * ($"n_ref" + $"nb")).cast("double")), 4))
+      .withColumn("pdiff",
+        ($"c_ref" + 1).cast("double") / ($"n_ref" + $"nb").cast("double") -
+        ($"c_cur" + 1).cast("double") / ($"n_cur" + $"nb").cast("double"))
+      .withColumn("term_micro",
+        round(lit(1e6) * $"pdiff" * $"lnr", 0).cast("long"))
+    terms.groupBy($"event_type")
+      .agg(max($"n_ref").as("n_ref"), max($"n_cur").as("n_cur"),
+           count(lit(1)).as("n_bins"),
+           // raw exact division — a micro-sum ending in ...50 is a
+           // decimal tie where Spark/DuckDB display-rounds diverge
+           (sum($"term_micro").cast("double") / 1e6).as("psi"))
+      .withColumn("drifted", $"psi" >= alarm)
+  }
+
+  /** Classical additive seasonal decomposition of the hourly event-count
+    * series per event_type — `y = trend + seasonal + residual`, the
+    * statsmodels `seasonal_decompose(model='additive', period=24)`
+    * shape every capacity/anomaly stack builds on: trend is a centered
+    * 25-hour moving average on the GAP-FILLED grid (missing hours count
+    * 0 — a rows frame is only time-correct on a dense grid), seasonal
+    * is the hour-of-day mean of the detrended series, residual is the
+    * leftover. Interior hours only (full ±12h trend window).
+    *
+    * Engine-exactness: counts are integers, so the whole decomposition
+    * runs in 25ths — `detr25 = 25·y − Σ₂₅y` is an INTEGER, micro-scaled
+    * by the exact factor 40000 (= 1e6/25); the seasonal mean is one
+    * integer division rounded once; the residual is an integer
+    * subtraction. Only the three display columns divide back to unit
+    * scale (one exact IEEE division + 4-decimal round each) — the same
+    * no-float-accumulation discipline as [[holtWinters]].
+    *
+    * Scale shape: the full-data pass is the (event_type, hour) count —
+    * map-side combined; the grid is bounded by retention hours × keys,
+    * not event volume, and every window partitions by event_type over
+    * that bounded grid (hygiene rule: post-agg input). */
+  def seasonal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("y"))
+    val grid = hourly.groupBy($"event_type")
+      .agg(min($"h").as("h0"), max($"h").as("h1"))
+      .select($"event_type",
+        explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("h"))
+    val dense = grid.join(hourly, Seq("event_type", "h"), "left")
+      .select($"event_type", $"h", coalesce($"y", lit(0L)).as("y"))
+    val w25 = Window.partitionBy($"event_type").orderBy($"h")
+      .rowsBetween(-12, 12)
+    val trended = dense
+      .withColumn("sum25", sum($"y").over(w25))
+      .withColumn("cnt25", count(lit(1)).over(w25))
+      .filter($"cnt25" === 25)
+      .withColumn("detr_micro", lit(40000L) * (lit(25L) * $"y" - $"sum25"))
+      .withColumn("hod", hour($"h"))
+    val seasonalMean = trended
+      .groupBy($"event_type", $"hod")
+      .agg(round(sum($"detr_micro").cast("double") / count(lit(1)), 0)
+        .cast("long").as("s_micro"))
+    trended
+      .join(broadcast(seasonalMean), Seq("event_type", "hod"))
+      // raw exact divisions, NOT display-rounded: s_micro can land on a
+      // ...50 micro tie where Spark's string-based round and DuckDB's
+      // binary round diverge; each division is one correctly-rounded
+      // IEEE op, bit-identical across engines
+      .select($"event_type",
+        date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        $"y",
+        ($"sum25".cast("double") / 25).as("trend"),
+        ($"s_micro".cast("double") / 1e6).as("seasonal"),
+        (($"detr_micro" - $"s_micro").cast("double") / 1e6).as("residual"))
+  }
 }

@@ -86,4 +86,36 @@ class ImageOpsSpec extends SparkSpec {
       assert(cs === want, s"checksum mismatch for doc $docId")
     }
   }
+
+  test("dhash pairs equal brute-force over independently decoded images") {
+    val imgs = graft.llm.ImageOps.images(spark, sf).collect()
+    def dhash(px: Array[Int]): Long = {
+      var h = 0L
+      for (y <- 0 until 8; x <- 0 until 7)
+        if (px(y * 8 + x + 1) > px(y * 8 + x)) h |= 1L << (y * 7 + x)
+      h
+    }
+    val hashes = imgs.map { r =>
+      val img = ImageIO.read(new ByteArrayInputStream(r.png))
+      val px = Array.tabulate(64)(i => img.getRaster.getSample(i % 8, i / 8, 0))
+      r.doc_id -> dhash(px)
+    }
+    val groups = hashes.groupBy(_._2).map { case (h, ms) =>
+      h -> (ms.length.toLong, ms.map(_._1).min)
+    }
+    val want = (for {
+      (ha, (na, da)) <- groups
+      (hb, (nb, db)) <- groups
+      if ha < hb && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ha, hb, java.lang.Long.bitCount(ha ^ hb).toLong, na, nb, da, db)).toSet
+    val got = graft.llm.ImageOps.imgDhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "fixture produced no near-dup dhash pairs")
+    // a uniform +128 brightness shift mod 256 is NOT gradient-preserving,
+    // but the injected leading-pixel perturbation still yields true
+    // near-dups (small positive hamming) for the band join to find
+    assert(want.exists(_._3 >= 1L))
+  }
 }

@@ -34,7 +34,8 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_binary_quant",     // Hamming scan × broadcast query words (by design)
     "sim_mmr_diversify",    // corpus × broadcast query set (by design)
     "tel_holt_winters",     // type×hour grid × 1-row hour-bounds broadcast
-    "dedup_cluster_stats")  // size histogram × 1-row corpus-count broadcast
+    "dedup_cluster_stats",  // size histogram × 1-row corpus-count broadcast
+    "tel_psi_drift")        // event scan × 1-row time-bounds broadcast
 
   /** Queries allowed to rank with an UNPARTITIONED window over a set
     * that is not limit-bounded in the plan — each is small by

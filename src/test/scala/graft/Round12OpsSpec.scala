@@ -1,0 +1,250 @@
+package graft
+
+import scala.math.BigDecimal.RoundingMode
+
+import graft.llm.TextOps
+import graft.telemetry.Telemetry
+
+/** r12 additions: DDSketch quantiles, PSI drift, classical seasonal
+  * decomposition, fastText-style quality scoring. Every test is a
+  * from-scratch Scala re-derivation compared EXACTLY against the Spark
+  * pipeline (same integer quantization, same rounding), plus the
+  * operator-defining analytic properties: the DDSketch relative-error
+  * guarantee and shard-merge associativity, PSI term non-negativity,
+  * and the additive-decomposition identity y = trend + seasonal +
+  * residual.
+  */
+class Round12OpsSpec extends SparkSpec {
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, RoundingMode.HALF_UP).toDouble
+  private def roundL(x: Double): Long =
+    BigDecimal(x).setScale(0, RoundingMode.HALF_UP).toLong
+
+  private def hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  // ---- shared event fixture ------------------------------------------
+
+  private lazy val events: Array[(String, Long, Double)] = {
+    import spark.implicits._
+    Tables.events(spark, sf)
+      .select($"event_type", org.apache.spark.sql.functions.unix_micros($"ts"),
+        $"value")
+      .as[(String, Long, Double)].collect()
+  }
+
+  /** √2-grid DDSketch bucket index: ⌈log2 v100²⌉ = bits(v100²−1). */
+  private def bucketIdx(v100: Long): Long =
+    if (v100 == 1) 0L else 64L - java.lang.Long.numberOfLeadingZeros(v100 * v100 - 1)
+
+  private def v100Of(value: Double): Long =
+    math.max(roundL(value * 100), 1L)
+
+  // from-scratch sketch per key: (bucketIdx -> count)
+  private lazy val rawBuckets: Map[String, Map[Long, Long]] =
+    events.filter(_._3 > 0).groupBy(_._1).map { case (k, rows) =>
+      k -> rows.groupBy(r => bucketIdx(v100Of(r._3)))
+        .map { case (i, rs) => i -> rs.length.toLong }
+    }
+
+  test("ddsketch matches a from-scratch collapse + quantile read-out") {
+    val m = 12
+    val gamma1 = 1.0 + math.sqrt(2.0)
+    val want = rawBuckets.map { case (k, bm) =>
+      val sortedDesc = bm.keys.toSeq.sorted.reverse
+      val cutoff = sortedDesc.take(m).min
+      val collapsedN = sortedDesc.drop(m).map(bm).sum
+      val kept = bm.groupBy { case (i, _) => math.max(i, cutoff) }
+        .map { case (ki, e) => ki -> e.values.sum }
+      val n = kept.values.sum
+      val asc = kept.toSeq.sortBy(_._1)
+      def est(rank: Long): Double = {
+        var cum = 0L
+        var out = Double.NaN
+        asc.foreach { case (ki, c) =>
+          val prev = cum; cum += c
+          if (out.isNaN && cum >= rank && prev < rank)
+            out = round4(2.0 * math.sqrt(math.pow(2.0, ki.toDouble)) / gamma1 / 100.0)
+        }
+        out
+      }
+      def rank(q: Double): Long = math.ceil(q * n).toLong
+      k -> ((n, bm.size.toLong, kept.size.toLong, collapsedN,
+        est(rank(0.50)), est(rank(0.95)), est(rank(0.99)), asc.last._1))
+    }
+    val got = Telemetry.ddsketch(spark, sf).collect().map { r =>
+      r.getAs[String]("event_type") -> ((r.getAs[Long]("n"),
+        r.getAs[Long]("n_buckets_raw"), r.getAs[Long]("n_buckets_kept"),
+        r.getAs[Long]("collapsed_n"), r.getAs[Double]("p50_est"),
+        r.getAs[Double]("p95_est"), r.getAs[Double]("p99_est"),
+        r.getAs[Long]("max_idx")))
+    }.toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    // collapse actually engaged on the fixture
+    assert(got.values.exists(_._4 > 0L), "no bucket mass was collapsed")
+  }
+
+  test("ddsketch estimates honor the (γ−1)/(γ+1) relative-error bound") {
+    val alpha = (math.sqrt(2.0) - 1) / (math.sqrt(2.0) + 1) // ≈ 0.1716
+    val exactByKey = events.filter(_._3 > 0).groupBy(_._1).map { case (k, rows) =>
+      k -> rows.map(r => v100Of(r._3).toDouble / 100.0).sorted
+    }
+    Telemetry.ddsketch(spark, sf).collect().foreach { r =>
+      val k = r.getAs[String]("event_type")
+      val sorted = exactByKey(k)
+      Seq(0.50 -> "p50_est", 0.95 -> "p95_est", 0.99 -> "p99_est").foreach {
+        case (q, col) =>
+          val exact = sorted((math.ceil(q * sorted.length) - 1).toInt)
+          val est = r.getAs[Double](col)
+          assert(math.abs(est - exact) / exact <= alpha + 1e-9,
+            s"$k $col: est $est vs exact $exact exceeds α")
+      }
+    }
+  }
+
+  test("ddsketch bucket maps merge associatively across shards") {
+    // the representation the 100 TB path shuffles: per-shard bucket
+    // maps summed key-wise equal the global map
+    val byShard = events.filter(_._3 > 0)
+      .groupBy(r => (r._1, hash60(r._2.toString) % 4))
+      .map { case (sk, rows) =>
+        sk -> rows.groupBy(r => bucketIdx(v100Of(r._3)))
+          .map { case (i, rs) => i -> rs.length.toLong }
+      }
+    val merged = byShard.toSeq.groupBy(_._1._1).map { case (k, shards) =>
+      k -> shards.flatMap(_._2.toSeq).groupBy(_._1)
+        .map { case (i, cs) => i -> cs.map(_._2).sum }
+    }
+    assert(merged === rawBuckets)
+  }
+
+  test("ddsketch_agg native aggregate equals the relational pipeline") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      r.getAs[String]("event_type") -> ((r.getAs[Long]("n"),
+        r.getAs[Long]("n_buckets_raw"), r.getAs[Long]("n_buckets_kept"),
+        r.getAs[Long]("collapsed_n"), r.getAs[Double]("p50_est"),
+        r.getAs[Double]("p95_est"), r.getAs[Double]("p99_est"),
+        r.getAs[Long]("max_idx")))
+    }.toMap
+    val native = rows(Telemetry.ddsketchNative(spark, sf))
+    val relational = rows(Telemetry.ddsketch(spark, sf))
+    assert(native === relational)
+    assert(native.nonEmpty)
+  }
+
+  // ---- PSI drift ------------------------------------------------------
+
+  test("psiDrift matches a from-scratch micro-quantized recompute") {
+    val pos = events.filter(_._3 > 0)
+    val lo = pos.map(_._2).min
+    val hi = pos.map(_._2).max
+    val mid = lo + (hi - lo) / 2
+    val want = pos.groupBy(_._1).map { case (k, rows) =>
+      val binned = rows.groupBy(r => bucketIdx(v100Of(r._3))).map {
+        case (i, rs) =>
+          i -> (rs.count(_._2 < mid).toLong, rs.count(_._2 >= mid).toLong)
+      }
+      val nRef = binned.values.map(_._1).sum
+      val nCur = binned.values.map(_._2).sum
+      val nb = binned.size.toLong
+      val termsMicro = binned.values.map { case (cRef, cCur) =>
+        val lnr = round4(math.log(
+          ((cRef + 1) * (nCur + nb)).toDouble / ((cCur + 1) * (nRef + nb)).toDouble))
+        val pdiff = (cRef + 1).toDouble / (nRef + nb) -
+          (cCur + 1).toDouble / (nCur + nb)
+        // the un-rounded PSI term is non-negative by construction:
+        // sign(p−q) = sign(ln(p/q))
+        assert(pdiff * lnr >= -1e-12, s"negative PSI term in $k")
+        roundL(1e6 * pdiff * lnr)
+      }
+      val psi = termsMicro.sum.toDouble / 1e6
+      k -> ((nRef, nCur, nb, psi, psi >= 0.2))
+    }
+    val got = Telemetry.psiDrift(spark, sf).collect().map { r =>
+      r.getAs[String]("event_type") -> ((r.getAs[Long]("n_ref"),
+        r.getAs[Long]("n_cur"), r.getAs[Long]("n_bins"),
+        r.getAs[Double]("psi"), r.getAs[Boolean]("drifted")))
+    }.toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  // ---- seasonal decomposition ----------------------------------------
+
+  test("seasonal matches a from-scratch decomposition and reconstructs y") {
+    val hourUs = 3600L * 1000000L
+    val hourly = events.groupBy(r => (r._1, r._2 / hourUs))
+      .map { case (k, rows) => k -> rows.length.toLong }
+    val want = hourly.keys.groupBy(_._1).flatMap { case (k, ks) =>
+      val h0 = ks.map(_._2).min
+      val h1 = ks.map(_._2).max
+      val dense = (h0 to h1).map(h => h -> hourly.getOrElse((k, h), 0L))
+      val interior = dense.indices
+        .filter(i => i >= 12 && i + 12 < dense.length)
+        .map { i =>
+          val sum25 = (i - 12 to i + 12).map(j => dense(j)._2).sum
+          val (h, y) = dense(i)
+          (h, y, sum25, 40000L * (25L * y - sum25))
+        }
+      val sMicro = interior.groupBy(t => (t._1 % 24))
+        .map { case (hod, rs) =>
+          hod -> roundL(rs.map(_._4).sum.toDouble / rs.length)
+        }
+      interior.map { case (h, y, sum25, detr) =>
+        val s = sMicro(h % 24)
+        val ts = java.time.Instant.ofEpochSecond(h * 3600)
+        val str = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss")
+          .withZone(java.time.ZoneOffset.UTC).format(ts)
+        (k, str) -> ((y, sum25.toDouble / 25,
+          s.toDouble / 1e6, (detr - s).toDouble / 1e6))
+      }
+    }
+    val got = Telemetry.seasonal(spark, sf).collect().map { r =>
+      (r.getAs[String]("event_type"), r.getAs[String]("hour_start")) ->
+        ((r.getAs[Long]("y"), r.getAs[Double]("trend"),
+          r.getAs[Double]("seasonal"), r.getAs[Double]("residual")))
+    }.toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    // additive identity up to the three display roundings
+    got.values.foreach { case (y, t, s, res) =>
+      assert(math.abs(y - (t + s + res)) <= 2e-4)
+    }
+  }
+
+  // ---- fastText-style quality scoring --------------------------------
+
+  test("fasttextQuality matches a from-scratch hashed-linear recompute") {
+    import spark.implicits._
+    val want = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect().map { case (id, text) =>
+        val toks = text.trim.toLowerCase.split("\\s+")
+        val feats = toks ++ toks.sliding(2).collect {
+          case Array(a, b) => s"${a}_$b"
+        }
+        val ws = feats.map { f =>
+          val bucket = hash60(f) % 4096
+          hash60(s"w:$bucket") % 2000001L - 1000000L
+        }
+        val scoreMicro = roundL(ws.sum.toDouble / ws.length)
+        id -> ((ws.length.toLong, scoreMicro,
+          scoreMicro.toDouble / 1e6, scoreMicro > 0))
+      }.toMap
+    val got = TextOps.fasttextQuality(spark, sf).collect().map { r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_feats"),
+        r.getAs[Long]("score_micro"), r.getAs[Double]("score"),
+        r.getAs[Boolean]("keep")))
+    }.toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the gate splits the corpus — not all-keep / all-drop
+    assert(got.values.exists(_._4) && got.values.exists(!_._4))
+  }
+}
