@@ -160,9 +160,11 @@ object SparkEntry {
     "tel_attribution"    -> ((s, d) => Telemetry.attribution(s, d)),
     "tel_changepoint"    -> (Telemetry.changepoint _),
     "tel_new_vs_returning" -> (Telemetry.newVsReturning _),
+    "q_interval_overlap" -> ((s, d) => RangeJoin.intervalOverlap(s, d)),
     "tel_ddsketch"       -> ((s, d) => Telemetry.ddsketch(s, d)),
     "tel_ddsketch_native" -> ((s, d) => Telemetry.ddsketchNative(s, d)),
     "tel_psi_drift"      -> ((s, d) => Telemetry.psiDrift(s, d)),
+    "tel_ab_test"        -> ((s, d) => Telemetry.abTest(s, d)),
     "tel_seasonal"       -> ((s, d) => Telemetry.seasonal(s, d)),
     "text_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
     "mm_frame_dedup"     -> (Multimodal.frameDedup _),
@@ -205,6 +207,7 @@ object SparkEntry {
     "text_bm25"          -> ((s, d) => TextOps.bm25(s, d)),
     "text_pack_sequences" -> ((s, d) => TextOps.packSequences(s, d)),
     "text_fasttext_quality" -> ((s, d) => TextOps.fasttextQuality(s, d)),
+    "text_bpe_train"     -> ((s, d) => TextOps.bpeTrain(s, d)),
     "dedup_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
     "sim_hybrid_rrf"     -> ((s, d) => SimOps.hybridRrf(s, d)),
     "q_pagerank"         -> ((s, d) => PageRank.bipartiteExact(s, d)),
@@ -363,6 +366,40 @@ object SparkEntry {
         | CAST(coalesce(covered_tokens, 0) AS BIGINT) AS covered_tokens,
         | CAST(coalesce(covered_tokens, 0) AS DOUBLE) / d.n_tokens AS dup_frac
         |FROM d LEFT JOIN cov USING (doc_id)""".stripMargin
+
+  /** Unrolled BPE training oracle: `steps` CTE levels, each = (pair
+    * count over the previous symbol table → 1-row argmax → merge
+    * application via plain `replace`) — the identical loop
+    * `TextOps.bpeTrain` runs with DataFrame jobs. */
+  private def bpeOracleSql(steps: Int = 8): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS (
+      | SELECT CAST(count(*) AS BIGINT) AS freq,
+      |  ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym
+      | FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      |       FROM documents) t
+      | WHERE length(w) >= 2 GROUP BY w)""".stripMargin
+    for (k <- 1 to steps) {
+      sb ++= s""",
+        |p$k AS (
+        | SELECT t[i] || ' ' || t[i+1] AS pair, CAST(sum(freq) AS BIGINT) AS n
+        | FROM (SELECT freq, t, unnest(generate_series(1, len(t)-1)) AS i
+        |       FROM (SELECT freq, string_split(trim(sym), ' ') AS t
+        |             FROM w${k - 1})) x
+        | GROUP BY 1),
+        |b$k AS (SELECT pair, replace(pair, ' ', '') AS merged, n
+        |        FROM p$k ORDER BY n DESC, pair LIMIT 1),
+        |w$k AS (
+        | SELECT freq, replace(sym,
+        |   ' ' || (SELECT pair FROM b$k) || ' ',
+        |   ' ' || (SELECT merged FROM b$k) || ' ') AS sym FROM w${k - 1})"""
+        .stripMargin
+    }
+    sb ++= (1 to steps).map(k =>
+      s"\nSELECT CAST($k AS BIGINT) AS step, pair, merged, n FROM b$k")
+      .mkString("", "\nUNION ALL", "")
+    sb.toString
+  }
 
   /** Shared by `tel_ddsketch` (relational pipeline) and
     * `tel_ddsketch_native` (custom Catalyst aggregate) — one oracle
@@ -2446,6 +2483,7 @@ object SparkEntry {
         | CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
         |   AS BIGINT) AS rnk
         |FROM agg QUALIFY rnk <= 20""".stripMargin,
+    "text_bpe_train" -> bpeOracleSql(),
     "text_fasttext_quality" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
@@ -3030,6 +3068,31 @@ object SparkEntry {
     // the native ddsketch_agg aggregate must reproduce the relational
     // pipeline bit-for-bit — same oracle checks both paths
     "tel_ddsketch_native" -> ddsketchOracleSql,
+    "q_interval_overlap" ->
+      """WITH iv AS (
+        | SELECT l_suppkey AS s, l_orderkey AS ok,
+        |  CAST(l_linenumber AS BIGINT) AS ln,
+        |  CAST(l_quantity AS BIGINT) AS q,
+        |  epoch_us(l_shipdate)//86400000000 AS lo,
+        |  epoch_us(l_shipdate)//86400000000 + 1
+        |    + CAST(l_quantity AS BIGINT) % 14 AS hi
+        | FROM lineitem),
+        |p AS (
+        | SELECT a.s, least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1 AS od
+        | FROM iv a JOIN iv b ON a.s = b.s
+        |  AND (a.ok, a.ln, a.lo, a.q) < (b.ok, b.ln, b.lo, b.q)
+        |  AND a.lo <= b.hi AND b.lo <= a.hi),
+        |pc AS (
+        | SELECT s, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(od) AS BIGINT) AS sd, CAST(max(od) AS BIGINT) AS mx
+        | FROM p GROUP BY 1),
+        |c AS (SELECT s, CAST(count(*) AS BIGINT) AS n_intervals
+        |      FROM iv GROUP BY 1)
+        |SELECT c.s AS suppkey, c.n_intervals,
+        | coalesce(pc.n, 0) AS n_overlap_pairs,
+        | coalesce(pc.sd, 0) AS sum_overlap_days,
+        | coalesce(pc.mx, 0) AS max_overlap_days
+        |FROM c LEFT JOIN pc USING (s)""".stripMargin,
     "tel_psi_drift" ->
       """WITH ev AS (
         | SELECT event_type, epoch_us(ts) AS us,
@@ -3065,6 +3128,44 @@ object SparkEntry {
         | CAST(sum(term_micro) AS DOUBLE)/1e6 AS psi,
         | CAST(sum(term_micro) AS DOUBLE)/1e6 >= 0.2 AS drifted
         |FROM terms GROUP BY 1""".stripMargin,
+    "tel_ab_test" ->
+      """WITH g AS (
+        | SELECT event_type,
+        |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN arm = 0 THEN v100 ELSE 0 END) AS BIGINT) AS s_a,
+        |  CAST(sum(CASE WHEN arm = 1 THEN v100 ELSE 0 END) AS BIGINT) AS s_b,
+        |  CAST(CAST(sum(CASE WHEN arm = 0 THEN v100*v100 ELSE 0 END)
+        |    AS BIGINT) AS DOUBLE) AS q_a,
+        |  CAST(CAST(sum(CASE WHEN arm = 1 THEN v100*v100 ELSE 0 END)
+        |    AS BIGINT) AS DOUBLE) AS q_b
+        | FROM (SELECT event_type,
+        |   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+        |     AS arm,
+        |   greatest(CAST(round(value*100) AS BIGINT), 1) AS v100
+        |  FROM events)
+        | GROUP BY 1),
+        |s AS (
+        | SELECT *,
+        |  (q_a - CAST(s_a AS DOUBLE)*CAST(s_a AS DOUBLE)/n_a) / (n_a - 1)
+        |    AS va,
+        |  (q_b - CAST(s_b AS DOUBLE)*CAST(s_b AS DOUBLE)/n_b) / (n_b - 1)
+        |    AS vb,
+        |  CAST(s_a AS DOUBLE)/n_a/100 AS mean_a,
+        |  CAST(s_b AS DOUBLE)/n_b/100 AS mean_b
+        | FROM g),
+        |t AS (
+        | SELECT *, va/n_a + vb/n_b AS var_term FROM s)
+        |SELECT event_type, n_a, n_b, mean_a, mean_b,
+        | mean_a - mean_b AS mean_diff,
+        | (CAST(s_a AS DOUBLE)/n_a - CAST(s_b AS DOUBLE)/n_b)/sqrt(var_term)
+        |   AS t_stat,
+        | var_term*var_term /
+        |  ((va/n_a)*(va/n_a)/(n_a - 1) + (vb/n_b)*(vb/n_b)/(n_b - 1))
+        |   AS df_welch,
+        | abs((CAST(s_a AS DOUBLE)/n_a - CAST(s_b AS DOUBLE)/n_b)
+        |   /sqrt(var_term)) > 1.96 AS significant
+        |FROM t""".stripMargin,
     "tel_seasonal" ->
       """WITH hourly AS (
         | SELECT event_type, date_trunc('hour', ts) AS h,

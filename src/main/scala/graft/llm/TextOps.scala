@@ -944,6 +944,66 @@ object TextOps {
            sum($"tok_in_seq").as("n_tokens"))
   }
 
+  /** BPE tokenizer TRAINING (Sennrich et al. "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL'16) — the
+    * iterative merge loop itself, not just one pair count
+    * ([[bpePairs]] is the first iteration's statistics): `steps`
+    * rounds of (count adjacent symbol pairs weighted by word
+    * frequency → take the most frequent pair → merge it everywhere),
+    * producing the ordered merge table that IS a BPE tokenizer.
+    *
+    * Determinism: argmax tie-breaks on (count desc, pair asc); merge
+    * application is plain non-regex `replace` on the space-separated
+    * symbol string (sentinel spaces at both ends), which scans
+    * left-to-right over non-overlapping occurrences IDENTICALLY in
+    * Spark and DuckDB. (Deviation from canonical BPE, documented:
+    * immediately-adjacent repeats of the pair — "aaaa" under merge
+    * a+a — share a boundary space, so alternate occurrences are
+    * skipped; rare in natural-language vocab and engine-independent.)
+    *
+    * Scale shape: the ONLY corpus-sized pass is the initial word
+    * count; the loop runs on the DISTINCT-word table (vocabulary-
+    * sized — bounded by language, not data volume), one map-side-
+    * combined pair agg per step, argmax via orderBy().limit(1) —
+    * TakeOrderedAndProject, a 1-row driver collect per step (the
+    * k-means/PageRank bounded-driver-state precedent). Each step
+    * localCheckpoints the ≤vocab-row table so step k+1's job does not
+    * replay k replaces. The DuckDB oracle unrolls the identical loop
+    * as `steps` CTE levels (generated by `SparkEntry.bpeOracleSql`). */
+  def bpeTrain(spark: SparkSession, sfDir: String,
+               steps: Int = 8): DataFrame = {
+    import spark.implicits._
+    var words = Tables.documents(spark, sfDir)
+      .select(explode(split(trim(lower($"text")), "\\s+")).as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .select($"freq",
+        concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")).as("sym"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (step <- 1 to steps) {
+      val best = words
+        .select($"freq", split(trim($"sym"), " ").as("t"))
+        .select($"freq", $"t",
+          posexplode(expr("slice(t, 2, size(t) - 1)")).as(Seq("p", "b")))
+        .select(concat(element_at($"t", $"p" + 1), lit(" "), $"b").as("pair"),
+          $"freq")
+        .groupBy($"pair").agg(sum($"freq").as("n"))
+        .orderBy($"n".desc, $"pair".asc)
+        .limit(1)
+        .collect()(0)
+      val pair = best.getAs[String]("pair")
+      val merged = pair.replace(" ", "")
+      merges += ((step.toLong, pair, merged, best.getAs[Long]("n")))
+      words = words
+        .select($"freq",
+          call_function("replace", $"sym",
+            lit(s" $pair "), lit(s" $merged ")).as("sym"))
+        .localCheckpoint()
+    }
+    merges.result().toDF("step", "pair", "merged", "n")
+  }
+
   /** Model-based quality filtering in the fastText shape (Joulin et al.
     * "Bag of Tricks for Efficient Text Classification", EACL'17 — the
     * classifier family CCNet/LLaMA-style pipelines score web documents

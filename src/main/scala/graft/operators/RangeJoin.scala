@@ -40,4 +40,67 @@ object RangeJoin {
       .agg(sum(when($"r_us" >= $"us" - windowUs && $"r_us" < $"us", 1L)
                  .otherwise(0L)).as("n_prior"))
   }
+
+  /** Two-sided INTERVAL OVERLAP join — the other half of the range-join
+    * family ([[qRangeJoin]] is point-in-window): both sides carry
+    * [lo, hi] intervals and the predicate is `a.lo ≤ b.hi ∧ b.lo ≤
+    * a.hi`. Spark plans a raw inequality self-join as BNLJ over |R|²;
+    * the scalable shape buckets each interval into the fixed-width
+    * grid cells it touches (≤ ⌈len/width⌉+1 cells — bounded because
+    * the derived shipping windows are ≤ 15 days), equi-joins on
+    * (key, cell), and counts each qualifying pair EXACTLY ONCE at its
+    * canonical cell — the cell containing the overlap start,
+    * `greatest(a.lo, b.lo) div width` — so no distinct/dedup pass
+    * exists. Shuffle volume is Σ cells-per-interval, independent of
+    * pair selectivity. The same play handles temporal-table joins,
+    * session-overlap, and genomic-interval workloads.
+    *
+    * Fixture intervals: shipping windows [l_shipdate, +1..14 days]
+    * (duration derived from quantity — deterministic), compared per
+    * supplier. Output per supplier: interval count, overlapping-pair
+    * count, total/max overlap days — all integers.
+    *
+    * The DuckDB oracle runs the PLAIN inequality join (quadratic but
+    * exact at sf0.01) — hash-equality proves the bucketed rewrite
+    * loses and duplicates nothing. */
+  def intervalOverlap(spark: SparkSession, sfDir: String,
+                      widthDays: Int = 7): DataFrame = {
+    import spark.implicits._
+    // interval identity: (ok, ln, lo, q) — (ok, ln) alone is NOT unique
+    // in the fixture (multi-supplier order lines repeat it), and (lo, hi)
+    // can collide through the %14 duration; the full tuple is unique per
+    // supplier, so the strict lexicographic < below visits each
+    // unordered pair exactly once
+    val iv = Tables.lineitem(spark, sfDir)
+      .select($"l_suppkey".as("s"), $"l_orderkey".as("ok"),
+        $"l_linenumber".cast("long").as("ln"),
+        $"l_quantity".cast("long").as("q"),
+        expr("unix_micros(l_shipdate) div 86400000000").as("lo"))
+      .withColumn("hi", $"lo" + lit(1L) + $"q" % 14)
+    val cells = iv.withColumn("cell",
+      explode(sequence(expr(s"lo div $widthDays"), expr(s"hi div $widthDays"))))
+    val a = cells.select($"cell", $"s", $"ok".as("a_ok"), $"ln".as("a_ln"),
+      $"q".as("a_q"), $"lo".as("a_lo"), $"hi".as("a_hi"))
+    val b = cells.select($"cell", $"s", $"ok".as("b_ok"), $"ln".as("b_ln"),
+      $"q".as("b_q"), $"lo".as("b_lo"), $"hi".as("b_hi"))
+    val pairs = a.join(b, Seq("cell", "s"))
+      .filter(struct($"a_ok", $"a_ln", $"a_lo", $"a_q") <
+                struct($"b_ok", $"b_ln", $"b_lo", $"b_q") &&
+              $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi" &&
+              // canonical cell: the one holding the overlap start —
+              // each pair counted exactly once, no distinct needed
+              $"cell" === expr(s"greatest(a_lo, b_lo) div $widthDays"))
+      .withColumn("overlap_days",
+        least($"a_hi", $"b_hi") - greatest($"a_lo", $"b_lo") + 1)
+    val counts = iv.groupBy($"s").agg(count(lit(1)).as("n_intervals"))
+    counts.join(
+        pairs.groupBy($"s").agg(count(lit(1)).as("n_overlap_pairs"),
+          sum($"overlap_days").as("sum_overlap_days"),
+          max($"overlap_days").as("max_overlap_days")),
+        Seq("s"), "left")
+      .select($"s".as("suppkey"), $"n_intervals",
+        coalesce($"n_overlap_pairs", lit(0L)).as("n_overlap_pairs"),
+        coalesce($"sum_overlap_days", lit(0L)).as("sum_overlap_days"),
+        coalesce($"max_overlap_days", lit(0L)).as("max_overlap_days"))
+  }
 }

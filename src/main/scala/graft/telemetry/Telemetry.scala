@@ -1669,6 +1669,60 @@ object Telemetry {
       .withColumn("drifted", $"psi" >= alarm)
   }
 
+  /** Deterministic A/B experiment read-out per event_type — the
+    * product-analytics workhorse: users hash-split into two arms
+    * (md5 % 2 — the stable bucketing every experimentation platform
+    * uses so a user keeps their arm across sessions), then Welch's
+    * unequal-variance t-test on the mean `value`: t statistic,
+    * Welch–Satterthwaite degrees of freedom, |t| > 1.96 significance
+    * gate.
+    *
+    * Engine-exactness: per-arm (n, Σv100, Σv100²) are INTEGER
+    * conditional aggregates on the centi-unit grid; every derived
+    * statistic is a fixed sequence of correctly-rounded IEEE ops
+    * (cast, multiply, subtract, divide, sqrt) written identically in
+    * the DuckDB oracle — bit-for-bit, no display rounding needed.
+    * Σv100² is evaluated in DOUBLE (sums of squares cross int64 around
+    * 10⁹ rows per key; the double path is deterministic either way).
+    *
+    * Scale shape: ONE map-side-combined hash agg of 6 integer columns
+    * per event_type — the t-test itself touches keys×1 rows. */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.events(spark, sfDir)
+      .select($"event_type",
+        (conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).as("arm"),
+        greatest(round($"value" * 100, 0).cast("long"), lit(1L)).as("v100"))
+      .groupBy($"event_type")
+      .agg(sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+           sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"),
+           sum(when($"arm" === 0, $"v100").otherwise(0L)).as("s_a"),
+           sum(when($"arm" === 1, $"v100").otherwise(0L)).as("s_b"),
+           sum(when($"arm" === 0, $"v100" * $"v100").otherwise(0L))
+             .cast("double").as("q_a"),
+           sum(when($"arm" === 1, $"v100" * $"v100").otherwise(0L))
+             .cast("double").as("q_b"))
+    val va = ($"q_a" - $"s_a".cast("double") * $"s_a".cast("double") / $"n_a") /
+      ($"n_a" - 1)
+    val vb = ($"q_b" - $"s_b".cast("double") * $"s_b".cast("double") / $"n_b") /
+      ($"n_b" - 1)
+    g.withColumn("mean_a", $"s_a".cast("double") / $"n_a" / 100)
+      .withColumn("mean_b", $"s_b".cast("double") / $"n_b" / 100)
+      .withColumn("var_term", va / $"n_a" + vb / $"n_b")
+      .withColumn("t_stat",
+        (($"s_a".cast("double") / $"n_a" - $"s_b".cast("double") / $"n_b")) /
+          sqrt($"var_term"))
+      .withColumn("df_welch",
+        $"var_term" * $"var_term" /
+          ((va / $"n_a") * (va / $"n_a") / ($"n_a" - 1) +
+           (vb / $"n_b") * (vb / $"n_b") / ($"n_b" - 1)))
+      .withColumn("significant", abs($"t_stat") > 1.96)
+      .select($"event_type", $"n_a", $"n_b", $"mean_a", $"mean_b",
+        ($"mean_a" - $"mean_b").as("mean_diff"), $"t_stat", $"df_welch",
+        $"significant")
+  }
+
   /** Classical additive seasonal decomposition of the hourly event-count
     * series per event_type — `y = trend + seasonal + residual`, the
     * statsmodels `seasonal_decompose(model='additive', period=24)`

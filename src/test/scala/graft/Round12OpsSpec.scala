@@ -219,6 +219,118 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- interval overlap join ------------------------------------------
+
+  test("intervalOverlap matches brute-force per-supplier pair counting") {
+    import spark.implicits._
+    val iv = Tables.lineitem(spark, sf)
+      .selectExpr("l_suppkey", "l_orderkey", "CAST(l_linenumber AS LONG)",
+        "CAST(l_quantity AS LONG)",
+        "unix_micros(l_shipdate) div 86400000000",
+        "unix_micros(l_shipdate) div 86400000000 + 1 + CAST(l_quantity AS LONG) % 14")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val want = iv.groupBy(_._1).map { case (s, rows) =>
+      // the operator's pair identity: strict lexicographic (ok, ln, lo, q)
+      val sorted = rows.sortBy(r => (r._2, r._3, r._5, r._4))
+      val overlaps = for {
+        i <- sorted.indices
+        j <- (i + 1) until sorted.length
+        a = sorted(i); b = sorted(j)
+        if a._5 <= b._6 && b._5 <= a._6
+      } yield math.min(a._6, b._6) - math.max(a._5, b._5) + 1
+      s -> ((rows.length.toLong, overlaps.length.toLong,
+        overlaps.sum, if (overlaps.isEmpty) 0L else overlaps.max))
+    }
+    val got = graft.operators.RangeJoin.intervalOverlap(spark, sf).collect()
+      .map { r =>
+        r.getAs[Long]("suppkey") -> ((r.getAs[Long]("n_intervals"),
+          r.getAs[Long]("n_overlap_pairs"), r.getAs[Long]("sum_overlap_days"),
+          r.getAs[Long]("max_overlap_days")))
+      }.toMap
+    assert(got === want)
+    assert(got.values.exists(_._2 > 0L))
+  }
+
+  // ---- A/B test --------------------------------------------------------
+
+  test("abTest matches a from-scratch Welch t-test on the hash split") {
+    import spark.implicits._
+    val evu = Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id", "value")
+      .as[(String, Long, Double)].collect()
+    val expect = evu.groupBy(_._1).map { case (k, rows) =>
+      val armed = rows.map { case (_, u, v) =>
+        (hash60(u.toString) % 2, math.max(roundL(v * 100), 1L))
+      }
+      val a = armed.filter(_._1 == 0L).map(_._2)
+      val b = armed.filter(_._1 == 1L).map(_._2)
+      val (na, nb) = (a.length.toLong, b.length.toLong)
+      val (sa, sb) = (a.sum, b.sum)
+      val (qa, qb) = (a.map(x => x * x).sum.toDouble, b.map(x => x * x).sum.toDouble)
+      val va = (qa - sa.toDouble * sa.toDouble / na) / (na - 1)
+      val vb = (qb - sb.toDouble * sb.toDouble / nb) / (nb - 1)
+      val varTerm = va / na + vb / nb
+      val t = (sa.toDouble / na - sb.toDouble / nb) / math.sqrt(varTerm)
+      val df = varTerm * varTerm /
+        ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
+      k -> ((na, nb, sa.toDouble / na / 100, sb.toDouble / nb / 100,
+        sa.toDouble / na / 100 - sb.toDouble / nb / 100, t, df,
+        math.abs(t) > 1.96))
+    }
+    val got = Telemetry.abTest(spark, sf).collect().map { r =>
+      r.getAs[String]("event_type") -> ((r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Double]("mean_a"),
+        r.getAs[Double]("mean_b"), r.getAs[Double]("mean_diff"),
+        r.getAs[Double]("t_stat"), r.getAs[Double]("df_welch"),
+        r.getAs[Boolean]("significant")))
+    }.toMap
+    assert(got === expect)
+    // a null split on uniform data should (almost surely) NOT alarm —
+    // the gate must not fire on noise
+    assert(got.values.count(_._8) <= 1)
+  }
+
+  // ---- BPE training ----------------------------------------------------
+
+  test("bpeTrain matches a from-scratch merge loop and feeds back merges") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, sf).select($"text")
+      .as[String].collect()
+    var words: Map[String, Long] = texts
+      .flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+      .map { case (w, f) => (" " + w.map(c => s"$c ").mkString) -> f }
+      // distinct words map to distinct syms — no key collision
+    val expect = Seq.newBuilder[(Long, String, String, Long)]
+    for (step <- 1 to 8) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      words.foreach { case (sym, f) =>
+        val t = sym.trim.split(" ")
+        (0 until t.length - 1).foreach { i =>
+          val p = s"${t(i)} ${t(i + 1)}"
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      val (pair, n) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      val merged = pair.replace(" ", "")
+      expect += ((step.toLong, pair, merged, n))
+      words = words.toSeq.map { case (sym, f) =>
+        sym.replace(s" $pair ", s" $merged ") -> f
+      }.groupBy(_._1).map { case (sym, fs) => sym -> fs.map(_._2).sum }
+    }
+    val got = TextOps.bpeTrain(spark, sf).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("pair"),
+        r.getAs[String]("merged"), r.getAs[Long]("n")))
+      .sortBy(_._1).toSeq
+    assert(got === expect.result())
+    // the loop genuinely feeds back: some later pair contains an
+    // earlier step's merged multi-char symbol
+    val mergedSyms = got.map(_._3).toSet
+    assert(got.exists { case (_, pair, _, _) =>
+      pair.split(" ").exists(s => s.length >= 2 && mergedSyms.contains(s))
+    }, "no second-order merge learned in 8 steps")
+  }
+
   // ---- fastText-style quality scoring --------------------------------
 
   test("fasttextQuality matches a from-scratch hashed-linear recompute") {
