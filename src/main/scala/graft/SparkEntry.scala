@@ -208,6 +208,8 @@ object SparkEntry {
     "text_pack_sequences" -> ((s, d) => TextOps.packSequences(s, d)),
     "text_fasttext_quality" -> ((s, d) => TextOps.fasttextQuality(s, d)),
     "text_bpe_train"     -> ((s, d) => TextOps.bpeTrain(s, d)),
+    "text_bpe_curve"     -> ((s, d) => TextOps.bpeCurve(s, d)),
+    "sim_embed_stats"    -> ((s, d) => SimOps.embedStats(s, d)),
     "dedup_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
     "sim_hybrid_rrf"     -> ((s, d) => SimOps.hybridRrf(s, d)),
     "q_pagerank"         -> ((s, d) => PageRank.bipartiteExact(s, d)),
@@ -371,9 +373,30 @@ object SparkEntry {
     * count over the previous symbol table → 1-row argmax → merge
     * application via plain `replace`) — the identical loop
     * `TextOps.bpeTrain` runs with DataFrame jobs. */
-  private def bpeOracleSql(steps: Int = 8): String = {
+  private def bpeOracleSql(steps: Int = 8): String =
+    bpeOracleCtes(steps) ++ (1 to steps).map(k =>
+      s"\nSELECT CAST($k AS BIGINT) AS step, pair, merged, n FROM b$k")
+      .mkString("", "\nUNION ALL", "")
+
+  /** Same unrolled chain, read out as the compression learning curve
+    * (`text_bpe_curve`): per-level corpus-weighted token totals. */
+  private def bpeCurveOracleSql(steps: Int = 8): String =
+    bpeOracleCtes(steps) ++ "\nSELECT step, total_tokens, total_words," +
+      "\n CAST(total_tokens AS DOUBLE)/total_words AS tokens_per_word FROM (" +
+      (0 to steps).map(k =>
+        s"\nSELECT CAST($k AS BIGINT) AS step," +
+        s" CAST(sum(freq*len(string_split(trim(sym), ' '))) AS BIGINT)" +
+        s" AS total_tokens, CAST(sum(freq) AS BIGINT) AS total_words FROM w$k")
+        .mkString("", "\nUNION ALL", ") t")
+
+  /** Every CTE level is AS MATERIALIZED: w_k is referenced by p_{k+1},
+    * w_{k+1} and the final read-out, so DuckDB's default inlining would
+    * re-evaluate the chain EXPONENTIALLY (3^steps scans of w0 — the
+    * un-materialized curve oracle ran >12 min before being killed);
+    * materialization makes the oracle linear like the Spark loop. */
+  private def bpeOracleCtes(steps: Int): String = {
     val sb = new StringBuilder
-    sb ++= """WITH w0 AS (
+    sb ++= """WITH w0 AS MATERIALIZED (
       | SELECT CAST(count(*) AS BIGINT) AS freq,
       |  ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym
       | FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
@@ -381,23 +404,20 @@ object SparkEntry {
       | WHERE length(w) >= 2 GROUP BY w)""".stripMargin
     for (k <- 1 to steps) {
       sb ++= s""",
-        |p$k AS (
+        |p$k AS MATERIALIZED (
         | SELECT t[i] || ' ' || t[i+1] AS pair, CAST(sum(freq) AS BIGINT) AS n
         | FROM (SELECT freq, t, unnest(generate_series(1, len(t)-1)) AS i
         |       FROM (SELECT freq, string_split(trim(sym), ' ') AS t
         |             FROM w${k - 1})) x
         | GROUP BY 1),
-        |b$k AS (SELECT pair, replace(pair, ' ', '') AS merged, n
+        |b$k AS MATERIALIZED (SELECT pair, replace(pair, ' ', '') AS merged, n
         |        FROM p$k ORDER BY n DESC, pair LIMIT 1),
-        |w$k AS (
+        |w$k AS MATERIALIZED (
         | SELECT freq, replace(sym,
         |   ' ' || (SELECT pair FROM b$k) || ' ',
         |   ' ' || (SELECT merged FROM b$k) || ' ') AS sym FROM w${k - 1})"""
         .stripMargin
     }
-    sb ++= (1 to steps).map(k =>
-      s"\nSELECT CAST($k AS BIGINT) AS step, pair, merged, n FROM b$k")
-      .mkString("", "\nUNION ALL", "")
     sb.toString
   }
 
@@ -2484,6 +2504,31 @@ object SparkEntry {
         |   AS BIGINT) AS rnk
         |FROM agg QUALIFY rnk <= 20""".stripMargin,
     "text_bpe_train" -> bpeOracleSql(),
+    "text_bpe_curve" -> bpeCurveOracleSql(),
+    "sim_embed_stats" ->
+      """WITH x AS (
+        | SELECT i - 1 AS dim,
+        |  CAST(round(CAST(embedding[i] AS DOUBLE)*1e6) AS BIGINT) AS m
+        | FROM (SELECT embedding,
+        |        unnest(generate_series(1, len(embedding))) AS i
+        |       FROM embeddings)),
+        |agg AS (
+        | SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(m) AS BIGINT) AS s,
+        |  CAST(CAST(sum(m*m) AS BIGINT) AS DOUBLE) AS q
+        | FROM x GROUP BY 1),
+        |v AS (
+        | SELECT *,
+        |  CAST(s AS DOUBLE)/n/1e6 AS mean,
+        |  (q - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)/(n - 1)/1e12
+        |    AS variance,
+        |  CAST(round((q - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)/(n - 1)
+        |    /1e12*1e6) AS BIGINT) AS var_micro
+        | FROM agg)
+        |SELECT dim, n, mean, variance, var_micro,
+        | CAST(var_micro AS DOUBLE) /
+        |   CAST(sum(var_micro) OVER () AS BIGINT) AS var_share
+        |FROM v""".stripMargin,
     "text_fasttext_quality" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t

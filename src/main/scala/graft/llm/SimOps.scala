@@ -1342,4 +1342,44 @@ object SimOps {
       .select($"query_id", $"vec_id".as("neighbor_id"), $"coarse6", $"cos6",
               $"rnk")
   }
+
+  /** Per-dimension embedding-health report — the diagnostic every
+    * vector pipeline runs before trusting ANN/semantic-dedup results:
+    * mean (detects un-centered dims that poison cosine), variance, and
+    * each dimension's SHARE of total variance (anisotropy — a few
+    * dominant dims mean the embedding space is effectively
+    * low-dimensional and IVF/LSH recall will suffer; the
+    * Mu & Viswanath ICLR'18 all-but-the-top diagnostic).
+    *
+    * Engine-exactness: each float is micro-quantized ONCE; per-dim
+    * (n, Σm, Σm²) are integer aggregates; mean/variance are the fixed
+    * Welch-style IEEE sequence shared with [[graft.telemetry.Telemetry.abTest]].
+    * The variance SHARE needs a cross-dim total — summing 64 doubles is
+    * float-order-dependent, so the share is computed from per-dim
+    * micro-INTEGER variances (one deterministic round each) whose sum
+    * is exact, then one division.
+    *
+    * Scale shape: one narrow posexplode into a 64-key map-side-combined
+    * hash agg; the share window runs over the 64-row aggregate (hygiene
+    * whitelist: post-agg, dimension-bounded). */
+  def embedStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val x = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(posexplode($"embedding").as(Seq("dim", "v")))
+      .select($"dim".cast("long").as("dim"),
+        round($"v".cast("double") * 1e6, 0).cast("long").as("m"))
+    val agg = x.groupBy($"dim")
+      .agg(count(lit(1)).as("n"), sum($"m").as("s"),
+           sum($"m" * $"m").cast("double").as("q"))
+    val varU = ($"q" - $"s".cast("double") * $"s".cast("double") / $"n") /
+      ($"n" - 1) / 1e12
+    val w = Window.partitionBy()
+    agg
+      .withColumn("mean", $"s".cast("double") / $"n" / 1e6)
+      .withColumn("variance", varU)
+      .withColumn("var_micro", round(varU * lit(1e6), 0).cast("long"))
+      .withColumn("var_share",
+        $"var_micro".cast("double") / sum($"var_micro").over(w))
+      .select($"dim", $"n", $"mean", $"variance", $"var_micro", $"var_share")
+  }
 }

@@ -1004,6 +1004,59 @@ object TextOps {
     merges.result().toDF("step", "pair", "merged", "n")
   }
 
+  /** Tokenizer-training learning curve: after each [[bpeTrain]] merge
+    * step, the corpus-weighted token count `Σ freq·|symbols(word)|` and
+    * tokens-per-word — the compression trajectory every tokenizer
+    * training run watches to pick its vocab size (each merge saves
+    * exactly `n` tokens, so the curve is also an internal consistency
+    * check on the merge counts: total_k = total_{k-1} − n_k, asserted
+    * by spec). Step 0 is the character baseline.
+    *
+    * Same scale shape as the trainer: vocabulary-sized table, one tiny
+    * agg per step; the curve output is `steps+1` rows. */
+  def bpeCurve(spark: SparkSession, sfDir: String,
+               steps: Int = 8): DataFrame = {
+    import spark.implicits._
+    var words = Tables.documents(spark, sfDir)
+      .select(explode(split(trim(lower($"text")), "\\s+")).as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .select($"freq",
+        concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")).as("sym"))
+      .localCheckpoint()
+    def curveRow(step: Int): (Long, Long, Long) = {
+      val r = words.agg(
+        sum($"freq" * size(split(trim($"sym"), " "))).as("tt"),
+        sum($"freq").as("tw")).collect()(0)
+      (step.toLong, r.getAs[Long]("tt"), r.getAs[Long]("tw"))
+    }
+    val rows = Seq.newBuilder[(Long, Long, Long)]
+    rows += curveRow(0)
+    for (step <- 1 to steps) {
+      val best = words
+        .select($"freq", split(trim($"sym"), " ").as("t"))
+        .select($"freq", $"t",
+          posexplode(expr("slice(t, 2, size(t) - 1)")).as(Seq("p", "b")))
+        .select(concat(element_at($"t", $"p" + 1), lit(" "), $"b").as("pair"),
+          $"freq")
+        .groupBy($"pair").agg(sum($"freq").as("n"))
+        .orderBy($"n".desc, $"pair".asc)
+        .limit(1)
+        .collect()(0)
+      val pair = best.getAs[String]("pair")
+      words = words
+        .select($"freq",
+          call_function("replace", $"sym",
+            lit(s" $pair "), lit(s" ${pair.replace(" ", "")} ")).as("sym"))
+        .localCheckpoint()
+      rows += curveRow(step)
+    }
+    rows.result().toDF("step", "total_tokens", "total_words")
+      .select($"step", $"total_tokens", $"total_words",
+        ($"total_tokens".cast("double") / $"total_words")
+          .as("tokens_per_word"))
+  }
+
   /** Model-based quality filtering in the fastText shape (Joulin et al.
     * "Bag of Tricks for Efficient Text Classification", EACL'17 — the
     * classifier family CCNet/LLaMA-style pipelines score web documents

@@ -53,8 +53,9 @@ class PlanHygieneSpec extends SparkSpec {
     "tel_freshness",   // global max over per-event-type rollup (≤10s of rows)
     "tel_slo_multiwindow", // multi-window burn over the hourly rollup
     "text_mix_weights",    // √share over the per-language rollup (≤10s of rows)
-    "text_vocab_growth")   // prefix sum over #docs/stride bucket rollup
+    "text_vocab_growth",   // prefix sum over #docs/stride bucket rollup
                            // (inherently sequential curve; 3-long rows)
+    "sim_embed_stats")     // variance share over the 64-dim aggregate
 
   test("no unpartitioned window over an unbounded child (catalog-wide)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, GlobalLimit, Aggregate, LogicalPlan}

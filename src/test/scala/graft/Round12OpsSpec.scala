@@ -331,6 +331,61 @@ class Round12OpsSpec extends SparkSpec {
     }, "no second-order merge learned in 8 steps")
   }
 
+  test("bpeCurve: each merge saves exactly its pair count of tokens") {
+    val merges = TextOps.bpeTrain(spark, sf).collect()
+      .map(r => r.getAs[Long]("step") -> r.getAs[Long]("n")).toMap
+    val curve = TextOps.bpeCurve(spark, sf).collect()
+      .map(r => r.getAs[Long]("step") ->
+        ((r.getAs[Long]("total_tokens"), r.getAs[Long]("total_words"),
+          r.getAs[Double]("tokens_per_word"))))
+      .toMap
+    assert(curve.size === 9)
+    // words never change count; tokens drop by exactly n_k per step
+    (1L to 8L).foreach { k =>
+      assert(curve(k)._2 === curve(0L)._2)
+      assert(curve(k)._1 === curve(k - 1)._1 - merges(k),
+        s"step $k: merge accounting broken")
+    }
+    // step 0 is the character baseline: Σ freq·|word|
+    import spark.implicits._
+    val charBase = Tables.documents(spark, sf).select($"text").as[String]
+      .collect().flatMap(_.trim.toLowerCase.split("\\s+"))
+      .filter(_.length >= 2).map(_.length.toLong).sum
+    assert(curve(0L)._1 === charBase)
+    assert(curve(8L)._3 === curve(8L)._1.toDouble / curve(8L)._2)
+  }
+
+  // ---- embedding health ------------------------------------------------
+
+  test("embedStats matches a from-scratch micro-quantized recompute") {
+    import spark.implicits._
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select($"embedding").as[Seq[Float]].collect()
+    val byDim = vecs.flatMap(_.zipWithIndex)
+      .groupBy(_._2).map { case (d, vs) =>
+        val ms = vs.map { case (v, _) => roundL(v.toDouble * 1e6) }
+        val n = ms.length.toLong
+        val s = ms.sum
+        val q = ms.map(m => m * m).sum.toDouble
+        val variance = (q - s.toDouble * s.toDouble / n) / (n - 1) / 1e12
+        d.toLong -> ((n, s.toDouble / n / 1e6, variance,
+          roundL(variance * 1e6)))
+      }
+    val totalVarMicro = byDim.values.map(_._4).sum
+    val want = byDim.map { case (d, (n, mean, variance, vm)) =>
+      d -> ((n, mean, variance, vm, vm.toDouble / totalVarMicro))
+    }
+    val got = graft.llm.SimOps.embedStats(spark, sf).collect().map { r =>
+      r.getAs[Long]("dim") -> ((r.getAs[Long]("n"), r.getAs[Double]("mean"),
+        r.getAs[Double]("variance"), r.getAs[Long]("var_micro"),
+        r.getAs[Double]("var_share")))
+    }.toMap
+    assert(got === want)
+    assert(got.size === 64)
+    // shares form a distribution (integer-sum construction is exact)
+    assert(math.abs(got.values.map(_._5).sum - 1.0) < 1e-9)
+  }
+
   // ---- fastText-style quality scoring --------------------------------
 
   test("fasttextQuality matches a from-scratch hashed-linear recompute") {
