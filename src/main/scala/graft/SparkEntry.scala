@@ -173,6 +173,7 @@ object SparkEntry {
     "mm_img_meta"        -> (ImageOps.imgMeta _),
     "mm_img_ahash_pairs" -> ((s, d) => ImageOps.imgAhashPairs(s, d)),
     "mm_img_dhash_pairs" -> ((s, d) => ImageOps.imgDhashPairs(s, d)),
+    "mm_img_entropy"     -> ((s, d) => ImageOps.imgEntropy(s, d)),
     "mm_img_ahash_clusters" -> ((s, d) => ImageOps.imgAhashClusters(s, d)),
     "mm_img_downsample"  -> (ImageOps.imgDownsample _),
     "sim_mrl_rerank"     -> ((s, d) => SimOps.mrlRerank(s, d)),
@@ -3354,6 +3355,29 @@ object SparkEntry {
         | CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
         | CAST(sum(v) AS BIGINT) AS sum_luma
         |FROM px GROUP BY 1""".stripMargin,
+    "mm_img_entropy" ->
+      """WITH px AS (
+        | SELECT d.doc_id, i.i,
+        |  CASE WHEN i.i < d.doc_id % 3
+        |   THEN (('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT + 128) % 256
+        |   ELSE ('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT
+        |  END AS v
+        | FROM (SELECT doc_id FROM documents) d
+        | CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i),
+        |c AS (
+        | SELECT doc_id, v, CAST(count(*) AS BIGINT) AS c
+        | FROM px GROUP BY 1, 2),
+        |h AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_lumas,
+        |  CAST(sum(c * CAST(round(1e4*(6 - ln(CAST(c AS DOUBLE))/ln(2.0)))
+        |    AS BIGINT)) AS BIGINT) AS h_micro
+        | FROM c GROUP BY 1)
+        |SELECT doc_id, n_distinct_lumas, h_micro,
+        | CAST(h_micro AS DOUBLE)/64/1e4 AS entropy_bits,
+        | n_distinct_lumas < 8 AS flat
+        |FROM h""".stripMargin,
     "mm_img_dhash_pairs" ->
       """WITH px AS (
         | SELECT d.doc_id, i.i,

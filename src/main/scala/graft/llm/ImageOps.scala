@@ -244,6 +244,41 @@ object ImageOps {
       .select($"ha", $"hb", $"hamming", $"n_a", $"n_b", $"doc_a", $"doc_b")
   }
 
+  /** Luma-histogram Shannon entropy per REALLY-decoded image — the
+    * cheap flat/blank/synthetic-image filter every vision curation
+    * stack runs before spending on embeddings (a near-constant image
+    * has entropy ≈ 0; natural 8-bit content sits near the top of the
+    * 6-bit ceiling here). `H = (1/64)·Σ_v c_v·(6 − log2 c_v)` over the
+    * 64-pixel luma counts.
+    *
+    * Engine-exactness: per-count terms are ln-computed once, rounded
+    * to 4 decimals and scaled to integers (the bigram-surprisal
+    * discipline), so each image's entropy numerator is an INTEGER sum;
+    * display is two exact IEEE divisions. The executor-side Scala uses
+    * the same BigDecimal HALF_UP rounding Spark SQL's `round` performs,
+    * so the DuckDB oracle (analytic pixels, no codec) reproduces it
+    * bit-for-bit — decode∘encode = id checked through a nonlinear
+    * statistic this time.
+    *
+    * Scale shape: one narrow decode pass, no shuffle at all. */
+  def imgEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    images(spark, sfDir).mapPartitions { rows =>
+      rows.map { r =>
+        val (_, _, px) = decode(r.png)
+        val counts = px.groupBy(identity).map(_._2.length)
+        val hMicro = counts.map { c =>
+          val t = BigDecimal(1e4 * (6.0 - math.log(c.toDouble) / math.log(2.0)))
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          c.toLong * t
+        }.sum
+        (r.doc_id, counts.size.toLong, hMicro,
+          hMicro.toDouble / 64 / 1e4)
+      }
+    }.toDF("doc_id", "n_distinct_lumas", "h_micro", "entropy_bits")
+      .withColumn("flat", $"n_distinct_lumas" < 8)
+  }
+
   /** Feature extraction on decoded pixels: 2×2 integer box downsample
     * (the first pyramid level every vision pipeline builds), reported
     * as a position-weighted checksum so the oracle verifies every

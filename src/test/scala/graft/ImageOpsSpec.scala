@@ -118,4 +118,24 @@ class ImageOpsSpec extends SparkSpec {
     // near-dups (small positive hamming) for the band join to find
     assert(want.exists(_._3 >= 1L))
   }
+
+  test("entropy matches a from-scratch histogram fold over analytic pixels") {
+    val got = graft.llm.ImageOps.imgEntropy(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_distinct_lumas"), r.getAs[Long]("h_micro"),
+          r.getAs[Double]("entropy_bits"), r.getAs[Boolean]("flat"))))
+      .toMap
+    assert(got.size === 500)
+    got.keys.toSeq.sorted.take(50).foreach { docId =>
+      val counts = analyticPixels(docId).groupBy(identity).map(_._2.length)
+      val hMicro = counts.map { c =>
+        c.toLong * BigDecimal(1e4 * (6.0 - math.log(c.toDouble) / math.log(2.0)))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      assert(got(docId) === ((counts.size.toLong, hMicro,
+        hMicro.toDouble / 64 / 1e4, counts.size < 8)))
+      // md5-random 8x8 planes are high-entropy: nothing flat by accident
+      assert(!got(docId)._4)
+    }
+  }
 }
