@@ -65,7 +65,9 @@ object Sf1Scale {
     "sim_range_search",
     // r11 additions: compressed-index paths (1-bit Hamming shortlist,
     // IVF+residual-PQ) and the bounded-shortlist MMR selection
-    "sim_binary_quant", "sim_ivf_pq", "sim_mmr_diversify")
+    "sim_binary_quant", "sim_ivf_pq", "sim_mmr_diversify",
+    // r12: per-dimension health report (one narrow pass)
+    "sim_embed_stats")
 
   /** Documents-table dedup/text pipelines — the banded-LSH / inverted-
     * index / prefix-filter scale claims, measured on a text corpus with
@@ -79,7 +81,12 @@ object Sf1Scale {
     "dedup_span_coverage", "text_pack_sequences", "text_bigram_surprisal",
     "text_bm25",
     // r11: asymmetric containment shares the inverted-index expansion
-    "dedup_containment")
+    "dedup_containment",
+    // r12: hashed-linear scoring (narrow map) and the BPE merge loop
+    // (vocabulary-sized — its cost should grow SUB-linearly with docs),
+    // plus the doc_id-driven real-decode image family
+    "text_fasttext_quality", "text_bpe_train",
+    "mm_img_dhash_pairs", "mm_img_entropy")
 
   /** Deterministic word from a full-avalanche mix (vocab of 1000):
     * individual word collisions are common (real corpora repeat words)
@@ -133,20 +140,66 @@ object Sf1Scale {
     val dir = java.nio.file.Files.createTempDirectory(s"graft-sf1-graph-$n").toString
     val nParts = math.max(n / 8, 16).toLong
     val nSupp = math.max(n / 50, 8).toLong
+    // shipdate/quantity/linenumber carried for q_interval_overlap (r12):
+    // a 365-day span with ≤15-day windows keeps per-supplier overlap
+    // density CONSTANT as suppliers scale with n — pair volume linear
     spark.range(n.toLong).as[Long]
       .mapPartitions(_.map { i =>
         (i / 4,
          java.lang.Math.floorMod(mix64(i * 7 + 1), nParts),
-         java.lang.Math.floorMod(mix64(i * 11 + 2), nSupp))
+         java.lang.Math.floorMod(mix64(i * 11 + 2), nSupp),
+         (i % 4L).toInt,
+         (java.lang.Math.floorMod(mix64(i * 3 + 4), 50L) + 1L).toDouble,
+         1704067200000000L +
+           java.lang.Math.floorMod(mix64(i * 5 + 6), 365L) * 86400000000L)
       })
-      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "ship_us")
+      .withColumn("l_shipdate",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col("ship_us")))
+      .drop("ship_us")
       .repartition(8)
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     dir
   }
 
   private val graphQueries: Seq[String] =
-    Seq("q_pagerank", "q_triangle_support", "q_jaccard_neighbors")
+    Seq("q_pagerank", "q_triangle_support", "q_jaccard_neighbors",
+      "q_interval_overlap")
+
+  /** Synthetic events with the testdata schema over a FIXED 30-day
+    * span: 10× more events = 10× denser hours and 10× more users, so
+    * the sketch/decomposition/test queries' post-agg phases stay
+    * bounded (grids by retention, sketches by γ) — their ratios should
+    * hug the scan cost. */
+  private def genEventsCorpus(spark: SparkSession, n: Int): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-sf1-ev-$n").toString
+    val types = Array("click", "view", "purchase", "signup", "error")
+    val nUsers = math.max(n / 20, 10).toLong
+    spark.range(n.toLong).as[Long]
+      .mapPartitions(_.map { i =>
+        (i,
+         1704067200000000L +
+           java.lang.Math.floorMod(mix64(i * 19 + 3), 30L * 86400000000L),
+         java.lang.Math.floorMod(mix64(i * 13 + 5), nUsers),
+         types(java.lang.Math.floorMod(mix64(i * 17 + 9), 5L).toInt),
+         (java.lang.Math.floorMod(mix64(i * 23 + 11), 49000L) + 100L) / 100.0,
+         "{}")
+      })
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.col("ts_us")))
+      .drop("ts_us")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private val telQueries: Seq[String] =
+    Seq("tel_ddsketch", "tel_ddsketch_native", "tel_psi_drift",
+      "tel_seasonal", "tel_ab_test")
 
   def maybeRun(spark: SparkSession): Option[String] =
     if (!sys.env.get("SPARK_GRAFT_SF1").exists(_.nonEmpty)) None
@@ -188,6 +241,13 @@ object Sf1Scale {
       val b = time(q, graphBig)
       q -> ((s, b, b / math.max(s, 1e-9)))
     }
+    val evSmall = genEventsCorpus(spark, 20000)
+    val evBig = genEventsCorpus(spark, 200000)
+    val telRows = telQueries.map { q =>
+      val s = time(q, evSmall)
+      val b = time(q, evBig)
+      q -> ((s, b, b / math.max(s, 1e-9)))
+    }
     def entries(rs: Seq[(String, (Double, Double, Double))]): String =
       rs.map { case (q, (s, b, r)) =>
         s""""$q":{"small":${r3(s)},"big":${r3(b)},"ratio":${r3(r)}}"""
@@ -195,7 +255,7 @@ object Sf1Scale {
     val json =
       s"""{"n_small":$nSmall,"n_big":$nBig,"factor":10,"queries":{${
         entries(rows)}},"doc_queries":{${entries(docRows)}},"graph_queries":{${
-        entries(graphRows)}}}"""
+        entries(graphRows)}},"tel_queries":{${entries(telRows)}}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_sf1.json"),
       json.getBytes("UTF-8")) catch { case _: Throwable => () }
     json

@@ -161,6 +161,8 @@ object SparkEntry {
     "tel_changepoint"    -> (Telemetry.changepoint _),
     "tel_new_vs_returning" -> (Telemetry.newVsReturning _),
     "q_interval_overlap" -> ((s, d) => RangeJoin.intervalOverlap(s, d)),
+    "q9_profit"          -> ((s, d) => Core.q9Profit(s, d)),
+    "q_dq_suite"         -> ((s, d) => Core.dqSuite(s, d)),
     "tel_ddsketch"       -> ((s, d) => Telemetry.ddsketch(s, d)),
     "tel_ddsketch_native" -> ((s, d) => Telemetry.ddsketchNative(s, d)),
     "tel_psi_drift"      -> ((s, d) => Telemetry.psiDrift(s, d)),
@@ -3114,6 +3116,74 @@ object SparkEntry {
     // the native ddsketch_agg aggregate must reproduce the relational
     // pipeline bit-for-bit — same oracle checks both paths
     "tel_ddsketch_native" -> ddsketchOracleSql,
+    "q9_profit" ->
+      """WITH part_f AS (
+        | SELECT p_partkey, CAST(round(p_retailprice*100) AS BIGINT) AS r100
+        | FROM part WHERE p_name LIKE '%bolt%'),
+        |li AS (
+        | SELECT l_orderkey, l_partkey, l_suppkey,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS e100,
+        |  CAST(round(l_discount*100) AS BIGINT) AS d100,
+        |  CAST(l_quantity AS BIGINT) AS q
+        | FROM lineitem)
+        |SELECT n.n_name AS nation,
+        | CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        | CAST(sum(li.e100*(100 - li.d100) - 80*part_f.r100*li.q) AS DOUBLE)
+        |   / 1e4 AS profit,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM li
+        | JOIN part_f ON li.l_partkey = part_f.p_partkey
+        | JOIN supplier s ON li.l_suppkey = s.s_suppkey
+        | JOIN orders o ON li.l_orderkey = o.o_orderkey
+        | JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q_dq_suite" ->
+      """SELECT 'fk_lineitem_orderkey' AS check_name,
+        | 'lineitem' AS table_name,
+        | CAST((SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |     WHERE l.l_orderkey = o.o_orderkey)) AS BIGINT) AS violations,
+        | CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS total,
+        | (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |     WHERE l.l_orderkey = o.o_orderkey)) = 0 AS pass
+        |UNION ALL
+        |SELECT 'fk_orders_custkey', 'orders',
+        | CAST((SELECT count(*) FROM orders x
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |     WHERE x.o_custkey = c.c_custkey)) AS BIGINT),
+        | CAST((SELECT count(*) FROM orders) AS BIGINT),
+        | (SELECT count(*) FROM orders x
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |     WHERE x.o_custkey = c.c_custkey)) = 0
+        |UNION ALL
+        |SELECT 'pk_orders_unique', 'orders',
+        | CAST((SELECT coalesce(sum(c - 1), 0) FROM (
+        |   SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+        |   WHERE c > 1) AS BIGINT),
+        | CAST((SELECT count(*) FROM orders) AS BIGINT),
+        | (SELECT coalesce(sum(c - 1), 0) FROM (
+        |   SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+        |   WHERE c > 1) = 0
+        |UNION ALL
+        |SELECT 'not_null_orderdate', 'orders',
+        | CAST((SELECT count(*) FROM orders
+        |   WHERE o_orderdate IS NULL) AS BIGINT),
+        | CAST((SELECT count(*) FROM orders) AS BIGINT),
+        | (SELECT count(*) FROM orders WHERE o_orderdate IS NULL) = 0
+        |UNION ALL
+        |SELECT 'range_discount_0_1', 'lineitem',
+        | CAST((SELECT count(*) FROM lineitem
+        |   WHERE l_discount < 0 OR l_discount > 1) AS BIGINT),
+        | CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+        | (SELECT count(*) FROM lineitem
+        |   WHERE l_discount < 0 OR l_discount > 1) = 0
+        |UNION ALL
+        |SELECT 'range_quantity_pos', 'lineitem',
+        | CAST((SELECT count(*) FROM lineitem
+        |   WHERE l_quantity <= 0) AS BIGINT),
+        | CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+        | (SELECT count(*) FROM lineitem WHERE l_quantity <= 0) = 0""".stripMargin,
     "q_interval_overlap" ->
       """WITH iv AS (
         | SELECT l_suppkey AS s, l_orderkey AS ok,

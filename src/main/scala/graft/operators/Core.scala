@@ -763,4 +763,93 @@ object Core {
       .filter($"best_higher".isNull || $"price" < $"best_higher")
       .select($"qty", $"price", $"n_at_qty")
   }
+
+  /** TPC-H Q9-shape product-profit query (r12) — the deepest join in
+    * the catalog (5 tables): profit per (nation, year) over a
+    * name-filtered part set, `amount = extprice·(1−disc) −
+    * 0.8·retail·qty`. The planner test the query exists for: three
+    * dimension sides (filtered part ~20%, supplier, nation) must
+    * BROADCAST, leaving exactly ONE big-big exchange
+    * (lineitem ⋈ orders on orderkey); join order is Catalyst's.
+    *
+    * Engine-exactness: all money is 2-decimal, so the amount is an
+    * INTEGER in 1e-4 dollars — `e100·(100−d100) − 80·r100·q` — and the
+    * group sum is exact; one raw division displays dollars. */
+  def q9Profit(spark: SparkSession, sfDir: String,
+               namePart: String = "bolt"): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, sfDir)
+      .filter($"p_name".contains(namePart))
+      .select($"p_partkey",
+        round($"p_retailprice" * 100, 0).cast("long").as("r100"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        round($"l_extendedprice" * 100, 0).cast("long").as("e100"),
+        round($"l_discount" * 100, 0).cast("long").as("d100"),
+        $"l_quantity".cast("long").as("q"))
+    val supp = Tables.supplier(spark, sfDir)
+      .select($"s_suppkey", $"s_nationkey")
+    val nation = Tables.nation(spark, sfDir)
+      .select($"n_nationkey", $"n_name")
+    val ord = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", year($"o_orderdate").cast("long").as("o_year"))
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .withColumn("amount_e4",
+        $"e100" * (lit(100L) - $"d100") - lit(80L) * $"r100" * $"q")
+      .groupBy($"n_name".as("nation"), $"o_year")
+      .agg(sum($"amount_e4").as("sum_e4"), count(lit(1)).as("n_lines"))
+      .select($"nation", $"o_year",
+        ($"sum_e4".cast("double") / 1e4).as("profit"), $"n_lines")
+  }
+
+  /** dbt-style DATA-QUALITY suite (r12) — the operational check table
+    * every warehouse runs before trusting a load: referential
+    * integrity (anti-join orphan counts), primary-key uniqueness,
+    * null rate, and accepted-range violations, one row per check with
+    * a pass verdict. Each check is a small aggregate or broadcast
+    * anti-join over the key column alone (column pruning does the
+    * heavy lifting); the union is of 1-row frames. */
+  def dqSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    // every check is ONE aggregate producing (violations, total)
+    // together — referential checks via broadcast left-join against the
+    // DISTINCT key set + a conditional count, never a separate pass or
+    // a 1-row × 1-row cross (which would plan BNLJ)
+    def check(name: String, table: String, agg: DataFrame): DataFrame =
+      agg.select(lit(name).as("check_name"), lit(table).as("table_name"),
+        $"violations", $"total", ($"violations" === 0L).as("pass"))
+    val c1 = check("fk_lineitem_orderkey", "lineitem",
+      li.select($"l_orderkey")
+        .join(broadcast(ord.select($"o_orderkey").distinct()
+          .withColumn("hit", lit(1))), $"l_orderkey" === $"o_orderkey", "left")
+        .agg(sum(when($"hit".isNull, 1L).otherwise(0L)).as("violations"),
+          count(lit(1)).as("total")))
+    val c2 = check("fk_orders_custkey", "orders",
+      ord.select($"o_custkey")
+        .join(broadcast(cust.select($"c_custkey").distinct()
+          .withColumn("hit", lit(1))), $"o_custkey" === $"c_custkey", "left")
+        .agg(sum(when($"hit".isNull, 1L).otherwise(0L)).as("violations"),
+          count(lit(1)).as("total")))
+    val c3 = check("pk_orders_unique", "orders",
+      ord.groupBy($"o_orderkey").agg(count(lit(1)).as("c"))
+        .agg(sum(when($"c" > 1, $"c" - 1).otherwise(0L)).as("violations"),
+          sum($"c").as("total")))
+    val c4 = check("not_null_orderdate", "orders",
+      ord.agg(sum(when($"o_orderdate".isNull, 1L).otherwise(0L))
+        .as("violations"), count(lit(1)).as("total")))
+    val c5 = check("range_discount_0_1", "lineitem",
+      li.agg(sum(when($"l_discount" < 0 || $"l_discount" > 1, 1L)
+        .otherwise(0L)).as("violations"), count(lit(1)).as("total")))
+    val c6 = check("range_quantity_pos", "lineitem",
+      li.agg(sum(when($"l_quantity" <= 0, 1L).otherwise(0L))
+        .as("violations"), count(lit(1)).as("total")))
+    c1.unionByName(c2).unionByName(c3).unionByName(c4)
+      .unionByName(c5).unionByName(c6)
+  }
 }

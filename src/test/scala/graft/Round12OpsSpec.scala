@@ -2,6 +2,8 @@ package graft
 
 import scala.math.BigDecimal.RoundingMode
 
+import org.apache.spark.sql.functions.{round, when, lit, year}
+
 import graft.llm.TextOps
 import graft.telemetry.Telemetry
 
@@ -384,6 +386,100 @@ class Round12OpsSpec extends SparkSpec {
     assert(got.size === 64)
     // shares form a distribution (integer-sum construction is exact)
     assert(math.abs(got.values.map(_._5).sum - 1.0) < 1e-9)
+  }
+
+  // ---- Q9 profit -------------------------------------------------------
+
+  test("q9Profit matches an integer-exact replica and plans 3 broadcasts") {
+    import spark.implicits._
+    val parts = Tables.part(spark, sf)
+      .filter($"p_name".contains("bolt"))
+      .select($"p_partkey", round($"p_retailprice" * 100, 0).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val supp = Tables.supplier(spark, sf)
+      .select($"s_suppkey", $"s_nationkey").as[(Long, Long)].collect().toMap
+    val nation = Tables.nation(spark, sf)
+      .select($"n_nationkey", $"n_name").as[(Long, String)].collect().toMap
+    val years = Tables.orders(spark, sf)
+      .select($"o_orderkey", year($"o_orderdate").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        round($"l_extendedprice" * 100, 0).cast("long"),
+        round($"l_discount" * 100, 0).cast("long"),
+        $"l_quantity".cast("long"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val agg = scala.collection.mutable.Map.empty[(String, Long), (Long, Long)]
+    li.foreach { case (ok, pk, sk, e100, d100, q) =>
+      parts.get(pk).foreach { r100 =>
+        val key = (nation(supp(sk)), years(ok))
+        val (s0, n0) = agg.getOrElse(key, (0L, 0L))
+        agg(key) = (s0 + (e100 * (100L - d100) - 80L * r100 * q), n0 + 1L)
+      }
+    }
+    val want = agg.map { case (k, (s, n)) => k -> ((s.toDouble / 1e4, n)) }.toMap
+    val df = graft.operators.Core.q9Profit(spark, sf)
+    val got = df.collect().map { r =>
+      (r.getAs[String]("nation"), r.getAs[Long]("o_year")) ->
+        ((r.getAs[Double]("profit"), r.getAs[Long]("n_lines")))
+    }.toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the planner test the query exists for: dimension sides broadcast
+    // and nothing degenerates to a nested loop / cartesian. (At
+    // sf0.001 AQE may ALSO broadcast the orders side — tiny data — so
+    // assert ≥3 in the final adaptive plan, not exactly 3.)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3, plan.take(500))
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"))
+  }
+
+  // ---- data-quality suite ---------------------------------------------
+
+  test("dqSuite flags injected corruption with exact violation counts") {
+    import spark.implicits._
+    // clean synthetic data: every check passes
+    val clean = graft.operators.Core.dqSuite(spark, sf).collect()
+      .map(r => r.getAs[String]("check_name") ->
+        ((r.getAs[Long]("violations"), r.getAs[Boolean]("pass")))).toMap
+    assert(clean.size === 6)
+    clean.foreach { case (name, (v, pass)) =>
+      assert(v === 0L && pass, s"clean data failed $name")
+    }
+    // corrupted copy: drop 10 orders (orphans its lineitems), null 3
+    // dates, duplicate 2 orders, negate 5 quantities
+    val dir = java.nio.file.Files.createTempDirectory("graft-dq").toString
+    val ord = Tables.orders(spark, sf)
+    val orphanKeys = ord.select($"o_orderkey").as[Long].collect().sorted.take(10)
+    val orphanedLi = Tables.lineitem(spark, sf)
+      .filter($"l_orderkey".isin(orphanKeys: _*)).count()
+    val corruptOrd = ord.filter(!$"o_orderkey".isin(orphanKeys: _*))
+      .withColumn("o_orderdate",
+        when($"o_orderkey" % 97 === 11, lit(null)).otherwise($"o_orderdate"))
+    val duped = corruptOrd.orderBy($"o_orderkey").limit(2)
+    val finalOrd = corruptOrd.unionByName(duped)
+    // count nulls AFTER the union: a duplicated key can also match the
+    // null-date rule (key 11 did — %97 == 11)
+    val nulled = finalOrd.filter($"o_orderdate".isNull).count()
+    finalOrd.write.parquet(s"$dir/orders.parquet")
+    val corruptLi = Tables.lineitem(spark, sf)
+      .withColumn("l_quantity",
+        when($"l_orderkey" % 101 === 7 && $"l_linenumber" === 1,
+          -$"l_quantity").otherwise($"l_quantity"))
+    val negd = corruptLi.filter($"l_quantity" <= 0).count()
+    corruptLi.write.parquet(s"$dir/lineitem.parquet")
+    Tables.customer(spark, sf).write.parquet(s"$dir/customer.parquet")
+    val dirty = graft.operators.Core.dqSuite(spark, dir).collect()
+      .map(r => r.getAs[String]("check_name") ->
+        ((r.getAs[Long]("violations"), r.getAs[Boolean]("pass")))).toMap
+    assert(dirty("fk_lineitem_orderkey") === ((orphanedLi, false)))
+    assert(dirty("not_null_orderdate") === ((nulled, false)))
+    assert(dirty("pk_orders_unique") === ((2L, false)))
+    assert(dirty("range_quantity_pos") === ((negd, false)))
+    assert(dirty("range_discount_0_1") === ((0L, true)))
+    assert(orphanedLi > 0 && nulled > 0 && negd > 0)
   }
 
   // ---- fastText-style quality scoring --------------------------------
