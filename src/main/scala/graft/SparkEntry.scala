@@ -167,6 +167,7 @@ object SparkEntry {
     "tel_ddsketch_native" -> ((s, d) => Telemetry.ddsketchNative(s, d)),
     "tel_psi_drift"      -> ((s, d) => Telemetry.psiDrift(s, d)),
     "tel_ab_test"        -> ((s, d) => Telemetry.abTest(s, d)),
+    "tel_kmv_overlap"    -> ((s, d) => Telemetry.kmvOverlap(s, d)),
     "tel_seasonal"       -> ((s, d) => Telemetry.seasonal(s, d)),
     "text_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
     "mm_frame_dedup"     -> (Multimodal.frameDedup _),
@@ -3244,6 +3245,63 @@ object SparkEntry {
         | CAST(sum(term_micro) AS DOUBLE)/1e6 AS psi,
         | CAST(sum(term_micro) AS DOUBLE)/1e6 >= 0.2 AS drifted
         |FROM terms GROUP BY 1""".stripMargin,
+    "tel_kmv_overlap" ->
+      """WITH tu AS (
+        | SELECT DISTINCT event_type, user_id FROM events),
+        |th AS (
+        | SELECT event_type, user_id,
+        |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        | FROM tu),
+        |sk AS (
+        | SELECT event_type, h FROM (
+        |  SELECT event_type, h, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY h, user_id) AS rk FROM th)
+        | WHERE rk <= 64),
+        |types AS (SELECT DISTINCT event_type FROM tu),
+        |pairs AS (
+        | SELECT a.event_type AS ta, b.event_type AS tb
+        | FROM types a JOIN types b ON a.event_type < b.event_type),
+        |tagged AS (
+        | SELECT ta, tb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        |  SELECT p.ta, p.tb, s.h, 1 AS in_a, 0 AS in_b
+        |  FROM pairs p JOIN sk s ON s.event_type = p.ta
+        |  UNION ALL
+        |  SELECT p.ta, p.tb, s.h, 0, 1
+        |  FROM pairs p JOIN sk s ON s.event_type = p.tb)
+        | GROUP BY 1, 2, 3),
+        |un AS (
+        | SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+        |  FROM tagged) WHERE rn <= 64),
+        |un2 AS (
+        | SELECT *,
+        |  CAST(count(*) OVER (PARTITION BY ta, tb) AS BIGINT) AS n_union,
+        |  max(h) OVER (PARTITION BY ta, tb) AS kth
+        | FROM un),
+        |est AS (
+        | SELECT ta, tb, max(n_union) AS n_union, max(kth) AS kth,
+        |  CAST(sum(CASE WHEN in_a = 1 AND in_b = 1
+        |    AND (n_union < 64 OR h < kth) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS bb
+        | FROM un2 GROUP BY 1, 2),
+        |ex AS (
+        | SELECT a.event_type AS ta, b.event_type AS tb,
+        |  CAST(count(*) AS BIGINT) AS exact_overlap
+        | FROM tu a JOIN tu b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        | GROUP BY 1, 2),
+        |sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |       FROM tu GROUP BY 1)
+        |SELECT e.ta AS type_a, e.tb AS type_b, sa.n AS n_a, sb.n AS n_b,
+        | ex.exact_overlap,
+        | CASE WHEN e.n_union < 64 THEN CAST(bb AS DOUBLE)
+        |  ELSE CAST(bb AS DOUBLE) /
+        |   (CAST(kth AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)) END
+        |   AS kmv_est
+        |FROM est e
+        | JOIN ex ON e.ta = ex.ta AND e.tb = ex.tb
+        | JOIN sz sa ON sa.event_type = e.ta
+        | JOIN sz sb ON sb.event_type = e.tb""".stripMargin,
     "tel_ab_test" ->
       """WITH g AS (
         | SELECT event_type,

@@ -1669,6 +1669,78 @@ object Telemetry {
       .withColumn("drifted", $"psi" >= alarm)
   }
 
+  /** KMV/theta-sketch audience overlap for every event_type pair — the
+    * sketch SET-OPERATION family (union/intersection estimates) that
+    * HLL cannot provide (HLL unions but never intersects): each type's
+    * audience is summarized by its k smallest 60-bit user hashes
+    * (k=64 — sized BELOW the fixture's 150-user audiences so the θ<1
+    * estimation path genuinely runs; production would use 2¹²⁺),
+    * the pair's union sketch is the k smallest of the merged
+    * hash sets, θ = (k-th min)/2⁶⁰, and the intersection estimate is
+    * `|{h < θ·2⁶⁰ present in BOTH sketches}| / θ` — the Theta-sketch
+    * estimator (Dasgupta et al., "Theta-Sketch Framework", 2016).
+    * Exact overlap rides along so the row itself documents the error.
+    *
+    * Engine-exactness: hashes are md5-prefix integers; sketches are
+    * rank-≤-k windows; the only float math is `θ = kth/2⁶⁰` (exact
+    * power-of-two scaling) and one division — bit-exact, no rounding.
+    *
+    * Scale shape: per-type sketches are rank-k windows over the
+    * DISTINCT (type, user) set (the one full-data pass); everything
+    * pairwise runs on ≤ types²·k sketch rows. At 100 TB the sketch
+    * build is the map-side-combined distinct; pair analytics are
+    * driver-scale. The exact-overlap column is the expensive truth —
+    * a production run drops it and keeps only the estimate. */
+  def kmvOverlap(spark: SparkSession, sfDir: String,
+                 k: Int = 64): DataFrame = {
+    import spark.implicits._
+    val tu = Tables.events(spark, sfDir)
+      .select($"event_type", $"user_id").distinct()
+      .withColumn("h",
+        conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+    val sk = tu
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"h", $"user_id")))
+      .filter($"rk" <= k)
+      .select($"event_type", $"h")
+    val types = tu.select($"event_type").distinct()
+    val pairs = types.select($"event_type".as("ta"))
+      .join(types.select($"event_type".as("tb")), $"ta" < $"tb")
+    val tagged = pairs.join(sk, $"event_type" === $"ta")
+      .select($"ta", $"tb", $"h", lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionByName(pairs.join(sk, $"event_type" === $"tb")
+        .select($"ta", $"tb", $"h", lit(0).as("in_a"), lit(1).as("in_b")))
+      .groupBy($"ta", $"tb", $"h")
+      .agg(max($"in_a").as("in_a"), max($"in_b").as("in_b"))
+    val wPair = Window.partitionBy($"ta", $"tb").orderBy($"h")
+    val union = tagged
+      .withColumn("rn", row_number().over(wPair))
+      .filter($"rn" <= k)
+      .withColumn("n_union", count(lit(1)).over(Window.partitionBy($"ta", $"tb")))
+      .withColumn("kth", max($"h").over(Window.partitionBy($"ta", $"tb")))
+    val est = union
+      .groupBy($"ta", $"tb")
+      .agg(max($"n_union").as("n_union"), max($"kth").as("kth"),
+        sum(when($"in_a" === 1 && $"in_b" === 1 &&
+          ($"n_union" < k || $"h" < $"kth"), 1L).otherwise(0L))
+          .as("both_below"))
+      .withColumn("kmv_est",
+        when($"n_union" < k, $"both_below".cast("double"))
+          .otherwise($"both_below".cast("double") /
+            ($"kth".cast("double") / lit(1152921504606846976L).cast("double"))))
+    val exact = tu.select($"event_type".as("ta"), $"user_id")
+      .join(tu.select($"event_type".as("tb"), $"user_id"), Seq("user_id"))
+      .filter($"ta" < $"tb")
+      .groupBy($"ta", $"tb").agg(count(lit(1)).as("exact_overlap"))
+    val sizes = tu.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    est.join(exact, Seq("ta", "tb"))
+      .join(sizes.select($"event_type".as("ta"), $"n".as("n_a")), Seq("ta"))
+      .join(sizes.select($"event_type".as("tb"), $"n".as("n_b")), Seq("tb"))
+      .select($"ta".as("type_a"), $"tb".as("type_b"), $"n_a", $"n_b",
+        $"exact_overlap", $"kmv_est")
+  }
+
   /** Deterministic A/B experiment read-out per event_type — the
     * product-analytics workhorse: users hash-split into two arms
     * (md5 % 2 — the stable bucketing every experimentation platform

@@ -35,7 +35,8 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_mmr_diversify",    // corpus × broadcast query set (by design)
     "tel_holt_winters",     // type×hour grid × 1-row hour-bounds broadcast
     "dedup_cluster_stats",  // size histogram × 1-row corpus-count broadcast
-    "tel_psi_drift")        // event scan × 1-row time-bounds broadcast
+    "tel_psi_drift",        // event scan × 1-row time-bounds broadcast
+    "tel_kmv_overlap")      // type×type pair frame (≤ types² rows)
 
   /** Queries allowed to rank with an UNPARTITIONED window over a set
     * that is not limit-bounded in the plan — each is small by
