@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{AsofJoin, Core, GraphSim, PageRank, RangeJoin, SkewOps, Triangles}
 import graft.telemetry.Telemetry
-import graft.llm.{Dedup, ImageOps, Multimodal, SimOps, TextOps}
+import graft.llm.{AudioOps, Dedup, ImageOps, Multimodal, SimOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -177,6 +177,8 @@ object SparkEntry {
     "mm_img_ahash_pairs" -> ((s, d) => ImageOps.imgAhashPairs(s, d)),
     "mm_img_dhash_pairs" -> ((s, d) => ImageOps.imgDhashPairs(s, d)),
     "mm_img_entropy"     -> ((s, d) => ImageOps.imgEntropy(s, d)),
+    "mm_wav_meta"        -> ((s, d) => AudioOps.wavMeta(s, d)),
+    "mm_wav_windows"     -> ((s, d) => AudioOps.wavWindows(s, d)),
     "mm_img_ahash_clusters" -> ((s, d) => ImageOps.imgAhashClusters(s, d)),
     "mm_img_downsample"  -> (ImageOps.imgDownsample _),
     "sim_mrl_rerank"     -> ((s, d) => SimOps.mrlRerank(s, d)),
@@ -3483,6 +3485,44 @@ object SparkEntry {
         | CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
         | CAST(sum(v) AS BIGINT) AS sum_luma
         |FROM px GROUP BY 1""".stripMargin,
+    "mm_wav_meta" ->
+      """WITH v AS (
+        | SELECT d.doc_id, i.i,
+        |  ('0x' || substr(md5('a:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+        |     CAST(i.i AS VARCHAR)), 1, 4))::BIGINT AS v
+        | FROM (SELECT doc_id FROM documents) d
+        | CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS i) i),
+        |x AS (
+        | SELECT doc_id,
+        |  v - CASE WHEN v >= 32768 THEN 65536 ELSE 0 END AS s
+        | FROM v)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        | CAST(count(*) AS BIGINT) AS n_samples,
+        | CAST(count(*) * 125 AS BIGINT) AS duration_us,
+        | CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+        | CAST(sum(abs(s)) AS BIGINT) AS sum_abs
+        |FROM x GROUP BY 1""".stripMargin,
+    "mm_wav_windows" ->
+      """WITH v AS (
+        | SELECT d.doc_id, i.i,
+        |  ('0x' || substr(md5('a:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+        |     CAST(i.i AS VARCHAR)), 1, 4))::BIGINT AS v
+        | FROM (SELECT doc_id FROM documents) d
+        | CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS i) i),
+        |x AS (
+        | SELECT doc_id, i, i // 128 AS win,
+        |  v - CASE WHEN v >= 32768 THEN 65536 ELSE 0 END AS s
+        | FROM v),
+        |x2 AS (
+        | SELECT *, lag(s) OVER (PARTITION BY doc_id, win ORDER BY i) AS prev
+        | FROM x)
+        |SELECT doc_id, CAST(win AS BIGINT) AS win,
+        | CAST(count(*) AS BIGINT) AS n_samples,
+        | CAST(sum(s*s) AS BIGINT) AS energy_q,
+        | sqrt(CAST(CAST(sum(s*s) AS BIGINT) AS DOUBLE) / 128) AS rms,
+        | CAST(sum(CASE WHEN prev IS NOT NULL
+        |   AND (s >= 0) <> (prev >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+        |FROM x2 GROUP BY 1, 2""".stripMargin,
     "mm_img_entropy" ->
       """WITH px AS (
         | SELECT d.doc_id, i.i,
