@@ -168,6 +168,8 @@ object SparkEntry {
     "tel_psi_drift"      -> ((s, d) => Telemetry.psiDrift(s, d)),
     "tel_ab_test"        -> ((s, d) => Telemetry.abTest(s, d)),
     "tel_kmv_overlap"    -> ((s, d) => Telemetry.kmvOverlap(s, d)),
+    "tel_dp_counts"      -> ((s, d) => Telemetry.dpCounts(s, d)),
+    "tel_k_anon"         -> ((s, d) => Telemetry.kAnon(s, d)),
     "tel_seasonal"       -> ((s, d) => Telemetry.seasonal(s, d)),
     "text_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
     "mm_frame_dedup"     -> (Multimodal.frameDedup _),
@@ -178,6 +180,7 @@ object SparkEntry {
     "mm_img_dhash_pairs" -> ((s, d) => ImageOps.imgDhashPairs(s, d)),
     "mm_img_entropy"     -> ((s, d) => ImageOps.imgEntropy(s, d)),
     "mm_wav_meta"        -> ((s, d) => AudioOps.wavMeta(s, d)),
+    "mm_video_scenecut"  -> ((s, d) => ImageOps.videoSceneCuts(s, d)),
     "mm_wav_windows"     -> ((s, d) => AudioOps.wavWindows(s, d)),
     "mm_img_ahash_clusters" -> ((s, d) => ImageOps.imgAhashClusters(s, d)),
     "mm_img_downsample"  -> (ImageOps.imgDownsample _),
@@ -3247,6 +3250,40 @@ object SparkEntry {
         | CAST(sum(term_micro) AS DOUBLE)/1e6 AS psi,
         | CAST(sum(term_micro) AS DOUBLE)/1e6 >= 0.2 AS drifted
         |FROM terms GROUP BY 1""".stripMargin,
+    "tel_k_anon" ->
+      """WITH g AS (
+        | -- DuckDB dayofweek is 0=Sun..6; Spark is 1=Sun..7 — align
+        | SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS weekday,
+        |  CAST(floor(value/10)*10 AS BIGINT) AS value_bucket,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_groups,
+        | CAST(sum(CASE WHEN c < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_small_groups,
+        | CAST(sum(CASE WHEN c < 10 THEN c ELSE 0 END) AS BIGINT)
+        |   AS rows_at_risk,
+        | CAST(sum(c) AS BIGINT) AS n_rows,
+        | CAST(10 AS BIGINT) AS k,
+        | sum(CASE WHEN c < 10 THEN 1 ELSE 0 END) = 0 AS anonymous
+        |FROM g GROUP BY 1""".stripMargin,
+    "tel_dp_counts" ->
+      """WITH c AS (
+        | SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |hh AS (
+        | SELECT *, greatest(('0x' || substr(md5('dp:' || event_type || ':'
+        |   || day), 1, 15))::BIGINT, 1) AS h
+        | FROM c),
+        |nz AS (
+        | SELECT *, CASE WHEN h < 576460752303423488
+        |  THEN round(ln(CAST(h AS DOUBLE) / 576460752303423488.0), 4)
+        |  ELSE -round(ln(CAST(1152921504606846976 - h AS DOUBLE)
+        |    / 576460752303423488.0), 4) END AS noise
+        | FROM hh)
+        |SELECT event_type, day, n, noise, n + noise AS released,
+        | CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM nz""".stripMargin,
     "tel_kmv_overlap" ->
       """WITH tu AS (
         | SELECT DISTINCT event_type, user_id FROM events),
@@ -3485,6 +3522,29 @@ object SparkEntry {
         | CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
         | CAST(sum(v) AS BIGINT) AS sum_luma
         |FROM px GROUP BY 1""".stripMargin,
+    "mm_video_scenecut" ->
+      """WITH fr AS (
+        | SELECT d.doc_id, f.f, i.i,
+        |  CASE WHEN i.i < 2
+        |   THEN (('0x' || substr(md5('v:' || CAST(d.doc_id AS VARCHAR) ||
+        |      ':' || CAST(f.f // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT + f.f % 3) % 256
+        |   ELSE ('0x' || substr(md5('v:' || CAST(d.doc_id AS VARCHAR) ||
+        |      ':' || CAST(f.f // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT
+        |  END AS v
+        | FROM (SELECT doc_id FROM documents) d
+        | CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS f) f
+        | CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i),
+        |sad AS (
+        | SELECT a.doc_id, a.f AS frame_idx,
+        |  CAST(sum(abs(a.v - b.v)) AS BIGINT) AS sad_x64
+        | FROM fr a JOIN fr b
+        |  ON a.doc_id = b.doc_id AND a.i = b.i AND b.f = a.f - 1
+        | WHERE a.f >= 1 GROUP BY 1, 2)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, sad_x64,
+        | sad_x64 > 2560 AS is_cut
+        |FROM sad""".stripMargin,
     "mm_wav_meta" ->
       """WITH v AS (
         | SELECT d.doc_id, i.i,

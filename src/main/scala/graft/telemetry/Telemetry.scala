@@ -1669,6 +1669,70 @@ object Telemetry {
       .withColumn("drifted", $"psi" >= alarm)
   }
 
+  /** k-anonymity risk report over the quasi-identifier tuple
+    * (event_type, weekday, value decade-bucket) — the privacy
+    * audit run before any release ([[dpCounts]] is the mechanism;
+    * this is the exposure measurement): a row whose quasi-identifier
+    * combination matches fewer than k rows is re-identifiable by
+    * linkage (Sweeney, k-anonymity). Reports, per event_type: group
+    * count, small (<k) group count, and rows at risk.
+    *
+    * One map-side-combined hash agg to the tuple counts, then a
+    * keys-sized conditional rollup — all integers. */
+  def kAnon(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type", dayofweek($"ts").cast("long").as("weekday"),
+        (floor($"value" / 10) * 10).cast("long").as("value_bucket"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when($"c" < k, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when($"c" < k, $"c").otherwise(0L)).as("rows_at_risk"),
+        sum($"c").as("n_rows"))
+      .withColumn("k", lit(k.toLong))
+      .withColumn("anonymous", $"n_small_groups" === 0L)
+  }
+
+  /** Differentially-private count release per (event_type, day) — the
+    * Dwork et al. Laplace mechanism with ε=1 (counting queries have
+    * L1-sensitivity 1, so b = 1/ε = 1): `released = n + Lap(1)`. The
+    * noise is DERANDOMIZED for engine-exactness — the uniform draw is
+    * the md5 hash of the release coordinate mapped through the exact
+    * Laplace inverse CDF (`u<½ → ln 2u ; u≥½ → −ln 2(1−u)`), which
+    * keeps the pipeline (grouped counts → per-cell noise → release)
+    * byte-reproducible and oracle-checkable; a production deployment
+    * swaps the hash for a CSPRNG draw — the mechanism's shape, scale
+    * calibration and release schema are the operator.
+    *
+    * Exactness: `2u = h/2⁵⁹` and `2(1−u) = (2⁶⁰−h)/2⁵⁹` are each ONE
+    * exact division of integers; the ln is round-4 quantized (the
+    * bigram discipline); the release is one double add. The true `n`
+    * and the noise ride along so the fixture documents calibration —
+    * a real release would publish `released` alone.
+    *
+    * Scale shape: one map-side-combined (type, day) count; noise is a
+    * narrow per-row expression. */
+  def dpCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val half = 576460752303423488L // 2^59
+    val full = 1152921504606846976L // 2^60
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        date_format(to_date($"ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("h", greatest(
+        conv(substring(md5(concat(lit("dp:"), $"event_type", lit(":"),
+          $"day")), 1, 15), 16, 10).cast("long"), lit(1L)))
+      .withColumn("noise",
+        when($"h" < half,
+          round(log($"h".cast("double") / half.toDouble), 4))
+        .otherwise(
+          -round(log((lit(full) - $"h").cast("double") / half.toDouble), 4)))
+      .select($"event_type", $"day", $"n", $"noise",
+        ($"n" + $"noise").as("released"), lit(1.0).as("epsilon"))
+  }
+
   /** KMV/theta-sketch audience overlap for every event_type pair — the
     * sketch SET-OPERATION family (union/intersection estimates) that
     * HLL cannot provide (HLL unions but never intersects): each type's

@@ -119,6 +119,49 @@ class ImageOpsSpec extends SparkSpec {
     assert(want.exists(_._3 >= 1L))
   }
 
+  test("video scene cuts: real PNG frames, SADs match, cuts at scene edges") {
+    val vids = graft.llm.ImageOps.videos(spark, sf).collect()
+    assert(vids.length === 500)
+    // demux + stock-decode independently for a sample
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def analyticFrame(docId: Long, f: Int): Array[Int] =
+      Array.tabulate(64) { i =>
+        val b = md.digest(s"v:$docId:${f / 3}:$i".getBytes("UTF-8"))(0) & 0xff
+        if (i < 2) (b + f % 3) % 256 else b
+      }
+    vids.take(20).foreach { row =>
+      assert(new String(row.vid.take(4), "US-ASCII") === "GVID")
+      val n = row.vid(4) & 0xff
+      assert(n === 8)
+      var off = 5
+      (0 until n).foreach { f =>
+        val len = ((row.vid(off) & 0xff) << 8) | (row.vid(off + 1) & 0xff)
+        val bytes = java.util.Arrays.copyOfRange(row.vid, off + 2, off + 2 + len)
+        off += 2 + len
+        // every frame is a REAL PNG a stock decoder accepts
+        assert(bytes.take(8).map(_ & 0xff).toSeq ===
+          Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        val got = Array.tabulate(64)(i =>
+          img.getRaster.getSample(i % 8, i / 8, 0))
+        assert(got.toSeq === analyticFrame(row.doc_id, f).toSeq)
+      }
+      assert(off === row.vid.length)
+    }
+    val cuts = graft.llm.ImageOps.videoSceneCuts(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")) ->
+        ((r.getAs[Long]("sad_x64"), r.getAs[Boolean]("is_cut")))).toMap
+    assert(cuts.size === 3500) // 500 docs × 7 transitions
+    // scene boundaries are at frames 3 and 6 (scene = f div 3): cuts
+    // exactly there, never inside a scene. Intra-scene SAD is the
+    // 2-pixel jitter — usually ≤ 4 but up to 2·255 when the %256
+    // wraps (b=254: +1→255, +2→0) — still far below the 2560 threshold
+    cuts.foreach { case ((_, f), (sad, cut)) =>
+      if (f == 3L || f == 6L) assert(cut, s"missed cut at frame $f (sad $sad)")
+      else assert(!cut && sad <= 512L, s"false cut at frame $f (sad $sad)")
+    }
+  }
+
   test("entropy matches a from-scratch histogram fold over analytic pixels") {
     val got = graft.llm.ImageOps.imgEntropy(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->

@@ -528,6 +528,38 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- DP release ------------------------------------------------------
+
+  test("dpCounts matches the derandomized Laplace mechanism exactly") {
+    import spark.implicits._
+    val half = 576460752303423488L
+    val full = 1152921504606846976L
+    val counts = Tables.events(spark, sf)
+      .selectExpr("event_type", "date_format(to_date(ts), 'yyyy-MM-dd')")
+      .as[(String, String)].collect()
+      .groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+    val want = counts.map { case ((t, day), n) =>
+      val h = math.max(hash60(s"dp:$t:$day"), 1L)
+      val noise =
+        if (h < half) round4(math.log(h.toDouble / half.toDouble))
+        else -round4(math.log((full - h).toDouble / half.toDouble))
+      (t, day) -> ((n, noise, n + noise))
+    }
+    val got = Telemetry.dpCounts(spark, sf).collect().map { r =>
+      (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("noise"),
+          r.getAs[Double]("released")))
+    }.toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    // Laplace(1) calibration on the hash draws: mean |noise| ≈ b = 1
+    val absNoise = got.values.map(v => math.abs(v._2))
+    val meanAbs = absNoise.sum / absNoise.size
+    assert(meanAbs > 0.4 && meanAbs < 2.5, s"mean |noise| $meanAbs off scale")
+    // release ≠ truth almost surely, but stays within a few b of it
+    assert(got.values.forall { case (n, _, rel) => math.abs(rel - n) < 15 })
+  }
+
   // ---- fastText-style quality scoring --------------------------------
 
   test("fasttextQuality matches a from-scratch hashed-linear recompute") {
