@@ -560,6 +560,30 @@ class Round12OpsSpec extends SparkSpec {
     assert(got.values.forall { case (n, _, rel) => math.abs(rel - n) < 15 })
   }
 
+  test("kAnon matches a from-scratch quasi-identifier grouping") {
+    import spark.implicits._
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(dayofweek(ts) AS LONG)",
+        "CAST(floor(value/10)*10 AS LONG)")
+      .as[(String, Long, Long)].collect()
+    val want = rows.groupBy(_._1).map { case (t, rs) =>
+      val groups = rs.groupBy(identity).map(_._2.length.toLong)
+      val small = groups.filter(_ < 10)
+      t -> ((groups.size.toLong, small.size.toLong, small.sum,
+        rs.length.toLong, 10L, small.isEmpty))
+    }
+    val got = Telemetry.kAnon(spark, sf).collect().map { r =>
+      r.getAs[String]("event_type") -> ((r.getAs[Long]("n_groups"),
+        r.getAs[Long]("n_small_groups"), r.getAs[Long]("rows_at_risk"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("k"),
+        r.getAs[Boolean]("anonymous")))
+    }.toMap
+    assert(got === want)
+    // the decade×weekday grid at sf0.001 is sparse: risk is nonzero,
+    // so the report has something to say
+    assert(got.values.exists(_._2 > 0L))
+  }
+
   // ---- fastText-style quality scoring --------------------------------
 
   test("fasttextQuality matches a from-scratch hashed-linear recompute") {
