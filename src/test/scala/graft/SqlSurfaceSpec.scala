@@ -49,6 +49,16 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT bottomk_by_hash(user_id, 3) AS s FROM ev_sql")
       .first().getSeq[Long](0)
     assert(bk.size === 3)
+    // ddsketch_agg (fully-mergeable quantile sketch) from GROUP BY SQL —
+    // must equal the DataFrame-path native query exactly
+    val ddSql = spark.sql(
+      """SELECT event_type, ddsketch_agg(value, 12).p95_est AS p95
+        |FROM ev_sql WHERE value > 0 GROUP BY event_type""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ddDf = graft.telemetry.Telemetry.ddsketchNative(spark, sf)
+      .select($"event_type", $"p95_est").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ddSql === ddDf)
     spark.catalog.dropTempView("ev_sql")
   }
 }
