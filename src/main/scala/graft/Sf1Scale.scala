@@ -86,7 +86,10 @@ object Sf1Scale {
     // (vocabulary-sized — its cost should grow SUB-linearly with docs),
     // plus the doc_id-driven real-decode image family
     "text_fasttext_quality", "text_bpe_train",
-    "mm_img_dhash_pairs", "mm_img_entropy")
+    "mm_img_dhash_pairs", "mm_img_entropy",
+    // real-codec audio/video paths (doc_id-driven, narrow maps — the
+    // ratio should be the codec cost, purely linear)
+    "mm_wav_windows", "mm_video_scenecut")
 
   /** Deterministic word from a full-avalanche mix (vocab of 1000):
     * individual word collisions are common (real corpora repeat words)

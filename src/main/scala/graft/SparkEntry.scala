@@ -161,6 +161,8 @@ object SparkEntry {
     "tel_changepoint"    -> (Telemetry.changepoint _),
     "tel_new_vs_returning" -> (Telemetry.newVsReturning _),
     "q_interval_overlap" -> ((s, d) => RangeJoin.intervalOverlap(s, d)),
+    "q_interval_overlap_rewrite" ->
+      ((s, d) => RangeJoin.intervalOverlapNaive(s, d)),
     "q9_profit"          -> ((s, d) => Core.q9Profit(s, d)),
     "q_dq_suite"         -> ((s, d) => Core.dqSuite(s, d)),
     "tel_ddsketch"       -> ((s, d) => Telemetry.ddsketch(s, d)),
@@ -237,6 +239,10 @@ object SparkEntry {
   def queryConfs: Map[String, Map[String, String]] = Map(
     "q_window_topk_rewrite" ->
       Map(graft.plans.TopKWindowRewrite.ENABLED_KEY -> "true"),
+    // naive inequality join + the automated bucketing rule — same
+    // oracle as the hand-bucketed q_interval_overlap
+    "q_interval_overlap_rewrite" ->
+      Map(graft.plans.RangeJoinRewrite.BIN_KEY -> "7"),
     // force the shuffled-join shape (no broadcast) and let the runtime
     // bloom filter inject at local test sizes
     "q_bloom_join" -> Map(
@@ -429,6 +435,35 @@ object SparkEntry {
     }
     sb.toString
   }
+
+  /** Shared by `q_interval_overlap` (hand-bucketed plan) and
+    * `q_interval_overlap_rewrite` (naive join + RangeJoinRewrite rule) —
+    * one oracle proving the optimizer rewrite is a bit-exact drop-in. */
+  private val intervalOverlapOracleSql: String =
+    """WITH iv AS (
+      | SELECT l_suppkey AS s, l_orderkey AS ok,
+      |  CAST(l_linenumber AS BIGINT) AS ln,
+      |  CAST(l_quantity AS BIGINT) AS q,
+      |  epoch_us(l_shipdate)//86400000000 AS lo,
+      |  epoch_us(l_shipdate)//86400000000 + 1
+      |    + CAST(l_quantity AS BIGINT) % 14 AS hi
+      | FROM lineitem),
+      |p AS (
+      | SELECT a.s, least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1 AS od
+      | FROM iv a JOIN iv b ON a.s = b.s
+      |  AND (a.ok, a.ln, a.lo, a.q) < (b.ok, b.ln, b.lo, b.q)
+      |  AND a.lo <= b.hi AND b.lo <= a.hi),
+      |pc AS (
+      | SELECT s, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(od) AS BIGINT) AS sd, CAST(max(od) AS BIGINT) AS mx
+      | FROM p GROUP BY 1),
+      |c AS (SELECT s, CAST(count(*) AS BIGINT) AS n_intervals
+      |      FROM iv GROUP BY 1)
+      |SELECT c.s AS suppkey, c.n_intervals,
+      | coalesce(pc.n, 0) AS n_overlap_pairs,
+      | coalesce(pc.sd, 0) AS sum_overlap_days,
+      | coalesce(pc.mx, 0) AS max_overlap_days
+      |FROM c LEFT JOIN pc USING (s)""".stripMargin
 
   /** Shared by `tel_ddsketch` (relational pipeline) and
     * `tel_ddsketch_native` (custom Catalyst aggregate) — one oracle
@@ -3190,31 +3225,8 @@ object SparkEntry {
         |   WHERE l_quantity <= 0) AS BIGINT),
         | CAST((SELECT count(*) FROM lineitem) AS BIGINT),
         | (SELECT count(*) FROM lineitem WHERE l_quantity <= 0) = 0""".stripMargin,
-    "q_interval_overlap" ->
-      """WITH iv AS (
-        | SELECT l_suppkey AS s, l_orderkey AS ok,
-        |  CAST(l_linenumber AS BIGINT) AS ln,
-        |  CAST(l_quantity AS BIGINT) AS q,
-        |  epoch_us(l_shipdate)//86400000000 AS lo,
-        |  epoch_us(l_shipdate)//86400000000 + 1
-        |    + CAST(l_quantity AS BIGINT) % 14 AS hi
-        | FROM lineitem),
-        |p AS (
-        | SELECT a.s, least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1 AS od
-        | FROM iv a JOIN iv b ON a.s = b.s
-        |  AND (a.ok, a.ln, a.lo, a.q) < (b.ok, b.ln, b.lo, b.q)
-        |  AND a.lo <= b.hi AND b.lo <= a.hi),
-        |pc AS (
-        | SELECT s, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(od) AS BIGINT) AS sd, CAST(max(od) AS BIGINT) AS mx
-        | FROM p GROUP BY 1),
-        |c AS (SELECT s, CAST(count(*) AS BIGINT) AS n_intervals
-        |      FROM iv GROUP BY 1)
-        |SELECT c.s AS suppkey, c.n_intervals,
-        | coalesce(pc.n, 0) AS n_overlap_pairs,
-        | coalesce(pc.sd, 0) AS sum_overlap_days,
-        | coalesce(pc.mx, 0) AS max_overlap_days
-        |FROM c LEFT JOIN pc USING (s)""".stripMargin,
+    "q_interval_overlap" -> intervalOverlapOracleSql,
+    "q_interval_overlap_rewrite" -> intervalOverlapOracleSql,
     "tel_psi_drift" ->
       """WITH ev AS (
         | SELECT event_type, epoch_us(ts) AS us,

@@ -156,7 +156,8 @@ object GraftFunctions {
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
     // optimizer rewrites (conf-gated, default off) — idempotent add
-    Seq(graft.plans.TopKWindowRewrite, graft.plans.ApproxDistinctRewrite)
+    Seq(graft.plans.TopKWindowRewrite, graft.plans.ApproxDistinctRewrite,
+        graft.plans.RangeJoinRewrite)
       .foreach { rule =>
         if (!spark.experimental.extraOptimizations.contains(rule)) {
           spark.experimental.extraOptimizations =

@@ -103,4 +103,45 @@ object RangeJoin {
         coalesce($"sum_overlap_days", lit(0L)).as("sum_overlap_days"),
         coalesce($"max_overlap_days", lit(0L)).as("max_overlap_days"))
   }
+
+  /** [[intervalOverlap]] written the NAIVE way — a plain inequality
+    * join — relying on [[graft.plans.RangeJoinRewrite]] (enabled via
+    * queryConfs: `spark.graft.rangeJoinRewrite.binSize=7`) to inject
+    * the grid cells automatically. Same rows, same DuckDB oracle as
+    * the hand-bucketed twin: the strongest correctness statement
+    * available for an optimizer rule — the rewritten plan must be a
+    * bit-exact drop-in. Without the rule this plan hash-joins on `s`
+    * alone and evaluates the overlap as a per-supplier-QUADRATIC
+    * residual — the shape that collapses at 100×. */
+  def intervalOverlapNaive(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val iv = Tables.lineitem(spark, sfDir)
+      .select($"l_suppkey".as("s"), $"l_orderkey".as("ok"),
+        $"l_linenumber".cast("long").as("ln"),
+        $"l_quantity".cast("long").as("q"),
+        expr("unix_micros(l_shipdate) div 86400000000").as("lo"))
+      .withColumn("hi", $"lo" + lit(1L) + $"q" % 14)
+    val a = iv.select($"s", $"ok".as("a_ok"), $"ln".as("a_ln"),
+      $"q".as("a_q"), $"lo".as("a_lo"), $"hi".as("a_hi"))
+    val b = iv.select($"s".as("b_s"), $"ok".as("b_ok"), $"ln".as("b_ln"),
+      $"q".as("b_q"), $"lo".as("b_lo"), $"hi".as("b_hi"))
+    val pairs = a.join(b,
+        $"s" === $"b_s" &&
+        $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi" &&
+        struct($"a_ok", $"a_ln", $"a_lo", $"a_q") <
+          struct($"b_ok", $"b_ln", $"b_lo", $"b_q"))
+      .withColumn("overlap_days",
+        least($"a_hi", $"b_hi") - greatest($"a_lo", $"b_lo") + 1)
+    val counts = iv.groupBy($"s").agg(count(lit(1)).as("n_intervals"))
+    counts.join(
+        pairs.groupBy($"s").agg(count(lit(1)).as("n_overlap_pairs"),
+          sum($"overlap_days").as("sum_overlap_days"),
+          max($"overlap_days").as("max_overlap_days")),
+        Seq("s"), "left")
+      .select($"s".as("suppkey"), $"n_intervals",
+        coalesce($"n_overlap_pairs", lit(0L)).as("n_overlap_pairs"),
+        coalesce($"sum_overlap_days", lit(0L)).as("sum_overlap_days"),
+        coalesce($"max_overlap_days", lit(0L)).as("max_overlap_days"))
+  }
 }
