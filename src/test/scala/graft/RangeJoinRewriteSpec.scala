@@ -101,6 +101,34 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("seeded random intervals incl. NEGATIVE bounds: rewrite is row-exact") {
+    import spark.implicits._
+    // truncated-div cells differ from floor-div below zero — the rule's
+    // sign-safety claim (monotonicity suffices) gets adversarial input:
+    // bounds straddling zero, zero-length and inverted intervals
+    val rnd = new scala.util.Random(42)
+    val mk = (n: Int, tag: String) => (0 until n).map { i =>
+      val lo = rnd.nextInt(400) - 200L // [-200, 200)
+      val len = rnd.nextInt(25) - 2L   // [-2, 23): some inverted
+      (i.toLong, lo, lo + len)
+    }.toDF(s"${tag}_id", s"${tag}_lo", s"${tag}_hi")
+    val a = mk(300, "a")
+    val b = mk(300, "b")
+    def q = a.join(b, $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+      .select($"a_id", $"b_id")
+    var off: Seq[(Long, Long)] = null
+    withBin(null) {
+      off = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    }
+    Seq("3", "8", "50").foreach { w =>
+      withBin(w) {
+        val on = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        assert(on === off, s"divergence at binSize=$w")
+      }
+    }
+    assert(off.nonEmpty)
+  }
+
   test("rewritten naive catalog query equals the hand-bucketed twin") {
     val hand = graft.operators.RangeJoin.intervalOverlap(spark, sf)
       .collect().map(_.toSeq).toSet
