@@ -110,6 +110,25 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("bucketIdx satisfies the defining γ-bucket inequality on random input") {
+    // i = ⌈log_√2 v100⌉ must mean γ^(i−1) < v100 ≤ γ^i, i.e.
+    // 2^(i−1) < v100² ≤ 2^i — checked EXACTLY with BigInt, no floats,
+    // against the bits(v100²−1) implementation trick
+    val rnd = new scala.util.Random(7)
+    val values = Seq(0.005, 0.01, 0.015, 490.02, 1e6) ++
+      (1 to 2000).map(_ => rnd.nextDouble() * rnd.nextInt(100000) + 0.001)
+    values.foreach { v =>
+      val i = graft.functions.DdsketchKernel.bucketIdx(v)
+      val v100 = math.max(roundL(v * 100), 1L)
+      val sq = BigInt(v100) * BigInt(v100)
+      if (v100 == 1L) assert(i === 0L)
+      else {
+        assert(sq <= BigInt(2).pow(i.toInt), s"v=$v v100=$v100 i=$i upper")
+        assert(sq > BigInt(2).pow(i.toInt - 1), s"v=$v v100=$v100 i=$i lower")
+      }
+    }
+  }
+
   test("ddsketch bucket maps merge associatively across shards") {
     // the representation the 100 TB path shuffles: per-shard bucket
     // maps summed key-wise equal the global map
