@@ -220,6 +220,7 @@ object SparkEntry {
     "text_fasttext_quality" -> ((s, d) => TextOps.fasttextQuality(s, d)),
     "text_bpe_train"     -> ((s, d) => TextOps.bpeTrain(s, d)),
     "text_bpe_curve"     -> ((s, d) => TextOps.bpeCurve(s, d)),
+    "text_bpe_tokenize"  -> ((s, d) => TextOps.bpeTokenize(s, d)),
     "sim_embed_stats"    -> ((s, d) => SimOps.embedStats(s, d)),
     "dedup_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
     "sim_hybrid_rrf"     -> ((s, d) => SimOps.hybridRrf(s, d)),
@@ -409,10 +410,32 @@ object SparkEntry {
     * re-evaluate the chain EXPONENTIALLY (3^steps scans of w0 — the
     * un-materialized curve oracle ran >12 min before being killed);
     * materialization makes the oracle linear like the Spark loop. */
+  /** Same chain read out as per-document tokenization under the final
+    * vocabulary (`text_bpe_tokenize`): doc words left-join the trained
+    * word→token-count table; sub-filter words count as 1 token. */
+  private def bpeTokenizeOracleSql(steps: Int = 8): String =
+    bpeOracleCtes(steps) ++
+      s""",
+        |vocab AS (
+        | SELECT w, CAST(len(string_split(trim(sym), ' ')) AS BIGINT)
+        |   AS w_tok
+        | FROM w$steps),
+        |dw AS (
+        | SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        | FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        | CAST(sum(coalesce(v.w_tok, 1)) AS BIGINT) AS bpe_tokens,
+        | CAST(sum(length(dw.w)) AS BIGINT) AS char_tokens,
+        | CAST(sum(coalesce(v.w_tok, 1)) AS BIGINT)
+        |   / CAST(count(*) AS DOUBLE) AS tokens_per_word
+        |FROM dw LEFT JOIN vocab v USING (w)
+        |GROUP BY 1""".stripMargin
+
   private def bpeOracleCtes(steps: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH w0 AS MATERIALIZED (
-      | SELECT CAST(count(*) AS BIGINT) AS freq,
+      | SELECT w, CAST(count(*) AS BIGINT) AS freq,
       |  ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym
       | FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
       |       FROM documents) t
@@ -428,7 +451,7 @@ object SparkEntry {
         |b$k AS MATERIALIZED (SELECT pair, replace(pair, ' ', '') AS merged, n
         |        FROM p$k ORDER BY n DESC, pair LIMIT 1),
         |w$k AS MATERIALIZED (
-        | SELECT freq, replace(sym,
+        | SELECT w, freq, replace(sym,
         |   ' ' || (SELECT pair FROM b$k) || ' ',
         |   ' ' || (SELECT merged FROM b$k) || ' ') AS sym FROM w${k - 1})"""
         .stripMargin
@@ -2549,6 +2572,7 @@ object SparkEntry {
         |FROM agg QUALIFY rnk <= 20""".stripMargin,
     "text_bpe_train" -> bpeOracleSql(),
     "text_bpe_curve" -> bpeCurveOracleSql(),
+    "text_bpe_tokenize" -> bpeTokenizeOracleSql(),
     "sim_embed_stats" ->
       """WITH x AS (
         | SELECT i - 1 AS dim,

@@ -1057,6 +1057,44 @@ object TextOps {
           .as("tokens_per_word"))
   }
 
+  /** BPE tokenization with the TRAINED merge table — the downstream op
+    * [[bpeTrain]]'s output exists for: per document, the token count
+    * under the learned subword vocabulary vs the whitespace and
+    * character baselines. The 8 merges are collected (8 tiny strings),
+    * applied to the DISTINCT-word vocabulary as a chain of 8 plain
+    * replaces (no loop, no argmax — training already chose them), and
+    * the doc stream joins the ≤vocab-row tokenized vocabulary
+    * BROADCAST. Words shorter than the training filter (len < 2)
+    * tokenize as themselves (1 token).
+    *
+    * Scale shape: train cost is vocabulary-sized (see [[bpeTrain]]);
+    * apply is one narrow explode + broadcast join + hash agg — the
+    * corpus never shuffles; tokens_per_word is one raw division. */
+  def bpeTokenize(spark: SparkSession, sfDir: String,
+                  steps: Int = 8): DataFrame = {
+    import spark.implicits._
+    val merges = bpeTrain(spark, sfDir, steps).collect()
+      .sortBy(_.getAs[Long]("step"))
+      .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged")))
+    val dw = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split(trim(lower($"text")), "\\s+")).as("w"))
+    val vocab0 = dw.filter(length($"w") >= 2).select($"w").distinct()
+      .withColumn("sym",
+        concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")))
+    val vocab = merges.foldLeft(vocab0) { case (df, (pair, merged)) =>
+      df.withColumn("sym", call_function("replace", $"sym",
+        lit(s" $pair "), lit(s" $merged ")))
+    }.withColumn("w_tok", size(split(trim($"sym"), " ")).cast("long"))
+      .select($"w", $"w_tok")
+    dw.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce($"w_tok", lit(1L))).as("bpe_tokens"),
+        sum(length($"w")).cast("long").as("char_tokens"))
+      .withColumn("tokens_per_word",
+        $"bpe_tokens".cast("double") / $"n_words")
+  }
+
   /** Model-based quality filtering in the fastText shape (Joulin et al.
     * "Bag of Tricks for Efficient Text Classification", EACL'17 — the
     * classifier family CCNet/LLaMA-style pipelines score web documents

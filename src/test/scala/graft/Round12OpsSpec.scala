@@ -501,6 +501,46 @@ class Round12OpsSpec extends SparkSpec {
     assert(orphanedLi > 0 && nulled > 0 && negd > 0)
   }
 
+  test("bpeTokenize agrees with the curve totals and a per-doc replica") {
+    import spark.implicits._
+    val tok = TextOps.bpeTokenize(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_words"),
+        r.getAs[Long]("bpe_tokens"), r.getAs[Long]("char_tokens"),
+        r.getAs[Double]("tokens_per_word")))).toMap
+    // corpus identity: Σ_doc bpe_tokens = curve step-8 total + 1 per
+    // short (len<2) word — the apply path must agree with the trainer's
+    // own accounting
+    val curve8 = TextOps.bpeCurve(spark, sf).collect()
+      .find(_.getAs[Long]("step") == 8L).get.getAs[Long]("total_tokens")
+    val words = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.trim.toLowerCase.split("\\s+") }
+    val nShort = words.map(_._2.count(_.length < 2)).sum.toLong
+    assert(tok.values.map(_._2).sum === curve8 + nShort)
+    // per-doc replica via the trainer's merges applied from scratch
+    val merges = TextOps.bpeTrain(spark, sf).collect()
+      .sortBy(_.getAs[Long]("step"))
+      .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged")))
+    def wTok(w: String): Long =
+      if (w.length < 2) 1L
+      else {
+        val sym0 = " " + w.map(c => s"$c ").mkString
+        val sym = merges.foldLeft(sym0) { case (s, (p, m)) =>
+          s.replace(s" $p ", s" $m ")
+        }
+        sym.trim.split(" ").length.toLong
+      }
+    words.take(40).foreach { case (id, ws) =>
+      val want = (ws.length.toLong, ws.map(wTok).sum,
+        ws.map(_.length.toLong).sum)
+      val (n, bpe, chars, tpw) = tok(id)
+      assert((n, bpe, chars) === want, s"doc $id")
+      assert(tpw === bpe.toDouble / n)
+      // subword compression is real: fewer than chars, no fewer than words
+      assert(bpe <= chars && bpe >= n)
+    }
+  }
+
   // ---- KMV / theta-sketch overlap -------------------------------------
 
   test("kmvOverlap matches a from-scratch theta estimator within bounds") {
