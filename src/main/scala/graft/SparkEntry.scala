@@ -172,6 +172,7 @@ object SparkEntry {
     "tel_kmv_overlap"    -> ((s, d) => Telemetry.kmvOverlap(s, d)),
     "tel_dp_counts"      -> ((s, d) => Telemetry.dpCounts(s, d)),
     "tel_k_anon"         -> ((s, d) => Telemetry.kAnon(s, d)),
+    "tel_top_paths"      -> ((s, d) => Telemetry.topPaths(s, d)),
     "tel_seasonal"       -> ((s, d) => Telemetry.seasonal(s, d)),
     "text_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
     "mm_frame_dedup"     -> (Multimodal.frameDedup _),
@@ -221,6 +222,7 @@ object SparkEntry {
     "text_bpe_train"     -> ((s, d) => TextOps.bpeTrain(s, d)),
     "text_bpe_curve"     -> ((s, d) => TextOps.bpeCurve(s, d)),
     "text_bpe_tokenize"  -> ((s, d) => TextOps.bpeTokenize(s, d)),
+    "dedup_tfidf_cosine" -> ((s, d) => Dedup.tfidfCosine(s, d)),
     "sim_embed_stats"    -> ((s, d) => SimOps.embedStats(s, d)),
     "dedup_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
     "sim_hybrid_rrf"     -> ((s, d) => SimOps.hybridRrf(s, d)),
@@ -2573,6 +2575,46 @@ object SparkEntry {
     "text_bpe_train" -> bpeOracleSql(),
     "text_bpe_curve" -> bpeCurveOracleSql(),
     "text_bpe_tokenize" -> bpeTokenizeOracleSql(),
+    "dedup_tfidf_cosine" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        | FROM documents),
+        |terms AS (
+        | SELECT doc_id, array_to_string(t[i:i+2], ' ') AS term
+        | FROM (SELECT doc_id, t,
+        |        unnest(generate_series(1, len(t) - 2)) AS i
+        |       FROM toks WHERE len(t) >= 3) x),
+        |tf AS (
+        | SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        | FROM terms GROUP BY 1, 2),
+        |dfv AS (
+        | SELECT term, CAST(count(*) AS BIGINT) AS df
+        | FROM tf GROUP BY 1 HAVING count(*) <= 20),
+        |w AS (
+        | SELECT tf.doc_id, tf.term,
+        |  tf.tf * CAST(round(round(ln(
+        |    CAST((SELECT count(*) FROM documents) AS DOUBLE) / dfv.df), 4)
+        |    * 1e4) AS BIGINT) AS w_e4
+        | FROM tf JOIN dfv USING (term)),
+        |norms AS (
+        | SELECT doc_id, CAST(sum(w_e4 * w_e4) AS BIGINT) AS norm_e8
+        | FROM w GROUP BY 1),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(sum(a.w_e4 * b.w_e4) AS BIGINT) AS dot_e8,
+        |  CAST(count(*) AS BIGINT) AS n_shared_terms
+        | FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b, p.n_shared_terms, p.dot_e8,
+        | CAST(p.dot_e8 AS DOUBLE) /
+        |   (sqrt(CAST(na.norm_e8 AS DOUBLE)) *
+        |    sqrt(CAST(nb.norm_e8 AS DOUBLE))) AS cos
+        |FROM pairs p
+        | JOIN norms na ON na.doc_id = p.doc_a
+        | JOIN norms nb ON nb.doc_id = p.doc_b
+        |WHERE CAST(p.dot_e8 AS DOUBLE) /
+        |   (sqrt(CAST(na.norm_e8 AS DOUBLE)) *
+        |    sqrt(CAST(nb.norm_e8 AS DOUBLE))) >= 0.5""".stripMargin,
     "sim_embed_stats" ->
       """WITH x AS (
         | SELECT i - 1 AS dim,
@@ -3302,6 +3344,23 @@ object SparkEntry {
         | CAST(10 AS BIGINT) AS k,
         | sum(CASE WHEN c < 10 THEN 1 ELSE 0 END) = 0 AS anonymous
         |FROM g GROUP BY 1""".stripMargin,
+    "tel_top_paths" ->
+      """WITH e AS (
+        | SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS rn
+        | FROM events),
+        |p AS (
+        | SELECT user_id,
+        |  string_agg(event_type, '>' ORDER BY rn) AS path
+        | FROM e WHERE rn <= 5 GROUP BY 1),
+        |c AS (
+        | SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        | FROM p GROUP BY 1)
+        |SELECT path, n_users,
+        | CAST(row_number() OVER (ORDER BY n_users DESC, path) AS BIGINT)
+        |   AS rnk
+        |FROM c QUALIFY rnk <= 20""".stripMargin,
     "tel_dp_counts" ->
       """WITH c AS (
         | SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

@@ -1669,6 +1669,33 @@ object Telemetry {
       .withColumn("drifted", $"psi" >= alarm)
   }
 
+  /** Top user-journey paths — the Sankey/flow view product analytics
+    * builds from raw events: each user's first `pathLen` events (by
+    * time, event_id tie-break) joined into an ordered path string,
+    * then the `topK` most common paths with their user counts. The
+    * per-user window partitions on user_id (high cardinality), the
+    * path agg is map-side combined, and the final ranking is
+    * `orderBy().limit()` — TakeOrderedAndProject, never a global
+    * window (the triangle lesson). */
+  def topPaths(spark: SparkSession, sfDir: String,
+               pathLen: Int = 5, topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= pathLen)
+      .groupBy($"user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"rn", $"event_type"))),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n_users"))
+      .orderBy($"n_users".desc, $"path".asc)
+      .limit(topK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"n_users".desc, $"path".asc)).cast("long"))
+  }
+
   /** k-anonymity risk report over the quasi-identifier tuple
     * (event_type, weekday, value decade-bucket) — the privacy
     * audit run before any release ([[dpCounts]] is the mechanism;

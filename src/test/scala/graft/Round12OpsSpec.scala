@@ -4,7 +4,7 @@ import scala.math.BigDecimal.RoundingMode
 
 import org.apache.spark.sql.functions.{round, when, lit, year}
 
-import graft.llm.TextOps
+import graft.llm.{Dedup, TextOps}
 import graft.telemetry.Telemetry
 
 /** r12 additions: DDSketch quantiles, PSI drift, classical seasonal
@@ -539,6 +539,51 @@ class Round12OpsSpec extends SparkSpec {
       // subword compression is real: fewer than chars, no fewer than words
       assert(bpe <= chars && bpe >= n)
     }
+  }
+
+  test("tfidfCosine matches a brute-force weighted recompute") {
+    import spark.implicits._
+    val maxDf = 20
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    val nDocs = docs.length
+    def shingles(t: String): Seq[String] = {
+      val toks = t.trim.toLowerCase.split("\\s+")
+      if (toks.length < 3) Nil
+      else (0 to toks.length - 3).map(i =>
+        s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+    }
+    val tf = docs.map { case (id, t) =>
+      id -> shingles(t).groupBy(identity).map { case (s, xs) =>
+        s -> xs.length.toLong }
+    }.toMap
+    val dfm = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (s, xs) => s -> xs.size.toLong }
+      .filter(_._2 <= maxDf)
+    def idfE4(df: Long): Long =
+      roundL(round4(math.log(nDocs.toDouble / df)) * 1e4)
+    val w = tf.map { case (id, m) =>
+      id -> m.collect { case (s, c) if dfm.contains(s) =>
+        s -> c * idfE4(dfm(s)) }
+    }
+    val norm = w.map { case (id, m) =>
+      id -> m.values.map(v => v * v).sum }
+    val want = (for {
+      (a, wa) <- w.toSeq; (b, wb) <- w.toSeq; if a < b
+      shared = wa.keySet & wb.keySet
+      if shared.nonEmpty
+      dot = shared.toSeq.map(s => wa(s) * wb(s)).sum
+      cos = dot.toDouble / (math.sqrt(norm(a).toDouble) *
+        math.sqrt(norm(b).toDouble))
+      if cos >= 0.5
+    } yield (a, b) -> ((shared.size.toLong, dot, cos))).toMap
+    val got = Dedup.tfidfCosine(spark, sf).collect().map { r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("n_shared_terms"), r.getAs[Long]("dot_e8"),
+          r.getAs[Double]("cos")))
+    }.toMap
+    assert(got === want)
+    assert(got.nonEmpty, "no weighted near-dups found in the fixture")
   }
 
   // ---- KMV / theta-sketch overlap -------------------------------------
