@@ -173,6 +173,7 @@ object SparkEntry {
     "tel_dp_counts"      -> ((s, d) => Telemetry.dpCounts(s, d)),
     "tel_k_anon"         -> ((s, d) => Telemetry.kAnon(s, d)),
     "tel_top_paths"      -> ((s, d) => Telemetry.topPaths(s, d)),
+    "tel_seasonal_backtest" -> ((s, d) => Telemetry.seasonalBacktest(s, d)),
     "tel_seasonal"       -> ((s, d) => Telemetry.seasonal(s, d)),
     "text_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
     "mm_frame_dedup"     -> (Multimodal.frameDedup _),
@@ -3344,6 +3345,44 @@ object SparkEntry {
         | CAST(10 AS BIGINT) AS k,
         | sum(CASE WHEN c < 10 THEN 1 ELSE 0 END) = 0 AS anonymous
         |FROM g GROUP BY 1""".stripMargin,
+    "tel_seasonal_backtest" ->
+      """WITH hourly AS (
+        | SELECT event_type, date_trunc('hour', ts) AS h,
+        |  CAST(count(*) AS BIGINT) AS y
+        | FROM events GROUP BY 1, 2),
+        |grid AS (
+        | SELECT event_type, epoch_us(h0) AS us0,
+        |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        | FROM (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |       FROM hourly GROUP BY 1) s),
+        |dense AS (
+        | SELECT g.event_type, g.h, coalesce(hourly.y, 0) AS y,
+        |  (epoch_us(g.h) - g.us0) // 3600000000 AS hr_idx
+        | FROM grid g LEFT JOIN hourly
+        |   ON g.event_type = hourly.event_type AND g.h = hourly.h),
+        |sp AS (
+        | SELECT *, hour(h) AS hod,
+        |  hr_idx < (CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |    // 2) AS is_train
+        | FROM dense),
+        |profile AS (
+        | SELECT event_type, hod,
+        |  CAST(round(1e6 * sum(y) / count(*)) AS BIGINT) AS pred_micro
+        | FROM sp WHERE is_train GROUP BY 1, 2),
+        |test AS (
+        | SELECT sp.event_type,
+        |  abs(sp.y * 1000000 - p.pred_micro) AS err_micro,
+        |  abs(sp.y * 1000000 - p.pred_micro) // 1000 AS err_milli,
+        |  sp.y
+        | FROM sp JOIN profile p
+        |   ON sp.event_type = p.event_type AND sp.hod = p.hod
+        | WHERE NOT sp.is_train)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_test_hours,
+        | CAST(sum(err_micro) AS DOUBLE) / count(*) / 1e6 AS mae,
+        | sqrt(CAST(sum(err_milli * err_milli) AS DOUBLE) / count(*)) / 1e3
+        |   AS rmse,
+        | CAST(sum(y) AS DOUBLE) / count(*) AS mean_actual
+        |FROM test GROUP BY 1""".stripMargin,
     "tel_top_paths" ->
       """WITH e AS (
         | SELECT user_id, event_type,

@@ -1669,6 +1669,63 @@ object Telemetry {
       .withColumn("drifted", $"psi" >= alarm)
   }
 
+  /** Out-of-sample BACKTEST of the seasonal-naive forecast — the
+    * evaluation loop every production forecaster publishes before
+    * anyone trusts [[holtWinters]]-style models: train on the first
+    * half of the hourly grid (hour-of-day mean counts — the
+    * seasonal-naive baseline), predict the second half, report
+    * MAE/RMSE per series against the held-out actuals. A model that
+    * can't beat this row isn't worth deploying.
+    *
+    * Engine-exactness: the grid and split are integer hours; the
+    * per-hod prediction is one integer division rounded to micro
+    * units; every error is an integer |y·1e6 − pred_micro|; MAE/RMSE
+    * are integer sums through one or two final IEEE ops — bit-exact,
+    * no display rounding.
+    *
+    * Scale shape: one map-side-combined hourly count; the grid is
+    * retention-bounded; train profile is keys×24 rows joined
+    * broadcast. */
+  def seasonalBacktest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("y"))
+    val grid = hourly.groupBy($"event_type")
+      .agg(min($"h").as("h0"), max($"h").as("h1"))
+      .select($"event_type", unix_micros($"h0").as("us0"),
+        explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("h"))
+    val dense = grid.join(hourly, Seq("event_type", "h"), "left")
+      .select($"event_type", $"h", $"us0",
+        coalesce($"y", lit(0L)).as("y"),
+        expr("(unix_micros(h) - us0) div 3600000000").as("hr_idx"))
+    val wKey = Window.partitionBy($"event_type")
+    val split = dense
+      .withColumn("n_hours", count(lit(1)).over(wKey))
+      .withColumn("is_train", $"hr_idx" < expr("n_hours div 2"))
+      .withColumn("hod", hour($"h"))
+    val profile = split.filter($"is_train")
+      .groupBy($"event_type", $"hod")
+      .agg(round(lit(1e6) * sum($"y") / count(lit(1)), 0)
+        .cast("long").as("pred_micro"))
+    split.filter(!$"is_train")
+      .join(broadcast(profile), Seq("event_type", "hod"))
+      .withColumn("err_micro",
+        abs($"y" * lit(1000000L) - $"pred_micro"))
+      // rmse squares on the milli grid (integer div — deterministic,
+      // mirrored in the oracle) to keep Σerr² far inside int64
+      .withColumn("err_milli", expr("err_micro div 1000"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_test_hours"),
+        (sum($"err_micro").cast("double") / count(lit(1)) / 1e6).as("mae"),
+        sqrt(sum($"err_milli" * $"err_milli").cast("double") /
+          count(lit(1))).as("rmse_milli"),
+        (sum($"y").cast("double") / count(lit(1))).as("mean_actual"))
+      .withColumn("rmse", $"rmse_milli" / 1e3)
+      .select($"event_type", $"n_test_hours", $"mae", $"rmse",
+        $"mean_actual")
+  }
+
   /** Top user-journey paths — the Sankey/flow view product analytics
     * builds from raw events: each user's first `pathLen` events (by
     * time, event_id tie-break) joined into an ordered path string,

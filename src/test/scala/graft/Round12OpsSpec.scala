@@ -688,6 +688,40 @@ class Round12OpsSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0L))
   }
 
+  test("seasonalBacktest matches a from-scratch out-of-sample evaluation") {
+    val hourUs = 3600L * 1000000L
+    val hourly = events.groupBy(r => (r._1, r._2 / hourUs))
+      .map { case (k, rows) => k -> rows.length.toLong }
+    val want = hourly.keys.groupBy(_._1).map { case (k, ks) =>
+      val h0 = ks.map(_._2).min
+      val h1 = ks.map(_._2).max
+      val dense = (h0 to h1).map(h => h -> hourly.getOrElse((k, h), 0L))
+      val nTrain = dense.length / 2
+      val (train, test) = dense.splitAt(nTrain)
+      val profile = train.groupBy(_._1 % 24).map { case (hod, rs) =>
+        hod -> roundL(1e6 * rs.map(_._2).sum / rs.length)
+      }
+      val errs = test.map { case (h, y) =>
+        (y, math.abs(y * 1000000L - profile(h % 24)))
+      }
+      val errMilli = errs.map(_._2 / 1000L)
+      k -> ((errs.length.toLong,
+        errs.map(_._2).sum.toDouble / errs.length / 1e6,
+        math.sqrt(errMilli.map(e => e * e).sum.toDouble / errs.length) / 1e3,
+        errs.map(_._1).sum.toDouble / errs.length))
+    }
+    val got = Telemetry.seasonalBacktest(spark, sf).collect().map { r =>
+      r.getAs[String]("event_type") -> ((r.getAs[Long]("n_test_hours"),
+        r.getAs[Double]("mae"), r.getAs[Double]("rmse"),
+        r.getAs[Double]("mean_actual")))
+    }.toMap
+    assert(got === want)
+    got.values.foreach { case (_, mae, rmse, mean) =>
+      assert(rmse >= mae - 1e-12) // Jensen
+      assert(mae <= 2 * mean)     // the baseline is not absurd
+    }
+  }
+
   // ---- fastText-style quality scoring --------------------------------
 
   test("fasttextQuality matches a from-scratch hashed-linear recompute") {
