@@ -89,7 +89,10 @@ object Sf1Scale {
     "mm_img_dhash_pairs", "mm_img_entropy",
     // real-codec audio/video paths (doc_id-driven, narrow maps — the
     // ratio should be the codec cost, purely linear)
-    "mm_wav_windows", "mm_video_scenecut")
+    "mm_wav_windows", "mm_video_scenecut",
+    // trained-vocab application (broadcast join, corpus never
+    // shuffles) and the df-valve-bounded weighted shingle cosine
+    "text_bpe_tokenize", "dedup_tfidf_cosine")
 
   /** Deterministic word from a full-avalanche mix (vocab of 1000):
     * individual word collisions are common (real corpora repeat words)
@@ -202,7 +205,8 @@ object Sf1Scale {
 
   private val telQueries: Seq[String] =
     Seq("tel_ddsketch", "tel_ddsketch_native", "tel_psi_drift",
-      "tel_seasonal", "tel_ab_test")
+      "tel_seasonal", "tel_ab_test", "tel_seasonal_backtest",
+      "tel_kmv_overlap", "tel_top_paths")
 
   def maybeRun(spark: SparkSession): Option[String] =
     if (!sys.env.get("SPARK_GRAFT_SF1").exists(_.nonEmpty)) None
