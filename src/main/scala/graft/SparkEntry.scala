@@ -2626,7 +2626,7 @@ object SparkEntry {
         |agg AS (
         | SELECT dim, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(m) AS BIGINT) AS s,
-        |  CAST(CAST(sum(m*m) AS BIGINT) AS DOUBLE) AS q
+        |  sum(CAST(m AS DOUBLE)*CAST(m AS DOUBLE)) AS q
         | FROM x GROUP BY 1),
         |v AS (
         | SELECT *,
@@ -3482,10 +3482,12 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
         |  CAST(sum(CASE WHEN arm = 0 THEN v100 ELSE 0 END) AS BIGINT) AS s_a,
         |  CAST(sum(CASE WHEN arm = 1 THEN v100 ELSE 0 END) AS BIGINT) AS s_b,
-        |  CAST(CAST(sum(CASE WHEN arm = 0 THEN v100*v100 ELSE 0 END)
-        |    AS BIGINT) AS DOUBLE) AS q_a,
-        |  CAST(CAST(sum(CASE WHEN arm = 1 THEN v100*v100 ELSE 0 END)
-        |    AS BIGINT) AS DOUBLE) AS q_b
+        |  sum(CASE WHEN arm = 0
+        |    THEN CAST(v100 AS DOUBLE)*CAST(v100 AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END) AS q_a,
+        |  sum(CASE WHEN arm = 1
+        |    THEN CAST(v100 AS DOUBLE)*CAST(v100 AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END) AS q_b
         | FROM (SELECT event_type,
         |   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
         |     AS arm,

@@ -17,17 +17,43 @@ import org.apache.spark.sql.types._
   * (one oracle checks all three). */
 object DdsketchKernel {
 
-  /** ⌈log_√2 v100⌉ = ⌈log2 v100²⌉ = bits(v100²−1) on the centi-unit
-    * grid. The quantization is BigDecimal HALF_UP — the identical op
-    * Spark's `round(value*100, 0)` performs row-side, so the native
-    * and relational paths bucket every value the same way (a
+  /** `isqrt(2^(2f+1))` for f = 0..62: the largest v with v² ≤ 2^(2f+1).
+    * Exact (BigInteger.sqrt), computed once — lets [[bucketIdx]] decide
+    * ⌈log2 v²⌉ without ever forming v², so the index is correct for the
+    * whole int64 grid instead of silently wrapping past v ≈ 3.04e9. */
+  private val halfOctave: Array[Long] = Array.tabulate(63) { f =>
+    java.math.BigInteger.ONE.shiftLeft(2 * f + 1).sqrt().longValueExact()
+  }
+
+  /** Largest value whose centi-unit grid point fits int64 (Long.Max/100,
+    * floored to a round bound). Beyond it the grid itself is undefined. */
+  val MaxValue: Double = 9.0e16
+
+  /** ⌈log_√2 v100⌉ = ⌈log2 v100²⌉ on the centi-unit grid, WITHOUT
+    * squaring: with f = ⌊log2 v⌋, the index is 2f when v is a power of
+    * two, else 2f+1 while v ≤ isqrt(2^(2f+1)) and 2f+2 above — exact
+    * for every v100 in int64 (the squared form bits(v²−1) wraps for
+    * v ≥ ~3.04e9, i.e. values ≥ ~3e7, and silently lands in bucket 64).
+    * Values past the grid itself (v100 beyond int64) are a hard error,
+    * not a wrong bucket. The quantization is BigDecimal HALF_UP — the
+    * identical op Spark's `round(value*100, 0)` performs row-side, so
+    * the native and relational paths bucket every value the same way (a
     * `floor(x+0.5)` shortcut would diverge on the 0.49999999999999994
     * pathology). */
   def bucketIdx(value: Double): Long = {
+    require(value <= MaxValue,
+      s"ddsketch: value $value exceeds the centi-unit grid's int64 range " +
+        s"(max ${MaxValue}); rescale the series before sketching")
     val v100 = math.max(
       BigDecimal(value * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong,
       1L)
-    if (v100 == 1) 0L else 64L - java.lang.Long.numberOfLeadingZeros(v100 * v100 - 1)
+    if (v100 == 1) 0L
+    else {
+      val f = 63 - java.lang.Long.numberOfLeadingZeros(v100)
+      if ((v100 & (v100 - 1)) == 0L) 2L * f
+      else if (v100 <= halfOctave(f)) 2L * f + 1
+      else 2L * f + 2
+    }
   }
 
   final case class Summary(n: Long, nBucketsRaw: Long, nBucketsKept: Long,

@@ -940,8 +940,15 @@ object Dedup {
     * sums; cosine is sqrt/multiply/divide — correctly-rounded IEEE,
     * bit-exact in the oracle with no display rounding.
     *
-    * Scale shape: posting-list equi-join on term (valve-bounded), one
-    * (a, b) hash agg, norms joined on doc_id — co-partitioned. */
+    * Scale shape: the [[ngramJaccard]] kernel on WEIGHTED postings —
+    * per-term (doc, weight) LISTS whose candidate pairs expand IN
+    * PLACE via two nested Generates (no posting self-join: the r7 sf1
+    * sweep showed the term-keyed self-join shape cost 6.6× at 10× data
+    * where the in-place expansion costs 1.55×). One shuffle builds the
+    * weighted index, one aggregates pair dot products; norms join on
+    * doc_id co-partitioned. N (the idf numerator) rides along as a
+    * 1-row broadcast crossJoin — query construction triggers no
+    * driver-side action. */
   def tfidfCosine(spark: SparkSession, sfDir: String,
                   maxDf: Int = 20, minCos: Double = 0.5): DataFrame = {
     import spark.implicits._
@@ -957,23 +964,27 @@ object Dedup {
       .select($"doc_id",
         concat_ws(" ", element_at($"t", $"p" + 1),
           element_at($"t", $"p" + 2), $"w3").as("term"))
-    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    val nDocsDf = graft.Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       .filter($"df" <= maxDf)
-    val w = tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocsDf))
       .withColumn("idf_e4",
-        round(round(log(lit(nDocs.toDouble) / $"df"), 4) * 1e4, 0)
-          .cast("long"))
+        round(round(log($"n_docs" / $"df"), 4) * 1e4, 0).cast("long"))
+    val w = tf.join(broadcast(df.select($"term", $"idf_e4")), "term")
       .withColumn("w_e4", $"tf" * $"idf_e4")
     val norms = w.groupBy($"doc_id")
       .agg(sum($"w_e4" * $"w_e4").as("norm_e8"))
-    val a = w.select($"term", $"doc_id".as("doc_a"), $"w_e4".as("wa"))
-    val b = w.select($"term", $"doc_id".as("doc_b"), $"w_e4".as("wb"))
-    a.join(b, Seq("term"))
-      .filter($"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b")
-      .agg(sum($"wa" * $"wb").as("dot_e8"),
+    val lists = w.groupBy($"term")
+      .agg(collect_list(struct($"doc_id", $"w_e4")).as("ds"))
+      .filter(size($"ds") > 1)
+    lists
+      .select(explode($"ds").as("a"), $"ds")
+      .select($"a", explode($"ds").as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(sum($"a.w_e4" * $"b.w_e4").as("dot_e8"),
            count(lit(1)).as("n_shared_terms"))
       .join(norms.select($"doc_id".as("doc_a"), $"norm_e8".as("na")), "doc_a")
       .join(norms.select($"doc_id".as("doc_b"), $"norm_e8".as("nb")), "doc_b")

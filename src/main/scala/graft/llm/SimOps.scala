@@ -1352,8 +1352,10 @@ object SimOps {
     * Mu & Viswanath ICLR'18 all-but-the-top diagnostic).
     *
     * Engine-exactness: each float is micro-quantized ONCE; per-dim
-    * (n, Σm, Σm²) are integer aggregates; mean/variance are the fixed
-    * Welch-style IEEE sequence shared with [[graft.telemetry.Telemetry.abTest]].
+    * (n, Σm) are integer aggregates; Σm² accumulates in double (exact
+    * integer-valued terms, order-independent to 2⁵³, no int64 wrap);
+    * mean/variance are the fixed Welch-style IEEE sequence shared with
+    * [[graft.telemetry.Telemetry.abTest]].
     * The variance SHARE needs a cross-dim total — summing 64 doubles is
     * float-order-dependent, so the share is computed from per-dim
     * micro-INTEGER variances (one deterministic round each) whose sum
@@ -1370,7 +1372,11 @@ object SimOps {
         round($"v".cast("double") * 1e6, 0).cast("long").as("m"))
     val agg = x.groupBy($"dim")
       .agg(count(lit(1)).as("n"), sum($"m").as("s"),
-           sum($"m" * $"m").cast("double").as("q"))
+           // Σm² in double per row (cast BEFORE the multiply): terms are
+           // integer-valued doubles (exact, |m| < 2²⁶), the sum stays
+           // exact to 2⁵³ and never wraps — a long accumulator would
+           // wrap silently around 10¹⁰ rows per dim at |m| ≈ 1e6
+           sum($"m".cast("double") * $"m".cast("double")).as("q"))
     val varU = ($"q" - $"s".cast("double") * $"s".cast("double") / $"n") /
       ($"n" - 1) / 1e12
     val w = Window.partitionBy()

@@ -579,12 +579,16 @@ object TextOps {
               explode(split(trim(lower($"text")), "\\s+")).as("term"))
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("cnt"))
       .withColumn("doc_len", sum($"cnt").over(Window.partitionBy($"doc_id")))
+    // N rides the broadcast vocabulary table as a 1-row crossJoin —
+    // building the query triggers no driver-side action
+    val nDocsDf = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
     val df = terms.select($"doc_id", $"term").distinct()
       .groupBy($"term").agg(count(lit(1)).as("df"))
-    val nDocs = Tables.documents(spark, sfDir).count()
+      .crossJoin(broadcast(nDocsDf))
     val scored = tf.join(broadcast(df), "term")
       .filter($"doc_id" < maxDocs)
-      .withColumn("idf4", round(log(lit(nDocs.toDouble) / $"df"), 4))
+      .withColumn("idf4", round(log($"n_docs" / $"df"), 4))
       .withColumn("score",
         round(($"cnt".cast("double") / $"doc_len".cast("double")) * $"idf4", 6))
     scored

@@ -41,10 +41,24 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * ~len/W — the user picks W near the typical interval length); the
   * rule is OFF while the conf is unset. Guards: inner joins only,
   * deterministic integral bounds, not already rewritten (cell columns
-  * are marked by name — the rule runs inside a fixed-point batch). */
+  * are marked by name — the rule runs inside a fixed-point batch).
+  *
+  * Blast radius: while the conf is set the rule fires on EVERY inner
+  * join whose condition contains a crossing ≤-pair of integral
+  * columns, so an unrelated join (or one long-tail interval) could
+  * otherwise explode into span/W cells per row with no bound. Two
+  * containments: (1) the conf is meant to be scoped — set it around
+  * the intended query and unset it after, as
+  * [[graft.operators.RangeJoin.intervalOverlapRewrite]] does; (2) a
+  * hard per-row cap `spark.graft.rangeJoinRewrite.maxCellsPerRow`
+  * (default 4096): any row whose interval would generate more cells
+  * fails FAST with a clear error naming both confs — an explicit stop,
+  * never an OOM-by-Generate, and never a silently wrong result. */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
   val BIN_KEY = "spark.graft.rangeJoinRewrite.binSize"
+  val MAX_CELLS_KEY = "spark.graft.rangeJoinRewrite.maxCellsPerRow"
+  private val DEFAULT_MAX_CELLS = 4096L
   private val CELL_PREFIX = "__graft_cell"
 
   private def binSize: Option[Long] =
@@ -87,18 +101,41 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     candidates.headOption
   }
 
+  private def maxCellsPerRow: Long =
+    SQLConf.get.getConfString(MAX_CELLS_KEY, "").trim match {
+      case "" => DEFAULT_MAX_CELLS
+      case s  => scala.util.Try(s.toLong).toOption.filter(_ > 0)
+        .getOrElse(DEFAULT_MAX_CELLS)
+    }
+
   private def cellGenerate(side: LogicalPlan, lo: Expression,
                            hi: Expression, w: Long,
                            attrName: String): (LogicalPlan, Attribute) = {
+    val loCell = new IntegralDivide(asLong(lo), Literal(w))
+    val hiCell = new IntegralDivide(
+      asLong(Greatest(Seq(asLong(lo), asLong(hi)))), Literal(w))
     // Sequence is TimeZoneAwareExpression: resolved only WITH a zone,
     // even for integral bounds
-    val cells = new Sequence(
-      new IntegralDivide(asLong(lo), Literal(w)),
-      new IntegralDivide(asLong(Greatest(Seq(asLong(lo), asLong(hi)))),
-        Literal(w)),
-      Literal(1L)).withTimeZone(SQLConf.get.sessionLocalTimeZone)
+    val cells = new Sequence(loCell, hiCell, Literal(1L))
+      .withTimeZone(SQLConf.get.sessionLocalTimeZone)
+    // per-row blast-radius cap: fail fast with a clear error instead of
+    // letting one long interval (or a mis-targeted join) explode the
+    // Generate — span information only exists at runtime, so the guard
+    // must be a row-level expression, not a planner check
+    val cap = maxCellsPerRow
+    val nCells = Add(Subtract(hiCell, loCell), Literal(1L))
+    val guarded = If(
+      GreaterThan(nCells, Literal(cap)),
+      Cast(new RaiseError(Concat(Seq(
+        Literal("rangeJoinRewrite: a row's interval spans "),
+        Cast(nCells, org.apache.spark.sql.types.StringType),
+        Literal(s" grid cells > $MAX_CELLS_KEY=$cap; raise $BIN_KEY toward " +
+          "the typical interval length, raise the cap, or unset " +
+          s"$BIN_KEY so this join keeps its original plan")))),
+        cells.dataType),
+      cells)
     val cellAttr = AttributeReference(attrName, LongType, nullable = false)()
-    val gen = Generate(Explode(cells), unrequiredChildIndex = Nil,
+    val gen = Generate(Explode(guarded), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(cellAttr), side)
     (gen, cellAttr)
   }

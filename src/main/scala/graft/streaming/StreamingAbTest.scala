@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
 /** Streaming A/B monitoring — the streaming twin of
   * [[graft.telemetry.Telemetry.abTest]]: per-experiment Welch t-test
   * maintained INCREMENTALLY from the six sufficient statistics
-  * `(n, Σv100, Σv100²)` per arm — the exact integers the batch
+  * `(n, Σv100, Σv100²)` per arm — the same statistics the batch
   * aggregate computes, so after any prefix the streamed read-out is
   * IDENTICAL to the batch query over the same events (spec-proven).
   * This is the "peeking" dashboard every experimentation platform
@@ -15,22 +15,25 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * 1.96 gate (sequential-testing corrections are a read-out concern —
   * the sufficient statistics carry any of them).
   *
-  * State: 6 longs per experiment forever — integer counters, so
-  * arrival order and batch boundaries CANNOT matter (exact
-  * commutative adds; contrast with [[StreamingHeavyHitters]] where
-  * order-dependence had to be pinned down). */
+  * State: 4 longs + 2 doubles per experiment forever. n and Σv100 are
+  * integer counters; Σv100² accumulates IN DOUBLE exactly as the batch
+  * twin does (integer-valued terms, exact — hence order- and
+  * batch-boundary-independent — until the sum crosses 2⁵³, then
+  * correctly-rounded instead of the silent int64 wrap a long
+  * accumulator would hit; contrast with [[StreamingHeavyHitters]]
+  * where order-dependence had to be pinned down). */
 object StreamingAbTest {
 
   case class Ev(event_type: String, arm: Int, v100: Long)
   case class Read(event_type: String, n_a: Long, n_b: Long, mean_a: Double,
                   mean_b: Double, t_stat: Double, significant: Boolean)
 
-  case class St(nA: Long, nB: Long, sA: Long, sB: Long, qA: Long, qB: Long)
+  case class St(nA: Long, nB: Long, sA: Long, sB: Long, qA: Double, qB: Double)
 
   /** The identical IEEE sequence as the batch query's derived columns. */
   def readOut(key: String, s: St): Read = {
-    val va = (s.qA.toDouble - s.sA.toDouble * s.sA.toDouble / s.nA) / (s.nA - 1)
-    val vb = (s.qB.toDouble - s.sB.toDouble * s.sB.toDouble / s.nB) / (s.nB - 1)
+    val va = (s.qA - s.sA.toDouble * s.sA.toDouble / s.nA) / (s.nA - 1)
+    val vb = (s.qB - s.sB.toDouble * s.sB.toDouble / s.nB) / (s.nB - 1)
     val varTerm = va / s.nA + vb / s.nB
     val t = (s.sA.toDouble / s.nA - s.sB.toDouble / s.nB) / math.sqrt(varTerm)
     Read(key, s.nA, s.nB, s.sA.toDouble / s.nA / 100,
@@ -53,10 +56,10 @@ object StreamingAbTest {
       rows.foreach { e =>
         if (e.arm == 0)
           s = s.copy(nA = s.nA + 1, sA = s.sA + e.v100,
-            qA = s.qA + e.v100 * e.v100)
+            qA = s.qA + e.v100.toDouble * e.v100.toDouble)
         else
           s = s.copy(nB = s.nB + 1, sB = s.sB + e.v100,
-            qB = s.qB + e.v100 * e.v100)
+            qB = s.qB + e.v100.toDouble * e.v100.toDouble)
       }
       state.update(s)
       // a t read-out needs ≥2 samples per arm for the variances

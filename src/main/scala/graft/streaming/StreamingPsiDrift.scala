@@ -16,10 +16,21 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   *
   * State: two ≤64-entry bucket histograms per series (the ddsketch
   * log-√2 grid — drift detection composes with the sketch the
-  * pipeline already keeps) — bounded regardless of stream length. */
+  * pipeline already keeps) — bounded regardless of stream length.
+  *
+  * Determinism: the warm-up cut decides WHICH events freeze into the
+  * reference, and Spark does not guarantee a micro-batch's per-key
+  * iterator order across partitions/reruns — so each event carries a
+  * `seq` (event time / ingest sequence) and every batch is processed
+  * in ascending `seq` (the [[StreamingHeavyHitters]] discipline): two
+  * runs over the same input freeze the same reference histogram.
+  * Batch BOUNDARIES still matter only in the one inherent way — an
+  * already-committed batch cannot admit later-seq'd stragglers into
+  * the warm-up — which is the at-arrival semantics every live monitor
+  * has. */
 object StreamingPsiDrift {
 
-  case class Ev(event_type: String, value: Double)
+  case class Ev(event_type: String, seq: Long, value: Double)
   case class Drift(event_type: String, n_ref: Long, n_cur: Long,
                    n_bins: Long, psi: Double, drifted: Boolean)
 
@@ -70,7 +81,7 @@ object StreamingPsiDrift {
       s0.curIdx.indices.foreach(i => cur(s0.curIdx(i)) = s0.curCnt(i))
       var nRef = s0.nRef
       var nCur = s0.nCur
-      rows.foreach { e =>
+      rows.toArray.sortBy(_.seq).foreach { e =>
         if (e.value > 0) {
           val b = graft.functions.DdsketchKernel.bucketIdx(e.value)
           if (nRef < warmN) { ref(b) = ref.getOrElse(b, 0L) + 1; nRef += 1 }

@@ -1548,7 +1548,15 @@ object Telemetry {
     val b = Tables.events(spark, sfDir)
       .filter($"value" > 0)
       .withColumn("v100", greatest(round($"value" * 100, 0).cast("long"), lit(1L)))
-      .withColumn("idx", when($"v100" === 1, lit(0L))
+      // squared-bits index wraps int64 past v100 ≈ 3.04e9 — fail loud
+      // (clear error, not a silent bucket-64) outside the guarded grid;
+      // the native ddsketch_agg computes the index without squaring and
+      // covers the full int64 grid
+      .withColumn("idx", when($"v100" > lit(3037000499L),
+          raise_error(concat(lit("ddsketch: v100 "), $"v100",
+            lit(" overflows the squared-bits bucket index; use ddsketch_agg or rescale")))
+            .cast("long"))
+        .when($"v100" === 1, lit(0L))
         .otherwise(length(bin($"v100" * $"v100" - 1)).cast("long")))
       .groupBy($"event_type", $"idx").agg(count(lit(1)).as("c"))
     val wKey = Window.partitionBy($"event_type")
@@ -1640,7 +1648,11 @@ object Telemetry {
     val bounds = ev.agg(min($"us").as("lo"), max($"us").as("hi"))
     val binned = ev.crossJoin(broadcast(bounds))
       .select($"event_type",
-        when($"v100" === 1, lit(0L))
+        when($"v100" > lit(3037000499L),
+          raise_error(concat(lit("psi_drift: v100 "), $"v100",
+            lit(" overflows the squared-bits bucket index; rescale the series")))
+            .cast("long"))
+          .when($"v100" === 1, lit(0L))
           .otherwise(length(bin($"v100" * $"v100" - 1)).cast("long")).as("idx"),
         when($"us" < $"lo" + expr("(hi - lo) div 2"), lit(0))
           .otherwise(lit(1)).as("half"))
@@ -1902,8 +1914,13 @@ object Telemetry {
     * statistic is a fixed sequence of correctly-rounded IEEE ops
     * (cast, multiply, subtract, divide, sqrt) written identically in
     * the DuckDB oracle — bit-for-bit, no display rounding needed.
-    * Σv100² is evaluated in DOUBLE (sums of squares cross int64 around
-    * 10⁹ rows per key; the double path is deterministic either way).
+    * Σv100² is accumulated IN DOUBLE per row (cast before the multiply,
+    * so nothing ever wraps): each term is an integer-valued double,
+    * exact while v100 < 2²⁶, and the running sum stays exact (hence
+    * merge-order-independent) until it crosses 2⁵³ — past that it
+    * degrades to correctly-rounded, never to int64 wraparound, which is
+    * the failure mode a long accumulator would hit silently around 10⁹
+    * rows per key.
     *
     * Scale shape: ONE map-side-combined hash agg of 6 integer columns
     * per event_type — the t-test itself touches keys×1 rows. */
@@ -1919,10 +1936,12 @@ object Telemetry {
            sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"),
            sum(when($"arm" === 0, $"v100").otherwise(0L)).as("s_a"),
            sum(when($"arm" === 1, $"v100").otherwise(0L)).as("s_b"),
-           sum(when($"arm" === 0, $"v100" * $"v100").otherwise(0L))
-             .cast("double").as("q_a"),
-           sum(when($"arm" === 1, $"v100" * $"v100").otherwise(0L))
-             .cast("double").as("q_b"))
+           sum(when($"arm" === 0,
+             $"v100".cast("double") * $"v100".cast("double"))
+             .otherwise(lit(0.0))).as("q_a"),
+           sum(when($"arm" === 1,
+             $"v100".cast("double") * $"v100".cast("double"))
+             .otherwise(lit(0.0))).as("q_b"))
     val va = ($"q_a" - $"s_a".cast("double") * $"s_a".cast("double") / $"n_a") /
       ($"n_a" - 1)
     val vb = ($"q_b" - $"s_b".cast("double") * $"s_b".cast("double") / $"n_b") /

@@ -25,6 +25,8 @@ class PlanHygieneSpec extends SparkSpec {
     "text_dsir_weights",    // bucket table × 1-row distribution totals
     "text_bigram_surprisal", // bigram model × 1-row corpus total
     "text_doc_freq",        // term aggregates × 1-row doc-count broadcast
+    "text_tfidf",           // vocabulary × 1-row doc-count broadcast
+    "dedup_tfidf_cosine",   // df valve table × 1-row doc-count broadcast
     "text_unigram_surprisal", // token stream × 1-row corpus-total broadcast
     "text_surprisal_buckets", // composes unigram_surprisal (same shape)
     "q_width_bucket",       // scan × 1-row min/max bounds broadcast

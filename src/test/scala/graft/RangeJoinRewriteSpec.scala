@@ -129,6 +129,51 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(off.nonEmpty)
   }
 
+  test("per-row cell cap: oversized intervals fail loud, raised cap passes") {
+    import spark.implicits._
+    val (a, b) = frames
+    // one pathological row: an interval spanning 10⁶ cells at binSize=1
+    val aBad = a.union(Seq((999L, 0L, 1000000L)).toDF("a_id", "a_lo", "a_hi"))
+    def q = aBad.join(b, $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+    withBin("1") {
+      val prev = spark.conf.getOption(RangeJoinRewrite.MAX_CELLS_KEY)
+      try {
+        spark.conf.set(RangeJoinRewrite.MAX_CELLS_KEY, "4096")
+        val ex = intercept[Exception] { q.count() }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil
+          else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(ex).exists(_.contains("rangeJoinRewrite")),
+          s"expected the cap's clear error, got: ${msgs(ex).take(2)}")
+        // raising the cap past the span lets the same query run — and
+        // row-exactly so
+        spark.conf.set(RangeJoinRewrite.MAX_CELLS_KEY, "2000000")
+        val on = q.select($"a_id", $"b_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val off = withBinValue(null) {
+          q.select($"a_id", $"b_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+        assert(on === off)
+        assert(on.exists(_._1 == 999L), "the wide interval must match rows")
+      } finally prev match {
+        case Some(v) => spark.conf.set(RangeJoinRewrite.MAX_CELLS_KEY, v)
+        case None => spark.conf.unset(RangeJoinRewrite.MAX_CELLS_KEY)
+      }
+    }
+  }
+
+  private def withBinValue[T](w: String)(f: => T): T = {
+    val prev = spark.conf.getOption(RangeJoinRewrite.BIN_KEY)
+    if (w == null) spark.conf.unset(RangeJoinRewrite.BIN_KEY)
+    else spark.conf.set(RangeJoinRewrite.BIN_KEY, w)
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(RangeJoinRewrite.BIN_KEY, v)
+      case None => spark.conf.unset(RangeJoinRewrite.BIN_KEY)
+    }
+  }
+
   test("rewritten naive catalog query equals the hand-bucketed twin") {
     val hand = graft.operators.RangeJoin.intervalOverlap(spark, sf)
       .collect().map(_.toSeq).toSet

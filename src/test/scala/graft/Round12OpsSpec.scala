@@ -115,9 +115,19 @@ class Round12OpsSpec extends SparkSpec {
     // 2^(i−1) < v100² ≤ 2^i — checked EXACTLY with BigInt, no floats,
     // against the bits(v100²−1) implementation trick
     val rnd = new scala.util.Random(7)
-    val values = Seq(0.005, 0.01, 0.015, 490.02, 1e6) ++
-      (1 to 2000).map(_ => rnd.nextDouble() * rnd.nextInt(100000) + 0.001)
-    values.foreach { v =>
+    val values = Seq(0.005, 0.01, 0.015, 490.02, 1e6,
+      // past the squared-bits wrap point (v100 > ~3.04e9, where the old
+      // bits(v100²−1) form overflowed int64 and silently yielded 64) up
+      // to the edge of the centi-unit grid itself
+      3.1e7, 4.0e7, 1e9, 1e12, 8.9e16) ++
+      (1 to 2000).map(_ => rnd.nextDouble() * rnd.nextInt(100000) + 0.001) ++
+      // magnitude sweep across the whole grid incl. huge values
+      (1 to 500).map(_ => math.pow(10, rnd.nextDouble() * 18 - 2)) ++
+      // power-of-two and ±1 edges of v100 (exact-boundary cases of the
+      // no-squaring index: 2f vs 2f+1 vs 2f+2)
+      (1 to 62).flatMap(f => Seq((1L << f) - 1, 1L << f, (1L << f) + 1)
+        .map(_ / 100.0))
+    values.filter(_ <= graft.functions.DdsketchKernel.MaxValue).foreach { v =>
       val i = graft.functions.DdsketchKernel.bucketIdx(v)
       val v100 = math.max(roundL(v * 100), 1L)
       val sq = BigInt(v100) * BigInt(v100)
@@ -127,6 +137,11 @@ class Round12OpsSpec extends SparkSpec {
         assert(sq > BigInt(2).pow(i.toInt - 1), s"v=$v v100=$v100 i=$i lower")
       }
     }
+    // values beyond the grid fail loud, never bucket wrong
+    val ex = intercept[IllegalArgumentException] {
+      graft.functions.DdsketchKernel.bucketIdx(1e17)
+    }
+    assert(ex.getMessage.contains("int64 range"))
   }
 
   test("ddsketch bucket maps merge associatively across shards") {

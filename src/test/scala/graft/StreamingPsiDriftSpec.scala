@@ -31,16 +31,24 @@ class StreamingPsiDriftSpec extends SparkSpec {
     // multiplies values 8x after warm-up (a real regime change)
     def v(i: Int): Double = 1.0 + (i * 37 % 100)
     val warm = 300L
-    val stable = (0 until 600).map(i => Ev("stable", v(i)))
+    val stable = (0 until 600).map(i => Ev("stable", i.toLong, v(i)))
     val shifted = (0 until 600).map { i =>
-      Ev("shifted", if (i < 300) v(i) else v(i) * 8)
+      Ev("shifted", i.toLong, if (i < 300) v(i) else v(i) * 8)
     }
     val all = (stable ++ shifted).toArray
     val half = all.length / 2
-    val batches = Seq(all.take(half), all.drop(half))
-    // replica: warm-up = first `warm` positive values per key IN FEED
-    // ORDER (interleaved batches preserve per-key order here because
-    // each key's events arrive in index order)
+    // scramble the order WITHIN each batch (batch membership unchanged):
+    // the processor must restore seq order itself — Spark gives no
+    // per-key iterator-order guarantee — so the replica below, which
+    // folds in seq order, only matches if the warm-up cut is pinned by
+    // the processor's sort, not by feed order
+    val rnd = new scala.util.Random(42)
+    val batches = Seq(
+      rnd.shuffle(all.take(half).toVector).toArray,
+      rnd.shuffle(all.drop(half).toVector).toArray)
+    // replica: warm-up = first `warm` positive values per key in SEQ
+    // order (each key's events all sit in one batch here, so per-batch
+    // seq order == global seq order)
     def replica(evs: Seq[Ev]): (Long, Double, Long, Long) = {
       val ref = scala.collection.mutable.Map.empty[Long, Long]
       val cur = scala.collection.mutable.Map.empty[Long, Long]
