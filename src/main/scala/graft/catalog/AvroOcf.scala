@@ -365,9 +365,13 @@ object AvroOcf {
       |]}""".stripMargin)))
 
   /** Iceberg v2 `manifest_entry` Avro schema (the manifest file entry
-    * type). Optional per-column stats maps are omitted entirely — legal
-    * Avro/Iceberg (readers resolve absent optional fields to null by
-    * field-id); the sink's parquet footers carry the real stats. */
+    * type). Per-column `lower_bounds`/`upper_bounds` (spec field-ids
+    * 125/128; the Java/Go writers' array-of-record map encoding with
+    * key/value ids 126/127 and 129/130) carry min/max stats in the
+    * Iceberg single-value binary serialization — a planner prunes
+    * whole files from these WITHOUT opening a footer. Other optional
+    * stats maps are omitted entirely — legal Avro/Iceberg (readers
+    * resolve absent optional fields to null by field-id). */
   val ManifestEntrySchema: String = compact(render(parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
@@ -381,10 +385,24 @@ object AvroOcf {
       | {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
       | {"name":"record_count","type":"long","field-id":103},
       | {"name":"file_size_in_bytes","type":"long","field-id":104},
+      | {"name":"lower_bounds","type":["null",{"type":"array","items":
+      |  {"type":"record","name":"k126_v127","fields":[
+      |   {"name":"key","type":"int","field-id":126},
+      |   {"name":"value","type":"bytes","field-id":127}]},
+      |  "logicalType":"map"}],"default":null,"field-id":125},
+      | {"name":"upper_bounds","type":["null",{"type":"array","items":
+      |  {"type":"record","name":"k129_v130","fields":[
+      |   {"name":"key","type":"int","field-id":129},
+      |   {"name":"value","type":"bytes","field-id":130}]},
+      |  "logicalType":"map"}],"default":null,"field-id":128},
       | {"name":"split_offsets","type":["null",{"type":"array","items":"long","element-id":133}],"default":null,"field-id":132},
       | {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}
       |]},"field-id":2}
       |]}""".stripMargin)))
+
+  private def boundsMap(bs: Seq[(Int, Array[Byte])]): AVal =
+    if (bs.isEmpty) opt(None)
+    else opt(Some(AArr(bs.map { case (id, b) => ARec(Seq(AInt(id), ABytes(b))) })))
 
   /** ADDED manifest entry for one data file (v2: sequence numbers null
     * → inherited from the manifest list / snapshot). */
@@ -401,6 +419,8 @@ object AvroOcf {
         ARec(Nil),                    // partition (unpartitioned spec)
         ALong(file.recordCount),
         ALong(file.sizeBytes),
+        boundsMap(file.bounds.map { case (id, lo, _) => id -> lo }),
+        boundsMap(file.bounds.map { case (id, _, hi) => id -> hi }),
         opt(None),                    // split_offsets
         opt(None)))))                 // sort_order_id
 
@@ -422,4 +442,54 @@ object AvroOcf {
       ALong(0L), ALong(0L),           // existing / deleted rows
       opt(None),                      // partitions summary
       opt(None)))                     // key_metadata
+
+  /** Re-encode a DECODED `manifest_file` record (a [[read]] result Map)
+    * back to [[AVal]] — the carry-forward step of an Iceberg append:
+    * the new snapshot's manifest list must reference every manifest
+    * constituting the table state, so prior list entries are copied
+    * into the fresh list with their own sequence numbers intact (the
+    * spec's inheritance rules key off them). Tolerates records written
+    * by other engines: missing optional fields encode as null, and the
+    * existing/added counts are preserved verbatim. */
+  def manifestFileRecord(m: Map[String, Any]): AVal = {
+    def int(k: String, dflt: Int = 0): AVal =
+      AInt(m.get(k) match {
+        case Some(i: Int) => i
+        case Some(l: Long) => l.toInt
+        case _ => dflt
+      })
+    def long(k: String, dflt: Long = 0L): AVal =
+      ALong(m.get(k) match {
+        case Some(l: Long) => l
+        case Some(i: Int) => i.toLong
+        case _ => dflt
+      })
+    val partitions = m.get("partitions") match {
+      case Some(items: Seq[Any] @unchecked) if items != null =>
+        opt(Some(AArr(items.map { case p: Map[String, Any] @unchecked =>
+          ARec(Seq(
+            ABool(p.get("contains_null").contains(true)),
+            opt(p.get("contains_nan").collect { case b: Boolean => ABool(b) }),
+            opt(p.get("lower_bound").collect { case b: Array[Byte] => ABytes(b) }),
+            opt(p.get("upper_bound").collect { case b: Array[Byte] => ABytes(b) })))
+        })))
+      case _ => opt(None)
+    }
+    ARec(Seq(
+      AStr(m("manifest_path").asInstanceOf[String]),
+      long("manifest_length"),
+      int("partition_spec_id"),
+      int("content"),
+      long("sequence_number"),
+      long("min_sequence_number"),
+      long("added_snapshot_id"),
+      int("added_data_files_count"),
+      int("existing_data_files_count"),
+      int("deleted_data_files_count"),
+      long("added_rows_count"),
+      long("existing_rows_count"),
+      long("deleted_rows_count"),
+      partitions,
+      opt(m.get("key_metadata").collect { case b: Array[Byte] => ABytes(b) })))
+  }
 }

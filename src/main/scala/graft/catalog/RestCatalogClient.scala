@@ -59,16 +59,36 @@ object RestCatalogClient {
                       auth: CatalogAuth = CatalogAuth(),
                       retry: RetryPolicy = RetryPolicy())
 
-  case class DataFile(path: String, sizeBytes: Long, recordCount: Long)
+  /** `bounds` are optional per-column (field-id, lower, upper) min/max
+    * stats in the Iceberg single-value binary serialization
+    * ([[IcebergSingleValue]]) — written into the manifest entry's
+    * `lower_bounds`/`upper_bounds` so planners prune files from
+    * manifests alone ([[IcebergTableReader.readSlice]]). */
+  case class DataFile(path: String, sizeBytes: Long, recordCount: Long,
+                      bounds: Seq[(Int, Array[Byte], Array[Byte])] = Nil)
 
   /** Loaded table state needed by commits and listings. `schemaJson` is
     * the CURRENT table schema (compact JSON) — embedded into manifest
     * file metadata so manifest readers can resolve columns without a
-    * catalog round-trip, as the Iceberg spec requires. */
+    * catalog round-trip, as the Iceberg spec requires. `snapshots` is
+    * the (snapshot-id, manifest-list) log — the carry-forward source
+    * for append commits. */
   case class TableInfo(location: String, currentSnapshotId: Option[Long],
                        lastSequenceNumber: Long, manifestLists: Seq[String],
                        schemaJson: String = "{}",
-                       defaultSpec: Option[JValue] = None)
+                       defaultSpec: Option[JValue] = None,
+                       snapshots: Seq[(Long, String)] = Nil)
+
+  /** Top-level field id of `column` in an Iceberg schema JSON — the
+    * key manifest bounds maps use. */
+  def fieldIdOf(schemaJson: String, column: String): Option[Int] =
+    (org.json4s.jackson.JsonMethods.parse(schemaJson) \ "fields").toOption
+      .collect { case JArray(fs) =>
+        fs.collectFirst {
+          case f if (f \ "name").toOption.contains(JString(column)) =>
+            (f \ "id") match { case JInt(n) => n.toInt; case _ => -1 }
+        }
+      }.flatten.filter(_ >= 0)
 
   /** Granularity → Iceberg TIME-TRANSFORM partition field, matching the
     * reference's OTELPartitionSpec
@@ -294,6 +314,15 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
         case JArray(ss) => ss.map(s => (s \ "manifest-list").extract[String])
         case _ => Nil
       },
+      snapshots = (md \ "snapshots").toOption.toSeq.flatMap {
+        case JArray(ss) => ss.flatMap { s =>
+          ((s \ "snapshot-id").toOption, (s \ "manifest-list").toOption) match {
+            case (Some(JInt(id)), Some(JString(ml))) => Some(id.toLong -> ml)
+            case _ => None
+          }
+        }
+        case _ => Nil
+      },
       schemaJson = {
         val currentId = (md \ "current-schema-id").toOption
           .collect { case JInt(n) => n.toInt }
@@ -349,6 +378,14 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
           case _: Throwable
               if loadTableOnce(namespace, table).isDefined => ()
         }
+        // bootstrap the stand-alone chain (v1, snapshot-less) so even a
+        // never-appended table is cold-openable; skipped if a race
+        // winner already wrote one
+        loadTableOnce(namespace, table).foreach { ti =>
+          if (IcebergTableMetadata.currentVersion(hadoopConf, ti.location) == 0)
+            IcebergTableMetadata.commit(hadoopConf, ti.location,
+              ti.schemaJson, ti.defaultSpec, None)
+        }
       }
     }
     tableCache.add(key)
@@ -390,6 +427,30 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
             "format-version" -> "2", "content" -> "data"),
         files.map(f => AvroOcf.manifestEntry(snapId, f)))
       writeFile(manifestPath, manifestBytes)
+      // CARRY-FORWARD: per the Iceberg spec a snapshot's manifest list
+      // references EVERY manifest constituting the table state, not
+      // just this append's — prior entries are copied in with their own
+      // sequence numbers intact, so any single-snapshot reader (Trino,
+      // Spark-Iceberg, [[IcebergTableReader]]) sees the whole table.
+      // Pre-r6 JSON-lines lists can't carry (no manifest records);
+      // [[listDataFiles]]'s all-snapshot union still covers those.
+      val carried: Seq[AvroOcf.AVal] =
+        info.currentSnapshotId.toSeq
+          .flatMap(cur => info.snapshots.filter(_._1 == cur).map(_._2))
+          .flatMap { prevList =>
+            val p = new Path(prevList)
+            if (!fs.exists(p)) Nil
+            else {
+              val in = fs.open(p)
+              val bytes = try in.readAllBytes() finally in.close()
+              if (!(bytes.length > 4 && bytes(0) == 'O' && bytes(1) == 'b' &&
+                    bytes(2) == 'j' && bytes(3) == 1)) Nil
+              else AvroOcf.read(bytes)._2.collect {
+                case m: Map[String, Any] @unchecked =>
+                  AvroOcf.manifestFileRecord(m)
+              }
+            }
+          }
       val listPath = s"${info.location}/metadata/snap-$snapId-1-graft.avro"
       writeFile(listPath, AvroOcf.write(
         AvroOcf.ManifestListSchema,
@@ -398,20 +459,21 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
               info.currentSnapshotId.map(_.toString).getOrElse("null"),
             "sequence-number" -> seqNum.toString,
             "format-version" -> "2"),
-        Seq(AvroOcf.manifestListEntry(manifestPath, manifestBytes.length.toLong,
-          seqNum, snapId, files.size, files.map(_.recordCount).sum))))
+        AvroOcf.manifestListEntry(manifestPath, manifestBytes.length.toLong,
+          seqNum, snapId, files.size, files.map(_.recordCount).sum) +: carried))
       val summary = JObject(
         "operation" -> JString("append"),
         "otel.exporter" -> JString("iceberg"),
         "otel.record_count" -> JString(files.map(_.recordCount).sum.toString),
         "otel.file_size" -> JString(files.map(_.sizeBytes).sum.toString),
         "otel.file_count" -> JString(files.size.toString))
+      val commitTsMs = System.currentTimeMillis()
       val snapshot = JObject(
         "snapshot-id" -> JInt(BigInt(snapId)),
         "parent-snapshot-id" -> info.currentSnapshotId
           .map(v => JInt(BigInt(v)): JValue).getOrElse(JNull),
         "sequence-number" -> JInt(BigInt(seqNum)),
-        "timestamp-ms" -> JInt(BigInt(System.currentTimeMillis())),
+        "timestamp-ms" -> JInt(BigInt(commitTsMs)),
         "manifest-list" -> JString(listPath),
         "summary" -> summary)
       val body = compact(render(JObject(
@@ -429,6 +491,20 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
             "ref-name" -> JString("main"), "type" -> JString("branch"),
             "snapshot-id" -> JInt(BigInt(snapId))))))))
       call("POST", s"$prefix/namespaces/$namespace/tables/$table", Some(body))
+      // STAND-ALONE metadata chain: after the catalog accepts the
+      // snapshot, append it to the table's vN.metadata.json chain so
+      // the directory is cold-readable without the catalog
+      // ([[IcebergTableMetadata]] — best-effort vs a concurrent writer
+      // on another host; the catalog stays the source of truth and the
+      // next commit repairs any lag).
+      IcebergTableMetadata.commit(hadoopConf, info.location,
+        info.schemaJson, info.defaultSpec,
+        Some(IcebergTableMetadata.SnapshotMeta(
+          snapId, info.currentSnapshotId, seqNum, commitTsMs, listPath,
+          Map("operation" -> "append",
+              "otel.record_count" -> files.map(_.recordCount).sum.toString,
+              "otel.file_size" -> files.map(_.sizeBytes).sum.toString,
+              "otel.file_count" -> files.size.toString))))
       ()
     }
   }

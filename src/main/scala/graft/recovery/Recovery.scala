@@ -302,6 +302,52 @@ object Recovery {
     * distributed job (r6 — catalog registration carries real per-file
     * record counts, matching the reference exporter's snapshot summary,
     * instead of a hardcoded 0). Metadata-only like [[fileStats]]. */
+  /** Per-file min/max of one INT64/INT32-physical column, harvested
+    * from parquet FOOTERS only (no data pages) — the stats a catalog
+    * commit embeds into manifest-entry `lower_bounds`/`upper_bounds`
+    * so downstream planners prune files from metadata alone. Columns
+    * whose footer carries no comparable long stats (binary, all-null)
+    * simply don't appear. Distributed like [[fileRowCounts]]: one
+    * footer open per file across the cluster, collected driver-side
+    * (bytes-per-file: two longs). */
+  def fileColumnStats(spark: SparkSession, paths: Seq[String],
+                      column: String): Map[String, (Long, Long)] = {
+    if (paths.isEmpty) return Map.empty
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val slices = math.max(1, math.min(paths.length,
+      spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(paths.toIndexedSeq, slices)
+      .mapPartitions { it =>
+        val conf = confB.value.value
+        it.flatMap { p =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new Path(p), conf))
+          try {
+            import scala.jdk.CollectionConverters._
+            val longs = reader.getFooter.getBlocks.asScala
+              .flatMap(_.getColumns.asScala)
+              .filter(_.getPath.toDotString == column)
+              .map(_.getStatistics)
+              .filter(s => s != null && s.hasNonNullValue)
+              .flatMap { s =>
+                (s.genericGetMin, s.genericGetMax) match {
+                  case (mn: java.lang.Long, mx: java.lang.Long) =>
+                    Some((mn.longValue, mx.longValue))
+                  case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                    Some((mn.longValue, mx.longValue))
+                  case _ => None
+                }
+              }
+            if (longs.isEmpty) None
+            else Some(p -> (longs.map(_._1).min, longs.map(_._2).max))
+          } finally reader.close()
+        }
+      }.collect().toMap
+  }
+
   def fileRowCounts(spark: SparkSession, paths: Seq[String]): Map[String, Long] = {
     if (paths.isEmpty) return Map.empty
     val confB = spark.sparkContext.broadcast(

@@ -29,7 +29,11 @@ import scala.collection.mutable
   *     without it cannot parse a stock exporter's `:path`).
   *   - gRPC message framing: 5-byte (compressed-flag, u32 length)
   *     prefixed messages in DATA, unary `Export` calls on the three
-  *     collector services, `grpc-status` trailers.
+  *     collector services, `grpc-status` trailers; `grpc-encoding:
+  *     gzip` message compression (the stock SDK `compression: gzip`
+  *     path) inflated size-capped before the spool, with the proper
+  *     INTERNAL/UNIMPLEMENTED statuses for unannounced or unsupported
+  *     codecs and `grpc-accept-encoding` advertised.
   *
   * Identical durability contract to [[OtlpHttpReceiver]]: each
   * received `Export*ServiceRequest` is written whole to the SAME
@@ -219,30 +223,59 @@ final class OtlpGrpcReceiver(spoolDir: String, host: String = "127.0.0.1",
       case Some(_) if !ct.startsWith("application/grpc") =>
         writeTrailersOnly(out, sid, 3, "content-type must be application/grpc")
       case Some(signal) =>
+        // per-message compression (gRPC spec §compression): the request's
+        // grpc-encoding header names the codec for messages whose
+        // compressed flag is 1. gzip is the codec stock OTel SDKs ship
+        // (`compression: gzip`); flag=1 with identity/absent encoding is
+        // INTERNAL (13), an unannounced codec is UNIMPLEMENTED (12) with
+        // grpc-accept-encoding advertised. Decompression happens HERE so
+        // the spool always holds plain protobuf — the streaming decode
+        // path is codec-free.
+        val encoding = st.headers.getOrElse("grpc-encoding", "identity")
+          .trim.toLowerCase
         val buf = st.data.toByteArray
         var pos = 0
-        var err: Option[String] = None
+        var err: Option[(Int, String)] = None
         var nMsgs = 0
         while (err.isEmpty && pos < buf.length) {
-          if (pos + 5 > buf.length) err = Some("truncated gRPC frame header")
+          if (pos + 5 > buf.length) err = Some((13, "truncated gRPC frame header"))
           else {
             val compressed = buf(pos) & 0xff
             val mlen = ((buf(pos + 1) & 0xff) << 24) | ((buf(pos + 2) & 0xff) << 16) |
               ((buf(pos + 3) & 0xff) << 8) | (buf(pos + 4) & 0xff)
-            if (compressed != 0) err = Some("compressed messages not supported")
-            else if (pos + 5 + mlen > buf.length) err = Some("truncated gRPC message")
+            if (pos + 5 + mlen > buf.length) err = Some((13, "truncated gRPC message"))
             else {
-              spool(signal, java.util.Arrays.copyOfRange(buf, pos + 5, pos + 5 + mlen))
-              nMsgs += 1
-              pos += 5 + mlen
+              val raw = java.util.Arrays.copyOfRange(buf, pos + 5, pos + 5 + mlen)
+              if (compressed == 0) {
+                spool(signal, raw)
+                nMsgs += 1
+              } else encoding match {
+                case "gzip" =>
+                  try {
+                    spool(signal, TransportGzip.inflate(raw,
+                      TransportGzip.DefaultMaxInflatedBytes))
+                    nMsgs += 1
+                  } catch {
+                    case e: Exception =>
+                      err = Some((13, s"corrupt gzip message: ${e.getMessage}"))
+                  }
+                case "identity" =>
+                  err = Some((13,
+                    "compressed-flag message but grpc-encoding is identity/absent"))
+                case other =>
+                  err = Some((12, s"grpc-encoding $other unsupported " +
+                    "(grpc-accept-encoding: gzip, identity)"))
+              }
+              if (err.isEmpty) pos += 5 + mlen
             }
           }
         }
         err match {
-          case Some(m) => writeTrailersOnly(out, sid, if (m.contains("compressed")) 12 else 13, m)
+          case Some((code, m)) => writeTrailersOnly(out, sid, code, m)
           case None =>
             val respHeaders = encodeHeaders(Seq(
-              ":status" -> "200", "content-type" -> "application/grpc"))
+              ":status" -> "200", "content-type" -> "application/grpc",
+              "grpc-accept-encoding" -> "gzip, identity"))
             writeFrame(out, FrameHeaders, FlagEndHeaders, sid, respHeaders)
             // empty Export*ServiceResponse: one gRPC frame, zero-length message
             writeFrame(out, FrameData, 0, sid, Array[Byte](0, 0, 0, 0, 0))
@@ -257,6 +290,7 @@ final class OtlpGrpcReceiver(spoolDir: String, host: String = "127.0.0.1",
                                 msg: String): Unit = {
     val hs = encodeHeaders(Seq(
       ":status" -> "200", "content-type" -> "application/grpc",
+      "grpc-accept-encoding" -> "gzip, identity",
       "grpc-status" -> status.toString,
       "grpc-message" -> java.net.URLEncoder.encode(msg, "UTF-8")))
     writeFrame(out, FrameHeaders, FlagEndHeaders | FlagEndStream, sid, hs)

@@ -24,10 +24,13 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * [[OtelProtoSource.logsStream]] / metrics twins, exactly like a
   * collector receiver's enqueue. Standard OTLP/HTTP surface:
   * `POST /v1/{traces,logs,metrics}` with `application/x-protobuf`;
-  * JSON bodies get 415 (the engine's OTLP/JSON path is the
-  * collector-file-drop source [[OtelJsonSource]]), other methods 405,
-  * unknown routes 404. Responses are empty Export*ServiceResponse
-  * messages (zero proto bytes), per spec.
+  * `Content-Encoding: gzip` is inflated (size-capped) before the spool
+  * — the setting stock OTel SDKs ship as `compression: gzip` — while
+  * other codecs are an explicit 415; JSON bodies get 415 (the engine's
+  * OTLP/JSON path is the collector-file-drop source
+  * [[OtelJsonSource]]), other methods 405, unknown routes 404.
+  * Responses are empty Export*ServiceResponse messages (zero proto
+  * bytes), per spec.
   *
   * Scale: one receiver instance is collector-sidecar shaped. For a
   * 1000-executor deployment you run N receivers behind a balancer, all
@@ -82,26 +85,88 @@ final class OtlpHttpReceiver(spoolDir: String, host: String = "127.0.0.1",
         respond(ex, 405, """{"error":"method not allowed"}""".getBytes("UTF-8"))
       case Some(signal) =>
         val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+        val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+          .map(_.trim.toLowerCase).getOrElse("")
         if (!ct.startsWith("application/x-protobuf"))
           respond(ex, 415,
             """{"error":"use application/x-protobuf (OTLP/JSON ingest is the collector file-drop source)"}"""
               .getBytes("UTF-8"))
+        else if (enc.nonEmpty && enc != "identity" && enc != "gzip")
+          // stock OTel SDKs ship `compression: gzip` on OTLP/HTTP exports
+          // — gzip is supported below; anything else is an explicit 415,
+          // never a mis-decode of the body
+          respond(ex, 415,
+            s"""{"error":"unsupported Content-Encoding: $enc (supported: gzip, identity)"}"""
+              .getBytes("UTF-8"))
         else {
-          val body = ex.getRequestBody.readAllBytes()
-          // durability point: temp write + atomic move BEFORE the ack.
-          // Name is (epochMs, per-process seq) — unique and roughly
-          // arrival-ordered for the file source's log.
-          val name =
-            f"${System.currentTimeMillis()}%013d-${seq.getAndIncrement()}%06d.pb"
-          val tmp = inflight.resolve(s"$signal-$name")
-          Files.write(tmp, body)
-          Files.move(tmp, Paths.get(spoolDir, signal, name),
-            StandardCopyOption.ATOMIC_MOVE)
-          accepted(signal).incrementAndGet()
-          ex.getResponseHeaders.add("Content-Type", "application/x-protobuf")
-          respond(ex, 200, Array.emptyByteArray) // empty Export*ServiceResponse
+          val raw = ex.getRequestBody.readAllBytes()
+          // inflate BEFORE the spool so the durable file is always plain
+          // protobuf and the streaming decode path stays codec-free;
+          // the inflate is size-capped (zip-bomb guard) and a corrupt
+          // stream is a 400, not a spooled garbage file
+          val body =
+            if (enc != "gzip") Some(raw)
+            else try Some(TransportGzip.inflate(raw,
+              TransportGzip.DefaultMaxInflatedBytes))
+            catch { case e: Exception =>
+              respond(ex, 400,
+                s"""{"error":"bad gzip body: ${e.getMessage}"}""".getBytes("UTF-8"))
+              None
+            }
+          body.foreach { b =>
+            // durability point: temp write + atomic move BEFORE the ack.
+            // Name is (epochMs, per-process seq) — unique and roughly
+            // arrival-ordered for the file source's log.
+            val name =
+              f"${System.currentTimeMillis()}%013d-${seq.getAndIncrement()}%06d.pb"
+            val tmp = inflight.resolve(s"$signal-$name")
+            Files.write(tmp, b)
+            Files.move(tmp, Paths.get(spoolDir, signal, name),
+              StandardCopyOption.ATOMIC_MOVE)
+            accepted(signal).incrementAndGet()
+            ex.getResponseHeaders.add("Content-Type", "application/x-protobuf")
+            respond(ex, 200, Array.emptyByteArray) // empty Export*ServiceResponse
+          }
         }
     }
+  }
+}
+
+/** Transport-level gzip shared by both OTLP receivers (HTTP
+  * `Content-Encoding: gzip`, gRPC `grpc-encoding: gzip` message
+  * compression) — `java.util.zip.GZIPInputStream`, dependency-free.
+  * Inflation is size-capped: a compressed body that expands past the
+  * cap aborts with a clear error (zip-bomb guard) instead of exhausting
+  * receiver memory. */
+private[sources] object TransportGzip {
+
+  /** 128 MiB — far above any sane OTLP export batch, far below heap. */
+  val DefaultMaxInflatedBytes: Int = 128 << 20
+
+  def inflate(bytes: Array[Byte], maxBytes: Int): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(math.max(bytes.length * 4, 1 << 10), 1 << 20))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size > maxBytes)
+          throw new IllegalArgumentException(
+            s"inflated body exceeds $maxBytes bytes")
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  def deflate(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
   }
 }
 

@@ -178,10 +178,24 @@ object Delivery {
           // otel.record_count (r6 — was hardcoded 0)
           val counts = graft.recovery.Recovery.fileRowCounts(
             spark, fresh.map(_._1).toSeq)
+          // ts-column min/max from the same footers → manifest-entry
+          // bounds, so cold readers prune time slices from metadata
+          // alone (IcebergTableReader.readSlice)
+          val stats = graft.recovery.Recovery.fileColumnStats(
+            spark, fresh.map(_._1).toSeq, cfg.tsColumn)
+          val tsFieldId = client.loadTable(namespace, table)
+            .flatMap(ti => graft.catalog.RestCatalogClient.fieldIdOf(
+              ti.schemaJson, cfg.tsColumn))
           client.appendDataFiles(namespace, table,
             fresh.map { case (p, sz) =>
+              val bounds = (tsFieldId, stats.get(p)) match {
+                case (Some(id), Some((mn, mx))) => Seq((id,
+                  graft.catalog.IcebergSingleValue.longBytes(mn),
+                  graft.catalog.IcebergSingleValue.longBytes(mx)))
+                case _ => Nil
+              }
               graft.catalog.RestCatalogClient.DataFile(
-                p, sz, counts.getOrElse(p, 0L))
+                p, sz, counts.getOrElse(p, 0L), bounds)
             }.toSeq)
         }
         ()

@@ -1,0 +1,183 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{IcebergSingleValue, IcebergTableMetadata, IcebergTableReader,
+  RestCatalogClient}
+import graft.catalog.RestCatalogClient.{CatalogAuth, DataFile, Settings}
+
+/** Iceberg table-format COLD READ: a table committed through the REST
+  * client re-opens from its warehouse DIRECTORY alone — catalog gone —
+  * row-identical, snapshot time travel included, time slices pruned
+  * from manifest-entry bounds without opening non-matching files, and
+  * the written metadata still byte-round-trips the reference Avro
+  * implementation. This is the interop contract: any stand-alone
+  * Iceberg reader starts from `version-hint.text` / `vN.metadata.json`
+  * exactly like [[graft.catalog.IcebergTableReader]] does. */
+class IcebergColdReadSpec extends SparkSpec {
+
+  private def listParquet(dir: String): Seq[String] =
+    Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).toSeq.sorted
+
+  private def writeBatch(dir: String, ids: Range, tsBase: Long): Seq[String] = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, tsBase + i * 1000L, s"v$i")).toDF("id", "ts", "payload")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    listParquet(dir)
+  }
+
+  private def appendWithBounds(client: RestCatalogClient, ns: String,
+                               tbl: String, paths: Seq[String]): Unit = {
+    val sp = spark
+    val counts = graft.recovery.Recovery.fileRowCounts(sp, paths)
+    val stats = graft.recovery.Recovery.fileColumnStats(sp, paths, "ts")
+    val fid = client.loadTable(ns, tbl)
+      .flatMap(ti => RestCatalogClient.fieldIdOf(ti.schemaJson, "ts")).get
+    client.appendDataFiles(ns, tbl, paths.map { p =>
+      val (mn, mx) = stats(p)
+      DataFile(p, Files.size(Paths.get(p)), counts(p),
+        Seq((fid, IcebergSingleValue.longBytes(mn),
+          IcebergSingleValue.longBytes(mx))))
+    })
+  }
+
+  test("cold re-open: row-identical, time travel, bounds pruning, avro interop") {
+    import spark.implicits._
+    val warehouse = Files.createTempDirectory("graft-cold").toString
+    val fake = new FakeRestCatalog
+    fake.warehouseDir = warehouse
+    val client = new RestCatalogClient(
+      Settings(fake.uri, warehouse, CatalogAuth(token = "tok-0")))
+    val ns = "colddb"; val tbl = "events"
+    val schema = Seq((0L, 0L, "")).toDF("id", "ts", "payload").schema
+    client.ensureNamespace(ns)
+    client.ensureTable(ns, tbl, schema)
+    val loc = client.loadTable(ns, tbl).get.location
+
+    // two appends with DISJOINT ts ranges (micros-scale longs)
+    val b1 = writeBatch(s"$loc/data/b1", 0 until 500, 1000000L)
+    val b2 = writeBatch(s"$loc/data/b2", 500 until 800, 900000000L)
+    appendWithBounds(client, ns, tbl, b1)
+    appendWithBounds(client, ns, tbl, b2)
+
+    // catalog GONE — everything below is directory-only
+    fake.stop()
+
+    // chain: v1 (create) + v2 + v3 (appends), hint points at the head
+    assert(new String(Files.readAllBytes(
+      Paths.get(s"$loc/metadata/version-hint.text")), "UTF-8").trim === "3")
+    val meta = IcebergTableReader.metadata(spark, loc)
+    assert(meta.snapshots.size === 2)
+    assert(meta.tableUuid.nonEmpty)
+    val Seq(s1, s2) = meta.snapshots.sortBy(_.sequenceNumber)
+    assert(s2.parentId === Some(s1.snapshotId))
+    assert(meta.currentSnapshotId === Some(s2.snapshotId))
+
+    // current snapshot: both batches, row-identical
+    val cold = IcebergTableReader.read(spark, loc)
+      .select($"id", $"ts", $"payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val expected = ((0 until 500).map(i => (i.toLong, 1000000L + i * 1000L, s"v$i")) ++
+      (500 until 800).map(i => (i.toLong, 900000000L + i * 1000L, s"v$i"))).toSet
+    assert(cold === expected)
+
+    // time travel: snapshot 1 sees ONLY batch 1
+    val atS1 = IcebergTableReader.read(spark, loc, Some(s1.snapshotId))
+      .agg(count(lit(1)), min($"id"), max($"id")).collect()(0)
+    assert((atS1.getLong(0), atS1.getLong(1), atS1.getLong(2)) === ((500L, 0L, 499L)))
+
+    // the CURRENT snapshot's manifest list carries BOTH manifests
+    // (Iceberg carry-forward append) — a single-snapshot reader sees
+    // the whole table
+    assert(IcebergTableReader.dataFiles(spark, loc).map(_.path).toSet ===
+      (b1 ++ b2).toSet)
+    assert(IcebergTableReader.dataFiles(spark, loc, Some(s1.snapshotId))
+      .map(_.path).toSet === b1.toSet)
+
+    // bounds pruning: a slice inside batch 1's ts range must OPEN only
+    // batch 1's file (inputFiles proves file-level pruning, not just a
+    // row filter)
+    val sliced = IcebergTableReader.readSlice(spark, loc, "ts",
+      startUs = 1000000L, endUs = 2000000L)
+    assert(sliced.inputFiles.toSeq.map(f => new java.net.URI(f).getPath).toSet
+      .subsetOf(b1.toSet), sliced.inputFiles.mkString(", "))
+    assert(sliced.count() === 500L) // all of batch 1 (ts 1000000..1499000)
+    // a narrower slice also row-filters within the file
+    assert(IcebergTableReader.readSlice(spark, loc, "ts",
+      startUs = 1000000L, endUs = 1010000L).count() === 10L)
+    ()
+  }
+
+  test("hint loss recovers via max-vN; snapshot log DataFrame is queryable") {
+    import spark.implicits._
+    val warehouse = Files.createTempDirectory("graft-cold2").toString
+    val fake = new FakeRestCatalog
+    fake.warehouseDir = warehouse
+    val client = new RestCatalogClient(
+      Settings(fake.uri, warehouse, CatalogAuth(token = "tok-0")))
+    val ns = "colddb2"; val tbl = "t"
+    val schema = Seq((0L, 0L, "")).toDF("id", "ts", "payload").schema
+    client.ensureNamespace(ns)
+    client.ensureTable(ns, tbl, schema)
+    val loc = client.loadTable(ns, tbl).get.location
+    val b1 = writeBatch(s"$loc/data/b1", 0 until 10, 0L)
+    appendWithBounds(client, ns, tbl, b1)
+    fake.stop()
+    Files.delete(Paths.get(s"$loc/metadata/version-hint.text"))
+    assert(IcebergTableReader.read(spark, loc).count() === 10L)
+    val log = IcebergTableReader.snapshots(spark, loc)
+    assert(log.count() === 1L)
+    assert(log.select($"operation").collect()(0).getString(0) === "append")
+  }
+
+  test("written manifests + carry-forward list round-trip the reference Avro reader") {
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import scala.jdk.CollectionConverters._
+    val warehouse = Files.createTempDirectory("graft-cold3").toString
+    val fake = new FakeRestCatalog
+    fake.warehouseDir = warehouse
+    val client = new RestCatalogClient(
+      Settings(fake.uri, warehouse, CatalogAuth(token = "tok-0")))
+    import spark.implicits._
+    val ns = "colddb3"; val tbl = "t"
+    val schema = Seq((0L, 0L, "")).toDF("id", "ts", "payload").schema
+    client.ensureNamespace(ns)
+    client.ensureTable(ns, tbl, schema)
+    val loc = client.loadTable(ns, tbl).get.location
+    appendWithBounds(client, ns, tbl, writeBatch(s"$loc/data/b1", 0 until 5, 0L))
+    appendWithBounds(client, ns, tbl, writeBatch(s"$loc/data/b2", 5 until 9, 99000L))
+    fake.stop()
+    val meta = IcebergTableReader.metadata(spark, loc)
+    val head = meta.snapshots.maxBy(_.sequenceNumber)
+    def avroRecords(path: String): Seq[GenericRecord] = {
+      val rd = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(Files.readAllBytes(Paths.get(path))),
+        new GenericDatumReader[GenericRecord]())
+      try rd.iterator().asScala.toVector finally rd.close()
+    }
+    // reference reader on the carry-forward manifest LIST: both
+    // manifests present, sequence numbers distinct and preserved
+    val listRecs = avroRecords(head.manifestList)
+    assert(listRecs.size === 2)
+    assert(listRecs.map(_.get("sequence_number").asInstanceOf[Long]).toSet.size === 2)
+    // reference reader on a manifest: bounds maps decode and the long
+    // round-trips through the single-value serialization
+    val mPath = listRecs.map(_.get("manifest_path").toString)
+      .find(_.contains(s"graft-m-${head.snapshotId}")).get
+    val entry = avroRecords(mPath).head
+    val df0 = entry.get("data_file").asInstanceOf[GenericRecord]
+    val lower = df0.get("lower_bounds")
+    assert(lower != null, "lower_bounds must be written")
+    val kv = lower.asInstanceOf[java.util.Collection[GenericRecord]]
+      .asScala.head
+    val bytes = kv.get("value").asInstanceOf[java.nio.ByteBuffer]
+    val arr = new Array[Byte](bytes.remaining()); bytes.duplicate().get(arr)
+    // head append wrote ids 5..8 with ts = 99000 + id*1000 → min 104000
+    assert(IcebergSingleValue.longOf(arr) === 104000L)
+    ()
+  }
+}

@@ -77,7 +77,8 @@ class OtlpGrpcReceiverSpec extends SparkSpec {
   /** One unary gRPC call over an existing h2c connection; returns
     * (response headers, trailer headers, data bytes). */
   private def call(conn: Channel, path: String, body: Array[Byte],
-                   contentType: String = "application/grpc"):
+                   contentType: String = "application/grpc",
+                   extraHeaders: Seq[(String, String)] = Nil):
       (Map[String, String], Map[String, String], Array[Byte]) = {
     val events = new LinkedBlockingQueue[(String, AnyRef)]()
     val bs = new Http2StreamChannelBootstrap(conn)
@@ -107,6 +108,7 @@ class OtlpGrpcReceiverSpec extends SparkSpec {
     hdrs.add("content-type", contentType)
     hdrs.add("te", "trailers")
     hdrs.add("user-agent", "graft-spec-client/1.0")
+    extraHeaders.foreach { case (k, v) => hdrs.add(k, v) }
     sch.write(new DefaultHttp2HeadersFrame(hdrs))
     sch.writeAndFlush(new DefaultHttp2DataFrame(
       Unpooled.wrappedBuffer(body), true)).sync()
@@ -218,6 +220,46 @@ class OtlpGrpcReceiverSpec extends SparkSpec {
     } finally rx.stop()
   }
 
+  test("grpc-encoding gzip: compressed message inflates to a byte-exact spool") {
+    val base = Files.createTempDirectory("graft-grpc-gzip").toString
+    val rx = new OtlpGrpcReceiver(s"$base/spool")
+    try {
+      // a body big enough that gzip genuinely restructures it (and,
+      // compressed, still crosses nothing interesting — the flow-control
+      // test owns that edge)
+      val plain = traceRequest("dd" * 16, "z" * 50000, 7L)
+      val bos = new ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(plain); gz.close()
+      val packed = bos.toByteArray
+      assert(packed.length < plain.length / 2, "fixture should compress")
+      val frame = new ByteArrayOutputStream()
+      frame.write(1) // compressed flag
+      frame.write((packed.length >> 24) & 0xff); frame.write((packed.length >> 16) & 0xff)
+      frame.write((packed.length >> 8) & 0xff); frame.write(packed.length & 0xff)
+      frame.write(packed)
+      withClient(rx.grpcPort) { conn =>
+        val (_, tr, _) = call(conn, TracePath, frame.toByteArray,
+          extraHeaders = Seq("grpc-encoding" -> "gzip"))
+        assert(tr.get("grpc-status").contains("0"), tr.toString)
+      }
+      val files = Files.list(Paths.get(s"$base/spool/traces")).toArray
+      assert(files.length === 1)
+      val stored = Files.readAllBytes(files(0).asInstanceOf[java.nio.file.Path])
+      assert(stored.toSeq === plain.toSeq,
+        "spool must hold the INFLATED protobuf, byte-exact")
+      // corrupt gzip payload: INTERNAL, nothing spooled
+      val bad = frame.toByteArray
+      bad(bad.length - 1) = (bad(bad.length - 1) ^ 0x55).toByte
+      withClient(rx.grpcPort) { conn =>
+        val (_, tr, _) = call(conn, TracePath, bad,
+          extraHeaders = Seq("grpc-encoding" -> "gzip"))
+        assert(tr.get("grpc-status").contains("13"), tr.toString)
+      }
+      assert(Files.list(Paths.get(s"$base/spool/traces")).count() === 1)
+    } finally rx.stop()
+  }
+
   test("protocol edges: unknown service, compressed frame, wrong content-type") {
     val base = Files.createTempDirectory("graft-grpc-edges").toString
     val rx = new OtlpGrpcReceiver(s"$base/spool")
@@ -228,10 +270,20 @@ class OtlpGrpcReceiverSpec extends SparkSpec {
           grpcFrame(Array[Byte](1)))
         assert(t1.get("grpc-status").contains("12")) // UNIMPLEMENTED
 
+        // compressed flag with NO grpc-encoding announced: the gRPC
+        // spec's INTERNAL case (the message cannot be interpreted),
+        // distinct from an announced-but-unsupported codec below
         val compressed = grpcFrame(traceRequest("bb" * 16, "s", 1L))
-        compressed(0) = 1 // compressed flag with no codec support
+        compressed(0) = 1
         val (_, t2, _) = call(conn, TracePath, compressed)
-        assert(t2.get("grpc-status").contains("12"))
+        assert(t2.get("grpc-status").contains("13")) // INTERNAL
+
+        // announced codec the server doesn't implement: UNIMPLEMENTED,
+        // and the supported set is advertised for renegotiation
+        val (_, t2b, _) = call(conn, TracePath, compressed,
+          extraHeaders = Seq("grpc-encoding" -> "zstd"))
+        assert(t2b.get("grpc-status").contains("12"))
+        assert(t2b.get("grpc-accept-encoding").exists(_.contains("gzip")))
 
         val (_, t3, _) = call(conn, TracePath,
           grpcFrame(traceRequest("cc" * 16, "s", 1L)),

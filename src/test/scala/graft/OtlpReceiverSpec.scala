@@ -142,6 +142,51 @@ class OtlpReceiverSpec extends SparkSpec {
     } finally rx.stop()
   }
 
+  test("Content-Encoding gzip: body inflates to a byte-exact spool; edges clean") {
+    val base = Files.createTempDirectory("graft-otlp-gzip").toString
+    val rx = new OtlpHttpReceiver(s"$base/spool")
+    try {
+      val plain = traceRequest("ee" * 16, "y" * 50000, 9L)
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(plain); gz.close()
+      val packed = bos.toByteArray
+      assert(packed.length < plain.length / 2, "fixture should compress")
+      val ok = http.send(
+        HttpRequest.newBuilder(URI.create(rx.uri + "/v1/traces"))
+          .header("Content-Type", "application/x-protobuf")
+          .header("Content-Encoding", "gzip")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(packed)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(ok.statusCode() === 200)
+      val dir = Paths.get(OtlpHttpReceiver.spoolPath(s"$base/spool", "traces"))
+      val files = Files.list(dir).toArray
+      assert(files.length === 1)
+      val stored = Files.readAllBytes(files(0).asInstanceOf[java.nio.file.Path])
+      assert(stored.toSeq === plain.toSeq,
+        "spool must hold the INFLATED protobuf, byte-exact")
+      // corrupt gzip: 400, nothing new spooled
+      val bad = packed.clone(); bad(bad.length - 1) = (bad(bad.length - 1) ^ 0x55).toByte
+      val r400 = http.send(
+        HttpRequest.newBuilder(URI.create(rx.uri + "/v1/traces"))
+          .header("Content-Type", "application/x-protobuf")
+          .header("Content-Encoding", "gzip")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(bad)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(r400.statusCode() === 400)
+      // unsupported codec: explicit 415, never a mis-decode
+      val r415 = http.send(
+        HttpRequest.newBuilder(URI.create(rx.uri + "/v1/traces"))
+          .header("Content-Type", "application/x-protobuf")
+          .header("Content-Encoding", "zstd")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(packed)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(r415.statusCode() === 415)
+      assert(Files.list(dir).count() === 1)
+      assert(rx.accepted("traces").get() === 1)
+    } finally rx.stop()
+  }
+
   test("logs and metrics routes spool to their own signals") {
     val base = Files.createTempDirectory("graft-otlp-sig").toString
     val rx = new OtlpHttpReceiver(s"$base/spool")
