@@ -130,6 +130,8 @@ object SparkEntry {
     "sim_kmeans_centroids" -> ((s, d) => SimOps.kmeansCentroids(s, d)),
     "sim_ivf_kmeans"     -> ((s, d) => SimOps.ivfKmeansAnn(s, d)),
     "sim_ivf_persisted"  -> ((s, d) => SimOps.ivfPersisted(s, d)),
+    "sim_ivf_append"     -> ((s, d) => SimOps.ivfAppend(s, d)),
+    "sim_ivf_append_drift" -> ((s, d) => SimOps.ivfAppendDrift(s, d)),
     "sim_ivf_stats"      -> ((s, d) => SimOps.ivfStats(s, d)),
     "tel_funnel"         -> (Telemetry.funnel _),
     "tel_retention"      -> (Telemetry.retention _),
@@ -2332,6 +2334,66 @@ object SparkEntry {
         | row_number() OVER (PARTITION BY query_id
         |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
         |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "sim_ivf_append" ->
+      s"""$KmeansBaseCtes,
+        |w AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        | FROM embeddings),
+        |idx AS (SELECT af.vec_id, af.cid, w.vec, w.nrm FROM af JOIN w USING (vec_id)),
+        |q AS (SELECT vec_id AS query_id, cid, vec AS qvec, nrm AS qnrm
+        |      FROM idx WHERE vec_id < 8),
+        |p AS (
+        | SELECT q.query_id, i.vec_id AS neighbor_id,
+        |  round(list_dot_product(i.vec, q.qvec)/(i.nrm*q.qnrm), 6) AS cosine
+        | FROM idx i JOIN q ON i.cid = q.cid AND i.vec_id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        | row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
+        |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "sim_ivf_append_drift" ->
+      s"""$KmeansBaseCtes,
+        |coh AS (
+        | SELECT af.vec_id, af.cid,
+        |  CASE WHEN af.vec_id < sp.at THEN 0 ELSE 1 END AS cohort
+        | FROM af, sp),
+        |tx AS (
+        | SELECT coh.cid, coh.cohort, r.i - 1 AS pos, count(*) AS n,
+        |  CAST(sum(vq[r.i]) AS BIGINT) AS s,
+        |  sum(CAST(vq[r.i] AS DOUBLE)*CAST(vq[r.i] AS DOUBLE)) AS q
+        | FROM coh JOIN v USING (vec_id) CROSS JOIN range(1,65) r(i)
+        | GROUP BY 1, 2, 3),
+        |tm AS (
+        | SELECT tx.cid, tx.cohort, tx.pos, tx.n,
+        |  q - 2*c2.c[tx.pos+1]*CAST(s AS DOUBLE) + n*c2.c[tx.pos+1]*c2.c[tx.pos+1]
+        |    AS term
+        | FROM tx JOIN c2 ON c2.cid = tx.cid),
+        |cost AS (
+        | SELECT cid, cohort, CAST(max(n) AS BIGINT) AS n,
+        |  list_reduce(list(term ORDER BY pos), (a,b) -> a+b) AS cost
+        | FROM tm GROUP BY 1, 2),
+        |piv AS (
+        | SELECT cid,
+        |  CAST(sum(CASE WHEN cohort = 0 THEN n ELSE 0 END) AS BIGINT) AS n_base,
+        |  CAST(sum(CASE WHEN cohort = 1 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_appended,
+        |  max(CASE WHEN cohort = 0 THEN cost END) AS cost_base,
+        |  max(CASE WHEN cohort = 1 THEN cost END) AS cost_appended
+        | FROM cost GROUP BY 1),
+        |f AS (
+        | SELECT cid, n_base, n_appended,
+        |  CASE WHEN n_base > 0 THEN cost_base/n_base END AS mean_base,
+        |  CASE WHEN n_appended > 0 THEN cost_appended/n_appended END
+        |    AS mean_appended
+        | FROM piv),
+        |g AS (
+        | SELECT *,
+        |  CASE WHEN mean_base > 0 AND mean_appended IS NOT NULL
+        |       THEN round(mean_appended/mean_base, 6) END AS drift_ratio
+        | FROM f)
+        |SELECT cid, n_base, n_appended, mean_base, mean_appended, drift_ratio,
+        | coalesce(drift_ratio > 1.5, false) AS stale
+        |FROM g""".stripMargin,
     "sim_ivf_kmeans" ->
       s"""$KmeansCtes,
         |w AS (
@@ -4323,6 +4385,57 @@ object SparkEntry {
     * mean division, fixed-dim-order list_reduce distance folds: every
     * value matches the Spark side bit-for-bit. `af` = final
     * assignment. */
+  /** [[KmeansCtes]] with TRAINING restricted to the base cohort
+    * (vec_id < ⌊7N/8⌋) while `af` assigns the WHOLE corpus to the
+    * frozen c2 centroids — the incremental-append replica: the index
+    * was trained before the last ⅛ of the corpus arrived. */
+  private lazy val KmeansBaseCtes: String =
+    """WITH v AS (
+      | SELECT vec_id,
+      |  list_transform(embedding::DOUBLE[],
+      |                 x -> CAST(round(x*1000000) AS BIGINT)) AS vq
+      | FROM embeddings),
+      |sp AS (SELECT CAST((7*count(*))//8 AS BIGINT) AS at FROM v),
+      |b AS (SELECT v.* FROM v, sp WHERE vec_id < sp.at),
+      |kk AS (
+      | SELECT greatest(4, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k FROM b),
+      |c0 AS (
+      | SELECT vec_id AS cid, list_transform(vq, x -> CAST(x AS DOUBLE)) AS c
+      | FROM b, kk WHERE vec_id < kk.k),
+      |a1 AS (
+      | SELECT vec_id, cid FROM (
+      |  SELECT b.vec_id, c0.cid,
+      |   row_number() OVER (PARTITION BY b.vec_id ORDER BY
+      |    list_reduce(list_transform(range(1,65),
+      |      i -> (vq[i]-c[i])*(vq[i]-c[i])), (a,b) -> a+b), c0.cid) AS rn
+      |  FROM b, c0) WHERE rn = 1),
+      |s1 AS (
+      | SELECT a1.cid, r.i AS pos, CAST(sum(vq[r.i]) AS BIGINT) AS s, count(*) AS n
+      | FROM a1 JOIN b USING (vec_id) CROSS JOIN range(1,65) r(i)
+      | GROUP BY 1, 2),
+      |c1 AS (
+      | SELECT cid, list(CAST(s AS DOUBLE)/n ORDER BY pos) AS c FROM s1 GROUP BY cid),
+      |a2 AS (
+      | SELECT vec_id, cid FROM (
+      |  SELECT b.vec_id, c1.cid,
+      |   row_number() OVER (PARTITION BY b.vec_id ORDER BY
+      |    list_reduce(list_transform(range(1,65),
+      |      i -> (vq[i]-c[i])*(vq[i]-c[i])), (a,b) -> a+b), c1.cid) AS rn
+      |  FROM b, c1) WHERE rn = 1),
+      |s2 AS (
+      | SELECT a2.cid, r.i AS pos, CAST(sum(vq[r.i]) AS BIGINT) AS s, count(*) AS n
+      | FROM a2 JOIN b USING (vec_id) CROSS JOIN range(1,65) r(i)
+      | GROUP BY 1, 2),
+      |c2 AS (
+      | SELECT cid, list(CAST(s AS DOUBLE)/n ORDER BY pos) AS c FROM s2 GROUP BY cid),
+      |af AS (
+      | SELECT vec_id, cid FROM (
+      |  SELECT v.vec_id, c2.cid,
+      |   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |    list_reduce(list_transform(range(1,65),
+      |      i -> (vq[i]-c[i])*(vq[i]-c[i])), (a,b) -> a+b), c2.cid) AS rn
+      |  FROM v, c2) WHERE rn = 1)""".stripMargin
+
   private lazy val KmeansCtes: String =
     """WITH v AS (
       | SELECT vec_id,

@@ -301,18 +301,36 @@ object ImageOps {
 
   case class VidRow(doc_id: Long, vid: Array[Byte])
 
-  /** Deterministic real-PNG-frame videos, one per document. */
+  /** 256-entry gray-ramp palette: index i → color (i, i, i), so a
+    * frame's raster index IS its gray value and the GIF round-trip is
+    * pixel-lossless by construction. */
+  private def grayRamp: java.awt.image.IndexColorModel = {
+    val r = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, r, r, r)
+  }
+
+  /** Deterministic real videos, one per document, in a STOCK container:
+    * multi-frame ANIMATED GIF written by the JDK's own ImageIO GIF
+    * writer (`writeToSequence`). GIF is lossless for ≤256-color frames,
+    * so the analytic luma planes survive the encode exactly — which is
+    * what lets the scene-cut oracle reproduce the MADs with no codec —
+    * and ANY stock GIF tool can demux the fixture (the bespoke `GVID`
+    * framing this replaces could only be parsed by its own reader). */
   def videos(spark: SparkSession, sfDir: String): Dataset[VidRow] = {
     import spark.implicits._
     Tables.documents(spark, sfDir).select($"doc_id").as[Long]
       .mapPartitions { ids =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        val cm = grayRamp
         ids.map { docId =>
-          val out = new ByteArrayOutputStream()
-          out.write("GVID".getBytes("US-ASCII"))
-          out.write(VFrames)
+          val bos = new ByteArrayOutputStream()
+          val ios = ImageIO.createImageOutputStream(bos)
+          val writer = ImageIO.getImageWritersByFormatName("gif").next()
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
           (0 until VFrames).foreach { f =>
-            val img = new BufferedImage(W, H, BufferedImage.TYPE_BYTE_GRAY)
+            val img = new BufferedImage(W, H,
+              BufferedImage.TYPE_BYTE_INDEXED, cm)
             val raster = img.getRaster
             val px = videoPixelsFor(md, docId, f)
             var i = 0
@@ -320,26 +338,25 @@ object ImageOps {
               raster.setSample(i % W, i / W, 0, px(i))
               i += 1
             }
-            val frameBytes = {
-              val b = new ByteArrayOutputStream()
-              ImageIO.write(img, "png", b)
-              b.toByteArray
-            }
-            out.write((frameBytes.length >> 8) & 0xff)
-            out.write(frameBytes.length & 0xff)
-            out.write(frameBytes)
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
           }
-          VidRow(docId, out.toByteArray)
+          writer.endWriteSequence()
+          writer.dispose()
+          ios.close()
+          VidRow(docId, bos.toByteArray)
         }
       }
   }
 
-  /** Scene-cut detection over REALLY-decoded frames — the shot-boundary
+  /** Scene-cut detection over REALLY-demuxed frames — the shot-boundary
     * pass every video curation pipeline runs before frame sampling:
-    * demux the container, `ImageIO.read` each frame, score consecutive
-    * frames by integer sum-of-absolute-differences (mean×64 — no
-    * division), cut iff
-    * above `tauX64`. The real-decode twin of the stub
+    * the JDK's stock GIF ImageReader demuxes the container
+    * (`getNumImages` + per-frame `read` — no bespoke parsing anywhere),
+    * consecutive frames score by integer sum-of-absolute-differences
+    * (mean×64 — no division), cut iff above `tauX64`. Gray values come
+    * back through the palette (`getRGB & 0xff`; ramp palette ⇒ blue
+    * channel == gray). The real-decode twin of the stub
     * [[Multimodal.sceneCuts]]; the oracle reproduces the MADs from the
     * analytic planes with no codec. */
   def videoSceneCuts(spark: SparkSession, sfDir: String,
@@ -347,16 +364,16 @@ object ImageOps {
     import spark.implicits._
     videos(spark, sfDir).mapPartitions { rows =>
       rows.flatMap { r =>
-        require(new String(r.vid.take(4), "US-ASCII") == "GVID")
-        val n = r.vid(4) & 0xff
-        var off = 5
-        val frames = (0 until n).map { _ =>
-          val len = ((r.vid(off) & 0xff) << 8) | (r.vid(off + 1) & 0xff)
-          val bytes = java.util.Arrays.copyOfRange(r.vid, off + 2, off + 2 + len)
-          off += 2 + len
-          val img = ImageIO.read(new ByteArrayInputStream(bytes))
-          Array.tabulate(64)(i => img.getRaster.getSample(i % 8, i / 8, 0))
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.vid))
+        val reader = ImageIO.getImageReadersByFormatName("gif").next()
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        val frames = (0 until n).map { f =>
+          val img = reader.read(f)
+          Array.tabulate(64)(i => img.getRGB(i % 8, i / 8) & 0xff)
         }
+        reader.dispose()
+        iis.close()
         (1 until n).iterator.map { f =>
           var sad = 0L
           var i = 0

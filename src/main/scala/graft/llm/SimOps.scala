@@ -1128,6 +1128,132 @@ object SimOps {
       sfDir, nQueries, k)
   }
 
+  /** Base/append split point: the first ⅞ of the corpus is the "old"
+    * index the centroids were trained on; the rest arrives later. */
+  private def appendSplit(n: Long): Long = n * 7 / 8
+
+  /** Frozen-centroid assignment of the WHOLE corpus: train on the base
+    * cohort only, assign everyone — the reference computation
+    * [[ivfAppend]]'s unioned parquet index must equal exactly (the
+    * spec's rebuild-equivalence check). */
+  private[graft] def appendAssignAll(spark: SparkSession,
+                                     sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ds = quantized(spark, sfDir).localCheckpoint()
+    val splitAt = appendSplit(ds.count())
+    val base = ds.filter(_._1 < splitAt)
+    val cents = trainCentroids(spark, base, autoK(base.count()), 2)
+    val cB = spark.sparkContext.broadcast(cents)
+    ds.mapPartitions { rows =>
+      val cs = cB.value
+      rows.map { case (id, vq) => (id, cs(nearestIdx(vq, cs))._1) }
+    }.toDF("vec_id", "cid")
+  }
+
+  /** INCREMENTAL ANN index append — the [[graft.llm.Dedup.incremental]]
+    * play for vectors: new embeddings join a PERSISTED IVF index
+    * WITHOUT retraining. Centroids stay frozen (trained on the base
+    * cohort); the append pass assigns only the new vectors to the
+    * frozen centroids and lands them as a second parquet list beside
+    * the base index; probes read the UNION. By construction the union
+    * equals a full re-assignment under the same frozen centroids
+    * (spec-checked bit-exact), so correctness never depends on when
+    * vectors arrived — and the append touches ONLY the new data, the
+    * property that makes nightly index maintenance O(new) instead of
+    * O(corpus) at 100 TB. Staleness is a measured query, not a guess:
+    * [[ivfAppendDrift]]. */
+  def ivfAppend(spark: SparkSession, sfDir: String,
+                nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val idxDir = ivfIndexCache.computeIfAbsent(s"$sfDir#append", _ => {
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-append").toString
+      val ds = quantized(spark, sfDir).localCheckpoint()
+      val splitAt = appendSplit(ds.count())
+      val base = ds.filter(_._1 < splitAt)
+      val cents = trainCentroids(spark, base, autoK(base.count()), 2)
+      val cB = spark.sparkContext.broadcast(cents)
+      def assign(d: org.apache.spark.sql.Dataset[(Long, Array[Long])]) =
+        d.mapPartitions { rows =>
+          val cs = cB.value
+          rows.map { case (id, vq) => (id, cs(nearestIdx(vq, cs))._1) }
+        }.toDF("vec_id", "cid")
+      assign(base).write.mode("overwrite").parquet(s"$dir/base")
+      assign(ds.filter(_._1 >= splitAt))
+        .write.mode("overwrite").parquet(s"$dir/appended")
+      dir
+    })
+    ivfProbe(spark,
+      spark.read.parquet(s"$idxDir/base", s"$idxDir/appended"),
+      sfDir, nQueries, k)
+  }
+
+  /** Index STALENESS report for the frozen-centroid append — the
+    * "retrain yet?" measurement: per centroid, mean quantization error
+    * of the base cohort (what the index was trained on) vs the
+    * appended cohort, and their ratio. A drifting corpus pushes the
+    * appended mean up; ratio > `staleTau` flags the centroid.
+    *
+    * Engine-exactness: per-(cid, cohort, dim) (n, Σx, Σx²) are exact
+    * aggregates (Σx² accumulated in double per row — integer-valued
+    * terms, never wraps); the cost identity
+    * Σ|v−c|² = Σ_d (Q_d − 2·c_d·S_d + n·c_d²) is evaluated as a fixed
+    * per-dim IEEE sequence and folded in dim order, the
+    * [[kmeansCentroids]] discipline — bit-identical in the oracle's
+    * ordered list_reduce.
+    *
+    * Scale shape: one narrow assignment pass, one (cid, cohort, dim)
+    * hash agg (map-side combined; k×2×64 rows reach the exchange), a
+    * broadcast join to the k×64 centroid table, and a 64-element fold
+    * per group. */
+  def ivfAppendDrift(spark: SparkSession, sfDir: String,
+                     staleTau: Double = 1.5): DataFrame = {
+    import spark.implicits._
+    val ds = quantized(spark, sfDir).localCheckpoint()
+    val splitAt = appendSplit(ds.count())
+    val base = ds.filter(_._1 < splitAt)
+    val cents = trainCentroids(spark, base, autoK(base.count()), 2)
+    val cB = spark.sparkContext.broadcast(cents)
+    val sAt = splitAt
+    val assigned = ds.mapPartitions { rows =>
+      val cs = cB.value
+      rows.map { case (id, vq) =>
+        (id, cs(nearestIdx(vq, cs))._1, if (id < sAt) 0 else 1, vq)
+      }
+    }.toDF("vec_id", "cid", "cohort", "vq")
+    val centDf = broadcast(
+      cents.toSeq.flatMap { case (cid, c) =>
+        c.indices.map(d => (cid, d, c(d)))
+      }.toDF("cid", "pos", "c"))
+    val terms = assigned
+      .select($"cid", $"cohort", posexplode($"vq").as(Seq("pos", "x")))
+      .groupBy($"cid", $"cohort", $"pos")
+      .agg(count(lit(1)).as("n"), sum($"x").as("s"),
+           sum($"x".cast("double") * $"x".cast("double")).as("q"))
+      .join(centDf, Seq("cid", "pos"))
+      .withColumn("term",
+        $"q" - lit(2.0) * $"c" * $"s".cast("double") + $"n" * $"c" * $"c")
+    val costs = terms.groupBy($"cid", $"cohort")
+      .agg(max($"n").as("n"),
+           expr("aggregate(array_sort(collect_list(struct(pos, term)))," +
+                "cast(0.0 as double), (acc, t) -> acc + t.term)").as("cost"))
+    costs.groupBy($"cid")
+      .agg(sum(when($"cohort" === 0, $"n").otherwise(0L)).as("n_base"),
+           sum(when($"cohort" === 1, $"n").otherwise(0L)).as("n_appended"),
+           max(when($"cohort" === 0, $"cost")).as("cost_base"),
+           max(when($"cohort" === 1, $"cost")).as("cost_appended"))
+      .withColumn("mean_base",
+        when($"n_base" > 0, $"cost_base" / $"n_base"))
+      .withColumn("mean_appended",
+        when($"n_appended" > 0, $"cost_appended" / $"n_appended"))
+      .withColumn("drift_ratio",
+        when($"mean_base" > 0 && $"mean_appended".isNotNull,
+          round($"mean_appended" / $"mean_base", 6)))
+      .withColumn("stale", coalesce($"drift_ratio" > staleTau, lit(false)))
+      .select($"cid", $"n_base", $"n_appended", $"mean_base",
+        $"mean_appended", $"drift_ratio", $"stale")
+  }
+
   /** Range search (radius query): ALL neighbors with cosine ≥ `tau`,
     * not a fixed k — the dedup-oriented sibling of top-k (near-dup
     * mining wants "everything above the threshold", however many). Same

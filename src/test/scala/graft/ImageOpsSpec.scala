@@ -119,10 +119,11 @@ class ImageOpsSpec extends SparkSpec {
     assert(want.exists(_._3 >= 1L))
   }
 
-  test("video scene cuts: real PNG frames, SADs match, cuts at scene edges") {
+  test("video scene cuts: stock GIF container, SADs match, cuts at scene edges") {
     val vids = graft.llm.ImageOps.videos(spark, sf).collect()
     assert(vids.length === 500)
-    // demux + stock-decode independently for a sample
+    // demux with the STOCK JDK GIF reader, independently of the
+    // engine's own demux path, and compare against the analytic planes
     val md = java.security.MessageDigest.getInstance("MD5")
     def analyticFrame(docId: Long, f: Int): Array[Int] =
       Array.tabulate(64) { i =>
@@ -130,23 +131,22 @@ class ImageOpsSpec extends SparkSpec {
         if (i < 2) (b + f % 3) % 256 else b
       }
     vids.take(20).foreach { row =>
-      assert(new String(row.vid.take(4), "US-ASCII") === "GVID")
-      val n = row.vid(4) & 0xff
+      // a real GIF89a container, stock-parseable end to end
+      assert(new String(row.vid.take(6), "US-ASCII") === "GIF89a")
+      val iis = ImageIO.createImageInputStream(
+        new ByteArrayInputStream(row.vid))
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
       assert(n === 8)
-      var off = 5
       (0 until n).foreach { f =>
-        val len = ((row.vid(off) & 0xff) << 8) | (row.vid(off + 1) & 0xff)
-        val bytes = java.util.Arrays.copyOfRange(row.vid, off + 2, off + 2 + len)
-        off += 2 + len
-        // every frame is a REAL PNG a stock decoder accepts
-        assert(bytes.take(8).map(_ & 0xff).toSeq ===
-          Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
-        val img = ImageIO.read(new ByteArrayInputStream(bytes))
-        val got = Array.tabulate(64)(i =>
-          img.getRaster.getSample(i % 8, i / 8, 0))
-        assert(got.toSeq === analyticFrame(row.doc_id, f).toSeq)
+        val img = reader.read(f)
+        val got = Array.tabulate(64)(i => img.getRGB(i % 8, i / 8) & 0xff)
+        assert(got.toSeq === analyticFrame(row.doc_id, f).toSeq,
+          s"doc ${row.doc_id} frame $f: GIF round-trip must be lossless")
       }
-      assert(off === row.vid.length)
+      reader.dispose()
+      iis.close()
     }
     val cuts = graft.llm.ImageOps.videoSceneCuts(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")) ->
