@@ -113,7 +113,8 @@ object Bench {
     // hourly files; at 100 TB the full-scan side grows linearly while
     // the pruned side stays proportional to the slice.
     val pruneNames = Seq("sink_slice_full", "sink_slice_pruned",
-                         "sink_point_full", "sink_point_bloom")
+                         "sink_point_full", "sink_point_bloom",
+                         "iceberg_cold_full", "iceberg_cold_pruned")
     val doPrune = only.isEmpty || pruneNames.exists(only)
     val pruneResults: Seq[(String, Double)] = if (!doPrune) Nil else {
       import org.apache.spark.sql.functions.{col, min, unix_micros}
@@ -141,6 +142,34 @@ object Bench {
           if (ss.min > 0) extraSpreads(name) = (ss.max - ss.min) / ss.min
           ss.min
         }
+        // Iceberg COLD-read twin of the same slice: one standalone
+        // (catalog-free) commit of the sink's files with footer-harvested
+        // ts bounds, then the stats-pruned cold read vs the full cold
+        // scan — the 100 TB metadata-pruning lever measured through the
+        // REAL Iceberg chain, not just the engine's own manifest format.
+        val icePaths = graft.recovery.Recovery.listDataFiles(spark, tablePath)
+          .collect().map(_.getString(0)).toSeq
+        val iceCounts = graft.recovery.Recovery.fileRowCounts(spark, icePaths)
+        val iceStats = graft.recovery.Recovery.fileColumnStats(spark, icePaths, "ts")
+        val (schemaJson, topIds) = graft.catalog.RestCatalogClient
+          .icebergSchemaJson(spark.read.parquet(tablePath).schema)
+        val tsId = topIds("ts")
+        // chain lives in a SIBLING location (manifest file paths are
+        // absolute) so the parquet table dir stays pure-parquet
+        val iceLoc = s"$dir/events_iceberg"
+        graft.catalog.IcebergCommit.commitStandalone(
+          spark.sparkContext.hadoopConfiguration, iceLoc,
+          org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(schemaJson)),
+          None,
+          icePaths.map { p =>
+            val bounds = iceStats.get(p).toSeq.map { case (mn, mx) =>
+              (tsId, graft.catalog.IcebergSingleValue.longBytes(mn),
+               graft.catalog.IcebergSingleValue.longBytes(mx))
+            }
+            graft.catalog.RestCatalogClient.DataFile(
+              p, 0L, iceCounts.getOrElse(p, 0L), bounds)
+          })
         Seq(
           "sink_slice_full" -> best("sink_slice_full")(
             spark.read.parquet(tablePath)
@@ -153,7 +182,14 @@ object Bench {
             spark.read.parquet(tablePath)
               .filter(col("event_id") === needle).count()),
           "sink_point_bloom" -> best("sink_point_bloom")(
-            VersionedManifest.readPoint(spark, tablePath, manDir, needle).count()))
+            VersionedManifest.readPoint(spark, tablePath, manDir, needle).count()),
+          "iceberg_cold_full" -> best("iceberg_cold_full")(
+            graft.catalog.IcebergTableReader.read(spark, iceLoc)
+              .filter(unix_micros(col("ts")) >= startUs &&
+                      unix_micros(col("ts")) < endUs).count()),
+          "iceberg_cold_pruned" -> best("iceberg_cold_pruned")(
+            graft.catalog.IcebergTableReader.readSlice(
+              spark, iceLoc, "ts", startUs, endUs).count()))
       } catch { case _: Throwable => Nil }
       finally {
         import scala.reflect.io.Directory

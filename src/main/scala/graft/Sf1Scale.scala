@@ -67,7 +67,12 @@ object Sf1Scale {
     // IVF+residual-PQ) and the bounded-shortlist MMR selection
     "sim_binary_quant", "sim_ivf_pq", "sim_mmr_diversify",
     // r12: per-dimension health report (one narrow pass)
-    "sim_embed_stats")
+    "sim_embed_stats",
+    // r13: frozen-centroid append (probe-amortized like the persisted
+    // index — the build lands in the per-corpus cache on the first
+    // sample, so the measured ratio is the serving-path cost) and the
+    // per-centroid staleness report (k×2×64-row aggregate)
+    "sim_ivf_append", "sim_ivf_append_drift")
 
   /** Documents-table dedup/text pipelines — the banded-LSH / inverted-
     * index / prefix-filter scale claims, measured on a text corpus with
@@ -115,7 +120,7 @@ object Sf1Scale {
     * a 1k vocabulary; every 10th doc is a NEAR-DUPLICATE of the previous
     * doc (3 word substitutions) so the near-dup pipelines have real
     * work. All content derives from integer mixes — no RNG state. */
-  private def genDocCorpus(spark: SparkSession, n: Int): String = {
+  private[graft] def genDocCorpus(spark: SparkSession, n: Int): String = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory(s"graft-sf1-docs-$n").toString
     spark.range(n.toLong).as[Long]

@@ -408,59 +408,21 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
         throw new PermanentException(s"validation failed: table $namespace.$table does not exist", null))
       val snapId = System.nanoTime() // unique, monotone enough per-process
       val seqNum = info.lastSequenceNumber + 1
-      val fs = new Path(info.location).getFileSystem(hadoopConf)
-      def writeFile(path: String, bytes: Array[Byte]): Unit = {
-        val out = fs.create(new Path(path), true)
-        try out.write(bytes) finally out.close()
-      }
       // Real Iceberg v2 metadata: an Avro manifest with one ADDED entry
-      // per data file, then an Avro manifest list pointing at it — the
-      // layout iceberg-go's transaction append produces
-      // (catalog_rest.go:292,345-358), so a second engine (Trino, real
-      // Spark-Iceberg) can read the committed table. Hand-rolled OCF:
-      // [[AvroOcf]].
-      val manifestPath = s"${info.location}/metadata/graft-m-$snapId.avro"
-      val manifestBytes = AvroOcf.write(
-        AvroOcf.ManifestEntrySchema,
-        Map("schema" -> info.schemaJson, "schema-id" -> "0",
-            "partition-spec" -> "[]", "partition-spec-id" -> "0",
-            "format-version" -> "2", "content" -> "data"),
-        files.map(f => AvroOcf.manifestEntry(snapId, f)))
-      writeFile(manifestPath, manifestBytes)
-      // CARRY-FORWARD: per the Iceberg spec a snapshot's manifest list
-      // references EVERY manifest constituting the table state, not
-      // just this append's — prior entries are copied in with their own
-      // sequence numbers intact, so any single-snapshot reader (Trino,
-      // Spark-Iceberg, [[IcebergTableReader]]) sees the whole table.
-      // Pre-r6 JSON-lines lists can't carry (no manifest records);
-      // [[listDataFiles]]'s all-snapshot union still covers those.
-      val carried: Seq[AvroOcf.AVal] =
-        info.currentSnapshotId.toSeq
-          .flatMap(cur => info.snapshots.filter(_._1 == cur).map(_._2))
-          .flatMap { prevList =>
-            val p = new Path(prevList)
-            if (!fs.exists(p)) Nil
-            else {
-              val in = fs.open(p)
-              val bytes = try in.readAllBytes() finally in.close()
-              if (!(bytes.length > 4 && bytes(0) == 'O' && bytes(1) == 'b' &&
-                    bytes(2) == 'j' && bytes(3) == 1)) Nil
-              else AvroOcf.read(bytes)._2.collect {
-                case m: Map[String, Any] @unchecked =>
-                  AvroOcf.manifestFileRecord(m)
-              }
-            }
-          }
-      val listPath = s"${info.location}/metadata/snap-$snapId-1-graft.avro"
-      writeFile(listPath, AvroOcf.write(
-        AvroOcf.ManifestListSchema,
-        Map("snapshot-id" -> snapId.toString,
-            "parent-snapshot-id" ->
-              info.currentSnapshotId.map(_.toString).getOrElse("null"),
-            "sequence-number" -> seqNum.toString,
-            "format-version" -> "2"),
-        AvroOcf.manifestListEntry(manifestPath, manifestBytes.length.toLong,
-          seqNum, snapId, files.size, files.map(_.recordCount).sum) +: carried))
+      // per data file, then an Avro manifest list that CARRIES FORWARD
+      // every prior manifest (per the spec a snapshot's list is the
+      // complete table state — sequence numbers preserved, so any
+      // single-snapshot reader sees the whole table) — the layout
+      // iceberg-go's transaction append produces
+      // (catalog_rest.go:292,345-358). Shared mechanics: [[IcebergCommit]];
+      // hand-rolled OCF: [[AvroOcf]]. Pre-r6 JSON-lines parent lists
+      // can't carry (no manifest records); [[listDataFiles]]'s
+      // all-snapshot union still covers those.
+      val parentList = info.currentSnapshotId
+        .flatMap(cur => info.snapshots.find(_._1 == cur).map(_._2))
+      val (_, listPath) = IcebergCommit.writeManifests(
+        hadoopConf, info.location, info.schemaJson, snapId, seqNum,
+        info.currentSnapshotId, parentList, files)
       val summary = JObject(
         "operation" -> JString("append"),
         "otel.exporter" -> JString("iceberg"),

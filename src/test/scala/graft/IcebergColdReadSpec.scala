@@ -133,6 +133,42 @@ class IcebergColdReadSpec extends SparkSpec {
     assert(log.select($"operation").collect()(0).getString(0) === "append")
   }
 
+  test("catalog-FREE standalone commit: chain + manifests only, cold-readable") {
+    import spark.implicits._
+    import org.json4s.jackson.JsonMethods.{compact, render}
+    val loc = Files.createTempDirectory("graft-standalone").toString + "/t"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val schema = Seq((0L, 0L, "")).toDF("id", "ts", "payload").schema
+    val (schemaJson, topIds) = RestCatalogClient.icebergSchemaJson(schema)
+    val sj = compact(render(schemaJson))
+    val b1 = writeBatch(s"$loc/data/b1", 0 until 20, 0L)
+    val b2 = writeBatch(s"$loc/data/b2", 20 until 30, 500000L)
+    def commit(paths: Seq[String]): Long = {
+      val stats = graft.recovery.Recovery.fileColumnStats(spark, paths, "ts")
+      val counts = graft.recovery.Recovery.fileRowCounts(spark, paths)
+      graft.catalog.IcebergCommit.commitStandalone(conf, loc, sj, None,
+        paths.map { p =>
+          val bounds = stats.get(p).toSeq.map { case (mn, mx) =>
+            (topIds("ts"), IcebergSingleValue.longBytes(mn),
+              IcebergSingleValue.longBytes(mx))
+          }
+          DataFile(p, Files.size(Paths.get(p)), counts(p), bounds)
+        })
+    }
+    val s1 = commit(b1)
+    val s2 = commit(b2)
+    val meta = IcebergTableReader.metadata(spark, loc)
+    assert(meta.snapshots.map(_.snapshotId) === Seq(s1, s2))
+    assert(meta.snapshots(1).parentId === Some(s1))
+    assert(IcebergTableReader.read(spark, loc).count() === 30L)
+    assert(IcebergTableReader.read(spark, loc, Some(s1)).count() === 20L)
+    // pruning works through the standalone chain too
+    val sliced = IcebergTableReader.readSlice(spark, loc, "ts", 500000L, 600000L)
+    assert(sliced.inputFiles.toSeq.map(f => new java.net.URI(f).getPath).toSet
+      .subsetOf(b2.toSet))
+    assert(sliced.count() === 10L)
+  }
+
   test("written manifests + carry-forward list round-trip the reference Avro reader") {
     import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
     import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
