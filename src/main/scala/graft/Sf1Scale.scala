@@ -220,6 +220,11 @@ object Sf1Scale {
   def run(spark: SparkSession): String = {
     val nSmall = 2000
     val nBig = 20000
+    // optional comma-separated filter (dev loop): sweep only these
+    val only = sys.env.get("SPARK_GRAFT_SF1_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    def keep(qs: Seq[String]): Seq[String] =
+      if (only.isEmpty) qs else qs.filter(only)
     val dirSmall = genCorpus(spark, nSmall)
     val dirBig = genCorpus(spark, nBig)
     def time(name: String, dir: String): Double = {
@@ -232,14 +237,14 @@ object Sf1Scale {
       math.min(once(), once())
     }
     def r3(v: Double): String = f"$v%.3f"
-    val rows = queries.map { q =>
+    val rows = keep(queries).map { q =>
       val s = time(q, dirSmall)
       val b = time(q, dirBig)
       q -> ((s, b, b / math.max(s, 1e-9)))
     }
     val docSmall = genDocCorpus(spark, nSmall)
     val docBig = genDocCorpus(spark, nBig)
-    val docRows = docQueries.map { q =>
+    val docRows = keep(docQueries).map { q =>
       val s = time(q, docSmall)
       val b = time(q, docBig)
       q -> ((s, b, b / math.max(s, 1e-9)))
@@ -248,14 +253,14 @@ object Sf1Scale {
     // lineitem rows over proportionally larger key spaces
     val graphSmall = genGraphCorpus(spark, 20000)
     val graphBig = genGraphCorpus(spark, 200000)
-    val graphRows = graphQueries.map { q =>
+    val graphRows = keep(graphQueries).map { q =>
       val s = time(q, graphSmall)
       val b = time(q, graphBig)
       q -> ((s, b, b / math.max(s, 1e-9)))
     }
     val evSmall = genEventsCorpus(spark, 20000)
     val evBig = genEventsCorpus(spark, 200000)
-    val telRows = telQueries.map { q =>
+    val telRows = keep(telQueries).map { q =>
       val s = time(q, evSmall)
       val b = time(q, evBig)
       q -> ((s, b, b / math.max(s, 1e-9)))

@@ -514,6 +514,12 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
           JObject("action" -> JString("set-default-spec"),
             "spec-id" -> JInt(-1)))))))
       call("POST", s"$prefix/namespaces/$namespace/tables/$table", Some(body))
+      // keep the stand-alone chain's default spec current too (a
+      // snapshot-less version bump — spec evolution is metadata-only)
+      loadTableOnce(namespace, table).foreach { ti =>
+        IcebergTableMetadata.commit(hadoopConf, ti.location,
+          ti.schemaJson, ti.defaultSpec, None)
+      }
       ()
     }
 

@@ -941,14 +941,17 @@ object Dedup {
     * bit-exact in the oracle with no display rounding.
     *
     * Scale shape: the [[ngramJaccard]] kernel on WEIGHTED postings —
-    * per-term (doc, weight) LISTS whose candidate pairs expand IN
+    * ONE groupBy(term) builds (doc, tf) lists whose LENGTH is the df,
+    * so df-valve, idf, and the weighted postings all derive in place
+    * (no separate df table, and — the r13 fix — no vocabulary-sized
+    * broadcast, which grew linearly with the corpus: ~2M distinct
+    * shingles at the 20k-doc sweep already). Candidate pairs expand IN
     * PLACE via two nested Generates (no posting self-join: the r7 sf1
-    * sweep showed the term-keyed self-join shape cost 6.6× at 10× data
-    * where the in-place expansion costs 1.55×). One shuffle builds the
-    * weighted index, one aggregates pair dot products; norms join on
-    * doc_id co-partitioned. N (the idf numerator) rides along as a
-    * 1-row broadcast crossJoin — query construction triggers no
-    * driver-side action. */
+    * sweep showed that shape cost 6.6× at 10× data); norms explode the
+    * SAME lists — Spark reuses the one exchange (ReusedExchange) for
+    * both branches. N (the idf numerator) rides along as a 1-row
+    * broadcast crossJoin — query construction triggers no driver-side
+    * action. */
   def tfidfCosine(spark: SparkSession, sfDir: String,
                   maxDf: Int = 20, minCos: Double = 0.5): DataFrame = {
     import spark.implicits._
@@ -967,21 +970,24 @@ object Dedup {
     val nDocsDf = graft.Tables.documents(spark, sfDir)
       .agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-      .filter($"df" <= maxDf)
+    // one per-term aggregation: size(ds) IS the df — valve, idf, and
+    // weighted postings derive without any second table or join
+    val wlists = tf.groupBy($"term")
+      .agg(collect_list(struct($"doc_id", $"tf")).as("ds"))
+      .filter(size($"ds") <= maxDf)
       .crossJoin(broadcast(nDocsDf))
       .withColumn("idf_e4",
-        round(round(log($"n_docs" / $"df"), 4) * 1e4, 0).cast("long"))
-    val w = tf.join(broadcast(df.select($"term", $"idf_e4")), "term")
-      .withColumn("w_e4", $"tf" * $"idf_e4")
-    val norms = w.groupBy($"doc_id")
-      .agg(sum($"w_e4" * $"w_e4").as("norm_e8"))
-    val lists = w.groupBy($"term")
-      .agg(collect_list(struct($"doc_id", $"w_e4")).as("ds"))
-      .filter(size($"ds") > 1)
-    lists
-      .select(explode($"ds").as("a"), $"ds")
-      .select($"a", explode($"ds").as("b"))
+        round(round(log($"n_docs" / size($"ds")), 4) * 1e4, 0).cast("long"))
+      .select(transform($"ds", d =>
+        struct(d("doc_id").as("doc_id"),
+               (d("tf") * $"idf_e4").as("w_e4"))).as("ws"))
+    val norms = wlists.select(explode($"ws").as("w"))
+      .groupBy($"w.doc_id".as("doc_id"))
+      .agg(sum($"w.w_e4" * $"w.w_e4").as("norm_e8"))
+    wlists
+      .filter(size($"ws") > 1)
+      .select(explode($"ws").as("a"), $"ws")
+      .select($"a", explode($"ws").as("b"))
       .filter($"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(sum($"a.w_e4" * $"b.w_e4").as("dot_e8"),

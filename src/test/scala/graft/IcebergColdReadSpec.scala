@@ -169,6 +169,111 @@ class IcebergColdReadSpec extends SparkSpec {
     assert(sliced.count() === 10L)
   }
 
+  test("FOREIGN-written table reads cold: reference-Avro manifests, reordered fields, deflate, map bounds") {
+    import org.apache.avro.{Schema => ASchema}
+    import org.apache.avro.file.{CodecFactory, DataFileWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import scala.jdk.CollectionConverters._
+    // a table directory as ANOTHER engine would lay it down: manifests
+    // written by org.apache.avro with field order unlike ours, deflate
+    // codec, bounds as a REAL Avro map keyed by stringified field ids,
+    // extra fields we never write — plus a hand-written metadata.json.
+    val loc = Files.createTempDirectory("graft-foreign").toString + "/t"
+    val dataFiles = writeBatch(s"$loc/data/b1", 0 until 25, 7000L)
+    Files.createDirectories(Paths.get(s"$loc/metadata"))
+    val stats = graft.recovery.Recovery.fileColumnStats(spark, dataFiles, "ts")
+
+    val entrySchema = new ASchema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"df","fields":[
+        | {"name":"file_format","type":"string"},
+        | {"name":"file_path","type":"string"},
+        | {"name":"record_count","type":"long"},
+        | {"name":"upper_bounds","type":["null",{"type":"map","values":"bytes"}],"default":null},
+        | {"name":"lower_bounds","type":["null",{"type":"map","values":"bytes"}],"default":null},
+        | {"name":"file_size_in_bytes","type":"long"},
+        | {"name":"column_sizes","type":["null",{"type":"map","values":"long"}],"default":null},
+        | {"name":"content","type":"int"}]}},
+        |{"name":"status","type":"int"}]}""".stripMargin)
+    def avroBytes(schema: ASchema, recs: Seq[GenericRecord]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.setCodec(CodecFactory.deflateCodec(6))
+      w.create(schema, out)
+      recs.foreach(w.append)
+      w.close()
+      out.toByteArray
+    }
+    // ts is field id 2 in the hand-written schema below
+    val entries = dataFiles.map { p =>
+      val e = new GenericData.Record(entrySchema)
+      val dfr = new GenericData.Record(entrySchema.getField("data_file").schema())
+      val (mn, mx) = stats(p)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("file_path", p)
+      dfr.put("record_count", 25L: java.lang.Long)
+      dfr.put("file_size_in_bytes", Files.size(Paths.get(p)): java.lang.Long)
+      dfr.put("content", 0: java.lang.Integer)
+      dfr.put("lower_bounds", Map(
+        "2" -> java.nio.ByteBuffer.wrap(IcebergSingleValue.longBytes(mn))).asJava)
+      dfr.put("upper_bounds", Map(
+        "2" -> java.nio.ByteBuffer.wrap(IcebergSingleValue.longBytes(mx))).asJava)
+      e.put("snapshot_id", 42L: java.lang.Long)
+      e.put("data_file", dfr)
+      e.put("status", 1: java.lang.Integer)
+      e: GenericRecord
+    }
+    Files.write(Paths.get(s"$loc/metadata/foreign-m0.avro"),
+      avroBytes(entrySchema, entries))
+
+    val listSchema = new ASchema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"added_snapshot_id","type":"long"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"sequence_number","type":"long"},
+        |{"name":"min_sequence_number","type":"long"},
+        |{"name":"content","type":"int"}]}""".stripMargin)
+    val lr = new GenericData.Record(listSchema)
+    lr.put("added_snapshot_id", 42L: java.lang.Long)
+    lr.put("manifest_length",
+      Files.size(Paths.get(s"$loc/metadata/foreign-m0.avro")): java.lang.Long)
+    lr.put("manifest_path", s"$loc/metadata/foreign-m0.avro")
+    lr.put("sequence_number", 1L: java.lang.Long)
+    lr.put("min_sequence_number", 1L: java.lang.Long)
+    lr.put("content", 0: java.lang.Integer)
+    Files.write(Paths.get(s"$loc/metadata/snap-42.avro"),
+      avroBytes(listSchema, Seq(lr)))
+
+    Files.write(Paths.get(s"$loc/metadata/v1.metadata.json"),
+      (s"""{"format-version":2,"table-uuid":"foreign-uuid","location":"$loc",
+         |"last-sequence-number":1,"last-updated-ms":1,"last-column-id":3,
+         |"current-schema-id":0,"schemas":[{"type":"struct","schema-id":0,
+         |"fields":[{"id":1,"name":"id","required":true,"type":"long"},
+         |{"id":2,"name":"ts","required":true,"type":"long"},
+         |{"id":3,"name":"payload","required":false,"type":"string"}]}],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"current-snapshot-id":42,
+         |"snapshots":[{"snapshot-id":42,"sequence-number":1,
+         |"timestamp-ms":1,"manifest-list":"$loc/metadata/snap-42.avro",
+         |"summary":{"operation":"append"}}]}""".stripMargin.replace("\n", ""))
+        .getBytes("UTF-8"))
+    Files.write(Paths.get(s"$loc/metadata/version-hint.text"), "1".getBytes("UTF-8"))
+
+    assert(IcebergTableReader.read(spark, loc).count() === 25L)
+    val fe = IcebergTableReader.dataFiles(spark, loc)
+    assert(fe.map(_.path).toSet === dataFiles.toSet)
+    // map-typed bounds decoded through the foreign representation
+    assert(fe.head.lowerBounds.contains(2))
+    // ts = 7000 + id*1000 → ids 0..9 in [7000, 17000)
+    assert(IcebergTableReader.readSlice(spark, loc, "ts", 7000L, 17000L)
+      .count() === 10L)
+    // a slice entirely outside the bounds prunes EVERYTHING (file-level)
+    assert(IcebergTableReader.readSlice(spark, loc, "ts", 1L, 2L).count() === 0L)
+  }
+
   test("written manifests + carry-forward list round-trip the reference Avro reader") {
     import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
     import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
