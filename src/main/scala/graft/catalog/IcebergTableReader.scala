@@ -157,6 +157,25 @@ object IcebergTableReader {
     else spark.read.parquet(files.map(_.path): _*)
   }
 
+  /** INCREMENTAL cold read: exactly the rows ADDED between two
+    * snapshots — the nightly-delta shape ([[graft.recovery.VersionedManifest.readIncremental]]
+    * through the real Iceberg chain): the file-set difference of the
+    * two snapshots' manifest lists. For the append-only tables this
+    * engine writes, that is precisely the later appends' files; a
+    * rewrite (same rows, new files) would appear as its new files, as
+    * in Iceberg's own incremental-append scan. `fromSnapshotId` is
+    * EXCLUSIVE, `toSnapshotId` (default current) inclusive. */
+  def readIncremental(spark: SparkSession, tableDir: String,
+                      fromSnapshotId: Long,
+                      toSnapshotId: Option[Long] = None): DataFrame = {
+    val before = dataFiles(spark, tableDir, Some(fromSnapshotId))
+      .map(_.path).toSet
+    val after = dataFiles(spark, tableDir, toSnapshotId)
+    val fresh = after.filterNot(f => before(f.path))
+    if (fresh.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(fresh.map(_.path): _*)
+  }
+
   /** Cold time-slice read with MANIFEST-STATS pruning: only files
     * whose `[lower, upper]` range for `column` (Iceberg single-value
     * longs — micros for timestamps) intersects `[startUs, endUs)` are

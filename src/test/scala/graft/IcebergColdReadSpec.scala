@@ -167,6 +167,11 @@ class IcebergColdReadSpec extends SparkSpec {
     assert(sliced.inputFiles.toSeq.map(f => new java.net.URI(f).getPath).toSet
       .subsetOf(b2.toSet))
     assert(sliced.count() === 10L)
+    // incremental: exactly the rows added AFTER snapshot 1
+    val inc = IcebergTableReader.readIncremental(spark, loc, s1)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(inc === (20 until 30).map(_.toLong).toSet)
+    assert(IcebergTableReader.readIncremental(spark, loc, s2).count() === 0L)
   }
 
   test("FOREIGN-written table reads cold: reference-Avro manifests, reordered fields, deflate, map bounds") {

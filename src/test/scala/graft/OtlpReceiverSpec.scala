@@ -119,6 +119,67 @@ class OtlpReceiverSpec extends SparkSpec {
     } finally rx.stop()
   }
 
+  test("cold capstone: pushed OTLP → sink → standalone Iceberg commit → catalog-free analytics") {
+    import org.json4s.jackson.JsonMethods.{compact, render}
+    val base = Files.createTempDirectory("graft-otlp-cold").toString
+    val rx = new OtlpHttpReceiver(s"$base/spool")
+    val t0 = 1709623800000000000L // 2024-03-05T07:30Z
+    val t1 = t0 + 7200L * 1000000000L // two hours later
+    try {
+      Seq(("0102030405060708090a0b0c0d0e0f10", "GET /", t0),
+          ("0102030405060708090a0b0c0d0e0f11", "POST /checkout", t0 + 1),
+          ("0102030405060708090a0b0c0d0e0f12", "GET /", t1)).foreach {
+        case (tid, name, ts) =>
+          assert(post(rx.uri, "/v1/traces", traceRequest(tid, name, ts))
+            .statusCode() === 200)
+      }
+      val spool = OtlpHttpReceiver.spoolPath(s"$base/spool", "traces")
+      val cfg = Config(Filesystem(base), Catalog("none"))
+        .sinkFor("traces", tsColumn = "start_time_unix_nano")
+      StreamingIngest.ingestWithManifest(
+        OtelTraces.flatten(OtelProtoSource.tracesStream(spark, spool)),
+        cfg, s"$base/chk", s"$base/manifest").awaitTermination()
+    } finally rx.stop()
+    // receiver and pipeline are GONE — commit the sink's files into a
+    // stand-alone Iceberg chain with footer-harvested ts bounds, then
+    // everything below is a catalog-free cold read
+    val table = s"$base/otel_traces"
+    val paths = graft.recovery.Recovery.listDataFiles(spark, table)
+      .collect().map(_.getString(0)).toSeq
+    val counts = graft.recovery.Recovery.fileRowCounts(spark, paths)
+    val stats = graft.recovery.Recovery.fileColumnStats(
+      spark, paths, "start_time_unix_nano")
+    val (schemaJson, topIds) = graft.catalog.RestCatalogClient
+      .icebergSchemaJson(spark.read.parquet(table).schema)
+    val iceLoc = s"$base/otel_traces_iceberg"
+    graft.catalog.IcebergCommit.commitStandalone(
+      spark.sparkContext.hadoopConfiguration, iceLoc,
+      compact(render(schemaJson)), None,
+      paths.map { p =>
+        val bounds = stats.get(p).toSeq.map { case (mn, mx) =>
+          (topIds("start_time_unix_nano"),
+            graft.catalog.IcebergSingleValue.longBytes(mn),
+            graft.catalog.IcebergSingleValue.longBytes(mx))
+        }
+        graft.catalog.RestCatalogClient.DataFile(
+          p, 0L, counts.getOrElse(p, 0L), bounds)
+      })
+    val cold = graft.catalog.IcebergTableReader.read(spark, iceLoc)
+    assert(cold.count() === 3L)
+    val perSvc = cold.groupBy("service_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSvc === Map("checkout" -> 3L))
+    // hour-1 slice prunes hour-2's file at the MANIFEST level (the
+    // flatten converts start_time_unix_nano to TIMESTAMP, so footer
+    // bounds — and hence the slice — are in MICROS)
+    val t0Us = t0 / 1000L
+    val sliced = graft.catalog.IcebergTableReader.readSlice(
+      spark, iceLoc, "start_time_unix_nano", t0Us, t0Us + 3600L * 1000000L)
+    assert(sliced.count() === 2L)
+    assert(sliced.inputFiles.length < cold.inputFiles.length,
+      "slice must open fewer files than the full cold read")
+  }
+
   test("receiver protocol edges: 404 / 405 / 415, and proto response type") {
     val base = Files.createTempDirectory("graft-otlp-edges").toString
     val rx = new OtlpHttpReceiver(s"$base/spool")
