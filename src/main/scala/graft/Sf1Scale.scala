@@ -273,7 +273,11 @@ object Sf1Scale {
       s"""{"n_small":$nSmall,"n_big":$nBig,"factor":10,"queries":{${
         entries(rows)}},"doc_queries":{${entries(docRows)}},"graph_queries":{${
         entries(graphRows)}},"tel_queries":{${entries(telRows)}}}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_sf1.json"),
+    // a FILTERED run must not clobber the full sweep's artifact (the
+    // driver/judge read BENCH_sf1.json as complete coverage)
+    val artifact =
+      if (only.isEmpty) "BENCH_sf1.json" else "BENCH_sf1_partial.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       json.getBytes("UTF-8")) catch { case _: Throwable => () }
     json
   }

@@ -107,6 +107,17 @@ object IcebergTableReader {
           throw new IllegalArgumentException(
             s"manifest list ${snap.manifestList} missing"))
         val (_, manifests) = AvroOcf.read(listBytes)
+        // merge-on-read DELETE manifests (content=1 in manifest_file)
+        // would make a data-only scan silently resurrect deleted rows —
+        // fail LOUD instead; this engine's own commits are append-only
+        // (the reference exporter never deletes), so this only fires on
+        // foreign tables that genuinely need a delete-applying reader
+        manifests.foreach { case m: Map[String, Any] @unchecked =>
+          if (m.get("content").exists(c => c != null && c != 0))
+            throw new UnsupportedOperationException(
+              s"table has DELETE manifests (${m("manifest_path")}); " +
+                "merge-on-read is not supported by this cold reader")
+        }
         manifests.flatMap { case m: Map[String, Any] @unchecked =>
           val mpath = m("manifest_path").asInstanceOf[String]
           val mb = readAll(spark, mpath).getOrElse(

@@ -23,14 +23,17 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * decoding happens on executors via [[OtelProtoSource.tracesStream]] /
   * [[OtelProtoSource.logsStream]] / metrics twins, exactly like a
   * collector receiver's enqueue. Standard OTLP/HTTP surface:
-  * `POST /v1/{traces,logs,metrics}` with `application/x-protobuf`;
+  * `POST /v1/{traces,logs,metrics}` with BOTH spec encodings —
+  * `application/x-protobuf` spools to `<signal>/` for the wire decoder
+  * ([[OtelProtoSource]]) and `application/json` (an
+  * Export*ServiceRequest body IS the `{"resourceSpans": …}` shape) to
+  * `<signal>_json/` for [[OtelJsonSource]]'s streaming twin;
   * `Content-Encoding: gzip` is inflated (size-capped) before the spool
   * — the setting stock OTel SDKs ship as `compression: gzip` — while
-  * other codecs are an explicit 415; JSON bodies get 415 (the engine's
-  * OTLP/JSON path is the collector-file-drop source
-  * [[OtelJsonSource]]), other methods 405, unknown routes 404.
-  * Responses are empty Export*ServiceResponse messages (zero proto
-  * bytes), per spec.
+  * other codecs are an explicit 415; other content types 415, other
+  * methods 405, unknown routes 404. Responses are empty
+  * Export*ServiceResponse messages (zero proto bytes / `{}`), per
+  * spec.
   *
   * Scale: one receiver instance is collector-sidecar shaped. For a
   * 1000-executor deployment you run N receivers behind a balancer, all
@@ -51,7 +54,10 @@ final class OtlpHttpReceiver(spoolDir: String, host: String = "127.0.0.1",
   private val inflight: Path = {
     val p = Paths.get(spoolDir, ".inflight")
     Files.createDirectories(p)
-    signals.values.foreach(s => Files.createDirectories(Paths.get(spoolDir, s)))
+    signals.values.foreach { s =>
+      Files.createDirectories(Paths.get(spoolDir, s))
+      Files.createDirectories(Paths.get(spoolDir, s + "_json"))
+    }
     p
   }
 
@@ -87,9 +93,15 @@ final class OtlpHttpReceiver(spoolDir: String, host: String = "127.0.0.1",
         val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
         val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
           .map(_.trim.toLowerCase).getOrElse("")
-        if (!ct.startsWith("application/x-protobuf"))
+        // both OTLP/HTTP encodings: protobuf spools to <signal>/ (wire
+        // decode via OtelProtoSource), JSON — an Export*ServiceRequest
+        // body IS the `{"resourceSpans": …}` shape OtelJsonSource
+        // parses — spools to <signal>_json/ for the JSON streaming twin
+        val isProto = ct.startsWith("application/x-protobuf")
+        val isJson = ct.startsWith("application/json")
+        if (!isProto && !isJson)
           respond(ex, 415,
-            """{"error":"use application/x-protobuf (OTLP/JSON ingest is the collector file-drop source)"}"""
+            """{"error":"use application/x-protobuf or application/json"}"""
               .getBytes("UTF-8"))
         else if (enc.nonEmpty && enc != "identity" && enc != "gzip")
           // stock OTel SDKs ship `compression: gzip` on OTLP/HTTP exports
@@ -117,15 +129,22 @@ final class OtlpHttpReceiver(spoolDir: String, host: String = "127.0.0.1",
             // durability point: temp write + atomic move BEFORE the ack.
             // Name is (epochMs, per-process seq) — unique and roughly
             // arrival-ordered for the file source's log.
+            val (dir, ext) =
+              if (isProto) (signal, "pb") else (signal + "_json", "json")
             val name =
-              f"${System.currentTimeMillis()}%013d-${seq.getAndIncrement()}%06d.pb"
-            val tmp = inflight.resolve(s"$signal-$name")
+              f"${System.currentTimeMillis()}%013d-${seq.getAndIncrement()}%06d.$ext"
+            val tmp = inflight.resolve(s"$dir-$name")
             Files.write(tmp, b)
-            Files.move(tmp, Paths.get(spoolDir, signal, name),
+            Files.move(tmp, Paths.get(spoolDir, dir, name),
               StandardCopyOption.ATOMIC_MOVE)
             accepted(signal).incrementAndGet()
-            ex.getResponseHeaders.add("Content-Type", "application/x-protobuf")
-            respond(ex, 200, Array.emptyByteArray) // empty Export*ServiceResponse
+            if (isProto) {
+              ex.getResponseHeaders.add("Content-Type", "application/x-protobuf")
+              respond(ex, 200, Array.emptyByteArray) // empty Export*ServiceResponse
+            } else {
+              ex.getResponseHeaders.add("Content-Type", "application/json")
+              respond(ex, 200, "{}".getBytes("UTF-8")) // empty response object
+            }
           }
         }
     }
@@ -171,6 +190,12 @@ private[sources] object TransportGzip {
 }
 
 object OtlpHttpReceiver {
-  /** Spool subdirectory the streaming sources should tail for a signal. */
+  /** Spool subdirectory the PROTOBUF streaming sources
+    * ([[OtelProtoSource]]) should tail for a signal. */
   def spoolPath(spoolDir: String, signal: String): String = s"$spoolDir/$signal"
+
+  /** Spool subdirectory the OTLP/JSON streaming sources
+    * ([[OtelJsonSource]]) should tail for a signal. */
+  def jsonSpoolPath(spoolDir: String, signal: String): String =
+    s"$spoolDir/${signal}_json"
 }

@@ -277,6 +277,22 @@ class IcebergColdReadSpec extends SparkSpec {
       .count() === 10L)
     // a slice entirely outside the bounds prunes EVERYTHING (file-level)
     assert(IcebergTableReader.readSlice(spark, loc, "ts", 1L, 2L).count() === 0L)
+
+    // a DELETE manifest (content=1) in the list must fail LOUD — a
+    // data-only scan would silently resurrect deleted rows
+    val dl = new GenericData.Record(listSchema)
+    dl.put("added_snapshot_id", 43L: java.lang.Long)
+    dl.put("manifest_length", 1L: java.lang.Long)
+    dl.put("manifest_path", s"$loc/metadata/foreign-d0.avro")
+    dl.put("sequence_number", 2L: java.lang.Long)
+    dl.put("min_sequence_number", 2L: java.lang.Long)
+    dl.put("content", 1: java.lang.Integer) // DELETES
+    Files.write(Paths.get(s"$loc/metadata/snap-42.avro"),
+      avroBytes(listSchema, Seq(lr, dl)))
+    val ex = intercept[UnsupportedOperationException] {
+      IcebergTableReader.read(spark, loc).count()
+    }
+    assert(ex.getMessage.contains("DELETE manifests"))
   }
 
   test("written manifests + carry-forward list round-trip the reference Avro reader") {

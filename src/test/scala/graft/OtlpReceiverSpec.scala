@@ -7,7 +7,7 @@ import java.nio.file.{Files, Paths}
 
 import graft.config.ExporterConfig._
 import graft.otel.OtelTraces
-import graft.sources.{OtelProtoSource, OtlpHttpReceiver}
+import graft.sources.{OtelJsonSource, OtelProtoSource, OtlpHttpReceiver}
 import graft.streaming.StreamingIngest
 
 /** Push-based OTLP ingestion e2e — the reference's consume path
@@ -189,8 +189,9 @@ class OtlpReceiverSpec extends SparkSpec {
         HttpRequest.newBuilder(URI.create(rx.uri + "/v1/traces")).GET().build(),
         HttpResponse.BodyHandlers.ofByteArray())
       assert(get.statusCode() === 405)
-      assert(post(rx.uri, "/v1/traces", "{}".getBytes("UTF-8"),
-        contentType = "application/json").statusCode() === 415)
+      // neither OTLP encoding: explicit 415
+      assert(post(rx.uri, "/v1/traces", "x".getBytes("UTF-8"),
+        contentType = "text/plain").statusCode() === 415)
       // nothing spooled by the rejects
       assert(Files.list(Paths.get(
         OtlpHttpReceiver.spoolPath(s"$base/spool", "traces"))).count() === 0)
@@ -245,6 +246,43 @@ class OtlpReceiverSpec extends SparkSpec {
       assert(r415.statusCode() === 415)
       assert(Files.list(dir).count() === 1)
       assert(rx.accepted("traces").get() === 1)
+    } finally rx.stop()
+  }
+
+  test("OTLP/JSON POSTs spool separately and flow through OtelJsonSource") {
+    val base = Files.createTempDirectory("graft-otlp-json").toString
+    val rx = new OtlpHttpReceiver(s"$base/spool")
+    try {
+      val body =
+        """{"resourceSpans":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"svc-j"}}],"droppedAttributesCount":0},"scopeSpans":[{"scope":{"name":"lib","version":"2.0"},"spans":[{"traceId":"0af7651916cd43dd8448eb211c80319c","spanId":"b7ad6b7169203331","traceState":"","parentSpanId":"","name":"GET /api","kind":2,"startTimeUnixNano":"1700000000000000000","endTimeUnixNano":"1700000001500000000","attributes":[],"events":[],"links":[],"status":{"code":1}}]}]}]}"""
+      val r = post(rx.uri, "/v1/traces", body.getBytes("UTF-8"),
+        contentType = "application/json")
+      assert(r.statusCode() === 200)
+      assert(new String(r.body(), "UTF-8") === "{}")
+      // json spool is separate from the protobuf spool
+      val jsonDir = OtlpHttpReceiver.jsonSpoolPath(s"$base/spool", "traces")
+      assert(Files.list(Paths.get(jsonDir)).count() === 1)
+      assert(Files.list(Paths.get(
+        OtlpHttpReceiver.spoolPath(s"$base/spool", "traces"))).count() === 0)
+      // the Export*ServiceRequest JSON body IS the OtelJsonSource shape
+      val out = OtelTraces.flatten(OtelJsonSource.traces(spark, jsonDir))
+        .collect()
+      assert(out.length === 1)
+      assert(out(0).getAs[String]("service_name") === "svc-j")
+      assert(out(0).getAs[String]("span_name") === "GET /api")
+      // gzip works on the JSON route too
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(body.getBytes("UTF-8")); gz.close()
+      val rz = http.send(
+        HttpRequest.newBuilder(URI.create(rx.uri + "/v1/traces"))
+          .header("Content-Type", "application/json")
+          .header("Content-Encoding", "gzip")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(bos.toByteArray)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(rz.statusCode() === 200)
+      assert(Files.list(Paths.get(jsonDir)).count() === 2)
+      assert(rx.accepted("traces").get() === 2)
     } finally rx.stop()
   }
 
