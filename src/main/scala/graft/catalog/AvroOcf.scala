@@ -372,6 +372,23 @@ object AvroOcf {
     * whole files from these WITHOUT opening a footer. Other optional
     * stats maps are omitted entirely — legal Avro/Iceberg (readers
     * resolve absent optional fields to null by field-id). */
+  /** [[ManifestEntrySchema]] with a PARTITION TUPLE: `parts` =
+    * (name, avroType, fieldId) per partition-spec field, each nullable
+    * (a null tuple value = "spans partitions / unknown", never
+    * pruned). Empty `parts` reproduces the unpartitioned r102. */
+  def manifestEntrySchema(parts: Seq[(String, String, Int)]): String =
+    if (parts.isEmpty) ManifestEntrySchema
+    else {
+      val fields = parts.map { case (n, t, id) =>
+        s"""{"name":"$n","type":["null","$t"],"default":null,"field-id":$id}"""
+      }.mkString(",")
+      val anchor = """"name":"r102","fields":[]"""
+      require(ManifestEntrySchema.contains(anchor),
+        "manifest_entry schema anchor drifted")
+      ManifestEntrySchema.replace(anchor,
+        s""""name":"r102","fields":[$fields]""")
+    }
+
   val ManifestEntrySchema: String = compact(render(parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
@@ -396,6 +413,7 @@ object AvroOcf {
       |   {"name":"value","type":"bytes","field-id":130}]},
       |  "logicalType":"map"}],"default":null,"field-id":128},
       | {"name":"split_offsets","type":["null",{"type":"array","items":"long","element-id":133}],"default":null,"field-id":132},
+      | {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135},
       | {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}
       |]},"field-id":2}
       |]}""".stripMargin)))
@@ -404,9 +422,27 @@ object AvroOcf {
     if (bs.isEmpty) opt(None)
     else opt(Some(AArr(bs.map { case (id, b) => ARec(Seq(AInt(id), ABytes(b))) })))
 
+  /** Partition TUPLE record for a (schema-aligned) sequence of
+    * nullable values: `types` gives each field's Avro type ("int" or
+    * "long"), `values` the transform results (None = null, never
+    * pruned). Must align with the `parts` the manifest's
+    * [[manifestEntrySchema]] was built from. */
+  def partitionTuple(types: Seq[String], values: Seq[Option[Long]]): AVal = {
+    require(types.length == values.length,
+      s"partition tuple arity ${values.length} != spec arity ${types.length}")
+    ARec(types.zip(values).map {
+      case (_, None) => opt(None)
+      case ("int", Some(v)) => opt(Some(AInt(v.toInt)))
+      case (_, Some(v)) => opt(Some(ALong(v)))
+    })
+  }
+
   /** ADDED manifest entry for one data file (v2: sequence numbers null
-    * → inherited from the manifest list / snapshot). */
-  def manifestEntry(snapshotId: Long, file: RestCatalogClient.DataFile): AVal =
+    * → inherited from the manifest list / snapshot). `partition` must
+    * match the schema the manifest is written with
+    * ([[manifestEntrySchema]] / [[partitionTuple]]). */
+  def manifestEntry(snapshotId: Long, file: RestCatalogClient.DataFile,
+                    partition: AVal = ARec(Nil)): AVal =
     ARec(Seq(
       AInt(1),                        // status = ADDED
       opt(Some(ALong(snapshotId))),
@@ -416,23 +452,58 @@ object AvroOcf {
         AInt(0),                      // content = data
         AStr(file.path),
         AStr("PARQUET"),
-        ARec(Nil),                    // partition (unpartitioned spec)
+        partition,
         ALong(file.recordCount),
         ALong(file.sizeBytes),
         boundsMap(file.bounds.map { case (id, lo, _) => id -> lo }),
         boundsMap(file.bounds.map { case (id, _, hi) => id -> hi }),
         opt(None),                    // split_offsets
+        opt(None),                    // equality_ids (data file: none)
         opt(None)))))                 // sort_order_id
 
-  /** `manifest_file` record pointing at one freshly written manifest. */
+  /** ADDED manifest entry for one DELETE file (Iceberg v2 row-level
+    * deletes, spec "Delete Files"): `content` 1 = position deletes
+    * (parquet of `file_path` id 2147483546 / `pos` id 2147483545),
+    * 2 = equality deletes (parquet of the columns named by
+    * `equalityIds`). The entry's sequence number is written EXPLICIT
+    * (not inherited) because delete application is sequence-keyed:
+    * position deletes hit data files with seq <= theirs, equality
+    * deletes strictly <. */
+  def deleteManifestEntry(snapshotId: Long, sequenceNumber: Long,
+                          file: RestCatalogClient.DataFile,
+                          content: Int, equalityIds: Seq[Int],
+                          partition: AVal = ARec(Nil)): AVal =
+    ARec(Seq(
+      AInt(1),                        // status = ADDED
+      opt(Some(ALong(snapshotId))),
+      opt(Some(ALong(sequenceNumber))),
+      opt(Some(ALong(sequenceNumber))), // file_sequence_number
+      ARec(Seq(
+        AInt(content),
+        AStr(file.path),
+        AStr("PARQUET"),
+        partition,
+        ALong(file.recordCount),
+        ALong(file.sizeBytes),
+        boundsMap(file.bounds.map { case (id, lo, _) => id -> lo }),
+        boundsMap(file.bounds.map { case (id, _, hi) => id -> hi }),
+        opt(None),                    // split_offsets
+        if (equalityIds.isEmpty) opt(None)
+        else opt(Some(AArr(equalityIds.map(AInt)))),
+        opt(None)))))                 // sort_order_id
+
+  /** `manifest_file` record pointing at one freshly written manifest.
+    * `content` 0 = a DATA manifest, 1 = a DELETES manifest (its
+    * entries' data_file structs carry position/equality delete files). */
   def manifestListEntry(manifestPath: String, manifestLength: Long,
                         sequenceNumber: Long, snapshotId: Long,
-                        addedFiles: Int, addedRows: Long): AVal =
+                        addedFiles: Int, addedRows: Long,
+                        content: Int = 0): AVal =
     ARec(Seq(
       AStr(manifestPath),
       ALong(manifestLength),
       AInt(0),                        // partition_spec_id
-      AInt(0),                        // content = data
+      AInt(content),
       ALong(sequenceNumber),
       ALong(sequenceNumber),          // min_sequence_number
       ALong(snapshotId),

@@ -26,19 +26,44 @@ object IcebergCommit {
                      schemaJson: String, snapId: Long, seqNum: Long,
                      parentSnapshotId: Option[Long],
                      parentList: Option[String],
-                     files: Seq[DataFile]): (String, String) = {
+                     files: Seq[DataFile],
+                     partFields: Seq[IcebergPartitioning.PartField] = Nil)
+      : (String, String) = {
     val fs = new Path(location).getFileSystem(conf)
     def writeFile(path: String, bytes: Array[Byte]): Unit = {
       val out = fs.create(new Path(path), true)
       try out.write(bytes) finally out.close()
     }
+    val partTypes = partFields.map(p => IcebergPartitioning.avroType(p.transform))
     val manifestPath = s"$location/metadata/graft-m-$snapId.avro"
     val manifestBytes = AvroOcf.write(
-      AvroOcf.ManifestEntrySchema,
+      AvroOcf.manifestEntrySchema(partFields.zip(partTypes).map {
+        case (p, t) => (p.name, t, p.fieldId) }),
       Map("schema" -> schemaJson, "schema-id" -> "0",
-          "partition-spec" -> "[]", "partition-spec-id" -> "0",
+          "partition-spec" -> IcebergPartitioning.specFieldsJson(partFields),
+          "partition-spec-id" -> "0",
           "format-version" -> "2", "content" -> "data"),
-      files.map(f => AvroOcf.manifestEntry(snapId, f)))
+      files.map { f =>
+        val tuple =
+          if (partFields.isEmpty) AvroOcf.ARec(Nil)
+          else {
+            // explicit tuple wins; else derive from the file's OWN
+            // column stats — a granularity-partitioned sink always
+            // lands each file in one partition, so min==max under the
+            // transform and the tuple is exact (straddlers get null =
+            // never pruned). One choke point means every commit path
+            // (streaming delivery, recovery CLI, compaction) writes
+            // real tuples without carrying partition math around.
+            val vals =
+              if (f.partition.nonEmpty) f.partition.padTo(partFields.length, None)
+              else IcebergPartitioning.valuesForFile(partFields,
+                f.bounds.map { case (id, lo, hi) =>
+                  id -> (IcebergSingleValue.longOf(lo),
+                    IcebergSingleValue.longOf(hi)) }.toMap)
+            AvroOcf.partitionTuple(partTypes, vals)
+          }
+        AvroOcf.manifestEntry(snapId, f, tuple)
+      })
     writeFile(manifestPath, manifestBytes)
     val carried: Seq[AvroOcf.AVal] = parentList.toSeq.flatMap { prev =>
       val p = new Path(prev)
@@ -70,6 +95,17 @@ object IcebergCommit {
     * single-writer semantics (the chain has no optimistic lock; a
     * catalog is the thing that arbitrates concurrent writers). Returns
     * the new snapshot id. */
+  /** The partition-spec fields manifests for this table must be
+    * written with: the explicit `defaultSpec` argument wins, else the
+    * chain's recorded default spec (so maintenance commits passing
+    * None inherit the declared partitioning). */
+  private def partFieldsFor(prev: Option[IcebergTableMetadata.TableMetadata],
+                            defaultSpec: Option[JValue])
+      : Seq[IcebergPartitioning.PartField] =
+    defaultSpec.map(IcebergPartitioning.fieldsOf)
+      .orElse(prev.map(IcebergPartitioning.fields))
+      .getOrElse(Nil)
+
   def commitStandalone(conf: Configuration, location: String,
                        schemaJson: String, defaultSpec: Option[JValue],
                        files: Seq[DataFile]): Long = {
@@ -82,13 +118,127 @@ object IcebergCommit {
       s <- p.snapshots.find(_.snapshotId == id)
     } yield s.manifestList
     val (_, listPath) = writeManifests(conf, location, schemaJson,
-      snapId, seqNum, parentId, parentList, files)
+      snapId, seqNum, parentId, parentList, files,
+      partFieldsFor(prev, defaultSpec))
     IcebergTableMetadata.commit(conf, location, schemaJson, defaultSpec,
       Some(IcebergTableMetadata.SnapshotMeta(
         snapId, parentId, seqNum, System.currentTimeMillis(), listPath,
         Map("operation" -> "append",
             "otel.record_count" -> files.map(_.recordCount).sum.toString,
             "otel.file_size" -> files.map(_.sizeBytes).sum.toString,
+            "otel.file_count" -> files.size.toString))))
+    snapId
+  }
+
+  /** One DELETE file for a row-level delete commit: `content` 1 =
+    * position deletes (`file_path`/`pos` parquet), 2 = equality
+    * deletes over the schema columns with ids `equalityIds`. */
+  final case class DeleteFileSpec(file: DataFile, content: Int,
+                                  equalityIds: Seq[Int] = Nil) {
+    require(content == 1 || content == 2,
+      s"delete content must be 1 (position) or 2 (equality), got $content")
+    require(content == 1 || equalityIds.nonEmpty,
+      "equality deletes must name their equality_ids")
+  }
+
+  /** Catalog-FREE row-level DELETE commit (Iceberg v2 merge-on-read,
+    * the write side of [[IcebergTableReader]]'s delete application):
+    * a DELETES manifest (manifest_file.content=1, entries with
+    * explicit sequence numbers) + a carry-forward list, operation
+    * "delete". No data file is touched — this is the
+    * right-to-be-forgotten shape for a 100 TB corpus: the commit cost
+    * is the delete set, not the table. Fails if the table does not
+    * exist yet (a delete needs something to delete from). */
+  def commitStandaloneDeletes(conf: Configuration, location: String,
+                              schemaJson: String, defaultSpec: Option[JValue],
+                              deletes: Seq[DeleteFileSpec]): Long = {
+    val prev = IcebergTableMetadata.load(conf, location).getOrElse(
+      throw new IllegalArgumentException(
+        s"no Iceberg table at $location to delete from"))
+    val fs = new Path(location).getFileSystem(conf)
+    def writeFile(path: String, bytes: Array[Byte]): Unit = {
+      val out = fs.create(new Path(path), true)
+      try out.write(bytes) finally out.close()
+    }
+    val snapId = System.nanoTime()
+    val seqNum = prev.lastSequenceNumber + 1
+    val parentId = prev.currentSnapshotId
+    // delete files apply table-wide: same tuple schema as the data
+    // manifests (readers expect one r102 shape per spec), all-null
+    // values (spec: null partition value = not partition-scoped)
+    val partFields = partFieldsFor(Some(prev), defaultSpec)
+    val partTypes = partFields.map(p => IcebergPartitioning.avroType(p.transform))
+    val nullTuple =
+      if (partFields.isEmpty) AvroOcf.ARec(Nil)
+      else AvroOcf.partitionTuple(partTypes, partFields.map(_ => None))
+    val manifestPath = s"$location/metadata/graft-d-$snapId.avro"
+    val manifestBytes = AvroOcf.write(
+      AvroOcf.manifestEntrySchema(partFields.zip(partTypes).map {
+        case (p, t) => (p.name, t, p.fieldId) }),
+      Map("schema" -> schemaJson, "schema-id" -> "0",
+          "partition-spec" -> IcebergPartitioning.specFieldsJson(partFields),
+          "partition-spec-id" -> "0",
+          "format-version" -> "2", "content" -> "deletes"),
+      deletes.map(d => AvroOcf.deleteManifestEntry(
+        snapId, seqNum, d.file, d.content, d.equalityIds, nullTuple)))
+    writeFile(manifestPath, manifestBytes)
+    val parentList = for {
+      id <- parentId; s <- prev.snapshots.find(_.snapshotId == id)
+    } yield s.manifestList
+    val carried: Seq[AvroOcf.AVal] = parentList.toSeq.flatMap { prevList =>
+      val p = new Path(prevList)
+      if (!fs.exists(p)) Nil
+      else {
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        if (!isAvro(bytes)) Nil
+        else AvroOcf.read(bytes)._2.collect {
+          case m: Map[String, Any] @unchecked => AvroOcf.manifestFileRecord(m)
+        }
+      }
+    }
+    val listPath = s"$location/metadata/snap-$snapId-1-graft.avro"
+    writeFile(listPath, AvroOcf.write(
+      AvroOcf.ManifestListSchema,
+      Map("snapshot-id" -> snapId.toString,
+          "parent-snapshot-id" -> parentId.map(_.toString).getOrElse("null"),
+          "sequence-number" -> seqNum.toString,
+          "format-version" -> "2"),
+      AvroOcf.manifestListEntry(manifestPath, manifestBytes.length.toLong,
+        seqNum, snapId, deletes.size,
+        deletes.map(_.file.recordCount).sum, content = 1) +: carried))
+    IcebergTableMetadata.commit(conf, location, schemaJson, defaultSpec,
+      Some(IcebergTableMetadata.SnapshotMeta(
+        snapId, parentId, seqNum, System.currentTimeMillis(), listPath,
+        Map("operation" -> "delete",
+            "otel.delete_record_count" ->
+              deletes.map(_.file.recordCount).sum.toString,
+            "otel.delete_file_count" -> deletes.size.toString))))
+    snapId
+  }
+
+  /** Catalog-FREE REPLACE commit (compaction's snapshot): the new
+    * manifest list contains ONLY the fresh data manifest — no
+    * carry-forward — so prior data AND delete manifests fall out of
+    * the live state while old snapshots keep time-traveling through
+    * their own (untouched) lists. Operation "replace". */
+  def commitStandaloneReplace(conf: Configuration, location: String,
+                              schemaJson: String, defaultSpec: Option[JValue],
+                              files: Seq[DataFile]): Long = {
+    val prev = IcebergTableMetadata.load(conf, location).getOrElse(
+      throw new IllegalArgumentException(
+        s"no Iceberg table at $location to replace"))
+    val snapId = System.nanoTime()
+    val seqNum = prev.lastSequenceNumber + 1
+    val parentId = prev.currentSnapshotId
+    val (_, listPath) = writeManifests(conf, location, schemaJson,
+      snapId, seqNum, parentId, parentList = None, files,
+      partFieldsFor(Some(prev), defaultSpec))
+    IcebergTableMetadata.commit(conf, location, schemaJson, defaultSpec,
+      Some(IcebergTableMetadata.SnapshotMeta(
+        snapId, parentId, seqNum, System.currentTimeMillis(), listPath,
+        Map("operation" -> "replace",
+            "otel.record_count" -> files.map(_.recordCount).sum.toString,
             "otel.file_count" -> files.size.toString))))
     snapId
   }

@@ -202,16 +202,21 @@ object IcebergTableMetadata {
     * when `snapshot` is None) to the chain: read the previous version,
     * carry its uuid + snapshot history forward, write `v{N+1}` then
     * flip the hint. Snapshot history is deduplicated by id, so the
-    * idempotent re-commit the delivery layer can produce is harmless. */
+    * idempotent re-commit the delivery layer can produce is harmless.
+    * `retain` filters the CARRIED history (never a newly supplied
+    * snapshot) — the snapshot-expiry hook: expired entries simply drop
+    * out of the new version while every prior vN keeps referencing
+    * them (metadata versions are immutable). */
   def commit(conf: Configuration, location: String, schemaJson: String,
              defaultSpec: Option[JValue], snapshot: Option[SnapshotMeta],
-             nowMs: Long = System.currentTimeMillis()): Int = {
+             nowMs: Long = System.currentTimeMillis(),
+             retain: SnapshotMeta => Boolean = _ => true): Int = {
     val prev = load(conf, location)
     val version = prev.map(_.version).getOrElse(0) + 1
     val uuid = prev.map(_.tableUuid).filter(_.nonEmpty)
       .getOrElse(UUID.randomUUID().toString)
     val snapshots = {
-      val old = prev.map(_.snapshots).getOrElse(Nil)
+      val old = prev.map(_.snapshots).getOrElse(Nil).filter(retain)
       snapshot match {
         case Some(s) if !old.exists(_.snapshotId == s.snapshotId) => old :+ s
         case _ => old
@@ -226,13 +231,21 @@ object IcebergTableMetadata {
       if ((s \ "schema-id").toOption.isDefined) s
       else s.merge(JObject("schema-id" -> JInt(0)))
     }
-    val specs: List[JValue] = defaultSpec match {
+    // `None` CARRIES the previous version's specs forward (a
+    // maintenance commit must not silently unpartition the table);
+    // only a table with no declared spec gets the empty spec-0.
+    val (specs: List[JValue], specId: Int) = defaultSpec match {
       case Some(sp) =>
         val withId =
           if ((sp \ "spec-id").toOption.isDefined) sp
           else sp.merge(JObject("spec-id" -> JInt(0)))
-        List(withId)
-      case None => List(JObject("spec-id" -> JInt(0), "fields" -> JArray(Nil)))
+        (List(withId),
+          (withId \ "spec-id").toOption.collect { case JInt(n) => n.toInt }
+            .getOrElse(0))
+      case None => prev.map(_.partitionSpecsJson.toList).filter(_.nonEmpty)
+        .map(ss => (ss, prev.map(_.defaultSpecId).getOrElse(0)))
+        .getOrElse((List(JObject("spec-id" -> JInt(0),
+          "fields" -> JArray(Nil))), 0))
     }
     val lastPartitionId = specs.flatMap { sp =>
       (sp \ "fields").toOption.toSeq.flatMap {
@@ -268,7 +281,7 @@ object IcebergTableMetadata {
       "last-column-id" -> JInt(maxFieldId(schemaJson)),
       "current-schema-id" -> JInt(0),
       "schemas" -> JArray(List(schemaWithId)),
-      "default-spec-id" -> JInt(0),
+      "default-spec-id" -> JInt(specId),
       "partition-specs" -> JArray(specs),
       "last-partition-id" -> JInt(lastPartitionId),
       "default-sort-order-id" -> JInt(0),

@@ -29,11 +29,24 @@ import graft.catalog.IcebergTableMetadata.{SnapshotMeta, TableMetadata}
   * whose stats ranges intersect the slice. */
 object IcebergTableReader {
 
-  /** One live data file at a snapshot, with its manifest-entry stats. */
+  /** One live data file at a snapshot, with its manifest-entry stats.
+    * `dataSequenceNumber` is the entry's sequence number (inherited
+    * from its manifest-list entry when the Avro field is null, per the
+    * spec's v2 inheritance rules) — the key delete application sorts
+    * against. */
   final case class FileEntry(
       path: String, recordCount: Long, sizeBytes: Long,
       snapshotId: Long,
-      lowerBounds: Map[Int, Array[Byte]], upperBounds: Map[Int, Array[Byte]])
+      lowerBounds: Map[Int, Array[Byte]], upperBounds: Map[Int, Array[Byte]],
+      dataSequenceNumber: Long = 0L,
+      partition: Map[String, Long] = Map.empty)
+
+  /** One live DELETE file at a snapshot (Iceberg v2 merge-on-read):
+    * `content` 1 = position deletes (`file_path`/`pos` parquet), 2 =
+    * equality deletes over the schema columns named by `equalityIds`. */
+  final case class DeleteEntry(
+      path: String, content: Int, sequenceNumber: Long,
+      recordCount: Long, equalityIds: Seq[Int])
 
   def metadata(spark: SparkSession, tableDir: String): TableMetadata =
     IcebergTableMetadata.load(
@@ -93,57 +106,102 @@ object IcebergTableReader {
     case _ => Map.empty
   }
 
-  /** The live data files at a snapshot (current unless `asOfSnapshotId`
-    * time-travels): the snapshot's manifest LIST is the complete state
-    * — appends carry prior manifests forward into every new list, per
-    * the Iceberg spec — and DELETED (status=2) entries drop out. */
-  def dataFiles(spark: SparkSession, tableDir: String,
-                asOfSnapshotId: Option[Long] = None): Seq[FileEntry] = {
+  private def longIn(v: Option[Any], dflt: Long): Long = v match {
+    case Some(l: Long) => l
+    case Some(i: Int) => i.toLong
+    case _ => dflt
+  }
+
+  /** The complete LIVE file state at a snapshot: (data files, delete
+    * files). The snapshot's manifest LIST is the full state — appends
+    * carry prior manifests forward into every new list, per the
+    * Iceberg spec — DELETED (status=2) entries drop out, and delete
+    * manifests (manifest_file.content=1) contribute [[DeleteEntry]]s
+    * for merge-on-read application. Entry sequence numbers inherit
+    * from the manifest-list entry when null (v2 inheritance). */
+  def scanState(spark: SparkSession, tableDir: String,
+                asOfSnapshotId: Option[Long] = None)
+      : (Seq[FileEntry], Seq[DeleteEntry]) = {
     val meta = metadata(spark, tableDir)
     resolveSnapshot(meta, asOfSnapshotId) match {
-      case None => Seq.empty
+      case None => (Seq.empty, Seq.empty)
       case Some(snap) =>
         val listBytes = readAll(spark, snap.manifestList).getOrElse(
           throw new IllegalArgumentException(
             s"manifest list ${snap.manifestList} missing"))
         val (_, manifests) = AvroOcf.read(listBytes)
-        // merge-on-read DELETE manifests (content=1 in manifest_file)
-        // would make a data-only scan silently resurrect deleted rows —
-        // fail LOUD instead; this engine's own commits are append-only
-        // (the reference exporter never deletes), so this only fires on
-        // foreign tables that genuinely need a delete-applying reader
+        val data = Seq.newBuilder[FileEntry]
+        val dels = Seq.newBuilder[DeleteEntry]
         manifests.foreach { case m: Map[String, Any] @unchecked =>
-          if (m.get("content").exists(c => c != null && c != 0))
+          val mContent = longIn(m.get("content"), 0L)
+          if (mContent != 0L && mContent != 1L)
             throw new UnsupportedOperationException(
-              s"table has DELETE manifests (${m("manifest_path")}); " +
-                "merge-on-read is not supported by this cold reader")
-        }
-        manifests.flatMap { case m: Map[String, Any] @unchecked =>
+              s"manifest ${m("manifest_path")} has unknown content " +
+                s"$mContent; this reader knows data (0) and deletes (1)")
+          val mSeq = longIn(m.get("sequence_number"), 0L)
           val mpath = m("manifest_path").asInstanceOf[String]
           val mb = readAll(spark, mpath).getOrElse(
             throw new IllegalArgumentException(s"manifest $mpath missing"))
           val (_, entries) = AvroOcf.read(mb)
-          entries.collect {
+          entries.foreach {
             case e: Map[String, Any] @unchecked if !e.get("status").contains(2) =>
-              e.get("data_file").collect {
+              e.get("data_file").foreach {
                 case df: Map[String, Any] @unchecked =>
-                  FileEntry(
-                    path = df("file_path").asInstanceOf[String],
-                    recordCount = df.get("record_count")
-                      .collect { case l: Long => l }.getOrElse(0L),
-                    sizeBytes = df.get("file_size_in_bytes")
-                      .collect { case l: Long => l }.getOrElse(0L),
-                    snapshotId = e.get("snapshot_id")
-                      .collect { case l: Long => l }.getOrElse(snap.snapshotId),
-                    lowerBounds = df.get("lower_bounds").map(boundsOf)
-                      .getOrElse(Map.empty),
-                    upperBounds = df.get("upper_bounds").map(boundsOf)
-                      .getOrElse(Map.empty))
+                  val seq = longIn(e.get("sequence_number"), mSeq)
+                  val fContent = longIn(df.get("content"), 0L).toInt
+                  if (fContent == 0)
+                    data += FileEntry(
+                      path = df("file_path").asInstanceOf[String],
+                      recordCount = longIn(df.get("record_count"), 0L),
+                      sizeBytes = longIn(df.get("file_size_in_bytes"), 0L),
+                      snapshotId = longIn(e.get("snapshot_id"), snap.snapshotId),
+                      lowerBounds = df.get("lower_bounds").map(boundsOf)
+                        .getOrElse(Map.empty),
+                      upperBounds = df.get("upper_bounds").map(boundsOf)
+                        .getOrElse(Map.empty),
+                      dataSequenceNumber = seq,
+                      partition = df.get("partition") match {
+                        case Some(t: Map[String, Any] @unchecked) =>
+                          t.collect {
+                            case (k, v: Int) => k -> v.toLong
+                            case (k, v: Long) => k -> v
+                          }
+                        case _ => Map.empty
+                      })
+                  else if (fContent == 1 || fContent == 2)
+                    dels += DeleteEntry(
+                      path = df("file_path").asInstanceOf[String],
+                      content = fContent, sequenceNumber = seq,
+                      recordCount = longIn(df.get("record_count"), 0L),
+                      equalityIds = df.get("equality_ids") match {
+                        case Some(ids: Seq[Any] @unchecked) if ids != null =>
+                          ids.collect { case i: Int => i; case l: Long => l.toInt }
+                        case _ => Seq.empty
+                      })
+                  else throw new UnsupportedOperationException(
+                    s"file ${df("file_path")} has unknown content $fContent")
+                case _ => ()
               }
-          }.flatten
+            case _ => ()
+          }
         }
+        (data.result(), dels.result())
     }
   }
+
+  /** The live data files at a snapshot (current unless `asOfSnapshotId`
+    * time-travels). Delete files are NOT reflected here — use
+    * [[scanState]] (or [[read]], which applies them) when the table may
+    * be merge-on-read. */
+  def dataFiles(spark: SparkSession, tableDir: String,
+                asOfSnapshotId: Option[Long] = None): Seq[FileEntry] =
+    scanState(spark, tableDir, asOfSnapshotId)._1
+
+  /** The live delete files at a snapshot — empty for append-only
+    * tables (everything this engine's own commits write). */
+  def deleteFiles(spark: SparkSession, tableDir: String,
+                  asOfSnapshotId: Option[Long] = None): Seq[DeleteEntry] =
+    scanState(spark, tableDir, asOfSnapshotId)._2
 
   /** Top-level field id of `column` in the table's CURRENT schema —
     * the key into the bounds maps. */
@@ -157,15 +215,128 @@ object IcebergTableReader {
       throw new IllegalArgumentException(
         s"column $column not in table schema"))
 
-  /** Read the table cold at a snapshot. Schema comes from the parquet
-    * files themselves (the committed schema and the footers agree —
-    * RestCatalogSpec's field-id test pins that). An empty snapshot is
-    * an empty frame. */
+  /** Top-level field NAME for `id` in the table's current schema —
+    * the reverse of [[fieldId]], used to resolve equality-delete
+    * columns. */
+  def fieldName(meta: TableMetadata, id: Int): String =
+    (parse(meta.schemaJson) \ "fields").toOption.collect {
+      case JArray(fs) => fs.collectFirst {
+        case f if (f \ "id").toOption.contains(JInt(id)) =>
+          (f \ "name") match { case JString(n) => n; case _ => "" }
+      }
+    }.flatten.filter(_.nonEmpty).getOrElse(
+      throw new IllegalArgumentException(
+        s"equality-delete field id $id not in table schema"))
+
+  /** Strip the local-fs scheme so manifest paths (`/tmp/...`) and
+    * Spark's `_metadata.file_path` (`file:///tmp/...`) compare equal;
+    * non-file schemes pass through (object stores use one consistent
+    * URI form on both sides). */
+  private def normPathExpr(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, "^file:(//)?", "")
+  private def normPath(p: String): String = p.replaceFirst("^file:(//)?", "")
+
+  /** MERGE-ON-READ: subtract `deletes` from the scan of `files`.
+    * Spark-first formulation of the spec's application rules — each
+    * delete group is one LEFT ANTI join:
+    *   - position deletes (content=1) match on (file_path, row
+    *     position) via the parquet source's `_metadata` columns, and
+    *     apply to data files with sequence number <= theirs;
+    *   - equality deletes (content=2) match null-safely on the
+    *     `equality_ids` columns and apply STRICTLY BELOW their
+    *     sequence number (a row re-inserted in the same snapshot that
+    *     deleted its old version survives).
+    * Scale shape: delete sets are orders of magnitude smaller than
+    * data, so AQE broadcasts the anti-join build sides and the 100 TB
+    * data side never shuffles; per-file sequence numbers ride a
+    * broadcast of the (path, seq) file list, the same driver-planned
+    * metadata every Iceberg reader distributes. */
+  private def applyDeletes(spark: SparkSession, base: DataFrame,
+                           files: Seq[FileEntry], deletes: Seq[DeleteEntry],
+                           meta: TableMetadata,
+                           keepLineage: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val dataCols = base.columns.toSeq
+    val seqDf = files.map(f => (normPath(f.path), f.dataSequenceNumber))
+      .toDF("__gf_path", "__gf_seq")
+    var cur = base
+      .withColumn("__g_path", normPathExpr(col("_metadata.file_path")))
+      .withColumn("__g_pos", col("_metadata.row_index"))
+      .join(broadcast(seqDf), col("__g_path") === col("__gf_path"), "left")
+    val posBySeq = deletes.filter(_.content == 1)
+      .groupBy(_.sequenceNumber).toSeq.sortBy(_._1)
+    posBySeq.map { case (seq, entries) =>
+      spark.read.parquet(entries.map(_.path).distinct: _*)
+        .select(normPathExpr(col("file_path")).as("__d_path"),
+          col("pos").cast("long").as("__d_pos"),
+          lit(seq).as("__d_seq"))
+    }.reduceOption(_ unionByName _).foreach { posDel =>
+      cur = cur.join(posDel,
+        col("__g_path") === col("__d_path") &&
+          col("__g_pos") === col("__d_pos") &&
+          coalesce(col("__gf_seq"), lit(0L)) <= col("__d_seq"),
+        "left_anti")
+    }
+    deletes.filter(_.content == 2)
+      .groupBy(d => (d.sequenceNumber, d.equalityIds)).toSeq
+      .sortBy(_._1._1).foreach { case ((seq, ids), entries) =>
+        require(ids.nonEmpty,
+          s"equality delete ${entries.head.path} lists no equality_ids")
+        val names = ids.map(fieldName(meta, _))
+        val del = spark.read.parquet(entries.map(_.path).distinct: _*)
+          .select(names.map(n => col(n).as(s"__e_$n")): _*)
+        val cond = names.map(n => col(n) <=> col(s"__e_$n")).reduce(_ && _) &&
+          coalesce(col("__gf_seq"), lit(0L)) < lit(seq)
+        cur = cur.join(del, cond, "left_anti")
+      }
+    val out = dataCols.map(col) ++ (if (keepLineage)
+      Seq(col("__g_path").as(LineagePathCol), col("__g_pos").as(LineagePosCol))
+    else Nil)
+    cur.select(out: _*)
+  }
+
+  /** Column names [[readWithPositions]] appends: the scheme-normalized
+    * source file path and the row's position within it — exactly the
+    * (file_path, pos) tuple an Iceberg position delete targets. */
+  val LineagePathCol = "__graft_file_path"
+  val LineagePosCol = "__graft_pos"
+
+  /** [[read]] plus row LINEAGE: two extra columns ([[LineagePathCol]],
+    * [[LineagePosCol]]) carrying each live row's (data file, row
+    * position) — the input a position-delete writer
+    * ([[IcebergMaintenance.deleteWhere]]) needs. Deletes are applied,
+    * so the lineage identifies only LIVE rows. */
+  def readWithPositions(spark: SparkSession, tableDir: String,
+                        asOfSnapshotId: Option[Long] = None): DataFrame = {
+    val (files, deletes) = scanState(spark, tableDir, asOfSnapshotId)
+    if (files.isEmpty) return spark.emptyDataFrame
+    val base = spark.read.parquet(files.map(_.path): _*)
+    if (deletes.isEmpty)
+      base.withColumn(LineagePathCol, normPathExpr(col("_metadata.file_path")))
+        .withColumn(LineagePosCol, col("_metadata.row_index"))
+    else applyDeletes(spark, base, files, deletes,
+      metadata(spark, tableDir), keepLineage = true)
+  }
+
+  private def assemble(spark: SparkSession, meta: TableMetadata,
+                       files: Seq[FileEntry],
+                       deletes: Seq[DeleteEntry]): DataFrame =
+    if (files.isEmpty) spark.emptyDataFrame
+    else {
+      val base = spark.read.parquet(files.map(_.path): _*)
+      if (deletes.isEmpty) base
+      else applyDeletes(spark, base, files, deletes, meta)
+    }
+
+  /** Read the table cold at a snapshot, MERGE-ON-READ deletes applied
+    * (an append-only table pays nothing — the plan is the plain
+    * multi-file scan). Schema comes from the parquet files themselves
+    * (the committed schema and the footers agree — RestCatalogSpec's
+    * field-id test pins that). An empty snapshot is an empty frame. */
   def read(spark: SparkSession, tableDir: String,
            asOfSnapshotId: Option[Long] = None): DataFrame = {
-    val files = dataFiles(spark, tableDir, asOfSnapshotId)
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files.map(_.path): _*)
+    val (files, deletes) = scanState(spark, tableDir, asOfSnapshotId)
+    assemble(spark, metadata(spark, tableDir), files, deletes)
   }
 
   /** INCREMENTAL cold read: exactly the rows ADDED between two
@@ -175,7 +346,9 @@ object IcebergTableReader {
     * engine writes, that is precisely the later appends' files; a
     * rewrite (same rows, new files) would appear as its new files, as
     * in Iceberg's own incremental-append scan. `fromSnapshotId` is
-    * EXCLUSIVE, `toSnapshotId` (default current) inclusive. */
+    * EXCLUSIVE, `toSnapshotId` (default current) inclusive. Like
+    * Iceberg's incremental APPEND scan this surfaces added data files
+    * only — delete files landing in the window are not applied. */
   def readIncremental(spark: SparkSession, tableDir: String,
                       fromSnapshotId: Long,
                       toSnapshotId: Option[Long] = None): DataFrame = {
@@ -187,10 +360,13 @@ object IcebergTableReader {
     else spark.read.parquet(fresh.map(_.path): _*)
   }
 
-  /** Cold time-slice read with MANIFEST-STATS pruning: only files
-    * whose `[lower, upper]` range for `column` (Iceberg single-value
-    * longs — micros for timestamps) intersects `[startUs, endUs)` are
-    * opened; files without stats are kept (can't prune what isn't
+  /** Cold time-slice read with TWO-LEVEL metadata pruning: the
+    * PARTITION TUPLE first (every default-spec field sourced from
+    * `column` — its transform maps `[startUs, endUs)` to a partition
+    * value range; files whose tuple value falls outside drop without
+    * looking at stats; null tuple values are kept), then per-file
+    * MANIFEST STATS (`[lower, upper]` for `column` must intersect the
+    * slice; files without stats are kept — can't prune what isn't
     * claimed). Row-level residual filter applied after the scan —
     * same two-phase shape as
     * [[graft.recovery.VersionedManifest.readSliceAt]]. */
@@ -199,17 +375,28 @@ object IcebergTableReader {
                 asOfSnapshotId: Option[Long] = None): DataFrame = {
     val meta = metadata(spark, tableDir)
     val fid = fieldId(meta, column)
-    val files = dataFiles(spark, tableDir, asOfSnapshotId).filter { f =>
-      (f.lowerBounds.get(fid), f.upperBounds.get(fid)) match {
+    val partFields = IcebergPartitioning.fields(meta)
+      .filter(_.sourceId == fid)
+    val (allFiles, deletes) = scanState(spark, tableDir, asOfSnapshotId)
+    val files = allFiles.filter { f =>
+      val partitionKeeps = partFields.forall { p =>
+        f.partition.get(p.name).forall { v =>
+          v >= IcebergPartitioning.transformValue(p.transform, startUs) &&
+            v <= IcebergPartitioning.transformValue(p.transform, endUs - 1)
+        }
+      }
+      partitionKeeps && ((f.lowerBounds.get(fid), f.upperBounds.get(fid)) match {
         case (Some(lo), Some(hi)) =>
           val l = IcebergSingleValue.longOf(lo)
           val h = IcebergSingleValue.longOf(hi)
           h >= startUs && l < endUs
         case _ => true // no stats → cannot prune
-      }
+      })
     }
-    if (files.isEmpty) return spark.emptyDataFrame
-    val df = spark.read.parquet(files.map(_.path): _*)
+    // deletes for pruned-away files are harmless in the anti-joins
+    // (their (path, pos) / key tuples simply never match)
+    val df = assemble(spark, meta, files, deletes)
+    if (files.isEmpty) return df
     val c =
       if (df.schema(column).dataType == TimestampType) unix_micros(col(column))
       else col(column).cast("long")

@@ -64,8 +64,13 @@ object RestCatalogClient {
     * ([[IcebergSingleValue]]) — written into the manifest entry's
     * `lower_bounds`/`upper_bounds` so planners prune files from
     * manifests alone ([[IcebergTableReader.readSlice]]). */
+  /** `partition`: the file's partition TUPLE values aligned with the
+    * table's default spec fields ([[IcebergPartitioning.valuesForFile]]
+    * derives them from the same stats that feed `bounds`); empty on an
+    * unpartitioned table. */
   case class DataFile(path: String, sizeBytes: Long, recordCount: Long,
-                      bounds: Seq[(Int, Array[Byte], Array[Byte])] = Nil)
+                      bounds: Seq[(Int, Array[Byte], Array[Byte])] = Nil,
+                      partition: Seq[Option[Long]] = Nil)
 
   /** Loaded table state needed by commits and listings. `schemaJson` is
     * the CURRENT table schema (compact JSON) — embedded into manifest
@@ -422,7 +427,8 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
         .flatMap(cur => info.snapshots.find(_._1 == cur).map(_._2))
       val (_, listPath) = IcebergCommit.writeManifests(
         hadoopConf, info.location, info.schemaJson, snapId, seqNum,
-        info.currentSnapshotId, parentList, files)
+        info.currentSnapshotId, parentList, files,
+        info.defaultSpec.map(IcebergPartitioning.fieldsOf).getOrElse(Nil))
       val summary = JObject(
         "operation" -> JString("append"),
         "otel.exporter" -> JString("iceberg"),

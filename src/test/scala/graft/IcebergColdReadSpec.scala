@@ -278,21 +278,49 @@ class IcebergColdReadSpec extends SparkSpec {
     // a slice entirely outside the bounds prunes EVERYTHING (file-level)
     assert(IcebergTableReader.readSlice(spark, loc, "ts", 1L, 2L).count() === 0L)
 
-    // a DELETE manifest (content=1) in the list must fail LOUD — a
-    // data-only scan would silently resurrect deleted rows
+    // a FOREIGN-written DELETE manifest (content=1, position-delete
+    // parquet, entry sequence number INHERITED from the list entry)
+    // applies on read — merge-on-read across engines
+    import spark.implicits._
+    (0L until 10L).map(p => (dataFiles.head, p))
+      .toDF("file_path", "pos")
+      .coalesce(1).write.parquet(s"$loc/deletes/d0")
+    val delParquet = Files.list(Paths.get(s"$loc/deletes/d0")).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).head
+    val delEntry = new GenericData.Record(entrySchema)
+    val delFile = new GenericData.Record(
+      entrySchema.getField("data_file").schema())
+    delFile.put("file_format", "PARQUET")
+    delFile.put("file_path", delParquet)
+    delFile.put("record_count", 10L: java.lang.Long)
+    delFile.put("file_size_in_bytes", Files.size(Paths.get(delParquet)): java.lang.Long)
+    delFile.put("content", 1: java.lang.Integer) // position deletes
+    delEntry.put("snapshot_id", 43L: java.lang.Long)
+    delEntry.put("data_file", delFile)
+    delEntry.put("status", 1: java.lang.Integer)
+    Files.write(Paths.get(s"$loc/metadata/foreign-d0.avro"),
+      avroBytes(entrySchema, Seq(delEntry)))
     val dl = new GenericData.Record(listSchema)
     dl.put("added_snapshot_id", 43L: java.lang.Long)
-    dl.put("manifest_length", 1L: java.lang.Long)
+    dl.put("manifest_length",
+      Files.size(Paths.get(s"$loc/metadata/foreign-d0.avro")): java.lang.Long)
     dl.put("manifest_path", s"$loc/metadata/foreign-d0.avro")
     dl.put("sequence_number", 2L: java.lang.Long)
     dl.put("min_sequence_number", 2L: java.lang.Long)
     dl.put("content", 1: java.lang.Integer) // DELETES
     Files.write(Paths.get(s"$loc/metadata/snap-42.avro"),
       avroBytes(listSchema, Seq(lr, dl)))
-    val ex = intercept[UnsupportedOperationException] {
-      IcebergTableReader.read(spark, loc).count()
-    }
-    assert(ex.getMessage.contains("DELETE manifests"))
+    // ids 0..9 (positions 0..9 of the single ordered data file) die;
+    // the delete files surface in scanState with the inherited seq
+    assert(IcebergTableReader.read(spark, loc)
+      .select($"id").collect().map(_.getLong(0)).toSet ===
+      (10L until 25L).toSet)
+    val dels = IcebergTableReader.deleteFiles(spark, loc)
+    assert(dels.map(d => (d.content, d.sequenceNumber)) === Seq((1, 2L)))
+    // pruned slices apply them too: ts = 7000 + id*1000, ids 0..9 are
+    // all inside [7000, 17000) and all deleted
+    assert(IcebergTableReader.readSlice(spark, loc, "ts", 7000L, 17000L)
+      .count() === 0L)
   }
 
   test("written manifests + carry-forward list round-trip the reference Avro reader") {
@@ -340,6 +368,100 @@ class IcebergColdReadSpec extends SparkSpec {
     val arr = new Array[Byte](bytes.remaining()); bytes.duplicate().get(arr)
     // head append wrote ids 5..8 with ts = 99000 + id*1000 → min 104000
     assert(IcebergSingleValue.longOf(arr) === 104000L)
+    ()
+  }
+
+  test("partition tuples: derived from stats, transform-aware pruning, reference-readable") {
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import scala.jdk.CollectionConverters._
+    import org.json4s.jackson.JsonMethods.{compact, parse, render}
+    import spark.implicits._
+    val loc = Files.createTempDirectory("graft-part").toString + "/t"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val schema = Seq((0L, 0L, "")).toDF("id", "ts", "payload").schema
+    val (schemaJson, topIds) = RestCatalogClient.icebergSchemaJson(schema)
+    val sj = compact(render(schemaJson))
+    // the reference's hourly spec (partition.go:74-97): hour(ts)
+    val spec = parse(
+      s"""{"spec-id":0,"fields":[{"name":"ts_hour","transform":"hour",
+         |"source-id":${topIds("ts")},"field-id":1000}]}""".stripMargin)
+    val MicrosPerHour = 3600L * 1000000L
+
+    def commit(paths: Seq[String], withBounds: Boolean,
+               explicitPart: Seq[Option[Long]] = Nil): Long = {
+      val stats = graft.recovery.Recovery.fileColumnStats(spark, paths, "ts")
+      val counts = graft.recovery.Recovery.fileRowCounts(spark, paths)
+      graft.catalog.IcebergCommit.commitStandalone(conf, loc, sj, Some(spec),
+        paths.map { p =>
+          val bounds = if (!withBounds) Nil else stats.get(p).toSeq.map {
+            case (mn, mx) => (topIds("ts"), IcebergSingleValue.longBytes(mn),
+              IcebergSingleValue.longBytes(mx))
+          }
+          DataFile(p, Files.size(Paths.get(p)), counts(p), bounds,
+            partition = explicitPart)
+        })
+    }
+    // b1 lands in hour 0, b2 in hour 5 — tuples DERIVED from stats
+    val b1 = writeBatch(s"$loc/data/b1", 0 until 20, 0L)
+    val b2 = writeBatch(s"$loc/data/b2", 20 until 30, 5L * MicrosPerHour)
+    commit(b1, withBounds = true)
+    val s2 = commit(b2, withBounds = true)
+    // b3 in hour 9: EXPLICIT tuple, NO column stats — any pruning of
+    // b3 can only come from the partition tuple
+    val b3 = writeBatch(s"$loc/data/b3", 30 until 35, 9L * MicrosPerHour)
+    commit(b3, withBounds = false, explicitPart = Seq(Some(9L)))
+    // b4 STRADDLES hours 0/1 (ids 35..54 → ts 3599990000..3600009000)
+    // → null tuple, never partition-pruned; stats still slice it
+    val b4 = writeBatch(s"$loc/data/b4", 35 until 55, MicrosPerHour - 45000L)
+    commit(b4, withBounds = true)
+
+    // the reader surfaces the tuples
+    val byPath = IcebergTableReader.dataFiles(spark, loc)
+      .map(f => f.path -> f.partition).toMap
+    assert(byPath(b1.head) === Map("ts_hour" -> 0L))
+    assert(byPath(b2.head) === Map("ts_hour" -> 5L))
+    assert(byPath(b3.head) === Map("ts_hour" -> 9L))
+    assert(byPath(b4.head) === Map.empty)
+
+    def openedBy(startUs: Long, endUs: Long): Set[String] =
+      IcebergTableReader.readSlice(spark, loc, "ts", startUs, endUs)
+        .inputFiles.toSeq.map(f => new java.net.URI(f).getPath).toSet
+    // hour-0 slice: b1 (stats+tuple) and b4 (null tuple, stats keep) —
+    // b3 has NO stats, so its exclusion proves TUPLE pruning
+    assert(openedBy(0L, 20000L) === b1.toSet)
+    assert(openedBy(0L, MicrosPerHour) === (b1 ++ b4).toSet)
+    // hour-9 slice: tuple matches, statless file opens
+    assert(openedBy(9L * MicrosPerHour, 10L * MicrosPerHour) === b3.toSet)
+    assert(IcebergTableReader.readSlice(
+      spark, loc, "ts", 9L * MicrosPerHour, 10L * MicrosPerHour)
+      .count() === 5L)
+    // hour-3 slice: nothing
+    assert(openedBy(3L * MicrosPerHour, 4L * MicrosPerHour) === Set.empty[String])
+    // row totals survive the tuple plumbing
+    assert(IcebergTableReader.read(spark, loc).count() === 55L)
+
+    // REFERENCE Avro reader: b2's manifest carries a real r102 tuple
+    // (ts_hour=5 int) and declares the spec fields in its metadata
+    val meta = IcebergTableReader.metadata(spark, loc)
+    val head2 = meta.snapshots.find(_.snapshotId == s2).get
+    def avroFile(path: String) = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(Files.readAllBytes(Paths.get(path))),
+      new GenericDatumReader[GenericRecord]())
+    val listRd = avroFile(head2.manifestList)
+    val mPath = try listRd.iterator().asScala.map(_.get("manifest_path").toString)
+      .find(_.contains(s"graft-m-$s2")).get finally listRd.close()
+    val mRd = avroFile(mPath)
+    val (entry, specMeta) = try {
+      (mRd.iterator().asScala.next(), mRd.getMetaString("partition-spec"))
+    } finally mRd.close()
+    val tuple = entry.get("data_file").asInstanceOf[GenericRecord]
+      .get("partition").asInstanceOf[GenericRecord]
+    assert(tuple.get("ts_hour").asInstanceOf[Int] === 5)
+    val fields = graft.catalog.IcebergPartitioning.fieldsOf(
+      org.json4s.JObject("fields" -> parse(specMeta)))
+    assert(fields.map(f => (f.name, f.transform, f.sourceId)) ===
+      Seq(("ts_hour", "hour", topIds("ts"))))
     ()
   }
 }

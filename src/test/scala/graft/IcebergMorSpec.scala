@@ -1,0 +1,220 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.json4s.jackson.JsonMethods.{compact => jcompact, render}
+
+import graft.catalog.{IcebergCommit, IcebergMaintenance, IcebergSingleValue,
+  IcebergTableReader, RestCatalogClient}
+import graft.catalog.RestCatalogClient.DataFile
+
+/** Iceberg v2 MERGE-ON-READ + maintenance lifecycle over the
+  * catalog-free chain: position-delete commits ([[IcebergMaintenance.deleteWhere]]),
+  * equality-delete commits ([[IcebergMaintenance.deleteMatching]]),
+  * the reader's sequence-keyed delete application, compaction
+  * (REPLACE snapshots), and snapshot expiry with physical reclamation.
+  * The write side of what the reference stack leaves to its downstream
+  * engine (`/root/reference/internal/iceberg/` commits appends only). */
+class IcebergMorSpec extends SparkSpec {
+
+  private def listParquet(dir: String): Seq[String] =
+    Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).toSeq.sorted
+
+  private def writeBatch(dir: String, ids: Range, tsBase: Long): Seq[String] = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, tsBase + i * 1000L, s"v$i")).toDF("id", "ts", "payload")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    listParquet(dir)
+  }
+
+  private def freshTable(prefix: String): (String, String, Map[String, Int]) = {
+    import spark.implicits._
+    val loc = Files.createTempDirectory(prefix).toString + "/t"
+    val schema = Seq((0L, 0L, "")).toDF("id", "ts", "payload").schema
+    val (schemaJson, topIds) = RestCatalogClient.icebergSchemaJson(schema)
+    (loc, jcompact(render(schemaJson)), topIds)
+  }
+
+  private def commitBatch(loc: String, sj: String, topIds: Map[String, Int],
+                          paths: Seq[String]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stats = graft.recovery.Recovery.fileColumnStats(spark, paths, "ts")
+    val counts = graft.recovery.Recovery.fileRowCounts(spark, paths)
+    IcebergCommit.commitStandalone(conf, loc, sj, None, paths.map { p =>
+      val bounds = stats.get(p).toSeq.map { case (mn, mx) =>
+        (topIds("ts"), IcebergSingleValue.longBytes(mn),
+          IcebergSingleValue.longBytes(mx))
+      }
+      DataFile(p, Files.size(Paths.get(p)), counts(p), bounds)
+    })
+  }
+
+  private def liveIds(loc: String, asOf: Option[Long] = None): Set[Long] =
+    IcebergTableReader.read(spark, loc, asOf)
+      .select("id").collect().map(_.getLong(0)).toSet
+
+  test("position + equality deletes: sequence-keyed MOR application, time travel intact") {
+    import spark.implicits._
+    val (loc, sj, topIds) = freshTable("graft-mor")
+    val b1 = writeBatch(s"$loc/data/b1", 0 until 20, 0L)
+    val b2 = writeBatch(s"$loc/data/b2", 20 until 30, 500000L)
+    val s1 = commitBatch(loc, sj, topIds, b1)
+    val s2 = commitBatch(loc, sj, topIds, b2)
+    assert(liveIds(loc) === (0L until 30L).toSet)
+
+    // position delete by predicate: ids 5..9 (all in b1)
+    val (s3, nPos) = IcebergMaintenance.deleteWhere(
+      spark, loc, col("id").between(5, 9))
+    assert(nPos === 5L)
+    assert(liveIds(loc) === ((0L until 30L).toSet -- (5L to 9L)))
+    // the delete snapshot is on the log with operation=delete
+    val ops = IcebergTableReader.snapshots(spark, loc)
+      .select("snapshot_id", "operation").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(s3) === "delete")
+    // delete files visible in scan state, data files untouched
+    assert(IcebergTableReader.deleteFiles(spark, loc).map(_.content) === Seq(1))
+    assert(IcebergTableReader.dataFiles(spark, loc).map(_.path).toSet ===
+      (b1 ++ b2).toSet)
+
+    // equality delete by key frame: ids 20, 21
+    val (s4, nEq) = IcebergMaintenance.deleteMatching(
+      spark, loc, Seq(20L, 21L).toDF("id"))
+    assert(nEq === 2L)
+    assert(liveIds(loc) === ((0L until 30L).toSet -- (5L to 9L) -- Seq(20L, 21L)))
+    assert(IcebergTableReader.deleteFiles(spark, loc)
+      .map(_.content).sorted === Seq(1, 2))
+
+    // STRICT-BELOW equality semantics: a row with a deleted key
+    // appended AFTER the delete snapshot lives
+    val b3 = writeBatch(s"$loc/data/b3", 20 until 21, 900000L)
+    commitBatch(loc, sj, topIds, b3)
+    assert(liveIds(loc).contains(20L))
+    assert(!liveIds(loc).contains(21L))
+
+    // position deletes only ever hit their (file, pos): id 5 re-added
+    // in a new file lives too
+    val b4 = writeBatch(s"$loc/data/b4", 5 until 6, 950000L)
+    commitBatch(loc, sj, topIds, b4)
+    assert(liveIds(loc).contains(5L))
+
+    // time travel: every pre-delete snapshot still sees its full state
+    assert(liveIds(loc, Some(s1)) === (0L until 20L).toSet)
+    assert(liveIds(loc, Some(s2)) === (0L until 30L).toSet)
+    // ...and the delete snapshots see exactly their own application
+    assert(liveIds(loc, Some(s3)) === ((0L until 30L).toSet -- (5L to 9L)))
+    assert(liveIds(loc, Some(s4)) ===
+      ((0L until 30L).toSet -- (5L to 9L) -- Seq(20L, 21L)))
+
+    // bounds-pruned slice still applies deletes: ts of ids 5..9 are
+    // 5000..9000 (deleted) — slice over b1's range returns only live
+    val sl = IcebergTableReader.readSlice(spark, loc, "ts", 0L, 20000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sl === ((0L until 20L).toSet -- (5L to 9L)))
+
+    // a predicate matching nothing: no snapshot, no orphan files
+    val before = IcebergTableReader.snapshots(spark, loc).count()
+    val (sNone, n0) = IcebergMaintenance.deleteWhere(spark, loc, col("id") > 1e9)
+    assert(sNone === -1L && n0 === 0L)
+    assert(IcebergTableReader.snapshots(spark, loc).count() === before)
+  }
+
+  test("compact materializes deletes into a REPLACE snapshot; expiry reclaims bytes") {
+    import spark.implicits._
+    val (loc, sj, topIds) = freshTable("graft-compact")
+    val b1 = writeBatch(s"$loc/data/b1", 0 until 20, 0L)
+    val b2 = writeBatch(s"$loc/data/b2", 20 until 30, 500000L)
+    val s1 = commitBatch(loc, sj, topIds, b1)
+    commitBatch(loc, sj, topIds, b2)
+    IcebergMaintenance.deleteWhere(spark, loc, col("id") < 3)
+    IcebergMaintenance.deleteMatching(spark, loc, Seq(29L).toDF("id"))
+    val expectIds = (3L until 29L).toSet
+    assert(liveIds(loc) === expectIds)
+
+    val preCompact = IcebergTableReader.read(spark, loc)
+      .select($"id", $"ts", $"payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val (sC, nLive) = IcebergMaintenance.compact(
+      spark, loc, statsColumn = Some("ts"))
+    assert(nLive === 26L)
+
+    // post-compact: same rows, ONLY fresh files, zero delete files
+    val postCompact = IcebergTableReader.read(spark, loc)
+      .select($"id", $"ts", $"payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(postCompact === preCompact)
+    val (dataNow, delsNow) = IcebergTableReader.scanState(spark, loc)
+    assert(delsNow.isEmpty)
+    assert(dataNow.forall(_.path.contains("/data/compact-")))
+    assert(!dataNow.map(_.path).toSet.exists((b1 ++ b2).toSet))
+    // replace snapshot on the log; stats survive compaction (pruning
+    // still file-level on the compacted table)
+    val ops = IcebergTableReader.snapshots(spark, loc)
+      .select("snapshot_id", "operation").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(sC) === "replace")
+    assert(IcebergTableReader.readSlice(spark, loc, "ts", 0L, 1L).count() === 0L)
+    assert(dataNow.head.lowerBounds.nonEmpty)
+
+    // old snapshots still time-travel through their untouched lists
+    assert(liveIds(loc, Some(s1)) === (0L until 20L).toSet)
+
+    // EXPIRE all but the compacted head: superseded data files, delete
+    // files, manifests and lists are physically reclaimed
+    val report = IcebergMaintenance.expireSnapshots(spark, loc, keepLast = 1)
+    assert(report.retainedSnapshots === Seq(sC))
+    assert(report.expiredSnapshots.nonEmpty)
+    assert(report.deletedFiles.nonEmpty)
+    assert(!Files.exists(Paths.get(b1.head)))
+    assert(!Files.exists(Paths.get(b2.head)))
+    // current state unaffected; expired ids no longer resolvable
+    assert(liveIds(loc) === expectIds)
+    assert(IcebergTableReader.snapshots(spark, loc).count() === 1L)
+    intercept[IllegalArgumentException] {
+      IcebergTableReader.read(spark, loc, Some(s1)).count()
+    }
+    // compacted files survive the sweep
+    assert(dataNow.forall(f => Files.exists(Paths.get(f.path))))
+    // idempotent: nothing left to expire
+    val again = IcebergMaintenance.expireSnapshots(spark, loc, keepLast = 1)
+    assert(again.expiredSnapshots.isEmpty && again.deletedFiles.isEmpty)
+  }
+
+  test("delete commits round-trip the REFERENCE Avro reader (delete manifest + carried list)") {
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val (loc, sj, topIds) = freshTable("graft-mor-avro")
+    val b1 = writeBatch(s"$loc/data/b1", 0 until 10, 0L)
+    commitBatch(loc, sj, topIds, b1)
+    val (s2, _) = IcebergMaintenance.deleteMatching(
+      spark, loc, Seq(3L).toDF("id"))
+    val meta = IcebergTableReader.metadata(spark, loc)
+    val head = meta.snapshots.find(_.snapshotId == s2).get
+    def avroRecords(path: String): Seq[GenericRecord] = {
+      val rd = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(Files.readAllBytes(Paths.get(path))),
+        new GenericDatumReader[GenericRecord]())
+      try rd.iterator().asScala.toVector finally rd.close()
+    }
+    // list: one DELETES manifest (content=1) + the carried data manifest
+    val listRecs = avroRecords(head.manifestList)
+    assert(listRecs.map(_.get("content").asInstanceOf[Int]).sorted === Seq(0, 1))
+    val delManifest = listRecs
+      .find(_.get("content").asInstanceOf[Int] == 1).get
+    assert(delManifest.get("sequence_number").asInstanceOf[Long] ===
+      head.sequenceNumber)
+    // the delete manifest's entry: content=2, explicit sequence
+    // numbers, equality_ids carrying the id field
+    val entry = avroRecords(delManifest.get("manifest_path").toString).head
+    assert(entry.get("sequence_number").asInstanceOf[Long] === head.sequenceNumber)
+    val df0 = entry.get("data_file").asInstanceOf[GenericRecord]
+    assert(df0.get("content").asInstanceOf[Int] === 2)
+    assert(df0.get("equality_ids").asInstanceOf[java.util.Collection[Int]]
+      .asScala.toSeq === Seq(topIds("id")))
+    ()
+  }
+}
