@@ -17,26 +17,39 @@ object IcebergCommit {
   private def isAvro(b: Array[Byte]): Boolean =
     b.length > 4 && b(0) == 'O' && b(1) == 'b' && b(2) == 'j' && b(3) == 1
 
-  /** Write the manifest for `files` and a manifest LIST that carries
-    * forward every entry of `parentList` (per the spec a snapshot's
-    * list is the complete table state), returning
-    * (manifestPath, listPath). Pre-Avro legacy parent lists contribute
-    * nothing (no manifest records to carry). */
-  def writeManifests(conf: Configuration, location: String,
-                     schemaJson: String, snapId: Long, seqNum: Long,
-                     parentSnapshotId: Option[Long],
-                     parentList: Option[String],
-                     files: Seq[DataFile],
-                     partFields: Seq[IcebergPartitioning.PartField] = Nil)
-      : (String, String) = {
-    val fs = new Path(location).getFileSystem(conf)
-    def writeFile(path: String, bytes: Array[Byte]): Unit = {
-      val out = fs.create(new Path(path), true)
-      try out.write(bytes) finally out.close()
+  private def writeFile(conf: Configuration, path: String,
+                        bytes: Array[Byte]): Unit = {
+    val p = new Path(path)
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** The parent manifest list's entries as records to CARRY FORWARD
+    * (per the spec a snapshot's list is the complete table state).
+    * Pre-Avro legacy parent lists contribute nothing. */
+  private def carriedEntries(conf: Configuration,
+                             parentList: Option[String]): Seq[AvroOcf.AVal] =
+    parentList.toSeq.flatMap { prev =>
+      val p = new Path(prev)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Nil
+      else {
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        if (!isAvro(bytes)) Nil
+        else AvroOcf.read(bytes)._2.collect {
+          case m: Map[String, Any] @unchecked => AvroOcf.manifestFileRecord(m)
+        }
+      }
     }
+
+  /** Serialize the DATA manifest for `files` (content="data"). */
+  private def dataManifestBytes(schemaJson: String, snapId: Long,
+                                files: Seq[DataFile],
+                                partFields: Seq[IcebergPartitioning.PartField])
+      : Array[Byte] = {
     val partTypes = partFields.map(p => IcebergPartitioning.avroType(p.transform))
-    val manifestPath = s"$location/metadata/graft-m-$snapId.avro"
-    val manifestBytes = AvroOcf.write(
+    AvroOcf.write(
       AvroOcf.manifestEntrySchema(partFields.zip(partTypes).map {
         case (p, t) => (p.name, t, p.fieldId) }),
       Map("schema" -> schemaJson, "schema-id" -> "0",
@@ -64,29 +77,61 @@ object IcebergCommit {
           }
         AvroOcf.manifestEntry(snapId, f, tuple)
       })
-    writeFile(manifestPath, manifestBytes)
-    val carried: Seq[AvroOcf.AVal] = parentList.toSeq.flatMap { prev =>
-      val p = new Path(prev)
-      if (!fs.exists(p)) Nil
-      else {
-        val in = fs.open(p)
-        val bytes = try in.readAllBytes() finally in.close()
-        if (!isAvro(bytes)) Nil
-        else AvroOcf.read(bytes)._2.collect {
-          case m: Map[String, Any] @unchecked => AvroOcf.manifestFileRecord(m)
-        }
-      }
-    }
+  }
+
+  /** Serialize a DELETES manifest (content="deletes", entries with
+    * explicit sequence numbers, all-null partition tuple = table-wide). */
+  private def deleteManifestBytes(schemaJson: String, snapId: Long,
+                                  seqNum: Long, deletes: Seq[DeleteFileSpec],
+                                  partFields: Seq[IcebergPartitioning.PartField])
+      : Array[Byte] = {
+    val partTypes = partFields.map(p => IcebergPartitioning.avroType(p.transform))
+    val nullTuple =
+      if (partFields.isEmpty) AvroOcf.ARec(Nil)
+      else AvroOcf.partitionTuple(partTypes, partFields.map(_ => None))
+    AvroOcf.write(
+      AvroOcf.manifestEntrySchema(partFields.zip(partTypes).map {
+        case (p, t) => (p.name, t, p.fieldId) }),
+      Map("schema" -> schemaJson, "schema-id" -> "0",
+          "partition-spec" -> IcebergPartitioning.specFieldsJson(partFields),
+          "partition-spec-id" -> "0",
+          "format-version" -> "2", "content" -> "deletes"),
+      deletes.map(d => AvroOcf.deleteManifestEntry(
+        snapId, seqNum, d.file, d.content, d.equalityIds, nullTuple)))
+  }
+
+  private def writeList(conf: Configuration, location: String, snapId: Long,
+                        seqNum: Long, parentSnapshotId: Option[Long],
+                        entries: Seq[AvroOcf.AVal]): String = {
     val listPath = s"$location/metadata/snap-$snapId-1-graft.avro"
-    writeFile(listPath, AvroOcf.write(
+    writeFile(conf, listPath, AvroOcf.write(
       AvroOcf.ManifestListSchema,
       Map("snapshot-id" -> snapId.toString,
           "parent-snapshot-id" ->
             parentSnapshotId.map(_.toString).getOrElse("null"),
           "sequence-number" -> seqNum.toString,
           "format-version" -> "2"),
+      entries))
+    listPath
+  }
+
+  /** Write the manifest for `files` and a manifest LIST that carries
+    * forward every entry of `parentList`, returning
+    * (manifestPath, listPath). */
+  def writeManifests(conf: Configuration, location: String,
+                     schemaJson: String, snapId: Long, seqNum: Long,
+                     parentSnapshotId: Option[Long],
+                     parentList: Option[String],
+                     files: Seq[DataFile],
+                     partFields: Seq[IcebergPartitioning.PartField] = Nil)
+      : (String, String) = {
+    val manifestPath = s"$location/metadata/graft-m-$snapId.avro"
+    val manifestBytes = dataManifestBytes(schemaJson, snapId, files, partFields)
+    writeFile(conf, manifestPath, manifestBytes)
+    val listPath = writeList(conf, location, snapId, seqNum, parentSnapshotId,
       AvroOcf.manifestListEntry(manifestPath, manifestBytes.length.toLong,
-        seqNum, snapId, files.size, files.map(_.recordCount).sum) +: carried))
+        seqNum, snapId, files.size, files.map(_.recordCount).sum) +:
+        carriedEntries(conf, parentList))
     (manifestPath, listPath)
   }
 
@@ -155,11 +200,6 @@ object IcebergCommit {
     val prev = IcebergTableMetadata.load(conf, location).getOrElse(
       throw new IllegalArgumentException(
         s"no Iceberg table at $location to delete from"))
-    val fs = new Path(location).getFileSystem(conf)
-    def writeFile(path: String, bytes: Array[Byte]): Unit = {
-      val out = fs.create(new Path(path), true)
-      try out.write(bytes) finally out.close()
-    }
     val snapId = System.nanoTime()
     val seqNum = prev.lastSequenceNumber + 1
     val parentId = prev.currentSnapshotId
@@ -167,46 +207,18 @@ object IcebergCommit {
     // manifests (readers expect one r102 shape per spec), all-null
     // values (spec: null partition value = not partition-scoped)
     val partFields = partFieldsFor(Some(prev), defaultSpec)
-    val partTypes = partFields.map(p => IcebergPartitioning.avroType(p.transform))
-    val nullTuple =
-      if (partFields.isEmpty) AvroOcf.ARec(Nil)
-      else AvroOcf.partitionTuple(partTypes, partFields.map(_ => None))
     val manifestPath = s"$location/metadata/graft-d-$snapId.avro"
-    val manifestBytes = AvroOcf.write(
-      AvroOcf.manifestEntrySchema(partFields.zip(partTypes).map {
-        case (p, t) => (p.name, t, p.fieldId) }),
-      Map("schema" -> schemaJson, "schema-id" -> "0",
-          "partition-spec" -> IcebergPartitioning.specFieldsJson(partFields),
-          "partition-spec-id" -> "0",
-          "format-version" -> "2", "content" -> "deletes"),
-      deletes.map(d => AvroOcf.deleteManifestEntry(
-        snapId, seqNum, d.file, d.content, d.equalityIds, nullTuple)))
-    writeFile(manifestPath, manifestBytes)
+    val manifestBytes =
+      deleteManifestBytes(schemaJson, snapId, seqNum, deletes, partFields)
+    writeFile(conf, manifestPath, manifestBytes)
     val parentList = for {
       id <- parentId; s <- prev.snapshots.find(_.snapshotId == id)
     } yield s.manifestList
-    val carried: Seq[AvroOcf.AVal] = parentList.toSeq.flatMap { prevList =>
-      val p = new Path(prevList)
-      if (!fs.exists(p)) Nil
-      else {
-        val in = fs.open(p)
-        val bytes = try in.readAllBytes() finally in.close()
-        if (!isAvro(bytes)) Nil
-        else AvroOcf.read(bytes)._2.collect {
-          case m: Map[String, Any] @unchecked => AvroOcf.manifestFileRecord(m)
-        }
-      }
-    }
-    val listPath = s"$location/metadata/snap-$snapId-1-graft.avro"
-    writeFile(listPath, AvroOcf.write(
-      AvroOcf.ManifestListSchema,
-      Map("snapshot-id" -> snapId.toString,
-          "parent-snapshot-id" -> parentId.map(_.toString).getOrElse("null"),
-          "sequence-number" -> seqNum.toString,
-          "format-version" -> "2"),
+    val listPath = writeList(conf, location, snapId, seqNum, parentId,
       AvroOcf.manifestListEntry(manifestPath, manifestBytes.length.toLong,
         seqNum, snapId, deletes.size,
-        deletes.map(_.file.recordCount).sum, content = 1) +: carried))
+        deletes.map(_.file.recordCount).sum, content = 1) +:
+        carriedEntries(conf, parentList))
     IcebergTableMetadata.commit(conf, location, schemaJson, defaultSpec,
       Some(IcebergTableMetadata.SnapshotMeta(
         snapId, parentId, seqNum, System.currentTimeMillis(), listPath,
@@ -214,6 +226,59 @@ object IcebergCommit {
             "otel.delete_record_count" ->
               deletes.map(_.file.recordCount).sum.toString,
             "otel.delete_file_count" -> deletes.size.toString))))
+    snapId
+  }
+
+  /** Catalog-FREE UPSERT commit (the Iceberg v2 merge-on-read MERGE
+    * shape): ONE snapshot whose manifest list carries BOTH an
+    * equality-DELETES manifest and a fresh DATA manifest at the same
+    * sequence number, plus the carried parent state. The v2 sequence
+    * rules make this atomic-by-construction: equality deletes apply
+    * STRICTLY BELOW their sequence number, so they retire every
+    * pre-existing row whose key tuple matches while the new data files
+    * — committed AT that sequence number — are untouched. A reader
+    * either sees the parent snapshot or the fully-merged state; there
+    * is no intermediate. Operation "overwrite" (the spec's name for a
+    * snapshot that both adds and logically removes rows). */
+  def commitStandaloneUpsert(conf: Configuration, location: String,
+                             schemaJson: String, defaultSpec: Option[JValue],
+                             files: Seq[DataFile],
+                             deletes: Seq[DeleteFileSpec]): Long = {
+    require(deletes.forall(_.content == 2),
+      "upsert retires prior rows via EQUALITY deletes (content=2); " +
+        "position deletes cannot target rows committed in the same snapshot")
+    val prev = IcebergTableMetadata.load(conf, location).getOrElse(
+      throw new IllegalArgumentException(
+        s"no Iceberg table at $location to upsert into"))
+    val snapId = System.nanoTime()
+    val seqNum = prev.lastSequenceNumber + 1
+    val parentId = prev.currentSnapshotId
+    val partFields = partFieldsFor(Some(prev), defaultSpec)
+    val dataPath = s"$location/metadata/graft-m-$snapId.avro"
+    val dataBytes = dataManifestBytes(schemaJson, snapId, files, partFields)
+    writeFile(conf, dataPath, dataBytes)
+    val delPath = s"$location/metadata/graft-d-$snapId.avro"
+    val delBytes =
+      deleteManifestBytes(schemaJson, snapId, seqNum, deletes, partFields)
+    writeFile(conf, delPath, delBytes)
+    val parentList = for {
+      id <- parentId; s <- prev.snapshots.find(_.snapshotId == id)
+    } yield s.manifestList
+    val listPath = writeList(conf, location, snapId, seqNum, parentId,
+      AvroOcf.manifestListEntry(dataPath, dataBytes.length.toLong,
+        seqNum, snapId, files.size, files.map(_.recordCount).sum) +:
+      AvroOcf.manifestListEntry(delPath, delBytes.length.toLong,
+        seqNum, snapId, deletes.size,
+        deletes.map(_.file.recordCount).sum, content = 1) +:
+        carriedEntries(conf, parentList))
+    IcebergTableMetadata.commit(conf, location, schemaJson, defaultSpec,
+      Some(IcebergTableMetadata.SnapshotMeta(
+        snapId, parentId, seqNum, System.currentTimeMillis(), listPath,
+        Map("operation" -> "overwrite",
+            "otel.record_count" -> files.map(_.recordCount).sum.toString,
+            "otel.file_count" -> files.size.toString,
+            "otel.delete_record_count" ->
+              deletes.map(_.file.recordCount).sum.toString))))
     snapId
   }
 

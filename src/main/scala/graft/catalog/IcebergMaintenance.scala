@@ -19,6 +19,10 @@ import graft.catalog.RestCatalogClient.DataFile
   *                          (the right-to-be-forgotten shape: the
   *                          commit cost is the key set, the 100 TB
   *                          table is untouched);
+  *   - [[upsert]]         — MERGE INTO: equality-delete + append in
+  *                          ONE snapshot (update matched keys, insert
+  *                          the rest) at O(|updates|), never scanning
+  *                          the table;
   *   - [[compact]]        — materialize merge-on-read state into
   *                          fresh data files via a REPLACE snapshot
   *                          (read amplification returns to zero, old
@@ -92,6 +96,64 @@ object IcebergMaintenance {
     val outDir = s"$tableDir/data/eq-delete-${System.nanoTime()}"
     keys.distinct().coalesce(1).write.parquet(outDir)
     commitDeleteDir(spark, tableDir, outDir, content = 2, equalityIds = ids)
+  }
+
+  /** MERGE-ON-READ UPSERT (the MERGE INTO … WHEN MATCHED UPDATE WHEN
+    * NOT MATCHED INSERT shape): commit `updates` as fresh data files
+    * AND an equality delete over `keyCols` in ONE snapshot — existing
+    * rows whose key tuple appears in `updates` are retired (the
+    * equality delete applies strictly below the new sequence number),
+    * the new rows land untouched (they sit AT it). The table is never
+    * scanned: cost is O(|updates|), the nightly-refresh property for a
+    * 100 TB dimension feed. `updates` must be key-unique (two rows
+    * sharing a key tuple would BOTH survive — same as two inserts).
+    * `statsColumn` harvests per-file bounds so slice pruning covers
+    * the new files. Returns (snapshotId, upsertRowCount); an empty
+    * frame commits nothing and returns (-1, 0). */
+  def upsert(spark: SparkSession, tableDir: String, updates: DataFrame,
+             keyCols: Seq[String], statsColumn: Option[String] = None,
+             numFiles: Int = 1): (Long, Long) = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val meta = tableMeta(spark, tableDir)
+    val ids = keyCols.map(IcebergTableReader.fieldId(meta, _))
+    val stamp = System.nanoTime()
+    val dataDir = s"$tableDir/data/upsert-$stamp"
+    updates.repartition(numFiles).write.parquet(dataDir)
+    val dataPaths = listParquet(dataDir)
+    val counts = graft.recovery.Recovery.fileRowCounts(spark, dataPaths)
+    val rows = dataPaths.map(counts(_)).sum
+    if (rows == 0L) {
+      JFiles.walk(Paths.get(dataDir)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => JFiles.deleteIfExists(p))
+      return (-1L, 0L)
+    }
+    val stats = statsColumn.map(c =>
+      (IcebergTableReader.fieldId(meta, c),
+        graft.recovery.Recovery.fileColumnStats(spark, dataPaths, c)))
+    val dataFiles = dataPaths.map { p =>
+      val bounds = stats.toSeq.flatMap { case (fid, st) =>
+        st.get(p).map { case (mn, mx) =>
+          (fid, IcebergSingleValue.longBytes(mn),
+            IcebergSingleValue.longBytes(mx))
+        }
+      }
+      DataFile(p, JFiles.size(Paths.get(p)), counts(p), bounds)
+    }
+    // keys are re-read from the WRITTEN files, not the input plan —
+    // a nondeterministic `updates` (sample, shuffle-order top-k) could
+    // otherwise delete keys that differ from the rows that landed
+    val keyDir = s"$tableDir/data/eq-delete-$stamp"
+    spark.read.parquet(dataPaths: _*).select(keyCols.map(col): _*)
+      .distinct().coalesce(1).write.parquet(keyDir)
+    val keyPaths = listParquet(keyDir)
+    val keyCounts = graft.recovery.Recovery.fileRowCounts(spark, keyPaths)
+    val snap = IcebergCommit.commitStandaloneUpsert(
+      spark.sparkContext.hadoopConfiguration, tableDir, meta.schemaJson,
+      None, dataFiles,
+      keyPaths.map(p => IcebergCommit.DeleteFileSpec(
+        DataFile(p, JFiles.size(Paths.get(p)), keyCounts(p), Nil),
+        content = 2, ids)))
+    (snap, rows)
   }
 
   private def commitDeleteDir(spark: SparkSession, tableDir: String,

@@ -182,6 +182,77 @@ class IcebergMorSpec extends SparkSpec {
     assert(again.expiredSnapshots.isEmpty && again.deletedFiles.isEmpty)
   }
 
+  test("upsert: equality-delete + append in ONE snapshot (MERGE semantics)") {
+    import spark.implicits._
+    val (loc, sj, topIds) = freshTable("graft-upsert")
+    val b1 = writeBatch(s"$loc/data/b1", 0 until 20, 0L)
+    val s1 = commitBatch(loc, sj, topIds, b1)
+    assert(liveIds(loc) === (0L until 20L).toSet)
+
+    def payloads(asOf: Option[Long] = None): Map[Long, String] =
+      IcebergTableReader.read(spark, loc, asOf)
+        .select($"id", $"payload").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // updates 15..19, inserts 20..24 — one commit, one snapshot
+    val before = IcebergTableReader.snapshots(spark, loc).count()
+    val updates = (15 until 25)
+      .map(i => (i.toLong, 700000L + i * 1000L, s"u$i"))
+      .toDF("id", "ts", "payload")
+    val (s2, n) = IcebergMaintenance.upsert(
+      spark, loc, updates, keyCols = Seq("id"), statsColumn = Some("ts"))
+    assert(n === 10L)
+    assert(IcebergTableReader.snapshots(spark, loc).count() === before + 1)
+    val ops = IcebergTableReader.snapshots(spark, loc)
+      .select("snapshot_id", "operation").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(s2) === "overwrite")
+
+    // merged state: old rows 0..14 keep v-payloads, 15..19 updated,
+    // 20..24 inserted — exactly once each (the old 15..19 are retired)
+    val now = payloads()
+    assert(now.keySet === (0L until 25L).toSet)
+    assert((0L until 15L).forall(i => now(i) == s"v$i"))
+    assert((15L until 25L).forall(i => now(i) == s"u$i"))
+    assert(IcebergTableReader.read(spark, loc).count() === 25L)
+
+    // scan state: one equality-delete file, data files = b1 + upsert
+    val (dataNow, delsNow) = IcebergTableReader.scanState(spark, loc)
+    assert(delsNow.map(_.content) === Seq(2))
+    assert(dataNow.exists(_.path.contains("/data/upsert-")))
+
+    // time travel: the pre-upsert snapshot still sees the v-payloads
+    assert(payloads(Some(s1)) === (0L until 20L).map(i => i -> s"v$i").toMap)
+
+    // second upsert over an already-upserted key: latest wins
+    val (s3, _) = IcebergMaintenance.upsert(
+      spark, loc, Seq((15L, 990000L, "w15")).toDF("id", "ts", "payload"),
+      keyCols = Seq("id"))
+    assert(payloads()(15L) === "w15")
+    assert(payloads(Some(s2))(15L) === "u15")
+    assert(IcebergTableReader.read(spark, loc).count() === 25L)
+
+    // slice pruning covers the upsert files (ts bounds harvested)
+    val sl = IcebergTableReader.readSlice(spark, loc, "ts", 700000L, 800000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sl === (16L until 25L).toSet) // 15's u-row was re-upserted away
+
+    // empty updates: no snapshot, no orphan dir
+    val preCount = IcebergTableReader.snapshots(spark, loc).count()
+    val (sNone, n0) = IcebergMaintenance.upsert(spark, loc,
+      updates.filter($"id" > 1e9), keyCols = Seq("id"))
+    assert(sNone === -1L && n0 === 0L)
+    assert(IcebergTableReader.snapshots(spark, loc).count() === preCount)
+
+    // compaction folds the MOR state; rows identical
+    val preCompact = payloads()
+    IcebergMaintenance.compact(spark, loc, statsColumn = Some("ts"))
+    assert(payloads() === preCompact)
+    assert(IcebergTableReader.scanState(spark, loc)._2.isEmpty)
+    assert(s3 > 0)
+    ()
+  }
+
   test("delete commits round-trip the REFERENCE Avro reader (delete manifest + carried list)") {
     import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
     import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
