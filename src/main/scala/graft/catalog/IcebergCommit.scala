@@ -151,15 +151,21 @@ object IcebergCommit {
       .orElse(prev.map(IcebergPartitioning.fields))
       .getOrElse(Nil)
 
+  /** `branch` stages the append on that ref instead of main (the
+    * write-audit-publish pattern): the new snapshot's parent is the
+    * branch head — a branch with no prior commits forks implicitly
+    * from main's current state — and `current-snapshot-id` (what plain
+    * reads see) does not move until a fast-forward publishes it. */
   def commitStandalone(conf: Configuration, location: String,
                        schemaJson: String, defaultSpec: Option[JValue],
-                       files: Seq[DataFile]): Long = {
+                       files: Seq[DataFile], branch: String = "main"): Long = {
     val prev = IcebergTableMetadata.load(conf, location)
     val snapId = System.nanoTime()
     val seqNum = prev.map(_.lastSequenceNumber).getOrElse(0L) + 1
-    val parentId = prev.flatMap(_.currentSnapshotId)
+    val parentId = prev.flatMap(p =>
+      p.refs.get(branch).map(_.snapshotId).orElse(p.currentSnapshotId))
     val parentList = for {
-      p <- prev; id <- p.currentSnapshotId
+      p <- prev; id <- parentId
       s <- p.snapshots.find(_.snapshotId == id)
     } yield s.manifestList
     val (_, listPath) = writeManifests(conf, location, schemaJson,
@@ -171,7 +177,8 @@ object IcebergCommit {
         Map("operation" -> "append",
             "otel.record_count" -> files.map(_.recordCount).sum.toString,
             "otel.file_size" -> files.map(_.sizeBytes).sum.toString,
-            "otel.file_count" -> files.size.toString))))
+            "otel.file_count" -> files.size.toString))),
+      branch = branch)
     snapId
   }
 

@@ -30,7 +30,12 @@ import graft.catalog.RestCatalogClient.DataFile
   *   - [[expireSnapshots]]— prune history from the metadata chain and
   *                          physically reclaim files no retained
   *                          snapshot references (the step that
-  *                          actually frees the compacted-away bytes).
+  *                          actually frees the compacted-away bytes);
+  *   - [[createBranch]] / [[createTag]] / [[fastForward]] / [[dropRef]]
+  *                        — snapshot refs: stage commits on a branch,
+  *                          audit them, fast-forward publish to main
+  *                          (write-audit-publish), pin releases with
+  *                          expiry-shielding tags.
   *
   * Together with [[IcebergTableReader]]'s delete application this is
   * the full DML lifecycle the reference stack delegates to its
@@ -238,6 +243,84 @@ object IcebergMaintenance {
       data.map(_.path) ++ dels.map(_.path))
   }
 
+  // ---- snapshot refs: branches, tags, write-audit-publish ----------
+
+  import IcebergTableMetadata.SnapshotRef
+
+  private def setRef(spark: SparkSession, tableDir: String, name: String,
+                     refType: String, at: Option[Long]): Long = {
+    val meta = tableMeta(spark, tableDir)
+    val target = at.orElse(meta.currentSnapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"table $tableDir has no snapshot to point '$name' at"))
+    require(meta.snapshots.exists(_.snapshotId == target),
+      s"snapshot $target not in table metadata")
+    IcebergTableMetadata.commit(spark.sparkContext.hadoopConfiguration,
+      tableDir, meta.schemaJson, None, None,
+      updateRefs = Map(name -> Some(SnapshotRef(target, refType))))
+    target
+  }
+
+  /** Create (or move) a BRANCH ref at `at` (default: main's head).
+    * Commits land on it via `IcebergCommit.commitStandalone(...,
+    * branch = name)` without moving what plain reads see — the staging
+    * half of write-audit-publish. Returns the snapshot it points at. */
+  def createBranch(spark: SparkSession, tableDir: String, name: String,
+                   at: Option[Long] = None): Long = {
+    require(name != "main", "main already exists")
+    setRef(spark, tableDir, name, "branch", at)
+  }
+
+  /** Create a TAG ref — an immutable pin (commits to it are rejected)
+    * that also shields its snapshot from [[expireSnapshots]]: the
+    * release/audit-hold verb. */
+  def createTag(spark: SparkSession, tableDir: String, name: String,
+                at: Option[Long] = None): Long = {
+    require(name != "main", "cannot tag over the main branch ref")
+    setRef(spark, tableDir, name, "tag", at)
+  }
+
+  /** Drop a ref. The snapshots it pinned stay in history until
+    * [[expireSnapshots]] reclaims them. */
+  def dropRef(spark: SparkSession, tableDir: String, name: String): Unit = {
+    require(name != "main", "cannot drop the main branch")
+    val meta = tableMeta(spark, tableDir)
+    require(meta.refs.contains(name), s"no ref '$name' to drop")
+    IcebergTableMetadata.commit(spark.sparkContext.hadoopConfiguration,
+      tableDir, meta.schemaJson, None, None,
+      updateRefs = Map(name -> None))
+    ()
+  }
+
+  /** PUBLISH: fast-forward `to` (default main) onto `from`'s head.
+    * Requires `to`'s head to be an ancestor of `from`'s — the audited
+    * branch must contain everything published so far; a diverged
+    * branch is rejected (re-stage it instead of silently dropping
+    * main's commits). Publishing to main is atomic for readers: the
+    * metadata version flip IS the publication. Returns the published
+    * snapshot id. */
+  def fastForward(spark: SparkSession, tableDir: String, from: String,
+                  to: String = "main"): Long = {
+    val meta = tableMeta(spark, tableDir)
+    val fromId = meta.refs.get(from).map(_.snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"no ref '$from' to publish"))
+    meta.refs.get(to).foreach(r => require(r.refType == "branch",
+      s"cannot fast-forward '$to': it is a ${r.refType}"))
+    val toHead = meta.refs.get(to).map(_.snapshotId)
+      .orElse(if (to == "main") meta.currentSnapshotId else None)
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    val ancestry = Iterator.iterate(Option(fromId))(
+      _.flatMap(byId.get).flatMap(_.parentId))
+      .takeWhile(_.isDefined).flatten.toSet
+    toHead.foreach(t => require(ancestry.contains(t),
+      s"not a fast-forward: '$to' head $t is not an ancestor of " +
+        s"'$from' head $fromId"))
+    IcebergTableMetadata.commit(spark.sparkContext.hadoopConfiguration,
+      tableDir, meta.schemaJson, None, None,
+      updateRefs = Map(to -> Some(SnapshotRef(fromId, "branch"))))
+    fromId
+  }
+
   final case class ExpiryReport(retainedSnapshots: Seq[Long],
                                 expiredSnapshots: Seq[Long],
                                 deletedFiles: Seq[String])
@@ -254,8 +337,11 @@ object IcebergMaintenance {
     val conf = spark.sparkContext.hadoopConfiguration
     val meta = tableMeta(spark, tableDir)
     val ordered = meta.snapshots.sortBy(_.sequenceNumber)
+    // every ref target is shielded: tags pin releases, branch heads
+    // keep staged-but-unpublished work alive
     val keepIds = (ordered.takeRight(keepLast).map(_.snapshotId) ++
-      meta.currentSnapshotId).distinct.toSet
+      meta.currentSnapshotId ++
+      meta.refs.values.map(_.snapshotId)).distinct.toSet
     val expired = ordered.map(_.snapshotId).filterNot(keepIds)
     if (expired.isEmpty)
       return ExpiryReport(ordered.map(_.snapshotId), Nil, Nil)

@@ -64,12 +64,18 @@ object IcebergTableMetadata {
       timestampMs: Long, manifestList: String, summary: Map[String, String],
       schemaId: Int = 0)
 
+  /** A named ref (spec "Snapshot References"): `type` is "branch"
+    * (moves with commits to it) or "tag" (an immutable pin that also
+    * shields its snapshot from expiry). */
+  final case class SnapshotRef(snapshotId: Long, refType: String)
+
   final case class TableMetadata(
       version: Int, tableUuid: String, location: String,
       lastSequenceNumber: Long, lastUpdatedMs: Long,
       currentSnapshotId: Option[Long], snapshots: Seq[SnapshotMeta],
       schemaJson: String, partitionSpecsJson: Seq[JValue],
-      defaultSpecId: Int)
+      defaultSpecId: Int,
+      refs: Map[String, SnapshotRef] = Map.empty)
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -162,7 +168,16 @@ object IcebergTableMetadata {
             case JArray(ss) => ss; case _ => Nil
           },
           defaultSpecId = (j \ "default-spec-id").toOption
-            .collect { case JInt(n) => n.toInt }.getOrElse(0)))
+            .collect { case JInt(n) => n.toInt }.getOrElse(0),
+          refs = (j \ "refs").toOption.collect {
+            case JObject(rs) => rs.collect {
+              case (name, r: JObject) =>
+                name -> SnapshotRef(
+                  (r \ "snapshot-id").extract[Long],
+                  (r \ "type").toOption.collect { case JString(t) => t }
+                    .getOrElse("branch"))
+            }.toMap
+          }.getOrElse(Map.empty)))
       }
     }
   }
@@ -207,10 +222,19 @@ object IcebergTableMetadata {
     * snapshot) — the snapshot-expiry hook: expired entries simply drop
     * out of the new version while every prior vN keeps referencing
     * them (metadata versions are immutable). */
+  /** `branch` names the ref a new snapshot advances (default "main" —
+    * the only ref that moves `current-snapshot-id`); committing to any
+    * other branch stages the snapshot WITHOUT publishing it, the
+    * write-audit-publish pattern. `updateRefs` applies explicit ref
+    * edits (Some = create/move, None = drop) after the branch move —
+    * the create-branch/tag/fast-forward/drop verbs. Refs whose target
+    * snapshot is not retained drop out with it. */
   def commit(conf: Configuration, location: String, schemaJson: String,
              defaultSpec: Option[JValue], snapshot: Option[SnapshotMeta],
              nowMs: Long = System.currentTimeMillis(),
-             retain: SnapshotMeta => Boolean = _ => true): Int = {
+             retain: SnapshotMeta => Boolean = _ => true,
+             branch: String = "main",
+             updateRefs: Map[String, Option[SnapshotRef]] = Map.empty): Int = {
     val prev = load(conf, location)
     val version = prev.map(_.version).getOrElse(0) + 1
     val uuid = prev.map(_.tableUuid).filter(_.nonEmpty)
@@ -222,8 +246,28 @@ object IcebergTableMetadata {
         case _ => old
       }
     }
-    val current = snapshot.map(_.snapshotId)
-      .orElse(prev.flatMap(_.currentSnapshotId))
+    // refs: carry the previous version's (synthesizing main from
+    // current-snapshot-id for pre-refs chains), move `branch` onto the
+    // new snapshot, apply explicit edits, drop refs whose target fell
+    // out of the retained history. current-snapshot-id IS refs("main").
+    val baseRefs = {
+      val carried = prev.map(_.refs).getOrElse(Map.empty)
+      if (carried.contains("main")) carried
+      else carried ++ prev.flatMap(_.currentSnapshotId)
+        .map(c => "main" -> SnapshotRef(c, "branch"))
+    }
+    val movedRefs = snapshot match {
+      case Some(s) =>
+        baseRefs.get(branch).foreach(r => require(r.refType == "branch",
+          s"cannot commit to ref '$branch': it is a ${r.refType}"))
+        baseRefs + (branch -> SnapshotRef(s.snapshotId, "branch"))
+      case None => baseRefs
+    }
+    val refsFinal = updateRefs.foldLeft(movedRefs) {
+      case (acc, (k, Some(r))) => acc + (k -> r)
+      case (acc, (k, None)) => acc - k
+    }.filter { case (_, r) => snapshots.exists(_.snapshotId == r.snapshotId) }
+    val current = refsFinal.get("main").map(_.snapshotId)
     val lastSeq = math.max(prev.map(_.lastSequenceNumber).getOrElse(0L),
       snapshot.map(_.sequenceNumber).getOrElse(0L))
     val schemaWithId = {
@@ -290,9 +334,11 @@ object IcebergTableMetadata {
       "properties" -> JObject("write.format.default" -> JString("parquet")),
       "current-snapshot-id" -> current
         .map(v => JInt(BigInt(v)): JValue).getOrElse(JInt(-1)),
-      "refs" -> current.map(c => JObject("main" -> JObject(
-        "snapshot-id" -> JInt(BigInt(c)),
-        "type" -> JString("branch"))): JValue).getOrElse(JObject()),
+      "refs" -> JObject(refsFinal.toList.sortBy(_._1).map { case (n, r) =>
+        n -> (JObject(
+          "snapshot-id" -> JInt(BigInt(r.snapshotId)),
+          "type" -> JString(r.refType)): JValue)
+      }),
       "snapshots" -> JArray(snapshots.map(snapJson).toList),
       "snapshot-log" -> JArray(snapshots.map(s => JObject(
         "timestamp-ms" -> JInt(BigInt(s.timestampMs)),

@@ -65,6 +65,20 @@ object IcebergTableReader {
         "timestamp_ms", "manifest_list", "operation")
   }
 
+  /** Resolve a named ref (branch or tag) to its snapshot id. */
+  def refSnapshot(spark: SparkSession, tableDir: String, name: String): Long = {
+    val meta = metadata(spark, tableDir)
+    meta.refs.get(name).map(_.snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ref '$name' on table $tableDir (known: " +
+          s"${meta.refs.keys.toSeq.sorted.mkString(", ")})"))
+  }
+
+  /** [[read]] pinned at a named ref's head — how an auditor queries a
+    * staged (unpublished) branch, or anyone a tagged release. */
+  def readRef(spark: SparkSession, tableDir: String, name: String): DataFrame =
+    read(spark, tableDir, Some(refSnapshot(spark, tableDir, name)))
+
   private def resolveSnapshot(meta: TableMetadata,
                               asOfSnapshotId: Option[Long]): Option[SnapshotMeta] =
     asOfSnapshotId match {
