@@ -117,6 +117,8 @@ object SparkEntry {
     "sim_pq_ann"         -> ((s, d) => SimOps.pqAnn(s, d)),
     "q_window_dist"      -> (Core.qWindowDist _),
     "q_median"           -> (Core.qMedian _),
+    "q_winsorize"        -> (Core.qWinsorize _),
+    "text_train_split"   -> (TextOps.trainSplit _),
     "q_listagg"          -> (Core.qListagg _),
     "tel_hopping_window" -> (Telemetry.hoppingWindow _),
     "tel_ewma"           -> ((s, d) => Telemetry.ewma(s, d)),
@@ -2140,6 +2142,44 @@ object SparkEntry {
         |   64 + ascii(substr(text,2,1)) % 192 AS h,
         |   1 + octet_length(encode(text)) % 4 AS c
         |  FROM documents) d) s""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (
+        | SELECT l_returnflag AS rf,
+        |  quantile_cont(l_extendedprice, 0.05) AS lo,
+        |  quantile_cont(l_extendedprice, 0.95) AS hi
+        | FROM lineitem GROUP BY 1),
+        |a AS (
+        | SELECT l.l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN l.l_extendedprice < b.lo
+        |                  OR l.l_extendedprice > b.hi
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+        |  round(CAST(max(b.lo) AS DOUBLE), 4) AS p05,
+        |  round(CAST(max(b.hi) AS DOUBLE), 4) AS p95,
+        |  round(sum(l.l_extendedprice), 4) AS raw_sum,
+        |  round(sum(least(greatest(l.l_extendedprice, b.lo), b.hi)), 4)
+        |    AS winsor_sum
+        | FROM lineitem l JOIN b ON l.l_returnflag = b.rf
+        | GROUP BY 1)
+        |SELECT l_returnflag, n, n_clamped, p05, p95, raw_sum, winsor_sum,
+        | CAST(round(CAST(CAST(raw_sum/n AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS raw_mean,
+        | CAST(round(CAST(CAST(winsor_sum/n AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS winsor_mean
+        |FROM a""".stripMargin,
+    "text_train_split" ->
+      """SELECT source, split, n_docs, sum_tokens,
+        | CAST((n_docs * 10000) //
+        |   CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+        |   AS BIGINT) AS share_bp
+        |FROM (
+        | SELECT source, split, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text),'\s+'))) AS BIGINT)
+        |    AS sum_tokens
+        | FROM (
+        |  SELECT source, text,
+        |   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'cd' THEN 'train'
+        |        WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'e6' THEN 'val'
+        |        ELSE 'test' END AS split
+        |  FROM documents) d
+        | GROUP BY 1, 2) a""".stripMargin,
     "q_median" ->
       """SELECT l_returnflag, count(*) AS n,
         | quantile_cont(l_quantity, 0.25) AS q1_qty,

@@ -105,6 +105,34 @@ object TextOps {
            max($"n_tokens").as("max_tokens"))
   }
 
+  /** Deterministic hash-based TRAIN/VAL/TEST split with a per-source
+    * stratification report — the assignment every training pipeline
+    * needs to be a pure function of the STABLE document id (never of
+    * row order, partitioning, or arrival time): md5(doc_id), first hex
+    * byte against thresholds 0xcd/0xe6 ≈ 80/10/10. Reruns, backfills,
+    * and other engines (the DuckDB twin uses the same md5) route every
+    * doc identically, so val/test can never leak into train across
+    * pipeline versions. The report is one narrow map (hash + token
+    * count per row) into a map-side-combined hash agg; `share_bp` is
+    * integer basis points over a partitioned window on the ≤3-rows-
+    * per-source aggregate — nothing windows the corpus itself. */
+  def trainSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = substring(md5($"doc_id".cast("string")), 1, 2)
+    Tables.documents(spark, sfDir)
+      .withColumn("split",
+        when(bucket < lit("cd"), "train")
+          .when(bucket < lit("e6"), "val")
+          .otherwise("test"))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(tokens($"text")).cast("long")).as("sum_tokens"))
+      .withColumn("total_docs", sum($"n_docs").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")))
+      .withColumn("share_bp", expr("(n_docs * 10000) div total_docs"))
+      .drop("total_docs")
+  }
+
   /** Per-document quality metrics: length, token count, mean token
     * length, stopword ratio — the length/punct/stopword heuristics used
     * to filter web-scale corpora. */

@@ -483,6 +483,41 @@ object Core {
            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("med_price"))
   }
 
+  /** Per-group WINSORIZED robust mean: clamp values to the group's
+    * [p05, p95] before averaging — the standard outlier-robust
+    * aggregate for metrics with heavy tails (a handful of corrupt
+    * points cannot drag the mean). Two-pass shape: pass 1 reduces the
+    * fact table to a per-group bound row (tiny), pass 2 broadcasts the
+    * bounds back into ONE map-side-combined hash aggregate over the
+    * scan — no window function ever touches the fact table, so the
+    * plan is two codegen'd scans with no per-row sort at any scale. At
+    * 100 TB the exact `percentile` (kept here for bit-exact oracle
+    * parity, as in [[qMedian]]) swaps for `approx_percentile`, leaving
+    * the shape unchanged. Means derive from the ROUNDED sums so both
+    * engines divide bit-identical doubles (the [[q1PricingSummary]]
+    * discipline). */
+  def qWinsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_extendedprice")
+    val bounds = li.groupBy($"l_returnflag".as("rf"))
+      .agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
+           expr("percentile(l_extendedprice, 0.95)").as("hi"))
+    li.join(broadcast(bounds), $"l_returnflag" === $"rf").drop("rf")
+      .withColumn("wp", least(greatest($"l_extendedprice", $"lo"), $"hi"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           sum(when($"l_extendedprice" < $"lo" ||
+                    $"l_extendedprice" > $"hi", 1L).otherwise(0L))
+             .as("n_clamped"),
+           round(max($"lo"), 4).as("p05"),
+           round(max($"hi"), 4).as("p95"),
+           round(sum($"l_extendedprice"), 4).as("raw_sum"),
+           round(sum($"wp"), 4).as("winsor_sum"))
+      .withColumn("raw_mean", round($"raw_sum" / $"n", 4))
+      .withColumn("winsor_mean", round($"winsor_sum" / $"n", 4))
+  }
+
   /** Ordered string aggregation (LISTAGG / string_agg): concatenate a
     * deterministic ordered list per group. collect_list's arrival order
     * is nondeterministic under parallel merge, so the total order comes
