@@ -374,6 +374,127 @@ object IcebergTableReader {
     else spark.read.parquet(fresh.map(_.path): _*)
   }
 
+  /** CDC CHANGELOG read: the NET row-level changes between two
+    * snapshots — `_change_type` "insert" rows (added in the window and
+    * still live at `to`) and "delete" rows (live at `from`, dead at
+    * `to`), each stamped with `_change_snapshot_id` (the append that
+    * added it / the delete commit that killed it). This is how a
+    * downstream pipeline consumes a curated 100 TB corpus
+    * incrementally: train on the inserts, retire the deletes, never
+    * rescan the table. `fromSnapshotId` EXCLUSIVE (None = since table
+    * creation: pure inserts), `toSnapshotId` (default current)
+    * inclusive.
+    *
+    * Scale shape, derived from v2 sequence arithmetic rather than any
+    * row diff: data files at `to` split by sequence number into
+    * new-in-window (their live rows ARE the inserts — one scan with
+    * the standard delete application) and pre-window (every old file's
+    * seq <= seqFrom < any in-window delete's seq, so the spec's
+    * "position at-or-below / equality strictly-below" rules reduce to
+    * "every new delete group applies"): deleted rows = rows live at
+    * `from` SEMI-matched by a new delete group, unioned and deduped by
+    * (file, pos) lineage — work proportional to the CHANGE set, never
+    * a full-table diff or shuffle. A `replace` (compaction) snapshot
+    * inside the window is rejected — it rewrites every file identity
+    * and carries no row-level change; consume up to it first (the same
+    * boundary Iceberg's own changelog scan draws). */
+  def readChangelog(spark: SparkSession, tableDir: String,
+                    fromSnapshotId: Option[Long],
+                    toSnapshotId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val meta = metadata(spark, tableDir)
+    def seqOf(id: Long): Long =
+      meta.snapshots.find(_.snapshotId == id).map(_.sequenceNumber).getOrElse(
+        throw new IllegalArgumentException(s"snapshot $id not in table metadata"))
+    val seqFrom = fromSnapshotId.map(seqOf).getOrElse(0L)
+    val seqTo = toSnapshotId.orElse(meta.currentSnapshotId)
+      .map(seqOf).getOrElse(0L)
+    require(seqTo >= seqFrom,
+      s"changelog window is inverted: to (seq $seqTo) precedes from (seq $seqFrom)")
+    val inWindow = meta.snapshots
+      .filter(s => s.sequenceNumber > seqFrom && s.sequenceNumber <= seqTo)
+    inWindow.find(_.summary.getOrElse("operation", "") == "replace").foreach(r =>
+      throw new IllegalArgumentException(
+        s"changelog window crosses replace snapshot ${r.snapshotId} " +
+          "(compaction rewrites file identity, not rows): consume up to it first"))
+    val snapBySeq = inWindow.map(s => (s.sequenceNumber, s.snapshotId)).toMap
+
+    val (filesTo, deletesTo) = scanState(spark, tableDir, toSnapshotId)
+    val (newFiles, oldFiles) = filesTo.partition(_.dataSequenceNumber > seqFrom)
+    val newDeletes = deletesTo.filter(_.sequenceNumber > seqFrom)
+
+    val inserts =
+      if (newFiles.isEmpty) None
+      else {
+        val base = spark.read.parquet(newFiles.map(_.path): _*)
+        val live =
+          if (deletesTo.isEmpty)
+            base.withColumn(LineagePathCol,
+              normPathExpr(col("_metadata.file_path")))
+          else applyDeletes(spark, base, newFiles, deletesTo, meta,
+            keepLineage = true)
+        val snapDf = newFiles.map(f => (normPath(f.path), f.snapshotId))
+          .toDF("__i_path", "__i_snap")
+        Some(live.join(broadcast(snapDf),
+            col(LineagePathCol) === col("__i_path"), "left")
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_change_snapshot_id", col("__i_snap"))
+          .drop(LineagePathCol, LineagePosCol, "__i_path", "__i_snap"))
+      }
+
+    val deleted =
+      if (oldFiles.isEmpty || newDeletes.isEmpty) None
+      else {
+        val liveFrom = applyDeletes(spark,
+          spark.read.parquet(oldFiles.map(_.path): _*), oldFiles,
+          deletesTo.filter(_.sequenceNumber <= seqFrom), meta,
+          keepLineage = true)
+        val dataCols = liveFrom.columns.toSeq
+          .filterNot(c => c == LineagePathCol || c == LineagePosCol)
+        // every new delete group applies to every old file (seq
+        // arithmetic above), so each group is one small-build SEMI join
+        val posHits = newDeletes.filter(_.content == 1)
+          .groupBy(_.sequenceNumber).toSeq.map { case (seq, entries) =>
+            val del = spark.read.parquet(entries.map(_.path).distinct: _*)
+              .select(normPathExpr(col("file_path")).as("__d_path"),
+                col("pos").cast("long").as("__d_pos"))
+            liveFrom.join(broadcast(del),
+                col(LineagePathCol) === col("__d_path") &&
+                  col(LineagePosCol) === col("__d_pos"), "left_semi")
+              .withColumn("__del_seq", lit(seq))
+          }
+        val eqHits = newDeletes.filter(_.content == 2)
+          .groupBy(d => (d.sequenceNumber, d.equalityIds)).toSeq
+          .map { case ((seq, ids), entries) =>
+            val names = ids.map(fieldName(meta, _))
+            val del = spark.read.parquet(entries.map(_.path).distinct: _*)
+              .select(names.map(n => col(n).as(s"__e_$n")): _*)
+            liveFrom.join(broadcast(del),
+                names.map(n => col(n) <=> col(s"__e_$n")).reduce(_ && _),
+                "left_semi")
+              .withColumn("__del_seq", lit(seq))
+          }
+        (posHits ++ eqHits).reduceOption(_ unionByName _).map { hits =>
+          // a row killed by several commits: attribute the EARLIEST —
+          // the per-lineage min makes the dedup deterministic (all
+          // duplicates become identical rows first)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(LineagePathCol), col(LineagePosCol))
+          val seqToSnap = typedLit(snapBySeq.map { case (s, id) => (s, id) })
+          hits.withColumn("__del_seq", min(col("__del_seq")).over(w))
+            .dropDuplicates(LineagePathCol, LineagePosCol)
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_change_snapshot_id",
+              element_at(seqToSnap, col("__del_seq")))
+            .select(dataCols.map(col) ++
+              Seq(col("_change_type"), col("_change_snapshot_id")): _*)
+        }
+      }
+
+    (inserts.toSeq ++ deleted.toSeq).reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataFrame)
+  }
+
   /** Cold time-slice read with TWO-LEVEL metadata pruning: the
     * PARTITION TUPLE first (every default-spec field sourced from
     * `column` — its transform maps `[startUs, endUs)` to a partition

@@ -253,6 +253,71 @@ class IcebergMorSpec extends SparkSpec {
     ()
   }
 
+  test("readChangelog: net row-level inserts/deletes between snapshots") {
+    import spark.implicits._
+    val (loc, sj, topIds) = freshTable("graft-cdc")
+    val s1 = commitBatch(loc, sj, topIds, writeBatch(s"$loc/data/b1", 0 until 10, 0L))
+    val s2 = commitBatch(loc, sj, topIds, writeBatch(s"$loc/data/b2", 10 until 15, 500000L))
+
+    def changes(from: Option[Long], to: Option[Long] = None)
+        : Map[(Long, String), Long] =
+      IcebergTableReader.readChangelog(spark, loc, from, to)
+        .select($"id", $"_change_type", $"_change_snapshot_id").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    // from table creation: pure inserts, attributed to their appends
+    val c0 = changes(None)
+    assert(c0.size === 15 && c0.keys.forall(_._2 == "insert"))
+    assert(c0((0L, "insert")) === s1 && c0((12L, "insert")) === s2)
+
+    // a position-delete and an equality-delete commit in the window
+    val (s3, _) = IcebergMaintenance.deleteWhere(spark, loc, col("id").isin(3, 4))
+    val (s4, _) = IcebergMaintenance.deleteMatching(spark, loc, Seq(10L).toDF("id"))
+    val c1 = changes(Some(s2))
+    assert(c1 === Map((3L, "delete") -> s3, (4L, "delete") -> s3,
+      (10L, "delete") -> s4))
+
+    // window spanning an append AND the deletes: b2's still-live rows
+    // insert, b1's killed rows delete; 10 (inserted+deleted inside the
+    // window) nets out of the inserts
+    val c2 = changes(Some(s1))
+    assert(c2 === Map(
+      (11L, "insert") -> s2, (12L, "insert") -> s2,
+      (13L, "insert") -> s2, (14L, "insert") -> s2,
+      (3L, "delete") -> s3, (4L, "delete") -> s3))
+
+    // insert-then-delete entirely inside the window: net zero
+    val s5 = commitBatch(loc, sj, topIds, writeBatch(s"$loc/data/b3", 20 until 21, 900000L))
+    IcebergMaintenance.deleteMatching(spark, loc, Seq(20L).toDF("id"))
+    assert(changes(Some(s4)).isEmpty)
+    assert(s5 > 0)
+
+    // upsert shows as delete(old row) + insert(new row)
+    val upd = Seq((8L, 990000L, "u8"), (30L, 991000L, "v30"))
+      .toDF("id", "ts", "payload")
+    val (s7, _) = IcebergMaintenance.upsert(spark, loc, upd, Seq("id"))
+    val c3 = changes(Some(s5))
+    assert(c3.keySet === Set((8L, "insert"), (30L, "insert"),
+      (8L, "delete"), (20L, "delete")))
+    assert(c3((8L, "insert")) === s7 && c3((8L, "delete")) === s7)
+    val c3payload = IcebergTableReader.readChangelog(spark, loc, Some(s5))
+      .select($"id", $"payload", $"_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(2)) -> r.getString(1)).toMap
+    assert(c3payload((8L, "insert")) === "u8")
+    assert(c3payload((8L, "delete")) === "v8")
+
+    // compaction draws a hard boundary
+    val (s8, _) = IcebergMaintenance.compact(spark, loc)
+    intercept[IllegalArgumentException] {
+      IcebergTableReader.readChangelog(spark, loc, Some(s7)).count()
+    }
+    // ...but a window starting AT it works
+    val s9 = commitBatch(loc, sj, topIds, writeBatch(s"$loc/data/b4", 40 until 42, 995000L))
+    assert(changes(Some(s8)) ===
+      Map((40L, "insert") -> s9, (41L, "insert") -> s9))
+    ()
+  }
+
   test("delete commits round-trip the REFERENCE Avro reader (delete manifest + carried list)") {
     import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
     import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
