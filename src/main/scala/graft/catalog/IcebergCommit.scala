@@ -250,7 +250,9 @@ object IcebergCommit {
   def commitStandaloneUpsert(conf: Configuration, location: String,
                              schemaJson: String, defaultSpec: Option[JValue],
                              files: Seq[DataFile],
-                             deletes: Seq[DeleteFileSpec]): Long = {
+                             deletes: Seq[DeleteFileSpec],
+                             extraSummary: Map[String, String] = Map.empty)
+      : Long = {
     require(deletes.forall(_.content == 2),
       "upsert retires prior rows via EQUALITY deletes (content=2); " +
         "position deletes cannot target rows committed in the same snapshot")
@@ -285,7 +287,7 @@ object IcebergCommit {
             "otel.record_count" -> files.map(_.recordCount).sum.toString,
             "otel.file_count" -> files.size.toString,
             "otel.delete_record_count" ->
-              deletes.map(_.file.recordCount).sum.toString))))
+              deletes.map(_.file.recordCount).sum.toString) ++ extraSummary)))
     snapId
   }
 

@@ -117,7 +117,8 @@ object IcebergMaintenance {
     * frame commits nothing and returns (-1, 0). */
   def upsert(spark: SparkSession, tableDir: String, updates: DataFrame,
              keyCols: Seq[String], statsColumn: Option[String] = None,
-             numFiles: Int = 1): (Long, Long) = {
+             numFiles: Int = 1,
+             extraSummary: Map[String, String] = Map.empty): (Long, Long) = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val meta = tableMeta(spark, tableDir)
     val ids = keyCols.map(IcebergTableReader.fieldId(meta, _))
@@ -157,7 +158,7 @@ object IcebergMaintenance {
       None, dataFiles,
       keyPaths.map(p => IcebergCommit.DeleteFileSpec(
         DataFile(p, JFiles.size(Paths.get(p)), keyCounts(p), Nil),
-        content = 2, ids)))
+        content = 2, ids)), extraSummary)
     (snap, rows)
   }
 
