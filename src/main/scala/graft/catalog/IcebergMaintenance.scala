@@ -31,6 +31,8 @@ import graft.catalog.RestCatalogClient.DataFile
   *                          physically reclaim files no retained
   *                          snapshot references (the step that
   *                          actually frees the compacted-away bytes);
+  *   - [[removeOrphanFiles]] — reclaim unreferenced debris of crashed
+  *                          writes (grace-windowed, chain untouched);
   *   - [[createBranch]] / [[createTag]] / [[fastForward]] / [[dropRef]]
   *                        — snapshot refs: stage commits on a branch,
   *                          audit them, fast-forward publish to main
@@ -243,6 +245,51 @@ object IcebergMaintenance {
     (Set(snap.manifestList) ++ manifests ++
       data.map(_.path) ++ dels.map(_.path))
   }
+
+  final case class OrphanReport(deleted: Seq[String], kept: Seq[String])
+
+  /** Remove ORPHAN files: anything under the table location that no
+    * retained snapshot reaches — the debris of writes that crashed
+    * between landing files and committing the snapshot (the metadata
+    * version flip is atomic, so a crash never leaves a partial
+    * snapshot, only unreferenced bytes; [[graft.streaming.IcebergCdcSink]]
+    * leans on this). Files modified at or after `olderThanMs` are kept
+    * (the in-flight-writer grace window every orphan sweep needs —
+    * default 24 h back). The metadata chain itself
+    * (`vN.metadata.json`, `version-hint.text`) is never touched:
+    * versions are the recovery record. Driver-side metadata walk; no
+    * table scan. */
+  def removeOrphanFiles(spark: SparkSession, tableDir: String,
+                        olderThanMs: Long =
+                          System.currentTimeMillis() - 24L * 3600 * 1000)
+      : OrphanReport = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = tableMeta(spark, tableDir)
+    val live = meta.snapshots.map(_.snapshotId)
+      .flatMap(id => reachable(spark, tableDir, id)).toSet
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    val candidates = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter(_.isFile)
+      .map(st => (st.getPath, st.getModificationTime))
+      .filterNot { case (p, _) =>
+        val n = p.getName
+        n.endsWith(".metadata.json") || n == "version-hint.text"
+      }.toVector
+    val (old, fresh) = candidates.partition(_._2 < olderThanMs)
+    val orphans = old.map(_._1)
+      .filterNot(p => live(p.toString) || live(normUri(p)))
+    orphans.foreach(p => fs.delete(p, false))
+    OrphanReport(orphans.map(_.toString),
+      fresh.map(_._1.toString).filterNot(live))
+  }
+
+  /** Hadoop `Path.toString` may carry a `file:` scheme the manifest
+    * paths lack — compare both spellings. */
+  private def normUri(p: Path): String =
+    p.toUri.getPath
 
   // ---- snapshot refs: branches, tags, write-audit-publish ----------
 

@@ -253,6 +253,39 @@ class IcebergMorSpec extends SparkSpec {
     ()
   }
 
+  test("removeOrphanFiles reclaims crashed-write debris, honors the grace window") {
+    import spark.implicits._
+    val (loc, sj, topIds) = freshTable("graft-orphan")
+    val b1 = writeBatch(s"$loc/data/b1", 0 until 10, 0L)
+    commitBatch(loc, sj, topIds, b1)
+    val preState = liveIds(loc)
+
+    // a crashed upsert: data files landed, no snapshot ever committed
+    val crashed = writeBatch(s"$loc/data/upsert-crashed", 90 until 95, 0L)
+    // ...and a stray manifest
+    Files.write(Paths.get(s"$loc/metadata/graft-m-999.avro"),
+      Array[Byte](1, 2, 3))
+
+    // inside the grace window nothing is touched, debris is reported
+    val early = IcebergMaintenance.removeOrphanFiles(spark, loc,
+      olderThanMs = 0L)
+    assert(early.deleted.isEmpty)
+    assert(early.kept.exists(_.contains("upsert-crashed")))
+    assert(Files.exists(Paths.get(crashed.head)))
+
+    // past the grace window the debris goes; the table is intact
+    val report = IcebergMaintenance.removeOrphanFiles(spark, loc,
+      olderThanMs = System.currentTimeMillis() + 60000)
+    assert(report.deleted.exists(_.contains("upsert-crashed")))
+    assert(report.deleted.exists(_.contains("graft-m-999.avro")))
+    assert(!Files.exists(Paths.get(crashed.head)))
+    assert(b1.forall(p => Files.exists(Paths.get(p))))
+    assert(liveIds(loc) === preState)
+    // the metadata chain is never swept
+    assert(Files.exists(Paths.get(s"$loc/metadata/version-hint.text")))
+    ()
+  }
+
   test("readChangelog: net row-level inserts/deletes between snapshots") {
     import spark.implicits._
     val (loc, sj, topIds) = freshTable("graft-cdc")
