@@ -75,7 +75,8 @@ object IcebergTableMetadata {
       currentSnapshotId: Option[Long], snapshots: Seq[SnapshotMeta],
       schemaJson: String, partitionSpecsJson: Seq[JValue],
       defaultSpecId: Int,
-      refs: Map[String, SnapshotRef] = Map.empty)
+      refs: Map[String, SnapshotRef] = Map.empty,
+      schemasJson: Seq[JValue] = Nil)
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -177,7 +178,10 @@ object IcebergTableMetadata {
                   (r \ "type").toOption.collect { case JString(t) => t }
                     .getOrElse("branch"))
             }.toMap
-          }.getOrElse(Map.empty)))
+          }.getOrElse(Map.empty),
+          schemasJson = (j \ "schemas").toOption.collect {
+            case JArray(ss) => ss
+          }.orElse((j \ "schema").toOption.map(List(_))).getOrElse(Nil)))
       }
     }
   }
@@ -239,9 +243,30 @@ object IcebergTableMetadata {
     val version = prev.map(_.version).getOrElse(0) + 1
     val uuid = prev.map(_.tableUuid).filter(_.nonEmpty)
       .getOrElse(UUID.randomUUID().toString)
+    // ---- schema EVOLUTION: the schemas array accumulates every shape
+    // the table has had; an incoming schema equal (modulo its
+    // schema-id) to a recorded one reuses that id, a new shape gets
+    // max+1 and becomes current. Snapshots are stamped with the schema
+    // they were written under, per the spec. ----
+    val strip: JValue => JValue = _.removeField {
+      case ("schema-id", _) => true; case _ => false
+    }
+    val incomingSchema = parse(schemaJson)
+    val prevSchemas = prev.map(_.schemasJson).getOrElse(Nil)
+    val (schemasAll, curSchemaId) = prevSchemas
+      .flatMap(s => (s \ "schema-id").toOption
+        .collect { case JInt(n) => (s, n.toInt) })
+      .find { case (s, _) => strip(s) == strip(incomingSchema) } match {
+      case Some((_, id)) => (prevSchemas, id)
+      case None =>
+        val nid = prevSchemas.flatMap(s => (s \ "schema-id").toOption
+          .collect { case JInt(n) => n.toInt }).foldLeft(-1)(math.max) + 1
+        (prevSchemas :+ strip(incomingSchema)
+          .merge(JObject("schema-id" -> JInt(nid))), nid)
+    }
     val snapshots = {
       val old = prev.map(_.snapshots).getOrElse(Nil).filter(retain)
-      snapshot match {
+      snapshot.map(_.copy(schemaId = curSchemaId)) match {
         case Some(s) if !old.exists(_.snapshotId == s.snapshotId) => old :+ s
         case _ => old
       }
@@ -270,11 +295,6 @@ object IcebergTableMetadata {
     val current = refsFinal.get("main").map(_.snapshotId)
     val lastSeq = math.max(prev.map(_.lastSequenceNumber).getOrElse(0L),
       snapshot.map(_.sequenceNumber).getOrElse(0L))
-    val schemaWithId = {
-      val s = parse(schemaJson)
-      if ((s \ "schema-id").toOption.isDefined) s
-      else s.merge(JObject("schema-id" -> JInt(0)))
-    }
     // `None` CARRIES the previous version's specs forward (a
     // maintenance commit must not silently unpartition the table);
     // only a table with no declared spec gets the empty spec-0.
@@ -322,9 +342,10 @@ object IcebergTableMetadata {
       "location" -> JString(location),
       "last-sequence-number" -> JInt(BigInt(lastSeq)),
       "last-updated-ms" -> JInt(BigInt(nowMs)),
-      "last-column-id" -> JInt(maxFieldId(schemaJson)),
-      "current-schema-id" -> JInt(0),
-      "schemas" -> JArray(List(schemaWithId)),
+      "last-column-id" -> JInt(schemasAll
+        .map(s => maxFieldId(compact(render(s)))).foldLeft(0)(math.max)),
+      "current-schema-id" -> JInt(curSchemaId),
+      "schemas" -> JArray(schemasAll.toList),
       "default-spec-id" -> JInt(specId),
       "partition-specs" -> JArray(specs),
       "last-partition-id" -> JInt(lastPartitionId),

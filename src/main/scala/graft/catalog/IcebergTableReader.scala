@@ -324,7 +324,7 @@ object IcebergTableReader {
                         asOfSnapshotId: Option[Long] = None): DataFrame = {
     val (files, deletes) = scanState(spark, tableDir, asOfSnapshotId)
     if (files.isEmpty) return spark.emptyDataFrame
-    val base = spark.read.parquet(files.map(_.path): _*)
+    val base = scanData(spark, metadata(spark, tableDir), files.map(_.path))
     if (deletes.isEmpty)
       base.withColumn(LineagePathCol, normPathExpr(col("_metadata.file_path")))
         .withColumn(LineagePosCol, col("_metadata.row_index"))
@@ -332,12 +332,28 @@ object IcebergTableReader {
       metadata(spark, tableDir), keepLineage = true)
   }
 
+  /** Scan data files under the table's CURRENT schema (the chain's
+    * `current-schema-id` entry) rather than whatever the first footer
+    * says — the schema-evolution contract: files written before an
+    * added column null-fill it, a dropped column disappears even from
+    * the files that carry it, and column order is the table's. Name
+    * resolution = the spec's `schema.name-mapping.default` fallback
+    * (this engine's Spark-written parquet carries no embedded field
+    * ids). A chain with no parseable schema falls back to footer
+    * inference. */
+  private def scanData(spark: SparkSession, meta: TableMetadata,
+                       paths: Seq[String]): DataFrame =
+    IcebergSchema.sparkStruct(meta.schemaJson) match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+
   private def assemble(spark: SparkSession, meta: TableMetadata,
                        files: Seq[FileEntry],
                        deletes: Seq[DeleteEntry]): DataFrame =
     if (files.isEmpty) spark.emptyDataFrame
     else {
-      val base = spark.read.parquet(files.map(_.path): _*)
+      val base = scanData(spark, meta, files.map(_.path))
       if (deletes.isEmpty) base
       else applyDeletes(spark, base, files, deletes, meta)
     }
@@ -371,7 +387,7 @@ object IcebergTableReader {
     val after = dataFiles(spark, tableDir, toSnapshotId)
     val fresh = after.filterNot(f => before(f.path))
     if (fresh.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(fresh.map(_.path): _*)
+    else scanData(spark, metadata(spark, tableDir), fresh.map(_.path))
   }
 
   /** CDC CHANGELOG read: the NET row-level changes between two
@@ -426,7 +442,7 @@ object IcebergTableReader {
     val inserts =
       if (newFiles.isEmpty) None
       else {
-        val base = spark.read.parquet(newFiles.map(_.path): _*)
+        val base = scanData(spark, meta, newFiles.map(_.path))
         val live =
           if (deletesTo.isEmpty)
             base.withColumn(LineagePathCol,
@@ -446,7 +462,7 @@ object IcebergTableReader {
       if (oldFiles.isEmpty || newDeletes.isEmpty) None
       else {
         val liveFrom = applyDeletes(spark,
-          spark.read.parquet(oldFiles.map(_.path): _*), oldFiles,
+          scanData(spark, meta, oldFiles.map(_.path)), oldFiles,
           deletesTo.filter(_.sequenceNumber <= seqFrom), meta,
           keepLineage = true)
         val dataCols = liveFrom.columns.toSeq

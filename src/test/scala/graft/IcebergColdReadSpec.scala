@@ -464,4 +464,68 @@ class IcebergColdReadSpec extends SparkSpec {
       Seq(("ts_hour", "hour", topIds("ts"))))
     ()
   }
+
+  test("schema evolution: add/drop columns, schema-id history, name-mapping reads") {
+    import spark.implicits._
+    import org.json4s.jackson.JsonMethods.{compact => jc, render => jr}
+    val loc = Files.createTempDirectory("graft-evolve").toString + "/t"
+    val conf = spark.sparkContext.hadoopConfiguration
+    def commitFrame(df: org.apache.spark.sql.DataFrame, dir: String): Long = {
+      df.coalesce(1).write.mode("overwrite").parquet(dir)
+      val paths = listParquet(dir)
+      val counts = graft.recovery.Recovery.fileRowCounts(spark, paths)
+      val (sj, _) = RestCatalogClient.icebergSchemaJson(df.schema)
+      graft.catalog.IcebergCommit.commitStandalone(conf, loc, jc(jr(sj)),
+        None, paths.map(p =>
+          DataFile(p, Files.size(Paths.get(p)), counts(p), Nil)))
+    }
+    commitFrame(Seq((1L, 10L, "a1"), (2L, 20L, "a2"))
+      .toDF("id", "ts", "payload"), s"$loc/data/b1")
+
+    // ADD a column: pre-evolution files null-fill it
+    commitFrame(Seq((3L, 30L, "b3", 0.5), (4L, 40L, "b4", 0.9))
+      .toDF("id", "ts", "payload", "score"), s"$loc/data/b2")
+    val df2 = IcebergTableReader.read(spark, loc)
+    assert(df2.columns.toSeq === Seq("id", "ts", "payload", "score"))
+    val rows2 = df2.collect().map(r =>
+      r.getLong(0) -> (r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(rows2 === Map(1L -> ("a1", None), 2L -> ("a2", None),
+      3L -> ("b3", Some(0.5)), 4L -> ("b4", Some(0.9))))
+    val meta2 = IcebergTableReader.metadata(spark, loc)
+    assert(meta2.schemasJson.size === 2)
+    assert(meta2.snapshots.map(_.schemaId) === Seq(0, 1))
+    assert(meta2.schemaJson.contains("score"))
+
+    // DROP columns: even files that carry them stop showing them
+    commitFrame(Seq((5L, 50L)).toDF("id", "ts"), s"$loc/data/b3")
+    val df3 = IcebergTableReader.read(spark, loc)
+    assert(df3.columns.toSeq === Seq("id", "ts"))
+    assert(df3.select("id").collect().map(_.getLong(0)).toSet ===
+      (1L to 5L).toSet)
+
+    // reverting to a RECORDED shape reuses its schema-id, no new entry
+    commitFrame(Seq((6L, 60L, "c6", 1.5))
+      .toDF("id", "ts", "payload", "score"), s"$loc/data/b4")
+    val meta4 = IcebergTableReader.metadata(spark, loc)
+    assert(meta4.schemasJson.size === 3)
+    assert(meta4.snapshots.map(_.schemaId) === Seq(0, 1, 2, 1))
+    val rows4 = IcebergTableReader.read(spark, loc)
+      .select($"id", $"payload", $"score").collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(1)) None else Some(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(rows4(5L) === ((None, None)))     // written under the 2-col shape
+    assert(rows4(1L) === ((Some("a1"), None)))
+    assert(rows4(6L) === ((Some("c6"), Some(1.5))))
+
+    // the changelog reads under the current schema too
+    val snaps = meta4.snapshots.sortBy(_.sequenceNumber).map(_.snapshotId)
+    val delta = IcebergTableReader.readChangelog(
+        spark, loc, Some(snaps(2)), Some(snaps(3)))
+      .select($"id", $"score", $"_change_type").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(delta.toSeq === Seq((6L, 1.5, "insert")))
+    ()
+  }
 }
