@@ -114,7 +114,8 @@ object Bench {
     // the pruned side stays proportional to the slice.
     val pruneNames = Seq("sink_slice_full", "sink_slice_pruned",
                          "sink_point_full", "sink_point_bloom",
-                         "iceberg_cold_full", "iceberg_cold_pruned")
+                         "iceberg_cold_full", "iceberg_cold_pruned",
+                         "iceberg_upsert", "iceberg_changelog")
     val doPrune = only.isEmpty || pruneNames.exists(only)
     val pruneResults: Seq[(String, Double)] = if (!doPrune) Nil else {
       import org.apache.spark.sql.functions.{col, min, unix_micros}
@@ -189,7 +190,25 @@ object Bench {
                       unix_micros(col("ts")) < endUs).count()),
           "iceberg_cold_pruned" -> best("iceberg_cold_pruned")(
             graft.catalog.IcebergTableReader.readSlice(
-              spark, iceLoc, "ts", startUs, endUs).count()))
+              spark, iceLoc, "ts", startUs, endUs).count()),
+          // merge-on-read DML measured: upsert commit cost is the
+          // DELTA (1k keyed rows against the whole table — file write
+          // + equality-delete + chain flip, no table scan), changelog
+          // cost is the CHANGE SET (inserts of the upserted cohorts +
+          // their retired predecessors), not a table diff
+          "iceberg_upsert" -> {
+            val delta = spark.read.parquet(tablePath).limit(1000)
+              .localCheckpoint()
+            best("iceberg_upsert")(graft.catalog.IcebergMaintenance
+              .upsert(spark, iceLoc, delta, Seq("event_id"))._2)
+          },
+          "iceberg_changelog" -> {
+            val first = graft.catalog.IcebergTableReader
+              .metadata(spark, iceLoc).snapshots
+              .minBy(_.sequenceNumber).snapshotId
+            best("iceberg_changelog")(graft.catalog.IcebergTableReader
+              .readChangelog(spark, iceLoc, Some(first)).count())
+          })
       } catch { case _: Throwable => Nil }
       finally {
         import scala.reflect.io.Directory

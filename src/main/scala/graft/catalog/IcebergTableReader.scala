@@ -461,10 +461,18 @@ object IcebergTableReader {
     val deleted =
       if (oldFiles.isEmpty || newDeletes.isEmpty) None
       else {
-        val liveFrom = applyDeletes(spark,
+        val nGroups = newDeletes.filter(_.content == 1)
+          .map(_.sequenceNumber).distinct.size +
+          newDeletes.filter(_.content == 2)
+            .map(d => (d.sequenceNumber, d.equalityIds)).distinct.size
+        val liveFrom0 = applyDeletes(spark,
           scanData(spark, meta, oldFiles.map(_.path)), oldFiles,
           deletesTo.filter(_.sequenceNumber <= seqFrom), meta,
           keepLineage = true)
+        // each delete group is its own semi-join branch over liveFrom;
+        // materialize it once instead of rescanning per group
+        val liveFrom =
+          if (nGroups > 1) liveFrom0.localCheckpoint() else liveFrom0
         val dataCols = liveFrom.columns.toSeq
           .filterNot(c => c == LineagePathCol || c == LineagePosCol)
         // every new delete group applies to every old file (seq
