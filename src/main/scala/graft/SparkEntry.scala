@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsofJoin, Core, GraphSim, PageRank, RangeJoin, SkewOps, Triangles}
+import graft.operators.{AsofJoin, Core, GraphSim, PageRank, RangeJoin, SkewOps, TpchPack, Triangles}
 import graft.telemetry.Telemetry
 import graft.llm.{AudioOps, Dedup, ImageOps, Multimodal, SimOps, TextOps}
 
@@ -237,6 +237,23 @@ object SparkEntry {
     "dedup_span_apply"   -> ((s, d) => Dedup.spanApply(s, d)),
     "q_triangle_support" -> ((s, d) => Triangles.triangleSupport(s, d)),
     "q_jaccard_neighbors" -> ((s, d) => GraphSim.jaccardNeighbors(s, d)),
+    // r10: TPC-H completion pack (operators/TpchPack.scala)
+    "q2_min_cost_supp"   -> (TpchPack.q2MinCostSupp _),
+    "q7_volume_shipping" -> (TpchPack.q7VolumeShipping _),
+    "q8_market_share"    -> (TpchPack.q8MarketShare _),
+    "q10_returned_items" -> (TpchPack.q10ReturnedItems _),
+    "q11_important_stock" -> (TpchPack.q11ImportantStock _),
+    "q12_ship_delay"     -> (TpchPack.q12ShipDelay _),
+    "q13_order_count_dist" -> (TpchPack.q13OrderCountDist _),
+    "q14_promo_share"    -> (TpchPack.q14PromoShare _),
+    "q15_top_supplier"   -> (TpchPack.q15TopSupplier _),
+    "q16_supp_part_cnt"  -> (TpchPack.q16SuppPartCnt _),
+    "q17_small_qty"      -> (TpchPack.q17SmallQty _),
+    "q18_large_orders"   -> (TpchPack.q18LargeOrders _),
+    "q19_disjunct"       -> (TpchPack.q19Disjunct _),
+    "q20_part_promo_supp" -> (TpchPack.q20PartPromoSupp _),
+    "q21_waiting_supp"   -> (TpchPack.q21WaitingSupp _),
+    "q22_dormant_custs"  -> (TpchPack.q22DormantCusts _),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -4355,6 +4372,264 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |   AS pairs_at_or_above
         |FROM bins""".stripMargin,
+    // ---- r10 TPC-H completion pack ----
+    "q2_min_cost_supp" ->
+      """WITH ps AS (
+        | SELECT l_partkey, l_suppkey,
+        |  min(l_extendedprice / l_quantity) AS supplycost
+        | FROM lineitem GROUP BY 1, 2),
+        |cand AS (
+        | SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+        |  ps.supplycost, s.s_acctbal,
+        |  min(ps.supplycost) OVER (PARTITION BY p.p_partkey) AS min_cost
+        | FROM ps
+        |  JOIN part p ON ps.l_partkey = p.p_partkey
+        |  JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        | WHERE p.p_type = 'LARGE' AND p.p_size <= 5 AND r.r_name = 'EUROPE')
+        |SELECT p_partkey, p_name, s_name, n_name,
+        | round(supplycost, 4) AS supplycost, round(s_acctbal, 4) AS s_acctbal
+        |FROM cand WHERE supplycost = min_cost""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        | round(CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+        |   * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE) / 1e4,
+        |   4) AS volume,
+        | count(*) AS n_lines
+        |FROM lineitem l
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        | JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        | round(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |    THEN CAST(round(l.l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+        |    ELSE 0 END) AS DOUBLE)
+        |  / sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l.l_discount*100) AS BIGINT))), 4)
+        |   AS mkt_share,
+        | round(CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+        |   * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE) / 1e4,
+        |   4) AS total_volume
+        |FROM lineitem l
+        | JOIN part p ON l.l_partkey = p.p_partkey
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |WHERE p.p_type = 'PROMO'
+        |  AND EXISTS (
+        |   SELECT 1 FROM customer c
+        |    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |    JOIN region r ON cn.n_regionkey = r.r_regionkey
+        |   WHERE c.c_custkey = o.o_custkey AND r.r_name = 'ASIA')
+        |GROUP BY 1""".stripMargin,
+    "q10_returned_items" ->
+      """WITH agg AS (
+        | SELECT o.o_custkey,
+        |  sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+        |    * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS rev_u,
+        |  count(*) AS n_lines
+        | FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | WHERE l.l_returnflag = 'R'
+        |   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |   AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        | GROUP BY 1)
+        |SELECT c.c_custkey, c.c_name, n.n_name,
+        | round(CAST(rev_u AS DOUBLE) / 1e4, 4) AS revenue,
+        | round(c.c_acctbal, 4) AS c_acctbal, n_lines
+        |FROM agg
+        | JOIN customer c ON agg.o_custkey = c.c_custkey
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY rev_u DESC, c.c_custkey ASC LIMIT 20""".stripMargin,
+    "q11_important_stock" ->
+      """WITH per_part AS (
+        | SELECT l.l_partkey,
+        |  sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS value_c
+        | FROM lineitem l
+        | WHERE EXISTS (
+        |  SELECT 1 FROM supplier s
+        |   JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE s.s_suppkey = l.l_suppkey AND n.n_name = 'NATION_7')
+        | GROUP BY 1),
+        |tot AS (SELECT sum(value_c) AS total_c FROM per_part)
+        |SELECT l_partkey,
+        | round(CAST(value_c AS DOUBLE) / 100, 4) AS value,
+        | round(CAST(value_c AS DOUBLE) / total_c, 6) AS share
+        |FROM per_part, tot
+        |WHERE value_c * 1000 > total_c""".stripMargin,
+    "q12_ship_delay" ->
+      """SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+        |   THEN '0-30d'
+        |  WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
+        |   THEN '31-90d'
+        |  ELSE '90d+' END AS bucket,
+        | CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count,
+        | count(*) AS n_lines
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q13_order_count_dist" ->
+      """WITH per_cust AS (
+        | SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        | FROM customer c
+        |  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+        |             WHERE o_orderpriority <> '1-URGENT') o
+        |   ON c.c_custkey = o.o_custkey
+        | GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per_cust GROUP BY 1""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT strftime(l.l_shipdate, '%Y-%m') AS month,
+        | round(sum(CASE WHEN p.p_type = 'PROMO'
+        |    THEN CAST(round(l.l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+        |    ELSE 0 END) * 100.0
+        |  / sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l.l_discount*100) AS BIGINT))), 4)
+        |   AS promo_share,
+        | round(CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+        |   * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE) / 1e4,
+        |   4) AS total_revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH per_supp AS (
+        | SELECT l_suppkey,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS rev_u
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate <  TIMESTAMP '1996-04-01'
+        | GROUP BY 1),
+        |best AS (SELECT max(rev_u) AS max_u FROM per_supp)
+        |SELECT s.s_suppkey, s.s_name,
+        | round(CAST(rev_u AS DOUBLE) / 1e4, 4) AS total_revenue
+        |FROM per_supp
+        | JOIN supplier s ON per_supp.l_suppkey = s.s_suppkey
+        | CROSS JOIN best
+        |WHERE rev_u = max_u""".stripMargin,
+    "q16_supp_part_cnt" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        | count(DISTINCT ps.l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        | JOIN part p ON ps.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND ps.l_suppkey NOT IN (
+        |   SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q17_small_qty" ->
+      """WITH li AS (
+        | SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        | WHERE p.p_brand = 'Brand#3'),
+        |avgq AS (
+        | SELECT l_partkey,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
+        | FROM li GROUP BY 1)
+        |SELECT round(CAST(sum(CAST(round(li.l_extendedprice*100) AS BIGINT))
+        |   AS DOUBLE) / 100 / 7.0, 4) AS avg_yearly,
+        | count(*) AS n_lines
+        |FROM li JOIN avgq ON li.l_partkey = avgq.l_partkey
+        |WHERE li.l_quantity < avgq.avg_qty * 0.2""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        | SELECT l_orderkey,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        | FROM lineitem GROUP BY 1
+        | HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        | strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        | round(o.o_totalprice, 4) AS o_totalprice, big.sum_qty
+        |FROM orders o
+        | JOIN big ON o.o_orderkey = big.l_orderkey
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 100""".stripMargin,
+    "q19_disjunct" ->
+      """SELECT round(CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+        |   * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE) / 1e4,
+        |   4) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q20_part_promo_supp" ->
+      """WITH ps AS (
+        | SELECT l.l_partkey, l.l_suppkey,
+        |  sum(CAST(l.l_quantity AS BIGINT)) AS q_ps
+        | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        | WHERE p.p_name LIKE 'small%'
+        |   AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        | GROUP BY 1, 2),
+        |marked AS (
+        | SELECT l_suppkey, q_ps,
+        |  sum(q_ps) OVER (PARTITION BY l_partkey) AS q_total,
+        |  count(*) OVER (PARTITION BY l_partkey) AS n_supp
+        | FROM ps)
+        |SELECT s.s_name, n.n_name, round(s.s_acctbal, 4) AS s_acctbal
+        |FROM supplier s
+        | JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s.s_suppkey IN (
+        | SELECT l_suppkey FROM marked WHERE q_ps * 2 * n_supp > q_total)""".stripMargin,
+    "q21_waiting_supp" ->
+      """WITH onf AS (
+        | SELECT l.l_orderkey, l.l_suppkey,
+        |  l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+        | FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | WHERE o.o_orderstatus = 'F'),
+        |pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM onf),
+        |late_pairs AS (
+        | SELECT DISTINCT l_orderkey, l_suppkey FROM onf WHERE late)
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM late_pairs lp
+        | JOIN supplier s ON lp.l_suppkey = s.s_suppkey
+        |WHERE EXISTS (
+        |  SELECT 1 FROM pairs p
+        |  WHERE p.l_orderkey = lp.l_orderkey AND p.l_suppkey <> lp.l_suppkey)
+        | AND NOT EXISTS (
+        |  SELECT 1 FROM late_pairs lp2
+        |  WHERE lp2.l_orderkey = lp.l_orderkey
+        |    AND lp2.l_suppkey <> lp.l_suppkey)
+        |GROUP BY 1
+        |ORDER BY numwait DESC, s.s_name ASC LIMIT 20""".stripMargin,
+    "q22_dormant_custs" ->
+      """WITH avg_pos AS (
+        | SELECT sum(CAST(round(c_acctbal*100) AS BIGINT)) AS total_c,
+        |  count(*) AS n_pos
+        | FROM customer WHERE c_acctbal > 0)
+        |SELECT n.n_name, count(*) AS numcust,
+        | round(CAST(sum(CAST(round(c.c_acctbal*100) AS BIGINT)) AS DOUBLE)
+        |   / 100, 4) AS totacctbal
+        |FROM customer c
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | CROSS JOIN avg_pos
+        |WHERE c.c_nationkey IN (1, 5, 9, 13, 17, 21)
+        |  AND CAST(round(c.c_acctbal*100) AS BIGINT) * n_pos > total_c
+        |  AND NOT EXISTS (
+        |   SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY 1""".stripMargin,
   )
 
   /** One logical op, two physical strategies (inverted-index join at

@@ -38,7 +38,12 @@ class PlanHygieneSpec extends SparkSpec {
     "tel_holt_winters",     // type×hour grid × 1-row hour-bounds broadcast
     "dedup_cluster_stats",  // size histogram × 1-row corpus-count broadcast
     "tel_psi_drift",        // event scan × 1-row time-bounds broadcast
-    "tel_kmv_overlap")      // type×type pair frame (≤ types² rows)
+    "tel_kmv_overlap",      // type×type pair frame (≤ types² rows)
+    "q11_important_stock",  // per-part values × 1-row total broadcast
+                            // (q15's twin converts to BHJ because its
+                            // filter is an equi-compare; these HAVINGs
+                            // are inequalities, so the 1-row cross stays)
+    "q22_dormant_custs")    // customers × 1-row avg-balance broadcast
 
   /** Queries allowed to rank with an UNPARTITIONED window over a set
     * that is not limit-bounded in the plan — each is small by
