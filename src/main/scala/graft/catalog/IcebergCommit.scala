@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.json4s.JValue
+import org.json4s.{JInt, JValue}
 
 import graft.catalog.RestCatalogClient.DataFile
 
@@ -43,10 +43,16 @@ object IcebergCommit {
       }
     }
 
-  /** Serialize the DATA manifest for `files` (content="data"). */
+  /** Serialize the DATA manifest for `files` (content="data").
+    * `specId` is the table spec the tuples were derived under — the
+    * reader resolves each manifest's tuple layout from THIS stamp (and
+    * the embedded `partition-spec` fields), so files written before a
+    * partition-spec evolution keep pruning under their original
+    * transform. */
   private def dataManifestBytes(schemaJson: String, snapId: Long,
                                 files: Seq[DataFile],
-                                partFields: Seq[IcebergPartitioning.PartField])
+                                partFields: Seq[IcebergPartitioning.PartField],
+                                specId: Int)
       : Array[Byte] = {
     val partTypes = partFields.map(p => IcebergPartitioning.avroType(p.transform))
     AvroOcf.write(
@@ -54,7 +60,7 @@ object IcebergCommit {
         case (p, t) => (p.name, t, p.fieldId) }),
       Map("schema" -> schemaJson, "schema-id" -> "0",
           "partition-spec" -> IcebergPartitioning.specFieldsJson(partFields),
-          "partition-spec-id" -> "0",
+          "partition-spec-id" -> specId.toString,
           "format-version" -> "2", "content" -> "data"),
       files.map { f =>
         val tuple =
@@ -83,7 +89,8 @@ object IcebergCommit {
     * explicit sequence numbers, all-null partition tuple = table-wide). */
   private def deleteManifestBytes(schemaJson: String, snapId: Long,
                                   seqNum: Long, deletes: Seq[DeleteFileSpec],
-                                  partFields: Seq[IcebergPartitioning.PartField])
+                                  partFields: Seq[IcebergPartitioning.PartField],
+                                  specId: Int)
       : Array[Byte] = {
     val partTypes = partFields.map(p => IcebergPartitioning.avroType(p.transform))
     val nullTuple =
@@ -94,7 +101,7 @@ object IcebergCommit {
         case (p, t) => (p.name, t, p.fieldId) }),
       Map("schema" -> schemaJson, "schema-id" -> "0",
           "partition-spec" -> IcebergPartitioning.specFieldsJson(partFields),
-          "partition-spec-id" -> "0",
+          "partition-spec-id" -> specId.toString,
           "format-version" -> "2", "content" -> "deletes"),
       deletes.map(d => AvroOcf.deleteManifestEntry(
         snapId, seqNum, d.file, d.content, d.equalityIds, nullTuple)))
@@ -123,10 +130,12 @@ object IcebergCommit {
                      parentSnapshotId: Option[Long],
                      parentList: Option[String],
                      files: Seq[DataFile],
-                     partFields: Seq[IcebergPartitioning.PartField] = Nil)
+                     partFields: Seq[IcebergPartitioning.PartField] = Nil,
+                     specId: Int = 0)
       : (String, String) = {
     val manifestPath = s"$location/metadata/graft-m-$snapId.avro"
-    val manifestBytes = dataManifestBytes(schemaJson, snapId, files, partFields)
+    val manifestBytes =
+      dataManifestBytes(schemaJson, snapId, files, partFields, specId)
     writeFile(conf, manifestPath, manifestBytes)
     val listPath = writeList(conf, location, snapId, seqNum, parentSnapshotId,
       AvroOcf.manifestListEntry(manifestPath, manifestBytes.length.toLong,
@@ -140,16 +149,23 @@ object IcebergCommit {
     * single-writer semantics (the chain has no optimistic lock; a
     * catalog is the thing that arbitrates concurrent writers). Returns
     * the new snapshot id. */
-  /** The partition-spec fields manifests for this table must be
-    * written with: the explicit `defaultSpec` argument wins, else the
-    * chain's recorded default spec (so maintenance commits passing
-    * None inherit the declared partitioning). */
+  /** The (spec-id, fields) manifests for this table must be written
+    * with: the explicit `defaultSpec` argument wins, else the chain's
+    * recorded default spec (so maintenance commits passing None
+    * inherit the declared partitioning). The id comes from the SAME
+    * resolution [[IcebergTableMetadata.commit]] will apply — a spec
+    * structurally present in the chain reuses its id, a new one gets
+    * the id the metadata commit is about to assign — so the manifest
+    * stamp and the chain's `partition-specs` entry always agree. */
   private def partFieldsFor(prev: Option[IcebergTableMetadata.TableMetadata],
                             defaultSpec: Option[JValue])
-      : Seq[IcebergPartitioning.PartField] =
-    defaultSpec.map(IcebergPartitioning.fieldsOf)
-      .orElse(prev.map(IcebergPartitioning.fields))
-      .getOrElse(Nil)
+      : (Int, Seq[IcebergPartitioning.PartField]) = {
+    val (specs, id) = IcebergTableMetadata.resolveSpec(prev, defaultSpec)
+    val fields = specs.find(sp =>
+      (sp \ "spec-id").toOption.contains(JInt(id)))
+      .map(IcebergPartitioning.fieldsOf).getOrElse(Nil)
+    (id, fields)
+  }
 
   /** `branch` stages the append on that ref instead of main (the
     * write-audit-publish pattern): the new snapshot's parent is the
@@ -168,9 +184,9 @@ object IcebergCommit {
       p <- prev; id <- parentId
       s <- p.snapshots.find(_.snapshotId == id)
     } yield s.manifestList
+    val (sid, pf) = partFieldsFor(prev, defaultSpec)
     val (_, listPath) = writeManifests(conf, location, schemaJson,
-      snapId, seqNum, parentId, parentList, files,
-      partFieldsFor(prev, defaultSpec))
+      snapId, seqNum, parentId, parentList, files, pf, sid)
     IcebergTableMetadata.commit(conf, location, schemaJson, defaultSpec,
       Some(IcebergTableMetadata.SnapshotMeta(
         snapId, parentId, seqNum, System.currentTimeMillis(), listPath,
@@ -213,10 +229,10 @@ object IcebergCommit {
     // delete files apply table-wide: same tuple schema as the data
     // manifests (readers expect one r102 shape per spec), all-null
     // values (spec: null partition value = not partition-scoped)
-    val partFields = partFieldsFor(Some(prev), defaultSpec)
+    val (sid, partFields) = partFieldsFor(Some(prev), defaultSpec)
     val manifestPath = s"$location/metadata/graft-d-$snapId.avro"
     val manifestBytes =
-      deleteManifestBytes(schemaJson, snapId, seqNum, deletes, partFields)
+      deleteManifestBytes(schemaJson, snapId, seqNum, deletes, partFields, sid)
     writeFile(conf, manifestPath, manifestBytes)
     val parentList = for {
       id <- parentId; s <- prev.snapshots.find(_.snapshotId == id)
@@ -262,13 +278,13 @@ object IcebergCommit {
     val snapId = System.nanoTime()
     val seqNum = prev.lastSequenceNumber + 1
     val parentId = prev.currentSnapshotId
-    val partFields = partFieldsFor(Some(prev), defaultSpec)
+    val (sid, partFields) = partFieldsFor(Some(prev), defaultSpec)
     val dataPath = s"$location/metadata/graft-m-$snapId.avro"
-    val dataBytes = dataManifestBytes(schemaJson, snapId, files, partFields)
+    val dataBytes = dataManifestBytes(schemaJson, snapId, files, partFields, sid)
     writeFile(conf, dataPath, dataBytes)
     val delPath = s"$location/metadata/graft-d-$snapId.avro"
     val delBytes =
-      deleteManifestBytes(schemaJson, snapId, seqNum, deletes, partFields)
+      deleteManifestBytes(schemaJson, snapId, seqNum, deletes, partFields, sid)
     writeFile(conf, delPath, delBytes)
     val parentList = for {
       id <- parentId; s <- prev.snapshots.find(_.snapshotId == id)
@@ -305,9 +321,9 @@ object IcebergCommit {
     val snapId = System.nanoTime()
     val seqNum = prev.lastSequenceNumber + 1
     val parentId = prev.currentSnapshotId
+    val (sid, pf) = partFieldsFor(Some(prev), defaultSpec)
     val (_, listPath) = writeManifests(conf, location, schemaJson,
-      snapId, seqNum, parentId, parentList = None, files,
-      partFieldsFor(Some(prev), defaultSpec))
+      snapId, seqNum, parentId, parentList = None, files, pf, sid)
     IcebergTableMetadata.commit(conf, location, schemaJson, defaultSpec,
       Some(IcebergTableMetadata.SnapshotMeta(
         snapId, parentId, seqNum, System.currentTimeMillis(), listPath,

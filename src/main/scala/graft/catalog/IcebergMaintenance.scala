@@ -291,6 +291,43 @@ object IcebergMaintenance {
   private def normUri(p: Path): String =
     p.toUri.getPath
 
+  /** PARTITION-SPEC EVOLUTION on the catalog-free chain — the
+    * standalone twin of [[RestCatalogClient.updatePartitionSpec]] (the
+    * reference repartitioner's re-registration,
+    * `/root/reference/internal/recovery/repartitioner.go`): register a
+    * new default spec with `granularity`'s time transform on
+    * `tsColumn`. Metadata-only and instant at any table size: one new
+    * vN.metadata.json whose `partition-specs` array KEEPS every prior
+    * spec (old manifests stay stamped with their original spec-id and
+    * keep pruning under their original transform — the reader resolves
+    * tuples per manifest); only FUTURE commits derive tuples under the
+    * new spec. Field-ids: a (source, transform) pair already present in
+    * any recorded spec reuses its field-id and name, a new one gets
+    * max+1 (≥1000), per the spec's partition-field-id rules. Returns
+    * the new default spec-id. */
+  def updateSpec(spark: SparkSession, tableDir: String,
+                 tsColumn: String, granularity: String): Int = {
+    import org.json4s._
+    val meta = tableMeta(spark, tableDir)
+    val srcId = IcebergTableReader.fieldId(meta, tsColumn)
+    val (baseName, transform) =
+      RestCatalogClient.granularityTransform(granularity)
+    val prevFields = meta.partitionSpecsJson
+      .flatMap(IcebergPartitioning.fieldsOf)
+    val (name, fieldId) = prevFields
+      .find(p => p.sourceId == srcId && p.transform == transform)
+      .map(p => (p.name, p.fieldId))
+      .getOrElse((s"${tsColumn}_$baseName",
+        prevFields.map(_.fieldId).foldLeft(999)(math.max) + 1))
+    val spec = JObject("fields" -> JArray(List(JObject(
+      "name" -> JString(name), "transform" -> JString(transform),
+      "source-id" -> JInt(srcId), "field-id" -> JInt(fieldId)))))
+    IcebergTableMetadata.commit(
+      spark.sparkContext.hadoopConfiguration, tableDir,
+      meta.schemaJson, Some(spec), None)
+    tableMeta(spark, tableDir).defaultSpecId
+  }
+
   // ---- snapshot refs: branches, tags, write-audit-publish ----------
 
   import IcebergTableMetadata.SnapshotRef

@@ -85,6 +85,38 @@ object IcebergTableMetadata {
   private def metadataPath(location: String, v: Int) =
     new Path(s"$location/metadata/v$v.metadata.json")
 
+  /** Partition-spec EVOLUTION resolution, shared by [[commit]] and the
+    * manifest writers ([[IcebergCommit]] stamps each manifest with the
+    * spec-id its tuples were written under — the id this function
+    * returns): given the chain's prior state and an incoming default
+    * spec, produce (the accumulated `partition-specs` array, the
+    * effective default spec-id). Matching is STRUCTURAL on the fields
+    * array (spec-ids stripped), so the common every-commit-passes-the-
+    * same-spec path keeps id 0 and only a genuinely new shape appends
+    * max+1 — Iceberg's rule that old manifests keep their original
+    * spec-id and only future writes use the new one. */
+  def resolveSpec(prev: Option[TableMetadata], defaultSpec: Option[JValue])
+      : (List[JValue], Int) = defaultSpec match {
+    case Some(sp) =>
+      val prevSpecs = prev.map(_.partitionSpecsJson.toList).getOrElse(Nil)
+      prevSpecs.find(ex => (ex \ "fields") == (sp \ "fields")) match {
+        case Some(ex) =>
+          (prevSpecs, (ex \ "spec-id").toOption
+            .collect { case JInt(n) => n.toInt }.getOrElse(0))
+        case None =>
+          val nid = prevSpecs.flatMap(s => (s \ "spec-id").toOption
+            .collect { case JInt(n) => n.toInt }).foldLeft(-1)(math.max) + 1
+          val withId = sp.removeField {
+            case ("spec-id", _) => true; case _ => false
+          }.merge(JObject("spec-id" -> JInt(nid)))
+          (prevSpecs :+ withId, nid)
+      }
+    case None => prev.map(_.partitionSpecsJson.toList).filter(_.nonEmpty)
+      .map(ss => (ss, prev.map(_.defaultSpecId).getOrElse(0)))
+      .getOrElse((List(JObject("spec-id" -> JInt(0),
+        "fields" -> JArray(Nil))), 0))
+  }
+
   /** Current metadata version: the hint file, else the max vN present
     * (hint loss is recoverable — versions are immutable and numbered,
     * the [[graft.recovery.VersionedManifest]] discipline). 0 = none. */
@@ -298,19 +330,12 @@ object IcebergTableMetadata {
     // `None` CARRIES the previous version's specs forward (a
     // maintenance commit must not silently unpartition the table);
     // only a table with no declared spec gets the empty spec-0.
-    val (specs: List[JValue], specId: Int) = defaultSpec match {
-      case Some(sp) =>
-        val withId =
-          if ((sp \ "spec-id").toOption.isDefined) sp
-          else sp.merge(JObject("spec-id" -> JInt(0)))
-        (List(withId),
-          (withId \ "spec-id").toOption.collect { case JInt(n) => n.toInt }
-            .getOrElse(0))
-      case None => prev.map(_.partitionSpecsJson.toList).filter(_.nonEmpty)
-        .map(ss => (ss, prev.map(_.defaultSpecId).getOrElse(0)))
-        .getOrElse((List(JObject("spec-id" -> JInt(0),
-          "fields" -> JArray(Nil))), 0))
-    }
+    // `Some` ACCUMULATES (partition-spec EVOLUTION, the schema-array
+    // discipline above): a spec whose fields match a recorded one
+    // reuses that spec-id, a new shape is appended under max+1 and
+    // becomes the default — prior specs stay so readers can interpret
+    // the tuples of manifests written under them.
+    val (specs: List[JValue], specId: Int) = resolveSpec(prev, defaultSpec)
     val lastPartitionId = specs.flatMap { sp =>
       (sp \ "fields").toOption.toSeq.flatMap {
         case JArray(fs0) => fs0.flatMap(f => (f \ "field-id").toOption

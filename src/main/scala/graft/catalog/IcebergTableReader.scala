@@ -39,7 +39,13 @@ object IcebergTableReader {
       snapshotId: Long,
       lowerBounds: Map[Int, Array[Byte]], upperBounds: Map[Int, Array[Byte]],
       dataSequenceNumber: Long = 0L,
-      partition: Map[String, Long] = Map.empty)
+      partition: Map[String, Long] = Map.empty,
+      // the partition-spec fields of the MANIFEST this entry came from
+      // (partition-spec evolution: a file's tuple is interpreted under
+      // the spec it was written with, never the table's current
+      // default); None = the manifest declared no spec → fall back to
+      // the table default
+      specFields: Option[Seq[IcebergPartitioning.PartField]] = None)
 
   /** One live DELETE file at a snapshot (Iceberg v2 merge-on-read):
     * `content` 1 = position deletes (`file_path`/`pos` parquet), 2 =
@@ -156,7 +162,21 @@ object IcebergTableReader {
           val mpath = m("manifest_path").asInstanceOf[String]
           val mb = readAll(spark, mpath).getOrElse(
             throw new IllegalArgumentException(s"manifest $mpath missing"))
-          val (_, entries) = AvroOcf.read(mb)
+          val (mMeta, entries) = AvroOcf.read(mb)
+          // per-manifest partition spec (spec EVOLUTION): the embedded
+          // `partition-spec` fields array wins (what both this writer
+          // and the Java ManifestWriter stamp); else resolve the
+          // manifest's `partition-spec-id` against the table's
+          // partition-specs array; else None → table default.
+          val mSpecFields: Option[Seq[IcebergPartitioning.PartField]] =
+            mMeta.get("partition-spec").flatMap(s =>
+              scala.util.Try(IcebergPartitioning.fieldsOf(
+                JObject("fields" -> parse(s)))).toOption)
+            .orElse(mMeta.get("partition-spec-id")
+              .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+              .flatMap(id => meta.partitionSpecsJson.find(sp =>
+                (sp \ "spec-id").toOption.contains(JInt(id)))
+                .map(IcebergPartitioning.fieldsOf)))
           entries.foreach {
             case e: Map[String, Any] @unchecked if !e.get("status").contains(2) =>
               e.get("data_file").foreach {
@@ -181,7 +201,8 @@ object IcebergTableReader {
                             case (k, v: Long) => k -> v
                           }
                         case _ => Map.empty
-                      })
+                      },
+                      specFields = mSpecFields)
                   else if (fContent == 1 || fContent == 2)
                     dels += DeleteEntry(
                       path = df("file_path").asInstanceOf[String],
@@ -534,10 +555,15 @@ object IcebergTableReader {
                 asOfSnapshotId: Option[Long] = None): DataFrame = {
     val meta = metadata(spark, tableDir)
     val fid = fieldId(meta, column)
-    val partFields = IcebergPartitioning.fields(meta)
-      .filter(_.sourceId == fid)
+    val defaultFields = IcebergPartitioning.fields(meta)
     val (allFiles, deletes) = scanState(spark, tableDir, asOfSnapshotId)
     val files = allFiles.filter { f =>
+      // each file's tuple is interpreted under ITS OWN manifest's spec
+      // (partition-spec evolution: a day-partitioned file keeps its
+      // day transform after the table moves to hourly) — only fields
+      // sourced from the sliced column participate
+      val partFields = f.specFields.getOrElse(defaultFields)
+        .filter(_.sourceId == fid)
       val partitionKeeps = partFields.forall { p =>
         f.partition.get(p.name).forall { v =>
           v >= IcebergPartitioning.transformValue(p.transform, startUs) &&

@@ -428,7 +428,9 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
       val (_, listPath) = IcebergCommit.writeManifests(
         hadoopConf, info.location, info.schemaJson, snapId, seqNum,
         info.currentSnapshotId, parentList, files,
-        info.defaultSpec.map(IcebergPartitioning.fieldsOf).getOrElse(Nil))
+        info.defaultSpec.map(IcebergPartitioning.fieldsOf).getOrElse(Nil),
+        specId = info.defaultSpec.flatMap(sp => (sp \ "spec-id").toOption
+          .collect { case JInt(n) => n.toInt }).getOrElse(0))
       val summary = JObject(
         "operation" -> JString("append"),
         "otel.exporter" -> JString("iceberg"),

@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.json4s.jackson.JsonMethods.{compact, parse, render}
+
+import graft.catalog.{IcebergCommit, IcebergMaintenance, IcebergPartitioning,
+  IcebergSingleValue, IcebergTableReader, RestCatalogClient}
+import graft.catalog.RestCatalogClient.DataFile
+
+/** PARTITION-SPEC EVOLUTION on the catalog-free chain
+  * (IcebergMaintenance.updateSpec + per-manifest spec resolution in
+  * IcebergTableReader): a table partitioned daily moves to hourly; old
+  * manifests keep their original spec-id and their tuples keep pruning
+  * under the DAY transform while new commits derive HOUR tuples — the
+  * Iceberg rule that spec changes are metadata-only and never
+  * reinterpret existing files. The money assertion is the
+  * mixed-spec slice: a day-tuple file inside the sliced day must stay
+  * OPEN even though its tuple value (a day number) lies far outside
+  * the hour-number range the new default spec would map the slice to —
+  * pruning old files with the new transform silently loses data. */
+class IcebergSpecEvolutionSpec extends SparkSpec {
+
+  private val Hour = 3600L * 1000000L
+  private val Day = 24L * Hour
+
+  private def listParquet(dir: String): Seq[String] =
+    java.nio.file.Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+      .toSeq.sorted
+
+  private def writeBatch(dir: String, ids: Range, tsBase: Long): Seq[String] = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, tsBase + i * 1000L, s"v$i")).toDF("id", "ts", "payload")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    listParquet(dir)
+  }
+
+  test("daily -> hourly: per-spec tuples, mixed-spec pruning, reference round-trip") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("graft-specevo").toString + "/t"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val schema = Seq((0L, 0L, "")).toDF("id", "ts", "payload").schema
+    val (schemaJson, topIds) = RestCatalogClient.icebergSchemaJson(schema)
+    val sj = compact(render(schemaJson))
+    val tsId = topIds("ts")
+    val daySpec = parse(
+      s"""{"fields":[{"name":"ts_day","transform":"day",
+         |"source-id":$tsId,"field-id":1000}]}""".stripMargin)
+
+    def commit(paths: Seq[String], spec: Option[org.json4s.JValue],
+               withBounds: Boolean,
+               explicitPart: Seq[Option[Long]] = Nil): Long = {
+      val stats = graft.recovery.Recovery.fileColumnStats(spark, paths, "ts")
+      val counts = graft.recovery.Recovery.fileRowCounts(spark, paths)
+      IcebergCommit.commitStandalone(conf, loc, sj, spec,
+        paths.map { p =>
+          val bounds = if (!withBounds) Nil else stats.get(p).toSeq.map {
+            case (mn, mx) => (tsId, IcebergSingleValue.longBytes(mn),
+              IcebergSingleValue.longBytes(mx))
+          }
+          DataFile(p, Files.size(Paths.get(p)), counts(p), bounds,
+            partition = explicitPart)
+        })
+    }
+
+    // ---- era 1: DAILY spec (spec-id 0) ----
+    // a1 in day 3 (hour 5), a2 statless in day 4, tuple EXPLICIT — any
+    // pruning of a2 can only come from its (day) tuple
+    val a1 = writeBatch(s"$loc/data/a1", 0 until 20, 3 * Day + 5 * Hour)
+    commit(a1, Some(daySpec), withBounds = true)
+    val a2 = writeBatch(s"$loc/data/a2", 20 until 30, 4 * Day + 2 * Hour)
+    val sA2 = commit(a2, Some(daySpec), withBounds = false,
+      explicitPart = Seq(Some(4L)))
+
+    // ---- evolve: metadata-only, instant ----
+    assert(IcebergMaintenance.updateSpec(spark, loc, "ts", "hourly") === 1)
+    val meta1 = IcebergTableReader.metadata(spark, loc)
+    assert(meta1.defaultSpecId === 1)
+    assert(meta1.partitionSpecsJson.size === 2)
+    val fieldsBySpec = meta1.partitionSpecsJson
+      .map(sp => IcebergPartitioning.fieldsOf(sp).map(f =>
+        (f.name, f.transform, f.fieldId))).toSet
+    assert(fieldsBySpec === Set(
+      Seq(("ts_day", "day", 1000)), Seq(("ts_hour", "hour", 1001))))
+
+    // ---- era 2: commits inherit the HOURLY default ----
+    // b1 in day 3 hour 7 with stats; b2 statless in day 5 hour 2 with
+    // an explicit HOUR tuple
+    val b1 = writeBatch(s"$loc/data/b1", 30 until 40, 3 * Day + 7 * Hour)
+    val sB1 = commit(b1, None, withBounds = true)
+    val b2 = writeBatch(s"$loc/data/b2", 40 until 45, 5 * Day + 2 * Hour)
+    commit(b2, None, withBounds = false,
+      explicitPart = Seq(Some(5L * 24 + 2)))
+
+    // tuples surface under each file's OWN spec
+    val files = IcebergTableReader.dataFiles(spark, loc)
+    val byPath = files.map(f => f.path -> f).toMap
+    assert(byPath(a1.head).partition === Map("ts_day" -> 3L))
+    assert(byPath(a2.head).partition === Map("ts_day" -> 4L))
+    assert(byPath(b1.head).partition === Map("ts_hour" -> (3L * 24 + 7)))
+    assert(byPath(b2.head).partition === Map("ts_hour" -> (5L * 24 + 2)))
+    assert(byPath(a1.head).specFields.get.map(_.transform) === Seq("day"))
+    assert(byPath(b1.head).specFields.get.map(_.transform) === Seq("hour"))
+
+    def openedBy(startUs: Long, endUs: Long): Set[String] =
+      IcebergTableReader.readSlice(spark, loc, "ts", startUs, endUs)
+        .inputFiles.toSeq.map(f => new java.net.URI(f).getPath).toSet
+
+    // THE MONEY CASE: slicing all of day 4 must open the statless
+    // day-tuple file a2 — its tuple value (4) is nowhere near the hour
+    // numbers (96..119) the NEW default spec maps the window to, so
+    // pruning it under the wrong spec would silently drop its rows
+    assert(openedBy(4 * Day, 5 * Day) === a2.toSet)
+    assert(IcebergTableReader.readSlice(spark, loc, "ts", 4 * Day, 5 * Day)
+      .count() === 10L)
+    // day-5-hour-2 slice: b2's hour tuple matches exactly (no stats —
+    // tuple-only), a2's day tuple (4) excludes it
+    assert(openedBy(5 * Day + 2 * Hour, 5 * Day + 3 * Hour) === b2.toSet)
+    // hour slice inside day 3: b1 via stats+tuple; a1 pruned by STATS
+    // (hour 5 ∉ hour-7 window) even though its day tuple matches
+    assert(openedBy(3 * Day + 7 * Hour, 3 * Day + 8 * Hour) === b1.toSet)
+    // a slice in an untouched day prunes everything
+    assert(openedBy(9 * Day, 10 * Day) === Set.empty[String])
+    // full cold read sees every era
+    assert(IcebergTableReader.read(spark, loc).count() === 45L)
+
+    // ---- reference Avro reader: each era's manifest declares ITS spec ----
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import scala.jdk.CollectionConverters._
+    val meta2 = IcebergTableReader.metadata(spark, loc)
+    def manifestMeta(snapId: Long): (String, String) = {
+      val head = meta2.snapshots.maxBy(_.sequenceNumber)
+      val listRd = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(Files.readAllBytes(
+          Paths.get(head.manifestList))),
+        new GenericDatumReader[GenericRecord]())
+      val mPath = try listRd.iterator().asScala
+        .map(_.get("manifest_path").toString)
+        .find(_.contains(s"graft-m-$snapId")).get finally listRd.close()
+      val mRd = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(Files.readAllBytes(Paths.get(mPath))),
+        new GenericDatumReader[GenericRecord]())
+      try (mRd.getMetaString("partition-spec-id"),
+           mRd.getMetaString("partition-spec")) finally mRd.close()
+    }
+    val (idA, fieldsA) = manifestMeta(sA2)
+    assert(idA === "0")
+    assert(IcebergPartitioning.fieldsOf(
+      org.json4s.JObject("fields" -> parse(fieldsA)))
+      .map(_.transform) === Seq("day"))
+    val (idB, fieldsB) = manifestMeta(sB1)
+    assert(idB === "1")
+    assert(IcebergPartitioning.fieldsOf(
+      org.json4s.JObject("fields" -> parse(fieldsB)))
+      .map(_.transform) === Seq("hour"))
+
+    // ---- structural reuse: an explicit re-commit under the OLD day
+    // spec maps back to spec-id 0 (no third spec appears), and a
+    // second hourly evolution reuses spec-id 1 + field-id 1001 ----
+    val a3 = writeBatch(s"$loc/data/a3", 45 until 50, 6 * Day + Hour)
+    commit(a3, Some(daySpec), withBounds = true)
+    val meta3 = IcebergTableReader.metadata(spark, loc)
+    assert(meta3.defaultSpecId === 0)
+    assert(meta3.partitionSpecsJson.size === 2)
+    assert(IcebergMaintenance.updateSpec(spark, loc, "ts", "hourly") === 1)
+    assert(IcebergTableReader.metadata(spark, loc)
+      .partitionSpecsJson.size === 2)
+    ()
+  }
+}
