@@ -237,6 +237,7 @@ object SparkEntry {
     "dedup_span_apply"   -> ((s, d) => Dedup.spanApply(s, d)),
     "q_triangle_support" -> ((s, d) => Triangles.triangleSupport(s, d)),
     "q_jaccard_neighbors" -> ((s, d) => GraphSim.jaccardNeighbors(s, d)),
+    "text_kn_perplexity" -> ((s, d) => TextOps.knPerplexity(s, d)),
     // r10: TPC-H completion pack (operators/TpchPack.scala)
     "q2_min_cost_supp"   -> (TpchPack.q2MinCostSupp _),
     "q7_volume_shipping" -> (TpchPack.q7VolumeShipping _),
@@ -4372,6 +4373,41 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |   AS pairs_at_or_above
         |FROM bins""".stripMargin,
+    // Kneser-Ney: absolute discounting + continuation probabilities,
+    // every model stat an integer count off the bigram TYPE table;
+    // identical ln/round/micro-quantize op order on both engines
+    "text_kn_perplexity" ->
+      """WITH d AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        | FROM documents),
+        |bi AS (
+        | SELECT doc_id, toks[i - 1] AS w1, toks[i] AS w2
+        | FROM (SELECT doc_id, toks,
+        |        unnest(generate_series(2, len(toks))) AS i
+        |       FROM d) t),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |hist AS (
+        | SELECT w1, CAST(sum(cb) AS BIGINT) AS c1, count(*) AS n1f
+        | FROM cb GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS n1b FROM cb GROUP BY 1),
+        |types AS (SELECT count(*) AS t_types FROM cb),
+        |st AS (
+        | SELECT cb.w1, cb.w2,
+        |  CAST(round(1e6 * round(-ln(
+        |    greatest(cb.cb - 0.75, 0.0) / hist.c1 +
+        |    (0.75 * hist.n1f / hist.c1) * (cont.n1b / types.t_types))
+        |   / ln(2.0), 4)) AS BIGINT) AS s_micro
+        | FROM cb
+        |  JOIN hist ON hist.w1 = cb.w1
+        |  JOIN cont ON cont.w2 = cb.w2
+        |  CROSS JOIN types)
+        |SELECT bi.doc_id,
+        | CAST(count(*) AS BIGINT) AS n_bigrams,
+        | CAST(sum(st.s_micro) AS BIGINT) AS sum_s_micro,
+        | CAST(CAST(sum(st.s_micro) AS BIGINT) // count(*) AS DOUBLE)
+        |   / 1e6 AS mean_bits
+        |FROM bi JOIN st USING (w1, w2)
+        |GROUP BY 1""".stripMargin,
     // ---- r10 TPC-H completion pack ----
     "q2_min_cost_supp" ->
       """WITH ps AS (

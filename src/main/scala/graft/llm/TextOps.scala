@@ -874,6 +874,65 @@ object TextOps {
         round($"sum_s_micro".cast("double") / (lit(1e6) * $"n_bigrams"), 4))
   }
 
+  /** Kneser-Ney smoothed bigram perplexity per document — the
+    * kenlm/CCNet-style quality scorer (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets", LREC'20 filters
+    * pretraining corpora on exactly this statistic). One tier above
+    * [[bigramSurprisal]]'s fixed-λ interpolation: absolute discounting
+    * with CONTINUATION probabilities —
+    * `P(w₂|w₁) = max(c₁₂−D,0)/c₁ + (D·N₁₊(w₁·)/c₁)·(N₁₊(·w₂)/T)`
+    * (D=0.75; N₁₊ = distinct-continuation counts; T = bigram types) —
+    * the estimator that makes "Francisco" cheap only after "San".
+    *
+    * Engine-stability: every model quantity is an integer count off
+    * the bigram TYPE table; each type's bits are ln-computed once with
+    * a fixed operation order, rounded to 4 decimals, micro-quantized,
+    * so each document's total is an exact integer sum (the BM25 /
+    * [[bigramSurprisal]] discipline).
+    *
+    * Scale shape: ONE wide exchange builds the (w1,w2) type table
+    * (map-side combined); history stats (c₁, N₁₊ forward), continuation
+    * stats (N₁₊ backward), and the type total all derive from that
+    * table — vocabulary-sized aggregates, never a second pass over the
+    * corpus; the type count rides a 1-row broadcast. Scoring joins the
+    * bigram stream back on (w1,w2) — the same key as the type shuffle,
+    * so the exchange layout is reused. */
+  def knPerplexity(spark: SparkSession, sfDir: String,
+                   discount: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", split(trim(lower($"text")), "\\s+").as("toks"))
+    val bi = docs
+      .select($"doc_id", $"toks",
+              posexplode(expr("slice(toks, 2, size(toks) - 1)"))
+                .as(Seq("p", "w2")))
+      .select($"doc_id", element_at($"toks", $"p" + 1).as("w1"), $"w2")
+    val cb = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    val hist = cb.groupBy($"w1")
+      .agg(sum($"cb").as("c1"), count(lit(1)).as("n1f"))
+    val cont = cb.groupBy($"w2").agg(count(lit(1)).as("n1b"))
+    val types = cb.agg(count(lit(1)).as("t_types"))
+    val st = cb
+      .join(hist, "w1")
+      .join(cont, "w2")
+      .crossJoin(broadcast(types))
+      .select($"w1", $"w2",
+        round(lit(1e6) * round(-log(
+          greatest($"cb" - lit(discount), lit(0.0)) / $"c1" +
+            (lit(discount) * $"n1f" / $"c1") * ($"n1b" / $"t_types")) /
+          log(lit(2.0)), 4)).cast("long").as("s_micro"))
+    bi.join(st, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum($"s_micro").as("sum_s_micro"))
+      // integer floor-division in micro-bits, THEN one exact
+      // long→double conversion: a double round() here can land exactly
+      // on a .00005 boundary, where Spark (shortest-decimal HALF_UP)
+      // and DuckDB (binary-value rounding) disagree by 1e-4
+      .withColumn("mean_bits",
+        expr("sum_s_micro div n_bigrams").cast("double") / lit(1e6))
+  }
+
   /** DSIR importance weights (Xie et al., "Data Selection for Language
     * Models via Importance Resampling", NeurIPS'23): score every
     * document by how much more likely its hashed-unigram bag is under a

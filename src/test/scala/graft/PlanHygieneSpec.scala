@@ -24,6 +24,7 @@ class PlanHygieneSpec extends SparkSpec {
     "text_bm25",            // tf rows × 1-row corpus-stats broadcast
     "text_dsir_weights",    // bucket table × 1-row distribution totals
     "text_bigram_surprisal", // bigram model × 1-row corpus total
+    "text_kn_perplexity",   // bigram type table × 1-row type-count broadcast
     "text_doc_freq",        // term aggregates × 1-row doc-count broadcast
     "text_tfidf",           // vocabulary × 1-row doc-count broadcast
     "dedup_tfidf_cosine",   // df valve table × 1-row doc-count broadcast
