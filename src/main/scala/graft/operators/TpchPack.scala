@@ -62,11 +62,15 @@ object TpchPack {
       .join(broadcast(Tables.region(spark, sfDir).filter($"r_name" === "EUROPE")),
             $"n_regionkey" === $"r_regionkey")
       .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    // part filter joins BELOW the pair aggregation (Catalyst cannot
+    // push a join through a groupBy itself): the ~1.5% selected parts
+    // prune the fact scan before the heavy (part, supplier) exchange —
+    // per-group min is untouched by dropping whole other groups
     val ps = Tables.lineitem(spark, sfDir)
-      .groupBy($"l_partkey", $"l_suppkey")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_partkey", $"p_name", $"l_suppkey")
       .agg(min($"l_extendedprice" / $"l_quantity").as("supplycost"))
     val cand = ps
-      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
       .join(broadcast(eurSupp), $"l_suppkey" === $"s_suppkey")
     val perPart = Window.partitionBy($"p_partkey")
     cand.withColumn("min_cost", min($"supplycost").over(perPart))
@@ -260,8 +264,10 @@ object TpchPack {
 
   /** TPC-H Q16 shape — supplier-part-type counts: distinct suppliers
     * able to supply each surviving (brand, type, size) bucket, with the
-    * NOT IN (delinquent suppliers) as a broadcast ANTI join and the
-    * supplier-pair table derived once from lineitem. */
+    * NOT IN (delinquent suppliers) as a broadcast ANTI join. The
+    * broadcast part filter (~13% of parts) and the anti join both run
+    * BELOW the distinct so the pair exchange carries only surviving
+    * rows — dedup of pruned-away pairs is wasted shuffle at 100 TB. */
   def q16SuppPartCnt(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val excl = Tables.supplier(spark, sfDir)
@@ -271,7 +277,7 @@ object TpchPack {
               $"p_size".isin(1, 5, 9, 13, 17, 21, 25, 29))
       .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
     Tables.lineitem(spark, sfDir)
-      .select($"l_partkey", $"l_suppkey").distinct()
+      .select($"l_partkey", $"l_suppkey")
       .join(broadcast(excl), $"l_suppkey" === $"x_suppkey", "left_anti")
       .join(broadcast(partF), $"l_partkey" === $"p_partkey")
       .groupBy($"p_brand", $"p_type", $"p_size")
