@@ -381,31 +381,38 @@ object TpchPack {
 
   /** TPC-H Q21 shape — suppliers who kept orders waiting: the only late
     * supplier (ship > order date + 60d) on a multi-supplier 'F' order.
-    * EXISTS → left-semi (another supplier on the order), NOT EXISTS →
-    * left-anti (another LATE supplier) — both self-joins equi on
-    * orderkey (co-partitioned, one shuffle layout reused) with the
-    * supp≠supp residual. Counts only → exact. */
+    * The textbook EXISTS (another supplier) + NOT-EXISTS (another late
+    * supplier) self-joins collapse into ONE per-order aggregate: the
+    * predicate pair is exactly `distinct suppliers ≥ 2 AND distinct
+    * LATE suppliers = 1`, and when the late set is a singleton its
+    * member IS `max(late suppkey)` — so the whole query is the
+    * li ⋈ orders shuffle (on orderkey) feeding a groupBy on the SAME
+    * key (exchange layout reused, zero further wide ops), versus the
+    * r10-draft two distincts + semi + anti over pair tables (4
+    * exchanges). Counts only → exact; the independent SQL formulation
+    * in TpchPackSpec pins the semantic equivalence. */
   def q21WaitingSupp(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val fOrders = Tables.orders(spark, sfDir)
       .filter($"o_orderstatus" === "F")
       .select($"o_orderkey", $"o_orderdate")
-    val li = Tables.lineitem(spark, sfDir)
+    Tables.lineitem(spark, sfDir)
       .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
-    val onF = li.join(fOrders, $"l_orderkey" === $"o_orderkey")
-      .withColumn("late", $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
-    val pairs = onF.select($"l_orderkey".as("p_orderkey"),
-                           $"l_suppkey".as("p_suppkey")).distinct()
-    val latePairs = onF.filter($"late")
-      .select($"l_orderkey".as("lp_orderkey"),
-              $"l_suppkey".as("lp_suppkey")).distinct()
-    latePairs
-      .join(pairs, $"lp_orderkey" === $"p_orderkey" &&
-                   $"lp_suppkey" =!= $"p_suppkey", "left_semi")
-      .join(latePairs.select($"lp_orderkey".as("o2"), $"lp_suppkey".as("s2")),
-            $"lp_orderkey" === $"o2" && $"lp_suppkey" =!= $"s2", "left_anti")
+      .join(fOrders, $"l_orderkey" === $"o_orderkey")
+      // two-LEVEL aggregate instead of two count(distinct)s in one agg:
+      // the latter plans an Expand (3x the joined stream before partial
+      // aggregation); here level 1 collapses to (order, supplier, any
+      // line late?) map-side and level 2 counts plain rows
+      .groupBy($"o_orderkey", $"l_suppkey")
+      .agg(max(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+                    1L).otherwise(0L)).as("is_late"))
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+           sum($"is_late").as("n_late"),
+           max(when($"is_late" === 1L, $"l_suppkey")).as("waiting_supp"))
+      .filter($"n_supp" >= 2 && $"n_late" === 1)
       .join(broadcast(Tables.supplier(spark, sfDir)),
-            $"lp_suppkey" === $"s_suppkey")
+            $"waiting_supp" === $"s_suppkey")
       .groupBy($"s_name")
       .agg(count(lit(1)).as("numwait"))
       .orderBy($"numwait".desc, $"s_name".asc)
