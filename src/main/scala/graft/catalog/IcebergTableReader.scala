@@ -552,39 +552,63 @@ object IcebergTableReader {
     * [[graft.recovery.VersionedManifest.readSliceAt]]. */
   def readSlice(spark: SparkSession, tableDir: String, column: String,
                 startUs: Long, endUs: Long,
-                asOfSnapshotId: Option[Long] = None): DataFrame = {
+                asOfSnapshotId: Option[Long] = None): DataFrame =
+    readRanges(spark, tableDir, Seq(column -> (startUs, endUs)),
+      asOfSnapshotId)
+
+  /** MULTI-column cold read with the same two-level pruning as
+    * [[readSlice]], one `[lo, hi)` range per named column — the
+    * composite-spec point-lookup pattern (e.g. a table partitioned
+    * `hour(ts), identity(service)` answering "service 7, last 6 hours"
+    * opens only the files in the intersection of both prunes). A
+    * single-element equality is `col -> (v, v + 1)`. Every range must
+    * pass for a file to open: partition-tuple fields (each file under
+    * its OWN manifest's spec) first, manifest `lower/upper_bounds` for
+    * each column second, files lacking a tuple value or stats for a
+    * column are kept for that check (can't prune what isn't claimed).
+    * The row-level residual applies every range after the scan. */
+  def readRanges(spark: SparkSession, tableDir: String,
+                 ranges: Seq[(String, (Long, Long))],
+                 asOfSnapshotId: Option[Long] = None): DataFrame = {
     val meta = metadata(spark, tableDir)
-    val fid = fieldId(meta, column)
+    val fidOf = ranges.map { case (c, _) => c -> fieldId(meta, c) }.toMap
     val defaultFields = IcebergPartitioning.fields(meta)
     val (allFiles, deletes) = scanState(spark, tableDir, asOfSnapshotId)
     val files = allFiles.filter { f =>
       // each file's tuple is interpreted under ITS OWN manifest's spec
       // (partition-spec evolution: a day-partitioned file keeps its
       // day transform after the table moves to hourly) — only fields
-      // sourced from the sliced column participate
-      val partFields = f.specFields.getOrElse(defaultFields)
-        .filter(_.sourceId == fid)
-      val partitionKeeps = partFields.forall { p =>
-        f.partition.get(p.name).forall { v =>
-          v >= IcebergPartitioning.transformValue(p.transform, startUs) &&
-            v <= IcebergPartitioning.transformValue(p.transform, endUs - 1)
+      // sourced from a ranged column participate
+      val fileFields = f.specFields.getOrElse(defaultFields)
+      ranges.forall { case (col, (startUs, endUs)) =>
+        val fid = fidOf(col)
+        val partitionKeeps = fileFields.filter(_.sourceId == fid).forall { p =>
+          f.partition.get(p.name).forall { v =>
+            v >= IcebergPartitioning.transformValue(p.transform, startUs) &&
+              v <= IcebergPartitioning.transformValue(p.transform, endUs - 1)
+          }
         }
+        partitionKeeps &&
+          ((f.lowerBounds.get(fid), f.upperBounds.get(fid)) match {
+            case (Some(lo), Some(hi)) =>
+              val l = IcebergSingleValue.longOf(lo)
+              val h = IcebergSingleValue.longOf(hi)
+              h >= startUs && l < endUs
+            case _ => true // no stats → cannot prune
+          })
       }
-      partitionKeeps && ((f.lowerBounds.get(fid), f.upperBounds.get(fid)) match {
-        case (Some(lo), Some(hi)) =>
-          val l = IcebergSingleValue.longOf(lo)
-          val h = IcebergSingleValue.longOf(hi)
-          h >= startUs && l < endUs
-        case _ => true // no stats → cannot prune
-      })
     }
     // deletes for pruned-away files are harmless in the anti-joins
     // (their (path, pos) / key tuples simply never match)
     val df = assemble(spark, meta, files, deletes)
     if (files.isEmpty) return df
-    val c =
-      if (df.schema(column).dataType == TimestampType) unix_micros(col(column))
-      else col(column).cast("long")
-    df.filter(c >= startUs && c < endUs)
+    ranges.foldLeft(df) { case (acc, (column, (startUs, endUs))) =>
+      val c =
+        if (acc.schema(column).dataType == TimestampType)
+          unix_micros(col(column))
+        else col(column).cast("long")
+      acc.filter(c >= startUs && c < endUs)
+    }
   }
+
 }

@@ -169,4 +169,69 @@ class IcebergSpecEvolutionSpec extends SparkSpec {
       .partitionSpecsJson.size === 2)
     ()
   }
+
+  test("composite spec hour(ts)+identity(service): readRanges prunes on both dims") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("graft-composite").toString + "/t"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val schema = Seq((0L, 0L, "")).toDF("id", "ts", "payload").schema
+    val (schemaJson, topIds) = RestCatalogClient.icebergSchemaJson(schema)
+    val sj = compact(render(schemaJson))
+    val spec = parse(
+      s"""{"fields":[
+         |{"name":"ts_hour","transform":"hour","source-id":${topIds("ts")},"field-id":1000},
+         |{"name":"id_svc","transform":"identity","source-id":${topIds("id")},"field-id":1001}]}"""
+        .stripMargin)
+
+    def writeSvc(dir: String, svc: Long, n: Int, tsBase: Long): Seq[String] = {
+      (0 until n).map(i => (svc, tsBase + i * 1000L, s"s$svc-$i"))
+        .toDF("id", "ts", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      listParquet(dir)
+    }
+    def commit(paths: Seq[String]): Long = {
+      val tsStats = graft.recovery.Recovery.fileColumnStats(spark, paths, "ts")
+      val idStats = graft.recovery.Recovery.fileColumnStats(spark, paths, "id")
+      val counts = graft.recovery.Recovery.fileRowCounts(spark, paths)
+      IcebergCommit.commitStandalone(conf, loc, sj, Some(spec),
+        paths.map { p =>
+          val bounds =
+            tsStats.get(p).toSeq.map { case (mn, mx) =>
+              (topIds("ts"), IcebergSingleValue.longBytes(mn),
+                IcebergSingleValue.longBytes(mx)) } ++
+            idStats.get(p).toSeq.map { case (mn, mx) =>
+              (topIds("id"), IcebergSingleValue.longBytes(mn),
+                IcebergSingleValue.longBytes(mx)) }
+          DataFile(p, Files.size(Paths.get(p)), counts(p), bounds)
+        })
+    }
+    // 2 services × 2 hours, one file each — both tuple fields DERIVED
+    // from each file's own column stats at the commit choke point
+    val s1h0 = writeSvc(s"$loc/data/s1h0", 1L, 10, 0L)
+    val s1h5 = writeSvc(s"$loc/data/s1h5", 1L, 10, 5 * Hour)
+    val s2h0 = writeSvc(s"$loc/data/s2h0", 2L, 10, 0L)
+    val s2h5 = writeSvc(s"$loc/data/s2h5", 2L, 10, 5 * Hour)
+    Seq(s1h0, s1h5, s2h0, s2h5).foreach(commit(_))
+
+    val byPath = IcebergTableReader.dataFiles(spark, loc)
+      .map(f => f.path -> f.partition).toMap
+    assert(byPath(s2h5.head) === Map("ts_hour" -> 5L, "id_svc" -> 2L))
+
+    def openedBy(ranges: Seq[(String, (Long, Long))]): Set[String] =
+      IcebergTableReader.readRanges(spark, loc, ranges)
+        .inputFiles.toSeq.map(f => new java.net.URI(f).getPath).toSet
+    // the composite point-lookup: "service 2, hour 5" opens ONE file
+    assert(openedBy(Seq("ts" -> (5 * Hour, 6 * Hour), "id" -> (2L, 3L)))
+      === s2h5.toSet)
+    // each dimension alone prunes to its own pair
+    assert(openedBy(Seq("id" -> (2L, 3L))) === (s2h0 ++ s2h5).toSet)
+    assert(openedBy(Seq("ts" -> (5 * Hour, 6 * Hour))) === (s1h5 ++ s2h5).toSet)
+    // rows survive the residual filters
+    assert(IcebergTableReader.readRanges(spark, loc,
+      Seq("ts" -> (5 * Hour, 6 * Hour), "id" -> (2L, 3L))).count() === 10L)
+    // readSlice still delegates (single-range twin)
+    assert(IcebergTableReader.readSlice(spark, loc, "ts", 0L, Hour)
+      .count() === 20L)
+    ()
+  }
 }
