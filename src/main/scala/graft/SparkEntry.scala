@@ -238,6 +238,7 @@ object SparkEntry {
     "q_triangle_support" -> ((s, d) => Triangles.triangleSupport(s, d)),
     "q_jaccard_neighbors" -> ((s, d) => GraphSim.jaccardNeighbors(s, d)),
     "text_kn_perplexity" -> ((s, d) => TextOps.knPerplexity(s, d)),
+    "dedup_canonical"    -> ((s, d) => Dedup.dedupCanonical(s, d)),
     // r10: TPC-H completion pack (operators/TpchPack.scala)
     "q2_min_cost_supp"   -> (TpchPack.q2MinCostSupp _),
     "q7_volume_shipping" -> (TpchPack.q7VolumeShipping _),
@@ -1625,6 +1626,55 @@ object SparkEntry {
         | FROM reach GROUP BY src)
         |SELECT label AS cluster_id, count(*) AS n_docs, max(doc_id) AS max_doc_id
         |FROM lab GROUP BY 1""".stripMargin,
+    // canonical selection: the dedup_clusters closure + keep-longest
+    // (tie -> min doc_id) and reclaimed-token accounting
+    "dedup_canonical" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |   THEN [array_to_string(t[i:i+2],' ') for i in generate_series(1,len(t)-2)]
+        |   ELSE [array_to_string(t,' ')] END) AS s
+        | FROM toks),
+        |post AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+        |cand AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+        |  count(*) AS inter
+        | FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1,2,3,4),
+        |pairs AS (
+        | SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |   CAST(round(CAST(CAST(inter*1.0/(na+nb-inter) AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS jaccard
+        |  FROM cand) p
+        | WHERE jaccard >= 0.2),
+        |edges AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (
+        | SELECT src AS doc_id, least(src, min(dst)) AS label
+        | FROM reach GROUP BY src),
+        |sz AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)),'\s+')) AS BIGINT)
+        |   AS n_toks
+        | FROM documents),
+        |ranked AS (
+        | SELECT lab.label, lab.doc_id, sz.n_toks,
+        |  row_number() OVER (PARTITION BY lab.label
+        |                     ORDER BY sz.n_toks DESC, lab.doc_id ASC) AS rn
+        | FROM lab JOIN sz ON sz.doc_id = lab.doc_id)
+        |SELECT label AS cluster_id, count(*) AS n_docs,
+        | CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_doc,
+        | CAST(max(CASE WHEN rn = 1 THEN n_toks END) AS BIGINT) AS kept_tokens,
+        | CAST(sum(CASE WHEN rn > 1 THEN n_toks ELSE 0 END) AS BIGINT)
+        |   AS dropped_tokens
+        |FROM ranked GROUP BY 1""".stripMargin,
     "text_curation_funnel" ->
       // four proven stage oracles (exact min-id, recursive-CTE near-dup
       // closure, gopher rules, langid argmax) joined into per-doc

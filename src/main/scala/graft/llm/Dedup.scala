@@ -281,6 +281,39 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), max($"doc_id").as("max_doc_id"))
   }
 
+  /** CANONICAL SELECTION per near-dup cluster (r10) — the decision step
+    * a curation pipeline runs after [[dedupClusters]]: inside each
+    * cluster keep ONE member and account for what the drop costs. The
+    * keep policy is the Lee et al. production default — longest member
+    * (token count), ties to the smallest doc_id — so reruns and other
+    * engines pick identical survivors. Output per cluster: the kept
+    * doc, its length, and the token mass the deletion reclaims.
+    *
+    * Scale shape: pair mining + pointer-jump CC are the shared
+    * [[dedupClusters]] kernel; the selection itself is one row_number
+    * window PARTITIONED BY cluster label (keyed — never a global
+    * window) over the |clustered docs| table, then a hash aggregate.
+    * Token counts ride along from a narrow map of the docs table. */
+  def dedupCanonical(spark: SparkSession, sfDir: String,
+                     threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val pairs = ngramJaccard(spark, sfDir, threshold)
+      .select($"doc_a", $"doc_b").localCheckpoint()
+    val toksz = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(split(trim(lower($"text")), "\\s+")).cast("long").as("n_toks"))
+    val w = Window.partitionBy($"label")
+      .orderBy($"n_toks".desc, $"doc_id".asc)
+    adaptiveComponents(pairs, 20, 100000L)
+      .join(toksz, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"label".as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           max(when($"rn" === 1, $"doc_id")).as("kept_doc"),
+           max(when($"rn" === 1, $"n_toks")).as("kept_tokens"),
+           sum(when($"rn" > 1, $"n_toks").otherwise(0L)).as("dropped_tokens"))
+  }
+
   /** INCREMENTAL near-dup check (r11) — the nightly-ingest production
     * shape: a NEW batch of documents probes the EXISTING corpus's
     * banded MinHash index instead of re-deduplicating the world.

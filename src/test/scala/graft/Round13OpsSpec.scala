@@ -48,6 +48,33 @@ class Round13OpsSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("dedup_canonical: keeps the longest member; token accounting closes") {
+    import spark.implicits._
+    val out = graft.llm.Dedup.dedupCanonical(spark, sf).collect()
+    val clusters = graft.llm.Dedup.dedupClusters(spark, sf)
+      .collect().map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("n_docs"))
+      .toMap
+    // same partition of the corpus as dedup_clusters
+    assert(out.map(r => r.getAs[Long]("cluster_id") ->
+      r.getAs[Long]("n_docs")).toMap === clusters)
+    // independent membership recount: kept is a true member with the
+    // cluster-max token count, and kept + dropped covers every member
+    val toksz = Tables.documents(spark, sf)
+      .select($"doc_id",
+        size(split(trim(lower($"text")), "\\s+")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val members = graft.llm.Dedup.ngramJaccard(spark, sf, 0.2)
+      .select($"doc_a", $"doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    out.foreach { r =>
+      val kept = r.getAs[Long]("kept_doc")
+      assert(members.contains(kept))
+      assert(r.getAs[Long]("kept_tokens") === toksz(kept))
+      assert(r.getAs[Long]("kept_tokens") +
+        r.getAs[Long]("dropped_tokens") >= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("kn_perplexity: one row per multi-token doc, positive integer sums") {
     import spark.implicits._
     val out = TextOps.knPerplexity(spark, sf)
