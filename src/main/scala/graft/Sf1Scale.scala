@@ -97,7 +97,10 @@ object Sf1Scale {
     "mm_wav_windows", "mm_video_scenecut",
     // trained-vocab application (broadcast join, corpus never
     // shuffles) and the df-valve-bounded weighted shingle cosine
-    "text_bpe_tokenize", "dedup_tfidf_cosine")
+    "text_bpe_tokenize", "dedup_tfidf_cosine",
+    // r10: KN bigram model (vocabulary-sized aggregates off one type
+    // table) and canonical selection (keyed window over clustered docs)
+    "text_kn_perplexity", "dedup_canonical")
 
   /** Deterministic word from a full-avalanche mix (vocab of 1000):
     * individual word collisions are common (real corpora repeat words)
@@ -178,6 +181,114 @@ object Sf1Scale {
   private val graphQueries: Seq[String] =
     Seq("q_pagerank", "q_triangle_support", "q_jaccard_neighbors",
       "q_interval_overlap")
+
+  /** Order date for `ok` (1995 + 0..~6y of whole days) — object-level
+    * so lambdas compile to a static module call instead of
+    * lambda-lifting a nested def (which captures the enclosing
+    * non-serializable object into the task closure). */
+  private def orderDateUs(ok: Long): Long =
+    788918400000000L +
+      java.lang.Math.floorMod(mix64(ok * 29 + 17), 6L * 365) * 86400000000L
+
+  /** Full star-schema corpus with the testdata domains (r10) — the
+    * TPC-H completion pack's 10× measurement. `n` = lineitem rows;
+    * dimension cardinalities scale with the same ratios as the driver
+    * data (orders = n/4, customers = orders/10, parts = n/30,
+    * suppliers = n/600, nations/regions fixed), so join selectivities
+    * and group counts stay constant and any super-linear time ratio is
+    * the query plan's own doing. Ship dates derive from the ORDER's
+    * date (mix of the orderkey both tables share) plus a 1–120 day
+    * lag, so the delay/lateness queries (q12, q21) see realistic
+    * correlation. All values from full-avalanche mixes — no RNG
+    * state, no accidental cross-row structure. */
+  private def genRelCorpus(spark: SparkSession, n: Int): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-sf1-rel-$n").toString
+    val nOrders = math.max(n / 4, 100).toLong
+    val nCust = math.max(nOrders / 10, 10)
+    val nParts = math.max(n / 30, 50).toLong
+    val nSupp = math.max(n / 600, 10)
+    Seq.tabulate(5)(r => (r, Seq("AFRICA", "AMERICA", "ASIA", "EUROPE",
+        "MIDDLE EAST")(r)))
+      .toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    Seq.tabulate(25)(k => (k, s"NATION_$k", k % 5))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val segs = Array("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    spark.range(nCust).as[Long].mapPartitions(_.map { i =>
+      (i, f"Customer#$i%09d",
+       java.lang.Math.floorMod(mix64(i * 3 + 1), 25L).toInt,
+       (java.lang.Math.floorMod(mix64(i * 5 + 2), 1100000L) - 100000L) / 100.0,
+       segs(java.lang.Math.floorMod(mix64(i * 7 + 3), 5L).toInt))
+    }).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    spark.range(nSupp).as[Long].mapPartitions(_.map { i =>
+      (i, f"Supplier#$i%09d",
+       java.lang.Math.floorMod(mix64(i * 11 + 4), 25L).toInt,
+       (java.lang.Math.floorMod(mix64(i * 13 + 5), 1100000L) - 100000L) / 100.0)
+    }).toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val adjs = Array("small", "large", "red", "blue", "hot", "cold")
+    val nouns = Array("widget", "gear", "bolt", "ring", "gizmo", "valve")
+    val types = Array("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL",
+      "STANDARD")
+    spark.range(nParts).as[Long].mapPartitions(_.map { i =>
+      (i,
+       adjs(java.lang.Math.floorMod(mix64(i * 17 + 6), 6L).toInt) + " " +
+         nouns(java.lang.Math.floorMod(mix64(i * 19 + 7), 6L).toInt),
+       s"Brand#${java.lang.Math.floorMod(mix64(i * 23 + 8), 25L) + 1}",
+       types(java.lang.Math.floorMod(mix64(i * 29 + 9), 6L).toInt),
+       (java.lang.Math.floorMod(mix64(i * 31 + 10), 50L) + 1L).toInt,
+       (java.lang.Math.floorMod(mix64(i * 37 + 11), 200000L) + 10000L) / 100.0)
+    }).toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val pris = Array("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val stats = Array("F", "O", "P")
+    spark.range(nOrders).as[Long].mapPartitions(_.map { i =>
+      (i, java.lang.Math.floorMod(mix64(i * 41 + 12), nCust),
+       stats(java.lang.Math.floorMod(mix64(i * 43 + 13), 3L).toInt),
+       (java.lang.Math.floorMod(mix64(i * 47 + 14), 50000000L) + 100000L) / 100.0,
+       orderDateUs(i),
+       pris(java.lang.Math.floorMod(mix64(i * 53 + 15), 5L).toInt))
+    }).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "od_us", "o_orderpriority")
+      .withColumn("o_orderdate", timestamp_micros(col("od_us"))).drop("od_us")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val flags = Array("A", "N", "R")
+    spark.range(n.toLong).as[Long].mapPartitions(_.map { i =>
+      val ok = i / 4
+      (ok, java.lang.Math.floorMod(mix64(i * 59 + 16), nParts),
+       java.lang.Math.floorMod(mix64(i * 61 + 18), nSupp),
+       (i % 4L).toInt + 1,
+       (java.lang.Math.floorMod(mix64(i * 67 + 19), 50L) + 1L).toDouble,
+       (java.lang.Math.floorMod(mix64(i * 71 + 20), 9990000L) + 10000L) / 100.0,
+       java.lang.Math.floorMod(mix64(i * 73 + 21), 11L) / 100.0,
+       java.lang.Math.floorMod(mix64(i * 79 + 22), 9L) / 100.0,
+       flags(java.lang.Math.floorMod(mix64(i * 83 + 23), 3L).toInt),
+       if (java.lang.Math.floorMod(mix64(i * 89 + 24), 2L) == 0L) "O" else "F",
+       orderDateUs(ok) +
+         (java.lang.Math.floorMod(mix64(i * 97 + 25), 120L) + 1L) * 86400000000L)
+    }).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "sd_us")
+      .withColumn("l_shipdate", timestamp_micros(col("sd_us"))).drop("sd_us")
+      .repartition(8).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  /** The r10 TPC-H completion pack over the full star schema. */
+  private val relQueries: Seq[String] = Seq(
+    "q2_min_cost_supp", "q7_volume_shipping", "q8_market_share",
+    "q10_returned_items", "q11_important_stock", "q12_ship_delay",
+    "q13_order_count_dist", "q14_promo_share", "q15_top_supplier",
+    "q16_supp_part_cnt", "q17_small_qty", "q18_large_orders",
+    "q19_disjunct", "q20_part_promo_supp", "q21_waiting_supp",
+    "q22_dormant_custs")
 
   /** Synthetic events with the testdata schema over a FIXED 30-day
     * span: 10× more events = 10× denser hours and 10× more users, so
@@ -265,6 +376,14 @@ object Sf1Scale {
       val b = time(q, evBig)
       q -> ((s, b, b / math.max(s, 1e-9)))
     }
+    // star-schema pack scales on lineitem rows (sf0.01 → sf0.1 sizes)
+    val relSmall = genRelCorpus(spark, 60000)
+    val relBig = genRelCorpus(spark, 600000)
+    val relRows = keep(relQueries).map { q =>
+      val s = time(q, relSmall)
+      val b = time(q, relBig)
+      q -> ((s, b, b / math.max(s, 1e-9)))
+    }
     def entries(rs: Seq[(String, (Double, Double, Double))]): String =
       rs.map { case (q, (s, b, r)) =>
         s""""$q":{"small":${r3(s)},"big":${r3(b)},"ratio":${r3(r)}}"""
@@ -272,7 +391,8 @@ object Sf1Scale {
     val json =
       s"""{"n_small":$nSmall,"n_big":$nBig,"factor":10,"queries":{${
         entries(rows)}},"doc_queries":{${entries(docRows)}},"graph_queries":{${
-        entries(graphRows)}},"tel_queries":{${entries(telRows)}}}"""
+        entries(graphRows)}},"tel_queries":{${entries(telRows)}},"rel_queries":{${
+        entries(relRows)}}}"""
     // a FILTERED run must not clobber the full sweep's artifact (the
     // driver/judge read BENCH_sf1.json as complete coverage)
     val artifact =
