@@ -300,7 +300,11 @@ object TpchPack {
     val avgQ = li.groupBy($"l_partkey".as("ap_partkey"))
       .agg((sum($"l_quantity".cast("long")).cast("double") /
               count(lit(1))).as("avg_qty"))
-    li.join(broadcast(avgQ), $"l_partkey" === $"ap_partkey")
+    // no broadcast HINT: at 100 TB the per-part table is parts/25 rows
+    // (too big to force), and the join keys on the aggregate's own
+    // partkey exchange anyway — Catalyst/AQE still picks broadcast at
+    // small scale on stats
+    li.join(avgQ, $"l_partkey" === $"ap_partkey")
       .filter($"l_quantity" < $"avg_qty" * 0.2)
       .agg(sum(c100($"l_extendedprice")).as("sum_c"),
            count(lit(1)).as("n_lines"))
