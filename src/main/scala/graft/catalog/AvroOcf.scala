@@ -492,25 +492,60 @@ object AvroOcf {
         else opt(Some(AArr(equalityIds.map(AInt)))),
         opt(None)))))                 // sort_order_id
 
+  /** EXISTING manifest entry (status 0) with EXPLICIT sequence
+    * numbers — the building block of manifest REWRITES (spec "Manifest
+    * Files": rewritten manifests carry their files as existing entries
+    * that keep the original data sequence number and adding snapshot,
+    * so merge-on-read ordering survives the reorganization).
+    * `content` 0 = data file, 1/2 = position/equality delete file. */
+  def existingManifestEntry(snapshotId: Long, sequenceNumber: Long,
+                            file: RestCatalogClient.DataFile, content: Int,
+                            equalityIds: Seq[Int] = Nil,
+                            partition: AVal = ARec(Nil)): AVal =
+    ARec(Seq(
+      AInt(0),                        // status = EXISTING
+      opt(Some(ALong(snapshotId))),   // the ORIGINAL adding snapshot
+      opt(Some(ALong(sequenceNumber))),
+      opt(Some(ALong(sequenceNumber))), // file_sequence_number
+      ARec(Seq(
+        AInt(content),
+        AStr(file.path),
+        AStr("PARQUET"),
+        partition,
+        ALong(file.recordCount),
+        ALong(file.sizeBytes),
+        boundsMap(file.bounds.map { case (id, lo, _) => id -> lo }),
+        boundsMap(file.bounds.map { case (id, _, hi) => id -> hi }),
+        opt(None),                    // split_offsets
+        if (equalityIds.isEmpty) opt(None)
+        else opt(Some(AArr(equalityIds.map(AInt)))),
+        opt(None)))))                 // sort_order_id
+
   /** `manifest_file` record pointing at one freshly written manifest.
     * `content` 0 = a DATA manifest, 1 = a DELETES manifest (its
-    * entries' data_file structs carry position/equality delete files). */
+    * entries' data_file structs carry position/equality delete files).
+    * `minSequenceNumber` / the existing-file counts matter for
+    * manifests of rewritten (EXISTING) entries, whose per-entry
+    * sequence numbers reach below the writing snapshot's. */
   def manifestListEntry(manifestPath: String, manifestLength: Long,
                         sequenceNumber: Long, snapshotId: Long,
                         addedFiles: Int, addedRows: Long,
-                        content: Int = 0): AVal =
+                        content: Int = 0, specId: Int = 0,
+                        minSequenceNumber: Option[Long] = None,
+                        existingFiles: Int = 0,
+                        existingRows: Long = 0L): AVal =
     ARec(Seq(
       AStr(manifestPath),
       ALong(manifestLength),
-      AInt(0),                        // partition_spec_id
+      AInt(specId),                   // partition_spec_id
       AInt(content),
       ALong(sequenceNumber),
-      ALong(sequenceNumber),          // min_sequence_number
+      ALong(minSequenceNumber.getOrElse(sequenceNumber)),
       ALong(snapshotId),
       AInt(addedFiles),
-      AInt(0), AInt(0),               // existing / deleted files
+      AInt(existingFiles), AInt(0),   // existing / deleted files
       ALong(addedRows),
-      ALong(0L), ALong(0L),           // existing / deleted rows
+      ALong(existingRows), ALong(0L), // existing / deleted rows
       opt(None),                      // partitions summary
       opt(None)))                     // key_metadata
 

@@ -139,7 +139,8 @@ object IcebergCommit {
     writeFile(conf, manifestPath, manifestBytes)
     val listPath = writeList(conf, location, snapId, seqNum, parentSnapshotId,
       AvroOcf.manifestListEntry(manifestPath, manifestBytes.length.toLong,
-        seqNum, snapId, files.size, files.map(_.recordCount).sum) +:
+        seqNum, snapId, files.size, files.map(_.recordCount).sum,
+        specId = specId) +:
         carriedEntries(conf, parentList))
     (manifestPath, listPath)
   }
@@ -240,7 +241,7 @@ object IcebergCommit {
     val listPath = writeList(conf, location, snapId, seqNum, parentId,
       AvroOcf.manifestListEntry(manifestPath, manifestBytes.length.toLong,
         seqNum, snapId, deletes.size,
-        deletes.map(_.file.recordCount).sum, content = 1) +:
+        deletes.map(_.file.recordCount).sum, content = 1, specId = sid) +:
         carriedEntries(conf, parentList))
     IcebergTableMetadata.commit(conf, location, schemaJson, defaultSpec,
       Some(IcebergTableMetadata.SnapshotMeta(
@@ -291,10 +292,11 @@ object IcebergCommit {
     } yield s.manifestList
     val listPath = writeList(conf, location, snapId, seqNum, parentId,
       AvroOcf.manifestListEntry(dataPath, dataBytes.length.toLong,
-        seqNum, snapId, files.size, files.map(_.recordCount).sum) +:
+        seqNum, snapId, files.size, files.map(_.recordCount).sum,
+        specId = sid) +:
       AvroOcf.manifestListEntry(delPath, delBytes.length.toLong,
         seqNum, snapId, deletes.size,
-        deletes.map(_.file.recordCount).sum, content = 1) +:
+        deletes.map(_.file.recordCount).sum, content = 1, specId = sid) +:
         carriedEntries(conf, parentList))
     IcebergTableMetadata.commit(conf, location, schemaJson, defaultSpec,
       Some(IcebergTableMetadata.SnapshotMeta(
@@ -330,6 +332,109 @@ object IcebergCommit {
         Map("operation" -> "replace",
             "otel.record_count" -> files.map(_.recordCount).sum.toString,
             "otel.file_count" -> files.size.toString))))
+    snapId
+  }
+
+  /** One data file carried through a manifest REWRITE: the file, its
+    * ORIGINAL data sequence number and adding snapshot, and its
+    * partition tuple in its spec's field order. */
+  final case class RewriteDataEntry(file: DataFile, sequenceNumber: Long,
+                                    snapshotId: Long,
+                                    tuple: Seq[Option[Long]])
+
+  /** One delete file carried through a manifest rewrite. */
+  final case class RewriteDeleteEntry(file: DataFile, content: Int,
+                                      equalityIds: Seq[Int],
+                                      sequenceNumber: Long,
+                                      snapshotId: Long)
+
+  /** Catalog-FREE manifest REWRITE commit (the metadata-side
+    * compaction — Iceberg's RewriteManifests): the live file set,
+    * UNCHANGED, reorganized into one data manifest PER SPEC (manifests
+    * cannot mix partition tuple layouts) plus at most one deletes
+    * manifest, written as EXISTING entries that keep their original
+    * sequence numbers and adding snapshots — so merge-on-read
+    * strictly-below ordering and changelog attribution survive. The
+    * new list carries NOTHING forward (it IS the complete reorganized
+    * state); old snapshots keep time-traveling through their own
+    * lists. Operation "replace" (the spec's name for snapshots that
+    * reorganize without logical change). At 100 TB this is what keeps
+    * planning O(manifests) after thousands of streaming micro-batch
+    * appends each left a tiny manifest behind. */
+  def commitStandaloneRewriteManifests(
+      conf: Configuration, location: String, schemaJson: String,
+      dataGroups: Seq[(Int, Seq[IcebergPartitioning.PartField],
+                       Seq[RewriteDataEntry])],
+      deletes: Seq[RewriteDeleteEntry],
+      deleteSpec: (Int, Seq[IcebergPartitioning.PartField]) = (0, Nil))
+      : Long = {
+    val prev = IcebergTableMetadata.load(conf, location).getOrElse(
+      throw new IllegalArgumentException(
+        s"no Iceberg table at $location to rewrite"))
+    val snapId = System.nanoTime()
+    val seqNum = prev.lastSequenceNumber + 1
+    val parentId = prev.currentSnapshotId
+    val listEntries = Seq.newBuilder[AvroOcf.AVal]
+    dataGroups.zipWithIndex.foreach { case ((sid, pf, entries), gi) =>
+      val partTypes = pf.map(p => IcebergPartitioning.avroType(p.transform))
+      val bytes = AvroOcf.write(
+        AvroOcf.manifestEntrySchema(pf.zip(partTypes).map {
+          case (p, t) => (p.name, t, p.fieldId) }),
+        Map("schema" -> schemaJson, "schema-id" -> "0",
+            "partition-spec" -> IcebergPartitioning.specFieldsJson(pf),
+            "partition-spec-id" -> sid.toString,
+            "format-version" -> "2", "content" -> "data"),
+        entries.map { e =>
+          val tuple =
+            if (pf.isEmpty) AvroOcf.ARec(Nil)
+            else AvroOcf.partitionTuple(partTypes,
+              e.tuple.padTo(pf.length, None))
+          AvroOcf.existingManifestEntry(e.snapshotId, e.sequenceNumber,
+            e.file, content = 0, partition = tuple)
+        })
+      val path = s"$location/metadata/graft-rw-$snapId-$gi.avro"
+      writeFile(conf, path, bytes)
+      listEntries += AvroOcf.manifestListEntry(path, bytes.length.toLong,
+        seqNum, snapId, addedFiles = 0, addedRows = 0L, specId = sid,
+        minSequenceNumber =
+          Some(entries.map(_.sequenceNumber).foldLeft(seqNum)(math.min)),
+        existingFiles = entries.size,
+        existingRows = entries.map(_.file.recordCount).sum)
+    }
+    if (deletes.nonEmpty) {
+      val (sid, pf) = deleteSpec
+      val partTypes = pf.map(p => IcebergPartitioning.avroType(p.transform))
+      val nullTuple =
+        if (pf.isEmpty) AvroOcf.ARec(Nil)
+        else AvroOcf.partitionTuple(partTypes, pf.map(_ => None))
+      val bytes = AvroOcf.write(
+        AvroOcf.manifestEntrySchema(pf.zip(partTypes).map {
+          case (p, t) => (p.name, t, p.fieldId) }),
+        Map("schema" -> schemaJson, "schema-id" -> "0",
+            "partition-spec" -> IcebergPartitioning.specFieldsJson(pf),
+            "partition-spec-id" -> sid.toString,
+            "format-version" -> "2", "content" -> "deletes"),
+        deletes.map(d => AvroOcf.existingManifestEntry(d.snapshotId,
+          d.sequenceNumber, d.file, d.content, d.equalityIds, nullTuple)))
+      val path = s"$location/metadata/graft-rwd-$snapId.avro"
+      writeFile(conf, path, bytes)
+      listEntries += AvroOcf.manifestListEntry(path, bytes.length.toLong,
+        seqNum, snapId, addedFiles = 0, addedRows = 0L, content = 1,
+        specId = sid,
+        minSequenceNumber =
+          Some(deletes.map(_.sequenceNumber).foldLeft(seqNum)(math.min)),
+        existingFiles = deletes.size,
+        existingRows = deletes.map(_.file.recordCount).sum)
+    }
+    val listPath =
+      writeList(conf, location, snapId, seqNum, parentId, listEntries.result())
+    IcebergTableMetadata.commit(conf, location, schemaJson, None,
+      Some(IcebergTableMetadata.SnapshotMeta(
+        snapId, parentId, seqNum, System.currentTimeMillis(), listPath,
+        Map("operation" -> "replace",
+            "graft.rewritten-data-manifests" -> dataGroups.size.toString,
+            "graft.rewritten-delete-manifests" ->
+              (if (deletes.nonEmpty) "1" else "0")))))
     snapId
   }
 }

@@ -328,6 +328,49 @@ object IcebergMaintenance {
     tableMeta(spark, tableDir).defaultSpecId
   }
 
+  /** Manifest REWRITE (Iceberg's rewrite_manifests): reorganize the
+    * live metadata into one data manifest per partition spec plus at
+    * most one deletes manifest — data files untouched, per-entry
+    * sequence numbers and adding snapshots preserved (EXISTING
+    * entries), so merge-on-read ordering, changelog attribution, and
+    * time travel all survive. Run it after many small streaming
+    * appends each left a one-file manifest: planning cost returns to
+    * O(1) manifests without rewriting a byte of data. Returns the new
+    * snapshot id, or -1 on an empty table. */
+  def rewriteManifests(spark: SparkSession, tableDir: String): Long = {
+    import org.json4s._
+    val meta = tableMeta(spark, tableDir)
+    val (files, dels) = IcebergTableReader.scanState(spark, tableDir)
+    if (files.isEmpty && dels.isEmpty) return -1L
+    val defaultFields = IcebergPartitioning.fields(meta)
+    def specIdOf(fields: Seq[IcebergPartitioning.PartField]): Int =
+      meta.partitionSpecsJson.find(sp =>
+        IcebergPartitioning.fieldsOf(sp) == fields)
+        .flatMap(sp => (sp \ "spec-id").toOption
+          .collect { case JInt(n) => n.toInt })
+        .getOrElse(meta.defaultSpecId)
+    val groups = files.groupBy(_.specFields.getOrElse(defaultFields))
+      .toSeq.map { case (pf, fs) => (specIdOf(pf), pf, fs) }
+      .sortBy(_._1)
+      .map { case (sid, pf, fs) =>
+        (sid, pf, fs.sortBy(_.path).map { f =>
+          val ids = (f.lowerBounds.keySet & f.upperBounds.keySet).toSeq.sorted
+          IcebergCommit.RewriteDataEntry(
+            DataFile(f.path, f.sizeBytes, f.recordCount,
+              ids.map(id => (id, f.lowerBounds(id), f.upperBounds(id)))),
+            f.dataSequenceNumber, f.snapshotId,
+            pf.map(p => f.partition.get(p.name)))
+        })
+      }
+    val delEntries = dels.sortBy(_.path).map(d =>
+      IcebergCommit.RewriteDeleteEntry(
+        DataFile(d.path, d.sizeBytes, d.recordCount, Nil),
+        d.content, d.equalityIds, d.sequenceNumber, d.snapshotId))
+    IcebergCommit.commitStandaloneRewriteManifests(
+      spark.sparkContext.hadoopConfiguration, tableDir, meta.schemaJson,
+      groups, delEntries, deleteSpec = (meta.defaultSpecId, defaultFields))
+  }
+
   // ---- snapshot refs: branches, tags, write-audit-publish ----------
 
   import IcebergTableMetadata.SnapshotRef

@@ -52,7 +52,8 @@ object IcebergTableReader {
     * equality deletes over the schema columns named by `equalityIds`. */
   final case class DeleteEntry(
       path: String, content: Int, sequenceNumber: Long,
-      recordCount: Long, equalityIds: Seq[Int])
+      recordCount: Long, equalityIds: Seq[Int], sizeBytes: Long = 0L,
+      snapshotId: Long = 0L)
 
   def metadata(spark: SparkSession, tableDir: String): TableMetadata =
     IcebergTableMetadata.load(
@@ -208,6 +209,9 @@ object IcebergTableReader {
                       path = df("file_path").asInstanceOf[String],
                       content = fContent, sequenceNumber = seq,
                       recordCount = longIn(df.get("record_count"), 0L),
+                      sizeBytes = longIn(df.get("file_size_in_bytes"), 0L),
+                      snapshotId =
+                        longIn(e.get("snapshot_id"), snap.snapshotId),
                       equalityIds = df.get("equality_ids") match {
                         case Some(ids: Seq[Any] @unchecked) if ids != null =>
                           ids.collect { case i: Int => i; case l: Long => l.toInt }
@@ -222,6 +226,58 @@ object IcebergTableReader {
         }
         (data.result(), dels.result())
     }
+  }
+
+  /** The `table$files` metadata table (r10): one row per live file at
+    * the snapshot — data AND delete files, with content, counts,
+    * sequence numbers, adding snapshot, and the partition tuple as a
+    * map. The inspection surface Iceberg exposes as
+    * `SELECT * FROM tbl.files`, driver-side metadata only. */
+  def filesDf(spark: SparkSession, tableDir: String,
+              asOfSnapshotId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val (files, dels) = scanState(spark, tableDir, asOfSnapshotId)
+    (files.map(f => ("data", f.path, f.recordCount, f.sizeBytes,
+        f.dataSequenceNumber, f.snapshotId, f.partition)) ++
+     dels.map(d => (if (d.content == 1) "position-deletes"
+                    else "equality-deletes",
+        d.path, d.recordCount, d.sizeBytes, d.sequenceNumber,
+        d.snapshotId, Map.empty[String, Long])))
+      .toDF("content", "file_path", "record_count", "file_size_in_bytes",
+        "data_sequence_number", "added_snapshot_id", "partition")
+  }
+
+  /** The `table$manifests` metadata table (r10): one row per manifest
+    * in the snapshot's list — path, length, spec-id, content,
+    * sequence-number window, adding snapshot, and the per-status file
+    * counts. What an operator reads to decide a
+    * [[graft.catalog.IcebergMaintenance.rewriteManifests]] is due. */
+  def manifestsDf(spark: SparkSession, tableDir: String,
+                  asOfSnapshotId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val meta = metadata(spark, tableDir)
+    val rows = resolveSnapshot(meta, asOfSnapshotId).toSeq.flatMap { snap =>
+      val listBytes = readAll(spark, snap.manifestList).getOrElse(
+        throw new IllegalArgumentException(
+          s"manifest list ${snap.manifestList} missing"))
+      AvroOcf.read(listBytes)._2.collect {
+        case m: Map[String, Any] @unchecked =>
+          (m("manifest_path").asInstanceOf[String],
+           longIn(m.get("manifest_length"), 0L),
+           longIn(m.get("partition_spec_id"), 0L).toInt,
+           longIn(m.get("content"), 0L).toInt,
+           longIn(m.get("sequence_number"), 0L),
+           longIn(m.get("min_sequence_number"), 0L),
+           longIn(m.get("added_snapshot_id"), 0L),
+           longIn(m.get("added_data_files_count"), 0L).toInt,
+           longIn(m.get("existing_data_files_count"), 0L).toInt,
+           longIn(m.get("deleted_data_files_count"), 0L).toInt)
+      }
+    }
+    rows.toDF("manifest_path", "manifest_length", "partition_spec_id",
+      "content", "sequence_number", "min_sequence_number",
+      "added_snapshot_id", "added_files_count", "existing_files_count",
+      "deleted_files_count")
   }
 
   /** The live data files at a snapshot (current unless `asOfSnapshotId`
