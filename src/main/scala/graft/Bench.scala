@@ -115,7 +115,10 @@ object Bench {
     val pruneNames = Seq("sink_slice_full", "sink_slice_pruned",
                          "sink_point_full", "sink_point_bloom",
                          "iceberg_cold_full", "iceberg_cold_pruned",
-                         "iceberg_upsert", "iceberg_changelog")
+                         "iceberg_upsert", "iceberg_changelog",
+                         "iceberg_plan_fragmented",
+                         "iceberg_rewrite_manifests",
+                         "iceberg_plan_rewritten")
     val doPrune = only.isEmpty || pruneNames.exists(only)
     val pruneResults: Seq[(String, Double)] = if (!doPrune) Nil else {
       import org.apache.spark.sql.functions.{col, min, unix_micros}
@@ -208,7 +211,42 @@ object Bench {
               .minBy(_.sequenceNumber).snapshotId
             best("iceberg_changelog")(graft.catalog.IcebergTableReader
               .readChangelog(spark, iceLoc, Some(first)).count())
-          })
+          }) ++ {
+          // manifest-rewrite lever measured: the SAME files committed as
+          // many micro-batches (one manifest each, streaming-append
+          // fragmentation) make every plan decode N manifests; after
+          // rewrite_manifests planning is one manifest again. Pure
+          // metadata timings (scanState), no parquet touched.
+          val iceLoc2 = s"$dir/events_iceberg_frag"
+          val sjc = org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(schemaJson))
+          icePaths.grouped(math.max(1, icePaths.size / 36)).foreach { grp =>
+            graft.catalog.IcebergCommit.commitStandalone(
+              spark.sparkContext.hadoopConfiguration, iceLoc2, sjc, None,
+              grp.map { p =>
+                val bounds = iceStats.get(p).toSeq.map { case (mn, mx) =>
+                  (tsId, graft.catalog.IcebergSingleValue.longBytes(mn),
+                   graft.catalog.IcebergSingleValue.longBytes(mx))
+                }
+                graft.catalog.RestCatalogClient.DataFile(
+                  p, 0L, iceCounts.getOrElse(p, 0L), bounds)
+              })
+          }
+          val frag = best("iceberg_plan_fragmented")(
+            graft.catalog.IcebergTableReader.scanState(spark, iceLoc2)
+              ._1.size.toLong)
+          val rwCost = {
+            val t0 = System.nanoTime()
+            graft.catalog.IcebergMaintenance.rewriteManifests(spark, iceLoc2)
+            (System.nanoTime() - t0) / 1e9
+          }
+          Seq(
+            "iceberg_plan_fragmented" -> frag,
+            "iceberg_rewrite_manifests" -> rwCost,
+            "iceberg_plan_rewritten" -> best("iceberg_plan_rewritten")(
+              graft.catalog.IcebergTableReader.scanState(spark, iceLoc2)
+                ._1.size.toLong))
+        }
       } catch { case _: Throwable => Nil }
       finally {
         import scala.reflect.io.Directory
