@@ -366,7 +366,9 @@ object IcebergCommit {
       dataGroups: Seq[(Int, Seq[IcebergPartitioning.PartField],
                        Seq[RewriteDataEntry])],
       deletes: Seq[RewriteDeleteEntry],
-      deleteSpec: (Int, Seq[IcebergPartitioning.PartField]) = (0, Nil))
+      deleteSpec: (Int, Seq[IcebergPartitioning.PartField]) = (0, Nil),
+      addedFiles: Seq[DataFile] = Nil,
+      addedSpec: (Int, Seq[IcebergPartitioning.PartField]) = (0, Nil))
       : Long = {
     val prev = IcebergTableMetadata.load(conf, location).getOrElse(
       throw new IllegalArgumentException(
@@ -375,6 +377,20 @@ object IcebergCommit {
     val seqNum = prev.lastSequenceNumber + 1
     val parentId = prev.currentSnapshotId
     val listEntries = Seq.newBuilder[AvroOcf.AVal]
+    // ADDED files first (rewrite_data_files' fresh bin-packed outputs):
+    // a normal ADDED manifest whose entries inherit the new snapshot's
+    // sequence number — strictly above every live delete, so existing
+    // equality deletes (already applied during the rewrite read) never
+    // re-apply to the rewritten rows.
+    if (addedFiles.nonEmpty) {
+      val (sid, pf) = addedSpec
+      val bytes = dataManifestBytes(schemaJson, snapId, addedFiles, pf, sid)
+      val path = s"$location/metadata/graft-rwa-$snapId.avro"
+      writeFile(conf, path, bytes)
+      listEntries += AvroOcf.manifestListEntry(path, bytes.length.toLong,
+        seqNum, snapId, addedFiles = addedFiles.size,
+        addedRows = addedFiles.map(_.recordCount).sum, specId = sid)
+    }
     dataGroups.zipWithIndex.foreach { case ((sid, pf, entries), gi) =>
       val partTypes = pf.map(p => IcebergPartitioning.avroType(p.transform))
       val bytes = AvroOcf.write(
@@ -434,7 +450,10 @@ object IcebergCommit {
         Map("operation" -> "replace",
             "graft.rewritten-data-manifests" -> dataGroups.size.toString,
             "graft.rewritten-delete-manifests" ->
-              (if (deletes.nonEmpty) "1" else "0")))))
+              (if (deletes.nonEmpty) "1" else "0"),
+            "otel.file_count" -> addedFiles.size.toString,
+            "otel.record_count" ->
+              addedFiles.map(_.recordCount).sum.toString))))
     snapId
   }
 }

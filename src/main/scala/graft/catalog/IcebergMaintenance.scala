@@ -371,6 +371,136 @@ object IcebergMaintenance {
       groups, delEntries, deleteSpec = (meta.defaultSpecId, defaultFields))
   }
 
+  final case class RewriteFilesReport(snapshotId: Long, rewrittenFiles: Int,
+                                      rewrittenBytes: Long, addedFiles: Int,
+                                      keptFiles: Int)
+
+  /** BIN-PACK data-file compaction — Iceberg's `rewrite_data_files`
+    * (binpack / sort strategies), the selective sibling of [[compact]]:
+    * only data files SMALLER than `smallFileThresholdBytes` are
+    * rewritten, per partition tuple, into ~`targetFileSizeBytes`
+    * outputs; every other data file and all delete files carry through
+    * UNTOUCHED as EXISTING entries with their original sequence
+    * numbers. At 100 TB this is the only affordable shape: a streaming
+    * sink that lands a few MB per micro-batch fragments each partition
+    * into hundreds of files, and the fix must rewrite those megabytes —
+    * never the terabytes sitting in already-well-sized files (which
+    * [[compact]] would).
+    *
+    * Merge-on-read correctness: the rewritten rows are read WITH
+    * deletes applied, and the fresh files enter at the new snapshot's
+    * sequence number — strictly above every live delete — so position
+    * deletes (path-keyed) and equality deletes (strictly-below rule)
+    * cannot re-apply to them, while kept files retain their original
+    * sequence numbers so existing deletes still apply exactly as
+    * before. Position deletes that referenced only rewritten paths
+    * become inert (path never matches) and are reclaimed by the next
+    * [[compact]] + [[expireSnapshots]].
+    *
+    * `sortBy` selects the SORT strategy: each rewritten group is
+    * range-partitioned and sorted on those columns, so per-file
+    * min/max bounds turn disjoint and [[IcebergTableReader.readSlice]]
+    * pruning tightens from "every small file straddles the key space"
+    * to one file per probe. `statsColumn` harvests per-file bounds for
+    * the new files (same contract as [[compact]]).
+    *
+    * Only files on the CURRENT default partition spec are candidates:
+    * an old-spec file's rows would need row-level re-projection into
+    * the new spec's tuple space (that migration is [[updateSpec]] +
+    * a full [[compact]]). Groups need >= `minInputFiles` small files
+    * to bother. Returns the report; nothing to do → snapshotId -1. */
+  def rewriteDataFiles(spark: SparkSession, tableDir: String,
+                       smallFileThresholdBytes: Long = 32L << 20,
+                       targetFileSizeBytes: Long = 128L << 20,
+                       minInputFiles: Int = 2,
+                       statsColumn: Option[String] = None,
+                       sortBy: Seq[String] = Nil): RewriteFilesReport = {
+    import org.json4s._
+    val meta = tableMeta(spark, tableDir)
+    val (files, dels) = IcebergTableReader.scanState(spark, tableDir)
+    val defaultFields = IcebergPartitioning.fields(meta)
+    val (onDefault, offSpec) =
+      files.partition(_.specFields.forall(_ == defaultFields))
+    val candidates = onDefault
+      .filter(_.sizeBytes < smallFileThresholdBytes)
+      .groupBy(f => defaultFields.map(p => f.partition.get(p.name)))
+      .filter(_._2.size >= minInputFiles)
+      .toSeq.sortBy(_._1.map(_.getOrElse(Long.MinValue)).mkString(","))
+    if (candidates.isEmpty)
+      return RewriteFilesReport(-1L, 0, 0L, 0, files.size)
+    val rewrittenPaths = candidates.flatMap(_._2.map(_.path)).toSet
+
+    // one distributed read→write per fragmented partition group, the
+    // group's deletes applied in the read; explicit tuple rides the
+    // DataFile so the commit never re-derives partition math.
+    val newFiles = candidates.zipWithIndex.flatMap {
+      case ((tuple, group), gi) =>
+        val rows = IcebergTableReader.assemble(
+          spark, meta, group.sortBy(_.path), dels)
+        val nOut = math.max(1L, (group.map(_.sizeBytes).sum +
+          targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
+        val packed =
+          if (sortBy.nonEmpty) {
+            val cols = sortBy.map(col)
+            (if (nOut > 1) rows.repartitionByRange(nOut, cols: _*)
+             else rows.coalesce(1)).sortWithinPartitions(cols: _*)
+          } else rows.repartition(nOut)
+        val outDir = s"$tableDir/data/rewrite-${System.nanoTime()}-$gi"
+        packed.write.parquet(outDir)
+        val paths = listParquet(outDir)
+        val counts = graft.recovery.Recovery.fileRowCounts(spark, paths)
+        val stats = statsColumn.map(c =>
+          (IcebergTableReader.fieldId(meta, c),
+            graft.recovery.Recovery.fileColumnStats(spark, paths, c)))
+        paths.map { p =>
+          val bounds = stats.toSeq.flatMap { case (fid, st) =>
+            st.get(p).map { case (mn, mx) =>
+              (fid, IcebergSingleValue.longBytes(mn),
+                IcebergSingleValue.longBytes(mx))
+            }
+          }
+          DataFile(p, JFiles.size(Paths.get(p)), counts(p), bounds,
+            partition = tuple)
+        }
+    }
+
+    // kept files (well-sized + off-spec) as EXISTING entries, grouped
+    // per spec exactly like rewriteManifests; deletes all carry.
+    def specIdOf(fields: Seq[IcebergPartitioning.PartField]): Int =
+      meta.partitionSpecsJson.find(sp =>
+        IcebergPartitioning.fieldsOf(sp) == fields)
+        .flatMap(sp => (sp \ "spec-id").toOption
+          .collect { case JInt(n) => n.toInt })
+        .getOrElse(meta.defaultSpecId)
+    val kept = (onDefault.filterNot(f => rewrittenPaths(f.path)) ++ offSpec)
+    val keptGroups = kept.groupBy(_.specFields.getOrElse(defaultFields))
+      .toSeq.map { case (pf, fs) => (specIdOf(pf), pf, fs) }
+      .sortBy(_._1)
+      .map { case (sid, pf, fs) =>
+        (sid, pf, fs.sortBy(_.path).map { f =>
+          val ids = (f.lowerBounds.keySet & f.upperBounds.keySet).toSeq.sorted
+          IcebergCommit.RewriteDataEntry(
+            DataFile(f.path, f.sizeBytes, f.recordCount,
+              ids.map(id => (id, f.lowerBounds(id), f.upperBounds(id)))),
+            f.dataSequenceNumber, f.snapshotId,
+            pf.map(p => f.partition.get(p.name)))
+        })
+      }
+    val delEntries = dels.sortBy(_.path).map(d =>
+      IcebergCommit.RewriteDeleteEntry(
+        DataFile(d.path, d.sizeBytes, d.recordCount, Nil),
+        d.content, d.equalityIds, d.sequenceNumber, d.snapshotId))
+    val snap = IcebergCommit.commitStandaloneRewriteManifests(
+      spark.sparkContext.hadoopConfiguration, tableDir, meta.schemaJson,
+      keptGroups, delEntries,
+      deleteSpec = (meta.defaultSpecId, defaultFields),
+      addedFiles = newFiles,
+      addedSpec = (meta.defaultSpecId, defaultFields))
+    RewriteFilesReport(snap, rewrittenPaths.size,
+      candidates.flatMap(_._2.map(_.sizeBytes)).sum, newFiles.size,
+      kept.size)
+  }
+
   // ---- snapshot refs: branches, tags, write-audit-publish ----------
 
   import IcebergTableMetadata.SnapshotRef

@@ -425,7 +425,7 @@ object IcebergTableReader {
       case None => spark.read.parquet(paths: _*)
     }
 
-  private def assemble(spark: SparkSession, meta: TableMetadata,
+  private[catalog] def assemble(spark: SparkSession, meta: TableMetadata,
                        files: Seq[FileEntry],
                        deletes: Seq[DeleteEntry]): DataFrame =
     if (files.isEmpty) spark.emptyDataFrame
