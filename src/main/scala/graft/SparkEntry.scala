@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{AsofJoin, Core, GraphSim, PageRank, RangeJoin, SkewOps, TpchPack, Triangles}
-import graft.telemetry.Telemetry
+import graft.telemetry.{Rollups, Telemetry}
 import graft.llm.{AudioOps, Dedup, ImageOps, Multimodal, SimOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -179,6 +179,8 @@ object SparkEntry {
     "tel_top_paths"      -> ((s, d) => Telemetry.topPaths(s, d)),
     "tel_seasonal_backtest" -> ((s, d) => Telemetry.seasonalBacktest(s, d)),
     "tel_seasonal"       -> ((s, d) => Telemetry.seasonal(s, d)),
+    "tel_rollup_hourly"  -> (Rollups.hourlyProof _),
+    "tel_rollup_rewrite" -> (Rollups.rewriteProof _),
     "text_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
     "mm_frame_dedup"     -> (Multimodal.frameDedup _),
     "mm_ahash_pairs"     -> ((s, d) => Multimodal.ahashPairs(s, d)),
@@ -270,6 +272,10 @@ object SparkEntry {
     // oracle as the hand-bucketed q_interval_overlap
     "q_interval_overlap_rewrite" ->
       Map(graft.plans.RangeJoinRewrite.BIN_KEY -> "7"),
+    // raw-events aggregate answered from the hourly rollup — the MV
+    // rewrite must be a bit-exact drop-in against the raw-table oracle
+    "tel_rollup_rewrite" ->
+      Map(graft.plans.RollupRewrite.SPEC_KEY -> Rollups.EventsSpecJson),
     // force the shuffled-join shape (no broadcast) and let the runtime
     // bloom filter inject at local test sizes
     "q_bloom_join" -> Map(
@@ -3685,6 +3691,21 @@ object SparkEntry {
         | abs((CAST(s_a AS DOUBLE)/n_a - CAST(s_b AS DOUBLE)/n_b)
         |   /sqrt(var_term)) > 1.96 AS significant
         |FROM t""".stripMargin,
+    "tel_rollup_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+        | CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS sum_value_trunc,
+        | min(value) AS min_value, max(value) AS max_value,
+        | CAST(sum(user_id) AS BIGINT) AS sum_user_id
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "tel_rollup_rewrite" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS sum_trunc,
+        | min(value) AS min_value, max(value) AS max_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
     "tel_seasonal" ->
       """WITH hourly AS (
         | SELECT event_type, date_trunc('hour', ts) AS h,

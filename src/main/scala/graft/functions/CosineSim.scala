@@ -157,7 +157,7 @@ object GraftFunctions {
     }
     // optimizer rewrites (conf-gated, default off) — idempotent add
     Seq(graft.plans.TopKWindowRewrite, graft.plans.ApproxDistinctRewrite,
-        graft.plans.RangeJoinRewrite)
+        graft.plans.RangeJoinRewrite, graft.plans.RollupRewrite)
       .foreach { rule =>
         if (!spark.experimental.extraOptimizations.contains(rule)) {
           spark.experimental.extraOptimizations =

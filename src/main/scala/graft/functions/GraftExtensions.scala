@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RollupRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
