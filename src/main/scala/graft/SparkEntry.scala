@@ -205,6 +205,7 @@ object SparkEntry {
     "mm_scene_cuts"      -> (Multimodal.sceneCuts _),
     "q_percentile_disc"  -> (Core.qPercentileDisc _),
     "sim_knn_graph"      -> ((s, d) => SimOps.knnGraph(s, d)),
+    "sim_nsw_ann"        -> ((s, d) => SimOps.nswAnn(s, d)),
     "tel_lttb"           -> ((s, d) => Telemetry.lttb(s, d)),
     "tel_capacity_forecast" -> ((s, d) => Telemetry.capacityForecast(s, d)),
     "tel_downtime"       -> ((s, d) => Telemetry.downtime(s, d)),
@@ -4318,6 +4319,7 @@ object SparkEntry {
         | max(CASE WHEN rn = CAST(ceil(0.75*n) AS BIGINT) THEN price END)
         |   AS p75_disc
         |FROM r GROUP BY pri""".stripMargin,
+    "sim_nsw_ann" -> NswAnnOracle,
     "sim_knn_graph" ->
       s"""$KmeansCtes,
         |w AS (
@@ -4857,6 +4859,68 @@ object SparkEntry {
       |    list_reduce(list_transform(range(1,65),
       |      i -> (vq[i]-c[i])*(vq[i]-c[i])), (a,b) -> a+b), c2.cid) AS rn
       |  FROM v, c2) WHERE rn = 1)""".stripMargin
+
+  /** sim_nsw_ann oracle: the knn-graph CTEs ([[KmeansCtes]] + the
+    * sim_knn_graph edge ranking) followed by the UNROLLED beam search —
+    * entries = the k-means seed rows, then `hops` rounds of
+    * expand-along-edges → score → top-beam, exactly the Spark plan's
+    * join chain. */
+  private lazy val NswAnnOracle: String = {
+    val hops = 4
+    def scoreRank(i: Int, src: String, keep: Int): String =
+      s"""sc$i AS (
+         | SELECT c.query_id, c.cand,
+         |  round(list_dot_product(w.vec, qq.qv)/(w.nrm*qq.qn), 6) AS cos6
+         | FROM $src c JOIN w ON w.vec_id = c.cand
+         |   JOIN qq ON qq.query_id = c.query_id),
+         |bm$i AS (
+         | SELECT query_id, cand, cos6 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos6 DESC, cand) AS rn FROM sc$i) t WHERE rn <= $keep)""".stripMargin
+    val hopCtes = (1 to hops).map { i =>
+      s"""nb$i AS (
+         | SELECT DISTINCT query_id, cand FROM (
+         |  SELECT b.query_id, e.dst AS cand
+         |  FROM bm${i - 1} b JOIN ee e ON b.cand = e.src
+         |  UNION ALL SELECT query_id, cand FROM bm${i - 1}) u
+         | WHERE cand != query_id),
+         |${scoreRank(i, s"nb$i", 12)}""".stripMargin
+    }.mkString(",\n")
+    s"""$KmeansCtes,
+       |w AS (
+       | SELECT vec_id, embedding::DOUBLE[] AS vec,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       | FROM embeddings),
+       |idx AS (SELECT af.vec_id, af.cid, w.vec, w.nrm
+       |        FROM af JOIN w USING (vec_id)),
+       |p AS (
+       | SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |  round(list_dot_product(a.vec, b.vec)/(a.nrm*b.nrm), 6) AS cosine
+       | FROM idx a JOIN idx b ON a.cid = b.cid AND a.vec_id != b.vec_id),
+       |eed AS (
+       | SELECT vec_id AS src, neighbor_id AS dst FROM (
+       |  SELECT vec_id, neighbor_id, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM p) t WHERE rnk <= 8),
+       |ee AS (SELECT src, dst FROM eed
+       |       UNION SELECT dst, src FROM eed),
+       |qq AS (SELECT vec_id AS query_id, vec AS qv, nrm AS qn
+       |       FROM w WHERE vec_id < 8),
+       |en AS (
+       | SELECT vec_id AS cand FROM (
+       |  SELECT vec_id, row_number() OVER (PARTITION BY cid
+       |    ORDER BY vec_id) AS rn FROM af WHERE vec_id >= 8) t
+       | WHERE rn = 1),
+       |nb0 AS (
+       | SELECT query_id, cand FROM qq, en
+       | WHERE cand != query_id),
+       |${scoreRank(0, "nb0", 12)},
+       |$hopCtes
+       |SELECT query_id, cand AS neighbor_id, cos6 AS cosine,
+       | CAST(rn AS BIGINT) AS rnk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cos6 DESC, cand) AS rn FROM bm$hops) t
+       |WHERE rn <= 5""".stripMargin
+  }
 
   private lazy val KmeansCtes: String =
     """WITH v AS (

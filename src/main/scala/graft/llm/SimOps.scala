@@ -1339,6 +1339,105 @@ object SimOps {
               $"col.cos6".as("cosine"), ($"pos" + 1).cast("long").as("rnk"))
   }
 
+  /** GRAPH-based ANN: deterministic BEAM SEARCH over the k-NN graph —
+    * the NSW/HNSW layer-0 search discipline (Malkov & Yashunin,
+    * TPAMI'18), unrolled to a fixed hop count so the whole search is a
+    * bounded chain of equi-joins Catalyst can plan. The third ANN
+    * family next to IVF ([[ivfAnn]]) and LSH ([[lshAnn]]): where IVF
+    * prunes by region and LSH by hash bucket, graph search prunes by
+    * CONNECTIVITY — each hop moves the beam along edges toward the
+    * query, touching |beam|·degree candidates per hop regardless of
+    * corpus size.
+    *
+    *  1. index = the [[knnGraph]] edge list made UNDIRECTED (reverse
+    *     edges doubled in, the NSW discipline — built once; at 100 TB
+    *     it is a parquet table maintained like the IVF lists);
+    *  2. entries = one node per k-means cell (the cell's minimum
+    *     vec_id — a deterministic "medoid" stand-in), so every region
+    *     of the corpus is reachable at hop 0;
+    *  3. hop: candidates = beam ∪ neighbors(beam), dedup'd, scored,
+    *     top-`beam` kept per query (6-decimal cosine, vec_id
+    *     tie-break — engine-stable like every ANN entry here);
+    *  4. after `hops` rounds, the beam's top-k is the answer.
+    *
+    * Every hop is: one equi-join of the tiny beam against the edge
+    * list, one equi-join against the vector table to score, one
+    * per-query top-beam window over ≤ beam·(k+1) rows. The corpus is
+    * never cross-joined; the graph is never rebuilt per query. The
+    * search is EXACTLY reproducible (fixed entries, fixed hops,
+    * deterministic ties), which is what makes a full SQL oracle
+    * possible for a graph-ANN — recall vs brute force is measured the
+    * same way as the IVF family ([[recallAtK]]'s pattern). */
+  def nswAnn(spark: SparkSession, sfDir: String, nQueries: Int = 8,
+             beam: Int = 12, hops: Int = 4, k: Int = 5,
+             graphK: Int = 8): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+      .localCheckpoint()
+    val assign = clusterAssignments(spark, sfDir).localCheckpoint()
+    // the knnGraph edge build over the SAME assignment pass (one
+    // k-means training serves both the graph and the entry set)
+    val directed = cappedClusterPairs(assign.join(emb, "vec_id"), 64,
+        "vec_id", "vec", "nbr", "nvec")
+      .filter($"vec_id" =!= $"nbr")
+      .withColumn("cos6",
+        round(call_function("cosine_sim", $"vec", $"nvec"), 6))
+      .groupBy($"vec_id")
+      .agg(call_function("top_k_structs",
+        struct($"cos6", $"nbr"), lit(graphK),
+        array(lit(false), lit(true)), array(lit(false), lit(false))).as("top"))
+      .select($"vec_id", posexplode($"top"))
+      .select($"vec_id".as("src"), $"col.nbr".as("dst"))
+    // no edge-level distinct: a mutual pair appears twice, but every
+    // hop dedups its CANDIDATE set anyway — skipping the dedup saves a
+    // full shuffle of the corpus-sized edge list
+    val edges = directed
+      .union(directed.select($"dst".as("src"), $"src".as("dst")))
+      .localCheckpoint() // the persisted index: built once, probed often
+    // one entry per cell, chosen OUTSIDE the query id range (the
+    // fixture's queries are corpus members — and, being the k-means
+    // seeds, they'd otherwise be their own cells' entries and the
+    // self-exclusion would cut the beam off from exactly the cell
+    // that holds their true neighbors)
+    val entries = assign.filter($"vec_id" >= nQueries)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"cid").orderBy($"vec_id".asc)))
+      .filter($"rn" === 1).select($"vec_id".as("cand"))
+    val q = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"))
+    def score(cands: DataFrame): DataFrame =
+      cands.join(emb.select($"vec_id".as("cand"), $"vec"), Seq("cand"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cos6",
+          round(call_function("cosine_sim", $"vec", $"qvec"), 6))
+        .select($"query_id", $"cand", $"cos6")
+    def topPerQuery(scored: DataFrame, n: Int): DataFrame =
+      scored.withColumn("rn", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"cos6".desc, $"cand".asc)))
+        .filter($"rn" <= n)
+    // each hop references the beam TWICE (edge expansion ∪ carry);
+    // checkpointing the ≤ nQueries·beam rows per hop keeps the plan
+    // linear — without it the beam subtree replays 2^hops times
+    var beamDf = topPerQuery(score(
+        q.select($"query_id").crossJoin(broadcast(entries))
+          .filter($"cand" =!= $"query_id")), beam)
+      .select($"query_id", $"cand").localCheckpoint()
+    for (_ <- 1 to hops) {
+      val cands = beamDf.join(edges, beamDf("cand") === edges("src"))
+        .select($"query_id", $"dst".as("cand"))
+        .union(beamDf.select($"query_id", $"cand"))
+        .filter($"cand" =!= $"query_id")
+        .distinct()
+      beamDf = topPerQuery(score(cands), beam)
+        .select($"query_id", $"cand").localCheckpoint()
+    }
+    topPerQuery(score(beamDf), k)
+      .select($"query_id", $"cand".as("neighbor_id"),
+        $"cos6".as("cosine"), $"rn".cast("long").as("rnk"))
+  }
+
   /** ANN quality evaluation as a query: recall@k of the IVF index
     * against exact brute force, per query — the measurement loop that
     * decides nprobe/k-means parameters before a 100 TB index build
