@@ -206,6 +206,7 @@ object SparkEntry {
     "q_percentile_disc"  -> (Core.qPercentileDisc _),
     "sim_knn_graph"      -> ((s, d) => SimOps.knnGraph(s, d)),
     "sim_nsw_ann"        -> ((s, d) => SimOps.nswAnn(s, d)),
+    "sim_nsw_persisted"  -> ((s, d) => SimOps.nswPersisted(s, d)),
     "tel_lttb"           -> ((s, d) => Telemetry.lttb(s, d)),
     "tel_capacity_forecast" -> ((s, d) => Telemetry.capacityForecast(s, d)),
     "tel_downtime"       -> ((s, d) => Telemetry.downtime(s, d)),
@@ -4320,6 +4321,9 @@ object SparkEntry {
         |   AS p75_disc
         |FROM r GROUP BY pri""".stripMargin,
     "sim_nsw_ann" -> NswAnnOracle,
+    // the persisted-index probe returns the identical deterministic
+    // result — the stored parquet index IS the inline build's output
+    "sim_nsw_persisted" -> NswAnnOracle,
     "sim_knn_graph" ->
       s"""$KmeansCtes,
         |w AS (

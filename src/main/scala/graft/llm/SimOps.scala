@@ -1368,9 +1368,12 @@ object SimOps {
     * deterministic ties), which is what makes a full SQL oracle
     * possible for a graph-ANN — recall vs brute force is measured the
     * same way as the IVF family ([[recallAtK]]'s pattern). */
-  def nswAnn(spark: SparkSession, sfDir: String, nQueries: Int = 8,
-             beam: Int = 12, hops: Int = 4, k: Int = 5,
-             graphK: Int = 8): DataFrame = {
+  /** The NSW index pair: (undirected degree-`graphK` edge list,
+    * per-cell entry points) — what [[nswAnn]] builds inline and
+    * [[nswPersisted]] lands as parquet once per corpus. */
+  private[graft] def nswIndex(spark: SparkSession, sfDir: String,
+                              nQueries: Int, graphK: Int)
+      : (DataFrame, DataFrame) = {
     import spark.implicits._
     GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
@@ -1395,7 +1398,6 @@ object SimOps {
     // full shuffle of the corpus-sized edge list
     val edges = directed
       .union(directed.select($"dst".as("src"), $"src".as("dst")))
-      .localCheckpoint() // the persisted index: built once, probed often
     // one entry per cell, chosen OUTSIDE the query id range (the
     // fixture's queries are corpus members — and, being the k-means
     // seeds, they'd otherwise be their own cells' entries and the
@@ -1405,6 +1407,23 @@ object SimOps {
       .withColumn("rn", row_number().over(
         Window.partitionBy($"cid").orderBy($"vec_id".asc)))
       .filter($"rn" === 1).select($"vec_id".as("cand"))
+    (edges, entries)
+  }
+
+  /** The beam search itself, over an already-built index — see
+    * [[nswAnn]] for the contract. */
+  private def nswSearch(spark: SparkSession, sfDir: String,
+                        edges: DataFrame, entries: DataFrame,
+                        nQueries: Int, beam: Int, hops: Int, k: Int)
+      : DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // edges/emb are referenced once per hop; callers hand either plain
+    // parquet scans (persisted index — rescanning is the cheap option)
+    // or an already-checkpointed build (inline), so no materialization
+    // happens here
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
     val q = emb.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"vec".as("qvec"))
     def score(cands: DataFrame): DataFrame =
@@ -1436,6 +1455,40 @@ object SimOps {
     topPerQuery(score(beamDf), k)
       .select($"query_id", $"cand".as("neighbor_id"),
         $"cos6".as("cosine"), $"rn".cast("long").as("rnk"))
+  }
+
+  def nswAnn(spark: SparkSession, sfDir: String, nQueries: Int = 8,
+             beam: Int = 12, hops: Int = 4, k: Int = 5,
+             graphK: Int = 8): DataFrame = {
+    val (edges, entries) = nswIndex(spark, sfDir, nQueries, graphK)
+    // the inline-built edge list feeds every hop — checkpoint so the
+    // k-means + pair-mining subtree runs once, not once per hop
+    nswSearch(spark, sfDir, edges.localCheckpoint(), entries,
+      nQueries, beam, hops, k)
+  }
+
+  /** [[nswAnn]] in its deployment shape — the graph index is BUILT
+    * ONCE and landed as parquet (edge list + entry points), probes run
+    * against the stored index: the [[ivfPersisted]] play for the graph
+    * family. Same deterministic search, same DuckDB oracle — and the
+    * bench entry shows what a probe costs once the build is sunk
+    * (the number an operator actually pays per query batch at 100 TB,
+    * where the index is maintained nightly, not rebuilt per query). */
+  def nswPersisted(spark: SparkSession, sfDir: String, nQueries: Int = 8,
+                   beam: Int = 12, hops: Int = 4, k: Int = 5,
+                   graphK: Int = 8): DataFrame = {
+    val idxDir = ivfIndexCache.computeIfAbsent(s"$sfDir#nsw", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-nsw-index").toString
+      val (edges, entries) = nswIndex(spark, sfDir, nQueries, graphK)
+      edges.write.mode("overwrite").parquet(s"$dir/edges")
+      entries.write.mode("overwrite").parquet(s"$dir/entries")
+      dir
+    })
+    nswSearch(spark, sfDir,
+      spark.read.parquet(s"$idxDir/edges"),
+      spark.read.parquet(s"$idxDir/entries"),
+      nQueries, beam, hops, k)
   }
 
   /** ANN quality evaluation as a query: recall@k of the IVF index
