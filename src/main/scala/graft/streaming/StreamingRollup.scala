@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming MAINTENANCE of the hourly events rollup — the other half
+  * of [[graft.plans.RollupRewrite]]: the optimizer rule answers
+  * dashboard aggregates from the rollup; this keeps the rollup current
+  * as events stream in, so "materialized view" means a table that is
+  * ALWAYS a correct pre-aggregation of everything ingested so far.
+  *
+  * Shape: a watermarked per-hour streaming aggregation in UPDATE mode —
+  * Spark's state store carries each open (hour, event_type) group's
+  * running (cnt, sums, min, max); every micro-batch emits only the
+  * groups it changed, and foreachBatch upserts them into the snapshot
+  * parquet by key (write-tmp-then-rename, the
+  * [[StreamingIngest.materializedWindowCounts]] discipline — on an
+  * object store this is an Iceberg upsert via
+  * [[graft.catalog.IcebergMaintenance.upsert]] instead).
+  *
+  * All maintained measures re-aggregate losslessly (counts, integer
+  * sums, min/max, plus the raw double sum whose magnitude — not bit
+  * pattern — is order-stable), which is exactly the property
+  * [[graft.plans.RollupRewrite]] requires of a rollup it answers from:
+  * StreamingRollupSpec closes the loop by pointing the rule at the
+  * STREAMED snapshot and hash-comparing against the raw scan.
+  *
+  * Scale: state is one row per open (hour, dim) group — bounded by the
+  * watermark horizon × dim cardinality, never by event volume; each
+  * upsert rewrites only changed groups against a rollup that is six
+  * orders of magnitude smaller than the raw table. */
+object StreamingRollup {
+
+  /** The grouped-aggregation frame (shared by batch materialization
+    * and the streaming maintainer — same columns as
+    * [[graft.telemetry.Rollups.hourlyEvents]], with the hour coming
+    * from `window()` so watermark-based state eviction applies). */
+  def rollupFrame(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events
+      .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value")).as("sum_value"),
+        sum(col("value").cast("long")).as("sum_value_trunc"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        sum(col("user_id")).as("sum_user_id"))
+      .select(col("window.start").as("hour_ts"), col("event_type"),
+        col("cnt"), col("sum_value"), col("sum_value_trunc"),
+        col("min_value"), col("max_value"), col("sum_user_id"))
+
+  /** Maintain the rollup snapshot at `snapshotPath` from a streaming
+    * events frame; returns the (AvailableNow) query. Restart-safe: the
+    * aggregation state lives in the checkpoint, the upsert is
+    * idempotent per (hour_ts, event_type) key. */
+  def maintain(events: DataFrame, snapshotPath: String, checkpoint: String,
+               tsCol: String = "ts",
+               watermark: String = "720 hours"): StreamingQuery =
+    rollupFrame(events.withWatermark(tsCol, watermark), tsCol)
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val updates = batch
+        val existing =
+          try spark.read.parquet(snapshotPath)
+          catch { case _: Throwable => updates.limit(0) }
+        val merged = existing
+          .join(updates.select("hour_ts", "event_type"),
+            Seq("hour_ts", "event_type"), "left_anti")
+          .unionByName(updates)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val tmp = new org.apache.hadoop.fs.Path(snapshotPath + ".tmp")
+        val dst = new org.apache.hadoop.fs.Path(snapshotPath)
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        val fs = dst.getFileSystem(conf)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        fs.rename(tmp, dst)
+        spark.catalog.refreshByPath(snapshotPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -45,18 +45,13 @@ object Rollups {
       |             "min": "min_value", "max": "max_value"},
       |   "user_id": {"sum": "sum_user_id"}}}""".stripMargin
 
-  /** The hourly rollup frame (the thing to materialize). */
-  def hourlyEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.events(spark, sfDir)
-      .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"event_type")
-      .agg(count(lit(1)).as("cnt"),
-        sum($"value").as("sum_value"),
-        sum($"value".cast("long")).as("sum_value_trunc"),
-        min($"value").as("min_value"),
-        max($"value").as("max_value"),
-        sum($"user_id").as("sum_user_id"))
-  }
+  /** The hourly rollup frame (the thing to materialize) — ONE
+    * definition shared with the streaming maintainer
+    * ([[graft.streaming.StreamingRollup.rollupFrame]]), so the batch
+    * materialization and the incrementally-maintained snapshot are the
+    * same view by construction. */
+  def hourlyEvents(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.StreamingRollup.rollupFrame(Tables.events(spark, sfDir))
 
   /** `tel_rollup_hourly`: the materialized-view frame itself, minus
     * the raw double sum (kept out of the oracle — cross-engine fp

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.RollupRewrite
+import graft.streaming.StreamingRollup
+
+/** Streaming-maintained rollup (StreamingRollup): the snapshot must
+  * equal the batch rollup over everything ingested, survive a restart
+  * with more data, and — the loop-closer — serve as the answer source
+  * for RollupRewrite against the raw table. */
+class StreamingRollupSpec extends SparkSpec {
+
+  test("streamed rollup == batch rollup; restart folds new data in") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-roll-stream").toString
+    val batch = Tables.events(spark, sf)
+    batch.write.parquet(s"$base/src")
+
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    StreamingRollup.maintain(stream, s"$base/mv", s"$base/chk")
+      .awaitTermination()
+
+    def key(df: org.apache.spark.sql.DataFrame): Map[(String, String), (Long, Long, Double, Double, Long)] =
+      df.select(date_format($"hour_ts", "yyyy-MM-dd HH").as("h"),
+          $"event_type", $"cnt", $"sum_value_trunc",
+          $"min_value", $"max_value", $"sum_user_id")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+            r.getLong(6))))
+        .toMap
+    val streamed = key(spark.read.parquet(s"$base/mv"))
+    val expected = key(StreamingRollup.rollupFrame(batch))
+    assert(streamed === expected)
+    // the double sum re-aggregates to the same magnitude (fold order
+    // differs between incremental state and one batch pass)
+    val sumStream = spark.read.parquet(s"$base/mv")
+      .agg(sum($"sum_value")).head.getDouble(0)
+    val sumBatch = StreamingRollup.rollupFrame(batch)
+      .agg(sum($"sum_value")).head.getDouble(0)
+    assert(math.abs(sumStream - sumBatch) <= 1e-6 * math.abs(sumBatch))
+
+    // restart from the checkpoint with more source data
+    batch.limit(500).write.mode("append").parquet(s"$base/src")
+    StreamingRollup.maintain(
+      spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$base/src"),
+      s"$base/mv", s"$base/chk").awaitTermination()
+    val total = spark.read.parquet(s"$base/mv")
+      .agg(sum($"cnt")).head.getLong(0)
+    assert(total === batch.count() + 500)
+  }
+
+  test("RollupRewrite answers raw-table aggregates from the STREAMED snapshot") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val base = Files.createTempDirectory("graft-roll-loop").toString
+    val batch = Tables.events(spark, sf)
+    batch.write.parquet(s"$base/events.parquet")
+    StreamingRollup.maintain(
+      spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/events.parquet"),
+      s"$base/mv", s"$base/chk").awaitTermination()
+
+    val specJson =
+      s"""{"basePath": "$base/events.parquet", "rollupPath": "$base/mv",
+         | "timeCol": "ts", "grainCol": "hour_ts", "tz": "UTC",
+         | "dims": ["event_type"], "count": "cnt",
+         | "measures": {
+         |   "value": {"sumLong": "sum_value_trunc",
+         |             "min": "min_value", "max": "max_value"},
+         |   "user_id": {"sum": "sum_user_id"}}}""".stripMargin
+    def query = spark.read.parquet(s"$base/events.parquet")
+      .groupBy($"ts".cast("date").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("long")).as("s_trunc"),
+        min($"value").as("mn"), max($"value").as("mx"))
+    val raw = query.collect().map(_.toString).toSet
+
+    spark.conf.set(RollupRewrite.SPEC_KEY, specJson)
+    try {
+      val df = query
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      assert(scans.exists(_.endsWith("/mv")), s"expected rollup scan: $scans")
+      assert(df.collect().map(_.toString).toSet === raw)
+    } finally spark.conf.unset(RollupRewrite.SPEC_KEY)
+  }
+}
