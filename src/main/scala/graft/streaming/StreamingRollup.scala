@@ -82,4 +82,28 @@ object StreamingRollup {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** The same maintenance into an ICEBERG table — each micro-batch's
+    * changed groups land as one merge-on-read upsert snapshot
+    * ([[IcebergCdcSink.applyBatch]]: equality-delete + append, O(delta),
+    * exactly-once across restarts via batch-id replay detection). The
+    * rollup gains the chain's whole lifecycle for free: TIME TRAVEL to
+    * the view as of any past micro-batch, compaction when the upsert
+    * deltas fragment it, expiry, branches. This is what "materialized
+    * view" looks like on the lakehouse: a first-class table, not a
+    * side file. */
+  def maintainIceberg(events: DataFrame, tableDir: String,
+                      checkpoint: String, tsCol: String = "ts",
+                      watermark: String = "720 hours"): StreamingQuery =
+    rollupFrame(events.withWatermark(tsCol, watermark), tsCol)
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        IcebergCdcSink.applyBatch(batch.sparkSession, tableDir, batch, id,
+          Seq("hour_ts", "event_type"))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -55,6 +55,48 @@ class StreamingRollupSpec extends SparkSpec {
     assert(total === batch.count() + 500)
   }
 
+  test("Iceberg-table rollup: upsert snapshots, time travel, compaction") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-roll-ice").toString
+    val batch = Tables.events(spark, sf)
+    // three source files → three micro-batches → three upsert snapshots
+    val thirds = batch.count() / 3
+    batch.limit(thirds.toInt).write.parquet(s"$base/src")
+    batch.limit(2 * thirds.toInt).write.mode("append").parquet(s"$base/src")
+    batch.write.mode("append").parquet(s"$base/src")
+    StreamingRollup.maintainIceberg(
+      spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src"),
+      s"$base/tbl", s"$base/chk").awaitTermination()
+
+    import graft.catalog.{IcebergMaintenance, IcebergTableReader}
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(date_format($"hour_ts", "yyyy-MM-dd HH").as("h"),
+          $"event_type", $"cnt", $"sum_value_trunc", $"sum_user_id")
+        .collect().map(_.toString).toSet
+    // final state == the batch rollup over everything (events arrived
+    // duplicated across files — the rollup state still counts every
+    // ingested row exactly once per micro-batch aggregation)
+    val expected = keyed(StreamingRollup.rollupFrame(
+      batch.limit(thirds.toInt)
+        .unionAll(batch.limit(2 * thirds.toInt)).unionAll(batch)))
+    assert(keyed(IcebergTableReader.read(spark, s"$base/tbl")) === expected)
+    // one snapshot per micro-batch; time travel shows the view growing
+    val snaps = IcebergTableReader.metadata(spark, s"$base/tbl")
+      .snapshots.map(_.snapshotId)
+    assert(snaps.size === 3)
+    val counts = snaps.map(id =>
+      IcebergTableReader.read(spark, s"$base/tbl", Some(id))
+        .agg(sum($"cnt")).head.getLong(0))
+    assert(counts === counts.sorted)
+    assert(counts.last ===
+      thirds + 2 * thirds + batch.count())
+    // compaction materializes the upsert deltas; rows identical
+    val before = keyed(IcebergTableReader.read(spark, s"$base/tbl"))
+    assert(IcebergMaintenance.compact(spark, s"$base/tbl")._1 > 0)
+    assert(keyed(IcebergTableReader.read(spark, s"$base/tbl")) === before)
+  }
+
   test("RollupRewrite answers raw-table aggregates from the STREAMED snapshot") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
