@@ -118,7 +118,10 @@ object Bench {
                          "iceberg_upsert", "iceberg_changelog",
                          "iceberg_plan_fragmented",
                          "iceberg_rewrite_manifests",
-                         "iceberg_plan_rewritten")
+                         "iceberg_plan_rewritten",
+                         "iceberg_slice_straddled",
+                         "iceberg_rewrite_datafiles",
+                         "iceberg_slice_sorted")
     val doPrune = only.isEmpty || pruneNames.exists(only)
     val pruneResults: Seq[(String, Double)] = if (!doPrune) Nil else {
       import org.apache.spark.sql.functions.{col, min, unix_micros}
@@ -246,6 +249,51 @@ object Bench {
             "iceberg_plan_rewritten" -> best("iceberg_plan_rewritten")(
               graft.catalog.IcebergTableReader.scanState(spark, iceLoc2)
                 ._1.size.toLong))
+        } ++ {
+          // rewrite_data_files SORT-strategy lever measured: events
+          // written UNPARTITIONED (every task file spans the full ts
+          // range — all straddle every probe window), then rewritten
+          // with sortBy(ts): per-file bounds turn disjoint and the
+          // 1-hour slice opens ~1 file instead of all of them.
+          val flatDir = s"$dir/events_flat"
+          ev.repartition(8).write.parquet(flatDir)
+          val flatPaths = graft.recovery.Recovery
+            .listDataFiles(spark, flatDir).collect().map(_.getString(0)).toSeq
+          val flatCounts = graft.recovery.Recovery.fileRowCounts(spark, flatPaths)
+          val flatStats = graft.recovery.Recovery.fileColumnStats(spark, flatPaths, "ts")
+          val iceLoc3 = s"$dir/events_iceberg_straddle"
+          val sjc3 = org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(schemaJson))
+          graft.catalog.IcebergCommit.commitStandalone(
+            spark.sparkContext.hadoopConfiguration, iceLoc3, sjc3, None,
+            flatPaths.map { p =>
+              val bounds = flatStats.get(p).toSeq.map { case (mn, mx) =>
+                (tsId, graft.catalog.IcebergSingleValue.longBytes(mn),
+                 graft.catalog.IcebergSingleValue.longBytes(mx))
+              }
+              graft.catalog.RestCatalogClient.DataFile(
+                p, java.nio.file.Files.size(java.nio.file.Paths.get(p)),
+                flatCounts.getOrElse(p, 0L), bounds)
+            })
+          val straddled = best("iceberg_slice_straddled")(
+            graft.catalog.IcebergTableReader.readSlice(
+              spark, iceLoc3, "ts", startUs, endUs).count())
+          val totalBytes = flatPaths
+            .map(p => java.nio.file.Files.size(java.nio.file.Paths.get(p))).sum
+          val rdfCost = {
+            val t0 = System.nanoTime()
+            graft.catalog.IcebergMaintenance.rewriteDataFiles(spark, iceLoc3,
+              smallFileThresholdBytes = Long.MaxValue,
+              targetFileSizeBytes = math.max(1L, totalBytes / 8),
+              statsColumn = Some("ts"), sortBy = Seq("ts"))
+            (System.nanoTime() - t0) / 1e9
+          }
+          Seq(
+            "iceberg_slice_straddled" -> straddled,
+            "iceberg_rewrite_datafiles" -> rdfCost,
+            "iceberg_slice_sorted" -> best("iceberg_slice_sorted")(
+              graft.catalog.IcebergTableReader.readSlice(
+                spark, iceLoc3, "ts", startUs, endUs).count()))
         }
       } catch { case _: Throwable => Nil }
       finally {

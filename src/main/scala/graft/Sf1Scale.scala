@@ -72,7 +72,11 @@ object Sf1Scale {
     // index — the build lands in the per-corpus cache on the first
     // sample, so the measured ratio is the serving-path cost) and the
     // per-centroid staleness report (k×2×64-row aggregate)
-    "sim_ivf_append", "sim_ivf_append_drift")
+    "sim_ivf_append", "sim_ivf_append_drift",
+    // r15: graph-ANN build+search (the honest full-cost ratio) and the
+    // probe-amortized persisted twin (index cached per corpus dir on
+    // the first sample, like sim_ivf_append)
+    "sim_nsw_ann", "sim_nsw_persisted")
 
   /** Documents-table dedup/text pipelines — the banded-LSH / inverted-
     * index / prefix-filter scale claims, measured on a text corpus with
@@ -322,7 +326,11 @@ object Sf1Scale {
   private val telQueries: Seq[String] =
     Seq("tel_ddsketch", "tel_ddsketch_native", "tel_psi_drift",
       "tel_seasonal", "tel_ab_test", "tel_seasonal_backtest",
-      "tel_kmv_overlap", "tel_top_paths")
+      "tel_kmv_overlap", "tel_top_paths",
+      // r15: the MV pair — materialization (linear scan + hash agg)
+      // and the rewrite-answered day query (its queryConfs apply, so
+      // the measured path IS the rollup scan + re-aggregation)
+      "tel_rollup_hourly", "tel_rollup_rewrite")
 
   def maybeRun(spark: SparkSession): Option[String] =
     if (!sys.env.get("SPARK_GRAFT_SF1").exists(_.nonEmpty)) None
@@ -340,7 +348,8 @@ object Sf1Scale {
     val dirBig = genCorpus(spark, nBig)
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
-      def once(): Double = {
+      val confs = SparkEntry.queryConfs.getOrElse(name, Map.empty)
+      def once(): Double = SparkEntry.withConfs(spark, confs) {
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9

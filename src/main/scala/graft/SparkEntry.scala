@@ -207,6 +207,7 @@ object SparkEntry {
     "sim_knn_graph"      -> ((s, d) => SimOps.knnGraph(s, d)),
     "sim_nsw_ann"        -> ((s, d) => SimOps.nswAnn(s, d)),
     "sim_nsw_persisted"  -> ((s, d) => SimOps.nswPersisted(s, d)),
+    "sim_nsw_recall"     -> ((s, d) => SimOps.nswRecall(s, d)),
     "tel_lttb"           -> ((s, d) => Telemetry.lttb(s, d)),
     "tel_capacity_forecast" -> ((s, d) => Telemetry.capacityForecast(s, d)),
     "tel_downtime"       -> ((s, d) => Telemetry.downtime(s, d)),
@@ -4324,6 +4325,7 @@ object SparkEntry {
     // the persisted-index probe returns the identical deterministic
     // result — the stored parquet index IS the inline build's output
     "sim_nsw_persisted" -> NswAnnOracle,
+    "sim_nsw_recall" -> NswRecallOracle,
     "sim_knn_graph" ->
       s"""$KmeansCtes,
         |w AS (
@@ -4869,8 +4871,40 @@ object SparkEntry {
     * entries = the k-means seed rows, then `hops` rounds of
     * expand-along-edges → score → top-beam, exactly the Spark plan's
     * join chain. */
-  private lazy val NswAnnOracle: String = {
-    val hops = 4
+  private val NswHops = 4
+
+  private lazy val NswAnnOracle: String =
+    s"""$NswAnnCtes
+       |SELECT query_id, cand AS neighbor_id, cos6 AS cosine,
+       | CAST(rn AS BIGINT) AS rnk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cos6 DESC, cand) AS rn FROM bm$NswHops) t
+       |WHERE rn <= 5""".stripMargin
+
+  /** sim_nsw_recall oracle: the beam-search CTEs + brute-force top-5 —
+    * the sim_recall_at_k measurement shape for the graph family. */
+  private lazy val NswRecallOracle: String =
+    s"""$NswAnnCtes,
+       |nsw AS (SELECT query_id, cand AS neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos6 DESC, cand) AS rn FROM bm$NswHops) t WHERE rn <= 5),
+       |bp AS (
+       | SELECT qq.query_id, w.vec_id AS neighbor_id,
+       |  round(list_dot_product(w.vec, qq.qv)/(w.nrm*qq.qn), 6) AS cosine
+       | FROM w, qq WHERE w.vec_id != qq.query_id),
+       |brute AS (SELECT query_id, neighbor_id FROM (
+       | SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM bp) t WHERE rnk <= 5)
+       |SELECT b.query_id, CAST(count(*) AS BIGINT) AS k,
+       | CAST(sum(CASE WHEN n.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS hits,
+       | CAST(CAST(sum(CASE WHEN n.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |FROM brute b LEFT JOIN nsw n USING (query_id, neighbor_id)
+       |GROUP BY b.query_id""".stripMargin
+
+  private lazy val NswAnnCtes: String = {
+    val hops = NswHops
     def scoreRank(i: Int, src: String, keep: Int): String =
       s"""sc$i AS (
          | SELECT c.query_id, c.cand,
@@ -4918,12 +4952,7 @@ object SparkEntry {
        | SELECT query_id, cand FROM qq, en
        | WHERE cand != query_id),
        |${scoreRank(0, "nb0", 12)},
-       |$hopCtes
-       |SELECT query_id, cand AS neighbor_id, cos6 AS cosine,
-       | CAST(rn AS BIGINT) AS rnk
-       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-       |  ORDER BY cos6 DESC, cand) AS rn FROM bm$hops) t
-       |WHERE rn <= 5""".stripMargin
+       |$hopCtes""".stripMargin
   }
 
   private lazy val KmeansCtes: String =

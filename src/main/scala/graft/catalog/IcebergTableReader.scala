@@ -247,6 +247,35 @@ object IcebergTableReader {
         "data_sequence_number", "added_snapshot_id", "partition")
   }
 
+  /** The `table$partitions` metadata table (r15): one row per live
+    * partition tuple — file/record/byte counts plus the tuple itself
+    * (each file's tuple read under its OWN manifest's spec, so a
+    * spec-evolved table reports both eras side by side; unpartitioned
+    * files group under the empty tuple). The surface an operator reads
+    * to find fragmented or skewed partitions before pointing
+    * [[graft.catalog.IcebergMaintenance.rewriteDataFiles]] at them.
+    * Driver-side metadata only — no parquet touched. */
+  def partitionsDf(spark: SparkSession, tableDir: String,
+                   asOfSnapshotId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val meta = metadata(spark, tableDir)
+    val defaultFields = IcebergPartitioning.fields(meta)
+    val (files, _) = scanState(spark, tableDir, asOfSnapshotId)
+    files
+      .groupBy { f =>
+        val pf = f.specFields.getOrElse(defaultFields)
+        pf.map(p => s"${p.name}=${f.partition.get(p.name)
+          .map(_.toString).getOrElse("null")}").mkString("/")
+      }
+      .toSeq.map { case (tuple, fs) =>
+        (tuple, fs.size, fs.map(_.recordCount).sum, fs.map(_.sizeBytes).sum,
+          fs.map(_.sizeBytes).min, fs.map(_.sizeBytes).max)
+      }
+      .sortBy(_._1)
+      .toDF("partition", "file_count", "record_count", "total_bytes",
+        "min_file_bytes", "max_file_bytes")
+  }
+
   /** The `table$manifests` metadata table (r10): one row per manifest
     * in the snapshot's list — path, length, spec-id, content,
     * sequence-number window, adding snapshot, and the per-status file

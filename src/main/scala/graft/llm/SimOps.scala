@@ -1491,6 +1491,23 @@ object SimOps {
       nQueries, beam, hops, k)
   }
 
+  /** Recall@k of the GRAPH search against exact brute force — the
+    * [[recallAtK]] measurement loop for the NSW family, run against
+    * the persisted index (the serving path is what you measure). */
+  def nswRecall(spark: SparkSession, sfDir: String,
+                nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val brute = simTopkBruteforce(spark, sfDir, nQueries, k)
+      .select($"query_id", $"neighbor_id")
+    val nsw = nswPersisted(spark, sfDir, nQueries, k = k)
+      .select($"query_id", $"neighbor_id").withColumn("hit", lit(1L))
+    brute.join(nsw, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("k"),
+           sum(coalesce($"hit", lit(0L))).as("hits"))
+      .withColumn("recall", $"hits".cast("double") / $"k".cast("double"))
+  }
+
   /** ANN quality evaluation as a query: recall@k of the IVF index
     * against exact brute force, per query — the measurement loop that
     * decides nprobe/k-means parameters before a 100 TB index build

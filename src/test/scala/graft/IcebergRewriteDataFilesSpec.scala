@@ -84,6 +84,11 @@ class IcebergRewriteDataFilesSpec extends SparkSpec {
     val before = IcebergTableReader.read(spark, loc)
       .orderBy("id").collect().toSeq
     assert(before.size === 5068)
+    // the partitions metadata table is the fragmentation report an
+    // operator reads to decide this rewrite is due
+    val fragReport = IcebergTableReader.partitionsDf(spark, loc)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(fragReport === Map("ts_hour=0" -> 5, "ts_hour=1" -> 3))
     val filesBefore = IcebergTableReader.filesDf(spark, loc).collect()
     val bigPath = filesBefore.filter(_.getString(0) == "data")
       .maxBy(_.getAs[Long]("file_size_in_bytes"))
@@ -122,6 +127,10 @@ class IcebergRewriteDataFilesSpec extends SparkSpec {
     // both delete files still carried (they must keep applying to the
     // kept file and to nothing else)
     assert(filesAfter.count(_.getString(0) != "data") === 2)
+    // and the fragmentation report shows the bin-pack took
+    assert(IcebergTableReader.partitionsDf(spark, loc)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap ===
+      Map("ts_hour=0" -> 2, "ts_hour=1" -> 1))
 
     // partition pruning on the packed files: the hour-1 probe opens
     // exactly the fresh hour-1 file
