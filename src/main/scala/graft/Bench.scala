@@ -257,6 +257,10 @@ object Bench {
           // 1-hour slice opens ~1 file instead of all of them.
           val flatDir = s"$dir/events_flat"
           ev.repartition(8).write.parquet(flatDir)
+          // listDataFiles returns file:-scheme URIs; Files.size needs
+          // the raw path
+          def fsize(p: String): Long = java.nio.file.Files.size(
+            java.nio.file.Paths.get(p.replaceFirst("^file:", "")))
           val flatPaths = graft.recovery.Recovery
             .listDataFiles(spark, flatDir).collect().map(_.getString(0)).toSeq
           val flatCounts = graft.recovery.Recovery.fileRowCounts(spark, flatPaths)
@@ -272,14 +276,14 @@ object Bench {
                  graft.catalog.IcebergSingleValue.longBytes(mx))
               }
               graft.catalog.RestCatalogClient.DataFile(
-                p, java.nio.file.Files.size(java.nio.file.Paths.get(p)),
+                p, fsize(p),
                 flatCounts.getOrElse(p, 0L), bounds)
             })
           val straddled = best("iceberg_slice_straddled")(
             graft.catalog.IcebergTableReader.readSlice(
               spark, iceLoc3, "ts", startUs, endUs).count())
           val totalBytes = flatPaths
-            .map(p => java.nio.file.Files.size(java.nio.file.Paths.get(p))).sum
+            .map(fsize).sum
           val rdfCost = {
             val t0 = System.nanoTime()
             graft.catalog.IcebergMaintenance.rewriteDataFiles(spark, iceLoc3,
@@ -295,7 +299,14 @@ object Bench {
               graft.catalog.IcebergTableReader.readSlice(
                 spark, iceLoc3, "ts", startUs, endUs).count()))
         }
-      } catch { case _: Throwable => Nil }
+      } catch { case e: Throwable =>
+        // never let the lever block vanish silently — a throw here
+        // used to drop all 11 prune entries from BENCH_full with no
+        // trace (r15)
+        System.err.println(s"[bench] prune-lever block failed: $e")
+        e.getStackTrace.take(8).foreach(f => System.err.println(s"[bench]   $f"))
+        Nil
+      }
       finally {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(dir)).deleteRecursively()

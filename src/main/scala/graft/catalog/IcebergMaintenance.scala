@@ -501,6 +501,54 @@ object IcebergMaintenance {
       kept.size)
   }
 
+  final case class MaintenanceReport(
+      filesRewrite: RewriteFilesReport, manifestsRewritten: Boolean,
+      expiredSnapshots: Seq[Long], orphansDeleted: Seq[String])
+
+  /** The NIGHTLY TABLE SERVICE — the four maintenance verbs composed
+    * in dependency order, each firing only when its trigger condition
+    * holds (so an already-healthy table is a metadata-read no-op):
+    *
+    *   1. [[rewriteDataFiles]] when any partition has >= `minInputFiles`
+    *      files under the size threshold (bin-pack the streaming
+    *      fragmentation first — it CREATES manifest churn);
+    *   2. [[rewriteManifests]] when the snapshot carries more than
+    *      `maxManifests` manifests (collapse planning cost after the
+    *      appends + the rewrite above);
+    *   3. [[expireSnapshots]] keeping the last `keepSnapshots`
+    *      (refs/tags stay shielded) — reclaims the bytes the rewrites
+    *      retired;
+    *   4. [[removeOrphanFiles]] with the grace window — sweeps crashed-
+    *      write debris.
+    *
+    * At 100 TB every step's cost is proportional to what is WRONG with
+    * the table (small files rewritten, manifests decoded, dead bytes
+    * deleted), never to table size — the property that makes running
+    * this nightly affordable. */
+  def runMaintenance(spark: SparkSession, tableDir: String,
+                     smallFileThresholdBytes: Long = 32L << 20,
+                     targetFileSizeBytes: Long = 128L << 20,
+                     minInputFiles: Int = 4,
+                     sortBy: Seq[String] = Nil,
+                     statsColumn: Option[String] = None,
+                     maxManifests: Int = 8,
+                     keepSnapshots: Int = 3,
+                     orphanOlderThanMs: Long =
+                       System.currentTimeMillis() - 24L * 3600 * 1000)
+      : MaintenanceReport = {
+    val filesReport = rewriteDataFiles(spark, tableDir,
+      smallFileThresholdBytes, targetFileSizeBytes, minInputFiles,
+      statsColumn, sortBy)
+    val manifestCount = IcebergTableReader.manifestsDf(spark, tableDir)
+      .count()
+    val manifestsRewritten =
+      manifestCount > maxManifests && rewriteManifests(spark, tableDir) > 0
+    val expiry = expireSnapshots(spark, tableDir, keepSnapshots)
+    val orphans = removeOrphanFiles(spark, tableDir, orphanOlderThanMs)
+    MaintenanceReport(filesReport, manifestsRewritten,
+      expiry.expiredSnapshots, orphans.deleted)
+  }
+
   // ---- snapshot refs: branches, tags, write-audit-publish ----------
 
   import IcebergTableMetadata.SnapshotRef
