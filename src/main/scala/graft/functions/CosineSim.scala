@@ -164,6 +164,8 @@ object GraftFunctions {
             spark.experimental.extraOptimizations :+ rule
         }
       }
+    // Iceberg-chain table functions (idempotent: re-register overwrites)
+    graft.catalog.IcebergTvf.register(spark)
     // planner strategy for the native as-of join (idempotent add)
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =

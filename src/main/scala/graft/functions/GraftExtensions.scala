@@ -21,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RollupRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    graft.catalog.IcebergTvf.all.foreach(ext.injectTableFunction)
   }
 }
