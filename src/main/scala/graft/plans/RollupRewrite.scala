@@ -59,7 +59,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
                            min: Option[String], max: Option[String])
   final case class Spec(basePath: Option[String], basePathSuffix: Option[String],
                         rollupPath: Option[String], rollupRoot: Option[String],
-                        timeCol: String, grainCol: String, tz: String,
+                        timeCol: String, grainCol: String, grain: String,
+                        tz: String,
                         dims: Seq[String], count: String,
                         measures: Map[String, Measure])
 
@@ -72,32 +73,43 @@ object RollupRewrite extends Rule[LogicalPlan] {
   private def normPath(p: String): String =
     p.replaceFirst("^file:(//)?", "").stripSuffix("/")
 
-  private def spec: Option[Spec] =
+  /** The conf holds ONE spec object or a JSON ARRAY of them (an MV
+    * hierarchy, e.g. day + hour rollups of the same base). Specs are
+    * tried IN DECLARED ORDER — list the coarsest (smallest) rollup
+    * first and the query lands on the cheapest one that can answer
+    * it. */
+  private def specs: Seq[Spec] =
     SQLConf.get.getConfString(SPEC_KEY, "").trim match {
-      case "" => None
+      case "" => Nil
       case js => scala.util.Try {
         import org.json4s._
         import org.json4s.jackson.JsonMethods.parse
-        val j = parse(js)
-        def str(f: String): Option[String] =
-          (j \ f).toOption.collect { case JString(s) => s }
-        def meas(v: JValue): Measure = {
-          def s(f: String) = (v \ f).toOption.collect { case JString(x) => x }
-          Measure(s("sum"), s("sumLong"), s("min"), s("max"))
+        def one(j: JValue): Spec = {
+          def str(f: String): Option[String] =
+            (j \ f).toOption.collect { case JString(s) => s }
+          def meas(v: JValue): Measure = {
+            def s(f: String) = (v \ f).toOption.collect { case JString(x) => x }
+            Measure(s("sum"), s("sumLong"), s("min"), s("max"))
+          }
+          Spec(str("basePath"), str("basePathSuffix"),
+            str("rollupPath"), str("rollupRoot"),
+            str("timeCol").getOrElse("ts"),
+            str("grainCol").getOrElse("hour_ts"),
+            str("grain").getOrElse("hour"),
+            str("tz").getOrElse("UTC"),
+            (j \ "dims").toOption.collect {
+              case JArray(a) => a.collect { case JString(s) => s }
+            }.getOrElse(Nil),
+            str("count").getOrElse("cnt"),
+            (j \ "measures").toOption.collect {
+              case JObject(fs) => fs.map { case (k, v) => k -> meas(v) }.toMap
+            }.getOrElse(Map.empty))
         }
-        Spec(str("basePath"), str("basePathSuffix"),
-          str("rollupPath"), str("rollupRoot"),
-          str("timeCol").getOrElse("ts"),
-          str("grainCol").getOrElse("hour_ts"),
-          str("tz").getOrElse("UTC"),
-          (j \ "dims").toOption.collect {
-            case JArray(a) => a.collect { case JString(s) => s }
-          }.getOrElse(Nil),
-          str("count").getOrElse("cnt"),
-          (j \ "measures").toOption.collect {
-            case JObject(fs) => fs.map { case (k, v) => k -> meas(v) }.toMap
-          }.getOrElse(Map.empty))
-      }.toOption
+        parse(js) match {
+          case JArray(items) => items.map(one)
+          case obj => Seq(one(obj))
+        }
+      }.getOrElse(Nil)
     }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -149,39 +161,55 @@ object RollupRewrite extends Rule[LogicalPlan] {
     s.basePath.map(normPath).contains(path) ||
       s.basePathSuffix.exists(suf => path.endsWith("/" + suf))
 
-  /** date_trunc units at hour grain or coarser — f(ts) == f(hour(ts)). */
+  /** date_trunc units at the grain or coarser — f(ts) == f(grain(ts)). */
   private val CoarserThanHour = Set("hour", "day", "dd", "week", "month",
     "mon", "mm", "quarter", "year", "yyyy", "yy")
+  private val CoarserThanDay = CoarserThanHour - "hour"
 
-  override def apply(plan: LogicalPlan): LogicalPlan = spec match {
-    case None => plan
-    case Some(s) =>
-      // time arithmetic (hour alignment, trunc commutation) is only
-      // claimed for UTC — any other session zone keeps the raw plan
-      if (s.tz != "UTC" || SQLConf.get.sessionLocalTimeZone != "UTC")
-        return plan
-      plan.transformUp {
-        case agg @ Aggregate(groups, aggs, child, _) =>
-          (for {
-            (rawFilters, am, lr) <- unwrap(child)
-            path <- scanPath(lr)
-            if baseMatches(s, path)
-            filters = rawFilters.map(inline(_, am))
-            groups2 = groups.map(inline(_, am))
-            aggs2 = aggs.map {
-              case al: Alias => Alias(inline(al.child, am), al.name)(
-                exprId = al.exprId, qualifier = al.qualifier,
-                explicitMetadata = al.explicitMetadata)
-              case ar: AttributeReference =>
-                inline(ar, am) match {
-                  case same: AttributeReference if same.exprId == ar.exprId => ar
-                  case other => Alias(other, ar.name)(exprId = ar.exprId)
-                }
-              case other => other
-            }
-            rewritten <- tryRewrite(s, path, agg, groups2, aggs2, filters, lr)
-          } yield rewritten).getOrElse(agg)
-      }
+  private def truncUnits(grain: String): Set[String] = grain match {
+    case "hour" => CoarserThanHour
+    case "day"  => CoarserThanDay
+    case _      => Set.empty
+  }
+
+  private def grainMicros(grain: String): Option[Long] = grain match {
+    case "hour" => Some(HourUs)
+    case "day"  => Some(24L * HourUs)
+    case _      => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val ss = specs
+    if (ss.isEmpty) return plan
+    // time arithmetic (grain alignment, trunc commutation) is only
+    // claimed for UTC — any other session zone keeps the raw plan
+    if (ss.exists(_.tz != "UTC") ||
+        SQLConf.get.sessionLocalTimeZone != "UTC") return plan
+    plan.transformUp {
+      case agg @ Aggregate(groups, aggs, child, _) =>
+        (for {
+          (rawFilters, am, lr) <- unwrap(child)
+          path <- scanPath(lr)
+          filters = rawFilters.map(inline(_, am))
+          groups2 = groups.map(inline(_, am))
+          aggs2 = aggs.map {
+            case al: Alias => Alias(inline(al.child, am), al.name)(
+              exprId = al.exprId, qualifier = al.qualifier,
+              explicitMetadata = al.explicitMetadata)
+            case ar: AttributeReference =>
+              inline(ar, am) match {
+                case same: AttributeReference if same.exprId == ar.exprId => ar
+                case other => Alias(other, ar.name)(exprId = ar.exprId)
+              }
+            case other => other
+          }
+          // first spec (declared order: coarsest first) that answers
+          rewritten <- ss.view
+            .filter(s => baseMatches(s, path))
+            .flatMap(s => tryRewrite(s, path, agg, groups2, aggs2, filters, lr))
+            .headOption
+        } yield rewritten).getOrElse(agg)
+    }
   }
 
   private def tryRewrite(s: Spec, basePath: String, agg: Aggregate,
@@ -212,9 +240,10 @@ object RollupRewrite extends Rule[LogicalPlan] {
     def mapDim(a: AttributeReference): Option[Expression] =
       dimAttrs.get(a.exprId).flatMap(rcol).filter(_.dataType == a.dataType)
 
-    /** Hour-aligned (UTC) timestamp literal. */
+    /** Grain-aligned (UTC) timestamp literal. */
+    val grainUs = grainMicros(s.grain).getOrElse(return None)
     def aligned(l: Literal): Boolean = l.value match {
-      case v: Long => Math.floorMod(v, HourUs) == 0L
+      case v: Long => Math.floorMod(v, grainUs) == 0L
       case _ => false
     }
     def isTs(e: Expression): Boolean = e match {
@@ -289,9 +318,9 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case ae: AggregateExpression => mapAggExpr(ae)
       case t @ TruncTimestamp(f: Literal, ts, _) if isTs(ts) &&
           f.value != null &&
-          CoarserThanHour(f.value.toString.toLowerCase) =>
+          truncUnits(s.grain)(f.value.toString.toLowerCase) =>
         Some(t.withNewChildren(Seq(f, grainAttr)))
-      case h @ Hour(ts, _) if isTs(ts) =>
+      case h @ Hour(ts, _) if isTs(ts) && s.grain == "hour" =>
         Some(h.withNewChildren(Seq(grainAttr)))
       case c @ Cast(ts, DateType, _, _) if isTs(ts) =>
         Some(c.withNewChildren(Seq(grainAttr)))

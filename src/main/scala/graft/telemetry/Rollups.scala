@@ -32,18 +32,30 @@ import graft.plans.RollupRewrite
 object Rollups {
 
   /** Static registration JSON for the driver tables: matches any
-    * `events.parquet` scan and derives the rollup location under /tmp
+    * `events.parquet` scan and derives each rollup location under /tmp
     * from the base path ([[RollupRewrite.rollupPathFor]]) — one conf
-    * value serves every scale factor. */
+    * value serves every scale factor. An MV HIERARCHY: the day rollup
+    * (24× smaller) is declared FIRST, so a day-or-coarser query lands
+    * on it and only sub-daily shapes (hour(), date_trunc('hour'),
+    * hour-aligned-but-not-day-aligned bounds) fall through to the
+    * hourly one. */
   val EventsSpecJson: String =
-    """{"basePathSuffix": "events.parquet",
-      | "rollupRoot": "/tmp/graft_rollups",
-      | "timeCol": "ts", "grainCol": "hour_ts", "tz": "UTC",
-      | "dims": ["event_type"], "count": "cnt",
-      | "measures": {
-      |   "value": {"sum": "sum_value", "sumLong": "sum_value_trunc",
-      |             "min": "min_value", "max": "max_value"},
-      |   "user_id": {"sum": "sum_user_id"}}}""".stripMargin
+    """[{"basePathSuffix": "events.parquet",
+      |  "rollupRoot": "/tmp/graft_rollups_day",
+      |  "timeCol": "ts", "grainCol": "day_ts", "grain": "day", "tz": "UTC",
+      |  "dims": ["event_type"], "count": "cnt",
+      |  "measures": {
+      |    "value": {"sum": "sum_value", "sumLong": "sum_value_trunc",
+      |              "min": "min_value", "max": "max_value"},
+      |    "user_id": {"sum": "sum_user_id"}}},
+      | {"basePathSuffix": "events.parquet",
+      |  "rollupRoot": "/tmp/graft_rollups",
+      |  "timeCol": "ts", "grainCol": "hour_ts", "grain": "hour", "tz": "UTC",
+      |  "dims": ["event_type"], "count": "cnt",
+      |  "measures": {
+      |    "value": {"sum": "sum_value", "sumLong": "sum_value_trunc",
+      |              "min": "min_value", "max": "max_value"},
+      |    "user_id": {"sum": "sum_user_id"}}}]""".stripMargin
 
   /** The hourly rollup frame (the thing to materialize) — ONE
     * definition shared with the streaming maintainer
@@ -84,17 +96,39 @@ object Rollups {
         max($"value").as("max_value"))
   }
 
-  /** Materialize the hourly events rollup at the path
-    * [[RollupRewrite]] will derive for this sf dir; idempotent (skips
-    * when the _SUCCESS marker exists — the driver testdata is
-    * immutable, so staleness is not a concern here; a production MV
-    * refreshes per closed hour instead). Returns the path. */
+  /** The DAY rollup, cascaded from the hourly one (the MV-hierarchy
+    * refresh: a day re-aggregation reads 24 hourly rows per group, not
+    * the raw table — exactness preserved because every measure is
+    * re-aggregable: Σcnt, Σsums, min of mins, max of maxes). */
+  def dailyFromHourly(hourly: DataFrame): DataFrame = {
+    import hourly.sparkSession.implicits._
+    hourly
+      .groupBy(date_trunc("day", $"hour_ts").as("day_ts"), $"event_type")
+      .agg(sum($"cnt").as("cnt"),
+        sum($"sum_value").as("sum_value"),
+        sum($"sum_value_trunc").as("sum_value_trunc"),
+        min($"min_value").as("min_value"),
+        max($"max_value").as("max_value"),
+        sum($"sum_user_id").as("sum_user_id"))
+  }
+
+  /** Materialize the hourly events rollup — and the day rollup
+    * cascaded FROM it — at the paths [[RollupRewrite]] will derive for
+    * this sf dir; idempotent (skips when the _SUCCESS marker exists —
+    * the driver testdata is immutable, so staleness is not a concern
+    * here; a production MV refreshes per closed hour/day instead).
+    * Returns the hourly path. */
   def ensureHourlyEvents(spark: SparkSession, sfDir: String): String = {
     val base = Paths.get(s"$sfDir/events.parquet").toAbsolutePath.toString
     val path = RollupRewrite.rollupPathFor("/tmp/graft_rollups", base)
     if (!Files.exists(Paths.get(s"$path/_SUCCESS"))) {
       hourlyEvents(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(path)
+    }
+    val dayPath = RollupRewrite.rollupPathFor("/tmp/graft_rollups_day", base)
+    if (!Files.exists(Paths.get(s"$dayPath/_SUCCESS"))) {
+      dailyFromHourly(spark.read.parquet(path)).coalesce(1)
+        .write.mode("overwrite").parquet(dayPath)
     }
     path
   }

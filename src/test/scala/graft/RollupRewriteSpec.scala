@@ -20,6 +20,12 @@ class RollupRewriteSpec extends SparkSpec {
     Rollups.ensureHourlyEvents(spark, sf)
   }
 
+  private lazy val dayPath: String = {
+    rollupPath // ensure both built
+    graft.plans.RollupRewrite.rollupPathFor("/tmp/graft_rollups_day",
+      java.nio.file.Paths.get(s"$sf/events.parquet").toAbsolutePath.toString)
+  }
+
   private def specJson: String = {
     rollupPath // force build + rule registration
     Rollups.EventsSpecJson
@@ -50,7 +56,8 @@ class RollupRewriteSpec extends SparkSpec {
     withSpec {
       val df = mk
       val paths = scannedPaths(df)
-      assert(paths.exists(_ == rollupPath), s"expected rollup scan, got $paths")
+      assert(paths.exists(p => p == rollupPath || p == dayPath),
+        s"expected a rollup scan, got $paths")
       assert(!paths.exists(_.endsWith("/events.parquet")))
       assert(collectSet(df) === raw)
     }
@@ -99,7 +106,7 @@ class RollupRewriteSpec extends SparkSpec {
       import spark.implicits._
       val df = events.filter($"event_type" === "no_such_type")
         .agg(count(lit(1)).as("n"))
-      assert(scannedPaths(df).exists(_ == rollupPath))
+      assert(scannedPaths(df).exists(p => p == rollupPath || p == dayPath))
       assert(df.collect().map(_.getLong(0)).toSeq === Seq(0L))
     }
   }
@@ -137,6 +144,33 @@ class RollupRewriteSpec extends SparkSpec {
         .agg(count(lit(1))))
   }
 
+  test("the MV hierarchy picks the coarsest rollup that answers") {
+    import spark.implicits._
+    def scansOf(df: DataFrame): Seq[String] = scannedPaths(df)
+    withSpec {
+      // day-or-coarser shapes land on the day rollup
+      val day = events
+        .filter($"ts" >= lit(java.time.Instant.parse("2024-01-02T00:00:00Z")))
+        .groupBy($"ts".cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      assert(scansOf(day).contains(dayPath))
+      assert(!scansOf(day).contains(rollupPath))
+      // hour-of-day needs the hour grain → falls through to hourly
+      val hod = events.groupBy(hour($"ts").as("hod"))
+        .agg(count(lit(1)).as("n"))
+      assert(scansOf(hod).contains(rollupPath))
+      assert(!scansOf(hod).contains(dayPath))
+      // hour-aligned-but-not-day-aligned bound: day spec bails on
+      // alignment, hourly answers — even though the GROUPING is daily
+      val mixed = events
+        .filter($"ts" >= lit(java.time.Instant.parse("2024-01-02T05:00:00Z")))
+        .groupBy($"ts".cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      assert(scansOf(mixed).contains(rollupPath))
+      assert(!scansOf(mixed).contains(dayPath))
+    }
+  }
+
   test("non-UTC session zone bails") {
     withSpec {
       import spark.implicits._
@@ -154,7 +188,8 @@ class RollupRewriteSpec extends SparkSpec {
     val raw = collectSet(Rollups.rewriteProof(spark, sf))
     withSpec {
       val df = Rollups.rewriteProof(spark, sf)
-      assert(scannedPaths(df).exists(_ == rollupPath))
+      // day grouping + day-aligned bound → the 24×-smaller DAY rollup
+      assert(scannedPaths(df).exists(_ == dayPath))
       assert(collectSet(df) === raw)
     }
     // the materialized frame re-aggregates to the day grain exactly
