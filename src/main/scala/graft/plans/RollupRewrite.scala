@@ -59,6 +59,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
                            min: Option[String], max: Option[String])
   final case class Spec(basePath: Option[String], basePathSuffix: Option[String],
                         rollupPath: Option[String], rollupRoot: Option[String],
+                        icebergRollup: Boolean,
                         timeCol: String, grainCol: String, grain: String,
                         tz: String,
                         dims: Seq[String], count: String,
@@ -93,6 +94,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
           }
           Spec(str("basePath"), str("basePathSuffix"),
             str("rollupPath"), str("rollupRoot"),
+            (j \ "icebergRollup").toOption.contains(JBool(true)),
             str("timeCol").getOrElse("ts"),
             str("grainCol").getOrElse("hour_ts"),
             str("grain").getOrElse("hour"),
@@ -222,14 +224,22 @@ object RollupRewrite extends Rule[LogicalPlan] {
     val dimAttrs: Map[ExprId, String] =
       s.dims.flatMap(d => byName.get(d).map(_.exprId -> d)).toMap
 
-    // the rollup scan: a FRESH analyzed relation per firing (fresh
-    // exprIds — safe under unions of rewritten aggregates)
+    // the rollup scan: a FRESH analyzed plan per firing (fresh exprIds
+    // — safe under unions of rewritten aggregates). An Iceberg rollup
+    // (icebergRollup=true, e.g. one maintained by
+    // graft.streaming.StreamingRollup.maintainIceberg) resolves through
+    // the cold reader — merge-on-read deletes applied — so the MV can
+    // live on the chain with time travel and still serve the rewrite.
     val rollupPath = s.rollupPath.getOrElse(
       rollupPathFor(s.rollupRoot.getOrElse(return None), basePath))
     if (normPath(rollupPath) == basePath) return None
-    val rollupLr = scala.util.Try(
-      SparkSession.active.read.parquet(rollupPath).queryExecution.analyzed
-    ).toOption.collect { case r: LogicalRelation => r }.getOrElse(return None)
+    val rollupLr: LogicalPlan = scala.util.Try {
+      if (s.icebergRollup)
+        graft.catalog.IcebergTableReader.read(SparkSession.active, rollupPath)
+          .queryExecution.analyzed
+      else SparkSession.active.read.parquet(rollupPath)
+        .queryExecution.analyzed
+    }.toOption.getOrElse(return None)
     val rByName = rollupLr.output.map(a => a.name -> a).toMap
     def rcol(n: String): Option[Attribute] = rByName.get(n)
     val grainAttr = rcol(s.grainCol).filter(_.dataType == TimestampType)

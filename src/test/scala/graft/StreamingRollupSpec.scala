@@ -95,6 +95,42 @@ class StreamingRollupSpec extends SparkSpec {
     val before = keyed(IcebergTableReader.read(spark, s"$base/tbl"))
     assert(IcebergMaintenance.compact(spark, s"$base/tbl")._1 > 0)
     assert(keyed(IcebergTableReader.read(spark, s"$base/tbl")) === before)
+
+    // the capstone: RollupRewrite answers a raw-table aggregate from
+    // the ICEBERG-maintained MV — resolved through the cold reader,
+    // merge-on-read and all
+    graft.functions.GraftFunctions.register(spark)
+    val rawDir = s"$base/raw_events.parquet"
+    batch.limit(thirds.toInt)
+      .unionAll(batch.limit(2 * thirds.toInt)).unionAll(batch)
+      .write.parquet(rawDir)
+    val specJson =
+      s"""{"basePath": "$rawDir", "rollupPath": "$base/tbl",
+         | "icebergRollup": true,
+         | "timeCol": "ts", "grainCol": "hour_ts", "tz": "UTC",
+         | "dims": ["event_type"], "count": "cnt",
+         | "measures": {"user_id": {"sum": "sum_user_id"}}}""".stripMargin
+    def q = spark.read.parquet(rawDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"user_id").as("su"))
+    val raw = q.collect().map(_.toString).toSet
+    spark.conf.set(graft.plans.RollupRewrite.SPEC_KEY, specJson)
+    try {
+      val df = q
+      // the rewritten plan scans the Iceberg table's data files, not
+      // the raw events parquet
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      assert(scans.nonEmpty && scans.forall(_.contains("/tbl/data/")),
+        s"expected Iceberg rollup data-file scans, got $scans")
+      assert(df.collect().map(_.toString).toSet === raw)
+    } finally spark.conf.unset(graft.plans.RollupRewrite.SPEC_KEY)
   }
 
   test("RollupRewrite answers raw-table aggregates from the STREAMED snapshot") {
