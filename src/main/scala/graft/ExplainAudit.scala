@@ -18,7 +18,12 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      // conf-gated rewrites (topk, range-join, rollup) audit the plan
+      // they actually ship with
+      SparkEntry.withConfs(spark,
+        SparkEntry.queryConfs.getOrElse(n, Map.empty)) {
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
     }
     spark.stop()
   }

@@ -86,6 +86,9 @@ object Rollups {
     * plan flip itself is pinned by RollupRewriteSpec. */
   def rewriteProof(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // the rule rides extraOptimizations — register explicitly (other
+    // builders' register calls must not be what arms THIS query's plan)
+    graft.functions.GraftFunctions.register(spark)
     ensureHourlyEvents(spark, sfDir)
     Tables.events(spark, sfDir)
       .filter($"ts" >= lit(java.time.Instant.parse("2024-01-02T00:00:00Z")))
