@@ -181,6 +181,7 @@ object SparkEntry {
     "tel_seasonal"       -> ((s, d) => Telemetry.seasonal(s, d)),
     "tel_rollup_hourly"  -> (Rollups.hourlyProof _),
     "tel_rollup_rewrite" -> (Rollups.rewriteProof _),
+    "sink_iceberg_sql"   -> (graft.catalog.IcebergSqlDemo.query _),
     "text_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
     "mm_frame_dedup"     -> (Multimodal.frameDedup _),
     "mm_ahash_pairs"     -> ((s, d) => Multimodal.ahashPairs(s, d)),
@@ -3694,6 +3695,16 @@ object SparkEntry {
         | abs((CAST(s_a AS DOUBLE)/n_a - CAST(s_b AS DOUBLE)/n_b)
         |   /sqrt(var_term)) > 1.96 AS significant
         |FROM t""".stripMargin,
+    // the chain holds the testdata's own events files minus one
+    // merge-on-read-deleted row (min event_id) — the oracle replicates
+    // the subtraction over raw events
+    "sink_iceberg_sql" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        | min(value) AS min_value, max(value) AS max_value
+        |FROM events
+        |WHERE event_id != (SELECT min(event_id) FROM events)
+        |GROUP BY event_type""".stripMargin,
     "tel_rollup_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
         | CAST(count(*) AS BIGINT) AS cnt,

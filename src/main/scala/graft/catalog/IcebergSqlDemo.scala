@@ -1,0 +1,65 @@
+package graft.catalog
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.catalog.RestCatalogClient.DataFile
+
+/** `sink_iceberg_sql` — the WHOLE catalog-free Iceberg path under the
+  * driver's DuckDB oracle gate: a chain is committed over the
+  * testdata's own events parquet files (manifests reference the
+  * read-only files by absolute path — zero copies, the
+  * register-existing-files onboarding shape), one row is
+  * MERGE-ON-READ deleted, and the query reads it back through the
+  * `graft_iceberg` SQL table function. The oracle computes the same
+  * aggregate over raw events minus the deleted row — so a hash match
+  * proves commit → manifest → cold read → MOR delete application →
+  * TVF resolution end to end against an independent engine, not just
+  * against this engine's own reader.
+  *
+  * The chain builds once per sf dir (metadata presence check) under
+  * /tmp; the delete target is the deterministic min event_id. */
+object IcebergSqlDemo {
+
+  private def chainLoc(sfDir: String): String = {
+    val base = java.nio.file.Paths.get(sfDir).toAbsolutePath.toString
+    val md = MessageDigest.getInstance("MD5").digest(base.getBytes("UTF-8"))
+    s"/tmp/graft_iceberg_sql/${md.map(b => f"$b%02x").mkString}/t"
+  }
+
+  private def ensureChain(spark: SparkSession, sfDir: String): String = {
+    val loc = chainLoc(sfDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (IcebergTableMetadata.load(conf, loc).isEmpty) {
+      val ev = Tables.events(spark, sfDir)
+      val (schemaJson, _) = RestCatalogClient.icebergSchemaJson(ev.schema)
+      val sj = org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(schemaJson))
+      val paths = graft.recovery.Recovery
+        .listDataFiles(spark, s"$sfDir/events.parquet")
+        .collect().map(_.getString(0)).toSeq.sorted
+      val counts = graft.recovery.Recovery.fileRowCounts(spark, paths)
+      IcebergCommit.commitStandalone(conf, loc, sj, None,
+        paths.map(p => DataFile(p, 0L, counts.getOrElse(p, 0L))))
+      val minId = ev.agg(min(col("event_id"))).head.getLong(0)
+      IcebergMaintenance.deleteWhere(spark, loc, col("event_id") === minId)
+    }
+    loc
+  }
+
+  /** Per-type aggregate over the merge-on-read chain, via plain SQL
+    * through the [[IcebergTvf]] table function. */
+  def query(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val loc = ensureChain(spark, sfDir)
+    spark.sql(
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         | CAST(sum(user_id) AS BIGINT) AS sum_uid,
+         | min(value) AS min_value, max(value) AS max_value
+         |FROM graft_iceberg('$loc')
+         |GROUP BY event_type""".stripMargin)
+  }
+}
