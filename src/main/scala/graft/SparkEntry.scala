@@ -182,6 +182,8 @@ object SparkEntry {
     "tel_rollup_hourly"  -> (Rollups.hourlyProof _),
     "tel_rollup_rewrite" -> (Rollups.rewriteProof _),
     "sink_iceberg_sql"   -> (graft.catalog.IcebergSqlDemo.query _),
+    "sink_iceberg_timetravel" ->
+      (graft.catalog.IcebergSqlDemo.timeTravelQuery _),
     "text_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
     "mm_frame_dedup"     -> (Multimodal.frameDedup _),
     "mm_ahash_pairs"     -> ((s, d) => Multimodal.ahashPairs(s, d)),
@@ -3704,6 +3706,14 @@ object SparkEntry {
         | min(value) AS min_value, max(value) AS max_value
         |FROM events
         |WHERE event_id != (SELECT min(event_id) FROM events)
+        |GROUP BY event_type""".stripMargin,
+    // the pre-delete snapshot sees EVERY raw row — snapshot isolation
+    // proven against the independent engine
+    "sink_iceberg_timetravel" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        | min(value) AS min_value, max(value) AS max_value
+        |FROM events
         |GROUP BY event_type""".stripMargin,
     "tel_rollup_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type,

@@ -62,4 +62,22 @@ object IcebergSqlDemo {
          |FROM graft_iceberg('$loc')
          |GROUP BY event_type""".stripMargin)
   }
+
+  /** `sink_iceberg_timetravel`: the SAME aggregate at the PRE-delete
+    * snapshot (two-arg TVF form) — the oracle computes over the full
+    * raw table, so the hash match proves snapshot isolation through
+    * the whole chain: the delete that [[query]] sees must NOT leak
+    * into the older snapshot's read. */
+  def timeTravelQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val loc = ensureChain(spark, sfDir)
+    val first = IcebergTableReader.metadata(spark, loc)
+      .snapshots.minBy(_.sequenceNumber).snapshotId
+    spark.sql(
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         | CAST(sum(user_id) AS BIGINT) AS sum_uid,
+         | min(value) AS min_value, max(value) AS max_value
+         |FROM graft_iceberg('$loc', ${first}L)
+         |GROUP BY event_type""".stripMargin)
+  }
 }
