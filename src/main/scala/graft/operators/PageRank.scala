@@ -35,7 +35,8 @@ object PageRank {
     * constant-lineage `localCheckpoint` loop proven by [[run]]. Output
     * is the top-25 vertices with a vertex-id tie-break. */
   def bipartiteExact(spark: SparkSession, sfDir: String, iters: Int = 6,
-                     topK: Int = 25): DataFrame = {
+                     topK: Int = 25,
+                     broadcastVertexLimit: Long = 8000000L): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     // The loop keys on packed LONG ids (supplier → 2k, part → 2k+1):
@@ -52,29 +53,58 @@ object PageRank {
     val out = e.groupBy($"src").agg(sum($"w").as("out_w")).localCheckpoint()
     val n = out.count() // both-direction edges ⇒ every vertex has out-edges
     val base = math.round(0.15 * 1e6 / n) // same round-half-up as the oracle
-    var ranks = out.select($"src".as("vertex"),
-      round(lit(1e6) / lit(n.toDouble)).cast("long").as("rm"))
-    // Ranks and out-degrees are VERTEX-dimension tables (parts +
-    // suppliers — bounded, unlike the edge set), so each iteration
-    // broadcasts them into the one big-edge scan: `e` is never
-    // shuffled, and map-side combine collapses the per-edge
-    // contributions to ≤|V| rows before the only (tiny) exchange.
-    // Because every vertex here has in-edges (each edge carries its
-    // reverse), the new rank frame needs no re-join against a vertex
-    // list. The short fixed loop stays ONE executed plan — identical
-    // broadcast(out) subtrees collapse via ReusedExchange and each
-    // rank level is computed exactly once; [[run]]'s localCheckpoint
-    // pattern is for long/unbounded loops. At a vertex scale where
-    // even the rank vector can't broadcast, pre-partition `e` by src
-    // and swap these for co-partitioned joins.
-    for (_ <- 1 to iters) {
-      ranks = e
-        .join(broadcast(out), "src")
-        .join(broadcast(ranks.withColumnRenamed("vertex", "src")), "src")
-        .select($"dst".as("vertex"),
-          round(lit(0.85) * $"rm" * $"w" / $"out_w").cast("long").as("c"))
-        .groupBy($"vertex").agg((lit(base) + sum($"c")).as("rm"))
-    }
+    // Size-gated iteration strategy (the adaptiveComponents escape-hatch
+    // discipline, Dedup.scala): both arms compute the identical integer
+    // fixpoint, they differ only in how the |V|-row state meets the
+    // edge scan each round.
+    val ranks =
+      if (n <= broadcastVertexLimit) {
+        // BROADCAST arm — ranks and out-degrees are VERTEX-dimension
+        // tables (parts + suppliers — bounded, unlike the edge set), so
+        // each iteration broadcasts them into the one big-edge scan:
+        // `e` is never shuffled, and map-side combine collapses the
+        // per-edge contributions to ≤|V| rows before the only (tiny)
+        // exchange. Because every vertex here has in-edges (each edge
+        // carries its reverse), the new rank frame needs no re-join
+        // against a vertex list. The short fixed loop stays ONE
+        // executed plan — identical broadcast(out) subtrees collapse
+        // via ReusedExchange and each rank level is computed exactly
+        // once; [[run]]'s localCheckpoint pattern is for
+        // long/unbounded loops.
+        var r = out.select($"src".as("vertex"),
+          round(lit(1e6) / lit(n.toDouble)).cast("long").as("rm"))
+        for (_ <- 1 to iters) {
+          r = e
+            .join(broadcast(out), "src")
+            .join(broadcast(r.withColumnRenamed("vertex", "src")), "src")
+            .select($"dst".as("vertex"),
+              round(lit(0.85) * $"rm" * $"w" / $"out_w").cast("long").as("c"))
+            .groupBy($"vertex").agg((lit(base) + sum($"c")).as("rm"))
+        }
+        r
+      } else {
+        // CO-PARTITIONED arm — past broadcast scale (the 100 TB
+        // bipartite graph has ~2×10⁹ part vertices; a per-iteration
+        // rank broadcast there is an executor OOM, not a slowdown).
+        // `e` is hash-partitioned on src ONCE (localCheckpoint
+        // preserves the partitioning), so each round shuffles only the
+        // |V|-row state into the edges' layout — the edges themselves
+        // never move again. shuffle_hash hints pin the strategy so AQE
+        // can't re-introduce a rank broadcast behind our back; state
+        // carries (rm, out_w) together so each round is exactly one
+        // state-shuffle join + one groupBy(dst) + one join back onto
+        // the out-degree table (all hash exchanges, no sorts).
+        val eP = e.repartition($"src").localCheckpoint()
+        val outP = out.repartition($"src").localCheckpoint()
+        var state = outP.select($"src", $"out_w",
+          round(lit(1e6) / lit(n.toDouble)).cast("long").as("rm"))
+          .localCheckpoint()
+        for (_ <- 1 to iters) {
+          // constant lineage across the long loop
+          state = copartStep(eP, outP, state, base).localCheckpoint()
+        }
+        state.select($"src".as("vertex"), $"rm")
+      }
     ranks
       // integer `div`, not `/`: long `/` is double division in Spark,
       // exact only below 2^53 — extreme packed ids would silently
@@ -88,6 +118,27 @@ object PageRank {
         Window.orderBy($"rm".desc, $"vertex".asc)).cast("long"))
       .filter($"rnk" <= topK)
       .select($"vertex", $"rm".as("rank_micro"), $"rnk")
+  }
+
+  /** ONE co-partitioned iteration of [[bipartiteExact]]'s over-threshold
+    * arm — extracted so PageRankScaleSpec can audit the exact production
+    * plan (no BroadcastExchange, shuffle-hash joins pinned by hint)
+    * before the loop's localCheckpoint hides it. `state` carries
+    * (src, out_w, rm) so each round is one state-shuffle join against
+    * the pre-partitioned edges + one groupBy(dst) + one join back onto
+    * the out-degree table. */
+  private[graft] def copartStep(eP: DataFrame, outP: DataFrame,
+                                state: DataFrame, base: Long): DataFrame = {
+    import eP.sparkSession.implicits._
+    val contribs = eP
+      .join(state.hint("shuffle_hash"), "src")
+      .select($"dst".as("vertex"),
+        round(lit(0.85) * $"rm" * $"w" / $"out_w").cast("long").as("c"))
+      .groupBy($"vertex").agg((lit(base) + sum($"c")).as("rm"))
+    outP
+      .join(contribs.withColumnRenamed("vertex", "src")
+        .hint("shuffle_hash"), "src")
+      .select($"src", $"out_w", $"rm")
   }
 
   /** `edges` needs string/long columns `src`, `dst`; multi-edges are
@@ -104,9 +155,13 @@ object PageRank {
     var ranks = vertices.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     for (_ <- 1 to iters) {
       val withDeg = ranks.join(outDeg, Seq("vertex"), "left")
-      // dangling nodes: no out-edges, their whole rank spreads uniformly
-      val danglingMass = withDeg.filter($"deg".isNull)
-        .agg(coalesce(sum($"rank"), lit(0.0))).collect()(0).getDouble(0)
+      // dangling nodes: no out-edges, their whole rank spreads
+      // uniformly. The mass stays IN the plan as a broadcast 1-row
+      // aggregate (not a driver collect()) so each iteration is a
+      // single job — over N iterations that halves the blocking
+      // driver round-trips of the loop.
+      val dangling = withDeg.filter($"deg".isNull)
+        .agg(coalesce(sum($"rank"), lit(0.0)).as("dmass"))
       val contribs = withDeg.filter($"deg".isNotNull)
         .select($"vertex".as("src"), ($"rank" / $"deg").as("c"))
         .join(e, "src")
@@ -114,9 +169,10 @@ object PageRank {
         .agg(sum($"c").as("in_mass"))
       ranks = vertices
         .join(contribs, Seq("vertex"), "left")
+        .crossJoin(broadcast(dangling))
         .select($"vertex",
           (lit((1.0 - damping) / n) +
-           lit(damping) * (coalesce($"in_mass", lit(0.0)) + lit(danglingMass / n)))
+           lit(damping) * (coalesce($"in_mass", lit(0.0)) + $"dmass" / n))
             .as("rank"))
         .localCheckpoint()
     }

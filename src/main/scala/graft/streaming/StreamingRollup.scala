@@ -62,20 +62,37 @@ object StreamingRollup {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val updates = batch
+        val conf = spark.sparkContext.hadoopConfiguration
+        val tmp = new org.apache.hadoop.fs.Path(snapshotPath + ".tmp")
+        val bak = new org.apache.hadoop.fs.Path(snapshotPath + ".bak")
+        val dst = new org.apache.hadoop.fs.Path(snapshotPath)
+        val fs = dst.getFileSystem(conf)
+        // Crash recovery: a previous publish that died between the two
+        // renames leaves dst missing and bak holding the last good
+        // snapshot — restore it before reading, so no accumulated group
+        // is ever lost. (The swap below never has a window where BOTH
+        // dst and bak are absent.)
+        if (!fs.exists(dst) && fs.exists(bak)) fs.rename(bak, dst)
+        // Existence is checked explicitly; any OTHER read failure
+        // (permissions, corrupt footer, transient store error) must
+        // FAIL the batch so the checkpoint replays it — silently
+        // merging against an empty frame would drop every group not in
+        // this micro-batch.
         val existing =
-          try spark.read.parquet(snapshotPath)
-          catch { case _: Throwable => updates.limit(0) }
+          if (fs.exists(dst)) spark.read.parquet(snapshotPath)
+          else updates.limit(0)
         val merged = existing
           .join(updates.select("hour_ts", "event_type"),
             Seq("hour_ts", "event_type"), "left_anti")
           .unionByName(updates)
-        val conf = spark.sparkContext.hadoopConfiguration
-        val tmp = new org.apache.hadoop.fs.Path(snapshotPath + ".tmp")
-        val dst = new org.apache.hadoop.fs.Path(snapshotPath)
         merged.write.mode("overwrite").parquet(tmp.toString)
-        val fs = dst.getFileSystem(conf)
-        if (fs.exists(dst)) fs.delete(dst, true)
+        // Atomic-enough swap: two single renames (atomic per rename on
+        // HDFS/posix), with the old snapshot parked at bak — never
+        // deleted before the new one is in place.
+        if (fs.exists(bak)) fs.delete(bak, true)
+        if (fs.exists(dst)) fs.rename(dst, bak)
         fs.rename(tmp, dst)
+        fs.delete(bak, true)
         spark.catalog.refreshByPath(snapshotPath)
         ()
       }
