@@ -137,6 +137,26 @@ object OtelJsonSource {
   def metricsGaugeStream(spark: SparkSession, path: String): DataFrame =
     gaugeBatches(spark.readStream.schema(metricSchema).json(path))
 
+  /** Streaming twin of [[metricsSum]]. */
+  def metricsSumStream(spark: SparkSession, path: String): DataFrame =
+    sumBatches(spark.readStream.schema(metricSchema).json(path))
+
+  /** Streaming twins of the remaining three metric tables — the
+    * reference exports all five continuously (metrics.go, 5 tables);
+    * histogram points are the most common production metric type, so a
+    * collector tailing the spool gets the same five-table contract as
+    * batch. All transforms are narrow: each stream runs as one
+    * stateless stage into the flattens. */
+  def metricsHistogramStream(spark: SparkSession, path: String): DataFrame =
+    histogramBatches(spark.readStream.schema(metricSchema).json(path))
+
+  def metricsExponentialHistogramStream(spark: SparkSession,
+                                        path: String): DataFrame =
+    expHistogramBatches(spark.readStream.schema(metricSchema).json(path))
+
+  def metricsSummaryStream(spark: SparkSession, path: String): DataFrame =
+    summaryBatches(spark.readStream.schema(metricSchema).json(path))
+
   def toTraceBatches(raw: DataFrame): DataFrame =
     raw.select(explode(col("resourceSpans")).as("rs"))
       .select(col("rs.resource").as("res"), explode(col("rs.scopeSpans")).as("ss"))
@@ -238,8 +258,11 @@ object OtelJsonSource {
   }
 
   /** OTLP/JSON metric lines → [[graft.otel.OtelMetrics.flattenSum]] input. */
-  def metricsSum(spark: SparkSession, path: String): DataFrame = {
-    val m = explodeMetrics(spark.read.schema(metricSchema).json(path))
+  def metricsSum(spark: SparkSession, path: String): DataFrame =
+    sumBatches(spark.read.schema(metricSchema).json(path))
+
+  private def sumBatches(raw: DataFrame): DataFrame = {
+    val m = explodeMetrics(raw)
       .filter(col("m.sum").isNotNull)
     m.select(resourceCol(col("res")).as("resource"), scopeCol(col("sc")).as("scope"),
       metricCol(col("m"), col("m.sum.aggregationTemporality"),
@@ -248,8 +271,11 @@ object OtelJsonSource {
   }
 
   /** OTLP/JSON metric lines → [[graft.otel.OtelMetrics.flattenHistogram]] input. */
-  def metricsHistogram(spark: SparkSession, path: String): DataFrame = {
-    val m = explodeMetrics(spark.read.schema(metricSchema).json(path))
+  def metricsHistogram(spark: SparkSession, path: String): DataFrame =
+    histogramBatches(spark.read.schema(metricSchema).json(path))
+
+  private def histogramBatches(raw: DataFrame): DataFrame = {
+    val m = explodeMetrics(raw)
       .filter(col("m.histogram").isNotNull)
     m.select(resourceCol(col("res")).as("resource"), scopeCol(col("sc")).as("scope"),
       metricCol(col("m"), col("m.histogram.aggregationTemporality"), lit(false))
@@ -272,8 +298,11 @@ object OtelJsonSource {
 
   /** OTLP/JSON metric lines →
     * [[graft.otel.OtelMetrics.flattenExponentialHistogram]] input. */
-  def metricsExponentialHistogram(spark: SparkSession, path: String): DataFrame = {
-    val m = explodeMetrics(spark.read.schema(metricSchema).json(path))
+  def metricsExponentialHistogram(spark: SparkSession, path: String): DataFrame =
+    expHistogramBatches(spark.read.schema(metricSchema).json(path))
+
+  private def expHistogramBatches(raw: DataFrame): DataFrame = {
+    val m = explodeMetrics(raw)
       .filter(col("m.exponentialHistogram").isNotNull)
     def buckets(b: Column): Column =
       struct(cnt(b.getField("offset")).as("offset"),
@@ -300,8 +329,11 @@ object OtelJsonSource {
   }
 
   /** OTLP/JSON metric lines → [[graft.otel.OtelMetrics.flattenSummary]] input. */
-  def metricsSummary(spark: SparkSession, path: String): DataFrame = {
-    val m = explodeMetrics(spark.read.schema(metricSchema).json(path))
+  def metricsSummary(spark: SparkSession, path: String): DataFrame =
+    summaryBatches(spark.read.schema(metricSchema).json(path))
+
+  private def summaryBatches(raw: DataFrame): DataFrame = {
+    val m = explodeMetrics(raw)
       .filter(col("m.summary").isNotNull)
     m.select(resourceCol(col("res")).as("resource"), scopeCol(col("sc")).as("scope"),
       metricCol(col("m"), lit(0), lit(false)).as("metric"),

@@ -804,6 +804,36 @@ object OtelProtoSource {
     }).toDF()
   }
 
+  /** Streaming twins of the remaining three metric tables — the
+    * reference exports all five types continuously (metrics.go's five
+    * tables); histogram points are the most common production metric
+    * type, so the spool-tailing pipeline must carry them too. Same
+    * narrow per-file decode as gauge/sum: each stream is one stateless
+    * stage into [[graft.otel.OtelMetrics]]'s flattens. */
+  def metricsHistogramStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    streamContents(spark, path).flatMap(decodeMetricScopes(_).collect {
+      case (res, sc, m) if m.kind == 2 => PbHistBatch(res, sc, m.info, m.hist)
+    }).toDF()
+  }
+
+  /** Streaming twin of [[metricsExponentialHistogram]]. */
+  def metricsExponentialHistogramStream(spark: SparkSession,
+                                        path: String): DataFrame = {
+    import spark.implicits._
+    streamContents(spark, path).flatMap(decodeMetricScopes(_).collect {
+      case (res, sc, m) if m.kind == 3 => PbExpHistBatch(res, sc, m.info, m.exp)
+    }).toDF()
+  }
+
+  /** Streaming twin of [[metricsSummary]]. */
+  def metricsSummaryStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    streamContents(spark, path).flatMap(decodeMetricScopes(_).collect {
+      case (res, sc, m) if m.kind == 4 => PbSummaryBatch(res, sc, m.info, m.summary)
+    }).toDF()
+  }
+
   /** OTLP/protobuf trace files → the [[graft.otel.OtelTraces.flatten]]
     * input (one serialized ExportTraceServiceRequest per file). */
   def traces(spark: SparkSession, path: String): DataFrame = {

@@ -334,6 +334,54 @@ class OtelProtoSourceSpec extends SparkSpec {
     }
   }
 
+  /** All five metric streaming twins must decode the spool identically
+    * to their batch counterparts — the reference exports every type
+    * continuously (metrics.go, five tables), so the collector-tail
+    * pipeline can't be gauge/sum-only. */
+  test("all five metric streaming twins match their batch decodes") {
+    val base = Files.createTempDirectory("graft-otlp-pb-stream").toString
+    val spool = s"$base/pb"
+    val point = new W().fixed64(3, 1700000004000000001L).fixed64(6, 42L)
+    val gauge = new W().str(1, "cpu.load").msg(5, new W().msg(1, point))
+    val sumM = new W().str(1, "requests").msg(7, new W().msg(1, point)
+      .vint(2, 2).vint(3, 1))
+    val histPoint = new W().fixed64(3, 1700000005000000001L).fixed64(4, 10L)
+      .dbl(5, 55.5).packedFixed64(6, Seq(1L, 4L, 5L)).packedDoubles(7, Seq(0.5, 2.5))
+    val histM = new W().str(1, "latency").msg(9, new W().msg(1, histPoint).vint(2, 1))
+    val expPoint = new W().fixed64(3, 1700000006000000001L).fixed64(4, 7L)
+      .dbl(5, 12.25).sint32(6, -2).fixed64(7, 2L)
+      .msg(8, new W().sint32(1, 3).packedVarints(2, Seq(1L, 2L)))
+    val expM = new W().str(1, "latency.exp").msg(10, new W().msg(1, expPoint).vint(2, 2))
+    val sPoint = new W().fixed64(3, 1700000007000000001L).fixed64(4, 100L)
+      .dbl(5, 999.5).msg(6, new W().dbl(1, 0.5).dbl(2, 1.25))
+    val summaryM = new W().str(1, "rpc.duration").msg(11, new W().msg(1, sPoint))
+    val req = new W().msg(1, new W().msg(1, resourceW)
+      .msg(2, new W().msg(1, scopeW).msg(2, gauge).msg(2, sumM).msg(2, histM)
+        .msg(2, expM).msg(2, summaryM)))
+    writeTo(spool, "metrics.pb", req.toBytes)
+
+    val pairs = Seq[(String,
+        (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      ("pbs_gauge", OtelProtoSource.metricsGaugeStream, OtelProtoSource.metricsGauge),
+      ("pbs_sum", OtelProtoSource.metricsSumStream, OtelProtoSource.metricsSum),
+      ("pbs_hist", OtelProtoSource.metricsHistogramStream,
+        OtelProtoSource.metricsHistogram),
+      ("pbs_exph", OtelProtoSource.metricsExponentialHistogramStream,
+        OtelProtoSource.metricsExponentialHistogram),
+      ("pbs_summ", OtelProtoSource.metricsSummaryStream,
+        OtelProtoSource.metricsSummary))
+    pairs.foreach { case (name, streamF, batchF) =>
+      val q = streamF(spark, spool).writeStream.format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table(name).toJSON.collect().sorted.toSeq
+      val want = batchF(spark, spool).toJSON.collect().sorted.toSeq
+      assert(got.nonEmpty, s"$name: stream decoded no rows")
+      assert(got === want, s"$name: stream != batch decode")
+    }
+  }
+
   /** r6 (ADVICE): the Reader must fail LOUDLY on malformed input — a
     * truncated buffer or a hostile length must raise the decoder's own
     * IllegalArgumentException, never a raw ArrayIndexOutOfBounds, a

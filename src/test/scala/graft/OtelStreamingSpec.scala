@@ -88,4 +88,71 @@ class OtelStreamingSpec extends SparkSpec {
       OtelMetrics.flattenGauge(OtelJsonSource.metricsGauge(spark, s"$metDir/m1.json"))
         .toJSON.collect().sorted.toSeq)
   }
+
+  /** The remaining three metric tables (histogram — the most common
+    * production metric type — exponential histogram, summary) stream
+    * with the same contract as gauge/sum: batch parity on first drain,
+    * exactly-once across restarts, delta-only on new files. */
+  test("streamed histogram/exp-histogram/summary match batch flattens, restart delta-only") {
+    def histLine(n: Long) =
+      s"""{"resourceMetrics":[{"resource":$res,"scopeMetrics":[{"scope":{"name":"lib"},
+         |"metrics":[
+         |{"name":"latency","histogram":{"dataPoints":[{"timeUnixNano":"$n","count":"10",
+         |"sum":55.5,"bucketCounts":["1","4","5"],"explicitBounds":[0.5,2.5]}],
+         |"aggregationTemporality":1}},
+         |{"name":"latency.exp","exponentialHistogram":{"dataPoints":[{"timeUnixNano":"$n",
+         |"count":"7","sum":12.25,"scale":-2,"zeroCount":"2",
+         |"positive":{"offset":3,"bucketCounts":["1","2"]},
+         |"negative":{"offset":-3,"bucketCounts":["4"]}}],"aggregationTemporality":2}},
+         |{"name":"rpc.duration","summary":{"dataPoints":[{"timeUnixNano":"$n",
+         |"count":"100","sum":999.5,"quantileValues":[{"quantile":0.5,"value":1.25}]}]}}
+         |]}]}]}""".stripMargin.replace("\n", "")
+    val base = Files.createTempDirectory("graft-otlp-stream3").toString
+    val metDir = s"$base/metrics"
+    Files.createDirectories(Paths.get(metDir))
+    val t0 = 1709623800000000003L
+    Files.write(Paths.get(s"$metDir/m1.json"), histLine(t0).getBytes("UTF-8"))
+
+    val types = Seq[(String,
+        org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      ("hist", OtelMetrics.flattenHistogram,
+        OtelJsonSource.metricsHistogramStream, OtelJsonSource.metricsHistogram),
+      ("exph", OtelMetrics.flattenExponentialHistogram,
+        OtelJsonSource.metricsExponentialHistogramStream,
+        OtelJsonSource.metricsExponentialHistogram),
+      ("summ", OtelMetrics.flattenSummary,
+        OtelJsonSource.metricsSummaryStream, OtelJsonSource.metricsSummary))
+
+    def runOnce(name: String,
+                flat: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                stream: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val q = flat(stream(spark, metDir)).writeStream.format("parquet")
+        .option("path", s"$base/out_$name")
+        .option("checkpointLocation", s"$base/chk_$name")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    types.foreach { case (name, flat, stream, batch) =>
+      runOnce(name, flat, stream)
+      val got = spark.read.parquet(s"$base/out_$name").toJSON.collect().sorted.toSeq
+      val want = flat(batch(spark, s"$metDir/m1.json")).toJSON.collect().sorted.toSeq
+      assert(got.nonEmpty, s"$name: stream produced no rows")
+      assert(got === want, s"$name: stream != batch flatten")
+      // restart with no new files: nothing duplicated
+      runOnce(name, flat, stream)
+      assert(spark.read.parquet(s"$base/out_$name").count() === want.size.toLong,
+        s"$name: restart duplicated rows")
+    }
+    // new file → each stream picks up ONLY the delta
+    Files.write(Paths.get(s"$metDir/m2.json"), histLine(t0 + 1).getBytes("UTF-8"))
+    types.foreach { case (name, flat, stream, _) =>
+      val before = spark.read.parquet(s"$base/out_$name").count()
+      runOnce(name, flat, stream)
+      assert(spark.read.parquet(s"$base/out_$name").count() === before * 2,
+        s"$name: delta ingest wrong")
+    }
+  }
 }
