@@ -149,6 +149,12 @@ object Bench {
           if (ss.min > 0) extraSpreads(name) = (ss.max - ss.min) / ss.min
           ss.min
         }
+        // Warmed variant for the Iceberg READ levers: one untimed run
+        // first so codegen/JIT of the Avro-manifest + changelog decode
+        // paths and first-touch page cache don't masquerade as lever
+        // movement (r16: iceberg_changelog showed 3× cross-run spread on
+        // an identical commit). The timed op is still the same read.
+        def bestWarm(name: String)(f: => Long): Double = { f; best(name)(f) }
         // Iceberg COLD-read twin of the same slice: one standalone
         // (catalog-free) commit of the sink's files with footer-harvested
         // ts bounds, then the stats-pruned cold read vs the full cold
@@ -164,19 +170,19 @@ object Bench {
         // chain lives in a SIBLING location (manifest file paths are
         // absolute) so the parquet table dir stays pure-parquet
         val iceLoc = s"$dir/events_iceberg"
+        val iceSchemaJson = org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(schemaJson))
+        val iceFiles = icePaths.map { p =>
+          val bounds = iceStats.get(p).toSeq.map { case (mn, mx) =>
+            (tsId, graft.catalog.IcebergSingleValue.longBytes(mn),
+             graft.catalog.IcebergSingleValue.longBytes(mx))
+          }
+          graft.catalog.RestCatalogClient.DataFile(
+            p, 0L, iceCounts.getOrElse(p, 0L), bounds)
+        }
         graft.catalog.IcebergCommit.commitStandalone(
-          spark.sparkContext.hadoopConfiguration, iceLoc,
-          org.json4s.jackson.JsonMethods.compact(
-            org.json4s.jackson.JsonMethods.render(schemaJson)),
-          None,
-          icePaths.map { p =>
-            val bounds = iceStats.get(p).toSeq.map { case (mn, mx) =>
-              (tsId, graft.catalog.IcebergSingleValue.longBytes(mn),
-               graft.catalog.IcebergSingleValue.longBytes(mx))
-            }
-            graft.catalog.RestCatalogClient.DataFile(
-              p, 0L, iceCounts.getOrElse(p, 0L), bounds)
-          })
+          spark.sparkContext.hadoopConfiguration, iceLoc, iceSchemaJson,
+          None, iceFiles)
         Seq(
           "sink_slice_full" -> best("sink_slice_full")(
             spark.read.parquet(tablePath)
@@ -190,11 +196,11 @@ object Bench {
               .filter(col("event_id") === needle).count()),
           "sink_point_bloom" -> best("sink_point_bloom")(
             VersionedManifest.readPoint(spark, tablePath, manDir, needle).count()),
-          "iceberg_cold_full" -> best("iceberg_cold_full")(
+          "iceberg_cold_full" -> bestWarm("iceberg_cold_full")(
             graft.catalog.IcebergTableReader.read(spark, iceLoc)
               .filter(unix_micros(col("ts")) >= startUs &&
                       unix_micros(col("ts")) < endUs).count()),
-          "iceberg_cold_pruned" -> best("iceberg_cold_pruned")(
+          "iceberg_cold_pruned" -> bestWarm("iceberg_cold_pruned")(
             graft.catalog.IcebergTableReader.readSlice(
               spark, iceLoc, "ts", startUs, endUs).count()),
           // merge-on-read DML measured: upsert commit cost is the
@@ -209,11 +215,26 @@ object Bench {
               .upsert(spark, iceLoc, delta, Seq("event_id"))._2)
           },
           "iceberg_changelog" -> {
+            // Dedicated chain with a FIXED change set (2 untimed
+            // upserts), decoupled from however many timing rounds the
+            // upsert lever committed above: the measured read is
+            // work-∝-change-set, so the change set must be a constant
+            // for the lever to be comparable across runs.
+            val iceLocC = s"$dir/events_iceberg_changelog"
+            graft.catalog.IcebergCommit.commitStandalone(
+              spark.sparkContext.hadoopConfiguration, iceLocC, iceSchemaJson,
+              None, iceFiles)
+            val deltaC = spark.read.parquet(tablePath).limit(1000)
+              .localCheckpoint()
+            graft.catalog.IcebergMaintenance.upsert(
+              spark, iceLocC, deltaC, Seq("event_id"))
+            graft.catalog.IcebergMaintenance.upsert(
+              spark, iceLocC, deltaC, Seq("event_id"))
             val first = graft.catalog.IcebergTableReader
-              .metadata(spark, iceLoc).snapshots
+              .metadata(spark, iceLocC).snapshots
               .minBy(_.sequenceNumber).snapshotId
-            best("iceberg_changelog")(graft.catalog.IcebergTableReader
-              .readChangelog(spark, iceLoc, Some(first)).count())
+            bestWarm("iceberg_changelog")(graft.catalog.IcebergTableReader
+              .readChangelog(spark, iceLocC, Some(first)).count())
           }) ++ {
           // manifest-rewrite lever measured: the SAME files committed as
           // many micro-batches (one manifest each, streaming-append
@@ -221,8 +242,7 @@ object Bench {
           // rewrite_manifests planning is one manifest again. Pure
           // metadata timings (scanState), no parquet touched.
           val iceLoc2 = s"$dir/events_iceberg_frag"
-          val sjc = org.json4s.jackson.JsonMethods.compact(
-            org.json4s.jackson.JsonMethods.render(schemaJson))
+          val sjc = iceSchemaJson
           icePaths.grouped(math.max(1, icePaths.size / 36)).foreach { grp =>
             graft.catalog.IcebergCommit.commitStandalone(
               spark.sparkContext.hadoopConfiguration, iceLoc2, sjc, None,
@@ -235,7 +255,7 @@ object Bench {
                   p, 0L, iceCounts.getOrElse(p, 0L), bounds)
               })
           }
-          val frag = best("iceberg_plan_fragmented")(
+          val frag = bestWarm("iceberg_plan_fragmented")(
             graft.catalog.IcebergTableReader.scanState(spark, iceLoc2)
               ._1.size.toLong)
           val rwCost = {
@@ -246,7 +266,7 @@ object Bench {
           Seq(
             "iceberg_plan_fragmented" -> frag,
             "iceberg_rewrite_manifests" -> rwCost,
-            "iceberg_plan_rewritten" -> best("iceberg_plan_rewritten")(
+            "iceberg_plan_rewritten" -> bestWarm("iceberg_plan_rewritten")(
               graft.catalog.IcebergTableReader.scanState(spark, iceLoc2)
                 ._1.size.toLong))
         } ++ {
@@ -279,7 +299,7 @@ object Bench {
                 p, fsize(p),
                 flatCounts.getOrElse(p, 0L), bounds)
             })
-          val straddled = best("iceberg_slice_straddled")(
+          val straddled = bestWarm("iceberg_slice_straddled")(
             graft.catalog.IcebergTableReader.readSlice(
               spark, iceLoc3, "ts", startUs, endUs).count())
           val totalBytes = flatPaths
@@ -295,7 +315,7 @@ object Bench {
           Seq(
             "iceberg_slice_straddled" -> straddled,
             "iceberg_rewrite_datafiles" -> rdfCost,
-            "iceberg_slice_sorted" -> best("iceberg_slice_sorted")(
+            "iceberg_slice_sorted" -> bestWarm("iceberg_slice_sorted")(
               graft.catalog.IcebergTableReader.readSlice(
                 spark, iceLoc3, "ts", startUs, endUs).count()))
         }
