@@ -115,6 +115,7 @@ object Bench {
     val pruneNames = Seq("sink_slice_full", "sink_slice_pruned",
                          "sink_point_full", "sink_point_bloom",
                          "iceberg_cold_full", "iceberg_cold_pruned",
+                         "iceberg_point_full", "iceberg_point_bloom",
                          "iceberg_upsert", "iceberg_changelog",
                          "iceberg_plan_fragmented",
                          "iceberg_rewrite_manifests",
@@ -203,6 +204,18 @@ object Bench {
           "iceberg_cold_pruned" -> bestWarm("iceberg_cold_pruned")(
             graft.catalog.IcebergTableReader.readSlice(
               spark, iceLoc, "ts", startUs, endUs).count()),
+          // needle lookup through the interop chain: full scan +
+          // residual vs the Puffin bloom-sidecar prune (index build is
+          // untimed setup — it's amortized over every future lookup)
+          "iceberg_point_full" -> bestWarm("iceberg_point_full")(
+            graft.catalog.IcebergTableReader.read(spark, iceLoc)
+              .filter(col("event_id") === needle).count()),
+          "iceberg_point_bloom" -> {
+            graft.catalog.IcebergMaintenance.writeBloomIndex(
+              spark, iceLoc, "event_id")
+            bestWarm("iceberg_point_bloom")(graft.catalog.IcebergTableReader
+              .readPoint(spark, iceLoc, "event_id", needle).count())
+          },
           // merge-on-read DML measured: upsert commit cost is the
           // DELTA (1k keyed rows against the whole table — file write
           // + equality-delete + chain flip, no table scan), changelog

@@ -664,4 +664,70 @@ object IcebergMaintenance {
     }
     ExpiryReport(ordered.map(_.snapshotId).filter(keepIds), expired, deleted)
   }
+
+  /** Build the PER-FILE BLOOM INDEX for `column` at the current
+    * snapshot and register it as a table-metadata `statistics` entry —
+    * a [[Puffin]] sidecar with one `graft-bloom-v1` blob per live data
+    * file (the file's path and the indexed column ride in blob
+    * properties). [[IcebergTableReader.readPoint]] then answers
+    * needle-in-100 TB lookups by opening 1+ε data files instead of all
+    * of them — the same lever [[graft.recovery.VersionedManifest]]'s
+    * engine-native manifest already has (`readPoint`/`fileBlooms`),
+    * ported to the interop chain.
+    *
+    * Scale shape: bloom construction is one distributed pass (each
+    * file's keys buffer only in its own executor task, sketches sized
+    * to their file's key count); the driver only concatenates the
+    * finished sketch bytes into the sidecar — the one-writer step any
+    * statistics-file producer has. Returns the sidecar path. */
+  def writeBloomIndex(spark: SparkSession, tableDir: String,
+                      column: String, fpp: Double = 0.03): String = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = tableMeta(spark, tableDir)
+    val snapId = meta.currentSnapshotId.getOrElse(
+      throw new IllegalArgumentException(
+        s"table $tableDir has no snapshot to index"))
+    val fid = IcebergTableReader.fieldId(meta, column)
+    val (files, _) = IcebergTableReader.scanState(spark, tableDir)
+    require(files.nonEmpty, s"table $tableDir has no data files to index")
+    val norm: String => String = _.replaceFirst("^file:(//)?", "")
+    val scan = spark.read.parquet(files.map(_.path): _*)
+    // key extraction must match readPoint's residual (timestamps are
+    // compared in micros there, not cast-to-seconds)
+    val key =
+      if (scan.schema(column).dataType ==
+          org.apache.spark.sql.types.TimestampType)
+        unix_micros(col(column))
+      else col(column).cast("long")
+    val blooms = scan
+      .select(input_file_name().as("f"), key.as("v"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        // sketch sized to ITS file's key count (the
+        // Recovery.fileBlooms discipline): fixed capacity either
+        // over-sizes small files or saturates big ones past fpp
+        val vals = it.map(_._2).toArray
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(
+          math.max(vals.length.toLong, 64L), fpp)
+        vals.foreach(bf.putLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (f, bos.toByteArray)
+      }.collect()
+    val path = s"$tableDir/metadata/$snapId-bloom-" +
+      s"${java.util.UUID.randomUUID()}.puffin"
+    val size = Puffin.write(conf, path,
+      blooms.sortBy(b => norm(b._1)).map { case (f, bytes) =>
+        Puffin.Blob("graft-bloom-v1", Seq(fid), snapId,
+          meta.lastSequenceNumber, bytes,
+          Map("file_path" -> norm(f), "bloom_col" -> column,
+              "fpp" -> fpp.toString))
+      }.toSeq)
+    IcebergTableMetadata.commit(conf, tableDir, meta.schemaJson, None, None,
+      addStatistics = Seq(IcebergTableMetadata.StatisticsFile(
+        snapId, path, size)))
+    path
+  }
 }

@@ -69,6 +69,13 @@ object IcebergTableMetadata {
     * shields its snapshot from expiry). */
   final case class SnapshotRef(snapshotId: Long, refType: String)
 
+  /** One entry of the spec's `statistics` list: a Puffin sidecar
+    * ([[Puffin]]) carrying index/sketch blobs for `snapshotId`.
+    * Blob-level metadata lives in the sidecar's own footer; table
+    * metadata records only the pointer, per the spec's shape. */
+  final case class StatisticsFile(snapshotId: Long, path: String,
+                                  fileSizeInBytes: Long)
+
   final case class TableMetadata(
       version: Int, tableUuid: String, location: String,
       lastSequenceNumber: Long, lastUpdatedMs: Long,
@@ -76,7 +83,8 @@ object IcebergTableMetadata {
       schemaJson: String, partitionSpecsJson: Seq[JValue],
       defaultSpecId: Int,
       refs: Map[String, SnapshotRef] = Map.empty,
-      schemasJson: Seq[JValue] = Nil)
+      schemasJson: Seq[JValue] = Nil,
+      statistics: Seq[StatisticsFile] = Nil)
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -213,7 +221,20 @@ object IcebergTableMetadata {
           }.getOrElse(Map.empty),
           schemasJson = (j \ "schemas").toOption.collect {
             case JArray(ss) => ss
-          }.orElse((j \ "schema").toOption.map(List(_))).getOrElse(Nil)))
+          }.orElse((j \ "schema").toOption.map(List(_))).getOrElse(Nil),
+          statistics = (j \ "statistics").toOption.toSeq.flatMap {
+            case JArray(ss) => ss.flatMap { s =>
+              for {
+                sid <- (s \ "snapshot-id").toOption
+                  .collect { case JInt(n) => n.toLong }
+                p <- (s \ "statistics-path").toOption
+                  .collect { case JString(sp) => sp }
+              } yield StatisticsFile(sid, p,
+                (s \ "file-size-in-bytes").toOption
+                  .collect { case JInt(n) => n.toLong }.getOrElse(0L))
+            }
+            case _ => Nil
+          }))
       }
     }
   }
@@ -270,7 +291,8 @@ object IcebergTableMetadata {
              nowMs: Long = System.currentTimeMillis(),
              retain: SnapshotMeta => Boolean = _ => true,
              branch: String = "main",
-             updateRefs: Map[String, Option[SnapshotRef]] = Map.empty): Int = {
+             updateRefs: Map[String, Option[SnapshotRef]] = Map.empty,
+             addStatistics: Seq[StatisticsFile] = Nil): Int = {
     val prev = load(conf, location)
     val version = prev.map(_.version).getOrElse(0) + 1
     val uuid = prev.map(_.tableUuid).filter(_.nonEmpty)
@@ -325,6 +347,14 @@ object IcebergTableMetadata {
       case (acc, (k, None)) => acc - k
     }.filter { case (_, r) => snapshots.exists(_.snapshotId == r.snapshotId) }
     val current = refsFinal.get("main").map(_.snapshotId)
+    // statistics: carry forward, drop entries whose snapshot expired
+    // with the history (the sidecar itself is storage the expiry job
+    // may then collect), replace same-snapshot entries with new ones
+    // (a re-index supersedes), append the additions
+    val statsFinal = (prev.map(_.statistics).getOrElse(Nil)
+      .filterNot(s => addStatistics.exists(_.snapshotId == s.snapshotId))
+      ++ addStatistics)
+      .filter(s => snapshots.exists(_.snapshotId == s.snapshotId))
     val lastSeq = math.max(prev.map(_.lastSequenceNumber).getOrElse(0L),
       snapshot.map(_.sequenceNumber).getOrElse(0L))
     // `None` CARRIES the previous version's specs forward (a
@@ -385,6 +415,12 @@ object IcebergTableMetadata {
           "snapshot-id" -> JInt(BigInt(r.snapshotId)),
           "type" -> JString(r.refType)): JValue)
       }),
+      "statistics" -> JArray(statsFinal.map(s => JObject(
+        "snapshot-id" -> JInt(BigInt(s.snapshotId)),
+        "statistics-path" -> JString(s.path),
+        "file-size-in-bytes" -> JInt(BigInt(s.fileSizeInBytes)),
+        "file-footer-size-in-bytes" -> JInt(0),
+        "blob-metadata" -> JArray(Nil)): JValue).toList),
       "snapshots" -> JArray(snapshots.map(snapJson).toList),
       "snapshot-log" -> JArray(snapshots.map(s => JObject(
         "timestamp-ms" -> JInt(BigInt(s.timestampMs)),

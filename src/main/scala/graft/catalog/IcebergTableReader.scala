@@ -696,4 +696,88 @@ object IcebergTableReader {
     }
   }
 
+  /** The data files a point lookup for `column == value` must open:
+    * manifest bounds prune first (free — same check as [[readRanges]]),
+    * then the snapshot's BLOOM SIDECAR
+    * ([[IcebergMaintenance.writeBloomIndex]]'s Puffin statistics file)
+    * prunes the rest. Membership checks run DISTRIBUTED: the driver
+    * reads only the sidecar's footer (blob directory); executors
+    * range-read their blobs' slices and deserialize the sketches —
+    * a 10^6-file index never lands on one node. Files without a blob
+    * (or a table without a sidecar) are kept, never silently skipped:
+    * no false negatives by construction. Exposed for the spec/bench;
+    * [[readPoint]] is the query surface. */
+  private[graft] def pointFiles(spark: SparkSession, tableDir: String,
+                                column: String, value: Long,
+                                asOfSnapshotId: Option[Long] = None)
+      : (Seq[FileEntry], Seq[DeleteEntry], TableMetadata) = {
+    val meta = metadata(spark, tableDir)
+    val snapId = resolveSnapshot(meta, asOfSnapshotId).map(_.snapshotId)
+    val (all, dels) = scanState(spark, tableDir, asOfSnapshotId)
+    val fid = fieldId(meta, column)
+    val bounded = all.filter { f =>
+      (f.lowerBounds.get(fid), f.upperBounds.get(fid)) match {
+        case (Some(lo), Some(hi)) =>
+          IcebergSingleValue.longOf(lo) <= value &&
+            value <= IcebergSingleValue.longOf(hi)
+        case _ => true // no stats → cannot prune
+      }
+    }
+    val sidecar = meta.statistics.find(s => snapId.contains(s.snapshotId))
+    val kept = sidecar match {
+      case None => bounded
+      case Some(sf) =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        val (blobs, _) = Puffin.readFooter(conf, sf.path)
+        val byFile = blobs
+          .filter(b => b.blobType == "graft-bloom-v1" &&
+            b.properties.get("bloom_col").contains(column))
+          .flatMap(b => b.properties.get("file_path").map(_ -> b)).toMap
+        val checks = bounded.flatMap(f => byFile.get(normPath(f.path))
+          .map(b => (normPath(f.path), b.offset, b.length)))
+        val hits: Set[String] =
+          if (checks.isEmpty) Set.empty
+          else {
+            val confB = spark.sparkContext.broadcast(
+              new org.apache.spark.util.SerializableConfiguration(conf))
+            val sfPath = sf.path
+            val slices = math.max(1, math.min(checks.length,
+              spark.sparkContext.defaultParallelism))
+            spark.sparkContext.parallelize(checks.toIndexedSeq, slices)
+              .mapPartitions { it =>
+                val c = confB.value.value
+                it.flatMap { case (p, off, len) =>
+                  val bytes = Puffin.readBlob(c, sfPath,
+                    Puffin.BlobMeta("graft-bloom-v1", Nil, 0L, 0L, off, len,
+                      Map.empty))
+                  val bf = org.apache.spark.util.sketch.BloomFilter
+                    .readFrom(new java.io.ByteArrayInputStream(bytes))
+                  if (bf.mightContainLong(value)) Some(p) else None
+                }
+              }.collect().toSet
+          }
+        bounded.filter(f =>
+          !byFile.contains(normPath(f.path)) || hits(normPath(f.path)))
+    }
+    (kept, dels, meta)
+  }
+
+  /** Needle lookup: `column == value` reading only the files the
+    * bounds + bloom-sidecar prune keeps (1+ε at any table size), with
+    * the row-level residual keeping exactness through bloom false
+    * positives and merge-on-read deletes applied as in every other
+    * read path. The interop-chain twin of
+    * [[graft.recovery.VersionedManifest.readPoint]]. */
+  def readPoint(spark: SparkSession, tableDir: String, column: String,
+                value: Long, asOfSnapshotId: Option[Long] = None): DataFrame = {
+    val (files, deletes, meta) =
+      pointFiles(spark, tableDir, column, value, asOfSnapshotId)
+    val df = assemble(spark, meta, files, deletes)
+    if (files.isEmpty) return df
+    val c =
+      if (df.schema(column).dataType == TimestampType) unix_micros(col(column))
+      else col(column).cast("long")
+    df.filter(c === value)
+  }
+
 }

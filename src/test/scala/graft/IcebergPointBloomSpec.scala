@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{IcebergCommit, IcebergMaintenance, IcebergTableReader,
+  Puffin, RestCatalogClient}
+
+/** Point-lookup bloom index on the INTEROP Iceberg chain (round 16):
+  * [[IcebergMaintenance.writeBloomIndex]] registers a Puffin sidecar
+  * with one bloom per data file; [[IcebergTableReader.readPoint]] must
+  * then answer needle lookups exactly (NO false negatives, merge-on-
+  * read deletes applied) while opening 1+ε files on a layout where
+  * zone maps cannot prune at all. */
+class IcebergPointBloomSpec extends SparkSpec {
+
+  private def listParquet(dir: String): Seq[String] =
+    Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+      .toSeq.sorted
+
+  test("bloom sidecar point reads: exact, no false negatives, 1+eps files") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-ice-bloom").toString
+    val loc = s"$base/tbl"
+    val dataDir = s"$base/data"
+    val nFiles = 8
+    // residue-class files: every file's [min, max] id bounds span the
+    // whole table, so bounds pruning keeps ALL files — only the bloom
+    // can narrow the needle read
+    (0L until 4000L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .repartition(nFiles, col("id") % nFiles)
+      .write.parquet(dataDir)
+    val paths = listParquet(dataDir)
+    // hash partitioning may fold residues together — what matters is
+    // several overlapping-bounds files, not exactly nFiles
+    val nF = paths.size
+    assert(nF >= 4, s"need several files for the prune to mean anything: $nF")
+    val counts = graft.recovery.Recovery.fileRowCounts(spark, paths)
+    val (schemaJson, _) = RestCatalogClient.icebergSchemaJson(
+      spark.read.parquet(dataDir).schema)
+    IcebergCommit.commitStandalone(
+      spark.sparkContext.hadoopConfiguration, loc,
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(schemaJson)),
+      None,
+      paths.map(p => RestCatalogClient.DataFile(
+        p, Files.size(Paths.get(p)), counts.getOrElse(p, 0L), Nil)))
+
+    val sidecarPath = IcebergMaintenance.writeBloomIndex(spark, loc, "id")
+    // the sidecar is registered in table metadata and is a well-formed
+    // Puffin file with one blob per data file
+    val meta = IcebergTableReader.metadata(spark, loc)
+    assert(meta.statistics.map(_.path) === Seq(sidecarPath))
+    val (blobs, _) = Puffin.readFooter(
+      spark.sparkContext.hadoopConfiguration, sidecarPath)
+    assert(blobs.size === nF)
+    assert(blobs.forall(_.blobType === "graft-bloom-v1"))
+
+    val full = IcebergTableReader.read(spark, loc)
+    val needles = Seq(0L, 7L, 123L, 999L, 2048L, 3999L)
+    needles.foreach { v =>
+      val got = IcebergTableReader.readPoint(spark, loc, "id", v)
+        .collect().map(_.toString).sorted.toSeq
+      val want = full.filter($"id" === v)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === want, s"needle $v wrong rows")
+      assert(got.size === 1, s"needle $v should hit exactly one row")
+    }
+    // absent key: zero rows, still no crash
+    assert(IcebergTableReader.readPoint(spark, loc, "id", 99999L)
+      .collect().isEmpty)
+    // prune strength: at fpp 3%, the average lookup must open ~1 file,
+    // and never all of them
+    val opened = needles.map(v =>
+      IcebergTableReader.pointFiles(spark, loc, "id", v)._1.size)
+    assert(opened.forall(_ < nF), s"a needle opened all files: $opened")
+    assert(opened.sum <= needles.size * 2, s"bloom barely pruned: $opened")
+
+    // snapshot moves (upsert): the old sidecar no longer matches the
+    // current snapshot → reads fall back to unpruned but stay EXACT,
+    // including the merge-on-read update
+    IcebergMaintenance.upsert(spark, loc,
+      Seq((7L, "UPDATED")).toDF("id", "payload"), Seq("id"))
+    val got7 = IcebergTableReader.readPoint(spark, loc, "id", 7L).collect()
+    assert(got7.length === 1 && got7(0).getAs[String]("payload") === "UPDATED")
+
+    // re-index at the new snapshot: pruning returns AND the equality
+    // delete still masks the stale row in the old data file
+    IcebergMaintenance.writeBloomIndex(spark, loc, "id")
+    val (f7, _, _) = IcebergTableReader.pointFiles(spark, loc, "id", 7L)
+    assert(f7.size <= 2, s"re-indexed lookup kept ${f7.size} files")
+    val got7b = IcebergTableReader.readPoint(spark, loc, "id", 7L).collect()
+    assert(got7b.length === 1 &&
+      got7b(0).getAs[String]("payload") === "UPDATED")
+  }
+}
