@@ -118,19 +118,46 @@ object Delivery {
                                  checkpoint: String, manifestPath: String,
                                  policy: RetryPolicy = RetryPolicy(),
                                  onRetry: (Int, Throwable) => Unit = (_, _) => (),
-                                 beforeRegister: DataFrame => Unit = _ => ())
+                                 beforeRegister: DataFrame => Unit = _ => (),
+                                 telemetry: Option[ExportTelemetry.Collector] = None)
       : StreamingQuery =
     events.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // stabilize the batch so retries re-write identical rows instead
         // of re-reading a source that may have advanced
         val pinned = batch.localCheckpoint()
-        retry(policy, onRetry) {
-          PartitionedParquetSink.writeBatch(pinned, cfg)
-          beforeRegister(pinned)
-          graft.recovery.Recovery.reconcile(
-            pinned.sparkSession, PartitionedParquetSink.tablePath(cfg), manifestPath)
+        val spark = pinned.sparkSession
+        val t0 = System.nanoTime()
+        var retries = 0L
+        val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+        val hook: (Int, Throwable) => Unit = { (a, e) =>
+          retries += 1; errs += s"attempt $a: ${e.getMessage}"; onRetry(a, e)
         }
+        // files/bytes written = the manifest's before/after delta (one
+        // tiny metadata read each side; retried attempts' orphan files
+        // count too — they ARE bytes the export path produced)
+        val before = telemetry.map(_ =>
+          ExportTelemetry.manifestTotals(spark, manifestPath))
+        def emit(outcome: String, err: Option[Throwable]): Unit =
+          telemetry.foreach { t =>
+            val (fb, bb) = before.getOrElse((0L, 0L))
+            val (fa, ba) =
+              ExportTelemetry.manifestTotals(spark, manifestPath)
+            t.record(ExportTelemetry.BatchMetric(
+              batchId, cfg.table, outcome, pinned.count(),
+              fa - fb, ba - bb, retries,
+              (System.nanoTime() - t0) / 1000000L,
+              (errs ++ err.map(e => s"final: ${e.getMessage}")).toSeq))
+          }
+        try {
+          retry(policy, hook) {
+            PartitionedParquetSink.writeBatch(pinned, cfg)
+            beforeRegister(pinned)
+            graft.recovery.Recovery.reconcile(
+              spark, PartitionedParquetSink.tablePath(cfg), manifestPath)
+          }
+          emit("success", None)
+        } catch { case e: Throwable => emit("failed", Some(e)); throw e }
         ()
       }
       .option("checkpointLocation", checkpoint)

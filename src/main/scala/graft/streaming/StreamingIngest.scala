@@ -36,13 +36,26 @@ object StreamingIngest {
     * crash re-registers harmlessly — the reference's own recovery
     * semantics. */
   def ingestWithManifest(events: DataFrame, cfg: SinkConfig,
-                         checkpoint: String,
-                         manifestPath: String): StreamingQuery =
+                         checkpoint: String, manifestPath: String,
+                         telemetry: Option[ExportTelemetry.Collector] = None)
+      : StreamingQuery =
     events.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        PartitionedParquetSink.writeBatch(batch, cfg)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val t0 = System.nanoTime()
+        val pinned = if (telemetry.isDefined) batch.localCheckpoint() else batch
+        val before = telemetry.map(_ =>
+          ExportTelemetry.manifestTotals(spark, manifestPath))
+        PartitionedParquetSink.writeBatch(pinned, cfg)
         graft.recovery.Recovery.reconcile(
-          batch.sparkSession, PartitionedParquetSink.tablePath(cfg), manifestPath)
+          spark, PartitionedParquetSink.tablePath(cfg), manifestPath)
+        telemetry.foreach { t =>
+          val (fb, bb) = before.getOrElse((0L, 0L))
+          val (fa, ba) = ExportTelemetry.manifestTotals(spark, manifestPath)
+          t.record(ExportTelemetry.BatchMetric(
+            batchId, cfg.table, "success", pinned.count(), fa - fb, ba - bb,
+            0L, (System.nanoTime() - t0) / 1000000L, Nil))
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)
