@@ -449,11 +449,27 @@ object IcebergMaintenance {
         packed.write.parquet(outDir)
         val paths = listParquet(outDir)
         val counts = graft.recovery.Recovery.fileRowCounts(spark, paths)
-        val stats = statsColumn.map(c =>
-          (IcebergTableReader.fieldId(meta, c),
-            graft.recovery.Recovery.fileColumnStats(spark, paths, c)))
+        // harvest bounds for EVERY field id the input group carried,
+        // plus the explicitly requested statsColumn — compaction must
+        // not erase the pruning metadata the superseded files had, or
+        // post-rewrite readSlice/readRanges on those columns degrades
+        // to opening every rewritten file (r16 ADVICE). Limitation:
+        // the footer harvester round-trips INT32/INT64-physical
+        // columns only (timestamps as micros); bounds another engine
+        // wrote for string/binary columns do not survive a rewrite
+        // through this path.
+        val groupIds = group
+          .flatMap(f => (f.lowerBounds.keySet & f.upperBounds.keySet))
+          .distinct
+        val wantIds = (groupIds ++ statsColumn.toSeq.map(c =>
+          IcebergTableReader.fieldId(meta, c))).distinct.sorted
+        val statsById = wantIds.flatMap { fid =>
+          scala.util.Try(IcebergTableReader.fieldName(meta, fid)).toOption
+            .map(cname => fid ->
+              graft.recovery.Recovery.fileColumnStats(spark, paths, cname))
+        }
         paths.map { p =>
-          val bounds = stats.toSeq.flatMap { case (fid, st) =>
+          val bounds = statsById.flatMap { case (fid, st) =>
             st.get(p).map { case (mn, mx) =>
               (fid, IcebergSingleValue.longBytes(mn),
                 IcebergSingleValue.longBytes(mx))
@@ -658,9 +674,16 @@ object IcebergMaintenance {
     IcebergTableMetadata.commit(conf, tableDir, meta.schemaJson, None,
       None, retain = s => keepIds(s.snapshotId))
     val fs = new Path(tableDir).getFileSystem(conf)
+    // Never delete storage OUTSIDE the table location: a chain may
+    // adopt external files in place by absolute path (registration is
+    // just a manifest entry — e.g. IcebergSqlDemo over the shared
+    // read-only testdata). Those files are referenced, not owned;
+    // expiry physically reclaims only what lives under the table dir.
+    val rootPrefix = normUri(new Path(tableDir)).stripSuffix("/") + "/"
     val deleted = dead.filter { p =>
       val hp = new Path(p)
-      fs.exists(hp) && fs.delete(hp, false)
+      normUri(hp).startsWith(rootPrefix) &&
+        fs.exists(hp) && fs.delete(hp, false)
     }
     ExpiryReport(ordered.map(_.snapshotId).filter(keepIds), expired, deleted)
   }

@@ -28,16 +28,21 @@ import org.apache.spark.sql.types.{DateType, LongType, TimestampType}
   *          .agg(count/sum/min/max) }}}
   *
   * rewrites to the same shape over the rollup with count(*)→sum(cnt),
-  * sum(x)→sum(sum_x), min(x)→min(min_x), max(x)→max(max_x) — exact (not
-  * approximate) because count/sum re-aggregate losslessly and min/max
-  * are idempotent. Groupings may use the time column only through
+  * sum(x)→sum(sum_x), min(x)→min(min_x), max(x)→max(max_x) — exact for
+  * counts, integer sums (the `sumLong` measures) and min/max (lossless
+  * re-aggregation / idempotence). A DOUBLE `sum` re-aggregates per-hour
+  * FP partials: the value is order-stable in magnitude (same summands,
+  * different association) but not guaranteed bit-identical to the raw
+  * scan — the one knowingly-tolerated deviation from strict answer
+  * preservation; register only `sumLong` measures if bit-exactness is
+  * required. Groupings may use the time column only through
   * hour-invariant wrappers (`date_trunc` at hour or coarser, `hour()`,
   * a cast to date); filters may touch dims freely and the time column
   * only as `ts >= L` / `ts < L` with L hour-ALIGNED (those commute
   * exactly with hour truncation). Anything else — distinct aggregates,
   * agg FILTER clauses, avg, unaligned bounds, unregistered columns —
-  * bails to the original plan: the rewrite is strictly
-  * answer-preserving or absent.
+  * bails to the original plan: the rewrite is answer-preserving
+  * (bit-exact except the double-sum case above) or absent.
   *
   * Registration is one conf ([[SPEC_KEY]]) holding a JSON spec — meant
   * to be scoped around the intended query (SparkEntry.queryConfs), the

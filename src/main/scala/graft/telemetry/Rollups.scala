@@ -115,23 +115,56 @@ object Rollups {
         sum($"sum_user_id").as("sum_user_id"))
   }
 
+  /** Cheap CONTENT fingerprint of the base table: sorted
+    * (name, size, mtime) of its parquet files, md5'd. The rollup cache
+    * key is md5-of-path ([[RollupRewrite.rollupPathFor]]); path alone
+    * would silently serve a stale pre-aggregation if the data at that
+    * path ever changed in place — the fingerprint is validated before
+    * every reuse, so an in-place change triggers a rebuild. Listing is
+    * metadata-only (no footer/data reads). */
+  private def fingerprint(basePath: String): String = {
+    val p = Paths.get(basePath)
+    val entries =
+      if (Files.isRegularFile(p))
+        Seq(s"${p.getFileName}:${Files.size(p)}:" +
+          s"${Files.getLastModifiedTime(p).toMillis}")
+      else Files.list(p).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet"))
+        .map(f => s"${f.getFileName}:${Files.size(f)}:" +
+          s"${Files.getLastModifiedTime(f).toMillis}")
+        .toSeq.sorted
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.mkString("\n").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+  }
+
+  private def isFresh(path: String, fp: String): Boolean =
+    Files.exists(Paths.get(s"$path/_SUCCESS")) &&
+      Files.exists(Paths.get(s"$path/_FINGERPRINT")) &&
+      new String(Files.readAllBytes(Paths.get(s"$path/_FINGERPRINT")),
+        "UTF-8") == fp
+
   /** Materialize the hourly events rollup — and the day rollup
     * cascaded FROM it — at the paths [[RollupRewrite]] will derive for
-    * this sf dir; idempotent (skips when the _SUCCESS marker exists —
-    * the driver testdata is immutable, so staleness is not a concern
-    * here; a production MV refreshes per closed hour/day instead).
-    * Returns the hourly path. */
+    * this sf dir; idempotent, and the reuse check validates a CONTENT
+    * fingerprint of the base (not just _SUCCESS), so data changed in
+    * place rebuilds instead of serving stale aggregates (a production
+    * MV refreshes per closed hour/day instead). Returns the hourly
+    * path. */
   def ensureHourlyEvents(spark: SparkSession, sfDir: String): String = {
     val base = Paths.get(s"$sfDir/events.parquet").toAbsolutePath.toString
+    val fp = fingerprint(base)
     val path = RollupRewrite.rollupPathFor("/tmp/graft_rollups", base)
-    if (!Files.exists(Paths.get(s"$path/_SUCCESS"))) {
+    if (!isFresh(path, fp)) {
       hourlyEvents(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(path)
+      Files.write(Paths.get(s"$path/_FINGERPRINT"), fp.getBytes("UTF-8"))
     }
     val dayPath = RollupRewrite.rollupPathFor("/tmp/graft_rollups_day", base)
-    if (!Files.exists(Paths.get(s"$dayPath/_SUCCESS"))) {
+    if (!isFresh(dayPath, fp)) {
       dailyFromHourly(spark.read.parquet(path)).coalesce(1)
         .write.mode("overwrite").parquet(dayPath)
+      Files.write(Paths.get(s"$dayPath/_FINGERPRINT"), fp.getBytes("UTF-8"))
     }
     path
   }
