@@ -184,6 +184,13 @@ object SparkEntry {
     "sink_iceberg_sql"   -> (graft.catalog.IcebergSqlDemo.query _),
     "sink_iceberg_timetravel" ->
       (graft.catalog.IcebergSqlDemo.timeTravelQuery _),
+    "sink_iceberg_point" ->
+      (graft.catalog.IcebergSqlDemo.pointQuery _),
+    // the over-threshold (co-partitioned, no-rank-broadcast) arm under
+    // the same oracle as q_pagerank: both arms must compute the
+    // identical integer-micro fixpoint at any gate setting
+    "q_pagerank_copart"  -> ((s, d) =>
+      PageRank.bipartiteExact(s, d, broadcastVertexLimit = 0L)),
     "text_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
     "mm_frame_dedup"     -> (Multimodal.frameDedup _),
     "mm_ahash_pairs"     -> ((s, d) => Multimodal.ahashPairs(s, d)),
@@ -577,6 +584,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = FunnelRetentionCorrOracles ++ Map(
     "q_pagerank" -> pagerankOracleSql(),
+    "q_pagerank_copart" -> pagerankOracleSql(),
     "q_jaccard_neighbors" ->
       """WITH sp AS (
         | SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
@@ -3707,6 +3715,14 @@ object SparkEntry {
         |FROM events
         |WHERE event_id != (SELECT min(event_id) FROM events)
         |GROUP BY event_type""".stripMargin,
+    // needle lookup through the bloom-sidecar-pruned chain: the oracle
+    // filters raw events for the same deterministic key (max event_id;
+    // the chain's deleted min-id row proves pruning composes with MOR)
+    "sink_iceberg_point" ->
+      """SELECT event_id, event_type, CAST(user_id AS BIGINT) AS user_id,
+        | value
+        |FROM events
+        |WHERE event_id = (SELECT max(event_id) FROM events)""".stripMargin,
     // the pre-delete snapshot sees EVERY raw row — snapshot isolation
     // proven against the independent engine
     "sink_iceberg_timetravel" ->

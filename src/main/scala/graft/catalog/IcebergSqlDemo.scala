@@ -63,6 +63,30 @@ object IcebergSqlDemo {
          |GROUP BY event_type""".stripMargin)
   }
 
+  /** `sink_iceberg_point`: the round-16 needle path under the oracle
+    * gate — the chain gains a per-file BLOOM SIDECAR
+    * ([[IcebergMaintenance.writeBloomIndex]], idempotent per snapshot)
+    * and the query is [[IcebergTableReader.readPoint]] for the
+    * deterministic max event_id. The oracle filters raw events for the
+    * same key — a hash match proves Puffin write → statistics
+    * registration → footer read → distributed bloom membership →
+    * pruned scan → MOR delete application end to end against the
+    * independent engine (and the needle coexisting with the chain's
+    * deleted min-id row proves bloom pruning composes with deletes). */
+  def pointQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val loc = ensureChain(spark, sfDir)
+    val meta = IcebergTableReader.metadata(spark, loc)
+    if (!meta.currentSnapshotId.exists(id =>
+        meta.statistics.exists(_.snapshotId == id)))
+      IcebergMaintenance.writeBloomIndex(spark, loc, "event_id")
+    val needle = Tables.events(spark, sfDir)
+      .agg(max(col("event_id"))).head.getLong(0)
+    IcebergTableReader.readPoint(spark, loc, "event_id", needle)
+      .select($"event_id", $"event_type",
+        $"user_id".cast("long").as("user_id"), $"value")
+  }
+
   /** `sink_iceberg_timetravel`: the SAME aggregate at the PRE-delete
     * snapshot (two-arg TVF form) — the oracle computes over the full
     * raw table, so the hash match proves snapshot isolation through
