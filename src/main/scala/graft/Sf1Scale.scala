@@ -183,8 +183,8 @@ object Sf1Scale {
   }
 
   private val graphQueries: Seq[String] =
-    Seq("q_pagerank", "q_triangle_support", "q_jaccard_neighbors",
-      "q_interval_overlap")
+    Seq("q_pagerank", "q_pagerank_copart", "q_triangle_support",
+      "q_jaccard_neighbors", "q_interval_overlap")
 
   /** Order date for `ok` (1995 + 0..~6y of whole days) — object-level
     * so lambdas compile to a static module call instead of
