@@ -76,7 +76,30 @@ object IcebergTvf {
       analyzed(IcebergTableReader.snapshots(SparkSession.active, path))
     })
 
-  val all = Seq(readDescriptor, filesDescriptor, snapshotsDescriptor)
+  /** `graft_iceberg_point('/path', 'col', value)` — the needle lookup
+    * from plain SQL (r16): resolves at analysis time to the
+    * bounds+bloom-pruned [[IcebergTableReader.readPoint]] plan, so the
+    * scan underneath opens 1+ε files on an indexed chain while the SQL
+    * author just writes a table function. Value must be an integer
+    * literal — like the path, it decides the PLAN (which files to
+    * open), so it cannot be row-dependent. */
+  val pointDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_iceberg_point"),
+    new ExpressionInfo(getClass.getName, "graft_iceberg_point"),
+    (args: Seq[Expression]) => {
+      require(args.size == 3,
+        s"graft_iceberg_point(path, column, value) takes 3 arguments, " +
+          s"got ${args.size}")
+      val path = strArg("graft_iceberg_point", args, 0)
+      val column = strArg("graft_iceberg_point", args, 1)
+      val value = longArg("graft_iceberg_point", args, 2).get
+      analyzed(IcebergTableReader.readPoint(
+        SparkSession.active, path, column, value))
+    })
+
+  val all = Seq(readDescriptor, filesDescriptor, snapshotsDescriptor,
+    pointDescriptor)
 
   /** Post-construction registration for driver-owned sessions (the
     * [[graft.functions.GraftFunctions.register]] path). */

@@ -94,5 +94,56 @@ class IcebergPointBloomSpec extends SparkSpec {
     val got7b = IcebergTableReader.readPoint(spark, loc, "id", 7L).collect()
     assert(got7b.length === 1 &&
       got7b(0).getAs[String]("payload") === "UPDATED")
+
+    // the SQL surface: graft_iceberg_point resolves to the same pruned
+    // plan from plain SQL (literal-args contract like the other TVFs)
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT payload FROM graft_iceberg_point('$loc', 'id', 7)").collect()
+    assert(viaSql.length === 1 && viaSql(0).getString(0) === "UPDATED")
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_iceberg_point('$loc', 'id', 1+6)").collect())
+    assert(e.getMessage.contains("literal"))
+  }
+
+  /** The r6 malformed-input discipline applied to the Puffin reader: a
+    * truncated or hostile sidecar must raise its own require message,
+    * never a raw ArrayIndexOutOfBounds or a silent misread. */
+  test("Puffin reader fails loudly on truncated and hostile sidecars") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = Files.createTempDirectory("graft-puffin-fuzz").toString
+    def write(name: String, bytes: Array[Byte]): String = {
+      val p = s"$base/$name"
+      Files.write(Paths.get(p), bytes)
+      p
+    }
+    // a well-formed file round-trips
+    val good = write("good.puffin", Array.emptyByteArray)
+    Puffin.write(conf, good, Seq(Puffin.Blob("t", Seq(1), 1L, 1L,
+      Array[Byte](1, 2, 3), Map("k" -> "v"))))
+    val (blobs, _) = Puffin.readFooter(conf, good)
+    assert(blobs.size === 1 && blobs.head.properties("k") === "v")
+    assert(Puffin.readBlob(conf, good, blobs.head).toSeq === Seq[Byte](1, 2, 3))
+
+    // too short to hold any footer
+    val short = write("short.puffin", Array[Byte](1, 2, 3))
+    val e1 = intercept[IllegalArgumentException](Puffin.readFooter(conf, short))
+    assert(e1.getMessage.contains("too short"))
+    // trailing magic wrong
+    val badMagic = write("badmagic.puffin", Array.fill[Byte](64)(7))
+    val e2 = intercept[IllegalArgumentException](Puffin.readFooter(conf, badMagic))
+    assert(e2.getMessage.contains("magic"))
+    // hostile footer payload size (bigger than the file)
+    val hostile = {
+      val b = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.position(64 - 12)
+      b.putInt(1000000)
+      b.put(Array[Byte](0, 0, 0, 0))
+      b.put("PFA1".getBytes("US-ASCII"))
+      write("hostile.puffin", b.array())
+    }
+    val e3 = intercept[IllegalArgumentException](Puffin.readFooter(conf, hostile))
+    assert(e3.getMessage.contains("hostile"))
   }
 }
