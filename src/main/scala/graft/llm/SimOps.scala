@@ -725,14 +725,22 @@ object SimOps {
       .select($"vec_id", $"q")
     val q = emb.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"q".as("qq"))
+    // ranking via the map-side TopKStructs k-buffer, NOT a window: a
+    // row_number partitioned by only nQueries keys funnels the whole
+    // corpus×queries frame into nQueries sort tasks (the r16 sf1 sweep
+    // showed 2.8× at 10× data from exactly that); the k-buffer keeps
+    // ≤k rows per partition before the one tiny exchange
     emb.crossJoin(broadcast(q))
       .filter($"vec_id" =!= $"query_id")
       .withColumn("cos6", round(call_function("cosine_sim", $"q", $"qq"), 6))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy($"query_id").orderBy($"cos6".desc, $"vec_id".asc)))
-      .filter($"rnk" <= k)
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"cos6".as("cosine"),
-              $"rnk".cast("long").as("rnk"))
+      .groupBy($"query_id")
+      .agg(call_function("top_k_structs",
+        struct($"cos6", $"vec_id"),
+        lit(k), array(lit(false), lit(true)),
+        array(lit(false), lit(false))).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", $"col.vec_id".as("neighbor_id"),
+              $"col.cos6".as("cosine"), ($"pos" + 1).cast("long").as("rnk"))
   }
 
   /** Binary quantization ANN — the 32×-compression path modern vector
