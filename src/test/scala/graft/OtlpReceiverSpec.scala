@@ -39,6 +39,19 @@ class OtlpReceiverSpec extends SparkSpec {
     }
     def hex(f: Int, h: String): W =
       bytes(f, h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    def dbl(f: Int, d: Double): W =
+      fixed64(f, java.lang.Double.doubleToLongBits(d))
+    def sint32(f: Int, v: Int): W =
+      { tag(f, 0); rawVarint(((v << 1) ^ (v >> 31)) & 0xffffffffL); this }
+    def packedFixed64(f: Int, vs: Seq[Long]): W = {
+      val p = new ByteArrayOutputStream()
+      vs.foreach(v => (0 until 8).foreach(i =>
+        p.write(((v >> (8 * i)) & 0xff).toInt)))
+      bytes(f, p.toByteArray)
+    }
+    def packedVarints(f: Int, vs: Seq[Long]): W = {
+      val w = new W(); vs.foreach(w.rawVarint); bytes(f, w.toBytes)
+    }
     def msg(f: Int, m: W): W = bytes(f, m.toBytes)
     def toBytes: Array[Byte] = b.toByteArray
   }
@@ -305,6 +318,55 @@ class OtlpReceiverSpec extends SparkSpec {
       val logs = graft.otel.OtelLogs.flatten(OtelProtoSource.logs(spark, logDir))
       assert(logs.count() === 1)
       assert(logs.select("body").first().getString(0) === "disk full")
+    } finally rx.stop()
+  }
+
+  /** r16 capstone: one pushed OTLP metrics request carrying all five
+    * metric types drains through [[graft.otel.OtelMetricsPipeline]]
+    * into the five partitioned tables — the reference's
+    * consumeMetrics → five-arrow-tables loop, end to end over the
+    * receiver's spool. */
+  test("pushed metrics request drains into all five tables via OtelMetricsPipeline") {
+    val base = Files.createTempDirectory("graft-otlp-met5").toString
+    val rx = new OtlpHttpReceiver(s"$base/spool")
+    try {
+      val ts = 1709623800000000003L
+      val resource = new W().msg(1, new W()
+        .str(1, "service.name").msg(2, new W().str(1, "checkout")))
+      val numPoint = new W().fixed64(3, ts).fixed64(6, 42L)
+      val gauge = new W().str(1, "cpu.load").msg(5, new W().msg(1, numPoint))
+      val sumM = new W().str(1, "requests").msg(7, new W().msg(1, numPoint)
+        .vint(2, 2).vint(3, 1))
+      val histM = new W().str(1, "latency").msg(9, new W().msg(1,
+        new W().fixed64(3, ts).fixed64(4, 10L).dbl(5, 55.5)
+          .packedFixed64(6, Seq(1L, 4L, 5L))).vint(2, 1))
+      val expM = new W().str(1, "latency.exp").msg(10, new W().msg(1,
+        new W().fixed64(3, ts).fixed64(4, 7L).dbl(5, 12.25).sint32(6, -2)
+          .fixed64(7, 2L)
+          .msg(8, new W().sint32(1, 3).packedVarints(2, Seq(1L, 2L))))
+        .vint(2, 2))
+      val summaryM = new W().str(1, "rpc.duration").msg(11, new W().msg(1,
+        new W().fixed64(3, ts).fixed64(4, 100L).dbl(5, 999.5)
+          .msg(6, new W().dbl(1, 0.5).dbl(2, 1.25))))
+      val req = new W().msg(1, new W().msg(1, resource)
+        .msg(2, new W().msg(1, new W().str(1, "lib"))
+          .msg(2, gauge).msg(2, sumM).msg(2, histM).msg(2, expM)
+          .msg(2, summaryM))).toBytes
+      assert(post(rx.uri, "/v1/metrics", req).statusCode() === 200)
+
+      val spool = OtlpHttpReceiver.spoolPath(s"$base/spool", "metrics")
+      val cfg = Config(Filesystem(base), Catalog("none"))
+      graft.otel.OtelMetricsPipeline
+        .startAll(spark, spool, cfg, s"$base/chk", format = "proto")
+        .values.foreach(_.awaitTermination())
+      Seq("otel_metrics_gauge", "otel_metrics_sum", "otel_metrics_histogram",
+          "otel_metrics_exponential_histogram", "otel_metrics_summary")
+        .foreach { t =>
+          val out = spark.read.parquet(s"$base/$t")
+          assert(out.count() === 1, s"$t rows")
+          assert(out.columns.contains("hour"), s"$t partitioned")
+          assert(out.select("service_name").first().getString(0) === "checkout", t)
+        }
     } finally rx.stop()
   }
 }

@@ -55,6 +55,46 @@ class StreamingRollupSpec extends SparkSpec {
     assert(total === batch.count() + 500)
   }
 
+  /** r16 (ADVICE, medium): the publish protocol must survive a crash
+    * BETWEEN the two renames — previously delete-then-rename had a
+    * window where the snapshot was simply gone and the next batch
+    * (update mode: only in-flight groups) silently dropped every
+    * previously accumulated group. Simulate the torn state (dst
+    * missing, bak holding the last good snapshot) and prove the next
+    * batch restores and folds. */
+  test("publish crash window: bak-only state recovers, no group lost") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-roll-crash").toString
+    val batch = Tables.events(spark, sf)
+    batch.write.parquet(s"$base/src")
+    StreamingRollup.maintain(
+      spark.readStream.schema(batch.schema).parquet(s"$base/src"),
+      s"$base/mv", s"$base/chk").awaitTermination()
+    val before = spark.read.parquet(s"$base/mv")
+      .agg(sum($"cnt")).head.getLong(0)
+    assert(before === batch.count())
+
+    // tear the state exactly as a crash between the renames would:
+    // dst moved aside to bak, nothing at dst
+    val fs = new org.apache.hadoop.fs.Path(s"$base/mv")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$base/mv"),
+      new org.apache.hadoop.fs.Path(s"$base/mv.bak")))
+    spark.catalog.refreshByPath(s"$base/mv")
+
+    // next micro-batch (new source file) must restore bak THEN fold
+    batch.limit(300).write.mode("append").parquet(s"$base/src")
+    StreamingRollup.maintain(
+      spark.readStream.schema(batch.schema).parquet(s"$base/src"),
+      s"$base/mv", s"$base/chk").awaitTermination()
+    val after = spark.read.parquet(s"$base/mv")
+      .agg(sum($"cnt")).head.getLong(0)
+    assert(after === batch.count() + 300,
+      "accumulated groups lost across the crash window")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/mv.bak")),
+      "backup not cleaned up after a successful publish")
+  }
+
   test("Iceberg-table rollup: upsert snapshots, time travel, compaction") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-roll-ice").toString
