@@ -116,6 +116,7 @@ object Bench {
                          "sink_point_full", "sink_point_bloom",
                          "iceberg_cold_full", "iceberg_cold_pruned",
                          "iceberg_point_full", "iceberg_point_bloom",
+                         "iceberg_ndv_exact", "iceberg_ndv_stats",
                          "iceberg_upsert", "iceberg_changelog",
                          "iceberg_plan_fragmented",
                          "iceberg_rewrite_manifests",
@@ -215,6 +216,20 @@ object Bench {
               spark, iceLoc, "event_id")
             bestWarm("iceberg_point_bloom")(graft.catalog.IcebergTableReader
               .readPoint(spark, iceLoc, "event_id", needle).count())
+          },
+          // column NDV: the full distinct scan vs the KMV sketch read
+          // from the statistics sidecar (metadata-only — the planner's
+          // join-cardinality lookup at 100 TB; sketch build untimed)
+          "iceberg_ndv_exact" -> bestWarm("iceberg_ndv_exact")(
+            graft.catalog.IcebergTableReader.read(spark, iceLoc)
+              .select(org.apache.spark.sql.functions
+                .countDistinct(col("event_id")))
+              .collect()(0).getLong(0)),
+          "iceberg_ndv_stats" -> {
+            graft.catalog.IcebergMaintenance.writeNdvIndex(
+              spark, iceLoc, Seq("event_id"))
+            bestWarm("iceberg_ndv_stats")(graft.catalog.IcebergTableReader
+              .ndvFromStats(spark, iceLoc).count())
           },
           // merge-on-read DML measured: upsert commit cost is the
           // DELTA (1k keyed rows against the whole table — file write

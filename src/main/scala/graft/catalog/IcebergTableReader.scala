@@ -762,6 +762,43 @@ object IcebergTableReader {
     (kept, dels, meta)
   }
 
+  /** Column NDV from the snapshot's statistics sidecar alone —
+    * METADATA-ONLY: the sidecar footer plus one small blob per column
+    * (≤ k longs), no data file opened (the planner's join-cardinality
+    * read at 100 TB). Returns (column, ndv, exact): `exact` when the
+    * KMV saw fewer than its k distinct hashes (the blob then IS the
+    * distinct set size); otherwise the (k−1)/x₍ₖ₎ estimate (~1/√k
+    * relative error). Columns without a `graft-kmv-ndv-v1` blob at the
+    * resolved snapshot simply don't appear. */
+  def ndvFromStats(spark: SparkSession, tableDir: String,
+                   asOfSnapshotId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val meta = metadata(spark, tableDir)
+    val snapId = resolveSnapshot(meta, asOfSnapshotId).map(_.snapshotId)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = meta.statistics.filter(s => snapId.contains(s.snapshotId))
+      .flatMap { sf =>
+        val (blobs, _) = Puffin.readFooter(conf, sf.path)
+        blobs.filter(_.blobType == "graft-kmv-ndv-v1").flatMap { b =>
+          b.properties.get("ndv_col").map { c =>
+            val bytes = Puffin.readBlob(conf, sf.path, b)
+            val in = new java.io.DataInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val n = in.readLong().toInt
+            val hashes = Array.fill(n)(in.readLong())
+            val k = b.properties.get("k").map(_.toInt).getOrElse(n)
+            if (n < k) (c, n.toLong, true)
+            else {
+              // k-th smallest hash as an unsigned fraction of 2^64
+              val u = hashes.last.toDouble / math.pow(2.0, 64) + 0.5
+              (c, math.round((k - 1) / u), false)
+            }
+          }
+        }
+      }
+    rows.toDF("column", "ndv", "exact")
+  }
+
   /** Needle lookup: `column == value` reading only the files the
     * bounds + bloom-sidecar prune keeps (1+ε at any table size), with
     * the row-level residual keeping exactness through bloom false

@@ -106,6 +106,50 @@ class IcebergPointBloomSpec extends SparkSpec {
     assert(e.getMessage.contains("literal"))
   }
 
+  test("ndv sketches: exact under k, ~estimate over k, metadata-only, coexist with blooms") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-ice-ndv").toString
+    val loc = s"$base/tbl"
+    val dataDir = s"$base/data"
+    // id: 4000 distinct (past k=512 → estimated); grp: 23 distinct
+    // (under k → the blob IS the exact distinct set)
+    (0L until 4000L).map(i => (i, s"g${i % 23}")).toDF("id", "grp")
+      .repartition(4).write.parquet(dataDir)
+    val paths = listParquet(dataDir)
+    val counts = graft.recovery.Recovery.fileRowCounts(spark, paths)
+    val (schemaJson, _) = RestCatalogClient.icebergSchemaJson(
+      spark.read.parquet(dataDir).schema)
+    IcebergCommit.commitStandalone(
+      spark.sparkContext.hadoopConfiguration, loc,
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(schemaJson)),
+      None,
+      paths.map(p => RestCatalogClient.DataFile(
+        p, Files.size(Paths.get(p)), counts.getOrElse(p, 0L), Nil)))
+
+    // bloom first, then ndv: the sidecar append must KEEP prior blobs
+    IcebergMaintenance.writeBloomIndex(spark, loc, "id")
+    IcebergMaintenance.writeNdvIndex(spark, loc, Seq("id", "grp"), k = 512)
+    val meta = IcebergTableReader.metadata(spark, loc)
+    assert(meta.statistics.size === 1, "one sidecar per snapshot")
+
+    val ndv = IcebergTableReader.ndvFromStats(spark, loc).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(ndv("grp") === ((23L, true)), "under-k column must be exact")
+    val (idNdv, idExact) = ndv("id")
+    assert(!idExact)
+    assert(math.abs(idNdv - 4000L) <= 200L,
+      s"id ndv estimate $idNdv outside 5% of 4000")
+    // blooms survived the append: the needle read still prunes
+    val (kept, _, _) = IcebergTableReader.pointFiles(spark, loc, "id", 7L)
+    assert(kept.size < paths.size, "bloom pruning lost after ndv append")
+
+    // METADATA-ONLY: with every data file gone, NDV still answers
+    Files.move(Paths.get(dataDir), Paths.get(s"$base/data_moved"))
+    val ndv2 = IcebergTableReader.ndvFromStats(spark, loc).collect()
+    assert(ndv2.length === 2, "ndv read touched data files")
+  }
+
   /** The r6 malformed-input discipline applied to the Puffin reader: a
     * truncated or hostile sidecar must raise its own require message,
     * never a raw ArrayIndexOutOfBounds or a silent misread. */
