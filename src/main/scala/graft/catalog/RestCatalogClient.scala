@@ -55,6 +55,16 @@ object RestCatalogClient {
   case class CatalogAuth(token: String = "", clientId: String = "",
                          clientSecret: String = "", scope: String = "catalog")
 
+  /** One observed catalog round-trip (http.go's loggingTransport
+    * fields): auth is recorded as presence + header length only —
+    * the token value never reaches the log. `status = -1` means the
+    * transport itself failed; `errorBody` is set for status ≥ 400,
+    * truncated to 1 KB. */
+  final case class HttpLogEntry(method: String, path: String, status: Int,
+                                durationMs: Long, hasAuthorization: Boolean,
+                                authorizationLength: Int,
+                                errorBody: Option[String])
+
   case class Settings(uri: String, warehouse: String = "",
                       auth: CatalogAuth = CatalogAuth(),
                       retry: RetryPolicy = RetryPolicy())
@@ -199,11 +209,45 @@ object RestCatalogClient {
 }
 
 class RestCatalogClient(settings: RestCatalogClient.Settings,
-                        hadoopConf: Configuration = new Configuration()) {
+                        hadoopConf: Configuration = new Configuration(),
+                        verbosity: String = "normal",
+                        httpLog: RestCatalogClient.HttpLogEntry => Unit =
+                          _ => ()) {
   import RestCatalogClient._
   private implicit val formats: Formats = DefaultFormats
 
   private val http = HttpClient.newHttpClient()
+
+  /** Verbosity-gated request observability — the reference's
+    * loggingTransport (`internal/iceberg/http.go`): `detailed` records
+    * every catalog round-trip, `normal` only error responses (status ≥
+    * 400 or transport failure, body truncated to 1 KB), `basic`
+    * nothing. The Authorization header is NEVER captured — only its
+    * presence and length, exactly like the reference. */
+  private def logged[T](method: String, path: String)
+                       (send: => HttpResponse[String]): HttpResponse[String] = {
+    val hasAuth = bearer.isDefined
+    val authLen = bearer.map(t => s"Bearer $t".length).getOrElse(0)
+    val t0 = System.nanoTime()
+    def ms = (System.nanoTime() - t0) / 1000000L
+    val resp =
+      try send
+      catch {
+        case e: Throwable =>
+          if (verbosity != "basic")
+            httpLog(HttpLogEntry(method, path, -1, ms, hasAuth, authLen,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName))))
+          throw e
+      }
+    val err =
+      if (resp.statusCode() >= 400) Option(resp.body()).map { b =>
+        if (b.length > 1000) b.take(1000) + "...(truncated)" else b
+      } else None
+    if (verbosity == "detailed" || (verbosity == "normal" && err.nonEmpty))
+      httpLog(HttpLogEntry(method, path, resp.statusCode(), ms,
+        hasAuth, authLen, err))
+    resp
+  }
   @volatile private var bearer: Option[String] =
     Option(settings.auth.token).filter(_.nonEmpty)
   private val tableCache = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -223,7 +267,8 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
     val req = HttpRequest.newBuilder(URI.create(s"${settings.uri}/v1/oauth/tokens"))
       .header("Content-Type", "application/x-www-form-urlencoded")
       .POST(HttpRequest.BodyPublishers.ofString(form)).build()
-    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    val resp = logged("POST", "/v1/oauth/tokens")(
+      http.send(req, HttpResponse.BodyHandlers.ofString()))
     if (resp.statusCode() != 200)
       throw new PermanentException(
         s"authentication failed: token endpoint returned ${resp.statusCode()}", null)
@@ -245,7 +290,8 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
       case Some(s) => b.method(method, HttpRequest.BodyPublishers.ofString(s, StandardCharsets.UTF_8))
       case None => b.method(method, HttpRequest.BodyPublishers.noBody())
     }).build()
-    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    val resp = logged(method, pathAndQuery)(
+      http.send(req, HttpResponse.BodyHandlers.ofString()))
     resp.statusCode() match {
       case ok if ok >= 200 && ok < 300 =>
         Some(if (resp.body() == null || resp.body().isEmpty) JNothing

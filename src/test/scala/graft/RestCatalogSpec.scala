@@ -82,6 +82,52 @@ class RestCatalogSpec extends SparkSpec {
     }
   }
 
+  /** r16: the reference's loggingTransport (internal/iceberg/http.go)
+    * — verbosity-gated catalog round-trip observability. The invariant
+    * that matters: the token value NEVER appears in a log entry, only
+    * its presence and header length. */
+  test("http request log: detailed sees every call, normal only errors, token never leaks") {
+    withCatalog { (fake, _) =>
+      fake.validToken = "sekrit-token-value"
+      val entries = scala.collection.mutable.ArrayBuffer
+        .empty[RestCatalogClient.HttpLogEntry]
+      val client = new RestCatalogClient(Settings(fake.uri,
+        auth = CatalogAuth(token = "sekrit-token-value"), retry = fastRetry),
+        verbosity = "detailed", httpLog = entries += _)
+      client.ensureNamespace("nslog")
+      assert(client.listNamespaces().contains("nslog"))
+      assert(entries.nonEmpty, "detailed verbosity must record every call")
+      // 404 existence probes are part of the ensure-verbs' normal flow
+      assert(entries.forall(e => e.status < 400 || e.status == 404))
+      val authed = entries.filter(_.hasAuthorization)
+      assert(authed.nonEmpty)
+      assert(authed.forall(_.authorizationLength ==
+        "Bearer sekrit-token-value".length))
+      // the token value must not leak into any recorded string
+      entries.foreach(e => assert(!e.toString.contains("sekrit"),
+        s"token leaked: $e"))
+
+      // normal verbosity: successful calls are silent, errors recorded
+      val errs = scala.collection.mutable.ArrayBuffer
+        .empty[RestCatalogClient.HttpLogEntry]
+      val bad = new RestCatalogClient(Settings(fake.uri,
+        auth = CatalogAuth(token = "wrong"), retry = fastRetry),
+        verbosity = "normal", httpLog = errs += _)
+      intercept[Exception](bad.listNamespaces())
+      assert(errs.nonEmpty && errs.forall(_.status >= 400),
+        s"normal verbosity must record only error responses: $errs")
+
+      // basic verbosity: nothing recorded, even on errors
+      val none = scala.collection.mutable.ArrayBuffer
+        .empty[RestCatalogClient.HttpLogEntry]
+      val silent = new RestCatalogClient(Settings(fake.uri,
+        auth = CatalogAuth(token = "wrong"), retry = fastRetry),
+        verbosity = "basic", httpLog = none += _)
+      intercept[Exception](silent.listNamespaces())
+      assert(none.isEmpty)
+    }
+  }
+
   test("static bearer token path works without the oauth endpoint") {
     withCatalog { (fake, _) =>
       fake.validToken = "static-tok"
