@@ -186,6 +186,8 @@ object SparkEntry {
       (graft.catalog.IcebergSqlDemo.timeTravelQuery _),
     "sink_iceberg_point" ->
       (graft.catalog.IcebergSqlDemo.pointQuery _),
+    "sink_iceberg_ndv" ->
+      (graft.catalog.IcebergSqlDemo.ndvQuery _),
     // the over-threshold (co-partitioned, no-rank-broadcast) arm under
     // the same oracle as q_pagerank: both arms must compute the
     // identical integer-micro fixpoint at any gate setting
@@ -3723,6 +3725,14 @@ object SparkEntry {
         | value
         |FROM events
         |WHERE event_id = (SELECT max(event_id) FROM events)""".stripMargin,
+    // the sidecar NDV sketch in its exact mode (event_type cardinality
+    // far below k: the blob IS the distinct set) — metadata-only read
+    // must equal the independent engine's count(DISTINCT)
+    "sink_iceberg_ndv" ->
+      """SELECT 'event_type' AS "column",
+        | CAST(count(DISTINCT event_type) AS BIGINT) AS ndv,
+        | TRUE AS exact
+        |FROM events""".stripMargin,
     // the pre-delete snapshot sees EVERY raw row — snapshot isolation
     // proven against the independent engine
     "sink_iceberg_timetravel" ->

@@ -73,18 +73,47 @@ object IcebergSqlDemo {
     * pruned scan → MOR delete application end to end against the
     * independent engine (and the needle coexisting with the chain's
     * deleted min-id row proves bloom pruning composes with deletes). */
+  /** Blob types already present in the CURRENT snapshot's statistics
+    * sidecar — the idempotence guard for the ensure-index verbs (an
+    * "any statistics entry exists" check would let whichever index ran
+    * first silently suppress the other). */
+  private def sidecarBlobTypes(spark: SparkSession, loc: String): Set[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = IcebergTableReader.metadata(spark, loc)
+    meta.currentSnapshotId.toSeq
+      .flatMap(id => meta.statistics.filter(_.snapshotId == id))
+      .flatMap(sf => Puffin.readFooter(conf, sf.path)._1.map(_.blobType))
+      .toSet
+  }
+
   def pointQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val loc = ensureChain(spark, sfDir)
-    val meta = IcebergTableReader.metadata(spark, loc)
-    if (!meta.currentSnapshotId.exists(id =>
-        meta.statistics.exists(_.snapshotId == id)))
+    if (!sidecarBlobTypes(spark, loc)("graft-bloom-v1"))
       IcebergMaintenance.writeBloomIndex(spark, loc, "event_id")
     val needle = Tables.events(spark, sfDir)
       .agg(max(col("event_id"))).head.getLong(0)
     IcebergTableReader.readPoint(spark, loc, "event_id", needle)
       .select($"event_id", $"event_type",
         $"user_id".cast("long").as("user_id"), $"value")
+  }
+
+  /** `sink_iceberg_ndv`: the statistics-sidecar NDV path under the
+    * oracle gate. `event_type`'s cardinality sits far below the KMV's
+    * k, so the sketch is in its EXACT mode (the blob is the distinct
+    * set) and DuckDB's `count(DISTINCT event_type)` must hash-match —
+    * proving sketch build → sidecar append → metadata-only read
+    * end-to-end against the independent engine. (The over-k estimate
+    * mode is deliberately NOT oracle-gated: xxhash64 is Spark's; its
+    * tolerance bound lives in IcebergPointBloomSpec.) */
+  def ndvQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val loc = ensureChain(spark, sfDir)
+    if (!sidecarBlobTypes(spark, loc)("graft-kmv-ndv-v1"))
+      IcebergMaintenance.writeNdvIndex(spark, loc, Seq("event_type"))
+    IcebergTableReader.ndvFromStats(spark, loc)
+      .filter($"column" === "event_type")
+      .select($"column", $"ndv", $"exact")
   }
 
   /** `sink_iceberg_timetravel`: the SAME aggregate at the PRE-delete
