@@ -98,8 +98,25 @@ object IcebergTvf {
         SparkSession.active, path, column, value))
     })
 
+  /** `graft_iceberg_ndv('/path'[, snapshotId])` — column cardinalities
+    * from the snapshot's statistics sidecar, metadata-only
+    * ([[IcebergTableReader.ndvFromStats]]): the CBO's join-cardinality
+    * lookup as a plain-SQL table. */
+  val ndvDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_iceberg_ndv"),
+    new ExpressionInfo(getClass.getName, "graft_iceberg_ndv"),
+    (args: Seq[Expression]) => {
+      require(args.size == 1 || args.size == 2,
+        s"graft_iceberg_ndv(path[, snapshotId]) takes 1 or 2 arguments, " +
+          s"got ${args.size}")
+      val path = strArg("graft_iceberg_ndv", args, 0)
+      val snap = longArg("graft_iceberg_ndv", args, 1)
+      analyzed(IcebergTableReader.ndvFromStats(SparkSession.active, path, snap))
+    })
+
   val all = Seq(readDescriptor, filesDescriptor, snapshotsDescriptor,
-    pointDescriptor)
+    pointDescriptor, ndvDescriptor)
 
   /** Post-construction registration for driver-owned sessions (the
     * [[graft.functions.GraftFunctions.register]] path). */

@@ -144,6 +144,14 @@ class IcebergPointBloomSpec extends SparkSpec {
     val (kept, _, _) = IcebergTableReader.pointFiles(spark, loc, "id", 7L)
     assert(kept.size < paths.size, "bloom pruning lost after ndv append")
 
+    // the SQL surface sees the same cardinalities
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT ndv, exact FROM graft_iceberg_ndv('$loc') " +
+        "WHERE column = 'grp'").collect()
+    assert(viaSql.length === 1 && viaSql(0).getLong(0) === 23L &&
+      viaSql(0).getBoolean(1))
+
     // METADATA-ONLY: with every data file gone, NDV still answers
     Files.move(Paths.get(dataDir), Paths.get(s"$base/data_moved"))
     val ndv2 = IcebergTableReader.ndvFromStats(spark, loc).collect()
