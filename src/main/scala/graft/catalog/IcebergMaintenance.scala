@@ -710,10 +710,10 @@ object IcebergMaintenance {
       }
     val path = s"$tableDir/metadata/$snapId-stats-" +
       s"${java.util.UUID.randomUUID()}.puffin"
-    val size = Puffin.write(conf, path, carried ++ blobs)
+    val written = Puffin.write(conf, path, carried ++ blobs)
     IcebergTableMetadata.commit(conf, tableDir, meta.schemaJson, None, None,
       addStatistics = Seq(IcebergTableMetadata.StatisticsFile(
-        snapId, path, size)))
+        snapId, path, written.fileSize, written.footerSize, written.blobs)))
     path
   }
 
@@ -752,7 +752,12 @@ object IcebergMaintenance {
           org.apache.spark.sql.types.TimestampType)
         unix_micros(col(column))
       else col(column).cast("long")
+    // null keys can never match a long-equality point lookup, so
+    // dropping them is exact — and without the filter a null (or
+    // non-castable) value would NPE the (String, Long) encoder at
+    // build time (writeNdvIndex has the same guard).
     val blooms = scan
+      .where(col(column).isNotNull)
       .select(input_file_name().as("f"), key.as("v"))
       .as[(String, Long)]
       .groupByKey(_._1)
@@ -791,16 +796,20 @@ object IcebergMaintenance {
     * break interop readers, so the custom name states the truth.
     *
     * NDV is computed over the LIVE table (merge-on-read applied), so
-    * it is the snapshot's answer, not the raw files'. Scale shape: per
-    * column one distinct-shuffle of 8-byte hashes + a TakeOrdered(k) —
-    * bounded output (k longs) regardless of table size; planners then
-    * read NDV from metadata alone ([[IcebergTableReader.ndvFromStats]]),
-    * never rescanning 100 TB to re-derive join cardinalities. */
+    * it is the snapshot's answer, not the raw files'. Scale shape: KMV
+    * is mergeable by construction, so the build is ONE map-side pass
+    * with [[graft.functions.BottomKDistinct]] — each partition keeps a
+    * bounded ≤k-long buffer and only those longs reach the single
+    * merge (no distinct shuffle of billions of hashes to take the 4096
+    * smallest); planners then read NDV from metadata alone
+    * ([[IcebergTableReader.ndvFromStats]]), never rescanning 100 TB to
+    * re-derive join cardinalities. */
   def writeNdvIndex(spark: SparkSession, tableDir: String,
                     columns: Seq[String], k: Int = 4096): String = {
     require(columns.nonEmpty, "writeNdvIndex needs at least one column")
     require(k >= 16, s"k=$k too small for a meaningful estimate")
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val meta = tableMeta(spark, tableDir)
     val snapId = meta.currentSnapshotId.getOrElse(
       throw new IllegalArgumentException(
@@ -808,9 +817,12 @@ object IcebergMaintenance {
     val live = IcebergTableReader.read(spark, tableDir)
     val blobs = columns.map { c =>
       val fid = IcebergTableReader.fieldId(meta, c)
-      val hashes = live.select(xxhash64(col(c)).as("h"))
-        .where(col(c).isNotNull)
-        .distinct().orderBy($"h").limit(k)
+      // bit-identical to distinct().orderBy(h).limit(k): the aggregate
+      // keeps the k smallest distinct signed hashes, already sorted
+      val hashes = live.where(col(c).isNotNull)
+        .agg(call_function("bottomk_distinct",
+          xxhash64(col(c)), lit(k)).as("ks"))
+        .select(explode($"ks").as("h"))
         .as[Long].collect()
       val bos = new java.io.ByteArrayOutputStream()
       val out = new java.io.DataOutputStream(bos)

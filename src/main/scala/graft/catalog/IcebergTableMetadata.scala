@@ -70,11 +70,16 @@ object IcebergTableMetadata {
   final case class SnapshotRef(snapshotId: Long, refType: String)
 
   /** One entry of the spec's `statistics` list: a Puffin sidecar
-    * ([[Puffin]]) carrying index/sketch blobs for `snapshotId`.
-    * Blob-level metadata lives in the sidecar's own footer; table
-    * metadata records only the pointer, per the spec's shape. */
+    * ([[Puffin]]) carrying index/sketch blobs for `snapshotId`. The
+    * spec requires the REAL footer size (readers seek
+    * `file-size − footer-size` without probing) and the per-blob
+    * directory replicated as `blob-metadata` (planners decide
+    * whether a sidecar is relevant from table metadata alone, before
+    * opening it) — both come straight from [[Puffin.Written]]. */
   final case class StatisticsFile(snapshotId: Long, path: String,
-                                  fileSizeInBytes: Long)
+                                  fileSizeInBytes: Long,
+                                  footerSizeInBytes: Long = 0L,
+                                  blobMetadata: Seq[Puffin.BlobMeta] = Nil)
 
   final case class TableMetadata(
       version: Int, tableUuid: String, location: String,
@@ -231,7 +236,35 @@ object IcebergTableMetadata {
                   .collect { case JString(sp) => sp }
               } yield StatisticsFile(sid, p,
                 (s \ "file-size-in-bytes").toOption
-                  .collect { case JInt(n) => n.toLong }.getOrElse(0L))
+                  .collect { case JInt(n) => n.toLong }.getOrElse(0L),
+                (s \ "file-footer-size-in-bytes").toOption
+                  .collect { case JInt(n) => n.toLong }.getOrElse(0L),
+                (s \ "blob-metadata").toOption.toSeq.flatMap {
+                  case JArray(bs) => bs.map { b =>
+                    // offset/length live in the sidecar's own footer,
+                    // not in table metadata — 0 here by design.
+                    Puffin.BlobMeta(
+                      blobType = (b \ "type").toOption
+                        .collect { case JString(t) => t }.getOrElse(""),
+                      fields = (b \ "fields").toOption.toSeq.flatMap {
+                        case JArray(ids) =>
+                          ids.collect { case JInt(n) => n.toInt }
+                        case _ => Nil
+                      },
+                      snapshotId = (b \ "snapshot-id").toOption
+                        .collect { case JInt(n) => n.toLong }.getOrElse(0L),
+                      sequenceNumber = (b \ "sequence-number").toOption
+                        .collect { case JInt(n) => n.toLong }.getOrElse(0L),
+                      offset = 0L, length = 0L,
+                      properties = (b \ "properties") match {
+                        case JObject(fs0) => fs0.collect {
+                          case (k, JString(v)) => k -> v
+                        }.toMap
+                        case _ => Map.empty
+                      })
+                  }
+                  case _ => Nil
+                })
             }
             case _ => Nil
           }))
@@ -419,8 +452,15 @@ object IcebergTableMetadata {
         "snapshot-id" -> JInt(BigInt(s.snapshotId)),
         "statistics-path" -> JString(s.path),
         "file-size-in-bytes" -> JInt(BigInt(s.fileSizeInBytes)),
-        "file-footer-size-in-bytes" -> JInt(0),
-        "blob-metadata" -> JArray(Nil)): JValue).toList),
+        "file-footer-size-in-bytes" -> JInt(BigInt(s.footerSizeInBytes)),
+        "blob-metadata" -> JArray(s.blobMetadata.map(b => JObject(
+          "type" -> JString(b.blobType),
+          "snapshot-id" -> JInt(BigInt(b.snapshotId)),
+          "sequence-number" -> JInt(BigInt(b.sequenceNumber)),
+          "fields" -> JArray(b.fields.map(f => JInt(f): JValue).toList),
+          "properties" -> JObject(b.properties.toList.sortBy(_._1)
+            .map { case (k, v) => k -> (JString(v): JValue) })): JValue)
+          .toList)): JValue).toList),
       "snapshots" -> JArray(snapshots.map(snapJson).toList),
       "snapshot-log" -> JArray(snapshots.map(s => JObject(
         "timestamp-ms" -> JInt(BigInt(s.timestampMs)),

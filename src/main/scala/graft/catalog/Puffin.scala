@@ -46,10 +46,22 @@ object Puffin {
 
   private val Magic = Array[Byte]('P', 'F', 'A', '1')
 
-  /** Write a Puffin file; returns its total size in bytes (what table
-    * metadata records as `file-size-in-bytes`). */
+  /** What [[write]] produced, in the shape table metadata's
+    * `statistics` entry needs: total file size
+    * (`file-size-in-bytes`), footer size (`file-footer-size-in-bytes`
+    * — footer magic + payload + the 12-byte payload-size/flags/magic
+    * tail, per the spec), and the per-blob directory
+    * (`blob-metadata`). A conforming external reader (Trino,
+    * Spark-Iceberg) seeks `fileSize - footerSize` and lists blobs from
+    * metadata alone, so both must be real — a 0-byte footer size or an
+    * empty blob list breaks exactly the interop the sidecar exists
+    * for. */
+  final case class Written(fileSize: Long, footerSize: Long,
+                           blobs: Seq[BlobMeta])
+
+  /** Write a Puffin file; returns sizes + blob directory ([[Written]]). */
   def write(conf: Configuration, path: String, blobs: Seq[Blob],
-            properties: Map[String, String] = Map.empty): Long = {
+            properties: Map[String, String] = Map.empty): Written = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val out = fs.create(p, true)
@@ -71,7 +83,8 @@ object Puffin {
         .putInt(payload.length).array())
       out.write(Array[Byte](0, 0, 0, 0)) // flags: footer uncompressed
       out.write(Magic)
-      offset + Magic.length + payload.length + 12
+      val footerSize = Magic.length.toLong + payload.length + 12
+      Written(offset + footerSize, footerSize, metas)
     } finally out.close()
   }
 

@@ -96,6 +96,14 @@ object GraftFunctions {
       children(1).eval(null).asInstanceOf[Number].intValue)
       .toAggregateExpression())
 
+  val bottomKDistinctDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bottomk_distinct"),
+    new ExpressionInfo(classOf[BottomKDistinct].getName, "bottomk_distinct"),
+    (children: Seq[Expression]) => BottomKDistinct(
+      children(0),
+      children(1).eval(null).asInstanceOf[Number].intValue)
+      .toAggregateExpression())
+
   val topKDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("top_k_structs"),
     new ExpressionInfo(classOf[TopKStructs].getName, "top_k_structs"),
@@ -149,7 +157,8 @@ object GraftFunctions {
       .toAggregateExpression())
 
   def register(spark: SparkSession): Unit = {
-    Seq(cosineSimDescriptor, bottomKDescriptor, topKDescriptor,
+    Seq(cosineSimDescriptor, bottomKDescriptor, bottomKDistinctDescriptor,
+        topKDescriptor,
         frequentItemsDescriptor, hilbertDescriptor, bagBoundDescriptor,
         sortedIntersectDescriptor, ddsketchDescriptor).foreach {
       case (id, info, builder) =>

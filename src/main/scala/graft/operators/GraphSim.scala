@@ -38,7 +38,13 @@ object GraphSim {
     * expansion is quadratic on the hottest vertex. The default (1024)
     * is far above any TPC-H part degree (≈4), so the oracle stays
     * exact on the fixture (GraphSimCapSpec proves cap-on ≡ cap-off
-    * there); pass None for the exact-everywhere form. */
+    * there); pass None for the exact-everywhere form.
+    *
+    * API NOTE (intentional behavior change): the default flipped from
+    * exact (`None`) to capped (`Some(1024)`) — on graphs with a vertex
+    * degree above 1024 the default result is now approximate (hot
+    * vertices dropped); callers needing exactness at any degree must
+    * opt in with `maxPartDegree = None`. */
   def jaccardNeighbors(spark: SparkSession, sfDir: String, topK: Int = 20,
                        maxPartDegree: Option[Int] = Some(1024)): DataFrame = {
     import spark.implicits._

@@ -88,11 +88,18 @@ object StreamingRollup {
         merged.write.mode("overwrite").parquet(tmp.toString)
         // Atomic-enough swap: two single renames (atomic per rename on
         // HDFS/posix), with the old snapshot parked at bak — never
-        // deleted before the new one is in place.
+        // deleted before the new one is in place. Each rename's
+        // boolean result is CHECKED: a silent false (e.g. a store
+        // that refuses the rename) must fail the batch, not fall
+        // through to deleting bak while dst is absent — that would
+        // open exactly the both-missing window the recovery above
+        // assumes cannot exist.
         if (fs.exists(bak)) fs.delete(bak, true)
-        if (fs.exists(dst)) fs.rename(dst, bak)
-        fs.rename(tmp, dst)
-        fs.delete(bak, true)
+        if (fs.exists(dst)) require(fs.rename(dst, bak),
+          s"rollup publish: rename($dst -> $bak) failed")
+        require(fs.rename(tmp, dst),
+          s"rollup publish: rename($tmp -> $dst) failed")
+        if (fs.exists(dst)) fs.delete(bak, true)
         spark.catalog.refreshByPath(snapshotPath)
         ()
       }

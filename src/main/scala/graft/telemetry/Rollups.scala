@@ -128,11 +128,17 @@ object Rollups {
       if (Files.isRegularFile(p))
         Seq(s"${p.getFileName}:${Files.size(p)}:" +
           s"${Files.getLastModifiedTime(p).toMillis}")
-      else Files.list(p).toArray.map(_.asInstanceOf[java.nio.file.Path])
-        .filter(_.toString.endsWith(".parquet"))
-        .map(f => s"${f.getFileName}:${Files.size(f)}:" +
-          s"${Files.getLastModifiedTime(f).toMillis}")
-        .toSeq.sorted
+      else {
+        // Files.list holds a directory handle until closed — leak one
+        // per call otherwise
+        val s = Files.list(p)
+        try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.toString.endsWith(".parquet"))
+          .map(f => s"${f.getFileName}:${Files.size(f)}:" +
+            s"${Files.getLastModifiedTime(f).toMillis}")
+          .toSeq.sorted
+        finally s.close()
+      }
     java.security.MessageDigest.getInstance("MD5")
       .digest(entries.mkString("\n").getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString

@@ -57,6 +57,24 @@ class IcebergPointBloomSpec extends SparkSpec {
       spark.sparkContext.hadoopConfiguration, sidecarPath)
     assert(blobs.size === nF)
     assert(blobs.forall(_.blobType === "graft-bloom-v1"))
+    // spec-conformance of the statistics entry (r12 ADVICE): the
+    // footer size must be REAL — a conforming external reader seeks
+    // fileSize − footerSize and expects the footer's opening magic
+    // there — and blob-metadata must replicate the blob directory so
+    // planners can assess relevance from table metadata alone
+    val st = meta.statistics.head
+    assert(st.fileSizeInBytes === Files.size(Paths.get(sidecarPath)))
+    assert(st.footerSizeInBytes > 0)
+    val in = Files.newInputStream(Paths.get(sidecarPath))
+    try {
+      in.skip(st.fileSizeInBytes - st.footerSizeInBytes)
+      val m = new Array[Byte](4)
+      assert(in.read(m) === 4 && new String(m, "US-ASCII") === "PFA1",
+        "fileSize − footerSize must land on the footer's opening magic")
+    } finally in.close()
+    assert(st.blobMetadata.map(b => (b.blobType, b.fields, b.properties))
+      === blobs.map(b => (b.blobType, b.fields, b.properties)),
+      "metadata blob directory must mirror the sidecar footer")
 
     val full = IcebergTableReader.read(spark, loc)
     val needles = Seq(0L, 7L, 123L, 999L, 2048L, 3999L)
@@ -143,6 +161,26 @@ class IcebergPointBloomSpec extends SparkSpec {
     // blooms survived the append: the needle read still prunes
     val (kept, _, _) = IcebergTableReader.pointFiles(spark, loc, "id", 7L)
     assert(kept.size < paths.size, "bloom pruning lost after ndv append")
+
+    // the mergeable BottomKDistinct build (r12) must be BIT-IDENTICAL
+    // to the legacy distinct().orderBy(h).limit(k) shuffle it replaced
+    val sidecar = meta.statistics.head.path
+    val (allBlobs, _) = Puffin.readFooter(
+      spark.sparkContext.hadoopConfiguration, sidecar)
+    val idBlob = allBlobs.find(b => b.blobType === "graft-kmv-ndv-v1" &&
+      b.properties("ndv_col") === "id").get
+    val got = {
+      val bytes = Puffin.readBlob(
+        spark.sparkContext.hadoopConfiguration, sidecar, idBlob)
+      val in2 = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val n = in2.readLong().toInt
+      (0 until n).map(_ => in2.readLong())
+    }
+    val want = spark.read.parquet(dataDir)
+      .select(xxhash64($"id").as("h")).where($"id".isNotNull)
+      .distinct().orderBy($"h").limit(512).as[Long].collect().toSeq
+    assert(got === want, "KMV blob differs from the legacy build")
 
     // the SQL surface sees the same cardinalities
     graft.functions.GraftFunctions.register(spark)
