@@ -81,6 +81,69 @@ object IcebergTableMetadata {
                                   footerSizeInBytes: Long = 0L,
                                   blobMetadata: Seq[Puffin.BlobMeta] = Nil)
 
+  /** Spec JSON for one `statistics` entry — shared by the stand-alone
+    * chain writer ([[commit]]) and the REST catalog's `set-statistics`
+    * update ([[RestCatalogClient.setStatistics]]), so both registries
+    * carry the identical spec shape. */
+  def statisticsJson(s: StatisticsFile): JValue = JObject(
+    "snapshot-id" -> JInt(BigInt(s.snapshotId)),
+    "statistics-path" -> JString(s.path),
+    "file-size-in-bytes" -> JInt(BigInt(s.fileSizeInBytes)),
+    "file-footer-size-in-bytes" -> JInt(BigInt(s.footerSizeInBytes)),
+    "blob-metadata" -> JArray(s.blobMetadata.map(b => JObject(
+      "type" -> JString(b.blobType),
+      "snapshot-id" -> JInt(BigInt(b.snapshotId)),
+      "sequence-number" -> JInt(BigInt(b.sequenceNumber)),
+      "fields" -> JArray(b.fields.map(f => JInt(f): JValue).toList),
+      "properties" -> JObject(b.properties.toList.sortBy(_._1)
+        .map { case (k, v) => k -> (JString(v): JValue) })): JValue)
+      .toList))
+
+  /** Parse a metadata-level `statistics` array (inverse of
+    * [[statisticsJson]], tolerant of foreign writers' extra fields).
+    * Blob offset/length live in the sidecar's own footer, not table
+    * metadata — 0 here by design. */
+  def parseStatistics(statsJson: JValue): Seq[StatisticsFile] =
+    statsJson.toOption.toSeq.flatMap {
+      case JArray(ss) => ss.flatMap { s =>
+        for {
+          sid <- (s \ "snapshot-id").toOption
+            .collect { case JInt(n) => n.toLong }
+          p <- (s \ "statistics-path").toOption
+            .collect { case JString(sp) => sp }
+        } yield StatisticsFile(sid, p,
+          (s \ "file-size-in-bytes").toOption
+            .collect { case JInt(n) => n.toLong }.getOrElse(0L),
+          (s \ "file-footer-size-in-bytes").toOption
+            .collect { case JInt(n) => n.toLong }.getOrElse(0L),
+          (s \ "blob-metadata").toOption.toSeq.flatMap {
+            case JArray(bs) => bs.map { b =>
+              Puffin.BlobMeta(
+                blobType = (b \ "type").toOption
+                  .collect { case JString(t) => t }.getOrElse(""),
+                fields = (b \ "fields").toOption.toSeq.flatMap {
+                  case JArray(ids) =>
+                    ids.collect { case JInt(n) => n.toInt }
+                  case _ => Nil
+                },
+                snapshotId = (b \ "snapshot-id").toOption
+                  .collect { case JInt(n) => n.toLong }.getOrElse(0L),
+                sequenceNumber = (b \ "sequence-number").toOption
+                  .collect { case JInt(n) => n.toLong }.getOrElse(0L),
+                offset = 0L, length = 0L,
+                properties = (b \ "properties") match {
+                  case JObject(fs0) => fs0.collect {
+                    case (k, JString(v)) => k -> v
+                  }.toMap
+                  case _ => Map.empty
+                })
+            }
+            case _ => Nil
+          })
+      }
+      case _ => Nil
+    }
+
   final case class TableMetadata(
       version: Int, tableUuid: String, location: String,
       lastSequenceNumber: Long, lastUpdatedMs: Long,
@@ -227,47 +290,7 @@ object IcebergTableMetadata {
           schemasJson = (j \ "schemas").toOption.collect {
             case JArray(ss) => ss
           }.orElse((j \ "schema").toOption.map(List(_))).getOrElse(Nil),
-          statistics = (j \ "statistics").toOption.toSeq.flatMap {
-            case JArray(ss) => ss.flatMap { s =>
-              for {
-                sid <- (s \ "snapshot-id").toOption
-                  .collect { case JInt(n) => n.toLong }
-                p <- (s \ "statistics-path").toOption
-                  .collect { case JString(sp) => sp }
-              } yield StatisticsFile(sid, p,
-                (s \ "file-size-in-bytes").toOption
-                  .collect { case JInt(n) => n.toLong }.getOrElse(0L),
-                (s \ "file-footer-size-in-bytes").toOption
-                  .collect { case JInt(n) => n.toLong }.getOrElse(0L),
-                (s \ "blob-metadata").toOption.toSeq.flatMap {
-                  case JArray(bs) => bs.map { b =>
-                    // offset/length live in the sidecar's own footer,
-                    // not in table metadata — 0 here by design.
-                    Puffin.BlobMeta(
-                      blobType = (b \ "type").toOption
-                        .collect { case JString(t) => t }.getOrElse(""),
-                      fields = (b \ "fields").toOption.toSeq.flatMap {
-                        case JArray(ids) =>
-                          ids.collect { case JInt(n) => n.toInt }
-                        case _ => Nil
-                      },
-                      snapshotId = (b \ "snapshot-id").toOption
-                        .collect { case JInt(n) => n.toLong }.getOrElse(0L),
-                      sequenceNumber = (b \ "sequence-number").toOption
-                        .collect { case JInt(n) => n.toLong }.getOrElse(0L),
-                      offset = 0L, length = 0L,
-                      properties = (b \ "properties") match {
-                        case JObject(fs0) => fs0.collect {
-                          case (k, JString(v)) => k -> v
-                        }.toMap
-                        case _ => Map.empty
-                      })
-                  }
-                  case _ => Nil
-                })
-            }
-            case _ => Nil
-          }))
+          statistics = parseStatistics(j \ "statistics")))
       }
     }
   }
@@ -325,7 +348,8 @@ object IcebergTableMetadata {
              retain: SnapshotMeta => Boolean = _ => true,
              branch: String = "main",
              updateRefs: Map[String, Option[SnapshotRef]] = Map.empty,
-             addStatistics: Seq[StatisticsFile] = Nil): Int = {
+             addStatistics: Seq[StatisticsFile] = Nil,
+             dropStatistics: Set[Long] = Set.empty): Int = {
     val prev = load(conf, location)
     val version = prev.map(_.version).getOrElse(0) + 1
     val uuid = prev.map(_.tableUuid).filter(_.nonEmpty)
@@ -387,6 +411,7 @@ object IcebergTableMetadata {
     val statsFinal = (prev.map(_.statistics).getOrElse(Nil)
       .filterNot(s => addStatistics.exists(_.snapshotId == s.snapshotId))
       ++ addStatistics)
+      .filterNot(s => dropStatistics.contains(s.snapshotId))
       .filter(s => snapshots.exists(_.snapshotId == s.snapshotId))
     val lastSeq = math.max(prev.map(_.lastSequenceNumber).getOrElse(0L),
       snapshot.map(_.sequenceNumber).getOrElse(0L))
@@ -448,19 +473,7 @@ object IcebergTableMetadata {
           "snapshot-id" -> JInt(BigInt(r.snapshotId)),
           "type" -> JString(r.refType)): JValue)
       }),
-      "statistics" -> JArray(statsFinal.map(s => JObject(
-        "snapshot-id" -> JInt(BigInt(s.snapshotId)),
-        "statistics-path" -> JString(s.path),
-        "file-size-in-bytes" -> JInt(BigInt(s.fileSizeInBytes)),
-        "file-footer-size-in-bytes" -> JInt(BigInt(s.footerSizeInBytes)),
-        "blob-metadata" -> JArray(s.blobMetadata.map(b => JObject(
-          "type" -> JString(b.blobType),
-          "snapshot-id" -> JInt(BigInt(b.snapshotId)),
-          "sequence-number" -> JInt(BigInt(b.sequenceNumber)),
-          "fields" -> JArray(b.fields.map(f => JInt(f): JValue).toList),
-          "properties" -> JObject(b.properties.toList.sortBy(_._1)
-            .map { case (k, v) => k -> (JString(v): JValue) })): JValue)
-          .toList)): JValue).toList),
+      "statistics" -> JArray(statsFinal.map(statisticsJson).toList),
       "snapshots" -> JArray(snapshots.map(snapJson).toList),
       "snapshot-log" -> JArray(snapshots.map(s => JObject(
         "timestamp-ms" -> JInt(BigInt(s.timestampMs)),
@@ -472,4 +485,15 @@ object IcebergTableMetadata {
       version.toString.getBytes(StandardCharsets.UTF_8))
     version
   }
+
+  /** Drop the statistics entry for `snapshotId` (the stand-alone-chain
+    * side of the REST `remove-statistics` update). Removing an absent
+    * entry — or from a chain-less location — is a no-op, per spec. */
+  def removeStatistics(conf: Configuration, location: String,
+                       snapshotId: Long): Unit =
+    load(conf, location).foreach { m =>
+      if (m.statistics.exists(_.snapshotId == snapshotId))
+        commit(conf, location, m.schemaJson, None, None,
+          dropStatistics = Set(snapshotId))
+    }
 }

@@ -92,7 +92,8 @@ object RestCatalogClient {
                        lastSequenceNumber: Long, manifestLists: Seq[String],
                        schemaJson: String = "{}",
                        defaultSpec: Option[JValue] = None,
-                       snapshots: Seq[(Long, String)] = Nil)
+                       snapshots: Seq[(Long, String)] = Nil,
+                       statistics: Seq[IcebergTableMetadata.StatisticsFile] = Nil)
 
   /** Top-level field id of `column` in an Iceberg schema JSON — the
     * key manifest bounds maps use. */
@@ -393,7 +394,8 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
               (s \ "spec-id").toOption.contains(JInt(id))))
             .orElse(ss.lastOption)
         }.flatten
-      })
+      },
+      statistics = IcebergTableMetadata.parseStatistics(md \ "statistics"))
   }
 
   def loadTable(namespace: String, table: String): Option[TableInfo] =
@@ -574,6 +576,73 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
         IcebergTableMetadata.commit(hadoopConf, ti.location,
           ti.schemaJson, ti.defaultSpec, None)
       }
+      ()
+    }
+
+  /** STATISTICS registration (Iceberg REST `set-statistics` table
+    * update): publish a Puffin sidecar's entry — built by
+    * [[IcebergMaintenance.writeBloomIndex]]/`writeNdvIndex` on the
+    * table location — to the CATALOG, so catalog-first readers (the
+    * reference's actual deployment shape, `internal/iceberg/
+    * catalog_rest.go:39-470`) resolve the point-lookup and NDV indexes
+    * without touching the stand-alone metadata chain. Set-statistics
+    * REPLACES any prior entry for the same snapshot (spec semantics —
+    * matching [[IcebergTableMetadata.commit]]'s `addStatistics`).
+    *
+    * The commit rides the same optimistic loop as appends: an
+    * `assert-ref-snapshot-id` requirement pins the branch head, a
+    * concurrent commit 409s → retry reloads and replays. Replay is
+    * idempotent (same entry, replace-by-snapshot-id). After the
+    * catalog accepts, the entry is mirrored into the stand-alone
+    * chain (best-effort, like [[appendDataFiles]]) so cold readers
+    * stay equivalent. */
+  def setStatistics(namespace: String, table: String,
+                    stats: IcebergTableMetadata.StatisticsFile): Unit =
+    Delivery.retry(settings.retry) {
+      val info = loadTableOnce(namespace, table).getOrElse(
+        throw new PermanentException(
+          s"validation failed: table $namespace.$table does not exist", null))
+      val body = compact(render(JObject(
+        "identifier" -> JObject(
+          "namespace" -> JArray(List(JString(namespace))),
+          "name" -> JString(table)),
+        "requirements" -> JArray(List(JObject(
+          "type" -> JString("assert-ref-snapshot-id"),
+          "ref" -> JString("main"),
+          "snapshot-id" -> info.currentSnapshotId
+            .map(v => JInt(BigInt(v)): JValue).getOrElse(JNull)))),
+        "updates" -> JArray(List(
+          JObject("action" -> JString("set-statistics"),
+            "snapshot-id" -> JInt(BigInt(stats.snapshotId)),
+            "statistics" -> IcebergTableMetadata.statisticsJson(stats)))))))
+      call("POST", s"$prefix/namespaces/$namespace/tables/$table", Some(body))
+      IcebergTableMetadata.commit(hadoopConf, info.location,
+        info.schemaJson, info.defaultSpec, None,
+        addStatistics = Seq(stats))
+      ()
+    }
+
+  /** Iceberg REST `remove-statistics`: drop the statistics entry for
+    * `snapshotId` from the catalog (and mirror the removal into the
+    * stand-alone chain). Removing an absent entry is a no-op, per
+    * spec. */
+  def removeStatistics(namespace: String, table: String,
+                       snapshotId: Long): Unit =
+    Delivery.retry(settings.retry) {
+      val info = loadTableOnce(namespace, table).getOrElse(
+        throw new PermanentException(
+          s"validation failed: table $namespace.$table does not exist", null))
+      val body = compact(render(JObject(
+        "identifier" -> JObject(
+          "namespace" -> JArray(List(JString(namespace))),
+          "name" -> JString(table)),
+        "requirements" -> JArray(Nil),
+        "updates" -> JArray(List(
+          JObject("action" -> JString("remove-statistics"),
+            "snapshot-id" -> JInt(BigInt(snapshotId))))))))
+      call("POST", s"$prefix/namespaces/$namespace/tables/$table", Some(body))
+      IcebergTableMetadata.removeStatistics(hadoopConf, info.location,
+        snapshotId)
       ()
     }
 

@@ -22,7 +22,10 @@ import org.json4s.jackson.JsonMethods.parse
                    var schemaJson: JValue = JNothing,
                    var specJson: JValue = JNothing,
                    specs: mutable.ArrayBuffer[JValue] = mutable.ArrayBuffer(),
-                   var defaultSpecId: Int = 0)
+                   var defaultSpecId: Int = 0,
+                   // snapshot-id -> statistics entry (set-statistics
+                   // replaces per snapshot, per the REST spec)
+                   stats: mutable.LinkedHashMap[Long, JValue] = mutable.LinkedHashMap())
     val tables = mutable.LinkedHashMap.empty[(String, String), Tbl]
     val requests = mutable.ArrayBuffer.empty[String]
     @volatile var warehouseDir: String = ""
@@ -109,12 +112,17 @@ import org.json4s.jackson.JsonMethods.parse
                 else s""""default-spec-id":${tbl.defaultSpecId},"partition-specs":[${
                   tbl.specs.map(s => org.json4s.jackson.JsonMethods.compact(
                     org.json4s.jackson.JsonMethods.render(s))).mkString(",")}],"""
+              val statsJson =
+                if (tbl.stats.isEmpty) ""
+                else s""""statistics":[${
+                  tbl.stats.values.map(s => org.json4s.jackson.JsonMethods.compact(
+                    org.json4s.jackson.JsonMethods.render(s))).mkString(",")}],"""
               reply(ex, 200,
                 s"""{"metadata-location":"${tbl.location}/metadata/v1.json",
                    |"metadata":{"table-uuid":"u-$ns-$t","location":"${tbl.location}",
                    |"current-snapshot-id":${tbl.currentId.getOrElse(-1L)},
                    |"last-sequence-number":${tbl.snapshots.size},
-                   |$schemas$specsJson"snapshots":[$snaps]}}""".stripMargin.replace("\n", ""))
+                   |$schemas$specsJson$statsJson"snapshots":[$snaps]}}""".stripMargin.replace("\n", ""))
           }
 
         case ("POST", List("v1", "demo", "namespaces", ns, "tables")) =>
@@ -162,6 +170,11 @@ import org.json4s.jackson.JsonMethods.parse
                   case "set-default-spec" =>
                     val id = (u \ "spec-id").extract[Int]
                     tbl.defaultSpecId = if (id == -1) tbl.specs.size - 1 else id
+                  case "set-statistics" =>
+                    val sid = (u \ "statistics" \ "snapshot-id").extract[Long]
+                    tbl.stats(sid) = u \ "statistics"
+                  case "remove-statistics" =>
+                    tbl.stats.remove((u \ "snapshot-id").extract[Long])
                   case _ => ()
                 }
               }

@@ -240,6 +240,90 @@ class RestCatalogSpec extends SparkSpec {
     }
   }
 
+  /** r12 (VERDICT): Puffin statistics sidecars must ride REST-cataloged
+    * tables — the reference's actual deployment shape — or a cataloged
+    * user loses the point-lookup/NDV levers. Round-trip: build indexes
+    * with [[graft.catalog.IcebergMaintenance]], publish via
+    * `set-statistics`, resolve through a catalog load AND the cold
+    * chain, survive a 409 conflict, then `remove-statistics`. */
+  test("set-statistics round-trip: REST-registered sidecars restore point/ndv pruning; 409-replay safe") {
+    import graft.catalog.{IcebergMaintenance, IcebergTableMetadata, IcebergTableReader}
+    withCatalog { (fake, client) =>
+      import spark.implicits._
+      client.ensureNamespace("otel")
+      val df = (0L until 4000L).map(i => (i, s"p$i")).toDF("id", "payload")
+      client.ensureTable("otel", "tstats", df.schema)
+      val loc = fake.tables(("otel", "tstats")).location
+      val dataDir = java.nio.file.Files
+        .createTempDirectory("graft-rest-stats").toString + "/data"
+      df.repartition(8, org.apache.spark.sql.functions.col("id") % 8)
+        .write.parquet(dataDir)
+      val paths = java.nio.file.Files.list(java.nio.file.Paths.get(dataDir))
+        .toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+        .toSeq.sorted
+      val counts = graft.recovery.Recovery.fileRowCounts(spark, paths)
+      client.appendDataFiles("otel", "tstats", paths.map(p =>
+        DataFile(p, java.nio.file.Files.size(java.nio.file.Paths.get(p)),
+          counts.getOrElse(p, 0L))))
+
+      // build both indexes on the chain, then strip the chain's own
+      // registration — leaving a table whose ONLY statistics record
+      // will be what the REST catalog carries
+      IcebergMaintenance.writeBloomIndex(spark, loc, "id")
+      IcebergMaintenance.writeNdvIndex(spark, loc, Seq("id"), k = 512)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val entry = IcebergTableReader.metadata(spark, loc).statistics.head
+      IcebergTableMetadata.removeStatistics(conf, loc, entry.snapshotId)
+      assert(IcebergTableReader.metadata(spark, loc).statistics.isEmpty)
+      val nF = paths.size
+      val (unpruned, _, _) = IcebergTableReader.pointFiles(spark, loc, "id", 7L)
+      assert(unpruned.size === nF, "without stats every file must be kept")
+
+      // publish via REST under a 409 storm: a "concurrent" writer moves
+      // main between our load and commit (same choreography as the
+      // append-conflict test) — the optimistic loop must replay
+      val tbl = fake.tables(("otel", "tstats"))
+      val realId = tbl.currentId
+      tbl.currentId = Some(424242L)
+      val t2 = new Thread(() => { Thread.sleep(30); tbl.currentId = realId })
+      t2.start()
+      client.setStatistics("otel", "tstats", entry)
+      t2.join()
+
+      // the catalog carries the spec-complete entry...
+      val viaCatalog = client.loadTable("otel", "tstats").get.statistics
+      assert(viaCatalog.map(s => (s.snapshotId, s.path, s.fileSizeInBytes,
+        s.footerSizeInBytes)) === Seq((entry.snapshotId, entry.path,
+        entry.fileSizeInBytes, entry.footerSizeInBytes)))
+      assert(viaCatalog.head.footerSizeInBytes > 0)
+      assert(viaCatalog.head.blobMetadata.map(_.blobType).toSet ===
+        Set("graft-bloom-v1", "graft-kmv-ndv-v1"))
+      // ...and the mirror restored the cold chain: point pruning and
+      // metadata-only NDV both resolve again
+      val (kept, _, _) = IcebergTableReader.pointFiles(spark, loc, "id", 7L)
+      assert(kept.size < nF, "REST-registered bloom did not prune")
+      val got7 = IcebergTableReader.readPoint(spark, loc, "id", 7L).collect()
+      assert(got7.length === 1 && got7(0).getAs[Long]("id") === 7L)
+      val ndv = IcebergTableReader.ndvFromStats(spark, loc).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(math.abs(ndv("id") - 4000L) <= 200L)
+
+      // idempotent replay: setting the same entry again is a replace,
+      // not a duplicate
+      client.setStatistics("otel", "tstats", entry)
+      assert(client.loadTable("otel", "tstats").get.statistics.size === 1)
+
+      // remove-statistics drops it from catalog AND chain; reads fall
+      // back to unpruned but stay exact
+      client.removeStatistics("otel", "tstats", entry.snapshotId)
+      assert(client.loadTable("otel", "tstats").get.statistics.isEmpty)
+      assert(IcebergTableReader.metadata(spark, loc).statistics.isEmpty)
+      val got7b = IcebergTableReader.readPoint(spark, loc, "id", 7L).collect()
+      assert(got7b.length === 1)
+    }
+  }
+
   test("5xx is transient (retried); 403 is permanent (fail fast)") {
     withCatalog { (fake, client) =>
       client.ensureNamespace("otel")
