@@ -48,6 +48,19 @@ object Bench {
     val rounds = 3
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
+    // bestWarm discipline for the heaviest graph/ANN queries (r11
+    // verdict: q_triangle_support showed 3.15× cross-run spread on
+    // identical code — JIT/codegen of their imperative kernels, e.g.
+    // sorted_intersect_count, dominates the first samples): one
+    // untimed run each before any timing round, same treatment the
+    // Iceberg read levers already get.
+    val warmFirst = Set("q_triangle_support", "q_pagerank",
+      "q_pagerank_copart", "sim_nsw_ann", "sim_nsw_persisted")
+    for ((name, fn) <- queryList if warmFirst.contains(name)) {
+      val confs = SparkEntry.queryConfs.getOrElse(name, Map.empty)
+      try SparkEntry.withConfs(spark, confs) { fn(spark, sfDir).count(); () }
+      catch { case _: Throwable => () }
+    }
     val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     val failedSet = scala.collection.mutable.LinkedHashSet[String]()
     for (_ <- 1 to rounds; (name, fn) <- queryList if !failedSet.contains(name)) {
@@ -96,6 +109,10 @@ object Bench {
     val extraSpreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val doSink = only.isEmpty || only("sink_ingest_hourly")
     val sinkTime = if (!doSink) -1.0 else {
+      // one untimed warm-up write (r11 verdict: +25% committed drift
+      // with no code change on this path — committer/page-cache
+      // first-touch noise; the lever had no warm-up discipline)
+      sinkOnce()
       val ss = Seq.fill(rounds)(sinkOnce()).filter(_ >= 0)
       if (ss.isEmpty) -1.0
       else {
