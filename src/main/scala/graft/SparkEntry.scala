@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{AsofJoin, Core, GraphSim, PageRank, RangeJoin, SkewOps, TpchPack, Triangles}
 import graft.telemetry.{Rollups, Telemetry}
-import graft.llm.{AudioOps, Dedup, ImageOps, Multimodal, SimOps, TextOps}
+import graft.llm.{AudioOps, CrossModal, Dedup, ImageOps, Multimodal, SimOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -206,6 +206,9 @@ object SparkEntry {
     "mm_wav_windows"     -> ((s, d) => AudioOps.wavWindows(s, d)),
     "mm_img_ahash_clusters" -> ((s, d) => ImageOps.imgAhashClusters(s, d)),
     "mm_img_downsample"  -> (ImageOps.imgDownsample _),
+    "mm_txt_joint_embed" -> ((s, d) => CrossModal.jointEmbed(s, d)),
+    "mm_txt_joint_pairs" -> ((s, d) => CrossModal.jointPairs(s, d)),
+    "mm_txt_curation"    -> ((s, d) => CrossModal.curationMatrix(s, d)),
     "sim_mrl_rerank"     -> ((s, d) => SimOps.mrlRerank(s, d)),
     "dedup_semantic"     -> ((s, d) => Dedup.semantic(s, d)),
     "dedup_semantic_apply" -> ((s, d) => Dedup.semanticApply(s, d)),
@@ -4054,6 +4057,114 @@ object SparkEntry {
         |SELECT ha, hb, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
         | n_a, n_b, doc_a, doc_b
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
+    "mm_txt_joint_embed" ->
+      """WITH px AS (
+        | SELECT d.doc_id, i.i,
+        |  CASE WHEN i.i < d.doc_id % 3
+        |   THEN (('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT + 128) % 256
+        |   ELSE ('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT
+        |  END AS v
+        | FROM (SELECT doc_id FROM documents) d
+        | CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i),
+        |q AS (
+        | SELECT doc_id,
+        |  CAST(sum(CASE WHEN ((i//8)//4)*2 + (i%8)//4 = 0 THEN v ELSE 0 END) AS BIGINT) AS q0,
+        |  CAST(sum(CASE WHEN ((i//8)//4)*2 + (i%8)//4 = 1 THEN v ELSE 0 END) AS BIGINT) AS q1,
+        |  CAST(sum(CASE WHEN ((i//8)//4)*2 + (i%8)//4 = 2 THEN v ELSE 0 END) AS BIGINT) AS q2,
+        |  CAST(sum(CASE WHEN ((i//8)//4)*2 + (i%8)//4 = 3 THEN v ELSE 0 END) AS BIGINT) AS q3
+        | FROM px GROUP BY 1),
+        |t AS (
+        | SELECT doc_id,
+        |  ('0x'||substr(md5(text),1,2))::BIGINT AS t0,
+        |  ('0x'||substr(md5(text),3,2))::BIGINT AS t1,
+        |  ('0x'||substr(md5(text),5,2))::BIGINT AS t2,
+        |  ('0x'||substr(md5(text),7,2))::BIGINT AS t3
+        | FROM documents)
+        |SELECT q.doc_id, q0, q1, q2, q3, t0, t1, t2, t3,
+        | CAST(abs(q0-t0*16)+abs(q1-t1*16)+abs(q2-t2*16)+abs(q3-t3*16)
+        |   AS BIGINT) AS l1,
+        | abs(q0-t0*16)+abs(q1-t1*16)+abs(q2-t2*16)+abs(q3-t3*16) <= 6000
+        |   AS aligned
+        |FROM q JOIN t USING (doc_id)""".stripMargin,
+    "mm_txt_joint_pairs" ->
+      """WITH px AS (
+        | SELECT d.doc_id, i.i,
+        |  CASE WHEN i.i < d.doc_id % 3
+        |   THEN (('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT + 128) % 256
+        |   ELSE ('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT
+        |  END AS v
+        | FROM (SELECT doc_id FROM documents) d
+        | CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS i) i),
+        |s AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS s
+        |      FROM px GROUP BY 1),
+        |hx AS (
+        | SELECT px.doc_id,
+        |  CAST(sum(CASE WHEN px.v * 63 > s.s
+        |    THEN (CAST(1 AS BIGINT) << px.i) ELSE 0 END) AS BIGINT) AS ahash
+        | FROM px JOIN s USING (doc_id) GROUP BY 1),
+        |grp AS (
+        | SELECT ahash, min(doc_id) AS min_doc FROM hx GROUP BY 1),
+        |banded AS (
+        | SELECT ahash, min_doc, b.band,
+        |  (ahash >> (b.band*16)) & 65535 AS band_val
+        | FROM grp CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b),
+        |pr AS (
+        | SELECT DISTINCT a.min_doc AS doc_a, b.min_doc AS doc_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        | FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.band_val = b.band_val AND a.ahash < b.ahash
+        | WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+        |toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
+        | FROM documents),
+        |shg AS (
+        | SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |   THEN [array_to_string(t[i:i+2],' ') for i in generate_series(1,len(t)-2)]
+        |   ELSE [array_to_string(t,' ')] END) AS s
+        | FROM toks),
+        |post AS (SELECT doc_id, unnest(s) AS g FROM shg),
+        |n AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM shg),
+        |iv AS (
+        | SELECT pr.doc_a, pr.doc_b, CAST(count(*) AS BIGINT) AS inter
+        | FROM pr JOIN post a ON a.doc_id = pr.doc_a
+        |         JOIN post b ON b.doc_id = pr.doc_b AND b.g = a.g
+        | GROUP BY 1, 2)
+        |SELECT pr.doc_a, pr.doc_b, pr.hamming,
+        | coalesce(iv.inter, 0) AS inter,
+        | (1000000 * coalesce(iv.inter, 0))
+        |   // (na.n + nb.n - coalesce(iv.inter, 0)) AS jacc_micro,
+        | pr.hamming <= 1 AND (1000000 * coalesce(iv.inter, 0))
+        |   // (na.n + nb.n - coalesce(iv.inter, 0)) >= 200000 AS joint_dup
+        |FROM pr
+        |LEFT JOIN iv ON iv.doc_a = pr.doc_a AND iv.doc_b = pr.doc_b
+        |JOIN n na ON na.doc_id = pr.doc_a
+        |JOIN n nb ON nb.doc_id = pr.doc_b""".stripMargin,
+    "mm_txt_curation" ->
+      """WITH px AS (
+        | SELECT d.doc_id, i.i,
+        |  CASE WHEN i.i < d.doc_id % 3
+        |   THEN (('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT + 128) % 256
+        |   ELSE ('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT
+        |  END AS v
+        | FROM (SELECT doc_id FROM documents) d
+        | CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i),
+        |lum AS (
+        | SELECT doc_id, CAST(sum(v) AS BIGINT) AS sum_luma
+        | FROM px GROUP BY 1)
+        |SELECT l.sum_luma * 2 < 255 * 64 AS img_dark,
+        | d.n_chars < 200 AS txt_short,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+        | CAST(sum(l.sum_luma) AS BIGINT) AS sum_luma,
+        | min(d.doc_id) AS min_doc
+        |FROM lum l JOIN documents d USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
     "mm_img_ahash_clusters" ->
       """WITH RECURSIVE px AS (
         | SELECT d.doc_id, i.i,

@@ -90,7 +90,7 @@ object ImageOps {
   /** Decode PNG bytes back to the luma plane via the REAL codec path.
     * Raster samples, not getRGB — no color-management rewrite of the
     * stored gray values. */
-  private def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+  private[llm] def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     val (w, h) = (img.getWidth, img.getHeight)
     val raster = img.getRaster
@@ -124,7 +124,7 @@ object ImageOps {
   }
 
   /** aHash per image, computed from the REALLY-decoded luma plane. */
-  private def hashed(spark: SparkSession, sfDir: String): DataFrame = {
+  private[llm] def hashed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     images(spark, sfDir).mapPartitions { rows =>
       rows.map { r =>
