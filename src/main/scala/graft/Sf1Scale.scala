@@ -76,7 +76,7 @@ object Sf1Scale {
     // r15: graph-ANN build+search (the honest full-cost ratio) and the
     // probe-amortized persisted twin (index cached per corpus dir on
     // the first sample, like sim_ivf_append)
-    "sim_nsw_ann", "sim_nsw_persisted")
+    "sim_nsw_ann", "sim_nsw_persisted", "sim_hnsw_ann")
 
   /** Documents-table dedup/text pipelines — the banded-LSH / inverted-
     * index / prefix-filter scale claims, measured on a text corpus with

@@ -210,6 +210,7 @@ object SparkEntry {
     "mm_txt_joint_pairs" -> ((s, d) => CrossModal.jointPairs(s, d)),
     "mm_txt_curation"    -> ((s, d) => CrossModal.curationMatrix(s, d)),
     "sim_mrl_rerank"     -> ((s, d) => SimOps.mrlRerank(s, d)),
+    "sim_hnsw_ann"       -> ((s, d) => SimOps.hnswAnn(s, d)),
     "dedup_semantic"     -> ((s, d) => Dedup.semantic(s, d)),
     "dedup_semantic_apply" -> ((s, d) => Dedup.semanticApply(s, d)),
     "q_asof_native"      -> (AsofJoin.qAsofNative _),
@@ -4483,6 +4484,7 @@ object SparkEntry {
     // the persisted-index probe returns the identical deterministic
     // result — the stored parquet index IS the inline build's output
     "sim_nsw_persisted" -> NswAnnOracle,
+    "sim_hnsw_ann" -> HnswAnnOracle,
     "sim_nsw_recall" -> NswRecallOracle,
     "sim_knn_graph" ->
       s"""$KmeansCtes,
@@ -5061,27 +5063,38 @@ object SparkEntry {
        |FROM brute b LEFT JOIN nsw n USING (query_id, neighbor_id)
        |GROUP BY b.query_id""".stripMargin
 
-  private lazy val NswAnnCtes: String = {
-    val hops = NswHops
-    def scoreRank(i: Int, src: String, keep: Int): String =
-      s"""sc$i AS (
-         | SELECT c.query_id, c.cand,
-         |  round(list_dot_product(w.vec, qq.qv)/(w.nrm*qq.qn), 6) AS cos6
-         | FROM $src c JOIN w ON w.vec_id = c.cand
-         |   JOIN qq ON qq.query_id = c.query_id),
-         |bm$i AS (
-         | SELECT query_id, cand, cos6 FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos6 DESC, cand) AS rn FROM sc$i) t WHERE rn <= $keep)""".stripMargin
-    val hopCtes = (1 to hops).map { i =>
-      s"""nb$i AS (
+  /** One score-then-keep round of the beam search, shared by the flat
+    * and hierarchical oracles: scores candidate CTE `src` against the
+    * queries and keeps the top `keep` per query. `pfx` disambiguates
+    * the CTE names between the upper (`u`) and base (empty) legs. */
+  private def nswScoreRank(i: Int, src: String, keep: Int,
+                           pfx: String = "", edges: String = "ee"): String =
+    s"""${pfx}sc$i AS (
+       | SELECT c.query_id, c.cand,
+       |  round(list_dot_product(w.vec, qq.qv)/(w.nrm*qq.qn), 6) AS cos6
+       | FROM $src c JOIN w ON w.vec_id = c.cand
+       |   JOIN qq ON qq.query_id = c.query_id),
+       |${pfx}bm$i AS (
+       | SELECT query_id, cand, cos6 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos6 DESC, cand) AS rn FROM ${pfx}sc$i) t WHERE rn <= $keep)""".stripMargin
+
+  private def nswHopCtes(hops: Int, keep: Int, pfx: String = "",
+                         edges: String = "ee"): String =
+    (1 to hops).map { i =>
+      s"""${pfx}nb$i AS (
          | SELECT DISTINCT query_id, cand FROM (
          |  SELECT b.query_id, e.dst AS cand
-         |  FROM bm${i - 1} b JOIN ee e ON b.cand = e.src
-         |  UNION ALL SELECT query_id, cand FROM bm${i - 1}) u
+         |  FROM ${pfx}bm${i - 1} b JOIN $edges e ON b.cand = e.src
+         |  UNION ALL SELECT query_id, cand FROM ${pfx}bm${i - 1}) u
          | WHERE cand != query_id),
-         |${scoreRank(i, s"nb$i", 12)}""".stripMargin
+         |${nswScoreRank(i, s"${pfx}nb$i", keep, pfx, edges)}""".stripMargin
     }.mkString(",\n")
+
+  /** The shared corpus/graph/query CTEs: kmeans assignment `af`,
+    * vectors `w`, layer-0 edges `ee`, queries `qq`, per-cell entry
+    * reps `en`. */
+  private lazy val NswBaseCtes: String =
     s"""$KmeansCtes,
        |w AS (
        | SELECT vec_id, embedding::DOUBLE[] AS vec,
@@ -5105,13 +5118,49 @@ object SparkEntry {
        | SELECT vec_id AS cand FROM (
        |  SELECT vec_id, row_number() OVER (PARTITION BY cid
        |    ORDER BY vec_id) AS rn FROM af WHERE vec_id >= 8) t
-       | WHERE rn = 1),
+       | WHERE rn = 1)""".stripMargin
+
+  private lazy val NswAnnCtes: String =
+    s"""$NswBaseCtes,
        |nb0 AS (
        | SELECT query_id, cand FROM qq, en
        | WHERE cand != query_id),
-       |${scoreRank(0, "nb0", 12)},
-       |$hopCtes""".stripMargin
-  }
+       |${nswScoreRank(0, "nb0", 12)},
+       |${nswHopCtes(NswHops, 12)}""".stripMargin
+
+  /** sim_hnsw_ann oracle: the flat chain's corpus/graph CTEs + the
+    * UPPER layer — cell-rep kNN graph (`ue`), single global entry
+    * (`ge`), 2 unrolled upper hops keeping 8 — whose surviving beam
+    * seeds the layer-0 chain in place of the full entry set. */
+  private lazy val HnswAnnCtes: String =
+    s"""$NswBaseCtes,
+       |rr AS (SELECT en.cand, w.vec, w.nrm FROM en JOIN w ON w.vec_id = en.cand),
+       |up AS (
+       | SELECT a.cand AS src, b.cand AS dst,
+       |  round(list_dot_product(a.vec, b.vec)/(a.nrm*b.nrm), 6) AS cos6
+       | FROM rr a JOIN rr b ON a.cand != b.cand),
+       |ued AS (
+       | SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src
+       |    ORDER BY cos6 DESC, dst) AS rnk FROM up) t WHERE rnk <= 4),
+       |ue AS (SELECT src, dst FROM ued UNION SELECT dst, src FROM ued),
+       |ge AS (SELECT min(cand) AS cand FROM rr),
+       |unb0 AS (
+       | SELECT qq.query_id, ge.cand FROM qq, ge
+       | WHERE ge.cand != qq.query_id),
+       |${nswScoreRank(0, "unb0", 8, "u", "ue")},
+       |${nswHopCtes(2, 8, "u", "ue")},
+       |nb0 AS (SELECT query_id, cand FROM ubm2),
+       |${nswScoreRank(0, "nb0", 12)},
+       |${nswHopCtes(NswHops, 12)}""".stripMargin
+
+  private lazy val HnswAnnOracle: String =
+    s"""$HnswAnnCtes
+       |SELECT query_id, cand AS neighbor_id, cos6 AS cosine,
+       | CAST(rn AS BIGINT) AS rnk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cos6 DESC, cand) AS rn FROM bm$NswHops) t
+       |WHERE rn <= 5""".stripMargin
 
   private lazy val KmeansCtes: String =
     """WITH v AS (

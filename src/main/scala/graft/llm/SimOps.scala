@@ -1425,6 +1425,24 @@ object SimOps {
                         nQueries: Int, beam: Int, hops: Int, k: Int)
       : DataFrame = {
     import spark.implicits._
+    val q = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+      .filter($"vec_id" < nQueries).select($"vec_id".as("query_id"))
+    nswSearchFrom(spark, sfDir, edges,
+      q.crossJoin(broadcast(entries)).filter($"cand" =!= $"query_id"),
+      nQueries, beam, hops, k)
+  }
+
+  /** Beam search seeded from an explicit PER-QUERY candidate set
+    * `seeds(query_id, cand)` — the layer-0 leg shared by the flat NSW
+    * (seeds = every cell representative, crossed per query) and the
+    * hierarchical [[hnswAnn]] (seeds = the upper layer's surviving
+    * beam, a handful per query). */
+  private def nswSearchFrom(spark: SparkSession, sfDir: String,
+                            edges: DataFrame, seeds: DataFrame,
+                            nQueries: Int, beam: Int, hops: Int, k: Int)
+      : DataFrame = {
+    import spark.implicits._
     GraftFunctions.register(spark)
     // edges/emb are referenced once per hop; callers hand either plain
     // parquet scans (persisted index — rescanning is the cheap option)
@@ -1447,9 +1465,7 @@ object SimOps {
     // each hop references the beam TWICE (edge expansion ∪ carry);
     // checkpointing the ≤ nQueries·beam rows per hop keeps the plan
     // linear — without it the beam subtree replays 2^hops times
-    var beamDf = topPerQuery(score(
-        q.select($"query_id").crossJoin(broadcast(entries))
-          .filter($"cand" =!= $"query_id")), beam)
+    var beamDf = topPerQuery(score(seeds), beam)
       .select($"query_id", $"cand").localCheckpoint()
     for (_ <- 1 to hops) {
       val cands = beamDf.join(edges, beamDf("cand") === edges("src"))
@@ -1497,6 +1513,106 @@ object SimOps {
       spark.read.parquet(s"$idxDir/edges"),
       spark.read.parquet(s"$idxDir/entries"),
       nQueries, beam, hops, k)
+  }
+
+  /** HIERARCHICAL upper layer over the NSW graph (the HNSW idea,
+    * Malkov & Yashunin TPAMI'18): layer 1 is the CELL-REPRESENTATIVE
+    * graph — the same one-rep-per-k-means-cell set the flat search
+    * uses as its entry points, kNN-linked by cosine — and search
+    * starts from a SINGLE global entry, beams across the rep graph,
+    * and hands its surviving beam to layer 0 as per-query seeds.
+    *
+    * What this fixes at scale: the flat [[nswAnn]] scores EVERY cell
+    * representative at hop 0 — O(cells) = O(n/64) scored candidates
+    * per query. The hierarchical entry scores 1 + upperHops·upperBeam·
+    * upperK candidates — a constant — and still lands in the right
+    * region because the rep graph is navigable. The rep-pair kNN build
+    * is |cells|² cosine evaluations (the standard coarse-quantizer
+    * cost, same asymptotics as IVF centroid training); past ~10⁵ cells
+    * you recurse — one more rep-of-reps layer — which is exactly the
+    * HNSW layer recursion. Returns (upper edges, 1-row global entry).
+    *
+    * The rep×rep cross is a deliberate broadcast-small shape: reps are
+    * one per cell (corpus/64), the same bounded frame every IVF probe
+    * broadcasts. */
+  private[graft] def hnswUpper(spark: SparkSession, sfDir: String,
+                               entries: DataFrame, upperK: Int = 4)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    val reps = entries.join(emb.select($"vec_id".as("cand"), $"vec"), "cand")
+      .localCheckpoint()
+    val directed = reps.select($"cand".as("src"), $"vec".as("av"))
+      .join(broadcast(reps.select($"cand".as("dst"), $"vec".as("bv"))),
+        $"src" =!= $"dst")
+      .withColumn("cos6",
+        round(call_function("cosine_sim", $"av", $"bv"), 6))
+      .groupBy($"src")
+      .agg(call_function("top_k_structs",
+        struct($"cos6", $"dst"), lit(upperK),
+        array(lit(false), lit(true)), array(lit(false), lit(false))).as("top"))
+      .select($"src", posexplode($"top"))
+      .select($"src", $"col.dst".as("dst"))
+    val upperEdges = directed
+      .union(directed.select($"dst".as("src"), $"src".as("dst")))
+    val gEntry = reps.agg(min($"cand").as("cand"))
+    (upperEdges, gEntry)
+  }
+
+  /** HNSW-style search over the PERSISTED NSW graph: the flat index's
+    * stored edges + entry set gain an upper navigation layer
+    * ([[hnswUpper]]); layer-0 seeding is the upper beam instead of
+    * every cell representative. Same scoring, same determinism, full
+    * DuckDB oracle (unrolled upper hops + the flat chain's layer-0
+    * CTEs). Defaults keep layer 0 identical to [[nswPersisted]] so
+    * recall is attributable to the seeding change alone. */
+  def hnswAnn(spark: SparkSession, sfDir: String, nQueries: Int = 8,
+              beam: Int = 12, hops: Int = 4, k: Int = 5,
+              graphK: Int = 8, upperK: Int = 4, upperBeam: Int = 8,
+              upperHops: Int = 2): DataFrame = {
+    import spark.implicits._
+    val idxDir = ivfIndexCache.computeIfAbsent(s"$sfDir#hnsw", _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-hnsw-index").toString
+      val (edges, entries) = nswIndex(spark, sfDir, nQueries, graphK)
+      val (upperEdges, gEntry) = hnswUpper(spark, sfDir,
+        entries.localCheckpoint(), upperK)
+      edges.write.mode("overwrite").parquet(s"$dir/edges")
+      upperEdges.write.mode("overwrite").parquet(s"$dir/upper_edges")
+      gEntry.write.mode("overwrite").parquet(s"$dir/entry")
+      dir
+    })
+    val q = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+      .filter($"vec_id" < nQueries).select($"vec_id".as("query_id"))
+    val upperSeeds = q
+      .crossJoin(broadcast(spark.read.parquet(s"$idxDir/entry")))
+      .filter($"cand" =!= $"query_id")
+    val upperBeamOut = nswSearchFrom(spark, sfDir,
+      spark.read.parquet(s"$idxDir/upper_edges"), upperSeeds,
+      nQueries, upperBeam, upperHops, upperBeam)
+      .select($"query_id", $"neighbor_id".as("cand"))
+    nswSearchFrom(spark, sfDir, spark.read.parquet(s"$idxDir/edges"),
+      upperBeamOut, nQueries, beam, hops, k)
+  }
+
+  /** Recall@k of the hierarchical search vs brute force — the
+    * [[nswRecall]] loop for [[hnswAnn]]; the spec asserts it never
+    * falls below the flat NSW baseline on the fixture. */
+  def hnswRecall(spark: SparkSession, sfDir: String,
+                 nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val brute = simTopkBruteforce(spark, sfDir, nQueries, k)
+      .select($"query_id", $"neighbor_id")
+    val h = hnswAnn(spark, sfDir, nQueries, k = k)
+      .select($"query_id", $"neighbor_id").withColumn("hit", lit(1L))
+    brute.join(h, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("k"),
+           sum(coalesce($"hit", lit(0L))).as("hits"))
+      .withColumn("recall", $"hits".cast("double") / $"k".cast("double"))
   }
 
   /** Recall@k of the GRAPH search against exact brute force — the

@@ -66,4 +66,26 @@ class NswAnnSpec extends SparkSpec {
     // back to a sparse/disconnected graph (0.1-0.3)
     assert(recall >= 0.6, s"recall@5 = $recall")
   }
+
+  /** r12 (HNSW): the hierarchical entry must not COST recall — the
+    * upper layer replaces "score every cell rep" with "navigate the
+    * rep graph from one global entry", and on the fixture the
+    * surviving beam must land layer 0 in at least as good a region. */
+  test("hnsw: hierarchical seeding matches or beats the flat NSW recall") {
+    import spark.implicits._
+    val nsw = SimOps.nswRecall(spark, sf).agg(avg($"recall")).collect()(0)
+      .getDouble(0)
+    val hnsw = SimOps.hnswRecall(spark, sf).agg(avg($"recall")).collect()(0)
+      .getDouble(0)
+    assert(hnsw >= nsw, s"hnsw recall $hnsw fell below flat nsw $nsw")
+    assert(hnsw >= 0.6, s"hnsw recall@5 = $hnsw")
+    // determinism + shape: k rows per query, identical reruns
+    val a = SimOps.hnswAnn(spark, sf).collect().map(_.toString).sorted
+    val b = SimOps.hnswAnn(spark, sf).collect().map(_.toString).sorted
+    assert(a === b)
+    val perQuery = SimOps.hnswAnn(spark, sf)
+      .groupBy("query_id").agg(count(lit(1)).as("n"))
+      .collect()
+    assert(perQuery.length === 8 && perQuery.forall(_.getLong(1) == 5L))
+  }
 }

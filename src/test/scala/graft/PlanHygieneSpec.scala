@@ -21,6 +21,10 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_nprobe_sweep",     // brute-force baseline inside the evaluation
     "sim_nsw_ann",          // queries × broadcast per-cell entry set (hop 0)
     "sim_nsw_persisted",    // same hop-0 shape over the stored index
+    "sim_hnsw_ann",         // queries × broadcast 1-row global entry (hop 0)
+                            // + rep×rep upper-graph build (one rep per
+                            // k-means cell — the bounded coarse-quantizer
+                            // frame every IVF probe already broadcasts)
     "sim_nsw_recall",       // composes the bruteforce pass (same shape)
     "sim_recall_at_k",      // composes the bruteforce pass (same shape)
     "text_mix_weights",     // 5-row agg × 1-row total broadcast
