@@ -211,6 +211,7 @@ object SparkEntry {
     "mm_txt_curation"    -> ((s, d) => CrossModal.curationMatrix(s, d)),
     "sim_mrl_rerank"     -> ((s, d) => SimOps.mrlRerank(s, d)),
     "sim_hnsw_ann"       -> ((s, d) => SimOps.hnswAnn(s, d)),
+    "dedup_substring"    -> ((s, d) => Dedup.substringPairs(s, d)),
     "dedup_semantic"     -> ((s, d) => Dedup.semantic(s, d)),
     "dedup_semantic_apply" -> ((s, d) => Dedup.semanticApply(s, d)),
     "q_asof_native"      -> (AsofJoin.qAsofNative _),
@@ -1076,6 +1077,36 @@ object SparkEntry {
         | FROM scores)
         |SELECT doc_id, lang_code AS pred_lang, score FROM r WHERE rn = 1""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracle("0.2"),
+    "dedup_substring" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
+        | FROM documents),
+        |pos0 AS (
+        | SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+        | FROM toks WHERE len(t) >= 5),
+        |sp AS (
+        | SELECT doc_id, i - 1 AS pos,
+        |  md5(array_to_string(t[i:i+4], ' ')) AS h
+        | FROM pos0),
+        |an AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  a.pos AS pa, a.pos - b.pos AS diag
+        | FROM sp a JOIN sp b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |isl AS (
+        | SELECT doc_a, doc_b, diag, pa,
+        |  pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+        |    ORDER BY pa) AS grp
+        | FROM an),
+        |runs AS (
+        | SELECT doc_a, doc_b,
+        |  CAST(max(pa) - min(pa) + 5 AS BIGINT) AS run_len,
+        |  CAST(min(pa) AS BIGINT) AS start_a
+        | FROM isl GROUP BY doc_a, doc_b, diag, grp)
+        |SELECT doc_a, doc_b, max(run_len) AS longest,
+        | CAST(count(*) AS BIGINT) AS n_runs,
+        | CAST(sum(run_len) AS BIGINT) AS run_tokens,
+        | min(start_a) AS first_start_a
+        |FROM runs WHERE run_len >= 8 GROUP BY 1, 2""".stripMargin,
     "dedup_containment" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t

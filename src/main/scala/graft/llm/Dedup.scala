@@ -957,6 +957,72 @@ object Dedup {
                 $"n_tokens").as("dup_frac"))
   }
 
+  /** VARIABLE-LENGTH exact-substring dedup (r12) — the suffix-array
+    * answer of Lee et al. ACL'22 ("Deduplicating Training Data Makes
+    * Language Models Better") for matches ≥ `kMin`, distributed
+    * without building a suffix array: every maximal common token-run
+    * of length L ≥ kMin between two docs appears as EXACTLY the run of
+    * consecutive anchor matches (pa+i, pb+i), i ∈ [0, L−kMin], on one
+    * DIAGONAL pa−pb of the match matrix — so mining kMin-token span
+    * digests (the [[spanCoverage]] kernel), grouping matches by
+    * (pair, diagonal), and interval-packing consecutive positions
+    * recovers each maximal run with its EXACT length. [[spanCoverage]]
+    * answers "which tokens sit under some duplicated k-window"; this
+    * answers the question substring dedup actually cuts on — "what are
+    * the maximal duplicated passages and how long are they" — and
+    * catches both runs SHORTER than a fixed k=10 window and the true
+    * extent of longer ones (a 200-token quote is one row with
+    * longest=200 here, not just '200 tokens covered').
+    *
+    * Plan shape: one hash aggregate groups the distinct span digests
+    * (16-byte md5, never span text); candidate anchors expand IN PLACE
+    * inside each posting list (nested Generates — the [[ngramJaccard]]
+    * discipline, no self-join); islands pack per (doc_a, doc_b, diag)
+    * partition with the pos−row_number trick (anchor positions are
+    * unique per diagonal, so no cummax pass). Only matched anchors
+    * reach the window — the dirty subset, not the token stream. The
+    * `maxDocFreq` valve (None = exact, like [[ngramJaccard]]) caps the
+    * O(f²) expansion of near-universal kMin-grams at corpus scale. */
+  def substringPairs(spark: SparkSession, sfDir: String,
+                     kMin: Int = 5, minLen: Int = 8,
+                     maxDocFreq: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val spans = Tables.documents(spark, sfDir)
+      .select($"doc_id", split(trim(lower($"text")), "\\s+").as("toks"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .filter($"n_tokens" >= kMin)
+      .select($"doc_id",
+        posexplode(expr(
+          s"transform(sequence(0, CAST(n_tokens - $kMin AS INT)), " +
+          s"i -> md5(array_join(slice(toks, i + 1, $kMin), ' ')))"))
+          .as(Seq("pos", "h")))
+    val lists = spans.groupBy($"h")
+      .agg(collect_list(struct($"doc_id", $"pos")).as("ds"))
+      .filter(size(array_distinct(expr("transform(ds, x -> x.doc_id)"))) > 1)
+    val capped = maxDocFreq.fold(lists)(cap =>
+      lists.filter(size($"ds") <= cap))
+    val anchors = capped
+      .select(explode($"ds").as("a"), $"ds")
+      .select($"a", explode($"ds").as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+              $"a.pos".cast("long").as("pa"), $"b.pos".cast("long").as("pb"))
+    val byDiag = Window.partitionBy($"doc_a", $"doc_b", $"diag")
+      .orderBy($"pa")
+    anchors
+      .withColumn("diag", $"pa" - $"pb")
+      .withColumn("grp", $"pa" - row_number().over(byDiag))
+      .groupBy($"doc_a", $"doc_b", $"diag", $"grp")
+      .agg((max($"pa") - min($"pa") + lit(kMin.toLong)).as("run_len"),
+           min($"pa").as("start_a"))
+      .filter($"run_len" >= minLen)
+      .groupBy($"doc_a", $"doc_b")
+      .agg(max($"run_len").as("longest"),
+           count(lit(1)).as("n_runs"),
+           sum($"run_len").as("run_tokens"),
+           min($"start_a").as("first_start_a"))
+  }
+
   /** WEIGHTED lexical near-dup — tf-idf cosine over the rare-term
     * vocabulary: the Jaccard family ([[ngramJaccard]]) treats every
     * shingle equally; the cosine family weights by informativeness, so
