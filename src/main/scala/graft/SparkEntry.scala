@@ -194,6 +194,12 @@ object SparkEntry {
     "q_pagerank_copart"  -> ((s, d) =>
       PageRank.bipartiteExact(s, d, broadcastVertexLimit = 0L)),
     "text_bpe_pairs"     -> ((s, d) => TextOps.bpePairs(s, d)),
+    // rows-only by design (greedy batched admission is sequential
+    // logic no SQL replica expresses); exactness — batch=1 ≡
+    // sequential bit-for-bit + per-round savings identity at 64
+    // merges — is asserted in Round12OpsSpec
+    "text_bpe_train_batched" -> ((s, d) =>
+      TextOps.bpeTrainBatched(s, d)),
     "mm_frame_dedup"     -> (Multimodal.frameDedup _),
     "mm_ahash_pairs"     -> ((s, d) => Multimodal.ahashPairs(s, d)),
     "mm_ahash_clusters"  -> ((s, d) => Multimodal.ahashClusters(s, d)),

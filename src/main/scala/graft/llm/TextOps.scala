@@ -1095,6 +1095,90 @@ object TextOps {
     merges.result().toDF("step", "pair", "merged", "n")
   }
 
+  /** [[bpeTrain]] BEYOND toy vocab sizes (r12): the sequential trainer
+    * pays one blocking driver round-trip per merge — 32k round-trips
+    * at a real vocabulary. This variant selects a BATCH of
+    * symbol-disjoint merges per round: pairs are ranked by the same
+    * (count desc, pair asc) argmax, then greedily admitted while
+    * neither symbol (nor the merged token) collides with a symbol
+    * already admitted this round — disjoint merges cannot affect each
+    * other's occurrence counts, so EVERY admitted pair still saves
+    * exactly its counted `n` tokens when the batch applies (the
+    * accounting identity the spec asserts per round). Driver rounds
+    * drop from `steps` to ~`steps/batch`.
+    *
+    * Deviation from strictly-sequential BPE, documented: a merge can
+    * CREATE a new pair (x, ab) whose count exceeds a later-admitted
+    * pair's — sequential training would reorder those two picks.
+    * Within-round admission order preserves the count ranking, the
+    * savings identity stays exact, and batch=1 degenerates to
+    * [[bpeTrain]] bit-for-bit (asserted in spec). If every remaining
+    * candidate conflicts, the round falls back to the top-1 pair, so
+    * progress is guaranteed. Output adds the `round` column so the
+    * spec can assert the round count (the wall-time bound) and the
+    * per-round savings identity. */
+  def bpeTrainBatched(spark: SparkSession, sfDir: String,
+                      steps: Int = 64, batch: Int = 8): DataFrame = {
+    import spark.implicits._
+    var words = Tables.documents(spark, sfDir)
+      .select(explode(split(trim(lower($"text")), "\\s+")).as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .select($"freq",
+        concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")).as("sym"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, Long, String, String, Long)]
+    var rank = 0
+    var round = 0
+    var exhausted = false
+    while (rank < steps && !exhausted) {
+      round += 1
+      val want = math.min(batch, steps - rank)
+      // over-fetch so the disjointness filter has candidates to skip to
+      val top = words
+        .select($"freq", split(trim($"sym"), " ").as("t"))
+        .select($"freq", $"t",
+          posexplode(expr("slice(t, 2, size(t) - 1)")).as(Seq("p", "b")))
+        .select(concat(element_at($"t", $"p" + 1), lit(" "), $"b").as("pair"),
+          $"freq")
+        .groupBy($"pair").agg(sum($"freq").as("n"))
+        .filter($"n" > 1)
+        .orderBy($"n".desc, $"pair".asc)
+        .limit(math.max(4 * batch, 16))
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val sel = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        top.iterator.takeWhile(_ => sel.size < want).foreach { r =>
+          val pair = r.getAs[String]("pair")
+          val Array(x, y) = pair.split(" ", 2)
+          val merged = x + y
+          if (!used(x) && !used(y) && !used(merged)) {
+            sel += ((pair, merged, r.getAs[Long]("n")))
+            used ++= Seq(x, y, merged)
+          }
+        }
+        // all candidates conflicted: sequential fallback keeps progress
+        if (sel.isEmpty) {
+          val r = top.head
+          val pair = r.getAs[String]("pair")
+          sel += ((pair, pair.replace(" ", ""), r.getAs[Long]("n")))
+        }
+        sel.foreach { case (pair, merged, n) =>
+          rank += 1
+          merges += ((rank.toLong, round.toLong, pair, merged, n))
+        }
+        words = sel.foldLeft(words) { case (df, (pair, merged, _)) =>
+          df.select($"freq", call_function("replace", $"sym",
+            lit(s" $pair "), lit(s" $merged ")).as("sym"))
+        }.localCheckpoint()
+      }
+    }
+    merges.result().toDF("rank", "round", "pair", "merged", "n")
+  }
+
   /** Tokenizer-training learning curve: after each [[bpeTrain]] merge
     * step, the corpus-weighted token count `Σ freq·|symbols(word)|` and
     * tokens-per-word — the compression trajectory every tokenizer

@@ -391,6 +391,57 @@ class Round12OpsSpec extends SparkSpec {
     assert(curve(8L)._3 === curve(8L)._1.toDouble / curve(8L)._2)
   }
 
+  /** r12 (VERDICT #8): the batched trainer must hold the sequential
+    * trainer's guarantees at a real merge count — 64 merges in ~8
+    * driver rounds instead of 64, batch=1 degenerating to the
+    * sequential picks bit-for-bit, and every round's batch saving
+    * EXACTLY the sum of its counted pair frequencies (the disjointness
+    * admission rule is what makes that identity exact). */
+  test("bpeTrainBatched: 64 merges in bounded driver rounds, exact per-round accounting") {
+    import spark.implicits._
+    // batch=1 ≡ sequential (same argmax, same tie-break)
+    val seq8 = TextOps.bpeTrain(spark, sf, steps = 8).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged"),
+        r.getAs[Long]("n"))).toSeq
+    val b1 = TextOps.bpeTrainBatched(spark, sf, steps = 8, batch = 1)
+      .collect().sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged"),
+        r.getAs[Long]("n"))).toSeq
+    assert(b1 === seq8)
+
+    val merges = TextOps.bpeTrainBatched(spark, sf, steps = 64, batch = 8)
+      .collect().sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("round"),
+        r.getAs[String]("pair"), r.getAs[String]("merged"),
+        r.getAs[Long]("n")))
+    assert(merges.length === 64)
+    assert(merges.map(_._1).toSeq === (1L to 64L))
+    assert(merges.map(_._3).distinct.length === 64, "a pair merged twice")
+    // the wall-time bound: driver rounds collapse ~8× (fallback rounds
+    // may add a few; 2× slack, far under the sequential 64)
+    val rounds = merges.map(_._2).max
+    assert(rounds <= 16L, s"batching degenerated: $rounds driver rounds")
+
+    // per-round accounting identity on a local replica
+    var words: Map[String, Long] = Tables.documents(spark, sf)
+      .select($"text").as[String].collect()
+      .flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) =>
+        (" " + w.map(c => s"$c ").mkString) -> ws.length.toLong }
+    def total(ws: Map[String, Long]): Long =
+      ws.map { case (sym, f) => f * sym.trim.split(" ").length }.sum
+    merges.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (round, ms) =>
+      val before = total(words)
+      ms.sortBy(_._1).foreach { case (_, _, pair, merged, _) =>
+        words = words.toSeq.map { case (sym, f) =>
+          sym.replace(s" $pair ", s" $merged ") -> f
+        }.groupBy(_._1).map { case (s2, fs) => s2 -> fs.map(_._2).sum }
+      }
+      assert(total(words) === before - ms.map(_._5).sum,
+        s"round $round: batched merge accounting broken")
+    }
+  }
+
   // ---- embedding health ------------------------------------------------
 
   test("embedStats matches a from-scratch micro-quantized recompute") {
