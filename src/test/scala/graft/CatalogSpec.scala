@@ -12,7 +12,11 @@ class CatalogSpec extends SparkSpec {
     "tel_approx_distinct",    // HLL++ estimate (inherently approximate)
     "tel_approx_percentiles", // GK sketch (inherently approximate)
     "tel_sketch_rollup",      // HLL sketch-column union
-    "sim_opq_trained")        // learned rotation (eigensolver ordering)
+    "sim_opq_trained",        // learned rotation (eigensolver ordering)
+    "text_bpe_train_batched") // greedy batched admission is sequential
+                              // logic no SQL replica expresses; batch=1
+                              // ≡ sequential + per-round savings
+                              // identity asserted in Round12OpsSpec
   // r10: tel_cms_counts left this set — the md5-row-salted CMS is
   // deterministic and now SQL-hash-verified like minhash/simhash
 
