@@ -55,7 +55,8 @@ object Bench {
     // untimed run each before any timing round, same treatment the
     // Iceberg read levers already get.
     val warmFirst = Set("q_triangle_support", "q_pagerank",
-      "q_pagerank_copart", "sim_nsw_ann", "sim_nsw_persisted")
+      "q_pagerank_copart", "sim_nsw_ann", "sim_nsw_persisted",
+      "sim_hnsw_ann")
     for ((name, fn) <- queryList if warmFirst.contains(name)) {
       val confs = SparkEntry.queryConfs.getOrElse(name, Map.empty)
       try SparkEntry.withConfs(spark, confs) { fn(spark, sfDir).count(); () }
