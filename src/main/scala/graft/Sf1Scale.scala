@@ -104,7 +104,13 @@ object Sf1Scale {
     "text_bpe_tokenize", "dedup_tfidf_cosine",
     // r10: KN bigram model (vocabulary-sized aggregates off one type
     // table) and canonical selection (keyed window over clustered docs)
-    "text_kn_perplexity", "dedup_canonical")
+    "text_kn_perplexity", "dedup_canonical",
+    // r12: variable-length exact-substring spans (anchor-diagonal join —
+    // pair volume rides the injected dup rate, not the corpus square),
+    // the symbol-disjoint batched BPE trainer (driver rounds ~merges/8),
+    // and the joint caption↔image near-dup (image-banded candidates gate
+    // the text verification, so the Jaccard side is dup-rate-bounded)
+    "dedup_substring", "text_bpe_train_batched", "mm_txt_joint_pairs")
 
   /** Deterministic word from a full-avalanche mix (vocab of 1000):
     * individual word collisions are common (real corpora repeat words)

@@ -238,6 +238,10 @@ object SparkEntry {
     "q_width_bucket"     -> ((s, d) => Core.qWidthBucket(s, d)),
     "dedup_apply"        -> ((s, d) => Dedup.dedupApply(s, d)),
     "sim_recall_at_k"    -> ((s, d) => SimOps.recallAtK(s, d)),
+    "sim_ndcg_eval"      -> ((s, d) => SimOps.ndcgEval(s, d)),
+    "text_token_budget"  -> ((s, d) => TextOps.tokenBudget(s, d)),
+    "text_cluster_split" -> ((s, d) => Dedup.clusterSplit(s, d)),
+    "mm_wav_clipping"    -> ((s, d) => AudioOps.wavClipping(s, d)),
     "sim_nprobe_sweep"   -> ((s, d) => SimOps.nprobeSweep(s, d)),
     "text_ngram_novelty" -> (TextOps.ngramNovelty _),
     "dedup_threshold_sweep" -> (Dedup.thresholdSweep _),
@@ -1689,6 +1693,53 @@ object SparkEntry {
         | FROM reach GROUP BY src)
         |SELECT label AS cluster_id, count(*) AS n_docs, max(doc_id) AS max_doc_id
         |FROM lab GROUP BY 1""".stripMargin,
+    // leakage-safe split: the dedup_clusters closure + rep-hashed
+    // train/val/test assignment (near-dups can never straddle splits)
+    "text_cluster_split" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |   THEN [array_to_string(t[i:i+2],' ') for i in generate_series(1,len(t)-2)]
+        |   ELSE [array_to_string(t,' ')] END) AS s
+        | FROM toks),
+        |post AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+        |cand AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+        |  count(*) AS inter
+        | FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1,2,3,4),
+        |pairs AS (
+        | SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |   CAST(round(CAST(CAST(inter*1.0/(na+nb-inter) AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS jaccard
+        |  FROM cand) p
+        | WHERE jaccard >= 0.2),
+        |edges AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (
+        | SELECT src AS doc_id, least(src, min(dst)) AS label
+        | FROM reach GROUP BY src),
+        |rep AS (
+        | SELECT d.doc_id, d.source,
+        |  CAST(len(string_split_regex(trim(d.text),'\s+')) AS BIGINT) AS n_tok,
+        |  l.label, coalesce(l.label, d.doc_id) AS rep
+        | FROM documents d LEFT JOIN lab l USING (doc_id))
+        |SELECT source,
+        | CASE WHEN substr(md5(CAST(rep AS VARCHAR)),1,2) < 'cd' THEN 'train'
+        |      WHEN substr(md5(CAST(rep AS VARCHAR)),1,2) < 'e6' THEN 'val'
+        |      ELSE 'test' END AS split,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN label IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dup_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        |FROM rep GROUP BY 1, 2""".stripMargin,
     // canonical selection: the dedup_clusters closure + keep-longest
     // (tie -> min doc_id) and reclaimed-token accounting
     "dedup_canonical" ->
@@ -2311,6 +2362,27 @@ object SparkEntry {
         |        ELSE 'test' END AS split
         |  FROM documents) d
         | GROUP BY 1, 2) a""".stripMargin,
+    "text_token_budget" ->
+      """WITH t AS (
+        | SELECT source, doc_id,
+        |  CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n_tok,
+        |  md5(CAST(doc_id AS VARCHAR)) AS h
+        | FROM documents),
+        |c AS (
+        | SELECT source, n_tok,
+        |  CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+        | FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+        | CAST(sum(CASE WHEN cum_end - n_tok < 800 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_kept,
+        | CAST(sum(CASE WHEN cum_end - n_tok < 800 THEN n_tok ELSE 0 END)
+        |   AS BIGINT) AS tokens_kept,
+        | CAST(CAST(sum(CASE WHEN cum_end - n_tok < 800 THEN n_tok ELSE 0 END)
+        |     AS BIGINT) * 10000
+        |   // CAST(sum(n_tok) AS BIGINT) AS BIGINT) AS kept_bp
+        |FROM c GROUP BY 1""".stripMargin,
     "q_median" ->
       """SELECT l_returnflag, count(*) AS n,
         | quantile_cont(l_quantity, 0.25) AS q1_qty,
@@ -2660,6 +2732,55 @@ object SparkEntry {
         |   AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
         |FROM brute b LEFT JOIN ivf i USING (query_id, neighbor_id)
         |GROUP BY b.query_id""".stripMargin,
+    "sim_ndcg_eval" ->
+      s"""$KmeansCtes,
+        |w AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        | FROM embeddings),
+        |idx AS (SELECT af.vec_id, af.cid, w.vec, w.nrm FROM af JOIN w USING (vec_id)),
+        |q AS (SELECT vec_id AS query_id, cid, vec AS qvec, nrm AS qnrm
+        |      FROM idx WHERE vec_id < 8),
+        |ip AS (
+        | SELECT q.query_id, i.vec_id AS neighbor_id,
+        |  round(list_dot_product(i.vec, q.qvec)/(i.nrm*q.qnrm), 6) AS cosine
+        | FROM idx i JOIN q ON i.cid = q.cid AND i.vec_id != q.query_id),
+        |ivf AS (SELECT query_id, neighbor_id, rnk FROM (
+        | SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM ip) t WHERE rnk <= 5),
+        |bp AS (
+        | SELECT wq.vec_id AS query_id, w.vec_id AS neighbor_id,
+        |  round(list_dot_product(w.vec, wq.vec)/(w.nrm*wq.nrm), 6) AS cosine
+        | FROM w, (SELECT * FROM w WHERE vec_id < 8) wq
+        | WHERE w.vec_id != wq.vec_id),
+        |brute AS (SELECT query_id, neighbor_id FROM (
+        | SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM bp) t WHERE rnk <= 5),
+        |gains AS (SELECT * FROM (VALUES (1, 1000000), (2, 630929),
+        |  (3, 500000), (4, 430676), (5, 386852)) g(rnk, gain)),
+        |pa AS (
+        | SELECT i.query_id,
+        |  CAST(sum(CASE WHEN b.neighbor_id IS NOT NULL THEN g.gain ELSE 0 END)
+        |    AS BIGINT) AS dcg_micro,
+        |  CAST(sum(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS hits,
+        |  min(CASE WHEN b.neighbor_id IS NOT NULL THEN i.rnk END) AS first_hit
+        | FROM ivf i LEFT JOIN brute b USING (query_id, neighbor_id)
+        |  JOIN gains g ON g.rnk = i.rnk
+        | GROUP BY 1),
+        |pb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+        |       FROM brute GROUP BY 1)
+        |SELECT pb.query_id, pb.n_rel AS k,
+        | CAST(coalesce(pa.hits, 0) AS BIGINT) AS hits,
+        | CAST(coalesce(pa.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+        | CAST(CASE least(pb.n_rel, 5)
+        |   WHEN 1 THEN 1000000 WHEN 2 THEN 1630929 WHEN 3 THEN 2130929
+        |   WHEN 4 THEN 2561605 ELSE 2948457 END AS BIGINT) AS idcg_micro,
+        | CAST(coalesce(pa.dcg_micro, 0) * 10000 // (CASE least(pb.n_rel, 5)
+        |   WHEN 1 THEN 1000000 WHEN 2 THEN 1630929 WHEN 3 THEN 2130929
+        |   WHEN 4 THEN 2561605 ELSE 2948457 END) AS BIGINT) AS ndcg_bp,
+        | CAST(coalesce(1000000 // pa.first_hit, 0) AS BIGINT) AS mrr_micro
+        |FROM pb LEFT JOIN pa USING (query_id)""".stripMargin,
     "tel_hourly_percentiles" ->
       """WITH g AS (
         | SELECT event_type, date_trunc('hour', ts) AS h,
@@ -3979,6 +4100,28 @@ object SparkEntry {
         | CAST(count(*) * 125 AS BIGINT) AS duration_us,
         | CAST(max(abs(s)) AS BIGINT) AS peak_abs,
         | CAST(sum(abs(s)) AS BIGINT) AS sum_abs
+        |FROM x GROUP BY 1""".stripMargin,
+    "mm_wav_clipping" ->
+      """WITH v AS (
+        | SELECT d.doc_id, i.i,
+        |  ('0x' || substr(md5('a:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+        |     CAST(i.i AS VARCHAR)), 1, 4))::BIGINT AS v
+        | FROM (SELECT doc_id FROM documents) d
+        | CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS i) i),
+        |x AS (
+        | SELECT doc_id,
+        |  abs(v - CASE WHEN v >= 32768 THEN 65536 ELSE 0 END) AS a
+        | FROM v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        | CAST(sum(CASE WHEN a >= 32440 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_clipped,
+        | CAST(sum(CASE WHEN a <= 327 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_silent,
+        | CAST(sum(CASE WHEN a >= 32440 THEN 1 ELSE 0 END) * 10000 // count(*)
+        |   AS BIGINT) AS clipped_bp,
+        | CAST(sum(CASE WHEN a <= 327 THEN 1 ELSE 0 END) * 10000 // count(*)
+        |   AS BIGINT) AS silent_bp,
+        | CAST(max(a) AS BIGINT) AS peak_abs
         |FROM x GROUP BY 1""".stripMargin,
     "mm_wav_windows" ->
       """WITH v AS (

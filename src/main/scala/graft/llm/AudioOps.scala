@@ -110,6 +110,41 @@ object AudioOps {
       "peak_abs", "sum_abs")
   }
 
+  /** Clipping / silence QA from really-decoded PCM (r12) — the audio
+    * curation gate run before any transcription or embedding spend:
+    * count samples saturating the int16 range (|s| ≥ `clipAbs`,
+    * default within ~1% of full scale — a recording chain driven past
+    * its headroom) and near-silent samples (|s| ≤ `silentAbs`, ~1% of
+    * full scale — dead air), report both as exact integer basis
+    * points plus the peak. The analytic samples are ~uniform int16,
+    * so both detectors fire at a realistic ~1% rate on this corpus.
+    * Same scale shape as [[wavMeta]]: decode + count is one narrow
+    * executor-side pass; media bytes never shuffle. */
+  def wavClipping(spark: SparkSession, sfDir: String,
+                  clipAbs: Int = 32440, silentAbs: Int = 327): DataFrame = {
+    import spark.implicits._
+    wavs(spark, sfDir).mapPartitions { rows =>
+      rows.map { r =>
+        val (_, s) = decode(r.wav)
+        var nClip = 0L
+        var nSil = 0L
+        var peak = 0L
+        var i = 0
+        while (i < s.length) {
+          val a = math.abs(s(i)).toLong
+          if (a >= clipAbs) nClip += 1
+          if (a <= silentAbs) nSil += 1
+          if (a > peak) peak = a
+          i += 1
+        }
+        val n = s.length.toLong
+        (r.doc_id, n, nClip, nSil,
+          nClip * 10000L / n, nSil * 10000L / n, peak)
+      }
+    }.toDF("doc_id", "n_samples", "n_clipped", "n_silent",
+      "clipped_bp", "silent_bp", "peak_abs")
+  }
+
   /** Per-window audio features from really-decoded PCM: RMS energy
     * (`sqrt(Σs²/n)` — integer sum, one division, one sqrt: bit-exact
     * cross-engine) and zero-crossing rate (sign flips, the classic

@@ -314,6 +314,44 @@ object Dedup {
            sum(when($"rn" > 1, $"n_toks").otherwise(0L)).as("dropped_tokens"))
   }
 
+  /** LEAKAGE-SAFE train/val/test split (r12) — [[graft.llm.TextOps
+    * .trainSplit]]'s assignment hashed on the NEAR-DUP CLUSTER
+    * representative instead of the document: two near-duplicates can
+    * never straddle train and val/test, closing the contamination
+    * path a doc-hashed split leaves open (train on one copy, evaluate
+    * on the other — the eval-set leak Lee et al. ACL'22 measure).
+    * Unclustered docs are their own representative, so assignment
+    * stays a pure function of stable ids: reruns, backfills, and the
+    * DuckDB twin route every doc identically. Report per (source,
+    * split): docs, near-dup members, token mass.
+    *
+    * Scale shape: pair mining + pointer-jump CC are the shared
+    * [[dedupClusters]] kernel (band/df valves bound the pair volume);
+    * the label table is |clustered docs| rows — a left equi-join onto
+    * the corpus — and the report is one map-side-combined aggregate.
+    * Nothing new scales beyond the clustering already paid for. */
+  def clusterSplit(spark: SparkSession, sfDir: String,
+                   threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val pairs = ngramJaccard(spark, sfDir, threshold)
+      .select($"doc_a", $"doc_b").localCheckpoint()
+    val labels = adaptiveComponents(pairs, 20, 100000L)
+    val bucket = substring(md5($"rep".cast("string")), 1, 2)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tok"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce($"label", $"doc_id"))
+      .withColumn("split",
+        when(bucket < lit("cd"), "train")
+          .when(bucket < lit("e6"), "val")
+          .otherwise("test"))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when($"label".isNotNull, 1L).otherwise(0L)).as("n_dup_docs"),
+           sum($"n_tok").as("sum_tokens"))
+  }
+
   /** INCREMENTAL near-dup check (r11) — the nightly-ingest production
     * shape: a NEW batch of documents probes the EXISTING corpus's
     * banded MinHash index instead of re-deduplicating the world.

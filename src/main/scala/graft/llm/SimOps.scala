@@ -1716,6 +1716,61 @@ object SimOps {
       .withColumn("recall", $"hits".cast("double") / $"k".cast("double"))
   }
 
+  /** Position gains floor(1e6/log2(r+1)) for ranks 1..10 and their
+    * prefix sums — PRECOMPUTED integer literals (no float log in
+    * either engine), the exactness trick behind [[ndcgEval]]. */
+  private val ndcgGains: Seq[Long] = Seq(1000000L, 630929L, 500000L,
+    430676L, 386852L, 356207L, 333333L, 315464L, 301029L, 289064L)
+  private val ndcgPrefix: Seq[Long] = ndcgGains.scanLeft(0L)(_ + _).tail
+
+  /** Graded RANKING-QUALITY evaluation of the ANN serving path (r12):
+    * nDCG@k and MRR of the trained-IVF probe against exact brute-force
+    * truth (binary relevance = membership in the true top-k) — the
+    * companion to [[recallAtK]]: recall says HOW MANY true neighbors
+    * came back, nDCG/MRR say WHERE the retrieval put them, the number
+    * that matters when the ANN output feeds a budget-capped reranker
+    * (a hit surfaced at rank 1 survives a shortlist cut; the same hit
+    * at rank 5 may not).
+    *
+    * Exactness: gains are [[ndcgGains]]'s integer table, DCG/IDCG are
+    * integer sums (IDCG = prefix sum over min(k, |truth|) positions),
+    * ndcg in integer basis points, MRR the integer division
+    * 1e6 div first-hit-rank — hash-green cross-engine by construction.
+    *
+    * Scale shape: both arms are the existing bounded retrieval kernels
+    * (broadcast query set, ≤k rows per query out); the eval join and
+    * aggregate touch queries×k rows — nothing scales with the corpus. */
+  def ndcgEval(spark: SparkSession, sfDir: String,
+               nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    require(k <= ndcgGains.length,
+      s"gain table covers ranks 1..${ndcgGains.length}")
+    val gainsArr = array(ndcgGains.map(lit): _*)
+    val prefixArr = array(ndcgPrefix.map(lit): _*)
+    val brute = simTopkBruteforce(spark, sfDir, nQueries, k)
+      .select($"query_id", $"neighbor_id").withColumn("rel", lit(1L))
+    val ann = ivfKmeansAnn(spark, sfDir, nQueries = nQueries, k = k)
+      .select($"query_id", $"neighbor_id", $"rnk")
+    val perAnn = ann.join(brute, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("rel", coalesce($"rel", lit(0L)))
+      .groupBy($"query_id")
+      .agg(sum($"rel" * element_at(gainsArr, $"rnk".cast("int")))
+             .as("dcg_micro"),
+           sum($"rel").as("hits"),
+           min(when($"rel" === 1L, $"rnk")).as("first_hit"))
+    brute.groupBy($"query_id").agg(count(lit(1)).as("n_rel"))
+      .join(perAnn, Seq("query_id"), "left")
+      .withColumn("idcg_micro",
+        element_at(prefixArr, least($"n_rel", lit(k.toLong)).cast("int")))
+      .select($"query_id", $"n_rel".as("k"),
+        coalesce($"hits", lit(0L)).as("hits"),
+        coalesce($"dcg_micro", lit(0L)).as("dcg_micro"),
+        $"idcg_micro",
+        expr("coalesce(dcg_micro, CAST(0 AS BIGINT)) * 10000 div idcg_micro")
+          .as("ndcg_bp"),
+        coalesce(expr("1000000 div first_hit"), lit(0L)).as("mrr_micro"))
+  }
+
   /** Matryoshka-style two-stage retrieval: a cheap coarse pass scores
     * every candidate on only the first `prefixDims` dimensions (MRL
     * embeddings front-load information, so the prefix is a usable

@@ -133,6 +133,39 @@ object TextOps {
       .drop("total_docs")
   }
 
+  /** Deterministic TOKEN-BUDGET selection per source (r12) — "give me
+    * N training tokens from each source, stably": docs rank by
+    * md5(doc_id) (the same consistent-hash coin [[trainSplit]] and
+    * [[balancedSample]] flip), and a doc is kept iff its running total
+    * STARTS under the per-source budget — so the one straddling doc
+    * crosses the line (budget-exact truncation is the tokenizer's job
+    * downstream; selection must stay a pure function of the stable id
+    * so backfills and other engines re-pick identical docs). Report
+    * per source: docs/tokens kept vs available, kept share in exact
+    * integer basis points.
+    *
+    * Scale shape: one narrow map (hash + token count — the full text
+    * never moves), one KEYED window cumsum (source shards select
+    * independently at 100 TB; no global prefix scan), one map-side-
+    * combined aggregate over ≤|sources| groups. */
+  def tokenBudget(spark: SparkSession, sfDir: String,
+                  budget: Long = 800L): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    Tables.documents(spark, sfDir)
+      .select($"source", $"doc_id",
+              size(tokens($"text")).cast("long").as("n_tok"))
+      .withColumn("cum_end", sum($"n_tok").over(w))
+      .withColumn("keep", $"cum_end" - $"n_tok" < budget)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_tok").as("tokens_total"),
+           sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+           sum(when($"keep", $"n_tok").otherwise(0L)).as("tokens_kept"))
+      .withColumn("kept_bp", expr("tokens_kept * 10000 div tokens_total"))
+  }
+
   /** Per-document quality metrics: length, token count, mean token
     * length, stopword ratio — the length/punct/stopword heuristics used
     * to filter web-scale corpora. */

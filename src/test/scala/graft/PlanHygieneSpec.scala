@@ -27,6 +27,7 @@ class PlanHygieneSpec extends SparkSpec {
                             // frame every IVF probe already broadcasts)
     "sim_nsw_recall",       // composes the bruteforce pass (same shape)
     "sim_recall_at_k",      // composes the bruteforce pass (same shape)
+    "sim_ndcg_eval",        // composes the bruteforce pass (same shape)
     "text_mix_weights",     // 5-row agg × 1-row total broadcast
     "text_bm25",            // tf rows × 1-row corpus-stats broadcast
     "text_dsir_weights",    // bucket table × 1-row distribution totals
