@@ -239,6 +239,8 @@ object SparkEntry {
     "dedup_apply"        -> ((s, d) => Dedup.dedupApply(s, d)),
     "sim_recall_at_k"    -> ((s, d) => SimOps.recallAtK(s, d)),
     "sim_ndcg_eval"      -> ((s, d) => SimOps.ndcgEval(s, d)),
+    "sim_ivf_delete"     -> ((s, d) => SimOps.ivfDelete(s, d)),
+    "dedup_source_impact" -> ((s, d) => Dedup.sourceImpact(s, d)),
     "text_token_budget"  -> ((s, d) => TextOps.tokenBudget(s, d)),
     "text_cluster_split" -> ((s, d) => Dedup.clusterSplit(s, d)),
     "mm_wav_clipping"    -> ((s, d) => AudioOps.wavClipping(s, d)),
@@ -1740,6 +1742,53 @@ object SparkEntry {
         |   AS n_dup_docs,
         | CAST(sum(n_tok) AS BIGINT) AS sum_tokens
         |FROM rep GROUP BY 1, 2""".stripMargin,
+    // per-source dedup impact: the dedup_clusters closure + apply
+    // verdicts + canonical-source attribution
+    "dedup_source_impact" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |   THEN [array_to_string(t[i:i+2],' ') for i in generate_series(1,len(t)-2)]
+        |   ELSE [array_to_string(t,' ')] END) AS s
+        | FROM toks),
+        |post AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+        |cand AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+        |  count(*) AS inter
+        | FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1,2,3,4),
+        |pairs AS (
+        | SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |   CAST(round(CAST(CAST(inter*1.0/(na+nb-inter) AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS jaccard
+        |  FROM cand) p
+        | WHERE jaccard >= 0.2),
+        |edges AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (
+        | SELECT src AS doc_id, least(src, min(dst)) AS label
+        | FROM reach GROUP BY src),
+        |appl AS (
+        | SELECT d.doc_id, d.source, coalesce(l.label, d.doc_id) AS cluster_id,
+        |  (l.label IS NULL OR l.label = d.doc_id) AS keep
+        | FROM documents d LEFT JOIN lab l USING (doc_id)),
+        |canon AS (SELECT cluster_id, source AS canon_source
+        |          FROM appl WHERE keep)
+        |SELECT a.source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN NOT a.keep THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dropped,
+        | CAST(sum(CASE WHEN NOT a.keep AND c.canon_source != a.source
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_source,
+        | CAST(sum(CASE WHEN NOT a.keep THEN 1 ELSE 0 END) * 10000 // count(*)
+        |   AS BIGINT) AS dropped_bp
+        |FROM appl a JOIN canon c USING (cluster_id) GROUP BY 1""".stripMargin,
     // canonical selection: the dedup_clusters closure + keep-longest
     // (tie -> min doc_id) and reclaimed-token accounting
     "dedup_canonical" ->
@@ -2781,6 +2830,25 @@ object SparkEntry {
         |   WHEN 4 THEN 2561605 ELSE 2948457 END) AS BIGINT) AS ndcg_bp,
         | CAST(coalesce(1000000 // pa.first_hit, 0) AS BIGINT) AS mrr_micro
         |FROM pb LEFT JOIN pa USING (query_id)""".stripMargin,
+    "sim_ivf_delete" ->
+      s"""$KmeansCtes,
+        |w AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        | FROM embeddings),
+        |idx AS (SELECT af.vec_id, af.cid, w.vec, w.nrm FROM af JOIN w USING (vec_id)),
+        |live AS (SELECT * FROM idx WHERE vec_id % 7 != 0),
+        |q AS (SELECT vec_id AS query_id, cid, vec AS qvec, nrm AS qnrm
+        |      FROM live WHERE vec_id < 8),
+        |ip AS (
+        | SELECT q.query_id, i.vec_id AS neighbor_id,
+        |  round(list_dot_product(i.vec, q.qvec)/(i.nrm*q.qnrm), 6) AS cosine
+        | FROM live i JOIN q ON i.cid = q.cid AND i.vec_id != q.query_id)
+        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        |FROM (
+        | SELECT query_id, neighbor_id, cosine, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        | FROM ip) t WHERE rnk <= 5""".stripMargin,
     "tel_hourly_percentiles" ->
       """WITH g AS (
         | SELECT event_type, date_trunc('hour', ts) AS h,

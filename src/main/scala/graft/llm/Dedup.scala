@@ -406,6 +406,36 @@ object Dedup {
               $"dup_of")
   }
 
+  /** Per-SOURCE dedup impact (r17) — the "which crawls are redundant"
+    * report a curation owner reads after [[dedupApply]]: per source,
+    * how many docs the near-dup pass drops, in exact basis points, and
+    * how many of those drops lose to a canonical living in a DIFFERENT
+    * source (`n_cross_source` — high means the source is largely
+    * contained in earlier crawls and its next refresh can be demoted;
+    * low means its duplication is internal and a within-source cleanup
+    * suffices). Composes [[dedupApply]]'s verdicts with the source
+    * column; every cluster has exactly one keeper, so the canonical-
+    * source join is |clusters| rows — the aggregate adds one narrow
+    * join and one map-side-combined hash agg to machinery already
+    * paid for. */
+  def sourceImpact(spark: SparkSession, sfDir: String,
+                   threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val v = dedupApply(spark, sfDir, threshold)
+      .select($"doc_id", $"cluster_id", $"keep")
+      .join(Tables.documents(spark, sfDir).select($"doc_id", $"source"),
+        "doc_id")
+    val canon = v.filter($"keep")
+      .select($"cluster_id", $"source".as("canon_source"))
+    v.join(canon, "cluster_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(!$"keep", 1L).otherwise(0L)).as("n_dropped"),
+           sum(when(!$"keep" && $"canon_source" =!= $"source", 1L)
+             .otherwise(0L)).as("n_cross_source"))
+      .withColumn("dropped_bp", expr("n_dropped * 10000 div n_docs"))
+  }
+
   /** Cross-SHARD overlap estimation (r11) — the dump-vs-dump planning
     * question ("how much of crawl N+1 is already in crawl N?") answered
     * two ways from one pass: EXACT per-shard-pair Jaccard over distinct

@@ -1196,6 +1196,70 @@ object SimOps {
       sfDir, nQueries, k)
   }
 
+  /** DELETE from the persisted ANN index without retraining (r17) —
+    * the lifecycle step [[ivfAppend]] left open: takedowns, opt-outs,
+    * and curation drops arrive as a TOMBSTONE table (here the
+    * deterministic stand-in `vec_id % deleteMod = 0`), and the serving
+    * path masks them with one anti-join against the persisted
+    * assignments — centroids and surviving assignments stay frozen,
+    * exactly FAISS `remove_ids` semantics. Deleted ids can be neither
+    * queries nor neighbors. At 100 TB the mask is a broadcast/bloom
+    * anti-join against a tombstone table orders of magnitude below
+    * corpus size; [[compactIndex]] is the nightly rewrite that folds
+    * tombstones into the index file and empties the mask — the spec
+    * proves masked-probe ≡ compacted-probe bit-for-bit. */
+  def ivfDelete(spark: SparkSession, sfDir: String,
+                nQueries: Int = 8, k: Int = 5,
+                deleteMod: Long = 7L): DataFrame = {
+    import spark.implicits._
+    val idxDir = deleteIndexDir(spark, sfDir, deleteMod)
+    val live = spark.read.parquet(s"$idxDir/assignments")
+      .join(spark.read.parquet(s"$idxDir/tombstones"), Seq("vec_id"),
+        "left_anti")
+    ivfProbe(spark, live, sfDir, nQueries, k)
+  }
+
+  /** Build (once per corpus) the persisted index + tombstone pair the
+    * delete path serves from. */
+  private def deleteIndexDir(spark: SparkSession, sfDir: String,
+                             deleteMod: Long): String =
+    ivfIndexCache.computeIfAbsent(s"$sfDir#del$deleteMod", _ => {
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-del").toString
+      clusterAssignments(spark, sfDir)
+        .write.mode("overwrite").parquet(s"$dir/assignments")
+      Tables.embeddings(spark, sfDir)
+        .select($"vec_id").filter($"vec_id" % deleteMod === 0)
+        .write.mode("overwrite").parquet(s"$dir/tombstones")
+      dir
+    })
+
+  /** Fold tombstones into the index file (the nightly compaction):
+    * rewrite assignments minus tombstoned ids to a new location and
+    * return it. Probing the compacted index with NO mask must equal
+    * the masked probe bit-for-bit (spec-checked) — compaction is pure
+    * storage reclamation, never a semantic change. */
+  private[graft] def compactIndex(spark: SparkSession, sfDir: String,
+                                  deleteMod: Long = 7L): String = {
+    val idxDir = deleteIndexDir(spark, sfDir, deleteMod)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-ivf-compact").toString
+    spark.read.parquet(s"$idxDir/assignments")
+      .join(spark.read.parquet(s"$idxDir/tombstones"), Seq("vec_id"),
+        "left_anti")
+      .write.mode("overwrite").parquet(s"$out/assignments")
+    out
+  }
+
+  /** The compacted-index probe for the equivalence spec: same
+    * [[ivfProbe]], empty mask. */
+  private[graft] def probeCompacted(spark: SparkSession, sfDir: String,
+                                    compactedDir: String, nQueries: Int = 8,
+                                    k: Int = 5): DataFrame =
+    ivfProbe(spark, spark.read.parquet(s"$compactedDir/assignments"),
+      sfDir, nQueries, k)
+
   /** Index STALENESS report for the frozen-centroid append — the
     * "retrain yet?" measurement: per centroid, mean quantization error
     * of the base cohort (what the index was trained on) vs the

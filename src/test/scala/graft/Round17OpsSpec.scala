@@ -123,6 +123,61 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("sim_ivf_delete: tombstoned ids vanish from queries and results; " +
+      "masked probe == compacted probe bit-for-bit") {
+    import spark.implicits._
+    val masked = SimOps.ivfDelete(spark, sf).collect()
+    assert(masked.nonEmpty)
+    masked.foreach { r =>
+      assert(r.getAs[Long]("query_id") % 7 !== 0L, s"deleted query: $r")
+      assert(r.getAs[Long]("neighbor_id") % 7 !== 0L, s"deleted neighbor: $r")
+    }
+    // the index itself did NOT lose non-deleted structure: probing the
+    // compacted rewrite (no mask) must reproduce the masked probe
+    val compactedDir = SimOps.compactIndex(spark, sf)
+    val compacted =
+      SimOps.probeCompacted(spark, sf, compactedDir).collect()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    assert(keyed(compacted) === keyed(masked))
+    // compaction really removed the tombstones from storage
+    val leftover = spark.read.parquet(s"$compactedDir/assignments")
+      .filter($"vec_id" % 7 === 0).count()
+    assert(leftover === 0L)
+  }
+
+  test("dedup_source_impact: recount from the apply verdicts; " +
+      "cross-source drops bounded by drops") {
+    import spark.implicits._
+    val verdicts = Dedup.dedupApply(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep"))).toMap
+    val srcOf = Tables.documents(spark, sf)
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val canonSrc = verdicts.collect {
+      case (doc, (cl, true)) => cl -> srcOf(doc)
+    }
+    val expect = verdicts.toSeq.groupBy { case (doc, _) => srcOf(doc) }
+      .map { case (src, ds) =>
+        val dropped = ds.filter(!_._2._2)
+        src -> ((ds.size.toLong, dropped.size.toLong,
+          dropped.count { case (_, (cl, _)) => canonSrc(cl) != src }.toLong,
+          dropped.size.toLong * 10000L / ds.size))
+      }
+    val got = Dedup.sourceImpact(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dropped"),
+          r.getAs[Long]("n_cross_source"), r.getAs[Long]("dropped_bp"))))
+      .toMap
+    assert(got === expect)
+    assert(got.values.map(_._1).sum === verdicts.size.toLong)
+    got.values.foreach { case (_, nd, ncs, _) => assert(ncs <= nd) }
+    // the fixture has real drops somewhere, else the report is vacuous
+    assert(got.values.map(_._2).sum > 0L)
+  }
+
   test("mm_wav_clipping: detector counts match the analytic samples " +
       "through the real codec") {
     val out = AudioOps.wavClipping(spark, sf).collect()
