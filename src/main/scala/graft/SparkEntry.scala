@@ -215,6 +215,7 @@ object SparkEntry {
     "mm_txt_joint_embed" -> ((s, d) => CrossModal.jointEmbed(s, d)),
     "mm_txt_joint_pairs" -> ((s, d) => CrossModal.jointPairs(s, d)),
     "mm_txt_curation"    -> ((s, d) => CrossModal.curationMatrix(s, d)),
+    "mm_txt_retrieval"   -> ((s, d) => CrossModal.txtRetrieval(s, d)),
     "sim_mrl_rerank"     -> ((s, d) => SimOps.mrlRerank(s, d)),
     "sim_hnsw_ann"       -> ((s, d) => SimOps.hnswAnn(s, d)),
     "dedup_substring"    -> ((s, d) => Dedup.substringPairs(s, d)),
@@ -4337,6 +4338,46 @@ object SparkEntry {
         | abs(q0-t0*16)+abs(q1-t1*16)+abs(q2-t2*16)+abs(q3-t3*16) <= 6000
         |   AS aligned
         |FROM q JOIN t USING (doc_id)""".stripMargin,
+    "mm_txt_retrieval" ->
+      """WITH px AS (
+        | SELECT d.doc_id, i.i,
+        |  CASE WHEN i.i < d.doc_id % 3
+        |   THEN (('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT + 128) % 256
+        |   ELSE ('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT
+        |  END AS v
+        | FROM (SELECT doc_id FROM documents) d
+        | CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i),
+        |q AS (
+        | SELECT doc_id,
+        |  CAST(sum(CASE WHEN ((i//8)//4)*2 + (i%8)//4 = 0 THEN v ELSE 0 END) AS BIGINT) AS q0,
+        |  CAST(sum(CASE WHEN ((i//8)//4)*2 + (i%8)//4 = 1 THEN v ELSE 0 END) AS BIGINT) AS q1,
+        |  CAST(sum(CASE WHEN ((i//8)//4)*2 + (i%8)//4 = 2 THEN v ELSE 0 END) AS BIGINT) AS q2,
+        |  CAST(sum(CASE WHEN ((i//8)//4)*2 + (i%8)//4 = 3 THEN v ELSE 0 END) AS BIGINT) AS q3
+        | FROM px GROUP BY 1),
+        |t AS (
+        | SELECT doc_id AS query_id,
+        |  ('0x'||substr(md5(text),1,2))::BIGINT AS t0,
+        |  ('0x'||substr(md5(text),3,2))::BIGINT AS t1,
+        |  ('0x'||substr(md5(text),5,2))::BIGINT AS t2,
+        |  ('0x'||substr(md5(text),7,2))::BIGINT AS t3
+        | FROM documents WHERE doc_id < 8),
+        |sc AS (
+        | SELECT t.query_id, q.doc_id AS img_id,
+        |  CAST(abs(q0-t0*16)+abs(q1-t1*16)+abs(q2-t2*16)+abs(q3-t3*16)
+        |    AS BIGINT) AS l1
+        | FROM q CROSS JOIN t),
+        |f AS (SELECT query_id, l1 AS self_l1 FROM sc WHERE img_id = query_id)
+        |SELECT s.query_id, CAST(count(*) AS BIGINT) AS n_images,
+        | CAST(max(f.self_l1) AS BIGINT) AS self_l1,
+        | CAST(1 + sum(CASE WHEN s.img_id != s.query_id AND
+        |   (s.l1 < f.self_l1 OR (s.l1 = f.self_l1 AND s.img_id < s.query_id))
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS self_rank,
+        | CAST(1 + sum(CASE WHEN s.img_id != s.query_id AND
+        |   (s.l1 < f.self_l1 OR (s.l1 = f.self_l1 AND s.img_id < s.query_id))
+        |   THEN 1 ELSE 0 END) AS BIGINT) <= 10 AS hit_at_k
+        |FROM sc s JOIN f USING (query_id) GROUP BY 1""".stripMargin,
     "mm_txt_joint_pairs" ->
       """WITH px AS (
         | SELECT d.doc_id, i.i,

@@ -39,10 +39,12 @@ object CrossModal {
     * ×16 to the same range. Consistency is the L1 distance between
     * the towers (exact integers, hash-green by construction);
     * `aligned` flags pairs under the curation threshold. */
-  def jointEmbed(spark: SparkSession, sfDir: String,
-                 maxL1: Long = 6000L): DataFrame = {
+  /** Image tower: the REALLY-decoded 8×8 luma plane reduced to 4
+    * quadrant sums (16 px each, 0..4080) — shared by [[jointEmbed]]
+    * and [[txtRetrieval]]. */
+  private def imgTowers(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val img = ImageOps.images(spark, sfDir).mapPartitions { rows =>
+    ImageOps.images(spark, sfDir).mapPartitions { rows =>
       rows.map { r =>
         val (w, _, px) = ImageOps.decode(r.png)
         val q = new Array[Long](4)
@@ -55,12 +57,25 @@ object CrossModal {
         (r.doc_id, q(0), q(1), q(2), q(3))
       }
     }.toDF("doc_id", "q0", "q1", "q2", "q3")
+  }
+
+  /** Caption tower: bytes 0..3 of md5(text) scaled ×16 to the image
+    * tower's range — shared by [[jointEmbed]] and [[txtRetrieval]]. */
+  private def txtTowers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val tCols = (0 until 4).map(k =>
       conv(substring($"h", 2 * k + 1, 2), 16, 10)
         .cast("long").as(s"t$k"))
-    val txt = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .select($"doc_id", md5($"text").as("h"))
       .select(col("doc_id") +: tCols: _*)
+  }
+
+  def jointEmbed(spark: SparkSession, sfDir: String,
+                 maxL1: Long = 6000L): DataFrame = {
+    import spark.implicits._
+    val img = imgTowers(spark, sfDir)
+    val txt = txtTowers(spark, sfDir)
     img.join(txt, "doc_id")
       .withColumn("l1",
         abs($"q0" - $"t0" * 16) + abs($"q1" - $"t1" * 16) +
@@ -108,6 +123,55 @@ object CrossModal {
         $"hamming" <= 1 && $"jacc_micro" >= jaccMicro)
       .select($"doc_a", $"doc_b", $"hamming", $"inter",
         $"jacc_micro", $"joint_dup")
+  }
+
+  /** Caption→image RETRIEVAL eval (r17) — the contrastive-model eval
+    * every (image, caption) corpus runs: for each query caption, rank
+    * ALL images by tower L1 distance and report where the caption's
+    * OWN image landed (`self_rank`, `hit_at_k`) — recall@k of paired
+    * retrieval, the number a CLIP-style training run watches epoch
+    * over epoch. Ranking is (l1, image_id)-lexicographic, exact
+    * integers end to end.
+    *
+    * Signal caveat (documented, the [[graft.llm.SimOps.mrlRerank]]
+    * discipline): the towers are STUBS — md5 captions vs pixel sums
+    * share no learned structure, so self_rank is near-uniform here;
+    * the pipeline's exactness is what's proven (oracle hash-green),
+    * and swapping in real towers changes projections, not the plan.
+    *
+    * Scale shape: the query captions broadcast into one pass over the
+    * image towers (the simTopkBruteforce shape) and `self_rank` is an
+    * AGGREGATE — count of images strictly better than the paired one —
+    * so no window, no top-k materialization, nothing beyond the one
+    * narrow decode pass scales with the corpus. */
+  def txtRetrieval(spark: SparkSession, sfDir: String,
+                   nQueries: Int = 8, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val img = imgTowers(spark, sfDir)
+    val q = txtTowers(spark, sfDir)
+      .filter($"doc_id" < nQueries)
+      .select($"doc_id".as("query_id"), $"t0", $"t1", $"t2", $"t3")
+    // pin the one decode pass: scored is referenced by both the
+    // self-distance probe and the counting aggregate
+    val scored = img.join(broadcast(q))
+      .withColumn("l1",
+        abs($"q0" - $"t0" * 16) + abs($"q1" - $"t1" * 16) +
+        abs($"q2" - $"t2" * 16) + abs($"q3" - $"t3" * 16))
+      .select($"query_id", $"doc_id", $"l1")
+      .localCheckpoint()
+    val self = scored.filter($"doc_id" === $"query_id")
+      .select($"query_id", $"l1".as("self_l1"))
+    scored.join(broadcast(self), "query_id")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("n_images"),
+           max($"self_l1").as("self_l1"),
+           (lit(1L) + sum(when($"doc_id" =!= $"query_id" &&
+               ($"l1" < $"self_l1" ||
+                ($"l1" === $"self_l1" && $"doc_id" < $"query_id")), 1L)
+             .otherwise(0L))).as("self_rank"))
+      .withColumn("hit_at_k", $"self_rank" <= k)
+      .select($"query_id", $"n_images", $"self_l1", $"self_rank",
+        $"hit_at_k")
   }
 
   /** Cross-modal CURATION MATRIX: every (image-brightness × caption-

@@ -178,6 +178,35 @@ class Round17OpsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum > 0L)
   }
 
+  test("mm_txt_retrieval: self-rank recomputed from the jointEmbed " +
+      "towers; rank bounds hold") {
+    import graft.llm.CrossModal
+    val towers = CrossModal.jointEmbed(spark, sf).collect()
+      .map { r =>
+        r.getAs[Long]("doc_id") ->
+          (Array("q0", "q1", "q2", "q3").map(r.getAs[Long]),
+           Array("t0", "t1", "t2", "t3").map(r.getAs[Long]))
+      }.toMap
+    val got = CrossModal.txtRetrieval(spark, sf).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(got.keySet === towers.keySet.filter(_ < 8L))
+    got.foreach { case (qid, row) =>
+      val tq = towers(qid)._2
+      def l1(img: Long): Long =
+        towers(img)._1.zip(tq).map { case (a, b) =>
+          math.abs(a - b * 16L) }.sum
+      val self = l1(qid)
+      val better = towers.keys.count(j =>
+        j != qid && (l1(j) < self || (l1(j) == self && j < qid)))
+      assert(row.getAs[Long]("self_l1") === self, s"query $qid")
+      assert(row.getAs[Long]("self_rank") === better + 1L, s"query $qid")
+      assert(row.getAs[Long]("n_images") === towers.size.toLong)
+      assert(row.getAs[Boolean]("hit_at_k") === (better + 1 <= 10))
+      assert(row.getAs[Long]("self_rank") >= 1L &&
+        row.getAs[Long]("self_rank") <= towers.size.toLong)
+    }
+  }
+
   test("mm_wav_clipping: detector counts match the analytic samples " +
       "through the real codec") {
     val out = AudioOps.wavClipping(spark, sf).collect()
