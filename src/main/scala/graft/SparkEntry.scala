@@ -85,6 +85,7 @@ object SparkEntry {
     "tel_moving_avg"     -> (Telemetry.movingAvg _),
     "tel_counter_rate"   -> (Telemetry.counterRate _),
     "text_contamination" -> ((s, d) => TextOps.contamination(s, d)),
+    "text_decontam_apply" -> ((s, d) => TextOps.decontamApply(s, d)),
     "mm_frame_meta"      -> ((s, d) => Multimodal.frameSample(s, d).toDF()
                                .select("doc_id", "frame_idx", "frame_len")),
     "tel_gap_fill"       -> (Telemetry.gapFill _),
@@ -1329,6 +1330,29 @@ object SparkEntry {
         |   AS DECIMAL(38,18)),4) AS DOUBLE) AS contamination
         |FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
         |WHERE s.doc_id % 50 != 0""".stripMargin,
+    "text_decontam_apply" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |   THEN [array_to_string(t[i:i+2],' ') for i in generate_series(1,len(t)-2)]
+        |   ELSE [array_to_string(t,' ')] END) AS s
+        | FROM toks),
+        |bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 50 = 0),
+        |train AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 50 != 0),
+        |hits AS (SELECT t.doc_id, count(*) AS n_hit
+        |         FROM train t JOIN bench b ON t.shingle = b.shingle GROUP BY 1),
+        |rep AS (
+        | SELECT s.doc_id, len(s.s) AS n_shingles,
+        |  coalesce(h.n_hit, 0) AS n_contaminated,
+        |  CAST(round(CAST(CAST(coalesce(h.n_hit,0)*1.0/len(s.s) AS VARCHAR)
+        |    AS DECIMAL(38,18)),4) AS DOUBLE) AS contamination
+        | FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        | WHERE s.doc_id % 50 != 0)
+        |SELECT doc_id, n_shingles, n_contaminated, contamination,
+        | contamination <= 0.05 AS keep
+        |FROM rep""".stripMargin,
     "sim_ivf_ann" ->
       """WITH v AS (
         | SELECT vec_id, embedding::DOUBLE[] AS vec,

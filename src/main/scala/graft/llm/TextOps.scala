@@ -285,6 +285,22 @@ object TextOps {
               round($"n_contaminated" / $"n_shingles", 4).as("contamination"))
   }
 
+  /** The ACTION step of benchmark decontamination (r17) — what
+    * [[contamination]]'s signal is FOR (the [[graft.llm.Dedup
+    * .spanApply]] discipline): keep a training document iff at most
+    * `maxContamination` of its shingles collide with the benchmark
+    * set — the GPT-3/Lee et al. decontam rule production pipelines cut
+    * at a few percent. Output mirrors the apply family (per-doc
+    * verdict; downstream ships `filter($"keep")`); the decision is a
+    * projection over the contamination aggregate, no new shuffle. */
+  def decontamApply(spark: SparkSession, sfDir: String,
+                    maxContamination: Double = 0.05): DataFrame = {
+    import spark.implicits._
+    contamination(spark, sfDir)
+      .select($"doc_id", $"n_shingles", $"n_contaminated", $"contamination",
+        ($"contamination" <= maxContamination).as("keep"))
+  }
+
   /** Deterministic class-balanced sampling: keep at most `perGroup` docs
     * per language, chosen by md5(doc_id) order — the consistent-hash
     * "data mixing" step that rebalances source/language proportions in a

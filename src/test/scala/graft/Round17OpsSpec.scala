@@ -178,6 +178,25 @@ class Round17OpsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum > 0L)
   }
 
+  test("text_decontam_apply: verdicts are exactly the contamination " +
+      "report thresholded at 5%") {
+    val rep = TextOps.contamination(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_contaminated"),
+         r.getAs[Double]("contamination"))).toMap
+    val got = TextOps.decontamApply(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_contaminated"),
+         r.getAs[Double]("contamination"), r.getAs[Boolean]("keep"))).toMap
+    assert(got.keySet === rep.keySet)
+    got.foreach { case (doc, (ns, nc, c, keep)) =>
+      assert((ns, nc, c) === rep(doc))
+      assert(keep === (c <= 0.05), s"doc $doc")
+    }
+    // benchmark docs (doc_id % 50 == 0) never appear in the verdict
+    assert(got.keys.forall(_ % 50 != 0))
+  }
+
   test("mm_txt_retrieval: self-rank recomputed from the jointEmbed " +
       "towers; rank bounds hold") {
     import graft.llm.CrossModal
