@@ -233,6 +233,7 @@ object SparkEntry {
     "sim_nsw_ann"        -> ((s, d) => SimOps.nswAnn(s, d)),
     "sim_nsw_persisted"  -> ((s, d) => SimOps.nswPersisted(s, d)),
     "sim_nsw_recall"     -> ((s, d) => SimOps.nswRecall(s, d)),
+    "sim_hnsw_recall"    -> ((s, d) => SimOps.hnswRecall(s, d)),
     "tel_lttb"           -> ((s, d) => Telemetry.lttb(s, d)),
     "tel_capacity_forecast" -> ((s, d) => Telemetry.capacityForecast(s, d)),
     "tel_downtime"       -> ((s, d) => Telemetry.downtime(s, d)),
@@ -4799,6 +4800,7 @@ object SparkEntry {
     "sim_nsw_persisted" -> NswAnnOracle,
     "sim_hnsw_ann" -> HnswAnnOracle,
     "sim_nsw_recall" -> NswRecallOracle,
+    "sim_hnsw_recall" -> HnswRecallOracle,
     "sim_knn_graph" ->
       s"""$KmeansCtes,
         |w AS (
@@ -5474,6 +5476,29 @@ object SparkEntry {
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
        |  ORDER BY cos6 DESC, cand) AS rn FROM bm$NswHops) t
        |WHERE rn <= 5""".stripMargin
+
+  /** sim_hnsw_recall oracle: the hierarchical search CTEs + brute-force
+    * top-5 — [[NswRecallOracle]]'s measurement shape over the
+    * [[HnswAnnCtes]] chain. */
+  private lazy val HnswRecallOracle: String =
+    s"""$HnswAnnCtes,
+       |hnsw AS (SELECT query_id, cand AS neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos6 DESC, cand) AS rn FROM bm$NswHops) t WHERE rn <= 5),
+       |bp AS (
+       | SELECT qq.query_id, w.vec_id AS neighbor_id,
+       |  round(list_dot_product(w.vec, qq.qv)/(w.nrm*qq.qn), 6) AS cosine
+       | FROM w, qq WHERE w.vec_id != qq.query_id),
+       |brute AS (SELECT query_id, neighbor_id FROM (
+       | SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM bp) t WHERE rnk <= 5)
+       |SELECT b.query_id, CAST(count(*) AS BIGINT) AS k,
+       | CAST(sum(CASE WHEN n.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS hits,
+       | CAST(CAST(sum(CASE WHEN n.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |FROM brute b LEFT JOIN hnsw n USING (query_id, neighbor_id)
+       |GROUP BY b.query_id""".stripMargin
 
   private lazy val KmeansCtes: String =
     """WITH v AS (

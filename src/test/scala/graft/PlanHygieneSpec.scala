@@ -26,6 +26,7 @@ class PlanHygieneSpec extends SparkSpec {
                             // k-means cell — the bounded coarse-quantizer
                             // frame every IVF probe already broadcasts)
     "sim_nsw_recall",       // composes the bruteforce pass (same shape)
+    "sim_hnsw_recall",      // composes the bruteforce pass (same shape)
     "sim_recall_at_k",      // composes the bruteforce pass (same shape)
     "sim_ndcg_eval",        // composes the bruteforce pass (same shape)
     "text_mix_weights",     // 5-row agg × 1-row total broadcast
