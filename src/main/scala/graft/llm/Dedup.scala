@@ -421,10 +421,14 @@ object Dedup {
   def sourceImpact(spark: SparkSession, sfDir: String,
                    threshold: Double = 0.2): DataFrame = {
     import spark.implicits._
+    // pin the verdict frame: it feeds BOTH the canonical-source probe
+    // and the per-source aggregate — without the checkpoint each
+    // SortMergeJoin input re-executes the label + source joins
     val v = dedupApply(spark, sfDir, threshold)
       .select($"doc_id", $"cluster_id", $"keep")
       .join(Tables.documents(spark, sfDir).select($"doc_id", $"source"),
         "doc_id")
+      .localCheckpoint()
     val canon = v.filter($"keep")
       .select($"cluster_id", $"source".as("canon_source"))
     v.join(canon, "cluster_id")
