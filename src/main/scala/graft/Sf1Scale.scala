@@ -76,7 +76,10 @@ object Sf1Scale {
     // r15: graph-ANN build+search (the honest full-cost ratio) and the
     // probe-amortized persisted twin (index cached per corpus dir on
     // the first sample, like sim_ivf_append)
-    "sim_nsw_ann", "sim_nsw_persisted", "sim_hnsw_ann")
+    "sim_nsw_ann", "sim_nsw_persisted", "sim_hnsw_ann",
+    // r18: predicate pushed into the inverted-list probe — the ratio
+    // should track sim_ivf-style probe cost on the filtered sublists
+    "sim_filtered_ann")
 
   /** Documents-table dedup/text pipelines — the banded-LSH / inverted-
     * index / prefix-filter scale claims, measured on a text corpus with
@@ -110,7 +113,11 @@ object Sf1Scale {
     // the symbol-disjoint batched BPE trainer (driver rounds ~merges/8),
     // and the joint caption↔image near-dup (image-banded candidates gate
     // the text verification, so the Jaccard side is dup-rate-bounded)
-    "dedup_substring", "text_bpe_train_batched", "mm_txt_joint_pairs")
+    "dedup_substring", "text_bpe_train_batched", "mm_txt_joint_pairs",
+    // r18: distinct-fp acoustic near-dup mining (candidate volume
+    // bounded by the 2^15 fingerprint domain — the ratio should track
+    // the linear decode cost, not the corpus square)
+    "mm_audio_fingerprint")
 
   /** Deterministic word from a full-avalanche mix (vocab of 1000):
     * individual word collisions are common (real corpora repeat words)
@@ -298,7 +305,12 @@ object Sf1Scale {
     "q13_order_count_dist", "q14_promo_share", "q15_top_supplier",
     "q16_supp_part_cnt", "q17_small_qty", "q18_large_orders",
     "q19_disjunct", "q20_part_promo_supp", "q21_waiting_supp",
-    "q22_dormant_custs")
+    "q22_dormant_custs",
+    // r18: Morton layout — locality agg is one narrow pass; the
+    // pruning query's cover-set read should scale with the rectangle's
+    // rows (the layout build is a first-sample cost, amortized by the
+    // min-of-2 timing like the persisted ANN indexes)
+    "q_zorder_locality", "q_zorder_pruning")
 
   /** Synthetic events with the testdata schema over a FIXED 30-day
     * span: 10× more events = 10× denser hours and 10× more users, so

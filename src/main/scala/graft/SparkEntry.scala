@@ -293,6 +293,20 @@ object SparkEntry {
     "q20_part_promo_supp" -> (TpchPack.q20PartPromoSupp _),
     "q21_waiting_supp"   -> (TpchPack.q21WaitingSupp _),
     "q22_dormant_custs"  -> (TpchPack.q22DormantCusts _),
+    // r18: corpus-health text trio
+    "text_ttr"           -> (TextOps.ttr _),
+    "text_hapax"         -> (TextOps.hapax _),
+    "text_zipf_fit"      -> ((s, d) => TextOps.zipfFit(s, d)),
+    // r18: attribute-filtered vector search
+    "sim_filtered_ann"   -> ((s, d) => SimOps.filteredAnn(s, d)),
+    "sim_filtered_recall" -> ((s, d) => SimOps.filteredRecall(s, d)),
+    // r18: Z-order layout lever
+    "q_zorder_locality"  -> (graft.operators.ZOrder.qZorderLocality _),
+    "q_zorder_pruning"   -> (graft.operators.ZOrder.qZorderPruning _),
+    // r18: equality-delete + upsert MOR chain
+    "sink_iceberg_eqdel" -> (graft.catalog.IcebergSqlDemo.eqdelQuery _),
+    // r18: acoustic fingerprint near-dup
+    "mm_audio_fingerprint" -> ((s, d) => AudioOps.audioFingerprint(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -336,6 +350,12 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Morton interleave of 8-bit x/y as unrolled SQL bit terms —
+    * mirrors [[graft.operators.ZOrder.zvalue]] term for term. */
+  private val ZInterleaveSql: String = (0 until 8).map(i =>
+    s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+    .mkString(" + ")
+
   /** MinHash-LSH oracle (64 SQL-replicated perms, banded buckets,
     * exact verify) — shared by dedup_minhash_lsh and the
     * dedup_lsh_recall S-curve composition. */
@@ -3217,6 +3237,199 @@ object SparkEntry {
         |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
         |FROM toks LEFT JOIN fh USING (doc_id)
         |QUALIFY (doc_id + 1) % 50 = 0""".stripMargin,
+    "text_ttr" ->
+      """WITH t AS (
+        | SELECT source,
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+        |  len(list_distinct(string_split_regex(trim(lower(text)), '\s+')))
+        |    AS n_types
+        | FROM documents),
+        |d AS (SELECT source, n_tokens, n_types,
+        |  CAST(round(n_types * 1e6 / n_tokens) AS BIGINT) AS ttr_micro FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        | CAST(sum(n_types) AS BIGINT) AS sum_types,
+        | min(ttr_micro) AS min_ttr_micro, max(ttr_micro) AS max_ttr_micro,
+        | CAST(round(avg(ttr_micro)) AS BIGINT) AS avg_ttr_micro
+        |FROM d GROUP BY source""".stripMargin,
+    "text_hapax" ->
+      """WITH tc AS (
+        | SELECT source,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        | FROM documents),
+        |c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        |      FROM tc GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        | CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        | CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+        | CAST(sum(c) AS BIGINT) AS n_tokens,
+        | CAST(round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1e6 / count(*))
+        |   AS BIGINT) AS hapax_micro
+        |FROM c GROUP BY source""".stripMargin,
+    "text_zipf_fit" ->
+      """WITH tc AS (
+        | SELECT source,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        | FROM documents),
+        |c AS (SELECT source, term, count(*) AS c FROM tc GROUP BY 1, 2),
+        |r AS (
+        | SELECT source, ln(CAST(c AS DOUBLE)) AS lf,
+        |  ln(CAST(row_number() OVER (PARTITION BY source
+        |     ORDER BY c DESC, term) AS DOUBLE)) AS lr,
+        |  row_number() OVER (PARTITION BY source
+        |     ORDER BY c DESC, term) AS rnk
+        | FROM c QUALIFY rnk <= 100)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+        | round(regr_slope(lf, lr), 6) AS slope,
+        | round(regr_intercept(lf, lr), 6) AS intercept,
+        | round(regr_r2(lf, lr), 6) AS r2
+        |FROM r GROUP BY source""".stripMargin,
+    "sim_filtered_ann" ->
+      """WITH v AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS vec, label,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        | FROM embeddings),
+        |c AS (SELECT vec_id AS cid, vec AS cvec, nrm AS cnrm FROM v WHERE vec_id < 4),
+        |scored AS (
+        | SELECT v.vec_id, c.cid,
+        |  row_number() OVER (PARTITION BY v.vec_id
+        |    ORDER BY round(list_dot_product(v.vec, c.cvec)/(v.nrm*c.cnrm), 6) DESC,
+        |             c.cid) AS rn
+        | FROM v, c WHERE v.vec_id >= 4),
+        |assign AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+        |idx AS (SELECT a.vec_id, a.cid, v.vec, v.nrm, v.label
+        |        FROM assign a JOIN v USING (vec_id)
+        |        WHERE v.label % 3 = 0),
+        |qp AS (SELECT vec_id AS query_id, cid FROM scored
+        |       WHERE vec_id < 12 AND rn <= 2),
+        |q AS (SELECT qp.query_id, qp.cid, v.vec AS qvec, v.nrm AS qnrm
+        |      FROM qp JOIN v ON v.vec_id = qp.query_id),
+        |p AS (
+        | SELECT q.query_id, i.vec_id AS neighbor_id, i.label,
+        |  round(list_dot_product(i.vec, q.qvec)/(i.nrm*q.qnrm), 6) AS cosine
+        | FROM idx i JOIN q ON i.cid = q.cid AND i.vec_id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id, label, cosine,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
+        |SELECT query_id, neighbor_id, CAST(label AS BIGINT) AS label,
+        | cosine, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 5""".stripMargin,
+    "sim_filtered_recall" ->
+      """WITH v AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS vec, label,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        | FROM embeddings),
+        |c AS (SELECT vec_id AS cid, vec AS cvec, nrm AS cnrm FROM v WHERE vec_id < 4),
+        |scored AS (
+        | SELECT v.vec_id, c.cid,
+        |  row_number() OVER (PARTITION BY v.vec_id
+        |    ORDER BY round(list_dot_product(v.vec, c.cvec)/(v.nrm*c.cnrm), 6) DESC,
+        |             c.cid) AS rn
+        | FROM v, c WHERE v.vec_id >= 4),
+        |assign AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+        |idx AS (SELECT a.vec_id, a.cid, v.vec, v.nrm
+        |        FROM assign a JOIN v USING (vec_id)
+        |        WHERE v.label % 3 = 0),
+        |qp AS (SELECT vec_id AS query_id, cid FROM scored
+        |       WHERE vec_id < 12 AND rn <= 2),
+        |q AS (SELECT qp.query_id, qp.cid, v.vec AS qvec, v.nrm AS qnrm
+        |      FROM qp JOIN v ON v.vec_id = qp.query_id),
+        |p AS (
+        | SELECT q.query_id, i.vec_id AS neighbor_id,
+        |  round(list_dot_product(i.vec, q.qvec)/(i.nrm*q.qnrm), 6) AS cosine
+        | FROM idx i JOIN q ON i.cid = q.cid AND i.vec_id != q.query_id),
+        |ann AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY cosine DESC, neighbor_id) AS rnk FROM p) t
+        | WHERE rnk <= 5),
+        |q2 AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm
+        |       FROM v WHERE vec_id >= 4 AND vec_id < 12),
+        |bp AS (
+        | SELECT q2.query_id, v.vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY q2.query_id
+        |    ORDER BY round(list_dot_product(v.vec, q2.qvec)/(v.nrm*q2.qnrm), 6)
+        |      DESC, v.vec_id) AS rnk
+        | FROM v, q2 WHERE v.label % 3 = 0 AND v.vec_id != q2.query_id),
+        |b AS (SELECT query_id, neighbor_id FROM bp WHERE rnk <= 5)
+        |SELECT b.query_id, CAST(count(*) AS BIGINT) AS k,
+        | CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS hits,
+        | CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+        |FROM b LEFT JOIN ann a
+        | ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+        |GROUP BY b.query_id""".stripMargin,
+    "q_zorder_locality" ->
+      (s"""WITH b AS (
+        | SELECT l_partkey % 256 AS x, l_orderkey % 256 AS y FROM lineitem),
+        |z AS (SELECT x, y, $ZInterleaveSql AS z FROM b)
+        |SELECT z >> 8 AS zbucket, CAST(count(*) AS BIGINT) AS n_rows,
+        | min(x) AS min_x, max(x) AS max_x,
+        | min(y) AS min_y, max(y) AS max_y
+        |FROM z GROUP BY 1""".stripMargin),
+    "q_zorder_pruning" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        | round(sum(l_extendedprice), 4) AS sum_price,
+        | min(l_partkey % 256) AS min_x, max(l_orderkey % 256) AS max_y
+        |FROM lineitem
+        |WHERE l_partkey % 256 BETWEEN 32 AND 47
+        |  AND l_orderkey % 256 BETWEEN 96 AND 127
+        |GROUP BY l_returnflag""".stripMargin,
+    "sink_iceberg_eqdel" ->
+      """WITH keys AS (
+        | SELECT event_id FROM events ORDER BY event_id LIMIT 5),
+        |live AS (
+        | SELECT event_type, user_id, value FROM events
+        | WHERE event_type != 'error'
+        |   AND event_id NOT IN (SELECT event_id FROM keys)
+        | UNION ALL
+        | SELECT event_type, user_id, -1.0 AS value FROM events
+        | WHERE event_id IN (SELECT event_id FROM keys))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        | round(sum(value), 4) AS sum_value
+        |FROM live GROUP BY event_type""".stripMargin,
+    "mm_audio_fingerprint" ->
+      """WITH v AS (
+        | SELECT d.doc_id, i.i,
+        |  ('0x' || substr(md5('af:' || CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |     CAST(i.i AS VARCHAR)), 1, 4))::BIGINT AS r
+        | FROM (SELECT doc_id FROM documents) d
+        | CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS i) i),
+        |s AS (
+        | SELECT doc_id, i,
+        |  CASE WHEN i < (doc_id % 3) * 16
+        |   THEN (r + 1000) % 65536 ELSE r END AS u
+        | FROM v),
+        |sx AS (
+        | SELECT doc_id, i // 32 AS win,
+        |  u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END AS s
+        | FROM s),
+        |e AS (SELECT doc_id, win, CAST(sum(abs(s)) AS BIGINT) AS e
+        |      FROM sx GROUP BY 1, 2),
+        |eb AS (SELECT doc_id, win, e,
+        |  lag(e) OVER (PARTITION BY doc_id ORDER BY win) AS pe FROM e),
+        |f AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN pe IS NOT NULL AND e > pe
+        |    THEN 1 << (win - 1) ELSE 0 END) AS BIGINT) AS fp
+        | FROM eb GROUP BY 1),
+        |g AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_clips,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc FROM f GROUP BY 1),
+        |bands AS (
+        | SELECT fp, n_clips, min_doc, b.band,
+        |  (fp >> (b.band * 8)) & 255 AS bv
+        | FROM g, (SELECT unnest([0, 1]) AS band) b),
+        |cand AS (
+        | SELECT DISTINCT a.fp AS fa, b.fp AS fb,
+        |  a.n_clips AS n_a, b.n_clips AS n_b,
+        |  a.min_doc AS doc_a, b.min_doc AS doc_b
+        | FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bv = b.bv AND a.fp < b.fp)
+        |SELECT fa, fb, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming,
+        | n_a, n_b, n_a * n_b AS clip_pairs, doc_a, doc_b
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 1""".stripMargin,
   )
 
   private lazy val FunnelRetentionCorrOracles: Map[String, String] = Map(

@@ -116,6 +116,64 @@ object IcebergSqlDemo {
       .select($"column", $"ndv", $"exact")
   }
 
+  private def eqChainLoc(sfDir: String): String = {
+    val base = java.nio.file.Paths.get(sfDir).toAbsolutePath.toString
+    val md = MessageDigest.getInstance("MD5").digest(base.getBytes("UTF-8"))
+    s"/tmp/graft_iceberg_eqdel/${md.map(b => f"$b%02x").mkString}/t"
+  }
+
+  /** Chain for `sink_iceberg_eqdel`: register the events files, retire
+    * every `error` event via an EQUALITY delete (the O(|keys|)
+    * GDPR-style verb — the table is never scanned), then UPSERT the
+    * five smallest event_ids with `value := -1.0` (one snapshot: new
+    * data files + an equality delete on event_id). The sequencing is
+    * the point: the upsert's re-inserted rows sit ABOVE both deletes,
+    * so a re-inserted `error`-typed row LIVES — equality deletes apply
+    * strictly below their sequence number. */
+  private def ensureEqChain(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val loc = eqChainLoc(sfDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (IcebergTableMetadata.load(conf, loc).isEmpty) {
+      val ev = Tables.events(spark, sfDir)
+      val (schemaJson, _) = RestCatalogClient.icebergSchemaJson(ev.schema)
+      val sj = org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(schemaJson))
+      val paths = graft.recovery.Recovery
+        .listDataFiles(spark, s"$sfDir/events.parquet")
+        .collect().map(_.getString(0)).toSeq.sorted
+      val counts = graft.recovery.Recovery.fileRowCounts(spark, paths)
+      IcebergCommit.commitStandalone(conf, loc, sj, None,
+        paths.map(p => DataFile(p, 0L, counts.getOrElse(p, 0L))))
+      IcebergMaintenance.deleteMatching(spark, loc,
+        Seq("error").toDF("event_type"))
+      val keyIds = ev.select($"event_id").orderBy($"event_id")
+        .limit(5).as[Long].collect().toSeq // 5 longs: metadata-scale
+      val updates = ev.filter($"event_id".isin(keyIds: _*))
+        .withColumn("value", lit(-1.0))
+      IcebergMaintenance.upsert(spark, loc, updates, Seq("event_id"))
+    }
+    loc
+  }
+
+  /** `sink_iceberg_eqdel`: merge-on-read EQUALITY deletes + upsert
+    * under the DuckDB oracle gate. The oracle rebuilds the final state
+    * relationally (non-error rows minus the upserted keys, union the
+    * updated key rows), so a hash match proves equality-delete file
+    * write → manifest sequencing → reader-side null-safe key
+    * anti-join → strictly-below semantics (the re-inserted `error`
+    * row surviving) against the independent engine. */
+  def eqdelQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val loc = ensureEqChain(spark, sfDir)
+    spark.sql(
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         | CAST(sum(user_id) AS BIGINT) AS sum_uid,
+         | round(sum(value), 4) AS sum_value
+         |FROM graft_iceberg('$loc')
+         |GROUP BY event_type""".stripMargin)
+  }
+
   /** `sink_iceberg_timetravel`: the SAME aggregate at the PRE-delete
     * snapshot (two-arg TVF form) — the oracle computes over the full
     * raw table, so the hash match proves snapshot isolation through

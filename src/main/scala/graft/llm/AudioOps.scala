@@ -172,4 +172,120 @@ object AudioOps {
       }
     }.toDF("doc_id", "win", "n_samples", "energy_q", "rms", "zcr")
   }
+
+  private val FpWin = 32 // fingerprint window: 16 windows per clip
+
+  /** RIFF/WAV container for int16 mono PCM — the same hand-rolled
+    * 44-byte header [[wavs]] writes, factored for the fingerprint
+    * generator. */
+  private def pcmWav(samples: Array[Int]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    val dataLen = samples.length * 2
+    out.write("RIFF".getBytes("US-ASCII")); w32(36 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(16)
+    w16(1); w16(1); w32(SampleRate); w32(SampleRate * 2); w16(2); w16(16)
+    out.write("data".getBytes("US-ASCII")); w32(dataLen)
+    samples.foreach { s => out.write(s & 0xff); out.write((s >> 8) & 0xff) }
+    out.toByteArray
+  }
+
+  /** Clips with PLANTED near-duplicates (the [[ImageOps]] `doc_id/3`
+    * seed discipline): three docs share each seed's audio, perturbed
+    * by +1000 (int16 wraparound — exact in modular arithmetic) on the
+    * first `(doc_id%3)·16` samples — a re-encode/level-tweak stand-in
+    * that moves only window 0's energy, so variant fingerprints sit
+    * within Hamming 1 of the original. */
+  private def fpWavs(spark: SparkSession, sfDir: String): Dataset[WavRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select($"doc_id").as[Long]
+      .mapPartitions { ids =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        ids.map { docId =>
+          val seed = docId / 3
+          val cut = (docId % 3).toInt * 16
+          val samples = Array.tabulate(NSamples) { i =>
+            val d = md.digest(s"af:$seed:$i".getBytes("UTF-8"))
+            val u = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+            val u2 = if (i < cut) (u + 1000) % 65536 else u
+            u2.toShort.toInt
+          }
+          WavRow(docId, pcmWav(samples))
+        }
+      }
+  }
+
+  /** Per-clip acoustic fingerprints from really-decoded PCM: 16
+    * disjoint 32-sample windows, bit `w` = 1 iff `E_w > E_{w−1}` (15
+    * bits of energy deltas — level-invariant, the property that makes
+    * it a fingerprint and not a checksum). */
+  private[graft] def fingerprints(spark: SparkSession,
+                                  sfDir: String): DataFrame = {
+    import spark.implicits._
+    fpWavs(spark, sfDir).mapPartitions { rows =>
+      rows.map { r =>
+        val (_, s) = decode(r.wav)
+        val e = Array.tabulate(s.length / FpWin) { w =>
+          var acc = 0L
+          var i = w * FpWin
+          while (i < (w + 1) * FpWin) { acc += math.abs(s(i)); i += 1 }
+          acc
+        }
+        var fp = 0L
+        var w = 1
+        while (w < e.length) {
+          if (e(w) > e(w - 1)) fp |= 1L << (w - 1)
+          w += 1
+        }
+        (r.doc_id, fp)
+      }
+    }.toDF("doc_id", "fp")
+  }
+
+  /** Acoustic-fingerprint near-duplicate mining (r18) — the
+    * Haitsma–Kalker energy-delta scheme (ISMIR'02, the public method
+    * behind broadcast-monitoring fingerprints) over REALLY-decoded
+    * PCM, mined at the DISTINCT-FINGERPRINT level (the
+    * [[Multimodal.ahashPairs]] discipline): clips group by their
+    * 15-bit fingerprint first, the 2-band pigeonhole LSH (8+7 bits —
+    * Hamming ≤ 1 is NEVER missed) joins distinct fingerprints, and
+    * clip multiplicities ride as counts. Candidate volume is thereby
+    * bounded by the 2¹⁵ fingerprint domain, NOT the corpus square —
+    * identical-fingerprint families collapse to one row each (their
+    * expansion is the exact-dup grouping's job, as with md5 frame
+    * dedup). Same-seed planted variants differ in window 0's energy
+    * alone → their fingerprints are equal (same group) or Hamming 1
+    * apart (always surfaced). Scale shape: media bytes never shuffle —
+    * decode → 15-bit fp is one narrow pass; the exchange carries one
+    * row per distinct fingerprint. At longer clip durations the
+    * fingerprint widens (more windows) and bands widen with it, which
+    * is what keeps bucket occupancy bounded on a real corpus. */
+  def audioFingerprint(spark: SparkSession, sfDir: String,
+                       maxHamming: Int = 1): DataFrame = {
+    import spark.implicits._
+    val groups = fingerprints(spark, sfDir)
+      .groupBy($"fp")
+      .agg(count(lit(1)).as("n_clips"), min($"doc_id").as("min_doc"))
+    val banded = groups
+      .withColumn("band", explode(sequence(lit(0), lit(1))))
+      .withColumn("band_val", expr("shiftright(fp, band * 8) & 255"))
+    val a = banded.select($"band", $"band_val", $"fp".as("fa"),
+      $"n_clips".as("n_a"), $"min_doc".as("doc_a"))
+    val b = banded.select($"band", $"band_val", $"fp".as("fb"),
+      $"n_clips".as("n_b"), $"min_doc".as("doc_b"))
+    a.join(b, Seq("band", "band_val"))
+      .filter($"fa" < $"fb")
+      .select($"fa", $"fb", $"n_a", $"n_b", $"doc_a", $"doc_b")
+      .distinct() // a close pair can collide in both bands
+      .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
+      .filter($"hamming" <= maxHamming) // fa < fb excludes hamming 0
+      .withColumn("clip_pairs", $"n_a" * $"n_b")
+      .select($"fa", $"fb", $"hamming", $"n_a", $"n_b", $"clip_pairs",
+              $"doc_a", $"doc_b")
+  }
 }

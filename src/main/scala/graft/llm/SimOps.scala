@@ -1926,4 +1926,91 @@ object SimOps {
         $"var_micro".cast("double") / sum($"var_micro").over(w))
       .select($"dim", $"n", $"mean", $"variance", $"var_micro", $"var_share")
   }
+
+  /** Attribute-FILTERED ANN (r18) — top-k restricted to candidates
+    * satisfying a metadata predicate (`label % labelMod == 0`), the
+    * filtered-vector-search shape every production store (pre-filter
+    * mode) serves: "nearest neighbors among docs the user may see".
+    * The predicate is pushed INTO the inverted-list scan — candidates
+    * failing it are dropped BEFORE any distance math or exchange, so
+    * at 100 TB a 1%-selective filter cuts the probe's scored volume
+    * 100× instead of post-filtering a mostly-disqualified top-k (the
+    * post-filter failure mode: k survivors of the unfiltered top-k may
+    * all fail the predicate). Filters thin the probed lists, so the
+    * realistic `nprobe`=2 default widens the candidate pool the same
+    * way a production store raises ef/nprobe under filters. Assignment
+    * is unfiltered (the index contains everything — filters arrive at
+    * query time); structure otherwise mirrors [[ivfAnn]]. */
+  def filteredAnn(spark: SparkSession, sfDir: String, nCentroids: Int = 4,
+                  nQueries: Int = 8, k: Int = 5, nprobe: Int = 2,
+                  labelMod: Int = 3): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"), $"label")
+    val cents = emb.filter($"vec_id" < nCentroids)
+      .select($"vec_id".as("cid"), $"vec".as("cvec"))
+    val scored = emb.filter($"vec_id" >= nCentroids)
+      .crossJoin(broadcast(cents))
+      .withColumn("cos6", round(call_function("cosine_sim", $"vec", $"cvec"), 6))
+    val assign = scored
+      .groupBy($"vec_id")
+      .agg(element_at(call_function("top_k_structs",
+        struct($"cos6", (-$"cid").as("ncid"), $"cid"), lit(1)), 1)
+        .getField("cid").as("cid"))
+    // predicate pushdown: the filter lands on the index side of the
+    // probe join, upstream of the distance evaluation
+    val indexed = assign.join(emb, "vec_id")
+      .filter(pmod($"label", lit(labelMod)) === 0)
+    val q = scored.filter($"vec_id" < nCentroids + nQueries)
+      .groupBy($"vec_id")
+      .agg(call_function("top_k_structs",
+        struct($"cos6", (-$"cid").as("ncid"), $"cid"), lit(nprobe)).as("top"))
+      .select($"vec_id".as("query_id"), explode($"top.cid").as("cid"))
+      .join(emb.select($"vec_id".as("query_id"), $"vec".as("qvec")), "query_id")
+    indexed.join(broadcast(q), Seq("cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos6", round(call_function("cosine_sim", $"vec", $"qvec"), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos6".desc, $"vec_id".asc)))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+              $"label".cast("long").as("label"), $"cos6".as("cosine"),
+              $"rnk".cast("long").as("rnk"))
+  }
+
+  /** Recall@k of [[filteredAnn]] against the exact FILTERED brute
+    * force (ground truth restricted to the same predicate — measuring
+    * a filtered search against unfiltered truth would conflate filter
+    * selectivity with index recall). The filtered-search QA loop:
+    * recall under filters is the number production stores watch,
+    * because thinned inverted lists are where graph/IVF recall
+    * degrades first. */
+  def filteredRecall(spark: SparkSession, sfDir: String, nCentroids: Int = 4,
+                     nQueries: Int = 8, k: Int = 5, nprobe: Int = 2,
+                     labelMod: Int = 3): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"), $"label")
+    val q = emb.filter($"vec_id" < nCentroids + nQueries)
+      .filter($"vec_id" >= nCentroids)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"))
+    val brute = emb.filter(pmod($"label", lit(labelMod)) === 0)
+      .crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos6", round(call_function("cosine_sim", $"vec", $"qvec"), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos6".desc, $"vec_id".asc)))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"))
+    val ann = filteredAnn(spark, sfDir, nCentroids, nQueries, k, nprobe,
+        labelMod)
+      .select($"query_id", $"neighbor_id").withColumn("hit", lit(1L))
+    brute.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("k"),
+           sum(coalesce($"hit", lit(0L))).as("hits"))
+      .withColumn("recall", $"hits".cast("double") / $"k".cast("double"))
+  }
 }

@@ -1370,4 +1370,82 @@ object TextOps {
               ($"score_micro".cast("double") / 1e6).as("score"),
               ($"score_micro" > 0).as("keep"))
   }
+
+  /** Type-token ratio (lexical diversity) per source (r18) — the
+    * corpus-health dial next to [[gopherQuality]]: a source whose TTR
+    * collapses is template spam (few types, many tokens) long before
+    * any dedup pass proves it. Per-doc TTR is micro-quantized to an
+    * integer (one correctly-rounded IEEE division per doc — the
+    * cross-engine-exact discipline), so the per-source aggregates stay
+    * hash-green. One narrow map per doc into a map-side-combined hash
+    * agg on ≤|sources| groups — nothing here windows or shuffles the
+    * corpus. */
+  def ttr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+      .select($"source",
+        size(split(trim(lower($"text")), "\\s+")).cast("long").as("n_tokens"),
+        size(array_distinct(split(trim(lower($"text")), "\\s+")))
+          .cast("long").as("n_types"))
+      .withColumn("ttr_micro",
+        round($"n_types" * lit(1e6) / $"n_tokens", 0).cast("long"))
+    d.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      sum($"n_tokens").as("sum_tokens"),
+      sum($"n_types").as("sum_types"),
+      min($"ttr_micro").as("min_ttr_micro"),
+      max($"ttr_micro").as("max_ttr_micro"),
+      round(avg($"ttr_micro"), 0).cast("long").as("avg_ttr_micro"))
+  }
+
+  /** Hapax-legomena rate per source (r18): the share of a source's
+    * vocabulary that appears exactly once. Healthy natural text sits
+    * near Zipf's ~50%; machine-generated or boilerplate corpora crater
+    * it, OCR noise inflates it — a one-number vocabulary-health gate
+    * run per ingest source. Shape: explode to (source, term) → two
+    * stacked hash aggs (term counts, then the |sources|-row summary);
+    * the exchange carries one row per DISTINCT (source, term), never
+    * per token. */
+  def hapax(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tc = Tables.documents(spark, sfDir)
+      .select($"source", explode(split(trim(lower($"text")), "\\s+")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("c"))
+    tc.groupBy($"source").agg(
+      count(lit(1)).as("vocab"),
+      sum(when($"c" === 1, 1L).otherwise(0L)).as("n_hapax"),
+      sum(when($"c" === 2, 1L).otherwise(0L)).as("n_dis"),
+      sum($"c").as("n_tokens"))
+      .withColumn("hapax_micro",
+        round($"n_hapax" * lit(1e6) / $"vocab", 0).cast("long"))
+  }
+
+  /** Zipf rank-frequency fit per source (r18): least-squares slope of
+    * ln(freq) on ln(rank) over the top `topN` terms — natural language
+    * tracks slope ≈ −1 (Zipf's law); templated or synthetic text goes
+    * shallow (flat head) or cliff-steep. The fit is the standard
+    * corpus-vs-reference diagnostic (Gopher §A3 uses the same curve).
+    * Rank ties break on term asc so the ranking is engine-stable;
+    * round-6 on the regression outputs kills merge-order noise in the
+    * last float bits (the [[graft.operators.Core.qCorrRegr]]
+    * discipline). Shape: token explode → term-count hash agg → per-
+    * source top-`topN` via [[graft.functions.TopKStructs]]-free window
+    * over ≤|vocab| rows (the aggregate table, not the corpus) → one
+    * 5-double co-moment agg per source. */
+  def zipfFit(spark: SparkSession, sfDir: String, topN: Int = 100): DataFrame = {
+    import spark.implicits._
+    val tc = Tables.documents(spark, sfDir)
+      .select($"source", explode(split(trim(lower($"text")), "\\s+")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("c"))
+    val ranked = tc.withColumn("rnk", row_number().over(
+        Window.partitionBy($"source").orderBy($"c".desc, $"term".asc)))
+      .filter($"rnk" <= topN)
+      .select($"source", log($"c".cast("double")).as("lf"),
+        log($"rnk".cast("double")).as("lr"))
+    ranked.groupBy($"source").agg(
+      count(lit(1)).as("n_terms"),
+      round(regr_slope($"lf", $"lr"), 6).as("slope"),
+      round(regr_intercept($"lf", $"lr"), 6).as("intercept"),
+      round(regr_r2($"lf", $"lr"), 6).as("r2"))
+  }
 }

@@ -14,6 +14,8 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_int8_topk",
     "sim_ivf_ann",
     "sim_ivf_nprobe2",
+    "sim_filtered_ann",     // centroid-scoring cross (same as sim_ivf_ann)
+    "sim_filtered_recall",  // composes the filtered bruteforce pass
     "sim_pq_ann",           // codebook-scoring cross (broadcast train set)
     "sim_range_search",     // corpus × broadcast query set (by design)
     "sim_mrl_rerank",       // corpus × broadcast query set (by design)

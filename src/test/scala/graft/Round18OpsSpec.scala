@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{AudioOps, SimOps, TextOps}
+import graft.operators.ZOrder
+
+/** Round-18 operator suite: corpus-health text trio, attribute-
+  * filtered ANN, Z-order layout + cover-set pruning, acoustic
+  * fingerprint near-dup, equality-delete MOR chain. */
+class Round18OpsSpec extends SparkSpec {
+
+  test("sink_iceberg_eqdel: equality delete + upsert sequencing") {
+    import spark.implicits._
+    val out = graft.catalog.IcebergSqlDemo.eqdelQuery(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("sum_uid"))).toMap
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"event_type", $"user_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val keys = ev.map(_._1).sorted.take(5).toSet
+    // expected state: non-error rows minus the upserted keys, plus the
+    // upserted rows (which keep their original event_type — an
+    // upserted 'error' row LIVES, proving strictly-below semantics)
+    val live = ev.filter(e => !keys(e._1) && e._2 != "error") ++
+      ev.filter(e => keys(e._1))
+    val expect = live.groupBy(_._2).map { case (t, rs) =>
+      t -> (rs.length.toLong, rs.map(_._3).sum) }
+    assert(out === expect)
+  }
+
+  test("text_ttr: per-source aggregates match a from-scratch replica") {
+    import spark.implicits._
+    val out = TextOps.ttr(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
+         r.getAs[Long]("sum_types"), r.getAs[Long]("avg_ttr_micro"))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+      .map { case (s, t) =>
+        val toks = t.trim.toLowerCase.split("\\s+")
+        (s, toks.length.toLong, toks.distinct.length.toLong)
+      }.groupBy(_._1)
+    assert(out.keySet === docs.keySet)
+    docs.foreach { case (src, rows) =>
+      val (n, st, sy) = (rows.length.toLong, rows.map(_._2).sum,
+        rows.map(_._3).sum)
+      val micros = rows.map(r => math.round(r._3 * 1e6 / r._2))
+      val avg = math.round(micros.sum.toDouble / micros.length)
+      assert(out(src) === ((n, st, sy, avg)), src)
+      // a ratio: every per-doc TTR must land in (0, 1e6]
+      assert(micros.forall(m => m > 0 && m <= 1000000L), src)
+    }
+  }
+
+  test("text_hapax: counts partition the vocabulary") {
+    val rows = TextOps.hapax(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, h, d, t) = (r.getAs[Long]("vocab"), r.getAs[Long]("n_hapax"),
+        r.getAs[Long]("n_dis"), r.getAs[Long]("n_tokens"))
+      assert(h + d <= v, r.toString)      // once+twice ⊆ vocabulary
+      assert(v <= t)                      // vocab can't exceed tokens
+      val hm = r.getAs[Long]("hapax_micro")
+      assert(hm === math.round(h * 1e6 / v))
+    }
+  }
+
+  test("text_zipf_fit: negative slope, bounded fit, full head") {
+    val rows = TextOps.zipfFit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // frequency is non-increasing in rank by construction, so the
+      // least-squares slope of ln f on ln rank can never be positive
+      assert(r.getAs[Double]("slope") <= 0.0, r.toString)
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+      assert(r.getAs[Long]("n_terms") <= 100L)
+    }
+  }
+
+  test("sim_filtered_ann: every neighbor satisfies the predicate") {
+    import spark.implicits._
+    val out = SimOps.filteredAnn(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("label") % 3 === 0L, r.toString)
+      assert(r.getAs[Long]("rnk") >= 1L && r.getAs[Long]("rnk") <= 5L)
+    }
+    // ranks are dense per query and cosine is non-increasing in rank
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq ===
+        (1L to sorted.length.toLong), s"query $q")
+      val cos = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, s"query $q")
+    }
+  }
+
+  test("sim_filtered_recall: measured against FILTERED ground truth") {
+    val rows = SimOps.filteredRecall(spark, sf).collect()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("k") === 5L)
+    }
+    val avg = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(avg >= 0.5, s"filtered recall collapsed: $avg")
+  }
+
+  test("zvalue: interleave matches a bit-twiddling replica") {
+    import spark.implicits._
+    def ref(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val xs = Seq((0L, 0L), (255L, 0L), (0L, 255L), (255L, 255L),
+      (1L, 2L), (170L, 85L), (37L, 201L))
+    val got = xs.toDF("x", "y")
+      .select(ZOrder.zvalue(col("x"), col("y"), 8).as("z"))
+      .as[Long].collect().toSeq
+    assert(got === xs.map { case (x, y) => ref(x, y) })
+    // corners: (0,0)→0, (255,255)→65535 (a 16-bit bijection)
+    assert(got.head === 0L && got(3) === 65535L)
+  }
+
+  test("q_zorder_locality: every bucket is a 16x16 tile in BOTH dims") {
+    val rows = ZOrder.qZorderLocality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sx = r.getAs[Long]("max_x") - r.getAs[Long]("min_x")
+      val sy = r.getAs[Long]("max_y") - r.getAs[Long]("min_y")
+      assert(sx <= 15L && sy <= 15L, r.toString)
+      // ... and the tile origin is bucket-determined: x/16 constant
+      assert(r.getAs[Long]("min_x") / 16 === r.getAs[Long]("max_x") / 16)
+      assert(r.getAs[Long]("min_y") / 16 === r.getAs[Long]("max_y") / 16)
+    }
+    // the 1-D counter-example that motivates the curve: bucketing by x
+    // alone leaves y at (near) full range inside a bucket
+    import spark.implicits._
+    val linear = Tables.lineitem(spark, sf)
+      .select((pmod($"l_partkey", lit(256L)) / 16).cast("long").as("xb"),
+        pmod($"l_orderkey", lit(256L)).as("y"))
+      .groupBy($"xb").agg((max($"y") - min($"y")).as("span_y"))
+      .agg(max($"span_y")).head.getLong(0)
+    assert(linear > 15L, s"linear layout unexpectedly local: $linear")
+  }
+
+  test("coverBuckets: exact cover of the rectangle, nothing more") {
+    val covers = ZOrder.coverBuckets(32, 47, 96, 127, 8, 4)
+    // x∈[32,47] is one 16-wide tile column (tx=2), y∈[96,127] two tile
+    // rows (ty=6,7) → exactly 2 buckets
+    assert(covers.length === 2)
+    covers.foreach { zb =>
+      var tx = 0L; var ty = 0L
+      (0 until 4).foreach { i =>
+        tx |= ((zb >> (2 * i)) & 1L) << i
+        ty |= ((zb >> (2 * i + 1)) & 1L) << i
+      }
+      assert(tx === 2L && (ty === 6L || ty === 7L), s"bucket $zb")
+    }
+    // a full-grid rectangle covers everything
+    assert(ZOrder.coverBuckets(0, 255, 0, 255, 8, 4).length === 256)
+  }
+
+  test("q_zorder_pruning: pruned read touches covered dirs only and " +
+      "loses no rows") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // numFiles METRIC of the executed scan (inputFiles on the frame
+    // lists the whole relation — it ignores partition pruning)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.sparkPlan.collectLeaves()
+        .collect { case s: FileSourceScanExec =>
+          s.selectedPartitions.totalNumberOfFiles }
+        .sum
+    // the LAYOUT uses 2 bucket bits (16 dirs — tile ≈ target file
+    // size; see ZOrder.LayoutBucketBits): this rectangle covers 1 tile
+    val covers = ZOrder.coverBuckets(32, 47, 96, 127, 8, 2).toSet
+    assert(covers.size === 1)
+    val prunedFiles = scannedFiles(ZOrder.qZorderPruning(spark, sf))
+    val fullFiles = scannedFiles(ZOrder.rectangleFullScan(spark, sf))
+    assert(prunedFiles > 0 && prunedFiles <= covers.size.toLong,
+      s"pruned scan read $prunedFiles files for a ${covers.size}-tile cover")
+    assert(fullFiles > prunedFiles,
+      s"full scan ($fullFiles files) should exceed the cover ($prunedFiles)")
+    // and the cover loses no rows: same aggregate
+    val a = ZOrder.qZorderPruning(spark, sf)
+      .select("l_returnflag", "n_rows", "sum_qty", "sum_price")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = ZOrder.rectangleFullScan(spark, sf)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("mm_audio_fingerprint: every planted near-dup pair surfaces") {
+    import spark.implicits._
+    val pairs = AudioOps.audioFingerprint(spark, sf).collect()
+      .map(r => (r.getAs[Long]("fa"), r.getAs[Long]("fb"),
+        r.getAs[Long]("hamming")))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b, h) => a < b && h === 1L })
+    assert(pairs.length === pairs.distinct.length, "band-join dup leak")
+    // planted structure: docs 3k/3k+1/3k+2 share a seed; the
+    // perturbation moves only window 0's energy, so every same-seed
+    // pair's fingerprints are EQUAL (one distinct-fp group) or exactly
+    // Hamming 1 apart — and a Hamming-1 fp pair is NEVER missed by the
+    // 2-band pigeonhole
+    val fps = AudioOps.fingerprints(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    fps.keySet.groupBy(_ / 3).filter(_._2.size >= 2).foreach {
+      case (seed, g) =>
+        val sorted = g.toSeq.sorted
+        for (i <- sorted.indices; j <- i + 1 until sorted.length) {
+          val (f1, f2) = (fps(sorted(i)), fps(sorted(j)))
+          assert(java.lang.Long.bitCount(f1 ^ f2) <= 1,
+            s"planted pair drifted past Hamming 1 (seed $seed)")
+          if (f1 != f2)
+            assert(got((math.min(f1, f2), math.max(f1, f2))),
+              s"planted fp pair ($f1, $f2) seed $seed missing")
+        }
+    }
+  }
+}
