@@ -303,10 +303,13 @@ object SparkEntry {
     // r18: Z-order layout lever
     "q_zorder_locality"  -> (graft.operators.ZOrder.qZorderLocality _),
     "q_zorder_pruning"   -> (graft.operators.ZOrder.qZorderPruning _),
+    "q_hilbert_locality" -> (graft.operators.ZOrder.qHilbertLocality _),
     // r18: equality-delete + upsert MOR chain
     "sink_iceberg_eqdel" -> (graft.catalog.IcebergSqlDemo.eqdelQuery _),
     // r18: acoustic fingerprint near-dup
     "mm_audio_fingerprint" -> ((s, d) => AudioOps.audioFingerprint(s, d)),
+    // r18: the PQ family's measurement loop (exact-L2 ground truth)
+    "sim_pq_recall"      -> ((s, d) => SimOps.pqRecall(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -355,6 +358,29 @@ object SparkEntry {
   private val ZInterleaveSql: String = (0 until 8).map(i =>
     s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
     .mkString(" + ")
+
+  /** The 21-level Hilbert quadrant walk as chained CTE iterations —
+    * mirrors [[graft.sink.Hilbert.index]] level for level (same fixed
+    * n = 2²¹ reflections), carrying the original cell (gx, gy) and its
+    * row count through the walk. */
+  private val HilbertWalkSql: String = {
+    val nMinus1 = (1L << 21) - 1
+    (0 until 21).map { lvl =>
+      val s = 1L << (20 - lvl)
+      val s2 = s * s
+      s"""h${lvl + 1} AS (
+         | SELECT gx, gy, c,
+         |  CASE WHEN (y & $s) = 0
+         |   THEN CASE WHEN (x & $s) > 0 THEN $nMinus1 - y ELSE y END
+         |   ELSE x END AS x,
+         |  CASE WHEN (y & $s) = 0
+         |   THEN CASE WHEN (x & $s) > 0 THEN $nMinus1 - x ELSE x END
+         |   ELSE y END AS y,
+         |  d + $s2 * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+         |                CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d
+         | FROM h$lvl)""".stripMargin
+    }.mkString(",\n")
+  }
 
   /** MinHash-LSH oracle (64 SQL-replicated perms, banded buckets,
     * exact verify) — shared by dedup_minhash_lsh and the
@@ -3368,6 +3394,18 @@ object SparkEntry {
         | min(x) AS min_x, max(x) AS max_x,
         | min(y) AS min_y, max(y) AS max_y
         |FROM z GROUP BY 1""".stripMargin),
+    "q_hilbert_locality" ->
+      (s"""WITH b AS (
+        | SELECT l_partkey % 256 AS gx, l_orderkey % 256 AS gy,
+        |  count(*) AS c
+        | FROM lineitem GROUP BY 1, 2),
+        |h0 AS (SELECT gx, gy, c, gx AS x, gy AS y,
+        |       CAST(0 AS BIGINT) AS d FROM b),
+        |$HilbertWalkSql
+        |SELECT d >> 8 AS hbucket, CAST(sum(c) AS BIGINT) AS n_rows,
+        | min(gx) AS min_x, max(gx) AS max_x,
+        | min(gy) AS min_y, max(gy) AS max_y
+        |FROM h21 GROUP BY 1""".stripMargin),
     "q_zorder_pruning" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
         | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
@@ -3377,6 +3415,31 @@ object SparkEntry {
         |WHERE l_partkey % 256 BETWEEN 32 AND 47
         |  AND l_orderkey % 256 BETWEEN 96 AND 127
         |GROUP BY l_returnflag""".stripMargin,
+    "sim_pq_recall" ->
+      (s"""WITH v AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |$PqCtes,
+        |ann AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= 5),
+        |bq AS (SELECT vec_id AS query_id, e AS qe FROM v
+        |       WHERE vec_id >= 8 AND vec_id < 16),
+        |bl AS (
+        | SELECT bq.query_id, v.vec_id AS neighbor_id,
+        |  list_reduce([0.0] || [ (v.e[i]-bq.qe[i])*(v.e[i]-bq.qe[i])
+        |    for i in generate_series(1, 64) ], (x,y) -> x+y) AS l2
+        | FROM v, bq WHERE v.vec_id >= 8 AND v.vec_id != bq.query_id),
+        |b AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY l2, neighbor_id) AS rnk FROM bl) t
+        | WHERE rnk <= 5)
+        |SELECT b.query_id, CAST(count(*) AS BIGINT) AS k,
+        | CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS hits,
+        | CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+        |FROM b LEFT JOIN ann a
+        | ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+        |GROUP BY b.query_id""".stripMargin),
     "sink_iceberg_eqdel" ->
       """WITH keys AS (
         | SELECT event_id FROM events ORDER BY event_id LIMIT 5),
@@ -5463,7 +5526,10 @@ object SparkEntry {
     * top-5), parameterized only by the `v(vec_id, e)` CTE that feeds it
     * — identical for raw ([[oracleSql]] sim_pq_ann) and Householder-
     * rotated (sim_opq_ann) inputs. */
-  private lazy val PqOracleTail: String =
+  /** The PQ/ADC CTE chain through ranked results `r` — shared by the
+    * ANN oracles (via [[PqOracleTail]]) and the sim_pq_recall
+    * composition. */
+  private lazy val PqCtes: String =
     """tr AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
       |sc AS (
       | SELECT v.vec_id, tr.cid, sp.s,
@@ -5493,8 +5559,10 @@ object SparkEntry {
       |  CAST(round(CAST(CAST(d0+d1+d2+d3 AS VARCHAR) AS DECIMAL(38,18)),6) AS DOUBLE) AS adist,
       |  row_number() OVER (PARTITION BY query_id
       |    ORDER BY d0+d1+d2+d3, vec_id) AS rnk
-      | FROM adc)
-      |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= 5""".stripMargin
+      | FROM adc)""".stripMargin
+
+  private lazy val PqOracleTail: String = PqCtes +
+    "\nSELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= 5"
 
   /** Two unrolled Lloyd iterations over integer-quantized embeddings —
     * the SQL mirror of [[graft.llm.SimOps.trainCentroids]] (iters=2,

@@ -1927,6 +1927,52 @@ object SimOps {
       .select($"dim", $"n", $"mean", $"variance", $"var_micro", $"var_share")
   }
 
+  /** Recall@k of the PQ/ADC path against exact-L2 brute force (r18) —
+    * the measurement loop the PQ family lacked (IVF, NSW, HNSW, and
+    * the filtered probe each have one): ground truth ranks the SAME
+    * candidate cohort by the exact squared L2 the ADC scores
+    * approximate — measuring PQ against cosine truth would conflate
+    * metric mismatch with quantization loss. Expect low absolute
+    * recall on this corpus (uniform-random embeddings are PQ's worst
+    * case, documented at [[pqAnn]]); the loop exists so a codebook or
+    * M/subDim change has a number to move. Brute side is the
+    * lshAnn-pattern JIT'd kernel: queries broadcast, one narrow pass,
+    * full-dim left fold so the oracle's list_reduce reproduces each
+    * distance bit-for-bit. */
+  def pqRecall(spark: SparkSession, sfDir: String, nTrain: Int = 8,
+               nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+      .as[(Long, Array[Double])]
+    val qs = emb.where($"vec_id" >= nTrain && $"vec_id" < nTrain + nQueries)
+      .collect().sortBy(_._1)
+    val qB = spark.sparkContext.broadcast(qs)
+    val scored = emb.where($"vec_id" >= nTrain).mapPartitions { it =>
+      val q = qB.value
+      it.flatMap { case (id, v) =>
+        q.iterator.filter(_._1 != id).map { case (qid, qv) =>
+          var d = 0.0
+          var i = 0
+          while (i < v.length) { val t = v(i) - qv(i); d += t * t; i += 1 }
+          (qid, id, d)
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "l2")
+    val brute = scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"l2".asc, $"neighbor_id")))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"neighbor_id")
+    val pq = pqAnn(spark, sfDir, nTrain, nQueries, k)
+      .select($"query_id", $"neighbor_id").withColumn("hit", lit(1L))
+    brute.join(pq, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("k"),
+           sum(coalesce($"hit", lit(0L))).as("hits"))
+      .withColumn("recall", $"hits".cast("double") / $"k".cast("double"))
+  }
+
   /** Attribute-FILTERED ANN (r18) — top-k restricted to candidates
     * satisfying a metadata predicate (`label % labelMod == 0`), the
     * filtered-vector-search shape every production store (pre-filter

