@@ -264,6 +264,39 @@ object IcebergCommit {
     * either sees the parent snapshot or the fully-merged state; there
     * is no intermediate. Operation "overwrite" (the spec's name for a
     * snapshot that both adds and logically removes rows). */
+  /** The upsert snapshot's manifest layout, shared by the catalog-free
+    * chain ([[commitStandaloneUpsert]]) and the REST-cataloged verb
+    * ([[RestCatalogClient.upsertFiles]]): one ADDED data manifest, one
+    * delete manifest (equality deletes at the same sequence number —
+    * they retire rows strictly below it), and a manifest list that
+    * carries every prior manifest forward. Returns the list path. */
+  def writeUpsertManifests(conf: Configuration, location: String,
+                           schemaJson: String, snapId: Long, seqNum: Long,
+                           parentSnapshotId: Option[Long],
+                           parentList: Option[String],
+                           files: Seq[DataFile],
+                           deletes: Seq[DeleteFileSpec],
+                           partFields: Seq[IcebergPartitioning.PartField],
+                           specId: Int): String = {
+    val dataPath = s"$location/metadata/graft-m-$snapId.avro"
+    val dataBytes =
+      dataManifestBytes(schemaJson, snapId, files, partFields, specId)
+    writeFile(conf, dataPath, dataBytes)
+    val delPath = s"$location/metadata/graft-d-$snapId.avro"
+    val delBytes =
+      deleteManifestBytes(schemaJson, snapId, seqNum, deletes, partFields,
+        specId)
+    writeFile(conf, delPath, delBytes)
+    writeList(conf, location, snapId, seqNum, parentSnapshotId,
+      AvroOcf.manifestListEntry(dataPath, dataBytes.length.toLong,
+        seqNum, snapId, files.size, files.map(_.recordCount).sum,
+        specId = specId) +:
+      AvroOcf.manifestListEntry(delPath, delBytes.length.toLong,
+        seqNum, snapId, deletes.size,
+        deletes.map(_.file.recordCount).sum, content = 1, specId = specId) +:
+        carriedEntries(conf, parentList))
+  }
+
   def commitStandaloneUpsert(conf: Configuration, location: String,
                              schemaJson: String, defaultSpec: Option[JValue],
                              files: Seq[DataFile],
@@ -280,24 +313,11 @@ object IcebergCommit {
     val seqNum = prev.lastSequenceNumber + 1
     val parentId = prev.currentSnapshotId
     val (sid, partFields) = partFieldsFor(Some(prev), defaultSpec)
-    val dataPath = s"$location/metadata/graft-m-$snapId.avro"
-    val dataBytes = dataManifestBytes(schemaJson, snapId, files, partFields, sid)
-    writeFile(conf, dataPath, dataBytes)
-    val delPath = s"$location/metadata/graft-d-$snapId.avro"
-    val delBytes =
-      deleteManifestBytes(schemaJson, snapId, seqNum, deletes, partFields, sid)
-    writeFile(conf, delPath, delBytes)
     val parentList = for {
       id <- parentId; s <- prev.snapshots.find(_.snapshotId == id)
     } yield s.manifestList
-    val listPath = writeList(conf, location, snapId, seqNum, parentId,
-      AvroOcf.manifestListEntry(dataPath, dataBytes.length.toLong,
-        seqNum, snapId, files.size, files.map(_.recordCount).sum,
-        specId = sid) +:
-      AvroOcf.manifestListEntry(delPath, delBytes.length.toLong,
-        seqNum, snapId, deletes.size,
-        deletes.map(_.file.recordCount).sum, content = 1, specId = sid) +:
-        carriedEntries(conf, parentList))
+    val listPath = writeUpsertManifests(conf, location, schemaJson,
+      snapId, seqNum, parentId, parentList, files, deletes, partFields, sid)
     IcebergTableMetadata.commit(conf, location, schemaJson, defaultSpec,
       Some(IcebergTableMetadata.SnapshotMeta(
         snapId, parentId, seqNum, System.currentTimeMillis(), listPath,

@@ -527,6 +527,84 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
     }
   }
 
+  /** MERGE-ON-READ DML through the REST catalog (r18) — the commit
+    * shape a CDC/upsert feed needs on a CATALOGED table, which
+    * [[appendDataFiles]] (append-only, the reference exporter's verb)
+    * cannot express: one snapshot carrying new data files AND an
+    * equality-delete manifest (`content=2` files retiring every prior
+    * row whose key tuple matches — strictly below the new sequence
+    * number, so the snapshot's own rows survive). Same optimistic
+    * protocol as append: `assert-ref-snapshot-id` requirement, retry
+    * reloads the table on conflict (409-replay safe), and the
+    * standalone vN.metadata.json chain is advanced best-effort so the
+    * directory stays cold-readable without the catalog. Manifest
+    * layout is byte-identical to the catalog-free upsert
+    * ([[IcebergCommit.writeUpsertManifests]] is shared). */
+  def upsertFiles(namespace: String, table: String,
+                  files: Seq[DataFile],
+                  deletes: Seq[IcebergCommit.DeleteFileSpec]): Unit = {
+    if (files.isEmpty && deletes.isEmpty) return
+    require(deletes.forall(_.content == 2),
+      "REST upsert retires prior rows via EQUALITY deletes (content=2)")
+    Delivery.retry(settings.retry) {
+      val info = loadTableOnce(namespace, table).getOrElse(
+        throw new PermanentException(
+          s"validation failed: table $namespace.$table does not exist", null))
+      val snapId = System.nanoTime()
+      val seqNum = info.lastSequenceNumber + 1
+      val parentList = info.currentSnapshotId
+        .flatMap(cur => info.snapshots.find(_._1 == cur).map(_._2))
+      val listPath = IcebergCommit.writeUpsertManifests(
+        hadoopConf, info.location, info.schemaJson, snapId, seqNum,
+        info.currentSnapshotId, parentList, files, deletes,
+        info.defaultSpec.map(IcebergPartitioning.fieldsOf).getOrElse(Nil),
+        specId = info.defaultSpec.flatMap(sp => (sp \ "spec-id").toOption
+          .collect { case JInt(n) => n.toInt }).getOrElse(0))
+      val summary = JObject(
+        "operation" -> JString("overwrite"),
+        "otel.exporter" -> JString("iceberg"),
+        "otel.record_count" -> JString(files.map(_.recordCount).sum.toString),
+        "otel.file_count" -> JString(files.size.toString),
+        "otel.delete_record_count" ->
+          JString(deletes.map(_.file.recordCount).sum.toString),
+        "otel.delete_file_count" -> JString(deletes.size.toString))
+      val commitTsMs = System.currentTimeMillis()
+      val snapshot = JObject(
+        "snapshot-id" -> JInt(BigInt(snapId)),
+        "parent-snapshot-id" -> info.currentSnapshotId
+          .map(v => JInt(BigInt(v)): JValue).getOrElse(JNull),
+        "sequence-number" -> JInt(BigInt(seqNum)),
+        "timestamp-ms" -> JInt(BigInt(commitTsMs)),
+        "manifest-list" -> JString(listPath),
+        "summary" -> summary)
+      val body = compact(render(JObject(
+        "identifier" -> JObject(
+          "namespace" -> JArray(List(JString(namespace))),
+          "name" -> JString(table)),
+        "requirements" -> JArray(List(JObject(
+          "type" -> JString("assert-ref-snapshot-id"),
+          "ref" -> JString("main"),
+          "snapshot-id" -> info.currentSnapshotId
+            .map(v => JInt(BigInt(v)): JValue).getOrElse(JNull)))),
+        "updates" -> JArray(List(
+          JObject("action" -> JString("add-snapshot"), "snapshot" -> snapshot),
+          JObject("action" -> JString("set-snapshot-ref"),
+            "ref-name" -> JString("main"), "type" -> JString("branch"),
+            "snapshot-id" -> JInt(BigInt(snapId))))))))
+      call("POST", s"$prefix/namespaces/$namespace/tables/$table", Some(body))
+      IcebergTableMetadata.commit(hadoopConf, info.location,
+        info.schemaJson, info.defaultSpec,
+        Some(IcebergTableMetadata.SnapshotMeta(
+          snapId, info.currentSnapshotId, seqNum, commitTsMs, listPath,
+          Map("operation" -> "overwrite",
+              "otel.record_count" -> files.map(_.recordCount).sum.toString,
+              "otel.file_count" -> files.size.toString,
+              "otel.delete_record_count" ->
+                deletes.map(_.file.recordCount).sum.toString))))
+      ()
+    }
+  }
+
   /** PARTITION-SPEC EVOLUTION commit: register a new default spec with
     * the granularity's time transform on `tsColumn` — the catalog side
     * of a granularity rewrite, matching the reference repartitioner's

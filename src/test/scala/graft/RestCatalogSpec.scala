@@ -324,6 +324,68 @@ class RestCatalogSpec extends SparkSpec {
     }
   }
 
+  test("upsertFiles: merge-on-read DML through the REST commit protocol") {
+    import graft.catalog.{IcebergCommit, IcebergTableReader}
+    withCatalog { (fake, client) =>
+      import spark.implicits._
+      client.ensureNamespace("otel")
+      val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("id", "name", "value")
+      client.ensureTable("otel", "dim", v1.schema)
+      val loc = fake.tables(("otel", "dim")).location
+      val base = Files.createTempDirectory("graft-rest-upsert").toString
+      def landed(df: org.apache.spark.sql.DataFrame, dir: String)
+          : Seq[DataFile] = {
+        df.coalesce(1).write.parquet(dir)
+        val paths = graft.recovery.Recovery.listDataFiles(spark, dir)
+          .collect().map(_.getString(0)).toSeq.sorted
+        val counts = graft.recovery.Recovery.fileRowCounts(spark, paths)
+        paths.map(p => DataFile(p, 0L, counts.getOrElse(p, 0L)))
+      }
+      client.appendDataFiles("otel", "dim", landed(v1, s"$base/d1"))
+
+      // nightly refresh: id=2 changes, id=4 is new — ONE snapshot with
+      // the fresh rows plus an equality delete on the key column
+      val u = Seq((2L, "b2", 99.0), (4L, "d", 40.0))
+        .toDF("id", "name", "value")
+      val idField = RestCatalogClient.fieldIdOf(
+        client.loadTable("otel", "dim").get.schemaJson, "id").get
+      val keyFiles = landed(u.select($"id"), s"$base/k2")
+      client.upsertFiles("otel", "dim", landed(u, s"$base/d2"),
+        keyFiles.map(f =>
+          IcebergCommit.DeleteFileSpec(f, content = 2, Seq(idField))))
+
+      // the standalone chain cold-reads with the deletes APPLIED: the
+      // updated row replaces its predecessor, the insert lands, rows
+      // untouched by the key set survive
+      val back = IcebergTableReader.read(spark, loc)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(back.toSeq === Seq((1L, "a", 10.0), (2L, "b2", 99.0),
+        (3L, "c", 30.0), (4L, "d", 40.0)))
+      // and the catalog advanced: two snapshots, head at the upsert
+      assert(fake.tables(("otel", "dim")).snapshots.size === 2)
+
+      // 409-replay safety, same choreography as the append-conflict
+      // test: a concurrent writer moves main between load and commit
+      val tbl = fake.tables(("otel", "dim"))
+      val realId = tbl.currentId
+      tbl.currentId = Some(707070L)
+      val t2 = new Thread(() => { Thread.sleep(30); tbl.currentId = realId })
+      t2.start()
+      val u2 = Seq((4L, "d2", 44.0)).toDF("id", "name", "value")
+      val keyFiles2 = landed(u2.select($"id"), s"$base/k3")
+      client.upsertFiles("otel", "dim", landed(u2, s"$base/d3"),
+        keyFiles2.map(f =>
+          IcebergCommit.DeleteFileSpec(f, content = 2, Seq(idField))))
+      t2.join()
+      val back2 = IcebergTableReader.read(spark, loc)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(2)))
+      assert(back2.toSeq === Seq((1L, 10.0), (2L, 99.0), (3L, 30.0),
+        (4L, 44.0)))
+    }
+  }
+
   test("5xx is transient (retried); 403 is permanent (fail fast)") {
     withCatalog { (fake, client) =>
       client.ensureNamespace("otel")
