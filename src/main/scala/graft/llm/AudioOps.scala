@@ -268,9 +268,13 @@ object AudioOps {
   def audioFingerprint(spark: SparkSession, sfDir: String,
                        maxHamming: Int = 1): DataFrame = {
     import spark.implicits._
+    // pinned: both band-join sides reuse the ≤2¹⁵-row group table —
+    // without the checkpoint each side re-decodes the whole corpus
+    // (the dedup_source_impact double-compute lesson)
     val groups = fingerprints(spark, sfDir)
       .groupBy($"fp")
       .agg(count(lit(1)).as("n_clips"), min($"doc_id").as("min_doc"))
+      .localCheckpoint()
     val banded = groups
       .withColumn("band", explode(sequence(lit(0), lit(1))))
       .withColumn("band_val", expr("shiftright(fp, band * 8) & 255"))
