@@ -116,8 +116,9 @@ object Sf1Scale {
     "dedup_substring", "text_bpe_train_batched", "mm_txt_joint_pairs",
     // r18: distinct-fp acoustic near-dup mining (candidate volume
     // bounded by the 2^15 fingerprint domain — the ratio should track
-    // the linear decode cost, not the corpus square)
-    "mm_audio_fingerprint")
+    // the linear decode cost, not the corpus square) and the
+    // char-weighted repetition filters (explode + hash aggs, linear)
+    "mm_audio_fingerprint", "text_dup_ngram_chars")
 
   /** Deterministic word from a full-avalanche mix (vocab of 1000):
     * individual word collisions are common (real corpora repeat words)

@@ -310,6 +310,8 @@ object SparkEntry {
     "mm_audio_fingerprint" -> ((s, d) => AudioOps.audioFingerprint(s, d)),
     // r18: the PQ family's measurement loop (exact-L2 ground truth)
     "sim_pq_recall"      -> ((s, d) => SimOps.pqRecall(s, d)),
+    // r18: Gopher A1 char-weighted repetition filters
+    "text_dup_ngram_chars" -> ((s, d) => TextOps.dupNgramChars(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -3415,6 +3417,61 @@ object SparkEntry {
         |WHERE l_partkey % 256 BETWEEN 32 AND 47
         |  AND l_orderkey % 256 BETWEEN 96 AND 127
         |GROUP BY l_returnflag""".stripMargin,
+    "text_dup_ngram_chars" ->
+      """WITH d AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+        |    AS n_tokens
+        | FROM documents),
+        |tk AS (
+        | SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+        |  CAST(length(toks[i]) + 1 AS BIGINT) AS wl
+        | FROM (SELECT doc_id, toks,
+        |        unnest(generate_series(1, CAST(n_tokens AS INTEGER))) AS i
+        |       FROM d) t),
+        |tot AS (SELECT doc_id, CAST(sum(wl) AS BIGINT) AS total_chars
+        |        FROM tk GROUP BY 1),
+        |g2 AS (
+        | SELECT doc_id, array_to_string(toks[i + 1 : i + 2], ' ') AS g
+        | FROM (SELECT doc_id, toks,
+        |        unnest(generate_series(0, CAST(n_tokens - 2 AS INTEGER))) AS i
+        |       FROM d WHERE n_tokens >= 2) t),
+        |top2 AS (
+        | SELECT doc_id, CAST(c * (length(g) + 1) AS BIGINT) AS top2_chars
+        | FROM (SELECT doc_id, g, count(*) AS c,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY count(*) DESC, g) AS rn
+        |       FROM g2 GROUP BY doc_id, g) t
+        | WHERE rn = 1),
+        |g5 AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |  md5(array_to_string(toks[i + 1 : i + 5], ' ')) AS h
+        | FROM (SELECT doc_id, toks,
+        |        unnest(generate_series(0, CAST(n_tokens - 5 AS INTEGER))) AS i
+        |       FROM d WHERE n_tokens >= 5) t),
+        |dupk AS (SELECT doc_id, h FROM g5 GROUP BY 1, 2 HAVING count(*) > 1),
+        |cpos AS (
+        | SELECT DISTINCT doc_id, p2 AS p FROM (
+        |  SELECT g5.doc_id, unnest(generate_series(g5.p, g5.p + 4)) AS p2
+        |  FROM g5 JOIN dupk USING (doc_id, h)) q),
+        |cov AS (
+        | SELECT tk.doc_id, CAST(sum(tk.wl) AS BIGINT) AS dup5_chars
+        | FROM cpos JOIN tk ON tk.doc_id = cpos.doc_id AND tk.p = cpos.p
+        | GROUP BY 1)
+        |SELECT d.doc_id, d.n_tokens, tot.total_chars,
+        | coalesce(top2.top2_chars, 0) AS top2_chars,
+        | coalesce(cov.dup5_chars, 0) AS dup5_chars,
+        | CAST(round(coalesce(top2.top2_chars, 0) * 1e6 / tot.total_chars)
+        |   AS BIGINT) AS top2_micro,
+        | CAST(round(coalesce(cov.dup5_chars, 0) * 1e6 / tot.total_chars)
+        |   AS BIGINT) AS dup5_micro,
+        | (CAST(round(coalesce(top2.top2_chars, 0) * 1e6 / tot.total_chars)
+        |    AS BIGINT) <= 200000
+        |  AND CAST(round(coalesce(cov.dup5_chars, 0) * 1e6 / tot.total_chars)
+        |    AS BIGINT) <= 150000) AS keep
+        |FROM d JOIN tot USING (doc_id)
+        |LEFT JOIN top2 USING (doc_id)
+        |LEFT JOIN cov USING (doc_id)""".stripMargin,
     "sim_pq_recall" ->
       (s"""WITH v AS (
         | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

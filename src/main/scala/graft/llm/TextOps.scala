@@ -1420,6 +1420,72 @@ object TextOps {
         round($"n_hapax" * lit(1e6) / $"vocab", 0).cast("long"))
   }
 
+  /** Gopher char-weighted repetition filters (r18) — Rae et al. 2021
+    * Table A1's other two repetition rules, complementing
+    * [[repetition]]'s gram-count ratio with the CHAR-weighted forms
+    * the paper actually thresholds: (a) fraction of characters taken
+    * by occurrences of the single most frequent 2-gram (count ×
+    * gram-chars, the standard naive multiply — overlapping identical
+    * occurrences double-count, as in the reference implementations),
+    * and (b) fraction of characters inside ANY duplicated 5-gram
+    * occurrence, computed as an exact interval union (duplicated
+    * occurrences explode to their covered token positions, DISTINCT
+    * positions join back to per-token char weights — no island window
+    * needed, and no double counting). Char weight of a token is
+    * len+1 (its separator), so totals are exact integers and the
+    * fractions micro-quantize cross-engine. `keep` applies the A1
+    * thresholds (top-2-gram 20%, dup-5-gram 15%). Shape: one explode →
+    * two hash aggs + a distinct — per-doc windows only on the ≤|grams|
+    * aggregate, the corpus never globally sorts. */
+  def dupNgramChars(spark: SparkSession, sfDir: String,
+                    topThreshMicro: Long = 200000L,
+                    dupThreshMicro: Long = 150000L): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+      .select($"doc_id", split(trim(lower($"text")), "\\s+").as("toks"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+    val tk = d.select($"doc_id", posexplode($"toks").as(Seq("p", "w")))
+      .select($"doc_id", $"p".cast("long").as("p"),
+        (length($"w") + 1).cast("long").as("wl"))
+    val tot = tk.groupBy($"doc_id").agg(sum($"wl").as("total_chars"))
+    val top2 = d.filter($"n_tokens" >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, cast(n_tokens as int) - 2),
+          |          i -> concat_ws(' ', slice(toks, i + 1, 2)))""".stripMargin))
+        .as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"c".desc, $"g".asc)))
+      .filter($"rn" === 1)
+      .select($"doc_id",
+        ($"c" * (length($"g") + 1)).cast("long").as("top2_chars"))
+    val g5 = d.filter($"n_tokens" >= 5)
+      .select($"doc_id", posexplode(expr(
+        """transform(sequence(0, cast(n_tokens as int) - 5),
+          |          i -> md5(concat_ws(' ', slice(toks, i + 1, 5))))""".stripMargin))
+        .as(Seq("p", "h")))
+      .select($"doc_id", $"p".cast("long").as("p"), $"h")
+    val dupKeys = g5.groupBy($"doc_id", $"h")
+      .agg(count(lit(1)).as("c")).filter($"c" > 1)
+      .select($"doc_id", $"h")
+    val covered = g5.join(dupKeys, Seq("doc_id", "h"))
+      .select($"doc_id", explode(sequence($"p", $"p" + 4)).as("p"))
+      .distinct()
+      .join(tk, Seq("doc_id", "p"))
+      .groupBy($"doc_id").agg(sum($"wl").as("dup5_chars"))
+    d.select($"doc_id", $"n_tokens")
+      .join(tot, Seq("doc_id"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("top2_chars", "dup5_chars"))
+      .withColumn("top2_micro",
+        round($"top2_chars" * lit(1e6) / $"total_chars", 0).cast("long"))
+      .withColumn("dup5_micro",
+        round($"dup5_chars" * lit(1e6) / $"total_chars", 0).cast("long"))
+      .withColumn("keep",
+        $"top2_micro" <= topThreshMicro && $"dup5_micro" <= dupThreshMicro)
+  }
+
   /** Zipf rank-frequency fit per source (r18): least-squares slope of
     * ln(freq) on ln(rank) over the top `topN` terms — natural language
     * tracks slope ≈ −1 (Zipf's law); templated or synthetic text goes

@@ -109,6 +109,46 @@ class Round18OpsSpec extends SparkSpec {
     assert(avg >= 0.5, s"filtered recall collapsed: $avg")
   }
 
+  test("text_dup_ngram_chars: from-scratch replica on sampled docs") {
+    import spark.implicits._
+    val out = TextOps.dupNgramChars(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("total_chars"), r.getAs[Long]("top2_chars"),
+         r.getAs[Long]("dup5_chars"), r.getAs[Boolean]("keep"))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(out.keySet === docs.keySet)
+    docs.toSeq.sortBy(_._1).take(40).foreach { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+")
+      val total = toks.map(_.length.toLong + 1).sum
+      val top2 =
+        if (toks.length < 2) 0L
+        else {
+          val counts = toks.sliding(2).map(_.mkString(" ")).toSeq
+            .groupBy(identity).view.mapValues(_.size).toSeq
+          val (g, c) = counts.minBy { case (g, c) => (-c, g) }
+          c.toLong * (g.length + 1)
+        }
+      val dup5 =
+        if (toks.length < 5) 0L
+        else {
+          val grams = toks.sliding(5).map(_.mkString(" ")).zipWithIndex.toSeq
+          val dups = grams.groupBy(_._1).filter(_._2.size > 1)
+          val pos = dups.values.flatten.flatMap {
+            case (_, p) => p to (p + 4) }.toSet
+          pos.toSeq.map(p => toks(p).length.toLong + 1).sum
+        }
+      assert(out(id)._1 === total, s"doc $id total")
+      assert(out(id)._2 === top2, s"doc $id top2")
+      assert(out(id)._3 === dup5, s"doc $id dup5")
+      val keep = math.round(top2 * 1e6 / total) <= 200000L &&
+        math.round(dup5 * 1e6 / total) <= 150000L
+      assert(out(id)._4 === keep, s"doc $id keep")
+    }
+    // dup5 counts each covered token once — never exceeds the doc
+    out.values.foreach { case (tot2, _, dup5, _) => assert(dup5 <= tot2) }
+  }
+
   test("sim_pq_recall: bounded, complete, and truth is exact L2") {
     import spark.implicits._
     val rows = SimOps.pqRecall(spark, sf).collect()
