@@ -1,0 +1,262 @@
+package graft
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods.parse
+
+import graft.otel.{OtelLogs, OtelMetrics, OtelTraces}
+
+// Histogram / exemplar-carrying exp-histogram fixtures (top-level for
+// encoder derivation; the other shapes reuse OtelSpec's classes).
+case class HPoint(time_unix_nano: Long, start_time_unix_nano: Long,
+                  attributes: Map[String, String], flags: Int,
+                  count: Long, sum: Option[Double], min: Option[Double],
+                  max: Option[Double], bucket_counts: Seq[Long],
+                  explicit_bounds: Seq[Double],
+                  exemplars: Seq[MExemplar] = Seq.empty)
+case class HBatch(resource: TResource, scope: TScope, metric: MMetric,
+                  points: Seq[HPoint])
+case class XEHPoint(time_unix_nano: Long, start_time_unix_nano: Long,
+                    attributes: Map[String, String], flags: Int,
+                    count: Long, sum: Option[Double], min: Option[Double],
+                    max: Option[Double], scale: Int, zero_count: Long,
+                    zero_threshold: Double, positive: EHBuckets,
+                    negative: EHBuckets,
+                    exemplars: Seq[MExemplar] = Seq.empty)
+case class XEHBatch(resource: TResource, scope: TScope, metric: MMetric,
+                    points: Seq[XEHPoint])
+
+/** GOLDEN-FILE parity against the reference's own committed flatten
+  * output (r18): the parquet files under
+  * `/root/reference/internal/arrow/testdata` are the exporter's golden
+  * files — its converters' exact rows for
+  * deterministic inputs (`test_helper.go`). This suite rebuilds those
+  * inputs on OUR input contract, runs OUR flattens, and compares
+  * against the reference's files read directly: column names AND
+  * order must match exactly; values must match under a documented
+  * canonicalization:
+  *
+  *   - attribute-JSON columns compare as sorted key → string-rendered
+  *     value maps. The reference emits TYPED scalars
+  *     (`"request.id":12345` — attributes.go marshals the AnyValue);
+  *     our sources carry the scalar string render, so we emit
+  *     `"request.id":"12345"`. Same keys, same rendered values,
+  *     different JSON typing — the one known encoding divergence.
+  *   - integers compare by value (the reference writes some counts as
+  *     int64 where our flatten keeps the contract's int32).
+  *   - timestamps compare as epoch micros.
+  *
+  * Everything else — null sentinels ("" → NULL, zero ids → NULL,
+  * start-ts 0 → NULL, "{}" metadata → NULL, empty exemplars → NULL),
+  * enum renderings (span kind, status, temporality), ns→µs
+  * truncation, duration arithmetic, service_name extraction, column
+  * layout per table — must reproduce the reference bit-for-bit. */
+class GoldenParitySpec extends SparkSpec {
+
+  private val goldenDir = "/root/reference/internal/arrow/testdata"
+  /** 2024-01-15T10:30:00Z (test_helper.go testTime) in ns. */
+  private val T0 = 1705314600000000000L
+  private val Minute = 60L * 1000000000L
+  private val TraceId = "0102030405060708090a0b0c0d0e0f10"
+  private val SpanId = "1112131415161718"
+
+  private def canonJson(s: String): String =
+    parse(s) match {
+      case JObject(fields) =>
+        fields.map { case (k, v) => s"$k=${v.values}" }.sorted.mkString("|")
+      case other => other.values.toString
+    }
+
+  private def canonCell(name: String, v: Any): String = {
+    val jsonCol = name.contains("attributes") || name == "metric_metadata"
+    v match {
+      case null => "~null~"
+      case ts: java.sql.Timestamp =>
+        val i = ts.toInstant
+        s"us:${i.getEpochSecond * 1000000L + i.getNano / 1000}"
+      case s: String if jsonCol => canonJson(s)
+      case s: String => s
+      case seq: scala.collection.Seq[_] =>
+        seq.map(e => canonCell(name, e)).mkString("[", ",", "]")
+      case d: java.lang.Double => d.toString
+      case f: java.lang.Float => f.toDouble.toString
+      case n: java.lang.Number => n.longValue.toString
+      case b: java.lang.Boolean => b.toString
+      case other => other.toString
+    }
+  }
+
+  private def assertParity(ours: org.apache.spark.sql.DataFrame,
+                           golden: String): Unit = {
+    val g = spark.read.parquet(s"$goldenDir/$golden.parquet")
+    assert(ours.columns.toSeq === g.columns.toSeq,
+      s"$golden: column names/order diverge")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val names = df.columns
+      df.collect().map(r =>
+        names.indices.map(i => canonCell(names(i), r.get(i))).mkString("; "))
+        .toSeq.sorted
+    }
+    assert(canon(ours) === canon(g), s"$golden: values diverge")
+  }
+
+  private val scope = TScope("test-scope", "1.0.0", Map.empty, 0)
+  private val noVerScope = TScope("test-scope", "", Map.empty, 0)
+
+  test("logs_basic: our flatten reproduces the reference golden") {
+    import spark.implicits._
+    val in = LogBatch(
+      TResource(Map("service.name" -> "test-service",
+        "deployment.environment" -> "test"), 0),
+      scope,
+      Seq(LogRecord(T0, T0 + 100L, 9, "INFO", "Test log message",
+        Map("log.level" -> "info", "request.id" -> "12345"), 0, 0,
+        TraceId, SpanId, "")))
+    assertParity(OtelLogs.flatten(Seq(in).toDF()), "logs_basic")
+  }
+
+  test("traces_basic: duration/kind/status/link layout match the golden") {
+    import spark.implicits._
+    val span = TSpan(TraceId, SpanId, "", "2122232425262728", 0,
+      "test-span", 2, T0, T0 + 100L * 1000000L,
+      Map("http.method" -> "GET", "http.status_code" -> "200"), 0,
+      Seq(TEvent(T0 + 50L * 1000000L, "test-event",
+        Map("event.type" -> "test"), 0)), 0,
+      Seq(TLink("a1a2a3a4a5a6a7a8a9aaabacadaeafb0", "b1b2b3b4b5b6b7b8", "",
+        Map("link.type" -> "follows"), 0, 0)), 0,
+      TStatus(1, "success"))
+    val in = TraceBatch(
+      TResource(Map("service.name" -> "test-service",
+        "deployment.environment" -> "test"), 0),
+      scope, Seq(span))
+    assertParity(OtelTraces.flatten(Seq(in).toDF()), "traces_basic")
+  }
+
+  test("metrics gauge: double + int points match the golden") {
+    import spark.implicits._
+    val res = TResource(Map("service.name" -> "gauge-service"), 0)
+    val in = Seq(
+      GaugeBatch(res, scope,
+        MMetric("cpu.usage", "CPU usage percentage", "%", Map.empty, 0, false),
+        Seq(GPoint(T0, T0 - Minute, Map("cpu" -> "0", "mode" -> "user"), 0,
+          Some(75.5), None))),
+      GaugeBatch(res, scope,
+        MMetric("memory.used", "Memory used in bytes", "By", Map.empty, 0,
+          false),
+        Seq(GPoint(T0, 0L, Map("host" -> "server-1"), 0, None,
+          Some(1073741824L)))))
+    assertParity(OtelMetrics.flattenGauge(in.toDF()), "metrics_gauge_gauge")
+  }
+
+  test("metrics sum: monotonic cumulative + delta match the golden") {
+    import spark.implicits._
+    val res = TResource(Map("service.name" -> "sum-service"), 0)
+    val in = Seq(
+      GaugeBatch(res, noVerScope,
+        MMetric("http.requests", "Total HTTP requests", "1", Map.empty,
+          2, true),
+        Seq(GPoint(T0, T0 - 60L * Minute,
+          Map("method" -> "GET", "status_code" -> "200"), 0, None,
+          Some(12345L)))),
+      GaugeBatch(res, noVerScope,
+        MMetric("temperature.delta", "Temperature change", "degC", Map.empty,
+          1, false),
+        Seq(GPoint(T0, 0L, Map("location" -> "outdoor"), 0, Some(-2.5),
+          None))))
+    assertParity(OtelMetrics.flattenSum(in.toDF()), "metrics_sum_sum")
+  }
+
+  test("metrics histogram: buckets/bounds/exemplars match the golden") {
+    import spark.implicits._
+    val in = HBatch(
+      TResource(Map("service.name" -> "histogram-service"), 0), noVerScope,
+      MMetric("http.request.duration", "HTTP request duration", "ms",
+        Map.empty, 2, false),
+      Seq(HPoint(T0, T0 - Minute, Map("method" -> "POST"), 0,
+        100L, Some(5432.1), Some(10.5), Some(250.0),
+        Seq(5L, 15L, 30L, 35L, 12L, 3L),
+        Seq(10.0, 25.0, 50.0, 100.0, 250.0),
+        Seq(MExemplar(T0, Some(45.2), None, SpanId, TraceId,
+          Map("http.route" -> "/api/users"))))))
+    assertParity(OtelMetrics.flattenHistogram(Seq(in).toDF()),
+      "metrics_histogram_histogram")
+  }
+
+  test("metrics exp-histogram: scale/zero/offsets/exemplars match") {
+    import spark.implicits._
+    val in = XEHBatch(
+      TResource(Map("service.name" -> "exp-histogram-service"), 0),
+      noVerScope,
+      MMetric("http.response.time",
+        "HTTP response time exponential histogram", "ms", Map.empty, 1,
+        false),
+      Seq(XEHPoint(T0, T0 - Minute, Map("http.method" -> "GET"), 0,
+        500L, Some(25432.1), Some(0.5), Some(500.0), 3, 2L, 0.001,
+        EHBuckets(1, Seq(10L, 20L, 50L, 100L, 150L, 100L, 50L, 18L)),
+        EHBuckets(0, Seq.empty),
+        Seq(MExemplar(T0, None, Some(125L), SpanId, TraceId, Map.empty)))))
+    assertParity(OtelMetrics.flattenExponentialHistogram(Seq(in).toDF()),
+      "metrics_exp_histogram_exponential_histogram")
+  }
+
+  test("metrics summary: quantile columns match the golden") {
+    import spark.implicits._
+    val in = SummaryBatch(
+      TResource(Map("service.name" -> "summary-service"), 0), noVerScope,
+      MMetric("http.request.latency", "HTTP request latency percentiles",
+        "ms", Map.empty, 0, false),
+      Seq(SPoint(T0, T0 - Minute, Map("endpoint" -> "/api/v1/users"), 0,
+        1000L, 12345.67,
+        Seq(QuantileValue(0.5, 10.5), QuantileValue(0.9, 25.3),
+          QuantileValue(0.99, 95.7)))))
+    assertParity(OtelMetrics.flattenSummary(Seq(in).toDF()),
+      "metrics_summary_summary")
+  }
+
+  test("schema parity holds across every golden of each table type") {
+    // each converter has ONE schema — the per-fixture goldens of a
+    // table type must all agree with ours on names + order
+    val byTable = Seq(
+      "logs" -> Seq("logs_basic", "logs_empty", "logs_nullable",
+        "logs_complex_body", "logs_multi_resource"),
+      "traces" -> Seq("traces_basic", "traces_empty", "traces_nullable",
+        "traces_all_span_kinds", "traces_status_codes",
+        "traces_multi_events", "traces_multi_links"),
+      "gauge" -> Seq("metrics_basic_gauge", "metrics_gauge_gauge",
+        "metrics_mixed_gauge", "metrics_nullable_gauge"),
+      "sum" -> Seq("metrics_sum_sum", "metrics_mixed_sum",
+        "metrics_basic_sum"),
+      "histogram" -> Seq("metrics_histogram_histogram",
+        "metrics_mixed_histogram"),
+      "exp" -> Seq("metrics_exp_histogram_exponential_histogram"),
+      "summary" -> Seq("metrics_summary_summary"))
+    import spark.implicits._
+    val probe = TResource(Map.empty[String, String], 0)
+    val oursByTable: Map[String, Seq[String]] = Map(
+      "logs" -> OtelLogs.flatten(Seq(LogBatch(probe, scope, Seq.empty))
+        .toDF()).columns.toSeq,
+      "traces" -> OtelTraces.flatten(Seq(TraceBatch(probe, scope, Seq.empty))
+        .toDF()).columns.toSeq,
+      "gauge" -> OtelMetrics.flattenGauge(Seq(GaugeBatch(probe, scope,
+        MMetric("m", "", "", Map.empty, 0, false), Seq.empty)).toDF())
+        .columns.toSeq,
+      "sum" -> OtelMetrics.flattenSum(Seq(GaugeBatch(probe, scope,
+        MMetric("m", "", "", Map.empty, 0, false), Seq.empty)).toDF())
+        .columns.toSeq,
+      "histogram" -> OtelMetrics.flattenHistogram(Seq(HBatch(probe, scope,
+        MMetric("m", "", "", Map.empty, 0, false), Seq.empty)).toDF())
+        .columns.toSeq,
+      "exp" -> OtelMetrics.flattenExponentialHistogram(Seq(XEHBatch(probe,
+        scope, MMetric("m", "", "", Map.empty, 0, false), Seq.empty)).toDF())
+        .columns.toSeq,
+      "summary" -> OtelMetrics.flattenSummary(Seq(SummaryBatch(probe, scope,
+        MMetric("m", "", "", Map.empty, 0, false), Seq.empty)).toDF())
+        .columns.toSeq)
+    byTable.foreach { case (table, goldens) =>
+      goldens.foreach { gf =>
+        val g = spark.read.parquet(s"$goldenDir/$gf.parquet")
+        assert(oursByTable(table) === g.columns.toSeq,
+          s"$gf vs our $table schema")
+      }
+    }
+  }
+}
