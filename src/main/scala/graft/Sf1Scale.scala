@@ -118,7 +118,7 @@ object Sf1Scale {
     // bounded by the 2^15 fingerprint domain — the ratio should track
     // the linear decode cost, not the corpus square) and the
     // char-weighted repetition filters (explode + hash aggs, linear)
-    "mm_audio_fingerprint", "text_dup_ngram_chars")
+    "mm_audio_fingerprint", "mm_audio_clusters", "text_dup_ngram_chars")
 
   /** Deterministic word from a full-avalanche mix (vocab of 1000):
     * individual word collisions are common (real corpora repeat words)

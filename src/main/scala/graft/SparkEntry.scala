@@ -306,8 +306,9 @@ object SparkEntry {
     "q_hilbert_locality" -> (graft.operators.ZOrder.qHilbertLocality _),
     // r18: equality-delete + upsert MOR chain
     "sink_iceberg_eqdel" -> (graft.catalog.IcebergSqlDemo.eqdelQuery _),
-    // r18: acoustic fingerprint near-dup
+    // r18: acoustic fingerprint near-dup + clip families
     "mm_audio_fingerprint" -> ((s, d) => AudioOps.audioFingerprint(s, d)),
+    "mm_audio_clusters"  -> ((s, d) => AudioOps.audioClusters(s, d)),
     // r18: the PQ family's measurement loop (exact-L2 ground truth)
     "sim_pq_recall"      -> ((s, d) => SimOps.pqRecall(s, d)),
     // r18: Gopher A1 char-weighted repetition filters
@@ -360,6 +361,48 @@ object SparkEntry {
   private val ZInterleaveSql: String = (0 until 8).map(i =>
     s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
     .mkString(" + ")
+
+  /** Acoustic-fingerprint CTE chain (analytic samples → perturbation →
+    * window energies → delta bits → distinct-fp groups → banded
+    * candidates) — shared by mm_audio_fingerprint and the
+    * mm_audio_clusters closure. No WITH prefix: the clusters oracle
+    * needs WITH RECURSIVE. */
+  private val AudioFpCtes: String =
+    """v AS (
+      | SELECT d.doc_id, i.i,
+      |  ('0x' || substr(md5('af:' || CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+      |     CAST(i.i AS VARCHAR)), 1, 4))::BIGINT AS r
+      | FROM (SELECT doc_id FROM documents) d
+      | CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS i) i),
+      |s AS (
+      | SELECT doc_id, i,
+      |  CASE WHEN i < (doc_id % 3) * 16
+      |   THEN (r + 1000) % 65536 ELSE r END AS u
+      | FROM v),
+      |sx AS (
+      | SELECT doc_id, i // 32 AS win,
+      |  u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END AS s
+      | FROM s),
+      |e AS (SELECT doc_id, win, CAST(sum(abs(s)) AS BIGINT) AS e
+      |      FROM sx GROUP BY 1, 2),
+      |eb AS (SELECT doc_id, win, e,
+      |  lag(e) OVER (PARTITION BY doc_id ORDER BY win) AS pe FROM e),
+      |f AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN pe IS NOT NULL AND e > pe
+      |    THEN 1 << (win - 1) ELSE 0 END) AS BIGINT) AS fp
+      | FROM eb GROUP BY 1),
+      |g AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_clips,
+      |  CAST(min(doc_id) AS BIGINT) AS min_doc FROM f GROUP BY 1),
+      |bands AS (
+      | SELECT fp, n_clips, min_doc, b.band,
+      |  (fp >> (b.band * 8)) & 255 AS bv
+      | FROM g, (SELECT unnest([0, 1]) AS band) b),
+      |cand AS (
+      | SELECT DISTINCT a.fp AS fa, b.fp AS fb,
+      |  a.n_clips AS n_a, b.n_clips AS n_b,
+      |  a.min_doc AS doc_a, b.min_doc AS doc_b
+      | FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.bv = b.bv AND a.fp < b.fp)""".stripMargin
 
   /** The 21-level Hilbert quadrant walk as chained CTE iterations —
     * mirrors [[graft.sink.Hilbert.index]] level for level (same fixed
@@ -3512,44 +3555,30 @@ object SparkEntry {
         | round(sum(value), 4) AS sum_value
         |FROM live GROUP BY event_type""".stripMargin,
     "mm_audio_fingerprint" ->
-      """WITH v AS (
-        | SELECT d.doc_id, i.i,
-        |  ('0x' || substr(md5('af:' || CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
-        |     CAST(i.i AS VARCHAR)), 1, 4))::BIGINT AS r
-        | FROM (SELECT doc_id FROM documents) d
-        | CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS i) i),
-        |s AS (
-        | SELECT doc_id, i,
-        |  CASE WHEN i < (doc_id % 3) * 16
-        |   THEN (r + 1000) % 65536 ELSE r END AS u
-        | FROM v),
-        |sx AS (
-        | SELECT doc_id, i // 32 AS win,
-        |  u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END AS s
-        | FROM s),
-        |e AS (SELECT doc_id, win, CAST(sum(abs(s)) AS BIGINT) AS e
-        |      FROM sx GROUP BY 1, 2),
-        |eb AS (SELECT doc_id, win, e,
-        |  lag(e) OVER (PARTITION BY doc_id ORDER BY win) AS pe FROM e),
-        |f AS (SELECT doc_id,
-        |  CAST(sum(CASE WHEN pe IS NOT NULL AND e > pe
-        |    THEN 1 << (win - 1) ELSE 0 END) AS BIGINT) AS fp
-        | FROM eb GROUP BY 1),
-        |g AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_clips,
-        |  CAST(min(doc_id) AS BIGINT) AS min_doc FROM f GROUP BY 1),
-        |bands AS (
-        | SELECT fp, n_clips, min_doc, b.band,
-        |  (fp >> (b.band * 8)) & 255 AS bv
-        | FROM g, (SELECT unnest([0, 1]) AS band) b),
-        |cand AS (
-        | SELECT DISTINCT a.fp AS fa, b.fp AS fb,
-        |  a.n_clips AS n_a, b.n_clips AS n_b,
-        |  a.min_doc AS doc_a, b.min_doc AS doc_b
-        | FROM bands a JOIN bands b
-        |  ON a.band = b.band AND a.bv = b.bv AND a.fp < b.fp)
+      ("WITH " + AudioFpCtes +
+        """
         |SELECT fa, fb, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming,
         | n_a, n_b, n_a * n_b AS clip_pairs, doc_a, doc_b
-        |FROM cand WHERE bit_count(xor(fa, fb)) <= 1""".stripMargin,
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 1""".stripMargin),
+    "mm_audio_clusters" ->
+      ("WITH RECURSIVE " + AudioFpCtes +
+        """,
+        |pairs AS (SELECT fa, fb FROM cand
+        |          WHERE bit_count(xor(fa, fb)) <= 1),
+        |edges AS (
+        | SELECT fa AS src, fb AS dst FROM pairs
+        | UNION SELECT fb, fa FROM pairs),
+        |reach AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (
+        | SELECT src AS fp, least(src, min(dst)) AS label
+        | FROM reach GROUP BY src)
+        |SELECT label AS cluster_id, CAST(count(*) AS BIGINT) AS n_fps,
+        | CAST(sum(g.n_clips) AS BIGINT) AS n_clips, max(lab.fp) AS max_fp
+        |FROM lab JOIN g USING (fp)
+        |GROUP BY label""".stripMargin),
   )
 
   private lazy val FunnelRetentionCorrOracles: Map[String, String] = Map(

@@ -265,16 +265,29 @@ object AudioOps {
     * row per distinct fingerprint. At longer clip durations the
     * fingerprint widens (more windows) and bands widen with it, which
     * is what keeps bucket occupancy bounded on a real corpus. */
+  /** Distinct-fingerprint group table (fp → clip count, min doc),
+    * pinned AND cached per corpus: both band-join sides of the pair
+    * miner reuse it (without the checkpoint each side re-decodes the
+    * whole corpus — the dedup_source_impact double-compute lesson),
+    * and the clusters query reuses the same decode instead of its own
+    * pass (the persisted-ANN-index per-corpus cache pattern; the
+    * frame is bounded by the 2¹⁵ fp domain). */
+  private val fpGroupsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def fpGroups(spark: SparkSession, sfDir: String): DataFrame =
+    fpGroupsCache.computeIfAbsent(sfDir, _ => {
+      import spark.implicits._
+      fingerprints(spark, sfDir)
+        .groupBy($"fp")
+        .agg(count(lit(1)).as("n_clips"), min($"doc_id").as("min_doc"))
+        .localCheckpoint()
+    })
+
   def audioFingerprint(spark: SparkSession, sfDir: String,
                        maxHamming: Int = 1): DataFrame = {
     import spark.implicits._
-    // pinned: both band-join sides reuse the ≤2¹⁵-row group table —
-    // without the checkpoint each side re-decodes the whole corpus
-    // (the dedup_source_impact double-compute lesson)
-    val groups = fingerprints(spark, sfDir)
-      .groupBy($"fp")
-      .agg(count(lit(1)).as("n_clips"), min($"doc_id").as("min_doc"))
-      .localCheckpoint()
+    val groups = fpGroups(spark, sfDir)
     val banded = groups
       .withColumn("band", explode(sequence(lit(0), lit(1))))
       .withColumn("band_val", expr("shiftright(fp, band * 8) & 255"))
@@ -291,5 +304,28 @@ object AudioOps {
       .withColumn("clip_pairs", $"n_a" * $"n_b")
       .select($"fa", $"fb", $"hamming", $"n_a", $"n_b", $"clip_pairs",
               $"doc_a", $"doc_b")
+  }
+
+  /** Acoustically-similar clip FAMILIES (r18): [[audioFingerprint]]'s
+    * near-dup fingerprint pairs fed through the shared pointer-jumping
+    * connected-components solve ([[Dedup.adaptiveComponents]]) — each
+    * cluster is a family of clips whose fingerprints chain within
+    * Hamming 1, sized in both distinct fingerprints and total clips.
+    * The audio twin of [[Multimodal.ahashClusters]]: the label graph
+    * holds only near-dup fingerprint values (bounded by the 2¹⁵
+    * domain), orders of magnitude below clip count. */
+  def audioClusters(spark: SparkSession, sfDir: String,
+                    maxHamming: Int = 1): DataFrame = {
+    import spark.implicits._
+    val pairs = audioFingerprint(spark, sfDir, maxHamming)
+      .select($"fa", $"fb").localCheckpoint()
+    val labels = Dedup.adaptiveComponents(pairs)
+      .select($"doc_id".as("fp"), $"label")
+    val groups = fpGroups(spark, sfDir).select($"fp", $"n_clips")
+    labels.join(groups, Seq("fp"))
+      .groupBy($"label".as("cluster_id"))
+      .agg(count(lit(1)).as("n_fps"),
+           sum($"n_clips").as("n_clips"),
+           max($"fp").as("max_fp"))
   }
 }

@@ -149,6 +149,33 @@ class Round18OpsSpec extends SparkSpec {
     out.values.foreach { case (tot2, _, dup5, _) => assert(dup5 <= tot2) }
   }
 
+  test("mm_audio_clusters: families match a union-find recompute") {
+    import spark.implicits._
+    val pairs = AudioOps.audioFingerprint(spark, sf).collect()
+      .map(r => (r.getAs[Long]("fa"), r.getAs[Long]("fb")))
+    val out = AudioOps.audioClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_fps"), r.getAs[Long]("n_clips")))
+    // driver union-find over the (tiny) fp pair graph
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expect = members.groupBy(find).map { case (root, ms) =>
+      math.min(root, ms.min) -> ms.length.toLong }
+    assert(out.map(_._1).sorted.toSeq === expect.keys.toSeq.sorted)
+    out.foreach { case (cid, (nFps, nClips)) =>
+      assert(nFps === expect(cid), s"cluster $cid size")
+      assert(nFps >= 2L && nClips >= nFps, s"cluster $cid counts")
+    }
+  }
+
   test("sim_pq_recall: bounded, complete, and truth is exact L2") {
     import spark.implicits._
     val rows = SimOps.pqRecall(spark, sf).collect()
