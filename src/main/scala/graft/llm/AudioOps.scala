@@ -201,7 +201,7 @@ object AudioOps {
     * first `(doc_id%3)·16` samples — a re-encode/level-tweak stand-in
     * that moves only window 0's energy, so variant fingerprints sit
     * within Hamming 1 of the original. */
-  private def fpWavs(spark: SparkSession, sfDir: String): Dataset[WavRow] = {
+  private[graft] def fpWavs(spark: SparkSession, sfDir: String): Dataset[WavRow] = {
     import spark.implicits._
     Tables.documents(spark, sfDir).select($"doc_id").as[Long]
       .mapPartitions { ids =>
@@ -224,26 +224,38 @@ object AudioOps {
     * disjoint 32-sample windows, bit `w` = 1 iff `E_w > E_{w−1}` (15
     * bits of energy deltas — level-invariant, the property that makes
     * it a fingerprint and not a checksum). */
+  /** The per-clip kernel on raw WAV bytes — decode through the REAL
+    * codec, window energies, delta bits. Shared verbatim by the batch
+    * queries and [[graft.streaming.StreamingAudioDedup]] so stream and
+    * batch fingerprints agree bit-for-bit. */
+  private[graft] def fpOfWav(bytes: Array[Byte]): Long = {
+    val (_, s) = decode(bytes)
+    val e = Array.tabulate(s.length / FpWin) { w =>
+      var acc = 0L
+      var i = w * FpWin
+      while (i < (w + 1) * FpWin) { acc += math.abs(s(i)); i += 1 }
+      acc
+    }
+    var fp = 0L
+    var w = 1
+    while (w < e.length) {
+      if (e(w) > e(w - 1)) fp |= 1L << (w - 1)
+      w += 1
+    }
+    fp
+  }
+
+  /** The 2-band pigeonhole keys of a fingerprint (8 + 7 bits) — a
+    * Hamming-1 pair always shares one. Shared by the batch band join
+    * and the streaming bucket state. */
+  private[graft] def fpBands(fp: Long): Seq[(Int, Long)] =
+    Seq(0 -> (fp & 255L), 1 -> (fp >> 8))
+
   private[graft] def fingerprints(spark: SparkSession,
                                   sfDir: String): DataFrame = {
     import spark.implicits._
     fpWavs(spark, sfDir).mapPartitions { rows =>
-      rows.map { r =>
-        val (_, s) = decode(r.wav)
-        val e = Array.tabulate(s.length / FpWin) { w =>
-          var acc = 0L
-          var i = w * FpWin
-          while (i < (w + 1) * FpWin) { acc += math.abs(s(i)); i += 1 }
-          acc
-        }
-        var fp = 0L
-        var w = 1
-        while (w < e.length) {
-          if (e(w) > e(w - 1)) fp |= 1L << (w - 1)
-          w += 1
-        }
-        (r.doc_id, fp)
-      }
+      rows.map(r => (r.doc_id, fpOfWav(r.wav)))
     }.toDF("doc_id", "fp")
   }
 
