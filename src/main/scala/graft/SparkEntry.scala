@@ -313,6 +313,8 @@ object SparkEntry {
     "sim_pq_recall"      -> ((s, d) => SimOps.pqRecall(s, d)),
     // r18: Gopher A1 char-weighted repetition filters
     "text_dup_ngram_chars" -> ((s, d) => TextOps.dupNgramChars(s, d)),
+    // r18: pairwise cross-source redundancy matrix
+    "dedup_source_matrix" -> ((s, d) => Dedup.sourceMatrix(s, d)),
   )
 
   /** Session confs a query needs ACTIVE AT ACTION TIME. Verify/Bench set
@@ -1812,6 +1814,45 @@ object SparkEntry {
         | FROM reach GROUP BY src)
         |SELECT label AS cluster_id, count(*) AS n_docs, max(doc_id) AS max_doc_id
         |FROM lab GROUP BY 1""".stripMargin,
+    // pairwise cross-source redundancy: the dedup_clusters closure +
+    // distinct (cluster, source) membership self-joined per cluster
+    "dedup_source_matrix" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |   THEN [array_to_string(t[i:i+2],' ') for i in generate_series(1,len(t)-2)]
+        |   ELSE [array_to_string(t,' ')] END) AS s
+        | FROM toks),
+        |post AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+        |cand AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+        |  count(*) AS inter
+        | FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1,2,3,4),
+        |pairs AS (
+        | SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |   CAST(round(CAST(CAST(inter*1.0/(na+nb-inter) AS VARCHAR) AS DECIMAL(38,18)),4) AS DOUBLE) AS jaccard
+        |  FROM cand) p
+        | WHERE jaccard >= 0.2),
+        |edges AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (
+        | SELECT src AS doc_id, least(src, min(dst)) AS label
+        | FROM reach GROUP BY src),
+        |m AS (SELECT DISTINCT lab.label, d.source
+        |      FROM lab JOIN documents d USING (doc_id))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        | CAST(count(*) AS BIGINT) AS n_shared_clusters
+        |FROM m a JOIN m b ON a.label = b.label AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     // leakage-safe split: the dedup_clusters closure + rep-hashed
     // train/val/test assignment (near-dups can never straddle splits)
     "text_cluster_split" ->

@@ -1171,4 +1171,30 @@ object Dedup {
       .filter($"cos" >= minCos)
       .select($"doc_a", $"doc_b", $"n_shared_terms", $"dot_e8", $"cos")
   }
+
+  /** Cross-source redundancy MATRIX (r18) — the pairwise view
+    * [[sourceImpact]]'s per-source roll-up summarizes away: for every
+    * (source_a, source_b) pair, how many near-dup clusters contain
+    * docs from BOTH. The crawl-planning read-out: a row with a high
+    * count means the two feeds mirror each other and one refresh can
+    * be demoted; a source whose row set is empty duplicates only
+    * internally. Shape: the shared pair-mining + CC kernel, then the
+    * matrix is built on the DISTINCT (cluster, source) frame —
+    * ≤ clusters×sources rows, and the self-join output is bounded by
+    * sources² (~400 cells), never by docs. */
+  def sourceMatrix(spark: SparkSession, sfDir: String,
+                   threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val pairs = ngramJaccard(spark, sfDir, threshold)
+      .select($"doc_a", $"doc_b").localCheckpoint()
+    val m = adaptiveComponents(pairs)
+      .join(Tables.documents(spark, sfDir).select($"doc_id", $"source"),
+        "doc_id")
+      .select($"label", $"source").distinct()
+      .localCheckpoint() // both self-join sides reuse the tiny frame
+    m.as("a").join(m.as("b"),
+        $"a.label" === $"b.label" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(count(lit(1)).as("n_shared_clusters"))
+  }
 }

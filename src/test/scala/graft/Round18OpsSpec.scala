@@ -149,6 +149,39 @@ class Round18OpsSpec extends SparkSpec {
     out.values.foreach { case (tot2, _, dup5, _) => assert(dup5 <= tot2) }
   }
 
+  test("dedup_source_matrix: cells match a from-clusters recompute") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val out = Dedup.sourceMatrix(spark, sf).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("n_shared_clusters")).toMap
+    // recompute via driver union-find over the public pair miner
+    val pairs = Dedup.ngramJaccard(spark, sf, 0.2)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val srcOf = Tables.documents(spark, sf)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val bySrcs = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find).values
+      .map(_.map(srcOf).distinct.sorted)
+    val expect = scala.collection.mutable.Map
+      .empty[(String, String), Long].withDefaultValue(0L)
+    bySrcs.foreach { srcs =>
+      for (i <- srcs.indices; j <- i + 1 until srcs.length)
+        expect((srcs(i), srcs(j))) += 1L
+    }
+    assert(out === expect.toMap)
+    out.keys.foreach { case (a, b) => assert(a < b) }
+  }
+
   test("mm_audio_clusters: families match a union-find recompute") {
     import spark.implicits._
     val pairs = AudioOps.audioFingerprint(spark, sf).collect()
