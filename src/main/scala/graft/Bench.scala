@@ -57,6 +57,10 @@ object Bench {
     val warmFirst = Set("q_triangle_support", "q_pagerank",
       "q_pagerank_copart", "sim_nsw_ann", "sim_nsw_persisted",
       "sim_hnsw_ann",
+      // r12 verdict: same JIT signature — 11.8×/5.7×/5.1× cross-run
+      // spread on identical code made the committed numbers
+      // unattributable; one untimed pass pins them
+      "dedup_canonical", "dedup_cluster_stats", "dedup_substring",
       // one-time /tmp layout build must not land in a timed round
       "q_zorder_pruning")
     for ((name, fn) <- queryList if warmFirst.contains(name)) {
@@ -383,7 +387,9 @@ object Bench {
 
     // Z-order clustering lever measured: the same 2-D rectangle
     // aggregate over the Morton-partitioned layout, full scan +
-    // residual vs cover-set partition pruning (~8/256 directories).
+    // residual vs cover-set partition pruning (the bench rectangle
+    // covers exactly 1 tile of the LayoutBucketBits=2 physical layout
+    // → 1/16 directories admitted).
     // Layout build is untimed setup (amortized over every rectangle,
     // like the bloom/NDV index builds); reads get the bestWarm
     // treatment (one untimed pass absorbs first-touch page cache).

@@ -189,6 +189,8 @@ object SparkEntry {
       (graft.catalog.IcebergSqlDemo.pointQuery _),
     "sink_iceberg_ndv" ->
       (graft.catalog.IcebergSqlDemo.ndvQuery _),
+    "tel_trace_lookup" ->
+      (graft.catalog.IcebergSqlDemo.traceLookupQuery _),
     // the over-threshold (co-partitioned, no-rank-broadcast) arm under
     // the same oracle as q_pagerank: both arms must compute the
     // identical integer-micro fixpoint at any gate setting
@@ -4384,6 +4386,16 @@ object SparkEntry {
         | value
         |FROM events
         |WHERE event_id = (SELECT max(event_id) FROM events)""".stripMargin,
+    // the flagship telemetry needle: fetch ONE trace by its 32-hex
+    // STRING id through the xxhash64-keyed bloom sidecar — the oracle
+    // re-derives the md5 trace ids over raw events and filters for the
+    // deterministic needle (max event_id's trace)
+    "tel_trace_lookup" ->
+      """SELECT md5(CAST(event_id AS VARCHAR)) AS trace_id, event_id,
+        | event_type, CAST(user_id AS BIGINT) AS user_id, value
+        |FROM events
+        |WHERE md5(CAST(event_id AS VARCHAR)) =
+        |  md5(CAST((SELECT max(event_id) FROM events) AS VARCHAR))""".stripMargin,
     // the sidecar NDV sketch in its exact mode (event_type cardinality
     // far below k: the blob IS the distinct set) — metadata-only read
     // must equal the independent engine's count(DISTINCT)

@@ -745,17 +745,17 @@ object IcebergMaintenance {
     require(files.nonEmpty, s"table $tableDir has no data files to index")
     val norm: String => String = _.replaceFirst("^file:(//)?", "")
     val scan = spark.read.parquet(files.map(_.path): _*)
-    // key extraction must match readPoint's residual (timestamps are
-    // compared in micros there, not cast-to-seconds)
-    val key =
-      if (scan.schema(column).dataType ==
-          org.apache.spark.sql.types.TimestampType)
-        unix_micros(col(column))
-      else col(column).cast("long")
-    // null keys can never match a long-equality point lookup, so
-    // dropping them is exact — and without the filter a null (or
-    // non-castable) value would NPE the (String, Long) encoder at
-    // build time (writeNdvIndex has the same guard).
+    // sketches key on xxhash64 of the value ([[graft.functions
+    // .BloomKeys]]) so STRING needles (trace_id hex) index too; the
+    // probe side (readPoint) hashes its literal identically. Blob
+    // property `bloom_keys` records the scheme so probes never
+    // mis-read a legacy raw-long sidecar.
+    val key = graft.functions.BloomKeys.keyCol(
+      col(column), scan.schema(column).dataType)
+    // null keys can never match an equality point lookup, so
+    // dropping them is exact — and without the filter a null
+    // value would NPE the (String, Long) encoder at build time
+    // (writeNdvIndex has the same guard).
     val blooms = scan
       .where(col(column).isNotNull)
       .select(input_file_name().as("f"), key.as("v"))
@@ -778,6 +778,7 @@ object IcebergMaintenance {
         Puffin.Blob("graft-bloom-v1", Seq(fid), snapId,
           meta.lastSequenceNumber, bytes,
           Map("file_path" -> norm(f), "bloom_col" -> column,
+              "bloom_keys" -> graft.functions.BloomKeys.Scheme,
               "fpp" -> fpp.toString))
       }.toSeq)
   }

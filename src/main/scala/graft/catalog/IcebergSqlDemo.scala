@@ -116,6 +116,67 @@ object IcebergSqlDemo {
       .select($"column", $"ndv", $"exact")
   }
 
+  private def traceChainLoc(sfDir: String): String = {
+    val base = java.nio.file.Paths.get(sfDir).toAbsolutePath.toString
+    val md = MessageDigest.getInstance("MD5").digest(base.getBytes("UTF-8"))
+    s"/tmp/graft_iceberg_trace/${md.map(b => f"$b%02x").mkString}"
+  }
+
+  /** Chain for `tel_trace_lookup`: a TRACE-SHAPED table — events keyed
+    * by a 32-hex-char string `trace_id` (md5 of the event id, the id
+    * rendering shape the reference uses: internal/arrow/traces.go:130
+    * hex-encodes trace ids) — written as a MULTI-FILE layout (8
+    * hash-partitioned files, so pruning is observable), committed as
+    * an Iceberg chain and indexed with a per-file bloom sidecar ON THE
+    * STRING COLUMN. Builds once per sf dir (metadata presence check). */
+  private def ensureTraceChain(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val base = traceChainLoc(sfDir)
+    val loc = s"$base/t"
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (IcebergTableMetadata.load(conf, loc).isEmpty) {
+      val dataDir = s"$base/data"
+      val traces = Tables.events(spark, sfDir)
+        .select(md5(col("event_id").cast("string")).as("trace_id"),
+          col("event_id"), col("event_type"), col("user_id"), col("value"))
+        .repartition(8, col("event_id"))
+      traces.write.mode("overwrite").parquet(dataDir)
+      val (schemaJson, _) = RestCatalogClient.icebergSchemaJson(traces.schema)
+      val sj = org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(schemaJson))
+      val paths = graft.recovery.Recovery
+        .listDataFiles(spark, dataDir)
+        .collect().map(_.getString(0)).toSeq.sorted
+      val counts = graft.recovery.Recovery.fileRowCounts(spark, paths)
+      IcebergCommit.commitStandalone(conf, loc, sj, None,
+        paths.map(p => DataFile(p, 0L, counts.getOrElse(p, 0L))))
+      IcebergMaintenance.writeBloomIndex(spark, loc, "trace_id")
+    }
+    loc
+  }
+
+  /** `tel_trace_lookup`: the FLAGSHIP telemetry needle — "fetch this
+    * trace" by its hex string id — through the string-keyed bloom
+    * sidecar ([[graft.functions.BloomKeys]]: sketches key on xxhash64
+    * of the value, so string needles prune like long ones). The needle
+    * is the deterministic max event_id's trace. The oracle recomputes
+    * the same md5-derived id over raw events, so a hash match proves
+    * string keying build → Puffin registration → hashed probe → pruned
+    * scan → string residual end to end against the independent engine;
+    * TraceLookupSpec pins the pruning itself (≤¼ of files admitted). */
+  def traceLookupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val loc = ensureTraceChain(spark, sfDir)
+    val maxId = Tables.events(spark, sfDir)
+      .agg(max(col("event_id"))).head.getLong(0)
+    val needle = MessageDigest.getInstance("MD5")
+      .digest(maxId.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    IcebergTableReader.readPoint(spark, loc, "trace_id", needle)
+      .select($"trace_id", $"event_id", $"event_type",
+        $"user_id".cast("long").as("user_id"), $"value")
+  }
+
   private def eqChainLoc(sfDir: String): String = {
     val base = java.nio.file.Paths.get(sfDir).toAbsolutePath.toString
     val md = MessageDigest.getInstance("MD5").digest(base.getBytes("UTF-8"))

@@ -152,7 +152,9 @@ object IcebergTableMetadata {
       defaultSpecId: Int,
       refs: Map[String, SnapshotRef] = Map.empty,
       schemasJson: Seq[JValue] = Nil,
-      statistics: Seq[StatisticsFile] = Nil)
+      statistics: Seq[StatisticsFile] = Nil,
+      properties: Map[String, String] =
+        Map("write.format.default" -> "parquet"))
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -290,7 +292,12 @@ object IcebergTableMetadata {
           schemasJson = (j \ "schemas").toOption.collect {
             case JArray(ss) => ss
           }.orElse((j \ "schema").toOption.map(List(_))).getOrElse(Nil),
-          statistics = parseStatistics(j \ "statistics")))
+          statistics = parseStatistics(j \ "statistics"),
+          properties = (j \ "properties").toOption.collect {
+            case JObject(ps) => ps.collect {
+              case (k, JString(v)) => k -> v
+            }.toMap
+          }.getOrElse(Map.empty)))
       }
     }
   }
@@ -349,7 +356,9 @@ object IcebergTableMetadata {
              branch: String = "main",
              updateRefs: Map[String, Option[SnapshotRef]] = Map.empty,
              addStatistics: Seq[StatisticsFile] = Nil,
-             dropStatistics: Set[Long] = Set.empty): Int = {
+             dropStatistics: Set[Long] = Set.empty,
+             setProperties: Map[String, String] = Map.empty,
+             removeProperties: Set[String] = Set.empty): Int = {
     val prev = load(conf, location)
     val version = prev.map(_.version).getOrElse(0) + 1
     val uuid = prev.map(_.tableUuid).filter(_.nonEmpty)
@@ -465,7 +474,13 @@ object IcebergTableMetadata {
       "default-sort-order-id" -> JInt(0),
       "sort-orders" -> JArray(List(JObject(
         "order-id" -> JInt(0), "fields" -> JArray(Nil)))),
-      "properties" -> JObject("write.format.default" -> JString("parquet")),
+      // table properties carry forward across commits (retention
+      // knobs etc. ride here, per spec); set/remove apply on top
+      "properties" -> JObject(
+        ((prev.map(_.properties)
+          .getOrElse(Map("write.format.default" -> "parquet"))
+          ++ setProperties) -- removeProperties)
+          .toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }),
       "current-snapshot-id" -> current
         .map(v => JInt(BigInt(v)): JValue).getOrElse(JInt(-1)),
       "refs" -> JObject(refsFinal.toList.sortBy(_._1).map { case (n, r) =>

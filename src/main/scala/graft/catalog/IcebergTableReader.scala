@@ -708,20 +708,27 @@ object IcebergTableReader {
     * no false negatives by construction. Exposed for the spec/bench;
     * [[readPoint]] is the query surface. */
   private[graft] def pointFiles(spark: SparkSession, tableDir: String,
-                                column: String, value: Long,
+                                column: String, value: Any,
                                 asOfSnapshotId: Option[Long] = None)
       : (Seq[FileEntry], Seq[DeleteEntry], TableMetadata) = {
     val meta = metadata(spark, tableDir)
     val snapId = resolveSnapshot(meta, asOfSnapshotId).map(_.snapshotId)
     val (all, dels) = scanState(spark, tableDir, asOfSnapshotId)
     val fid = fieldId(meta, column)
-    val bounded = all.filter { f =>
-      (f.lowerBounds.get(fid), f.upperBounds.get(fid)) match {
-        case (Some(lo), Some(hi)) =>
-          IcebergSingleValue.longOf(lo) <= value &&
-            value <= IcebergSingleValue.longOf(hi)
-        case _ => true // no stats → cannot prune
+    // manifest zone-map prune — long/timestamp needles only (string
+    // bounds are truncated under the Iceberg spec; the bloom below is
+    // the string needle's prune lever, so skipping bounds for strings
+    // loses nothing and can never false-negative)
+    val bounded = value match {
+      case needle: Long => all.filter { f =>
+        (f.lowerBounds.get(fid), f.upperBounds.get(fid)) match {
+          case (Some(lo), Some(hi)) =>
+            IcebergSingleValue.longOf(lo) <= needle &&
+              needle <= IcebergSingleValue.longOf(hi)
+          case _ => true // no stats → cannot prune
+        }
       }
+      case _ => all
     }
     val sidecar = meta.statistics.find(s => snapId.contains(s.snapshotId))
     val kept = sidecar match {
@@ -729,12 +736,29 @@ object IcebergTableReader {
       case Some(sf) =>
         val conf = spark.sparkContext.hadoopConfiguration
         val (blobs, _) = Puffin.readFooter(conf, sf.path)
+        // per-blob probe key: hash-keyed sketches (bloom_keys =
+        // xxhash64) probe the needle's hash; legacy raw-long sketches
+        // probe the raw long. A sketch we cannot probe (legacy blob,
+        // string needle) is treated as ABSENT — its file stays kept,
+        // never silently skipped: no false negatives by construction.
+        val hashedNeedle = graft.functions.BloomKeys.keyOf(value)
         val byFile = blobs
           .filter(b => b.blobType == "graft-bloom-v1" &&
             b.properties.get("bloom_col").contains(column))
-          .flatMap(b => b.properties.get("file_path").map(_ -> b)).toMap
+          .flatMap { b =>
+            val probe: Option[Long] =
+              if (b.properties.get("bloom_keys")
+                    .contains(graft.functions.BloomKeys.Scheme))
+                Some(hashedNeedle)
+              else value match {
+                case l: Long => Some(l)
+                case _       => None // legacy long sketch, non-long needle
+              }
+            for (f <- b.properties.get("file_path"); pv <- probe)
+              yield f -> ((b, pv))
+          }.toMap
         val checks = bounded.flatMap(f => byFile.get(normPath(f.path))
-          .map(b => (normPath(f.path), b.offset, b.length)))
+          .map { case (b, pv) => (normPath(f.path), b.offset, b.length, pv) })
         val hits: Set[String] =
           if (checks.isEmpty) Set.empty
           else {
@@ -746,13 +770,13 @@ object IcebergTableReader {
             spark.sparkContext.parallelize(checks.toIndexedSeq, slices)
               .mapPartitions { it =>
                 val c = confB.value.value
-                it.flatMap { case (p, off, len) =>
+                it.flatMap { case (p, off, len, pv) =>
                   val bytes = Puffin.readBlob(c, sfPath,
                     Puffin.BlobMeta("graft-bloom-v1", Nil, 0L, 0L, off, len,
                       Map.empty))
                   val bf = org.apache.spark.util.sketch.BloomFilter
                     .readFrom(new java.io.ByteArrayInputStream(bytes))
-                  if (bf.mightContainLong(value)) Some(p) else None
+                  if (bf.mightContainLong(pv)) Some(p) else None
                 }
               }.collect().toSet
           }
@@ -804,17 +828,22 @@ object IcebergTableReader {
     * the row-level residual keeping exactness through bloom false
     * positives and merge-on-read deletes applied as in every other
     * read path. The interop-chain twin of
-    * [[graft.recovery.VersionedManifest.readPoint]]. */
+    * [[graft.recovery.VersionedManifest.readPoint]]. Accepts LONG
+    * needles (numeric/timestamp-micros columns) and STRING needles
+    * (the trace_id hex lookup — the most common telemetry needle). */
   def readPoint(spark: SparkSession, tableDir: String, column: String,
-                value: Long, asOfSnapshotId: Option[Long] = None): DataFrame = {
+                value: Any, asOfSnapshotId: Option[Long] = None): DataFrame = {
     val (files, deletes, meta) =
       pointFiles(spark, tableDir, column, value, asOfSnapshotId)
     val df = assemble(spark, meta, files, deletes)
     if (files.isEmpty) return df
-    val c =
-      if (df.schema(column).dataType == TimestampType) unix_micros(col(column))
-      else col(column).cast("long")
-    df.filter(c === value)
+    val c = value match {
+      case _: String => col(column)
+      case _ if df.schema(column).dataType == TimestampType =>
+        unix_micros(col(column))
+      case _ => col(column).cast("long")
+    }
+    df.filter(c === lit(value))
   }
 
 }

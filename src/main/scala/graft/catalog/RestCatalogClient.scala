@@ -93,7 +93,8 @@ object RestCatalogClient {
                        schemaJson: String = "{}",
                        defaultSpec: Option[JValue] = None,
                        snapshots: Seq[(Long, String)] = Nil,
-                       statistics: Seq[IcebergTableMetadata.StatisticsFile] = Nil)
+                       statistics: Seq[IcebergTableMetadata.StatisticsFile] = Nil,
+                       properties: Map[String, String] = Map.empty)
 
   /** Top-level field id of `column` in an Iceberg schema JSON — the
     * key manifest bounds maps use. */
@@ -395,7 +396,10 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
             .orElse(ss.lastOption)
         }.flatten
       },
-      statistics = IcebergTableMetadata.parseStatistics(md \ "statistics"))
+      statistics = IcebergTableMetadata.parseStatistics(md \ "statistics"),
+      properties = (md \ "properties").toOption.collect {
+        case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
+      }.getOrElse(Map.empty))
   }
 
   def loadTable(namespace: String, table: String): Option[TableInfo] =
@@ -698,6 +702,65 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
         info.schemaJson, info.defaultSpec, None,
         addStatistics = Seq(stats))
       ()
+    }
+
+  /** TABLE PROPERTIES update (Iceberg REST `set-properties` /
+    * `remove-properties` actions in one commit) — the knob surface a
+    * real operator reaches eventually: retention
+    * (`history.expire.max-snapshot-age-ms`), compaction targets, write
+    * options all ride properties. Requirements are EMPTY like other
+    * metadata-only updates (properties don't race snapshots), so a
+    * concurrent append can't 409 a knob change; replay is idempotent
+    * (set/remove converge). The result is mirrored into the
+    * stand-alone metadata chain (properties carry forward across its
+    * commits), so cold readers see the same knobs as catalog readers. */
+  def updateProperties(namespace: String, table: String,
+                       set: Map[String, String] = Map.empty,
+                       remove: Set[String] = Set.empty): Unit =
+    Delivery.retry(settings.retry) {
+      require(set.nonEmpty || remove.nonEmpty,
+        "updateProperties needs at least one set or remove")
+      val info = loadTableOnce(namespace, table).getOrElse(
+        throw new PermanentException(
+          s"validation failed: table $namespace.$table does not exist", null))
+      val actions =
+        (if (set.nonEmpty)
+          List(JObject("action" -> JString("set-properties"),
+            "updates" -> JObject(set.toList.sortBy(_._1)
+              .map { case (k, v) => k -> (JString(v): JValue) })))
+         else Nil) :::
+        (if (remove.nonEmpty)
+          List(JObject("action" -> JString("remove-properties"),
+            "removals" -> JArray(remove.toList.sorted.map(JString(_)))))
+         else Nil)
+      val body = compact(render(JObject(
+        "identifier" -> JObject(
+          "namespace" -> JArray(List(JString(namespace))),
+          "name" -> JString(table)),
+        "requirements" -> JArray(Nil),
+        "updates" -> JArray(actions))))
+      call("POST", s"$prefix/namespaces/$namespace/tables/$table", Some(body))
+      IcebergTableMetadata.commit(hadoopConf, info.location,
+        info.schemaJson, info.defaultSpec, None,
+        setProperties = set, removeProperties = remove)
+      ()
+    }
+
+  /** Startup CONNECTION PROBE — parity with the reference's
+    * best-effort `testConnection` (catalog_rest.go:112-127: list
+    * namespaces as a lightweight reachability check, log the outcome,
+    * never fail initialization). Returns Right(namespace count) on
+    * success, Left(diagnostic) on any failure — including the
+    * reference's no-token hint — and NEVER throws. */
+  def testConnection(): Either[String, Int] =
+    try Right(listNamespaces().size)
+    catch {
+      case t: Throwable =>
+        val hint =
+          if (settings.auth.token.isEmpty && settings.auth.clientId.isEmpty)
+            " (no authentication configured - try providing a catalog token)"
+          else ""
+        Left(s"REST catalog connection test failed: ${t.getMessage}$hint")
     }
 
   /** Iceberg REST `remove-statistics`: drop the statistics entry for

@@ -284,17 +284,24 @@ object AudioOps {
     * and the clusters query reuses the same decode instead of its own
     * pass (the persisted-ANN-index per-corpus cache pattern; the
     * frame is bounded by the 2¹⁵ fp domain). */
+  /** Keyed by (session, path) and self-evicting on stopped sessions:
+    * a path-only key would serve a DataFrame bound to a dead
+    * SparkSession after a stop/recreate in the same JVM, and would
+    * silently serve stale groups if the source parquet were
+    * regenerated under a fresh session. */
   private val fpGroupsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def fpGroups(spark: SparkSession, sfDir: String): DataFrame =
-    fpGroupsCache.computeIfAbsent(sfDir, _ => {
+  private def fpGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    fpGroupsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    fpGroupsCache.computeIfAbsent((spark, sfDir), _ => {
       import spark.implicits._
       fingerprints(spark, sfDir)
         .groupBy($"fp")
         .agg(count(lit(1)).as("n_clips"), min($"doc_id").as("min_doc"))
         .localCheckpoint()
     })
+  }
 
   def audioFingerprint(spark: SparkSession, sfDir: String,
                        maxHamming: Int = 1): DataFrame = {

@@ -32,12 +32,15 @@ object ZOrder {
   /** Morton interleave of the low `bits` of `x` (even positions) and
     * `y` (odd positions). Delegates to the sink's magic-number
     * spreading kernel ([[graft.sink.ZOrder.zValue]], ~12 codegen ops
-    * vs 4·bits unrolled terms) — exact for any `bits` ≤ 21 because
-    * callers pre-bound the inputs to `[0, 2^bits)`, so the spread only
-    * populates the low `2·bits` positions. */
+    * vs 4·bits unrolled terms). Inputs are masked to the low `bits`
+    * here so the contract holds for ANY caller, not just those that
+    * pre-bound to `[0, 2^bits)` — an unbounded input with bits=8 would
+    * otherwise interleave its high bits and land in the wrong bucket. */
   def zvalue(x: Column, y: Column, bits: Int): Column = {
     require(bits <= 21, s"sink kernel interleaves 21 bits/dim, got $bits")
-    graft.sink.ZOrder.zValue(x, y)
+    val mask = lit((1L << bits) - 1)
+    graft.sink.ZOrder.zValue(x.cast("long").bitwiseAND(mask),
+                             y.cast("long").bitwiseAND(mask))
   }
 
   /** Buckets whose tile intersects the rectangle `[x0,x1]×[y0,y1]` —
@@ -111,10 +114,16 @@ object ZOrder {
     * live in the catalog/metastore). Partition pruning still happens
     * per query at planning time against the cached file index. */
   private val layoutCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def layoutDf(spark: SparkSession, loc: String): DataFrame =
-    layoutCache.computeIfAbsent(loc, l => spark.read.parquet(l))
+  /** Keyed by (session, loc) + stopped-session eviction: a loc-only
+    * key would hand out DataFrames bound to a dead SparkSession after
+    * a stop/recreate in the same JVM. */
+  private def layoutDf(spark: SparkSession, loc: String): DataFrame = {
+    layoutCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    layoutCache.computeIfAbsent((spark, loc),
+      k => k._1.read.parquet(k._2))
+  }
 
   /** Lineitem written ONCE per sf dir under /tmp, hash-partitioned by
     * `zbucket` directory — the clustered layout the pruning query and

@@ -234,10 +234,11 @@ object Recovery {
     } finally reader.close()
   }
 
-  /** Per-file BLOOM FILTER index over a long key column — the point-
-    * lookup complement to zone maps: min/max prunes range predicates,
-    * blooms prune `key = v` needle queries (find one trace / event /
-    * order id in a 100 TB table). One distributed build pass groups
+  /** Per-file BLOOM FILTER index over a key column (long, timestamp
+    * or STRING — keys are xxhash64'd, see [[graft.functions.BloomKeys]])
+    * — the point-lookup complement to zone maps: min/max prunes range
+    * predicates, blooms prune `key = v` needle queries (find one trace
+    * / event / order id in a 100 TB table). One distributed build pass groups
     * rows by their source file and folds them into a fixed-size sketch;
     * persisted through a stats-carrying [[VersionedManifest.commit]]
     * the index lives in the manifest like Iceberg puffin blobs, and
@@ -246,8 +247,17 @@ object Recovery {
   def fileBlooms(spark: SparkSession, tablePath: String, column: String,
                  fpp: Double = 0.03): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(tablePath)
-      .select(input_file_name().as("f"), col(column).cast("long").as("v"))
+    val scan = spark.read.parquet(tablePath)
+    // sketches key on xxhash64 of the value ([[graft.functions
+    // .BloomKeys]]) so STRING keys (trace_id hex) index too — the old
+    // cast("long") turned them into null and NPE'd the encoder; null
+    // keys are dropped (a null never equals a point-lookup literal,
+    // so the drop is exact — the same guard writeBloomIndex carries).
+    scan
+      .where(col(column).isNotNull)
+      .select(input_file_name().as("f"),
+        graft.functions.BloomKeys.keyCol(
+          col(column), scan.schema(column).dataType).as("v"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroups { (f, it) =>
@@ -267,6 +277,7 @@ object Recovery {
       }
       .toDF("file_path", "bloom")
       .withColumn("bloom_col", lit(column))
+      .withColumn("bloom_keys", lit(graft.functions.BloomKeys.Scheme))
   }
 
   /** File-level column statistics (zone map) harvested from parquet

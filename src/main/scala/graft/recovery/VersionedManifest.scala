@@ -80,21 +80,42 @@ object VersionedManifest {
     * over the manifest — a 10^6-file manifest deserializes sketches in
     * executors, the driver only collects the surviving paths. */
   def readPoint(spark: SparkSession, tablePath: String, manifestDir: String,
-                value: Long, version: Option[Long] = None): DataFrame = {
+                value: Any, version: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val m = filesAt(spark, manifestDir, version)
     require(m.columns.contains("bloom"),
       s"manifest at $manifestDir has no bloom index; commit with bloomColumn")
+    // per-row probe key: hash-keyed sketches (bloom_keys = xxhash64,
+    // everything fileBlooms writes) probe the needle's hash; legacy
+    // raw-long sketches (manifests committed before the scheme column
+    // existed) probe the raw long. A sketch we cannot probe (legacy,
+    // non-long needle) keeps its file — never silently skipped.
+    val hashed = graft.functions.BloomKeys.keyOf(value)
+    val rawLong: Option[Long] = value match {
+      case l: Long => Some(l)
+      case i: Int  => Some(i.toLong)
+      case _       => None
+    }
+    val hasScheme = m.columns.contains("bloom_keys")
+    val withScheme =
+      if (hasScheme) m.select($"file_path", $"bloom", $"bloom_col",
+        $"bloom_keys")
+      else m.select($"file_path", $"bloom", $"bloom_col",
+        lit(null: String).as("bloom_keys"))
     // single pass: bloom membership AND the indexed column's name come
     // back from one job (one path-sized row per file; sketch bytes never
     // reach the driver)
-    val entries = m.select("file_path", "bloom", "bloom_col")
-      .as[(String, Array[Byte], String)]
+    val entries = withScheme
+      .as[(String, Array[Byte], String, String)]
       .mapPartitions { it =>
-        it.map { case (f, b, kc) =>
-          val hit = b == null || org.apache.spark.util.sketch.BloomFilter
-            .readFrom(new java.io.ByteArrayInputStream(b))
-            .mightContainLong(value)
+        it.map { case (f, b, kc, scheme) =>
+          val probe: Option[Long] =
+            if (scheme == graft.functions.BloomKeys.Scheme) Some(hashed)
+            else rawLong
+          val hit = b == null || probe.isEmpty ||
+            org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(b))
+              .mightContainLong(probe.get)
           (if (hit) f else null, kc)
         }
       }.collect()
@@ -104,7 +125,7 @@ object VersionedManifest {
     val keep = entries.collect { case (f, _) if f != null => f }
     val base = if (keep.isEmpty) spark.read.parquet(tablePath).limit(0)
     else spark.read.option("basePath", tablePath).parquet(keep.toIndexedSeq: _*)
-    base.filter(col(keyCol) === value)
+    base.filter(col(keyCol) === lit(value))
   }
 
   /** Commit an EXPLICIT file list as the next snapshot — the rewrite

@@ -25,7 +25,8 @@ import org.json4s.jackson.JsonMethods.parse
                    var defaultSpecId: Int = 0,
                    // snapshot-id -> statistics entry (set-statistics
                    // replaces per snapshot, per the REST spec)
-                   stats: mutable.LinkedHashMap[Long, JValue] = mutable.LinkedHashMap())
+                   stats: mutable.LinkedHashMap[Long, JValue] = mutable.LinkedHashMap(),
+                   props: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap())
     val tables = mutable.LinkedHashMap.empty[(String, String), Tbl]
     val requests = mutable.ArrayBuffer.empty[String]
     @volatile var warehouseDir: String = ""
@@ -117,12 +118,16 @@ import org.json4s.jackson.JsonMethods.parse
                 else s""""statistics":[${
                   tbl.stats.values.map(s => org.json4s.jackson.JsonMethods.compact(
                     org.json4s.jackson.JsonMethods.render(s))).mkString(",")}],"""
+              val propsJson =
+                if (tbl.props.isEmpty) ""
+                else s""""properties":{${tbl.props.map { case (k, v) =>
+                  s""""$k":"$v"""" }.mkString(",")}},"""
               reply(ex, 200,
                 s"""{"metadata-location":"${tbl.location}/metadata/v1.json",
                    |"metadata":{"table-uuid":"u-$ns-$t","location":"${tbl.location}",
                    |"current-snapshot-id":${tbl.currentId.getOrElse(-1L)},
                    |"last-sequence-number":${tbl.snapshots.size},
-                   |$schemas$specsJson$statsJson"snapshots":[$snaps]}}""".stripMargin.replace("\n", ""))
+                   |$schemas$specsJson$statsJson$propsJson"snapshots":[$snaps]}}""".stripMargin.replace("\n", ""))
           }
 
         case ("POST", List("v1", "demo", "namespaces", ns, "tables")) =>
@@ -175,6 +180,17 @@ import org.json4s.jackson.JsonMethods.parse
                     tbl.stats(sid) = u \ "statistics"
                   case "remove-statistics" =>
                     tbl.stats.remove((u \ "snapshot-id").extract[Long])
+                  case "set-properties" =>
+                    (u \ "updates") match {
+                      case JObject(fs) => fs.foreach {
+                        case (k, JString(v)) => tbl.props(k) = v
+                        case _ => ()
+                      }
+                      case _ => ()
+                    }
+                  case "remove-properties" =>
+                    (u \ "removals").extract[Seq[String]]
+                      .foreach(tbl.props.remove)
                   case _ => ()
                 }
               }

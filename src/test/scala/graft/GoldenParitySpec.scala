@@ -52,7 +52,15 @@ case class XEHBatch(resource: TResource, scope: TScope, metric: MMetric,
   * layout per table — must reproduce the reference bit-for-bit. */
 class GoldenParitySpec extends SparkSpec {
 
-  private val goldenDir = "/root/reference/internal/arrow/testdata"
+  /** Overridable so a checkout without the reference repo can point
+    * elsewhere; each parity assertion is `assume`-gated on the dir so
+    * such a checkout SKIPS these tests instead of erroring. */
+  private val goldenDir = sys.props.getOrElse("graft.golden.dir",
+    "/root/reference/internal/arrow/testdata")
+  private def assumeGolden(): Unit =
+    org.scalatest.Assertions.assume(
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(goldenDir)),
+      s"golden dir $goldenDir absent — reference checkout not present")
   /** 2024-01-15T10:30:00Z (test_helper.go testTime) in ns. */
   private val T0 = 1705314600000000000L
   private val Minute = 60L * 1000000000L
@@ -87,6 +95,7 @@ class GoldenParitySpec extends SparkSpec {
 
   private def assertParity(ours: org.apache.spark.sql.DataFrame,
                            golden: String): Unit = {
+    assumeGolden()
     val g = spark.read.parquet(s"$goldenDir/$golden.parquet")
     assert(ours.columns.toSeq === g.columns.toSeq,
       s"$golden: column names/order diverge")
@@ -213,6 +222,7 @@ class GoldenParitySpec extends SparkSpec {
   }
 
   test("schema parity holds across every golden of each table type") {
+    assumeGolden()
     // each converter has ONE schema — the per-fixture goldens of a
     // table type must all agree with ours on names + order
     val byTable = Seq(

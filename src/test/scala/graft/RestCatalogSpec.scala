@@ -683,4 +683,59 @@ class RestCatalogSpec extends SparkSpec {
       .apply("data_file").asInstanceOf[Map[String, Any]]
     assert(df0("split_offsets") === null)
   }
+
+  test("updateProperties: set/remove round-trip catalog AND stand-alone chain") {
+    import org.apache.spark.sql.types._
+    withCatalog { (fake, client) =>
+      client.ensureNamespace("otel")
+      val schema = StructType(Seq(StructField("id", LongType)))
+      client.ensureTable("otel", "knobs", schema)
+      // retention knobs ride properties (the operator's real use)
+      client.updateProperties("otel", "knobs",
+        set = Map("history.expire.max-snapshot-age-ms" -> "3600000",
+                  "commit.retry.num-retries" -> "7"))
+      // server state + client read-back agree
+      assert(fake.tables(("otel", "knobs")).props.toMap ===
+        Map("history.expire.max-snapshot-age-ms" -> "3600000",
+            "commit.retry.num-retries" -> "7"))
+      val info = client.loadTable("otel", "knobs").get
+      assert(info.properties("commit.retry.num-retries") === "7")
+      // the stand-alone chain mirrors the knobs (cold readers see them)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val m1 = graft.catalog.IcebergTableMetadata.load(conf, info.location).get
+      assert(m1.properties("history.expire.max-snapshot-age-ms") === "3600000")
+      // remove one, overwrite the other — converged state on both sides
+      client.updateProperties("otel", "knobs",
+        set = Map("commit.retry.num-retries" -> "3"),
+        remove = Set("history.expire.max-snapshot-age-ms"))
+      assert(fake.tables(("otel", "knobs")).props.toMap ===
+        Map("commit.retry.num-retries" -> "3"))
+      val m2 = graft.catalog.IcebergTableMetadata.load(conf, info.location).get
+      assert(m2.properties.get("history.expire.max-snapshot-age-ms").isEmpty)
+      assert(m2.properties("commit.retry.num-retries") === "3")
+      // properties CARRY FORWARD across unrelated chain commits
+      graft.catalog.IcebergTableMetadata.commit(conf, info.location,
+        m2.schemaJson, None, None)
+      val m3 = graft.catalog.IcebergTableMetadata.load(conf, info.location).get
+      assert(m3.properties("commit.retry.num-retries") === "3")
+    }
+  }
+
+  test("testConnection: best-effort probe — success count, failure diagnostic, never throws") {
+    withCatalog { (fake, client) =>
+      client.ensureNamespace("otel")
+      client.ensureNamespace("metrics")
+      assert(client.testConnection() === Right(2))
+    }
+    // unreachable catalog: Left with a diagnostic (and the reference's
+    // no-token hint when no auth is configured), not an exception
+    val dead = new RestCatalogClient(Settings("http://127.0.0.1:1",
+      retry = fastRetry))
+    dead.testConnection() match {
+      case Left(msg) =>
+        assert(msg.contains("connection test failed"))
+        assert(msg.contains("no authentication configured"))
+      case Right(n) => fail(s"expected failure, got Right($n)")
+    }
+  }
 }
