@@ -94,7 +94,9 @@ object RestCatalogClient {
                        defaultSpec: Option[JValue] = None,
                        snapshots: Seq[(Long, String)] = Nil,
                        statistics: Seq[IcebergTableMetadata.StatisticsFile] = Nil,
-                       properties: Map[String, String] = Map.empty)
+                       properties: Map[String, String] = Map.empty,
+                       snapshotSummaries: Map[Long, Map[String, String]] =
+                         Map.empty)
 
   /** Top-level field id of `column` in an Iceberg schema JSON — the
     * key manifest bounds maps use. */
@@ -399,7 +401,18 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
       statistics = IcebergTableMetadata.parseStatistics(md \ "statistics"),
       properties = (md \ "properties").toOption.collect {
         case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      snapshotSummaries = (md \ "snapshots").toOption.toSeq.flatMap {
+        case JArray(ss) => ss.flatMap { s =>
+          ((s \ "snapshot-id").toOption, (s \ "summary").toOption) match {
+            case (Some(JInt(id)), Some(JObject(sm))) =>
+              Some(id.toLong ->
+                sm.collect { case (k, JString(v)) => k -> v }.toMap)
+            case _ => None
+          }
+        }
+        case _ => Nil
+      }.toMap)
   }
 
   def loadTable(namespace: String, table: String): Option[TableInfo] =
@@ -546,7 +559,8 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
     * ([[IcebergCommit.writeUpsertManifests]] is shared). */
   def upsertFiles(namespace: String, table: String,
                   files: Seq[DataFile],
-                  deletes: Seq[IcebergCommit.DeleteFileSpec]): Unit = {
+                  deletes: Seq[IcebergCommit.DeleteFileSpec],
+                  extraSummary: Map[String, String] = Map.empty): Unit = {
     if (files.isEmpty && deletes.isEmpty) return
     require(deletes.forall(_.content == 2),
       "REST upsert retires prior rows via EQUALITY deletes (content=2)")
@@ -572,6 +586,8 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
         "otel.delete_record_count" ->
           JString(deletes.map(_.file.recordCount).sum.toString),
         "otel.delete_file_count" -> JString(deletes.size.toString))
+        .merge(JObject(extraSummary.toList.sortBy(_._1)
+          .map { case (k, v) => k -> (JString(v): JValue) }))
       val commitTsMs = System.currentTimeMillis()
       val snapshot = JObject(
         "snapshot-id" -> JInt(BigInt(snapId)),
@@ -604,7 +620,8 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
               "otel.record_count" -> files.map(_.recordCount).sum.toString,
               "otel.file_count" -> files.size.toString,
               "otel.delete_record_count" ->
-                deletes.map(_.file.recordCount).sum.toString))))
+                deletes.map(_.file.recordCount).sum.toString)
+            ++ extraSummary)))
       ()
     }
   }

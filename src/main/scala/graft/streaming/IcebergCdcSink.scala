@@ -68,4 +68,82 @@ object IcebergCdcSink {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** [[applyBatch]]'s CATALOGED twin: one CDC micro-batch lands as one
+    * merge-on-read `overwrite` snapshot committed THROUGH THE REST
+    * CATALOG ([[RestCatalogClient.upsertFiles]]: equality delete +
+    * append in one `add-snapshot`, `assert-ref-snapshot-id` optimistic
+    * lock, 409-replay safe) — the deployment shape the reference
+    * actually runs (catalog-first readers, catalog_rest.go). The
+    * exactly-once epoch check reads the CATALOG's snapshot summaries
+    * (`graft.batch_id`), not the stand-alone mirror, so a replayed
+    * foreachBatch epoch is skipped even if only the catalog commit
+    * survived a crash. Table bootstrap is [[RestCatalogClient
+    * .ensureTable]] (create-race tolerant). Returns true if applied,
+    * false on detected replay or an empty batch. */
+  def applyBatchCatalog(spark: SparkSession, client: RestCatalogClient,
+                        namespace: String, table: String, batch: DataFrame,
+                        batchId: Long, keyCols: Seq[String]): Boolean = {
+    require(keyCols.nonEmpty, "catalog CDC needs at least one key column")
+    client.ensureNamespace(namespace)
+    client.ensureTable(namespace, table, batch.schema)
+    val info = client.loadTable(namespace, table).getOrElse(
+      throw new IllegalStateException(
+        s"table $namespace.$table missing after ensureTable"))
+    val replay = info.snapshotSummaries.values
+      .exists(_.get("graft.batch_id").contains(batchId.toString))
+    if (replay) return false
+    // pin the batch (the upsert reads it twice: data + keys), then
+    // land the files under the CATALOG's table location
+    val delta = batch.localCheckpoint()
+    val stamp = java.util.UUID.randomUUID().toString.take(16)
+    val dataDir = s"${info.location}/data/cdc-upsert-$stamp"
+    delta.coalesce(1).write.parquet(dataDir)
+    val dataPaths = spark.read.parquet(dataDir).inputFiles.toSeq.sorted
+    val counts = graft.recovery.Recovery.fileRowCounts(spark, dataPaths)
+    if (dataPaths.map(counts.getOrElse(_, 0L)).sum == 0L) return false
+    // keys re-read from the WRITTEN files (nondeterministic inputs
+    // must delete exactly the keys that landed — the upsert rule)
+    val keyDir = s"${info.location}/data/cdc-eqdel-$stamp"
+    spark.read.parquet(dataPaths: _*)
+      .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .distinct().coalesce(1).write.parquet(keyDir)
+    val keyPaths = spark.read.parquet(keyDir).inputFiles.toSeq.sorted
+    val keyCounts = graft.recovery.Recovery.fileRowCounts(spark, keyPaths)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def sizeOf(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).getFileStatus(hp).getLen
+    }
+    val ids = keyCols.map(c =>
+      RestCatalogClient.fieldIdOf(info.schemaJson, c).getOrElse(
+        throw new IllegalArgumentException(
+          s"key column $c not in $namespace.$table schema")))
+    client.upsertFiles(namespace, table,
+      dataPaths.map(p => graft.catalog.RestCatalogClient.DataFile(
+        p, sizeOf(p), counts.getOrElse(p, 0L))),
+      keyPaths.map(p => graft.catalog.IcebergCommit.DeleteFileSpec(
+        graft.catalog.RestCatalogClient.DataFile(
+          p, sizeOf(p), keyCounts.getOrElse(p, 0L)),
+        content = 2, ids)),
+      extraSummary = Map("graft.batch_id" -> batchId.toString))
+    true
+  }
+
+  /** Continuous keyed-change apply into a REST-CATALOGED table: the
+    * [[cdcApply]] twin routed through [[applyBatchCatalog]] — one
+    * catalog-committed snapshot per micro-batch, exactly-once across
+    * restarts via the catalog-side epoch check. */
+  def cdcApplyCatalog(changes: DataFrame, client: RestCatalogClient,
+                      namespace: String, table: String, checkpoint: String,
+                      keyCols: Seq[String]): StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyBatchCatalog(batch.sparkSession, client, namespace, table,
+          batch, id, keyCols)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -26,7 +26,8 @@ import org.json4s.jackson.JsonMethods.parse
                    // snapshot-id -> statistics entry (set-statistics
                    // replaces per snapshot, per the REST spec)
                    stats: mutable.LinkedHashMap[Long, JValue] = mutable.LinkedHashMap(),
-                   props: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap())
+                   props: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap(),
+                   summaries: mutable.LinkedHashMap[Long, JValue] = mutable.LinkedHashMap())
     val tables = mutable.LinkedHashMap.empty[(String, String), Tbl]
     val requests = mutable.ArrayBuffer.empty[String]
     @volatile var warehouseDir: String = ""
@@ -101,7 +102,10 @@ import org.json4s.jackson.JsonMethods.parse
             case None => reply(ex, 404, """{"error":"table not found"}""")
             case Some(tbl) =>
               val snaps = tbl.snapshots.map { case (id, ml) =>
-                s"""{"snapshot-id":$id,"manifest-list":"$ml"}"""
+                val sm = tbl.summaries.get(id).map(s =>
+                  s""","summary":${org.json4s.jackson.JsonMethods.compact(
+                    org.json4s.jackson.JsonMethods.render(s))}""").getOrElse("")
+                s"""{"snapshot-id":$id,"manifest-list":"$ml"$sm}"""
               }.mkString(",")
               val schemas =
                 if (tbl.schemaJson == JNothing) ""
@@ -165,8 +169,13 @@ import org.json4s.jackson.JsonMethods.parse
                 (u \ "action").extract[String] match {
                   case "add-snapshot" =>
                     val s = u \ "snapshot"
-                    tbl.snapshots += (((s \ "snapshot-id").extract[Long],
+                    val sid = (s \ "snapshot-id").extract[Long]
+                    tbl.snapshots += ((sid,
                       (s \ "manifest-list").extract[String]))
+                    (s \ "summary") match {
+                      case JNothing => ()
+                      case sm => tbl.summaries(sid) = sm
+                    }
                   case "set-snapshot-ref" =>
                     tbl.currentId = Some((u \ "snapshot-id").extract[Long])
                   case "add-spec" =>

@@ -78,4 +78,64 @@ class IcebergCdcStreamSpec extends SparkSpec {
     assert(IcebergCdcSink.applyBatch(spark, loc, b1, 2L, Seq("id")))
     assert(state(loc) === settled)
   }
+
+  test("cataloged CDC: snapshot-per-batch through REST, replay skipped on the catalog chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.catalog.RestCatalogClient
+    import graft.catalog.RestCatalogClient.{CatalogAuth, Settings}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fake = new FakeRestCatalog
+    fake.warehouseDir =
+      "file://" + Files.createTempDirectory("graft-cdc-cat").toString
+    try {
+      val client = new RestCatalogClient(Settings(fake.uri,
+        warehouse = fake.warehouseDir,
+        auth = CatalogAuth(clientId = "svc", clientSecret = "hunter2"),
+        retry = graft.streaming.Delivery.RetryPolicy(
+          maxAttempts = 4, initialBackoffMs = 1, sleep = _ => ())))
+      val ckpt = Files.createTempDirectory("graft-cdc-cat-ckpt").toString
+      val input = MemoryStream[(Long, Long, String)]
+      val changes = input.toDF().toDF("id", "ts", "payload")
+
+      // two micro-batches: bootstrap, then update 2 + insert 3
+      input.addData((1L, 10L, "a1"), (2L, 20L, "a2"))
+      IcebergCdcSink.cdcApplyCatalog(changes, client, "otel", "cdc", ckpt,
+        Seq("id")).awaitTermination()
+      input.addData((2L, 21L, "b2"), (3L, 30L, "b3"))
+      IcebergCdcSink.cdcApplyCatalog(changes, client, "otel", "cdc", ckpt,
+        Seq("id")).awaitTermination()
+
+      // catalog head advanced once per batch, each snapshot carrying
+      // its epoch in the CATALOG-visible summary
+      val tbl = fake.tables(("otel", "cdc"))
+      assert(tbl.snapshots.size === 2)
+      val info = client.loadTable("otel", "cdc").get
+      assert(info.snapshotSummaries.values
+        .flatMap(_.get("graft.batch_id")).toSeq.sorted === Seq("0", "1"))
+
+      // the table cold-reads (MOR applied) without the catalog
+      assert(state(info.location) ===
+        Map(1L -> "a1", 2L -> "b2", 3L -> "b3"))
+
+      // the changelog between the two batch snapshots is exactly batch 1
+      val meta = IcebergTableReader.metadata(spark, info.location).snapshots
+        .sortBy(_.sequenceNumber).map(_.snapshotId)
+      val delta = IcebergTableReader.readChangelog(
+          spark, info.location, Some(meta.head), Some(meta.last))
+        .select($"id", $"_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(delta === Set((2L, "insert"), (3L, "insert"), (2L, "delete")))
+
+      // the crash-between-commit-and-checkpoint case: epoch 1 replays
+      // against the CATALOG chain and is skipped — no third snapshot
+      val b1 = Seq((2L, 21L, "b2"), (3L, 30L, "b3"))
+        .toDF("id", "ts", "payload")
+      assert(!IcebergCdcSink.applyBatchCatalog(spark, client, "otel", "cdc",
+        b1, 1L, Seq("id")))
+      assert(tbl.snapshots.size === 2)
+      assert(state(info.location) ===
+        Map(1L -> "a1", 2L -> "b2", 3L -> "b3"))
+    } finally fake.stop()
+  }
 }
