@@ -56,7 +56,10 @@ object Bench {
     // Iceberg read levers already get.
     val warmFirst = Set("q_triangle_support", "q_pagerank",
       "q_pagerank_copart", "sim_nsw_ann", "sim_nsw_persisted",
-      "sim_hnsw_ann",
+      "sim_hnsw_ann", "sim_hnsw_ef_sweep",
+      // one-time /tmp trace-chain + bloom-sidecar build must not land
+      // in a timed round (the q_zorder_pruning discipline)
+      "tel_trace_lookup",
       // r12 verdict: same JIT signature — 11.8×/5.7×/5.1× cross-run
       // spread on identical code made the committed numbers
       // unattributable; one untimed pass pins them

@@ -236,6 +236,7 @@ object SparkEntry {
     "sim_nsw_persisted"  -> ((s, d) => SimOps.nswPersisted(s, d)),
     "sim_nsw_recall"     -> ((s, d) => SimOps.nswRecall(s, d)),
     "sim_hnsw_recall"    -> ((s, d) => SimOps.hnswRecall(s, d)),
+    "sim_hnsw_ef_sweep"  -> ((s, d) => SimOps.hnswEfSweep(s, d)),
     "tel_lttb"           -> ((s, d) => Telemetry.lttb(s, d)),
     "tel_capacity_forecast" -> ((s, d) => Telemetry.capacityForecast(s, d)),
     "tel_downtime"       -> ((s, d) => Telemetry.downtime(s, d)),
@@ -266,6 +267,10 @@ object SparkEntry {
     "text_bpe_train"     -> ((s, d) => TextOps.bpeTrain(s, d)),
     "text_bpe_curve"     -> ((s, d) => TextOps.bpeCurve(s, d)),
     "text_bpe_tokenize"  -> ((s, d) => TextOps.bpeTokenize(s, d)),
+    "text_bpe_byte_train" ->
+      ((s, d) => TextOps.bpeTrain(s, d, byteLevel = true)),
+    "text_bpe_byte_tokenize" ->
+      ((s, d) => TextOps.bpeTokenize(s, d, byteLevel = true)),
     "dedup_tfidf_cosine" -> ((s, d) => Dedup.tfidfCosine(s, d)),
     "sim_embed_stats"    -> ((s, d) => SimOps.embedStats(s, d)),
     "dedup_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
@@ -551,8 +556,9 @@ object SparkEntry {
     * count over the previous symbol table → 1-row argmax → merge
     * application via plain `replace`) — the identical loop
     * `TextOps.bpeTrain` runs with DataFrame jobs. */
-  private def bpeOracleSql(steps: Int = 8): String =
-    bpeOracleCtes(steps) ++ (1 to steps).map(k =>
+  private def bpeOracleSql(steps: Int = 8,
+                           byteLevel: Boolean = false): String =
+    bpeOracleCtes(steps, byteLevel) ++ (1 to steps).map(k =>
       s"\nSELECT CAST($k AS BIGINT) AS step, pair, merged, n FROM b$k")
       .mkString("", "\nUNION ALL", "")
 
@@ -575,8 +581,14 @@ object SparkEntry {
   /** Same chain read out as per-document tokenization under the final
     * vocabulary (`text_bpe_tokenize`): doc words left-join the trained
     * word→token-count table; sub-filter words count as 1 token. */
-  private def bpeTokenizeOracleSql(steps: Int = 8): String =
-    bpeOracleCtes(steps) ++
+  private def bpeTokenizeOracleSql(steps: Int = 8,
+                                   byteLevel: Boolean = false): String = {
+    // byte level: sub-filter words fall back to their BYTE count (every
+    // raw byte is a base-alphabet token — the no-OOV guarantee) and the
+    // baseline column counts bytes
+    val fallback = if (byteLevel) "strlen(dw.w)" else "1"
+    val baseline = if (byteLevel) "strlen(dw.w)" else "length(dw.w)"
+    bpeOracleCtes(steps, byteLevel) ++
       s""",
         |vocab AS (
         | SELECT w, CAST(len(string_split(trim(sym), ' ')) AS BIGINT)
@@ -587,19 +599,27 @@ object SparkEntry {
         |  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
         | FROM documents)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-        | CAST(sum(coalesce(v.w_tok, 1)) AS BIGINT) AS bpe_tokens,
-        | CAST(sum(length(dw.w)) AS BIGINT) AS char_tokens,
-        | CAST(sum(coalesce(v.w_tok, 1)) AS BIGINT)
+        | CAST(sum(coalesce(v.w_tok, $fallback)) AS BIGINT) AS bpe_tokens,
+        | CAST(sum($baseline) AS BIGINT) AS char_tokens,
+        | CAST(sum(coalesce(v.w_tok, $fallback)) AS BIGINT)
         |   / CAST(count(*) AS DOUBLE) AS tokens_per_word
         |FROM dw LEFT JOIN vocab v USING (w)
         |GROUP BY 1""".stripMargin
+  }
 
-  private def bpeOracleCtes(steps: Int): String = {
+  private def bpeOracleCtes(steps: Int,
+                            byteLevel: Boolean = false): String = {
+    // byte level: one symbol per UTF-8 byte, rendered as its hex pair
+    // (DuckDB's hex(varchar) and Spark's hex(encode(w)) agree) — the
+    // GPT-2 byte-BPE alphabet; char level: one symbol per character
+    val symInit =
+      if (byteLevel) """' ' || regexp_replace(hex(w), '(..)', '\1 ', 'g')"""
+      else """' ' || regexp_replace(w, '(.)', '\1 ', 'g')"""
     val sb = new StringBuilder
-    sb ++= """WITH w0 AS MATERIALIZED (
+    sb ++= s"""WITH w0 AS MATERIALIZED (
       | SELECT w, CAST(count(*) AS BIGINT) AS freq,
-      |  ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym
-      | FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      |  $symInit AS sym
+      | FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
       |       FROM documents) t
       | WHERE length(w) >= 2 GROUP BY w)""".stripMargin
     for (k <- 1 to steps) {
@@ -3158,6 +3178,10 @@ object SparkEntry {
     "text_bpe_train" -> bpeOracleSql(),
     "text_bpe_curve" -> bpeCurveOracleSql(),
     "text_bpe_tokenize" -> bpeTokenizeOracleSql(),
+    // byte-level twins: the same unrolled-CTE chains over the UTF-8
+    // hex-pair alphabet (GPT-2's byte-BPE, zero OOV by construction)
+    "text_bpe_byte_train" -> bpeOracleSql(byteLevel = true),
+    "text_bpe_byte_tokenize" -> bpeTokenizeOracleSql(byteLevel = true),
     "dedup_tfidf_cosine" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
@@ -5216,6 +5240,7 @@ object SparkEntry {
     "sim_hnsw_ann" -> HnswAnnOracle,
     "sim_nsw_recall" -> NswRecallOracle,
     "sim_hnsw_recall" -> HnswRecallOracle,
+    "sim_hnsw_ef_sweep" -> HnswEfSweepOracle,
     "sim_knn_graph" ->
       s"""$KmeansCtes,
         |w AS (
@@ -5802,14 +5827,20 @@ object SparkEntry {
     * and hierarchical oracles: scores candidate CTE `src` against the
     * queries and keeps the top `keep` per query. `pfx` disambiguates
     * the CTE names between the upper (`u`) and base (empty) legs. */
+  /** Every beam CTE is AS MATERIALIZED: bm_i is referenced twice by
+    * hop i+1 (edge expansion ∪ carry) and the sweep oracle fans THREE
+    * chains off one shared upper beam — DuckDB's default inlining
+    * re-evaluates the whole prefix per reference (exponential in
+    * hops; the sweep ran >25 min), materialization makes it linear
+    * like the Spark loop (the bpeOracleCtes lesson). */
   private def nswScoreRank(i: Int, src: String, keep: Int,
                            pfx: String = "", edges: String = "ee"): String =
-    s"""${pfx}sc$i AS (
+    s"""${pfx}sc$i AS MATERIALIZED (
        | SELECT c.query_id, c.cand,
        |  round(list_dot_product(w.vec, qq.qv)/(w.nrm*qq.qn), 6) AS cos6
        | FROM $src c JOIN w ON w.vec_id = c.cand
        |   JOIN qq ON qq.query_id = c.query_id),
-       |${pfx}bm$i AS (
+       |${pfx}bm$i AS MATERIALIZED (
        | SELECT query_id, cand, cos6 FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY cos6 DESC, cand) AS rn FROM ${pfx}sc$i) t WHERE rn <= $keep)""".stripMargin
@@ -5817,7 +5848,7 @@ object SparkEntry {
   private def nswHopCtes(hops: Int, keep: Int, pfx: String = "",
                          edges: String = "ee"): String =
     (1 to hops).map { i =>
-      s"""${pfx}nb$i AS (
+      s"""${pfx}nb$i AS MATERIALIZED (
          | SELECT DISTINCT query_id, cand FROM (
          |  SELECT b.query_id, e.dst AS cand
          |  FROM ${pfx}bm${i - 1} b JOIN $edges e ON b.cand = e.src
@@ -5831,7 +5862,7 @@ object SparkEntry {
     * reps `en`. */
   private lazy val NswBaseCtes: String =
     s"""$KmeansCtes,
-       |w AS (
+       |w AS MATERIALIZED (
        | SELECT vec_id, embedding::DOUBLE[] AS vec,
        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
        | FROM embeddings),
@@ -5845,9 +5876,9 @@ object SparkEntry {
        | SELECT vec_id AS src, neighbor_id AS dst FROM (
        |  SELECT vec_id, neighbor_id, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM p) t WHERE rnk <= 8),
-       |ee AS (SELECT src, dst FROM eed
+       |ee AS MATERIALIZED (SELECT src, dst FROM eed
        |       UNION SELECT dst, src FROM eed),
-       |qq AS (SELECT vec_id AS query_id, vec AS qv, nrm AS qn
+       |qq AS MATERIALIZED (SELECT vec_id AS query_id, vec AS qv, nrm AS qn
        |       FROM w WHERE vec_id < 8),
        |en AS (
        | SELECT vec_id AS cand FROM (
@@ -5867,7 +5898,11 @@ object SparkEntry {
     * UPPER layer — cell-rep kNN graph (`ue`), single global entry
     * (`ge`), 2 unrolled upper hops keeping 8 — whose surviving beam
     * seeds the layer-0 chain in place of the full entry set. */
-  private lazy val HnswAnnCtes: String =
+  /** The upper navigation layer alone (through `ubm2`, the surviving
+    * per-query upper beam) — shared by [[HnswAnnCtes]] and the per-ef
+    * arms of [[HnswEfSweepOracle]] (the upper leg is independent of
+    * the base search width). */
+  private lazy val HnswUpperCtes: String =
     s"""$NswBaseCtes,
        |rr AS (SELECT en.cand, w.vec, w.nrm FROM en JOIN w ON w.vec_id = en.cand),
        |up AS (
@@ -5884,10 +5919,51 @@ object SparkEntry {
        | SELECT qq.query_id, ge.cand FROM qq, ge
        | WHERE ge.cand != qq.query_id),
        |${nswScoreRank(0, "unb0", 8, "u", "ue")},
-       |${nswHopCtes(2, 8, "u", "ue")},
+       |${nswHopCtes(2, 8, "u", "ue")}""".stripMargin
+
+  private lazy val HnswAnnCtes: String =
+    s"""$HnswUpperCtes,
        |nb0 AS (SELECT query_id, cand FROM ubm2),
        |${nswScoreRank(0, "nb0", 12)},
        |${nswHopCtes(NswHops, 12)}""".stripMargin
+
+  /** sim_hnsw_ef_sweep oracle: one unrolled layer-0 chain PER ef (the
+    * upper leg `ubm2` shared), each arm's top-5 recall'd against the
+    * same brute-force truth — the engine-side sweep is exactly these
+    * arms over the persisted index. */
+  private lazy val HnswEfSweepOracle: String = {
+    val efs = Seq(4, 8, 16)
+    val chains = efs.map { ef =>
+      val pfx = s"e${ef}_"
+      s"""${pfx}nb0 AS (SELECT query_id, cand FROM ubm2),
+         |${nswScoreRank(0, s"${pfx}nb0", ef, pfx)},
+         |${nswHopCtes(NswHops, ef, pfx)}""".stripMargin
+    }.mkString(",\n")
+    val arms = efs.map { ef =>
+      val pfx = s"e${ef}_"
+      s"""SELECT $ef AS ef, query_id, cand AS neighbor_id FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY cos6 DESC, cand) AS rn FROM ${pfx}bm$NswHops) t
+         | WHERE rn <= 5""".stripMargin
+    }.mkString("\n UNION ALL ")
+    s"""$HnswUpperCtes,
+       |$chains,
+       |hns AS ($arms),
+       |bp AS (
+       | SELECT qq.query_id, w.vec_id AS neighbor_id,
+       |  round(list_dot_product(w.vec, qq.qv)/(w.nrm*qq.qn), 6) AS cosine
+       | FROM w, qq WHERE w.vec_id != qq.query_id),
+       |brute AS (SELECT query_id, neighbor_id FROM (
+       | SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM bp) t WHERE rnk <= 5)
+       |SELECT CAST(h.ef AS BIGINT) AS ef, h.query_id,
+       | CAST(sum(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS hits,
+       | CAST(sum(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |   AS DOUBLE) / 5.0 AS recall
+       |FROM hns h LEFT JOIN brute b USING (query_id, neighbor_id)
+       |GROUP BY h.ef, h.query_id""".stripMargin
+  }
 
   private lazy val HnswAnnOracle: String =
     s"""$HnswAnnCtes

@@ -1632,12 +1632,9 @@ object SimOps {
     * DuckDB oracle (unrolled upper hops + the flat chain's layer-0
     * CTEs). Defaults keep layer 0 identical to [[nswPersisted]] so
     * recall is attributable to the seeding change alone. */
-  def hnswAnn(spark: SparkSession, sfDir: String, nQueries: Int = 8,
-              beam: Int = 12, hops: Int = 4, k: Int = 5,
-              graphK: Int = 8, upperK: Int = 4, upperBeam: Int = 8,
-              upperHops: Int = 2): DataFrame = {
-    import spark.implicits._
-    val idxDir = ivfIndexCache.computeIfAbsent(s"$sfDir#hnsw", _ => {
+  private def hnswIndexDir(spark: SparkSession, sfDir: String,
+                           nQueries: Int, graphK: Int, upperK: Int): String =
+    ivfIndexCache.computeIfAbsent(s"$sfDir#hnsw", _ => {
       val dir = java.nio.file.Files
         .createTempDirectory("graft-hnsw-index").toString
       val (edges, entries) = nswIndex(spark, sfDir, nQueries, graphK)
@@ -1648,18 +1645,70 @@ object SimOps {
       gEntry.write.mode("overwrite").parquet(s"$dir/entry")
       dir
     })
+
+  /** The upper-layer navigation leg against the persisted index: the
+    * surviving per-query beam that seeds layer 0 — shared by
+    * [[hnswAnn]] and the [[hnswEfSweep]] arms (the upper leg is
+    * independent of the base search width, so the sweep runs it
+    * once). */
+  private def hnswUpperBeam(spark: SparkSession, sfDir: String,
+                            idxDir: String, nQueries: Int,
+                            upperBeam: Int, upperHops: Int): DataFrame = {
+    import spark.implicits._
     val q = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
       .filter($"vec_id" < nQueries).select($"vec_id".as("query_id"))
     val upperSeeds = q
       .crossJoin(broadcast(spark.read.parquet(s"$idxDir/entry")))
       .filter($"cand" =!= $"query_id")
-    val upperBeamOut = nswSearchFrom(spark, sfDir,
+    nswSearchFrom(spark, sfDir,
       spark.read.parquet(s"$idxDir/upper_edges"), upperSeeds,
       nQueries, upperBeam, upperHops, upperBeam)
       .select($"query_id", $"neighbor_id".as("cand"))
+  }
+
+  def hnswAnn(spark: SparkSession, sfDir: String, nQueries: Int = 8,
+              beam: Int = 12, hops: Int = 4, k: Int = 5,
+              graphK: Int = 8, upperK: Int = 4, upperBeam: Int = 8,
+              upperHops: Int = 2): DataFrame = {
+    val idxDir = hnswIndexDir(spark, sfDir, nQueries, graphK, upperK)
     nswSearchFrom(spark, sfDir, spark.read.parquet(s"$idxDir/edges"),
-      upperBeamOut, nQueries, beam, hops, k)
+      hnswUpperBeam(spark, sfDir, idxDir, nQueries, upperBeam, upperHops),
+      nQueries, beam, hops, k)
+  }
+
+  /** SEARCH-WIDTH (ef) SWEEP over the hierarchical graph index — the
+    * production tuning loop for graph ANN (HNSW's `efSearch` knob):
+    * per base-layer beam width, recall@k vs exact brute force per
+    * query, the [[nprobeSweep]] discipline applied to the graph
+    * family. The upper navigation leg runs ONCE (it is independent of
+    * the base width — exactly why ef is the cheap knob: widening the
+    * search never rebuilds or re-navigates the index), then each ef
+    * arm re-runs only the layer-0 beam. Cost model is explicit in the
+    * output: scored candidates per hop scale linearly with ef while
+    * recall saturates, so the curve is where an operator reads off the
+    * cheapest ef that clears their recall bar. Deterministic ties +
+    * fixed hops = full SQL oracle (per-ef unrolled CTE chains). */
+  def hnswEfSweep(spark: SparkSession, sfDir: String, nQueries: Int = 8,
+                  k: Int = 5, efs: Seq[Int] = Seq(4, 8, 16),
+                  hops: Int = 4, graphK: Int = 8, upperK: Int = 4,
+                  upperBeam: Int = 8, upperHops: Int = 2): DataFrame = {
+    import spark.implicits._
+    val idxDir = hnswIndexDir(spark, sfDir, nQueries, graphK, upperK)
+    val edges = spark.read.parquet(s"$idxDir/edges")
+    // one upper leg, pinned: every ef arm seeds from the same beam
+    val seeds = hnswUpperBeam(spark, sfDir, idxDir, nQueries,
+      upperBeam, upperHops).localCheckpoint()
+    val brute = simTopkBruteforce(spark, sfDir, nQueries, k)
+      .select($"query_id", $"neighbor_id").withColumn("hit", lit(1L))
+    efs.map { ef =>
+      nswSearchFrom(spark, sfDir, edges, seeds, nQueries, ef, hops, k)
+        .select(lit(ef.toLong).as("ef"), $"query_id", $"neighbor_id")
+    }.reduce(_ unionAll _)
+      .join(broadcast(brute), Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"ef", $"query_id")
+      .agg(sum(coalesce($"hit", lit(0L))).as("hits"))
+      .withColumn("recall", $"hits".cast("double") / k.toDouble)
   }
 
   /** Recall@k of the hierarchical search vs brute force — the

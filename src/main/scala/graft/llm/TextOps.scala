@@ -1110,15 +1110,29 @@ object TextOps {
     * localCheckpoints the ≤vocab-row table so step k+1's job does not
     * replay k replaces. The DuckDB oracle unrolls the identical loop
     * as `steps` CTE levels (generated by `SparkEntry.bpeOracleSql`). */
+  /** Initial BPE symbol rendering for a word: char-level (one symbol
+    * per character) or BYTE-level — one symbol per UTF-8 byte,
+    * rendered as its 2-hex-digit code (the GPT-2 tokenizer family
+    * trains over bytes, not chars, so any byte sequence tokenizes with
+    * zero OOV). Hex-pair symbols make merges unambiguous by
+    * construction: a merged token concatenates to an even-length hex
+    * string, never colliding with a neighbor boundary — and Spark's
+    * `hex(encode(w))` and DuckDB's `hex(w)` render identically, which
+    * is what keeps the unrolled-CTE oracle exact. */
+  private def bpeSymInit(w: Column, byteLevel: Boolean): Column =
+    if (byteLevel)
+      concat(lit(" "),
+        regexp_replace(hex(encode(w, "UTF-8")), "(..)", "$1 "))
+    else concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
+
   def bpeTrain(spark: SparkSession, sfDir: String,
-               steps: Int = 8): DataFrame = {
+               steps: Int = 8, byteLevel: Boolean = false): DataFrame = {
     import spark.implicits._
     var words = Tables.documents(spark, sfDir)
       .select(explode(split(trim(lower($"text")), "\\s+")).as("w"))
       .filter(length($"w") >= 2)
       .groupBy($"w").agg(count(lit(1)).as("freq"))
-      .select($"freq",
-        concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")).as("sym"))
+      .select($"freq", bpeSymInit($"w", byteLevel).as("sym"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     for (step <- 1 to steps) {
@@ -1295,26 +1309,33 @@ object TextOps {
     * apply is one narrow explode + broadcast join + hash agg — the
     * corpus never shuffles; tokens_per_word is one raw division. */
   def bpeTokenize(spark: SparkSession, sfDir: String,
-                  steps: Int = 8): DataFrame = {
+                  steps: Int = 8, byteLevel: Boolean = false): DataFrame = {
     import spark.implicits._
-    val merges = bpeTrain(spark, sfDir, steps).collect()
+    val merges = bpeTrain(spark, sfDir, steps, byteLevel).collect()
       .sortBy(_.getAs[Long]("step"))
       .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged")))
     val dw = Tables.documents(spark, sfDir)
       .select($"doc_id", explode(split(trim(lower($"text")), "\\s+")).as("w"))
     val vocab0 = dw.filter(length($"w") >= 2).select($"w").distinct()
-      .withColumn("sym",
-        concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")))
+      .withColumn("sym", bpeSymInit($"w", byteLevel))
     val vocab = merges.foldLeft(vocab0) { case (df, (pair, merged)) =>
       df.withColumn("sym", call_function("replace", $"sym",
         lit(s" $pair "), lit(s" $merged ")))
     }.withColumn("w_tok", size(split(trim($"sym"), " ")).cast("long"))
       .select($"w", $"w_tok")
+    // byte level: the short-word fallback is the word's BYTE count
+    // (each raw byte is a base-alphabet token — the GPT-2 byte
+    // fallback guarantee: no OOV at any input), and the baseline
+    // column counts bytes, not chars
+    val fallback =
+      if (byteLevel) octet_length($"w").cast("long") else lit(1L)
+    val baseline =
+      if (byteLevel) octet_length($"w") else length($"w")
     dw.join(broadcast(vocab), Seq("w"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_words"),
-        sum(coalesce($"w_tok", lit(1L))).as("bpe_tokens"),
-        sum(length($"w")).cast("long").as("char_tokens"))
+        sum(coalesce($"w_tok", fallback)).as("bpe_tokens"),
+        sum(baseline).cast("long").as("char_tokens"))
       .withColumn("tokens_per_word",
         $"bpe_tokens".cast("double") / $"n_words")
   }

@@ -88,4 +88,40 @@ class NswAnnSpec extends SparkSpec {
       .collect()
     assert(perQuery.length === 8 && perQuery.forall(_.getLong(1) == 5L))
   }
+
+  /** r13 (ef sweep): widening the base search beam must never COST
+    * recall on the fixture — the production tuning claim the sweep
+    * exists to certify (recall saturates while cost grows linearly in
+    * ef, so the curve has a cheapest-ef-above-the-bar knee). */
+  test("hnsw ef sweep: mean recall is monotone non-decreasing in ef") {
+    import spark.implicits._
+    val sweep = SimOps.hnswEfSweep(spark, sf)
+      .groupBy($"ef").agg(avg($"recall").as("r"))
+      .orderBy($"ef".asc).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(sweep.map(_._1).toSeq === Seq(4L, 8L, 16L))
+    sweep.sliding(2).foreach { case Array((e1, r1), (e2, r2)) =>
+      assert(r2 >= r1, s"recall regressed widening ef $e1($r1) -> $e2($r2)")
+    }
+    // the widest arm matches the flat-NSW bar; the narrowest is a real
+    // trade (beam 4 < k=5 cannot reach full recall by construction)
+    assert(sweep.last._2 >= 0.6, s"ef=16 recall ${sweep.last._2}")
+    assert(sweep.head._2 <= 0.8, s"ef=4 recall ${sweep.head._2} " +
+      "should show the narrow-beam trade")
+    // ef=12 arm of the sweep machinery ≡ the flagship hnswAnn search
+    // (same seeds, same hops): the sweep measures the real serving path
+    val viaSweep = SimOps.hnswEfSweep(spark, sf, efs = Seq(12))
+      .select($"query_id", $"hits").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exact = SimOps.simTopkBruteforce(spark, sf)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flagship = SimOps.hnswAnn(spark, sf)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, xs) =>
+        q -> xs.count(x => exact.contains(x)).toLong }
+    assert(viaSweep === flagship,
+      "ef=12 sweep arm diverged from the flagship hnswAnn hits")
+  }
 }

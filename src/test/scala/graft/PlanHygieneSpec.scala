@@ -29,6 +29,8 @@ class PlanHygieneSpec extends SparkSpec {
                             // frame every IVF probe already broadcasts)
     "sim_nsw_recall",       // composes the bruteforce pass (same shape)
     "sim_hnsw_recall",      // composes the bruteforce pass (same shape)
+    "sim_hnsw_ef_sweep",    // same 1-row-entry hop-0 cross as
+                            // sim_hnsw_ann + the bruteforce baseline
     "sim_recall_at_k",      // composes the bruteforce pass (same shape)
     "sim_ndcg_eval",        // composes the bruteforce pass (same shape)
     "text_mix_weights",     // 5-row agg × 1-row total broadcast
