@@ -208,10 +208,13 @@ object SparkEntry {
     "mm_ahash_clusters"  -> ((s, d) => Multimodal.ahashClusters(s, d)),
     "mm_img_meta"        -> (ImageOps.imgMeta _),
     "mm_img_ahash_pairs" -> ((s, d) => ImageOps.imgAhashPairs(s, d)),
+    "mm_jpeg_meta"       -> (graft.llm.JpegOps.jpegMeta _),
+    "mm_jpeg_ahash_pairs" -> ((s, d) => graft.llm.JpegOps.jpegAhashPairs(s, d)),
     "mm_img_dhash_pairs" -> ((s, d) => ImageOps.imgDhashPairs(s, d)),
     "mm_img_entropy"     -> ((s, d) => ImageOps.imgEntropy(s, d)),
     "mm_wav_meta"        -> ((s, d) => AudioOps.wavMeta(s, d)),
     "mm_video_scenecut"  -> ((s, d) => ImageOps.videoSceneCuts(s, d)),
+    "mm_avi_scenecut"    -> ((s, d) => graft.llm.AviOps.aviSceneCuts(s, d)),
     "mm_wav_windows"     -> ((s, d) => AudioOps.wavWindows(s, d)),
     "mm_img_ahash_clusters" -> ((s, d) => ImageOps.imgAhashClusters(s, d)),
     "mm_img_downsample"  -> (ImageOps.imgDownsample _),
@@ -4594,6 +4597,51 @@ object SparkEntry {
         | CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
         | CAST(sum(v) AS BIGINT) AS sum_luma
         |FROM px GROUP BY 1""".stripMargin,
+    // the JPEG twin of mm_img_meta: 64×64 of constant 8×8 blocks whose
+    // values are the SAME analytic plane — decoded sum is 64× it; the
+    // magic pins SOI+APP0 (a hash match proves the stock decoder read
+    // our hand-rolled baseline JFIF exactly)
+    "mm_jpeg_meta" ->
+      """WITH px AS (
+        | SELECT d.doc_id, i.i,
+        |  CASE WHEN i.i < d.doc_id % 3
+        |   THEN (('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT + 128) % 256
+        |   ELSE ('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT
+        |  END AS v
+        | FROM (SELECT doc_id FROM documents) d
+        | CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i)
+        |SELECT doc_id, 'ffd8ffe0' AS magic_hex,
+        | CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+        | CAST(64 * sum(v) AS BIGINT) AS sum_luma
+        |FROM px GROUP BY 1""".stripMargin,
+    // identical oracle to mm_video_scenecut BY DESIGN: the MJPEG
+    // frames decode losslessly (constant-block JPEG) and block-mean
+    // downsample to the same analytic scene planes, so SADs match
+    "mm_avi_scenecut" ->
+      """WITH fr AS (
+        | SELECT d.doc_id, f.f, i.i,
+        |  CASE WHEN i.i < 2
+        |   THEN (('0x' || substr(md5('v:' || CAST(d.doc_id AS VARCHAR) ||
+        |      ':' || CAST(f.f // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT + f.f % 3) % 256
+        |   ELSE ('0x' || substr(md5('v:' || CAST(d.doc_id AS VARCHAR) ||
+        |      ':' || CAST(f.f // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT
+        |  END AS v
+        | FROM (SELECT doc_id FROM documents) d
+        | CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS f) f
+        | CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i),
+        |sad AS (
+        | SELECT a.doc_id, a.f AS frame_idx,
+        |  CAST(sum(abs(a.v - b.v)) AS BIGINT) AS sad_x64
+        | FROM fr a JOIN fr b
+        |  ON a.doc_id = b.doc_id AND a.i = b.i AND b.f = a.f - 1
+        | WHERE a.f >= 1 GROUP BY 1, 2)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, sad_x64,
+        | sad_x64 > 2560 AS is_cut
+        |FROM sad""".stripMargin,
     "mm_video_scenecut" ->
       """WITH fr AS (
         | SELECT d.doc_id, f.f, i.i,
@@ -4733,6 +4781,44 @@ object SparkEntry {
         |  a.min_doc AS doc_a, b.min_doc AS doc_b
         | FROM banded a JOIN banded b
         |  ON a.band = b.band AND a.band_val = b.band_val AND a.dhash < b.dhash)
+        |SELECT ha, hb, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
+        | n_a, n_b, doc_a, doc_b
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
+    // identical oracle to mm_img_ahash_pairs BY DESIGN: the JPEG
+    // decode + 8x8 block-mean downsample lands exactly on the PNG
+    // fixture's analytic plane, so the hashes (and pairs) are equal
+    "mm_jpeg_ahash_pairs" ->
+      """WITH px AS (
+        | SELECT d.doc_id, i.i,
+        |  CASE WHEN i.i < d.doc_id % 3
+        |   THEN (('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT + 128) % 256
+        |   ELSE ('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT
+        |  END AS v
+        | FROM (SELECT doc_id FROM documents) d
+        | CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS i) i),
+        |s AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS s
+        |      FROM px GROUP BY 1),
+        |hx AS (
+        | SELECT px.doc_id,
+        |  CAST(sum(CASE WHEN px.v * 63 > s.s
+        |    THEN (CAST(1 AS BIGINT) << px.i) ELSE 0 END) AS BIGINT) AS ahash
+        | FROM px JOIN s USING (doc_id) GROUP BY 1),
+        |grp AS (
+        | SELECT ahash, CAST(count(*) AS BIGINT) AS n_imgs,
+        |  min(doc_id) AS min_doc
+        | FROM hx GROUP BY 1),
+        |banded AS (
+        | SELECT ahash, n_imgs, min_doc, b.band,
+        |  (ahash >> (b.band*16)) & 65535 AS band_val
+        | FROM grp CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b),
+        |cand AS (
+        | SELECT DISTINCT a.ahash AS ha, b.ahash AS hb,
+        |  a.n_imgs AS n_a, b.n_imgs AS n_b,
+        |  a.min_doc AS doc_a, b.min_doc AS doc_b
+        | FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.band_val = b.band_val AND a.ahash < b.ahash)
         |SELECT ha, hb, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
         | n_a, n_b, doc_a, doc_b
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,

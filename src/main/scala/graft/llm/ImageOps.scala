@@ -52,7 +52,7 @@ object ImageOps {
     md.digest(s"$group:$i".getBytes("UTF-8"))(0) & 0xff
 
   /** The full 64-pixel luma plane for a doc (row-major, i = y·8+x). */
-  private def pixelsFor(md: java.security.MessageDigest, docId: Long): Array[Int] = {
+  private[graft] def pixelsFor(md: java.security.MessageDigest, docId: Long): Array[Int] = {
     val g = docId / GROUP
     val r = (docId % GROUP).toInt
     Array.tabulate(W * H) { i =>
@@ -90,7 +90,7 @@ object ImageOps {
   /** Decode PNG bytes back to the luma plane via the REAL codec path.
     * Raster samples, not getRGB — no color-management rewrite of the
     * stored gray values. */
-  private[llm] def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+  private[graft] def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     val (w, h) = (img.getWidth, img.getHeight)
     val raster = img.getRaster
@@ -285,10 +285,10 @@ object ImageOps {
     * 8 frames of 8×8 gray per doc, scene id = frame div 3 (frames
     * share a scene's analytic plane with a per-frame 2-pixel jitter;
     * scene boundaries are ~random-vs-random). */
-  private val VFrames = 8
+  private[graft] val VFrames = 8
   private val VScene = 3
 
-  private def videoPixelsFor(md: java.security.MessageDigest,
+  private[graft] def videoPixelsFor(md: java.security.MessageDigest,
                              docId: Long, frame: Int): Array[Int] = {
     val scene = frame / VScene
     Array.tabulate(W * H) { i =>
