@@ -149,9 +149,18 @@ object ImageOps {
     * 16-bit-band pigeonhole join mines hamming ≤ τ pairs — never
     * all-pairs. */
   def imgAhashPairs(spark: SparkSession, sfDir: String,
-                    tau: Int = 3): DataFrame = {
+                    tau: Int = 3): DataFrame =
+    pairsFromHashes(hashed(spark, sfDir), tau)
+
+  /** The banded pair mine over an explicit (doc_id, ahash) table —
+    * split out so [[imgAhashClusters]] can reuse ONE decode pass for
+    * both the pair mine and the per-hash counts (the
+    * dedup_source_impact / mm_audio_fingerprint double-compute
+    * lesson). */
+  private def pairsFromHashes(hx: DataFrame, tau: Int): DataFrame = {
+    val spark = hx.sparkSession
     import spark.implicits._
-    val groups = hashed(spark, sfDir).groupBy($"ahash")
+    val groups = hx.groupBy($"ahash")
       .agg(count(lit(1)).as("n_imgs"), min($"doc_id").as("min_doc"))
     val banded = groups
       .withColumn("band", explode(sequence(lit(0), lit(3))))
@@ -178,11 +187,14 @@ object ImageOps {
   def imgAhashClusters(spark: SparkSession, sfDir: String,
                        tau: Int = 3): DataFrame = {
     import spark.implicits._
-    val pairs = imgAhashPairs(spark, sfDir, tau)
+    // ONE decode pass feeds both the pair mine and the counts — the
+    // pinned frame is bounded by image count (one narrow row each)
+    val hx = hashed(spark, sfDir).localCheckpoint()
+    val pairs = pairsFromHashes(hx, tau)
       .select($"ha", $"hb").localCheckpoint()
     val labels = Dedup.adaptiveComponents(pairs)
       .select($"doc_id".as("ahash"), $"label")
-    val counts = hashed(spark, sfDir)
+    val counts = hx
       .groupBy($"ahash").agg(count(lit(1)).as("n_imgs"))
     labels.join(counts, Seq("ahash"))
       .groupBy($"label".as("cluster_id"))

@@ -1684,11 +1684,11 @@ object SimOps {
     * family. The upper navigation leg runs ONCE (it is independent of
     * the base width — exactly why ef is the cheap knob: widening the
     * search never rebuilds or re-navigates the index), then each ef
-    * arm re-runs only the layer-0 beam. Cost model is explicit in the
-    * output: scored candidates per hop scale linearly with ef while
-    * recall saturates, so the curve is where an operator reads off the
-    * cheapest ef that clears their recall bar. Deterministic ties +
-    * fixed hops = full SQL oracle (per-ef unrolled CTE chains). */
+    * arm re-runs only the layer-0 beam. Search cost scales linearly in
+    * ef by construction (≤ ef·(graphK+1) scored candidates per hop)
+    * while recall saturates, so the curve is where an operator reads
+    * off the cheapest ef that clears their recall bar. Deterministic
+    * ties + fixed hops = full SQL oracle (per-ef unrolled chains). */
   def hnswEfSweep(spark: SparkSession, sfDir: String, nQueries: Int = 8,
                   k: Int = 5, efs: Seq[Int] = Seq(4, 8, 16),
                   hops: Int = 4, graphK: Int = 8, upperK: Int = 4,
