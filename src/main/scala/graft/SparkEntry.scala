@@ -213,6 +213,7 @@ object SparkEntry {
     "mm_img_dhash_pairs" -> ((s, d) => ImageOps.imgDhashPairs(s, d)),
     "mm_img_entropy"     -> ((s, d) => ImageOps.imgEntropy(s, d)),
     "mm_wav_meta"        -> ((s, d) => AudioOps.wavMeta(s, d)),
+    "mm_wav_ulaw"        -> ((s, d) => AudioOps.ulawMeta(s, d)),
     "mm_video_scenecut"  -> ((s, d) => ImageOps.videoSceneCuts(s, d)),
     "mm_avi_scenecut"    -> ((s, d) => graft.llm.AviOps.aviSceneCuts(s, d)),
     "mm_wav_windows"     -> ((s, d) => AudioOps.wavWindows(s, d)),
@@ -4665,6 +4666,28 @@ object SparkEntry {
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, sad_x64,
         | sad_x64 > 2560 AS is_cut
         |FROM sad""".stripMargin,
+    // the G.711 expansion re-derived integer-only from the public
+    // spec: u = 255-code, mag = ((m*8+132)<<e)-132, sign from bit 7 —
+    // hash match proves the stock telephony decode path bit-for-bit
+    "mm_wav_ulaw" ->
+      """WITH c AS (
+        | SELECT d.doc_id, i.i,
+        |  255 - ('0x' || substr(md5('u:' || CAST(d.doc_id AS VARCHAR) ||
+        |    ':' || CAST(i.i AS VARCHAR)), 1, 2))::BIGINT AS u
+        | FROM (SELECT doc_id FROM documents) d
+        | CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS i) i),
+        |p AS (
+        | SELECT doc_id,
+        |  CASE WHEN u >= 128 THEN -(((u % 16) * 8 + 132)
+        |        * (1 << ((u // 16) % 8)) - 132)
+        |       ELSE ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132
+        |  END AS pcm
+        | FROM c)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        | CAST(sum(pcm) AS BIGINT) AS sum_pcm,
+        | CAST(sum(abs(pcm)) AS BIGINT) AS sum_abs,
+        | CAST(max(abs(pcm)) AS BIGINT) AS peak_abs
+        |FROM p GROUP BY 1""".stripMargin,
     "mm_wav_meta" ->
       """WITH v AS (
         | SELECT d.doc_id, i.i,

@@ -110,6 +110,87 @@ object AudioOps {
       "peak_abs", "sum_abs")
   }
 
+  /** Analytic µ-law CODE byte: first md5 byte of `"u:<doc>:<i>"` — the
+    * fixture stores the wire byte itself, so decode (not encode) is
+    * the path under test. */
+  private def ulawCodeFor(md: java.security.MessageDigest,
+                          docId: Long, i: Int): Int =
+    md.digest(s"u:$docId:$i".getBytes("UTF-8"))(0) & 0xff
+
+  /** Deterministic REAL µ-law WAVs (G.711, WAVE format tag 7) — the
+    * telephony codec: 8-bit companded code bytes behind the same
+    * hand-written RIFF layout, one clip per document. */
+  def ulawWavs(spark: SparkSession, sfDir: String): Dataset[WavRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select($"doc_id").as[Long]
+      .mapPartitions { ids =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        ids.map { docId =>
+          val out = new ByteArrayOutputStream()
+          def w32(v: Int): Unit = {
+            out.write(v & 0xff); out.write((v >> 8) & 0xff)
+            out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+          }
+          def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+          out.write("RIFF".getBytes("US-ASCII")); w32(36 + NSamples)
+          out.write("WAVE".getBytes("US-ASCII"))
+          out.write("fmt ".getBytes("US-ASCII")); w32(16)
+          w16(7); w16(1); w32(SampleRate); w32(SampleRate); w16(1); w16(8)
+          out.write("data".getBytes("US-ASCII")); w32(NSamples)
+          var i = 0
+          while (i < NSamples) { out.write(ulawCodeFor(md, docId, i)); i += 1 }
+          WavRow(docId, out.toByteArray)
+        }
+      }
+  }
+
+  /** The G.711 µ-law expansion itself (CCITT reference shape, 16-bit
+    * aligned): the JDK decoder reproduces this bit-for-bit for all 256
+    * codes (UlawSpec pins it), and the DuckDB oracle computes the same
+    * integers — both engines against the public spec, no shared
+    * tables. */
+  private[graft] def ulaw2linear(code: Int): Int = {
+    val u = ~code & 0xff
+    val e = (u >> 4) & 7
+    val m = u & 0x0f
+    val mag = ((m * 8 + 132) << e) - 132
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** Decode a µ-law WAV through the STOCK chain: AudioSystem parses
+    * the container, the format-conversion path expands G.711 to
+    * 16-bit signed PCM. */
+  private def decodeUlaw(bytes: Array[Byte]): Array[Int] = {
+    val src = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val pcm = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      src.getFormat.getSampleRate, 16, 1, 2,
+      src.getFormat.getSampleRate, false)
+    val dec = AudioSystem.getAudioInputStream(pcm, src)
+    val raw = dec.readAllBytes()
+    val n = raw.length / 2
+    Array.tabulate(n)(i =>
+      (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort.toInt)
+  }
+
+  /** `mm_wav_ulaw`: really-decoded G.711 clip statistics — sample
+    * count, exact signed sum, absolute energy and peak of the
+    * EXPANDED PCM. The oracle re-derives every sample from the µ-law
+    * formula over the analytic code bytes (integer-only), so a hash
+    * match proves the stock telephony decode path end to end. */
+  def ulawMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    ulawWavs(spark, sfDir).mapPartitions { rows =>
+      rows.map { r =>
+        val s = decodeUlaw(r.wav)
+        (r.doc_id, s.length.toLong,
+          s.map(_.toLong).sum,
+          s.map(v => math.abs(v).toLong).sum,
+          s.map(v => math.abs(v).toLong).max)
+      }
+    }.toDF("doc_id", "n_samples", "sum_pcm", "sum_abs", "peak_abs")
+  }
+
   /** Clipping / silence QA from really-decoded PCM (r12) — the audio
     * curation gate run before any transcription or embedding spend:
     * count samples saturating the int16 range (|s| ≥ `clipAbs`,
