@@ -150,7 +150,8 @@ object Bench {
                          "iceberg_plan_rewritten",
                          "iceberg_slice_straddled",
                          "iceberg_rewrite_datafiles",
-                         "iceberg_slice_sorted")
+                         "iceberg_slice_sorted",
+                         "trace_point_full", "trace_point_bloom")
     val doPrune = only.isEmpty || pruneNames.exists(only)
     val pruneResults: Seq[(String, Double)] = if (!doPrune) Nil else {
       import org.apache.spark.sql.functions.{col, min, unix_micros}
@@ -243,6 +244,25 @@ object Bench {
               spark, iceLoc, "event_id")
             bestWarm("iceberg_point_bloom")(graft.catalog.IcebergTableReader
               .readPoint(spark, iceLoc, "event_id", needle).count())
+          },
+          // the FLAGSHIP telemetry needle measured: fetch one trace by
+          // its 32-hex STRING id — full scan + residual vs the
+          // xxhash64-keyed bloom sidecar (chain + index build are
+          // untimed setup, amortized over every lookup)
+          "trace_point_full" -> {
+            val traceLoc = graft.catalog.IcebergSqlDemo
+              .ensureTraceChain(spark, sfDir)
+            val tn = graft.catalog.IcebergSqlDemo.traceNeedle(spark, sfDir)
+            bestWarm("trace_point_full")(graft.catalog.IcebergTableReader
+              .read(spark, traceLoc)
+              .filter(col("trace_id") === tn).count())
+          },
+          "trace_point_bloom" -> {
+            val traceLoc = graft.catalog.IcebergSqlDemo
+              .ensureTraceChain(spark, sfDir)
+            val tn = graft.catalog.IcebergSqlDemo.traceNeedle(spark, sfDir)
+            bestWarm("trace_point_bloom")(graft.catalog.IcebergTableReader
+              .readPoint(spark, traceLoc, "trace_id", tn).count())
           },
           // column NDV: the full distinct scan vs the KMV sketch read
           // from the statistics sidecar (metadata-only — the planner's

@@ -125,11 +125,11 @@ object IcebergSqlDemo {
   /** Chain for `tel_trace_lookup`: a TRACE-SHAPED table — events keyed
     * by a 32-hex-char string `trace_id` (md5 of the event id, the id
     * rendering shape the reference uses: internal/arrow/traces.go:130
-    * hex-encodes trace ids) — written as a MULTI-FILE layout (8
+    * hex-encodes trace ids) — written as a MULTI-FILE layout (64
     * hash-partitioned files, so pruning is observable), committed as
     * an Iceberg chain and indexed with a per-file bloom sidecar ON THE
     * STRING COLUMN. Builds once per sf dir (metadata presence check). */
-  private def ensureTraceChain(spark: SparkSession, sfDir: String): String = {
+  private[graft] def ensureTraceChain(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
     val base = traceChainLoc(sfDir)
     val loc = s"$base/t"
@@ -139,7 +139,7 @@ object IcebergSqlDemo {
       val traces = Tables.events(spark, sfDir)
         .select(md5(col("event_id").cast("string")).as("trace_id"),
           col("event_id"), col("event_type"), col("user_id"), col("value"))
-        .repartition(8, col("event_id"))
+        .repartition(64, col("event_id"))
       traces.write.mode("overwrite").parquet(dataDir)
       val (schemaJson, _) = RestCatalogClient.icebergSchemaJson(traces.schema)
       val sj = org.json4s.jackson.JsonMethods.compact(
@@ -164,14 +164,20 @@ object IcebergSqlDemo {
     * string keying build → Puffin registration → hashed probe → pruned
     * scan → string residual end to end against the independent engine;
     * TraceLookupSpec pins the pruning itself (≤¼ of files admitted). */
+  /** The deterministic needle (max event_id's trace) — shared by the
+    * query and the bench lever pair. */
+  private[graft] def traceNeedle(spark: SparkSession, sfDir: String): String = {
+    val maxId = Tables.events(spark, sfDir)
+      .agg(max(col("event_id"))).head.getLong(0)
+    MessageDigest.getInstance("MD5")
+      .digest(maxId.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+  }
+
   def traceLookupQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val loc = ensureTraceChain(spark, sfDir)
-    val maxId = Tables.events(spark, sfDir)
-      .agg(max(col("event_id"))).head.getLong(0)
-    val needle = MessageDigest.getInstance("MD5")
-      .digest(maxId.toString.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
+    val needle = traceNeedle(spark, sfDir)
     IcebergTableReader.readPoint(spark, loc, "trace_id", needle)
       .select($"trace_id", $"event_id", $"event_type",
         $"user_id".cast("long").as("user_id"), $"value")
