@@ -79,7 +79,11 @@ object Sf1Scale {
     "sim_nsw_ann", "sim_nsw_persisted", "sim_hnsw_ann",
     // r18: predicate pushed into the inverted-list probe — the ratio
     // should track sim_ivf-style probe cost on the filtered sublists
-    "sim_filtered_ann")
+    "sim_filtered_ann",
+    // r13: the ef tuning sweep — three layer-0 beam re-runs over the
+    // persisted index; the ratio should track the probe path, not the
+    // build (upper leg runs once, index cached per corpus)
+    "sim_hnsw_ef_sweep")
 
   /** Documents-table dedup/text pipelines — the banded-LSH / inverted-
     * index / prefix-filter scale claims, measured on a text corpus with
@@ -118,7 +122,12 @@ object Sf1Scale {
     // bounded by the 2^15 fingerprint domain — the ratio should track
     // the linear decode cost, not the corpus square) and the
     // char-weighted repetition filters (explode + hash aggs, linear)
-    "mm_audio_fingerprint", "mm_audio_clusters", "text_dup_ngram_chars")
+    "mm_audio_fingerprint", "mm_audio_clusters", "text_dup_ngram_chars",
+    // r13 real-codec additions: hand-rolled JFIF decode + block-mean
+    // hashing, RIFF/AVI MJPEG demux, G.711 expansion, and the
+    // byte-level BPE trainer (vocabulary-sized like the char trainer)
+    "mm_jpeg_ahash_pairs", "mm_avi_scenecut", "mm_wav_ulaw",
+    "text_bpe_byte_train")
 
   /** Deterministic word from a full-avalanche mix (vocab of 1000):
     * individual word collisions are common (real corpora repeat words)
