@@ -149,6 +149,24 @@ object ExporterConfig {
           auth = graft.catalog.RestCatalogClient.CatalogAuth(token = catalog.token)))
       else None
 
+    /** Build the REST client the way the reference's NewRESTCatalog
+      * wiring does (catalog_rest.go:105-127): construct, then run the
+      * best-effort CONNECTION PROBE — outcome logged, never fatal, so
+      * a briefly-unreachable catalog doesn't fail pipeline startup
+      * (commits retry later through the Delivery policy). */
+    def catalogClient(): Option[graft.catalog.RestCatalogClient] =
+      catalogSettings.map { s =>
+        val c = new graft.catalog.RestCatalogClient(s)
+        c.testConnection() match {
+          case Right(n) => System.err.println(
+            s"[graft] successfully connected to REST catalog ${s.uri} " +
+              s"($n namespaces found)")
+          case Left(msg) => System.err.println(
+            s"[graft] $msg (catalog operations may fail later)")
+        }
+        c
+      }
+
     /** Resolve the sink settings for one signal's table. */
     def sinkFor(signal: String, tsColumn: String = "time_unix_nano")
         : graft.sink.PartitionedParquetSink.SinkConfig =

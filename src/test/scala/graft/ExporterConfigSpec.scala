@@ -99,4 +99,14 @@ class ExporterConfigSpec extends AnyFunSuite {
     assert(rest.get.auth.token === "tok")
     assert(Config(Filesystem("/d"), Catalog("none")).catalogSettings.isEmpty)
   }
+
+  test("catalogClient: startup probe is best-effort — unreachable catalog still yields a client") {
+    // catalog_rest.go:105-127 parity: the probe logs and moves on; a
+    // briefly-down catalog must not fail pipeline startup
+    val c = Config(Filesystem("/d"),
+      Catalog("rest", namespace = "otel", restUri = "http://127.0.0.1:1",
+        warehouse = "s3://wh", token = "tok")).catalogClient()
+    assert(c.isDefined)
+    assert(Config(Filesystem("/d"), Catalog("none")).catalogClient().isEmpty)
+  }
 }
