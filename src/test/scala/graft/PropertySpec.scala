@@ -263,4 +263,30 @@ class PropertySpec extends SparkSpec {
           got <= lev(a, b)
     })
   }
+
+  test("BloomKeys: driver probe equals executor build key on arbitrary values") {
+    import spark.implicits._
+    import graft.functions.BloomKeys
+    import org.apache.spark.sql.types.{LongType, StringType}
+    // strings (incl. unicode + empties) — the trace_id path
+    val strGen = Gen.listOfN(16, for {
+      s <- Gen.oneOf(Gen.alphaNumStr, Gen.const(""),
+        Gen.nonEmptyListOf(Gen.oneOf('α', 'β', '中', '✓', 'a', '0'))
+          .map(_.mkString))
+    } yield s)
+    check("bloomkeys-string", Prop.forAll(strGen) { ss =>
+      val built = ss.toDF("s")
+        .select(BloomKeys.keyCol(col("s"), StringType))
+        .collect().map(_.getLong(0)).toSeq
+      built == ss.map(BloomKeys.keyOf)
+    })
+    // longs across the full range — the event_id / micros path
+    val longGen = Gen.listOfN(16, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    check("bloomkeys-long", Prop.forAll(longGen) { ls =>
+      val built = ls.toDF("l")
+        .select(BloomKeys.keyCol(col("l"), LongType))
+        .collect().map(_.getLong(0)).toSeq
+      built == ls.map(BloomKeys.keyOf)
+    })
+  }
 }
