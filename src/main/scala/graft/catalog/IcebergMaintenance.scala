@@ -688,6 +688,30 @@ object IcebergMaintenance {
     ExpiryReport(ordered.map(_.snapshotId).filter(keepIds), expired, deleted)
   }
 
+  /** PROPERTY-DRIVEN expiry — the retention knobs ride table
+    * properties per the Iceberg spec, so maintenance jobs need no
+    * per-table configuration:
+    * `history.expire.max-snapshot-age-ms` (spec default 5 days) and
+    * `history.expire.min-snapshots-to-keep` (spec default 1). Policy:
+    * snapshots younger than the age bar all survive; the keep floor
+    * applies regardless of age — mapped onto [[expireSnapshots]]'s
+    * keep-last machinery (sequence order tracks commit time in this
+    * chain), so refs/current shielding and owned-files-only deletion
+    * hold unchanged. `nowMs` is injectable for deterministic tests. */
+  def expireByProperties(spark: SparkSession, tableDir: String,
+                         nowMs: Long = System.currentTimeMillis())
+      : ExpiryReport = {
+    val meta = tableMeta(spark, tableDir)
+    val props = meta.properties
+    val maxAge = props.get("history.expire.max-snapshot-age-ms")
+      .map(_.toLong).getOrElse(5L * 24 * 3600 * 1000)
+    val minKeep = props.get("history.expire.min-snapshots-to-keep")
+      .map(_.toInt).getOrElse(1)
+    require(minKeep >= 1, "min-snapshots-to-keep must be >= 1")
+    val young = meta.snapshots.count(_.timestampMs > nowMs - maxAge)
+    expireSnapshots(spark, tableDir, keepLast = math.max(minKeep, young))
+  }
+
   /** Append `blobs` to the CURRENT snapshot's statistics sidecar —
     * the spec associates one statistics file with a snapshot, and a
     * Puffin file holds many blobs, so adding an index type means
