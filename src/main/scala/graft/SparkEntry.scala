@@ -210,6 +210,7 @@ object SparkEntry {
     "mm_img_ahash_pairs" -> ((s, d) => ImageOps.imgAhashPairs(s, d)),
     "mm_jpeg_meta"       -> (graft.llm.JpegOps.jpegMeta _),
     "mm_jpeg_ahash_pairs" -> ((s, d) => graft.llm.JpegOps.jpegAhashPairs(s, d)),
+    "mm_jpeg_dhash_pairs" -> ((s, d) => graft.llm.JpegOps.jpegDhashPairs(s, d)),
     "mm_img_dhash_pairs" -> ((s, d) => ImageOps.imgDhashPairs(s, d)),
     "mm_img_entropy"     -> ((s, d) => ImageOps.imgEntropy(s, d)),
     "mm_wav_meta"        -> ((s, d) => AudioOps.wavMeta(s, d)),
@@ -4771,6 +4772,44 @@ object SparkEntry {
         | CAST(h_micro AS DOUBLE)/64/1e4 AS entropy_bits,
         | n_distinct_lumas < 8 AS flat
         |FROM h""".stripMargin,
+    // identical oracle to mm_img_dhash_pairs BY DESIGN (the JPEG
+    // block-mean plane equals the PNG pixel plane exactly)
+    "mm_jpeg_dhash_pairs" ->
+      """WITH px AS (
+        | SELECT d.doc_id, i.i,
+        |  CASE WHEN i.i < d.doc_id % 3
+        |   THEN (('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT + 128) % 256
+        |   ELSE ('0x' || substr(md5(CAST(d.doc_id // 3 AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 2))::BIGINT
+        |  END AS v
+        | FROM (SELECT doc_id FROM documents) d
+        | CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i),
+        |hx AS (
+        | SELECT p1.doc_id,
+        |  CAST(sum(CASE WHEN p2.v > p1.v
+        |    THEN (CAST(1 AS BIGINT) << (p1.i - p1.i // 8))
+        |    ELSE 0 END) AS BIGINT) AS dhash
+        | FROM px p1 JOIN px p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+        | WHERE p1.i % 8 <> 7
+        | GROUP BY 1),
+        |grp AS (
+        | SELECT dhash, CAST(count(*) AS BIGINT) AS n_imgs,
+        |  min(doc_id) AS min_doc
+        | FROM hx GROUP BY 1),
+        |banded AS (
+        | SELECT dhash, n_imgs, min_doc, b.band,
+        |  (dhash >> (b.band*14)) & 16383 AS band_val
+        | FROM grp CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b),
+        |cand AS (
+        | SELECT DISTINCT a.dhash AS ha, b.dhash AS hb,
+        |  a.n_imgs AS n_a, b.n_imgs AS n_b,
+        |  a.min_doc AS doc_a, b.min_doc AS doc_b
+        | FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.band_val = b.band_val AND a.dhash < b.dhash)
+        |SELECT ha, hb, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
+        | n_a, n_b, doc_a, doc_b
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
     "mm_img_dhash_pairs" ->
       """WITH px AS (
         | SELECT d.doc_id, i.i,

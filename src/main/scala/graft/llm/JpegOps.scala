@@ -206,14 +206,55 @@ object JpegOps {
         (r.doc_id, h)
       }
     }.toDF("doc_id", "ahash")
-    val groups = hashed.groupBy($"ahash")
+    bandedPairs(hashed, "ahash", bandBits = 16, nBands = 4, tau)
+  }
+
+  /** Gradient-hash (dHash) near-dup pairs over really-decoded JPEG:
+    * the same right-neighbor-brighter criterion as
+    * [[ImageOps.imgDhashPairs]] over the 8×8 block-mean plane — the
+    * perceptual hash robust to the global brightness/contrast shifts
+    * JPEG re-encodes introduce in real corpora, now proven on the
+    * codec those corpora use (oracle shared with the PNG family). */
+  def jpegDhashPairs(spark: SparkSession, sfDir: String,
+                     tau: Int = 3): DataFrame = {
+    import spark.implicits._
+    val hashed = images(spark, sfDir).mapPartitions { rows =>
+      rows.map { r =>
+        val m = blockMeans(r.jpg)
+        var h = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 7) {
+            if (m(y * 8 + x + 1) > m(y * 8 + x)) h |= 1L << (y * 7 + x)
+            x += 1
+          }
+          y += 1
+        }
+        (r.doc_id, h)
+      }
+    }.toDF("doc_id", "dhash")
+    bandedPairs(hashed, "dhash", bandBits = 14, nBands = 4, tau)
+  }
+
+  /** The distinct-hash pigeonhole pair mine shared by both hash
+    * families (never all-pairs; `nBands` bands of `bandBits` bits
+    * guarantee every hamming ≤ nBands−1 pair shares a band). */
+  private def bandedPairs(hashed: DataFrame, hashCol: String,
+                          bandBits: Int, nBands: Int,
+                          tau: Int): DataFrame = {
+    val spark = hashed.sparkSession
+    import spark.implicits._
+    val mask = (1 << bandBits) - 1
+    val groups = hashed.groupBy(col(hashCol))
       .agg(count(lit(1)).as("n_imgs"), min($"doc_id").as("min_doc"))
     val banded = groups
-      .withColumn("band", explode(sequence(lit(0), lit(3))))
-      .withColumn("band_val", expr("shiftright(ahash, band * 16) & 65535"))
-    val a = banded.select($"band", $"band_val", $"ahash".as("ha"),
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("band_val",
+        expr(s"shiftright($hashCol, band * $bandBits) & $mask"))
+    val a = banded.select($"band", $"band_val", col(hashCol).as("ha"),
       $"n_imgs".as("n_a"), $"min_doc".as("doc_a"))
-    val b = banded.select($"band", $"band_val", $"ahash".as("hb"),
+    val b = banded.select($"band", $"band_val", col(hashCol).as("hb"),
       $"n_imgs".as("n_b"), $"min_doc".as("doc_b"))
     a.join(b, Seq("band", "band_val"))
       .filter($"ha" < $"hb")

@@ -49,4 +49,13 @@ class JpegSpec extends SparkSpec {
     assert(viaJpeg === viaPng)
     assert(viaJpeg.nonEmpty, "fixture must contain near-dup pairs")
   }
+
+  test("jpeg dHash pairs equal the PNG family's pairs (same analytic plane)") {
+    val viaJpeg = JpegOps.jpegDhashPairs(spark, sf)
+      .collect().map(_.toString).sorted
+    val viaPng = ImageOps.imgDhashPairs(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(viaJpeg === viaPng)
+    assert(viaJpeg.nonEmpty, "fixture must contain near-dup pairs")
+  }
 }
