@@ -1704,7 +1704,7 @@ object SimOps {
     efs.map { ef =>
       nswSearchFrom(spark, sfDir, edges, seeds, nQueries, ef, hops, k)
         .select(lit(ef.toLong).as("ef"), $"query_id", $"neighbor_id")
-    }.reduce(_ unionAll _)
+    }.reduce(_ union _)
       .join(broadcast(brute), Seq("query_id", "neighbor_id"), "left")
       .groupBy($"ef", $"query_id")
       .agg(sum(coalesce($"hit", lit(0L))).as("hits"))
