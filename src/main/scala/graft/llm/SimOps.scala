@@ -1699,12 +1699,48 @@ object SimOps {
     // one upper leg, pinned: every ef arm seeds from the same beam
     val seeds = hnswUpperBeam(spark, sfDir, idxDir, nQueries,
       upperBeam, upperHops).localCheckpoint()
+    // ALL arms ride one beam search keyed by (ef, query_id): each
+    // arm's beam evolves independently under its own partition and
+    // row-wise `rn <= ef` cut, so per-arm semantics are bit-identical
+    // to running nswSearchFrom per ef — but the loop pays `hops`
+    // scheduler rounds total instead of |efs|·hops (the rounds are
+    // latency-bound, not data-bound; this took the sweep from ~6 s
+    // and 1.4× cross-run spread to one arm's cost)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    val q = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"))
+    def score(cands: DataFrame): DataFrame =
+      cands.join(emb.select($"vec_id".as("cand"), $"vec"), Seq("cand"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cos6",
+          round(call_function("cosine_sim", $"vec", $"qvec"), 6))
+        .select($"ef", $"query_id", $"cand", $"cos6")
+    def topPerArm(scored: DataFrame, width: Column): DataFrame =
+      scored.withColumn("rn", row_number().over(
+          Window.partitionBy($"ef", $"query_id")
+            .orderBy($"cos6".desc, $"cand".asc)))
+        .filter($"rn" <= width)
+    // literal-array explode, not a crossJoin — the join-free fan-out
+    // shape (a 3-row crossJoin plans BNLJ, the r6 plan-hygiene lesson)
+    val seeded = seeds.withColumn("ef",
+      explode(array(efs.map(e => lit(e.toLong)): _*)))
+    var beamDf = topPerArm(score(seeded), $"ef")
+      .select($"ef", $"query_id", $"cand").localCheckpoint()
+    for (_ <- 1 to hops) {
+      val cands = beamDf.join(edges, beamDf("cand") === edges("src"))
+        .select($"ef", $"query_id", $"dst".as("cand"))
+        .union(beamDf.select($"ef", $"query_id", $"cand"))
+        .filter($"cand" =!= $"query_id")
+        .distinct()
+      beamDf = topPerArm(score(cands), $"ef")
+        .select($"ef", $"query_id", $"cand").localCheckpoint()
+    }
+    val ranked = topPerArm(score(beamDf), lit(k))
+      .select($"ef", $"query_id", $"cand".as("neighbor_id"))
     val brute = simTopkBruteforce(spark, sfDir, nQueries, k)
       .select($"query_id", $"neighbor_id").withColumn("hit", lit(1L))
-    efs.map { ef =>
-      nswSearchFrom(spark, sfDir, edges, seeds, nQueries, ef, hops, k)
-        .select(lit(ef.toLong).as("ef"), $"query_id", $"neighbor_id")
-    }.reduce(_ union _)
+    ranked
       .join(broadcast(brute), Seq("query_id", "neighbor_id"), "left")
       .groupBy($"ef", $"query_id")
       .agg(sum(coalesce($"hit", lit(0L))).as("hits"))
