@@ -64,6 +64,9 @@ object Bench {
       // spread on identical code made the committed numbers
       // unattributable; one untimed pass pins them
       "dedup_canonical", "dedup_cluster_stats", "dedup_substring",
+      // r13 verdict: sim_hnsw_recall showed 11.68x spread on identical
+      // code — the one HNSW-family entry the r13 pin missed
+      "sim_hnsw_recall",
       // one-time /tmp layout build must not land in a timed round
       "q_zorder_pruning")
     for ((name, fn) <- queryList if warmFirst.contains(name)) {

@@ -703,10 +703,21 @@ object IcebergMaintenance {
       : ExpiryReport = {
     val meta = tableMeta(spark, tableDir)
     val props = meta.properties
-    val maxAge = props.get("history.expire.max-snapshot-age-ms")
-      .map(_.toLong).getOrElse(5L * 24 * 3600 * 1000)
-    val minKeep = props.get("history.expire.min-snapshots-to-keep")
-      .map(_.toInt).getOrElse(1)
+    def parseProp[T](key: String, parse: String => T): Option[T] =
+      props.get(key).map { raw =>
+        try parse(raw)
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"table property $key must be an integer, got '$raw'")
+        }
+      }
+    val maxAge = parseProp("history.expire.max-snapshot-age-ms", _.toLong)
+      .getOrElse(5L * 24 * 3600 * 1000)
+    require(maxAge >= 0,
+      s"history.expire.max-snapshot-age-ms must be >= 0, got $maxAge")
+    val minKeep = parseProp("history.expire.min-snapshots-to-keep", _.toInt)
+      .getOrElse(1)
     require(minKeep >= 1, "min-snapshots-to-keep must be >= 1")
     val young = meta.snapshots.count(_.timestampMs > nowMs - maxAge)
     expireSnapshots(spark, tableDir, keepLast = math.max(minKeep, young))

@@ -297,7 +297,10 @@ object IcebergTableMetadata {
             case JObject(ps) => ps.collect {
               case (k, JString(v)) => k -> v
             }.toMap
-          }.getOrElse(Map.empty)))
+          // same default as the case class / first commit: a metadata
+          // JSON lacking a properties key must not drop the
+          // write.format.default the writer always emits on commit
+          }.getOrElse(Map("write.format.default" -> "parquet"))))
       }
     }
   }

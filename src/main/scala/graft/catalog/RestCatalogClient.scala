@@ -772,7 +772,7 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
   def testConnection(): Either[String, Int] =
     try Right(listNamespaces().size)
     catch {
-      case t: Throwable =>
+      case scala.util.control.NonFatal(t) =>
         val hint =
           if (settings.auth.token.isEmpty && settings.auth.clientId.isEmpty)
             " (no authentication configured - try providing a catalog token)"

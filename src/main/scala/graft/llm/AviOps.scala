@@ -132,13 +132,22 @@ object AviOps {
       while (p + 8 <= end) {
         val id = cc(p)
         val sz = le32(p + 4).toInt
+        // a corrupt/truncated size (negative after .toInt, or running
+        // past the buffer) must fail loudly, not loop or index OOB
+        if (sz < 0 || p + 8 + sz > end)
+          throw new IllegalArgumentException(
+            s"corrupt RIFF container: chunk '$id' at offset $p declares " +
+              s"size $sz but only ${end - p - 8} bytes remain")
         if (id == "LIST") walk(p + 12, p + 8 + sz)
         else if (id == "00dc" && sz > 0)
           frames += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + sz)
         p += 8 + sz + (sz & 1) // even padding
       }
     }
-    walk(12, 8 + le32(4).toInt)
+    val declared = le32(4).toInt
+    require(declared >= 4 && 8 + declared <= bytes.length,
+      s"corrupt RIFF container: declared size $declared vs ${bytes.length} bytes")
+    walk(12, 8 + declared)
     frames.result()
   }
 

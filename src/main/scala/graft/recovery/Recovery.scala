@@ -402,6 +402,125 @@ object Recovery {
                 unix_micros(col(tsColumn)) < endUs)
   }
 
+  // ── Cross-partition file auto-repair ──────────────────────────────
+  // Reference: reconciler.go:380 `handleCrossPartitionFile` +
+  // repartitioner.go `Repartition` — a register that fails because a
+  // file's rows straddle the registered partition is repaired by
+  // splitting the file at the table's granularity and registering the
+  // splits atomically, then deleting the original.
+
+  /** iceberg-go's cross-partition error substring (repartitioner.go:21,
+    * citing table/internal/utils.go) — the signal the reference
+    * reconciler keys its auto-repair on. Our own partition validation
+    * raises the same words so callers route identically. */
+  val CrossPartitionError = "more than one value for partition field"
+
+  /** Raised by [[validateSinglePartition]]; carries the straddler list
+    * so the repair path needn't re-sweep footers. */
+  final class CrossPartitionException(msg: String, val files: Seq[String])
+    extends IllegalStateException(msg)
+
+  /** repartitioner.go:68 `IsCrossPartitionError` parity: substring
+    * match anywhere in the cause chain. */
+  def isCrossPartitionError(t: Throwable): Boolean = {
+    var e = t
+    var seen = 0
+    while (e != null && seen < 16) {
+      if (e.getMessage != null && e.getMessage.contains(CrossPartitionError))
+        return true
+      e = if (e.getCause eq e) null else e.getCause
+      seen += 1
+    }
+    false
+  }
+
+  private def granularityTransform(granularity: String): String =
+    granularity match {
+      case "hourly"  => "hour"
+      case "daily"   => "day"
+      case "monthly" => "month"
+      case other => throw new IllegalArgumentException(
+        s"unknown granularity '$other' (hourly|daily|monthly)")
+    }
+
+  /** Granularity inferred from a sink-layout path (deepest time dir
+    * present); None for paths without partition dirs. */
+  def pathGranularity(path: String): Option[String] =
+    if (path.contains("hour=")) Some("hourly")
+    else if (path.contains("day=")) Some("daily")
+    else if (path.contains("month=")) Some("monthly")
+    else None
+
+  /** The subset of `paths` whose ROWS straddle more than one partition
+    * at `granularity` on `tsColumn` — the condition that makes
+    * iceberg-go's tuple derivation fail with [[CrossPartitionError]].
+    * Metadata-only: one distributed footer sweep (int64-micros min/max);
+    * files whose footer carries no usable stats can't be judged and are
+    * not flagged (they register with a null tuple = never pruned, the
+    * conservative fallback [[graft.catalog.IcebergCommit]] already
+    * takes). */
+  def crossPartitionFiles(spark: SparkSession, paths: Seq[String],
+                          tsColumn: String,
+                          granularity: String): Seq[String] = {
+    if (paths.isEmpty) return Nil
+    val tr = granularityTransform(granularity)
+    val stats = fileColumnStats(spark, paths, tsColumn)
+    paths.filter(p => stats.get(p).exists { case (mn, mx) =>
+      graft.catalog.IcebergPartitioning.transformValue(tr, mn) !=
+        graft.catalog.IcebergPartitioning.transformValue(tr, mx)
+    })
+  }
+
+  /** Registration-time validation with the reference's ERROR SHAPE:
+    * raises a [[CrossPartitionException]] carrying iceberg-go's exact
+    * substring when any of `paths` straddles, so the caller routes on
+    * [[isCrossPartitionError]] exactly like reconciler.go:371. */
+  def validateSinglePartition(spark: SparkSession, paths: Seq[String],
+                              tsColumn: String,
+                              granularity: String): Unit = {
+    val bad = crossPartitionFiles(spark, paths, tsColumn, granularity)
+    if (bad.nonEmpty)
+      throw new CrossPartitionException(
+        s"${bad.head}: $CrossPartitionError " +
+          s"($granularity on $tsColumn; ${bad.size} file(s) affected)", bad)
+  }
+
+  /** Repair straddling files, Spark-first: where the reference loops
+    * file → Arrow split → per-partition write (repartitioner.go:78),
+    * ONE distributed job here reads every straddler and appends its
+    * rows back through the sink's dynamic-partition writer at the
+    * table's granularity — each partition value lands in its own
+    * file(s) by construction, for any number of straddlers at once.
+    * Originals are deleted only AFTER the write job commits (Spark's
+    * output committer makes the splits all-or-nothing), so a crash
+    * mid-repair leaves storage duplicates at worst — which the
+    * idempotent path-keyed register and a later reconcile both
+    * tolerate. Returns the new split files (path, size) to register. */
+  def repairCrossPartitionFiles(spark: SparkSession, basePath: String,
+                                table: String, files: Seq[String],
+                                tsColumn: String, granularity: String)
+      : Seq[(String, Long)] = {
+    if (files.isEmpty) return Nil
+    import spark.implicits._
+    val tablePath = s"$basePath/$table"
+    val before = listDataFiles(spark, tablePath)
+      .select("file_path").as[String].collect().toSet
+    // read ONLY the straddlers, without basePath: dir-derived partition
+    // columns stay out and the sink re-derives them from the rows
+    val df = spark.read.parquet(files: _*)
+    PartitionedParquetSink.writeBatch(df, SinkConfig(basePath, table,
+      tsColumn = tsColumn, granularity = granularity))
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.foreach { f =>
+      val p = new Path(f)
+      p.getFileSystem(conf).delete(p, false)
+    }
+    spark.catalog.refreshByPath(tablePath)
+    listDataFiles(spark, tablePath)
+      .as[(String, Long)].collect().toSeq
+      .filter { case (p, _) => !before.contains(p) }
+  }
+
   /** Rewrite a partitioned table at a new granularity
     * (repartitioner.go). Reads through the partition layout, drops the
     * old partition value columns, re-derives at the target granularity. */

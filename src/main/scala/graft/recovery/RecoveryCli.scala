@@ -121,7 +121,9 @@ object RecoveryCli {
     """graft-recovery <scan|reconcile|prune|repartition> --base-path PATH [flags]
       |
       |  scan        --manifest PATH [--tables a,b] [--after T] [--before T] [--distributed]
-      |  reconcile   --manifest PATH [--tables a,b] [--after T] [--before T] [--dry-run] [--distributed]
+      |  reconcile   --manifest PATH [--tables a,b] [--after T] [--before T] [--ts-column C] [--dry-run] [--distributed]
+      |              (files whose rows straddle their partition are auto-repaired:
+      |               split at the table granularity, splits registered, original dropped)
       |  prune       --manifest PATH [--tables a,b] [--dry-run]
       |  repartition --tables a,b --ts-column C --from-granularity G --to-granularity G [--dry-run]
       |
@@ -184,6 +186,10 @@ object RecoveryCli {
               spark.sparkContext.hadoopConfiguration))
           out("=== Recovery Results ===")
           var total = 0L
+          var registered = 0L
+          var repairedFiles = 0L
+          var repairSplits = 0L
+          var repairFailed = 0L
           val perTable = tables.map { t =>
             val tablePath = s"${a.basePath}/$t"
             val orphansAll = client match {
@@ -214,21 +220,62 @@ object RecoveryCli {
               out(s"  ${r.getString(0)} (${r.getLong(1)} bytes)"))
             // register only the time-window survivors (idempotent); with
             // no window this is exactly reconcile's candidate set
-            if (a.cmd == "reconcile" && !a.dryRun && n > 0) client match {
-              case Some(c) =>
-                if (c.loadTable(a.namespace, t).isEmpty)
-                  out(s"  $t: not in catalog — create the table first, skipping")
-                else {
-                  // real per-file record counts from the footers — the
-                  // snapshot summary the reference exporter publishes
-                  val counts = Recovery.fileRowCounts(spark, rows.map(_.getString(0)).toSeq)
-                  c.appendDataFiles(a.namespace, t, rows.map(r =>
-                    graft.catalog.RestCatalogClient.DataFile(
-                      r.getString(0), r.getLong(1),
-                      counts.getOrElse(r.getString(0), 0L))).toSeq)
-                }
-              case None =>
-                Recovery.registerFiles(spark, s"${a.manifest}/$t", cached)
+            if (a.cmd == "reconcile" && !a.dryRun && n > 0) {
+              // Cross-partition AUTO-REPAIR (reconciler.go:380
+              // handleCrossPartitionFile): validate the candidates the
+              // way iceberg-go's tuple derivation would, and when the
+              // validation raises the cross-partition error, split the
+              // straddling files at the table's granularity, register
+              // the SPLITS, and drop the originals. Repair failure
+              // drops only the affected files from this register (they
+              // stay orphans for the next run), matching the
+              // reference's per-file failure accounting.
+              var candidates = rows.map(r =>
+                (r.getString(0), r.getLong(1))).toSeq
+              val gran = candidates.map(_._1)
+                .flatMap(Recovery.pathGranularity).headOption
+                .getOrElse("hourly") // repartitioner.go: always hourly
+              try Recovery.validateSinglePartition(spark,
+                candidates.map(_._1), a.tsColumn, gran)
+              catch {
+                case e: Recovery.CrossPartitionException
+                    if Recovery.isCrossPartitionError(e) => // go-flow parity
+                  val bad = e.files.toSet
+                  try {
+                    val splits = Recovery.repairCrossPartitionFiles(spark,
+                      a.basePath, t, e.files, a.tsColumn, gran)
+                    candidates = candidates.filterNot(f => bad(f._1)) ++ splits
+                    repairedFiles += bad.size
+                    repairSplits += splits.size
+                    out(s"  $t: repaired ${bad.size} cross-partition " +
+                      s"file(s) into ${splits.size} splits")
+                  } catch {
+                    case scala.util.control.NonFatal(re) =>
+                      candidates = candidates.filterNot(f => bad(f._1))
+                      repairFailed += bad.size
+                      out(s"  $t: re-partition failed for ${bad.size} " +
+                        s"file(s): ${re.getMessage}")
+                  }
+              }
+              client match {
+                case Some(c) =>
+                  if (c.loadTable(a.namespace, t).isEmpty)
+                    out(s"  $t: not in catalog — create the table first, skipping")
+                  else {
+                    // real per-file record counts from the footers — the
+                    // snapshot summary the reference exporter publishes
+                    val counts = Recovery.fileRowCounts(spark, candidates.map(_._1))
+                    c.appendDataFiles(a.namespace, t, candidates.map {
+                      case (p, sz) => graft.catalog.RestCatalogClient.DataFile(
+                        p, sz, counts.getOrElse(p, 0L)) })
+                    registered += candidates.size
+                  }
+                case None =>
+                  import spark.implicits._
+                  Recovery.registerFiles(spark, s"${a.manifest}/$t",
+                    candidates.toDF("file_path", "file_size"))
+                  registered += candidates.size
+              }
             }
             t -> n
           }
@@ -240,7 +287,12 @@ object RecoveryCli {
               out("Run without --dry-run to perform actual recovery.")
             }
           } else {
-            out(s"Successfully registered: $total")
+            out(s"Successfully registered: $registered")
+            if (repairedFiles > 0)
+              out(s"Files repaired (cross-partition): $repairedFiles " +
+                s"-> $repairSplits splits")
+            if (repairFailed > 0)
+              out(s"Files failed re-partition:  $repairFailed")
           }
           if (total > 0) {
             out("")

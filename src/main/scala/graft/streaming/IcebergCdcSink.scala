@@ -29,16 +29,58 @@ import graft.catalog.{IcebergMaintenance, IcebergTableMetadata,
   * which standard orphan-file maintenance reclaims. */
 object IcebergCdcSink {
 
+  /** Stream identity for the epoch key — derived from the CHECKPOINT
+    * location, not the query runId: batch ids are scoped to a
+    * checkpoint lineage (same checkpoint resumes the numbering, a
+    * fresh checkpoint restarts at 0), while runId changes on EVERY
+    * restart — keying on runId would miss the one replay that matters
+    * (crash after commit, before checkpoint write, then restart).
+    * Without it, a stream restarted with a fresh checkpoint against an
+    * existing table would silently skip its first batches as
+    * "replays" of the old lineage's epochs. */
+  private[graft] def streamIdOf(checkpoint: String): String = {
+    val canon = checkpoint.stripSuffix("/")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(canon.getBytes("UTF-8")).take(6)
+      .map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  private def epochKey(streamId: Option[String], batchId: Long): String =
+    streamId.map(s => s"$s:$batchId").getOrElse(batchId.toString)
+
+  /** Replay detection. With a stream identity: replay iff some
+    * snapshot carries our exact epoch — or, for snapshots written
+    * before epochs carried an identity, a bare `graft.batch_id` match
+    * (conservative: preserves the legacy skip against old chains).
+    * Without one (direct programmatic calls): the legacy
+    * batch-id-only check, unchanged. */
+  private def isReplay(summaries: Iterable[Map[String, String]],
+                       streamId: Option[String], batchId: Long): Boolean =
+    streamId match {
+      case None =>
+        summaries.exists(_.get("graft.batch_id").contains(batchId.toString))
+      case Some(_) =>
+        val key = epochKey(streamId, batchId)
+        summaries.exists { s =>
+          s.get("graft.epoch").contains(key) ||
+            (!s.contains("graft.epoch") &&
+              s.get("graft.batch_id").contains(batchId.toString))
+        }
+    }
+
   /** Apply one CDC micro-batch: bootstrap the chain on first contact,
     * skip if `batchId` is already on it, else upsert. Returns true if
-    * the batch was applied, false if it was a detected replay. */
+    * the batch was applied, false if it was a detected replay.
+    * `streamId` scopes the epoch to a checkpoint lineage (see
+    * [[streamIdOf]]); None keeps the legacy bare-batch-id key. */
   def applyBatch(spark: SparkSession, tableDir: String, batch: DataFrame,
                  batchId: Long, keyCols: Seq[String],
-                 statsColumn: Option[String] = None): Boolean = {
+                 statsColumn: Option[String] = None,
+                 streamId: Option[String] = None): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val meta = IcebergTableMetadata.load(conf, tableDir)
-    val replay = meta.exists(_.snapshots.exists(
-      _.summary.get("graft.batch_id").contains(batchId.toString)))
+    val replay = meta.exists(m =>
+      isReplay(m.snapshots.map(_.summary), streamId, batchId))
     if (replay) return false
     if (meta.isEmpty) {
       val (schemaJson, _) = RestCatalogClient.icebergSchemaJson(batch.schema)
@@ -48,7 +90,8 @@ object IcebergCdcSink {
     // pin the batch: the upsert reads `updates` twice (data + keys)
     val delta = batch.localCheckpoint()
     IcebergMaintenance.upsert(spark, tableDir, delta, keyCols, statsColumn,
-      extraSummary = Map("graft.batch_id" -> batchId.toString))
+      extraSummary = Map("graft.batch_id" -> batchId.toString,
+        "graft.epoch" -> epochKey(streamId, batchId)))
     true
   }
 
@@ -62,7 +105,7 @@ object IcebergCdcSink {
     changes.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         applyBatch(batch.sparkSession, tableDir, batch, id, keyCols,
-          statsColumn)
+          statsColumn, streamId = Some(streamIdOf(checkpoint)))
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -83,16 +126,16 @@ object IcebergCdcSink {
     * false on detected replay or an empty batch. */
   def applyBatchCatalog(spark: SparkSession, client: RestCatalogClient,
                         namespace: String, table: String, batch: DataFrame,
-                        batchId: Long, keyCols: Seq[String]): Boolean = {
+                        batchId: Long, keyCols: Seq[String],
+                        streamId: Option[String] = None): Boolean = {
     require(keyCols.nonEmpty, "catalog CDC needs at least one key column")
     client.ensureNamespace(namespace)
     client.ensureTable(namespace, table, batch.schema)
     val info = client.loadTable(namespace, table).getOrElse(
       throw new IllegalStateException(
         s"table $namespace.$table missing after ensureTable"))
-    val replay = info.snapshotSummaries.values
-      .exists(_.get("graft.batch_id").contains(batchId.toString))
-    if (replay) return false
+    if (isReplay(info.snapshotSummaries.values, streamId, batchId))
+      return false
     // pin the batch (the upsert reads it twice: data + keys), then
     // land the files under the CATALOG's table location
     val delta = batch.localCheckpoint()
@@ -126,7 +169,8 @@ object IcebergCdcSink {
         graft.catalog.RestCatalogClient.DataFile(
           p, sizeOf(p), keyCounts.getOrElse(p, 0L)),
         content = 2, ids)),
-      extraSummary = Map("graft.batch_id" -> batchId.toString))
+      extraSummary = Map("graft.batch_id" -> batchId.toString,
+        "graft.epoch" -> epochKey(streamId, batchId)))
     true
   }
 
@@ -140,7 +184,7 @@ object IcebergCdcSink {
     changes.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         applyBatchCatalog(batch.sparkSession, client, namespace, table,
-          batch, id, keyCols)
+          batch, id, keyCols, streamId = Some(streamIdOf(checkpoint)))
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -79,6 +79,31 @@ class IcebergCdcStreamSpec extends SparkSpec {
     assert(state(loc) === settled)
   }
 
+  test("fresh-checkpoint restart is not mistaken for a replay (epoch carries stream identity)") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("graft-cdc-fresh").toString + "/t"
+    val sidA = IcebergCdcSink.streamIdOf("/ckpt/a")
+    val sidB = IcebergCdcSink.streamIdOf("/ckpt/b")
+    assert(sidA !== sidB)
+    // deterministic across restarts, trailing slash canonicalized
+    assert(IcebergCdcSink.streamIdOf("/ckpt/a/") === sidA)
+
+    val b0 = Seq((1L, 10L, "a1")).toDF("id", "ts", "payload")
+    assert(IcebergCdcSink.applyBatch(spark, loc, b0, 0L, Seq("id"),
+      streamId = Some(sidA)))
+    // same lineage, same epoch: the real crash-replay — skipped
+    assert(!IcebergCdcSink.applyBatch(spark, loc, b0, 0L, Seq("id"),
+      streamId = Some(sidA)))
+    // a FRESH checkpoint restarts batch ids at 0 — its epoch 0 is a
+    // different stream's, and MUST apply (the pre-fix code skipped it)
+    val b0b = Seq((2L, 20L, "a2")).toDF("id", "ts", "payload")
+    assert(IcebergCdcSink.applyBatch(spark, loc, b0b, 0L, Seq("id"),
+      streamId = Some(sidB)))
+    assert(state(loc) === Map(1L -> "a1", 2L -> "a2"))
+    // legacy identity-less caller keeps the old batch-id-only skip
+    assert(!IcebergCdcSink.applyBatch(spark, loc, b0b, 0L, Seq("id")))
+  }
+
   test("cataloged CDC: snapshot-per-batch through REST, replay skipped on the catalog chain") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

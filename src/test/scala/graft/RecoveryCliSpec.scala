@@ -132,6 +132,127 @@ class RecoveryCliSpec extends SparkSpec {
     assert(dirs.forall(p => p.contains("day=") && !p.contains("hour=")), dirs.take(3).mkString(","))
   }
 
+  /** Copy rows from two different hour partitions into ONE file planted
+    * in the first hour's directory — the straddling orphan a crashed
+    * exporter leaves (rows span hours, path claims one). Returns
+    * (straddlerPath, straddlerRows). */
+  private def plantStraddler(base: String): (String, Long) = {
+    val tableDir = s"$base/events"
+    val leaves = Recovery.listDataFiles(spark, tableDir)
+      .collect().map(_.getString(0))
+    val hourOf = (p: String) => "hour=(\\d+)".r.findFirstMatchIn(p).get.group(1)
+    val twoHours = leaves.groupBy(hourOf).values.take(2).map(_.head).toSeq
+    assert(twoHours.size === 2, "fixture needs >= 2 hour partitions")
+    val df = spark.read.parquet(twoHours: _*)
+    val rows = df.count()
+    val stage = s"${tmp()}/stage"
+    // int64-micros timestamps like the sink's own files (INT96 carries
+    // no long footer stats, which detection reads)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try df.coalesce(1).write.parquet(stage)
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val destDir = new java.io.File(new java.net.URI(twoHours.head)).getParent
+    val dest = new java.io.File(destDir, "straddler.parquet")
+    java.nio.file.Files.copy(part.toPath, dest.toPath)
+    // hand back the path in the listing's own (qualified-URI) form
+    val planted = Recovery.listDataFiles(spark, tableDir)
+      .collect().map(_.getString(0))
+      .find(_.endsWith("straddler.parquet")).get
+    (planted, rows)
+  }
+
+  test("cross-partition detection: straddlers flagged, error shape routes like iceberg-go") {
+    val (base, _) = freshLayout()
+    val (straddler, _) = plantStraddler(base)
+    val all = Recovery.listDataFiles(spark, s"$base/events")
+      .collect().map(_.getString(0)).toSeq
+    val bad = Recovery.crossPartitionFiles(spark, all, "ts", "hourly")
+    assert(bad === Seq(straddler))
+    // at DAILY granularity the same rows share a day — nothing flagged
+    assert(Recovery.crossPartitionFiles(spark, all, "ts", "daily").isEmpty ||
+      // (unless the fixture hours cross midnight — then the straddler
+      // legitimately straddles days too)
+      Recovery.crossPartitionFiles(spark, all, "ts", "daily") === Seq(straddler))
+    val e = intercept[Recovery.CrossPartitionException] {
+      Recovery.validateSinglePartition(spark, all, "ts", "hourly")
+    }
+    assert(e.getMessage.contains(Recovery.CrossPartitionError))
+    assert(e.files === Seq(straddler))
+    assert(Recovery.isCrossPartitionError(e))
+    assert(Recovery.isCrossPartitionError(
+      new RuntimeException("wrapped", e))) // cause-chain match
+    assert(!Recovery.isCrossPartitionError(new RuntimeException("other")))
+    assert(Recovery.pathGranularity("/t/year=2024/month=01/day=05/hour=07/f.parquet")
+      === Some("hourly"))
+    assert(Recovery.pathGranularity("/t/year=2024/month=01/f.parquet")
+      === Some("monthly"))
+    assert(Recovery.pathGranularity("/t/f.parquet") === None)
+  }
+
+  test("reconcile auto-repairs a straddling file: splits registered, original dropped") {
+    val (base, manifests) = freshLayout()
+    val tableDir = s"$base/events"
+    val rowsBefore = spark.read.parquet(tableDir).count()
+    val (straddler, straddlerRows) = plantStraddler(base)
+    val found = Recovery.listDataFiles(spark, tableDir).count()
+
+    val (c, out0) = runCli("reconcile", "--base-path", base,
+      "--manifest", manifests, "--ts-column", "ts")
+    assert(c === 0, out0)
+    assert(out0.contains("repaired 1 cross-partition file(s)"), out0)
+    assert(out0.contains("Files repaired (cross-partition): 1"), out0)
+
+    // original gone; splits live in their own hour partitions
+    assert(!new java.io.File(new java.net.URI(straddler)).exists())
+    val after = Recovery.listDataFiles(spark, tableDir)
+      .collect().map(_.getString(0)).toSeq
+    assert(Recovery.crossPartitionFiles(spark, after, "ts", "hourly").isEmpty)
+    // rows conserved: the straddler's rows live on in the splits
+    spark.catalog.refreshByPath(tableDir)
+    assert(spark.read.parquet(tableDir).count() === rowsBefore + straddlerRows)
+    // manifest holds exactly the on-disk set (splits in, straddler out)
+    val manifest = spark.read.parquet(s"$manifests/events")
+      .collect().map(_.getString(0)).toSet
+    assert(manifest === after.toSet)
+    assert(!manifest.contains(straddler))
+    assert(manifest.size.toLong > found - 1) // ≥2 splits replaced 1 file
+    // nothing left to recover
+    val (c2, out2) = runCli("scan", "--base-path", base, "--manifest", manifests)
+    assert(c2 === 0 && out2.contains("Total files found:    0"), out2)
+  }
+
+  test("catalog mode: straddling orphan repaired and splits committed to the catalog") {
+    val fake = new FakeRestCatalog
+    fake.warehouseDir = "file://" + tmp()
+    try {
+      val (base, _) = freshLayout()
+      fake.validToken = "cli-tok"
+      val catFlags = Seq("--catalog-uri", fake.uri, "--catalog-token", "cli-tok",
+        "--namespace", "otel", "--ts-column", "ts")
+      val client = new graft.catalog.RestCatalogClient(
+        graft.catalog.RestCatalogClient.Settings(fake.uri,
+          auth = graft.catalog.RestCatalogClient.CatalogAuth(token = "cli-tok")))
+      client.ensureNamespace("otel")
+      client.ensureTable("otel", "events", Tables.events(spark, sf).limit(1).schema)
+      val (straddler, _) = plantStraddler(base)
+
+      val (c, out0) = runCli(Seq("reconcile", "--base-path", base) ++ catFlags: _*)
+      assert(c === 0, out0)
+      assert(out0.contains("repaired 1 cross-partition file(s)"), out0)
+      val registered = client.listDataFiles("otel", "events").toSet
+      assert(!registered.contains(straddler))
+      val onDisk = Recovery.listDataFiles(spark, s"$base/events")
+        .collect().map(_.getString(0)).toSet
+      assert(registered === onDisk)
+      assert(Recovery.crossPartitionFiles(spark, onDisk.toSeq, "ts", "hourly").isEmpty)
+      // idempotent: nothing left to recover
+      val (c2, out2) = runCli(Seq("scan", "--base-path", base) ++ catFlags: _*)
+      assert(c2 === 0 && out2.contains("Total files found:    0"), out2)
+    } finally fake.stop()
+  }
+
   test("catalog mode: scan diffs against the REST catalog, reconcile commits the orphans") {
     val fake = new FakeRestCatalog
     fake.warehouseDir = "file://" + tmp()
