@@ -49,7 +49,8 @@ import scala.collection.mutable
   * spooling to shared storage, exactly like the HTTP twin.
   */
 final class OtlpGrpcReceiver(spoolDir: String, host: String = "127.0.0.1",
-                             port: Int = 0) {
+                             port: Int = 0,
+                             limits: SpoolLimits = SpoolLimits.Unbounded) {
   import OtlpGrpcReceiver._
 
   private val services = Map(
@@ -61,12 +62,20 @@ final class OtlpGrpcReceiver(spoolDir: String, host: String = "127.0.0.1",
   val accepted: Map[String, AtomicLong] =
     services.values.map(_ -> new AtomicLong(0L)).toMap
 
+  /** Per-request outcome counters (accepted / shed / rejects). */
+  val telemetry = new ReceiverTelemetry("grpc")
+
   private val inflight: Path = {
     val p = Paths.get(spoolDir, ".inflight")
     Files.createDirectories(p)
     services.values.foreach(s => Files.createDirectories(Paths.get(spoolDir, s)))
     p
   }
+
+  /** `sending_queue` parity (config.go:25-27): over the spool cap,
+    * requests shed with RESOURCE_EXHAUSTED and nothing more spools. */
+  val gauge =
+    new SpoolGauge(spoolDir, services.values.toSeq, limits)
 
   private val server = new ServerSocket()
   server.bind(new InetSocketAddress(host, port))
@@ -219,8 +228,10 @@ final class OtlpGrpcReceiver(spoolDir: String, host: String = "127.0.0.1",
     val ct = st.headers.getOrElse("content-type", "")
     services.get(path) match {
       case None =>
+        telemetry.record("_unrouted", "bad_route", 12)
         writeTrailersOnly(out, sid, 12, s"unknown service: $path") // UNIMPLEMENTED
-      case Some(_) if !ct.startsWith("application/grpc") =>
+      case Some(signal) if !ct.startsWith("application/grpc") =>
+        telemetry.record(signal, "unsupported_media", 3)
         writeTrailersOnly(out, sid, 3, "content-type must be application/grpc")
       case Some(signal) =>
         // per-message compression (gRPC spec §compression): the request's
@@ -246,15 +257,33 @@ final class OtlpGrpcReceiver(spoolDir: String, host: String = "127.0.0.1",
             if (pos + 5 + mlen > buf.length) err = Some((13, "truncated gRPC message"))
             else {
               val raw = java.util.Arrays.copyOfRange(buf, pos + 5, pos + 5 + mlen)
+              // backpressure BEFORE any write (sending_queue parity): a
+              // full spool sheds this request with RESOURCE_EXHAUSTED —
+              // the spec-blessed retryable status — and spools nothing
+              // further (messages already spooled stay: at-least-once,
+              // the same partial-failure stance as a retried export)
+              def admit(body: Array[Byte]): Boolean =
+                if (gauge.tryAcquire(body.length.toLong)) true
+                else {
+                  err = Some((8, // RESOURCE_EXHAUSTED
+                    s"spool at capacity (${gauge.currentFiles} files, " +
+                      s"${gauge.currentBytes} bytes); retry later"))
+                  false
+                }
               if (compressed == 0) {
-                spool(signal, raw)
-                nMsgs += 1
+                if (admit(raw)) {
+                  spool(signal, raw)
+                  nMsgs += 1
+                }
               } else encoding match {
                 case "gzip" =>
                   try {
-                    spool(signal, TransportGzip.inflate(raw,
-                      TransportGzip.DefaultMaxInflatedBytes))
-                    nMsgs += 1
+                    val plain = TransportGzip.inflate(raw,
+                      TransportGzip.DefaultMaxInflatedBytes)
+                    if (admit(plain)) {
+                      spool(signal, plain)
+                      nMsgs += 1
+                    }
                   } catch {
                     case e: Exception =>
                       err = Some((13, s"corrupt gzip message: ${e.getMessage}"))
@@ -271,8 +300,16 @@ final class OtlpGrpcReceiver(spoolDir: String, host: String = "127.0.0.1",
           }
         }
         err match {
-          case Some((code, m)) => writeTrailersOnly(out, sid, code, m)
+          case Some((code, m)) =>
+            val outcome =
+              if (code == 8) "shed"
+              else if (m.startsWith("corrupt gzip")) "bad_gzip"
+              else if (code == 12) "unsupported_encoding"
+              else "bad_request"
+            telemetry.record(signal, outcome, code)
+            writeTrailersOnly(out, sid, code, m)
           case None =>
+            telemetry.record(signal, "accepted", 0)
             val respHeaders = encodeHeaders(Seq(
               ":status" -> "200", "content-type" -> "application/grpc",
               "grpc-accept-encoding" -> "gzip, identity"))

@@ -42,7 +42,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * count, and nothing funnels through the driver.
   */
 final class OtlpHttpReceiver(spoolDir: String, host: String = "127.0.0.1",
-                             port: Int = 0) {
+                             port: Int = 0,
+                             limits: SpoolLimits = SpoolLimits.Unbounded) {
 
   private val signals = Map(
     "/v1/traces" -> "traces", "/v1/logs" -> "logs", "/v1/metrics" -> "metrics")
@@ -50,6 +51,9 @@ final class OtlpHttpReceiver(spoolDir: String, host: String = "127.0.0.1",
   private val seq = new AtomicLong(0L)
   val accepted: Map[String, AtomicLong] =
     signals.values.map(_ -> new AtomicLong(0L)).toMap
+
+  /** Per-request outcome counters (accepted / shed / rejects). */
+  val telemetry = new ReceiverTelemetry("http")
 
   private val inflight: Path = {
     val p = Paths.get(spoolDir, ".inflight")
@@ -60,6 +64,12 @@ final class OtlpHttpReceiver(spoolDir: String, host: String = "127.0.0.1",
     }
     p
   }
+
+  /** `sending_queue` parity (config.go:25-27): the spool is the
+    * receiver's bounded queue. Over the cap, requests shed with 429 +
+    * Retry-After and NOTHING is spooled. */
+  val gauge = new SpoolGauge(spoolDir,
+    signals.values.toSeq.flatMap(s => Seq(s, s + "_json")), limits)
 
   private val server: HttpServer =
     HttpServer.create(new InetSocketAddress(host, port), 0)
@@ -86,8 +96,10 @@ final class OtlpHttpReceiver(spoolDir: String, host: String = "127.0.0.1",
     val path = ex.getRequestURI.getPath
     signals.get(path) match {
       case None =>
+        telemetry.record("_unrouted", "bad_route", 404)
         respond(ex, 404, s"""{"error":"no route: $path"}""".getBytes("UTF-8"))
-      case Some(_) if ex.getRequestMethod != "POST" =>
+      case Some(signal) if ex.getRequestMethod != "POST" =>
+        telemetry.record(signal, "bad_method", 405)
         respond(ex, 405, """{"error":"method not allowed"}""".getBytes("UTF-8"))
       case Some(signal) =>
         val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
@@ -99,18 +111,20 @@ final class OtlpHttpReceiver(spoolDir: String, host: String = "127.0.0.1",
         // parses — spools to <signal>_json/ for the JSON streaming twin
         val isProto = ct.startsWith("application/x-protobuf")
         val isJson = ct.startsWith("application/json")
-        if (!isProto && !isJson)
+        if (!isProto && !isJson) {
+          telemetry.record(signal, "unsupported_media", 415)
           respond(ex, 415,
             """{"error":"use application/x-protobuf or application/json"}"""
               .getBytes("UTF-8"))
-        else if (enc.nonEmpty && enc != "identity" && enc != "gzip")
+        } else if (enc.nonEmpty && enc != "identity" && enc != "gzip") {
           // stock OTel SDKs ship `compression: gzip` on OTLP/HTTP exports
           // — gzip is supported below; anything else is an explicit 415,
           // never a mis-decode of the body
+          telemetry.record(signal, "unsupported_encoding", 415)
           respond(ex, 415,
             s"""{"error":"unsupported Content-Encoding: $enc (supported: gzip, identity)"}"""
               .getBytes("UTF-8"))
-        else {
+        } else {
           val raw = ex.getRequestBody.readAllBytes()
           // inflate BEFORE the spool so the durable file is always plain
           // protobuf and the streaming decode path stays codec-free;
@@ -121,29 +135,43 @@ final class OtlpHttpReceiver(spoolDir: String, host: String = "127.0.0.1",
             else try Some(TransportGzip.inflate(raw,
               TransportGzip.DefaultMaxInflatedBytes))
             catch { case e: Exception =>
+              telemetry.record(signal, "bad_gzip", 400)
               respond(ex, 400,
                 s"""{"error":"bad gzip body: ${e.getMessage}"}""".getBytes("UTF-8"))
               None
             }
           body.foreach { b =>
-            // durability point: temp write + atomic move BEFORE the ack.
-            // Name is (epochMs, per-process seq) — unique and roughly
-            // arrival-ordered for the file source's log.
-            val (dir, ext) =
-              if (isProto) (signal, "pb") else (signal + "_json", "json")
-            val name =
-              f"${System.currentTimeMillis()}%013d-${seq.getAndIncrement()}%06d.$ext"
-            val tmp = inflight.resolve(s"$dir-$name")
-            Files.write(tmp, b)
-            Files.move(tmp, Paths.get(spoolDir, dir, name),
-              StandardCopyOption.ATOMIC_MOVE)
-            accepted(signal).incrementAndGet()
-            if (isProto) {
-              ex.getResponseHeaders.add("Content-Type", "application/x-protobuf")
-              respond(ex, 200, Array.emptyByteArray) // empty Export*ServiceResponse
+            // backpressure BEFORE any write (sending_queue parity): a
+            // full spool sheds with the spec-blessed retryable signal —
+            // HTTP 429 + Retry-After — and spools nothing, so a
+            // downstream stall caps disk at the configured bound
+            if (!gauge.tryAcquire(b.length.toLong)) {
+              telemetry.record(signal, "shed", 429)
+              ex.getResponseHeaders.add("Retry-After", "1")
+              respond(ex, 429,
+                s"""{"error":"spool at capacity (${gauge.currentFiles} files, ${gauge.currentBytes} bytes); retry later"}"""
+                  .getBytes("UTF-8"))
             } else {
-              ex.getResponseHeaders.add("Content-Type", "application/json")
-              respond(ex, 200, "{}".getBytes("UTF-8")) // empty response object
+              // durability point: temp write + atomic move BEFORE the ack.
+              // Name is (epochMs, per-process seq) — unique and roughly
+              // arrival-ordered for the file source's log.
+              val (dir, ext) =
+                if (isProto) (signal, "pb") else (signal + "_json", "json")
+              val name =
+                f"${System.currentTimeMillis()}%013d-${seq.getAndIncrement()}%06d.$ext"
+              val tmp = inflight.resolve(s"$dir-$name")
+              Files.write(tmp, b)
+              Files.move(tmp, Paths.get(spoolDir, dir, name),
+                StandardCopyOption.ATOMIC_MOVE)
+              accepted(signal).incrementAndGet()
+              telemetry.record(signal, "accepted", 200)
+              if (isProto) {
+                ex.getResponseHeaders.add("Content-Type", "application/x-protobuf")
+                respond(ex, 200, Array.emptyByteArray) // empty Export*ServiceResponse
+              } else {
+                ex.getResponseHeaders.add("Content-Type", "application/json")
+                respond(ex, 200, "{}".getBytes("UTF-8")) // empty response object
+              }
             }
           }
         }

@@ -1,0 +1,121 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bounds for the receivers' durable spool — the `sending_queue`
+  * semantics the reference inherits from the collector's
+  * exporterhelper (`/root/reference/config.go:25-27`: a bounded queue
+  * between consume and export; when it is full the component SHEDS the
+  * request instead of growing without bound). Our spool IS that queue
+  * (push → durable file → pull), so the bound applies to spool bytes
+  * and file count. Defaults are unbounded, preserving prior receiver
+  * behavior unless a deployment opts in. */
+final case class SpoolLimits(maxBytes: Long = Long.MaxValue,
+                             maxFiles: Long = Long.MaxValue) {
+  require(maxBytes > 0 && maxFiles > 0,
+    s"spool limits must be positive (got bytes=$maxBytes files=$maxFiles)")
+  def bounded: Boolean =
+    maxBytes != Long.MaxValue || maxFiles != Long.MaxValue
+}
+
+object SpoolLimits {
+  val Unbounded: SpoolLimits = SpoolLimits()
+}
+
+/** Tracks the spool's current size so an accept decision costs two
+  * atomic reads, not a filesystem walk. Accepted writes bump the gauge
+  * inline; drains by the streaming source (cleanSource deletes, spool
+  * maintenance) are observed by a cheap periodic RESCAN of the spool
+  * dirs — between rescans the gauge can only over-count, so shedding
+  * errs on the safe side and recovery is at most `refreshIntervalMs`
+  * late. Thread-safe: admission is a synchronized check-and-add, the
+  * invariant a lock-free CAS loop can't give over two counters. */
+final class SpoolGauge(spoolDir: String, dirs: Seq[String],
+                       val limits: SpoolLimits,
+                       refreshIntervalMs: Long = 2000L) {
+
+  private val bytes = new AtomicLong(0L)
+  private val files = new AtomicLong(0L)
+  private val lastRefreshMs = new AtomicLong(0L)
+  refresh() // adopt whatever a prior receiver incarnation left behind
+
+  /** Rescan the spool dirs (shallow: the receivers write flat dirs)
+    * and reset the counters to ground truth. */
+  def refresh(): Unit = synchronized {
+    var b = 0L
+    var n = 0L
+    dirs.foreach { d =>
+      val p: Path = Paths.get(spoolDir, d)
+      if (Files.isDirectory(p)) {
+        val it = Files.newDirectoryStream(p)
+        try it.forEach { f =>
+          if (Files.isRegularFile(f)) { b += Files.size(f); n += 1 }
+        } finally it.close()
+      }
+    }
+    bytes.set(b)
+    files.set(n)
+    lastRefreshMs.set(System.currentTimeMillis())
+  }
+
+  /** Admit `incomingBytes` as one new spool file, or refuse because the
+    * spool is at capacity. Refreshes from the filesystem first when the
+    * cached view is stale (so a drained spool re-opens within the
+    * refresh interval). Unbounded limits short-circuit to true. */
+  def tryAcquire(incomingBytes: Long): Boolean = {
+    if (!limits.bounded) return true
+    if (System.currentTimeMillis() - lastRefreshMs.get() > refreshIntervalMs)
+      refresh()
+    synchronized {
+      val ok = bytes.get() + incomingBytes <= limits.maxBytes &&
+        files.get() + 1 <= limits.maxFiles
+      if (ok) { bytes.addAndGet(incomingBytes); files.incrementAndGet() }
+      ok
+    }
+  }
+
+  def currentBytes: Long = bytes.get()
+  def currentFiles: Long = files.get()
+}
+
+/** Per-request OUTCOME counters for a receiver — the receiver-side
+  * complement of [[graft.streaming.ExportTelemetry]]'s per-batch
+  * metrics: one counter per (signal, outcome, wire code), covering
+  * accepted requests and every shed/reject path (429 backpressure,
+  * 415 media, bad gzip, bad route/method, gRPC statuses), so an
+  * operator can alert on shed rate the way the reference's
+  * exporterhelper queue metrics allow. Bounded memory: the key space
+  * is (3 signals + unrouted) × outcome kinds, never request count. */
+final class ReceiverTelemetry(val transport: String) {
+
+  private val counters = mutable.Map.empty[(String, String, Int), Long]
+
+  def record(signal: String, outcome: String, code: Int): Unit =
+    synchronized {
+      val k = (signal, outcome, code)
+      counters.update(k, counters.getOrElse(k, 0L) + 1L)
+    }
+
+  def count(signal: String, outcome: String): Long = synchronized {
+    counters.collect { case ((s, o, _), n) if s == signal && o == outcome => n }
+      .sum
+  }
+
+  def snapshot: Map[(String, String, Int), Long] =
+    synchronized { counters.toMap }
+
+  /** One row per (signal, outcome, code) with its request count —
+    * queryable like [[graft.streaming.ExportTelemetry.Collector.toDF]]. */
+  def toDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    snapshot.toSeq
+      .map { case ((s, o, c), n) => (transport, s, o, c, n) }
+      .sortBy(t => (t._2, t._3, t._4))
+      .toDF("transport", "signal", "outcome", "code", "requests")
+  }
+}

@@ -293,6 +293,46 @@ class OtlpGrpcReceiverSpec extends SparkSpec {
       // nothing spooled by any reject
       assert(Files.list(Paths.get(s"$base/spool/traces")).count() === 0)
       assert(rx.accepted("traces").get() === 0)
+      // every reject is a counter row (one per outcome, like BatchMetric)
+      assert(rx.telemetry.count("_unrouted", "bad_route") === 1)
+      assert(rx.telemetry.count("traces", "bad_request") === 1) // INTERNAL 13
+      assert(rx.telemetry.count("traces", "unsupported_encoding") === 1)
+      assert(rx.telemetry.count("traces", "unsupported_media") === 1)
+    } finally rx.stop()
+  }
+
+  test("backpressure: full spool sheds with RESOURCE_EXHAUSTED, spools nothing, recovers after drain") {
+    import graft.sources.SpoolLimits
+    val base = Files.createTempDirectory("graft-grpc-bp").toString
+    val rx = new OtlpGrpcReceiver(s"$base/spool",
+      limits = SpoolLimits(maxFiles = 1))
+    try {
+      val spool = Paths.get(s"$base/spool/traces")
+      withClient(rx.grpcPort) { conn =>
+        val (_, t1, _) = call(conn, TracePath,
+          grpcFrame(traceRequest("01" * 16, "a", 1L)))
+        assert(t1.get("grpc-status").contains("0"))
+        // spool full: the spec-blessed retryable status, nothing written
+        val (_, t2, _) = call(conn, TracePath,
+          grpcFrame(traceRequest("02" * 16, "b", 1L)))
+        assert(t2.get("grpc-status").contains("8")) // RESOURCE_EXHAUSTED
+        assert(t2.get("grpc-message").exists(
+          _.contains("spool+at+capacity")))
+        assert(Files.list(spool).count() === 1)
+        assert(rx.accepted("traces").get() === 1)
+
+        // drain, refresh → accepting again
+        Files.delete(Files.list(spool).findFirst().get())
+        rx.gauge.refresh()
+        val (_, t3, _) = call(conn, TracePath,
+          grpcFrame(traceRequest("03" * 16, "c", 1L)))
+        assert(t3.get("grpc-status").contains("0"))
+      }
+      assert(rx.telemetry.count("traces", "accepted") === 2)
+      assert(rx.telemetry.count("traces", "shed") === 1)
+      val row = rx.telemetry.toDF(spark).where("outcome = 'shed'").collect()
+      assert(row.length === 1 && row(0).getInt(3) === 8 &&
+        row(0).getLong(4) === 1L)
     } finally rx.stop()
   }
 }

@@ -193,6 +193,76 @@ class OtlpReceiverSpec extends SparkSpec {
       "slice must open fewer files than the full cold read")
   }
 
+  test("backpressure: a full spool sheds with 429 + Retry-After, spools nothing, recovers after drain") {
+    import graft.sources.SpoolLimits
+    val base = Files.createTempDirectory("graft-otlp-bp").toString
+    // cap the spool at 2 files — the sending_queue bound (config.go:25-27)
+    val rx = new OtlpHttpReceiver(s"$base/spool",
+      limits = SpoolLimits(maxFiles = 2))
+    try {
+      val t0 = 1709623800000000000L
+      val spool = Paths.get(OtlpHttpReceiver.spoolPath(s"$base/spool", "traces"))
+      assert(post(rx.uri, "/v1/traces",
+        traceRequest("0102030405060708090a0b0c0d0e0f10", "a", t0)).statusCode() === 200)
+      assert(post(rx.uri, "/v1/traces",
+        traceRequest("0102030405060708090a0b0c0d0e0f11", "b", t0)).statusCode() === 200)
+      // spool full: shed with the spec-blessed retryable signal, and
+      // NOTHING lands on disk
+      val shed = post(rx.uri, "/v1/traces",
+        traceRequest("0102030405060708090a0b0c0d0e0f12", "c", t0))
+      assert(shed.statusCode() === 429)
+      assert(shed.headers().firstValue("Retry-After").orElse("") === "1")
+      assert(new String(shed.body(), "UTF-8").contains("spool at capacity"))
+      assert(Files.list(spool).count() === 2)
+      assert(rx.accepted("traces").get() === 2)
+      // still shedding while full
+      assert(post(rx.uri, "/v1/traces",
+        traceRequest("0102030405060708090a0b0c0d0e0f13", "d", t0)).statusCode() === 429)
+
+      // drain one file (what the streaming source's cleanSource or a
+      // spool-maintenance job does) → the gauge re-opens on refresh
+      val victim = Files.list(spool).findFirst().get()
+      Files.delete(victim)
+      rx.gauge.refresh()
+      assert(post(rx.uri, "/v1/traces",
+        traceRequest("0102030405060708090a0b0c0d0e0f14", "e", t0)).statusCode() === 200)
+      assert(Files.list(spool).count() === 2)
+
+      // the request-outcome counters an operator alerts on (one row per
+      // (signal, outcome, code), queryable like BatchMetric)
+      assert(rx.telemetry.count("traces", "accepted") === 3)
+      assert(rx.telemetry.count("traces", "shed") === 2)
+      val df = rx.telemetry.toDF(spark)
+      assert(df.columns.toSeq ===
+        Seq("transport", "signal", "outcome", "code", "requests"))
+      val shedRow = df.where("outcome = 'shed'").collect()
+      assert(shedRow.length === 1 && shedRow(0).getInt(3) === 429 &&
+        shedRow(0).getLong(4) === 2)
+    } finally rx.stop()
+  }
+
+  test("backpressure byte cap: an oversized body sheds; gauge adopts a pre-existing spool") {
+    import graft.sources.SpoolLimits
+    val base = Files.createTempDirectory("graft-otlp-bp2").toString
+    val t0 = 1709623800000000000L
+    val body = traceRequest("0102030405060708090a0b0c0d0e0f10", "a", t0)
+    // seed the spool BEFORE the receiver starts (a prior incarnation's
+    // backlog): the gauge must adopt it, not start from zero
+    val pre = Paths.get(s"$base/spool/traces")
+    Files.createDirectories(pre)
+    Files.write(pre.resolve("0000000000000-prior.pb"), body)
+    val rx = new OtlpHttpReceiver(s"$base/spool",
+      limits = SpoolLimits(maxBytes = body.length.toLong + 10))
+    try {
+      assert(rx.gauge.currentFiles === 1)
+      assert(rx.gauge.currentBytes === body.length.toLong)
+      // the next body would exceed the byte cap → shed, nothing written
+      assert(post(rx.uri, "/v1/traces", body).statusCode() === 429)
+      assert(Files.list(pre).count() === 1)
+      assert(rx.telemetry.count("traces", "shed") === 1)
+    } finally rx.stop()
+  }
+
   test("receiver protocol edges: 404 / 405 / 415, and proto response type") {
     val base = Files.createTempDirectory("graft-otlp-edges").toString
     val rx = new OtlpHttpReceiver(s"$base/spool")
