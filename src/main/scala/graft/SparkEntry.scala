@@ -251,6 +251,7 @@ object SparkEntry {
     "sim_recall_at_k"    -> ((s, d) => SimOps.recallAtK(s, d)),
     "sim_ndcg_eval"      -> ((s, d) => SimOps.ndcgEval(s, d)),
     "sim_ivf_delete"     -> ((s, d) => SimOps.ivfDelete(s, d)),
+    "sim_ivf_compact"    -> ((s, d) => SimOps.ivfCompact(s, d)),
     "dedup_source_impact" -> ((s, d) => Dedup.sourceImpact(s, d)),
     "text_token_budget"  -> ((s, d) => TextOps.tokenBudget(s, d)),
     "text_cluster_split" -> ((s, d) => Dedup.clusterSplit(s, d)),
@@ -276,6 +277,8 @@ object SparkEntry {
       ((s, d) => TextOps.bpeTrain(s, d, byteLevel = true)),
     "text_bpe_byte_tokenize" ->
       ((s, d) => TextOps.bpeTokenize(s, d, byteLevel = true)),
+    "text_unigram_train"    -> ((s, d) => TextOps.unigramTrain(s, d)),
+    "text_unigram_tokenize" -> ((s, d) => TextOps.unigramTokenize(s, d)),
     "dedup_tfidf_cosine" -> ((s, d) => Dedup.tfidfCosine(s, d)),
     "sim_embed_stats"    -> ((s, d) => SimOps.embedStats(s, d)),
     "dedup_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
@@ -644,6 +647,178 @@ object SparkEntry {
         .stripMargin
     }
     sb.toString
+  }
+
+  /** Unrolled unigram-LM (SentencePiece) oracle CTEs — the identical
+    * seed → Viterbi-EM chain `TextOps.unigramTrain` runs: substring
+    * seeds, per-round integer-micro costs, a 12-level forward DP whose
+    * composite `(cost*16 + (4-k))` argmin encodes the (min cost, tie →
+    * longest piece) rule, a 12-level backtrace collecting the chosen
+    * pieces, and the per-round character-preserving prune. Every level
+    * is AS MATERIALIZED (the bpeOracleCtes lesson — default CTE
+    * inlining re-evaluates the chain exponentially). Produces `v$r`
+    * for r = 0..rounds and the cost table `c$r` for each round r
+    * (costed FROM v${r-1}); `cF` is the FINAL vocabulary's cost table
+    * (what tokenize applies). */
+  private def unigramOracleCtes(rounds: Int = 2, seedMulti: Int = 96,
+                                vocabMulti: Int = 64): String = {
+    val maxPiece = 4
+    val maxLen = 12
+    val sb = new StringBuilder
+    sb ++= s"""WITH uw AS MATERIALIZED (
+      | SELECT w, CAST(count(*) AS BIGINT) AS freq
+      | FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      |       FROM documents) t
+      | WHERE length(w) >= 1 GROUP BY w),
+      |useed AS MATERIALIZED (
+      | SELECT substr(w, CAST(i AS INT), CAST(k AS INT)) AS piece,
+      |  CAST(sum(freq) AS BIGINT) AS cnt
+      | FROM (SELECT w, freq, k,
+      |        unnest(generate_series(1, length(w) - k + 1)) AS i
+      |       FROM (SELECT w, freq,
+      |              unnest(generate_series(1, least(length(w), $maxPiece))) AS k
+      |             FROM uw))
+      | GROUP BY 1),
+      |uchars AS MATERIALIZED (SELECT piece FROM useed WHERE length(piece) = 1),
+      |udw AS MATERIALIZED (SELECT w, freq FROM uw WHERE length(w) <= $maxLen),
+      |v0 AS MATERIALIZED (
+      | SELECT piece, cnt FROM useed WHERE length(piece) = 1
+      | UNION ALL
+      | SELECT piece, cnt FROM (
+      |  SELECT piece, cnt,
+      |   row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rnk
+      |  FROM useed WHERE length(piece) > 1) WHERE rnk <= $seedMulti)"""
+      .stripMargin
+    def costCte(name: String, from: String): String =
+      s""",
+        |$name AS MATERIALIZED (
+        | SELECT piece, CAST(0 - round(1e6 * round(ln((cnt + 1.0) /
+        |   (CAST((SELECT sum(cnt) FROM $from) AS DOUBLE) +
+        |    CAST((SELECT count(*) FROM $from) AS DOUBLE))), 4)) AS BIGINT)
+        |  AS c
+        | FROM $from)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= costCte(s"c$r", s"v${r - 1}")
+      // forward-DP + backtrace chain (unigramApplyChain) + piece counts
+      sb ++= unigramApplyChain(s"e$r", s"c$r")
+      sb ++= s""",
+        |e${r}_n AS MATERIALIZED (
+        | SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |  ${(1 to maxLen).map(j => s"SELECT piece, freq FROM e${r}_bt$j")
+             .mkString("\n  UNION ALL\n  ")}
+        | ) GROUP BY 1)""".stripMargin
+      sb ++= s""",
+        |v$r AS MATERIALIZED (
+        | SELECT ch.piece, CAST(coalesce(n.cnt, 0) AS BIGINT) AS cnt
+        | FROM uchars ch LEFT JOIN e${r}_n n USING (piece)
+        | UNION ALL
+        | SELECT piece, cnt FROM (
+        |  SELECT piece, cnt,
+        |   row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rnk
+        |  FROM e${r}_n WHERE length(piece) > 1) WHERE rnk <= $vocabMulti)"""
+        .stripMargin
+    }
+    sb ++= costCte("cF", s"v$rounds")
+    sb.toString
+  }
+
+  /** `text_unigram_train`: the final vocabulary with usage count,
+    * integer-micro cost, and deterministic rank. */
+  private def unigramTrainOracleSql(rounds: Int = 2): String =
+    unigramOracleCtes(rounds) ++ s"""
+      |SELECT v.piece, v.cnt, c.c AS cost_micro,
+      | CAST(row_number() OVER (ORDER BY v.cnt DESC, v.piece ASC) AS BIGINT)
+      |  AS rnk
+      |FROM v$rounds v JOIN cF c USING (piece)""".stripMargin
+
+  /** `text_unigram_tokenize`: one more DP chain under the FINAL cost
+    * table, read out per document (distinct words segment once, the
+    * doc join fans the result out — the Spark plan's exact shape).
+    * Words past the DP cap fall back to character pieces. */
+  private def unigramTokenizeOracleSql(rounds: Int = 2): String =
+    unigramOracleCtes(rounds) ++ {
+      val sb = new StringBuilder
+      // reuse dpChain's shape under cF via a private inline copy: the
+      // apply-time chain is generated by the same code path (prefix tF)
+      sb ++= unigramApplyChain("tF", "cF")
+      sb ++= s""",
+        |dcnt AS MATERIALIZED (
+        | SELECT w, CAST(count(*) AS BIGINT) AS n_pieces FROM (
+        |  ${(1 to 12).map(j => s"SELECT w, piece FROM tF_bt$j")
+             .mkString("\n  UNION ALL\n  ")}
+        | ) GROUP BY w),
+        |dcost AS MATERIALIZED (
+        | SELECT w, cost FROM tF_s WHERE pos = length(w)),
+        |lseg AS MATERIALIZED (
+        | SELECT w, CAST(length(w) AS BIGINT) AS n_pieces,
+        |  CAST(sum(c.c) AS BIGINT) AS cost
+        | FROM (SELECT w, substr(w, CAST(i AS INT), 1) AS piece
+        |       FROM (SELECT w, unnest(generate_series(1, length(w))) AS i
+        |             FROM uw WHERE length(w) > 12)) x
+        | JOIN cF c USING (piece) GROUP BY w),
+        |wseg AS MATERIALIZED (
+        | SELECT d.w, d.n_pieces, dc.cost FROM dcnt d JOIN dcost dc USING (w)
+        | UNION ALL
+        | SELECT w, n_pieces, cost FROM lseg),
+        |dw AS (
+        | SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        | FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        | CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+        | CAST(sum(cost) AS BIGINT) AS cost_micro,
+        | CAST(sum(n_pieces) AS BIGINT) / CAST(count(*) AS DOUBLE)
+        |  AS pieces_per_word
+        |FROM dw JOIN wseg USING (w)
+        |GROUP BY 1""".stripMargin
+      sb.toString
+    }
+
+  /** The apply-time DP chain (forward + backtrace) under cost table
+    * `c`, prefix `p` — same generator the training rounds use. */
+  private def unigramApplyChain(p: String, c: String): String = {
+    val maxPiece = 4
+    val maxLen = 12
+    val sb2 = new StringBuilder
+    sb2 ++= s""",
+      |${p}_f0 AS MATERIALIZED (
+      | SELECT w, freq, CAST(0 AS BIGINT) AS cost FROM udw)""".stripMargin
+    for (i <- 1 to maxLen) {
+      val arms = (1 to math.min(i, maxPiece)).map { k =>
+        s"""SELECT f.w, f.freq,
+           |   (f.cost + c.c) * 16 + (${maxPiece} - $k) AS comp
+           |  FROM ${p}_f${i - k} f JOIN $c c
+           |   ON c.piece = substr(f.w, ${i - k + 1}, $k)
+           |  WHERE length(f.w) >= $i""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      sb2 ++= s""",
+        |${p}_f$i AS MATERIALIZED (
+        | SELECT w, freq, CAST(min(comp) // 16 AS BIGINT) AS cost,
+        |  CAST($maxPiece - (min(comp) % 16) AS BIGINT) AS k
+        | FROM (
+        |  $arms
+        | ) GROUP BY w, freq)""".stripMargin
+    }
+    sb2 ++= s""",
+      |${p}_s AS MATERIALIZED (
+      | ${(1 to maxLen).map(i =>
+           s"SELECT w, CAST($i AS BIGINT) AS pos, k, cost FROM ${p}_f$i")
+           .mkString("\n UNION ALL\n ")})""".stripMargin
+    sb2 ++= s""",
+      |${p}_bt0 AS MATERIALIZED (
+      | SELECT w, freq, CAST(length(w) AS BIGINT) AS pos FROM udw)"""
+      .stripMargin
+    for (j <- 1 to maxLen) {
+      sb2 ++= s""",
+        |${p}_bt$j AS MATERIALIZED (
+        | SELECT b.w, b.freq, b.pos - s.k AS pos,
+        |  substr(b.w, CAST(b.pos - s.k + 1 AS INT), CAST(s.k AS INT))
+        |   AS piece
+        | FROM ${p}_bt${j - 1} b JOIN ${p}_s s
+        |  ON s.w = b.w AND s.pos = b.pos
+        | WHERE b.pos > 0)""".stripMargin
+    }
+    sb2.toString
   }
 
   /** Shared by `q_interval_overlap` (hand-bucketed plan) and
@@ -1547,6 +1722,36 @@ object SparkEntry {
         |   2.0 * list_reduce([0.0] || [vu[t]*x[t]
         |          for t in generate_series(1,64)], (a,b) -> a+b) AS sc
         |  FROM raw, hv) t),
+        |""".stripMargin + PqOracleTail),
+    "sim_opq_trained" ->
+      // LEARNED rotation: one Jacobi sweep of non-overlapping dim
+      // pairs — closed-form 2×2 eigen-rotations θ=½·atan2(2c, a−b)
+      // over round-6-quantized covariance entries, rotated coordinates
+      // re-quantized (the two float determinization points the Spark
+      // side shares) — then the identical PQ/ADC pipeline
+      (s"""WITH raw AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |cv AS MATERIALIZED (
+        | SELECT s,
+        |  round(covar_pop(x[2*s+1], x[2*s+1]), 6) AS a,
+        |  round(covar_pop(x[2*s+2], x[2*s+2]), 6) AS b,
+        |  round(covar_pop(x[2*s+1], x[2*s+2]), 6) AS c
+        | FROM raw, (SELECT unnest(generate_series(0,31)) AS s) sp
+        | GROUP BY s),
+        |ro AS MATERIALIZED (
+        | SELECT s, cos(0.5*atan2(2.0*c, a-b)) AS cs,
+        |  sin(0.5*atan2(2.0*c, a-b)) AS sn FROM cv),
+        |rx AS MATERIALIZED (
+        | SELECT vec_id, s,
+        |  round( cs*x[2*s+1] + sn*x[2*s+2], 6) AS e0,
+        |  round(-sn*x[2*s+1] + cs*x[2*s+2], 6) AS e1
+        | FROM raw, ro),
+        |v AS MATERIALIZED (
+        | SELECT vec_id, list(val ORDER BY dim) AS e FROM (
+        |  SELECT vec_id, 2*s AS dim, e0 AS val FROM rx
+        |  UNION ALL
+        |  SELECT vec_id, 2*s+1 AS dim, e1 AS val FROM rx
+        | ) GROUP BY vec_id),
         |""".stripMargin + PqOracleTail),
     "sim_ivf_pq" ->
       // FAISS-IVFPQ shape: trained coarse quantizer (shared Lloyd CTEs)
@@ -2828,6 +3033,29 @@ object SparkEntry {
         | row_number() OVER (PARTITION BY query_id
         |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
         |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "sim_ivf_compact" ->
+      // post-merge probe of the compacted index: frozen base-trained
+      // centroids (KmeansBaseCtes) assign everyone, the tombstone set
+      // (vec_id % 7 = 0) folds OUT at merge time — queries and
+      // neighbors both come from the merged live set
+      s"""$KmeansBaseCtes,
+        |w AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        | FROM embeddings),
+        |live AS (
+        | SELECT af.vec_id, af.cid, w.vec, w.nrm FROM af JOIN w USING (vec_id)
+        | WHERE af.vec_id % 7 != 0),
+        |q AS (SELECT vec_id AS query_id, cid, vec AS qvec, nrm AS qnrm
+        |      FROM live WHERE vec_id < 8),
+        |p AS (
+        | SELECT q.query_id, i.vec_id AS neighbor_id,
+        |  round(list_dot_product(i.vec, q.qvec)/(i.nrm*q.qnrm), 6) AS cosine
+        | FROM live i JOIN q ON i.cid = q.cid AND i.vec_id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        | row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
+        |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "sim_ivf_append_drift" ->
       s"""$KmeansBaseCtes,
         |coh AS (
@@ -3187,6 +3415,10 @@ object SparkEntry {
     // hex-pair alphabet (GPT-2's byte-BPE, zero OOV by construction)
     "text_bpe_byte_train" -> bpeOracleSql(byteLevel = true),
     "text_bpe_byte_tokenize" -> bpeTokenizeOracleSql(byteLevel = true),
+    // unigram-LM (SentencePiece) twins: seed → Viterbi-EM → prune as
+    // unrolled materialized CTE chains (the bpeOracleCtes discipline)
+    "text_unigram_train" -> unigramTrainOracleSql(),
+    "text_unigram_tokenize" -> unigramTokenizeOracleSql(),
     "dedup_tfidf_cosine" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t

@@ -353,20 +353,6 @@ object SimOps {
     Array.tabulate(x.length)(j => x(j) - sc * u(j))
   }
 
-  private[graft] def matvec(m: Array[Array[Double]], x: Array[Double]): Array[Double] = {
-    val out = new Array[Double](m.length)
-    var r = 0
-    while (r < m.length) {
-      val row = m(r)
-      var s = 0.0
-      var i = 0
-      while (i < row.length) { s += row(i) * x(i); i += 1 }
-      out(r) = s
-      r += 1
-    }
-    out
-  }
-
   /** Corpus covariance of the embedding column, as ONE distributed pass:
     * each partition folds (n, Σx, Σxxᵀ) into a flat primitive buffer,
     * partials tree-reduce to the driver. The result is d×d — metadata-
@@ -458,49 +444,89 @@ object SimOps {
      order.map(i => Array.tabulate(d)(r => v(r)(i))).toArray)
   }
 
-  /** OPQ with a LEARNED rotation: PCA of the corpus covariance
-    * (distributed covariance pass → driver Jacobi on the 64×64 matrix)
-    * decorrelates the dimensions before the identical PQ/ADC pipeline —
-    * the data-adaptive step [[opqAnn]]'s fixed Householder reflection
-    * stands in for. Rotation is orthonormal so exact L2 geometry is
-    * unchanged; what improves is how well axis-aligned SUBSPACES
-    * capture the data (on anisotropic corpora; the spec pins the
-    * structural guarantees that hold on any data). Driver-check is
-    * rows-only — replicating an eigensolve in SQL is not meaningful. */
+  /** OPQ with a LEARNED rotation (r14: full-oracle form): ONE Jacobi
+    * sweep over the non-overlapping dimension pairs (2s, 2s+1) — for
+    * each pair the closed-form 2×2 eigen-rotation
+    * `θ = ½·atan2(2c, a−b)` over the pair's covariance entries, i.e.
+    * the first sweep of the eigensolve [[jacobiEigen]] runs to
+    * convergence (the full 64×64 solve stays spec-gated:
+    * orthonormality, diagonalization, sorted spectrum —
+    * Round5OpsSpec). The sweep zeroes every within-pair covariance —
+    * the subspace decorrelation OPQ's rotation buys at PQ's block
+    * granularity — and unlike the iterated eigensolve every step is a
+    * closed-form scalar BOTH engines compute identically once the
+    * float-sensitive points are round-6 quantized: the covariance
+    * entries (double sums whose combine order differs per engine) and
+    * the rotated coordinates (a JVM-vs-libm cos/sin can differ in the
+    * last ulp). The quantized rotated space feeds the identical
+    * PQ/ADC pipeline, so the DuckDB oracle replays the whole chain
+    * bit-for-bit and `sim_opq_trained` carries the full
+    * rows+schema+hash check. */
   def opqTrainedAnn(spark: SparkSession, sfDir: String, nTrain: Int = 8,
                     nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val (_, rot) = jacobiEigen(covariance(spark, sfDir))
-    pqCore(spark, sfDir, nTrain, nQueries, k, rotate = false,
-           rotation = Some(rot))
+    import spark.implicits._
+    val d = 64
+    def el(i: Int) = element_at($"embedding".cast("array<double>"), i + 1)
+    // one aggregate pass: the 3 covariance entries of each dim pair,
+    // round-6 quantized (cross-engine determinization point #1)
+    val aggs = (0 until d / 2).flatMap { s =>
+      Seq(round(covar_pop(el(2 * s), el(2 * s)), 6).as(s"a$s"),
+          round(covar_pop(el(2 * s + 1), el(2 * s + 1)), 6).as(s"b$s"),
+          round(covar_pop(el(2 * s), el(2 * s + 1)), 6).as(s"c$s"))
+    }
+    val row = Tables.embeddings(spark, sfDir)
+      .agg(aggs.head, aggs.tail: _*).collect()(0)
+    val thetas = (0 until d / 2).map { s =>
+      val a = row.getDouble(3 * s)
+      val b = row.getDouble(3 * s + 1)
+      val c = row.getDouble(3 * s + 2)
+      0.5 * math.atan2(2.0 * c, a - b)
+    }
+    // rotated coordinates as a codegen'd projection, round-6 quantized
+    // (determinization point #2); Givens block-diagonal is orthonormal
+    // by construction
+    val cols = (0 until d).map { i =>
+      val s = i / 2
+      val cs = math.cos(thetas(s))
+      val sn = math.sin(thetas(s))
+      if (i % 2 == 0) round(lit(cs) * el(i) + lit(sn) * el(i + 1), 6)
+      else round(lit(-sn) * el(i - 1) + lit(cs) * el(i), 6)
+    }
+    val rotated = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", array(cols: _*).as("vec"))
+      .as[(Long, Array[Double])]
+    pqAdc(spark, rotated, nTrain, nQueries, k)
   }
 
   private def pqCore(spark: SparkSession, sfDir: String, nTrain: Int,
-                     nQueries: Int, k: Int, rotate: Boolean,
-                     rotation: Option[Array[Array[Double]]] = None): DataFrame = {
+                     nQueries: Int, k: Int, rotate: Boolean): DataFrame = {
     import spark.implicits._
-    GraftFunctions.register(spark)
-    val subDim = 16 // 64 dims / M=4 subspaces
-    val M = 4
     val raw = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
       .as[(Long, Array[Double])]
-    val emb = (rotate, rotation) match {
-      case (_, Some(r)) =>
-        // learned full rotation R (rows orthonormal): x → Rx, one fused
-        // matvec per row in the same JIT'd pass as the Householder path
-        val rB = spark.sparkContext.broadcast(r)
-        raw.mapPartitions { it =>
-          val m = rB.value
-          it.map { case (id, x) => (id, matvec(m, x)) }
-        }.toDF("vec_id", "vec").as[(Long, Array[Double])]
-      case (true, None) =>
+    val emb =
+      if (!rotate) raw
+      else {
         val uB = spark.sparkContext.broadcast(householderUnit(64))
         raw.mapPartitions { it =>
           val u = uB.value
           it.map { case (id, x) => (id, reflect(x, u)) }
         }.toDF("vec_id", "vec").as[(Long, Array[Double])]
-      case _ => raw
-    }
+      }
+    pqAdc(spark, emb, nTrain, nQueries, k)
+  }
+
+  /** The PQ/ADC pipeline downstream of any rotation: codebook from the
+    * first `nTrain` vectors, per-subspace encode, ADC top-k per query.
+    * Shared by [[pqAnn]]/[[opqAnn]] (via [[pqCore]]) and
+    * [[opqTrainedAnn]] (which feeds a pre-rotated, quantized frame). */
+  private def pqAdc(spark: SparkSession,
+                    emb: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+                    nTrain: Int, nQueries: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val subDim = 16 // 64 dims / M=4 subspaces
+    val M = 4
     // Codebook + query vectors are bounded, metadata-sized sets (nTrain
     // and nQueries rows) — collected and broadcast exactly like a dim
     // table, never scaling with the corpus.
@@ -1172,7 +1198,18 @@ object SimOps {
     * [[ivfAppendDrift]]. */
   def ivfAppend(spark: SparkSession, sfDir: String,
                 nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val idxDir = ivfIndexCache.computeIfAbsent(s"$sfDir#append", _ => {
+    val idxDir = appendIndexDir(spark, sfDir)
+    ivfProbe(spark,
+      spark.read.parquet(s"$idxDir/base", s"$idxDir/appended"),
+      sfDir, nQueries, k)
+  }
+
+  /** Build (once per corpus) the two-segment persisted index
+    * [[ivfAppend]] serves from: `base/` assigned under centroids
+    * trained on the base cohort, `appended/` assigned to the same
+    * FROZEN centroids. */
+  private def appendIndexDir(spark: SparkSession, sfDir: String): String =
+    ivfIndexCache.computeIfAbsent(s"$sfDir#append", _ => {
       import spark.implicits._
       val dir = java.nio.file.Files
         .createTempDirectory("graft-ivf-append").toString
@@ -1191,8 +1228,49 @@ object SimOps {
         .write.mode("overwrite").parquet(s"$dir/appended")
       dir
     })
-    ivfProbe(spark,
-      spark.read.parquet(s"$idxDir/base", s"$idxDir/appended"),
+
+  /** Persisted-ANN index MERGE/COMPACTION (r14) — the lifecycle step
+    * after [[ivfAppend]] (segments) and [[ivfDelete]] (tombstones):
+    * one rewrite folds the base + appended lists AND the tombstone
+    * mask into a single compacted assignments table — the FAISS
+    * `merge_from` / Lucene segment-merge shape — and serving drops
+    * both the multi-segment union read and the per-probe anti-join
+    * mask. Compaction is pure storage reclamation: the post-merge
+    * probe equals the pre-merge masked union probe bit-for-bit
+    * (spec-checked; the shared oracle covers the query). At 100 TB
+    * this is the nightly O(index) rewrite that keeps probe cost flat
+    * as segments and tombstones accrete. */
+  /** The PRE-merge serving shape [[ivfCompact]] must preserve exactly:
+    * multi-segment union read + per-probe tombstone anti-join. Spec
+    * fodder for the merge-equivalence proof. */
+  private[graft] def ivfMaskedUnionProbe(spark: SparkSession, sfDir: String,
+                                         nQueries: Int = 8, k: Int = 5,
+                                         deleteMod: Long = 7L): DataFrame = {
+    import spark.implicits._
+    val segDir = appendIndexDir(spark, sfDir)
+    val tombstones = Tables.embeddings(spark, sfDir)
+      .select($"vec_id").filter($"vec_id" % deleteMod === 0)
+    val masked = spark.read.parquet(s"$segDir/base", s"$segDir/appended")
+      .join(tombstones, Seq("vec_id"), "left_anti")
+    ivfProbe(spark, masked, sfDir, nQueries, k)
+  }
+
+  def ivfCompact(spark: SparkSession, sfDir: String,
+                 nQueries: Int = 8, k: Int = 5,
+                 deleteMod: Long = 7L): DataFrame = {
+    import spark.implicits._
+    val dir = ivfIndexCache.computeIfAbsent(s"$sfDir#compact$deleteMod", _ => {
+      val segDir = appendIndexDir(spark, sfDir)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-ivf-merged").toString
+      val tombstones = Tables.embeddings(spark, sfDir)
+        .select($"vec_id").filter($"vec_id" % deleteMod === 0)
+      spark.read.parquet(s"$segDir/base", s"$segDir/appended")
+        .join(tombstones, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$out/assignments")
+      out
+    })
+    ivfProbe(spark, spark.read.parquet(s"$dir/assignments"),
       sfDir, nQueries, k)
   }
 

@@ -1535,4 +1535,226 @@ object TextOps {
       round(regr_intercept($"lf", $"lr"), 6).as("intercept"),
       round(regr_r2($"lf", $"lr"), 6).as("r2"))
   }
+
+  // ── Unigram-LM (SentencePiece) tokenizer ──────────────────────────
+  // Kudo '18 "Subword Regularization" — the OTHER tokenizer family
+  // real pipelines train besides BPE: seed a substring vocabulary,
+  // EM-refit piece probabilities, segment by Viterbi at apply time.
+  // Determinized for the oracle: hard (Viterbi) EM instead of
+  // forward-backward expectations, integer-micro log-prob costs
+  // (the BM25/DSIR ln-round-quantize discipline), and a composite
+  // argmin tie-break (min total cost, tie → longest piece) that the
+  // unrolled-CTE oracle encodes as `cost*16 + (maxPiece - k)`.
+
+  /** Max piece length (substring seeds and DP lookback). */
+  private[graft] val UniMaxPiece = 4
+
+  /** Words longer than this skip the DP (training ignores them beyond
+    * seeding; tokenize falls back to character pieces) — the
+    * oracle-expressibility cap, like SentencePiece's own
+    * max-sentencepiece-length discipline. */
+  private[graft] val UniMaxWordLen = 12
+
+  /** Viterbi segmentation under integer micro costs — the kernel both
+    * the E-step and tokenize share. Composite per position:
+    * `(bestCost(i-k) + cost(piece)) * 16 + (maxPiece - k)`, minimized —
+    * so ties on total cost go to the LONGEST piece, exactly the
+    * arithmetic the oracle's unrolled DP levels use. Single-character
+    * pieces always exist (the seed keeps every character), so every
+    * word segments. Returns pieces in word order. */
+  private[graft] def viterbiPieces(w: String,
+                                   cost: scala.collection.Map[String, Long])
+      : Seq[String] = {
+    val n = w.length
+    val best = new Array[Long](n + 1)
+    val bestK = new Array[Int](n + 1)
+    java.util.Arrays.fill(best, Long.MaxValue)
+    best(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var comp = Long.MaxValue
+      val kMax = math.min(i, UniMaxPiece)
+      var k = 1
+      while (k <= kMax) {
+        if (best(i - k) != Long.MaxValue) {
+          val c = cost.getOrElse(w.substring(i - k, i), -1L)
+          if (c >= 0L) {
+            val cand = (best(i - k) + c) * 16L + (UniMaxPiece - k)
+            if (cand < comp) comp = cand
+          }
+        }
+        k += 1
+      }
+      if (comp != Long.MaxValue) {
+        best(i) = comp / 16L
+        bestK(i) = UniMaxPiece - (comp % 16L).toInt
+      }
+      i += 1
+    }
+    require(best(n) != Long.MaxValue,
+      s"unsegmentable word '$w' (character not in vocabulary)")
+    val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = n
+    while (pos > 0) {
+      val k = bestK(pos)
+      acc += w.substring(pos - k, pos)
+      pos -= k
+    }
+    acc.reverseIterator.toSeq
+  }
+
+  /** Distinct corpus words with frequencies (the vocabulary-sized
+    * table every tokenizer pass runs on — bounded by language, never
+    * by data volume). */
+  private def uniWords(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(explode(split(trim(lower($"text")), "\\s+")).as("w"))
+      .filter(length($"w") >= 1)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+  }
+
+  /** Laplace-smoothed integer-micro piece costs from a (piece, cnt)
+    * vocabulary: `-1e6 * round(ln((cnt+1)/(total+|V|)), 4)` as BIGINT —
+    * positive costs, cross-engine exact after the 4-decimal round. */
+  private def uniCosts(v: DataFrame): DataFrame = {
+    import v.sparkSession.implicits._
+    val tot = v.agg(sum($"cnt").cast("double").as("total"),
+      count(lit(1)).cast("double").as("nv"))
+    v.crossJoin(broadcast(tot))
+      .select($"piece", $"cnt",
+        (lit(0L) - round(lit(1e6) *
+          round(log(($"cnt" + lit(1.0)) / ($"total" + $"nv")), 4))
+          .cast("long")).as("cost_micro"))
+  }
+
+  /** One Viterbi-EM E-step: segment every DP-eligible distinct word
+    * under `costs` and return per-piece usage counts weighted by word
+    * frequency. Runs as a mapPartitions kernel over the ≤|vocab| word
+    * table with the cost table broadcast (both bounded). */
+  private[graft] def uniSegmentCounts(words: DataFrame,
+                                      costs: Map[String, Long]): DataFrame = {
+    import words.sparkSession.implicits._
+    val bc = words.sparkSession.sparkContext.broadcast(costs)
+    words.filter(length($"w") <= UniMaxWordLen)
+      .select($"w", $"freq").as[(String, Long)]
+      .mapPartitions { it =>
+        val cost = bc.value
+        it.flatMap { case (w, freq) =>
+          viterbiPieces(w, cost).map(p => (p, freq))
+        }
+      }
+      .toDF("piece", "f")
+      .groupBy($"piece").agg(sum($"f").as("cnt"))
+  }
+
+  /** The seed + EM-round chain shared by train and tokenize: returns
+    * the final vocabulary (piece, cnt). Seeds: every substring of
+    * length 1..[[UniMaxPiece]] of every corpus word, frequency-
+    * weighted — all single characters kept unconditionally (the
+    * coverage guarantee), the top `seedMulti` multi-character pieces by
+    * (cnt desc, piece asc) admitted. Each EM round re-costs the
+    * vocabulary, Viterbi-segments the word table, and prunes to the
+    * top `vocabMulti` multi-character pieces by usage (the
+    * likelihood-prune, hard-EM form). */
+  private def uniFinalVocab(spark: SparkSession, sfDir: String,
+                            rounds: Int, seedMulti: Int,
+                            vocabMulti: Int): DataFrame = {
+    import spark.implicits._
+    val words = uniWords(spark, sfDir).localCheckpoint()
+    val seeds = words
+      .select($"freq", $"w",
+        explode(sequence(lit(1), least(length($"w"), lit(UniMaxPiece))))
+          .as("k"))
+      .select($"freq", $"w", $"k",
+        explode(sequence(lit(1), length($"w") - $"k" + 1)).as("i"))
+      .select(expr("substring(w, i, k)").as("piece"), $"freq")
+      .groupBy($"piece").agg(sum($"freq").as("cnt"))
+      .localCheckpoint()
+    val chars = seeds.filter(length($"piece") === 1)
+      .select($"piece").localCheckpoint()
+    val multi0 = seeds.filter(length($"piece") > 1)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"cnt".desc, $"piece".asc)))
+      .filter($"rnk" <= seedMulti).drop("rnk")
+    var v = seeds.join(chars, Seq("piece"), "left_semi")
+      .unionByName(multi0).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val costs = uniCosts(v).select($"piece", $"cost_micro")
+        .as[(String, Long)].collect().toMap
+      val counts = uniSegmentCounts(words, costs)
+      val vChars = chars.join(counts, Seq("piece"), "left")
+        .select($"piece", coalesce($"cnt", lit(0L)).as("cnt"))
+      val vMulti = counts.filter(length($"piece") > 1)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy($"cnt".desc, $"piece".asc)))
+        .filter($"rnk" <= vocabMulti).drop("rnk")
+      v = vChars.unionByName(vMulti).localCheckpoint()
+    }
+    v
+  }
+
+  /** Unigram-LM tokenizer TRAINING (`text_unigram_train`): the final
+    * vocabulary with its usage count, integer-micro cost, and
+    * deterministic rank. Row count = |corpus characters| +
+    * `vocabMulti` — fixed by the parameters.
+    *
+    * Scale shape: the only corpus-sized pass is the word count;
+    * seeding, costing, and every EM round run on vocabulary-sized
+    * tables with the cost map broadcast (≤ chars+vocabMulti entries —
+    * the k-means-codebook bounded-driver-state precedent). */
+  def unigramTrain(spark: SparkSession, sfDir: String,
+                   rounds: Int = 2, seedMulti: Int = 96,
+                   vocabMulti: Int = 64): DataFrame = {
+    import spark.implicits._
+    uniCosts(uniFinalVocab(spark, sfDir, rounds, seedMulti, vocabMulti))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"cnt".desc, $"piece".asc)).cast("long"))
+      .select($"piece", $"cnt", $"cost_micro", $"rnk")
+  }
+
+  /** Unigram-LM tokenization (`text_unigram_tokenize`): per-document
+    * piece counts and total cost under the trained model. Distinct
+    * words segment ONCE (Viterbi for DP-eligible lengths; words past
+    * [[UniMaxWordLen]] fall back to character pieces — zero OOV, since
+    * the vocabulary keeps every corpus character), then documents join
+    * the per-word table — the same distinct-word discipline as
+    * [[bpeTokenize]], so the corpus-sized work is one join, not one
+    * DP per occurrence. */
+  def unigramTokenize(spark: SparkSession, sfDir: String,
+                      rounds: Int = 2, seedMulti: Int = 96,
+                      vocabMulti: Int = 64): DataFrame = {
+    import spark.implicits._
+    val v = uniFinalVocab(spark, sfDir, rounds, seedMulti, vocabMulti)
+    val costs = uniCosts(v).select($"piece", $"cost_micro")
+      .as[(String, Long)].collect().toMap
+    val bc = spark.sparkContext.broadcast(costs)
+    val wseg = uniWords(spark, sfDir)
+      .select($"w").as[String]
+      .mapPartitions { it =>
+        val cost = bc.value
+        it.map { w =>
+          if (w.length <= UniMaxWordLen) {
+            val pieces = viterbiPieces(w, cost)
+            (w, pieces.length.toLong, pieces.map(cost).sum)
+          } else {
+            // character fallback: every char is in the vocabulary
+            (w, w.length.toLong,
+              w.map(c => cost(c.toString)).sum)
+          }
+        }
+      }
+      .toDF("w", "n_pieces", "cost_micro")
+      .localCheckpoint()
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        explode(split(trim(lower($"text")), "\\s+")).as("w"))
+      .join(wseg, "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"n_pieces").as("n_pieces"),
+        sum($"cost_micro").as("cost_micro"))
+      .withColumn("pieces_per_word",
+        $"n_pieces".cast("double") / $"n_words")
+  }
 }

@@ -12,7 +12,8 @@ class CatalogSpec extends SparkSpec {
     "tel_approx_distinct",    // HLL++ estimate (inherently approximate)
     "tel_approx_percentiles", // GK sketch (inherently approximate)
     "tel_sketch_rollup",      // HLL sketch-column union
-    "sim_opq_trained",        // learned rotation (eigensolver ordering)
+    // (sim_opq_trained left this set in r14: the learned rotation is
+    // now the closed-form Givens sweep the oracle replays exactly)
     "text_bpe_train_batched") // greedy batched admission is sequential
                               // logic no SQL replica expresses; batch=1
                               // ≡ sequential + per-round savings

@@ -50,4 +50,20 @@ class IvfAppendSpec extends SparkSpec {
       .count(_.getAs[Boolean]("stale"))
     assert(flagged > 0, s"tau=$tight should flag at least one centroid")
   }
+
+  test("segment merge: post-compaction probe ≡ pre-merge masked union probe bit-for-bit") {
+    // the FAISS merge_from / Lucene segment-merge contract: folding
+    // base + appended segments and the tombstone mask into one index
+    // is pure storage reclamation — probes are unchanged
+    val pre = SimOps.ivfMaskedUnionProbe(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    val post = SimOps.ivfCompact(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    assert(pre === post)
+    assert(pre.nonEmpty)
+    // tombstoned ids appear nowhere — not as queries, not as neighbors
+    val rows = SimOps.ivfCompact(spark, sf).collect()
+    assert(rows.forall(r => r.getAs[Long]("query_id") % 7 != 0 &&
+      r.getAs[Long]("neighbor_id") % 7 != 0))
+  }
 }

@@ -57,7 +57,8 @@ class PlanHygieneSpec extends SparkSpec {
                             // (q15's twin converts to BHJ because its
                             // filter is an equi-compare; these HAVINGs
                             // are inequalities, so the 1-row cross stays)
-    "q22_dormant_custs")    // customers × 1-row avg-balance broadcast
+    "q22_dormant_custs",    // customers × 1-row avg-balance broadcast
+    "text_unigram_train")   // vocab table × 1-row total/|V| broadcast
 
   /** Queries allowed to rank with an UNPARTITIONED window over a set
     * that is not limit-bounded in the plan — each is small by
@@ -77,7 +78,8 @@ class PlanHygieneSpec extends SparkSpec {
     "text_mix_weights",    // √share over the per-language rollup (≤10s of rows)
     "text_vocab_growth",   // prefix sum over #docs/stride bucket rollup
                            // (inherently sequential curve; 3-long rows)
-    "sim_embed_stats")     // variance share over the 64-dim aggregate
+    "sim_embed_stats",     // variance share over the 64-dim aggregate
+    "text_unigram_train")  // rank over the pruned vocab (chars+64 rows)
 
   test("no unpartitioned window over an unbounded child (catalog-wide)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, GlobalLimit, Aggregate, LogicalPlan}
