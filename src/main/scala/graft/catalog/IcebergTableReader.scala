@@ -669,8 +669,14 @@ object IcebergTableReader {
         val fid = fidOf(col)
         val partitionKeeps = fileFields.filter(_.sourceId == fid).forall { p =>
           f.partition.get(p.name).forall { v =>
-            v >= IcebergPartitioning.transformValue(p.transform, startUs) &&
-              v <= IcebergPartitioning.transformValue(p.transform, endUs - 1)
+            if (IcebergPartitioning.monotone(p.transform))
+              v >= IcebergPartitioning.transformValue(p.transform, startUs) &&
+                v <= IcebergPartitioning.transformValue(p.transform, endUs - 1)
+            else
+              // bucket: non-order-preserving, so a RANGE cannot prune —
+              // only a point (one-value range) maps to one bucket
+              endUs - startUs != 1L ||
+                v == IcebergPartitioning.transformValue(p.transform, startUs)
           }
         }
         partitionKeeps &&
@@ -713,8 +719,33 @@ object IcebergTableReader {
       : (Seq[FileEntry], Seq[DeleteEntry], TableMetadata) = {
     val meta = metadata(spark, tableDir)
     val snapId = resolveSnapshot(meta, asOfSnapshotId).map(_.snapshotId)
-    val (all, dels) = scanState(spark, tableDir, asOfSnapshotId)
+    val (allUnpart, dels) = scanState(spark, tableDir, asOfSnapshotId)
     val fid = fieldId(meta, column)
+    // PARTITION-TUPLE prune (r14, the bucket[N] payoff): a point
+    // lookup maps to exactly one partition value under every transform
+    // — bucket included (string needles hash through the spec's
+    // murmur3; string tuples are ints, so this is the one tuple prune
+    // a string needle gets). Null tuple values are kept, as always.
+    val defaultFields = IcebergPartitioning.fields(meta)
+    val all = allUnpart.filter { f =>
+      val fileFields = f.specFields.getOrElse(defaultFields)
+      fileFields.filter(_.sourceId == fid).forall { p =>
+        f.partition.get(p.name).forall { v =>
+          value match {
+            case l: Long =>
+              v == IcebergPartitioning.transformValue(p.transform, l)
+            case s: String =>
+              p.transform match {
+                case bt if bt.startsWith("bucket[") =>
+                  val n = bt.stripPrefix("bucket[").stripSuffix("]").toInt
+                  v == IcebergPartitioning.bucketValueString(n, s)
+                case _ => true // non-bucket transform over a string: keep
+              }
+            case _ => true
+          }
+        }
+      }
+    }
     // manifest zone-map prune — long/timestamp needles only (string
     // bounds are truncated under the Iceberg spec; the bloom below is
     // the string needle's prune lever, so skipping bounds for strings

@@ -638,21 +638,45 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
     * added", per the REST API's last-added convention) under the same
     * optimistic retry loop as appends. */
   def updatePartitionSpec(namespace: String, table: String,
-                          tsColumn: String, granularity: String): Unit =
+                          tsColumn: String, granularity: String): Unit = {
+    val (name, transform) = granularityTransform(granularity)
+    updateSpecFields(namespace, table, Seq((name, tsColumn, transform)))
+  }
+
+  /** GENERAL spec evolution (r14): register a new default partition
+    * spec with arbitrary fields — `(partition name, source column,
+    * transform)` — including the Iceberg-spec `bucket[N]` / `truncate[W]`
+    * transforms both the reference's parseTransform
+    * (catalog_rest.go:527: identity + four time transforms) and the
+    * pre-r14 engine stopped short of. The composite point-lookup spec
+    * (`hour(ts), bucket[16](service)`) is the canonical use. Field ids
+    * allocate from 1000 in field order, per spec. */
+  def updateSpecFields(namespace: String, table: String,
+                       fields: Seq[(String, String, String)]): Unit =
     Delivery.retry(settings.retry) {
+      require(fields.nonEmpty, "spec evolution needs at least one field")
       val info = loadTableOnce(namespace, table).getOrElse(
         throw new PermanentException(
           s"validation failed: table $namespace.$table does not exist", null))
-      val srcId = (parse(info.schemaJson) \ "fields").toOption
-        .collect { case JArray(fs) =>
-          fs.collectFirst {
-            case f if (f \ "name").toOption.contains(JString(tsColumn)) =>
-              (f \ "id") match { case JInt(n) => n.toInt; case _ => -1 }
-          }
-        }.flatten.filter(_ >= 0).getOrElse(
-          throw new PermanentException(
-            s"validation failed: column $tsColumn not in $namespace.$table schema", null))
-      val (name, transform) = granularityTransform(granularity)
+      val schemaFields = (parse(info.schemaJson) \ "fields").toOption
+        .collect { case JArray(fs) => fs }.getOrElse(Nil)
+      def srcIdOf(column: String): Int = schemaFields.collectFirst {
+        case f if (f \ "name").toOption.contains(JString(column)) =>
+          (f \ "id") match { case JInt(n) => n.toInt; case _ => -1 }
+      }.filter(_ >= 0).getOrElse(
+        throw new PermanentException(
+          s"validation failed: column $column not in $namespace.$table schema", null))
+      val specFields = fields.zipWithIndex.map {
+        case ((name, column, transform), i) =>
+          // validate the transform by evaluating it once — an unknown
+          // transform must fail HERE, not in a reader years later
+          IcebergPartitioning.transformValue(transform, 0L)
+          JObject(
+            "name" -> JString(name),
+            "transform" -> JString(transform),
+            "source-id" -> JInt(srcIdOf(column)),
+            "field-id" -> JInt(1000 + i))
+      }
       val body = compact(render(JObject(
         "identifier" -> JObject(
           "namespace" -> JArray(List(JString(namespace))),
@@ -660,12 +684,7 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
         "requirements" -> JArray(Nil),
         "updates" -> JArray(List(
           JObject("action" -> JString("add-spec"),
-            "spec" -> JObject(
-              "fields" -> JArray(List(JObject(
-                "name" -> JString(name),
-                "transform" -> JString(transform),
-                "source-id" -> JInt(srcId),
-                "field-id" -> JInt(1000)))))),
+            "spec" -> JObject("fields" -> JArray(specFields.toList))),
           JObject("action" -> JString("set-default-spec"),
             "spec-id" -> JInt(-1)))))))
       call("POST", s"$prefix/namespaces/$namespace/tables/$table", Some(body))

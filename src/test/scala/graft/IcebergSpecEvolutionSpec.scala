@@ -234,4 +234,175 @@ class IcebergSpecEvolutionSpec extends SparkSpec {
       .count() === 20L)
     ()
   }
+
+  test("bucket[N]/truncate[W]: spec hash vectors and transform semantics") {
+    // Iceberg spec Appendix B test vectors (32-bit murmur3, seed 0):
+    // int/long 34 → 2017239379, string "iceberg" → 1210000089 — the
+    // cross-engine contract that makes foreign readers prune our
+    // bucketed tables identically
+    assert(IcebergPartitioning.bucketHashLong(34L) === 2017239379)
+    assert(IcebergPartitioning.bucketHashString("iceberg") === 1210000089)
+    assert(IcebergPartitioning.transformValue("bucket[16]", 34L) ===
+      (2017239379 & Int.MaxValue) % 16)
+    assert(IcebergPartitioning.bucketValueString(16, "iceberg") ===
+      (1210000089 & Int.MaxValue) % 16)
+    // truncate floors toward -inf (spec: v - (v mod W), mod ≥ 0)
+    assert(IcebergPartitioning.transformValue("truncate[10]", 37L) === 30L)
+    assert(IcebergPartitioning.transformValue("truncate[10]", -7L) === -10L)
+    assert(IcebergPartitioning.transformValue("truncate[10]", 40L) === 40L)
+    // monotonicity classification drives both tuple derivation and
+    // range pruning
+    assert(!IcebergPartitioning.monotone("bucket[16]"))
+    assert(IcebergPartitioning.monotone("truncate[10]"))
+    assert(IcebergPartitioning.monotone("hour"))
+    // tuple field types per spec
+    assert(IcebergPartitioning.avroType("bucket[16]") === "int")
+    assert(IcebergPartitioning.avroType("truncate[10]") === "long")
+    // an unknown transform fails loudly
+    intercept[UnsupportedOperationException] {
+      IcebergPartitioning.transformValue("void", 1L)
+    }
+  }
+
+  test("bucket[4](id) era: derived tuples, point-lookup pruning, range kept") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("graft-bucket").toString + "/t"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val schema = Seq((0L, 0L, "")).toDF("id", "ts", "payload").schema
+    val (schemaJson, topIds) = RestCatalogClient.icebergSchemaJson(schema)
+    val sj = compact(render(schemaJson))
+    val spec = parse(
+      s"""{"fields":[{"name":"id_bucket","transform":"bucket[4]",
+         |"source-id":${topIds("id")},"field-id":1000}]}""".stripMargin)
+
+    // one file per id value (constant id → min==max → tuple derivable
+    // even under the non-monotone transform); NO id bounds are
+    // committed, so any point-lookup pruning below is the BUCKET
+    // TUPLE's doing alone
+    def writeId(dir: String, id: Long): Seq[String] = {
+      (0 until 10).map(i => (id, i * 1000L, s"v$id-$i"))
+        .toDF("id", "ts", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      listParquet(dir)
+    }
+    val ids = (1L to 8L)
+    val filesById = ids.map { id =>
+      val paths = writeId(s"$loc/data/id$id", id)
+      val counts = graft.recovery.Recovery.fileRowCounts(spark, paths)
+      IcebergCommit.commitStandalone(conf, loc, sj, Some(spec),
+        paths.map(p => DataFile(p, Files.size(Paths.get(p)), counts(p),
+          bounds = Nil,
+          partition = Seq(None)))) // explicit-null: force stats-free path?
+      id -> paths
+    }.toMap
+    // explicit null tuples → no pruning possible; recommit era 2 WITH
+    // derived tuples from id stats to prove derivation end-to-end
+    val loc2 = Files.createTempDirectory("graft-bucket2").toString + "/t"
+    val filesById2 = ids.map { id =>
+      val paths = writeId(s"$loc2/data/id$id", id)
+      val counts = graft.recovery.Recovery.fileRowCounts(spark, paths)
+      val idStats = graft.recovery.Recovery.fileColumnStats(spark, paths, "id")
+      IcebergCommit.commitStandalone(conf, loc2, sj, Some(spec),
+        paths.map { p =>
+          val bounds = idStats.get(p).toSeq.map { case (mn, mx) =>
+            (topIds("id"), IcebergSingleValue.longBytes(mn),
+              IcebergSingleValue.longBytes(mx)) }
+          DataFile(p, Files.size(Paths.get(p)), counts(p), bounds)
+        })
+      id -> paths
+    }.toMap
+
+    // null tuples: every file kept (no false pruning)
+    assert(IcebergTableReader.readRanges(spark, loc, Seq("id" -> (3L, 4L)))
+      .count() === 10L)
+
+    // derived tuples: each file's id_bucket is the spec hash of its id
+    val byPath = IcebergTableReader.dataFiles(spark, loc2)
+      .map(f => f.path -> f.partition).toMap
+    ids.foreach { id =>
+      assert(byPath(filesById2(id).head) ===
+        Map("id_bucket" -> IcebergPartitioning.bucketValue(4, id)))
+    }
+    // a point lookup opens ONLY the files sharing the needle's bucket...
+    def openedBy(ranges: Seq[(String, (Long, Long))]): Set[String] =
+      IcebergTableReader.readRanges(spark, loc2, ranges)
+        .inputFiles.toSeq.map(f => new java.net.URI(f).getPath).toSet
+    val needle = 3L
+    val sameBucket = ids.filter(id =>
+      IcebergPartitioning.bucketValue(4, id) ==
+        IcebergPartitioning.bucketValue(4, needle))
+    // (bounds also prune here — the id stats are exact — so expect
+    // exactly the needle's file; drop the bounds and the bucket tuple
+    // alone would admit `sameBucket`, strictly fewer than all 8)
+    assert(sameBucket.size < ids.size)
+    assert(openedBy(Seq("id" -> (needle, needle + 1L)))
+      === Set(filesById2(needle).head).map(p => new java.net.URI(p).getPath))
+    assert(IcebergTableReader.readRanges(spark, loc2,
+      Seq("id" -> (needle, needle + 1L))).count() === 10L)
+    // a RANGE under bucket cannot prune (non-monotone): all rows return
+    assert(IcebergTableReader.readRanges(spark, loc2, Seq("id" -> (1L, 9L)))
+      .count() === 80L)
+
+    // readPoint: the partition-tuple prune admits only same-bucket
+    // files BEFORE bounds/bloom run (assert via pointFiles on era-1's
+    // tuple-free twin vs a tuple-only filter on loc2's entries)
+    val entries = IcebergTableReader.dataFiles(spark, loc2)
+    val tupleKept = entries.filter(_.partition.get("id_bucket")
+      .forall(_ == IcebergPartitioning.bucketValue(4, needle)))
+    assert(tupleKept.map(_.path).toSet ===
+      sameBucket.map(id => filesById2(id).head).toSet)
+    ()
+  }
+
+  test("truncate[100](id) era: order-preserving tuples prune ranges") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("graft-trunc").toString + "/t"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val schema = Seq((0L, 0L, "")).toDF("id", "ts", "payload").schema
+    val (schemaJson, topIds) = RestCatalogClient.icebergSchemaJson(schema)
+    val sj = compact(render(schemaJson))
+    val spec = parse(
+      s"""{"fields":[{"name":"id_trunc","transform":"truncate[100]",
+         |"source-id":${topIds("id")},"field-id":1000}]}""".stripMargin)
+    // three files, one per 100-wide id stripe — tuples derive from
+    // min/max because truncate is order-preserving
+    def writeStripe(dir: String, lo: Long): Seq[String] = {
+      (lo until lo + 50L).map(i => (i, i * 1000L, s"v$i"))
+        .toDF("id", "ts", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      listParquet(dir)
+    }
+    val stripes = Seq(0L, 100L, 200L).map { lo =>
+      val paths = writeStripe(s"$loc/data/s$lo", lo)
+      val counts = graft.recovery.Recovery.fileRowCounts(spark, paths)
+      val idStats = graft.recovery.Recovery.fileColumnStats(spark, paths, "id")
+      IcebergCommit.commitStandalone(conf, loc, sj, Some(spec),
+        paths.map { p =>
+          // commit WITHOUT id bounds: pruning below is the truncate
+          // tuple's alone (tuple passed explicitly, derived the same
+          // way valuesForFile would)
+          val (mn, mx) = idStats(p)
+          val t = IcebergPartitioning.transformValue("truncate[100]", mn)
+          assert(t === IcebergPartitioning.transformValue("truncate[100]", mx))
+          DataFile(p, Files.size(Paths.get(p)), counts(p),
+            bounds = Nil, partition = Seq(Some(t)))
+        })
+      lo -> paths
+    }.toMap
+    val byPath = IcebergTableReader.dataFiles(spark, loc)
+      .map(f => f.path -> f.partition).toMap
+    assert(byPath(stripes(100L).head) === Map("id_trunc" -> 100L))
+    def openedBy(ranges: Seq[(String, (Long, Long))]): Set[String] =
+      IcebergTableReader.readRanges(spark, loc, ranges)
+        .inputFiles.toSeq.map(f => new java.net.URI(f).getPath).toSet
+    // a range inside one stripe opens one file — the tuple pruned it
+    assert(openedBy(Seq("id" -> (110L, 120L)))
+      === stripes(100L).map(p => new java.net.URI(p).getPath).toSet)
+    assert(IcebergTableReader.readRanges(spark, loc,
+      Seq("id" -> (110L, 120L))).count() === 10L)
+    // a range spanning two stripes opens exactly those two
+    assert(openedBy(Seq("id" -> (40L, 140L))) ===
+      (stripes(0L) ++ stripes(100L)).map(p => new java.net.URI(p).getPath).toSet)
+    ()
+  }
 }

@@ -684,6 +684,38 @@ class RestCatalogSpec extends SparkSpec {
     assert(df0("split_offsets") === null)
   }
 
+  test("updateSpecFields: composite bucket spec evolves through the catalog") {
+    import org.apache.spark.sql.types._
+    withCatalog { (fake, client) =>
+      client.ensureNamespace("otel")
+      val schema = StructType(Seq(StructField("ts", LongType),
+        StructField("service", LongType)))
+      client.ensureTable("otel", "spans", schema)
+      // the composite point-lookup spec the verdict called for:
+      // hour(ts) × bucket[16](service)
+      client.updateSpecFields("otel", "spans", Seq(
+        ("ts_hour", "ts", "hour"),
+        ("service_bucket", "service", "bucket[16]")))
+      val info = client.loadTable("otel", "spans").get
+      val fields = graft.catalog.IcebergPartitioning.fieldsOf(
+        info.defaultSpec.get)
+      assert(fields.map(f => (f.name, f.transform, f.fieldId)) === Seq(
+        ("ts_hour", "hour", 1000),
+        ("service_bucket", "bucket[16]", 1001)))
+      // the stand-alone chain mirrors the new default spec
+      val conf = spark.sparkContext.hadoopConfiguration
+      val m = graft.catalog.IcebergTableMetadata.load(conf, info.location).get
+      val coldFields = graft.catalog.IcebergPartitioning.fields(m)
+      assert(coldFields.map(_.transform) === Seq("hour", "bucket[16]"))
+      // an unknown transform is rejected before any commit
+      val e = intercept[Exception] {
+        client.updateSpecFields("otel", "spans",
+          Seq(("bad", "ts", "void[3]")))
+      }
+      assert(e.getMessage.contains("transform"))
+    }
+  }
+
   test("updateProperties: set/remove round-trip catalog AND stand-alone chain") {
     import org.apache.spark.sql.types._
     withCatalog { (fake, client) =>
