@@ -146,6 +146,7 @@ object Bench {
                          "sink_point_full", "sink_point_bloom",
                          "iceberg_cold_full", "iceberg_cold_pruned",
                          "iceberg_point_full", "iceberg_point_bloom",
+                         "iceberg_bucket_full", "iceberg_bucket_pruned",
                          "iceberg_ndv_exact", "iceberg_ndv_stats",
                          "iceberg_upsert", "iceberg_changelog",
                          "iceberg_plan_fragmented",
@@ -266,6 +267,59 @@ object Bench {
             val tn = graft.catalog.IcebergSqlDemo.traceNeedle(spark, sfDir)
             bestWarm("trace_point_bloom")(graft.catalog.IcebergTableReader
               .readPoint(spark, traceLoc, "trace_id", tn).count())
+          },
+          // bucket[16](event_id) spec lever (r14): the same point
+          // lookup against a BUCKET-CLUSTERED layout — rows routed by
+          // the Iceberg spec hash at write time, each file stamped
+          // with its bucket tuple; readPoint's partition-tuple prune
+          // opens ~1/16 of the files with NO bloom sidecar and no
+          // event_id bounds (the lever isolates the tuple prune).
+          // Layout build + commit are untimed setup, amortized like
+          // every index build. NOTE at sf0.1 both arms sit near the
+          // ~75 ms fixed floor (chain decode + job launch) because 16
+          // compacted files already make the full scan cheap — the
+          // ratio is bytes-per-bucket-bound and grows with data; the
+          // CORRECTNESS of the 1/16 prune is what the spec pins
+          // (IcebergSpecEvolutionSpec bucket era).
+          "iceberg_bucket_full" -> {
+            import spark.implicits._
+            val bData = s"$dir/events_bucketed_data"
+            val bLoc = s"$dir/events_bucketed"
+            val idBuckets = spark.read.parquet(tablePath)
+              .select(col("event_id")).distinct().as[Long]
+              .mapPartitions(_.map(id =>
+                (id, graft.catalog.IcebergPartitioning.bucketValue(16, id))))
+              .toDF("event_id", "bucket")
+            spark.read.parquet(tablePath).join(idBuckets, "event_id")
+              .repartition(col("bucket"))
+              .write.partitionBy("bucket").parquet(bData)
+            val bPaths = graft.recovery.Recovery
+              .listDataFiles(spark, bData).collect().map(_.getString(0)).toSeq
+            val bCounts = graft.recovery.Recovery.fileRowCounts(spark, bPaths)
+            // file schema (no partition dir column) drives the chain
+            val (bSchema, bIds) = graft.catalog.RestCatalogClient
+              .icebergSchemaJson(spark.read.parquet(bPaths.head).schema)
+            val bSpec = org.json4s.jackson.JsonMethods.parse(
+              s"""{"fields":[{"name":"eid_bucket","transform":"bucket[16]",
+                 |"source-id":${bIds("event_id")},"field-id":1000}]}"""
+                .stripMargin)
+            graft.catalog.IcebergCommit.commitStandalone(
+              spark.sparkContext.hadoopConfiguration, bLoc,
+              org.json4s.jackson.JsonMethods.compact(
+                org.json4s.jackson.JsonMethods.render(bSchema)),
+              Some(bSpec),
+              bPaths.map { p =>
+                val b = "bucket=(\\d+)".r.findFirstMatchIn(p).get.group(1).toLong
+                graft.catalog.RestCatalogClient.DataFile(
+                  p, 0L, bCounts.getOrElse(p, 0L), Nil, Seq(Some(b)))
+              })
+            bestWarm("iceberg_bucket_full")(graft.catalog.IcebergTableReader
+              .read(spark, bLoc).filter(col("event_id") === needle).count())
+          },
+          "iceberg_bucket_pruned" -> {
+            val bLoc = s"$dir/events_bucketed"
+            bestWarm("iceberg_bucket_pruned")(graft.catalog.IcebergTableReader
+              .readPoint(spark, bLoc, "event_id", needle).count())
           },
           // column NDV: the full distinct scan vs the KMV sketch read
           // from the statistics sidecar (metadata-only — the planner's
