@@ -466,7 +466,12 @@ object SimOps {
                     nQueries: Int = 8, k: Int = 5): DataFrame = {
     import spark.implicits._
     val d = 64
-    def el(i: Int) = element_at($"embedding".cast("array<double>"), i + 1)
+    // cast the array ONCE per row — 96 agg expressions (and 64
+    // projection columns below) each re-casting the 64-element array
+    // was 6× the Householder sibling's cost for the same math
+    val xs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("x"))
+    def el(i: Int) = element_at(col("x"), i + 1)
     // one aggregate pass: the 3 covariance entries of each dim pair,
     // round-6 quantized (cross-engine determinization point #1)
     val aggs = (0 until d / 2).flatMap { s =>
@@ -474,8 +479,7 @@ object SimOps {
           round(covar_pop(el(2 * s + 1), el(2 * s + 1)), 6).as(s"b$s"),
           round(covar_pop(el(2 * s), el(2 * s + 1)), 6).as(s"c$s"))
     }
-    val row = Tables.embeddings(spark, sfDir)
-      .agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = xs.agg(aggs.head, aggs.tail: _*).collect()(0)
     val thetas = (0 until d / 2).map { s =>
       val a = row.getDouble(3 * s)
       val b = row.getDouble(3 * s + 1)
@@ -492,7 +496,7 @@ object SimOps {
       if (i % 2 == 0) round(lit(cs) * el(i) + lit(sn) * el(i + 1), 6)
       else round(lit(-sn) * el(i - 1) + lit(cs) * el(i), 6)
     }
-    val rotated = Tables.embeddings(spark, sfDir)
+    val rotated = xs
       .select($"vec_id", array(cols: _*).as("vec"))
       .as[(Long, Array[Double])]
     pqAdc(spark, rotated, nTrain, nQueries, k)
