@@ -83,7 +83,12 @@ object Sf1Scale {
     // r13: the ef tuning sweep — three layer-0 beam re-runs over the
     // persisted index; the ratio should track the probe path, not the
     // build (upper leg runs once, index cached per corpus)
-    "sim_hnsw_ef_sweep")
+    "sim_hnsw_ef_sweep",
+    // r14: segment merge (one narrow rewrite; probe-amortized like the
+    // other persisted indexes) and the full-oracle learned OPQ (one
+    // covariance agg + rotated-projection scan + the PQ/ADC kernel —
+    // every stage linear)
+    "sim_ivf_compact", "sim_opq_trained")
 
   /** Documents-table dedup/text pipelines — the banded-LSH / inverted-
     * index / prefix-filter scale claims, measured on a text corpus with
@@ -127,7 +132,12 @@ object Sf1Scale {
     // hashing, RIFF/AVI MJPEG demux, G.711 expansion, and the
     // byte-level BPE trainer (vocabulary-sized like the char trainer)
     "mm_jpeg_ahash_pairs", "mm_avi_scenecut", "mm_wav_ulaw",
-    "text_bpe_byte_train")
+    "text_bpe_byte_train",
+    // r14: unigram-LM tokenizer — train is vocabulary-sized after the
+    // word count (the BPE-trainer shape); tokenize is one distinct-word
+    // segmentation + a corpus join, so both ratios should be the
+    // corpus-pass cost, never the DP
+    "text_unigram_train", "text_unigram_tokenize")
 
   /** Deterministic word from a full-avalanche mix (vocab of 1000):
     * individual word collisions are common (real corpora repeat words)
