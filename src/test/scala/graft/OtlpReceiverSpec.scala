@@ -263,6 +263,51 @@ class OtlpReceiverSpec extends SparkSpec {
     } finally rx.stop()
   }
 
+  test("spool GC drains committed files: the full bounded-queue lifecycle") {
+    import graft.sources.{SpoolGc, SpoolLimits}
+    import graft.config.ExporterConfig._
+    val base = Files.createTempDirectory("graft-otlp-gc").toString
+    val rx = new OtlpHttpReceiver(s"$base/spool",
+      limits = SpoolLimits(maxFiles = 2))
+    try {
+      val t0 = 1709623800000000000L
+      val spool = OtlpHttpReceiver.spoolPath(s"$base/spool", "traces")
+      assert(post(rx.uri, "/v1/traces",
+        traceRequest("0102030405060708090a0b0c0d0e0f10", "a", t0)).statusCode() === 200)
+      assert(post(rx.uri, "/v1/traces",
+        traceRequest("0102030405060708090a0b0c0d0e0f11", "b", t0 + 1)).statusCode() === 200)
+      // full: sheds
+      assert(post(rx.uri, "/v1/traces",
+        traceRequest("0102030405060708090a0b0c0d0e0f12", "c", t0 + 2)).statusCode() === 429)
+
+      // GC before ANY ingest: nothing is committed, nothing may be
+      // deleted (at-least-once survives any GC schedule)
+      val ckpt = s"$base/chk"
+      assert(SpoolGc.sweepSpool(ckpt, s"$base/spool", Some(rx.gauge)) === ((0L, 0L)))
+      assert(Files.list(Paths.get(spool)).count() === 2)
+
+      // drain: the stream ingests both spool files, then GC deletes
+      // exactly the committed set and re-opens admission
+      val cfg = Config(Filesystem(base), Catalog("none"))
+        .sinkFor("traces", tsColumn = "start_time_unix_nano")
+      StreamingIngest.ingestWithManifest(
+        OtelTraces.flatten(OtelProtoSource.tracesStream(spark, spool)),
+        cfg, ckpt, s"$base/manifest").awaitTermination()
+      val (deleted, bytes) = SpoolGc.sweepSpool(ckpt, s"$base/spool", Some(rx.gauge))
+      assert(deleted === 2L && bytes > 0L)
+      assert(Files.list(Paths.get(spool)).count() === 0)
+      assert(rx.gauge.currentFiles === 0L)
+      // admission re-opens without waiting for the rescan interval
+      assert(post(rx.uri, "/v1/traces",
+        traceRequest("0102030405060708090a0b0c0d0e0f13", "d", t0 + 3)).statusCode() === 200)
+      // the ingested rows are untouched by the GC
+      assert(spark.read.parquet(s"$base/otel_traces").count() === 2)
+      // idempotent: a second sweep with no new commits deletes nothing
+      assert(SpoolGc.sweepSpool(ckpt, s"$base/spool", Some(rx.gauge)) === ((0L, 0L)))
+      assert(Files.list(Paths.get(spool)).count() === 1)
+    } finally rx.stop()
+  }
+
   test("receiver protocol edges: 404 / 405 / 415, and proto response type") {
     val base = Files.createTempDirectory("graft-otlp-edges").toString
     val rx = new OtlpHttpReceiver(s"$base/spool")
