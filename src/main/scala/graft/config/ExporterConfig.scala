@@ -62,10 +62,21 @@ object ExporterConfig {
 
   case class Partition(granularity: String = "hourly", timezone: String = "UTC")
 
+  /** exporterhelper `retry_on_failure` knobs (config.go:27 BackOffConfig
+    * squash; README defaults): the export retry loop's shape. */
+  case class Retry(enabled: Boolean = true,
+                   initialIntervalMs: Long = 5000,
+                   maxIntervalMs: Long = 30000,
+                   maxElapsedTimeMs: Long = 300000)
+
   case class Config(storage: Storage, catalog: Catalog,
                     tables: TableNames = TableNames(),
                     partition: Partition = Partition(),
-                    verbosity: String = "normal") {
+                    verbosity: String = "normal",
+                    // exporterhelper TimeoutConfig squash (config.go:25;
+                    // README: `timeout`, default 5s; 0 disables)
+                    timeoutMs: Long = 5000,
+                    retry: Retry = Retry()) {
 
     /** All validation failures, reference-equivalent messages. */
     def validate: Seq[String] = {
@@ -93,8 +104,30 @@ object ExporterConfig {
         errs += "partition.granularity must be one of: hourly, daily, monthly"
       if (!Set("basic", "normal", "detailed")(verbosity))
         errs += "verbosity level is not supported, supported levels are: basic, normal, detailed"
+      if (timeoutMs < 0) errs += "timeout must be >= 0 (0 disables)"
+      if (retry.initialIntervalMs <= 0)
+        errs += "retry_on_failure.initial_interval must be positive"
+      if (retry.maxIntervalMs < retry.initialIntervalMs)
+        errs += "retry_on_failure.max_interval must be >= initial_interval"
+      if (retry.maxElapsedTimeMs < 0)
+        errs += "retry_on_failure.max_elapsed_time must be >= 0 (0 disables)"
       errs.result()
     }
+
+    /** The [[graft.streaming.Delivery.RetryPolicy]] this config's
+      * exporterhelper knobs resolve to — where `timeout` and
+      * `retry_on_failure` actually bite: every commit/ingest retry
+      * loop. Disabled retry = one attempt; `max_elapsed_time` caps the
+      * loop's simulated elapsed; `timeout` bounds each attempt. */
+    def deliveryPolicy: graft.streaming.Delivery.RetryPolicy =
+      graft.streaming.Delivery.RetryPolicy(
+        maxAttempts = if (retry.enabled) 5 else 1,
+        initialBackoffMs = retry.initialIntervalMs,
+        maxBackoffMs = retry.maxIntervalMs,
+        attemptTimeoutMs = if (timeoutMs > 0) Some(timeoutMs) else None,
+        maxElapsedMs =
+          if (retry.maxElapsedTimeMs > 0) Some(retry.maxElapsedTimeMs)
+          else None)
 
     /** Hadoop FS base URI for the configured backend (S3A covers both
       * AWS S3 and R2's S3-compatible endpoint in Spark). */

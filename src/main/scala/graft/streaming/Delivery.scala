@@ -35,13 +35,57 @@ object Delivery {
   final class PermanentException(msg: String, cause: Throwable)
       extends RuntimeException(msg, cause)
 
-  /** Bounded-backoff policy (exporterhelper BackOffConfig shape).
-    * `sleep` is injectable so specs run without wall-clock waits. */
+  /** Bounded-backoff policy (exporterhelper BackOffConfig +
+    * TimeoutConfig shape — the reference squashes both into its config,
+    * config.go:25,27). `sleep` is injectable so specs run without
+    * wall-clock waits.
+    *
+    *  - `attemptTimeoutMs`: per-ATTEMPT export timeout (the reference's
+    *    `timeout`, README default 5s; None/0-equivalent = unbounded).
+    *    An expired attempt raises a TRANSIENT TimeoutException — it
+    *    re-enters the same backoff loop, exporterhelper's semantics.
+    *    `onAttemptTimeout` fires first: the cancellation hook (pass
+    *    `() => sc.cancelJobGroup(tag)` to actually stop a Spark job;
+    *    without it the abandoned attempt's thread finishes in the
+    *    background — best-effort cancel, like a Go ctx nobody checks).
+    *  - `maxElapsedMs`: exporterhelper's `max_elapsed_time` give-up
+    *    bar, measured as SIMULATED elapsed (sum of backoff waits) so
+    *    injected-sleep specs stay deterministic; None = attempts bound
+    *    only. */
   case class RetryPolicy(maxAttempts: Int = 5,
                          initialBackoffMs: Long = 50,
                          maxBackoffMs: Long = 5000,
                          multiplier: Double = 2.0,
-                         sleep: Long => Unit = Thread.sleep)
+                         sleep: Long => Unit = Thread.sleep,
+                         attemptTimeoutMs: Option[Long] = None,
+                         onAttemptTimeout: () => Unit = () => (),
+                         maxElapsedMs: Option[Long] = None)
+
+  /** Daemon pool for timeout-supervised attempts (bounded by in-flight
+    * deliveries, which are micro-batch-cadence — never data volume). */
+  private lazy val attemptPool = java.util.concurrent.Executors
+    .newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-delivery-attempt")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Run one attempt under the policy's per-attempt timeout. */
+  private def attemptWithTimeout[T](ms: Long,
+                                    onTimeout: () => Unit)(op: => T): T = {
+    val task = new java.util.concurrent.FutureTask(() => op)
+    attemptPool.execute(task)
+    try task.get(ms, java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        onTimeout()
+        task.cancel(true)
+        throw new java.util.concurrent.TimeoutException(
+          s"export attempt exceeded ${ms}ms")
+      case e: java.util.concurrent.ExecutionException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
+  }
 
   // errors.go:41-117 pattern groups, lowercased substring match like
   // IsPermanentCatalogError — credentials, permissions, malformed
@@ -87,16 +131,25 @@ object Delivery {
     require(policy.maxAttempts >= 1, "maxAttempts must be >= 1")
     var attempt = 1
     var backoff = policy.initialBackoffMs
+    var elapsed = 0L // simulated: sum of backoff waits (see RetryPolicy)
+    def once(): T = policy.attemptTimeoutMs match {
+      case Some(ms) if ms > 0 =>
+        attemptWithTimeout(ms, policy.onAttemptTimeout)(op)
+      case _ => op
+    }
     while (true) {
-      try return op
+      try return once()
       catch {
         case e: Throwable if isPermanent(e) =>
           throw new PermanentException(
             s"permanent failure (attempt $attempt, not retrying): ${e.getMessage}", e)
         case e: Throwable =>
           if (attempt >= policy.maxAttempts) throw e
+          if (policy.maxElapsedMs.exists(m => elapsed + backoff > m))
+            throw e // exporterhelper max_elapsed_time: give up, surface the last error
           onRetry(attempt, e)
           policy.sleep(backoff)
+          elapsed += backoff
           backoff = math.min(
             (backoff * policy.multiplier).toLong, policy.maxBackoffMs)
           attempt += 1

@@ -158,4 +158,79 @@ class DeliverySpec extends SparkSpec {
       if (t == null) Nil else t :: chain(t.getCause)
     assert(chain(e).exists(_.isInstanceOf[PermanentException]))
   }
+
+  test("per-attempt timeout: slow attempt expires as TRANSIENT, hook fires, fast retry succeeds") {
+    // exporterhelper TimeoutConfig semantics: an expired attempt is an
+    // error that re-enters the SAME backoff loop — not a give-up
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val timedOut = new java.util.concurrent.atomic.AtomicInteger(0)
+    val policy = Delivery.RetryPolicy(
+      maxAttempts = 3, initialBackoffMs = 1, sleep = _ => (),
+      attemptTimeoutMs = Some(150),
+      onAttemptTimeout = () => { timedOut.incrementAndGet(); () })
+    val out = Delivery.retry(policy) {
+      if (attempts.incrementAndGet() == 1) { Thread.sleep(5000); "slow" }
+      else "fast"
+    }
+    assert(out === "fast")
+    assert(attempts.get() === 2)
+    assert(timedOut.get() === 1)
+    // every attempt slow → the loop exhausts with the timeout error
+    val e = intercept[java.util.concurrent.TimeoutException] {
+      Delivery.retry(policy.copy(maxAttempts = 2)) {
+        Thread.sleep(5000); "never"
+      }
+    }
+    assert(e.getMessage.contains("150ms"))
+    // a permanent failure inside a supervised attempt still fails fast
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    intercept[PermanentException] {
+      Delivery.retry(policy) {
+        n.incrementAndGet()
+        throw new RuntimeException("access denied: nope")
+      }
+    }
+    assert(n.get() === 1)
+  }
+
+  test("max_elapsed_time gives up deterministically (simulated elapsed = backoff sum)") {
+    // backoffs 10, 20, 40, ...; cap elapsed at 25 → attempt 1 waits 10,
+    // attempt 2 would add 20 (total 30 > 25) → give up after 2 attempts
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val e = intercept[RuntimeException] {
+      Delivery.retry(Delivery.RetryPolicy(
+        maxAttempts = 10, initialBackoffMs = 10, multiplier = 2.0,
+        sleep = _ => (), maxElapsedMs = Some(25))) {
+        attempts.incrementAndGet()
+        throw new RuntimeException("flaky")
+      }
+    }
+    assert(e.getMessage === "flaky")
+    assert(attempts.get() === 2)
+  }
+
+  test("config knobs resolve to the delivery policy (timeout + retry_on_failure)") {
+    import graft.config.ExporterConfig._
+    val cfg = Config(Filesystem("/tmp/x"), Catalog("none"),
+      timeoutMs = 1234,
+      retry = Retry(initialIntervalMs = 7, maxIntervalMs = 70,
+        maxElapsedTimeMs = 700))
+    assert(cfg.validate.isEmpty)
+    val p = cfg.deliveryPolicy
+    assert(p.attemptTimeoutMs === Some(1234L))
+    assert(p.initialBackoffMs === 7L && p.maxBackoffMs === 70L)
+    assert(p.maxElapsedMs === Some(700L))
+    // timeout 0 disables; retry disabled = single attempt
+    val off = cfg.copy(timeoutMs = 0, retry = Retry(enabled = false))
+    assert(off.validate.isEmpty)
+    assert(off.deliveryPolicy.attemptTimeoutMs === None)
+    assert(off.deliveryPolicy.maxAttempts === 1)
+    // validation catches bad knobs with reference-style messages
+    assert(cfg.copy(timeoutMs = -1).validate
+      .exists(_.contains("timeout must be >= 0")))
+    assert(cfg.copy(retry = Retry(initialIntervalMs = 0)).validate
+      .exists(_.contains("initial_interval")))
+    assert(cfg.copy(retry = Retry(initialIntervalMs = 10, maxIntervalMs = 5))
+      .validate.exists(_.contains("max_interval")))
+  }
 }
