@@ -279,6 +279,7 @@ object SparkEntry {
       ((s, d) => TextOps.bpeTokenize(s, d, byteLevel = true)),
     "text_unigram_train"    -> ((s, d) => TextOps.unigramTrain(s, d)),
     "text_unigram_tokenize" -> ((s, d) => TextOps.unigramTokenize(s, d)),
+    "text_unigram_curve"    -> ((s, d) => TextOps.unigramCurve(s, d)),
     "dedup_tfidf_cosine" -> ((s, d) => Dedup.tfidfCosine(s, d)),
     "sim_embed_stats"    -> ((s, d) => SimOps.embedStats(s, d)),
     "dedup_span_coverage" -> ((s, d) => Dedup.spanCoverage(s, d)),
@@ -730,6 +731,22 @@ object SparkEntry {
       | CAST(row_number() OVER (ORDER BY v.cnt DESC, v.piece ASC) AS BIGINT)
       |  AS rnk
       |FROM v$rounds v JOIN cF c USING (piece)""".stripMargin
+
+  /** `text_unigram_curve`: per-EM-round convergence readout from the
+    * same unrolled chain — pieces used / total pieces / pieces per DP
+    * word per round. */
+  private def unigramCurveOracleSql(rounds: Int = 3): String =
+    unigramOracleCtes(rounds) ++ s""",
+      |wt AS (SELECT CAST(sum(freq) AS BIGINT) AS total_words FROM udw)
+      |SELECT round, vocab_used, total_pieces, total_words,
+      | CAST(total_pieces AS DOUBLE) / total_words AS pieces_per_word
+      |FROM (
+      | ${(1 to rounds).map(r =>
+           s"SELECT CAST($r AS BIGINT) AS round," +
+           s" CAST(count(*) AS BIGINT) AS vocab_used," +
+           s" CAST(sum(cnt) AS BIGINT) AS total_pieces FROM e${r}_n")
+           .mkString("\n UNION ALL\n ")}
+      |) t, wt""".stripMargin
 
   /** `text_unigram_tokenize`: one more DP chain under the FINAL cost
     * table, read out per document (distinct words segment once, the
@@ -3419,6 +3436,7 @@ object SparkEntry {
     // unrolled materialized CTE chains (the bpeOracleCtes discipline)
     "text_unigram_train" -> unigramTrainOracleSql(),
     "text_unigram_tokenize" -> unigramTokenizeOracleSql(),
+    "text_unigram_curve" -> unigramCurveOracleSql(),
     "dedup_tfidf_cosine" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t

@@ -1659,9 +1659,19 @@ object TextOps {
     * likelihood-prune, hard-EM form). */
   private def uniFinalVocab(spark: SparkSession, sfDir: String,
                             rounds: Int, seedMulti: Int,
-                            vocabMulti: Int): DataFrame = {
+                            vocabMulti: Int): DataFrame =
+    uniChain(spark, sfDir, rounds, seedMulti, vocabMulti)._1
+
+  /** The seed → EM chain, also returning per-round E-step aggregates
+    * (round, vocab pieces used, total pieces, total DP words) — the
+    * convergence curve [[unigramCurve]] reads out. */
+  private def uniChain(spark: SparkSession, sfDir: String,
+                       rounds: Int, seedMulti: Int, vocabMulti: Int)
+      : (DataFrame, Seq[(Long, Long, Long, Long)]) = {
     import spark.implicits._
     val words = uniWords(spark, sfDir).localCheckpoint()
+    val dpWordTotal = words.filter(length($"w") <= UniMaxWordLen)
+      .agg(sum($"freq")).collect()(0).getLong(0)
     val seeds = words
       .select($"freq", $"w",
         explode(sequence(lit(1), least(length($"w"), lit(UniMaxPiece))))
@@ -1679,10 +1689,13 @@ object TextOps {
       .filter($"rnk" <= seedMulti).drop("rnk")
     var v = seeds.join(chars, Seq("piece"), "left_semi")
       .unionByName(multi0).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    val curve = Seq.newBuilder[(Long, Long, Long, Long)]
+    for (r <- 1 to rounds) {
       val costs = uniCosts(v).select($"piece", $"cost_micro")
         .as[(String, Long)].collect().toMap
-      val counts = uniSegmentCounts(words, costs)
+      val counts = uniSegmentCounts(words, costs).localCheckpoint()
+      val agg = counts.agg(count(lit(1)), sum($"cnt")).collect()(0)
+      curve += ((r.toLong, agg.getLong(0), agg.getLong(1), dpWordTotal))
       val vChars = chars.join(counts, Seq("piece"), "left")
         .select($"piece", coalesce($"cnt", lit(0L)).as("cnt"))
       val vMulti = counts.filter(length($"piece") > 1)
@@ -1691,7 +1704,24 @@ object TextOps {
         .filter($"rnk" <= vocabMulti).drop("rnk")
       v = vChars.unionByName(vMulti).localCheckpoint()
     }
-    v
+    (v, curve.result())
+  }
+
+  /** Unigram-LM EM CONVERGENCE curve (`text_unigram_curve`): one row
+    * per Viterbi-EM round — distinct pieces actually used by the
+    * round's segmentation, total pieces over the DP corpus, and pieces
+    * per word. The refit can only tighten or hold the segmentation
+    * under the re-estimated costs (the bpe_curve discipline: the
+    * learning curve is a QUERY, not a log line). All-integer counts,
+    * the one double a fixed division — engine-exact. */
+  def unigramCurve(spark: SparkSession, sfDir: String,
+                   rounds: Int = 3, seedMulti: Int = 96,
+                   vocabMulti: Int = 64): DataFrame = {
+    import spark.implicits._
+    uniChain(spark, sfDir, rounds, seedMulti, vocabMulti)._2
+      .toDF("round", "vocab_used", "total_pieces", "total_words")
+      .withColumn("pieces_per_word",
+        $"total_pieces".cast("double") / $"total_words")
   }
 
   /** Unigram-LM tokenizer TRAINING (`text_unigram_train`): the final

@@ -96,6 +96,24 @@ class UnigramTokenizerSpec extends SparkSpec {
     assert(tok.agg(sum($"n_words")).collect()(0).getLong(0) === nWords)
   }
 
+  test("EM curve: rounds ordered, segmentation never loosens, vocab bounded") {
+    import spark.implicits._
+    val curve = TextOps.unigramCurve(spark, sf).orderBy($"round").collect()
+    assert(curve.map(_.getAs[Long]("round")).toSeq === Seq(1L, 2L, 3L))
+    // Viterbi-EM refit can only tighten or hold the total segmentation
+    val pieces = curve.map(_.getAs[Long]("total_pieces"))
+    assert(pieces.zip(pieces.tail).forall { case (a, b) => b <= a },
+      pieces.mkString(","))
+    // words are constant across rounds; pieces/word consistent
+    val words = curve.map(_.getAs[Long]("total_words")).distinct
+    assert(words.length === 1 && words.head > 0)
+    curve.foreach { r =>
+      assert(math.abs(r.getAs[Double]("pieces_per_word") -
+        r.getAs[Long]("total_pieces").toDouble / words.head) < 1e-12)
+      assert(r.getAs[Long]("vocab_used") > 0)
+    }
+  }
+
   test("EM refines: round-2 vocabulary usage covers the corpus under final costs") {
     import spark.implicits._
     val train = TextOps.unigramTrain(spark, sf).localCheckpoint()
