@@ -220,7 +220,14 @@ object RecoveryCli {
               out(s"  ${r.getString(0)} (${r.getLong(1)} bytes)"))
             // register only the time-window survivors (idempotent); with
             // no window this is exactly reconcile's candidate set
-            if (a.cmd == "reconcile" && !a.dryRun && n > 0) {
+            // catalog mode: registration needs the table; check BEFORE
+            // any repair mutates storage (the reference's repair runs
+            // off a register failure, which presupposes the table)
+            lazy val registrable = client.forall(
+              _.loadTable(a.namespace, t).isDefined)
+            if (a.cmd == "reconcile" && !a.dryRun && n > 0 && !registrable)
+              out(s"  $t: not in catalog — create the table first, skipping")
+            if (a.cmd == "reconcile" && !a.dryRun && n > 0 && registrable) {
               // Cross-partition AUTO-REPAIR (reconciler.go:380
               // handleCrossPartitionFile): validate the candidates the
               // way iceberg-go's tuple derivation would, and when the
@@ -259,17 +266,13 @@ object RecoveryCli {
               }
               client match {
                 case Some(c) =>
-                  if (c.loadTable(a.namespace, t).isEmpty)
-                    out(s"  $t: not in catalog — create the table first, skipping")
-                  else {
-                    // real per-file record counts from the footers — the
-                    // snapshot summary the reference exporter publishes
-                    val counts = Recovery.fileRowCounts(spark, candidates.map(_._1))
-                    c.appendDataFiles(a.namespace, t, candidates.map {
-                      case (p, sz) => graft.catalog.RestCatalogClient.DataFile(
-                        p, sz, counts.getOrElse(p, 0L)) })
-                    registered += candidates.size
-                  }
+                  // real per-file record counts from the footers — the
+                  // snapshot summary the reference exporter publishes
+                  val counts = Recovery.fileRowCounts(spark, candidates.map(_._1))
+                  c.appendDataFiles(a.namespace, t, candidates.map {
+                    case (p, sz) => graft.catalog.RestCatalogClient.DataFile(
+                      p, sz, counts.getOrElse(p, 0L)) })
+                  registered += candidates.size
                 case None =>
                   import spark.implicits._
                   Recovery.registerFiles(spark, s"${a.manifest}/$t",
