@@ -289,4 +289,64 @@ class PropertySpec extends SparkSpec {
       built == ls.map(BloomKeys.keyOf)
     })
   }
+
+  test("iceberg bucket transform: range, determinism, int-long promotion agreement") {
+    import graft.catalog.IcebergPartitioning
+    val nGen = Gen.oneOf(2, 4, 16, 128, 1021)
+    check("bucket-range", Prop.forAll(
+      Gen.chooseNum(Long.MinValue, Long.MaxValue), nGen) { (v, n) =>
+      val b = IcebergPartitioning.bucketValue(n, v)
+      b >= 0 && b < n && b == IcebergPartitioning.bucketValue(n, v)
+    })
+    // spec: int promotes to long before hashing — same bucket for the
+    // same numeric value regardless of declared width
+    check("bucket-promotion", Prop.forAll(
+      Gen.chooseNum(Int.MinValue, Int.MaxValue), nGen) { (v, n) =>
+      IcebergPartitioning.bucketValue(n, v.toLong) ==
+        IcebergPartitioning.transformValue(s"bucket[$n]", v.toLong)
+    })
+    check("bucket-string-range", Prop.forAll(
+      Gen.alphaNumStr.suchThat(_.nonEmpty), nGen) { (s, n) =>
+      val b = IcebergPartitioning.bucketValueString(n, s)
+      b >= 0 && b < n
+    })
+    // truncate: floors toward -inf, idempotent, order-preserving
+    check("truncate", Prop.forAll(
+      Gen.chooseNum(-1000000L, 1000000L),
+      Gen.chooseNum(-1000000L, 1000000L),
+      Gen.oneOf(1, 7, 10, 100)) { (a, b, w) =>
+      val t = s"truncate[$w]"
+      def tr(v: Long) = IcebergPartitioning.transformValue(t, v)
+      tr(a) <= a && a - tr(a) < w &&
+        tr(tr(a)) == tr(a) &&
+        (a > b) == false || tr(a) >= tr(b) // monotone
+    })
+  }
+
+  test("viterbi segmentation: coverage and optimality on random words and costs") {
+    import graft.llm.TextOps
+    val wordGen = Gen.chooseNum(1, TextOps.UniMaxWordLen).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val costGen = Gen.mapOf(Gen.zip(
+      Gen.chooseNum(1, 4).flatMap(l =>
+        Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString)),
+      Gen.chooseNum(1L, 1000000L)))
+    check("viterbi", Prop.forAll(wordGen, costGen) { (w, extra) =>
+      // chars always present (the seed's coverage guarantee)
+      val cost = Map("a" -> 500000L, "b" -> 500000L, "c" -> 500000L) ++
+        extra.filter(_._1.length > 1)
+      val pieces = TextOps.viterbiPieces(w, cost)
+      val covers = pieces.mkString == w
+      val total = pieces.map(cost).sum
+      // optimality vs brute force over all segmentations (len ≤ 12,
+      // pieces ≤ 4 — the search space is small)
+      def allCosts(s: String): Seq[Long] =
+        if (s.isEmpty) Seq(0L)
+        else (1 to math.min(4, s.length)).flatMap { k =>
+          cost.get(s.substring(0, k)).toSeq.flatMap(c =>
+            allCosts(s.substring(k)).map(_ + c))
+        }
+      covers && total == allCosts(w).min
+    })
+  }
 }
