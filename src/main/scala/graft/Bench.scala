@@ -282,37 +282,9 @@ object Bench {
           // CORRECTNESS of the 1/16 prune is what the spec pins
           // (IcebergSpecEvolutionSpec bucket era).
           "iceberg_bucket_full" -> {
-            import spark.implicits._
-            val bData = s"$dir/events_bucketed_data"
             val bLoc = s"$dir/events_bucketed"
-            val idBuckets = spark.read.parquet(tablePath)
-              .select(col("event_id")).distinct().as[Long]
-              .mapPartitions(_.map(id =>
-                (id, graft.catalog.IcebergPartitioning.bucketValue(16, id))))
-              .toDF("event_id", "bucket")
-            spark.read.parquet(tablePath).join(idBuckets, "event_id")
-              .repartition(col("bucket"))
-              .write.partitionBy("bucket").parquet(bData)
-            val bPaths = graft.recovery.Recovery
-              .listDataFiles(spark, bData).collect().map(_.getString(0)).toSeq
-            val bCounts = graft.recovery.Recovery.fileRowCounts(spark, bPaths)
-            // file schema (no partition dir column) drives the chain
-            val (bSchema, bIds) = graft.catalog.RestCatalogClient
-              .icebergSchemaJson(spark.read.parquet(bPaths.head).schema)
-            val bSpec = org.json4s.jackson.JsonMethods.parse(
-              s"""{"fields":[{"name":"eid_bucket","transform":"bucket[16]",
-                 |"source-id":${bIds("event_id")},"field-id":1000}]}"""
-                .stripMargin)
-            graft.catalog.IcebergCommit.commitStandalone(
-              spark.sparkContext.hadoopConfiguration, bLoc,
-              org.json4s.jackson.JsonMethods.compact(
-                org.json4s.jackson.JsonMethods.render(bSchema)),
-              Some(bSpec),
-              bPaths.map { p =>
-                val b = "bucket=(\\d+)".r.findFirstMatchIn(p).get.group(1).toLong
-                graft.catalog.RestCatalogClient.DataFile(
-                  p, 0L, bCounts.getOrElse(p, 0L), Nil, Seq(Some(b)))
-              })
+            graft.catalog.IcebergMaintenance.rewriteBucketed(
+              spark, tablePath, bLoc, "event_id", 16)
             bestWarm("iceberg_bucket_full")(graft.catalog.IcebergTableReader
               .read(spark, bLoc).filter(col("event_id") === needle).count())
           },

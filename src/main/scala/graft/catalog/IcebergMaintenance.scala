@@ -871,4 +871,78 @@ object IcebergMaintenance {
     }
     appendStatsBlobs(spark, tableDir, blobs)
   }
+
+  /** OPTIMIZE … CLUSTER BY bucket(column) (r14): rewrite a plain
+    * parquet table into a `bucket[N]`-clustered stand-alone Iceberg
+    * chain. Rows route by the SPEC's murmur3 bucket of `column` (one
+    * shuffle on the bucket value), so every output file is
+    * single-bucket by construction and commits with its EXPLICIT
+    * partition tuple under a `bucket[N]` spec — the one clustering a
+    * min/max zone map cannot give a hash-spread key. Point lookups
+    * through [[IcebergTableReader.readPoint]] then open ~1/N of the
+    * files from the partition tuple alone, for LONG and STRING needles
+    * alike, with no bloom sidecar. Optional `statsColumn` harvests
+    * footer bounds so time slicing keeps pruning too. Returns the
+    * committed snapshot id.
+    *
+    * Scale shape: distinct key values map through the bucket kernel
+    * once (vocabulary-of-keys-sized), the corpus pays one equi-join +
+    * one shuffle on the bucket value, and the dynamic partition writer
+    * emits per-bucket files — no driver-side row handling anywhere. */
+  def rewriteBucketed(spark: SparkSession, srcParquetDir: String,
+                      destLoc: String, column: String, nBuckets: Int,
+                      statsColumn: Option[String] = None): Long = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    require(nBuckets > 1, s"nBuckets must be > 1, got $nBuckets")
+    val df = spark.read.parquet(srcParquetDir)
+    val keyBuckets = (df.schema(column).dataType match {
+      case LongType | IntegerType =>
+        df.select(col(column).cast("long").as("__k")).distinct().as[Long]
+          .mapPartitions(_.map(v =>
+            (v, IcebergPartitioning.bucketValue(nBuckets, v))))
+          .toDF("__k", "__bucket")
+      case StringType =>
+        df.select(col(column).as("__k")).distinct().as[String]
+          .mapPartitions(_.map(s =>
+            (s, IcebergPartitioning.bucketValueString(nBuckets, s))))
+          .toDF("__k", "__bucket")
+      case other => throw new UnsupportedOperationException(
+        s"bucket clustering on $column: $other (supported: long, int, string)")
+    }).localCheckpoint()
+    val dataDir = s"$destLoc/data/bucketed"
+    df.join(keyBuckets, df(column).cast(
+        if (df.schema(column).dataType == StringType) "string" else "long")
+        === col("__k"))
+      .drop("__k")
+      .repartition(col("__bucket"))
+      .write.partitionBy("__bucket").parquet(dataDir)
+    val paths = graft.recovery.Recovery.listDataFiles(spark, dataDir)
+      .collect().map(_.getString(0)).toSeq.sorted
+    val counts = graft.recovery.Recovery.fileRowCounts(spark, paths)
+    val fileSchema = spark.read.parquet(paths.head).schema
+    val (schemaJson, topIds) = RestCatalogClient.icebergSchemaJson(fileSchema)
+    val spec = org.json4s.jackson.JsonMethods.parse(
+      s"""{"fields":[{"name":"${column}_bucket",
+         |"transform":"bucket[$nBuckets]",
+         |"source-id":${topIds(column)},"field-id":1000}]}""".stripMargin)
+    val stats = statsColumn.map(c =>
+      (topIds(c), graft.recovery.Recovery.fileColumnStats(spark, paths, c)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    IcebergCommit.commitStandalone(conf, destLoc,
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(schemaJson)),
+      Some(spec),
+      paths.map { p =>
+        val b = "__bucket=(\\d+)".r.findFirstMatchIn(p).get.group(1).toLong
+        val bounds = stats.toSeq.flatMap { case (fid, byPath) =>
+          byPath.get(p).toSeq.map { case (mn, mx) =>
+            (fid, IcebergSingleValue.longBytes(mn),
+              IcebergSingleValue.longBytes(mx)) }
+        }
+        DataFile(p, new Path(p).getFileSystem(conf)
+          .getFileStatus(new Path(p)).getLen,
+          counts.getOrElse(p, 0L), bounds, Seq(Some(b)))
+      })
+  }
 }

@@ -354,6 +354,58 @@ class IcebergSpecEvolutionSpec extends SparkSpec {
     ()
   }
 
+  test("rewriteBucketed: OPTIMIZE-style bucket clustering, long and string keys") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-rwb-src").toString + "/t"
+    (1L to 400L).map(i => (i, i * 1000L, s"id-${i % 40}", i / 7.0))
+      .toDF("id", "ts", "tag", "score")
+      .repartition(4).write.parquet(src)
+    val srcRows = spark.read.parquet(src).count()
+
+    // LONG key clustering
+    val locL = Files.createTempDirectory("graft-rwb-long").toString + "/t"
+    IcebergMaintenance.rewriteBucketed(spark, src, locL, "id", 8,
+      statsColumn = Some("ts"))
+    // rows conserved; every file single-bucket; tuples match the spec hash
+    assert(IcebergTableReader.read(spark, locL).count() === srcRows)
+    val entries = IcebergTableReader.dataFiles(spark, locL)
+    entries.foreach { f =>
+      val b = f.partition("id_bucket")
+      val ids = spark.read.parquet(f.path).select($"id").as[Long].collect()
+      assert(ids.forall(IcebergPartitioning.bucketValue(8, _) == b), f.path)
+    }
+    // point lookup opens only the needle's bucket files
+    val needle = 137L
+    val nb = IcebergPartitioning.bucketValue(8, needle)
+    val opened = IcebergTableReader.readPoint(spark, locL, "id", needle)
+    assert(opened.count() === 1L)
+    val sameBucket = entries.filter(_.partition("id_bucket") == nb).map(_.path)
+    assert(opened.inputFiles.map(f => new java.net.URI(f).getPath).toSet
+      .subsetOf(sameBucket.map(p => new java.net.URI(p).getPath).toSet))
+    // the harvested ts bounds keep time slicing pruning too
+    assert(IcebergTableReader.readSlice(spark, locL, "ts", 0L, 100000L)
+      .count() === 99L) // ids 1..99 (ts = id*1000 < 100000)
+
+    // STRING key clustering: the needle path a zone map cannot serve
+    val locS = Files.createTempDirectory("graft-rwb-str").toString + "/t"
+    IcebergMaintenance.rewriteBucketed(spark, src, locS, "tag", 4)
+    assert(IcebergTableReader.read(spark, locS).count() === srcRows)
+    val sNeedle = "id-7"
+    val hits = IcebergTableReader.readPoint(spark, locS, "tag", sNeedle)
+    assert(hits.count() === 10L) // 400 ids, tag = id % 40 → 10 rows
+    val sEntries = IcebergTableReader.dataFiles(spark, locS)
+    val sBucket = IcebergPartitioning.bucketValueString(4, sNeedle)
+    assert(hits.inputFiles.map(f => new java.net.URI(f).getPath).toSet
+      .subsetOf(sEntries.filter(_.partition("tag_bucket") == sBucket)
+        .map(p => new java.net.URI(p.path).getPath).toSet))
+    // an unsupported key type (double) fails loudly
+    intercept[UnsupportedOperationException] {
+      IcebergMaintenance.rewriteBucketed(spark, src,
+        Files.createTempDirectory("graft-rwb-bad").toString + "/t", "score", 4)
+    }
+    ()
+  }
+
   test("truncate[100](id) era: order-preserving tuples prune ranges") {
     import spark.implicits._
     val loc = Files.createTempDirectory("graft-trunc").toString + "/t"
