@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.IcebergTableReader.{DeleteEntry, FileEntry}
 import graft.catalog.RestCatalogClient.DataFile
+import graft.functions.GraftFunctions
 
 /** High-level Iceberg v2 table MAINTENANCE over the catalog-free
   * chain — the user-facing verbs a curated 100 TB corpus needs on top
@@ -872,56 +873,63 @@ object IcebergMaintenance {
     appendStatsBlobs(spark, tableDir, blobs)
   }
 
-  /** OPTIMIZE … CLUSTER BY bucket(column) (r14): rewrite a plain
-    * parquet table into a `bucket[N]`-clustered stand-alone Iceberg
-    * chain. Rows route by the SPEC's murmur3 bucket of `column` (one
-    * shuffle on the bucket value), so every output file is
-    * single-bucket by construction and commits with its EXPLICIT
+  /** The bucket-clustered routing plan [[rewriteBucketed]] writes —
+    * factored so `IcebergSpecEvolutionSpec` can pin its shape: the
+    * spec's murmur3 bucket is computed in-row by the codegen'd
+    * [[graft.functions.IcebergBucket]] expression, so the whole job
+    * is narrow-map → exactly ONE Exchange (hash on the bucket value).
+    * NULL keys keep a NULL bucket (the dynamic-partition writer
+    * routes them to the default partition; [[rewriteBucketed]]
+    * commits those files with a null partition tuple) instead of
+    * being joined away. */
+  def bucketClustered(df: DataFrame, column: String,
+                      nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    df.schema(column).dataType match {
+      case LongType | IntegerType | StringType => ()
+      case other => throw new UnsupportedOperationException(
+        s"bucket clustering on $column: $other (supported: long, int, string)")
+    }
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn("__bucket",
+        call_function("iceberg_bucket", lit(nBuckets), col(column)))
+      .repartition(col("__bucket"))
+  }
+
+  /** OPTIMIZE … CLUSTER BY bucket(column) (r14, single-shuffle since
+    * r15): rewrite a plain parquet table into a `bucket[N]`-clustered
+    * stand-alone Iceberg chain. Rows route by the SPEC's murmur3
+    * bucket of `column`, computed in-row by the native
+    * [[graft.functions.IcebergBucket]] expression — ONE shuffle on
+    * the bucket value, no distinct/join detour — so every output file
+    * is single-bucket by construction and commits with its EXPLICIT
     * partition tuple under a `bucket[N]` spec — the one clustering a
     * min/max zone map cannot give a hash-spread key. Point lookups
     * through [[IcebergTableReader.readPoint]] then open ~1/N of the
     * files from the partition tuple alone, for LONG and STRING needles
-    * alike, with no bloom sidecar. Optional `statsColumn` harvests
-    * footer bounds so time slicing keeps pruning too. Returns the
-    * committed snapshot id.
+    * alike, with no bloom sidecar. NULL keys commit under a null
+    * partition tuple (they match only IS NULL probes); an empty
+    * source commits an empty snapshot. Optional `statsColumn`
+    * harvests footer bounds so time slicing keeps pruning too.
+    * Returns the committed snapshot id.
     *
-    * Scale shape: distinct key values map through the bucket kernel
-    * once (vocabulary-of-keys-sized), the corpus pays one equi-join +
-    * one shuffle on the bucket value, and the dynamic partition writer
-    * emits per-bucket files — no driver-side row handling anywhere. */
+    * Scale shape: the corpus pays one narrow map (codegen'd murmur3)
+    * plus one hash exchange, and the dynamic partition writer emits
+    * per-bucket files — no driver-side row handling anywhere. */
   def rewriteBucketed(spark: SparkSession, srcParquetDir: String,
                       destLoc: String, column: String, nBuckets: Int,
                       statsColumn: Option[String] = None): Long = {
-    import spark.implicits._
-    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     require(nBuckets > 1, s"nBuckets must be > 1, got $nBuckets")
     val df = spark.read.parquet(srcParquetDir)
-    val keyBuckets = (df.schema(column).dataType match {
-      case LongType | IntegerType =>
-        df.select(col(column).cast("long").as("__k")).distinct().as[Long]
-          .mapPartitions(_.map(v =>
-            (v, IcebergPartitioning.bucketValue(nBuckets, v))))
-          .toDF("__k", "__bucket")
-      case StringType =>
-        df.select(col(column).as("__k")).distinct().as[String]
-          .mapPartitions(_.map(s =>
-            (s, IcebergPartitioning.bucketValueString(nBuckets, s))))
-          .toDF("__k", "__bucket")
-      case other => throw new UnsupportedOperationException(
-        s"bucket clustering on $column: $other (supported: long, int, string)")
-    }).localCheckpoint()
     val dataDir = s"$destLoc/data/bucketed"
-    df.join(keyBuckets, df(column).cast(
-        if (df.schema(column).dataType == StringType) "string" else "long")
-        === col("__k"))
-      .drop("__k")
-      .repartition(col("__bucket"))
+    bucketClustered(df, column, nBuckets)
       .write.partitionBy("__bucket").parquet(dataDir)
     val paths = graft.recovery.Recovery.listDataFiles(spark, dataDir)
       .collect().map(_.getString(0)).toSeq.sorted
     val counts = graft.recovery.Recovery.fileRowCounts(spark, paths)
-    val fileSchema = spark.read.parquet(paths.head).schema
-    val (schemaJson, topIds) = RestCatalogClient.icebergSchemaJson(fileSchema)
+    // the partition column never lands in the data files, so the file
+    // schema is the source schema (also correct when `paths` is empty)
+    val (schemaJson, topIds) = RestCatalogClient.icebergSchemaJson(df.schema)
     val spec = org.json4s.jackson.JsonMethods.parse(
       s"""{"fields":[{"name":"${column}_bucket",
          |"transform":"bucket[$nBuckets]",
@@ -934,7 +942,10 @@ object IcebergMaintenance {
         org.json4s.jackson.JsonMethods.render(schemaJson)),
       Some(spec),
       paths.map { p =>
-        val b = "__bucket=(\\d+)".r.findFirstMatchIn(p).get.group(1).toLong
+        // NULL-key rows land in the writer's default partition dir and
+        // commit with a null partition tuple (spec: null bucket value)
+        val b = "__bucket=(\\d+)".r.findFirstMatchIn(p)
+          .map(_.group(1).toLong)
         val bounds = stats.toSeq.flatMap { case (fid, byPath) =>
           byPath.get(p).toSeq.map { case (mn, mx) =>
             (fid, IcebergSingleValue.longBytes(mn),
@@ -942,7 +953,7 @@ object IcebergMaintenance {
         }
         DataFile(p, new Path(p).getFileSystem(conf)
           .getFileStatus(new Path(p)).getLen,
-          counts.getOrElse(p, 0L), bounds, Seq(Some(b)))
+          counts.getOrElse(p, 0L), bounds, Seq(b))
       })
   }
 }

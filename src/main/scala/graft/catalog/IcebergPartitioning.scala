@@ -87,6 +87,13 @@ object IcebergPartitioning {
   def bucketValueString(n: Int, s: String): Long =
     ((bucketHashString(s) & Int.MaxValue) % n).toLong
 
+  /** bucket[N] over pre-encoded UTF-8 bytes — the allocation-light
+    * entry point [[graft.functions.IcebergBucket]]'s generated code
+    * calls (Spark's UTF8String hands back its bytes without a
+    * String round-trip). */
+  def bucketValueUtf8(n: Int, utf8: Array[Byte]): Long =
+    ((murmur3(utf8) & Int.MaxValue) % n).toLong
+
   /** Whether `transform` is ORDER-PRESERVING — the property every
     * range-based prune and min/max tuple derivation depends on. Bucket
     * is the one transform that is not: a value range says nothing

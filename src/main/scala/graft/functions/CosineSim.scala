@@ -148,6 +148,14 @@ object GraftFunctions {
       "sorted_intersect_count"),
     (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
 
+  val icebergBucketDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("iceberg_bucket"),
+    new ExpressionInfo(classOf[IcebergBucket].getName, "iceberg_bucket"),
+    // iceberg_bucket(n, col): n is a foldable bucket count
+    (children: Seq[Expression]) => IcebergBucket(
+      children(0).eval(null).asInstanceOf[Number].intValue,
+      children(1)))
+
   val ddsketchDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("ddsketch_agg"),
     new ExpressionInfo(classOf[DdsketchAgg].getName, "ddsketch_agg"),
@@ -160,7 +168,8 @@ object GraftFunctions {
     Seq(cosineSimDescriptor, bottomKDescriptor, bottomKDistinctDescriptor,
         topKDescriptor,
         frequentItemsDescriptor, hilbertDescriptor, bagBoundDescriptor,
-        sortedIntersectDescriptor, ddsketchDescriptor).foreach {
+        sortedIntersectDescriptor, ddsketchDescriptor,
+        icebergBucketDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

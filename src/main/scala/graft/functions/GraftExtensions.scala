@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.bagBoundDescriptor)
     ext.injectFunction(GraftFunctions.sortedIntersectDescriptor)
     ext.injectFunction(GraftFunctions.ddsketchDescriptor)
+    ext.injectFunction(GraftFunctions.icebergBucketDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
