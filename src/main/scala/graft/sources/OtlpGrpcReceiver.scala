@@ -50,7 +50,8 @@ import scala.collection.mutable
   */
 final class OtlpGrpcReceiver(spoolDir: String, host: String = "127.0.0.1",
                              port: Int = 0,
-                             limits: SpoolLimits = SpoolLimits.Unbounded) {
+                             limits: SpoolLimits = SpoolLimits.Unbounded,
+                             gc: Option[SpoolGcTriggers] = None) {
   import OtlpGrpcReceiver._
 
   private val services = Map(
@@ -77,6 +78,12 @@ final class OtlpGrpcReceiver(spoolDir: String, host: String = "127.0.0.1",
   val gauge =
     new SpoolGauge(spoolDir, services.values.toSeq, limits)
 
+  /** `file_storage` compaction parity (example/otel-config.yaml:8-15):
+    * sweep committed spool files at start and on the rebound
+    * threshold, so a capped spool drains without manual GC. */
+  private val autoGc = gc.map(t => new SpoolAutoGc(t, spoolDir, gauge))
+  autoGc.foreach(_.sweepOnStart())
+
   private val server = new ServerSocket()
   server.bind(new InetSocketAddress(host, port))
   private val running = new AtomicBoolean(true)
@@ -100,14 +107,23 @@ final class OtlpGrpcReceiver(spoolDir: String, host: String = "127.0.0.1",
     ()
   }
 
-  /** Spool one gRPC message (an Export*ServiceRequest) durably. */
+  /** Spool one gRPC message (an Export*ServiceRequest) durably. The
+    * caller holds a gauge reservation for `body.length`; it is
+    * confirmed once the file lands and released if the write fails, so
+    * a concurrent gauge rescan never drops an in-flight admission. */
   private def spool(signal: String, body: Array[Byte]): Unit = {
     val name =
       f"${System.currentTimeMillis()}%013d-g${seq.getAndIncrement()}%06d.pb"
     val tmp = inflight.resolve(s"$signal-$name")
-    Files.write(tmp, body)
-    Files.move(tmp, Paths.get(spoolDir, signal, name),
-      StandardCopyOption.ATOMIC_MOVE)
+    try {
+      Files.write(tmp, body)
+      Files.move(tmp, Paths.get(spoolDir, signal, name),
+        StandardCopyOption.ATOMIC_MOVE)
+      gauge.confirm(body.length.toLong)
+    } catch { case t: Throwable =>
+      gauge.release(body.length.toLong)
+      throw t
+    }
     accepted(signal).incrementAndGet()
     ()
   }
@@ -262,7 +278,10 @@ final class OtlpGrpcReceiver(spoolDir: String, host: String = "127.0.0.1",
               // the spec-blessed retryable status — and spools nothing
               // further (messages already spooled stay: at-least-once,
               // the same partial-failure stance as a retried export)
-              def admit(body: Array[Byte]): Boolean =
+              def admit(body: Array[Byte]): Boolean = {
+                // rebound sweep BEFORE the check (on_rebound parity):
+                // committed backlog frees space for this very message
+                autoGc.foreach(_.maybeRebound())
                 if (gauge.tryAcquire(body.length.toLong)) true
                 else {
                   err = Some((8, // RESOURCE_EXHAUSTED
@@ -270,6 +289,7 @@ final class OtlpGrpcReceiver(spoolDir: String, host: String = "127.0.0.1",
                       s"${gauge.currentBytes} bytes); retry later"))
                   false
                 }
+              }
               if (compressed == 0) {
                 if (admit(raw)) {
                   spool(signal, raw)

@@ -43,7 +43,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   */
 final class OtlpHttpReceiver(spoolDir: String, host: String = "127.0.0.1",
                              port: Int = 0,
-                             limits: SpoolLimits = SpoolLimits.Unbounded) {
+                             limits: SpoolLimits = SpoolLimits.Unbounded,
+                             gc: Option[SpoolGcTriggers] = None) {
 
   private val signals = Map(
     "/v1/traces" -> "traces", "/v1/logs" -> "logs", "/v1/metrics" -> "metrics")
@@ -70,6 +71,13 @@ final class OtlpHttpReceiver(spoolDir: String, host: String = "127.0.0.1",
     * Retry-After and NOTHING is spooled. */
   val gauge = new SpoolGauge(spoolDir,
     signals.values.toSeq.flatMap(s => Seq(s, s + "_json")), limits)
+
+  /** `file_storage` compaction parity (example/otel-config.yaml:8-15):
+    * sweep committed spool files at start and whenever the gauge
+    * crosses the rebound threshold — a capped spool drains on its own
+    * as the consumer commits. */
+  private val autoGc = gc.map(t => new SpoolAutoGc(t, spoolDir, gauge))
+  autoGc.foreach(_.sweepOnStart())
 
   private val server: HttpServer =
     HttpServer.create(new InetSocketAddress(host, port), 0)
@@ -145,6 +153,10 @@ final class OtlpHttpReceiver(spoolDir: String, host: String = "127.0.0.1",
             // full spool sheds with the spec-blessed retryable signal —
             // HTTP 429 + Retry-After — and spools nothing, so a
             // downstream stall caps disk at the configured bound
+            // rebound sweep BEFORE the admission check: at/over the
+            // threshold with committed backlog, the sweep frees space
+            // so this very request can be admitted (on_rebound parity)
+            autoGc.foreach(_.maybeRebound())
             if (!gauge.tryAcquire(b.length.toLong)) {
               telemetry.record(signal, "shed", 429)
               ex.getResponseHeaders.add("Retry-After", "1")
@@ -154,15 +166,23 @@ final class OtlpHttpReceiver(spoolDir: String, host: String = "127.0.0.1",
             } else {
               // durability point: temp write + atomic move BEFORE the ack.
               // Name is (epochMs, per-process seq) — unique and roughly
-              // arrival-ordered for the file source's log.
+              // arrival-ordered for the file source's log. The gauge
+              // reservation is confirmed once the file lands (released
+              // on failure), so a concurrent rescan never drops it.
               val (dir, ext) =
                 if (isProto) (signal, "pb") else (signal + "_json", "json")
               val name =
                 f"${System.currentTimeMillis()}%013d-${seq.getAndIncrement()}%06d.$ext"
               val tmp = inflight.resolve(s"$dir-$name")
-              Files.write(tmp, b)
-              Files.move(tmp, Paths.get(spoolDir, dir, name),
-                StandardCopyOption.ATOMIC_MOVE)
+              try {
+                Files.write(tmp, b)
+                Files.move(tmp, Paths.get(spoolDir, dir, name),
+                  StandardCopyOption.ATOMIC_MOVE)
+                gauge.confirm(b.length.toLong)
+              } catch { case t: Throwable =>
+                gauge.release(b.length.toLong)
+                throw t
+              }
               accepted(signal).incrementAndGet()
               telemetry.record(signal, "accepted", 200)
               if (isProto) {

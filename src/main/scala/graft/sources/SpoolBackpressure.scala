@@ -27,26 +27,34 @@ object SpoolLimits {
   val Unbounded: SpoolLimits = SpoolLimits()
 }
 
-/** Tracks the spool's current size so an accept decision costs two
-  * atomic reads, not a filesystem walk. Accepted writes bump the gauge
-  * inline; drains by the streaming source (cleanSource deletes, spool
-  * maintenance) are observed by a cheap periodic RESCAN of the spool
-  * dirs — between rescans the gauge can only over-count, so shedding
-  * errs on the safe side and recovery is at most `refreshIntervalMs`
-  * late. Thread-safe: admission is a synchronized check-and-add, the
-  * invariant a lock-free CAS loop can't give over two counters. */
+/** Tracks the spool's current size so an accept decision costs a
+  * synchronized counter check, not a filesystem walk. The gauge keeps
+  * two ledgers: DISK truth (what a rescan of the spool dirs found) and
+  * PENDING reservations (admissions whose file has not yet been
+  * renamed into the spool). `tryAcquire` reserves against disk+pending;
+  * the receiver calls [[confirm]] once the file lands (reservation →
+  * disk ledger) or [[release]] if the write fails. A concurrent
+  * [[refresh]] therefore never drops an in-flight admission: the
+  * rescan resets only the disk ledger, and a file counted by BOTH
+  * ledgers during the rename window merely over-counts briefly —
+  * shedding errs on the safe side. Drains by the streaming source
+  * (cleanSource deletes, spool GC) are observed by a cheap periodic
+  * rescan, so recovery is at most `refreshIntervalMs` late. */
 final class SpoolGauge(spoolDir: String, dirs: Seq[String],
                        val limits: SpoolLimits,
                        refreshIntervalMs: Long = 2000L) {
 
-  private val bytes = new AtomicLong(0L)
-  private val files = new AtomicLong(0L)
+  private var diskBytes = 0L
+  private var diskFiles = 0L
+  private var pendingBytes = 0L
+  private var pendingFiles = 0L
   private val lastRefreshMs = new AtomicLong(0L)
   refresh() // adopt whatever a prior receiver incarnation left behind
 
   /** Rescan the spool dirs (shallow: the receivers write flat dirs)
-    * and reset the counters to ground truth. */
-  def refresh(): Unit = synchronized {
+    * and reset the DISK ledger to ground truth; pending reservations
+    * are preserved. */
+  def refresh(): Unit = {
     var b = 0L
     var n = 0L
     dirs.foreach { d =>
@@ -58,29 +66,48 @@ final class SpoolGauge(spoolDir: String, dirs: Seq[String],
         } finally it.close()
       }
     }
-    bytes.set(b)
-    files.set(n)
+    synchronized { diskBytes = b; diskFiles = n }
     lastRefreshMs.set(System.currentTimeMillis())
   }
 
-  /** Admit `incomingBytes` as one new spool file, or refuse because the
-    * spool is at capacity. Refreshes from the filesystem first when the
-    * cached view is stale (so a drained spool re-opens within the
-    * refresh interval). Unbounded limits short-circuit to true. */
+  /** Admit `incomingBytes` as one new spool file (a PENDING
+    * reservation the caller must [[confirm]] or [[release]]), or
+    * refuse because the spool is at capacity. Refreshes from the
+    * filesystem first when the cached view is stale (so a drained
+    * spool re-opens within the refresh interval). Unbounded limits
+    * short-circuit to true without reserving. */
   def tryAcquire(incomingBytes: Long): Boolean = {
     if (!limits.bounded) return true
     if (System.currentTimeMillis() - lastRefreshMs.get() > refreshIntervalMs)
       refresh()
     synchronized {
-      val ok = bytes.get() + incomingBytes <= limits.maxBytes &&
-        files.get() + 1 <= limits.maxFiles
-      if (ok) { bytes.addAndGet(incomingBytes); files.incrementAndGet() }
+      val ok =
+        diskBytes + pendingBytes + incomingBytes <= limits.maxBytes &&
+        diskFiles + pendingFiles + 1 <= limits.maxFiles
+      if (ok) { pendingBytes += incomingBytes; pendingFiles += 1 }
       ok
     }
   }
 
-  def currentBytes: Long = bytes.get()
-  def currentFiles: Long = files.get()
+  /** The reserved file is on disk: move the reservation to the disk
+    * ledger (the next rescan re-derives it from the directory walk). */
+  def confirm(incomingBytes: Long): Unit =
+    if (limits.bounded) synchronized {
+      pendingBytes -= incomingBytes
+      pendingFiles -= 1
+      diskBytes += incomingBytes
+      diskFiles += 1
+    }
+
+  /** The reserved write failed: drop the reservation. */
+  def release(incomingBytes: Long): Unit =
+    if (limits.bounded) synchronized {
+      pendingBytes -= incomingBytes
+      pendingFiles -= 1
+    }
+
+  def currentBytes: Long = synchronized(diskBytes + pendingBytes)
+  def currentFiles: Long = synchronized(diskFiles + pendingFiles)
 }
 
 /** Per-request OUTCOME counters for a receiver — the receiver-side

@@ -308,6 +308,72 @@ class OtlpReceiverSpec extends SparkSpec {
     } finally rx.stop()
   }
 
+  test("auto GC: on_start adopts + drains a prior incarnation's committed backlog") {
+    import graft.sources.{SpoolGcTriggers, SpoolLimits}
+    val base = Files.createTempDirectory("graft-otlp-gc-start").toString
+    // a prior incarnation's spool file, already committed by the stream
+    val spool = Paths.get(s"$base/spool/traces")
+    Files.createDirectories(spool)
+    val f = Files.write(spool.resolve("0000000000000-old.pb"), Array[Byte](1, 2))
+    val src = Paths.get(s"$base/chk/sources/0")
+    Files.createDirectories(src)
+    Files.write(src.resolve("0"),
+      s"""v1\n{"path":"${f.toUri}","timestamp":1,"batchId":0}""".getBytes("UTF-8"))
+    val commits = Paths.get(s"$base/chk/commits")
+    Files.createDirectories(commits)
+    Files.write(commits.resolve("0"), "v1\n{}".getBytes("UTF-8"))
+    // on_start parity (example/otel-config.yaml:8-15): construction
+    // sweeps the committed file, so the bounded spool starts empty
+    val rx = new OtlpHttpReceiver(s"$base/spool",
+      limits = SpoolLimits(maxFiles = 1),
+      gc = Some(SpoolGcTriggers(s"$base/chk")))
+    try {
+      assert(!Files.exists(f))
+      assert(rx.gauge.currentFiles === 0L)
+      assert(post(rx.uri, "/v1/traces",
+        traceRequest("0102030405060708090a0b0c0d0e0f10", "a", 1L)).statusCode() === 200)
+    } finally rx.stop()
+  }
+
+  test("auto GC: crossing the rebound threshold drains committed files without manual sweeps") {
+    import graft.sources.{SpoolGcTriggers, SpoolLimits}
+    import graft.config.ExporterConfig._
+    val base = Files.createTempDirectory("graft-otlp-gc-rebound").toString
+    val ckpt = s"$base/chk"
+    val rx = new OtlpHttpReceiver(s"$base/spool",
+      limits = SpoolLimits(maxFiles = 2),
+      gc = Some(SpoolGcTriggers(ckpt, onStart = false, reboundFraction = 0.5)))
+    try {
+      val t0 = 1709623800000000000L
+      val spool = OtlpHttpReceiver.spoolPath(s"$base/spool", "traces")
+      assert(post(rx.uri, "/v1/traces",
+        traceRequest("0102030405060708090a0b0c0d0e0f10", "a", t0)).statusCode() === 200)
+      assert(post(rx.uri, "/v1/traces",
+        traceRequest("0102030405060708090a0b0c0d0e0f11", "b", t0 + 1)).statusCode() === 200)
+      // over the threshold but nothing committed yet: the rebound sweep
+      // runs, deletes NOTHING, and the request sheds (at-least-once)
+      assert(post(rx.uri, "/v1/traces",
+        traceRequest("0102030405060708090a0b0c0d0e0f12", "c", t0 + 2)).statusCode() === 429)
+      assert(Files.list(Paths.get(spool)).count() === 2)
+
+      // the consumer commits the backlog...
+      val cfg = Config(Filesystem(base), Catalog("none"))
+        .sinkFor("traces", tsColumn = "start_time_unix_nano")
+      StreamingIngest.ingestWithManifest(
+        OtelTraces.flatten(OtelProtoSource.tracesStream(spark, spool)),
+        cfg, ckpt, s"$base/manifest").awaitTermination()
+
+      // ...and the NEXT push self-heals: the rebound sweep (gauge at
+      // 2/2 >= 0.5) drains the committed files inline and the request
+      // is ADMITTED — no manual sweepSpool anywhere
+      assert(post(rx.uri, "/v1/traces",
+        traceRequest("0102030405060708090a0b0c0d0e0f13", "d", t0 + 3)).statusCode() === 200)
+      assert(Files.list(Paths.get(spool)).count() === 1)
+      assert(rx.gauge.currentFiles === 1L)
+      assert(spark.read.parquet(s"$base/otel_traces").count() === 2)
+    } finally rx.stop()
+  }
+
   test("receiver protocol edges: 404 / 405 / 415, and proto response type") {
     val base = Files.createTempDirectory("graft-otlp-edges").toString
     val rx = new OtlpHttpReceiver(s"$base/spool")
