@@ -69,6 +69,28 @@ object ExporterConfig {
                    maxIntervalMs: Long = 30000,
                    maxElapsedTimeMs: Long = 300000)
 
+  /** exporterhelper `sending_queue` knobs (config.go:26
+    * QueueBatchConfig; README: `enabled` default true, `num_consumers`
+    * default 10, `queue_size` default 1000 requests). Our durable spool
+    * IS the queue (push → spool file → pull), so `queue_size` bounds
+    * spool files ([[graft.sources.SpoolLimits]]), `num_consumers`
+    * bounds the concurrent sink writers of each micro-batch, and
+    * `sending_queue.storage` needs no mapping — the spool is already
+    * the persistent file_storage the reference example wires in. */
+  case class Queue(enabled: Boolean = true,
+                   numConsumers: Int = 10,
+                   queueSize: Long = 1000)
+
+  /** The collector `batch` processor knobs the reference's example
+    * deployment tunes in front of the exporter
+    * (`example/otel-config.yaml:26-29`: `timeout`, `send_batch_size`;
+    * processor defaults 200ms / 8192). One spool file is one export
+    * request, so `send_batch_size` caps FILES per micro-batch
+    * (`maxFilesPerTrigger`) and `timeout` is the micro-batch cadence
+    * (processing-time trigger; 0 = re-trigger as fast as possible). */
+  case class Batch(sendBatchSize: Int = 8192,
+                   timeoutMs: Long = 200)
+
   case class Config(storage: Storage, catalog: Catalog,
                     tables: TableNames = TableNames(),
                     partition: Partition = Partition(),
@@ -76,7 +98,9 @@ object ExporterConfig {
                     // exporterhelper TimeoutConfig squash (config.go:25;
                     // README: `timeout`, default 5s; 0 disables)
                     timeoutMs: Long = 5000,
-                    retry: Retry = Retry()) {
+                    retry: Retry = Retry(),
+                    queue: Queue = Queue(),
+                    batch: Batch = Batch()) {
 
     /** All validation failures, reference-equivalent messages. */
     def validate: Seq[String] = {
@@ -111,8 +135,41 @@ object ExporterConfig {
         errs += "retry_on_failure.max_interval must be >= initial_interval"
       if (retry.maxElapsedTimeMs < 0)
         errs += "retry_on_failure.max_elapsed_time must be >= 0 (0 disables)"
+      if (queue.numConsumers <= 0)
+        errs += "sending_queue.num_consumers must be positive"
+      if (queue.queueSize <= 0)
+        errs += "sending_queue.queue_size must be positive"
+      if (batch.sendBatchSize <= 0)
+        errs += "batch.send_batch_size must be positive"
+      if (batch.timeoutMs < 0)
+        errs += "batch.timeout must be >= 0 (0 = continuous)"
       errs.result()
     }
+
+    /** The receiver spool bound `sending_queue` resolves to: enabled →
+      * `queue_size` spool files (one file = one queued export request);
+      * disabled → unbounded, the reference's no-queue pass-through
+      * (our push→pull bridge always spools for durability, so
+      * "disabled" only removes the bound, not the handoff). */
+    def spoolLimits: graft.sources.SpoolLimits =
+      if (queue.enabled)
+        graft.sources.SpoolLimits(maxFiles = queue.queueSize)
+      else graft.sources.SpoolLimits.Unbounded
+
+    /** File-source options the `batch` knobs resolve to on the
+      * spool-tail streaming sources: `send_batch_size` caps files per
+      * micro-batch. */
+    def streamOptions: Map[String, String] =
+      Map("maxFilesPerTrigger" -> batch.sendBatchSize.toString)
+
+    /** Micro-batch cadence the `batch.timeout` knob resolves to for a
+      * LIVE deployment (specs use AvailableNow, which also honors
+      * `maxFilesPerTrigger`). */
+    def streamTrigger: org.apache.spark.sql.streaming.Trigger =
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(batch.timeoutMs)
+
+    /** Concurrent sink writers per micro-batch (`num_consumers`). */
+    def sinkParallelism: Option[Int] = Some(queue.numConsumers)
 
     /** The [[graft.streaming.Delivery.RetryPolicy]] this config's
       * exporterhelper knobs resolve to — where `timeout` and

@@ -126,20 +126,24 @@ object OtelJsonSource {
     * `tracesStream → flatten → partitioned sink` pipeline runs as one
     * stateless streaming stage — the reference exporter's continuous
     * ingest loop, file-fed. */
-  def tracesStream(spark: SparkSession, path: String): DataFrame =
-    toTraceBatches(spark.readStream.schema(traceSchema).json(path))
+  def tracesStream(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    toTraceBatches(spark.readStream.schema(traceSchema).options(options).json(path))
 
   /** Streaming twin of [[logs]] (same contract, file-tail source). */
-  def logsStream(spark: SparkSession, path: String): DataFrame =
-    toLogBatches(spark.readStream.schema(logSchema).json(path))
+  def logsStream(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    toLogBatches(spark.readStream.schema(logSchema).options(options).json(path))
 
   /** Streaming twin of [[metricsGauge]]. */
-  def metricsGaugeStream(spark: SparkSession, path: String): DataFrame =
-    gaugeBatches(spark.readStream.schema(metricSchema).json(path))
+  def metricsGaugeStream(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    gaugeBatches(spark.readStream.schema(metricSchema).options(options).json(path))
 
   /** Streaming twin of [[metricsSum]]. */
-  def metricsSumStream(spark: SparkSession, path: String): DataFrame =
-    sumBatches(spark.readStream.schema(metricSchema).json(path))
+  def metricsSumStream(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    sumBatches(spark.readStream.schema(metricSchema).options(options).json(path))
 
   /** Streaming twins of the remaining three metric tables — the
     * reference exports all five continuously (metrics.go, 5 tables);
@@ -147,15 +151,17 @@ object OtelJsonSource {
     * collector tailing the spool gets the same five-table contract as
     * batch. All transforms are narrow: each stream runs as one
     * stateless stage into the flattens. */
-  def metricsHistogramStream(spark: SparkSession, path: String): DataFrame =
-    histogramBatches(spark.readStream.schema(metricSchema).json(path))
+  def metricsHistogramStream(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    histogramBatches(spark.readStream.schema(metricSchema).options(options).json(path))
 
-  def metricsExponentialHistogramStream(spark: SparkSession,
-                                        path: String): DataFrame =
-    expHistogramBatches(spark.readStream.schema(metricSchema).json(path))
+  def metricsExponentialHistogramStream(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    expHistogramBatches(spark.readStream.schema(metricSchema).options(options).json(path))
 
-  def metricsSummaryStream(spark: SparkSession, path: String): DataFrame =
-    summaryBatches(spark.readStream.schema(metricSchema).json(path))
+  def metricsSummaryStream(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    summaryBatches(spark.readStream.schema(metricSchema).options(options).json(path))
 
   def toTraceBatches(raw: DataFrame): DataFrame =
     raw.select(explode(col("resourceSpans")).as("rs"))

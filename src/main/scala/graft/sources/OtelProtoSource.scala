@@ -762,12 +762,16 @@ object OtelProtoSource {
 
   /** STREAMING twin of [[contents]]: tail a spool directory of proto
     * files (e.g. [[OtlpHttpReceiver]]'s) — exactly-once via the
-    * checkpointed file log, decode on executors. */
-  private def streamContents(spark: SparkSession,
-                             path: String): Dataset[Array[Byte]] = {
+    * checkpointed file log, decode on executors. `options` are
+    * file-source options — notably `maxFilesPerTrigger`, the knob the
+    * collector's `batch.send_batch_size` resolves to
+    * ([[graft.config.ExporterConfig.Config.streamOptions]]): one spool
+    * file is one export request, so it caps requests per micro-batch. */
+  private def streamContents(spark: SparkSession, path: String,
+                             options: Map[String, String]): Dataset[Array[Byte]] = {
     import spark.implicits._
     spark.readStream.format("binaryFile").schema(binaryFileSchema)
-      .load(path).select("content").as[Array[Byte]]
+      .options(options).load(path).select("content").as[Array[Byte]]
   }
 
   /** Streaming OTLP/protobuf traces — the push-ingest read side:
@@ -777,29 +781,33 @@ object OtelProtoSource {
     * `receiver → tracesStream → flatten → partitioned sink` is one
     * stateless streaming stage — the reference's consumeTraces loop
     * (`/root/reference/exporter.go:101`) re-expressed pull-side. */
-  def tracesStream(spark: SparkSession, path: String): DataFrame = {
+  def tracesStream(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
-    streamContents(spark, path).flatMap(decodeTraces(_)).toDF()
+    streamContents(spark, path, options).flatMap(decodeTraces(_)).toDF()
   }
 
   /** Streaming twin of [[logs]] (consumeLogs, exporter.go:175). */
-  def logsStream(spark: SparkSession, path: String): DataFrame = {
+  def logsStream(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
-    streamContents(spark, path).flatMap(decodeLogs(_)).toDF()
+    streamContents(spark, path, options).flatMap(decodeLogs(_)).toDF()
   }
 
   /** Streaming twin of [[metricsGauge]] (consumeMetrics, exporter.go:130). */
-  def metricsGaugeStream(spark: SparkSession, path: String): DataFrame = {
+  def metricsGaugeStream(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
-    streamContents(spark, path).flatMap(decodeMetricScopes(_).collect {
+    streamContents(spark, path, options).flatMap(decodeMetricScopes(_).collect {
       case (res, sc, m) if m.kind == 0 => PbNumBatch(res, sc, m.info, m.num)
     }).toDF()
   }
 
   /** Streaming twin of [[metricsSum]]. */
-  def metricsSumStream(spark: SparkSession, path: String): DataFrame = {
+  def metricsSumStream(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
-    streamContents(spark, path).flatMap(decodeMetricScopes(_).collect {
+    streamContents(spark, path, options).flatMap(decodeMetricScopes(_).collect {
       case (res, sc, m) if m.kind == 1 => PbNumBatch(res, sc, m.info, m.num)
     }).toDF()
   }
@@ -810,26 +818,28 @@ object OtelProtoSource {
     * type, so the spool-tailing pipeline must carry them too. Same
     * narrow per-file decode as gauge/sum: each stream is one stateless
     * stage into [[graft.otel.OtelMetrics]]'s flattens. */
-  def metricsHistogramStream(spark: SparkSession, path: String): DataFrame = {
+  def metricsHistogramStream(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
-    streamContents(spark, path).flatMap(decodeMetricScopes(_).collect {
+    streamContents(spark, path, options).flatMap(decodeMetricScopes(_).collect {
       case (res, sc, m) if m.kind == 2 => PbHistBatch(res, sc, m.info, m.hist)
     }).toDF()
   }
 
   /** Streaming twin of [[metricsExponentialHistogram]]. */
-  def metricsExponentialHistogramStream(spark: SparkSession,
-                                        path: String): DataFrame = {
+  def metricsExponentialHistogramStream(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
-    streamContents(spark, path).flatMap(decodeMetricScopes(_).collect {
+    streamContents(spark, path, options).flatMap(decodeMetricScopes(_).collect {
       case (res, sc, m) if m.kind == 3 => PbExpHistBatch(res, sc, m.info, m.exp)
     }).toDF()
   }
 
   /** Streaming twin of [[metricsSummary]]. */
-  def metricsSummaryStream(spark: SparkSession, path: String): DataFrame = {
+  def metricsSummaryStream(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
-    streamContents(spark, path).flatMap(decodeMetricScopes(_).collect {
+    streamContents(spark, path, options).flatMap(decodeMetricScopes(_).collect {
       case (res, sc, m) if m.kind == 4 => PbSummaryBatch(res, sc, m.info, m.summary)
     }).toDF()
   }

@@ -34,15 +34,27 @@ object StreamingIngest {
     * every file on storage. Registration is idempotent (reconcile
     * dedups on path), so foreachBatch's at-least-once replay after a
     * crash re-registers harmlessly — the reference's own recovery
-    * semantics. */
+    * semantics.
+    *
+    * `trigger` is the micro-batch cadence — a live deployment passes
+    * [[graft.config.ExporterConfig.Config.streamTrigger]] (the
+    * collector `batch.timeout` knob); the default AvailableNow drains
+    * the backlog and stops (specs, catch-up jobs). `sinkParallelism`
+    * caps concurrent sink writers per micro-batch
+    * (`sending_queue.num_consumers`): a narrow coalesce, so it limits
+    * write tasks (and files per partition dir) without a shuffle. */
   def ingestWithManifest(events: DataFrame, cfg: SinkConfig,
                          checkpoint: String, manifestPath: String,
-                         telemetry: Option[ExportTelemetry.Collector] = None)
+                         telemetry: Option[ExportTelemetry.Collector] = None,
+                         trigger: org.apache.spark.sql.streaming.Trigger =
+                           org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                         sinkParallelism: Option[Int] = None)
       : StreamingQuery =
     events.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
         val t0 = System.nanoTime()
+        val batch = sinkParallelism.map(batch0.coalesce).getOrElse(batch0)
         val pinned = if (telemetry.isDefined) batch.localCheckpoint() else batch
         val before = telemetry.map(_ =>
           ExportTelemetry.manifestTotals(spark, manifestPath))
@@ -59,7 +71,7 @@ object StreamingIngest {
         ()
       }
       .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** Streaming CDC apply: each micro-batch of keyed changes UPSERTS

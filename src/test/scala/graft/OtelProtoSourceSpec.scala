@@ -363,13 +363,13 @@ class OtelProtoSourceSpec extends SparkSpec {
     val pairs = Seq[(String,
         (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
         (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
-      ("pbs_gauge", OtelProtoSource.metricsGaugeStream, OtelProtoSource.metricsGauge),
-      ("pbs_sum", OtelProtoSource.metricsSumStream, OtelProtoSource.metricsSum),
-      ("pbs_hist", OtelProtoSource.metricsHistogramStream,
+      ("pbs_gauge", OtelProtoSource.metricsGaugeStream(_, _), OtelProtoSource.metricsGauge),
+      ("pbs_sum", OtelProtoSource.metricsSumStream(_, _), OtelProtoSource.metricsSum),
+      ("pbs_hist", OtelProtoSource.metricsHistogramStream(_, _),
         OtelProtoSource.metricsHistogram),
-      ("pbs_exph", OtelProtoSource.metricsExponentialHistogramStream,
+      ("pbs_exph", OtelProtoSource.metricsExponentialHistogramStream(_, _),
         OtelProtoSource.metricsExponentialHistogram),
-      ("pbs_summ", OtelProtoSource.metricsSummaryStream,
+      ("pbs_summ", OtelProtoSource.metricsSummaryStream(_, _),
         OtelProtoSource.metricsSummary))
     pairs.foreach { case (name, streamF, batchF) =>
       val q = streamF(spark, spool).writeStream.format("memory").queryName(name)

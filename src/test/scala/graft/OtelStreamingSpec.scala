@@ -118,12 +118,12 @@ class OtelStreamingSpec extends SparkSpec {
         (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
         (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
       ("hist", OtelMetrics.flattenHistogram,
-        OtelJsonSource.metricsHistogramStream, OtelJsonSource.metricsHistogram),
+        OtelJsonSource.metricsHistogramStream(_, _), OtelJsonSource.metricsHistogram),
       ("exph", OtelMetrics.flattenExponentialHistogram,
-        OtelJsonSource.metricsExponentialHistogramStream,
+        OtelJsonSource.metricsExponentialHistogramStream(_, _),
         OtelJsonSource.metricsExponentialHistogram),
       ("summ", OtelMetrics.flattenSummary,
-        OtelJsonSource.metricsSummaryStream, OtelJsonSource.metricsSummary))
+        OtelJsonSource.metricsSummaryStream(_, _), OtelJsonSource.metricsSummary))
 
     def runOnce(name: String,
                 flat: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
