@@ -51,7 +51,8 @@ import scala.collection.mutable
 final class OtlpGrpcReceiver(spoolDir: String, host: String = "127.0.0.1",
                              port: Int = 0,
                              limits: SpoolLimits = SpoolLimits.Unbounded,
-                             gc: Option[SpoolGcTriggers] = None) {
+                             gc: Option[SpoolGcTriggers] = None,
+                             memory: Option[MemoryLimiter] = None) {
   import OtlpGrpcReceiver._
 
   private val services = Map(
@@ -136,6 +137,15 @@ final class OtlpGrpcReceiver(spoolDir: String, host: String = "127.0.0.1",
     var headersDone = false
     val data = new java.io.ByteArrayOutputStream()
     var closed = false
+    // memory_limiter accounting: bytes this stream holds against the
+    // aggregate valve, and whether it crossed the line (shed at close)
+    var memHeld = 0L
+    var memShed = false
+  }
+
+  /** Acquire `n` bytes against the aggregate memory valve for `st`. */
+  private def hold(st: StreamState, n: Long): Boolean = memory.forall { m =>
+    if (m.tryAcquire(n)) { st.memHeld += n; true } else false
   }
 
   private def handleConnection(sock: Socket): Unit = {
@@ -206,7 +216,14 @@ final class OtlpGrpcReceiver(spoolDir: String, host: String = "127.0.0.1",
               var off = 0
               var padLen = 0
               if ((flags & FlagPadded) != 0) { padLen = payload(0) & 0xff; off += 1 }
-              st.data.write(payload, off, payload.length - off - padLen)
+              // memory_limiter parity: buffer DATA only while the
+              // AGGREGATE in-flight bytes stay under the valve; an
+              // over-limit stream stops consuming heap here and sheds
+              // RESOURCE_EXHAUSTED at end-of-stream
+              val dataLen = payload.length - off - padLen
+              if (!st.memShed && hold(st, dataLen.toLong))
+                st.data.write(payload, off, dataLen)
+              else st.memShed = true
               // replenish receive windows (connection + stream) so a
               // compliant sender never stalls at the 64 KiB initial window
               if (len > 0) {
@@ -222,8 +239,14 @@ final class OtlpGrpcReceiver(spoolDir: String, host: String = "127.0.0.1",
           }
         }
       }
+      streams.values.foreach(releaseHold)
       sock.close()
     } catch { case _: Throwable => try sock.close() catch { case _: Throwable => () } }
+  }
+
+  private def releaseHold(st: StreamState): Unit = {
+    memory.foreach(_.release(st.memHeld))
+    st.memHeld = 0L
   }
 
   private def finishHeaders(hpack: HpackDecoder, st: StreamState): Unit = {
@@ -242,7 +265,38 @@ final class OtlpGrpcReceiver(spoolDir: String, host: String = "127.0.0.1",
     streams.remove(sid)
     val path = st.headers.getOrElse(":path", "")
     val ct = st.headers.getOrElse("content-type", "")
+    try respondInner(out, sid, st, path, ct)
+    finally releaseHold(st)
+  }
+
+  private def respondInner(out: OutputStream, sid: Int, st: StreamState,
+                           path: String, ct: String): Unit = {
+    if (st.memShed) {
+      // the aggregate memory valve tripped while buffering: shed with
+      // the retryable status BEFORE any decode (the body is partial)
+      val signal = services.getOrElse(path, "_unrouted")
+      telemetry.record(signal, "shed_memory", 8)
+      writeTrailersOnly(out, sid, 8, // RESOURCE_EXHAUSTED
+        "receiver memory limit reached; retry later")
+      return
+    }
     services.get(path) match {
+      case None if path == "/grpc.health.v1.Health/Check" =>
+        // the standard gRPC health service shape on the OTLP port —
+        // what a collector-replacement deployment probes
+        // (example/otel-config.yaml:4-6 health_check): SERVING while
+        // the spool admits, NOT_SERVING while it is shedding at cap
+        telemetry.record("_health", "checked", 0)
+        // HealthCheckResponse{status = SERVING(1) | NOT_SERVING(2)}
+        val msg = Array[Byte](0x08, if (gauge.atCapacity) 2 else 1)
+        val respHeaders = encodeHeaders(Seq(
+          ":status" -> "200", "content-type" -> "application/grpc"))
+        writeFrame(out, FrameHeaders, FlagEndHeaders, sid, respHeaders)
+        writeFrame(out, FrameData, 0, sid,
+          Array[Byte](0, 0, 0, 0, msg.length.toByte) ++ msg)
+        writeFrame(out, FrameHeaders, FlagEndHeaders | FlagEndStream, sid,
+          encodeHeaders(Seq("grpc-status" -> "0")))
+        out.flush()
       case None =>
         telemetry.record("_unrouted", "bad_route", 12)
         writeTrailersOnly(out, sid, 12, s"unknown service: $path") // UNIMPLEMENTED
@@ -300,7 +354,11 @@ final class OtlpGrpcReceiver(spoolDir: String, host: String = "127.0.0.1",
                   try {
                     val plain = TransportGzip.inflate(raw,
                       TransportGzip.DefaultMaxInflatedBytes)
-                    if (admit(plain)) {
+                    // the inflated copy is in-flight memory too
+                    if (!hold(st, plain.length.toLong))
+                      err = Some((8,
+                        "receiver memory limit reached; retry later"))
+                    else if (admit(plain)) {
                       spool(signal, plain)
                       nMsgs += 1
                     }

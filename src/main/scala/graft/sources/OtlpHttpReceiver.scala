@@ -1,5 +1,6 @@
 package graft.sources
 
+import java.io.ByteArrayOutputStream
 import java.net.InetSocketAddress
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicLong
@@ -44,7 +45,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 final class OtlpHttpReceiver(spoolDir: String, host: String = "127.0.0.1",
                              port: Int = 0,
                              limits: SpoolLimits = SpoolLimits.Unbounded,
-                             gc: Option[SpoolGcTriggers] = None) {
+                             gc: Option[SpoolGcTriggers] = None,
+                             memory: Option[MemoryLimiter] = None) {
 
   private val signals = Map(
     "/v1/traces" -> "traces", "/v1/logs" -> "logs", "/v1/metrics" -> "metrics")
@@ -100,8 +102,31 @@ final class OtlpHttpReceiver(spoolDir: String, host: String = "127.0.0.1",
     ex.close()
   }
 
+  /** Liveness/readiness surface — the reference deployment's
+    * `health_check` extension (example/otel-config.yaml:4-6) probed on
+    * the receiver itself: always 200 (the process is up), with the
+    * shed state and the operator's gauges in the body so a prober can
+    * distinguish healthy from at-capacity. */
+  private def healthBody(): Array[Byte] = {
+    val counts = telemetry.snapshot.toSeq
+      .map { case ((s, o, _), n) => (s"$s.$o", n) }
+      .groupMapReduce(_._1)(_._2)(_ + _).toSeq.sorted
+      .map { case (k, n) => s""""$k":$n""" }.mkString(",")
+    val status = if (gauge.atCapacity) "shedding" else "ok"
+    val mb = if (gauge.limits.maxBytes == Long.MaxValue) -1 else gauge.limits.maxBytes
+    val mf = if (gauge.limits.maxFiles == Long.MaxValue) -1 else gauge.limits.maxFiles
+    (s"""{"status":"$status","spool":{"bytes":${gauge.currentBytes},""" +
+      s""""files":${gauge.currentFiles},"max_bytes":$mb,"max_files":$mf},""" +
+      s""""requests":{$counts}}""").getBytes("UTF-8")
+  }
+
   private def handle(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath
+    if (path == "/health") {
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      respond(ex, 200, healthBody())
+      return
+    }
     signals.get(path) match {
       case None =>
         telemetry.record("_unrouted", "bad_route", 404)
@@ -133,21 +158,55 @@ final class OtlpHttpReceiver(spoolDir: String, host: String = "127.0.0.1",
             s"""{"error":"unsupported Content-Encoding: $enc (supported: gzip, identity)"}"""
               .getBytes("UTF-8"))
         } else {
-          val raw = ex.getRequestBody.readAllBytes()
+          // memory_limiter parity (example/otel-config.yaml:31-34): the
+          // gzip cap bounds any ONE body; this bounds the SUM across
+          // concurrent handlers. Acquisition is incremental while
+          // buffering, so an over-limit request stops consuming heap at
+          // the chunk where it crossed the line and sheds retryably.
+          var memHeld = 0L
+          def hold(n: Long): Boolean = memory.forall { m =>
+            if (m.tryAcquire(n)) { memHeld += n; true } else false
+          }
+          def shedMemory(): Unit = {
+            telemetry.record(signal, "shed_memory", 429)
+            ex.getResponseHeaders.add("Retry-After", "1")
+            respond(ex, 429,
+              """{"error":"receiver memory limit reached; retry later"}"""
+                .getBytes("UTF-8"))
+          }
+          try {
+          val raw = {
+            val in = ex.getRequestBody
+            val out = new ByteArrayOutputStream()
+            val buf = new Array[Byte](64 << 10)
+            var over = false
+            var n = in.read(buf)
+            while (!over && n >= 0) {
+              if (!hold(n.toLong)) over = true
+              else { out.write(buf, 0, n); n = in.read(buf) }
+            }
+            if (over) None else Some(out.toByteArray)
+          }
+          if (raw.isEmpty) shedMemory()
           // inflate BEFORE the spool so the durable file is always plain
           // protobuf and the streaming decode path stays codec-free;
           // the inflate is size-capped (zip-bomb guard) and a corrupt
-          // stream is a 400, not a spooled garbage file
-          val body =
-            if (enc != "gzip") Some(raw)
-            else try Some(TransportGzip.inflate(raw,
-              TransportGzip.DefaultMaxInflatedBytes))
-            catch { case e: Exception =>
+          // stream is a 400, not a spooled garbage file. The inflated
+          // copy is in-flight memory too — held under the same valve.
+          val body = raw.flatMap { r =>
+            if (enc != "gzip") Some(r)
+            else try {
+              val plain = TransportGzip.inflate(r,
+                TransportGzip.DefaultMaxInflatedBytes)
+              if (!hold(plain.length.toLong)) { shedMemory(); None }
+              else Some(plain)
+            } catch { case e: Exception =>
               telemetry.record(signal, "bad_gzip", 400)
               respond(ex, 400,
                 s"""{"error":"bad gzip body: ${e.getMessage}"}""".getBytes("UTF-8"))
               None
             }
+          }
           body.foreach { b =>
             // backpressure BEFORE any write (sending_queue parity): a
             // full spool sheds with the spec-blessed retryable signal —
@@ -194,6 +253,7 @@ final class OtlpHttpReceiver(spoolDir: String, host: String = "127.0.0.1",
               }
             }
           }
+          } finally memory.foreach(_.release(memHeld))
         }
     }
   }

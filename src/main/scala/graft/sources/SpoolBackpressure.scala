@@ -108,6 +108,41 @@ final class SpoolGauge(spoolDir: String, dirs: Seq[String],
 
   def currentBytes: Long = synchronized(diskBytes + pendingBytes)
   def currentFiles: Long = synchronized(diskFiles + pendingFiles)
+
+  /** Read-only shed probe: would a minimal next request be refused?
+    * (The health surfaces report this without reserving anything.) */
+  def atCapacity: Boolean =
+    limits.bounded && synchronized {
+      diskBytes + pendingBytes >= limits.maxBytes ||
+      diskFiles + pendingFiles + 1 > limits.maxFiles
+    }
+}
+
+/** Aggregate in-memory pressure valve — the collector `memory_limiter`
+  * processor's semantics (`/root/reference/example/otel-config.yaml:
+  * 31-34`: `limit_mib`) applied where this pipeline actually buffers:
+  * the receivers' request bodies. The per-request gzip cap bounds any
+  * ONE request; this bounds the SUM across concurrent handlers, so N
+  * simultaneous near-cap requests shed (429 / RESOURCE_EXHAUSTED)
+  * instead of holding N × cap bytes on heap. Receivers acquire
+  * incrementally WHILE buffering, so an over-limit request stops
+  * consuming memory at the chunk where it crossed the line, not after
+  * a full read. */
+final class MemoryLimiter(val maxBytes: Long) {
+  require(maxBytes > 0, s"memory limit must be positive (got $maxBytes)")
+  private var held = 0L
+  private var peak = 0L
+
+  def tryAcquire(n: Long): Boolean = synchronized {
+    if (held + n > maxBytes) false
+    else { held += n; if (held > peak) peak = held; true }
+  }
+
+  def release(n: Long): Unit = synchronized { held -= n }
+
+  def currentBytes: Long = synchronized(held)
+  /** High-water mark — lets specs assert the bound actually held. */
+  def peakBytes: Long = synchronized(peak)
 }
 
 /** Per-request OUTCOME counters for a receiver — the receiver-side

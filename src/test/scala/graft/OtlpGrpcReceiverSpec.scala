@@ -335,4 +335,53 @@ class OtlpGrpcReceiverSpec extends SparkSpec {
         row(0).getLong(4) === 1L)
     } finally rx.stop()
   }
+
+  test("grpc.health.v1 Health/Check: SERVING under cap, NOT_SERVING while shedding") {
+    import graft.sources.SpoolLimits
+    val base = Files.createTempDirectory("graft-grpc-health").toString
+    val rx = new OtlpGrpcReceiver(s"$base/spool",
+      limits = SpoolLimits(maxFiles = 1))
+    try {
+      withClient(rx.grpcPort) { conn =>
+        // empty HealthCheckRequest -> HealthCheckResponse{status: SERVING(1)}
+        val (_, t1, d1) = call(conn, "/grpc.health.v1.Health/Check",
+          grpcFrame(Array.emptyByteArray))
+        assert(t1.get("grpc-status").contains("0"))
+        assert(d1.toSeq === Seq[Byte](0, 0, 0, 0, 2, 0x08, 1))
+        // fill the spool -> the probe flips to NOT_SERVING(2)
+        val (_, tok, _) = call(conn, TracePath,
+          grpcFrame(traceRequest("0a" * 16, "a", 1L)))
+        assert(tok.get("grpc-status").contains("0"))
+        val (_, t2, d2) = call(conn, "/grpc.health.v1.Health/Check",
+          grpcFrame(Array.emptyByteArray))
+        assert(t2.get("grpc-status").contains("0"))
+        assert(d2.toSeq === Seq[Byte](0, 0, 0, 0, 2, 0x08, 2))
+      }
+    } finally rx.stop()
+  }
+
+  test("memory limiter: over-valve stream sheds RESOURCE_EXHAUSTED and releases its hold") {
+    import graft.sources.MemoryLimiter
+    val base = Files.createTempDirectory("graft-grpc-mem").toString
+    val limiter = new MemoryLimiter(1000L)
+    val rx = new OtlpGrpcReceiver(s"$base/spool", memory = Some(limiter))
+    try {
+      withClient(rx.grpcPort) { conn =>
+        // a 2000-byte body crosses the aggregate valve mid-buffer:
+        // shed retryably, nothing spooled
+        val (_, t1, _) = call(conn, TracePath, grpcFrame(new Array[Byte](2000)))
+        assert(t1.get("grpc-status").contains("8"))
+        assert(t1.get("grpc-message").exists(_.contains("memory+limit")))
+        assert(Files.list(Paths.get(s"$base/spool/traces")).count() === 0)
+        assert(rx.telemetry.count("traces", "shed_memory") === 1)
+        assert(limiter.currentBytes === 0L) // the hold drained
+        // recovery: a normal request is accepted afterwards
+        val (_, t2, _) = call(conn, TracePath,
+          grpcFrame(traceRequest("0b" * 16, "b", 1L)))
+        assert(t2.get("grpc-status").contains("0"))
+      }
+      assert(limiter.currentBytes === 0L)
+      assert(limiter.peakBytes <= 1000L)
+    } finally rx.stop()
+  }
 }

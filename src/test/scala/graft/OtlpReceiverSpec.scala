@@ -374,6 +374,75 @@ class OtlpReceiverSpec extends SparkSpec {
     } finally rx.stop()
   }
 
+  test("health endpoint: 200 with gauge fields; shed state visible at capacity") {
+    import graft.sources.SpoolLimits
+    val base = Files.createTempDirectory("graft-otlp-health").toString
+    val rx = new OtlpHttpReceiver(s"$base/spool",
+      limits = SpoolLimits(maxFiles = 1))
+    try {
+      def health(): (Int, String) = {
+        val r = http.send(
+          HttpRequest.newBuilder(URI.create(rx.uri + "/health")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      val (code, body) = health()
+      assert(code === 200)
+      assert(body.contains(""""status":"ok""""))
+      assert(body.contains(""""files":0""") && body.contains(""""max_files":1"""))
+      // fill to cap: the process is still up (200) but the prober can
+      // see the shed state and the counters behind it
+      assert(post(rx.uri, "/v1/traces",
+        traceRequest("0102030405060708090a0b0c0d0e0f10", "a", 1L)).statusCode() === 200)
+      assert(post(rx.uri, "/v1/traces",
+        traceRequest("0102030405060708090a0b0c0d0e0f11", "b", 2L)).statusCode() === 429)
+      val (code2, body2) = health()
+      assert(code2 === 200)
+      assert(body2.contains(""""status":"shedding""""))
+      assert(body2.contains(""""files":1"""))
+      assert(body2.contains(""""traces.accepted":1"""))
+      assert(body2.contains(""""traces.shed":1"""))
+    } finally rx.stop()
+  }
+
+  test("memory limiter: aggregate in-flight bytes bounded across concurrent requests") {
+    import graft.sources.MemoryLimiter
+    val base = Files.createTempDirectory("graft-otlp-mem").toString
+    val limiter = new MemoryLimiter(1000L)
+    val rx = new OtlpHttpReceiver(s"$base/spool", memory = Some(limiter))
+    try {
+      // one oversized body sheds retryably BEFORE being fully buffered,
+      // and nothing is spooled
+      val big = post(rx.uri, "/v1/traces", new Array[Byte](2000))
+      assert(big.statusCode() === 429)
+      assert(new String(big.body(), "UTF-8").contains("memory limit"))
+      assert(Files.list(Paths.get(
+        OtlpHttpReceiver.spoolPath(s"$base/spool", "traces"))).count() === 0)
+      assert(rx.telemetry.count("traces", "shed_memory") === 1)
+
+      // N parallel near-cap requests: the SUM stays bounded — some
+      // shed, the peak never exceeds the valve, and all memory drains
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val codes = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+      (1 to 8).foreach { _ =>
+        pool.execute(() => {
+          codes.add(post(rx.uri, "/v1/traces", new Array[Byte](400)).statusCode())
+          ()
+        })
+      }
+      pool.shutdown()
+      assert(pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS))
+      assert(limiter.peakBytes <= 1000L)
+      assert(limiter.currentBytes === 0L) // every hold released
+      import scala.jdk.CollectionConverters._
+      assert(codes.asScala.forall(c => c == 200 || c == 429))
+      assert(codes.asScala.exists(_ == 200))
+      // recovery: with the valve drained, a normal request is accepted
+      assert(post(rx.uri, "/v1/traces",
+        traceRequest("0102030405060708090a0b0c0d0e0fff", "z", 99L)).statusCode() === 200)
+    } finally rx.stop()
+  }
+
   test("receiver protocol edges: 404 / 405 / 415, and proto response type") {
     val base = Files.createTempDirectory("graft-otlp-edges").toString
     val rx = new OtlpHttpReceiver(s"$base/spool")
