@@ -431,6 +431,48 @@ object Sf1Scale {
       val b = time(q, relBig)
       q -> ((s, b, b / math.max(s, 1e-9)))
     }
+    // r20: the bucket[16] spec lever OFF the fixed-cost floor. At
+    // sf0.1 both arms sit near the ~75 ms job floor (16 compacted
+    // files make even the full scan cheap), so the committed sf0.1
+    // ratio is floor-bound; here the big corpus is 10× sf0.1's events
+    // (100k → 1M rows), where bytes-per-bucket dominates and the
+    // tuple prune's 1/16-file gap is real. Layout build + commit are
+    // untimed setup (amortized over every future lookup), timing is
+    // min-of-2 per arm like every other entry.
+    val leverNames = Seq("iceberg_bucket_full", "iceberg_bucket_pruned")
+    val leverRows: Seq[(String, (Double, Double, Double))] =
+      if (only.nonEmpty && !leverNames.exists(only)) Nil
+      else {
+        def bucketArms(dir: String): (Double, Double) = {
+          val tablePath = s"$dir/events.parquet"
+          val bLoc = s"$dir/events_bucketed"
+          graft.catalog.IcebergMaintenance.rewriteBucketed(
+            spark, tablePath, bLoc, "event_id", 16)
+          val needle = spark.read.parquet(tablePath)
+            .selectExpr("max(event_id)").collect()(0).getLong(0)
+          def full(): Double = {
+            val t0 = System.nanoTime()
+            graft.catalog.IcebergTableReader.read(spark, bLoc)
+              .filter(org.apache.spark.sql.functions.col("event_id") === needle)
+              .count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          def pruned(): Double = {
+            val t0 = System.nanoTime()
+            graft.catalog.IcebergTableReader
+              .readPoint(spark, bLoc, "event_id", needle).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          (math.min(full(), full()), math.min(pruned(), pruned()))
+        }
+        val leverSmall = genEventsCorpus(spark, 100000) // = sf0.1 events
+        val leverBig = genEventsCorpus(spark, 1000000) // 10× = "sf1"
+        val (sf, sp) = bucketArms(leverSmall)
+        val (bf, bp) = bucketArms(leverBig)
+        Seq(
+          "iceberg_bucket_full" -> ((sf, bf, bf / math.max(sf, 1e-9))),
+          "iceberg_bucket_pruned" -> ((sp, bp, bp / math.max(sp, 1e-9))))
+      }
     def entries(rs: Seq[(String, (Double, Double, Double))]): String =
       rs.map { case (q, (s, b, r)) =>
         s""""$q":{"small":${r3(s)},"big":${r3(b)},"ratio":${r3(r)}}"""
@@ -439,7 +481,7 @@ object Sf1Scale {
       s"""{"n_small":$nSmall,"n_big":$nBig,"factor":10,"queries":{${
         entries(rows)}},"doc_queries":{${entries(docRows)}},"graph_queries":{${
         entries(graphRows)}},"tel_queries":{${entries(telRows)}},"rel_queries":{${
-        entries(relRows)}}}"""
+        entries(relRows)}},"lever_queries":{${entries(leverRows)}}}"""
     // a FILTERED run must not clobber the full sweep's artifact (the
     // driver/judge read BENCH_sf1.json as complete coverage)
     val artifact =

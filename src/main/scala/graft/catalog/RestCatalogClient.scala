@@ -92,6 +92,7 @@ object RestCatalogClient {
                        lastSequenceNumber: Long, manifestLists: Seq[String],
                        schemaJson: String = "{}",
                        defaultSpec: Option[JValue] = None,
+                       lastPartitionId: Option[Int] = None,
                        snapshots: Seq[(Long, String)] = Nil,
                        statistics: Seq[IcebergTableMetadata.StatisticsFile] = Nil,
                        properties: Map[String, String] = Map.empty,
@@ -398,6 +399,21 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
             .orElse(ss.lastOption)
         }.flatten
       },
+      lastPartitionId = {
+        // the metadata's own counter when present, else the max
+        // partition field id across ALL specs — either way, new specs
+        // continue from here (Iceberg v2: partition field ids are
+        // unique across specs)
+        (md \ "last-partition-id").toOption.collect { case JInt(n) => n.toInt }
+          .orElse {
+            val ids = (md \ "partition-specs").toOption.toSeq.flatMap {
+              case JArray(ss) => ss.flatMap(s =>
+                IcebergPartitioning.fieldsOf(s).map(_.fieldId))
+              case _ => Nil
+            }
+            if (ids.isEmpty) None else Some(ids.max)
+          }
+      },
       statistics = IcebergTableMetadata.parseStatistics(md \ "statistics"),
       properties = (md \ "properties").toOption.collect {
         case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
@@ -650,7 +666,8 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
     * (catalog_rest.go:527: identity + four time transforms) and the
     * pre-r14 engine stopped short of. The composite point-lookup spec
     * (`hour(ts), bucket[16](service)`) is the canonical use. Field ids
-    * allocate from 1000 in field order, per spec. */
+    * continue from the table's last partition id (1000 floor for the
+    * first spec) — Iceberg v2 requires them unique across specs. */
   def updateSpecFields(namespace: String, table: String,
                        fields: Seq[(String, String, String)]): Unit =
     Delivery.retry(settings.retry) {
@@ -666,6 +683,12 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
       }.filter(_ >= 0).getOrElse(
         throw new PermanentException(
           s"validation failed: column $column not in $namespace.$table schema", null))
+      // Iceberg v2 requires partition field ids UNIQUE ACROSS SPECS:
+      // continue from the table's last partition id (or the 1000 floor
+      // for the first spec) instead of restarting at 1000 — a foreign
+      // reader keying tuples by field id must never see id 1000 mean
+      // two different (source, transform) pairs across eras
+      val base = math.max(999, info.lastPartitionId.getOrElse(999))
       val specFields = fields.zipWithIndex.map {
         case ((name, column, transform), i) =>
           // validate the transform by evaluating it once — an unknown
@@ -675,7 +698,7 @@ class RestCatalogClient(settings: RestCatalogClient.Settings,
             "name" -> JString(name),
             "transform" -> JString(transform),
             "source-id" -> JInt(srcIdOf(column)),
-            "field-id" -> JInt(1000 + i))
+            "field-id" -> JInt(base + 1 + i))
       }
       val body = compact(render(JObject(
         "identifier" -> JObject(

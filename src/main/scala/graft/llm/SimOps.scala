@@ -468,9 +468,16 @@ object SimOps {
     val d = 64
     // cast the array ONCE per row — 96 agg expressions (and 64
     // projection columns below) each re-casting the 64-element array
-    // was 6× the Householder sibling's cost for the same math
+    // was 6× the Householder sibling's cost for the same math — and
+    // materialize that projection ONCE (localCheckpoint): the chain
+    // downstream runs four actions over it (covariance agg, codebook
+    // collect, query collect, ADC pass), and without the pin each one
+    // re-reads the parquet and re-casts. The pinned frame is the
+    // corpus × 64 doubles — the same per-executor working set any one
+    // of those passes already holds.
     val xs = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding".cast("array<double>").as("x"))
+      .localCheckpoint()
     def el(i: Int) = element_at(col("x"), i + 1)
     // one aggregate pass: the 3 covariance entries of each dim pair,
     // round-6 quantized (cross-engine determinization point #1)

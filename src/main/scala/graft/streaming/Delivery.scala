@@ -48,6 +48,18 @@ object Delivery {
     *    `() => sc.cancelJobGroup(tag)` to actually stop a Spark job;
     *    without it the abandoned attempt's thread finishes in the
     *    background — best-effort cancel, like a Go ctx nobody checks).
+    *    CONCURRENCY CAVEAT: because cancellation is best-effort, a
+    *    non-interruptible attempt can still be RUNNING while the retry
+    *    re-executes `op` — the two may even complete in either order.
+    *    Only wrap operations that are idempotent or optimistically
+    *    concurrency-checked under `attemptTimeoutMs` (this library's
+    *    commit paths qualify: file writes are rename-idempotent and
+    *    Iceberg commits ride a version/requirement CAS, so a duplicate
+    *    completion becomes a no-op or a clean 409-retry). A
+    *    non-idempotent export — e.g. an unconditional append to an
+    *    external system — can APPLY TWICE; leave the timeout off
+    *    there, or gate the retry on the prior attempt's terminal
+    *    state yourself.
     *  - `maxElapsedMs`: exporterhelper's `max_elapsed_time` give-up
     *    bar, measured as SIMULATED elapsed (sum of backoff waits) so
     *    injected-sleep specs stay deterministic; None = attempts bound

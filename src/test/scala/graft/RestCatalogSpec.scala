@@ -713,6 +713,16 @@ class RestCatalogSpec extends SparkSpec {
           Seq(("bad", "ts", "void[3]")))
       }
       assert(e.getMessage.contains("transform"))
+      // a SECOND evolution continues the field-id sequence (Iceberg v2:
+      // partition field ids are unique ACROSS specs — a foreign reader
+      // keying tuples by id must never see 1000 mean two different
+      // (source, transform) pairs)
+      client.updateSpecFields("otel", "spans",
+        Seq(("ts_day", "ts", "day")))
+      val info2 = client.loadTable("otel", "spans").get
+      val f2 = graft.catalog.IcebergPartitioning.fieldsOf(
+        info2.defaultSpec.get)
+      assert(f2.map(f => (f.name, f.fieldId)) === Seq(("ts_day", 1002)))
     }
   }
 
