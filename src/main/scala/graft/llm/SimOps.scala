@@ -466,46 +466,83 @@ object SimOps {
                     nQueries: Int = 8, k: Int = 5): DataFrame = {
     import spark.implicits._
     val d = 64
-    // cast the array ONCE per row — 96 agg expressions (and 64
-    // projection columns below) each re-casting the 64-element array
-    // was 6× the Householder sibling's cost for the same math — and
-    // materialize that projection ONCE (localCheckpoint): the chain
-    // downstream runs four actions over it (covariance agg, codebook
-    // collect, query collect, ADC pass), and without the pin each one
-    // re-reads the parquet and re-casts. The pinned frame is the
-    // corpus × 64 doubles — the same per-executor working set any one
-    // of those passes already holds.
+    val nPairs = d / 2
+    // cast the array ONCE per row and materialize that projection ONCE
+    // (localCheckpoint): the chain downstream runs four actions over
+    // the cast frame (moments pass, codebook collect, query collect,
+    // ADC pass) — without the pin each re-read the parquet and re-cast.
+    // The pinned frame is the corpus × 64 doubles, the same working
+    // set any one of those passes already holds.
     val xs = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding".cast("array<double>").as("x"))
+      .as[(Long, Array[Double])]
       .localCheckpoint()
-    def el(i: Int) = element_at(col("x"), i + 1)
-    // one aggregate pass: the 3 covariance entries of each dim pair,
-    // round-6 quantized (cross-engine determinization point #1)
-    val aggs = (0 until d / 2).flatMap { s =>
-      Seq(round(covar_pop(el(2 * s), el(2 * s)), 6).as(s"a$s"),
-          round(covar_pop(el(2 * s + 1), el(2 * s + 1)), 6).as(s"b$s"),
-          round(covar_pop(el(2 * s), el(2 * s + 1)), 6).as(s"c$s"))
+    // Covariance via ONE JIT'd partial-moments kernel — the r6
+    // "interpreted lambdas / giant codegen" lesson in aggregate form:
+    // 96 covar_pop expressions over element_at compiled a generated
+    // class big enough to behave badly under full-run code-cache
+    // pressure (1.8 s solo, 3.0 s in context). The kernel carries 161
+    // doubles of partials per partition; covar_pop = E[xy] − E[x]E[y]
+    // lands on the same round-6 value (determinization point #1 — the
+    // 1e-12 formula difference is 6 orders below the quantum).
+    val parts = xs.mapPartitions { it =>
+      var n = 0L
+      val sum = new Array[Double](d)
+      val sumSq = new Array[Double](d)
+      val sumXY = new Array[Double](nPairs)
+      it.foreach { case (_, x) =>
+        var i = 0
+        while (i < d) { sum(i) += x(i); sumSq(i) += x(i) * x(i); i += 1 }
+        var s = 0
+        while (s < nPairs) { sumXY(s) += x(2 * s) * x(2 * s + 1); s += 1 }
+        n += 1L
+      }
+      Iterator.single((n, sum, sumSq, sumXY))
+    }.collect()
+    val n = parts.map(_._1).sum.toDouble
+    def tot(f: ((Long, Array[Double], Array[Double], Array[Double])) => Array[Double],
+            len: Int): Array[Double] = {
+      val acc = new Array[Double](len)
+      parts.foreach { p =>
+        val a = f(p); var i = 0; while (i < len) { acc(i) += a(i); i += 1 }
+      }
+      acc
     }
-    val row = xs.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val thetas = (0 until d / 2).map { s =>
-      val a = row.getDouble(3 * s)
-      val b = row.getDouble(3 * s + 1)
-      val c = row.getDouble(3 * s + 2)
+    val sum = tot(_._2, d)
+    val sumSq = tot(_._3, d)
+    val sumXY = tot(_._4, nPairs)
+    // Spark SQL round(x, 6) is shortest-decimal HALF_UP — replicate it
+    // exactly (the SimOps cosMicro discipline)
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val thetas = (0 until nPairs).map { s =>
+      val mx = sum(2 * s) / n
+      val my = sum(2 * s + 1) / n
+      val a = round6(sumSq(2 * s) / n - mx * mx)
+      val b = round6(sumSq(2 * s + 1) / n - my * my)
+      val c = round6(sumXY(s) / n - mx * my)
       0.5 * math.atan2(2.0 * c, a - b)
     }
-    // rotated coordinates as a codegen'd projection, round-6 quantized
-    // (determinization point #2); Givens block-diagonal is orthonormal
-    // by construction
-    val cols = (0 until d).map { i =>
-      val s = i / 2
-      val cs = math.cos(thetas(s))
-      val sn = math.sin(thetas(s))
-      if (i % 2 == 0) round(lit(cs) * el(i) + lit(sn) * el(i + 1), 6)
-      else round(lit(-sn) * el(i - 1) + lit(cs) * el(i), 6)
-    }
-    val rotated = xs
-      .select($"vec_id", array(cols: _*).as("vec"))
-      .as[(Long, Array[Double])]
+    // rotated coordinates as the same JIT'd per-row kernel, round-6
+    // quantized (determinization point #2); Givens block-diagonal is
+    // orthonormal by construction
+    val cosA = thetas.map(math.cos).toArray
+    val sinA = thetas.map(math.sin).toArray
+    val rotated = xs.mapPartitions { it =>
+      it.map { case (id, x) =>
+        val y = new Array[Double](d)
+        var s = 0
+        while (s < nPairs) {
+          val cs = cosA(s)
+          val sn = sinA(s)
+          y(2 * s) = round6(cs * x(2 * s) + sn * x(2 * s + 1))
+          y(2 * s + 1) = round6(-sn * x(2 * s) + cs * x(2 * s + 1))
+          s += 1
+        }
+        (id, y)
+      }
+    }.toDF("vec_id", "vec").as[(Long, Array[Double])]
     pqAdc(spark, rotated, nTrain, nQueries, k)
   }
 
