@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Parquet table loaders for the graft engine.
   *
@@ -63,4 +63,21 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Fan a SMALL pre-kernel frame out across the session's cores.
+    *
+    * A table that arrives as one (or few) parquet files plans as ONE
+    * scan partition, so an expensive per-row kernel applied before any
+    * shuffle — media encode/decode, digests, codec passes — runs on a
+    * single core no matter how many the session has (the "one
+    * unsplittable input" skew of the optimization guide §2.5). The
+    * frames spread here are narrow id/text projections whose bytes are
+    * noise next to the kernel cost, so the round-robin exchange is
+    * essentially free; on a many-file table the repartition simply
+    * preserves the parallelism the scan already had. Sized by
+    * `defaultParallelism` (tracks the session's core count) rather
+    * than any constant, so the same code is right at local[8],
+    * local[32] and on a cluster. */
+  def spread[T](ds: Dataset[T]): Dataset[T] =
+    ds.repartition(ds.sparkSession.sparkContext.defaultParallelism)
 }

@@ -50,7 +50,7 @@ object AudioOps {
     * canonical layout every decoder accepts). */
   def wavs(spark: SparkSession, sfDir: String): Dataset[WavRow] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir).select($"doc_id").as[Long]
+    Tables.spread(Tables.documents(spark, sfDir).select($"doc_id").as[Long])
       .mapPartitions { ids =>
         val md = java.security.MessageDigest.getInstance("MD5")
         ids.map { docId =>
@@ -122,7 +122,7 @@ object AudioOps {
     * hand-written RIFF layout, one clip per document. */
   def ulawWavs(spark: SparkSession, sfDir: String): Dataset[WavRow] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir).select($"doc_id").as[Long]
+    Tables.spread(Tables.documents(spark, sfDir).select($"doc_id").as[Long])
       .mapPartitions { ids =>
         val md = java.security.MessageDigest.getInstance("MD5")
         ids.map { docId =>
@@ -284,7 +284,7 @@ object AudioOps {
     * within Hamming 1 of the original. */
   private[graft] def fpWavs(spark: SparkSession, sfDir: String): Dataset[WavRow] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir).select($"doc_id").as[Long]
+    Tables.spread(Tables.documents(spark, sfDir).select($"doc_id").as[Long])
       .mapPartitions { ids =>
         val md = java.security.MessageDigest.getInstance("MD5")
         ids.map { docId =>

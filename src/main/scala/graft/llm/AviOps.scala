@@ -158,7 +158,7 @@ object AviOps {
     * 2-value intra-scene jitter — the GIF fixture's exact function). */
   def videos(spark: SparkSession, sfDir: String): Dataset[AviRow] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir).select($"doc_id").as[Long]
+    Tables.spread(Tables.documents(spark, sfDir).select($"doc_id").as[Long])
       .mapPartitions { ids =>
         val md = java.security.MessageDigest.getInstance("MD5")
         ids.map { docId =>

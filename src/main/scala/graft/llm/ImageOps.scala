@@ -61,6 +61,16 @@ object ImageOps {
     }
   }
 
+  // ImageIO wraps every OutputStream/InputStream it is handed in a
+  // stream cache, and the DEFAULT cache is disk-backed: one temp file
+  // created and deleted per encode/decode call. For in-memory
+  // byte-array codecs that is pure overhead — and once the kernels run
+  // on every core it becomes a /tmp create/unlink contention point
+  // that can erase the parallelism win. Memory-cached streams are
+  // strictly faster here (images are a few KB). JVM-wide, set when
+  // this object first loads on driver or executor.
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class ImgRow(doc_id: Long, png: Array[Byte])
 
   /** Deterministic REAL PNGs: one 8×8 grayscale image per document,
@@ -68,7 +78,7 @@ object ImageOps {
     * the media column is the generated binary. */
   def images(spark: SparkSession, sfDir: String): Dataset[ImgRow] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir).select($"doc_id").as[Long]
+    Tables.spread(Tables.documents(spark, sfDir).select($"doc_id").as[Long])
       .mapPartitions { ids =>
         val md = java.security.MessageDigest.getInstance("MD5")
         ids.map { docId =>
@@ -330,7 +340,7 @@ object ImageOps {
     * framing this replaces could only be parsed by its own reader). */
   def videos(spark: SparkSession, sfDir: String): Dataset[VidRow] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir).select($"doc_id").as[Long]
+    Tables.spread(Tables.documents(spark, sfDir).select($"doc_id").as[Long])
       .mapPartitions { ids =>
         val md = java.security.MessageDigest.getInstance("MD5")
         val cm = grayRamp

@@ -142,7 +142,7 @@ object JpegOps {
     * ([[ImageOps.pixelsFor]]). */
   def images(spark: SparkSession, sfDir: String): Dataset[JpgRow] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir).select($"doc_id").as[Long]
+    Tables.spread(Tables.documents(spark, sfDir).select($"doc_id").as[Long])
       .mapPartitions { ids =>
         val md = java.security.MessageDigest.getInstance("MD5")
         ids.map { docId =>

@@ -43,9 +43,9 @@ object Multimodal {
   def frameSample(spark: SparkSession, sfDir: String,
                   frameBytes: Int = 64, stride: Int = 4): Dataset[FrameRow] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    Tables.spread(Tables.documents(spark, sfDir)
       .select($"doc_id", encode($"text", "UTF-8").as("media"))
-      .as[MediaRow]
+      .as[MediaRow])
       .mapPartitions { rows =>
         // md5 frame digests: content-addressable AND oracle-checkable —
         // DuckDB's md5 over the same byte slice yields the same hex
@@ -77,9 +77,9 @@ object Multimodal {
   def audioWindows(spark: SparkSession, sfDir: String,
                    winBytes: Int = 64, hopBytes: Int = 32): Dataset[AudioWindow] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    Tables.spread(Tables.documents(spark, sfDir)
       .select($"doc_id", encode($"text", "UTF-8").as("media"))
-      .as[MediaRow]
+      .as[MediaRow])
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { r =>
@@ -103,9 +103,9 @@ object Multimodal {
   def resizeMeta(spark: SparkSession, sfDir: String,
                  maxW: Long = 128, maxH: Long = 128): Dataset[ResizedMeta] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    Tables.spread(Tables.documents(spark, sfDir)
       .select($"doc_id", encode($"text", "UTF-8").as("media"))
-      .as[MediaRow]
+      .as[MediaRow])
       .mapPartitions { rows =>
         rows.map { r =>
           val (w, h, c) = stubDecode(r.media)
@@ -123,9 +123,9 @@ object Multimodal {
     * same batch shape `mapInPandas`/Arrow would give a Python decoder. */
   def binaryMeta(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val media: Dataset[MediaRow] = Tables.documents(spark, sfDir)
+    val media: Dataset[MediaRow] = Tables.spread(Tables.documents(spark, sfDir)
       .select($"doc_id", encode($"text", "UTF-8").as("media"))
-      .as[MediaRow]
+      .as[MediaRow])
     media.mapPartitions { rows =>
       rows.map { r =>
         val (w, h, c) = stubDecode(r.media)
@@ -192,9 +192,9 @@ object Multimodal {
     // under expression interpretation was 9 s of the query's cost at
     // sf0.1; this loop is the same integer math at memory speed, and the
     // same boundary where a real decoder would hand over luma planes)
-    val frames = Tables.documents(spark, sfDir)
+    val frames = Tables.spread(Tables.documents(spark, sfDir)
       .select($"doc_id", encode($"text", "UTF-8").as("media"))
-      .as[MediaRow]
+      .as[MediaRow])
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val nFrames = (r.media.length + frameBytes - 1) / frameBytes
@@ -251,9 +251,9 @@ object Multimodal {
     val labels = Dedup.adaptiveComponents(pairs)
       .select($"doc_id".as("ahash"), $"label")
     // re-derive group sizes for the member hashes (narrow passes)
-    val frames = Tables.documents(spark, sfDir)
+    val frames = Tables.spread(Tables.documents(spark, sfDir)
       .select($"doc_id", encode($"text", "UTF-8").as("media"))
-      .as[MediaRow]
+      .as[MediaRow])
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val nFrames = (r.media.length + 63) / 64

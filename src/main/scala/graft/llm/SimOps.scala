@@ -1593,9 +1593,16 @@ object SimOps {
       .select($"vec_id".as("src"), $"col.nbr".as("dst"))
     // no edge-level distinct: a mutual pair appears twice, but every
     // hop dedups its CANDIDATE set anyway — skipping the dedup saves a
-    // full shuffle of the corpus-sized edge list
+    // full shuffle of the corpus-sized edge list.
+    // The index stores the DESTINATION VECTOR on each edge (the real
+    // HNSW layout: vectors live with the adjacency lists) so the beam
+    // search scores expansions straight off the edge row instead of
+    // re-joining the corpus-sized embedding table every hop — r15,
+    // guide §2.4: the per-hop emb join was a removable exchange.
     val edges = directed
       .union(directed.select($"dst".as("src"), $"src".as("dst")))
+      .join(emb.select($"vec_id".as("dst"), $"vec".as("dvec")), "dst")
+      .select($"src", $"dst", $"dvec")
     // one entry per cell, chosen OUTSIDE the query id range (the
     // fixture's queries are corpus members — and, being the k-means
     // seeds, they'd otherwise be their own cells' entries and the
@@ -1634,39 +1641,53 @@ object SimOps {
       : DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
-    // edges/emb are referenced once per hop; callers hand either plain
-    // parquet scans (persisted index — rescanning is the cheap option)
-    // or an already-checkpointed build (inline), so no materialization
-    // happens here
+    // edges (src, dst, dvec) are referenced once per hop; callers hand
+    // either plain parquet scans (persisted index — rescanning is the
+    // cheap option) or an already-checkpointed build (inline), so no
+    // materialization happens here
     val emb = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
     val q = emb.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"vec".as("qvec"))
-    def score(cands: DataFrame): DataFrame =
-      cands.join(emb.select($"vec_id".as("cand"), $"vec"), Seq("cand"))
-        .join(broadcast(q), Seq("query_id"))
-        .withColumn("cos6",
-          round(call_function("cosine_sim", $"vec", $"qvec"), 6))
-        .select($"query_id", $"cand", $"cos6")
     def topPerQuery(scored: DataFrame, n: Int): DataFrame =
       scored.withColumn("rn", row_number().over(
           Window.partitionBy($"query_id").orderBy($"cos6".desc, $"cand".asc)))
         .filter($"rn" <= n)
-    // each hop references the beam TWICE (edge expansion ∪ carry);
+    // The beam CARRIES its scores (query_id, cand, cos6) across hops —
+    // cos6 is a deterministic function of (cand, query), so re-scoring
+    // the carried rows every hop (the previous shape) only re-derived
+    // identical values. Each hop is now: one broadcast-beam join
+    // against the vector-carrying edge list scoring expansions inline,
+    // a union with the already-scored carry, one (query, cand) hash agg
+    // as the dedup (max over identical values — bit-equal to distinct +
+    // re-score), one per-query window. The per-hop `distinct` exchange
+    // and the two score joins (corpus-sized emb + broadcast q) are gone
+    // (r15, guide §2.3/§2.4).
+    // Each hop references the beam TWICE (edge expansion ∪ carry);
     // checkpointing the ≤ nQueries·beam rows per hop keeps the plan
-    // linear — without it the beam subtree replays 2^hops times
-    var beamDf = topPerQuery(score(seeds), beam)
-      .select($"query_id", $"cand").localCheckpoint()
+    // linear — without it the beam subtree replays 2^hops times.
+    var beamDf = topPerQuery(
+      seeds.join(emb.select($"vec_id".as("cand"), $"vec"), Seq("cand"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cos6",
+          round(call_function("cosine_sim", $"vec", $"qvec"), 6))
+        .select($"query_id", $"cand", $"cos6"), beam)
+      .select($"query_id", $"cand", $"cos6").localCheckpoint()
     for (_ <- 1 to hops) {
-      val cands = beamDf.join(edges, beamDf("cand") === edges("src"))
-        .select($"query_id", $"dst".as("cand"))
-        .union(beamDf.select($"query_id", $"cand"))
+      val expanded = beamDf.join(edges, beamDf("cand") === edges("src"))
+        .select($"query_id", $"dst".as("cand"), $"dvec")
         .filter($"cand" =!= $"query_id")
-        .distinct()
-      beamDf = topPerQuery(score(cands), beam)
-        .select($"query_id", $"cand").localCheckpoint()
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cos6",
+          round(call_function("cosine_sim", $"dvec", $"qvec"), 6))
+        .select($"query_id", $"cand", $"cos6")
+      val cands = expanded
+        .union(beamDf.select($"query_id", $"cand", $"cos6"))
+        .groupBy($"query_id", $"cand").agg(max($"cos6").as("cos6"))
+      beamDf = topPerQuery(cands, beam)
+        .select($"query_id", $"cand", $"cos6").localCheckpoint()
     }
-    topPerQuery(score(beamDf), k)
+    topPerQuery(beamDf, k)
       .select($"query_id", $"cand".as("neighbor_id"),
         $"cos6".as("cosine"), $"rn".cast("long").as("rnk"))
   }
@@ -1745,8 +1766,12 @@ object SimOps {
         array(lit(false), lit(true)), array(lit(false), lit(false))).as("top"))
       .select($"src", posexplode($"top"))
       .select($"src", $"col.dst".as("dst"))
+    // same vector-carrying layout as the base edge list (see
+    // [[nswIndex]]): the upper beam scores expansions off the edge row
     val upperEdges = directed
       .union(directed.select($"dst".as("src"), $"src".as("dst")))
+      .join(reps.select($"cand".as("dst"), $"vec".as("dvec")), "dst")
+      .select($"src", $"dst", $"dvec")
     val gEntry = reps.agg(min($"cand").as("cand"))
     (upperEdges, gEntry)
   }
@@ -1836,33 +1861,42 @@ object SimOps {
       .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
     val q = emb.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"vec".as("qvec"))
-    def score(cands: DataFrame): DataFrame =
-      cands.join(emb.select($"vec_id".as("cand"), $"vec"), Seq("cand"))
-        .join(broadcast(q), Seq("query_id"))
-        .withColumn("cos6",
-          round(call_function("cosine_sim", $"vec", $"qvec"), 6))
-        .select($"ef", $"query_id", $"cand", $"cos6")
     def topPerArm(scored: DataFrame, width: Column): DataFrame =
       scored.withColumn("rn", row_number().over(
           Window.partitionBy($"ef", $"query_id")
             .orderBy($"cos6".desc, $"cand".asc)))
         .filter($"rn" <= width)
-    // literal-array explode, not a crossJoin — the join-free fan-out
+    // carry-the-score loop, the [[nswSearchFrom]] r15 shape with the
+    // (ef, query_id) arm key: seeds are scored ONCE (scores don't
+    // depend on ef) and then fanned out; each hop scores only the edge
+    // expansions off the vector-carrying edge rows, dedups via a hash
+    // agg over identical values, and windows per arm.
+    // Literal-array explode, not a crossJoin — the join-free fan-out
     // shape (a 3-row crossJoin plans BNLJ, the r6 plan-hygiene lesson)
-    val seeded = seeds.withColumn("ef",
-      explode(array(efs.map(e => lit(e.toLong)): _*)))
-    var beamDf = topPerArm(score(seeded), $"ef")
-      .select($"ef", $"query_id", $"cand").localCheckpoint()
+    val seeded = seeds
+      .join(emb.select($"vec_id".as("cand"), $"vec"), Seq("cand"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos6",
+        round(call_function("cosine_sim", $"vec", $"qvec"), 6))
+      .withColumn("ef", explode(array(efs.map(e => lit(e.toLong)): _*)))
+      .select($"ef", $"query_id", $"cand", $"cos6")
+    var beamDf = topPerArm(seeded, $"ef")
+      .select($"ef", $"query_id", $"cand", $"cos6").localCheckpoint()
     for (_ <- 1 to hops) {
-      val cands = beamDf.join(edges, beamDf("cand") === edges("src"))
-        .select($"ef", $"query_id", $"dst".as("cand"))
-        .union(beamDf.select($"ef", $"query_id", $"cand"))
+      val expanded = beamDf.join(edges, beamDf("cand") === edges("src"))
+        .select($"ef", $"query_id", $"dst".as("cand"), $"dvec")
         .filter($"cand" =!= $"query_id")
-        .distinct()
-      beamDf = topPerArm(score(cands), $"ef")
-        .select($"ef", $"query_id", $"cand").localCheckpoint()
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cos6",
+          round(call_function("cosine_sim", $"dvec", $"qvec"), 6))
+        .select($"ef", $"query_id", $"cand", $"cos6")
+      val cands = expanded
+        .union(beamDf.select($"ef", $"query_id", $"cand", $"cos6"))
+        .groupBy($"ef", $"query_id", $"cand").agg(max($"cos6").as("cos6"))
+      beamDf = topPerArm(cands, $"ef")
+        .select($"ef", $"query_id", $"cand", $"cos6").localCheckpoint()
     }
-    val ranked = topPerArm(score(beamDf), lit(k))
+    val ranked = topPerArm(beamDf, lit(k))
       .select($"ef", $"query_id", $"cand".as("neighbor_id"))
     val brute = simTopkBruteforce(spark, sfDir, nQueries, k)
       .select($"query_id", $"neighbor_id").withColumn("hit", lit(1L))
