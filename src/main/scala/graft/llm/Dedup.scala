@@ -74,9 +74,9 @@ object Dedup {
     * 64-permutation sweep is ~100× the hashing cost at scale. */
   def shingles(spark: SparkSession, sfDir: String): Dataset[DocShingles] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    Tables.spread(Tables.documents(spark, sfDir)
       .select($"doc_id", $"text")
-      .as[(Long, String)]
+      .as[(Long, String)])
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (docId, text) => DocShingles(docId, shinglesOf(md, text)) }
@@ -120,9 +120,9 @@ object Dedup {
     * partition. */
   def signatures(spark: SparkSession, sfDir: String): Dataset[DocSig] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    Tables.spread(Tables.documents(spark, sfDir)
       .select($"doc_id", $"text")
-      .as[(Long, String)]
+      .as[(Long, String)])
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (docId, text) =>
@@ -193,9 +193,9 @@ object Dedup {
     * sign. Same mapPartitions shape as [[signatures]]. */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    Tables.spread(Tables.documents(spark, sfDir)
       .select($"doc_id", $"text")
-      .as[(Long, String)]
+      .as[(Long, String)])
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (docId, text) =>
@@ -459,8 +459,8 @@ object Dedup {
     * scale). Only pairs sharing ≥ 1 shingle are emitted. */
   def shardOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val srcSh = Tables.documents(spark, sfDir)
-      .select($"source", $"text").as[(String, String)]
+    val srcSh = Tables.spread(Tables.documents(spark, sfDir)
+      .select($"source", $"text").as[(String, String)])
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { case (src, text) => shinglesOf(md, text).map(src -> _) }
@@ -853,10 +853,14 @@ object Dedup {
       (length(c) - length(replace(c, lit(ch.toString), lit("")))).cast("int")
     }: _*)
     GraftFunctions.register(spark)
-    val slim = Tables.documents(spark, sfDir)
+    // the 27-counter char-frequency projection scans the text 27×; it
+    // feeds BOTH join sides, so spread it across cores and materialize
+    // once (r15 — it used to run twice, single-partition)
+    val slim = Tables.spread(Tables.documents(spark, sfDir)
       .select($"doc_id", length($"text").as("len"),
               expr(s"length(text) div $width").as("band"),
-              freqArr($"text").as("freq"))
+              freqArr($"text").as("freq")))
+      .localCheckpoint()
     val probe = slim.select($"doc_id", $"len", $"freq", $"band",
         explode(array($"band", $"band" + 1)).as("key"))
     val survivors = probe.join(

@@ -191,9 +191,9 @@ object TextOps {
     * TakeOrderedAndProject (no global sort). */
   def ngramFreq(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    Tables.spread(Tables.documents(spark, sfDir)
       .select($"text")
-      .as[String]
+      .as[String])
       .mapPartitions { docs =>
         docs.flatMap { text =>
           val t = text.trim.toLowerCase.split("\\s+")
@@ -218,9 +218,9 @@ object TextOps {
     import spark.implicits._
     val B = 1000003L
     val M = 2147483647L
-    Tables.documents(spark, sfDir)
+    Tables.spread(Tables.documents(spark, sfDir)
       .select($"doc_id", $"text")
-      .as[(Long, String)]
+      .as[(Long, String)])
       .mapPartitions { rows =>
         rows.map { case (docId, text) =>
           val s = text.trim.toLowerCase

@@ -47,10 +47,22 @@ object PageRank {
       .groupBy(($"l_suppkey" * 2).as("src"),
                ($"l_partkey" * 2 + 1).as("dst"))
       .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    // out-degrees from the HALF-SIZE directed frame (a vertex's
+    // out-edges under the both-directions construction are its le rows
+    // seen from either end), and the out-degree BAKED INTO the one
+    // materialized edge list — so no iteration re-joins the degree
+    // table: the broadcast arm saves a broadcast-hash probe per edge
+    // per round, the co-partitioned arm a whole join per round (r15,
+    // guide §2.4 "remove shuffles outright").
+    val out = le.groupBy($"src").agg(sum($"w").as("out_w"))
+      .union(le.groupBy($"dst").agg(sum($"w").as("out_w"))
+        .select($"dst".as("src"), $"out_w"))
+      .localCheckpoint()
     val e = le.select($"src", $"dst", $"w")
       .union(le.select($"dst".as("src"), $"src".as("dst"), $"w"))
+      .join(broadcast(out), "src")
       .localCheckpoint()
-    val out = e.groupBy($"src").agg(sum($"w").as("out_w")).localCheckpoint()
     val n = out.count() // both-direction edges ⇒ every vertex has out-edges
     val base = math.round(0.15 * 1e6 / n) // same round-half-up as the oracle
     // Size-gated iteration strategy (the adaptiveComponents escape-hatch
@@ -75,7 +87,6 @@ object PageRank {
           round(lit(1e6) / lit(n.toDouble)).cast("long").as("rm"))
         for (_ <- 1 to iters) {
           r = e
-            .join(broadcast(out), "src")
             .join(broadcast(r.withColumnRenamed("vertex", "src")), "src")
             .select($"dst".as("vertex"),
               round(lit(0.85) * $"rm" * $"w" / $"out_w").cast("long").as("c"))
@@ -87,21 +98,21 @@ object PageRank {
         // bipartite graph has ~2×10⁹ part vertices; a per-iteration
         // rank broadcast there is an executor OOM, not a slowdown).
         // `e` is hash-partitioned on src ONCE (localCheckpoint
-        // preserves the partitioning), so each round shuffles only the
-        // |V|-row state into the edges' layout — the edges themselves
-        // never move again. shuffle_hash hints pin the strategy so AQE
-        // can't re-introduce a rank broadcast behind our back; state
-        // carries (rm, out_w) together so each round is exactly one
-        // state-shuffle join + one groupBy(dst) + one join back onto
-        // the out-degree table (all hash exchanges, no sorts).
+        // preserves the partitioning) and carries the out-degree on
+        // each edge row, so each round shuffles only the |V|-row rank
+        // state into the edges' layout — the edges never move again
+        // and no round joins a degree table. shuffle_hash hints pin
+        // the strategy so AQE can't re-introduce a rank broadcast
+        // behind our back; each round is exactly one state-shuffle
+        // join + one groupBy(dst) (all hash exchanges, no sorts).
         val eP = e.repartition($"src").localCheckpoint()
-        val outP = out.repartition($"src").localCheckpoint()
-        var state = outP.select($"src", $"out_w",
-          round(lit(1e6) / lit(n.toDouble)).cast("long").as("rm"))
+        var state = out.repartition($"src")
+          .select($"src",
+            round(lit(1e6) / lit(n.toDouble)).cast("long").as("rm"))
           .localCheckpoint()
         for (_ <- 1 to iters) {
           // constant lineage across the long loop
-          state = copartStep(eP, outP, state, base).localCheckpoint()
+          state = copartStep(eP, state, base).localCheckpoint()
         }
         state.select($"src".as("vertex"), $"rm")
       }
@@ -123,22 +134,22 @@ object PageRank {
   /** ONE co-partitioned iteration of [[bipartiteExact]]'s over-threshold
     * arm — extracted so PageRankScaleSpec can audit the exact production
     * plan (no BroadcastExchange, shuffle-hash joins pinned by hint)
-    * before the loop's localCheckpoint hides it. `state` carries
-    * (src, out_w, rm) so each round is one state-shuffle join against
-    * the pre-partitioned edges + one groupBy(dst) + one join back onto
-    * the out-degree table. */
-  private[graft] def copartStep(eP: DataFrame, outP: DataFrame,
-                                state: DataFrame, base: Long): DataFrame = {
+    * before the loop's localCheckpoint hides it. `eP` carries
+    * (src, dst, w, out_w) — the out-degree rides on the edge row — and
+    * `state` is just (src, rm), so each round is one state-shuffle
+    * join against the pre-partitioned edges + one groupBy(dst); the
+    * former per-round join back onto the out-degree table is gone
+    * (every vertex has in-edges under the both-directions
+    * construction, so the contribution frame already covers the full
+    * vertex set). */
+  private[graft] def copartStep(eP: DataFrame, state: DataFrame,
+                                base: Long): DataFrame = {
     import eP.sparkSession.implicits._
-    val contribs = eP
-      .join(state.hint("shuffle_hash"), "src")
+    eP.join(state.hint("shuffle_hash"), "src")
       .select($"dst".as("vertex"),
         round(lit(0.85) * $"rm" * $"w" / $"out_w").cast("long").as("c"))
       .groupBy($"vertex").agg((lit(base) + sum($"c")).as("rm"))
-    outP
-      .join(contribs.withColumnRenamed("vertex", "src")
-        .hint("shuffle_hash"), "src")
-      .select($"src", $"out_w", $"rm")
+      .withColumnRenamed("vertex", "src")
   }
 
   /** `edges` needs string/long columns `src`, `dst`; multi-edges are

@@ -39,12 +39,22 @@ object Triangles {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
-    val li = graft.Tables.lineitem(spark, sfDir)
-      .select($"l_orderkey", $"l_partkey").distinct()
-    val e = li.as("a").join(li.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" &&
-          $"a.l_partkey" < $"b.l_partkey")
-      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+    // co-purchase pairs expanded IN PLACE from per-order part sets
+    // (the [[GraphSim.jaccardNeighbors]] posting-list shape): one
+    // shuffle groups lineitem into order → part-set lists (collect_set
+    // dedups within the order, subsuming the old distinct), pairs
+    // expand inside each list — the former distinct + self-join of the
+    // 600k-row frame (sort-merge join + its exchanges) is gone (r15,
+    // guide §2.4). The per-order quadratic is bounded by order size
+    // (TPC-H ≤ 7 items; any real order is human-scale).
+    val lists = graft.Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+      .filter(size($"ps") > 1)
+    val e = lists
+      .select(explode($"ps").as("u"), $"ps")
+      .select($"u", explode($"ps").as("v"))
+      .filter($"u" < $"v")
       .distinct()
       .localCheckpoint()
     val deg = e.select($"u".as("node")).union(e.select($"v".as("node")))

@@ -23,12 +23,15 @@ class PageRankScaleSpec extends SparkSpec {
 
   test("co-partitioned step plans shuffle-hash joins, never a rank broadcast") {
     import spark.implicits._
-    val eP = Seq((2L, 3L, 2L), (3L, 2L, 2L), (2L, 5L, 1L), (5L, 2L, 1L))
-      .toDF("src", "dst", "w").repartition($"src").localCheckpoint()
-    val outP = eP.groupBy($"src").agg(sum($"w").as("out_w"))
+    val e = Seq((2L, 3L, 2L), (3L, 2L, 2L), (2L, 5L, 1L), (5L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    val out = e.groupBy($"src").agg(sum($"w").as("out_w"))
+    // production layout: out-degree baked onto the edge row, rank
+    // state is just (src, rm)
+    val eP = e.join(out, "src").repartition($"src").localCheckpoint()
+    val state = out.select($"src", lit(333333L).as("rm"))
       .repartition($"src").localCheckpoint()
-    val state = outP.select($"src", $"out_w", lit(333333L).as("rm"))
-    val step = PageRank.copartStep(eP, outP, state, base = 50000L)
+    val step = PageRank.copartStep(eP, state, base = 50000L)
     val plan = step.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastExchange"),
       s"rank state must not broadcast in the over-threshold arm:\n$plan")
